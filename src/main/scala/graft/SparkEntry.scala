@@ -1,13 +1,423 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import graft.functions.PigFunctions._
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] exercises one operator family from
+  * SURVEY.md §2 and has a DuckDB-equivalent oracle in [[oracleSql]]
+  * (same column NAMES on both sides — the driver sorts columns by name
+  * and hashes values).
+  *
+  * Float discipline: aggregated money/quantity columns are routed
+  * through exact DECIMAL casts and only cast back to DOUBLE at the end,
+  * so results are identical regardless of summation order / parallelism
+  * — in Spark at any partition count, and in DuckDB. (A raw double sum
+  * is order-dependent and would flake the hash compare.)
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q03_group_agg")(spark, "/root/testdata/sf0.001")
+
+  // ---------------- shared helpers ----------------
+
+  /** Exact sum of a ~2-decimal double column: cast to DECIMAL per row
+    * (deterministic for values within 1e-6 of a 2-decimal rational),
+    * sum exactly, surface as DOUBLE. */
+  private def dsum2(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** l_extendedprice * (1 - l_discount) as an exact DECIMAL(22,4). */
+  private def discPrice: Column =
+    (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(22, 4))
+
+  private def t(s: SparkSession, dir: String): Tables = Tables(s, dir)
+
+  // ---------------- the inventory ----------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- scan / filter / project (LOAD + FILTER + FOREACH…GENERATE) ---
+    "q01_scan_filter_project" -> ((s, dir) =>
+      t(s, dir).lineitem
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1997-02-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          discPrice.cast("double").as("revenue"))),
+
+    // --- FILTER with IN / CASE / full-match regex (Pig `matches`) ---
+    "q02_filter_expr" -> ((s, dir) =>
+      t(s, dir).orders
+        .filter(col("o_orderstatus").isin("F", "O") &&
+                matchesFull(col("o_orderpriority"), "[12]-.*"))
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 200000, lit("big"))
+            .when(col("o_totalprice") > 50000, lit("mid"))
+            .otherwise(lit("small")).as("bucket"))),
+
+    // --- GROUP BY + aggregates (TPC-H Q1 shape — the M1 flagship) ---
+    "q03_group_agg" -> ((s, dir) =>
+      t(s, dir).lineitem
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum2(col("l_quantity")).as("sum_qty"),
+          dsum2(col("l_extendedprice")).as("sum_base_price"),
+          sum(discPrice).cast("double").as("sum_disc_price"),
+          sum(discPrice * (lit(1) + col("l_tax")).cast(DecimalType(8, 2)))
+            .cast("double").as("sum_charge"),
+          (sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          count(lit(1)).as("count_order"))),
+
+    // --- GROUP ALL (global aggregate) ---
+    "q04_group_all" -> ((s, dir) =>
+      t(s, dir).lineitem.agg(
+        count(lit(1)).as("n_rows"),
+        dsum2(col("l_quantity")).as("sum_qty"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        countDistinct(col("l_orderkey")).as("n_orders"))),
+
+    // --- default (shuffle) equi-join, fact ⋈ fact ---
+    "q05_join_agg" -> ((s, dir) => {
+      val tb = t(s, dir)
+      tb.lineitem.join(tb.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+             sum(discPrice).cast("double").as("revenue"))
+    }),
+
+    // --- replicated join (Pig USING 'replicated' → explicit broadcast) ---
+    "q06_join_broadcast" -> ((s, dir) => {
+      val tb = t(s, dir)
+      tb.lineitem
+        .join(broadcast(tb.supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(tb.nation), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_lines"),
+             sum(discPrice).cast("double").as("revenue"))
+    }),
+
+    // --- LEFT OUTER join ---
+    "q07_join_left" -> ((s, dir) => {
+      val tb = t(s, dir)
+      tb.customer.join(tb.orders, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+             coalesce(dsum2(col("o_totalprice")), lit(0.0)).as("total_spent"))
+    }),
+
+    // --- FULL OUTER join of two derived sides ---
+    "q08_join_full" -> ((s, dir) => {
+      val tb = t(s, dir)
+      val c = tb.customer.filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey"), col("c_acctbal"))
+      val o = tb.orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+        .groupBy(col("custkey")).agg(count(lit(1)).as("n_urgent"))
+      c.join(o, Seq("custkey"), "full_outer")
+        .select(col("custkey"),
+          coalesce(col("c_acctbal"), lit(-1.0)).as("acctbal"),
+          coalesce(col("n_urgent"), lit(0L)).as("n_urgent"))
+    }),
+
+    // --- semi join (first-class here; a COGROUP+IsEmpty idiom in Pig) ---
+    "q09_semi_join" -> ((s, dir) => {
+      val tb = t(s, dir)
+      tb.customer
+        .join(tb.orders.filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // --- anti join ---
+    "q10_anti_join" -> ((s, dir) => {
+      val tb = t(s, dir)
+      tb.customer.join(tb.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
+
+    // --- CROSS + FILTER (Pig's theta-join idiom) ---
+    "q11_cross_theta" -> ((s, dir) => {
+      val tb = t(s, dir)
+      tb.nation.crossJoin(tb.region)
+        .filter(col("n_regionkey") =!= col("r_regionkey"))
+        .select(col("n_name"), col("r_name"))
+    }),
+
+    // --- UNION (bag semantics: no dedupe) + downstream agg ---
+    "q12_union" -> ((s, dir) => {
+      val ev = t(s, dir).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_type"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_type"), col("value"))
+      clicks.unionByName(purchases)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+             sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+    }),
+
+    // --- DISTINCT ---
+    "q13_distinct" -> ((s, dir) =>
+      t(s, dir).events.select(col("user_id"), col("event_type")).distinct()),
+
+    // --- ORDER BY + LIMIT (total order; TakeOrderedAndProject) ---
+    "q14_order_limit" -> ((s, dir) =>
+      t(s, dir).orders
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // --- SAMPLE (systematic/deterministic variant: key-modulo; Pig's
+    //     Bernoulli SAMPLE is df.sample(p, seed) — not oracle-able) ---
+    "q15_sample" -> ((s, dir) =>
+      t(s, dir).lineitem.filter(col("l_orderkey") % 97 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+
+    // --- SPLIT … INTO … OTHERWISE (multi-sink w/ shared-scan persist) ---
+    "q16_split" -> ((s, dir) => {
+      val branches = Relational.split(
+        t(s, dir).events,
+        Seq("click" -> (col("event_type") === "click"),
+            "error" -> (col("event_type") === "error")),
+        otherwise = Some("other"))
+      branches.toSeq.sortBy(_._1)
+        .map { case (name, df) =>
+          df.agg(count(lit(1)).as("cnt")).select(lit(name).as("branch"), col("cnt"))
+        }
+        .reduce(_ unionByName _)
+    }),
+
+    // --- RANK BY (global two-pass scalable rank, SURVEY §2.5) ---
+    "q17_rank" -> ((s, dir) =>
+      Relational.rankBy(
+          t(s, dir).orders.select(col("o_orderkey"), col("o_totalprice")),
+          Seq("o_totalprice"), ascending = false)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("rank").as("rnk"), col("dense_rank").as("rnk_dense"))),
+
+    // --- CUBE ---
+    "q18_cube" -> ((s, dir) =>
+      t(s, dir).lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+             dsum2(col("l_quantity")).as("sum_qty"),
+             grouping_id().as("grp_id"))),
+
+    // --- ROLLUP ---
+    "q19_rollup" -> ((s, dir) =>
+      t(s, dir).orders
+        .withColumn("o_year", year(col("o_orderdate")))
+        .rollup(col("o_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+             dsum2(col("o_totalprice")).as("sum_price"),
+             grouping_id().as("grp_id"))),
+
+    // --- COGROUP (bags per input, OUTER semantics) ---
+    "q20_cogroup" -> ((s, dir) => {
+      val tb = t(s, dir)
+      val cg = Relational.cogroup(Seq("orderkey"),
+        ("orders", tb.orders.select(col("o_orderkey"), col("o_totalprice")), Seq("o_orderkey")),
+        ("lines", tb.lineitem.select(col("l_orderkey"), col("l_quantity")), Seq("l_orderkey")))
+      cg.select(col("orderkey"),
+        size(col("bag_orders")).cast("long").as("n_orders"),
+        size(col("bag_lines")).cast("long").as("n_lines"))
+    }),
+
+    // --- FLATTEN of a UDTF-ish bag (TOKENIZE → word counts) ---
+    "q21_flatten_tokenize" -> ((s, dir) =>
+      t(s, dir).documents
+        .select(explode(tokenize(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))),
+
+    // --- nested FOREACH block compiled to HOFs over the bag ---
+    "q22_nested_foreach" -> ((s, dir) => {
+      val bags = t(s, dir).lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(collect_list(struct(col("l_quantity"), col("l_extendedprice"))).as("items"))
+      val big = Relational.nested.filterBag(col("items"), x => x.getField("l_quantity") > 25)
+      bags.select(col("l_orderkey"),
+        size(col("items")).cast("long").as("n_items"),
+        size(big).cast("long").as("n_big"),
+        round(Relational.nested.sumBag(big, "l_extendedprice"), 2).as("sum_big_price"))
+    }),
+
+    // --- per-group TOP-k (Pig TOP) ---
+    "q23_top_per_group" -> ((s, dir) =>
+      Relational.topPerGroup(t(s, dir).orders, Seq("o_custkey"), "o_totalprice", 3, "o_orderkey")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn").cast("long").as("rn"))),
+
+    // --- GROUP → bag → FLATTEN round-trip ---
+    "q24_flatten_bag" -> ((s, dir) =>
+      t(s, dir).lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(collect_list(struct(col("l_linenumber"), col("l_quantity"))).as("items"))
+        .filter(size(col("items")) >= 6)
+        .select(col("l_orderkey"), explode(col("items")).as("item"))
+        .select(col("l_orderkey"),
+          col("item.l_linenumber").as("l_linenumber"),
+          col("item.l_quantity").as("l_quantity")))
+  )
+
+  /** DuckDB-runnable oracle SQL, same column names as the Spark result. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(22,4)) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'""",
+
+    "q02_filter_expr" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_totalprice > 200000 THEN 'big'
+              WHEN o_totalprice > 50000 THEN 'mid'
+              ELSE 'small' END AS bucket
+         FROM orders
+         WHERE o_orderstatus IN ('F','O') AND regexp_full_match(o_orderpriority, '[12]-.*')""",
+
+    "q03_group_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(22,4)) * CAST(1+l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         COUNT(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+
+    "q04_group_all" ->
+      """SELECT COUNT(*) AS n_rows,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+         COUNT(DISTINCT l_orderkey) AS n_orders
+         FROM lineitem""",
+
+    "q05_join_agg" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_lines,
+         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus""",
+
+    "q06_join_broadcast" ->
+      """SELECT n_name, COUNT(*) AS n_lines,
+         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name""",
+
+    "q07_join_left" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+         COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spent
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey""",
+
+    "q08_join_full" ->
+      """SELECT COALESCE(c.custkey, o.custkey) AS custkey,
+         COALESCE(c.c_acctbal, -1.0) AS acctbal,
+         COALESCE(o.n_urgent, 0) AS n_urgent
+         FROM (SELECT c_custkey AS custkey, c_acctbal FROM customer WHERE c_acctbal > 5000) c
+         FULL JOIN (SELECT o_custkey AS custkey, COUNT(*) AS n_urgent FROM orders
+                    WHERE o_orderpriority = '1-URGENT' GROUP BY 1) o
+         ON c.custkey = o.custkey""",
+
+    "q09_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""",
+
+    "q10_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "q11_cross_theta" ->
+      """SELECT n_name, r_name FROM nation, region WHERE n_regionkey <> r_regionkey""",
+
+    "q12_union" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM (SELECT user_id, event_type, value FROM events WHERE event_type = 'click'
+               UNION ALL
+               SELECT user_id, event_type, value FROM events WHERE event_type = 'purchase')
+         GROUP BY event_type""",
+
+    "q13_distinct" ->
+      """SELECT DISTINCT user_id, event_type FROM events""",
+
+    "q14_order_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "q15_sample" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey % 97 = 0""",
+
+    "q16_split" ->
+      """SELECT branch, COUNT(*) AS cnt FROM (
+           SELECT CASE WHEN event_type = 'click' THEN 'click'
+                       WHEN event_type = 'error' THEN 'error'
+                       ELSE 'other' END AS branch FROM events)
+         GROUP BY branch""",
+
+    "q17_rank" ->
+      """SELECT o_orderkey, o_totalprice,
+         RANK() OVER (ORDER BY o_totalprice DESC) AS rnk,
+         DENSE_RANK() OVER (ORDER BY o_totalprice DESC) AS rnk_dense
+         FROM orders""",
+
+    "q18_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         GROUPING(l_returnflag, l_linestatus) AS grp_id
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+
+    "q19_rollup" ->
+      """SELECT YEAR(o_orderdate) AS o_year, o_orderstatus, COUNT(*) AS cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         GROUPING(YEAR(o_orderdate), o_orderstatus) AS grp_id
+         FROM orders GROUP BY ROLLUP(YEAR(o_orderdate), o_orderstatus)""",
+
+    "q20_cogroup" ->
+      """SELECT COALESCE(o.orderkey, l.orderkey) AS orderkey,
+         COALESCE(o.n, 0) AS n_orders, COALESCE(l.n, 0) AS n_lines
+         FROM (SELECT o_orderkey AS orderkey, COUNT(*) AS n FROM orders GROUP BY 1) o
+         FULL JOIN (SELECT l_orderkey AS orderkey, COUNT(*) AS n FROM lineitem GROUP BY 1) l
+         ON o.orderkey = l.orderkey""",
+
+    "q21_flatten_tokenize" ->
+      """SELECT token, COUNT(*) AS cnt FROM (
+           SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+         WHERE token <> '' GROUP BY token""",
+
+    "q22_nested_foreach" ->
+      """SELECT l_orderkey, COUNT(*) AS n_items,
+         COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+         ROUND(COALESCE(SUM(l_extendedprice) FILTER (WHERE l_quantity > 25), 0.0), 2) AS sum_big_price
+         FROM lineitem GROUP BY l_orderkey""",
+
+    "q23_top_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders)
+         WHERE rn <= 3""",
+
+    "q24_flatten_bag" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+           SELECT l_orderkey, l_linenumber, l_quantity,
+                  COUNT(*) OVER (PARTITION BY l_orderkey) AS c
+           FROM lineitem)
+         WHERE c >= 6"""
+  )
 }

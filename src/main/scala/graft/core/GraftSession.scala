@@ -1,0 +1,72 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Session wrapper mirroring the reference lineage's incremental
+  * alias environment (PigServer-style, SURVEY.md §3.3): each registered
+  * alias binds a name to an immutable logical plan; executing an alias
+  * compiles just the sub-plan reaching it (Spark does this naturally —
+  * a DataFrame IS the logical plan).
+  *
+  * Unlike the reference (one MapReduce job per blocking boundary with
+  * HDFS materialization between jobs), plans here stay declarative and
+  * Catalyst/Tungsten handle optimization + pipelining.
+  */
+final class GraftSession(val spark: SparkSession) {
+  private val env = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+
+  /** `A = <plan>;` — rebinding an alias is allowed, like Pig. */
+  def register(alias: String, df: DataFrame): this.type = { env(alias) = df; this }
+
+  def apply(alias: String): DataFrame =
+    env.getOrElse(alias, throw new NoSuchElementException(s"unknown alias: $alias"))
+
+  def aliases: Seq[String] = env.keys.toSeq
+
+  /** DESCRIBE — schema of the alias. */
+  def describe(alias: String): String = apply(alias).schema.treeString
+
+  /** EXPLAIN — formatted physical plan (Catalyst's, richer than the
+    * reference's logical/physical/MR dump). */
+  def explain(alias: String): String =
+    apply(alias).queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  /** DUMP — driver-side iterator over results (bounded use only). */
+  def dump(alias: String, n: Int = 20): Array[org.apache.spark.sql.Row] =
+    apply(alias).take(n)
+
+  /** STORE — write an alias out. */
+  def store(alias: String, path: String, format: String = "parquet"): Unit =
+    apply(alias).write.format(format).mode("overwrite").save(path)
+}
+
+object GraftSession {
+
+  /** Scale-oriented defaults applied to every session this engine builds:
+    * AQE (runtime re-plan: skew-join splitting, partition coalescing,
+    * broadcast demotion), nested-schema pruning so struct/map accesses
+    * prune at the parquet scan, UTC timestamps. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.parquet.aggregatePushdown", "true")
+    // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+    // rejects; read as long and convert in Tables.events.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def local(cores: Int = 4): GraftSession = {
+    val spark = configure(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.ui.enabled", "false")
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new GraftSession(spark)
+  }
+}

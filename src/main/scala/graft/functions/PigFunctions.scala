@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference lineage's scalar builtin library re-expressed as
+  * `Column => Column` combinators over `org.apache.spark.sql.functions`
+  * (SURVEY.md §2.6). Everything here stays inside whole-stage codegen —
+  * no Scala UDFs on these paths.
+  *
+  * Semantics shims (SURVEY.md §7.5.3) — places where the reference's
+  * semantics differ from Spark's defaults:
+  *  - `MATCHES` is a FULL match, Spark `rlike` is a find() —> wrap the
+  *    pattern in `^(?:...)$`.
+  *  - `SUBSTRING(s, start, stop)` is 0-based with exclusive stop; Spark
+  *    `substring` is 1-based with a length.
+  *  - `INDEXOF` is 0-based (-1 when absent); Spark `instr` is 1-based
+  *    (0 when absent).
+  *  - int/int division truncates in the reference —> `div` discipline.
+  *  - `ROUND` is HALF_UP — Spark `round` matches (NOT `bround`).
+  */
+object PigFunctions {
+
+  // ---------------- string ----------------
+
+  /** Pig `x MATCHES 'regex'` — whole-string regex match. */
+  def matchesFull(c: Column, regex: String): Column =
+    c.rlike("^(?:" + regex + ")$")
+
+  /** Pig SUBSTRING(str, startIndex, stopIndex): 0-based, stop exclusive. */
+  def substringPig(c: Column, start: Int, stop: Int): Column =
+    substring(c, start + 1, math.max(0, stop - start))
+
+  /** Pig INDEXOF(str, sub): 0-based index of first occurrence, -1 if absent. */
+  def indexOfPig(c: Column, sub: String): Column =
+    instr(c, sub) - 1
+
+  /** Pig LAST_INDEX_OF(str, sub): 0-based index of last occurrence. */
+  def lastIndexOfPig(c: Column, sub: String): Column = {
+    val len = length(c)
+    val revIdx = instr(reverse(c), sub.reverse)
+    when(revIdx === 0, lit(-1)).otherwise(len - revIdx - lit(sub.length) + 1)
+  }
+
+  /** Pig STRSPLIT(str, regex) — returns a tuple in Pig; array here. */
+  def strSplit(c: Column, regex: String): Column = split(c, regex)
+
+  /** Pig TOKENIZE(str) — whitespace-split bag of words, empties dropped. */
+  def tokenize(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= lit(""))
+
+  /** Pig EqualsIgnoreCase. */
+  def equalsIgnoreCase(a: Column, b: Column): Column = lower(a) === lower(b)
+
+  /** Pig REGEX_EXTRACT(str, regex, groupIdx) — 1-based group index, like
+    * java.util.regex.Matcher.group(i); maps 1:1 to regexp_extract. */
+  def regexExtract(c: Column, regex: String, group: Int): Column =
+    regexp_extract(c, regex, group)
+
+  // ---------------- arithmetic ----------------
+
+  /** Pig int/int division truncates toward zero (SQL `div`). */
+  def intDiv(a: Column, b: Column): Column =
+    try_divide(a.cast("long"), b.cast("long")).cast("long")
+
+  /** Pig ROUND — HALF_UP, which Spark `round` also is. */
+  def roundPig(c: Column, scale: Int = 0): Column = round(c, scale)
+
+  // ---------------- datetime ----------------
+
+  /** Pig DaysBetween(dt1, dt2): whole days in dt1 - dt2 (truncated). */
+  def daysBetween(a: Column, b: Column): Column =
+    floor((unix_timestamp(a) - unix_timestamp(b)) / 86400L).cast("long")
+
+  def hoursBetween(a: Column, b: Column): Column =
+    floor((unix_timestamp(a) - unix_timestamp(b)) / 3600L).cast("long")
+
+  /** Pig AddDuration(dt, 'ISO-8601') for day/hour/minute/second grain.
+    * Coarser grains (P1M, P1Y) use months; mixed designators supported
+    * for the common forms (e.g. P1DT2H30M). */
+  def addDuration(dt: Column, iso: String): Column = {
+    val p = """^P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+)S)?)?$""".r
+    iso match {
+      case p(y, mo, d, h, mi, s) =>
+        def n(x: String): Int = Option(x).map(_.toInt).getOrElse(0)
+        dt + make_interval(
+          lit(n(y)), lit(n(mo)), lit(0), lit(n(d)), lit(n(h)), lit(n(mi)), lit(n(s)))
+      case _ => throw new IllegalArgumentException(s"unsupported ISO-8601 duration: $iso")
+    }
+  }
+
+  def subtractDuration(dt: Column, iso: String): Column = {
+    val added = addDuration(lit("1970-01-01 00:00:00").cast("timestamp"), iso)
+    val delta = added - lit("1970-01-01 00:00:00").cast("timestamp")
+    dt - delta
+  }
+
+  // ---------------- bag / tuple / map ----------------
+
+  /** Pig SIZE over a bag/tuple — element count. */
+  def sizeOf(c: Column): Column = coalesce(size(c), lit(0))
+
+  /** Pig IsEmpty(bag). */
+  def isEmptyBag(c: Column): Column = coalesce(size(c), lit(0)) === 0
+
+  /** Pig BagToString(bag, delim). */
+  def bagToString(c: Column, delim: String): Column = array_join(c, delim)
+
+  /** Pig TOP(n, sortField, bag-of-structs): n largest elements by field.
+    * Compiled to array_sort with a descending comparator + slice — runs
+    * inside codegen, no shuffle, no UDF. */
+  def topN(bag: Column, field: String, n: Int): Column = {
+    val sortedDesc = array_sort(bag, (l, r) =>
+      when(l.getField(field) > r.getField(field), lit(-1))
+        .when(l.getField(field) < r.getField(field), lit(1))
+        .otherwise(lit(0)))
+    slice(sortedDesc, 1, n)
+  }
+
+  /** Pig SUBTRACT(bag1, bag2) — elements of bag1 not in bag2. */
+  def bagSubtract(a: Column, b: Column): Column = array_except(a, b)
+
+  /** Pig KEYSET / VALUELIST / VALUESET over maps. */
+  def keySet(m: Column): Column = map_keys(m)
+  def valueList(m: Column): Column = map_values(m)
+  def valueSet(m: Column): Column = array_distinct(map_values(m))
+}

@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
+
+/** Relational operator surface of the reference lineage that is not a
+  * one-liner on DataFrame (SURVEY.md §2.2–§2.5). Everything else
+  * (FILTER/FOREACH/JOIN/ORDER/LIMIT/DISTINCT/UNION/SAMPLE/CUBE/ROLLUP)
+  * maps directly onto the DataFrame API and is exercised straight from
+  * the query inventory in [[graft.SparkEntry]].
+  */
+object Relational {
+
+  // ------------------------------------------------------------------
+  // SPLIT — route rows of one relation into N relations by predicates.
+  // ------------------------------------------------------------------
+
+  /** Pig `SPLIT A INTO X IF p1, Y IF p2, Z OTHERWISE;`
+    *
+    * The reference's MultiQueryOptimizer serves all branches from one
+    * scan; Spark re-executes lineage per action, so the shared parent is
+    * persisted (MEMORY_AND_DISK — spillable, safe at scale) while the
+    * branches are consumed. Caller must [[unsplit]] when done.
+    * SURVEY.md §4.2 (MultiQueryOptimizer gap), §7.5.5.
+    */
+  def split(
+      df: DataFrame,
+      branches: Seq[(String, Column)],
+      otherwise: Option[String] = None): Map[String, DataFrame] = {
+    val parent = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val named = branches.map { case (name, pred) => name -> parent.filter(pred) }
+    val other = otherwise.map { name =>
+      val noneMatch = branches.map(_._2).map(p => !coalesce(p, lit(false))).reduce(_ && _)
+      name -> parent.filter(noneMatch)
+    }
+    (named ++ other).toMap
+  }
+
+  def unsplit(df: DataFrame): Unit = { df.unpersist(); () }
+
+  // ------------------------------------------------------------------
+  // COGROUP — group N relations by key simultaneously into bags.
+  // ------------------------------------------------------------------
+
+  /** Pig `C = COGROUP A BY k, B BY k;` → one row per key with one
+    * bag (array of structs of the non-key columns) per input.
+    *
+    * Implementation: per-input partial aggregation into bags, then a
+    * full-outer join on the key — each input shuffles once on the key,
+    * exactly like the reference's multi-input POPackage, but with
+    * Spark's spillable aggregation buffers. OUTER semantics: absent
+    * groups yield empty bags (size 0), like Pig's empty DataBag.
+    *
+    * Scale note (SURVEY.md §7.5.1): a bag materializes the group. When
+    * the consumer only aggregates the bag, do NOT cogroup — use
+    * groupBy().agg() so no bag is ever built.
+    */
+  def cogroup(keyNames: Seq[String], inputs: (String, DataFrame, Seq[String])*): DataFrame = {
+    val grouped = inputs.map { case (name, df, keys) =>
+      require(keys.length == keyNames.length, s"key arity mismatch for $name")
+      val aligned = keys.zip(keyNames).foldLeft(df) { case (d, (from, to)) =>
+        if (from == to) d else d.withColumnRenamed(from, to)
+      }
+      val valueCols = aligned.columns.filterNot(keyNames.contains).map(col)
+      aligned
+        .groupBy(keyNames.map(col): _*)
+        .agg(collect_list(struct(valueCols: _*)).as(s"bag_$name"))
+    }
+    val joined = grouped.reduce((a, b) => a.join(b, keyNames, "full_outer"))
+    // Coalesce nulls (absent groups) to typed empty bags.
+    inputs.map(_._1).foldLeft(joined) { (d, name) =>
+      val bag = s"bag_$name"
+      val dt = d.schema(bag).dataType
+      d.withColumn(bag, coalesce(col(bag), expr(s"cast(array() as ${dt.sql})")))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // RANK — global ranking without a single-partition window.
+  // ------------------------------------------------------------------
+
+  /** Pig `R = RANK A BY key [DESC];` — attaches 1-based `rank`
+    * (competition: 1 + number of rows with strictly-smaller key) and
+    * `dense_rank` columns, GLOBAL across the relation.
+    *
+    * `Window.orderBy(...)` with an empty partition spec funnels ALL rows
+    * through one partition — unusable at 100 TB. This is the reference's
+    * scalable two-pass design (POCounter → PORank: per-partition counts,
+    * then prefix-sum offsets) rebuilt on Spark:
+    *
+    *   1. aggregate to per-key counts (shuffle #1, partial agg);
+    *   2. range-partition + sort the keys (shuffle #2 — sampled range
+    *      partitioner, same as ORDER BY);
+    *   3. one tiny job collects per-partition (numKeys, numRows) — a
+    *      few longs per partition, NOT data rows;
+    *   4. broadcast the prefix offsets; per-partition scan assigns both
+    *      rank flavors;
+    *   5. join ranks back to the full relation on the key.
+    *
+    * Total: two shuffles over the distinct keys + one over the data for
+    * the final join — every step spillable and parallel.
+    */
+  def rankBy(df: DataFrame, keys: Seq[String], ascending: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    val keyCols = keys.map(col)
+    val sortCols = if (ascending) keyCols.map(_.asc) else keyCols.map(_.desc)
+
+    val counts = df.groupBy(keyCols: _*).agg(count(lit(1)).as("__cnt")).orderBy(sortCols: _*)
+    val schema = counts.schema
+      .add("rank", LongType, nullable = false)
+      .add("dense_rank", LongType, nullable = false)
+    val cntIdx = counts.schema.fieldIndex("__cnt")
+
+    val sortedRdd = counts.rdd
+    sortedRdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val perPart = sortedRdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var nKeys = 0L; var nRows = 0L
+        it.foreach { r => nKeys += 1; nRows += r.getLong(cntIdx) }
+        Iterator((i, nKeys, nRows))
+      }
+      .collect()
+      .sortBy(_._1)
+    val keyOffsets = perPart.map(_._2).scanLeft(0L)(_ + _).init
+    val rowOffsets = perPart.map(_._3).scanLeft(0L)(_ + _).init
+    val offB = spark.sparkContext.broadcast((keyOffsets, rowOffsets))
+
+    val ranked = sortedRdd.mapPartitionsWithIndex { (i, it) =>
+      val (ko, ro) = offB.value
+      var localKeys = 0L
+      var localRows = 0L
+      it.map { r =>
+        val rank = ro(i) + localRows + 1
+        val dense = ko(i) + localKeys + 1
+        localKeys += 1
+        localRows += r.getLong(cntIdx)
+        Row.fromSeq(r.toSeq :+ rank :+ dense)
+      }
+    }
+    val rankedKeys = spark.createDataFrame(ranked, schema).drop("__cnt")
+    df.join(rankedKeys, keys)
+  }
+
+  /** Pig `R = RANK A;` — 1-based row sequence in encounter order.
+    * zipWithIndex = per-partition counts + offsets, one extra tiny job.
+    * Order is partition-encounter order (nondeterministic across runs,
+    * same as the reference). */
+  def rankSequence(df: DataFrame, outCol: String = "rank"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add(outCol, LongType, nullable = false)
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1)) }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  // ------------------------------------------------------------------
+  // Per-group TOP-K — bounded, no full-group materialization.
+  // ------------------------------------------------------------------
+
+  /** Per-group top-n rows by `orderCol` (desc), deterministic via
+    * `tiebreak` (asc). Window row_number keeps state bounded per group
+    * and shuffles once on the group key. */
+  def topPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      n: Int,
+      tiebreak: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(orderCol).desc, col(tiebreak).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .withColumnRenamed("__rn", "rn")
+  }
+
+  // ------------------------------------------------------------------
+  // Nested FOREACH — per-group mini-pipelines over bags, as HOF chains.
+  // ------------------------------------------------------------------
+
+  /** Building blocks for Pig's nested FOREACH block (SURVEY.md §7.5.2):
+    * the inner pipeline (FILTER / ORDER / LIMIT / DISTINCT / FOREACH)
+    * compiles to higher-order functions over the bag column, which stay
+    * inside whole-stage codegen and never shuffle.
+    */
+  object nested {
+    def filterBag(bag: Column, p: Column => Column): Column = filter(bag, p)
+    def mapBag(bag: Column, f: Column => Column): Column = transform(bag, f)
+    def distinctBag(bag: Column): Column = array_distinct(bag)
+    def limitBag(bag: Column, n: Int): Column = slice(bag, 1, n)
+
+    /** ORDER the bag by a struct field, ascending or descending. */
+    def sortBagBy(bag: Column, field: String, asc: Boolean = true): Column = {
+      val sgn = if (asc) 1 else -1
+      array_sort(bag, (l, r) =>
+        when(l.getField(field) < r.getField(field), lit(-sgn))
+          .when(l.getField(field) > r.getField(field), lit(sgn))
+          .otherwise(lit(0)))
+    }
+
+    /** SUM over a numeric field of a bag of structs (0.0 for empty). */
+    def sumBag(bag: Column, field: String): Column =
+      aggregate(bag, lit(0.0), (acc, x) => acc + x.getField(field).cast("double"))
+  }
+}

@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Local pre-validation of SparkEntry queries against the DuckDB oracle.
+
+Replicates the driver's compare as closely as we can infer (BASELINE.md):
+sort columns by name, canonicalize values (floats rounded to 1e-9,
+timestamps as UTC strings), sort rows, sha256-hash, compare.
+
+Usage: python3 tools/validate.py <verify_out_dir> <sf_dir>
+where <verify_out_dir> was produced by `sbt "runMain graft.Verify <sf_dir> <out>"`.
+"""
+import sys, os, json, hashlib, glob
+import duckdb
+
+
+def canon_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        return f"{round(v, 9):.9f}"
+    # timestamps / dates -> isoformat
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = ["|".join(canon_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def row_hash(lines):
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for tbl in ["region", "nation", "customer", "supplier", "part", "orders",
+                "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'")
+
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    n_pass = n_fail = n_skip = 0
+    names = sorted(
+        d for d in os.listdir(out_dir)
+        if os.path.isdir(os.path.join(out_dir, d)))
+    for name in names:
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
+            print(f"{name}: NO SPARK OUTPUT")
+            n_fail += 1
+            continue
+        rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        s_cols, s_rows = rel.columns, rel.fetchall()
+        if name not in oracles:
+            print(f"{name}: no oracle (rows-only check): {len(s_rows)} rows")
+            n_skip += 1
+            continue
+        try:
+            orel = con.sql(oracles[name])
+            o_cols, o_rows = orel.columns, orel.fetchall()
+        except Exception as e:
+            print(f"{name}: ORACLE SQL ERROR: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        if sorted(s_cols) != sorted(o_cols):
+            print(f"{name}: COLUMN MISMATCH spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+            n_fail += 1
+            continue
+        sc, oc = canon_rows(s_cols, s_rows), canon_rows(o_cols, o_rows)
+        if len(sc) != len(oc):
+            print(f"{name}: ROWCOUNT MISMATCH spark={len(sc)} oracle={len(oc)}")
+            n_fail += 1
+            continue
+        if row_hash(sc) != row_hash(oc):
+            diffs = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
+            print(f"{name}: HASH MISMATCH ({len([1 for a,b in zip(sc,oc) if a!=b])} differing rows)")
+            for a, b in diffs:
+                print(f"   spark:  {a[:160]}")
+                print(f"   oracle: {b[:160]}")
+            n_fail += 1
+            continue
+        print(f"{name}: OK ({len(sc)} rows)")
+        n_pass += 1
+    print(f"\n== {n_pass} pass, {n_fail} fail, {n_skip} rows-only ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
