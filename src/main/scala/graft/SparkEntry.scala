@@ -265,7 +265,96 @@ object SparkEntry {
         .select(col("l_orderkey"), explode(col("items")).as("item"))
         .select(col("l_orderkey"),
           col("item.l_linenumber").as("l_linenumber"),
-          col("item.l_quantity").as("l_quantity")))
+          col("item.l_quantity").as("l_quantity"))),
+
+    // --- string builtin family (Pig CONCAT/SUBSTRING/INDEXOF/…) ---
+    "q25_string_funcs" -> ((s, dir) =>
+      t(s, dir).customer.select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        substringPig(col("c_name"), 0, 8).as("pre"),
+        indexOfPig(col("c_name"), "#").as("hash_idx"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("namex"),
+        regexExtract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        length(col("c_name")).as("len"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"))),
+
+    // --- math builtin family ---
+    "q26_math_funcs" -> ((s, dir) =>
+      t(s, dir).lineitem.select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(-col("l_quantity")).as("qabs"),
+        // Pig CEIL/FLOOR return double; Spark's return long — cast back.
+        ceil(col("l_extendedprice")).cast("double").as("cl"),
+        floor(col("l_extendedprice")).cast("double").as("fl"),
+        roundPig(sqrt(col("l_quantity")), 6).as("sq"),
+        roundPig(log(col("l_extendedprice")), 6).as("lg"),
+        (col("l_orderkey") % 7).as("m7"))),
+
+    // --- datetime builtin family (GetYear/AddDuration/DaysBetween/…) ---
+    "q27_datetime_funcs" -> ((s, dir) =>
+      t(s, dir).orders.select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dy"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        addDuration(col("o_orderdate"), "P1DT2H").as("plus1d2h"),
+        daysBetween(lit("1998-12-31").cast("timestamp"), col("o_orderdate")).as("days_to_end"))),
+
+    // --- JSON access over embedded JSON strings (events.props) ---
+    "q28_json" -> ((s, dir) =>
+      t(s, dir).events.select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
+    // --- window functions (engine extension; running aggregates) ---
+    "q29_window_funcs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wo = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      val wf = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir).events.select(
+        col("event_id"), col("user_id"), col("ts"),
+        row_number().over(wo).cast("long").as("rn"),
+        lag(col("value"), 1).over(wo).as("prev_value"),
+        sum(col("value").cast(DecimalType(18, 4))).over(wf).cast("double").as("running_value"))
+    }),
+
+    // --- as-of join (extension operator, graft.operators.AsOfJoin) ---
+    "q30_asof_join" -> ((s, dir) => {
+      val tb = t(s, dir)
+      graft.operators.AsOfJoin.asofLeft(
+        left = tb.events.select(col("event_id"), col("user_id"), col("ts")),
+        right = tb.orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightPayload = Seq("o_orderkey", "o_totalprice"),
+        rightTiebreak = "o_orderkey")
+    }),
+
+    // --- INTERSECT (absent in Pig; free Spark surface, SURVEY §2.5) ---
+    "q31_intersect" -> ((s, dir) => {
+      val o = t(s, dir).orders
+      o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+        .intersect(o.filter(col("o_totalprice") > 150000).select(col("o_custkey")))
+    }),
+
+    // --- EXCEPT ---
+    "q32_except" -> ((s, dir) => {
+      val o = t(s, dir).orders
+      o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+        .except(o.filter(col("o_totalprice") > 150000).select(col("o_custkey")))
+    }),
+
+    // --- UNION ONSCHEMA (align by name, missing columns -> null) ---
+    "q33_union_onschema" -> ((s, dir) => {
+      val tb = t(s, dir)
+      val a = tb.events.filter(col("event_type") === "click")
+        .select(col("event_id").as("id"), col("value"))
+      val b = tb.orders.select(col("o_orderkey").as("id"), col("o_totalprice").as("price"))
+      a.unionByName(b, allowMissingColumns = true)
+    })
   )
 
   /** DuckDB-runnable oracle SQL, same column names as the Spark result. */
@@ -418,6 +507,77 @@ object SparkEntry {
            SELECT l_orderkey, l_linenumber, l_quantity,
                   COUNT(*) OVER (PARTITION BY l_orderkey) AS c
            FROM lineitem)
-         WHERE c >= 6"""
+         WHERE c >= 6""",
+
+    "q25_string_funcs" ->
+      """SELECT c_custkey, UPPER(c_name) AS up,
+         substring(c_name, 1, 8) AS pre,
+         CAST(strpos(c_name, '#') - 1 AS INT) AS hash_idx,
+         regexp_replace(c_name, '[0-9]+', '#', 'g') AS namex,
+         regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+         CAST(length(c_name) AS INT) AS len,
+         concat_ws('|', c_mktsegment, c_name) AS tagged
+         FROM customer""",
+
+    "q26_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+         abs(-l_quantity) AS qabs,
+         ceil(l_extendedprice) AS cl,
+         floor(l_extendedprice) AS fl,
+         round(sqrt(l_quantity), 6) AS sq,
+         round(ln(l_extendedprice), 6) AS lg,
+         l_orderkey % 7 AS m7
+         FROM lineitem""",
+
+    "q27_datetime_funcs" ->
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(month(o_orderdate) AS INT) AS mo,
+         CAST(day(o_orderdate) AS INT) AS dy,
+         strftime(o_orderdate, '%Y-%m') AS ym,
+         CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+         o_orderdate + INTERVAL '1 day' + INTERVAL '2 hours' AS plus1d2h,
+         CAST(floor((epoch(TIMESTAMP '1998-12-31') - epoch(o_orderdate)) / 86400) AS BIGINT) AS days_to_end
+         FROM orders""",
+
+    "q28_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events""",
+
+    "q29_window_funcs" ->
+      """SELECT event_id, user_id, ts,
+         CAST(row_number() OVER w AS BIGINT) AS rn,
+         lag(value, 1) OVER w AS prev_value,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+
+    "q30_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+         FROM events e ASOF LEFT JOIN (
+           SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+             SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                       ORDER BY o_orderkey DESC) AS rn
+             FROM orders) WHERE rn = 1) o
+         ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+
+    "q31_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_totalprice > 150000""",
+
+    "q32_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_totalprice > 150000""",
+
+    "q33_union_onschema" ->
+      """SELECT event_id AS id, value, CAST(NULL AS DOUBLE) AS price
+         FROM events WHERE event_type = 'click'
+         UNION ALL
+         SELECT o_orderkey AS id, CAST(NULL AS DOUBLE) AS value, o_totalprice AS price
+         FROM orders"""
   )
 }
