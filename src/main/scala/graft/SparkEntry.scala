@@ -354,7 +354,115 @@ object SparkEntry {
         .select(col("event_id").as("id"), col("value"))
       val b = tb.orders.select(col("o_orderkey").as("id"), col("o_totalprice").as("price"))
       a.unionByName(b, allowMissingColumns = true)
-    })
+    }),
+
+    // ============ LLM-pipeline extension surface (SURVEY §7.1) ============
+
+    // --- exact dedup: deterministic winner + dup count per text group ---
+    "q34_dedup_exact" -> ((s, dir) =>
+      graft.operators.Dedup.exactGroups(t(s, dir).documents, Seq("text"), "doc_id")
+        .select(col("keep_id"), col("n_dups"))),
+
+    // --- fuzzy dedup: MinHash LSH candidates -> exact Jaccard verify
+    //     (approximate recall -> rows-only check, no SQL oracle) ---
+    "q35_dedup_minhash" -> ((s, dir) =>
+      graft.operators.Dedup.fuzzyDupPairs(t(s, dir).documents, "doc_id", "text",
+          shingleN = 3, threshold = 0.8)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))),
+
+    // --- SimHash near-dup pairs (xxhash-based -> rows-only check) ---
+    "q36_dedup_simhash" -> ((s, dir) =>
+      graft.operators.Dedup.simhashPairs(t(s, dir).documents, "doc_id", "text",
+        maxHamming = 3)),
+
+    // --- EXACT n-gram Jaccard pairs via inverted shingle index ---
+    "q37_jaccard_exact" -> ((s, dir) =>
+      graft.operators.Dedup.exactJaccardPairs(t(s, dir).documents, "doc_id", "text",
+        shingleN = 3, threshold = 0.5)),
+
+    // --- embedding near-dup pairs via RP-LSH (approximate -> rows-only) ---
+    "q38_cosine_dup_pairs" -> ((s, dir) =>
+      graft.operators.Similarity.cosineDupPairs(t(s, dir).embeddings, "vec_id", "embedding",
+          tau = 0.95, planes = 10)
+        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))),
+
+    // --- exact brute-force cosine top-k (oracle: list_cosine_similarity) ---
+    "q39_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir).embeddings
+      graft.operators.Similarity.bruteForceTopK(
+        corpus = emb, queries = emb.filter(col("vec_id") % 100 === 0),
+        corpusId = "vec_id", queryId = "vec_id", vecCol = "embedding", k = 5)
+    }),
+
+    // --- ANN via RP-LSH buckets (the 100 TB path; rows-only) ---
+    "q40_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir).embeddings
+      graft.operators.Similarity.lshTopK(
+        corpus = emb, queries = emb.filter(col("vec_id") % 100 === 0),
+        corpusId = "vec_id", queryId = "vec_id", vecCol = "embedding",
+        k = 5, planes = 8)
+    }),
+
+    // --- language ID (stopword-evidence argmax, deterministic tiebreak) ---
+    "q41_langid" -> ((s, dir) =>
+      t(s, dir).documents.select(col("doc_id"),
+        graft.operators.TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    // --- text quality features + composite score ---
+    "q42_quality" -> ((s, dir) => {
+      val f = graft.operators.TextAnalysis.qualityFeatures(col("text"))
+      t(s, dir).documents.select(col("doc_id"),
+        f.getField("n_tokens").as("n_tokens"),
+        f.getField("punct_ratio").as("punct_ratio"),
+        f.getField("stopword_ratio").as("stopword_ratio"),
+        f.getField("mean_token_len").as("mean_token_len"),
+        graft.operators.TextAnalysis.qualityScore(col("text")).as("quality"))
+    }),
+
+    // --- token counting: whitespace + BPE-ish subword estimate ---
+    "q43_token_count" -> ((s, dir) =>
+      t(s, dir).documents.select(col("doc_id"),
+        graft.operators.TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+        graft.operators.TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))),
+
+    // --- document fingerprint (canonical md5; engine-portable) ---
+    "q44_fingerprint" -> ((s, dir) =>
+      t(s, dir).documents.select(col("doc_id"),
+        graft.operators.TextAnalysis.docFingerprint(col("text")).as("fp"))),
+
+    // --- multimodal: pack blob + expression-level metadata extraction ---
+    "q45_multimodal_meta" -> ((s, dir) => {
+      val packed = graft.operators.Multimodal.packMedia(t(s, dir).documents, "text", "text/plain")
+      val m = graft.operators.Multimodal.extractMeta(col("blob"))
+      packed.select(col("doc_id"),
+        col("media_meta.n_bytes").as("n_bytes"),
+        col("media_meta.checksum").as("checksum"),
+        m.getField("width").as("width"),
+        m.getField("height").as("height"))
+    }),
+
+    // --- multimodal: partition-streaming decode stub (rows-only) ---
+    "q46_multimodal_decode" -> ((s, dir) => {
+      val packed = graft.operators.Multimodal.packMedia(t(s, dir).documents, "text", "text/plain")
+      graft.operators.Multimodal.decodeFeatures(packed, "doc_id", "blob")
+    }),
+
+    // --- tumbling event-time window (batch mode of the streaming agg) ---
+    "q47_window_tumbling" -> ((s, dir) =>
+      t(s, dir).events
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+        .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+          col("n_events"), col("sum_value"))),
+
+    // --- session window per user (30-minute gap) ---
+    "q48_session_window" -> ((s, dir) =>
+      t(s, dir).events
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("w_start"),
+          col("session_window.end").as("w_end"), col("n_events")))
   )
 
   /** DuckDB-runnable oracle SQL, same column names as the Spark result. */
@@ -578,6 +686,129 @@ object SparkEntry {
          FROM events WHERE event_type = 'click'
          UNION ALL
          SELECT o_orderkey AS id, CAST(NULL AS DOUBLE) AS value, o_totalprice AS price
-         FROM orders"""
+         FROM orders""",
+
+    "q34_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM documents GROUP BY text""",
+
+    "q37_jaccard_exact" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+               THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               ELSE [array_to_string(toks, ' ')] END AS sh
+           FROM tk),
+         inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+         common AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, a.n_sh AS n1, b.n_sh AS n2,
+                  COUNT(*) AS n_common
+           FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT id1, id2,
+                CAST(n_common AS DOUBLE) / CAST(n1 + n2 - n_common AS DOUBLE) AS jaccard
+         FROM common
+         WHERE CAST(n_common AS DOUBLE) / CAST(n1 + n2 - n_common AS DOUBLE) >= 0.5""",
+
+    "q39_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id % 100 = 0),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         scored AS (
+           SELECT q.query_id, c.vec_id AS neighbor_id,
+                  list_cosine_similarity(c.cv, q.qv) AS score
+           FROM c, q WHERE c.vec_id <> q.query_id)
+         SELECT query_id, neighbor_id, score, rn FROM (
+           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, neighbor_id) AS BIGINT) AS rn
+           FROM scored)
+         WHERE rn <= 5""",
+
+    "q41_langid" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+           FROM documents),
+         sc AS (SELECT doc_id,
+           CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf','zu'], t))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS s_de,
+           CAST(len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','that','it','was','for'], t))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS s_en,
+           CAST(len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','un','por','con','para'], t))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS s_es,
+           CAST(len(list_filter(toks, t -> list_contains(['le','la','et','les','des','est','un','une','dans','pour'], t))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS s_fr,
+           CAST(len(list_filter(toks, t -> list_contains(['的','了','是','我','不','在','有','人','这','他'], t))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS s_zh
+           FROM tk)
+         SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+         FROM sc""",
+
+    "q42_quality" ->
+      """WITH tk AS (
+           SELECT doc_id, text,
+                  list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+           FROM documents),
+         f AS (SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+             / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+           CAST(len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','that','it','was','for'], t))) AS DOUBLE)
+             / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio,
+           CASE WHEN len(toks) > 0
+             THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+             ELSE 0.0 END AS mean_token_len
+           FROM tk)
+         SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, mean_token_len,
+           (CASE WHEN n_tokens BETWEEN 20 AND 10000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END +
+            CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END +
+            CASE WHEN punct_ratio < 0.2 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END +
+            CASE WHEN stopword_ratio > 0.01 THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END) AS quality
+         FROM f""",
+
+    "q43_token_count" ->
+      """SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpeish_tokens
+         FROM documents""",
+
+    "q44_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents""",
+
+    "q45_multimodal_meta" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(text) AS checksum,
+         CAST(octet_length(encode(text)) % 1024 AS INT) AS width,
+         CAST(octet_length(encode(text)) // 1024 + 1 AS INT) AS height
+         FROM documents""",
+
+    "q47_window_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS w_end,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+
+    "q48_session_window" ->
+      """WITH g AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                       THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (SELECT user_id, ts,
+                      SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sess
+               FROM g)
+         SELECT user_id, MIN(ts) AS w_start,
+                MAX(ts) + INTERVAL '30 minutes' AS w_end,
+                COUNT(*) AS n_events
+         FROM s GROUP BY user_id, sess"""
   )
 }

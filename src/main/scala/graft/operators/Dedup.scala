@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for large-scale training-data pipelines
+  * (SURVEY.md §7.1 extension surface): exact, MinHash+LSH, SimHash,
+  * and exact n-gram Jaccard verification.
+  *
+  * Scale design: everything is expression-level (codegen'd HOFs) per
+  * row + ONE banded self-join for candidate generation — no driver-side
+  * loops, no all-pairs comparison. The LSH band join shuffles on
+  * (band, signature), so identical-text clusters land in one partition;
+  * AQE skew-join splitting handles pathological hot buckets.
+  */
+object Dedup {
+
+  // ---------------- exact ----------------
+
+  /** Exact dedup groups: one row per distinct key, deterministic winner
+    * (min id) + duplicate count. For "drop the dups" semantics use
+    * winners-join or dropDuplicates (nondeterministic winner). */
+  def exactGroups(df: DataFrame, dupCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(dupCols.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  // ---------------- shingling ----------------
+
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Word n-gram shingles; a doc shorter than n yields its whole text as
+    * one shingle. Guarded so `sequence` never sees a negative bound. */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " "))))
+    .otherwise(array(array_join(toks, " ")))
+
+  /** Exact Jaccard similarity of two shingle sets. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  // ---------------- MinHash + LSH ----------------
+
+  /** k-permutation MinHash signature: hash_i(doc) = min over shingles of
+    * xxhash64(i, shingle). One pass per row, no UDF. */
+  def minhashSig(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingles, s => xxhash64(i, s))))
+
+  /** Band the signature: bands × rowsPerBand = k. Output: array of
+    * (band, bandSig) structs; docs agreeing on any band are candidates. */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"), xxhash64(b, slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("sig")))
+
+  /** Candidate pairs (id1 < id2) from MinHash LSH banding. */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, shingleCol: String,
+      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val banded = df
+      .select(col(idCol), explode(lshBands(minhashSig(col(shingleCol), numHashes), bands, numHashes / bands)).as("b"))
+      .select(col(idCol), col("b.band").as("band"), col("b.sig").as("sig"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+      .distinct()
+  }
+
+  /** Full fuzzy-dedup pipeline: LSH candidates -> exact Jaccard verify.
+    * The verify join re-attaches shingle sets by id (shuffle on id). */
+  def fuzzyDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.8,
+      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val sh = df.select(col(idCol), wordShingles(tokens(col(textCol)), shingleN).as("sh"))
+    val cands = minhashCandidates(sh, idCol, "sh", numHashes, bands)
+    cands
+      .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** EXACT all-pairs n-gram Jaccard >= threshold, via inverted index on
+    * shingles (explode -> join on shingle -> count common -> Jaccard).
+    * This is the oracle-matchable exact variant; use fuzzyDupPairs for
+    * the approximate scale path. Pairs sharing no shingle are (correctly)
+    * never generated. */
+  def exactJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol),
+      wordShingles(tokens(col(textCol)), shingleN).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val inv = sh.select(col(idCol), col("n_sh"), explode(col("sh")).as("s"))
+    val common = inv.as("a")
+      .join(inv.as("b"), col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
+        col("a.n_sh").as("n1"), col("b.n_sh").as("n2"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  // ---------------- SimHash ----------------
+
+  /** 64-bit SimHash over a token array: per-bit vote of token hashes.
+    * Static Scala loop over bit positions -> 64 codegen'd aggregates,
+    * disjoint bits OR'd together. (Perf path at 100 TB: a native
+    * Catalyst Expression doing one pass — see graft.plans.) */
+  def simhash64(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
+    (0 until 64).map { i =>
+      val votes = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(votes > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: LSH over 4×16-bit chunks (any doc pair with
+    * hamming <= 3 shares at least one exact chunk — pigeonhole), then
+    * exact hamming verify. */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val fp = df.select(col(idCol), simhash64(tokens(col(textCol))).as("fp"))
+    val chunked = (0 until 4).map { c =>
+      fp.select(col(idCol), col("fp"), lit(c).as("chunk"),
+        shiftrightunsigned(col("fp"), 16 * c).bitwiseAND(lit(0xFFFFL)).as("ck"))
+    }.reduce(_ unionByName _)
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
+        hamming64(col("a.fp"), col("b.fp")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (SURVEY.md §7.1 extension
+  * surface): brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane LSH bucketed variant as the scale path.
+  *
+  * All math is expression-level (`zip_with`/`aggregate` HOFs) in DOUBLE
+  * precision with a deterministic left-to-right fold — bit-reproducible
+  * across partitionings and matchable against DuckDB's sequential
+  * list_cosine_similarity on DOUBLE[].
+  */
+object Similarity {
+
+  /** Embeddings arrive as array<float>; compute in double. */
+  def asDouble(vec: Column): Column = vec.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k neighbors for each query vector.
+    *
+    * The query set is broadcast (it is small by construction — if it
+    * weren't, you'd use the LSH path); the corpus streams through a
+    * BroadcastNestedLoopJoin with per-group bounded top-k, so the full
+    * score matrix is never materialized. */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, queryId: String, vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"), asDouble(col(vecCol)).as("__qvec"))
+    val scored = corpus
+      .select(col(corpusId), asDouble(col(vecCol)).as("__cvec"))
+      .join(broadcast(q), col(corpusId) =!= col("query_id")) // exclude self-match
+      .withColumn("score", cosine(col("__cvec"), col("__qvec")))
+    Relational.topPerGroup(
+        scored.select(col("query_id"), col(corpusId), col("score")),
+        Seq("query_id"), "score", k, corpusId)
+      .select(col("query_id"), col(corpusId).as("neighbor_id"), col("score"),
+        col("rn").cast("long").as("rn"))
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplane component for
+    * (plane, dim): a fixed hash mapped to [-1, 1]. No RNG state — any
+    * executor recomputes the identical plane. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (xxhash64(lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** Random-hyperplane LSH bucket id: `planes` sign bits packed into a
+    * long. Cosine-similar vectors collide with high probability. */
+  def rpLshBucket(vec: Column, planes: Int): Column = {
+    val v = asDouble(vec)
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** ANN top-k via LSH buckets: corpus and queries are bucketed by the
+    * same planes; candidates = same bucket; exact cosine + top-k within.
+    * One shuffle on bucket id; recall traded for never broadcasting or
+    * cross-joining the corpus — the 100 TB path. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, queryId: String, vecCol: String,
+      k: Int, planes: Int = 12): DataFrame = {
+    val c = corpus.select(col(corpusId), asDouble(col(vecCol)).as("__cvec"),
+      rpLshBucket(col(vecCol), planes).as("__bucket"))
+    val q = queries.select(col(queryId).as("query_id"), asDouble(col(vecCol)).as("__qvec"),
+      rpLshBucket(col(vecCol), planes).as("__bucket"))
+    val scored = c.join(q, Seq("__bucket"))
+      .filter(col(corpusId) =!= col("query_id"))
+      .withColumn("score", cosine(col("__cvec"), col("__qvec")))
+    Relational.topPerGroup(
+        scored.select(col("query_id"), col(corpusId), col("score")),
+        Seq("query_id"), "score", k, corpusId)
+      .select(col("query_id"), col(corpusId).as("neighbor_id"), col("score"),
+        col("rn").cast("long").as("rn"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (id1 < id2, cosine >= tau)
+    * via the LSH buckets — the embedding analogue of fuzzy text dedup. */
+  def cosineDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      tau: Double, planes: Int = 10): DataFrame = {
+    val b = df.select(col(idCol), asDouble(col(vecCol)).as("__v"),
+      rpLshBucket(col(vecCol), planes).as("__bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.__bucket") === col("b.__bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("cosine", cosine(col("a.__v"), col("b.__v")))
+      .filter(col("cosine") >= tau)
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"), col("cosine"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §7.1
+  * extension surface): language ID, quality scoring, token counting,
+  * document fingerprinting. All pure column expressions (codegen'd),
+  * all deterministic, all oracle-expressible except the xxhash-based
+  * rolling fingerprint.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = Dedup.tokens(text)
+
+  // ---------------- language ID ----------------
+
+  /** Tiny deterministic stopword inventories. Real language ID would use
+    * character n-gram models; the ENGINE surface (scoring + argmax over
+    * per-language evidence, fully distributed) is what matters here. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "para"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "dans", "pour"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "人", "这", "他"))
+
+  /** Per-language evidence: count of tokens in that language's stopword
+    * list, as a fraction of all tokens. */
+  def langScore(toks: Column, lang: String): Column = {
+    val sw = stopwords(lang)
+    size(filter(toks, t => t.isin(sw.map(x => x: Any): _*))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Argmax over languages with deterministic tiebreak (alphabetical
+    * language order; "und" = undetermined when no evidence). */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val langs = stopwords.keys.toSeq.sorted
+    val best = langs.map(l => struct(langScore(toks, l).as("score"), lit(l).as("lang")))
+      .reduce((a, b) => when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  // ---------------- quality scoring ----------------
+
+  /** Length / punctuation / stopword-ratio / mean-token-length features
+    * plus a simple composite quality score in [0, 1]. */
+  def qualityFeatures(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val nChar = length(text).cast("double")
+    val punct = (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))).cast("double")
+    val stopRatio = langScore(toks, "en")
+    val meanTokLen = when(nTok > 0,
+      aggregate(toks, lit(0.0), (acc, t) => acc + length(t).cast("double")) / nTok).otherwise(lit(0.0))
+    struct(
+      nTok.cast("long").as("n_tokens"),
+      nChar.cast("long").as("n_chars"),
+      (punct / greatest(nChar, lit(1.0))).as("punct_ratio"),
+      stopRatio.as("stopword_ratio"),
+      meanTokLen.as("mean_token_len"))
+  }
+
+  /** Composite quality score: rewards mid-length docs with sane token
+    * lengths and some (but not excessive) stopword mass. */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val lenOk = when(f.getField("n_tokens").between(20, 10000), lit(0.4)).otherwise(lit(0.0))
+    val tokOk = when(f.getField("mean_token_len").between(2.0, 12.0), lit(0.3)).otherwise(lit(0.0))
+    val punctOk = when(f.getField("punct_ratio") < 0.2, lit(0.2)).otherwise(lit(0.0))
+    val stopOk = when(f.getField("stopword_ratio") > 0.01, lit(0.1)).otherwise(lit(0.0))
+    lenOk + tokOk + punctOk + stopOk
+  }
+
+  // ---------------- token counting ----------------
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword estimate: alpha runs, digit runs, and single other
+    * glyphs count separately (a crude but deterministic proxy for
+    * byte-pair tokenizers). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+
+  // ---------------- fingerprinting ----------------
+
+  /** Canonical-text fingerprint: md5 of lowercased, whitespace-collapsed,
+    * trimmed text. Engine-portable (md5 is standard everywhere). */
+  def docFingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Winnowing-style rolling fingerprint: min xxhash64 over character
+    * 8-gram windows of the canonical text — robust to small edits
+    * (content-defined). xxhash is engine-specific -> rows-only checks. */
+  def rollingFingerprint(text: Column, window: Int = 8): Column = {
+    val canon = trim(regexp_replace(lower(text), "\\s+", " "))
+    val n = length(canon) - (window - 1)
+    when(n >= 1,
+      array_min(transform(sequence(lit(1), n), i => xxhash64(canon.substr(i, lit(window))))))
+      .otherwise(xxhash64(canon))
+  }
+}
