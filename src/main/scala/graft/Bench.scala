@@ -1,24 +1,55 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark contract: runs headline queries on
+  * `sys.env("SPARK_GRAFT_SF_DIR")` and prints ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Protocol (BASELINE.md): a warm pass first (JIT + page cache), then a
+  * timed pass per query. Headline set spans the operator families: scan,
+  * agg, shuffle join, broadcast join, order/limit, rank, flatten, top-k,
+  * minhash dedup, cosine top-k, fingerprint, event-time window.
+  */
 object Bench {
+
+  val headline: Seq[String] = Seq(
+    "q01_scan_filter_project", "q03_group_agg", "q05_join_agg",
+    "q06_join_broadcast", "q14_order_limit", "q17_rank",
+    "q21_flatten_tokenize", "q23_top_per_group", "q35_dedup_minhash",
+    "q39_cosine_topk", "q44_fingerprint", "q47_window_tumbling")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.GraftSession.configure(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+    ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val qs = headline.filter(SparkEntry.queries.contains)
+
+    // Warm pass: JIT, codegen caches, OS page cache for the parquet.
+    qs.foreach { name =>
+      System.err.println(s"[bench] warm $name")
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench] warm $name failed: ${e.getMessage}") }
+    }
+
+    val results = qs.map { name =>
+      System.err.println(s"[bench] time $name")
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qjson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

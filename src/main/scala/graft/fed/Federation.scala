@@ -1,0 +1,172 @@
+package graft.fed
+
+import scala.collection.mutable
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** PigOut's federation surface rebuilt workflow-level on Spark
+  * (SURVEY.md §2.8, §3.2, §7.4): a catalog of table placements, a cost
+  * pass that cuts the dataflow DAG across clusters, and an orchestrator
+  * that runs per-cluster stages and inserts parquet transfers at cut
+  * edges — the Spark analogue of the reference's
+  * partitioner → script generator → distcp → orchestrator pipeline.
+  *
+  * Degenerate case (every table reachable from one session — the common
+  * sandbox/lakehouse case): the whole pipeline collapses to a single
+  * Spark job and the shuffle does the "transfer", exactly as the survey
+  * predicts. The machinery below only matters when clusters are
+  * isolated (compute-near-data), which is why it stays OUTSIDE Catalyst:
+  * cuts are workflow decisions, not expression rewrites.
+  */
+object Federation {
+
+  /** Where a table lives: owning cluster + format + URI. */
+  final case class TableLoc(cluster: String, format: String, uri: String)
+
+  /** An executable cluster: in production a Spark Connect endpoint per
+    * physical cluster; in tests, isolated SparkSessions. `scratchUri` is
+    * the cluster-local staging area for inbound transfers (the
+    * reference's BinStorage temp dir; ours is parquet). */
+  final case class Cluster(id: String, session: SparkSession, scratchUri: String)
+
+  final class Catalog {
+    private val tables = mutable.LinkedHashMap.empty[String, TableLoc]
+    def register(name: String, loc: TableLoc): this.type = { tables(name) = loc; this }
+    def apply(name: String): TableLoc =
+      tables.getOrElse(name, throw new NoSuchElementException(s"unknown table: $name"))
+    def names: Seq[String] = tables.keys.toSeq
+  }
+
+  // ------------------------------------------------------------------
+  // Federated dataflow DAG (workflow-level, deliberately tiny)
+  // ------------------------------------------------------------------
+
+  sealed trait FedPlan { def label: String }
+  /** Leaf: scan a cataloged table. */
+  final case class FedScan(table: String) extends FedPlan { def label = s"scan($table)" }
+  /** Unary stage: any DataFrame pipeline (filter/project/agg/...). */
+  final case class FedStage(input: FedPlan, f: DataFrame => DataFrame, label: String) extends FedPlan
+  /** Binary stage: join/union of two subplans. */
+  final case class FedBinary(left: FedPlan, right: FedPlan,
+      f: (DataFrame, DataFrame) => DataFrame, label: String) extends FedPlan
+
+  /** Result of planning: where each node runs + the transfers inserted
+    * at cut edges (for observability/tests). */
+  final case class Placement(assignment: Map[FedPlan, String], transfers: Seq[(String, String, String)])
+
+  // ------------------------------------------------------------------
+  // Cost model — PigOut-fidelity heuristics (SURVEY §7.5.6): base table
+  // bytes from the filesystem, selectivity guesses per stage kind.
+  // ------------------------------------------------------------------
+
+  def tableBytes(spark: SparkSession, uri: String): Long = Try {
+    val p = new org.apache.hadoop.fs.Path(uri)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.getContentSummary(p).getLength
+  }.getOrElse(1L)
+
+  private def estimateBytes(plan: FedPlan, catalog: Catalog, anySession: SparkSession): Long = plan match {
+    case FedScan(t) => tableBytes(anySession, catalog(t).uri)
+    case FedStage(in, _, _) => math.max(1L, estimateBytes(in, catalog, anySession) / 2) // selectivity guess
+    case FedBinary(l, r, _, _) =>
+      estimateBytes(l, catalog, anySession) + estimateBytes(r, catalog, anySession)
+  }
+
+  /** Greedy cut assignment (mirrors the paper's greedy search, which it
+    * found near-optimal): each node runs where its inputs live; at a
+    * binary node with mixed clusters, ship the cheaper side. */
+  def plan(root: FedPlan, catalog: Catalog, clusters: Map[String, Cluster]): Placement = {
+    val assign = mutable.Map.empty[FedPlan, String]
+    val transfers = mutable.ArrayBuffer.empty[(String, String, String)]
+    val anySession = clusters.values.head.session
+
+    def walk(p: FedPlan): String = p match {
+      case s @ FedScan(t) =>
+        val c = catalog(t).cluster; assign(s) = c; c
+      case st @ FedStage(in, _, _) =>
+        val c = walk(in); assign(st) = c; c
+      case b @ FedBinary(l, r, _, _) =>
+        val cl = walk(l); val cr = walk(r)
+        val c =
+          if (cl == cr) cl
+          else {
+            val (lb, rb) = (estimateBytes(l, catalog, anySession), estimateBytes(r, catalog, anySession))
+            val (shipped, dest) = if (lb <= rb) (l, cr) else (r, cl)
+            transfers += ((shipped.label, assign(shipped), dest))
+            dest
+          }
+        assign(b) = c; c
+    }
+    walk(root)
+    Placement(assign.toMap, transfers.toSeq)
+  }
+
+  // ------------------------------------------------------------------
+  // Orchestrator — topo-order execution with cut-edge transfers.
+  // ------------------------------------------------------------------
+
+  final class Orchestrator(catalog: Catalog, clusters: Map[String, Cluster],
+      maxRetries: Int = 1) {
+
+    private implicit val ec: ExecutionContext = ExecutionContext.global
+
+    /** Execute the plan; the returned DataFrame lives on the cluster the
+      * planner assigned to the root. Independent subtrees run
+      * concurrently (Futures); each stage retries on failure. */
+    def execute(root: FedPlan): DataFrame = {
+      val placement = plan(root, catalog, clusters)
+      Await.result(run(root, placement), Duration.Inf)
+    }
+
+    def executionReport(root: FedPlan): Placement = plan(root, catalog, clusters)
+
+    private def withRetry[T](label: String)(body: => T): T = {
+      var last: Throwable = null
+      var attempt = 0
+      while (attempt <= maxRetries) {
+        Try(body) match {
+          case Success(v) => return v
+          case Failure(e) => last = e; attempt += 1
+        }
+      }
+      throw new RuntimeException(s"federated stage failed after retries: $label", last)
+    }
+
+    private def run(p: FedPlan, pl: Placement): Future[DataFrame] = p match {
+      case s @ FedScan(t) =>
+        Future {
+          val loc = catalog(t)
+          val cluster = clusters(pl.assignment(s))
+          withRetry(s.label) {
+            cluster.session.read.format(loc.format).load(loc.uri)
+          }
+        }
+      case st @ FedStage(in, f, label) =>
+        run(in, pl).map { df => withRetry(label)(f(df)) }
+      case b @ FedBinary(l, r, f, label) =>
+        val fl = run(l, pl)
+        val fr = run(r, pl)
+        for { ldf <- fl; rdf <- fr } yield withRetry(label) {
+          val dest = clusters(pl.assignment(b))
+          f(ensureOn(ldf, pl.assignment(l), dest, l.label),
+            ensureOn(rdf, pl.assignment(r), dest, r.label))
+        }
+    }
+
+    /** The cut edge: if a subplan ran on another cluster, stage its
+      * result as parquet in the destination's scratch area and re-read
+      * it there (the reference's STORE → distcp → LOAD glue; one
+      * write+read, no driver materialization). */
+    private def ensureOn(df: DataFrame, from: String, dest: Cluster, label: String): DataFrame = {
+      if (from == dest.id) df
+      else {
+        val path = s"${dest.scratchUri}/${label.replaceAll("[^A-Za-z0-9]", "_")}_${System.nanoTime()}"
+        df.write.mode("overwrite").parquet(path)
+        dest.session.read.parquet(path)
+      }
+    }
+  }
+}

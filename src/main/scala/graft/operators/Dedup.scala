@@ -44,11 +44,26 @@ object Dedup {
 
   // ---------------- MinHash + LSH ----------------
 
-  /** k-permutation MinHash signature: hash_i(doc) = min over shingles of
-    * xxhash64(i, shingle). One pass per row, no UDF. */
-  def minhashSig(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles, s => xxhash64(i, s))))
+  /** Hash each shingle string ONCE to a long; all k permutations then
+    * re-hash the longs, which is ~20× cheaper than re-hashing strings. */
+  def shingleHashes(shingles: Column): Column = transform(shingles, s => xxhash64(s))
+
+  /** k-permutation MinHash signature over pre-hashed shingles:
+    * sig[i] = min over shingle hashes h of xxhash64(i, h).
+    *
+    * Written as a SINGLE fold over the shingles with an elementwise-min
+    * accumulator (not "for each i, scan all shingles") so the shingle
+    * hash array is evaluated exactly once per row even if the optimizer
+    * inlines its definition — the k× re-evaluation trap with nested
+    * lambdas over a projected column. */
+  def minhashSig(shHashes: Column, k: Int): Column =
+    aggregate(
+      shHashes,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(k - 1)), i => xxhash64(i, h)),
+        (a, b) => least(a, b)))
 
   /** Band the signature: bands × rowsPerBand = k. Output: array of
     * (band, bandSig) structs; docs agreeing on any band are candidates. */
@@ -62,7 +77,9 @@ object Dedup {
       numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val banded = df
-      .select(col(idCol), explode(lshBands(minhashSig(col(shingleCol), numHashes), bands, numHashes / bands)).as("b"))
+      .withColumn("__shh", shingleHashes(col(shingleCol)))
+      .withColumn("__sig", minhashSig(col("__shh"), numHashes))
+      .select(col(idCol), explode(lshBands(col("__sig"), bands, numHashes / bands)).as("b"))
       .select(col(idCol), col("b.band").as("band"), col("b.sig").as("sig"))
     banded.as("a")
       .join(banded.as("b"),
@@ -72,13 +89,20 @@ object Dedup {
       .distinct()
   }
 
+  /** Source tables are often few large parquet files -> few input
+    * partitions; per-row compute-heavy ops (k×m hashing) must fan out
+    * first or one task does all the work. Cheap shuffle vs serial scan. */
+  private def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Full fuzzy-dedup pipeline: LSH candidates -> exact Jaccard verify.
     * The verify join re-attaches shingle sets by id (shuffle on id). */
   def fuzzyDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.8,
       numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    val sh = df.select(col(idCol), wordShingles(tokens(col(textCol)), shingleN).as("sh"))
+    val sh = fanOut(df)
+      .select(col(idCol), wordShingles(tokens(col(textCol)), shingleN).as("sh"))
     val cands = minhashCandidates(sh, idCol, "sh", numHashes, bands)
     cands
       .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
@@ -96,7 +120,7 @@ object Dedup {
   def exactJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol),
+    val sh = fanOut(df).select(col(idCol),
       wordShingles(tokens(col(textCol)), shingleN).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     val inv = sh.select(col(idCol), col("n_sh"), explode(col("sh")).as("s"))
@@ -114,17 +138,25 @@ object Dedup {
 
   // ---------------- SimHash ----------------
 
-  /** 64-bit SimHash over a token array: per-bit vote of token hashes.
-    * Static Scala loop over bit positions -> 64 codegen'd aggregates,
-    * disjoint bits OR'd together. (Perf path at 100 TB: a native
-    * Catalyst Expression doing one pass — see graft.plans.) */
-  def simhash64(toks: Column): Column = {
-    val hashes = transform(toks, t => xxhash64(t))
-    (0 until 64).map { i =>
-      val votes = aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
-      when(votes > 0, lit(1L << i)).otherwise(lit(0L))
+  /** 64-bit SimHash fingerprints, one row per doc: explode tokens, hash
+    * each token ONCE, then 64 static bit-vote sum aggregates in a single
+    * groupBy pass (shiftright with a Scala-Int position keeps every vote
+    * expression codegen'd; the hash column is an attribute, evaluated
+    * once per token row). Docs with zero tokens get fingerprint 0. */
+  def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = fanOut(df)
+      .select(col(idCol), explode_outer(tokens(col(textCol))).as("__t"))
+      .select(col(idCol), when(col("__t").isNotNull, xxhash64(col("__t"))).as("__h"))
+    val voteExprs = (0 until 64).map { i =>
+      sum(when(col("__h").isNull, lit(0L))
+        .when(shiftright(col("__h"), i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+        .otherwise(lit(-1L))).as(s"__v$i")
+    }
+    val votes = tok.groupBy(col(idCol)).agg(voteExprs.head, voteExprs.tail: _*)
+    val fp = (0 until 64).map { i =>
+      when(col(s"__v$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
+    votes.select(col(idCol), fp.as("fp"))
   }
 
   /** Hamming distance between two 64-bit fingerprints. */
@@ -135,7 +167,7 @@ object Dedup {
     * exact hamming verify. */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val fp = df.select(col(idCol), simhash64(tokens(col(textCol))).as("fp"))
+    val fp = simhashFingerprints(df, idCol, textCol)
     val chunked = (0 until 4).map { c =>
       fp.select(col(idCol), col("fp"), lit(c).as("chunk"),
         shiftrightunsigned(col("fp"), 16 * c).bitwiseAND(lit(0xFFFFL)).as("ck"))

@@ -37,6 +37,7 @@ object Similarity {
       k: Int): DataFrame = {
     val q = queries.select(col(queryId).as("query_id"), asDouble(col(vecCol)).as("__qvec"))
     val scored = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(corpusId), asDouble(col(vecCol)).as("__cvec"))
       .join(broadcast(q), col(corpusId) =!= col("query_id")) // exclude self-match
       .withColumn("score", cosine(col("__cvec"), col("__qvec")))
@@ -73,8 +74,9 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       corpusId: String, queryId: String, vecCol: String,
       k: Int, planes: Int = 12): DataFrame = {
-    val c = corpus.select(col(corpusId), asDouble(col(vecCol)).as("__cvec"),
-      rpLshBucket(col(vecCol), planes).as("__bucket"))
+    val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(corpusId), asDouble(col(vecCol)).as("__cvec"),
+        rpLshBucket(col(vecCol), planes).as("__bucket"))
     val q = queries.select(col(queryId).as("query_id"), asDouble(col(vecCol)).as("__qvec"),
       rpLshBucket(col(vecCol), planes).as("__bucket"))
     val scored = c.join(q, Seq("__bucket"))
@@ -92,8 +94,9 @@ object Similarity {
   def cosineDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       tau: Double, planes: Int = 10): DataFrame = {
-    val b = df.select(col(idCol), asDouble(col(vecCol)).as("__v"),
-      rpLshBucket(col(vecCol), planes).as("__bucket"))
+    val b = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), asDouble(col(vecCol)).as("__v"),
+        rpLshBucket(col(vecCol), planes).as("__bucket"))
     b.as("a").join(b.as("b"),
         col("a.__bucket") === col("b.__bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       .withColumn("cosine", cosine(col("a.__v"), col("b.__v")))

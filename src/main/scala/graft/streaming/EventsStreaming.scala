@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.7: true stream processing
+  * is ABSENT from the reference lineage — this is engine extension
+  * surface, designed around the `events` table and replayable from
+  * files for deterministic tests).
+  *
+  * Everything here is incremental-safe: event-time watermarks bound
+  * state, aggregations are keyed (no global windows), and custom state
+  * uses the typed GroupState API with explicit timeouts.
+  */
+object EventsStreaming {
+
+  /** Schema of the replayed events stream (FIXTURES.md, after the
+    * nanos→micros normalization done by graft.core.Tables). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-replay stream source: a directory of parquet with
+    * [[eventSchema]]. In production this is Kafka/kinesis — only this
+    * reader changes; every transform below is source-agnostic. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling event-time windowed aggregation with a watermark bounding
+    * state and admitting bounded lateness. */
+  def windowedCounts(events: DataFrame,
+      watermark: String = "10 minutes", win: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Per-user session windows (gap-based), watermarked. */
+  def sessionCounts(events: DataFrame,
+      watermark: String = "10 minutes", gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("w_start"),
+        col("session_window.end").as("w_end"), col("n_events"))
+
+  /** Exactly-once-style dedup by event_id within the watermark horizon
+    * (state is dropped once the watermark passes — bounded memory). */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
+  // ---------------- custom keyed state ----------------
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+  final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Per-user running totals via typed GroupState — the
+    * mapGroupsWithState shape for custom streaming state machines.
+    * ProcessingTimeTimeout-free: state lives for the run (tests replay
+    * finite data); production would set an event-time timeout. */
+  def userRunningTotals(events: Dataset[Event]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          batch.foreach { e => n += 1; tot += e.value }
+          val next = UserTotals(user, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Run any of the above to a memory sink, processing all available
+    * input once (deterministic replay for tests/demos). Returns the
+    * sink table name. */
+  def runAvailableNow(df: DataFrame, queryName: String, outputMode: OutputMode): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+    (3L, "completely different text about spark query engines and columnar execution"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today"),   // exact dup of 1
+    (5L, "unrelated words entirely disjoint vocabulary nothing shared here at all")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups keeps min id and counts dups") {
+    val g = Dedup.exactGroups(docs, Seq("text"), "doc_id")
+    val m = g.select($"keep_id", $"n_dups").as[(Long, Long)].collect().toMap
+    assert(m(1L) == 2L) // docs 1 and 4
+    assert(m.size == 4)
+  }
+
+  test("minhash LSH finds the near-dup pair and the exact pair, not unrelated") {
+    val pairs = Dedup.fuzzyDupPairs(docs, "doc_id", "text", shingleN = 3, threshold = 0.5)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup
+    assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("minhash candidates are a superset-recall of exact jaccard pairs at high threshold") {
+    val exact = Dedup.exactJaccardPairs(docs, "doc_id", "text", shingleN = 3, threshold = 0.8)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val fuzzy = Dedup.fuzzyDupPairs(docs, "doc_id", "text", shingleN = 3, threshold = 0.8)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(fuzzy) || fuzzy.subsetOf(exact)) // tiny corpus: both find the same clusters
+    assert(fuzzy.contains((1L, 4L)))
+  }
+
+  test("simhash: exact dups at hamming 0; unrelated text far apart") {
+    val fp = Dedup.simhashFingerprints(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(4L))
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(5L)) > 10)
+  }
+
+  test("cosine HOF matches a hand computation") {
+    val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 4.0f, 4.0f))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(
+      Similarity.asDouble($"a"), Similarity.asDouble($"b"))).as[Double].head()
+    assert(math.abs(got - 1.0) < 1e-12) // parallel vectors
+  }
+
+  test("brute-force top-k: every neighbor list has k rows, ranked by score") {
+    val emb = tables.embeddings
+    val res = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" % 250 === 0),
+      "vec_id", "vec_id", "embedding", k = 3)
+    val byQuery = res.select($"query_id", $"rn", $"score")
+      .as[(Long, Long, Double)].collect().groupBy(_._1)
+    assert(byQuery.nonEmpty)
+    byQuery.values.foreach { rows =>
+      assert(rows.length == 3)
+      val sorted = rows.sortBy(_._2).map(_._3)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH top-k recalls a reasonable fraction of brute-force neighbors") {
+    val emb = tables.embeddings
+    val q = emb.filter($"vec_id" % 250 === 0)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, q, "vec_id", "vec_id", "embedding", 5, planes = 6)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    // approximate method: just require non-trivial overlap, not equality
+    assert(lsh.intersect(brute).nonEmpty)
+  }
+}

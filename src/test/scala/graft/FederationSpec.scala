@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.fed.Federation
+import graft.fed.Federation._
+
+/** Two simulated clusters = two isolated SparkSessions with their own
+  * scratch dirs (SURVEY.md §7.2 M6). Verifies: degenerate collapse (no
+  * transfers when co-located), cut-edge transfer insertion (smaller
+  * side shipped), and end-to-end correctness vs a single-session run. */
+class FederationSpec extends SparkSpec {
+
+  private def setup() = {
+    val tmp = Files.createTempDirectory("fed").toString
+    val sessA = spark.newSession()
+    val sessB = spark.newSession()
+    // Stage: customers on cluster A, orders on cluster B.
+    val custUri = s"$tmp/a/customer"
+    val ordUri = s"$tmp/b/orders"
+    tables.customer.write.mode("overwrite").parquet(custUri)
+    tables.orders.write.mode("overwrite").parquet(ordUri)
+    val catalog = new Catalog()
+      .register("customer", TableLoc("A", "parquet", custUri))
+      .register("orders", TableLoc("B", "parquet", ordUri))
+    val clusters = Map(
+      "A" -> Cluster("A", sessA, s"$tmp/a/scratch"),
+      "B" -> Cluster("B", sessB, s"$tmp/b/scratch"))
+    (catalog, clusters)
+  }
+
+  test("degenerate case: co-located plan has no transfers") {
+    val (catalog, clusters) = setup()
+    val p = FedStage(FedScan("customer"), _.filter(col("c_acctbal") > 0), "filter")
+    val placement = Federation.plan(p, catalog, clusters)
+    assert(placement.transfers.isEmpty)
+    assert(placement.assignment(p) == "A")
+  }
+
+  test("cross-cluster join inserts exactly one transfer, shipping the cheaper side") {
+    val (catalog, clusters) = setup()
+    val join = FedBinary(FedScan("customer"), FedScan("orders"),
+      (c, o) => c.join(o, c("c_custkey") === o("o_custkey")), "join")
+    val placement = Federation.plan(join, catalog, clusters)
+    assert(placement.transfers.size == 1)
+    // customer (150 rows) is cheaper than orders (1500 rows): ships A -> B
+    val (label, from, dest) = placement.transfers.head
+    assert(label.contains("customer") && from == "A" && dest == "B")
+    assert(placement.assignment(join) == "B")
+  }
+
+  test("federated execution matches a single-session run") {
+    val (catalog, clusters) = setup()
+    val join = FedBinary(
+      FedStage(FedScan("customer"), _.filter(col("c_acctbal") > 1000), "filter_cust"),
+      FedScan("orders"),
+      (c, o) => c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy("c_custkey").agg(count(lit(1)).as("n"), sum("o_totalprice").as("spent")),
+      "join_agg")
+    val fed = new Orchestrator(catalog, clusters).execute(join)
+    val local = tables.customer.filter(col("c_acctbal") > 1000)
+      .join(tables.orders, col("c_custkey") === col("o_custkey"))
+      .groupBy("c_custkey").agg(count(lit(1)).as("n"), sum("o_totalprice").as("spent"))
+    val got = fed.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = local.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+}

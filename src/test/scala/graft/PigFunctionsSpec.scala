@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.PigFunctions._
+
+/** Pig-semantics shims: each test pins a semantic delta called out in
+  * SURVEY.md §7.5.3 (full-match regex, 0-based indices, durations). */
+class PigFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matchesFull is a whole-string match, unlike rlike") {
+    val df = Seq("1-URGENT", "NOT-1-URGENT-ISH").toDF("s")
+    val got = df.select(matchesFull($"s", "1-.*").as("m")).as[Boolean].collect()
+    assert(got.toSeq == Seq(true, false))
+  }
+
+  test("substringPig is 0-based with exclusive stop") {
+    val df = Seq("hello world").toDF("s")
+    assert(df.select(substringPig($"s", 0, 5)).as[String].head() == "hello")
+    assert(df.select(substringPig($"s", 6, 11)).as[String].head() == "world")
+  }
+
+  test("indexOfPig / lastIndexOfPig are 0-based, -1 when absent") {
+    val df = Seq("abcabc").toDF("s")
+    assert(df.select(indexOfPig($"s", "b").cast("int")).as[Int].head() == 1)
+    assert(df.select(indexOfPig($"s", "z").cast("int")).as[Int].head() == -1)
+    assert(df.select(lastIndexOfPig($"s", "b").cast("int")).as[Int].head() == 4)
+    assert(df.select(lastIndexOfPig($"s", "z").cast("int")).as[Int].head() == -1)
+  }
+
+  test("tokenize drops empty tokens") {
+    val df = Seq("a  b\t c ").toDF("s")
+    assert(df.select(tokenize($"s")).as[Seq[String]].head() == Seq("a", "b", "c"))
+  }
+
+  test("addDuration handles mixed ISO-8601 designators") {
+    val df = Seq("2024-01-01 00:00:00").toDF("s")
+      .select(to_timestamp($"s").as("t"))
+    val got = df.select(addDuration($"t", "P1DT2H30M").cast("string")).as[String].head()
+    assert(got == "2024-01-02 02:30:00")
+  }
+
+  test("topN picks n largest by field") {
+    val df = Seq(Seq((1, "a"), (5, "b"), (3, "c"))).toDF("bag")
+      .select($"bag".cast("array<struct<v:int,s:string>>").as("bag"))
+    val got = df.select(topN($"bag", "v", 2).getField("v")).as[Seq[Int]].head()
+    assert(got == Seq(5, 3))
+  }
+
+  test("intDiv truncates toward zero like Pig/Java") {
+    val df = Seq((7, 2), (-7, 2)).toDF("a", "b")
+    assert(df.select(intDiv($"a", $"b")).as[Long].collect().toSeq == Seq(3L, -3L))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("split partitions rows exhaustively with OTHERWISE") {
+    val ev = tables.events
+    val branches = Relational.split(ev,
+      Seq("click" -> ($"event_type" === "click"), "error" -> ($"event_type" === "error")),
+      otherwise = Some("other"))
+    val total = branches.values.map(_.count()).sum
+    assert(total == ev.count())
+    assert(branches("click").filter($"event_type" =!= "click").count() == 0)
+    assert(branches("other")
+      .filter($"event_type" === "click" || $"event_type" === "error").count() == 0)
+    Relational.unsplit(ev)
+  }
+
+  test("cogroup yields empty bags (not nulls) for absent groups — OUTER semantics") {
+    val a = Seq((1, "x"), (2, "y")).toDF("k", "va")
+    val b = Seq((2, 10), (3, 20)).toDF("k", "vb")
+    val cg = Relational.cogroup(Seq("k"), ("a", a, Seq("k")), ("b", b, Seq("k")))
+    val rows = cg.select($"k", size($"bag_a").as("na"), size($"bag_b").as("nb"))
+      .as[(Int, Int, Int)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1, 1, 0), (2, 1, 1), (3, 0, 1)))
+  }
+
+  test("rankBy matches window rank/dense_rank semantics") {
+    val df = Seq(10, 20, 20, 30, 30, 30, 40).toDF("v")
+    val got = Relational.rankBy(df, Seq("v"), ascending = true)
+      .select($"v", $"rank", $"dense_rank")
+      .as[(Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val expected = Seq(
+      (10, 1L, 1L), (20, 2L, 2L), (20, 2L, 2L),
+      (30, 4L, 3L), (30, 4L, 3L), (30, 4L, 3L), (40, 7L, 4L))
+    assert(got.toSeq == expected)
+  }
+
+  test("rankBy descending") {
+    val df = Seq(1.0, 2.0, 2.0, 3.0).toDF("v")
+    val got = Relational.rankBy(df, Seq("v"), ascending = false)
+      .select($"v", $"rank").as[(Double, Long)].collect().toSeq.sorted
+    assert(got == Seq((1.0, 4L), (2.0, 2L), (2.0, 2L), (3.0, 1L)))
+  }
+
+  test("rankSequence assigns a 1-based dense sequence") {
+    val df = Seq("a", "b", "c").toDF("s")
+    val ranks = Relational.rankSequence(df).select($"rank").as[Long].collect().sorted
+    assert(ranks.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("topPerGroup is deterministic under ties via tiebreak") {
+    val df = Seq((1, 100, 5.0), (1, 101, 5.0), (1, 102, 5.0), (2, 200, 1.0))
+      .toDF("g", "id", "v")
+    val got = Relational.topPerGroup(df, Seq("g"), "v", 2, "id")
+      .select($"g", $"id").as[(Int, Int)].collect().toSet
+    assert(got == Set((1, 100), (1, 101), (2, 200)))
+  }
+
+  test("nested bag ops compose: filter -> sort -> limit -> sum") {
+    val df = Seq(Seq((1, 2.0), (2, 8.0), (3, 4.0), (4, 6.0))).toDF("bag")
+      .select($"bag".cast("array<struct<id:int,v:double>>").as("bag"))
+    val filtered = Relational.nested.filterBag($"bag", x => x.getField("v") > 3.0)
+    val sorted = Relational.nested.sortBagBy(filtered, "v", asc = false)
+    val top2 = Relational.nested.limitBag(sorted, 2)
+    val s = Relational.nested.sumBag(top2, "v")
+    assert(df.select(s).as[Double].head() == 14.0) // 8.0 + 6.0
+  }
+}

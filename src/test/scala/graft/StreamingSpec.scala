@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventsStreaming
+
+/** Deterministic streaming tests: replay the events table from parquet
+  * files with Trigger.AvailableNow into a memory sink, and check the
+  * streaming result equals the equivalent batch computation. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val replayDir: String = {
+    val dir = Files.createTempDirectory("events-replay").toString
+    // normalize column order to match eventSchema
+    tables.events
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  // Append mode only emits a window once the watermark passes its end;
+  // windows later than (max event time - watermark) stay un-finalized at
+  // end-of-replay. Tests therefore compare up to that horizon.
+  private def horizon(minutesBack: Long): java.sql.Timestamp = {
+    val maxTs = tables.events.agg(max($"ts")).as[java.sql.Timestamp].head()
+    new java.sql.Timestamp(maxTs.getTime - minutesBack * 60000)
+  }
+
+  test("streaming windowed counts equal the batch computation up to the watermark") {
+    val stream = EventsStreaming.readEvents(spark, replayDir)
+    EventsStreaming.runAvailableNow(
+      EventsStreaming.windowedCounts(stream), "win_counts", OutputMode.Append())
+    val got = spark.table("win_counts")
+      .select($"w_start", $"w_end", $"event_type", $"n_events")
+      .as[(java.sql.Timestamp, java.sql.Timestamp, String, Long)].collect().toSet
+    val want = tables.events
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"window.start", $"window.end", $"event_type", $"n_events")
+      .as[(java.sql.Timestamp, java.sql.Timestamp, String, Long)].collect().toSet
+    val h = horizon(10)
+    assert(got.subsetOf(want))
+    val mustHave = want.filter(_._2.before(h))
+    assert(mustHave.subsetOf(got))
+    assert(got.nonEmpty)
+  }
+
+  test("dropDuplicatesWithinWatermark removes a replayed duplicate batch") {
+    val dupDir = Files.createTempDirectory("events-dup").toString
+    val ev = tables.events
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .limit(100)
+    ev.write.mode("overwrite").parquet(dupDir)
+    ev.write.mode("append").parquet(dupDir) // same 100 events again
+    val stream = EventsStreaming.readEvents(spark, dupDir)
+    EventsStreaming.runAvailableNow(
+      EventsStreaming.dedupWithinWatermark(stream), "dedup_out", OutputMode.Append())
+    assert(spark.table("dedup_out").select($"event_id").distinct().count() ==
+      spark.table("dedup_out").count())
+    assert(spark.table("dedup_out").count() == 100)
+  }
+
+  test("mapGroupsWithState running totals equal batch groupBy") {
+    val stream = EventsStreaming.readEvents(spark, replayDir).as[EventsStreaming.Event]
+    EventsStreaming.runAvailableNow(
+      EventsStreaming.userRunningTotals(stream).toDF(), "user_totals", OutputMode.Update())
+    // memory sink in Update mode keeps every emitted row; the final state
+    // per user is the row with the max n_events.
+    val got = spark.table("user_totals")
+      .groupBy($"user_id").agg(max($"n_events").as("n_events"))
+      .as[(Long, Long)].collect().toMap
+    val want = tables.events.groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("session windows: streaming equals batch session_window up to the watermark") {
+    val stream = EventsStreaming.readEvents(spark, replayDir)
+    EventsStreaming.runAvailableNow(
+      EventsStreaming.sessionCounts(stream), "sess_counts", OutputMode.Append())
+    val got = spark.table("sess_counts")
+      .select($"user_id", $"w_start", $"w_end", $"n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    val want = tables.events
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"session_window.start", $"session_window.end", $"n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    val h = horizon(10)
+    assert(got.subsetOf(want))
+    val mustHave = want.filter(_._3.before(h))
+    assert(mustHave.subsetOf(got))
+    assert(got.nonEmpty)
+  }
+}
