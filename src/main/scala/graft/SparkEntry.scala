@@ -462,7 +462,42 @@ object SparkEntry {
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"), col("session_window.start").as("w_start"),
-          col("session_window.end").as("w_end"), col("n_events")))
+          col("session_window.end").as("w_end"), col("n_events"))),
+
+    // --- ASSERT (passes on this data; rows flow through unchanged) ---
+    "q49_assert" -> ((s, dir) =>
+      Relational.assertRows(t(s, dir).lineitem,
+          col("l_quantity") > 0 && col("l_extendedprice") >= 0, "sane lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+
+    // --- aggregate UDF protocol (Algebraic/Accumulator -> Aggregator):
+    //     weighted avg with an exact integer (cents) buffer ---
+    "q50_udaf_weighted_avg" -> ((s, dir) => {
+      graft.functions.Aggregators.register(s)
+      t(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(expr("weighted_avg(l_extendedprice, l_quantity)").as("w_avg_price"))
+    }),
+
+    // --- STREAM ... THROUGH 'cmd' (external process pipe) ---
+    "q51_stream_through" -> ((s, dir) =>
+      graft.operators.StreamThrough(
+        t(s, dir).documents.select(col("doc_id"), col("lang")),
+        Seq("tr", "a-z", "A-Z"),
+        Seq("doc_id", "lang_up"))),
+
+    // --- bloom-filter join pre-filter + exact verify join ---
+    "q52_bloom_join" -> ((s, dir) => {
+      val tb = t(s, dir)
+      val urgent = tb.orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val pre = Relational.bloomSemiFilter(tb.lineitem, "l_orderkey", urgent, "o_orderkey",
+        expectedItems = 100000L)
+      pre.join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+             dsum2(col("l_extendedprice")).as("sum_price"))
+    })
   )
 
   /** DuckDB-runnable oracle SQL, same column names as the Spark result. */
@@ -809,6 +844,30 @@ object SparkEntry {
          SELECT user_id, MIN(ts) AS w_start,
                 MAX(ts) + INTERVAL '30 minutes' AS w_end,
                 COUNT(*) AS n_events
-         FROM s GROUP BY user_id, sess"""
+         FROM s GROUP BY user_id, sess""",
+
+    "q49_assert" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_quantity > 0 AND l_extendedprice >= 0""",
+
+    "q50_udaf_weighted_avg" ->
+      """SELECT l_returnflag,
+         CASE WHEN SUM(CAST(round(l_quantity * 100) AS BIGINT)) = 0 THEN 0.0
+              ELSE CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+                   / CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+         END AS w_avg_price
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q51_stream_through" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id, UPPER(lang) AS lang_up FROM documents""",
+
+    "q52_bloom_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM lineitem
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+         GROUP BY l_returnflag"""
   )
 }

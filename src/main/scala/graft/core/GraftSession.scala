@@ -57,6 +57,10 @@ object GraftSession {
     // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
     // rejects; read as long and convert in Tables.events.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Spark 4.1 routes lower/upper through ICU case mappings whose class
+    // init burns ~1 CPU-minute on first use and is slower per call; the
+    // JVM fast path matches DuckDB's non-ICU lower() on our data.
+    .config("spark.sql.icu.caseMappings.enabled", "false")
 
   def local(cores: Int = 4): GraftSession = {
     val spark = configure(

@@ -176,6 +176,36 @@ object Relational {
   }
 
   // ------------------------------------------------------------------
+  // ASSERT — fail the job if any row violates the predicate (Pig 0.12).
+  // ------------------------------------------------------------------
+
+  /** Pig `ASSERT A BY cond, 'msg';` — assert_true returns NULL when the
+    * predicate holds (so the filter keeps every row) and throws
+    * task-side when it doesn't, failing the job like the reference. */
+  def assertRows(df: DataFrame, cond: Column, msg: String): DataFrame =
+    df.filter(assert_true(cond, lit(s"ASSERT failed: $msg")).isNull)
+
+  // ------------------------------------------------------------------
+  // Bloom-filter join pre-filter (Pig BuildBloom/Bloom, SURVEY §2.6).
+  // ------------------------------------------------------------------
+
+  /** Drop most non-matching rows of `big` before an expensive join by
+    * probing a bloom filter built from `small`'s (long) keys. False
+    * positives pass through — ALWAYS follow with the exact join; this
+    * only cuts shuffle volume (the reference uses it the same way).
+    * The filter itself is built distributed (aggregate) and only the
+    * compact sketch comes to the driver for broadcast. */
+  def bloomSemiFilter(
+      big: DataFrame, bigKey: String,
+      small: DataFrame, smallKey: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    val bfB = big.sparkSession.sparkContext.broadcast(bf)
+    val contains = udf((k: Long) => bfB.value.mightContainLong(k))
+    big.filter(col(bigKey).isNotNull && contains(col(bigKey).cast("long")))
+  }
+
+  // ------------------------------------------------------------------
   // Nested FOREACH — per-group mini-pipelines over bags, as HOF chains.
   // ------------------------------------------------------------------
 

@@ -1,0 +1,75 @@
+package graft.operators
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Pig `STREAM A THROUGH 'cmd'` (SURVEY.md §2.7): pipe serialized rows
+  * through an external process, one process per partition — the same
+  * execution shape as the reference's ExecutableManager (and Hadoop
+  * Streaming), rebuilt on `mapPartitions`.
+  *
+  * Wire format: tab-separated fields in, tab-separated fields out (the
+  * reference's PigStreaming default). A writer thread feeds stdin while
+  * the task thread consumes stdout, so a command that buffers its whole
+  * input (sort, awk END-blocks) cannot deadlock the pipe.
+  *
+  * Scale notes: one process per PARTITION (not per row); stdin/stdout
+  * are streamed, never materialized; a nonzero exit fails the task so
+  * Spark's retry machinery applies.
+  */
+object StreamThrough {
+
+  def apply(df: DataFrame, command: Seq[String], outputCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val inWidth = df.schema.length
+    val outSchema = StructType(outputCols.map(c => StructField(c, StringType)))
+    val rdd = df.rdd.mapPartitions { rows =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val pb = new ProcessBuilder(command: _*)
+        pb.redirectErrorStream(false)
+        val proc = pb.start()
+        val writer = new Thread {
+          override def run(): Unit = {
+            val w = new BufferedWriter(
+              new OutputStreamWriter(proc.getOutputStream, StandardCharsets.UTF_8))
+            try rows.foreach { r =>
+              var i = 0
+              while (i < inWidth) {
+                if (i > 0) w.write('\t')
+                val v = r.get(i)
+                if (v != null) w.write(v.toString)
+                i += 1
+              }
+              w.write('\n')
+            } finally w.close()
+          }
+        }
+        writer.setDaemon(true)
+        writer.start()
+        val out = new BufferedReader(
+          new InputStreamReader(proc.getInputStream, StandardCharsets.UTF_8))
+        new Iterator[Row] {
+          private var nextLine: String = out.readLine()
+          def hasNext: Boolean = {
+            if (nextLine == null) {
+              val code = proc.waitFor()
+              if (code != 0)
+                throw new RuntimeException(s"STREAM THROUGH ${command.mkString(" ")} exited $code")
+            }
+            nextLine != null
+          }
+          def next(): Row = {
+            val fields = nextLine.split("\t", -1)
+            nextLine = out.readLine()
+            Row.fromSeq(outputCols.indices.map(i => if (i < fields.length) fields(i) else null))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}
