@@ -39,12 +39,16 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] warm $name failed: ${e.getMessage}") }
     }
 
+    // Median of 3 timed runs per query damps JIT/GC run-to-run noise.
     val results = qs.map { name =>
       System.err.println(s"[bench] time $name")
-      val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(1)
     }
     val qjson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -48,37 +48,35 @@ object Dedup {
     * re-hash the longs, which is ~20× cheaper than re-hashing strings. */
   def shingleHashes(shingles: Column): Column = transform(shingles, s => xxhash64(s))
 
-  /** k-permutation MinHash signature over pre-hashed shingles:
-    * sig[i] = min over shingle hashes h of xxhash64(i, h).
-    *
-    * Written as a SINGLE fold over the shingles with an elementwise-min
-    * accumulator (not "for each i, scan all shingles") so the shingle
-    * hash array is evaluated exactly once per row even if the optimizer
-    * inlines its definition — the k× re-evaluation trap with nested
-    * lambdas over a projected column. */
+  /** k-permutation MinHash signature over pre-hashed shingles — native
+    * codegen'd kernel (graft.plans.MinHashSig): one primitive k×m loop
+    * per row. (A pure-HOF fold works but allocates two boxed k-arrays
+    * per shingle step in the interpreted lambda evaluator — it was 60%
+    * of the sf0.1 bench before this kernel.) */
   def minhashSig(shHashes: Column, k: Int): Column =
-    aggregate(
-      shHashes,
-      array_repeat(lit(Long.MaxValue), k),
-      (acc, h) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(k - 1)), i => xxhash64(i, h)),
-        (a, b) => least(a, b)))
+    graft.plans.TextExpressions.minhashSig(shHashes, k)
 
   /** Band the signature: bands × rowsPerBand = k. Output: array of
-    * (band, bandSig) structs; docs agreeing on any band are candidates. */
+    * (band, bandSig) structs; docs agreeing on any band are candidates.
+    *
+    * Banding sets the LSH threshold t ≈ (1/bands)^(rowsPerBand⁻¹):
+    * 16 bands × 8 rows -> t≈0.71 (≈95% recall at jaccard 0.8, ~1e-3
+    * false-candidate rate for j≈0.3 pairs). 32×4 looks "safer" but its
+    * t≈0.42 floods the verify join with candidates when the corpus
+    * shares vocabulary — the verify stage, not the signature, is what
+    * melts at scale. */
   def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => struct(b.as("band"), xxhash64(b, slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("sig")))
 
-  /** Candidate pairs (id1 < id2) from MinHash LSH banding. */
+  /** Candidate pairs (id1 < id2) from MinHash LSH banding.
+    * `hashCol` holds the doc's array<long> of shingle hashes. */
   def minhashCandidates(
-      df: DataFrame, idCol: String, shingleCol: String,
-      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+      df: DataFrame, idCol: String, hashCol: String,
+      numHashes: Int = 128, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val banded = df
-      .withColumn("__shh", shingleHashes(col(shingleCol)))
-      .withColumn("__sig", minhashSig(col("__shh"), numHashes))
+      .withColumn("__sig", minhashSig(col(hashCol), numHashes))
       .select(col(idCol), explode(lshBands(col("__sig"), bands, numHashes / bands)).as("b"))
       .select(col(idCol), col("b.band").as("band"), col("b.sig").as("sig"))
     banded.as("a")
@@ -96,17 +94,24 @@ object Dedup {
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Full fuzzy-dedup pipeline: LSH candidates -> exact Jaccard verify.
-    * The verify join re-attaches shingle sets by id (shuffle on id). */
+    *
+    * The whole pipeline runs on the LONG shingle-hash sets, not the
+    * shingle strings: signatures, the band join, AND the verify join
+    * (Jaccard over hashed shingle sets equals Jaccard over the strings
+    * up to 64-bit collisions). Strings are tokenized+hashed once and
+    * never shuffled — at 100 TB the verify join moves ~2.4 KB/doc of
+    * longs instead of the document's shingle text. */
   def fuzzyDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.8,
-      numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    val sh = fanOut(df)
-      .select(col(idCol), wordShingles(tokens(col(textCol)), shingleN).as("sh"))
-    val cands = minhashCandidates(sh, idCol, "sh", numHashes, bands)
+      numHashes: Int = 128, bands: Int = 16): DataFrame = {
+    val shh = fanOut(df)
+      .select(col(idCol),
+        graft.plans.TextExpressions.shingleHash64(col(textCol), shingleN).as("shh"))
+    val cands = minhashCandidates(shh, idCol, "shh", numHashes, bands)
     cands
-      .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
-      .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
+      .join(shh.select(col(idCol).as("id1"), col("shh").as("sh1")), "id1")
+      .join(shh.select(col(idCol).as("id2"), col("shh").as("sh2")), "id2")
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))

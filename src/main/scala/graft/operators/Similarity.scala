@@ -23,7 +23,14 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
 
+  /** Reference HOF formulation — interpreted lambdas; used by specs to
+    * cross-check the native kernel bit-for-bit. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Hot-path kernel: native codegen'd Catalyst expression with the same
+    * left-to-right accumulation order (bit-identical to [[cosine]]). */
+  def cosineFast(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.cosineSim(a, b)
 
   /** Exact brute-force top-k neighbors for each query vector.
     *
@@ -40,7 +47,7 @@ object Similarity {
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(corpusId), asDouble(col(vecCol)).as("__cvec"))
       .join(broadcast(q), col(corpusId) =!= col("query_id")) // exclude self-match
-      .withColumn("score", cosine(col("__cvec"), col("__qvec")))
+      .withColumn("score", cosineFast(col("__cvec"), col("__qvec")))
     Relational.topPerGroup(
         scored.select(col("query_id"), col(corpusId), col("score")),
         Seq("query_id"), "score", k, corpusId)
@@ -81,7 +88,7 @@ object Similarity {
       rpLshBucket(col(vecCol), planes).as("__bucket"))
     val scored = c.join(q, Seq("__bucket"))
       .filter(col(corpusId) =!= col("query_id"))
-      .withColumn("score", cosine(col("__cvec"), col("__qvec")))
+      .withColumn("score", cosineFast(col("__cvec"), col("__qvec")))
     Relational.topPerGroup(
         scored.select(col("query_id"), col(corpusId), col("score")),
         Seq("query_id"), "score", k, corpusId)
@@ -99,7 +106,7 @@ object Similarity {
         rpLshBucket(col(vecCol), planes).as("__bucket"))
     b.as("a").join(b.as("b"),
         col("a.__bucket") === col("b.__bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("cosine", cosine(col("a.__v"), col("b.__v")))
+      .withColumn("cosine", cosineFast(col("a.__v"), col("b.__v")))
       .filter(col("cosine") >= tau)
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"), col("cosine"))
   }

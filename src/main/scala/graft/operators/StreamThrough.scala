@@ -36,16 +36,21 @@ object StreamThrough {
           override def run(): Unit = {
             val w = new BufferedWriter(
               new OutputStreamWriter(proc.getOutputStream, StandardCharsets.UTF_8))
-            try rows.foreach { r =>
-              var i = 0
-              while (i < inWidth) {
-                if (i > 0) w.write('\t')
-                val v = r.get(i)
-                if (v != null) w.write(v.toString)
-                i += 1
+            // a command that exits early (closing its stdin) is reported
+            // via the exit code on the reader side, not as writer noise
+            try {
+              rows.foreach { r =>
+                var i = 0
+                while (i < inWidth) {
+                  if (i > 0) w.write('\t')
+                  val v = r.get(i)
+                  if (v != null) w.write(v.toString)
+                  i += 1
+                }
+                w.write('\n')
               }
-              w.write('\n')
-            } finally w.close()
+              w.close()
+            } catch { case _: java.io.IOException => () }
           }
         }
         writer.setDaemon(true)

@@ -1,0 +1,176 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** XXH64 of a single long, public-spec constants — callable from
+  * generated code by fully-qualified name. Matches the standard XXH64
+  * of an 8-byte little-endian input with the given seed. */
+object HashKernels {
+  final val P1 = -7046029288634856825L // 0x9E3779B185EBCA87
+  final val P2 = -4417276706812531889L // 0xC2B2AE3D27D4EB4F
+  final val P3 = 1609587929392839161L  // 0x165667B19E3779F9
+  final val P4 = -8796714831421723037L // 0x85EBCA77C2B2AE63
+  final val P5 = 2870177450012600261L  // 0x27D4EB2F165667C5
+
+  def xxh64Long(v: Long, seed: Long): Long = {
+    var acc = seed + P5 + 8L
+    var k1 = v * P2
+    k1 = java.lang.Long.rotateLeft(k1, 31)
+    k1 *= P1
+    acc ^= k1
+    acc = java.lang.Long.rotateLeft(acc, 27) * P1 + P4
+    acc ^= acc >>> 33
+    acc *= P2
+    acc ^= acc >>> 29
+    acc *= P3
+    acc ^= acc >>> 32
+    acc
+  }
+}
+
+/** k-permutation MinHash signature over an `array<long>` of shingle
+  * hashes: sig[i] = min over h of xxh64(h, seed = i).
+  *
+  * The HOF formulation allocates two k-long boxed arrays per shingle
+  * step (interpreted lambda evaluation) — ~25s of the sf0.1 bench.
+  * This is one primitive k×m loop per row, codegen'd: the 100 TB
+  * dedup path's hot kernel (SURVEY.md §7.3 custom-Catalyst tier).
+  */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val m = hs.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < m) {
+      val h = hs.getLong(j)
+      var i = 0
+      while (i < k) {
+        val v = HashKernels.xxh64Long(h, i.toLong)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val m = ctx.freshName("m")
+      val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |int $m = $hs.numElements();
+         |long[] $sig = new long[$k];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $m; $j++) {
+         |  long $h = $hs.getLong($j);
+         |  for (int $i = 0; $i < $k; $i++) {
+         |    long $v = graft.plans.HashKernels.xxh64Long($h, (long) $i);
+         |    if ($v < $sig[$i]) $sig[$i] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Tokenize + word-n-gram-shingle + hash, fused into one native pass:
+  * text -> distinct array<long> of shingle hashes.
+  *
+  * Replaces the interpreted lower/split/transform/slice/array_join/
+  * xxhash64 chain, which allocated a UTF8String per token, per shingle
+  * string, and boxed array per row — the dominant garbage source of the
+  * fuzzy-dedup pipeline (young-GC pauses ate more time than compute).
+  * Semantics mirror Dedup.tokens + wordShingles + shingleHashes: tokens
+  * split on whitespace runs of lowercased text, a doc shorter than n
+  * yields one whole-text shingle, shingles are space-joined and
+  * de-duplicated. Hash = XXH64 over UTF-8 bytes, seed 42.
+  */
+object ShingleKernels {
+  def shingleHashes(text: org.apache.spark.unsafe.types.UTF8String, n: Int): Array[Long] = {
+    val s = text.toLowerCase.toString
+    // whitespace split without regex
+    val tokens = new java.util.ArrayList[String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) tokens.add(s.substring(start, i))
+    }
+    val m = tokens.size
+    val sb = new java.lang.StringBuilder(64)
+    def hashOf(str: String): Long = {
+      val bytes = str.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+    }
+    if (m < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < m) { if (j > 0) sb.append(' '); sb.append(tokens.get(j)); j += 1 }
+      Array(hashOf(sb.toString))
+    } else {
+      val seen = new java.util.HashSet[java.lang.Long]()
+      val out = new java.util.ArrayList[java.lang.Long]()
+      var j = 0
+      while (j <= m - n) {
+        sb.setLength(0)
+        var q = 0
+        while (q < n) { if (q > 0) sb.append(' '); sb.append(tokens.get(j + q)); q += 1 }
+        val h = java.lang.Long.valueOf(hashOf(sb.toString))
+        if (seen.add(h)) out.add(h)
+        j += 1
+      }
+      val res = new Array[Long](out.size)
+      var r = 0
+      while (r < res.length) { res(r) = out.get(r); r += 1 }
+      res
+    }
+  }
+}
+
+/** text -> array<long> shingle hashes via [[ShingleKernels]]. */
+case class ShingleHash64(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash64"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(ShingleKernels.shingleHashes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.plans.ShingleKernels.shingleHashes($t, $n));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash64 =
+    copy(child = newChild)
+}
+
+object TextExpressions {
+  /** Column entry point: shingle-hash array -> k-long MinHash signature. */
+  def minhashSig(shingleHashes: Column, k: Int): Column =
+    GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(shingleHashes), k))
+
+  /** Column entry point: text -> distinct shingle-hash array (fused). */
+  def shingleHash64(text: Column, n: Int): Column =
+    GraftSqlBridge.column(ShingleHash64(GraftSqlBridge.expression(text), n))
+}

@@ -45,6 +45,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(java.lang.Long.bitCount(fp(1L) ^ fp(5L)) > 10)
   }
 
+  test("native cosine kernel is bit-identical to the HOF formulation") {
+    val emb = tables.embeddings.limit(200)
+    val a = emb.select($"vec_id".as("ida"), Similarity.asDouble($"embedding").as("va"))
+    val b = emb.select($"vec_id".as("idb"), Similarity.asDouble($"embedding").as("vb"))
+    val pairs = a.join(b, $"ida" < $"idb")
+    val diff = pairs
+      .select(Similarity.cosine($"va", $"vb").as("hof"),
+        Similarity.cosineFast($"va", $"vb").as("native"))
+      .filter($"hof" =!= $"native") // bitwise double comparison
+      .count()
+    assert(diff == 0)
+  }
+
   test("cosine HOF matches a hand computation") {
     val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 4.0f, 4.0f))).toDF("a", "b")
     val got = df.select(Similarity.cosine(

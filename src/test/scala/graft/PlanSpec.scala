@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-hygiene checks (the "is this the plan you'd want at 100 TB"
+  * gate): filters reach the parquet scan, small dimensions broadcast,
+  * aggregates run partial→final, hot kernels are codegen'd. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q01: shipdate predicate is pushed to the parquet scan") {
+    val p = planOf("q01_scan_filter_project")
+    assert(p.contains("PushedFilters"), p.take(2000))
+    assert(p.contains("l_shipdate"), "pushed filter should mention l_shipdate")
+    // pruned read schema: only the 4 needed columns reach the scan
+    assert(!p.contains("l_comment"))
+  }
+
+  test("q06: dimension joins are broadcast, not shuffled") {
+    val p = planOf("q06_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q03: aggregate runs partial then final (map-side combine)") {
+    val p = planOf("q03_group_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    // partial agg below the Exchange, final above it
+    assert(p.indexOf("HashAggregate") < p.indexOf("Exchange"), p.take(2000))
+  }
+
+  test("q39: scoring uses the native codegen'd cosine kernel") {
+    val p = planOf("q39_cosine_topk")
+    assert(p.contains("cosine_sim"), p.take(2000))
+  }
+
+  test("q14: order+limit plans as TakeOrderedAndProject, not a full sort") {
+    val p = planOf("q14_order_limit")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("entry() flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query; names are well-formed") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"orphan oracles: ${os.diff(qs)}")
+    assert(qs.forall(_.matches("q[0-9]{2}_[a-z0-9_]+")))
+  }
+}
