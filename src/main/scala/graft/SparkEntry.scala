@@ -497,6 +497,30 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_lines"),
              dsum2(col("l_extendedprice")).as("sum_price"))
+    }),
+
+    // --- pure range join (no equi key) via the binned strategy ---
+    "q53_range_join" -> ((s, dir) => {
+      val tb = t(s, dir)
+      val bands = tb.part
+        .select((floor((col("p_retailprice") - 900) * 5) * 1000).cast("double").as("lo"))
+        .distinct()
+        .withColumn("hi", col("lo") + 1000)
+      graft.operators.RangeJoin.pointInInterval(
+          tb.lineitem.select(col("l_extendedprice")), "l_extendedprice",
+          bands, "lo", "hi", binSize = 1000.0)
+        .groupBy(col("lo"))
+        .agg(count(lit(1)).as("n_points"),
+             dsum2(col("l_extendedprice")).as("sum_price"))
+    }),
+
+    // --- IVF ANN (two-stage centroid probe; approximate -> rows-only) ---
+    "q54_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir).embeddings
+      graft.operators.Similarity.ivfTopK(
+        corpus = emb, queries = emb.filter(col("vec_id") % 100 === 0),
+        corpusId = "vec_id", queryId = "vec_id", vecCol = "embedding",
+        k = 5, nCentroids = 16, nProbe = 4)
     })
   )
 
@@ -868,6 +892,17 @@ object SparkEntry {
          FROM lineitem
          WHERE EXISTS (SELECT 1 FROM orders
                        WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
-         GROUP BY l_returnflag"""
+         GROUP BY l_returnflag""",
+
+    "q53_range_join" ->
+      """WITH bands AS (
+           SELECT DISTINCT CAST(floor((p_retailprice - 900) * 5) * 1000 AS DOUBLE) AS lo,
+                  CAST(floor((p_retailprice - 900) * 5) * 1000 + 1000 AS DOUBLE) AS hi
+           FROM part)
+         SELECT lo, COUNT(*) AS n_points,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM lineitem JOIN bands
+           ON l_extendedprice >= lo AND l_extendedprice < hi
+         GROUP BY lo"""
   )
 }

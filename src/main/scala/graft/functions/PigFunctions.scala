@@ -57,7 +57,28 @@ object PigFunctions {
   def regexExtract(c: Column, regex: String, group: Int): Column =
     regexp_extract(c, regex, group)
 
+  /** Pig SPRINTF(format, args...) — printf-style formatting. */
+  def sprintf(format: String, args: Column*): Column = format_string(format, args: _*)
+
+  /** Pig UCFIRST — uppercase the first character only (initcap touches
+    * every word; this does not). */
+  def ucfirst(c: Column): Column = concat(upper(substring(c, 1, 1)), substring(c, 2, Int.MaxValue))
+
+  /** Pig REGEX_EXTRACT_ALL(str, regex) — all groups of the single match
+    * as a tuple; array here (group 0 excluded, like Pig). */
+  def regexExtractAll(c: Column, regex: String, numGroups: Int): Column =
+    array((1 to numGroups).map(i => regexp_extract(c, regex, i)): _*)
+
+  /** Pig STARTSWITH / ENDSWITH. */
+  def startsWithPig(c: Column, prefix: String): Column = c.startsWith(prefix)
+  def endsWithPig(c: Column, suffix: String): Column = c.endsWith(suffix)
+
   // ---------------- arithmetic ----------------
+
+  /** Pig ROUND_TO(val, digits) — HALF_UP to a digit count. */
+  def roundTo(c: Column, digits: Int): Column = round(c, digits)
+
+  def cbrtPig(c: Column): Column = cbrt(c)
 
   /** Pig int/int division truncates toward zero (SQL `div`). */
   def intDiv(a: Column, b: Column): Column =

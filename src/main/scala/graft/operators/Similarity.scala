@@ -96,6 +96,58 @@ object Similarity {
         col("rn").cast("long").as("rn"))
   }
 
+  /** IVF (inverted-file) ANN top-k — the classic two-stage scale path:
+    * a small deterministic centroid set partitions the corpus into
+    * cells; each query probes its `nProbe` nearest cells and scores
+    * only those corpus vectors.
+    *
+    * Centroids here are a systematic sample of the corpus (deterministic
+    * — a k-means refinement would drop in without changing the dataflow).
+    * Shapes: centroid assignment = corpus ⋈ broadcast(centroids);
+    * probe = query ⋈ broadcast(centroids) top-nProbe; candidate scoring
+    * shuffles on cell id only. The corpus is never broadcast or
+    * cross-joined — at 100 TB the only corpus-sized movement is one
+    * shuffle by cell. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, queryId: String, vecCol: String,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val n = corpus.count()
+    val stride = math.max(1L, n / nCentroids)
+    val centroids = corpus
+      .filter(col(corpusId) % stride === 0).limit(nCentroids)
+      .select(col(corpusId).as("cent_id"), asDouble(col(vecCol)).as("cvec"))
+    // cell assignment: nearest centroid per corpus vector
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(corpusId)).orderBy(col("__d").desc, col("cent_id").asc)
+    val assigned = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(corpusId), asDouble(col(vecCol)).as("__v"))
+      .join(broadcast(centroids))
+      .withColumn("__d", cosineFast(col("__v"), col("cvec")))
+      .withColumn("__rn", row_number().over(wAssign))
+      .filter(col("__rn") === 1)
+      .select(col(corpusId), col("__v"), col("cent_id").as("cell"))
+    // probe list: nProbe nearest cells per query
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("__d").desc, col("cent_id").asc)
+    val probes = queries
+      .select(col(queryId).as("query_id"), asDouble(col(vecCol)).as("__q"))
+      .join(broadcast(centroids))
+      .withColumn("__d", cosineFast(col("__q"), col("cvec")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("__q"), col("cent_id").as("cell"))
+    val scored = assigned.join(probes, Seq("cell"))
+      .filter(col(corpusId) =!= col("query_id"))
+      .withColumn("score", cosineFast(col("__v"), col("__q")))
+    Relational.topPerGroup(
+        scored.select(col("query_id"), col(corpusId), col("score")),
+        Seq("query_id"), "score", k, corpusId)
+      .select(col("query_id"), col(corpusId).as("neighbor_id"), col("score"),
+        col("rn").cast("long").as("rn"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (id1 < id2, cosine >= tau)
     * via the LSH buckets — the embedding analogue of fuzzy text dedup. */
   def cosineDupPairs(
