@@ -39,15 +39,18 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] warm $name failed: ${e.getMessage}") }
     }
 
-    // Median of 3 timed runs per query damps JIT/GC run-to-run noise.
+    // Median of 3 timed runs per query damps JIT/GC run-to-run noise;
+    // a GC between queries keeps one query's garbage out of the next
+    // query's measurement.
     val results = qs.map { name =>
-      System.err.println(s"[bench] time $name")
+      System.gc()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
         catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      System.err.println(f"[bench] $name times=${times.map(t => f"$t%.2f").mkString(",")}")
       name -> times(1)
     }
     val qjson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
