@@ -70,6 +70,16 @@ object Engine {
   def streamThrough(df: DataFrame, command: Seq[String], outputCols: Seq[String]): DataFrame =
     StreamThrough(df, command, outputCols)
 
+  /** Multi-sink STORE (the reference's MultiQueryOptimizer case,
+    * SURVEY §4.2): several sinks sharing one upstream scan. The shared
+    * parent is persisted (spillable) for the duration of the writes so
+    * the scan runs once, then released. */
+  def multiStore(shared: DataFrame, sinks: (DataFrame => DataFrame, String)*): Unit = {
+    val parent = shared.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try sinks.foreach { case (branch, path) => store(branch(parent), path) }
+    finally { parent.unpersist(); () }
+  }
+
   // ---------------- grouping (§2.3) ----------------
 
   /** GROUP ... BY followed by aggregation — the 99% case. Never builds

@@ -521,7 +521,25 @@ object SparkEntry {
         corpus = emb, queries = emb.filter(col("vec_id") % 100 === 0),
         corpusId = "vec_id", queryId = "vec_id", vecCol = "embedding",
         k = 5, nCentroids = 16, nProbe = 4)
-    })
+    }),
+
+    // --- SPRINTF / UCFIRST / STARTSWITH / STRSPLIT family ---
+    "q55_string_funcs2" -> ((s, dir) =>
+      t(s, dir).customer.select(
+        col("c_custkey"),
+        sprintf("%s-%04d", lower(col("c_mktsegment")), col("c_custkey")).as("tag"),
+        ucfirst(lower(col("c_mktsegment"))).as("seg_uc"),
+        startsWithPig(col("c_name"), "Customer#00000000").as("low_id"),
+        strSplit(col("c_name"), "#").as("name_parts"))),
+
+    // --- statistics aggregates (COR / COV / STDDEV, Pig §2.6 bag-pair stats) ---
+    "q56_stats_agg" -> ((s, dir) =>
+      t(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("cor_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qp"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_q")))
   )
 
   /** DuckDB-runnable oracle SQL, same column names as the Spark result. */
@@ -903,6 +921,21 @@ object SparkEntry {
                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM lineitem JOIN bands
            ON l_extendedprice >= lo AND l_extendedprice < hi
-         GROUP BY lo"""
+         GROUP BY lo""",
+
+    "q55_string_funcs2" ->
+      """SELECT c_custkey,
+         printf('%s-%04d', lower(c_mktsegment), c_custkey) AS tag,
+         upper(substring(lower(c_mktsegment), 1, 1)) || substring(lower(c_mktsegment), 2) AS seg_uc,
+         starts_with(c_name, 'Customer#00000000') AS low_id,
+         string_split(c_name, '#') AS name_parts
+         FROM customer""",
+
+    "q56_stats_agg" ->
+      """SELECT l_returnflag,
+         round(corr(l_quantity, l_extendedprice), 6) AS cor_qp,
+         round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp,
+         round(stddev_samp(l_quantity), 6) AS sd_q
+         FROM lineitem GROUP BY l_returnflag"""
   )
 }

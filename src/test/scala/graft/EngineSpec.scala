@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.core.GraftSession
+import graft.functions.PigFunctions
+
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("GraftSession alias environment: register / rebind / describe / explain / store") {
+    val gs = new GraftSession(spark)
+    gs.register("A", tables.region)
+    gs.register("B", gs("A").filter($"r_regionkey" > 1))
+    assert(gs.aliases == Seq("A", "B"))
+    assert(gs.describe("A").contains("r_name"))
+    assert(gs.explain("B").contains("Physical Plan"))
+    gs.register("B", gs("A").limit(1)) // rebinding, like Pig
+    assert(gs.dump("B").length == 1)
+    val out = Files.createTempDirectory("gs-store").toString + "/r"
+    gs.store("A", out)
+    assert(spark.read.parquet(out).count() == tables.region.count())
+  }
+
+  test("multiStore writes all sinks from one persisted scan") {
+    val tmp = Files.createTempDirectory("multistore").toString
+    Engine.multiStore(tables.events,
+      (df => df.filter($"event_type" === "click"), s"$tmp/clicks"),
+      (df => df.filter($"event_type" === "error"), s"$tmp/errors"),
+      (df => df.groupBy($"event_type").count(), s"$tmp/counts"))
+    val clicks = spark.read.parquet(s"$tmp/clicks").count()
+    val errors = spark.read.parquet(s"$tmp/errors").count()
+    val counts = spark.read.parquet(s"$tmp/counts")
+    assert(clicks > 0 && errors > 0)
+    assert(counts.filter($"event_type" === "click").select($"count")
+      .as[Long].head() == clicks)
+  }
+
+  test("map builtins: TOMAP / lookup / KEYSET / VALUELIST / VALUESET") {
+    val df = Seq(1).toDF("x").select(
+      map(lit("a"), lit(1), lit("b"), lit(2), lit("c"), lit(2)).as("m"))
+    assert(df.select(element_at($"m", "b")).as[Int].head() == 2)
+    assert(df.select(PigFunctions.keySet($"m")).as[Seq[String]].head().sorted == Seq("a", "b", "c"))
+    assert(df.select(PigFunctions.valueList($"m")).as[Seq[Int]].head().sorted == Seq(1, 2, 2))
+    assert(df.select(PigFunctions.valueSet($"m")).as[Seq[Int]].head().sorted == Seq(1, 2))
+  }
+
+  test("bag builtins: BagToString / SUBTRACT / IsEmpty / SIZE") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b"))).toDF("b1", "b2")
+    assert(df.select(PigFunctions.bagToString($"b1", "_")).as[String].head() == "a_b_c")
+    assert(df.select(PigFunctions.bagSubtract($"b1", $"b2")).as[Seq[String]].head() == Seq("a", "c"))
+    assert(df.select(PigFunctions.isEmptyBag($"b2")).as[Boolean].head() == false)
+    assert(df.select(PigFunctions.sizeOf($"b1")).as[Int].head() == 3)
+  }
+}

@@ -39,6 +39,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("cosine_sim"), p.take(2000))
   }
 
+  test("q35: dedup pipeline uses the fused native kernels") {
+    val p = planOf("q35_dedup_minhash")
+    assert(p.contains("shingle_hash64"), p.take(2000))
+    assert(p.contains("minhash_sig"), p.take(2000))
+  }
+
   test("q14: order+limit plans as TakeOrderedAndProject, not a full sort") {
     val p = planOf("q14_order_limit")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
