@@ -539,7 +539,24 @@ object SparkEntry {
         .agg(
           round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("cor_qp"),
           round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qp"),
-          round(stddev_samp(col("l_quantity")), 6).as("sd_q")))
+          round(stddev_samp(col("l_quantity")), 6).as("sd_q"))),
+
+    // --- salted two-phase aggregation (hot-key defense; same answer) ---
+    "q57_salted_agg" -> ((s, dir) =>
+      Relational.saltedAggregate(t(s, dir).lineitem, Seq("l_returnflag"), 8)(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("ps"),
+        count(lit(1)).as("pc"))(
+        sum(col("ps")).cast("double").as("sum_qty"),
+        sum(col("pc")).as("cnt"))),
+
+    // --- exact interpolated percentiles + exact distinct count ---
+    "q58_percentiles" -> ((s, dir) =>
+      t(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+          countDistinct(col("l_orderkey")).as("n_orders")))
   )
 
   /** DuckDB-runnable oracle SQL, same column names as the Spark result. */
@@ -936,6 +953,19 @@ object SparkEntry {
          round(corr(l_quantity, l_extendedprice), 6) AS cor_qp,
          round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp,
          round(stddev_samp(l_quantity), 6) AS sd_q
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q57_salted_agg" ->
+      """SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         COUNT(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q58_percentiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+         round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+         COUNT(DISTINCT l_orderkey) AS n_orders
          FROM lineitem GROUP BY l_returnflag"""
   )
 }

@@ -176,6 +176,35 @@ object Relational {
   }
 
   // ------------------------------------------------------------------
+  // Salted two-phase aggregation — hot-key defense beyond AQE.
+  // ------------------------------------------------------------------
+
+  /** Aggregate with a synthetic salt splitting each group across
+    * `saltBuckets` reducers, then a cheap final combine on the true key.
+    *
+    * Spark's partial aggregation already combines map-side, which
+    * usually suffices; salting matters when a single group's PARTIAL
+    * states are themselves huge (collect-style aggregates) or when the
+    * final-stage reducer for one hot key becomes the straggler at
+    * 1000-executor scale. The salt is deterministic (hash of the whole
+    * row, not rand()) so retried tasks produce identical partials.
+    *
+    * `partialAggs` run per (key, salt); `finalAggs` recombine the
+    * partial columns per key — e.g. partial `sum(v).as("s")`, final
+    * `sum($"s").as("sum_v")`. The caller picks decomposable aggregates
+    * (sum/count/min/max/bounded top-k), as with any combiner. */
+  def saltedAggregate(
+      df: DataFrame, keys: Seq[String], saltBuckets: Int)(
+      partialAggs: Column*)(finalAggs: Column*): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(df.columns.map(col): _*), lit(saltBuckets)))
+    val partial = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    partial.groupBy(keys.map(col): _*).agg(finalAggs.head, finalAggs.tail: _*)
+  }
+
+  // ------------------------------------------------------------------
   // ASSERT — fail the job if any row violates the predicate (Pig 0.12).
   // ------------------------------------------------------------------
 

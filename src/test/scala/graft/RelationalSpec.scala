@@ -60,6 +60,18 @@ class RelationalSpec extends SparkSpec {
     assert(got == Set((1, 100), (1, 101), (2, 200)))
   }
 
+  test("saltedAggregate equals direct aggregation") {
+    val li = tables.lineitem
+    val direct = li.groupBy($"l_returnflag")
+      .agg(sum($"l_quantity").cast("decimal(18,2)").as("s"), count(lit(1)).as("c"))
+      .as[(String, BigDecimal, Long)].collect().toSet
+    val salted = Relational.saltedAggregate(li, Seq("l_returnflag"), 8)(
+        sum($"l_quantity").cast("decimal(18,2)").as("ps"), count(lit(1)).as("pc"))(
+        sum($"ps").cast("decimal(18,2)").as("s"), sum($"pc").as("c"))
+      .as[(String, BigDecimal, Long)].collect().toSet
+    assert(salted == direct)
+  }
+
   test("nested bag ops compose: filter -> sort -> limit -> sum") {
     val df = Seq(Seq((1, 2.0), (2, 8.0), (3, 4.0), (4, 6.0))).toDF("bag")
       .select($"bag".cast("array<struct<id:int,v:double>>").as("bag"))
