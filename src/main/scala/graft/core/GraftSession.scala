@@ -39,6 +39,14 @@ final class GraftSession(val spark: SparkSession) {
   /** STORE — write an alias out. */
   def store(alias: String, path: String, format: String = "parquet"): Unit =
     apply(alias).write.format(format).mode("overwrite").save(path)
+
+  /** Expose every registered alias as a temp view and run SQL against
+    * them — the PigServer `registerQuery`/`openIterator` programmatic
+    * entry point (SURVEY §3.3), with Spark SQL as the query language. */
+  def sql(query: String): DataFrame = {
+    env.foreach { case (alias, df) => df.createOrReplaceTempView(alias) }
+    spark.sql(query)
+  }
 }
 
 object GraftSession {

@@ -141,6 +141,15 @@ object PigFunctions {
   /** Pig SUBTRACT(bag1, bag2) — elements of bag1 not in bag2. */
   def bagSubtract(a: Column, b: Column): Column = array_except(a, b)
 
+  /** Pig UniqueID — unique-per-row id (nondeterministic across runs,
+    * like the reference's task-id + sequence scheme). */
+  def uniqueId(): Column = concat_ws("-",
+    spark_partition_id().cast("string"), monotonically_increasing_id().cast("string"))
+
+  /** Pig DIFF(bag1, bag2) — elements in exactly one of the two bags. */
+  def bagDiff(a: Column, b: Column): Column =
+    array_union(array_except(a, b), array_except(b, a))
+
   /** Pig KEYSET / VALUELIST / VALUESET over maps. */
   def keySet(m: Column): Column = map_keys(m)
   def valueList(m: Column): Column = map_values(m)

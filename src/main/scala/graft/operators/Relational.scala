@@ -57,6 +57,14 @@ object Relational {
     * the consumer only aggregates the bag, do NOT cogroup — use
     * groupBy().agg() so no bag is ever built.
     */
+  /** COGROUP with per-input INNER modifiers (Pig: `COGROUP A BY k INNER,
+    * B BY k;` drops keys where A's bag is empty). */
+  def cogroupInner(keyNames: Seq[String], inner: Set[String],
+      inputs: (String, DataFrame, Seq[String])*): DataFrame = {
+    val cg = cogroup(keyNames, inputs: _*)
+    inner.foldLeft(cg)((d, name) => d.filter(size(col(s"bag_$name")) > 0))
+  }
+
   def cogroup(keyNames: Seq[String], inputs: (String, DataFrame, Seq[String])*): DataFrame = {
     val grouped = inputs.map { case (name, df, keys) =>
       require(keys.length == keyNames.length, s"key arity mismatch for $name")

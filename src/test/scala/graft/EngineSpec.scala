@@ -36,6 +36,25 @@ class EngineSpec extends SparkSpec {
       .as[Long].head() == clicks)
   }
 
+  test("GraftSession.sql queries registered aliases (PigServer entry point)") {
+    val gs = new GraftSession(spark)
+    gs.register("r", tables.region).register("n", tables.nation)
+    val got = gs.sql(
+      "SELECT r_name, count(*) AS n FROM r JOIN n ON r_regionkey = n_regionkey GROUP BY r_name")
+    assert(got.count() == tables.region.count())
+    assert(got.agg(sum($"n")).as[Long].head() == tables.nation.count())
+  }
+
+  test("cogroupInner drops keys with an empty bag for that input") {
+    val a = Seq((1, "x")).toDF("k", "va")
+    val b = Seq((1, 10), (2, 20)).toDF("k", "vb")
+    val all = graft.operators.Relational.cogroup(Seq("k"), ("a", a, Seq("k")), ("b", b, Seq("k")))
+    val inner = graft.operators.Relational.cogroupInner(Seq("k"), Set("a"),
+      ("a", a, Seq("k")), ("b", b, Seq("k")))
+    assert(all.count() == 2 && inner.count() == 1)
+    assert(inner.select($"k").as[Int].head() == 1)
+  }
+
   test("map builtins: TOMAP / lookup / KEYSET / VALUELIST / VALUESET") {
     val df = Seq(1).toDF("x").select(
       map(lit("a"), lit(1), lit("b"), lit(2), lit("c"), lit(2)).as("m"))

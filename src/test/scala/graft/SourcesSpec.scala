@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** §2.1 source/sink coverage: every Load/StoreFunc class the reference
+  * ships maps to a built-in Spark format — prove the round trips. */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val base = Files.createTempDirectory("sources").toString
+  private lazy val orig = tables.orders
+    .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+
+  private def roundTrip(format: String, opts: Map[String, String] = Map.empty): Unit = {
+    val path = s"$base/$format"
+    orig.write.format(format).options(opts).mode("overwrite").save(path)
+    val back = spark.read.format(format).options(opts)
+      .schema(orig.schema).load(path)
+    assert(back.count() == orig.count())
+    assert(back.exceptAll(orig).count() == 0, s"$format round trip diverged")
+  }
+
+  test("parquet round trip (primary format / BinStorage interchange)") { roundTrip("parquet") }
+  test("orc round trip (OrcStorage)") { roundTrip("orc") }
+  test("avro round trip (AvroStorage) — requires spark-avro on the classpath") {
+    // this image ships avro-core but not the spark-avro connector; the
+    // format works unmodified on a cluster that deploys it
+    val avroAvailable = scala.util.Try(
+      Class.forName("org.apache.spark.sql.avro.AvroFileFormat")).isSuccess
+    assume(avroAvailable, "spark-avro connector not on classpath")
+    roundTrip("avro")
+  }
+  test("json round trip (JsonLoader/JsonStorage)") { roundTrip("json") }
+  test("csv round trip with delimiter (PigStorage)") {
+    roundTrip("csv", Map("delimiter" -> "|", "header" -> "false"))
+  }
+
+  test("delimited text with positional columns (schema-less PigStorage load)") {
+    val path = s"$base/pigstorage"
+    orig.write.option("delimiter", "\t").mode("overwrite").csv(path)
+    val pos = Engine.loadDelimited(spark, path, "\t") // _c0, _c1, ... all strings
+    assert(pos.columns.toSeq == Seq("_c0", "_c1", "_c2", "_c3"))
+    // lazy typing: cast at use site (SURVEY §1.3)
+    assert(pos.select(sum($"_c0".cast("long"))).as[Long].head() ==
+      orig.select(sum($"o_orderkey")).as[Long].head())
+  }
+}
