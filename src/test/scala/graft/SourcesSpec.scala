@@ -24,11 +24,13 @@ class SourcesSpec extends SparkSpec {
   test("parquet round trip (primary format / BinStorage interchange)") { roundTrip("parquet") }
   test("orc round trip (OrcStorage)") { roundTrip("orc") }
   test("avro round trip (AvroStorage) — requires spark-avro on the classpath") {
-    // this image ships avro-core but not the spark-avro connector; the
-    // format works unmodified on a cluster that deploys it
+    // this image ships avro-core (and even the AvroFileFormat class in
+    // spark-sql) but not the spark-avro module whose service registration
+    // makes format("avro") resolvable; probe the actual lookup
     val avroAvailable = scala.util.Try(
-      Class.forName("org.apache.spark.sql.avro.AvroFileFormat")).isSuccess
-    assume(avroAvailable, "spark-avro connector not on classpath")
+      orig.limit(0).write.format("avro").mode("overwrite")
+        .save(s"$base/avro_probe")).isSuccess
+    assume(avroAvailable, "spark-avro connector not deployed in this image")
     roundTrip("avro")
   }
   test("json round trip (JsonLoader/JsonStorage)") { roundTrip("json") }
