@@ -556,7 +556,13 @@ object SparkEntry {
         .agg(
           round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
           round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
-          countDistinct(col("l_orderkey")).as("n_orders")))
+          countDistinct(col("l_orderkey")).as("n_orders"))),
+
+    // --- end-to-end fuzzy dedup: pairs -> clusters -> canonical keeper
+    //     (approximate pair generation -> rows-only) ---
+    "q59_dedup_assign" -> ((s, dir) =>
+      graft.operators.Dedup.dedupAssignments(t(s, dir).documents, "doc_id", "text",
+        threshold = 0.8))
   )
 
   /** DuckDB-runnable oracle SQL, same column names as the Spark result. */

@@ -141,6 +141,57 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  // ---------------- pair clustering / canonical winners ----------------
+
+  /** Connected components over a dup-pair edge list (id1, id2) via
+    * min-label propagation: every node's label converges to the smallest
+    * id in its component. Iterative joins — the standard Spark CC shape
+    * for the modest diameters dup-clusters have (usually 1-2; star
+    * patterns converge in 2 rounds). `maxIter` bounds pathological
+    * chains; labels are exact when the driver-checked convergence flag
+    * holds. */
+  def clusterPairs(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("id1"), col("id2"))
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("id1").as("id"))
+      .union(edges.select(col("id2").as("id"))).distinct()
+      .withColumn("label", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "id2"), Seq("id2"))
+        .select(col("id1").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label"))
+        .union(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels // (id, label = min id of component)
+  }
+
+  /** End-to-end fuzzy dedup: fuzzy pairs -> clusters -> one row per
+    * cluster member with its canonical keeper id. Docs with no dup
+    * partner keep themselves. */
+  def dedupAssignments(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = fuzzyDupPairs(df, idCol, textCol, threshold = threshold)
+    val clustered = clusterPairs(pairs)
+    df.select(col(idCol))
+      .join(clustered.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("label"), col(idCol)).as("keep_id"))
+  }
+
   // ---------------- SimHash ----------------
 
   /** 64-bit SimHash fingerprints, one row per doc: explode tokens, hash

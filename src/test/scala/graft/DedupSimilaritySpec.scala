@@ -58,6 +58,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("clusterPairs: min-label connected components over edge list") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 23L))
+      .toDF("id1", "id2")
+    val labels = Dedup.clusterPairs(pairs).as[(Long, Long)].collect().toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+    assert(Seq(20L, 21L, 22L, 23L).forall(labels(_) == 20L))
+  }
+
+  test("dedupAssignments: every doc gets a keeper; singletons keep themselves") {
+    val asg = Dedup.dedupAssignments(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(asg.size == 5)
+    assert(asg(5L) == 5L)                 // unrelated doc keeps itself
+    assert(asg(1L) == 1L && asg(4L) == 1L) // exact dups share keeper 1
+  }
+
+  test("planted near-duplicates: minhash recall >= 0.9 at threshold 0.8") {
+    // 150 deterministic base docs from a 40-word vocabulary + 30 planted
+    // near-dups (one token replaced) => 30 true pairs with jaccard ~0.9
+    val vocab = (0 until 40).map(i => s"w$i")
+    val rng = new scala.util.Random(7)
+    val base = (0 until 150).map { i =>
+      (i.toLong, (0 until 30).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val planted = (0 until 30).map { i =>
+      val (srcId, text) = base(i * 5)
+      val toks = text.split(" ")
+      toks(rng.nextInt(toks.length)) = "zz" // one-token edit
+      (1000L + srcId, toks.mkString(" "))
+    }
+    val corpus = (base ++ planted).toDF("doc_id", "text")
+    val expected = (0 until 30).map(i => base(i * 5)._1).map(id => (id, 1000L + id)).toSet
+    val found = Dedup.fuzzyDupPairs(corpus, "doc_id", "text", threshold = 0.75)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val recalled = expected.count(found.contains)
+    assert(recalled >= 27, s"recall ${recalled}/30 too low; found=${found.size}")
+  }
+
   test("cosine HOF matches a hand computation") {
     val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 4.0f, 4.0f))).toDF("a", "b")
     val got = df.select(Similarity.cosine(
