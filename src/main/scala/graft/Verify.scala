@@ -8,7 +8,7 @@ object Verify {
     val Array(sfDir, outDir, rest @ _*) = args
     // Optional 3rd arg (dev only): comma-separated query names to run.
     val only: Option[Set[String]] = rest.headOption.map(_.split(',').toSet)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = graft.core.GraftSession.configure(
       SparkSession.builder()
         .master(s"local[$cpus]")

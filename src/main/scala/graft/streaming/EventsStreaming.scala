@@ -58,6 +58,14 @@ object EventsStreaming {
   def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream–static enrichment join: each micro-batch joins against the
+    * (broadcastable) static dimension — the standard lookup-enrichment
+    * shape; the static side is re-planned per batch so slowly-changing
+    * dimensions refresh without restarting the query. */
+  def enriched(events: DataFrame, dim: DataFrame, eventKey: String, dimKey: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim),
+      col(eventKey) === col(dimKey), "left")
+
   // ---------------- custom keyed state ----------------
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

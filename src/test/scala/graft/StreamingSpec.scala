@@ -76,6 +76,22 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("stream-static enrichment join matches the batch join") {
+    val stream = EventsStreaming.readEvents(spark, replayDir)
+    val dim = tables.customer.select($"c_custkey", $"c_mktsegment")
+    EventsStreaming.runAvailableNow(
+      EventsStreaming.enriched(stream, dim, "user_id", "c_custkey")
+        .select($"event_id", $"c_mktsegment"),
+      "enriched_out", OutputMode.Append())
+    val got = spark.table("enriched_out")
+      .as[(Long, Option[String])].collect().toSet
+    val want = tables.events.join(dim, $"user_id" === $"c_custkey", "left")
+      .select($"event_id", $"c_mktsegment")
+      .as[(Long, Option[String])].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("session windows: streaming equals batch session_window up to the watermark") {
     val stream = EventsStreaming.readEvents(spark, replayDir)
     EventsStreaming.runAvailableNow(
