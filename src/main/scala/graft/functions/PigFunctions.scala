@@ -96,6 +96,34 @@ object PigFunctions {
   def hoursBetween(a: Column, b: Column): Column =
     floor((unix_timestamp(a) - unix_timestamp(b)) / 3600L).cast("long")
 
+  def minutesBetween(a: Column, b: Column): Column =
+    floor((unix_timestamp(a) - unix_timestamp(b)) / 60L).cast("long")
+
+  def secondsBetween(a: Column, b: Column): Column =
+    (unix_timestamp(a) - unix_timestamp(b)).cast("long")
+
+  def weeksBetween(a: Column, b: Column): Column =
+    floor((unix_timestamp(a) - unix_timestamp(b)) / (7L * 86400L)).cast("long")
+
+  /** Pig MonthsBetween — whole months (Joda monthsBetween truncates). */
+  def monthsBetweenPig(a: Column, b: Column): Column =
+    floor(months_between(a, b)).cast("long")
+
+  def yearsBetween(a: Column, b: Column): Column =
+    floor(months_between(a, b) / 12.0).cast("long")
+
+  /** Pig GetWeek (ISO week-of-year) / GetWeekYear. */
+  def getWeek(c: Column): Column = weekofyear(c)
+  /** ISO week-year = the year of that week's Thursday. */
+  def getWeekYear(c: Column): Column = {
+    val isoDow = (dayofweek(c) + lit(5)) % 7 // Monday=0 .. Sunday=6
+    year(date_add(c, (lit(3) - isoDow).cast("int")))
+  }
+
+  /** Pig ToUnixTime / ToMilliSeconds. */
+  def toUnixTime(c: Column): Column = unix_timestamp(c)
+  def toMilliSeconds(c: Column): Column = (unix_millis(c)).cast("long")
+
   /** Pig AddDuration(dt, 'ISO-8601') for day/hour/minute/second grain.
     * Coarser grains (P1M, P1Y) use months; mixed designators supported
     * for the common forms (e.g. P1DT2H30M). */

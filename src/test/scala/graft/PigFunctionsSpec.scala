@@ -40,6 +40,26 @@ class PigFunctionsSpec extends SparkSpec {
     assert(got == "2024-01-02 02:30:00")
   }
 
+  test("xBetween family truncates whole units like Joda") {
+    val df = Seq(("2024-03-15 12:30:45", "2024-01-01 00:00:00")).toDF("a", "b")
+      .select(to_timestamp($"a").as("a"), to_timestamp($"b").as("b"))
+    assert(df.select(daysBetween($"a", $"b")).as[Long].head() == 74L)
+    assert(df.select(hoursBetween($"a", $"b")).as[Long].head() == 74L * 24 + 12)
+    assert(df.select(weeksBetween($"a", $"b")).as[Long].head() == 10L)
+    assert(df.select(monthsBetweenPig($"a", $"b")).as[Long].head() == 2L)
+    assert(df.select(yearsBetween($"a", $"b")).as[Long].head() == 0L)
+    assert(df.select(secondsBetween($"a", $"b")).as[Long].head() ==
+      (74L * 24 + 12) * 3600 + 30 * 60 + 45)
+  }
+
+  test("getWeekYear follows ISO week-year at year boundaries") {
+    // 2024-12-30 is ISO week 1 of 2025; 2021-01-01 is ISO week 53 of 2020
+    val df = Seq("2024-12-30", "2021-01-01", "2024-06-15").toDF("s")
+      .select(to_timestamp($"s").as("t"))
+    val got = df.select(getWeekYear($"t")).as[Int].collect().toSeq
+    assert(got == Seq(2025, 2020, 2024))
+  }
+
   test("topN picks n largest by field") {
     val df = Seq(Seq((1, "a"), (5, "b"), (3, "c"))).toDF("bag")
       .select($"bag".cast("array<struct<v:int,s:string>>").as("bag"))
