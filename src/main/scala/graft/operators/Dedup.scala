@@ -151,13 +151,19 @@ object Dedup {
     * chains; labels are exact when the driver-checked convergence flag
     * holds. */
   def clusterPairs(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val spark = pairs.sparkSession
+    // Eager localCheckpoint at every step: caching alone is NOT enough
+    // for iterative dataflows — the LOGICAL plan keeps growing and
+    // Catalyst canonicalization goes super-linear after a few rounds.
+    // Checkpointing truncates lineage to a materialized RDD. (Production
+    // note: use reliable checkpoint() with a checkpoint dir so executor
+    // loss cannot drop the truncated lineage.)
     val edges = pairs.select(col("id1"), col("id2"))
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = edges.select(col("id1").as("id"))
       .union(edges.select(col("id2").as("id"))).distinct()
       .withColumn("label", col("id"))
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -167,15 +173,13 @@ object Dedup {
       val next = labels.select(col("id"), col("label"))
         .union(viaNeighbor)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
     labels // (id, label = min id of component)
   }
 
