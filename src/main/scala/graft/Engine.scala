@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Relational, Similarity, StreamThrough, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Relational, Similarity, StreamThrough, TextAnalysis, TrainingPipeline}
 
 /** The user-facing operator surface, named 1:1 after the reference
   * lineage's operators (SURVEY.md §2) so a reference user can map every
@@ -193,4 +193,10 @@ object Engine {
 
   def packMedia(df: DataFrame, srcCol: String, mime: String): DataFrame =
     Multimodal.packMedia(df, srcCol, mime)
+
+  /** One-call training-data curation: language/quality filter -> exact
+    * dedup -> fuzzy dedup clusters -> token annotations. */
+  def curate(df: DataFrame, idCol: String, textCol: String,
+      cfg: TrainingPipeline.Config = TrainingPipeline.Config()): DataFrame =
+    TrainingPipeline.curate(df, idCol, textCol, cfg)
 }
