@@ -47,8 +47,12 @@ object Federation {
   sealed trait FedPlan { def label: String }
   /** Leaf: scan a cataloged table. */
   final case class FedScan(table: String) extends FedPlan { def label = s"scan($table)" }
-  /** Unary stage: any DataFrame pipeline (filter/project/agg/...). */
-  final case class FedStage(input: FedPlan, f: DataFrame => DataFrame, label: String) extends FedPlan
+  /** Unary stage: any DataFrame pipeline (filter/project/agg/...).
+    * `selectivity` is the caller's output/input size estimate for the
+    * cost pass (PigOut-class heuristic, SURVEY §7.5.6 — the reference's
+    * partitioner uses the same per-operator guesses). */
+  final case class FedStage(input: FedPlan, f: DataFrame => DataFrame, label: String,
+      selectivity: Double = 0.5) extends FedPlan
   /** Binary stage: join/union of two subplans. */
   final case class FedBinary(left: FedPlan, right: FedPlan,
       f: (DataFrame, DataFrame) => DataFrame, label: String) extends FedPlan
@@ -70,7 +74,8 @@ object Federation {
 
   private def estimateBytes(plan: FedPlan, catalog: Catalog, anySession: SparkSession): Long = plan match {
     case FedScan(t) => tableBytes(anySession, catalog(t).uri)
-    case FedStage(in, _, _) => math.max(1L, estimateBytes(in, catalog, anySession) / 2) // selectivity guess
+    case FedStage(in, _, _, sel) =>
+      math.max(1L, (estimateBytes(in, catalog, anySession) * sel).toLong)
     case FedBinary(l, r, _, _) =>
       estimateBytes(l, catalog, anySession) + estimateBytes(r, catalog, anySession)
   }
@@ -86,7 +91,7 @@ object Federation {
     def walk(p: FedPlan): String = p match {
       case s @ FedScan(t) =>
         val c = catalog(t).cluster; assign(s) = c; c
-      case st @ FedStage(in, _, _) =>
+      case st @ FedStage(in, _, _, _) =>
         val c = walk(in); assign(st) = c; c
       case b @ FedBinary(l, r, _, _) =>
         val cl = walk(l); val cr = walk(r)
@@ -144,7 +149,7 @@ object Federation {
             cluster.session.read.format(loc.format).load(loc.uri)
           }
         }
-      case st @ FedStage(in, f, label) =>
+      case st @ FedStage(in, f, label, _) =>
         run(in, pl).map { df => withRetry(label)(f(df)) }
       case b @ FedBinary(l, r, f, label) =>
         val fl = run(l, pl)

@@ -49,6 +49,53 @@ class FederationSpec extends SparkSpec {
     assert(placement.assignment(join) == "B")
   }
 
+  test("three clusters, chained joins: two transfers, both toward the bigger data") {
+    val tmp = Files.createTempDirectory("fed3").toString
+    val (custUri, ordUri, liUri) = (s"$tmp/a/customer", s"$tmp/b/orders", s"$tmp/c/lineitem")
+    tables.customer.write.mode("overwrite").parquet(custUri)
+    tables.orders.write.mode("overwrite").parquet(ordUri)
+    tables.lineitem.write.mode("overwrite").parquet(liUri)
+    val catalog = new Catalog()
+      .register("customer", TableLoc("A", "parquet", custUri))
+      .register("orders", TableLoc("B", "parquet", ordUri))
+      .register("lineitem", TableLoc("C", "parquet", liUri))
+    val clusters = Map(
+      "A" -> Cluster("A", spark.newSession(), s"$tmp/a/scratch"),
+      "B" -> Cluster("B", spark.newSession(), s"$tmp/b/scratch"),
+      "C" -> Cluster("C", spark.newSession(), s"$tmp/c/scratch"))
+    val co = FedBinary(FedScan("customer"), FedScan("orders"),
+      (c, o) => c.join(o, c("c_custkey") === o("o_custkey")), "cust_orders")
+    val root = FedBinary(co, FedScan("lineitem"),
+      (coDf, li) => coDf.join(li, coDf("o_orderkey") === li("l_orderkey"))
+        .groupBy("c_custkey").agg(count(lit(1)).as("n")), "with_lines")
+    val placement = Federation.plan(root, catalog, clusters)
+    // customer (smaller) ships A->B; then the join result ships B->C
+    // because lineitem is the biggest input
+    assert(placement.transfers.map(t => (t._2, t._3)) == Seq(("A", "B"), ("B", "C")))
+    assert(placement.assignment(root) == "C")
+    val fed = new Orchestrator(catalog, clusters).execute(root)
+    val local = tables.customer
+      .join(tables.orders, col("c_custkey") === col("o_custkey"))
+      .join(tables.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("c_custkey").agg(count(lit(1)).as("n"))
+    assert(fed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      local.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("selectivity annotation steers the cut: a filtered big side ships instead") {
+    val (catalog, clusters) = setup()
+    // orders heavily filtered -> estimated tiny -> it ships to A now
+    val join = FedBinary(
+      FedScan("customer"),
+      FedStage(FedScan("orders"), _.filter(col("o_orderpriority") === "1-URGENT"),
+        "urgent_only", selectivity = 0.01),
+      (c, o) => c.join(o, c("c_custkey") === o("o_custkey")), "join")
+    val placement = Federation.plan(join, catalog, clusters)
+    assert(placement.transfers.size == 1)
+    val (_, from, dest) = placement.transfers.head
+    assert(from == "B" && dest == "A")
+  }
+
   test("federated execution matches a single-session run") {
     val (catalog, clusters) = setup()
     val join = FedBinary(
