@@ -562,7 +562,18 @@ object SparkEntry {
     //     (approximate pair generation -> rows-only) ---
     "q59_dedup_assign" -> ((s, dir) =>
       graft.operators.Dedup.dedupAssignments(t(s, dir).documents, "doc_id", "text",
-        threshold = 0.8))
+        threshold = 0.8)),
+
+    // --- SQL entry point (PigServer parity, SURVEY §3.3): the SAME SQL
+    //     text runs on Spark (via GraftSession.sql) and on DuckDB ---
+    "q60_sql_entry" -> ((s, dir) => {
+      val tb = t(s, dir)
+      val gs = new graft.core.GraftSession(s)
+      gs.register("customer", tb.customer)
+        .register("nation", tb.nation)
+        .register("region", tb.region)
+      gs.sql(SparkEntry.oracleSql("q60_sql_entry"))
+    })
   )
 
   /** DuckDB-runnable oracle SQL, same column names as the Spark result. */
@@ -972,6 +983,15 @@ object SparkEntry {
          round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
          round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
          COUNT(DISTINCT l_orderkey) AS n_orders
-         FROM lineitem GROUP BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag""",
+
+    // engine-portable dialect: this exact text runs on Spark AND DuckDB
+    "q60_sql_entry" ->
+      """SELECT r_name, COUNT(*) AS n_cust,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name"""
   )
 }
