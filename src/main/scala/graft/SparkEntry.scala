@@ -573,7 +573,16 @@ object SparkEntry {
         .register("nation", tb.nation)
         .register("region", tb.region)
       gs.sql(SparkEntry.oracleSql("q60_sql_entry"))
-    })
+    }),
+
+    // --- bag builtin family (TOKENIZE/SIZE/BagToString/sorted bags) ---
+    "q61_bag_funcs" -> ((s, dir) =>
+      t(s, dir).documents.select(
+        col("doc_id"),
+        sizeOf(tokenize(col("text"))).cast("long").as("n_tokens"),
+        bagToString(slice(array_sort(array_distinct(tokenize(col("text")))), 1, 5), "|")
+          .as("first5_sorted"),
+        isEmptyBag(tokenize(col("text"))).as("is_empty")))
   )
 
   /** DuckDB-runnable oracle SQL, same column names as the Spark result. */
@@ -992,6 +1001,13 @@ object SparkEntry {
          FROM customer
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
-         GROUP BY r_name"""
+         GROUP BY r_name""",
+
+    "q61_bag_funcs" ->
+      """SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+         array_to_string(list_sort(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')))[1:5], '|') AS first5_sorted,
+         len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) = 0 AS is_empty
+         FROM documents"""
   )
 }
