@@ -530,7 +530,9 @@ object SparkEntry {
         sprintf("%s-%04d", lower(col("c_mktsegment")), col("c_custkey")).as("tag"),
         ucfirst(lower(col("c_mktsegment"))).as("seg_uc"),
         startsWithPig(col("c_name"), "Customer#00000000").as("low_id"),
-        strSplit(col("c_name"), "#").as("name_parts"))),
+        // serialized (not a raw list column): the driver's compare hashes
+        // sorted columns and cannot sort array cells
+        array_join(strSplit(col("c_name"), "#"), "/").as("name_parts"))),
 
     // --- statistics aggregates (COR / COV / STDDEV, Pig §2.6 bag-pair stats) ---
     "q56_stats_agg" -> ((s, dir) =>
@@ -576,13 +578,15 @@ object SparkEntry {
     }),
 
     // --- bag builtin family (TOKENIZE/SIZE/BagToString/sorted bags) ---
+    // lower() BEFORE tokenize on both sides — the oracle lowercases too,
+    // so the check stays meaningful on mixed-case corpora
     "q61_bag_funcs" -> ((s, dir) =>
       t(s, dir).documents.select(
         col("doc_id"),
-        sizeOf(tokenize(col("text"))).cast("long").as("n_tokens"),
-        bagToString(slice(array_sort(array_distinct(tokenize(col("text")))), 1, 5), "|")
+        sizeOf(tokenize(lower(col("text")))).cast("long").as("n_tokens"),
+        bagToString(slice(array_sort(array_distinct(tokenize(lower(col("text"))))), 1, 5), "|")
           .as("first5_sorted"),
-        isEmptyBag(tokenize(col("text"))).as("is_empty")))
+        isEmptyBag(tokenize(lower(col("text")))).as("is_empty")))
   )
 
   /** DuckDB-runnable oracle SQL, same column names as the Spark result. */
@@ -941,6 +945,7 @@ object SparkEntry {
               ELSE CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
                             * CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
                    / CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0
          END AS w_avg_price
          FROM lineitem GROUP BY l_returnflag""",
 
@@ -971,7 +976,7 @@ object SparkEntry {
          printf('%s-%04d', lower(c_mktsegment), c_custkey) AS tag,
          upper(substring(lower(c_mktsegment), 1, 1)) || substring(lower(c_mktsegment), 2) AS seg_uc,
          starts_with(c_name, 'Customer#00000000') AS low_id,
-         string_split(c_name, '#') AS name_parts
+         array_to_string(string_split(c_name, '#'), '/') AS name_parts
          FROM customer""",
 
     "q56_stats_agg" ->

@@ -26,8 +26,10 @@ object Aggregators {
     }
     def merge(a: WeightedAvgBuf, b: WeightedAvgBuf): WeightedAvgBuf =
       WeightedAvgBuf(a.sumVW + b.sumVW, a.sumW + b.sumW)
+    // sumVW carries cents*cents (1e4·Σvw) while sumW carries cents
+    // (1e2·Σw); the quotient is 100× the true mean, so rescale here.
     def finish(b: WeightedAvgBuf): Double =
-      if (b.sumW == 0) 0.0 else b.sumVW.toDouble / b.sumW.toDouble
+      if (b.sumW == 0) 0.0 else b.sumVW.toDouble / b.sumW.toDouble / 100.0
     def bufferEncoder: Encoder[WeightedAvgBuf] = Encoders.product[WeightedAvgBuf]
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }

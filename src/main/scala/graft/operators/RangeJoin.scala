@@ -27,10 +27,13 @@ object RangeJoin {
       binSize: Double): DataFrame = {
     require(binSize > 0, "binSize must be positive")
     val ptBin = floor(col(pointCol) / binSize).cast("long")
-    // interval [lo, hi) overlaps bins floor(lo/b) .. floor((hi - ulp)/b);
-    // hi exactly on a bin edge contributes nothing to that edge's bin.
+    // interval [lo, hi) explodes to bins floor(lo/b) .. floor(hi/b); the
+    // top bin is superfluous only when hi sits exactly on a bin edge, and
+    // the residual predicate discards those candidates — one spare bin
+    // per interval is cheaper than an epsilon that silently drops points
+    // lying within eps below hi (or does nothing once eps < ulp(hi)).
     val loBin = floor(col(loCol) / binSize).cast("long")
-    val hiBin = floor((col(hiCol) - lit(1e-9)) / binSize).cast("long")
+    val hiBin = floor(col(hiCol) / binSize).cast("long")
     val binned = intervals
       .withColumn("__bin", explode(sequence(loBin, greatest(hiBin, loBin))))
     points.withColumn("__bin", ptBin)

@@ -32,6 +32,33 @@ object StreamThrough {
         val pb = new ProcessBuilder(command: _*)
         pb.redirectErrorStream(false)
         val proc = pb.start()
+        // stderr must be drained or a chatty command blocks on a full
+        // OS pipe buffer (~64KB) and deadlocks the task; keep a bounded
+        // tail for the failure message.
+        val errTail = new java.util.concurrent.ConcurrentLinkedDeque[String]()
+        val errDrain = new Thread {
+          override def run(): Unit = {
+            val e = new BufferedReader(
+              new InputStreamReader(proc.getErrorStream, StandardCharsets.UTF_8))
+            try {
+              var line = e.readLine()
+              while (line != null) {
+                errTail.addLast(line)
+                while (errTail.size > 20) errTail.pollFirst()
+                line = e.readLine()
+              }
+            } catch { case _: java.io.IOException => () }
+          }
+        }
+        errDrain.setDaemon(true)
+        errDrain.start()
+        // if the output iterator is abandoned (limit, task kill), the
+        // child must not outlive the task
+        Option(org.apache.spark.TaskContext.get()).foreach {
+          _.addTaskCompletionListener[Unit] { _ =>
+            if (proc.isAlive) proc.destroy()
+          }
+        }
         val writer = new Thread {
           override def run(): Unit = {
             val w = new BufferedWriter(
@@ -62,8 +89,15 @@ object StreamThrough {
           def hasNext: Boolean = {
             if (nextLine == null) {
               val code = proc.waitFor()
-              if (code != 0)
-                throw new RuntimeException(s"STREAM THROUGH ${command.mkString(" ")} exited $code")
+              if (code != 0) {
+                val tail = {
+                  val it = errTail.iterator(); val sb = new StringBuilder
+                  while (it.hasNext) { sb.append("\n  stderr> ").append(it.next()) }
+                  sb.toString
+                }
+                throw new RuntimeException(
+                  s"STREAM THROUGH ${command.mkString(" ")} exited $code$tail")
+              }
             }
             nextLine != null
           }

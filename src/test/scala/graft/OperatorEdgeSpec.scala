@@ -58,4 +58,24 @@ class OperatorEdgeSpec extends SparkSpec {
       .agg(expr("weighted_avg(l_extendedprice, l_quantity)").as("w")).as[(String, Double)].collect().toMap
     assert(r1 == r13) // exact integer buffer -> identical at any parallelism
   }
+
+  test("weighted_avg returns the true weighted mean, not a scaled one") {
+    graft.functions.Aggregators.register(spark)
+    // hand-computable: (10.00*2 + 40.00*6) / (2+6) = 260/8 = 32.5
+    val df = Seq((10.00, 2.0), (40.00, 6.0)).toDF("v", "w")
+    val got = df.agg(expr("weighted_avg(v, w)")).as[Double].head()
+    assert(math.abs(got - 32.5) < 1e-9, s"got $got, want 32.5")
+    // degenerate: all-zero weights -> 0.0, not NaN
+    val z = Seq((5.0, 0.0)).toDF("v", "w").agg(expr("weighted_avg(v, w)")).as[Double].head()
+    assert(z == 0.0)
+  }
+
+  test("StreamThrough survives a command flooding stderr") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    // ~1MB of stderr noise before echoing stdin — deadlocks if stderr
+    // is not drained (OS pipe buffer is ~64KB)
+    val script = "head -c 1000000 /dev/zero | tr '\\0' 'e' >&2; cat"
+    val out = StreamThrough(df, Seq("sh", "-c", script), Seq("id", "s"))
+    assert(out.count() == 2)
+  }
 }

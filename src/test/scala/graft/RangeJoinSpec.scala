@@ -22,6 +22,18 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.contains((100.0, 100.0, 300.0)) && !got.exists(r => r._1 == 100.0 && r._3 == 100.0))
   }
 
+  test("range join keeps points arbitrarily close below hi at a bin edge") {
+    // hi = 150.0 sits exactly on a binSize=75 edge; the point 150-ulp
+    // lives in bin 1 which an epsilon-trimmed hiBin would never explode
+    // into — regression for the silent-drop bug.
+    val nearHi = math.nextDown(150.0)
+    val points = Seq(nearHi, 149.9999999999, 150.0).toDF("v")
+    val intervals = Seq((100.0, 150.0)).toDF("lo", "hi")
+    val got = RangeJoin.pointInInterval(points, "v", intervals, "lo", "hi", binSize = 75.0)
+      .select($"v").as[Double].collect().toSet
+    assert(got == Set(nearHi, 149.9999999999)) // 150.0 excluded: hi exclusive
+  }
+
   test("IVF top-k overlaps brute force substantially on self-query") {
     val emb = tables.embeddings
     val q = emb.filter($"vec_id" % 250 === 0)
