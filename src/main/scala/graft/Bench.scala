@@ -30,7 +30,11 @@ object Bench {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_BENCH_ONLY=q39_cosine_topk,q35_dedup_minhash narrows the
+    // set for profiling a single query without touching the contract.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val qs = headline.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n)))
 
     // Warm pass: JIT, codegen caches, OS page cache for the parquet.
     qs.foreach { name =>
@@ -39,19 +43,26 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] warm $name failed: ${e.getMessage}") }
     }
 
-    // Median of 3 timed runs per query damps JIT/GC run-to-run noise;
-    // a GC between queries keeps one query's garbage out of the next
-    // query's measurement.
+    // Median of 5 timed runs per query: the sandbox host stalls for
+    // 10–25 s at random (round-1 recorded a 19 s median on a 1 s query
+    // when 2 of 3 runs landed in one stall); 5 runs need 3 poisoned
+    // runs to corrupt the median. A GC between queries keeps one
+    // query's garbage out of the next query's measurement.
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val results = qs.map { name =>
       System.gc()
-      val times = (1 to 3).map { _ =>
+      val raw = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
         catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
+      }
+      val times = raw.sorted
+      // raw (temporal) order exposes within-session drift; sorted order
+      // is what the median is read from
+      System.err.println(f"[bench] $name raw=${raw.map(t => f"$t%.2f").mkString(",")}")
       System.err.println(f"[bench] $name times=${times.map(t => f"$t%.2f").mkString(",")}")
-      name -> times(1)
+      name -> times(times.length / 2)
     }
     val qjson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

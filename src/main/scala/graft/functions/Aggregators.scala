@@ -49,6 +49,32 @@ object Aggregators {
     def outputEncoder: Encoder[String] = Encoders.STRING
   }
 
+  /** Bounded top-k by (score desc, id asc) — the partial-aggregation
+    * shape for distributed top-k-per-group: each map task reduces its
+    * slice to ≤ k entries, so the shuffle moves k-element STATES (one
+    * per group per partition), never the scored rows themselves. At
+    * 100 TB that is the difference between shuffling ~|corpus|·|queries|
+    * rows and shuffling |partitions|·|queries|·k.
+    *
+    * Selection is order-insensitive (ties broken by id), so the result
+    * is identical at any partition count. IN = (score, id).
+    */
+  class TopKByScore(k: Int)
+      extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
+    private val ord: Ordering[(Double, Long)] = Ordering.by(t => (-t._1, t._2))
+    def zero: List[(Double, Long)] = Nil
+    def reduce(b: List[(Double, Long)], a: (Double, Long)): List[(Double, Long)] =
+      if (b.lengthCompare(k) >= 0 && ord.gteq(a, b.last)) b // below the bar: O(1) reject
+      else (a :: b).sorted(ord).take(k)
+    def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
+      (a ++ b).sorted(ord).take(k)
+    def finish(r: List[(Double, Long)]): Seq[(Double, Long)] = r.sorted(ord)
+    def bufferEncoder: Encoder[List[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, Long)]]()
+    def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
   /** Register SQL-callable forms on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.udf.register("weighted_avg",

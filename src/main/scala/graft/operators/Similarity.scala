@@ -32,12 +32,37 @@ object Similarity {
   def cosineFast(a: Column, b: Column): Column =
     graft.plans.VectorExpressions.cosineSim(a, b)
 
+  /** Distributed top-k per query over a scored (query_id, id, score)
+    * frame, via the bounded [[graft.functions.Aggregators.TopKByScore]]
+    * aggregator: each map task reduces its slice to ≤ k entries per
+    * query, so the shuffle carries k-element states — NOT the scored
+    * rows. A `row_number` window here would shuffle and sort the entire
+    * |corpus|·|queries| score stream; this shape shuffles
+    * |partitions|·|queries|·k regardless of corpus size.
+    * Ordering (score desc, id asc) is selection-based, so the result is
+    * identical at any partition count. */
+  private[operators] def boundedTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored
+      .select(col("query_id").cast("long"), col(idCol).cast("long"),
+        col("score").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._3, t._2))
+      .agg(new graft.functions.Aggregators.TopKByScore(k).toColumn)
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case ((s, id), i) => (qid, id, s, (i + 1).toLong) }
+      }
+      .toDF("query_id", "neighbor_id", "score", "rn")
+  }
+
   /** Exact brute-force top-k neighbors for each query vector.
     *
     * The query set is broadcast (it is small by construction — if it
     * weren't, you'd use the LSH path); the corpus streams through a
-    * BroadcastNestedLoopJoin with per-group bounded top-k, so the full
-    * score matrix is never materialized. */
+    * BroadcastNestedLoopJoin with bounded top-k aggregation, so the full
+    * score matrix is never materialized OR shuffled. */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       corpusId: String, queryId: String, vecCol: String,
@@ -48,11 +73,7 @@ object Similarity {
       .select(col(corpusId), asDouble(col(vecCol)).as("__cvec"))
       .join(broadcast(q), col(corpusId) =!= col("query_id")) // exclude self-match
       .withColumn("score", cosineFast(col("__cvec"), col("__qvec")))
-    Relational.topPerGroup(
-        scored.select(col("query_id"), col(corpusId), col("score")),
-        Seq("query_id"), "score", k, corpusId)
-      .select(col("query_id"), col(corpusId).as("neighbor_id"), col("score"),
-        col("rn").cast("long").as("rn"))
+    boundedTopK(scored.select(col("query_id"), col(corpusId), col("score")), corpusId, k)
   }
 
   /** Deterministic pseudo-random unit-ish hyperplane component for
@@ -89,11 +110,7 @@ object Similarity {
     val scored = c.join(q, Seq("__bucket"))
       .filter(col(corpusId) =!= col("query_id"))
       .withColumn("score", cosineFast(col("__cvec"), col("__qvec")))
-    Relational.topPerGroup(
-        scored.select(col("query_id"), col(corpusId), col("score")),
-        Seq("query_id"), "score", k, corpusId)
-      .select(col("query_id"), col(corpusId).as("neighbor_id"), col("score"),
-        col("rn").cast("long").as("rn"))
+    boundedTopK(scored.select(col("query_id"), col(corpusId), col("score")), corpusId, k)
   }
 
   /** IVF (inverted-file) ANN top-k — the classic two-stage scale path:
@@ -141,11 +158,7 @@ object Similarity {
     val scored = assigned.join(probes, Seq("cell"))
       .filter(col(corpusId) =!= col("query_id"))
       .withColumn("score", cosineFast(col("__v"), col("__q")))
-    Relational.topPerGroup(
-        scored.select(col("query_id"), col(corpusId), col("score")),
-        Seq("query_id"), "score", k, corpusId)
-      .select(col("query_id"), col(corpusId).as("neighbor_id"), col("score"),
-        col("rn").cast("long").as("rn"))
+    boundedTopK(scored.select(col("query_id"), col(corpusId), col("score")), corpusId, k)
   }
 
   /** Embedding-cosine near-duplicate pairs (id1 < id2, cosine >= tau)
