@@ -586,7 +586,72 @@ object SparkEntry {
         sizeOf(tokenize(lower(col("text")))).cast("long").as("n_tokens"),
         bagToString(slice(array_sort(array_distinct(tokenize(lower(col("text"))))), 1, 5), "|")
           .as("first5_sorted"),
-        isEmptyBag(tokenize(lower(col("text")))).as("is_empty")))
+        isEmptyBag(tokenize(lower(col("text")))).as("is_empty"))),
+
+    // --- TOBAG/TOTUPLE/TOMAP/KEYSET constructor family (Pig §2.6) ---
+    "q62_constructors" -> ((s, dir) => {
+      val m = toMapPig(lit("seg"), col("c_mktsegment"), lit("name"), col("c_name"))
+      t(s, dir).customer.select(
+        col("c_custkey"),
+        element_at(m, "seg").as("m_seg"),
+        sizeOf(keySet(m)).cast("long").as("n_keys"),
+        array_max(toBag(col("c_nationkey").cast("long"), col("c_custkey") % 7)).as("bag_max"),
+        toTuple(col("c_name"), col("c_acctbal")).getField("c_name").as("t_name"))
+    }),
+
+    // --- deterministic stratified sample: exact per-language quotas,
+    //     md5-keyed order so any engine / partitioning picks the same
+    //     rows (the training-data "balanced subset" op) ---
+    "q63_stratified_sample" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, dir).documents
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("lang"), col("rn"))
+    }),
+
+    // --- PII-style redaction sweep: one regex union (emails, phone
+    //     shapes, and high-frequency stopwords so the fixture corpus
+    //     actually exercises the path), count + redact per doc ---
+    "q64_pii_redact" -> ((s, dir) => {
+      val pat = "[a-z0-9._%+-]+@[a-z0-9.-]+|\\b\\d{3}[- ]?\\d{4}\\b|\\b(?:the|and|for|with)\\b"
+      t(s, dir).documents.select(
+        col("doc_id"),
+        regexp_count(lower(col("text")), lit(pat)).cast("long").as("n_redact"),
+        regexp_replace(lower(col("text")), pat, "[MASK]").as("redacted"))
+    }),
+
+    // --- repetition quality metric: duplicate-trigram fraction in ppm
+    //     (integer-exact on both engines; no float rounding hazard) ---
+    "q65_repetition" -> ((s, dir) => {
+      val toks = tokenize(lower(col("text")))
+      val n = size(toks)
+      val tri = when(n >= 3,
+        transform(sequence(lit(0), n - lit(3)), i => concat_ws(" ",
+          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+        .otherwise(array().cast("array<string>"))
+      t(s, dir).documents
+        .withColumn("__tri", tri)
+        .select(
+          col("doc_id"),
+          size(col("__tri")).cast("long").as("n_trigrams"),
+          size(array_distinct(col("__tri"))).cast("long").as("n_uniq"),
+          when(size(col("__tri")) > 0,
+            expr("(size(__tri) - size(array_distinct(__tri))) * 1000000L div size(__tri)"))
+            .otherwise(lit(0L)).as("rep_ppm"))
+    }),
+
+    // --- corpus sharding: content-hash shard assignment (md5 nibble),
+    //     the deterministic "shuffle the corpus into N training shards"
+    //     op; at scale this feeds repartition(shard) + partitioned write ---
+    "q66_shard_assign" -> ((s, dir) =>
+      t(s, dir).documents
+        .withColumn("__h", md5(col("doc_id").cast("string")))
+        .select(col("doc_id"), col("lang"),
+          (expr("position(substring(__h, 1, 1) IN '0123456789abcdef')").cast("long") - 1L)
+            .mod(lit(8L)).as("shard")))
   )
 
   /** DuckDB-runnable oracle SQL, same column names as the Spark result. */
@@ -1013,6 +1078,56 @@ object SparkEntry {
          CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
          array_to_string(list_sort(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')))[1:5], '|') AS first5_sorted,
          len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) = 0 AS is_empty
+         FROM documents""",
+
+    "q62_constructors" ->
+      """SELECT c_custkey,
+         c_mktsegment AS m_seg,
+         CAST(2 AS BIGINT) AS n_keys,
+         greatest(CAST(c_nationkey AS BIGINT), c_custkey % 7) AS bag_max,
+         c_name AS t_name
+         FROM customer""",
+
+    "q63_stratified_sample" ->
+      """SELECT doc_id, lang, rn FROM (
+           SELECT doc_id, lang,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+           FROM documents)
+         WHERE rn <= 5""",
+
+    "q64_pii_redact" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text),
+           '[a-z0-9._%+-]+@[a-z0-9.-]+|\b\d{3}[- ]?\d{4}\b|\b(?:the|and|for|with)\b')) AS BIGINT) AS n_redact,
+         regexp_replace(lower(text),
+           '[a-z0-9._%+-]+@[a-z0-9.-]+|\b\d{3}[- ]?\d{4}\b|\b(?:the|and|for|with)\b',
+           '[MASK]', 'g') AS redacted
+         FROM documents""",
+
+    "q65_repetition" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  CASE WHEN len(toks) >= 3
+                       THEN list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                       ELSE CAST([] AS VARCHAR[]) END AS tri
+           FROM t)
+         SELECT doc_id,
+           CAST(len(tri) AS BIGINT) AS n_trigrams,
+           CAST(len(list_distinct(tri)) AS BIGINT) AS n_uniq,
+           CAST(CASE WHEN len(tri) > 0
+                THEN (len(tri) - len(list_distinct(tri))) * 1000000 // len(tri)
+                ELSE 0 END AS BIGINT) AS rep_ppm
+         FROM g""",
+
+    "q66_shard_assign" ->
+      """SELECT doc_id, lang,
+         CAST((position(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN '0123456789abcdef') - 1) % 8 AS BIGINT) AS shard
          FROM documents"""
   )
 }

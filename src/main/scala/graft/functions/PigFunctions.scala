@@ -182,4 +182,21 @@ object PigFunctions {
   def keySet(m: Column): Column = map_keys(m)
   def valueList(m: Column): Column = map_values(m)
   def valueSet(m: Column): Column = array_distinct(map_values(m))
+
+  /** TOBAG(e1, e2, …) — bag from scalars (Pig o.a.p.builtin.TOBAG). */
+  def toBag(cols: Column*): Column = array(cols: _*)
+
+  /** TOTUPLE(e1, e2, …) — tuple from scalars (o.a.p.builtin.TOTUPLE). */
+  def toTuple(cols: Column*): Column = struct(cols: _*)
+
+  /** TOMAP(k1, v1, k2, v2, …) — map from alternating key/value args
+    * (o.a.p.builtin.TOMAP). */
+  def toMapPig(kv: Column*): Column = map(kv: _*)
+
+  /** BagToTuple({(a),(b),(c)}) flattens a bag of tuples into one tuple
+    * (o.a.p.builtin.BagToTuple); for a bag of structs we flatten the
+    * named field into an array — the closest faithful shape when the
+    * element count is data-dependent. */
+  def bagToTuple(bag: Column, field: String): Column =
+    transform(bag, t => t.getField(field))
 }

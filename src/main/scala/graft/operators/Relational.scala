@@ -13,6 +13,12 @@ import org.apache.spark.storage.StorageLevel
   */
 object Relational {
 
+  /** PluckTuple(prefix) (Pig piggybank/builtin): keep the columns whose
+    * name starts with `prefix` — a schema-level projection, free for
+    * Catalyst column pruning. */
+  def pluckTuple(df: DataFrame, prefix: String): DataFrame =
+    df.select(df.columns.filter(_.startsWith(prefix)).map(col): _*)
+
   // ------------------------------------------------------------------
   // SPLIT — route rows of one relation into N relations by predicates.
   // ------------------------------------------------------------------

@@ -71,4 +71,21 @@ class PigFunctionsSpec extends SparkSpec {
     val df = Seq((7, 2), (-7, 2)).toDF("a", "b")
     assert(df.select(intDiv($"a", $"b")).as[Long].collect().toSeq == Seq(3L, -3L))
   }
+
+  test("TOBAG/TOTUPLE/TOMAP constructors and BagToTuple flattening") {
+    val df = Seq((1, "x", 2.5)).toDF("a", "b", "c")
+    assert(df.select(toBag($"a", $"a" + 1)).as[Seq[Int]].head() == Seq(1, 2))
+    assert(df.select(toTuple($"a", $"b").getField("b")).as[String].head() == "x")
+    val m = toMapPig(lit("k1"), $"b", lit("k2"), lit("y"))
+    assert(df.select(element_at(m, "k1")).as[String].head() == "x")
+    assert(df.select(keySet(m)).as[Seq[String]].head().toSet == Set("k1", "k2"))
+    val bags = Seq(Seq((1, "p"), (2, "q"))).toDF("bag")
+      .select($"bag".cast("array<struct<v:int,s:string>>").as("bag"))
+    assert(bags.select(bagToTuple($"bag", "s")).as[Seq[String]].head() == Seq("p", "q"))
+  }
+
+  test("pluckTuple keeps only prefix-named columns") {
+    val df = Seq((1, 2, 3)).toDF("a_x", "a_y", "b_z")
+    assert(graft.operators.Relational.pluckTuple(df, "a_").columns.toSeq == Seq("a_x", "a_y"))
+  }
 }

@@ -39,4 +39,36 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(a == b)
     assert(a.nonEmpty)
   }
+
+  test("stratified sample (q63 shape) is partition-invariant with exact quotas") {
+    def sample(parts: Int): Map[(Long, String), Long] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      tables.documents.repartition(parts)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 5)
+        .select($"doc_id", $"lang", $"rn").as[(Long, String, Long)]
+        .collect().map(t => (t._1, t._2) -> t._3).toMap
+    }
+    val a = sample(1)
+    val b = sample(17)
+    assert(a == b)
+    // exact quota: 5 per language present in the fixture
+    val perLang = a.keys.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perLang.values.forall(_ == 5), s"quotas: $perLang")
+  }
+
+  test("shard assignment (q66 shape) is a balanced-ish total partition of docs") {
+    val shards = tables.documents
+      .withColumn("__h", md5($"doc_id".cast("string")))
+      .select($"doc_id",
+        (expr("position(substring(__h, 1, 1) IN '0123456789abcdef')").cast("long") - 1L)
+          .mod(lit(8L)).as("shard"))
+    val counts = shards.groupBy($"shard").count().as[(Long, Long)].collect().toMap
+    assert(counts.keySet == (0L to 7L).toSet) // every shard populated
+    assert(counts.values.sum == tables.documents.count())
+    // md5 nibble is uniform: no shard more than 3x the mean at n=500
+    val mean = counts.values.sum.toDouble / 8
+    assert(counts.values.forall(c => c < mean * 3))
+  }
 }
