@@ -651,7 +651,29 @@ object SparkEntry {
         .withColumn("__h", md5(col("doc_id").cast("string")))
         .select(col("doc_id"), col("lang"),
           (expr("position(substring(__h, 1, 1) IN '0123456789abcdef')").cast("long") - 1L)
-            .mod(lit(8L)).as("shard")))
+            .mod(lit(8L)).as("shard"))),
+
+    // --- analytic window family (lag/lead/ntile/percent_rank) — beyond
+    //     Pig's global RANK; partitioned windows parallelize by key ---
+    "q67_window_analytics" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir).orders.select(
+        col("o_orderkey"), col("o_custkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"))
+    }),
+
+    // --- GROUPING SETS (generalizes CUBE/ROLLUP §2.3) — same SQL text
+    //     on Spark and DuckDB, like q60 ---
+    "q68_grouping_sets" -> ((s, dir) => {
+      val tb = t(s, dir)
+      val gs = new graft.core.GraftSession(s)
+      gs.register("orders", tb.orders)
+      gs.sql(SparkEntry.oracleSql("q68_grouping_sets"))
+    })
   )
 
   /** DuckDB-runnable oracle SQL, same column names as the Spark result. */
@@ -1128,6 +1150,24 @@ object SparkEntry {
     "q66_shard_assign" ->
       """SELECT doc_id, lang,
          CAST((position(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN '0123456789abcdef') - 1) % 8 AS BIGINT) AS shard
-         FROM documents"""
+         FROM documents""",
+
+    "q67_window_analytics" ->
+      """SELECT o_orderkey, o_custkey,
+         lag(o_totalprice, 1) OVER w AS prev_price,
+         lead(o_totalprice, 1) OVER w AS next_price,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         round(percent_rank() OVER w, 6) AS pr
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+
+    // engine-portable dialect: this exact text runs on Spark AND DuckDB
+    "q68_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         COALESCE(o_orderpriority, 'ALL') AS priority,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority), ())"""
   )
 }

@@ -94,8 +94,10 @@ object EventsStreaming {
 
   /** Run any of the above to a memory sink, processing all available
     * input once (deterministic replay for tests/demos). Returns the
-    * sink table name. */
-  def runAvailableNow(df: DataFrame, queryName: String, outputMode: OutputMode): Unit = {
+    * finished query handle so callers can read progress/throughput
+    * metrics (`recentProgress`). */
+  def runAvailableNow(df: DataFrame, queryName: String, outputMode: OutputMode)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val q = df.writeStream
       .format("memory")
       .queryName(queryName)
@@ -103,5 +105,6 @@ object EventsStreaming {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    q
   }
 }

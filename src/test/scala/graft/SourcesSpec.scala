@@ -38,6 +38,39 @@ class SourcesSpec extends SparkSpec {
     roundTrip("csv", Map("delimiter" -> "|", "header" -> "false"))
   }
 
+  test("partitioned write prunes partitions at read (PartitionFilters)") {
+    val path = s"$base/docs_by_lang"
+    tables.documents.write.partitionBy("lang").mode("overwrite").parquet(path)
+    val df = spark.read.parquet(path).filter($"lang" === "en").select($"doc_id")
+    val n = df.count()
+    assert(n > 0 && n < tables.documents.count())
+    val plan = df.queryExecution.executedPlan.toString
+    // the lang predicate must prune directories, not filter rows post-scan
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"no partition pruning in plan:\n$plan")
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange on the keys") {
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    tables.lineitem.select($"l_orderkey", $"l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    tables.orders.select($"o_orderkey", $"o_orderstatus")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"), $"l_orderkey" === $"o_orderkey")
+    val n = joined.count()
+    assert(n == tables.lineitem.count()) // FK totality in the fixture
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    // both sides pre-bucketed on the key -> SMJ with zero repartitioning;
+    // at 100 TB this is the shuffle you design away
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+  }
+
   test("delimited text with positional columns (schema-less PigStorage load)") {
     val path = s"$base/pigstorage"
     orig.write.option("delimiter", "\t").mode("overwrite").csv(path)

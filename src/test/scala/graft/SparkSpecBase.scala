@@ -13,6 +13,8 @@ object SparkSpecBase {
         .appName("graft-test")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -110,4 +110,22 @@ class StreamingSpec extends SparkSpec {
     assert(mustHave.subsetOf(got))
     assert(got.nonEmpty)
   }
+
+  test("streaming replay throughput is measured and sane (round-1 gap)") {
+    val stream = EventsStreaming.readEvents(spark, replayDir)
+    val t0 = System.nanoTime()
+    val q = EventsStreaming.runAvailableNow(
+      EventsStreaming.windowedCounts(stream), "rate_probe", OutputMode.Append())
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rows = tables.events.count()
+    val progress = q.recentProgress
+    assert(progress.nonEmpty, "no progress reported by the streaming query")
+    val processed = progress.map(_.numInputRows).sum
+    assert(processed == rows, s"processed $processed of $rows input rows")
+    info(f"replayed $rows rows in $secs%.2f s (~${rows / secs}%.0f rows/s end-to-end, " +
+      f"${progress.length} micro-batches)")
+    // loose floor: catches a pathological regression (per-row overheads,
+    // accidental per-batch recompute), not host weather
+    assert(rows / secs > 50, f"throughput collapsed: ${rows / secs}%.1f rows/s")
+  }
 }
