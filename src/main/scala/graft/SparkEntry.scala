@@ -673,6 +673,40 @@ object SparkEntry {
       val gs = new graft.core.GraftSession(s)
       gs.register("orders", tb.orders)
       gs.sql(SparkEntry.oracleSql("q68_grouping_sets"))
+    }),
+
+    // --- exact cosine pair scan (oracle-checked complement of the
+    //     LSH-prefiltered q38): deterministic subsample, threshold set
+    //     INSIDE the fixture's similarity distribution (max pairwise
+    //     cosine here is ~0.48 — a 0.95 "dup" threshold would make the
+    //     check vacuously empty) ---
+    "q69_cosine_pairs_exact" -> ((s, dir) => {
+      val emb = t(s, dir).embeddings.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"),
+          graft.operators.Similarity.asDouble(col("embedding")).as("v"))
+      emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cosine",
+          graft.operators.Similarity.cosineFast(col("a.v"), col("b.v")))
+        .filter(col("cosine") >= 0.35)
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+          round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // --- token chunking with overlap (window 50, stride 40) — the
+    //     context-window packing op every training pipeline runs ---
+    "q70_chunking" -> ((s, dir) => {
+      val toks = tokenize(lower(col("text")))
+      val starts = when(size(toks) > 0,
+        sequence(lit(0), size(toks) - 1, lit(40)))
+        .otherwise(array().cast("array<int>"))
+      t(s, dir).documents
+        .withColumn("__toks", toks)
+        .select(col("doc_id"), col("__toks"), posexplode(starts).as(Seq("chunk_id", "start")))
+        .select(
+          col("doc_id"),
+          col("chunk_id").cast("long").as("chunk_id"),
+          size(slice(col("__toks"), col("start") + 1, lit(50))).cast("long").as("n_chunk_tokens"),
+          array_join(slice(col("__toks"), col("start") + 1, lit(50)), " ").as("chunk_text"))
     })
   )
 
@@ -1168,6 +1202,27 @@ object SparkEntry {
          COUNT(*) AS n_orders,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM orders
-         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority), ())"""
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority), ())""",
+
+    "q69_cosine_pairs_exact" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings WHERE vec_id % 10 = 0)
+         SELECT a.vec_id AS id1, b.vec_id AS id2,
+                round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.35""",
+
+    "q70_chunking" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, toks, unnest(range(0, len(toks), 40)) AS start FROM t)
+         SELECT doc_id,
+           CAST(start // 40 AS BIGINT) AS chunk_id,
+           CAST(len(toks[start+1 : start+50]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[start+1 : start+50], ' ') AS chunk_text
+         FROM s"""
   )
 }

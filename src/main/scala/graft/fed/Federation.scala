@@ -44,15 +44,26 @@ object Federation {
   // Federated dataflow DAG (workflow-level, deliberately tiny)
   // ------------------------------------------------------------------
 
+  /** Sentinel for FedStage.selectivity: derive the stage's output size
+    * from Catalyst (`optimizedPlan.stats`) instead of a caller guess. */
+  val DeriveSelectivity: Double = Double.NaN
+
   sealed trait FedPlan { def label: String }
   /** Leaf: scan a cataloged table. */
   final case class FedScan(table: String) extends FedPlan { def label = s"scan($table)" }
   /** Unary stage: any DataFrame pipeline (filter/project/agg/...).
     * `selectivity` is the caller's output/input size estimate for the
     * cost pass (PigOut-class heuristic, SURVEY §7.5.6 — the reference's
-    * partitioner uses the same per-operator guesses). */
+    * partitioner uses the same per-operator guesses). Left at
+    * [[DeriveSelectivity]], the planner instead asks Catalyst: it builds
+    * the (lazy, never-executed) stage plan and reads
+    * `optimizedPlan.stats.sizeInBytes`, which accounts for column
+    * pruning after projections — information a flat byte heuristic
+    * cannot see. An explicit number still wins: the caller may know
+    * runtime selectivity (e.g. a 1% filter) that size-only propagation
+    * does not model. */
   final case class FedStage(input: FedPlan, f: DataFrame => DataFrame, label: String,
-      selectivity: Double = 0.5) extends FedPlan
+      selectivity: Double = DeriveSelectivity) extends FedPlan
   /** Binary stage: join/union of two subplans. */
   final case class FedBinary(left: FedPlan, right: FedPlan,
       f: (DataFrame, DataFrame) => DataFrame, label: String) extends FedPlan
@@ -72,13 +83,33 @@ object Federation {
     fs.getContentSummary(p).getLength
   }.getOrElse(1L)
 
-  private def estimateBytes(plan: FedPlan, catalog: Catalog, anySession: SparkSession): Long = plan match {
+  /** Lazily build the plan's DataFrame on `s` (no execution) and read
+    * Catalyst's size estimate. None when any input is unreachable from
+    * `s` (isolated clusters) — the caller falls back to heuristics. */
+  private def catalystBytes(plan: FedPlan, catalog: Catalog, s: SparkSession): Option[Long] = Try {
+    def build(p: FedPlan): DataFrame = p match {
+      case FedScan(t) => val loc = catalog(t); s.read.format(loc.format).load(loc.uri)
+      case FedStage(in, f, _, _) => f(build(in))
+      case FedBinary(l, r, f, _) => f(build(l), build(r))
+    }
+    build(plan).queryExecution.optimizedPlan.stats.sizeInBytes
+      .min(BigInt(Long.MaxValue)).toLong
+  }.toOption
+
+  private[fed] def estimateBytes(plan: FedPlan, catalog: Catalog, anySession: SparkSession): Long = plan match {
     case FedScan(t) => tableBytes(anySession, catalog(t).uri)
-    case FedStage(in, _, _, sel) =>
-      math.max(1L, (estimateBytes(in, catalog, anySession) * sel).toLong)
+    case st @ FedStage(in, _, _, sel) =>
+      if (sel.isNaN)
+        catalystBytes(st, catalog, anySession)
+          .getOrElse(math.max(1L, estimateBytes(in, catalog, anySession) / 2))
+      else math.max(1L, (estimateBytes(in, catalog, anySession) * sel).toLong)
     case FedBinary(l, r, _, _) =>
       estimateBytes(l, catalog, anySession) + estimateBytes(r, catalog, anySession)
   }
+
+  /** Observability: the planner's size estimate for a subplan. */
+  def estimatedBytes(plan: FedPlan, catalog: Catalog, session: SparkSession): Long =
+    estimateBytes(plan, catalog, session)
 
   /** Greedy cut assignment (mirrors the paper's greedy search, which it
     * found near-optimal): each node runs where its inputs live; at a

@@ -71,4 +71,23 @@ class AlgebraicLawsSpec extends SparkSpec {
       assert(j12 == j21 && j12 >= 0.0 && j12 <= 1.0)
     }
   }
+
+  test("HLL sketch (approx_count_distinct) lands within 5% of exact") {
+    // the 100 TB replacement for exact COUNT(DISTINCT): mergeable fixed-
+    // size sketch vs a full distinct shuffle
+    val li = tables.lineitem
+    val exact = li.select(countDistinct($"l_orderkey")).as[Long].head()
+    val approx = li.select(approx_count_distinct($"l_orderkey", rsd = 0.02)).as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("approx_percentile brackets the exact percentile") {
+    val li = tables.lineitem
+    val exact = li.select(expr("percentile(l_quantity, 0.5)")).as[Double].head()
+    val approx = li.select(expr("approx_percentile(l_quantity, 0.5, 1000)")).as[Double].head()
+    // quantities are small integers; accuracy-1000 should land within
+    // one neighboring value of the true median
+    assert(math.abs(approx - exact) <= 1.0, s"approx=$approx exact=$exact")
+  }
 }

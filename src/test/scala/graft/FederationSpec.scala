@@ -113,4 +113,21 @@ class FederationSpec extends SparkSpec {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("catalyst-derived stage estimates see column pruning; explicit selectivity still wins") {
+    val (catalog, clusters) = setup()
+    val s = clusters("A").session
+    val scanBytes = Federation.estimatedBytes(FedScan("customer"), catalog, s)
+    // unannotated narrow projection: Catalyst's stats shrink the
+    // estimate by the column ratio — a flat byte heuristic cannot
+    val narrow = FedStage(FedScan("customer"), _.select(col("c_custkey")), "narrow")
+    val narrowBytes = Federation.estimatedBytes(narrow, catalog, s)
+    assert(narrowBytes < scanBytes, s"narrow=$narrowBytes scan=$scanBytes")
+    // caller annotation overrides: a claimed 1% filter beats any
+    // size-only propagation (which cannot model runtime selectivity)
+    val annotated = FedStage(FedScan("customer"),
+      _.filter(col("c_acctbal") > 9999), "rare", selectivity = 0.01)
+    val annotatedBytes = Federation.estimatedBytes(annotated, catalog, s)
+    assert(annotatedBytes <= scanBytes / 50)
+  }
 }
