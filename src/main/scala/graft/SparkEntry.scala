@@ -707,6 +707,17 @@ object SparkEntry {
           col("chunk_id").cast("long").as("chunk_id"),
           size(slice(col("__toks"), col("start") + 1, lit(50))).cast("long").as("n_chunk_tokens"),
           array_join(slice(col("__toks"), col("start") + 1, lit(50)), " ").as("chunk_text"))
+    }),
+
+    // --- multimodal frame sampling: 256-byte frames from the packed
+    //     blob, every 2nd kept — pure-expression slicing (no decode),
+    //     oracle-checkable because the fixture corpus is ASCII so byte
+    //     frames align with the oracle's varchar slicing ---
+    "q71_frame_sample" -> ((s, dir) => {
+      val packed = graft.operators.Multimodal.packMedia(
+        t(s, dir).documents, "text", "text/plain")
+      graft.operators.Multimodal.frameSample(packed, "doc_id", "blob",
+        frameBytes = 256, everyN = 2)
     })
   )
 
@@ -1223,6 +1234,19 @@ object SparkEntry {
            CAST(start // 40 AS BIGINT) AS chunk_id,
            CAST(len(toks[start+1 : start+50]) AS BIGINT) AS n_chunk_tokens,
            array_to_string(toks[start+1 : start+50], ' ') AS chunk_text
-         FROM s"""
+         FROM s""",
+
+    "q71_frame_sample" ->
+      """WITH t AS (
+           SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+         f AS (
+           SELECT doc_id, text,
+                  unnest(range(0, CAST(ceil(n / 256.0) AS BIGINT))) AS frame_idx
+           FROM t WHERE n > 0)
+         SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(octet_length(encode(substring(text, CAST(frame_idx*256+1 AS INTEGER), 256))) AS BIGINT) AS frame_bytes,
+           md5(substring(text, CAST(frame_idx*256+1 AS INTEGER), 256)) AS frame_md5
+         FROM f WHERE frame_idx % 2 = 0"""
   )
 }

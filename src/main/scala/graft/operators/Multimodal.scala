@@ -61,6 +61,65 @@ object Multimodal {
     * narrow feature rows, not pixel buffers. That structure is what
     * makes this safe on 100 TB of media.
     */
+  /** Frame sampling, expression-level: fixed-size byte frames, keep
+    * every `everyN`-th. Pure Catalyst (`sequence`+`explode`+`substring`
+    * on binary) — stays in codegen and needs no decode at all, which is
+    * exactly how you'd pre-slice video containers before shipping the
+    * kept frames to a decode stage. Fan-out is lazy: frames materialize
+    * per-row in the generator, never a whole blob's frame list per task.
+    */
+  def frameSample(df: DataFrame, idCol: String, blobCol: String,
+      frameBytes: Int, everyN: Int): DataFrame = {
+    val n = octet_length(col(blobCol))
+    val nFrames = ceil(n.cast("double") / frameBytes).cast("int")
+    val idxs = when(n > 0,
+      filter(sequence(lit(0), nFrames - 1), i => i % everyN === 0))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol), col(blobCol).as("__b"), explode(idxs).as("frame_idx"))
+      .withColumn("__frame",
+        expr(s"substring(__b, frame_idx * $frameBytes + 1, $frameBytes)"))
+      .select(col(idCol),
+        col("frame_idx").cast("long").as("frame_idx"),
+        octet_length(col("__frame")).cast("long").as("frame_bytes"),
+        md5(col("__frame")).as("frame_md5"))
+  }
+
+  /** Batched-inference stage shape: blobs are fed to the "model" in
+    * fixed-size batches (`it.grouped`), one inference call per batch —
+    * the structure of GPU embedding at scale (batch amortizes model
+    * call overhead; the iterator never materializes a partition).
+    * The model here is a deterministic STUB (byte-distribution moments
+    * per blob); a real build swaps ONLY the `infer` body. */
+  def batchEmbed(df: DataFrame, idCol: String, blobCol: String,
+      batchSize: Int = 32, dim: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val outType = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val rdd = df.rdd.mapPartitions { it =>
+      // real pipeline: val model = Model.load() — once per partition
+      def infer(batch: Seq[(Long, Array[Byte])]): Seq[Row] =
+        // ---- STUB model: k-th moment of the byte distribution per
+        // dimension; deterministic, batch-size-invariant ----
+        batch.map { case (id, bytes) =>
+          val n = math.max(1, bytes.length)
+          val emb = (1 to dim).map { k =>
+            var s = 0.0; var i = 0
+            while (i < bytes.length) {
+              s += math.pow((bytes(i) & 0xff) / 255.0, k); i += 1
+            }
+            s / n
+          }.toArray
+          Row(id, emb)
+        }
+      it.map(r => (r.getLong(idIdx), r.getAs[Array[Byte]](blobIdx)))
+        .grouped(batchSize).flatMap(infer)
+    }
+    spark.createDataFrame(rdd, outType)
+  }
+
   def decodeFeatures(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
     val spark = df.sparkSession
     val idIdx = df.schema.fieldIndex(idCol)

@@ -31,4 +31,32 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.decodeFeatures(packed, "doc_id", "blob")
     assert(dec.exceptAll(again).count() == 0 && again.exceptAll(dec).count() == 0)
   }
+
+  test("frameSample keeps every 2nd fixed-size frame; count and sizes line up") {
+    val packed = Multimodal.packMedia(tables.documents, "text", "text/plain")
+    val frames = Multimodal.frameSample(packed, "doc_id", "blob", frameBytes = 256, everyN = 2)
+    val byDoc = frames.groupBy($"doc_id").count().as[(Long, Long)].collect().toMap
+    val want = packed.select($"doc_id", octet_length($"blob").cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+      .map { case (id, n) => id -> (math.ceil(n / 256.0).toLong + 1) / 2 }
+    assert(byDoc == want.filter(_._2 > 0))
+    // every frame except possibly a doc's last is exactly frameBytes
+    val short = frames.filter($"frame_bytes" =!= 256).groupBy($"doc_id").count()
+      .as[(Long, Long)].collect()
+    assert(short.forall(_._2 <= 1))
+  }
+
+  test("batchEmbed: batch size does not change the embeddings (GPU-batch shape)") {
+    val packed = Multimodal.packMedia(tables.documents.limit(100), "text", "text/plain")
+    def run(bs: Int, parts: Int): Map[Long, Seq[Double]] =
+      Multimodal.batchEmbed(packed.repartition(parts), "doc_id", "blob", batchSize = bs)
+        .as[(Long, Seq[Double])].collect().toMap
+    val a = run(32, 1)
+    val b = run(7, 5)
+    assert(a.keySet.size == 100)
+    assert(a == b) // batching and partitioning are execution details only
+    assert(a.values.forall(_.length == 8))
+    // moments of a distribution on [0,1] are decreasing in k
+    assert(a.values.forall(e => e.sliding(2).forall(p => p(0) >= p(1))))
+  }
 }
