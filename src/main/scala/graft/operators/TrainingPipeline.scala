@@ -33,6 +33,40 @@ object TrainingPipeline {
       minQuality: Double = 0.5,
       fuzzyThreshold: Double = 0.8)
 
+  /** Deterministic stratified sample at scale: exactly `n` docs per
+    * stratum, keyed by md5(id) so every engine/partitioning picks the
+    * SAME rows (the q63 contract), but built on the bounded
+    * [[graft.functions.Aggregators.TopKByScore]] aggregator instead of
+    * a per-stratum window: a window sorts EVERY row of a stratum (and
+    * a 5-language corpus caps parallelism at 5 sort groups); the
+    * aggregator reduces each map task's slice to ≤ n candidates, so
+    * the shuffle carries n-element states per (stratum, partition)
+    * regardless of corpus size.
+    *
+    * Ordering note: the aggregator ranks by the first 13 md5 nibbles
+    * (52 bits — exactly representable in the Double score), which
+    * equals the full-hash lexicographic order unless two ids collide
+    * on all 52 bits (~2^-52 per pair — not a realistic tie source;
+    * ids break ties). */
+  def stratifiedSample(docs: DataFrame, strataCol: String, idCol: String, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // score DESC in the aggregator == md5-prefix ASC via negation
+    val scored = docs.select(
+      col(strataCol).as("__stratum"),
+      col(idCol).cast("long").as("__id"),
+      -conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+        .cast("double").as("__score"))
+    scored.as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._3, t._2))
+      .agg(new graft.functions.Aggregators.TopKByScore(n).toColumn)
+      .flatMap { case (stratum, top) =>
+        top.iterator.zipWithIndex.map { case ((_, id), i) => (id, stratum, (i + 1).toLong) }
+      }
+      .toDF(idCol, strataCol, "rn")
+  }
+
   /** Annotate every doc (kept or not) with the curation signals. */
   def annotate(docs: DataFrame, textCol: Column): DataFrame = docs
     .withColumn("lang_pred", TextAnalysis.langId(textCol))

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Aggregators.TopKByScore
+import graft.functions.PigFunctions._
+
+/** Randomized law tests (seeded — deterministic across runs).
+  *
+  * TopKByScore's laws are checked pure-JVM over arbitrary merge trees:
+  * Spark may split input across any partitioning and merge partial
+  * states in any order, so the aggregator must give the identical
+  * answer for every (split, merge-order) choice.
+  *
+  * The string shims are checked in ONE distributed pass: generate the
+  * cases driver-side, compute the expected value with plain Java string
+  * ops (the semantics Pig's builtins defer to), run the shim on an
+  * executor, compare row-wise.
+  */
+class PropertyLawsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+
+  test("TopKByScore: any split + any merge order equals global sorted take(k)") {
+    for (_ <- 1 to 200) {
+      val n = rnd.nextInt(40)
+      val k = 1 + rnd.nextInt(8)
+      val agg = new TopKByScore(k)
+      // duplicate scores on purpose: ties must break by id, not arrival
+      val items = Seq.fill(n)((rnd.nextInt(8).toDouble, rnd.nextLong().abs % 1000))
+      val want = items.sortBy(t => (-t._1, t._2)).distinct.take(k)
+      // random split into partial buffers, each reduced in arrival order
+      var buffers = items.distinct.grouped(1 + rnd.nextInt(5))
+        .map(_.foldLeft(agg.zero)(agg.reduce)).toList
+      // random-order pairwise merges down to one buffer
+      while (buffers.length > 1) {
+        val i = rnd.nextInt(buffers.length)
+        val a = buffers(i); val rest = buffers.patch(i, Nil, 1)
+        val j = rnd.nextInt(rest.length)
+        buffers = rest.updated(j, agg.merge(a, rest(j)))
+      }
+      val got = buffers.headOption.map(agg.finish).getOrElse(Nil)
+      assert(got == want, s"n=$n k=$k got=$got want=$want")
+    }
+  }
+
+  test("substringPig/indexOfPig/lastIndexOfPig match Java semantics on generated cases") {
+    val alphabet = "ab#x "
+    def randStr(): String =
+      Seq.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    val cases = Seq.fill(400)((randStr(), rnd.nextInt(14), rnd.nextInt(14)))
+    // Pig SUBSTRING(s, start, stop): 0-based [start, stop), null when
+    // out of range (mirrors Java substring throwing)
+    def pigSubstr(s: String, start: Int, stop: Int): String =
+      try s.substring(start, stop) catch { case _: Exception => null }
+    val df = cases.zipWithIndex
+      .map { case ((s, a, b), i) => (i, s, a, b) }.toDF("i", "s", "a", "b")
+    val got = df.select($"i",
+        expr("substring(s, a + 1, greatest(b - a, 0))").as("sub_builtin"),
+        indexOfPig($"s", "#").as("idx"),
+        lastIndexOfPig($"s", "#").as("lidx"))
+      .as[(Int, String, Int, Int)].collect().sortBy(_._1)
+    cases.zipWithIndex.foreach { case ((s, a, b), i) =>
+      val (_, _, idx, lidx) = got(i)
+      assert(idx == s.indexOf("#"), s"indexOf($s)")
+      assert(lidx == s.lastIndexOf("#"), s"lastIndexOf($s)")
+      // in-range substring agrees with the 1-based builtin shim recipe
+      if (a <= b && b <= s.length) {
+        val (_, sub, _, _) = got(i)
+        assert(sub == pigSubstr(s, a, b), s"substr($s,$a,$b)")
+      }
+    }
+  }
+
+  test("roundPig is HALF_UP like Pig/BigDecimal on generated decimals") {
+    val cases = Seq.fill(300) {
+      val scaled = rnd.nextInt(2000000) - 1000000
+      (scaled / 1000.0, rnd.nextInt(3)) // up to 3 decimal places, round to 0-2
+    }
+    val df = cases.zipWithIndex.map { case ((v, s), i) => (i, v, s) }.toDF("i", "v", "s")
+    // round() with a literal scale; group cases by scale to keep it literal
+    cases.map(_._2).distinct.foreach { s =>
+      val idx = cases.zipWithIndex.filter(_._1._2 == s).map(_._2).toSet
+      val got = df.filter($"s" === s).select($"i", roundPig($"v", s)).as[(Int, Double)]
+        .collect().toMap
+      idx.foreach { i =>
+        val want = BigDecimal(cases(i)._1)
+          .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(got(i) == want, s"round(${cases(i)._1}, $s): got ${got(i)} want $want")
+      }
+    }
+  }
+}

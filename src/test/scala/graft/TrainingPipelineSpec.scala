@@ -58,6 +58,23 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(perLang.values.forall(_ == 5), s"quotas: $perLang")
   }
 
+  test("aggregator-based stratifiedSample equals the window formulation (q63)") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    val windowed = tables.documents
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 5)
+      .select($"doc_id", $"lang", $"rn").as[(Long, String, Long)].collect().toSet
+    val agged = TrainingPipeline.stratifiedSample(tables.documents, "lang", "doc_id", 5)
+      .select($"doc_id", $"lang", $"rn").as[(Long, String, Long)].collect().toSet
+    assert(agged == windowed)
+    // and invariant under repartitioning (the property the shape buys)
+    val agged13 = TrainingPipeline
+      .stratifiedSample(tables.documents.repartition(13), "lang", "doc_id", 5)
+      .select($"doc_id", $"lang", $"rn").as[(Long, String, Long)].collect().toSet
+    assert(agged13 == windowed)
+  }
+
   test("shard assignment (q66 shape) is a balanced-ish total partition of docs") {
     val shards = tables.documents
       .withColumn("__h", md5($"doc_id".cast("string")))
