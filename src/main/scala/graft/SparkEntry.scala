@@ -718,7 +718,21 @@ object SparkEntry {
         t(s, dir).documents, "text", "text/plain")
       graft.operators.Multimodal.frameSample(packed, "doc_id", "blob",
         frameBytes = 256, everyN = 2)
-    })
+    }),
+
+    // --- user behavior sequences: per-user event-type strings in
+    //     time order (ties broken by event_id) — the sequence-corpus
+    //     construction op; one shuffle, bags sorted inside the agg ---
+    "q72_event_sequences" -> ((s, dir) =>
+      t(s, dir).events
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).cast("long").as("n_events"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+              x => x.getField("event_type")),
+            ">").as("seq")))
   )
 
   /** DuckDB-runnable oracle SQL, same column names as the Spark result. */
@@ -1247,6 +1261,12 @@ object SparkEntry {
            CAST(frame_idx AS BIGINT) AS frame_idx,
            CAST(octet_length(encode(substring(text, CAST(frame_idx*256+1 AS INTEGER), 256))) AS BIGINT) AS frame_bytes,
            md5(substring(text, CAST(frame_idx*256+1 AS INTEGER), 256)) AS frame_md5
-         FROM f WHERE frame_idx % 2 = 0"""
+         FROM f WHERE frame_idx % 2 = 0""",
+
+    "q72_event_sequences" ->
+      """SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+         FROM events GROUP BY user_id"""
   )
 }
