@@ -624,24 +624,19 @@ object SparkEntry {
     }),
 
     // --- repetition quality metric: duplicate-trigram fraction in ppm
-    //     (integer-exact on both engines; no float rounding hazard) ---
-    "q65_repetition" -> ((s, dir) => {
-      val toks = tokenize(lower(col("text")))
-      val n = size(toks)
-      val tri = when(n >= 3,
-        transform(sequence(lit(0), n - lit(3)), i => concat_ws(" ",
-          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
-        .otherwise(array().cast("array<string>"))
+    //     (integer-exact on both engines; no float rounding hazard).
+    //     Native one-pass kernel (exact n-gram strings, no interpreted
+    //     HOF chain — was the slowest query of the sf0.1 verify pass) ---
+    "q65_repetition" -> ((s, dir) =>
       t(s, dir).documents
-        .withColumn("__tri", tri)
+        .withColumn("__st", graft.plans.TextExpressions.ngramStats(col("text"), 3))
         .select(
           col("doc_id"),
-          size(col("__tri")).cast("long").as("n_trigrams"),
-          size(array_distinct(col("__tri"))).cast("long").as("n_uniq"),
-          when(size(col("__tri")) > 0,
-            expr("(size(__tri) - size(array_distinct(__tri))) * 1000000L div size(__tri)"))
-            .otherwise(lit(0L)).as("rep_ppm"))
-    }),
+          element_at(col("__st"), 1).as("n_trigrams"),
+          element_at(col("__st"), 2).as("n_uniq"),
+          when(element_at(col("__st"), 1) > 0,
+            expr("(__st[0] - __st[1]) * 1000000L div __st[0]"))
+            .otherwise(lit(0L)).as("rep_ppm"))),
 
     // --- corpus sharding: content-hash shard assignment (md5 nibble),
     //     the deterministic "shuffle the corpus into N training shards"

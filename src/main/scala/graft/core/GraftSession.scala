@@ -43,13 +43,19 @@ final class GraftSession(val spark: SparkSession) {
   /** Expose every registered alias as a temp view and run SQL against
     * them — the PigServer `registerQuery`/`openIterator` programmatic
     * entry point (SURVEY §3.3), with Spark SQL as the query language. */
-  def sql(query: String): DataFrame = {
+  def sql(query: String): DataFrame = GraftSession.sqlLock.synchronized {
+    // atomic register+analyze: spark.sql resolves the views eagerly, so
+    // once this block returns the plan no longer depends on the temp
+    // views and a concurrent caller (e.g. parallel Verify) re-binding
+    // the same names cannot corrupt it
     env.foreach { case (alias, df) => df.createOrReplaceTempView(alias) }
     spark.sql(query)
   }
 }
 
 object GraftSession {
+
+  private[core] val sqlLock = new Object
 
   /** Scale-oriented defaults applied to every session this engine builds:
     * AQE (runtime re-plan: skew-join splitting, partition coalescing,

@@ -34,8 +34,15 @@ object TextAnalysis {
   }
 
   /** Argmax over languages with deterministic tiebreak (alphabetical
-    * language order; "und" = undetermined when no evidence). */
-  def langId(text: Column): Column = {
+    * language order; "und" = undetermined when no evidence).
+    * Native one-pass kernel ([[graft.plans.LangId]]); the HOF
+    * formulation below is kept for the bit-equality cross-check spec. */
+  def langId(text: Column): Column =
+    graft.plans.TextExpressions.langIdNative(text)
+
+  /** Reference formulation: 5 filter() HOFs + argmax reduce. Slower
+    * (re-tokenizes per language, interpreted lambdas) — spec-only. */
+  def langIdHof(text: Column): Column = {
     val toks = tokens(text)
     val langs = stopwords.keys.toSeq.sorted
     val best = langs.map(l => struct(langScore(toks, l).as("score"), lit(l).as("lang")))

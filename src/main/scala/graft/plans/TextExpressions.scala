@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** XXH64 of a single long, public-spec constants — callable from
   * generated code by fully-qualified name. Matches the standard XXH64
@@ -165,6 +165,131 @@ case class ShingleHash64(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Exact n-gram repetition stats in one native pass:
+  * text -> (n_ngrams, n_uniq) over space-joined word n-grams of the
+  * lowercased, whitespace-tokenized text. Distinctness is on the exact
+  * n-gram STRINGS (HashSet), matching DuckDB's list_distinct — no
+  * hash-collision caveat. Replaces an interpreted
+  * transform(sequence)/concat_ws/array_distinct chain that allocated a
+  * Catalyst array of n-gram UTF8Strings per row (the slowest query of
+  * the sf0.1 verify pass by 2x before this).
+  */
+object NgramKernels {
+  /** returns {count, uniq}; m < n tokens -> {0, 0} (q65 semantics). */
+  def ngramStats(text: org.apache.spark.unsafe.types.UTF8String, n: Int): Array[Long] = {
+    val s = text.toLowerCase.toString
+    val tokens = new java.util.ArrayList[String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) tokens.add(s.substring(start, i))
+    }
+    val m = tokens.size
+    if (m < n) return Array(0L, 0L)
+    val seen = new java.util.HashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var j = 0
+    while (j <= m - n) {
+      sb.setLength(0)
+      var q = 0
+      while (q < n) { if (q > 0) sb.append(' '); sb.append(tokens.get(j + q)); q += 1 }
+      seen.add(sb.toString)
+      j += 1
+    }
+    Array((m - n + 1).toLong, seen.size.toLong)
+  }
+}
+
+case class NgramStats(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(NgramKernels.ngramStats(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.plans.NgramKernels.ngramStats($t, $n));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): NgramStats =
+    copy(child = newChild)
+}
+
+/** Stopword-evidence language ID in one native pass — mirrors
+  * TextAnalysis.langId's argmax-with-alphabetical-tiebreak exactly:
+  * score_l = |tokens ∩ stopwords_l| / max(|tokens|, 1); first language
+  * (sorted order) with a strictly greater score wins; no evidence ->
+  * "und". All languages share the denominator, so the kernel compares
+  * raw counts — no floating point at all. Replaces 5 interpreted
+  * filter() HOFs (each with a 10-way isin per token) that also
+  * re-tokenized the text 5 times.
+  */
+object LangKernels {
+  private[plans] val langs: Array[String] =
+    graft.operators.TextAnalysis.stopwords.keys.toArray.sorted
+  private val masks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    langs.zipWithIndex.foreach { case (l, i) =>
+      graft.operators.TextAnalysis.stopwords(l).foreach { w =>
+        val prev = m.getOrDefault(w, Integer.valueOf(0)).intValue()
+        m.put(w, Integer.valueOf(prev | (1 << i))) // "la" is es AND fr
+      }
+    }
+    m
+  }
+  private val und = org.apache.spark.unsafe.types.UTF8String.fromString("und")
+  private val langU8: Array[org.apache.spark.unsafe.types.UTF8String] =
+    langs.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+
+  def langId(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val s = text.toLowerCase.toString
+    val cnts = new Array[Int](langs.length)
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        val mask = masks.get(s.substring(start, i))
+        if (mask != null) {
+          var b = mask.intValue()
+          while (b != 0) {
+            val k = java.lang.Integer.numberOfTrailingZeros(b)
+            cnts(k) += 1
+            b &= b - 1
+          }
+        }
+      }
+    }
+    var best = 0
+    var k = 1
+    while (k < cnts.length) { if (cnts(k) > cnts(best)) best = k; k += 1 }
+    if (cnts(best) == 0) und else langU8(best)
+  }
+}
+
+case class LangId(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+
+  override def nullSafeEval(input: Any): Any =
+    LangKernels.langId(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.plans.LangKernels.langId($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): LangId =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Column entry point: shingle-hash array -> k-long MinHash signature. */
   def minhashSig(shingleHashes: Column, k: Int): Column =
@@ -173,4 +298,12 @@ object TextExpressions {
   /** Column entry point: text -> distinct shingle-hash array (fused). */
   def shingleHash64(text: Column, n: Int): Column =
     GraftSqlBridge.column(ShingleHash64(GraftSqlBridge.expression(text), n))
+
+  /** Column entry point: text -> [n_ngrams, n_uniq] exact stats. */
+  def ngramStats(text: Column, n: Int): Column =
+    GraftSqlBridge.column(NgramStats(GraftSqlBridge.expression(text), n))
+
+  /** Column entry point: text -> language code (native argmax). */
+  def langIdNative(text: Column): Column =
+    GraftSqlBridge.column(LangId(GraftSqlBridge.expression(text)))
 }

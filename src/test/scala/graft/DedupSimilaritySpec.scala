@@ -45,6 +45,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(java.lang.Long.bitCount(fp(1L) ^ fp(5L)) > 10)
   }
 
+  test("native langId kernel equals the HOF argmax formulation on the corpus") {
+    val diff = tables.documents
+      .select(graft.operators.TextAnalysis.langId($"text").as("native"),
+        graft.operators.TextAnalysis.langIdHof($"text").as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(diff == 0)
+    // und on evidence-free text; tie broken alphabetically when planted
+    val planted = Seq("xyzzy qwerty", "la la").toDF("text")
+      .select(graft.operators.TextAnalysis.langId($"text")).as[String].collect().toSeq
+    assert(planted == Seq("und", "es")) // "la" is es AND fr; es wins the tie
+  }
+
+  test("native ngramStats equals the HOF trigram formulation on the corpus") {
+    val toks = graft.operators.Dedup.tokens($"text")
+    val tri = when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - lit(3)), i => concat_ws(" ",
+        element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+      .otherwise(array().cast("array<string>"))
+    val diff = tables.documents
+      .withColumn("__st", graft.plans.TextExpressions.ngramStats($"text", 3))
+      .select(
+        element_at($"__st", 1).as("n_native"), element_at($"__st", 2).as("u_native"),
+        size(tri).cast("long").as("n_hof"),
+        size(array_distinct(tri)).cast("long").as("u_hof"))
+      .filter($"n_native" =!= $"n_hof" || $"u_native" =!= $"u_hof").count()
+    assert(diff == 0)
+  }
+
   test("native cosine kernel is bit-identical to the HOF formulation") {
     val emb = tables.embeddings.limit(200)
     val a = emb.select($"vec_id".as("ida"), Similarity.asDouble($"embedding").as("va"))
