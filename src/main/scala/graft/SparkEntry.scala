@@ -715,6 +715,14 @@ object SparkEntry {
         frameBytes = 256, everyN = 2)
     }),
 
+    // --- benchmark decontamination: 5-gram overlap between the corpus
+    //     and a "benchmark" subset (doc_id % 50) — the eval-leak check
+    //     every training pipeline runs before a data release ---
+    "q73_contamination" -> ((s, dir) =>
+      graft.operators.TextAnalysis.contamination(
+        t(s, dir).documents, "doc_id", "text",
+        isBenchmark = col("doc_id") % 50 === 0, n = 5)),
+
     // --- user behavior sequences: per-user event-type strings in
     //     time order (ties broken by event_id) — the sequence-corpus
     //     construction op; one shuffle, bags sorted inside the agg ---
@@ -1262,6 +1270,23 @@ object SparkEntry {
       """SELECT user_id,
          CAST(count(*) AS BIGINT) AS n_events,
          string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
-         FROM events GROUP BY user_id"""
+         FROM events GROUP BY user_id""",
+
+    "q73_contamination" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    range(1, greatest(len(toks) - 3, 1)),
+                    i -> array_to_string(toks[i:i+4], ' ')))) AS ng
+           FROM t),
+         bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 50 = 0)
+         SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         FROM g JOIN bench USING (ng)
+         WHERE g.doc_id % 50 <> 0
+         GROUP BY g.doc_id"""
   )
 }

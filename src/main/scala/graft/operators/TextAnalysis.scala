@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (SURVEY.md §7.1
@@ -108,5 +108,32 @@ object TextAnalysis {
     when(n >= 1,
       array_min(transform(sequence(lit(1), n), i => xxhash64(canon.substr(i, lit(window))))))
       .otherwise(xxhash64(canon))
+  }
+
+  // ---------------- decontamination ----------------
+
+  /** Benchmark decontamination: docs sharing at least one distinct word
+    * `n`-gram with any benchmark doc, with the shared-distinct-n-gram
+    * count as contamination evidence.
+    *
+    * Shape at 100 TB: one native pass builds each doc's DISTINCT n-gram
+    * set (no m<n whole-text fallback — a 3-token doc has no 5-grams),
+    * the corpus explodes to (doc, ngram) rows, and the match is an
+    * equi-join on the n-gram string followed by a count per doc — all
+    * shuffle-parallel on the n-gram key. The benchmark side is usually
+    * small (an eval suite): Catalyst broadcasts it below threshold, and
+    * AQE handles the hot-n-gram skew (stopword-heavy n-grams) above it.
+    */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+      isBenchmark: Column, n: Int = 5): DataFrame = {
+    val grams = docs.select(col(idCol), isBenchmark.as("__bench"),
+        explode(graft.plans.TextExpressions.ngramStrings(col(textCol), n)).as("ng"))
+    val bench = grams.filter(col("__bench")).select(col("ng")).distinct()
+    grams.filter(!col("__bench"))
+      .join(bench, "ng")
+      // per-doc n-gram sets are distinct and bench is distinct, so
+      // count(*) IS the distinct shared-n-gram count — no countDistinct
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
   }
 }

@@ -203,6 +203,63 @@ object NgramKernels {
   }
 }
 
+/** Distinct word n-gram STRINGS of the lowercased text, one native
+  * pass. No whole-text fallback for short docs (unlike ShingleHash64):
+  * m < n tokens -> empty array — the decontamination semantics, where
+  * a 3-token doc simply has no 5-grams to match. */
+object NgramStringKernels {
+  def ngramStrings(text: org.apache.spark.unsafe.types.UTF8String, n: Int)
+      : Array[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = text.toLowerCase.toString
+    val tokens = new java.util.ArrayList[String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) tokens.add(s.substring(start, i))
+    }
+    val m = tokens.size
+    if (m < n) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var j = 0
+    while (j <= m - n) {
+      sb.setLength(0)
+      var q = 0
+      while (q < n) { if (q > 0) sb.append(' '); sb.append(tokens.get(j + q)); q += 1 }
+      seen.add(sb.toString)
+      j += 1
+    }
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](seen.size)
+    val it = seen.iterator()
+    var r = 0
+    while (it.hasNext) {
+      out(r) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next()); r += 1
+    }
+    out
+  }
+}
+
+case class NgramStrings(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ngram_strings"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(NgramStringKernels.ngramStrings(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+      .asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  (Object[]) graft.plans.NgramStringKernels.ngramStrings($t, $n));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): NgramStrings =
+    copy(child = newChild)
+}
+
 case class NgramStats(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "ngram_stats"
@@ -302,6 +359,10 @@ object TextExpressions {
   /** Column entry point: text -> [n_ngrams, n_uniq] exact stats. */
   def ngramStats(text: Column, n: Int): Column =
     GraftSqlBridge.column(NgramStats(GraftSqlBridge.expression(text), n))
+
+  /** Column entry point: text -> distinct n-gram strings. */
+  def ngramStrings(text: Column, n: Int): Column =
+    GraftSqlBridge.column(NgramStrings(GraftSqlBridge.expression(text), n))
 
   /** Column entry point: text -> language code (native argmax). */
   def langIdNative(text: Column): Column =

@@ -73,6 +73,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("contamination flags a doc quoting a benchmark passage; clean docs pass") {
+    val bench = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, bench),                                            // benchmark itself
+      (2L, s"prefix words here $bench and a suffix tail"),    // quotes 5-grams
+      (3L, "completely unrelated text with no shared grams at all here"),
+      (4L, "short doc")                                       // < 5 tokens: no 5-grams
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .contamination(docs, "doc_id", "text", isBenchmark = $"doc_id" === 1L, n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(2L))
+    // the quote contains all 6 5-grams of the 10-token benchmark
+    assert(got(2L) == 6L)
+  }
+
   test("native cosine kernel is bit-identical to the HOF formulation") {
     val emb = tables.embeddings.limit(200)
     val a = emb.select($"vec_id".as("ida"), Similarity.asDouble($"embedding").as("va"))
