@@ -723,6 +723,23 @@ object SparkEntry {
         t(s, dir).documents, "doc_id", "text",
         isBenchmark = col("doc_id") % 50 === 0, n = 5)),
 
+    // --- corpus data card: per-language release stats (docs, sources,
+    //     token volume, exact-dup docs by canonical fingerprint) ---
+    "q74_data_card" -> ((s, dir) => {
+      val d = t(s, dir).documents.select(
+        col("doc_id"), col("lang"), col("source"),
+        graft.operators.TextAnalysis.wsTokenCount(col("text")).as("nt"),
+        graft.operators.TextAnalysis.docFingerprint(col("text")).as("fp"))
+      val fpCounts = d.groupBy(col("fp")).agg(count(lit(1)).as("fp_cnt"))
+      d.join(fpCounts, "fp")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          countDistinct(col("source")).cast("long").as("n_sources"),
+          sum(col("nt")).cast("long").as("total_tokens"),
+          sum(when(col("fp_cnt") > 1, 1L).otherwise(0L)).cast("long").as("n_dup_docs"))
+    }),
+
     // --- user behavior sequences: per-user event-type strings in
     //     time order (ties broken by event_id) — the sequence-corpus
     //     construction op; one shuffle, bags sorted inside the agg ---
@@ -1271,6 +1288,21 @@ object SparkEntry {
          CAST(count(*) AS BIGINT) AS n_events,
          string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
          FROM events GROUP BY user_id""",
+
+    "q74_data_card" ->
+      """WITH d AS (
+           SELECT doc_id, lang, source,
+                  len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS nt,
+                  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents),
+         fc AS (SELECT fp, count(*) AS fp_cnt FROM d GROUP BY fp)
+         SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN fp_cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+         FROM d JOIN fc USING (fp)
+         GROUP BY lang""",
 
     "q73_contamination" ->
       """WITH t AS (
