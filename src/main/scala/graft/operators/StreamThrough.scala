@@ -22,14 +22,26 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object StreamThrough {
 
-  def apply(df: DataFrame, command: Seq[String], outputCols: Seq[String]): DataFrame = {
+  /** Pig `DEFINE cmd \`script\` SHIP('f')`: distribute local files to
+    * every executor before streaming through them. The command resolves
+    * shipped files via `{SHIP:name}` placeholders, replaced on the
+    * executor with `SparkFiles.get(name)` (the reference ships via the
+    * MR distributed cache; Spark's addFile is the same mechanism). */
+  def apply(df: DataFrame, command: Seq[String], outputCols: Seq[String],
+      ship: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
+    ship.foreach(spark.sparkContext.addFile)
+    val shipNames = ship.map(p => new java.io.File(p).getName)
     val inWidth = df.schema.length
     val outSchema = StructType(outputCols.map(c => StructField(c, StringType)))
     val rdd = df.rdd.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
       else {
-        val pb = new ProcessBuilder(command: _*)
+        val resolved = command.map { arg =>
+          shipNames.foldLeft(arg)((a, n) =>
+            a.replace(s"{SHIP:$n}", org.apache.spark.SparkFiles.get(n)))
+        }
+        val pb = new ProcessBuilder(resolved: _*)
         pb.redirectErrorStream(false)
         val proc = pb.start()
         // stderr must be drained or a chatty command blocks on a full

@@ -70,6 +70,17 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(z == 0.0)
   }
 
+  test("StreamThrough SHIP distributes a script file to executors") {
+    val script = java.nio.file.Files.createTempFile("ship", ".sh")
+    java.nio.file.Files.writeString(script, "#!/bin/sh\ntr a-z A-Z\n")
+    script.toFile.setExecutable(true)
+    val df = Seq((1L, "abc")).toDF("id", "s")
+    val out = StreamThrough(df,
+      Seq("sh", s"{SHIP:${script.getFileName}}"), Seq("id", "s_up"),
+      ship = Seq(script.toString))
+    assert(out.as[(String, String)].collect().toSet == Set(("1", "ABC")))
+  }
+
   test("StreamThrough survives a command flooding stderr") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
     // ~1MB of stderr noise before echoing stdin — deadlocks if stderr
