@@ -199,4 +199,12 @@ object PigFunctions {
     * element count is data-dependent. */
   def bagToTuple(bag: Column, field: String): Column =
     transform(bag, t => t.getField(field))
+
+  /** Pig cast semantics: a failed cast yields NULL (with a warning in
+    * the reference), it never fails the job. Spark 4 defaults to ANSI
+    * mode where `cast('abc' as int)` THROWS — dirty data that a Pig
+    * script shrugs off would kill the Spark job. `try_cast` restores
+    * the reference behavior per-expression without giving up ANSI's
+    * saner arithmetic everywhere else. */
+  def castPig(c: Column, dataType: String): Column = c.try_cast(dataType)
 }

@@ -88,4 +88,12 @@ class PigFunctionsSpec extends SparkSpec {
     val df = Seq((1, 2, 3)).toDF("a_x", "a_y", "b_z")
     assert(graft.operators.Relational.pluckTuple(df, "a_").columns.toSeq == Seq("a_x", "a_y"))
   }
+
+  test("castPig nulls a failed cast (Pig semantics) where ANSI cast throws") {
+    val df = Seq("42", "abc", "7.9").toDF("s")
+    // ANSI default: plain cast fails the job on 'abc'
+    intercept[Throwable] { df.select($"s".cast("int")).collect() }
+    val got = df.select(castPig($"s", "int")).as[Option[Int]].collect().toSeq
+    assert(got == Seq(Some(42), None, None)) // '7.9' is not an int literal either
+  }
 }
