@@ -40,7 +40,11 @@ object Similarity {
     * |corpus|·|queries| score stream; this shape shuffles
     * |partitions|·|queries|·k regardless of corpus size.
     * Ordering (score desc, id asc) is selection-based, so the result is
-    * identical at any partition count. */
+    * identical at any partition count.
+    *
+    * Ids are cast to LONG (all similarity paths here use long vec ids);
+    * for non-numeric ids use [[Relational.topPerGroup]], whose window
+    * formulation is id-type-generic. */
   private[operators] def boundedTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._

@@ -36,6 +36,25 @@ class EngineSpec extends SparkSpec {
       .as[Long].head() == clicks)
   }
 
+  test("GraftExtensions exposes native kernels as SQL functions (REGISTER/DEFINE analogue)") {
+    graft.plans.GraftExtensions.registerInto(spark)
+    val lang = spark.sql("SELECT lang_id('der und das ist nicht') AS l")
+      .as[String].head()
+    assert(lang == "de")
+    val st = spark.sql("SELECT ngram_stats('a b a b a', 3) AS s")
+      .selectExpr("s[0]", "s[1]").as[(Long, Long)].head()
+    assert(st == ((3L, 2L))) // 'a b a','b a b','a b a' -> 3 total, 2 distinct
+    val cos = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").as[Double].head()
+    assert(cos == 1.0)
+    // the SQL form is the same Expression class as the Column API
+    val viaCol = tables.documents.limit(50)
+      .select(graft.operators.TextAnalysis.langId($"text").as("l"))
+    val viaSql = tables.documents.limit(50)
+      .selectExpr("lang_id(text) AS l")
+    assert(viaCol.collect().toSeq == viaSql.collect().toSeq)
+  }
+
   test("GraftSession.sql queries registered aliases (PigServer entry point)") {
     val gs = new GraftSession(spark)
     gs.register("r", tables.region).register("n", tables.nation)
