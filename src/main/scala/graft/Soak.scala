@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale soak (dev tool, not a driver contract): runs the curation
+  * kernels over a DSv2-generated synthetic corpus far larger than the
+  * test fixtures, to catch shapes that only break past toy scale
+  * (driver collects, per-row overheads, partial-agg state growth).
+  * Prints one line per op: rows, seconds, rows/sec.
+  *
+  * Usage: `sbt "runMain graft.Soak [rows]"` (default 5,000,000).
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(5000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.format("graft.sources.SyntheticDocs")
+      .option("rows", rows).option("partitions", cpus.toInt * 2).load()
+
+    def time(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[soak] $name rows=$n secs=$s%.1f rate=${n / s}%.0f rows/s")
+    }
+
+    time("lang_id")(
+      docs.select(graft.operators.TextAnalysis.langId(col("text")).as("l"))
+        .groupBy(col("l")).count().count() * 0 + rows)
+    time("ngram_stats")(
+      docs.select(graft.plans.TextExpressions.ngramStats(col("text"), 3).as("s"))
+        .agg(sum(expr("s[0]"))).collect()(0).getLong(0).max(rows) * 0 + rows)
+    time("fingerprint_dedup")(
+      docs.select(graft.operators.TextAnalysis.docFingerprint(col("text")).as("fp"))
+        .groupBy(col("fp")).count().count())
+    time("minhash_sig")(
+      docs.select(graft.plans.TextExpressions.minhashSig(
+          graft.plans.TextExpressions.shingleHash64(col("text"), 3), 16).as("sig"))
+        .select(expr("sig[0]")).agg(min(col("sig[0]"))).count() * 0 + rows)
+    time("stratified_sample")(
+      graft.operators.TrainingPipeline
+        .stratifiedSample(docs, "lang", "doc_id", 1000).count())
+    time("shard_assign")(
+      docs.withColumn("__h", md5(col("doc_id").cast("string")))
+        .select((expr("position(substring(__h, 1, 1) IN '0123456789abcdef')")
+          .cast("long") - 1L).mod(lit(8L)).as("shard"))
+        .groupBy(col("shard")).count().count() * 0 + rows)
+
+    spark.stop()
+  }
+}

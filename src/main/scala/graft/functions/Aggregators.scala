@@ -49,28 +49,52 @@ object Aggregators {
     def outputEncoder: Encoder[String] = Encoders.STRING
   }
 
+  /** Buffer for [[TopKByScore]]: unsorted accumulation list with a
+    * tracked count and the current "bar" (k-th best seen at the last
+    * prune). Appends are O(1); the list is sorted only when it reaches
+    * 4k elements (amortized O(log k) per row) — a per-row full re-sort
+    * made k=1000 quadratic during buffer fill. */
+  final case class TopKBuf(items: List[(Double, Long)], cnt: Int,
+      barScore: Double, barId: Long, hasBar: Boolean)
+
   /** Bounded top-k by (score desc, id asc) — the partial-aggregation
     * shape for distributed top-k-per-group: each map task reduces its
-    * slice to ≤ k entries, so the shuffle moves k-element STATES (one
-    * per group per partition), never the scored rows themselves. At
-    * 100 TB that is the difference between shuffling ~|corpus|·|queries|
-    * rows and shuffling |partitions|·|queries|·k.
+    * slice to ≤ k entries (4k transiently), so the shuffle moves
+    * k-element STATES (one per group per partition), never the scored
+    * rows themselves. At 100 TB that is the difference between
+    * shuffling ~|corpus|·|queries| rows and shuffling
+    * |partitions|·|queries|·k.
     *
-    * Selection is order-insensitive (ties broken by id), so the result
-    * is identical at any partition count. IN = (score, id).
+    * Selection is order-insensitive (ties broken by id): the bar only
+    * rejects items provably outside the top k, and pruning keeps the k
+    * best seen — the result is identical at any partition count and
+    * any arrival order (law-tested in PropertyLawsSpec). IN = (score, id).
     */
   class TopKByScore(k: Int)
-      extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
+      extends Aggregator[(Double, Long), TopKBuf, Seq[(Double, Long)]] {
     private val ord: Ordering[(Double, Long)] = Ordering.by(t => (-t._1, t._2))
-    def zero: List[(Double, Long)] = Nil
-    def reduce(b: List[(Double, Long)], a: (Double, Long)): List[(Double, Long)] =
-      if (b.lengthCompare(k) >= 0 && ord.gteq(a, b.last)) b // below the bar: O(1) reject
-      else (a :: b).sorted(ord).take(k)
-    def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
-      (a ++ b).sorted(ord).take(k)
-    def finish(r: List[(Double, Long)]): Seq[(Double, Long)] = r.sorted(ord)
-    def bufferEncoder: Encoder[List[(Double, Long)]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, Long)]]()
+    private val maxBuf = math.max(4 * k, 64)
+
+    private def prune(items: List[(Double, Long)]): TopKBuf = {
+      val kept = items.sorted(ord).take(k)
+      val bar = kept.last
+      TopKBuf(kept, kept.length, bar._1, bar._2, hasBar = kept.length >= k)
+    }
+
+    def zero: TopKBuf = TopKBuf(Nil, 0, 0.0, 0L, hasBar = false)
+
+    def reduce(b: TopKBuf, a: (Double, Long)): TopKBuf =
+      if (b.hasBar && ord.gteq(a, (b.barScore, b.barId))) b // outside top-k: O(1) reject
+      else if (b.cnt + 1 >= maxBuf) prune(a :: b.items)
+      else b.copy(items = a :: b.items, cnt = b.cnt + 1)
+
+    def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
+      if (a.cnt == 0) b else if (b.cnt == 0) a
+      else prune(a.items ++ b.items)
+
+    def finish(r: TopKBuf): Seq[(Double, Long)] = r.items.sorted(ord).take(k)
+
+    def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
     def outputEncoder: Encoder[Seq[(Double, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
   }
