@@ -53,6 +53,20 @@ object Soak {
           .cast("long") - 1L).mod(lit(8L)).as("shard"))
         .groupBy(col("shard")).count().count() * 0 + rows)
 
+    // synthetic embeddings (expression-generated, deterministic) to soak
+    // the similarity paths at corpus sizes the fixture can't reach
+    val nVec = math.min(rows, 1000000L)
+    val emb = docs.limit(nVec.toInt).select(col("doc_id").as("vec_id"),
+      expr("transform(sequence(0, 15), i -> cast(pmod(hash(doc_id, i), 97) as double) / 97.0)")
+        .as("embedding"))
+    time("rp_lsh_bucket")(
+      emb.select(graft.operators.Similarity.rpLshBucket(col("embedding"), 12).as("b"))
+        .groupBy(col("b")).count().count() * 0 + nVec)
+    time("lsh_topk_100q")(
+      graft.operators.Similarity.lshTopK(
+        emb, emb.filter(col("vec_id") % (nVec / 100) === 0),
+        "vec_id", "vec_id", "embedding", k = 5, planes = 12).count())
+
     spark.stop()
   }
 }

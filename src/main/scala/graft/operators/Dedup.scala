@@ -198,12 +198,18 @@ object Dedup {
 
   // ---------------- SimHash ----------------
 
-  /** 64-bit SimHash fingerprints, one row per doc: explode tokens, hash
-    * each token ONCE, then 64 static bit-vote sum aggregates in a single
-    * groupBy pass (shiftright with a Scala-Int position keeps every vote
-    * expression codegen'd; the hash column is an attribute, evaluated
-    * once per token row). Docs with zero tokens get fingerprint 0. */
-  def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** 64-bit SimHash fingerprints, one row per doc — native one-pass
+    * kernel ([[graft.plans.SimHash64]]): the fingerprint is a pure
+    * per-row expression, so fingerprinting needs NO shuffle at all.
+    * Docs with zero tokens get fingerprint 0. */
+  def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    fanOut(df).select(col(idCol),
+      graft.plans.TextExpressions.simhash64(col(textCol)).as("fp"))
+
+  /** Dataflow formulation (explode tokens → 64 bit-vote sum aggregates
+    * in one groupBy): one shuffle of every token's votes. Kept for the
+    * kernel equality spec. */
+  def simhashFingerprintsAgg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = fanOut(df)
       .select(col(idCol), explode_outer(tokens(col(textCol))).as("__t"))
       .select(col(idCol), when(col("__t").isNotNull, xxhash64(col("__t"))).as("__h"))

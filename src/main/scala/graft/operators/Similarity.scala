@@ -87,8 +87,15 @@ object Similarity {
     (xxhash64(lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble))
 
   /** Random-hyperplane LSH bucket id: `planes` sign bits packed into a
-    * long. Cosine-similar vectors collide with high probability. */
-  def rpLshBucket(vec: Column, planes: Int): Column = {
+    * long. Cosine-similar vectors collide with high probability.
+    * Native kernel ([[graft.plans.RpLshBucket]], cached plane table);
+    * the HOF formulation below is kept for the equality spec. */
+  def rpLshBucket(vec: Column, planes: Int): Column =
+    graft.plans.VectorExpressions.rpLshBucket(vec, planes)
+
+  /** Reference formulation: one interpreted zip_with+aggregate chain
+    * per plane (~1000× the per-row cost of the kernel) — spec-only. */
+  def rpLshBucketHof(vec: Column, planes: Int): Column = {
     val v = asDouble(vec)
     (0 until planes).map { p =>
       val proj = aggregate(

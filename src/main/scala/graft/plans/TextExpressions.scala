@@ -277,6 +277,63 @@ case class NgramStats(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 64-bit SimHash of the whitespace-tokenized, lowercased text in one
+  * native pass — replicates the dataflow formulation in
+  * `Dedup.simhashFingerprintsAgg` exactly (per-token XXH64 with
+  * Spark's seed 42, ±1 votes per bit over ALL tokens incl. repeats,
+  * bit set iff vote sum > 0, zero-token docs -> 0) WITHOUT the
+  * explode + 64-aggregate groupBy: the fingerprint becomes a pure
+  * per-row expression, so fingerprinting a corpus needs NO shuffle
+  * at all. */
+object SimHashKernels {
+  def simhash64(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val s = text.toLowerCase.toString
+    val votes = new Array[Int](64)
+    var any = false
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        any = true
+        val bytes = s.substring(start, i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+    }
+    if (!any) 0L
+    else {
+      var fp = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) fp |= 1L << b; b += 1 }
+      fp
+    }
+  }
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashKernels.simhash64(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.plans.SimHashKernels.simhash64($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 /** Stopword-evidence language ID in one native pass — mirrors
   * TextAnalysis.langId's argmax-with-alphabetical-tiebreak exactly:
   * score_l = |tokens ∩ stopwords_l| / max(|tokens|, 1); first language
@@ -367,4 +424,8 @@ object TextExpressions {
   /** Column entry point: text -> language code (native argmax). */
   def langIdNative(text: Column): Column =
     GraftSqlBridge.column(LangId(GraftSqlBridge.expression(text)))
+
+  /** Column entry point: text -> 64-bit SimHash fingerprint. */
+  def simhash64(text: Column): Column =
+    GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(text)))
 }

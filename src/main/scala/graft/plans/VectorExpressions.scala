@@ -68,12 +68,79 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH bucket, one native pass.
+  *
+  * Bit-compatible with the HOF formulation in
+  * [[graft.operators.Similarity.rpLshBucketHof]]: plane components are
+  * the same chained XXH64 Spark's `xxhash64(lit(p), i)` computes for
+  * two int columns (seed 42), mapped to [-1, 1]; projections accumulate
+  * left-to-right over the vector. The HOF version evaluates 12
+  * interpreted lambda chains per row (zip_with + aggregate per plane) —
+  * ~26 s per 1M rows at dim 16; this kernel precomputes the
+  * (planes × dim) component table once per shape and does the pure
+  * multiply-add loop (~1000× less per-row overhead).
+  */
+object RpLshKernels {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Double]]]()
+
+  private def table(planes: Int, dim: Int): Array[Array[Double]] = {
+    val key = (planes.toLong << 32) | dim.toLong
+    var t = cache.get(key)
+    if (t == null) {
+      t = Array.tabulate(planes, dim) { (p, i) =>
+        XXH64.hashInt(i, XXH64.hashInt(p, 42L)).toDouble / Long.MaxValue.toDouble
+      }
+      cache.putIfAbsent(key, t)
+    }
+    t
+  }
+
+  def bucket(v: ArrayData, planes: Int): Long = {
+    val dim = v.numElements()
+    val t = table(planes, dim)
+    var res = 0L
+    var p = 0
+    while (p < planes) {
+      val row = t(p)
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { acc += v.getDouble(i) * row(i); i += 1 }
+      if (acc >= 0) res |= 1L << p
+      p += 1
+    }
+    res
+  }
+}
+
+case class RpLshBucket(child: Expression, planes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "rp_lsh_bucket"
+
+  override def nullSafeEval(input: Any): Any =
+    RpLshKernels.bucket(input.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.plans.RpLshKernels.bucket($v, $planes);")
+
+  override protected def withNewChildInternal(newChild: Expression): RpLshBucket =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-level entry point; inputs are cast to array<double>. */
   def cosineSim(a: Column, b: Column): Column =
     GraftSqlBridge.column(CosineSim(
       GraftSqlBridge.expression(a.cast("array<double>")),
       GraftSqlBridge.expression(b.cast("array<double>"))))
+
+  /** Column-level entry point; input cast to array<double>. */
+  def rpLshBucket(vec: Column, planes: Int): Column =
+    GraftSqlBridge.column(RpLshBucket(
+      GraftSqlBridge.expression(vec.cast("array<double>")), planes))
 
   /** SQL registration: `SELECT cosine_sim(a, b)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -89,6 +89,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(2L) == 6L)
   }
 
+  test("native SimHash64 is bit-identical to the explode+vote-agg formulation") {
+    val docs = tables.documents.select($"doc_id", $"text")
+      .unionByName(Seq((90001L, ""), (90002L, "   ")).toDF("doc_id", "text")) // zero-token docs
+    val native = operators.Dedup.simhashFingerprints(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val agg = operators.Dedup.simhashFingerprintsAgg(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(native == agg)
+    assert(native(90001L) == 0L && native(90002L) == 0L)
+  }
+
+  test("native RP-LSH bucket is bit-identical to the HOF formulation") {
+    val emb = tables.embeddings
+    val diff = emb.select(
+        Similarity.rpLshBucket($"embedding", 12).as("native"),
+        Similarity.rpLshBucketHof($"embedding", 12).as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(diff == 0)
+  }
+
   test("native cosine kernel is bit-identical to the HOF formulation") {
     val emb = tables.embeddings.limit(200)
     val a = emb.select($"vec_id".as("ida"), Similarity.asDouble($"embedding").as("va"))
