@@ -67,6 +67,17 @@ object Soak {
         emb, emb.filter(col("vec_id") % (nVec / 100) === 0),
         "vec_id", "vec_id", "embedding", k = 5, planes = 12).count())
 
+    time("simhash_fp")(
+      graft.operators.Dedup.simhashFingerprints(docs, "doc_id", "text")
+        .agg(min(col("fp"))).count() * 0 + rows)
+    time("chunking")(
+      docs.withColumn("__toks",
+          graft.functions.PigFunctions.tokenize(lower(col("text"))))
+        .select(col("doc_id"), posexplode(
+          when(size(col("__toks")) > 0, sequence(lit(0), size(col("__toks")) - 1, lit(4)))
+            .otherwise(array().cast("array<int>"))).as(Seq("chunk_id", "start")))
+        .count())
+
     spark.stop()
   }
 }

@@ -21,6 +21,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   ngram_strings(text, n)    — distinct word n-gram strings
   *   shingle_hash64(text, n)   — distinct shingle XXH64 hashes
   *   minhash_sig(hashes, k)    — k-permutation MinHash signature
+  *   simhash64(text)           — 64-bit SimHash fingerprint
+  *   rp_lsh_bucket(vec, p)     — random-hyperplane LSH bucket id
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -66,6 +68,14 @@ object GraftExtensions {
     ("minhash_sig", "minhash_sig(hashes, k) - k-permutation MinHash signature", {
       case Seq(h, k) => MinHashSig(h, intArg(k, "minhash_sig"))
       case args => throw new IllegalArgumentException(s"minhash_sig needs 2 args, got ${args.length}")
+    }: Seq[Expression] => Expression),
+    ("simhash64", "simhash64(text) - 64-bit SimHash fingerprint", {
+      case Seq(t) => SimHash64(t)
+      case args => throw new IllegalArgumentException(s"simhash64 needs 1 arg, got ${args.length}")
+    }: Seq[Expression] => Expression),
+    ("rp_lsh_bucket", "rp_lsh_bucket(vec, planes) - random-hyperplane LSH bucket id", {
+      case Seq(v, p) => RpLshBucket(v, intArg(p, "rp_lsh_bucket"))
+      case args => throw new IllegalArgumentException(s"rp_lsh_bucket needs 2 args, got ${args.length}")
     }: Seq[Expression] => Expression))
 
   /** Register into a LIVE session's function registry — usable when the
