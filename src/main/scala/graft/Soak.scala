@@ -64,7 +64,7 @@ object Soak {
         .groupBy(col("b")).count().count() * 0 + nVec)
     time("lsh_topk_100q")(
       graft.operators.Similarity.lshTopK(
-        emb, emb.filter(col("vec_id") % (nVec / 100) === 0),
+        emb, emb.filter(col("vec_id") % math.max(1L, nVec / 100) === 0),
         "vec_id", "vec_id", "embedding", k = 5, planes = 12).count())
 
     time("simhash_fp")(

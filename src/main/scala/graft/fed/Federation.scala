@@ -99,10 +99,21 @@ object Federation {
   private[fed] def estimateBytes(plan: FedPlan, catalog: Catalog, anySession: SparkSession): Long = plan match {
     case FedScan(t) => tableBytes(anySession, catalog(t).uri)
     case st @ FedStage(in, _, _, sel) =>
-      if (sel.isNaN)
-        catalystBytes(st, catalog, anySession)
-          .getOrElse(math.max(1L, estimateBytes(in, catalog, anySession) / 2))
-      else math.max(1L, (estimateBytes(in, catalog, anySession) * sel).toLong)
+      // Always estimate the INPUT recursively (inner explicit
+      // annotations must keep winning — estimating the whole subtree
+      // from Catalyst would silently discard them), then apply this
+      // stage's own ratio: the caller's selectivity if given, else
+      // Catalyst's output/input size ratio (sees column pruning), else
+      // the PigOut-class 0.5 guess.
+      val inBytes = estimateBytes(in, catalog, anySession)
+      val ratio =
+        if (!sel.isNaN) sel
+        else (for {
+          out <- catalystBytes(st, catalog, anySession)
+          inn <- catalystBytes(in, catalog, anySession)
+          if inn > 0
+        } yield out.toDouble / inn).getOrElse(0.5)
+      math.max(1L, (inBytes * ratio).toLong)
     case FedBinary(l, r, _, _) =>
       estimateBytes(l, catalog, anySession) + estimateBytes(r, catalog, anySession)
   }

@@ -72,7 +72,25 @@ object Aggregators {
     */
   class TopKByScore(k: Int)
       extends Aggregator[(Double, Long), TopKBuf, Seq[(Double, Long)]] {
-    private val ord: Ordering[(Double, Long)] = Ordering.by(t => (-t._1, t._2))
+    // score DESC with SQL sort semantics: NaN ranks ABOVE +Inf (what
+    // Spark's window ORDER BY desc and DuckDB both do — a plain
+    // Ordering.by(-score) would rank NaN last and silently drop a
+    // zero-norm vector's NaN cosine from the top-k), -0.0 == 0.0
+    // (ties break by id, not by sign bit), ties by id ASC.
+    private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val sa = if (a._1 == 0.0) 0.0 else a._1
+        val sb = if (b._1 == 0.0) 0.0 else b._1
+        val aN = java.lang.Double.isNaN(sa)
+        val bN = java.lang.Double.isNaN(sb)
+        val c =
+          if (aN && bN) 0
+          else if (aN) -1
+          else if (bN) 1
+          else java.lang.Double.compare(sb, sa)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
     private val maxBuf = math.max(4 * k, 64)
 
     private def prune(items: List[(Double, Long)]): TopKBuf = {

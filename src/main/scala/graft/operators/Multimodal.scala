@@ -52,15 +52,6 @@ object Multimodal {
     StructField("mean_byte", DoubleType),
     StructField("frames", IntegerType)))
 
-  /** Partition-streaming decode/feature-extract stage.
-    *
-    * Shape notes for the real-codec version: the iterator is consumed
-    * lazily (one blob in memory at a time per task — no
-    * whole-partition materialization), decode state would be allocated
-    * once per partition (before the iterator map), and output rows are
-    * narrow feature rows, not pixel buffers. That structure is what
-    * makes this safe on 100 TB of media.
-    */
   /** Frame sampling, expression-level: fixed-size byte frames, keep
     * every `everyN`-th. Pure Catalyst (`sequence`+`explode`+`substring`
     * on binary) — stays in codegen and needs no decode at all, which is
@@ -95,12 +86,14 @@ object Multimodal {
     val spark = df.sparkSession
     val idIdx = df.schema.fieldIndex(idCol)
     val blobIdx = df.schema.fieldIndex(blobCol)
+    // id passes through untyped and keeps its column name/type — a
+    // string or int id is as valid as a long one
     val outType = StructType(Seq(
-      StructField("doc_id", LongType),
+      df.schema(idCol),
       StructField("embedding", ArrayType(DoubleType))))
     val rdd = df.rdd.mapPartitions { it =>
       // real pipeline: val model = Model.load() — once per partition
-      def infer(batch: Seq[(Long, Array[Byte])]): Seq[Row] =
+      def infer(batch: Seq[(Any, Array[Byte])]): Seq[Row] =
         // ---- STUB model: k-th moment of the byte distribution per
         // dimension; deterministic, batch-size-invariant ----
         batch.map { case (id, bytes) =>
@@ -114,12 +107,21 @@ object Multimodal {
           }.toArray
           Row(id, emb)
         }
-      it.map(r => (r.getLong(idIdx), r.getAs[Array[Byte]](blobIdx)))
+      it.map(r => (r.get(idIdx), r.getAs[Array[Byte]](blobIdx)))
         .grouped(batchSize).flatMap(infer)
     }
     spark.createDataFrame(rdd, outType)
   }
 
+  /** Partition-streaming decode/feature-extract stage.
+    *
+    * Shape notes for the real-codec version: the iterator is consumed
+    * lazily (one blob in memory at a time per task — no
+    * whole-partition materialization), decode state would be allocated
+    * once per partition (before the iterator map), and output rows are
+    * narrow feature rows, not pixel buffers. That structure is what
+    * makes this safe on 100 TB of media.
+    */
   def decodeFeatures(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
     val spark = df.sparkSession
     val idIdx = df.schema.fieldIndex(idCol)

@@ -40,25 +40,39 @@ object Similarity {
     * |corpus|·|queries| score stream; this shape shuffles
     * |partitions|·|queries|·k regardless of corpus size.
     * Ordering (score desc, id asc) is selection-based, so the result is
-    * identical at any partition count.
+    * identical at any partition count. NaN scores (a zero-norm vector's
+    * cosine) rank FIRST, matching both a SQL `ORDER BY score DESC`
+    * (Spark and DuckDB sort NaN above +Inf) and the window fallback.
     *
-    * Ids are cast to LONG (all similarity paths here use long vec ids);
-    * for non-numeric ids use [[Relational.topPerGroup]], whose window
-    * formulation is id-type-generic. */
+    * The aggregator needs integral ids; non-integral id columns (string
+    * doc ids etc.) transparently fall back to the id-type-generic
+    * window formulation ([[Relational.topPerGroup]]) — same result,
+    * shuffles scored rows instead of k-element states. */
   private[operators] def boundedTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
-    val spark = scored.sparkSession
-    import spark.implicits._
-    scored
-      .select(col("query_id").cast("long"), col(idCol).cast("long"),
-        col("score").cast("double"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._3, t._2))
-      .agg(new graft.functions.Aggregators.TopKByScore(k).toColumn)
-      .flatMap { case (qid, top) =>
-        top.iterator.zipWithIndex.map { case ((s, id), i) => (qid, id, s, (i + 1).toLong) }
-      }
-      .toDF("query_id", "neighbor_id", "score", "rn")
+    val integral = scored.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (!integral) {
+      Relational.topPerGroup(scored, Seq("query_id"), "score", k, idCol)
+        .select(col("query_id"), col(idCol).as("neighbor_id"), col("score"),
+          col("rn").cast("long").as("rn"))
+    } else {
+      val spark = scored.sparkSession
+      import spark.implicits._
+      scored
+        .select(col("query_id").cast("long"), col(idCol).cast("long"),
+          col("score").cast("double"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._3, t._2))
+        .agg(new graft.functions.Aggregators.TopKByScore(k).toColumn)
+        .flatMap { case (qid, top) =>
+          top.iterator.zipWithIndex.map { case ((s, id), i) => (qid, id, s, (i + 1).toLong) }
+        }
+        .toDF("query_id", "neighbor_id", "score", "rn")
+    }
   }
 
   /** Exact brute-force top-k neighbors for each query vector.

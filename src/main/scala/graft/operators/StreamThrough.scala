@@ -102,6 +102,9 @@ object StreamThrough {
             if (nextLine == null) {
               val code = proc.waitFor()
               if (code != 0) {
+                // the process can die before the drain thread has read
+                // the buffered (usually most diagnostic) stderr lines
+                errDrain.join(2000)
                 val tail = {
                   val it = errTail.iterator(); val sb = new StringBuilder
                   while (it.hasNext) { sb.append("\n  stderr> ").append(it.next()) }

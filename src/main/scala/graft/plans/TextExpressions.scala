@@ -90,6 +90,34 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Shared tokenizer for all native text kernels.
+  *
+  * CRITICAL whitespace contract: splits on Java-regex `\s` —
+  * EXACTLY `[ \t\n\x0B\f\r]`, ASCII-only — because every kernel here
+  * claims bit-identity with a `split(lower(text), "\\s+")` HOF
+  * formulation and with DuckDB's RE2 `string_split_regex('\s+')`,
+  * and BOTH of those treat `\s` as ASCII. `Character.isWhitespace`
+  * is Unicode-aware (U+3000 ideographic space etc.) and would
+  * silently diverge on non-ASCII corpora (e.g. zh text). */
+object TokKernel {
+  @inline def isSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Lowercased whitespace-run tokens of `s` (already lowercased). */
+  def tokens(s: String): java.util.ArrayList[String] = {
+    val out = new java.util.ArrayList[String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && isSpace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isSpace(s.charAt(i))) i += 1
+      if (i > start) out.add(s.substring(start, i))
+    }
+    out
+  }
+}
+
 /** Tokenize + word-n-gram-shingle + hash, fused into one native pass:
   * text -> distinct array<long> of shingle hashes.
   *
@@ -105,16 +133,7 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 object ShingleKernels {
   def shingleHashes(text: org.apache.spark.unsafe.types.UTF8String, n: Int): Array[Long] = {
     val s = text.toLowerCase.toString
-    // whitespace split without regex
-    val tokens = new java.util.ArrayList[String]()
-    var i = 0
-    val len = s.length
-    while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
-      val start = i
-      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
-      if (i > start) tokens.add(s.substring(start, i))
-    }
+    val tokens = TokKernel.tokens(s)
     val m = tokens.size
     val sb = new java.lang.StringBuilder(64)
     def hashOf(str: String): Long = {
@@ -178,15 +197,7 @@ object NgramKernels {
   /** returns {count, uniq}; m < n tokens -> {0, 0} (q65 semantics). */
   def ngramStats(text: org.apache.spark.unsafe.types.UTF8String, n: Int): Array[Long] = {
     val s = text.toLowerCase.toString
-    val tokens = new java.util.ArrayList[String]()
-    var i = 0
-    val len = s.length
-    while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
-      val start = i
-      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
-      if (i > start) tokens.add(s.substring(start, i))
-    }
+    val tokens = TokKernel.tokens(s)
     val m = tokens.size
     if (m < n) return Array(0L, 0L)
     val seen = new java.util.HashSet[String]()
@@ -211,15 +222,7 @@ object NgramStringKernels {
   def ngramStrings(text: org.apache.spark.unsafe.types.UTF8String, n: Int)
       : Array[org.apache.spark.unsafe.types.UTF8String] = {
     val s = text.toLowerCase.toString
-    val tokens = new java.util.ArrayList[String]()
-    var i = 0
-    val len = s.length
-    while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
-      val start = i
-      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
-      if (i > start) tokens.add(s.substring(start, i))
-    }
+    val tokens = TokKernel.tokens(s)
     val m = tokens.size
     if (m < n) return Array.empty
     val seen = new java.util.LinkedHashSet[String]()
@@ -293,9 +296,9 @@ object SimHashKernels {
     var i = 0
     val len = s.length
     while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && TokKernel.isSpace(s.charAt(i))) i += 1
       val start = i
-      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && !TokKernel.isSpace(s.charAt(i))) i += 1
       if (i > start) {
         any = true
         val bytes = s.substring(start, i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -367,9 +370,9 @@ object LangKernels {
     var i = 0
     val len = s.length
     while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && TokKernel.isSpace(s.charAt(i))) i += 1
       val start = i
-      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && !TokKernel.isSpace(s.charAt(i))) i += 1
       if (i > start) {
         val mask = masks.get(s.substring(start, i))
         if (mask != null) {

@@ -89,6 +89,51 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(2L) == 6L)
   }
 
+  test("kernels split on ASCII \\s exactly: U+3000 text matches the HOF/regex side") {
+    // U+3000 (ideographic space) is whitespace to Character.isWhitespace
+    // but NOT to Java/RE2 \s — the kernels must treat it as a token char
+    val docs = Seq((1L, "foo　bar baz"), (2L, "a b c")).toDF("doc_id", "text")
+    val native = operators.Dedup.simhashFingerprints(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val agg = operators.Dedup.simhashFingerprintsAgg(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(native == agg)
+    val lid = docs.select(operators.TextAnalysis.langId($"text").as("n"),
+      operators.TextAnalysis.langIdHof($"text").as("h"))
+      .filter($"n" =!= $"h").count()
+    assert(lid == 0)
+    val ng = docs.select(graft.plans.TextExpressions.ngramStats($"text", 2).as("st"),
+        size(operators.Dedup.tokens($"text")).as("m"))
+      .select(expr("st[0]").as("c"), $"m").as[(Long, Int)].collect()
+    // n-gram count must agree with the REGEX token count: m - 1
+    // ("foo　bar baz" is 2 regex tokens -> 1 2-gram; 3 Unicode-split
+    // tokens -> 2 would expose the divergence)
+    ng.foreach { case (c, m) => assert(c == m - 1, s"c=$c m=$m") }
+  }
+
+  test("NaN cosine (zero-norm vector) ranks first, like SQL DESC and the window path") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)),   // query
+      (2L, Seq(0.9, 0.1)),
+      (3L, Seq(0.0, 0.0)),   // zero norm -> cosine NaN
+      (4L, Seq(0.5, 0.5))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1),
+      "vec_id", "vec_id", "embedding", k = 2)
+      .orderBy($"rn").select($"neighbor_id").as[Long].collect().toSeq
+    assert(got.head == 3L, s"NaN-scored neighbor must rank first, got $got")
+  }
+
+  test("string ids fall back to the window top-k path (no silent long cast)") {
+    val vecs = Seq(
+      ("q1", Seq(1.0, 0.0)), ("d1", Seq(0.9, 0.1)), ("d2", Seq(0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === "q1"),
+      "vec_id", "vec_id", "embedding", k = 2)
+      .orderBy($"rn").select($"neighbor_id").as[String].collect().toSeq
+    assert(got == Seq("d1", "d2"))
+  }
+
   test("native SimHash64 is bit-identical to the explode+vote-agg formulation") {
     val docs = tables.documents.select($"doc_id", $"text")
       .unionByName(Seq((90001L, ""), (90002L, "   ")).toDF("doc_id", "text")) // zero-token docs

@@ -129,5 +129,12 @@ class FederationSpec extends SparkSpec {
       _.filter(col("c_acctbal") > 9999), "rare", selectivity = 0.01)
     val annotatedBytes = Federation.estimatedBytes(annotated, catalog, s)
     assert(annotatedBytes <= scanBytes / 50)
+    // an INNER explicit annotation survives an unannotated outer stage:
+    // the outer stage applies its own (Catalyst/default) ratio to the
+    // inner estimate rather than re-estimating the whole subtree
+    val wrapped = FedStage(annotated, _.select(col("c_custkey")), "outer_proj")
+    val wrappedBytes = Federation.estimatedBytes(wrapped, catalog, s)
+    assert(wrappedBytes <= annotatedBytes,
+      s"inner 1% annotation discarded: wrapped=$wrappedBytes inner=$annotatedBytes")
   }
 }
