@@ -740,6 +740,39 @@ object SparkEntry {
           sum(when(col("fp_cnt") > 1, 1L).otherwise(0L)).cast("long").as("n_dup_docs"))
     }),
 
+    // --- deterministic fraction sampling: hash-Bernoulli keep-if
+    //     md5-nibble < threshold — reproducible on any engine, retry,
+    //     or partitioning (the scalable SAMPLE / TABLESAMPLE) ---
+    "q75_fraction_sample" -> ((s, dir) =>
+      t(s, dir).documents
+        .withColumn("__h", md5(col("doc_id").cast("string")))
+        .filter(expr("position(substring(__h, 1, 1) IN '0123456789abcdef')") <= 4)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    // --- sessionized training sequences: split each user's events at
+    //     >30-min gaps (lag + running session counter), then one
+    //     ordered event-type string per session ---
+    "q76_session_sequences" -> ((s, dir) => {
+      val wUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val withGap = t(s, dir).events
+        .withColumn("__prev", lag(col("ts"), 1).over(wUser))
+        .withColumn("__new_sess",
+          when(col("__prev").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("__prev")) > 1800L * 1000000L,
+            1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("__new_sess")).over(
+          wUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      withGap.groupBy(col("user_id"), col("sess_id"))
+        .agg(
+          count(lit(1)).cast("long").as("n_events"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+              x => x.getField("event_type")),
+            ">").as("seq"))
+    }),
+
     // --- user behavior sequences: per-user event-type strings in
     //     time order (ties broken by event_id) — the sequence-corpus
     //     construction op; one shuffle, bags sorted inside the agg ---
@@ -1288,6 +1321,28 @@ object SparkEntry {
          CAST(count(*) AS BIGINT) AS n_events,
          string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
          FROM events GROUP BY user_id""",
+
+    "q75_fraction_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE position(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN '0123456789abcdef') <= 4""",
+
+    "q76_session_sequences" ->
+      """WITH g AS (
+           SELECT user_id, ts, event_id, event_type,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, ts, event_id, event_type,
+                  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+           FROM g)
+         SELECT user_id, sess_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+         FROM s GROUP BY user_id, sess_id""",
 
     "q74_data_card" ->
       """WITH d AS (
