@@ -67,6 +67,10 @@ object Soak {
         emb, emb.filter(col("vec_id") % math.max(1L, nVec / 100) === 0),
         "vec_id", "vec_id", "embedding", k = 5, planes = 12).count())
 
+    time("contamination")(
+      graft.operators.TextAnalysis.contamination(
+        docs, "doc_id", "text",
+        isBenchmark = col("doc_id") % 1000 === 0, n = 3).count())
     time("simhash_fp")(
       graft.operators.Dedup.simhashFingerprints(docs, "doc_id", "text")
         .agg(min(col("fp"))).count() * 0 + rows)

@@ -54,7 +54,10 @@ object SyntheticDocs {
   private val words = Array("alpha", "bravo", "charlie", "delta", "echo",
     "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima")
 
-  /** Deterministic row content from the id alone. */
+  /** Deterministic row content from the id alone. Every third word
+    * carries an id-derived numeric suffix, giving a ~120k-term
+    * vocabulary — without it every doc collapses into ~84 distinct
+    * texts and dedup/contamination soaks measure a degenerate corpus. */
   def lang(id: Long): String = langs((id % langs.length).toInt)
   def text(id: Long): String = {
     val n = 5 + (id % 7).toInt
@@ -63,6 +66,7 @@ object SyntheticDocs {
     while (i < n) {
       if (i > 0) sb.append(' ')
       sb.append(words(((id * 31 + i * 7) % words.length).abs.toInt))
+      if ((id + i) % 3 == 0) sb.append(((id * 131 + i * 17) % 9973).abs)
       i += 1
     }
     sb.toString
