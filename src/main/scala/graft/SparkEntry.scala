@@ -785,8 +785,53 @@ object SparkEntry {
             transform(
               array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
               x => x.getField("event_type")),
-            ">").as("seq")))
+            ">").as("seq"))),
+
+    // ============ Pig Latin textual front-end (SURVEY §3.1) ============
+    // q77+ run bundled .pig scripts through graft.pig.PigScript — the
+    // reference's dominant entry point (a text script), parsed and
+    // compiled onto the same Engine surface and oracle-checked like any
+    // other query. The aggregating scripts (q78–q81, q85, q89) hit the
+    // combiner path: FOREACH-on-GROUP compiles to groupBy().agg(), so
+    // the textual route produces the same bag-free plan as the Scala one.
+    "q77_pig_scan_filter" -> pigQ("/pig/q77_scan_filter.pig"),
+    "q78_pig_group_agg" -> pigQ("/pig/q78_group_agg.pig"),
+    "q79_pig_join_group" -> pigQ("/pig/q79_join_group.pig"),
+    "q80_pig_join_replicated" -> pigQ("/pig/q80_join_replicated.pig"),
+    "q81_pig_left_join" -> pigQ("/pig/q81_left_join.pig"),
+    "q82_pig_union_distinct" -> pigQ("/pig/q82_union_distinct.pig"),
+    "q83_pig_order_limit" -> pigQ("/pig/q83_order_limit.pig"),
+    "q84_pig_flatten_tokenize" -> pigQ("/pig/q84_flatten_tokenize.pig"),
+    "q85_pig_split" -> pigQ("/pig/q85_split.pig"),
+    "q86_pig_cogroup" -> pigQ("/pig/q86_cogroup.pig"),
+    "q87_pig_rank" -> pigQ("/pig/q87_rank.pig"),
+    "q88_pig_csv_lazy" -> ((s, dir) => {
+      val csv = writeNationCsv(s, dir)
+      graft.pig.PigScript.queryResource(s, "/pig/q88_csv_lazy.pig", Map("CSV" -> csv))
+    }),
+    "q89_pig_macro" -> pigQ("/pig/q89_macro.pig"),
+    "q90_pig_cross" -> pigQ("/pig/q90_cross.pig"),
+    "q91_pig_cogroup_semi" -> pigQ("/pig/q91_cogroup_semi.pig"),
+    "q92_pig_scalar_funcs" -> pigQ("/pig/q92_scalar_funcs.pig"),
+    "q93_pig_dates" -> pigQ("/pig/q93_dates.pig")
   )
+
+  private def pigQ(res: String): (SparkSession, String) => DataFrame =
+    (s, dir) => graft.pig.PigScript.queryResource(s, res, Map("DIR" -> dir))
+
+  /** Render nation.parquet as a headerless CSV at a fixed path — the
+    * lazy-typed delimited-LOAD fixture for q88 (the DuckDB oracle reads
+    * the same file). A 25-row dimension, driver-side by design. */
+  private def writeNationCsv(s: SparkSession, dir: String): String = {
+    val path = "/tmp/graft_pig/nation.csv"
+    val rows = t(s, dir).nation.orderBy("n_nationkey").collect()
+    val f = new java.io.File(path)
+    f.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    try rows.foreach(r => w.println(s"${r.get(0)},${r.get(1)},${r.get(2)}"))
+    finally w.close()
+    path
+  }
 
   /** DuckDB-runnable oracle SQL, same column names as the Spark result. */
   def oracleSql: Map[String, String] = Map(
@@ -968,7 +1013,7 @@ object SparkEntry {
          strftime(o_orderdate, '%Y-%m') AS ym,
          CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
          o_orderdate + INTERVAL '1 day' + INTERVAL '2 hours' AS plus1d2h,
-         CAST(floor((epoch(TIMESTAMP '1998-12-31') - epoch(o_orderdate)) / 86400) AS BIGINT) AS days_to_end
+         CAST(trunc((epoch(TIMESTAMP '1998-12-31') - epoch(o_orderdate)) / 86400) AS BIGINT) AS days_to_end
          FROM orders""",
 
     "q28_json" ->
@@ -1374,6 +1419,117 @@ object SparkEntry {
          SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared
          FROM g JOIN bench USING (ng)
          WHERE g.doc_id % 50 <> 0
-         GROUP BY g.doc_id"""
+         GROUP BY g.doc_id""",
+
+    // ============ Pig front-end queries (q77+) ============
+
+    "q77_pig_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_extendedprice * (1 - l_discount) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'""",
+
+    "q78_pig_group_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         count(*) AS count_order, sum(l_quantity) AS sum_qty,
+         min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+
+    "q79_pig_join_group" ->
+      """SELECT o_orderstatus, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderstatus""",
+
+    "q80_pig_join_replicated" ->
+      """SELECT n_name, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name""",
+
+    "q81_pig_left_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey""",
+
+    "q82_pig_union_distinct" ->
+      """SELECT DISTINCT o_custkey, o_orderpriority FROM orders
+         WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""",
+
+    "q83_pig_order_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "q84_pig_flatten_tokenize" ->
+      """SELECT token, n FROM (
+           SELECT token, count(*) AS n FROM (
+             SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+             FROM documents)
+           WHERE regexp_full_match(token, '[a-z]{6,}')
+           GROUP BY token)
+         WHERE n >= 2""",
+
+    "q85_pig_split" ->
+      """SELECT 'big' AS bucket, count(*) AS n FROM orders WHERE o_totalprice > 200000.0
+         UNION ALL
+         SELECT 'mid', count(*) FROM orders
+         WHERE o_totalprice > 50000.0 AND o_totalprice <= 200000.0
+         UNION ALL
+         SELECT 'small', count(*) FROM orders WHERE o_totalprice <= 50000.0""",
+
+    "q86_pig_cogroup" ->
+      """SELECT COALESCE(c.k, o.k) AS c_custkey,
+                COALESCE(c.n, 0) AS n_cust, COALESCE(o.n, 0) AS n_orders
+         FROM (SELECT c_custkey AS k, count(*) AS n FROM customer GROUP BY 1) c
+         FULL JOIN (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1) o
+           ON c.k = o.k""",
+
+    "q87_pig_rank" ->
+      """SELECT rnk, c_custkey, c_acctbal FROM (
+           SELECT rank() OVER (ORDER BY c_acctbal DESC) AS rnk, c_custkey, c_acctbal
+           FROM customer)
+         WHERE rnk <= 20""",
+
+    "q88_pig_csv_lazy" ->
+      """SELECT CAST(c0 AS INTEGER) AS n_nationkey, upper(c1) AS n_name_uc,
+                CAST(c2 AS INTEGER) AS n_regionkey
+         FROM read_csv('/tmp/graft_pig/nation.csv', header=false,
+                       names=['c0','c1','c2'], all_varchar=true)
+         WHERE CAST(c2 AS INTEGER) != 2""",
+
+    "q89_pig_macro" ->
+      """SELECT o_custkey, n FROM (
+           SELECT o_custkey, count(*) AS n FROM orders
+           WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey)
+         ORDER BY n DESC, o_custkey LIMIT 15""",
+
+    "q90_pig_cross" ->
+      """SELECT n_name, r_name FROM nation, region WHERE n_regionkey != r_regionkey""",
+
+    "q91_pig_cogroup_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT')""",
+
+    "q92_pig_scalar_funcs" ->
+      """SELECT c_custkey,
+         upper(c_name) AS name_uc,
+         substring(c_name, 1, 8) AS name8,
+         CASE WHEN c_acctbal > 5000.0 THEN 'high'
+              WHEN c_acctbal >= 0.0 THEN 'mid'
+              ELSE 'neg' END AS tier,
+         CAST(round(c_acctbal) AS BIGINT) AS bal_round,
+         abs(c_acctbal) AS bal_abs,
+         CAST(c_nationkey AS BIGINT) AS nk
+         FROM customer""",
+
+    "q93_pig_dates" ->
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(month(o_orderdate) AS INT) AS mo,
+         CAST(trunc((epoch(TIMESTAMP '1998-01-01') - epoch(o_orderdate)) / 86400) AS BIGINT) AS days_from_98,
+         CAST(trunc((epoch(o_orderdate) - epoch(TIMESTAMP '1998-01-01')) / 3600) AS BIGINT) AS hours_to_98
+         FROM orders"""
   )
 }

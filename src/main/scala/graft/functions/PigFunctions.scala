@@ -89,28 +89,32 @@ object PigFunctions {
 
   // ---------------- datetime ----------------
 
-  /** Pig DaysBetween(dt1, dt2): whole days in dt1 - dt2 (truncated). */
-  def daysBetween(a: Column, b: Column): Column =
-    floor((unix_timestamp(a) - unix_timestamp(b)) / 86400L).cast("long")
+  /** Whole units in a − b, truncated TOWARD ZERO — Joda (and therefore
+    * Pig) `Days.daysBetween` semantics: -1.5 days is -1, not -2. A
+    * `floor` would round toward −∞ and differ on every negative
+    * interval; the double division is exact here (|seconds| ≲ 2^40 ≪
+    * 2^52), so the long cast is the truncation. */
+  private def unitsBetween(a: Column, b: Column, unitSeconds: Long): Column =
+    ((unix_timestamp(a) - unix_timestamp(b)) / unitSeconds).cast("long")
 
-  def hoursBetween(a: Column, b: Column): Column =
-    floor((unix_timestamp(a) - unix_timestamp(b)) / 3600L).cast("long")
+  /** Pig DaysBetween(dt1, dt2): whole days in dt1 - dt2 (toward zero). */
+  def daysBetween(a: Column, b: Column): Column = unitsBetween(a, b, 86400L)
 
-  def minutesBetween(a: Column, b: Column): Column =
-    floor((unix_timestamp(a) - unix_timestamp(b)) / 60L).cast("long")
+  def hoursBetween(a: Column, b: Column): Column = unitsBetween(a, b, 3600L)
+
+  def minutesBetween(a: Column, b: Column): Column = unitsBetween(a, b, 60L)
 
   def secondsBetween(a: Column, b: Column): Column =
     (unix_timestamp(a) - unix_timestamp(b)).cast("long")
 
-  def weeksBetween(a: Column, b: Column): Column =
-    floor((unix_timestamp(a) - unix_timestamp(b)) / (7L * 86400L)).cast("long")
+  def weeksBetween(a: Column, b: Column): Column = unitsBetween(a, b, 7L * 86400L)
 
-  /** Pig MonthsBetween — whole months (Joda monthsBetween truncates). */
+  /** Pig MonthsBetween — whole months (Joda truncates toward zero). */
   def monthsBetweenPig(a: Column, b: Column): Column =
-    floor(months_between(a, b)).cast("long")
+    months_between(a, b).cast("long")
 
   def yearsBetween(a: Column, b: Column): Column =
-    floor(months_between(a, b) / 12.0).cast("long")
+    (months_between(a, b) / 12.0).cast("long")
 
   /** Pig GetWeek (ISO week-of-year) / GetWeekYear. */
   def getWeek(c: Column): Column = weekofyear(c)

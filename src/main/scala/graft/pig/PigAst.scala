@@ -1,0 +1,92 @@
+package graft.pig
+
+/** AST for the Pig Latin core statement grammar (SURVEY.md §3.1 — the
+  * reference lineage's textual entry point). Covers the statement set a
+  * reference user's scripts actually exercise: LOAD [AS] / STORE /
+  * FILTER / FOREACH…GENERATE [FLATTEN] / GROUP [ALL] / COGROUP /
+  * JOIN [USING 'replicated'|'skewed'] [outer] / ORDER / LIMIT /
+  * DISTINCT / UNION [ONSCHEMA] / CROSS / SPLIT [OTHERWISE] / SAMPLE /
+  * RANK [BY … [DENSE]] / STREAM…THROUGH / DUMP / DESCRIBE, plus
+  * DEFINE-macro and $param substitution in [[PigPreprocessor]].
+  *
+  * Documented non-goals (SURVEY.md §7.5.7): nested FOREACH blocks (use
+  * the Scala surface, [[graft.operators.Relational.nested]]), scripting
+  * UDFs, MAPREDUCE inline.
+  */
+object PigAst {
+
+  // ---------------- expressions ----------------
+
+  sealed trait PExpr
+  /** Int / Long / Double / String / Boolean literal, or null. */
+  final case class PLit(v: Any) extends PExpr
+  /** Column reference: `x` or the join-qualified `a::x`. */
+  final case class PCol(name: String) extends PExpr
+  /** Positional reference `$3` (lazy-typed loads, SURVEY §1.3). */
+  final case class PPos(idx: Int) extends PExpr
+  /** Field access `e.f` (tuple/struct field, or bag-column projection). */
+  final case class PDot(e: PExpr, field: String) extends PExpr
+  /** Map access `m#'key'`. */
+  final case class PMapGet(e: PExpr, key: String) extends PExpr
+  /** Binary op: + - * / % == != < <= > >= and or */
+  final case class PBin(op: String, l: PExpr, r: PExpr) extends PExpr
+  final case class PNot(e: PExpr) extends PExpr
+  final case class PNeg(e: PExpr) extends PExpr
+  final case class PIsNull(e: PExpr, negated: Boolean) extends PExpr
+  /** `e matches 'regex'` — full-string match (semantics shim §7.5.3). */
+  final case class PMatches(e: PExpr, regex: String) extends PExpr
+  final case class PIn(e: PExpr, items: Seq[PExpr]) extends PExpr
+  /** `cond ? a : b` (Pig bincond). */
+  final case class PTernary(c: PExpr, t: PExpr, f: PExpr) extends PExpr
+  /** `(int)e` — Pig cast = try_cast under ANSI (null on failure). */
+  final case class PCast(tpe: String, e: PExpr) extends PExpr
+  final case class PCall(fn: String, args: Seq[PExpr]) extends PExpr
+  /** `*` — all columns of the input relation. */
+  case object PStar extends PExpr
+
+  // ---------------- FOREACH items ----------------
+
+  /** One GENERATE item; `asNames` may carry several names (FLATTEN of a
+    * tuple / multi-field AS). A name may carry an optional `:type`. */
+  final case class GenItem(expr: PExpr, flatten: Boolean,
+      asNames: Seq[(String, Option[String])])
+
+  // ---------------- relational operators ----------------
+
+  sealed trait POp
+  final case class PLoad(path: String, loader: Option[(String, Seq[String])],
+      schema: Option[Seq[(String, Option[String])]]) extends POp
+  final case class PFilter(in: String, cond: PExpr) extends POp
+  final case class PForeach(in: String, items: Seq[GenItem]) extends POp
+  /** GROUP (1 input) / COGROUP (n inputs); `inner` lists inputs with the
+    * INNER modifier (drop keys whose bag would be empty). */
+  final case class PGroup(inputs: Seq[(String, Seq[PExpr])], all: Boolean,
+      inner: Set[String]) extends POp
+  /** `outer`: None = inner; Some("left"|"right"|"full_outer").
+    * `using`: replicated | skewed | merge (strategy hints). */
+  final case class PJoin(sides: Seq[(String, Seq[PExpr])],
+      outer: Option[String], using: Option[String]) extends POp
+  final case class POrder(in: String, keys: Seq[(PExpr, Boolean)]) extends POp
+  final case class PLimit(in: String, n: Long) extends POp
+  final case class PDistinct(in: String) extends POp
+  final case class PUnion(ins: Seq[String], onSchema: Boolean) extends POp
+  final case class PCross(ins: Seq[String]) extends POp
+  final case class PSample(in: String, fraction: Double) extends POp
+  final case class PRank(in: String, keys: Seq[(PExpr, Boolean)],
+      dense: Boolean) extends POp
+  final case class PStream(in: String, command: String,
+      schema: Seq[String]) extends POp
+  /** `B = A;` — alias copy. */
+  final case class PAliasRef(in: String) extends POp
+
+  // ---------------- statements ----------------
+
+  sealed trait PStmt
+  final case class PAssign(alias: String, op: POp) extends PStmt
+  final case class PStore(alias: String, path: String,
+      using: Option[(String, Seq[String])]) extends PStmt
+  final case class PSplit(in: String, branches: Seq[(String, PExpr)],
+      otherwise: Option[String]) extends PStmt
+  final case class PDump(alias: String) extends PStmt
+  final case class PDescribe(alias: String) extends PStmt
+}

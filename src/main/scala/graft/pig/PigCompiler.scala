@@ -1,0 +1,690 @@
+package graft.pig
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.PigFunctions
+import graft.operators.{Relational, StreamThrough}
+import PigAst._
+
+/** Compiles the Pig Latin AST onto the engine's DataFrame surface —
+  * stage 2–3 of the reference pipeline (logical plan build + optimize),
+  * except here "optimize" is mostly *delegation*: the output is a
+  * declarative Catalyst plan, so pushdown / pruning / join strategy /
+  * AQE come for free (SURVEY.md §4).
+  *
+  * The one rewrite the compiler does itself is the one Catalyst cannot
+  * see through the Pig data model: **`FOREACH (GROUP x BY k) GENERATE
+  * key, Agg(bag)` never materializes the bag** when every generated
+  * item is algebraic (COUNT/SUM/AVG/MIN/MAX over the group, key refs,
+  * and scalar arithmetic over those). It compiles straight to
+  * `groupBy(k).agg(...)` — partial aggregation, map-side combine, no
+  * collect_list — which is exactly the reference's combiner
+  * optimization (POPartialAgg), decided at compile time here instead of
+  * plan-rewrite time there. Scripts that structurally consume the bag
+  * (FLATTEN(bag), bag in a non-aggregate position) fall back to a real
+  * bag materialization, same as the reference.
+  *
+  * Join outputs are qualified `alias::column` exactly like Pig, and
+  * unqualified references resolve by unique `::name` suffix — so
+  * scripts keep working unchanged through joins.
+  */
+object PigCompiler {
+
+  // ---------------- compiled-script result ----------------
+
+  final case class StoreTarget(alias: String, path: String, format: String,
+      options: Map[String, String])
+
+  final class Result private[PigCompiler] (
+      env: mutable.LinkedHashMap[String, Rel],
+      val stores: Seq[StoreTarget],
+      val lastAlias: Option[String]) {
+    def apply(alias: String): DataFrame = lookup(env, alias).df
+    def aliases: Seq[String] = env.keys.toSeq
+  }
+
+  /** Alias binding. GROUP results stay *symbolic* (GroupMeta) until a
+    * consumer forces a shape: an algebraic FOREACH compiles the group
+    * away entirely; anything else lazily materializes bags. */
+  private[pig] final class Rel(mk: () => DataFrame, val group: Option[GroupMeta]) {
+    lazy val df: DataFrame = mk()
+  }
+  private[pig] final case class GroupMeta(childAlias: String, child: DataFrame,
+      keys: Seq[PExpr], all: Boolean)
+
+  private def lookup(env: mutable.LinkedHashMap[String, Rel], a: String): Rel =
+    env.getOrElse(a, throw new IllegalArgumentException(
+      s"unknown alias '$a' (defined: ${env.keys.mkString(", ")})"))
+
+  // ---------------- entry ----------------
+
+  def compile(spark: SparkSession, stmts: Seq[PStmt],
+      executeStores: Boolean = false): Result = {
+    val env = mutable.LinkedHashMap.empty[String, Rel]
+    val stores = Seq.newBuilder[StoreTarget]
+    var last: Option[String] = None
+
+    stmts.foreach {
+      case PAssign(alias, op) =>
+        env(alias) = compileOp(spark, env, op)
+        last = Some(alias)
+      case PStore(alias, path, using) =>
+        val (fmt, opts) = storageFormat(using)
+        stores += StoreTarget(alias, path, fmt, opts)
+        if (executeStores)
+          lookup(env, alias).df.write.format(fmt).options(opts)
+            .mode("overwrite").save(path)
+      case PSplit(in, branches, otherwise) =>
+        val df = lookup(env, in).df
+        val parts = Relational.split(df,
+          branches.map { case (n, e) => n -> compileExpr(df, e) }, otherwise)
+        parts.foreach { case (n, d) => env(n) = new Rel(() => d, None) }
+      case PDump(_) | PDescribe(_) => // interactive statements: no-ops here
+    }
+    new Result(env, stores.result(), last)
+  }
+
+  // ---------------- operators ----------------
+
+  private def compileOp(spark: SparkSession,
+      env: mutable.LinkedHashMap[String, Rel], op: POp): Rel = op match {
+
+    case PLoad(path, loader, schema) =>
+      new Rel(() => load(spark, path, loader, schema), None)
+
+    case PFilter(in, cond) =>
+      val df = lookup(env, in).df
+      new Rel(() => df.filter(compileExpr(df, cond)), None)
+
+    case PForeach(in, items) =>
+      val rel = lookup(env, in)
+      rel.group match {
+        case Some(meta) if isAlgebraic(meta, items) =>
+          new Rel(() => compileAggForeach(meta, items), None)
+        case _ =>
+          new Rel(() => compileRowForeach(rel.df, items), None)
+      }
+
+    case PGroup(Seq((in, keys)), all, _) =>
+      val child = lookup(env, in).df
+      val meta = GroupMeta(in, child, keys, all)
+      new Rel(() => materializeGroup(meta), Some(meta))
+
+    case PGroup(inputs, _, inner) => // COGROUP
+      val sides = inputs.map { case (a, keys) =>
+        val df = lookup(env, a).df
+        val names = keys.map {
+          case PCol(n) => resolvedName(df, n)
+          case PPos(i) => df.columns(i)
+          case other => throw new IllegalArgumentException(
+            s"COGROUP keys must be column refs, got $other")
+        }
+        (a, df, names)
+      }
+      val keyNames = sides.head._3.map(_.split("::").last)
+      new Rel(() => {
+        val cg0 =
+          if (inner.isEmpty) Relational.cogroup(keyNames, sides: _*)
+          else Relational.cogroupInner(keyNames, inner, sides: _*)
+        // Pig shape: bags named after their input, key(s) named `group`
+        val bagsRenamed = sides.foldLeft(cg0) { case (d, (a, _, _)) =>
+          d.withColumnRenamed(s"bag_$a", a)
+        }
+        if (keyNames.length == 1) bagsRenamed.withColumnRenamed(keyNames.head, "group")
+        else bagsRenamed
+          .withColumn("group", struct(keyNames.map(col): _*))
+          .select((col("group") +: sides.map(s => col(s._1))): _*)
+      }, None)
+
+    case PJoin(sides, outer, using) =>
+      require(outer.isEmpty || sides.length == 2,
+        "outer joins are binary (Pig restriction)")
+      val prepared = sides.map { case (a, keys) => (a, qualify(lookup(env, a).df, a), keys) }
+      new Rel(() => {
+        val joinType = outer.getOrElse("inner")
+        val (_, d0, k0) = prepared.head
+        val leftKeyCols = k0.map(compileExpr(d0, _))
+        prepared.tail.foldLeft(d0) { case (acc, (_, di, ki)) =>
+          val right = if (using.contains("replicated")) broadcast(di) else di
+          val cond = leftKeyCols.zip(ki.map(compileExpr(di, _)))
+            .map { case (l, r) => l === r }.reduce(_ && _)
+          acc.join(right, cond, joinType)
+        }
+      }, None)
+
+    case POrder(in, keys) =>
+      val df = lookup(env, in).df
+      new Rel(() => df.orderBy(keys.map { case (e, asc) =>
+        val c = compileExpr(df, e); if (asc) c.asc else c.desc }: _*), None)
+
+    case PLimit(in, n) =>
+      val df = lookup(env, in).df
+      new Rel(() => df.limit(n.toInt), None)
+
+    case PDistinct(in) =>
+      val df = lookup(env, in).df
+      new Rel(() => df.distinct(), None)
+
+    case PUnion(ins, onSchema) =>
+      val dfs = ins.map(lookup(env, _).df)
+      new Rel(() =>
+        if (onSchema) dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+        else dfs.reduce(_ unionAll _), None)
+
+    case PCross(ins) =>
+      val dfs = ins.map(a => qualify(lookup(env, a).df, a))
+      new Rel(() => dfs.reduce(_ crossJoin _), None)
+
+    case PSample(in, p) =>
+      val df = lookup(env, in).df
+      new Rel(() => df.sample(p, 42L), None)
+
+    case PRank(in, Nil, _) =>
+      val df = lookup(env, in).df
+      new Rel(() => {
+        val r = Relational.rankSequence(df, s"rank_$in")
+        r.select((col(s"rank_$in") +: df.columns.map(c => col(s"`$c`"))): _*)
+      }, None)
+
+    case PRank(in, keys, dense) =>
+      val df = lookup(env, in).df
+      val ascAll = keys.map(_._2).distinct
+      require(ascAll.length == 1, "RANK BY requires a uniform sort direction")
+      val names = keys.map {
+        case (PCol(n), _) => resolvedName(df, n)
+        case (PPos(i), _) => df.columns(i)
+        case (other, _) => throw new IllegalArgumentException(
+          s"RANK BY requires column refs, got $other")
+      }
+      new Rel(() => {
+        val ranked = Relational.rankBy(df, names, ascAll.head)
+        val rankCol = (if (dense) col("dense_rank") else col("rank")).as(s"rank_$in")
+        ranked.select((rankCol +: df.columns.map(c => col(s"`$c`"))): _*)
+      }, None)
+
+    case PStream(in, cmd, outCols) =>
+      require(outCols.nonEmpty, "STREAM ... THROUGH requires AS (col, ...)")
+      val df = lookup(env, in).df
+      new Rel(() => StreamThrough(df, Seq("/bin/sh", "-c", cmd), outCols), None)
+
+    case PAliasRef(in) =>
+      val r = lookup(env, in)
+      new Rel(() => r.df, r.group)
+  }
+
+  // ---------------- LOAD / STORE formats ----------------
+
+  private def storageFormat(spec: Option[(String, Seq[String])]): (String, Map[String, String]) =
+    spec match {
+      case None => ("parquet", Map.empty) // engine-native interchange
+      case Some((name, args)) => name.toLowerCase match {
+        case "pigstorage" =>
+          ("csv", Map("delimiter" -> args.headOption.getOrElse("\t")))
+        case "parquet" | "parquetloader" | "parquetstorer" | "binstorage" =>
+          ("parquet", Map.empty)
+        case "jsonloader" | "jsonstorage" | "json" => ("json", Map.empty)
+        case "orcstorage" | "orc" => ("orc", Map.empty)
+        case "textloader" | "text" => ("text", Map.empty)
+        case "avrostorage" | "avro" => ("avro", Map.empty)
+        case other => (other, Map.empty) // raw Spark format passthrough
+      }
+    }
+
+  private def load(spark: SparkSession, path: String,
+      loader: Option[(String, Seq[String])],
+      schema: Option[Seq[(String, Option[String])]]): DataFrame = {
+    // default loader is PigStorage('\t'): delimited text, lazy-typed
+    val (fmt, opts) = storageFormat(loader.orElse(Some(("pigstorage", Nil))))
+    val raw = spark.read.format(fmt).options(opts).load(path)
+    schema match {
+      case None => raw // positional $0.. refs; cast-at-use (SURVEY §1.3)
+      case Some(decls) =>
+        require(decls.length <= raw.columns.length,
+          s"AS clause names ${decls.length} fields but $path has ${raw.columns.length}")
+        raw.select(decls.zipWithIndex.map { case ((n, t), i) =>
+          val c = raw.col(s"`${raw.columns(i)}`")
+          t.map(castPigType(c, _)).getOrElse(c).as(n)
+        }: _*)
+    }
+  }
+
+  // ---------------- GROUP materialization (bag path) ----------------
+
+  private[pig] def materializeGroup(meta: GroupMeta): DataFrame = {
+    val child = meta.child
+    val bag = collect_list(struct(child.columns.map(c => child.col(s"`$c`")): _*))
+      .as(meta.childAlias)
+    if (meta.all)
+      child.agg(bag).select(lit("all").as("group"), col(meta.childAlias))
+    else {
+      val keyCols = meta.keys.zipWithIndex.map { case (k, i) =>
+        compileExpr(child, k).as(keyName(child, k, i))
+      }
+      val groupCol =
+        if (keyCols.length == 1) keyCols.head.as("group")
+        else struct(keyCols: _*).as("group")
+      child.groupBy(groupCol).agg(bag)
+    }
+  }
+
+  private def keyName(child: DataFrame, k: PExpr, i: Int): String = k match {
+    case PCol(n) => resolvedName(child, n).split("::").last
+    case PPos(j) => child.columns(j)
+    case _ => s"k$i"
+  }
+
+  // ---------------- FOREACH: algebraic (combiner) path ----------------
+
+  private val aggFns = Set("COUNT", "COUNT_STAR", "SUM", "AVG", "MIN", "MAX")
+
+  private def isBagRef(meta: GroupMeta, e: PExpr): Boolean = e match {
+    case PCol(b) => b == meta.childAlias
+    case PDot(PCol(b), _) => b == meta.childAlias
+    case _ => false
+  }
+
+  private[pig] def isAlgebraic(meta: GroupMeta, items: Seq[GenItem]): Boolean = {
+    def ok(e: PExpr): Boolean = e match {
+      case PCol("group") => true
+      case PDot(PCol("group"), _) => true
+      case PLit(_) => true
+      case PCall(fn, Seq(a)) if aggFns(fn) && isBagRef(meta, a) => true
+      case PCall(_, args) if args.nonEmpty => args.forall(ok)
+      case PBin(_, l, r) => ok(l) && ok(r)
+      case PNeg(x) => ok(x)
+      case PNot(x) => ok(x)
+      case PCast(_, x) => ok(x)
+      case PTernary(c, t, f) => ok(c) && ok(t) && ok(f)
+      case PIsNull(x, _) => ok(x)
+      case PMatches(x, _) => ok(x)
+      case _ => false
+    }
+    items.forall { it =>
+      if (it.flatten) it.expr == PCol("group")
+      else ok(it.expr)
+    }
+  }
+
+  /** `FOREACH (GROUP child BY k) GENERATE …` with only algebraic items:
+    * one relational aggregate, no bags, partial agg map-side. */
+  private def compileAggForeach(meta: GroupMeta, items: Seq[GenItem]): DataFrame = {
+    val child = meta.child
+    val keyInfo = meta.keys.zipWithIndex.map { case (k, i) =>
+      (compileExpr(child, k), keyName(child, k, i), s"__gk$i")
+    }
+    val keyByName: Map[String, String] = keyInfo.map(t => t._2 -> t._3).toMap
+
+    // pass 1: collect the distinct aggregate calls across all items
+    val aggCalls = mutable.LinkedHashMap.empty[PExpr, (String, Column)]
+    def collectAggs(e: PExpr): Unit = e match {
+      case c @ PCall(fn, Seq(a)) if aggFns(fn) && isBagRef(meta, a) =>
+        if (!aggCalls.contains(c)) {
+          val id = s"__ag${aggCalls.size}"
+          aggCalls(c) = (id, compileAggCall(child, fn, a).as(id))
+        }
+      case PCall(_, args) => args.foreach(collectAggs)
+      case PBin(_, l, r) => collectAggs(l); collectAggs(r)
+      case PNeg(x) => collectAggs(x)
+      case PNot(x) => collectAggs(x)
+      case PCast(_, x) => collectAggs(x)
+      case PTernary(c, t, f) => collectAggs(c); collectAggs(t); collectAggs(f)
+      case PIsNull(x, _) => collectAggs(x)
+      case PMatches(x, _) => collectAggs(x)
+      case _ =>
+    }
+    items.foreach(i => collectAggs(i.expr))
+
+    val aggExprs =
+      if (aggCalls.isEmpty) Seq(count(lit(1)).as("__dummy"))
+      else aggCalls.values.map(_._2).toSeq
+    val agged =
+      if (meta.all) child.agg(aggExprs.head, aggExprs.tail: _*)
+      else child
+        .groupBy(keyInfo.map { case (c, _, gk) => c.as(gk) }: _*)
+        .agg(aggExprs.head, aggExprs.tail: _*)
+
+    // pass 2: item expressions over the aggregated columns
+    def post(e: PExpr): Column = e match {
+      case c @ PCall(fn, Seq(a)) if aggFns(fn) && isBagRef(meta, a) =>
+        col(aggCalls(c)._1)
+      case PCol("group") =>
+        if (meta.all) lit("all")
+        else if (keyInfo.length == 1) col(keyInfo.head._3)
+        else struct(keyInfo.map { case (_, nm, gk) => col(gk).as(nm) }: _*)
+      case PDot(PCol("group"), f) =>
+        col(keyByName.getOrElse(f, throw new IllegalArgumentException(
+          s"group has no field '$f' (keys: ${keyInfo.map(_._2).mkString(", ")})")))
+      case PLit(null) => lit(null)
+      case PLit(v) => lit(v)
+      case PBin(op, l, r) => binOp(op, post(l), post(r))
+      case PNeg(x) => -post(x)
+      case PNot(x) => !post(x)
+      case PCast(t, x) => castPigType(post(x), t)
+      case PTernary(c, t, f) => when(post(c), post(t)).otherwise(post(f))
+      case PIsNull(x, neg) => if (neg) post(x).isNotNull else post(x).isNull
+      case PMatches(x, re) => PigFunctions.matchesFull(post(x), re)
+      case PCall(fn, args) => scalarCall(agged, fn, args.map(post), args)
+      case other => throw new IllegalArgumentException(s"unsupported in aggregate FOREACH: $other")
+    }
+
+    val outCols = items.zipWithIndex.flatMap { case (it, i) =>
+      val asNames = it.asNames
+      if (it.flatten) { // FLATTEN(group): one column per key
+        require(asNames.isEmpty || asNames.length == keyInfo.length,
+          s"FLATTEN(group) AS arity ${asNames.length} != ${keyInfo.length} keys")
+        keyInfo.zipWithIndex.map { case ((_, nm, gk), j) =>
+          val (outName, tpe) =
+            if (asNames.nonEmpty) asNames(j) else (nm, None)
+          val c = col(gk)
+          tpe.map(castPigType(c, _)).getOrElse(c).as(outName)
+        }
+      } else {
+        val c = post(it.expr)
+        val (outName, tpe) = asNames.headOption.getOrElse((defaultName(it.expr, i), None))
+        Seq(tpe.map(castPigType(c, _)).getOrElse(c).as(outName))
+      }
+    }
+    agged.select(outCols: _*)
+  }
+
+  private def compileAggCall(child: DataFrame, fn: String, arg: PExpr): Column = {
+    def field(f: String): Column = resolve(child, f)
+    (fn, arg) match {
+      // Pig COUNT(bag) counts tuples whose FIRST field is non-null
+      case ("COUNT", PCol(_)) => count(child.col(s"`${child.columns.head}`"))
+      case ("COUNT", PDot(_, f)) => count(field(f))
+      case ("COUNT_STAR", _) => count(lit(1))
+      case ("SUM", PDot(_, f)) => sum(field(f))
+      case ("AVG", PDot(_, f)) => avg(field(f))
+      case ("MIN", PDot(_, f)) => min(field(f))
+      case ("MAX", PDot(_, f)) => max(field(f))
+      case _ => throw new IllegalArgumentException(
+        s"$fn needs a bag field argument (e.g. $fn(rel.column))")
+    }
+  }
+
+  // ---------------- FOREACH: row path (incl. FLATTEN) ----------------
+
+  private def compileRowForeach(input: DataFrame, items: Seq[GenItem]): DataFrame = {
+    // stage 1: compute every item into a temp slot (__it{i}); FLATTEN of
+    // an array stays an array in its slot for now
+    case class Slot(tmp: String, item: GenItem, dt: DataType)
+    val slots = items.zipWithIndex.map { case (it, i) =>
+      val c = it.expr match {
+        case PStar => struct(input.columns.map(c => input.col(s"`$c`")): _*)
+        case e => compileExpr(input, e)
+      }
+      Slot(s"__it$i", it.copy(expr = it.expr), dtypeOf(input, c)) -> c
+    }
+    var df = input.select(slots.map { case (s, c) => c.as(s.tmp) }: _*)
+
+    // stage 2: explode array-flatten slots left-to-right (each explode
+    // is its own projection stage; multiple FLATTENs = cross product,
+    // matching Pig)
+    slots.foreach { case (s, _) =>
+      if (s.item.flatten) s.dt match {
+        case _: ArrayType =>
+          val others = df.columns.filter(_ != s.tmp).map(c => col(s"`$c`"))
+          df = df.select((others :+ explode(col(s.tmp)).as(s.tmp)): _*)
+        case _ => // struct/tuple flatten needs no explode
+      }
+    }
+
+    // stage 3: expand slots to final named columns
+    val out = slots.flatMap { case (s, _) =>
+      val c = col(s.tmp)
+      val as = s.item.asNames
+      def cast1(c: Column, t: Option[String]) = t.map(castPigType(c, _)).getOrElse(c)
+      s.item match {
+        case GenItem(PStar, false, _) =>
+          input.columns.map(n => c.getField(n).as(n)).toSeq
+        case GenItem(e, true, _) =>
+          val innerDt = s.dt match {
+            case ArrayType(et, _) => et
+            case dt => dt
+          }
+          innerDt match {
+            case st: StructType =>
+              require(as.isEmpty || as.length == st.fields.length,
+                s"FLATTEN AS arity ${as.length} != ${st.fields.length} fields")
+              st.fields.zipWithIndex.map { case (f, j) =>
+                val (nm, t) = if (as.nonEmpty) as(j) else (f.name.split("::").last, None)
+                cast1(c.getField(f.name), t).as(nm)
+              }.toSeq
+            case _ =>
+              val (nm, t) = as.headOption.getOrElse((flatName(e), None))
+              Seq(cast1(c, t).as(nm))
+          }
+        case GenItem(e, false, _) =>
+          val (nm, t) = as.headOption.getOrElse((defaultName(e, slots.indexWhere(_._1 eq s)), None))
+          Seq(cast1(c, t).as(nm))
+      }
+    }
+    df.select(out: _*)
+  }
+
+  private def defaultName(e: PExpr, i: Int): String = e match {
+    case PCol(n) => n.split("::").last
+    case PDot(_, f) => f
+    case PCall(fn, _) => fn.toLowerCase
+    case _ => s"val$i"
+  }
+
+  private def flatName(e: PExpr): String = e match {
+    case PCol(n) => n.split("::").last
+    case PDot(_, f) => f
+    case _ => "token"
+  }
+
+  // ---------------- expressions (row context) ----------------
+
+  /** Qualify every unqualified column as `alias::col` — Pig's join/cross
+    * output naming. Already-qualified names pass through (nested joins
+    * keep their original qualifier, like Pig). */
+  private def qualify(df: DataFrame, alias: String): DataFrame = {
+    val renames = df.columns.collect { case c if !c.contains("::") => c -> s"$alias::$c" }
+    if (renames.isEmpty) df else df.withColumnsRenamed(renames.toMap)
+  }
+
+  private def resolvedName(df: DataFrame, name: String): String = {
+    if (df.columns.contains(name)) name
+    else {
+      val cands = df.columns.filter(_.endsWith(s"::$name"))
+      cands.length match {
+        case 1 => cands.head
+        case 0 => throw new IllegalArgumentException(
+          s"unknown column '$name'; available: ${df.columns.mkString(", ")}")
+        case _ => throw new IllegalArgumentException(
+          s"ambiguous column '$name': ${cands.mkString(", ")} — qualify with alias::")
+      }
+    }
+  }
+
+  private def resolve(df: DataFrame, name: String): Column =
+    df.col(s"`${resolvedName(df, name)}`")
+
+  private[pig] def compileExpr(df: DataFrame, e: PExpr): Column = e match {
+    case PLit(null) => lit(null)
+    case PLit(v) => lit(v)
+    case PCol(n) => resolve(df, n)
+    case PPos(i) =>
+      require(i < df.columns.length,
+        s"positional $$${i} out of range (width ${df.columns.length})")
+      df.col(s"`${df.columns(i)}`")
+    case PDot(b, f) => compileExpr(df, b).getField(f)
+    case PMapGet(b, k) => compileExpr(df, b).getItem(k)
+    case PBin(op, l, r) => binOp(op, compileExpr(df, l), compileExpr(df, r))
+    case PNot(x) => !compileExpr(df, x)
+    case PNeg(x) => -compileExpr(df, x)
+    case PIsNull(x, neg) =>
+      val c = compileExpr(df, x); if (neg) c.isNotNull else c.isNull
+    case PMatches(x, re) => PigFunctions.matchesFull(compileExpr(df, x), re)
+    case PIn(x, items) =>
+      compileExpr(df, x).isin(items.map(compileExpr(df, _)): _*)
+    case PTernary(c, t, f) =>
+      when(compileExpr(df, c), compileExpr(df, t)).otherwise(compileExpr(df, f))
+    case PCast(t, x) => castPigType(compileExpr(df, x), t)
+    case PCall(fn, args) => scalarCall(df, fn, args.map(compileExpr(df, _)), args)
+    case PStar => throw new IllegalArgumentException("* is only valid as a GENERATE item")
+  }
+
+  private def binOp(op: String, l: Column, r: Column): Column = op match {
+    case "and" => l && r
+    case "or" => l || r
+    case "+" => l + r
+    case "-" => l - r
+    case "*" => l * r
+    case "/" => l / r
+    case "%" => l % r
+    case "==" => l === r
+    case "!=" => l =!= r
+    case "<" => l < r
+    case "<=" => l <= r
+    case ">" => l > r
+    case ">=" => l >= r
+  }
+
+  private[pig] def castPigType(c: Column, pigType: String): Column = pigType match {
+    case "int" => PigFunctions.castPig(c, "int")
+    case "long" => PigFunctions.castPig(c, "bigint")
+    case "float" => PigFunctions.castPig(c, "float")
+    case "double" => PigFunctions.castPig(c, "double")
+    case "chararray" => PigFunctions.castPig(c, "string")
+    case "boolean" => PigFunctions.castPig(c, "boolean")
+    case "datetime" => PigFunctions.castPig(c, "timestamp")
+    case "biginteger" => PigFunctions.castPig(c, "decimal(38,0)")
+    case "bigdecimal" => PigFunctions.castPig(c, "decimal(38,18)")
+    case "bytearray" => c // bytearray = "raw, cast later": identity
+  }
+
+  // ---------------- scalar builtin dispatch ----------------
+
+  private def litString(raw: Seq[PExpr], i: Int, fn: String): String = raw(i) match {
+    case PLit(s: String) => s
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a string literal at arg ${i + 1}, got $other")
+  }
+  private def litInt(raw: Seq[PExpr], i: Int, fn: String): Int = raw(i) match {
+    case PLit(v: Int) => v
+    case PLit(v: Long) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an int literal at arg ${i + 1}, got $other")
+  }
+
+  /** Scalar (and bag-over-array) builtins. `args` are compiled columns,
+    * `raw` the AST args (for literal-only parameters). The bag family
+    * (COUNT/SUM/…) dispatches on the ARGUMENT TYPE: over an array
+    * column (a materialized bag) it becomes a higher-order function —
+    * per-row, no shuffle (Relational.nested's building blocks). */
+  private def scalarCall(df: DataFrame, fn: String, args: Seq[Column],
+      raw: Seq[PExpr]): Column = {
+    def a0 = args.head
+    fn match {
+      case "UPPER" => upper(a0)
+      case "LOWER" => lower(a0)
+      case "TRIM" => trim(a0)
+      case "LTRIM" => ltrim(a0)
+      case "RTRIM" => rtrim(a0)
+      case "CONCAT" => concat(args: _*)
+      case "SUBSTRING" =>
+        PigFunctions.substringPig(a0, litInt(raw, 1, fn), litInt(raw, 2, fn))
+      case "INDEXOF" => PigFunctions.indexOfPig(a0, litString(raw, 1, fn))
+      case "LAST_INDEX_OF" => PigFunctions.lastIndexOfPig(a0, litString(raw, 1, fn))
+      case "STRSPLIT" => PigFunctions.strSplit(a0, litString(raw, 1, fn))
+      case "TOKENIZE" => PigFunctions.tokenize(a0)
+      case "REPLACE" =>
+        regexp_replace(a0, litString(raw, 1, fn), litString(raw, 2, fn))
+      case "REGEX_EXTRACT" =>
+        PigFunctions.regexExtract(a0, litString(raw, 1, fn), litInt(raw, 2, fn))
+      case "SPRINTF" => PigFunctions.sprintf(litString(raw, 0, fn), args.tail: _*)
+      case "UCFIRST" => PigFunctions.ucfirst(a0)
+      case "LCFIRST" =>
+        concat(lower(substring(a0, 1, 1)), substring(a0, 2, Int.MaxValue))
+      case "STARTSWITH" => PigFunctions.startsWithPig(a0, litString(raw, 1, fn))
+      case "ENDSWITH" => PigFunctions.endsWithPig(a0, litString(raw, 1, fn))
+      case "EQUALSIGNORECASE" => PigFunctions.equalsIgnoreCase(a0, args(1))
+      case "SIZE" => dtypeOf(df, a0) match {
+        case StringType => length(a0).cast("long")
+        case _: ArrayType | _: MapType => PigFunctions.sizeOf(a0).cast("long")
+        case st: StructType => lit(st.fields.length.toLong)
+        case _ => lit(1L)
+      }
+      case "ABS" => abs(a0)
+      case "CEIL" => ceil(a0).cast("double")
+      case "FLOOR" => floor(a0).cast("double")
+      case "ROUND" => round(a0, 0).cast("long")
+      case "ROUND_TO" => PigFunctions.roundTo(a0, litInt(raw, 1, fn))
+      case "SQRT" => sqrt(a0)
+      case "CBRT" => cbrt(a0)
+      case "EXP" => exp(a0)
+      case "LOG" => log(a0)
+      case "LOG10" => log10(a0)
+      case "POW" => pow(a0, args(1))
+      case "TODATE" =>
+        if (args.length >= 2) to_timestamp(a0, litString(raw, 1, fn))
+        else to_timestamp(a0)
+      case "GETYEAR" => year(a0)
+      case "GETMONTH" => month(a0)
+      case "GETDAY" => dayofmonth(a0)
+      case "GETHOUR" => hour(a0)
+      case "GETMINUTE" => minute(a0)
+      case "GETSECOND" => second(a0)
+      case "GETWEEK" => PigFunctions.getWeek(a0)
+      case "GETWEEKYEAR" => PigFunctions.getWeekYear(a0)
+      case "DAYSBETWEEN" => PigFunctions.daysBetween(a0, args(1))
+      case "HOURSBETWEEN" => PigFunctions.hoursBetween(a0, args(1))
+      case "MINUTESBETWEEN" => PigFunctions.minutesBetween(a0, args(1))
+      case "SECONDSBETWEEN" => PigFunctions.secondsBetween(a0, args(1))
+      case "WEEKSBETWEEN" => PigFunctions.weeksBetween(a0, args(1))
+      case "MONTHSBETWEEN" => PigFunctions.monthsBetweenPig(a0, args(1))
+      case "YEARSBETWEEN" => PigFunctions.yearsBetween(a0, args(1))
+      case "ADDDURATION" => PigFunctions.addDuration(a0, litString(raw, 1, fn))
+      case "SUBTRACTDURATION" =>
+        PigFunctions.subtractDuration(a0, litString(raw, 1, fn))
+      case "TOUNIXTIME" => PigFunctions.toUnixTime(a0)
+      case "TOMILLISECONDS" => PigFunctions.toMilliSeconds(a0)
+      case "ISEMPTY" => PigFunctions.isEmptyBag(a0)
+      case "BAGTOSTRING" => PigFunctions.bagToString(a0, litString(raw, 1, fn))
+      case "TOBAG" => PigFunctions.toBag(args: _*)
+      case "TOTUPLE" => PigFunctions.toTuple(args: _*)
+      case "TOMAP" => PigFunctions.toMapPig(args: _*)
+      // bag aggregates over a MATERIALIZED bag column (array) — per-row
+      // HOFs, the nested-FOREACH building blocks:
+      case "COUNT" | "COUNT_STAR" | "SUM" | "AVG" | "MIN" | "MAX" =>
+        dtypeOf(df, a0) match {
+          case ArrayType(et, _) => bagAgg(fn, a0, et)
+          case dt => throw new IllegalArgumentException(
+            s"$fn outside an aggregating FOREACH needs a bag (array) argument, got $dt")
+        }
+      case other => throw new IllegalArgumentException(
+        s"unknown function $other (see graft.functions.PigFunctions for the supported surface)")
+    }
+  }
+
+  private def bagAgg(fn: String, bag: Column, elem: DataType): Column = fn match {
+    case "COUNT" => elem match {
+      // Pig COUNT skips tuples whose first field is null
+      case st: StructType =>
+        size(filter(bag, e => e.getField(st.fields.head.name).isNotNull)).cast("long")
+      case _ => size(filter(bag, e => e.isNotNull)).cast("long")
+    }
+    case "COUNT_STAR" => PigFunctions.sizeOf(bag).cast("long")
+    case "SUM" => elem match {
+      case IntegerType | LongType =>
+        aggregate(bag, lit(0L), (acc, x) => acc + x.cast("bigint"))
+      case _ => aggregate(bag, lit(0.0), (acc, x) => acc + x.cast("double"))
+    }
+    case "AVG" =>
+      aggregate(bag, lit(0.0), (acc, x) => acc + x.cast("double")) /
+        PigFunctions.sizeOf(bag)
+    case "MIN" => array_min(bag)
+    case "MAX" => array_max(bag)
+  }
+
+  private def dtypeOf(df: DataFrame, c: Column): DataType =
+    df.select(c).schema.head.dataType
+}

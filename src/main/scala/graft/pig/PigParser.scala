@@ -1,0 +1,298 @@
+package graft.pig
+
+import scala.util.parsing.combinator.RegexParsers
+
+import PigAst._
+
+/** Recursive-descent grammar for the Pig Latin core statement set,
+  * built on scala-parser-combinators (ships with Spark's classpath).
+  * Keywords are case-insensitive, like the reference grammar; `--` and
+  * C-style comments are whitespace. Parse errors surface with the
+  * offending position, PigServer-style.
+  */
+object PigParser extends RegexParsers {
+
+  override protected val whiteSpace =
+    """(\s|--.*|/\*(?s:.*?)\*/)+""".r
+
+  // reserved words may not be bare column/alias identifiers (contextual
+  // keywords like GROUP stay usable as columns, matching Pig).
+  private val reserved = Set(
+    "and", "or", "not", "as", "by", "is", "null", "matches", "in",
+    "asc", "desc", "if", "otherwise", "into", "using", "inner", "outer",
+    "left", "right", "full", "generate", "all", "dense", "through",
+    "flatten")
+
+  private def kw(s: String): Parser[String] =
+    ("""(?i)\b""" + s + """\b""").r ^^ (_.toLowerCase)
+
+  private val identRe = """[A-Za-z_][A-Za-z0-9_]*""".r
+  private def ident: Parser[String] =
+    identRe.filter(s => !reserved.contains(s.toLowerCase)).
+      withFailureMessage("identifier expected")
+
+  /** `a` or join-qualified `a::b::c` (kept verbatim as the column name). */
+  private def colRef: Parser[String] =
+    rep1sep(ident, "::") ^^ (_.mkString("::"))
+
+  private def quoted: Parser[String] =
+    """'(\\.|[^'\\])*'""".r ^^ { s =>
+      s.substring(1, s.length - 1)
+        .replace("\\'", "'").replace("\\t", "\t").replace("\\n", "\n")
+        .replace("\\\\", "\\")
+    }
+
+  private def backtick: Parser[String] =
+    """`[^`]*`""".r ^^ (s => s.substring(1, s.length - 1))
+
+  private def number: Parser[PLit] =
+    """-?\d+\.\d+([eE][-+]?\d+)?[fF]?|-?\d+[lLfF]?""".r ^^ { s =>
+      val low = s.toLowerCase
+      if (low.contains('.') || low.contains('e') || low.endsWith("f"))
+        PLit(low.stripSuffix("f").toDouble)
+      else if (low.endsWith("l")) PLit(low.stripSuffix("l").toLong)
+      else {
+        val v = s.toLong
+        if (v >= Int.MinValue && v <= Int.MaxValue) PLit(v.toInt) else PLit(v)
+      }
+    }
+
+  private val pigTypes = Set("int", "long", "float", "double", "chararray",
+    "bytearray", "boolean", "datetime", "biginteger", "bigdecimal")
+  private def typeName: Parser[String] =
+    identRe.filter(s => pigTypes.contains(s.toLowerCase)) ^^ (_.toLowerCase)
+
+  // ---------------- expressions ----------------
+
+  def expr: Parser[PExpr] = ternary
+
+  private def ternary: Parser[PExpr] =
+    orExpr ~ opt("?" ~> expr ~ (":" ~> expr)) ^^ {
+      case c ~ Some(t ~ f) => PTernary(c, t, f)
+      case c ~ None => c
+    }
+
+  private def orExpr: Parser[PExpr] =
+    rep1sep(andExpr, kw("or")) ^^ (_.reduceLeft(PBin("or", _, _)))
+
+  private def andExpr: Parser[PExpr] =
+    rep1sep(notExpr, kw("and")) ^^ (_.reduceLeft(PBin("and", _, _)))
+
+  private def notExpr: Parser[PExpr] =
+    kw("not") ~> notExpr ^^ PNot.apply | relExpr
+
+  private def relExpr: Parser[PExpr] =
+    addExpr ~ opt(relTail) ^^ {
+      case e ~ Some(f) => f(e)
+      case e ~ None => e
+    }
+
+  private def relTail: Parser[PExpr => PExpr] =
+    ("==" | "!=" | "<=" | ">=" | "<" | ">") ~ addExpr ^^ {
+      case op ~ r => (l: PExpr) => PBin(op, l, r)
+    } |
+    kw("matches") ~> quoted ^^ (re => (l: PExpr) => PMatches(l, re)) |
+    kw("is") ~> kw("not") ~> kw("null") ^^^ ((l: PExpr) => PIsNull(l, negated = true)) |
+    kw("is") ~> kw("null") ^^^ ((l: PExpr) => PIsNull(l, negated = false)) |
+    kw("in") ~> "(" ~> rep1sep(expr, ",") <~ ")" ^^ (items => (l: PExpr) => PIn(l, items))
+
+  private def addExpr: Parser[PExpr] =
+    mulExpr ~ rep(("+" | "-") ~ mulExpr) ^^ {
+      case h ~ t => t.foldLeft(h) { case (l, op ~ r) => PBin(op, l, r) }
+    }
+
+  private def mulExpr: Parser[PExpr] =
+    unaryExpr ~ rep(("*" | "/" | "%") ~ unaryExpr) ^^ {
+      case h ~ t => t.foldLeft(h) { case (l, op ~ r) => PBin(op, l, r) }
+    }
+
+  private def unaryExpr: Parser[PExpr] =
+    "-" ~> unaryExpr ^^ PNeg.apply | castExpr
+
+  private def castExpr: Parser[PExpr] =
+    ("(" ~> typeName <~ ")") ~ unaryExpr ^^ { case t ~ e => PCast(t, e) } |
+    postfix
+
+  private def postfix: Parser[PExpr] =
+    primary ~ rep("." ~> ident ^^ (f => (e: PExpr) => PDot(e, f)) |
+                  "#" ~> quoted ^^ (k => (e: PExpr) => PMapGet(e, k))) ^^ {
+      case base ~ ops => ops.foldLeft(base)((e, f) => f(e))
+    }
+
+  private def primary: Parser[PExpr] =
+    kw("null") ^^^ PLit(null) |
+    kw("true") ^^^ PLit(true) |
+    kw("false") ^^^ PLit(false) |
+    number |
+    quoted ^^ (s => PLit(s)) |
+    """\$\d+""".r ^^ (s => PPos(s.tail.toInt)) |
+    "*" ^^^ PStar |
+    funcCall |
+    colRef ^^ PCol.apply |
+    "(" ~> expr <~ ")"
+
+  // a call is ident followed immediately by '(' — disambiguated from a
+  // bare column ref by backtracking (| tries colRef next).
+  private def funcCall: Parser[PExpr] =
+    (identRe <~ guard("(")) ~ ("(" ~> repsep(expr, ",") <~ ")") ^^ {
+      case fn ~ args => PCall(fn.toUpperCase, args)
+    }
+
+  // ---------------- operators ----------------
+
+  private def fieldDecl: Parser[(String, Option[String])] =
+    ident ~ opt(":" ~> typeName) ^^ { case n ~ t => (n, t) }
+
+  private def funcSpec: Parser[(String, Seq[String])] =
+    ident ~ opt("(" ~> repsep(quoted, ",") <~ ")") ^^ {
+      case n ~ args => (n, args.getOrElse(Nil))
+    }
+
+  private def loadOp: Parser[POp] =
+    kw("load") ~> quoted ~ opt(kw("using") ~> funcSpec) ~
+      opt(kw("as") ~> "(" ~> rep1sep(fieldDecl, ",") <~ ")") ^^ {
+        case p ~ l ~ s => PLoad(p, l, s)
+      }
+
+  private def filterOp: Parser[POp] =
+    kw("filter") ~> ident ~ (kw("by") ~> expr) ^^ { case a ~ e => PFilter(a, e) }
+
+  private def asClause: Parser[Seq[(String, Option[String])]] =
+    kw("as") ~> ("(" ~> rep1sep(fieldDecl, ",") <~ ")" | fieldDecl ^^ (Seq(_)))
+
+  private def genItem: Parser[GenItem] =
+    kw("flatten") ~> ("(" ~> expr <~ ")") ~ opt(asClause) ^^ {
+      case e ~ as => GenItem(e, flatten = true, as.getOrElse(Nil))
+    } |
+    expr ~ opt(asClause) ^^ {
+      case e ~ as => GenItem(e, flatten = false, as.getOrElse(Nil))
+    }
+
+  private def foreachOp: Parser[POp] =
+    kw("foreach") ~> ident ~ (kw("generate") ~> rep1sep(genItem, ",")) ^^ {
+      case a ~ items => PForeach(a, items)
+    }
+
+  private def keyList: Parser[Seq[PExpr]] =
+    "(" ~> rep1sep(expr, ",") <~ ")" | expr ^^ (Seq(_))
+
+  private def groupSide: Parser[(String, Seq[PExpr], Boolean)] =
+    ident ~ (kw("by") ~> keyList) ~ opt(kw("inner")) ^^ {
+      case a ~ ks ~ inn => (a, ks, inn.isDefined)
+    }
+
+  private def groupOp: Parser[POp] =
+    (kw("group") | kw("cogroup")) ~> (
+      ident <~ kw("all") ^^ (a => PGroup(Seq((a, Nil)), all = true, Set.empty)) |
+      rep1sep(groupSide, ",") ^^ { sides =>
+        PGroup(sides.map(s => (s._1, s._2)), all = false,
+          sides.filter(_._3).map(_._1).toSet)
+      })
+
+  private def joinSide: Parser[(String, Seq[PExpr])] =
+    ident ~ (kw("by") ~> keyList) ^^ { case a ~ ks => (a, ks) }
+
+  private def outerKind: Parser[String] =
+    (kw("left") | kw("right") | kw("full")) <~ opt(kw("outer")) ^^ {
+      case "full" => "full_outer"
+      case k => k
+    }
+
+  private def joinOp: Parser[POp] =
+    kw("join") ~> joinSide ~ opt(outerKind) ~ ("," ~> rep1sep(joinSide, ",")) ~
+      opt(kw("using") ~> quoted) ^^ {
+        case first ~ outer ~ rest ~ using =>
+          PJoin(first +: rest, outer, using.map(_.toLowerCase))
+      }
+
+  private def orderKey: Parser[(PExpr, Boolean)] =
+    expr ~ opt(kw("asc") | kw("desc")) ^^ {
+      case e ~ d => (e, !d.contains("desc"))
+    }
+
+  private def orderOp: Parser[POp] =
+    kw("order") ~> ident ~ (kw("by") ~> rep1sep(orderKey, ",")) ^^ {
+      case a ~ ks => POrder(a, ks)
+    }
+
+  private def limitOp: Parser[POp] =
+    kw("limit") ~> ident ~ """\d+""".r ^^ { case a ~ n => PLimit(a, n.toLong) }
+
+  private def distinctOp: Parser[POp] =
+    kw("distinct") ~> ident ^^ PDistinct.apply
+
+  private def unionOp: Parser[POp] =
+    kw("union") ~> opt(kw("onschema")) ~ rep1sep(ident, ",") ^^ {
+      case on ~ ins => PUnion(ins, on.isDefined)
+    }
+
+  private def crossOp: Parser[POp] =
+    kw("cross") ~> rep1sep(ident, ",") ^^ PCross.apply
+
+  private def sampleOp: Parser[POp] =
+    kw("sample") ~> ident ~ """0?\.\d+|1\.0|0|1""".r ^^ {
+      case a ~ p => PSample(a, p.toDouble)
+    }
+
+  private def rankOp: Parser[POp] =
+    kw("rank") ~> ident ~ opt(kw("by") ~> rep1sep(orderKey, ",") ~ opt(kw("dense"))) ^^ {
+      case a ~ Some(ks ~ dense) => PRank(a, ks, dense.isDefined)
+      case a ~ None => PRank(a, Nil, dense = false)
+    }
+
+  private def streamOp: Parser[POp] =
+    kw("stream") ~> ident ~ (kw("through") ~> backtick) ~
+      opt(kw("as") ~> "(" ~> rep1sep(fieldDecl, ",") <~ ")") ^^ {
+        case a ~ cmd ~ sch => PStream(a, cmd, sch.getOrElse(Nil).map(_._1))
+      }
+
+  private def op: Parser[POp] =
+    loadOp | filterOp | foreachOp | groupOp | joinOp | orderOp | limitOp |
+    distinctOp | unionOp | crossOp | sampleOp | rankOp | streamOp |
+    ident ^^ PAliasRef.apply
+
+  // ---------------- statements ----------------
+
+  private def assign: Parser[PStmt] =
+    ident ~ ("=" ~> op) <~ ";" ^^ { case a ~ o => PAssign(a, o) }
+
+  private def storeStmt: Parser[PStmt] =
+    kw("store") ~> ident ~ (kw("into") ~> quoted) ~
+      opt(kw("using") ~> funcSpec) <~ ";" ^^ {
+        case a ~ p ~ u => PStore(a, p, u)
+      }
+
+  private def splitStmt: Parser[PStmt] =
+    kw("split") ~> ident ~ (kw("into") ~>
+        rep1sep(ident ~ (kw("if") ~> expr) ^^ { case n ~ e => (n, e) }, ",")) ~
+      opt("," ~> ident <~ kw("otherwise")) <~ ";" ^^ {
+        case a ~ brs ~ oth => PSplit(a, brs, oth)
+      } |
+    // OTHERWISE branch may also be the final comma-separated element
+    kw("split") ~> ident ~ (kw("into") ~>
+        rep1sep(ident ~ (kw("if") ~> expr) ^^ { case n ~ e => (n, e) }, ",")) <~ ";" ^^ {
+        case a ~ brs => PSplit(a, brs, None)
+      }
+
+  private def dumpStmt: Parser[PStmt] = kw("dump") ~> ident <~ ";" ^^ PDump.apply
+  private def describeStmt: Parser[PStmt] =
+    kw("describe") ~> ident <~ ";" ^^ PDescribe.apply
+
+  private def stmt: Parser[PStmt] =
+    storeStmt | splitStmt | dumpStmt | describeStmt | assign
+
+  private def script: Parser[Seq[PStmt]] = rep(stmt)
+
+  /** Parse a full script; throws IllegalArgumentException with position
+    * detail on malformed input (PigServer reports syntax errors the
+    * same way — fail fast, before any job runs). */
+  def parseScript(text: String): Seq[PStmt] =
+    parseAll(script, text) match {
+      case Success(stmts, _) => stmts
+      case NoSuccess(msg, next) =>
+        throw new IllegalArgumentException(
+          s"Pig parse error at line ${next.pos.line}, col ${next.pos.column}: $msg\n${next.pos.longString}")
+      case other =>
+        throw new IllegalArgumentException(s"Pig parse error: $other")
+    }
+}

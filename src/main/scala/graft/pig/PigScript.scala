@@ -1,0 +1,57 @@
+package graft.pig
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The textual entry point — what `pig script.pig -p DIR=/data` is to
+  * the reference (SURVEY.md §3.1). Pipeline: preprocess (params,
+  * %default, DEFINE-macros) → parse → compile to DataFrames.
+  *
+  * Nothing executes until an action: the compiled script is a set of
+  * named Catalyst plans, so running a script is as lazy (and as
+  * optimized) as writing the same DataFrame code by hand.
+  *
+  * {{{
+  * val result = PigScript.run(spark,
+  *   """L = LOAD '$DIR/lineitem.parquet' USING parquet;
+  *      G = GROUP L BY l_returnflag;
+  *      S = FOREACH G GENERATE group AS flag, COUNT_STAR(L) AS n;
+  *      STORE S INTO '/tmp/out';""",
+  *   params = Map("DIR" -> "/root/testdata/sf0.001"))
+  * result("S").show()
+  * }}}
+  */
+object PigScript {
+
+  /** Parse + compile; STORE statements are recorded (and executed only
+    * when `executeStores = true`). */
+  def run(spark: SparkSession, script: String,
+      params: Map[String, String] = Map.empty,
+      executeStores: Boolean = false): PigCompiler.Result = {
+    val pre = PigPreprocessor(script, params)
+    PigCompiler.compile(spark, PigParser.parseScript(pre), executeStores)
+  }
+
+  /** Run a script and return its "result" relation: the target of the
+    * last STORE if any, else the last assigned alias — the contract the
+    * driver's oracle queries use. */
+  def query(spark: SparkSession, script: String,
+      params: Map[String, String] = Map.empty): DataFrame = {
+    val r = run(spark, script, params)
+    val alias = r.stores.lastOption.map(_.alias).orElse(r.lastAlias)
+      .getOrElse(throw new IllegalArgumentException("script defines no relation"))
+    r(alias)
+  }
+
+  /** Load a `.pig` script bundled as a classpath resource. */
+  def resource(path: String): String = {
+    val in = Option(getClass.getResourceAsStream(path)).getOrElse(
+      throw new IllegalArgumentException(s"no such resource: $path"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** Run a bundled `.pig` resource (see src/main/resources/pig/). */
+  def queryResource(spark: SparkSession, resourcePath: String,
+      params: Map[String, String] = Map.empty): DataFrame =
+    query(spark, resource(resourcePath), params)
+}
