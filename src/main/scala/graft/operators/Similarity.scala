@@ -143,61 +143,84 @@ object Similarity {
     * cells; each query probes its `nProbe` nearest cells and scores
     * only those corpus vectors.
     *
-    * Centroids here are a systematic sample of the corpus (deterministic
-    * — a k-means refinement would drop in without changing the dataflow).
-    * Shapes: centroid assignment = corpus ⋈ broadcast(centroids);
-    * probe = query ⋈ broadcast(centroids) top-nProbe; candidate scoring
-    * shuffles on cell id only. The corpus is never broadcast or
-    * cross-joined — at 100 TB the only corpus-sized movement is one
-    * shuffle by cell. */
+    * Centroids are a deterministic hash-ordered sample of the corpus
+    * (TakeOrdered — per-partition top-n, no full sort; a k-means
+    * refinement would drop in without changing the dataflow). The
+    * bounded centroid table (nCentroids × dim doubles) is collected
+    * once and INLINED as literals, so cell assignment and query probing
+    * are pure per-row projections over the native cosine kernel —
+    * no join, no window, no shuffle, no extra corpus pass. The only
+    * corpus-sized movement in the whole operator is the single shuffle
+    * on cell id that co-locates candidates with their probes. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       corpusId: String, queryId: String, vecCol: String,
       k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val n = corpus.count()
-    val stride = math.max(1L, n / nCentroids)
-    val centroids = corpus
-      .filter(col(corpusId) % stride === 0).limit(nCentroids)
-      .select(col(corpusId).as("cent_id"), asDouble(col(vecCol)).as("cvec"))
-    // cell assignment: nearest centroid per corpus vector
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(corpusId)).orderBy(col("__d").desc, col("cent_id").asc)
+    val centroids: Array[(Long, Seq[Double])] = corpus
+      .select(col(corpusId).cast("long").as("cent_id"), asDouble(col(vecCol)).as("cvec"))
+      .orderBy(xxhash64(col("cent_id")).asc, col("cent_id").asc)
+      .limit(nCentroids)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+    /** Per-row top-`m` nearest cells: a literal-built array of
+      * (−score, cent_id) structs, sorted ascending (score desc, id asc
+      * on ties — the previous window ordering), sliced to m. All of it
+      * codegen-resident; the centroid vectors are plan literals. */
+    def topCells(v: Column, m: Int): Column = {
+      val scoredCells = centroids.map { case (cid, cvec) =>
+        struct((-cosineFast(v, typedLit(cvec))).as("ns"), lit(cid).as("cent"))
+      }
+      slice(sort_array(array(scoredCells: _*)), 1, m)
+    }
+
     val assigned = corpus
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(corpusId), asDouble(col(vecCol)).as("__v"))
-      .join(broadcast(centroids))
-      .withColumn("__d", cosineFast(col("__v"), col("cvec")))
-      .withColumn("__rn", row_number().over(wAssign))
-      .filter(col("__rn") === 1)
-      .select(col(corpusId), col("__v"), col("cent_id").as("cell"))
-    // probe list: nProbe nearest cells per query
-    val wProbe = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("__d").desc, col("cent_id").asc)
+      .withColumn("cell", element_at(topCells(col("__v"), 1), 1).getField("cent"))
     val probes = queries
       .select(col(queryId).as("query_id"), asDouble(col(vecCol)).as("__q"))
-      .join(broadcast(centroids))
-      .withColumn("__d", cosineFast(col("__q"), col("cvec")))
-      .withColumn("__rn", row_number().over(wProbe))
-      .filter(col("__rn") <= nProbe)
-      .select(col("query_id"), col("__q"), col("cent_id").as("cell"))
+      .withColumn("__pc", explode(topCells(col("__q"), nProbe)))
+      .select(col("query_id"), col("__q"), col("__pc").getField("cent").as("cell"))
     val scored = assigned.join(probes, Seq("cell"))
       .filter(col(corpusId) =!= col("query_id"))
       .withColumn("score", cosineFast(col("__v"), col("__q")))
     boundedTopK(scored.select(col("query_id"), col(corpusId), col("score")), corpusId, k)
   }
 
-  /** Embedding-cosine near-duplicate pairs (id1 < id2, cosine >= tau)
-    * via the LSH buckets — the embedding analogue of fuzzy text dedup. */
+  /** Embedding-cosine near-duplicate pairs (id1 < id2, cosine >= tau) —
+    * the embedding analogue of fuzzy text dedup, with the SAME
+    * multi-band OR-amplification shape as the MinHash path
+    * ([[Dedup]] lshBands): `bands` independent seeded plane sets, a
+    * bucket self-join per band, candidate union + distinct, then the
+    * exact cosine verify.
+    *
+    * One band is a coin-flip at moderate similarity — P(collide) =
+    * (1 − θ/π)^planes with no second chance — and a single hot bucket
+    * (real embedding corpora cluster) makes the self-join quadratic
+    * with no other key to split on. N bands drive recall to
+    * 1 − (1−p^planes)^N while each band's buckets stay small and
+    * differently partitioned, so no single bucket carries the whole
+    * hot cluster across every band. */
   def cosineDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      tau: Double, planes: Int = 10): DataFrame = {
-    val b = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol), asDouble(col(vecCol)).as("__v"),
-        rpLshBucket(col(vecCol), planes).as("__bucket"))
-    b.as("a").join(b.as("b"),
-        col("a.__bucket") === col("b.__bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("cosine", cosineFast(col("a.__v"), col("b.__v")))
+      tau: Double, planes: Int = 10, bands: Int = 4): DataFrame = {
+    val base = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), asDouble(col(vecCol)).as("__v"))
+    val candidates = (0 until bands).map { band =>
+      val b = base.select(col(idCol),
+        graft.plans.VectorExpressions.rpLshBucket(
+          col("__v"), planes, seed = 42L + band).as("__bucket"))
+      b.as("a").join(b.as("b"),
+          col("a.__bucket") === col("b.__bucket") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+    }.reduce(_ unionAll _).distinct()
+    candidates
+      .join(base.select(col(idCol).as("id1"), col("__v").as("__v1")), Seq("id1"))
+      .join(base.select(col(idCol).as("id2"), col("__v").as("__v2")), Seq("id2"))
+      .withColumn("cosine", cosineFast(col("__v1"), col("__v2")))
       .filter(col("cosine") >= tau)
-      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"), col("cosine"))
+      .select(col("id1"), col("id2"), col("cosine"))
   }
 }

@@ -83,23 +83,26 @@ case class CosineSim(left: Expression, right: Expression)
 object RpLshKernels {
   import org.apache.spark.sql.catalyst.expressions.XXH64
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Array[Double]]]()
 
-  private def table(planes: Int, dim: Int): Array[Array[Double]] = {
-    val key = (planes.toLong << 32) | dim.toLong
+  private def table(planes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val key = (seed, planes, dim)
     var t = cache.get(key)
     if (t == null) {
       t = Array.tabulate(planes, dim) { (p, i) =>
-        XXH64.hashInt(i, XXH64.hashInt(p, 42L)).toDouble / Long.MaxValue.toDouble
+        XXH64.hashInt(i, XXH64.hashInt(p, seed)).toDouble / Long.MaxValue.toDouble
       }
       cache.putIfAbsent(key, t)
     }
     t
   }
 
-  def bucket(v: ArrayData, planes: Int): Long = {
+  /** Seed 42 matches Spark's `xxhash64` default — the bit-compat
+    * contract with [[graft.operators.Similarity.rpLshBucketHof]]. Other
+    * seeds give INDEPENDENT plane sets (LSH OR-amplification bands). */
+  def bucket(v: ArrayData, planes: Int, seed: Long): Long = {
     val dim = v.numElements()
-    val t = table(planes, dim)
+    val t = table(planes, dim, seed)
     var res = 0L
     var p = 0
     while (p < planes) {
@@ -114,17 +117,17 @@ object RpLshKernels {
   }
 }
 
-case class RpLshBucket(child: Expression, planes: Int)
+case class RpLshBucket(child: Expression, planes: Int, seed: Long = 42L)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "rp_lsh_bucket"
 
   override def nullSafeEval(input: Any): Any =
-    RpLshKernels.bucket(input.asInstanceOf[ArrayData], planes)
+    RpLshKernels.bucket(input.asInstanceOf[ArrayData], planes, seed)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.plans.RpLshKernels.bucket($v, $planes);")
+      s"${ev.value} = graft.plans.RpLshKernels.bucket($v, $planes, ${seed}L);")
 
   override protected def withNewChildInternal(newChild: Expression): RpLshBucket =
     copy(child = newChild)
@@ -137,10 +140,11 @@ object VectorExpressions {
       GraftSqlBridge.expression(a.cast("array<double>")),
       GraftSqlBridge.expression(b.cast("array<double>"))))
 
-  /** Column-level entry point; input cast to array<double>. */
-  def rpLshBucket(vec: Column, planes: Int): Column =
+  /** Column-level entry point; input cast to array<double>. Distinct
+    * `seed`s give independent plane sets (multi-band LSH). */
+  def rpLshBucket(vec: Column, planes: Int, seed: Long = 42L): Column =
     GraftSqlBridge.column(RpLshBucket(
-      GraftSqlBridge.expression(vec.cast("array<double>")), planes))
+      GraftSqlBridge.expression(vec.cast("array<double>")), planes, seed))
 
   /** SQL registration: `SELECT cosine_sim(a, b)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

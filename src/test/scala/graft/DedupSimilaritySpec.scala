@@ -237,4 +237,59 @@ class DedupSimilaritySpec extends SparkSpec {
     // approximate method: just require non-trivial overlap, not equality
     assert(lsh.intersect(brute).nonEmpty)
   }
+
+  /** Deterministic pseudo-random unit-free vector: component (i, j)
+    * from a hash, in [-1, 1]. */
+  private def fakeVec(id: Long, dim: Int): Array[Double] =
+    Array.tabulate(dim) { j =>
+      val h = scala.util.hashing.MurmurHash3.productHash((id, j))
+      (h.toDouble / Int.MaxValue.toDouble) % 1.0
+    }
+
+  private def perturb(v: Array[Double], id: Long, eps: Double): Array[Double] = {
+    val noise = fakeVec(id + 1000000L, v.length)
+    v.zip(noise).map { case (x, n) => x + eps * n }
+  }
+
+  test("planted embedding near-dups: multi-band recall >= 0.9, single band misses more") {
+    val dim = 16
+    val base = (0L until 200L).map(i => (i, fakeVec(i, dim).toSeq))
+    // 30 planted near-dup partners of vectors 0..29, cosine ~0.95-0.98
+    val planted = (0L until 30L).map { i =>
+      (1000L + i, perturb(fakeVec(i, dim), i, eps = 0.18 + 0.004 * (i % 5)).toSeq)
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val expected = (0L until 30L).map(i => (i, 1000L + i)).toSet
+
+    val multi = Similarity.cosineDupPairs(df, "vec_id", "embedding",
+        tau = 0.9, planes = 8, bands = 6)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val recalled = expected.count(multi.contains)
+    assert(recalled >= 27, s"multi-band recall $recalled/30 too low")
+
+    // every returned pair really is >= tau (the exact verify stage)
+    val verified = Similarity.cosineDupPairs(df, "vec_id", "embedding",
+        tau = 0.9, planes = 8, bands = 6)
+      .select($"cosine").as[Double].collect()
+    assert(verified.forall(_ >= 0.9))
+
+    // one band finds no MORE than the union of six (monotone OR-amplification)
+    val single = Similarity.cosineDupPairs(df, "vec_id", "embedding",
+        tau = 0.9, planes = 8, bands = 1)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(multi))
+  }
+
+  test("ivfTopK plan: no window, no count pass — assignment is a pure projection") {
+    val emb = tables.embeddings
+    val q = emb.filter($"vec_id" % 250 === 0)
+    val df = Similarity.ivfTopK(emb, q, "vec_id", "vec_id", "embedding", 5,
+      nCentroids = 8, nProbe = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"cell assignment must not window:\n$plan")
+    // the centroid table is inlined: no join against a centroid relation,
+    // so the only joins are candidate-scoring (cell) and none broadcast a
+    // corpus-sized side
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
