@@ -29,6 +29,12 @@ import graft.operators.{AsOfJoin, Dedup, Multimodal, Relational, Similarity, Str
   */
 object Engine {
 
+  /** AvroStorage (SURVEY §2.1): the Avro reader/writer is compiled into
+    * spark-sql itself; deployments without the separate spark-avro
+    * module lack only the service registration that resolves the bare
+    * name "avro" — pass this explicit provider class instead. */
+  val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
   // ---------------- LOAD / STORE / DUMP (SURVEY §2.1) ----------------
 
   def load(spark: SparkSession, path: String, format: String = "parquet",

@@ -35,16 +35,30 @@ object Aggregators {
   }
 
   /** Streamed per-group concatenation with a bound — the Accumulator
-    * shape (consumes the group iterator, bounded state). */
-  final case class TopStrBuf(items: List[String])
+    * shape (consumes the group iterator, bounded state). Buffer carries
+    * an unsorted list + tracked bar, same as [[TopKBuf]]. */
+  final case class TopStrBuf(items: List[String], cnt: Int, bar: String, hasBar: Boolean)
 
+  /** The n lexicographically-smallest strings, joined by `sep` — with
+    * the SAME prune discipline as [[TopKByScore]]: O(1) append/reject
+    * per row, sort only at 4n buffer fill (a per-row re-sort is exactly
+    * the quadratic landmine the k=1000 soak surfaced there; the
+    * "harmless at n=3" version was the same bug waiting for a bigger n).
+    * Selection-based, so order- and partition-invariant (law-tested). */
   class BoundedConcat(n: Int, sep: String) extends Aggregator[String, TopStrBuf, String] {
-    def zero: TopStrBuf = TopStrBuf(Nil)
+    private val maxBuf = math.max(4 * n, 64)
+    private def prune(items: List[String]): TopStrBuf = {
+      val kept = items.sorted.take(n)
+      TopStrBuf(kept, kept.length, kept.last, kept.length >= n)
+    }
+    def zero: TopStrBuf = TopStrBuf(Nil, 0, "", hasBar = false)
     def reduce(b: TopStrBuf, s: String): TopStrBuf =
-      TopStrBuf((s :: b.items).sorted.take(n))
+      if (b.hasBar && s >= b.bar) b // provably outside the n smallest
+      else if (b.cnt + 1 >= maxBuf) prune(s :: b.items)
+      else TopStrBuf(s :: b.items, b.cnt + 1, b.bar, b.hasBar)
     def merge(a: TopStrBuf, b: TopStrBuf): TopStrBuf =
-      TopStrBuf((a.items ++ b.items).sorted.take(n))
-    def finish(b: TopStrBuf): String = b.items.mkString(sep)
+      if (a.cnt == 0) b else if (b.cnt == 0) a else prune(a.items ++ b.items)
+    def finish(b: TopStrBuf): String = b.items.sorted.take(n).mkString(sep)
     def bufferEncoder: Encoder[TopStrBuf] = Encoders.product[TopStrBuf]
     def outputEncoder: Encoder[String] = Encoders.STRING
   }

@@ -121,14 +121,33 @@ object Dedup {
     * shingles (explode -> join on shingle -> count common -> Jaccard).
     * This is the oracle-matchable exact variant; use fuzzyDupPairs for
     * the approximate scale path. Pairs sharing no shingle are (correctly)
-    * never generated. */
+    * never generated.
+    *
+    * `maxDocFreq` is the scale guard: a shingle appearing in f docs
+    * contributes O(f²) candidate pairs, so one stop-phrase shingle
+    * ("of the and"-grade) makes the self-join quadratic in the corpus.
+    * Capping drops shingles with document frequency > maxDocFreq from
+    * the INDEX only (n_sh stays uncapped), which can only lower a
+    * pair's computed overlap — results are exact whenever no shared
+    * shingle of a qualifying pair exceeds the cap, and recall-
+    * conservative otherwise. Default = no cap (the oracle contract). */
   def exactJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleN: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val sh = fanOut(df).select(col(idCol),
       wordShingles(tokens(col(textCol)), shingleN).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-    val inv = sh.select(col(idCol), col("n_sh"), explode(col("sh")).as("s"))
+    val inv0 = sh.select(col(idCol), col("n_sh"), explode(col("sh")).as("s"))
+    val inv =
+      if (maxDocFreq == Int.MaxValue) inv0
+      else {
+        // hot-shingle list is tiny by construction (only >cap shingles)
+        val hot = inv0.groupBy(col("s"))
+          .agg(count(lit(1)).as("__df")).filter(col("__df") > maxDocFreq)
+          .select(col("s"))
+        inv0.join(broadcast(hot), Seq("s"), "left_anti")
+      }
     val common = inv.as("a")
       .join(inv.as("b"), col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),

@@ -47,24 +47,45 @@ object TrainingPipeline {
     * (52 bits — exactly representable in the Double score), which
     * equals the full-hash lexicographic order unless two ids collide
     * on all 52 bits (~2^-52 per pair — not a realistic tie source;
-    * ids break ties). */
+    * ids break ties).
+    *
+    * Non-integral id columns (string doc ids are the norm in web
+    * corpora) can't ride in the aggregator's (Double, Long) state;
+    * they transparently fall back to the same id-type-generic window
+    * formulation [[Similarity.boundedTopK]] uses — identical selection
+    * (md5-prefix order, id tiebreak), shuffles scored rows instead of
+    * n-element states. */
   def stratifiedSample(docs: DataFrame, strataCol: String, idCol: String, n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // score DESC in the aggregator == md5-prefix ASC via negation
-    val scored = docs.select(
-      col(strataCol).as("__stratum"),
-      col(idCol).cast("long").as("__id"),
-      -conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
-        .cast("double").as("__score"))
-    scored.as[(String, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._3, t._2))
-      .agg(new graft.functions.Aggregators.TopKByScore(n).toColumn)
-      .flatMap { case (stratum, top) =>
-        top.iterator.zipWithIndex.map { case ((_, id), i) => (id, stratum, (i + 1).toLong) }
-      }
-      .toDF(idCol, strataCol, "rn")
+    val integral = docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    // score DESC in the aggregator/window == md5-prefix ASC via negation
+    val score =
+      -conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10).cast("double")
+    if (!integral) {
+      val scored = docs.select(
+        col(strataCol).as("__stratum"), col(idCol).as("__id"), score.as("__score"))
+      Relational.topPerGroup(scored, Seq("__stratum"), "__score", n, "__id")
+        .select(col("__id").as(idCol), col("__stratum").as(strataCol),
+          col("rn").cast("long").as("rn"))
+    } else {
+      val scored = docs.select(
+        col(strataCol).as("__stratum"),
+        col(idCol).cast("long").as("__id"),
+        score.as("__score"))
+      scored.as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._3, t._2))
+        .agg(new graft.functions.Aggregators.TopKByScore(n).toColumn)
+        .flatMap { case (stratum, top) =>
+          top.iterator.zipWithIndex.map { case ((_, id), i) => (id, stratum, (i + 1).toLong) }
+        }
+        .toDF(idCol, strataCol, "rn")
+    }
   }
 
   /** Annotate every doc (kept or not) with the curation signals. */

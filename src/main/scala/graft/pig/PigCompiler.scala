@@ -229,7 +229,7 @@ object PigCompiler {
         case "jsonloader" | "jsonstorage" | "json" => ("json", Map.empty)
         case "orcstorage" | "orc" => ("orc", Map.empty)
         case "textloader" | "text" => ("text", Map.empty)
-        case "avrostorage" | "avro" => ("avro", Map.empty)
+        case "avrostorage" | "avro" => (graft.Engine.AvroFormat, Map.empty)
         case other => (other, Map.empty) // raw Spark format passthrough
       }
     }

@@ -280,6 +280,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(single.subsetOf(multi))
   }
 
+  test("exactJaccardPairs maxDocFreq cap: identical under the cap, recall-conservative over it") {
+    val uncapped = Dedup.exactJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select($"id1", $"id2", $"jaccard").collect().toSet
+    // fixture shingles appear in <= 3 docs: a cap of 10 must change nothing
+    val capped = Dedup.exactJaccardPairs(docs, "doc_id", "text", threshold = 0.5,
+        maxDocFreq = 10)
+      .select($"id1", $"id2", $"jaccard").collect().toSet
+    assert(capped == uncapped)
+    // an aggressive cap only DROPS pairs (overlap can only shrink)
+    val tight = Dedup.exactJaccardPairs(docs, "doc_id", "text", threshold = 0.5,
+        maxDocFreq = 1)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(tight.subsetOf(uncapped.map(r => (r.getLong(0), r.getLong(1)))))
+  }
+
   test("ivfTopK plan: no window, no count pass — assignment is a pure projection") {
     val emb = tables.embeddings
     val q = emb.filter($"vec_id" % 250 === 0)

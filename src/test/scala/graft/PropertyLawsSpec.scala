@@ -44,6 +44,28 @@ class PropertyLawsSpec extends SparkSpec {
     }
   }
 
+  test("BoundedConcat: any split + any merge order equals global sorted take(n)") {
+    for (_ <- 1 to 200) {
+      val n = rnd.nextInt(60)
+      val bound = 1 + rnd.nextInt(6)
+      val agg = new graft.functions.Aggregators.BoundedConcat(bound, ",")
+      // duplicates on purpose: the bar's >= reject must not change the
+      // multiset of the n smallest (equal strings are indistinguishable)
+      val items = Seq.fill(n)(s"s${rnd.nextInt(12)}")
+      val want = items.sorted.take(bound).mkString(",")
+      var buffers = items.grouped(1 + rnd.nextInt(5))
+        .map(_.foldLeft(agg.zero)(agg.reduce)).toList
+      while (buffers.length > 1) {
+        val i = rnd.nextInt(buffers.length)
+        val a = buffers(i); val rest = buffers.patch(i, Nil, 1)
+        val j = rnd.nextInt(rest.length)
+        buffers = rest.updated(j, agg.merge(a, rest(j)))
+      }
+      val got = buffers.headOption.map(agg.finish).getOrElse("")
+      assert(got == want, s"n=$n bound=$bound got=$got want=$want")
+    }
+  }
+
   test("substringPig/indexOfPig/lastIndexOfPig match Java semantics on generated cases") {
     val alphabet = "ab#x "
     def randStr(): String =

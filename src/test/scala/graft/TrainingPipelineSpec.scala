@@ -88,4 +88,26 @@ class TrainingPipelineSpec extends SparkSpec {
     val mean = counts.values.sum.toDouble / 8
     assert(counts.values.forall(c => c < mean * 3))
   }
+
+  test("stratifiedSample on STRING doc ids: exact quotas, partition-invariant, same selection") {
+    import spark.implicits._
+    // string ids (web-corpus shape) — the long-cast path would throw under ANSI
+    val docs = tables.documents
+      .select(concat(lit("doc-"), $"doc_id".cast("string")).as("doc_id"), $"lang")
+    val s1 = TrainingPipeline.stratifiedSample(docs, "lang", "doc_id", 5)
+    val quotas = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(quotas.values.forall(_ == 5L), s"expected 5 per stratum, got $quotas")
+    // deterministic under repartitioning
+    val s2 = TrainingPipeline.stratifiedSample(docs.repartition(13), "lang", "doc_id", 5)
+    assert(s1.select("doc_id", "lang").collect().toSet ==
+      s2.select("doc_id", "lang").collect().toSet)
+    // selection matches the integral path on the same underlying rows:
+    // md5 of the string "doc-<n>" differs from md5 of "<n>", so compare
+    // against a window twin computed on the same string ids
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy(
+        conv(substring(md5($"doc_id"), 1, 13), 16, 10).cast("double").asc, $"doc_id".asc)
+    val twin = docs.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+    assert(s1.select("doc_id").collect().toSet == twin.select("doc_id").collect().toSet)
+  }
 }
