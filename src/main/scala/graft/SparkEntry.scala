@@ -813,7 +813,11 @@ object SparkEntry {
     "q90_pig_cross" -> pigQ("/pig/q90_cross.pig"),
     "q91_pig_cogroup_semi" -> pigQ("/pig/q91_cogroup_semi.pig"),
     "q92_pig_scalar_funcs" -> pigQ("/pig/q92_scalar_funcs.pig"),
-    "q93_pig_dates" -> pigQ("/pig/q93_dates.pig")
+    "q93_pig_dates" -> pigQ("/pig/q93_dates.pig"),
+    "q94_pig_nested_filter" -> pigQ("/pig/q94_nested_filter.pig"),
+    "q95_pig_nested_top" -> pigQ("/pig/q95_nested_top.pig"),
+    "q96_pig_cube" -> pigQ("/pig/q96_cube.pig"),
+    "q97_pig_rollup" -> pigQ("/pig/q97_rollup.pig")
   )
 
   private def pigQ(res: String): (SparkSession, String) => DataFrame =
@@ -1530,6 +1534,29 @@ object SparkEntry {
          CAST(month(o_orderdate) AS INT) AS mo,
          CAST(trunc((epoch(TIMESTAMP '1998-01-01') - epoch(o_orderdate)) / 86400) AS BIGINT) AS days_from_98,
          CAST(trunc((epoch(o_orderdate) - epoch(TIMESTAMP '1998-01-01')) / 3600) AS BIGINT) AS hours_to_98
-         FROM orders"""
+         FROM orders""",
+
+    "q94_pig_nested_filter" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+         count(*) FILTER (WHERE l_quantity > 25.0) AS n_big,
+         max(l_quantity) FILTER (WHERE l_quantity > 25.0) AS max_big
+         FROM lineitem GROUP BY l_orderkey""",
+
+    "q95_pig_nested_top" ->
+      """SELECT o_custkey, n_top, o_totalprice FROM (
+           SELECT o_custkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC) AS rn,
+                  CAST(least(count(*) OVER (PARTITION BY o_custkey), 3) AS BIGINT) AS n_top
+           FROM orders)
+         WHERE rn <= 3""",
+
+    "q96_pig_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+
+    "q97_pig_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"""
   )
 }

@@ -58,6 +58,19 @@ object PigAst {
       schema: Option[Seq[(String, Option[String])]]) extends POp
   final case class PFilter(in: String, cond: PExpr) extends POp
   final case class PForeach(in: String, items: Seq[GenItem]) extends POp
+
+  /** Nested-FOREACH inner pipeline statement (`x = FILTER L BY p;`
+    * inside a `FOREACH G { ... GENERATE ...; }` block). */
+  sealed trait PNestedOp { def src: String }
+  final case class NFilter(src: String, cond: PExpr) extends PNestedOp
+  final case class NOrder(src: String, field: String, asc: Boolean) extends PNestedOp
+  final case class NLimit(src: String, n: Int) extends PNestedOp
+  final case class NDistinct(src: String) extends PNestedOp
+  final case class PForeachNested(in: String,
+      stmts: Seq[(String, PNestedOp)], items: Seq[GenItem]) extends POp
+
+  /** CUBE/ROLLUP statement: `C = CUBE A BY CUBE(d1, d2);` (Pig 0.11). */
+  final case class PCubeOp(in: String, dims: Seq[PExpr], rollup: Boolean) extends POp
   /** GROUP (1 input) / COGROUP (n inputs); `inner` lists inputs with the
     * INNER modifier (drop keys whose bag would be empty). */
   final case class PGroup(inputs: Seq[(String, Seq[PExpr])], all: Boolean,

@@ -53,8 +53,11 @@ object PigCompiler {
   private[pig] final class Rel(mk: () => DataFrame, val group: Option[GroupMeta]) {
     lazy val df: DataFrame = mk()
   }
+  /** `mode`: "group" | "cube" | "rollup" — which grouping-set flavor the
+    * algebraic FOREACH compiles to (Pig's CUBE statement reuses the
+    * whole GROUP machinery with a bag named `cube`). */
   private[pig] final case class GroupMeta(childAlias: String, child: DataFrame,
-      keys: Seq[PExpr], all: Boolean)
+      keys: Seq[PExpr], all: Boolean, mode: String = "group")
 
   private def lookup(env: mutable.LinkedHashMap[String, Rel], a: String): Rel =
     env.getOrElse(a, throw new IllegalArgumentException(
@@ -103,15 +106,52 @@ object PigCompiler {
     case PForeach(in, items) =>
       val rel = lookup(env, in)
       rel.group match {
-        case Some(meta) if isAlgebraic(meta, items) =>
-          new Rel(() => compileAggForeach(meta, items), None)
+        case Some(meta) if isAlgebraic(Set(meta.childAlias), items) =>
+          new Rel(() => compileAggForeach(meta, items,
+            Map(meta.childAlias -> lit(true))), None)
         case _ =>
           new Rel(() => compileRowForeach(rel.df, items), None)
+      }
+
+    case PForeachNested(in, stmts, items) =>
+      val rel = lookup(env, in)
+      val filterOnly = stmts.forall(_._2.isInstanceOf[NFilter])
+      rel.group match {
+        // FILTER-only inner pipelines + algebraic GENERATE compile to
+        // FILTERED relational aggregates — no bag ever materializes
+        // (the reference's combiner can't do this; Spark's partial agg
+        // handles the conditional aggregates map-side)
+        case Some(meta) if filterOnly &&
+            isAlgebraic(Set(meta.childAlias) ++ stmts.map(_._1), items) =>
+          new Rel(() => {
+            val child = meta.child
+            val preds = mutable.LinkedHashMap[String, Column](
+              meta.childAlias -> lit(true))
+            stmts.foreach { case (name, NFilter(src, cond)) =>
+              val basePred = preds.getOrElse(src, throw new IllegalArgumentException(
+                s"nested FILTER source '$src' is not the bag or an earlier nested alias"))
+              preds(name) = basePred && compileExpr(child, cond)
+            }
+            compileAggForeach(meta, items, preds.toMap)
+          }, None)
+        // anything with ORDER/LIMIT/DISTINCT (or non-algebraic GENERATE)
+        // runs over materialized bags via per-row HOFs — no shuffle for
+        // the inner pipeline (Relational.nested building blocks)
+        case _ =>
+          new Rel(() => compileNestedBags(rel.df, stmts, items), None)
       }
 
     case PGroup(Seq((in, keys)), all, _) =>
       val child = lookup(env, in).df
       val meta = GroupMeta(in, child, keys, all)
+      new Rel(() => materializeGroup(meta), Some(meta))
+
+    case PCubeOp(in, dims, rollup) =>
+      val child = lookup(env, in).df
+      // Pig names the CUBE output bag `cube` (the statement's alias for
+      // the grouped relation's tuples)
+      val meta = GroupMeta("cube", child, dims, all = false,
+        mode = if (rollup) "rollup" else "cube")
       new Rel(() => materializeGroup(meta), Some(meta))
 
     case PGroup(inputs, _, inner) => // COGROUP
@@ -267,9 +307,16 @@ object PigCompiler {
       val groupCol =
         if (keyCols.length == 1) keyCols.head.as("group")
         else struct(keyCols: _*).as("group")
-      child.groupBy(groupCol).agg(bag)
+      grouped(child, meta.mode, Seq(groupCol)).agg(bag)
     }
   }
+
+  private def grouped(child: DataFrame, mode: String, keys: Seq[Column]) =
+    mode match {
+      case "cube" => child.cube(keys: _*)
+      case "rollup" => child.rollup(keys: _*)
+      case _ => child.groupBy(keys: _*)
+    }
 
   private def keyName(child: DataFrame, k: PExpr, i: Int): String = k match {
     case PCol(n) => resolvedName(child, n).split("::").last
@@ -281,18 +328,24 @@ object PigCompiler {
 
   private val aggFns = Set("COUNT", "COUNT_STAR", "SUM", "AVG", "MIN", "MAX")
 
-  private def isBagRef(meta: GroupMeta, e: PExpr): Boolean = e match {
-    case PCol(b) => b == meta.childAlias
-    case PDot(PCol(b), _) => b == meta.childAlias
+  private def isBagRef(bagNames: Set[String], e: PExpr): Boolean = e match {
+    case PCol(b) => bagNames(b)
+    case PDot(PCol(b), _) => bagNames(b)
     case _ => false
   }
 
-  private[pig] def isAlgebraic(meta: GroupMeta, items: Seq[GenItem]): Boolean = {
+  private def bagRefName(e: PExpr): String = e match {
+    case PCol(b) => b
+    case PDot(PCol(b), _) => b
+    case other => throw new IllegalArgumentException(s"not a bag ref: $other")
+  }
+
+  private[pig] def isAlgebraic(bagNames: Set[String], items: Seq[GenItem]): Boolean = {
     def ok(e: PExpr): Boolean = e match {
       case PCol("group") => true
       case PDot(PCol("group"), _) => true
       case PLit(_) => true
-      case PCall(fn, Seq(a)) if aggFns(fn) && isBagRef(meta, a) => true
+      case PCall(fn, Seq(a)) if aggFns(fn) && isBagRef(bagNames, a) => true
       case PCall(_, args) if args.nonEmpty => args.forall(ok)
       case PBin(_, l, r) => ok(l) && ok(r)
       case PNeg(x) => ok(x)
@@ -310,21 +363,29 @@ object PigCompiler {
   }
 
   /** `FOREACH (GROUP child BY k) GENERATE …` with only algebraic items:
-    * one relational aggregate, no bags, partial agg map-side. */
-  private def compileAggForeach(meta: GroupMeta, items: Seq[GenItem]): DataFrame = {
+    * one relational aggregate, no bags, partial agg map-side. `preds`
+    * maps each bag name (the group's own, plus nested-FILTER aliases)
+    * to its row predicate — aggregates over a filtered bag become
+    * CONDITIONAL aggregates (`count(when(p, …))`), the filtered-agg
+    * plan a nested FOREACH block deserves at scale. A `lit(true)`
+    * predicate constant-folds away. */
+  private def compileAggForeach(meta: GroupMeta, items: Seq[GenItem],
+      preds: Map[String, Column]): DataFrame = {
     val child = meta.child
     val keyInfo = meta.keys.zipWithIndex.map { case (k, i) =>
       (compileExpr(child, k), keyName(child, k, i), s"__gk$i")
     }
     val keyByName: Map[String, String] = keyInfo.map(t => t._2 -> t._3).toMap
 
+    val bagNames = preds.keySet
+
     // pass 1: collect the distinct aggregate calls across all items
     val aggCalls = mutable.LinkedHashMap.empty[PExpr, (String, Column)]
     def collectAggs(e: PExpr): Unit = e match {
-      case c @ PCall(fn, Seq(a)) if aggFns(fn) && isBagRef(meta, a) =>
+      case c @ PCall(fn, Seq(a)) if aggFns(fn) && isBagRef(bagNames, a) =>
         if (!aggCalls.contains(c)) {
           val id = s"__ag${aggCalls.size}"
-          aggCalls(c) = (id, compileAggCall(child, fn, a).as(id))
+          aggCalls(c) = (id, compileAggCall(child, fn, a, preds(bagRefName(a))).as(id))
         }
       case PCall(_, args) => args.foreach(collectAggs)
       case PBin(_, l, r) => collectAggs(l); collectAggs(r)
@@ -343,13 +404,12 @@ object PigCompiler {
       else aggCalls.values.map(_._2).toSeq
     val agged =
       if (meta.all) child.agg(aggExprs.head, aggExprs.tail: _*)
-      else child
-        .groupBy(keyInfo.map { case (c, _, gk) => c.as(gk) }: _*)
+      else grouped(child, meta.mode, keyInfo.map { case (c, _, gk) => c.as(gk) })
         .agg(aggExprs.head, aggExprs.tail: _*)
 
     // pass 2: item expressions over the aggregated columns
     def post(e: PExpr): Column = e match {
-      case c @ PCall(fn, Seq(a)) if aggFns(fn) && isBagRef(meta, a) =>
+      case c @ PCall(fn, Seq(a)) if aggFns(fn) && isBagRef(bagNames, a) =>
         col(aggCalls(c)._1)
       case PCol("group") =>
         if (meta.all) lit("all")
@@ -367,7 +427,8 @@ object PigCompiler {
       case PTernary(c, t, f) => when(post(c), post(t)).otherwise(post(f))
       case PIsNull(x, neg) => if (neg) post(x).isNotNull else post(x).isNull
       case PMatches(x, re) => PigFunctions.matchesFull(post(x), re)
-      case PCall(fn, args) => scalarCall(agged, fn, args.map(post), args)
+      case PCall(fn, args) =>
+        scalarCall(fn, args.map(post), args, c => dtypeOf(agged, c))
       case other => throw new IllegalArgumentException(s"unsupported in aggregate FOREACH: $other")
     }
 
@@ -391,13 +452,16 @@ object PigCompiler {
     agged.select(outCols: _*)
   }
 
-  private def compileAggCall(child: DataFrame, fn: String, arg: PExpr): Column = {
-    def field(f: String): Column = resolve(child, f)
+  private def compileAggCall(child: DataFrame, fn: String, arg: PExpr,
+      pred: Column): Column = {
+    // `when(lit(true), c)` is constant-folded by Catalyst, so the
+    // unfiltered base bag pays nothing for the uniform wrapping
+    def field(f: String): Column = when(pred, resolve(child, f))
     (fn, arg) match {
       // Pig COUNT(bag) counts tuples whose FIRST field is non-null
-      case ("COUNT", PCol(_)) => count(child.col(s"`${child.columns.head}`"))
+      case ("COUNT", PCol(_)) => count(when(pred, child.col(s"`${child.columns.head}`")))
       case ("COUNT", PDot(_, f)) => count(field(f))
-      case ("COUNT_STAR", _) => count(lit(1))
+      case ("COUNT_STAR", _) => count(when(pred, lit(1)))
       case ("SUM", PDot(_, f)) => sum(field(f))
       case ("AVG", PDot(_, f)) => avg(field(f))
       case ("MIN", PDot(_, f)) => min(field(f))
@@ -405,6 +469,73 @@ object PigCompiler {
       case _ => throw new IllegalArgumentException(
         s"$fn needs a bag field argument (e.g. $fn(rel.column))")
     }
+  }
+
+  // ---------------- FOREACH: nested block, bag (HOF) path ----------------
+
+  /** ORDER/LIMIT/DISTINCT inner pipelines (or non-algebraic GENERATE)
+    * run over the materialized bags: each nested statement is a per-row
+    * higher-order function — the inner pipeline never shuffles. */
+  private def compileNestedBags(base: DataFrame,
+      stmts: Seq[(String, PNestedOp)], items: Seq[GenItem]): DataFrame = {
+    var df = base
+    stmts.foreach { case (name, nop) =>
+      val srcCol = resolve(df, nop.src)
+      val elemType: StructType = dtypeOf(df, srcCol) match {
+        case ArrayType(st: StructType, _) => st
+        case dt => throw new IllegalArgumentException(
+          s"nested ${nop.getClass.getSimpleName} over non-bag '${nop.src}' ($dt)")
+      }
+      val c = nop match {
+        case NFilter(_, cond) => filter(srcCol, e => compileElem(elemType, e, cond))
+        case NOrder(_, f, asc) =>
+          Relational.nested.sortBagBy(srcCol, fieldIn(elemType, f), asc)
+        case NLimit(_, n) => slice(srcCol, 1, n)
+        case NDistinct(_) => array_distinct(srcCol)
+      }
+      df = df.withColumn(name, c)
+    }
+    compileRowForeach(df, items)
+  }
+
+  private def fieldIn(st: StructType, name: String): String =
+    st.fieldNames.find(_ == name)
+      .orElse {
+        val cands = st.fieldNames.filter(_.endsWith(s"::$name"))
+        if (cands.length == 1) Some(cands.head) else None
+      }
+      .getOrElse(throw new IllegalArgumentException(
+        s"no field '$name' in bag element (${st.fieldNames.mkString(", ")})"))
+
+  /** Expression over a bag ELEMENT (lambda variable) — used by nested
+    * FILTER predicates. Same operator surface as [[compileExpr]] minus
+    * the type-dispatched builtins (no analysis is possible on a lambda
+    * variable; nested predicates are scalar comparisons in practice). */
+  private def compileElem(st: StructType, elem: Column, e: PExpr): Column = e match {
+    case PLit(null) => lit(null)
+    case PLit(v) => lit(v)
+    case PCol(n) => elem.getField(fieldIn(st, n))
+    case PPos(i) => elem.getField(st.fields(i).name)
+    case PDot(b, f) => compileElem(st, elem, b).getField(f)
+    case PMapGet(b, k) => compileElem(st, elem, b).getItem(k)
+    case PBin(op, l, r) => binOp(op, compileElem(st, elem, l), compileElem(st, elem, r))
+    case PNot(x) => !compileElem(st, elem, x)
+    case PNeg(x) => -compileElem(st, elem, x)
+    case PIsNull(x, neg) =>
+      val c = compileElem(st, elem, x); if (neg) c.isNotNull else c.isNull
+    case PMatches(x, re) => PigFunctions.matchesFull(compileElem(st, elem, x), re)
+    case PIn(x, items) =>
+      compileElem(st, elem, x).isin(items.map(compileElem(st, elem, _)): _*)
+    case PTernary(c, t, f) =>
+      when(compileElem(st, elem, c), compileElem(st, elem, t))
+        .otherwise(compileElem(st, elem, f))
+    case PCast(t, x) => castPigType(compileElem(st, elem, x), t)
+    case PCall(fn, args) =>
+      scalarCall(fn, args.map(compileElem(st, elem, _)), args, _ =>
+        throw new IllegalArgumentException(
+          s"$fn needs type dispatch — unsupported inside a nested FILTER predicate"))
+    case other => throw new IllegalArgumentException(
+      s"unsupported in nested predicate: $other")
   }
 
   // ---------------- FOREACH: row path (incl. FLATTEN) ----------------
@@ -528,7 +659,8 @@ object PigCompiler {
     case PTernary(c, t, f) =>
       when(compileExpr(df, c), compileExpr(df, t)).otherwise(compileExpr(df, f))
     case PCast(t, x) => castPigType(compileExpr(df, x), t)
-    case PCall(fn, args) => scalarCall(df, fn, args.map(compileExpr(df, _)), args)
+    case PCall(fn, args) =>
+      scalarCall(fn, args.map(compileExpr(df, _)), args, c => dtypeOf(df, c))
     case PStar => throw new IllegalArgumentException("* is only valid as a GENERATE item")
   }
 
@@ -576,12 +708,13 @@ object PigCompiler {
   }
 
   /** Scalar (and bag-over-array) builtins. `args` are compiled columns,
-    * `raw` the AST args (for literal-only parameters). The bag family
+    * `raw` the AST args (for literal-only parameters), `dtype` resolves
+    * a compiled column's type in the caller's context. The bag family
     * (COUNT/SUM/…) dispatches on the ARGUMENT TYPE: over an array
     * column (a materialized bag) it becomes a higher-order function —
     * per-row, no shuffle (Relational.nested's building blocks). */
-  private def scalarCall(df: DataFrame, fn: String, args: Seq[Column],
-      raw: Seq[PExpr]): Column = {
+  private def scalarCall(fn: String, args: Seq[Column],
+      raw: Seq[PExpr], dtype: Column => DataType): Column = {
     def a0 = args.head
     fn match {
       case "UPPER" => upper(a0)
@@ -607,7 +740,7 @@ object PigCompiler {
       case "STARTSWITH" => PigFunctions.startsWithPig(a0, litString(raw, 1, fn))
       case "ENDSWITH" => PigFunctions.endsWithPig(a0, litString(raw, 1, fn))
       case "EQUALSIGNORECASE" => PigFunctions.equalsIgnoreCase(a0, args(1))
-      case "SIZE" => dtypeOf(df, a0) match {
+      case "SIZE" => dtype(a0) match {
         case StringType => length(a0).cast("long")
         case _: ArrayType | _: MapType => PigFunctions.sizeOf(a0).cast("long")
         case st: StructType => lit(st.fields.length.toLong)
@@ -655,7 +788,7 @@ object PigCompiler {
       // bag aggregates over a MATERIALIZED bag column (array) — per-row
       // HOFs, the nested-FOREACH building blocks:
       case "COUNT" | "COUNT_STAR" | "SUM" | "AVG" | "MIN" | "MAX" =>
-        dtypeOf(df, a0) match {
+        dtype(a0) match {
           case ArrayType(et, _) => bagAgg(fn, a0, et)
           case dt => throw new IllegalArgumentException(
             s"$fn outside an aggregating FOREACH needs a bag (array) argument, got $dt")

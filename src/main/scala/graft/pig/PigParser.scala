@@ -173,6 +173,30 @@ object PigParser extends RegexParsers {
       case a ~ items => PForeach(a, items)
     }
 
+  // nested FOREACH block: inner FILTER/ORDER/LIMIT/DISTINCT pipeline
+  // over the bags, closed by a GENERATE (SURVEY §7.5.2)
+  private def nestedOp: Parser[PNestedOp] =
+    kw("filter") ~> ident ~ (kw("by") ~> expr) ^^ { case s ~ e => NFilter(s, e) } |
+    kw("order") ~> ident ~ (kw("by") ~> colRef) ~ opt(kw("asc") | kw("desc")) ^^ {
+      case s ~ f ~ d => NOrder(s, f, !d.contains("desc"))
+    } |
+    kw("limit") ~> ident ~ """\d+""".r ^^ { case s ~ n => NLimit(s, n.toInt) } |
+    kw("distinct") ~> ident ^^ NDistinct.apply
+
+  private def foreachNestedOp: Parser[POp] =
+    kw("foreach") ~> ident ~ ("{" ~>
+        rep(ident ~ ("=" ~> nestedOp) <~ ";" ^^ { case n ~ o => (n, o) })) ~
+      (kw("generate") ~> rep1sep(genItem, ",") <~ ";" <~ "}") ^^ {
+        case a ~ stmts ~ items => PForeachNested(a, stmts, items)
+      }
+
+  // CUBE statement (Pig 0.11): `C = CUBE A BY CUBE(d1, d2);`
+  private def cubeOp: Parser[POp] =
+    kw("cube") ~> ident ~ (kw("by") ~> (kw("cube") | kw("rollup"))) ~
+      ("(" ~> rep1sep(expr, ",") <~ ")") ^^ {
+        case a ~ kind ~ dims => PCubeOp(a, dims, rollup = kind == "rollup")
+      }
+
   private def keyList: Parser[Seq[PExpr]] =
     "(" ~> rep1sep(expr, ",") <~ ")" | expr ^^ (Seq(_))
 
@@ -247,7 +271,8 @@ object PigParser extends RegexParsers {
       }
 
   private def op: Parser[POp] =
-    loadOp | filterOp | foreachOp | groupOp | joinOp | orderOp | limitOp |
+    loadOp | filterOp | foreachNestedOp | foreachOp | groupOp | cubeOp |
+    joinOp | orderOp | limitOp |
     distinctOp | unionOp | crossOp | sampleOp | rankOp | streamOp |
     ident ^^ PAliasRef.apply
 

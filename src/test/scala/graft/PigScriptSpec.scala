@@ -153,6 +153,57 @@ class PigScriptSpec extends SparkSpec {
       (1L to tables.nation.count()).toSeq)
   }
 
+  test("nested FOREACH, FILTER-only: filtered relational agg, no bags") {
+    val df = PigScript.query(spark,
+      """L = LOAD '$DIR/lineitem.parquet' USING parquet;
+         G = GROUP L BY l_orderkey;
+         A = FOREACH G {
+           big = FILTER L BY l_quantity > 25.0;
+           huge = FILTER big BY l_quantity > 45.0;
+           GENERATE group AS l_orderkey, COUNT_STAR(L) AS n,
+                    COUNT_STAR(big) AS n_big, COUNT_STAR(huge) AS n_huge;
+         };""",
+      Map("DIR" -> sf))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("collect_list"), "filter-only nested block must stay bag-free")
+    val expect = tables.lineitem.groupBy(col("l_orderkey")).agg(
+      count(lit(1)).as("n"),
+      count(when(col("l_quantity") > 25.0, lit(1))).as("n_big"),
+      count(when(col("l_quantity") > 25.0 && col("l_quantity") > 45.0, lit(1))).as("n_huge"))
+    assert(df.orderBy("l_orderkey").collect().toSeq ==
+      expect.orderBy("l_orderkey").collect().toSeq)
+  }
+
+  test("nested FOREACH with ORDER/LIMIT/DISTINCT runs on bag HOFs") {
+    val df = PigScript.query(spark,
+      """O = LOAD '$DIR/orders.parquet' USING parquet;
+         G = GROUP O BY o_custkey;
+         A = FOREACH G {
+           d = DISTINCT O;
+           s = ORDER d BY o_totalprice DESC;
+           t = LIMIT s 2;
+           GENERATE group AS o_custkey, COUNT_STAR(t) AS n_top;
+         };""",
+      Map("DIR" -> sf))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = tables.orders.groupBy("o_custkey").count()
+      .collect().map(r => r.getLong(0) -> math.min(r.getLong(1), 2L)).toMap
+    assert(got == expect)
+  }
+
+  test("CUBE statement matches DataFrame cube; ROLLUP matches rollup") {
+    val pigCube = pigDf("/pig/q96_cube.pig")
+    val dfCube = tables.lineitem.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+    assert(pigCube.orderBy(asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus")).collect().toSeq ==
+      dfCube.orderBy(asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus")).collect().toSeq)
+    assert(pigDf("/pig/q97_rollup.pig").count() ==
+      tables.orders.rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1))).count())
+  }
+
   // ---------------- bundled queries vs DataFrame twins ----------------
 
   test("q77 pig == q01-style DataFrame result") {
