@@ -66,6 +66,18 @@ object Soak {
       graft.operators.Similarity.lshTopK(
         emb, emb.filter(col("vec_id") % math.max(1L, nVec / 100) === 0),
         "vec_id", "vec_id", "embedding", k = 5, planes = 12).count())
+    time("ivf_topk_100q")(
+      graft.operators.Similarity.ivfTopK(
+        emb, emb.filter(col("vec_id") % math.max(1L, nVec / 100) === 0),
+        "vec_id", "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 3).count())
+    // multi-band pair generation: bounded corpus slice, high tau (the
+    // synthetic positive-orthant vectors are mutually similar, so the
+    // verify stage sees a realistic hot-candidate load)
+    val nPair = math.min(nVec, 200000L)
+    time("cosine_dup_pairs_4band")(
+      graft.operators.Similarity.cosineDupPairs(
+        emb.limit(nPair.toInt), "vec_id", "embedding",
+        tau = 0.98, planes = 12, bands = 4).count())
 
     time("contamination")(
       graft.operators.TextAnalysis.contamination(

@@ -87,14 +87,20 @@ object PigAst {
   final case class PSample(in: String, fraction: Double) extends POp
   final case class PRank(in: String, keys: Seq[(PExpr, Boolean)],
       dense: Boolean) extends POp
+  /** `byName = true` when `command` names a `DEFINE`d command (with
+    * optional SHIP list) rather than an inline backtick string. */
   final case class PStream(in: String, command: String,
-      schema: Seq[String]) extends POp
+      schema: Seq[String], byName: Boolean = false) extends POp
   /** `B = A;` — alias copy. */
   final case class PAliasRef(in: String) extends POp
 
   // ---------------- statements ----------------
 
   sealed trait PStmt
+  /** `DEFINE name \`cmd\` [SHIP('f', …)];` — external streaming command
+    * (the macro form of DEFINE is expanded by the preprocessor). */
+  final case class PDefineCmd(name: String, command: String,
+      ship: Seq[String]) extends PStmt
   final case class PAssign(alias: String, op: POp) extends PStmt
   final case class PStore(alias: String, path: String,
       using: Option[(String, Seq[String])]) extends PStmt

@@ -68,12 +68,15 @@ object PigCompiler {
   def compile(spark: SparkSession, stmts: Seq[PStmt],
       executeStores: Boolean = false): Result = {
     val env = mutable.LinkedHashMap.empty[String, Rel]
+    val cmds = mutable.Map.empty[String, (String, Seq[String])]
     val stores = Seq.newBuilder[StoreTarget]
     var last: Option[String] = None
 
     stmts.foreach {
+      case PDefineCmd(name, cmd, ship) =>
+        cmds(name) = (cmd, ship)
       case PAssign(alias, op) =>
-        env(alias) = compileOp(spark, env, op)
+        env(alias) = compileOp(spark, env, cmds, op)
         last = Some(alias)
       case PStore(alias, path, using) =>
         val (fmt, opts) = storageFormat(using)
@@ -94,7 +97,8 @@ object PigCompiler {
   // ---------------- operators ----------------
 
   private def compileOp(spark: SparkSession,
-      env: mutable.LinkedHashMap[String, Rel], op: POp): Rel = op match {
+      env: mutable.LinkedHashMap[String, Rel],
+      cmds: collection.Map[String, (String, Seq[String])], op: POp): Rel = op match {
 
     case PLoad(path, loader, schema) =>
       new Rel(() => load(spark, path, loader, schema), None)
@@ -246,10 +250,22 @@ object PigCompiler {
         ranked.select((rankCol +: df.columns.map(c => col(s"`$c`"))): _*)
       }, None)
 
-    case PStream(in, cmd, outCols) =>
+    case PStream(in, cmd, outCols, byName) =>
       require(outCols.nonEmpty, "STREAM ... THROUGH requires AS (col, ...)")
       val df = lookup(env, in).df
-      new Rel(() => StreamThrough(df, Seq("/bin/sh", "-c", cmd), outCols), None)
+      val (command, ship) =
+        if (byName) cmds.getOrElse(cmd, throw new IllegalArgumentException(
+          s"STREAM THROUGH $cmd: no such DEFINEd command"))
+        else (cmd, Nil)
+      // Pig ships files into the task cwd and the command refers to them
+      // by basename; map basename mentions onto StreamThrough's
+      // {SHIP:name} placeholders (only where not part of a longer path)
+      val resolved = ship.foldLeft(command) { (c, path) =>
+        val name = new java.io.File(path).getName
+        c.replaceAll("(?<![\\w/])" + java.util.regex.Pattern.quote(name),
+          java.util.regex.Matcher.quoteReplacement(s"{SHIP:$name}"))
+      }
+      new Rel(() => StreamThrough(df, Seq("/bin/sh", "-c", resolved), outCols, ship), None)
 
     case PAliasRef(in) =>
       val r = lookup(env, in)

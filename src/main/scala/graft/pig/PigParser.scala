@@ -265,9 +265,11 @@ object PigParser extends RegexParsers {
     }
 
   private def streamOp: Parser[POp] =
-    kw("stream") ~> ident ~ (kw("through") ~> backtick) ~
+    kw("stream") ~> ident ~ (kw("through") ~> (
+        backtick ^^ ((_: String, false)) | ident ^^ ((_: String, true)))) ~
       opt(kw("as") ~> "(" ~> rep1sep(fieldDecl, ",") <~ ")") ^^ {
-        case a ~ cmd ~ sch => PStream(a, cmd, sch.getOrElse(Nil).map(_._1))
+        case a ~ ((cmd, byName)) ~ sch =>
+          PStream(a, cmd, sch.getOrElse(Nil).map(_._1), byName)
       }
 
   private def op: Parser[POp] =
@@ -299,12 +301,18 @@ object PigParser extends RegexParsers {
         case a ~ brs => PSplit(a, brs, None)
       }
 
+  private def defineCmdStmt: Parser[PStmt] =
+    kw("define") ~> ident ~ backtick ~
+      opt(kw("ship") ~> "(" ~> rep1sep(quoted, ",") <~ ")") <~ ";" ^^ {
+        case n ~ cmd ~ ship => PDefineCmd(n, cmd, ship.getOrElse(Nil))
+      }
+
   private def dumpStmt: Parser[PStmt] = kw("dump") ~> ident <~ ";" ^^ PDump.apply
   private def describeStmt: Parser[PStmt] =
     kw("describe") ~> ident <~ ";" ^^ PDescribe.apply
 
   private def stmt: Parser[PStmt] =
-    storeStmt | splitStmt | dumpStmt | describeStmt | assign
+    defineCmdStmt | storeStmt | splitStmt | dumpStmt | describeStmt | assign
 
   private def script: Parser[Seq[PStmt]] = rep(stmt)
 

@@ -54,4 +54,14 @@ object PigScript {
   def queryResource(spark: SparkSession, resourcePath: String,
       params: Map[String, String] = Map.empty): DataFrame =
     query(spark, resource(resourcePath), params)
+
+  /** Run a script and register every alias into a [[graft.core.GraftSession]]
+    * — the PigServer workflow: script defines the relations, the session
+    * then serves DESCRIBE/EXPLAIN/DUMP/STORE and SQL over them. */
+  def runInto(session: graft.core.GraftSession, script: String,
+      params: Map[String, String] = Map.empty): PigCompiler.Result = {
+    val r = run(session.spark, script, params)
+    r.aliases.foreach(a => session.register(a, r(a)))
+    r
+  }
 }

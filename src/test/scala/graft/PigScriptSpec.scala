@@ -138,6 +138,34 @@ class PigScriptSpec extends SparkSpec {
     assert(df.count() == tables.nation.count())
   }
 
+  test("DEFINE cmd + SHIP distributes the script; STREAM THROUGH name resolves it") {
+    val scriptFile = java.nio.file.Files.createTempFile("graft-ship", ".sh")
+    java.nio.file.Files.write(scriptFile,
+      "#!/bin/sh\ntr a-z A-Z\n".getBytes)
+    scriptFile.toFile.setExecutable(true)
+    val df = PigScript.query(spark,
+      s"""DEFINE upcase `sh ${scriptFile.getFileName}` SHIP('$scriptFile');
+          N = LOAD '$$DIR/nation.parquet' USING parquet;
+          P = FOREACH N GENERATE n_name;
+          S = STREAM P THROUGH upcase AS (name_uc:chararray);""",
+      Map("DIR" -> sf))
+    val names = df.collect().map(_.getString(0))
+    assert(names.length == tables.nation.count())
+    assert(names.forall(n => n == n.toUpperCase))
+  }
+
+  test("runInto registers script aliases in a GraftSession for SQL/DESCRIBE") {
+    val session = new graft.core.GraftSession(spark)
+    PigScript.runInto(session,
+      """O = LOAD '$DIR/orders.parquet' USING parquet;
+         U = FILTER O BY o_orderpriority == '1-URGENT';""",
+      Map("DIR" -> sf))
+    assert(session.aliases.contains("U"))
+    assert(session.describe("U").contains("o_orderkey"))
+    val viaSql = session.sql("SELECT count(*) AS n FROM U").collect()(0).getLong(0)
+    assert(viaSql == tables.orders.filter(col("o_orderpriority") === "1-URGENT").count())
+  }
+
   test("RANK BY is competition rank; RANK without BY is a sequence") {
     val ranked = PigScript.query(spark,
       """C = LOAD '$DIR/customer.parquet' USING parquet;
