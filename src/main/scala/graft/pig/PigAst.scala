@@ -54,10 +54,17 @@ object PigAst {
   // ---------------- relational operators ----------------
 
   sealed trait POp
+
+  /** FOREACH input: a bound alias, or Pig's inline-relation form
+    * `FOREACH (GROUP A BY x) GENERATE …` (nested op, never bound). */
+  sealed trait PRelRef
+  final case class RAlias(name: String) extends PRelRef
+  final case class RInline(op: POp) extends PRelRef
+
   final case class PLoad(path: String, loader: Option[(String, Seq[String])],
       schema: Option[Seq[(String, Option[String])]]) extends POp
   final case class PFilter(in: String, cond: PExpr) extends POp
-  final case class PForeach(in: String, items: Seq[GenItem]) extends POp
+  final case class PForeach(in: PRelRef, items: Seq[GenItem]) extends POp
 
   /** Nested-FOREACH inner pipeline statement (`x = FILTER L BY p;`
     * inside a `FOREACH G { ... GENERATE ...; }` block). */
@@ -66,7 +73,7 @@ object PigAst {
   final case class NOrder(src: String, field: String, asc: Boolean) extends PNestedOp
   final case class NLimit(src: String, n: Int) extends PNestedOp
   final case class NDistinct(src: String) extends PNestedOp
-  final case class PForeachNested(in: String,
+  final case class PForeachNested(in: PRelRef,
       stmts: Seq[(String, PNestedOp)], items: Seq[GenItem]) extends POp
 
   /** CUBE/ROLLUP statement: `C = CUBE A BY CUBE(d1, d2);` (Pig 0.11). */
@@ -108,4 +115,9 @@ object PigAst {
       otherwise: Option[String]) extends PStmt
   final case class PDump(alias: String) extends PStmt
   final case class PDescribe(alias: String) extends PStmt
+  final case class PExplain(alias: String) extends PStmt
+  /** `ASSERT A BY cond [, 'msg'];` — rebinds A so downstream consumers
+    * trip the check at execution (Pig 0.12 semantics). */
+  final case class PAssertStmt(in: String, cond: PExpr,
+      msg: Option[String]) extends PStmt
 }

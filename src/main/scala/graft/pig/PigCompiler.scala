@@ -89,7 +89,11 @@ object PigCompiler {
         val parts = Relational.split(df,
           branches.map { case (n, e) => n -> compileExpr(df, e) }, otherwise)
         parts.foreach { case (n, d) => env(n) = new Rel(() => d, None) }
-      case PDump(_) | PDescribe(_) => // interactive statements: no-ops here
+      case PAssertStmt(in, cond, msg) =>
+        val r = lookup(env, in)
+        env(in) = new Rel(() => Relational.assertRows(r.df,
+          compileExpr(r.df, cond), msg.getOrElse(cond.toString)), r.group)
+      case PDump(_) | PDescribe(_) | PExplain(_) => // interactive: no-ops here
     }
     new Result(env, stores.result(), last)
   }
@@ -193,7 +197,16 @@ object PigCompiler {
         val (_, d0, k0) = prepared.head
         val leftKeyCols = k0.map(compileExpr(d0, _))
         prepared.tail.foldLeft(d0) { case (acc, (_, di, ki)) =>
-          val right = if (using.contains("replicated")) broadcast(di) else di
+          // USING 'replicated' → broadcast; 'merge' (pre-sorted inputs) →
+          // sort-merge-join hint; 'skewed' → plain shuffle join, skew
+          // mitigation delegated to AQE (GraftSession enables
+          // skewJoin — the runtime split supersedes Pig's sampled
+          // skewed-join plan).
+          val right = using match {
+            case Some("replicated") => broadcast(di)
+            case Some("merge")      => di.hint("MERGE")
+            case _                  => di
+          }
           val cond = leftKeyCols.zip(ki.map(compileExpr(di, _)))
             .map { case (l, r) => l === r }.reduce(_ && _)
           acc.join(right, cond, joinType)

@@ -310,9 +310,16 @@ object PigParser extends RegexParsers {
   private def dumpStmt: Parser[PStmt] = kw("dump") ~> ident <~ ";" ^^ PDump.apply
   private def describeStmt: Parser[PStmt] =
     kw("describe") ~> ident <~ ";" ^^ PDescribe.apply
+  private def explainStmt: Parser[PStmt] =
+    kw("explain") ~> ident <~ ";" ^^ PExplain.apply
+  private def assertStmt: Parser[PStmt] =
+    kw("assert") ~> ident ~ (kw("by") ~> expr) ~ opt("," ~> quoted) <~ ";" ^^ {
+      case a ~ e ~ msg => PAssertStmt(a, e, msg)
+    }
 
   private def stmt: Parser[PStmt] =
-    defineCmdStmt | storeStmt | splitStmt | dumpStmt | describeStmt | assign
+    defineCmdStmt | storeStmt | splitStmt | dumpStmt | describeStmt |
+      explainStmt | assertStmt | assign
 
   private def script: Parser[Seq[PStmt]] = rep(stmt)
 

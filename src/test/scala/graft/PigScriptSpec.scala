@@ -166,6 +166,47 @@ class PigScriptSpec extends SparkSpec {
     assert(viaSql == tables.orders.filter(col("o_orderpriority") === "1-URGENT").count())
   }
 
+  test("ASSERT passes silently when the predicate holds, fails the job when not") {
+    val ok = PigScript.query(spark,
+      """N = LOAD '$DIR/nation.parquet' USING parquet;
+         ASSERT N BY n_nationkey >= 0, 'keys are non-negative';
+         P = FOREACH N GENERATE n_name;""",
+      Map("DIR" -> sf))
+    assert(ok.count() == tables.nation.count())
+    val boom = intercept[Exception] {
+      PigScript.query(spark,
+        """N = LOAD '$DIR/nation.parquet' USING parquet;
+           ASSERT N BY n_nationkey > 5, 'planted failure';
+           P = FOREACH N GENERATE n_name;""",
+        Map("DIR" -> sf)).count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(boom).exists(c =>
+      Option(c.getMessage).exists(_.contains("planted failure"))))
+  }
+
+  test("JOIN USING 'merge' plans a sort-merge join; EXPLAIN statement parses") {
+    val df = PigScript.query(spark,
+      """O = LOAD '$DIR/orders.parquet' USING parquet;
+         C = LOAD '$DIR/customer.parquet' USING parquet;
+         J = JOIN O BY o_custkey, C BY c_custkey USING 'merge';
+         EXPLAIN J;
+         G = FOREACH (GROUP J ALL) GENERATE COUNT(J) AS n;""",
+      Map("DIR" -> sf))
+    // the MERGE hint must survive compilation: with broadcast thresholds
+    // active the un-hinted plan would pick BHJ, so SMJ proves the hint
+    val plan = PigScript.query(spark,
+      """O = LOAD '$DIR/orders.parquet' USING parquet;
+         C = LOAD '$DIR/customer.parquet' USING parquet;
+         J = JOIN O BY o_custkey, C BY c_custkey USING 'merge';""",
+      Map("DIR" -> sf)).queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"))
+    assert(df.collect()(0).getLong(0) ==
+      tables.orders.join(tables.customer,
+        col("o_custkey") === col("c_custkey")).count())
+  }
+
   test("RANK BY is competition rank; RANK without BY is a sequence") {
     val ranked = PigScript.query(spark,
       """C = LOAD '$DIR/customer.parquet' USING parquet;
