@@ -63,6 +63,18 @@ object PigCompiler {
     env.getOrElse(a, throw new IllegalArgumentException(
       s"unknown alias '$a' (defined: ${env.keys.mkString(", ")})"))
 
+  /** FOREACH input resolution: a bound alias looks up the env; the
+    * inline form `FOREACH (GROUP A BY x) …` compiles its op unbound —
+    * in particular an inline GROUP stays symbolic (GroupMeta), so the
+    * algebraic combiner rewrite applies exactly as if it were bound. */
+  private def resolveRef(spark: SparkSession,
+      env: mutable.LinkedHashMap[String, Rel],
+      cmds: collection.Map[String, (String, Seq[String])], ref: PRelRef): Rel =
+    ref match {
+      case RAlias(n) => lookup(env, n)
+      case RInline(op) => compileOp(spark, env, cmds, op)
+    }
+
   // ---------------- entry ----------------
 
   def compile(spark: SparkSession, stmts: Seq[PStmt],
@@ -112,7 +124,7 @@ object PigCompiler {
       new Rel(() => df.filter(compileExpr(df, cond)), None)
 
     case PForeach(in, items) =>
-      val rel = lookup(env, in)
+      val rel = resolveRef(spark, env, cmds, in)
       rel.group match {
         case Some(meta) if isAlgebraic(Set(meta.childAlias), items) =>
           new Rel(() => compileAggForeach(meta, items,
@@ -122,7 +134,7 @@ object PigCompiler {
       }
 
     case PForeachNested(in, stmts, items) =>
-      val rel = lookup(env, in)
+      val rel = resolveRef(spark, env, cmds, in)
       val filterOnly = stmts.forall(_._2.isInstanceOf[NFilter])
       rel.group match {
         // FILTER-only inner pipelines + algebraic GENERATE compile to

@@ -168,9 +168,15 @@ object PigParser extends RegexParsers {
       case e ~ as => GenItem(e, flatten = false, as.getOrElse(Nil))
     }
 
+  /** FOREACH input: a bound alias, or Pig's inline-relation one-liner
+    * `FOREACH (GROUP A BY x) GENERATE …` — any relational op in parens,
+    * compiled unbound. */
+  private def relRef: Parser[PRelRef] =
+    "(" ~> op <~ ")" ^^ RInline.apply | ident ^^ RAlias.apply
+
   private def foreachOp: Parser[POp] =
-    kw("foreach") ~> ident ~ (kw("generate") ~> rep1sep(genItem, ",")) ^^ {
-      case a ~ items => PForeach(a, items)
+    kw("foreach") ~> relRef ~ (kw("generate") ~> rep1sep(genItem, ",")) ^^ {
+      case r ~ items => PForeach(r, items)
     }
 
   // nested FOREACH block: inner FILTER/ORDER/LIMIT/DISTINCT pipeline
@@ -184,10 +190,10 @@ object PigParser extends RegexParsers {
     kw("distinct") ~> ident ^^ NDistinct.apply
 
   private def foreachNestedOp: Parser[POp] =
-    kw("foreach") ~> ident ~ ("{" ~>
+    kw("foreach") ~> relRef ~ ("{" ~>
         rep(ident ~ ("=" ~> nestedOp) <~ ";" ^^ { case n ~ o => (n, o) })) ~
       (kw("generate") ~> rep1sep(genItem, ",") <~ ";" <~ "}") ^^ {
-        case a ~ stmts ~ items => PForeachNested(a, stmts, items)
+        case r ~ stmts ~ items => PForeachNested(r, stmts, items)
       }
 
   // CUBE statement (Pig 0.11): `C = CUBE A BY CUBE(d1, d2);`
