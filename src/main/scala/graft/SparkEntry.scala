@@ -817,7 +817,9 @@ object SparkEntry {
     "q94_pig_nested_filter" -> pigQ("/pig/q94_nested_filter.pig"),
     "q95_pig_nested_top" -> pigQ("/pig/q95_nested_top.pig"),
     "q96_pig_cube" -> pigQ("/pig/q96_cube.pig"),
-    "q97_pig_rollup" -> pigQ("/pig/q97_rollup.pig")
+    "q97_pig_rollup" -> pigQ("/pig/q97_rollup.pig"),
+    "q98_pig_inline_foreach" -> pigQ("/pig/q98_inline_foreach.pig"),
+    "q99_pig_nested_foreach" -> pigQ("/pig/q99_nested_foreach.pig")
   )
 
   private def pigQ(res: String): (SparkSession, String) => DataFrame =
@@ -1557,6 +1559,17 @@ object SparkEntry {
 
     "q97_pig_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
-         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"""
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+
+    "q98_pig_inline_foreach" ->
+      """SELECT l_returnflag, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q99_pig_nested_foreach" ->
+      """SELECT l_suppkey,
+         sum(l_quantity * 2.0) AS sum_dqty,
+         count(CASE WHEN l_quantity * 2.0 > 60.0 THEN 1 END) AS n_big,
+         max(CASE WHEN l_quantity * 2.0 > 60.0 THEN l_quantity * 2.0 END) AS max_big
+         FROM lineitem GROUP BY l_suppkey"""
   )
 }

@@ -9,9 +9,10 @@ package graft.pig
   * RANK [BY … [DENSE]] / STREAM…THROUGH / DUMP / DESCRIBE, plus
   * DEFINE-macro and $param substitution in [[PigPreprocessor]].
   *
-  * Documented non-goals (SURVEY.md §7.5.7): nested FOREACH blocks (use
-  * the Scala surface, [[graft.operators.Relational.nested]]), scripting
-  * UDFs, MAPREDUCE inline.
+  * Nested FOREACH blocks support inner FILTER / ORDER / LIMIT /
+  * DISTINCT / FOREACH (and the `p = L.field;` projection shorthand).
+  * Documented non-goals (SURVEY.md §7.5.7): scripting UDFs, MAPREDUCE
+  * inline.
   */
 object PigAst {
 
@@ -73,6 +74,10 @@ object PigAst {
   final case class NOrder(src: String, field: String, asc: Boolean) extends PNestedOp
   final case class NLimit(src: String, n: Int) extends PNestedOp
   final case class NDistinct(src: String) extends PNestedOp
+  /** Inner FOREACH — bag-field projection before aggregation
+    * (`p = FOREACH L GENERATE e AS f;`), or its shorthand
+    * `p = L.field;`. */
+  final case class NForeach(src: String, items: Seq[GenItem]) extends PNestedOp
   final case class PForeachNested(in: PRelRef,
       stmts: Seq[(String, PNestedOp)], items: Seq[GenItem]) extends POp
 

@@ -128,31 +128,46 @@ object PigCompiler {
       rel.group match {
         case Some(meta) if isAlgebraic(Set(meta.childAlias), items) =>
           new Rel(() => compileAggForeach(meta, items,
-            Map(meta.childAlias -> lit(true))), None)
+            Map(meta.childAlias -> BagInfo(lit(true), None))), None)
         case _ =>
           new Rel(() => compileRowForeach(rel.df, items), None)
       }
 
     case PForeachNested(in, stmts, items) =>
       val rel = resolveRef(spark, env, cmds, in)
-      val filterOnly = stmts.forall(_._2.isInstanceOf[NFilter])
       rel.group match {
-        // FILTER-only inner pipelines + algebraic GENERATE compile to
-        // FILTERED relational aggregates — no bag ever materializes
-        // (the reference's combiner can't do this; Spark's partial agg
-        // handles the conditional aggregates map-side)
-        case Some(meta) if filterOnly &&
+        // FILTER / inner-FOREACH pipelines + algebraic GENERATE compile
+        // to FILTERED relational aggregates over (possibly projected)
+        // bag fields — no bag ever materializes (the reference's
+        // combiner can't do this; Spark's partial agg handles the
+        // conditional aggregates map-side)
+        case Some(meta) if algebraicStmts(stmts) &&
             isAlgebraic(Set(meta.childAlias) ++ stmts.map(_._1), items) =>
           new Rel(() => {
             val child = meta.child
-            val preds = mutable.LinkedHashMap[String, Column](
-              meta.childAlias -> lit(true))
-            stmts.foreach { case (name, NFilter(src, cond)) =>
-              val basePred = preds.getOrElse(src, throw new IllegalArgumentException(
-                s"nested FILTER source '$src' is not the bag or an earlier nested alias"))
-              preds(name) = basePred && compileExpr(child, cond)
+            val bags = mutable.LinkedHashMap[String, BagInfo](
+              meta.childAlias -> BagInfo(lit(true), None))
+            def base(src: String, what: String): BagInfo =
+              bags.getOrElse(src, throw new IllegalArgumentException(
+                s"nested $what source '$src' is not the bag or an earlier nested alias"))
+            stmts.foreach {
+              case (name, NFilter(src, cond)) =>
+                val b = base(src, "FILTER")
+                bags(name) = BagInfo(
+                  b.pred && compileExpr(child, substFields(cond, b.fields)), b.fields)
+              case (name, NForeach(src, gen)) =>
+                val b = base(src, "FOREACH")
+                val fields = gen.zipWithIndex.map { case (it, i) =>
+                  val (nm, tpe) = it.asNames.headOption
+                    .getOrElse((defaultName(it.expr, i), None))
+                  val e = substFields(it.expr, b.fields)
+                  nm -> tpe.map(PCast(_, e)).getOrElse(e)
+                }
+                bags(name) = BagInfo(b.pred, Some(fields))
+              case (name, other) => throw new IllegalStateException(
+                s"non-algebraic nested op for '$name': $other")
             }
-            compileAggForeach(meta, items, preds.toMap)
+            compileAggForeach(meta, items, bags.toMap)
           }, None)
         // anything with ORDER/LIMIT/DISTINCT (or non-algebraic GENERATE)
         // runs over materialized bags via per-row HOFs — no shuffle for
@@ -367,6 +382,50 @@ object PigCompiler {
 
   // ---------------- FOREACH: algebraic (combiner) path ----------------
 
+  /** What the combiner path knows about a bag name: the row predicate
+    * accumulated by nested FILTERs, and (after an inner FOREACH) the
+    * projected field list — each field an expression over the GROUP's
+    * child columns. `fields = None` means the raw child row. */
+  private[pig] final case class BagInfo(pred: Column,
+      fields: Option[Seq[(String, PExpr)]])
+
+  /** Nested pipelines the combiner path can absorb: FILTERs and inner
+    * FOREACH projections (single-name, non-FLATTEN items). ORDER /
+    * LIMIT / DISTINCT force the bag path. */
+  private def algebraicStmts(stmts: Seq[(String, PNestedOp)]): Boolean =
+    stmts.forall {
+      case (_, _: NFilter) => true
+      case (_, NForeach(_, gen)) =>
+        gen.forall(it => !it.flatten && it.asNames.length <= 1)
+      case _ => false
+    }
+
+  /** Rewrite references to a projected bag's fields back into
+    * expressions over the GROUP child (chains through stacked inner
+    * FOREACHes). */
+  private def substFields(e: PExpr,
+      fields: Option[Seq[(String, PExpr)]]): PExpr = fields match {
+    case None => e
+    case Some(m) =>
+      val byName = m.toMap
+      def go(x: PExpr): PExpr = x match {
+        case PCol(n) => byName.getOrElse(n, x)
+        case PDot(b, f) => PDot(go(b), f)
+        case PMapGet(b, k) => PMapGet(go(b), k)
+        case PBin(op, l, r) => PBin(op, go(l), go(r))
+        case PNot(y) => PNot(go(y))
+        case PNeg(y) => PNeg(go(y))
+        case PIsNull(y, n) => PIsNull(go(y), n)
+        case PMatches(y, re) => PMatches(go(y), re)
+        case PIn(y, its) => PIn(go(y), its.map(go))
+        case PTernary(c, t, f) => PTernary(go(c), go(t), go(f))
+        case PCast(t, y) => PCast(t, go(y))
+        case PCall(fn, as) => PCall(fn, as.map(go))
+        case other => other
+      }
+      go(e)
+  }
+
   private val aggFns = Set("COUNT", "COUNT_STAR", "SUM", "AVG", "MIN", "MAX")
 
   private def isBagRef(bagNames: Set[String], e: PExpr): Boolean = e match {
@@ -404,21 +463,22 @@ object PigCompiler {
   }
 
   /** `FOREACH (GROUP child BY k) GENERATE …` with only algebraic items:
-    * one relational aggregate, no bags, partial agg map-side. `preds`
-    * maps each bag name (the group's own, plus nested-FILTER aliases)
-    * to its row predicate — aggregates over a filtered bag become
-    * CONDITIONAL aggregates (`count(when(p, …))`), the filtered-agg
-    * plan a nested FOREACH block deserves at scale. A `lit(true)`
-    * predicate constant-folds away. */
+    * one relational aggregate, no bags, partial agg map-side. `bags`
+    * maps each bag name (the group's own, plus nested FILTER/FOREACH
+    * aliases) to its [[BagInfo]] — aggregates over a filtered bag
+    * become CONDITIONAL aggregates (`count(when(p, …))`), the
+    * filtered-agg plan a nested FOREACH block deserves at scale; a
+    * `lit(true)` predicate constant-folds away. Projected bags
+    * aggregate the projection expression directly. */
   private def compileAggForeach(meta: GroupMeta, items: Seq[GenItem],
-      preds: Map[String, Column]): DataFrame = {
+      bags: Map[String, BagInfo]): DataFrame = {
     val child = meta.child
     val keyInfo = meta.keys.zipWithIndex.map { case (k, i) =>
       (compileExpr(child, k), keyName(child, k, i), s"__gk$i")
     }
     val keyByName: Map[String, String] = keyInfo.map(t => t._2 -> t._3).toMap
 
-    val bagNames = preds.keySet
+    val bagNames = bags.keySet
 
     // pass 1: collect the distinct aggregate calls across all items
     val aggCalls = mutable.LinkedHashMap.empty[PExpr, (String, Column)]
@@ -426,7 +486,7 @@ object PigCompiler {
       case c @ PCall(fn, Seq(a)) if aggFns(fn) && isBagRef(bagNames, a) =>
         if (!aggCalls.contains(c)) {
           val id = s"__ag${aggCalls.size}"
-          aggCalls(c) = (id, compileAggCall(child, fn, a, preds(bagRefName(a))).as(id))
+          aggCalls(c) = (id, compileAggCall(child, fn, a, bags(bagRefName(a))).as(id))
         }
       case PCall(_, args) => args.foreach(collectAggs)
       case PBin(_, l, r) => collectAggs(l); collectAggs(r)
@@ -494,15 +554,24 @@ object PigCompiler {
   }
 
   private def compileAggCall(child: DataFrame, fn: String, arg: PExpr,
-      pred: Column): Column = {
+      bag: BagInfo): Column = {
     // `when(lit(true), c)` is constant-folded by Catalyst, so the
     // unfiltered base bag pays nothing for the uniform wrapping
-    def field(f: String): Column = when(pred, resolve(child, f))
+    def field(f: String): Column = when(bag.pred, bag.fields match {
+      case Some(m) => compileExpr(child, m.collectFirst { case (n, e) if n == f => e }
+        .getOrElse(throw new IllegalArgumentException(
+          s"projected bag has no field '$f' (fields: ${m.map(_._1).mkString(", ")})")))
+      case None => resolve(child, f)
+    })
+    def firstField: Column = bag.fields match {
+      case Some(m) => compileExpr(child, m.head._2)
+      case None => child.col(s"`${child.columns.head}`")
+    }
     (fn, arg) match {
       // Pig COUNT(bag) counts tuples whose FIRST field is non-null
-      case ("COUNT", PCol(_)) => count(when(pred, child.col(s"`${child.columns.head}`")))
+      case ("COUNT", PCol(_)) => count(when(bag.pred, firstField))
       case ("COUNT", PDot(_, f)) => count(field(f))
-      case ("COUNT_STAR", _) => count(when(pred, lit(1)))
+      case ("COUNT_STAR", _) => count(when(bag.pred, lit(1)))
       case ("SUM", PDot(_, f)) => sum(field(f))
       case ("AVG", PDot(_, f)) => avg(field(f))
       case ("MIN", PDot(_, f)) => min(field(f))
@@ -533,6 +602,17 @@ object PigCompiler {
           Relational.nested.sortBagBy(srcCol, fieldIn(elemType, f), asc)
         case NLimit(_, n) => slice(srcCol, 1, n)
         case NDistinct(_) => array_distinct(srcCol)
+        // inner FOREACH over a materialized bag: per-element projection
+        // (transform keeps the pipeline a per-row HOF — no shuffle)
+        case NForeach(_, gen) =>
+          require(gen.forall(!_.flatten),
+            "FLATTEN inside a nested FOREACH is not supported")
+          transform(srcCol, e => struct(gen.zipWithIndex.map { case (it, i) =>
+            val (nm, tpe) = it.asNames.headOption
+              .getOrElse((defaultName(it.expr, i), None))
+            val pc = compileElem(elemType, e, it.expr)
+            tpe.map(castPigType(pc, _)).getOrElse(pc).as(nm)
+          }: _*))
       }
       df = df.withColumn(name, c)
     }

@@ -187,7 +187,14 @@ object PigParser extends RegexParsers {
       case s ~ f ~ d => NOrder(s, f, !d.contains("desc"))
     } |
     kw("limit") ~> ident ~ """\d+""".r ^^ { case s ~ n => NLimit(s, n.toInt) } |
-    kw("distinct") ~> ident ^^ NDistinct.apply
+    kw("distinct") ~> ident ^^ NDistinct.apply |
+    kw("foreach") ~> ident ~ (kw("generate") ~> rep1sep(genItem, ",")) ^^ {
+      case s ~ items => NForeach(s, items)
+    } |
+    // bag-projection shorthand `p = L.field;`
+    ident ~ ("." ~> ident) ^^ { case s ~ f =>
+      NForeach(s, Seq(GenItem(PCol(f), flatten = false, Seq((f, None)))))
+    }
 
   private def foreachNestedOp: Parser[POp] =
     kw("foreach") ~> relRef ~ ("{" ~>

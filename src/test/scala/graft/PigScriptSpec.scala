@@ -260,6 +260,64 @@ class PigScriptSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("inline-relation FOREACH (GROUP ...) stays on the combiner path") {
+    val df = pigDf("/pig/q98_inline_foreach.pig")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("collect_list"),
+      "inline FOREACH-on-GROUP must compile to a bag-free aggregate")
+    val expect = tables.lineitem.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))
+    assert(df.orderBy("l_returnflag").collect().toSeq ==
+      expect.orderBy("l_returnflag").collect().toSeq)
+    // the inline op can be any relational op, not just GROUP
+    val flt = PigScript.query(spark,
+      """O = LOAD '$DIR/orders.parquet' USING parquet;
+         A = FOREACH (FILTER O BY o_totalprice > 100000.0)
+             GENERATE o_orderkey, o_totalprice;""",
+      Map("DIR" -> sf))
+    assert(flt.count() ==
+      tables.orders.filter(col("o_totalprice") > 100000.0).count())
+  }
+
+  test("nested inner FOREACH projection: algebraic path, no bags") {
+    val df = pigDf("/pig/q99_nested_foreach.pig")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("collect_list"),
+      "inner-FOREACH projection must be absorbed by the combiner path")
+    val dq = col("l_quantity") * 2.0
+    val expect = tables.lineitem.groupBy(col("l_suppkey")).agg(
+      sum(dq).as("sum_dqty"),
+      count(when(dq > 60.0, lit(1))).as("n_big"),
+      max(when(dq > 60.0, dq)).as("max_big"))
+    assert(df.orderBy("l_suppkey").collect().toSeq ==
+      expect.orderBy("l_suppkey").collect().toSeq)
+  }
+
+  test("nested inner FOREACH + projection shorthand on the bag (HOF) path") {
+    // ORDER in the pipeline forces materialized bags; the inner FOREACH
+    // then runs as a per-element transform() and `q = O.field;` is the
+    // single-field projection shorthand
+    val df = PigScript.query(spark,
+      """O = LOAD '$DIR/orders.parquet' USING parquet;
+         G = GROUP O BY o_custkey;
+         A = FOREACH G {
+           s = ORDER O BY o_totalprice DESC;
+           t = LIMIT s 3;
+           p = FOREACH t GENERATE o_totalprice * 0.5 AS half;
+           q = p.half;
+           GENERATE group AS o_custkey, SUM(q.half) AS sum_half;
+         };""",
+      Map("DIR" -> sf))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+    val expect = tables.orders
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .groupBy("o_custkey").agg(sum(col("o_totalprice") * 0.5).as("sum_half"))
+    val got = df.collect().map(r => r.getLong(0) -> math.round(r.getDouble(1) * 100)).toMap
+    val exp = expect.collect().map(r => r.getLong(0) -> math.round(r.getDouble(1) * 100)).toMap
+    assert(got == exp)
+  }
+
   test("CUBE statement matches DataFrame cube; ROLLUP matches rollup") {
     val pigCube = pigDf("/pig/q96_cube.pig")
     val dfCube = tables.lineitem.cube(col("l_returnflag"), col("l_linestatus"))
