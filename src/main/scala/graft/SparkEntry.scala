@@ -1525,7 +1525,7 @@ object SparkEntry {
          CASE WHEN c_acctbal > 5000.0 THEN 'high'
               WHEN c_acctbal >= 0.0 THEN 'mid'
               ELSE 'neg' END AS tier,
-         CAST(round(c_acctbal) AS BIGINT) AS bal_round,
+         CAST(floor(c_acctbal + 0.5) AS BIGINT) AS bal_round,
          abs(c_acctbal) AS bal_abs,
          CAST(c_nationkey AS BIGINT) AS nk
          FROM customer""",

@@ -26,16 +26,21 @@ object Relational {
   /** Pig `SPLIT A INTO X IF p1, Y IF p2, Z OTHERWISE;`
     *
     * The reference's MultiQueryOptimizer serves all branches from one
-    * scan; Spark re-executes lineage per action, so the shared parent is
-    * persisted (MEMORY_AND_DISK — spillable, safe at scale) while the
-    * branches are consumed. Caller must [[unsplit]] when done.
+    * scan; Spark re-executes lineage per action, so with
+    * `persist = true` (default) the shared parent is persisted
+    * (MEMORY_AND_DISK — spillable, safe at scale) while the branches are
+    * consumed; caller must [[unsplit]] when done. `persist = false`
+    * skips the cache and re-scans per branch — the right trade for a
+    * session-lifetime caller (the Pig script path) that has no unsplit
+    * point: a parquet re-scan is cheap, a leaked cache entry is not.
     * SURVEY.md §4.2 (MultiQueryOptimizer gap), §7.5.5.
     */
   def split(
       df: DataFrame,
       branches: Seq[(String, Column)],
-      otherwise: Option[String] = None): Map[String, DataFrame] = {
-    val parent = df.persist(StorageLevel.MEMORY_AND_DISK)
+      otherwise: Option[String] = None,
+      persist: Boolean = true): Map[String, DataFrame] = {
+    val parent = if (persist) df.persist(StorageLevel.MEMORY_AND_DISK) else df
     val named = branches.map { case (name, pred) => name -> parent.filter(pred) }
     val other = otherwise.map { name =>
       val noneMatch = branches.map(_._2).map(p => !coalesce(p, lit(false))).reduce(_ && _)
@@ -237,15 +242,26 @@ object Relational {
     * positives pass through — ALWAYS follow with the exact join; this
     * only cuts shuffle volume (the reference uses it the same way).
     * The filter itself is built distributed (aggregate) and only the
-    * compact sketch comes to the driver for broadcast. */
+    * compact sketch comes to the driver; the probe is Spark's native
+    * `might_contain` expression over the serialized sketch (the same
+    * pairing InjectRuntimeFilter uses), so the scan-side predicate
+    * stays inside whole-stage codegen — no ScalaUDF in the hot path. */
   def bloomSemiFilter(
       big: DataFrame, bigKey: String,
       small: DataFrame, smallKey: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
-    val bfB = big.sparkSession.sparkContext.broadcast(bf)
-    val contains = udf((k: Long) => bfB.value.mightContainLong(k))
-    big.filter(col(bigKey).isNotNull && contains(col(bigKey).cast("long")))
+    val bytes = { // sketch serialization == BloomFilterAggregate's
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    big.filter(col(bigKey).isNotNull &&
+      column(BloomFilterMightContain(
+        expression(lit(bytes)),
+        expression(col(bigKey).cast("long")))))
   }
 
   // ------------------------------------------------------------------

@@ -98,8 +98,11 @@ object PigCompiler {
             .mode("overwrite").save(path)
       case PSplit(in, branches, otherwise) =>
         val df = lookup(env, in).df
+        // persist = false: a compiled script lives for the session and
+        // has no unsplit point — re-scan beats a leaked cache entry
         val parts = Relational.split(df,
-          branches.map { case (n, e) => n -> compileExpr(df, e) }, otherwise)
+          branches.map { case (n, e) => n -> compileExpr(df, e) }, otherwise,
+          persist = false)
         parts.foreach { case (n, d) => env(n) = new Rel(() => d, None) }
       case PAssertStmt(in, cond, msg) =>
         val r = lookup(env, in)
@@ -870,7 +873,9 @@ object PigCompiler {
       case "ABS" => abs(a0)
       case "CEIL" => ceil(a0).cast("double")
       case "FLOOR" => floor(a0).cast("double")
-      case "ROUND" => round(a0, 0).cast("long")
+      // Pig ROUND is Math.round: half toward +infinity (-2.5 -> -2),
+      // NOT Spark/SQL round's half away from zero (-2.5 -> -3)
+      case "ROUND" => floor(a0 + lit(0.5)).cast("long")
       case "ROUND_TO" => PigFunctions.roundTo(a0, litInt(raw, 1, fn))
       case "SQRT" => sqrt(a0)
       case "CBRT" => cbrt(a0)

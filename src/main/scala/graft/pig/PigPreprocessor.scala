@@ -4,34 +4,50 @@ package graft.pig
   * as the reference lineage does it (parameter substitution and macro
   * expansion are preprocessors over the script text, not plan nodes):
   *
-  *  1. `%default NAME 'value';` — fills params not supplied by the
-  *     caller.
-  *  2. `$NAME` / `${NAME}` — parameter substitution from the caller's
-  *     map (positional `$0…` refs are digits and never collide).
-  *  3. `DEFINE name(p1, p2) RETURNS out { … };` — macros expand by
+  *  1. `%default NAME 'value';` — fills params not supplied elsewhere.
+  *  2. `%declare NAME 'value';` — script-level override; HIGHEST
+  *     precedence, matching the reference's order
+  *     `%default < param file < command line < %declare`.
+  *  3. `$NAME` / `${NAME}` — parameter substitution (positional `$0…`
+  *     refs are digits and never collide). Parameter files (`-param_file`,
+  *     `name=value` lines, `#` comments) load via [[parseParamFile]].
+  *  4. `DEFINE name(p1, p2) RETURNS out { … };` — macros expand by
   *     textual substitution of `$param`/`$out` with call-site renaming
   *     of macro-local aliases (`__mN_x`), the same hygiene scheme the
-  *     reference's macro expander uses.
-  *  4. `SET/REGISTER/IMPORT` directives are stripped (engine-level
+  *     reference's macro expander uses. Renaming targets
+  *     relation-alias positions (assignment lhs, operator operands,
+  *     comma lists, bag refs) — a COLUMN that merely shares the local
+  *     alias's name in an expression position (`BY t > 5`) is left
+  *     alone.
+  *  5. `SET/REGISTER/IMPORT` directives are stripped (engine-level
   *     concerns handled by the SparkSession / classpath here).
   */
 object PigPreprocessor {
 
   private val defaultRe =
     """(?im)^\s*%default\s+(\w+)\s+('(?:\\.|[^'\\])*'|\S+)\s*;?\s*$""".r
+  private val declareRe =
+    """(?im)^\s*%declare\s+(\w+)\s+('(?:\\.|[^'\\])*'|\S+)\s*;?\s*$""".r
   private val directiveRe =
     """(?im)^\s*(set|register|import)\s+[^;]*;\s*$""".r
   private val macroDefRe =
     """(?is)define\s+(\w+)\s*\(([^)]*)\)\s+returns\s+(\w+)\s*\{(.*?)\}\s*;""".r
 
-  def apply(text: String, params: Map[String, String]): String = {
-    // 1. %default lines: collect then strip
-    val defaults = defaultRe.findAllMatchIn(text).map { m =>
-      val raw = m.group(2)
-      val v = if (raw.startsWith("'")) raw.substring(1, raw.length - 1) else raw
-      m.group(1) -> v
-    }.toMap
+  /** `params` are command-line-level (highest caller precedence);
+    * `fileParams` sit between `%default` and the command line. */
+  def apply(text: String, params: Map[String, String],
+      fileParams: Map[String, String] = Map.empty): String = {
+    def collect(re: scala.util.matching.Regex, t: String) =
+      re.findAllMatchIn(t).map { m =>
+        val raw = m.group(2)
+        val v = if (raw.startsWith("'")) raw.substring(1, raw.length - 1) else raw
+        m.group(1) -> v
+      }.toMap
+    // 1. %default / %declare lines: collect then strip
+    val defaults = collect(defaultRe, text)
+    val declares = collect(declareRe, text)
     var t = defaultRe.replaceAllIn(text, "")
+    t = declareRe.replaceAllIn(t, "")
     t = directiveRe.replaceAllIn(t, "")
 
     // 2. macros: collect definitions, strip them, then expand call sites
@@ -59,10 +75,23 @@ object PigPreprocessor {
       }
     } while (expansion > 0 && guard < 10)
 
-    // 3. caller params + %defaults (caller wins)
-    val all = defaults ++ params
-    substituteParams(t, all)
+    // 3. precedence: %default < param file < command line < %declare
+    substituteParams(t, defaults ++ fileParams ++ params ++ declares)
   }
+
+  /** A Pig parameter file: one `name=value` per line, `#` comments,
+    * optional single quotes around the value. */
+  def parseParamFile(text: String): Map[String, String] =
+    text.linesIterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains('='))
+      .map { l =>
+        val i = l.indexOf('=')
+        val v = l.substring(i + 1).trim
+        l.substring(0, i).trim ->
+          (if (v.length >= 2 && v.startsWith("'") && v.endsWith("'"))
+            v.substring(1, v.length - 1) else v)
+      }.toMap
 
   private final case class MacroDef(name: String, params: Seq[String],
       ret: String, body: String)
@@ -88,6 +117,41 @@ object PigPreprocessor {
     out.result().filter(_.nonEmpty)
   }
 
+  // relation-operand keywords: an identifier right after one of these is
+  // a relation alias, never a column (BY/GENERATE start expression
+  // context and are deliberately absent)
+  private val relKeywords =
+    "filter|foreach|group|cogroup|join|order|limit|distinct|sample|rank|" +
+    "stream|union|cross|assert|split|store|dump|describe|explain|into|onschema"
+
+  /** Rename relation-alias occurrences of `a` to `to` in a macro body.
+    * Covered positions: assignment lhs, operand after a relational
+    * keyword, member of a comma list (JOIN/UNION/CROSS/COGROUP sides),
+    * bag projection (`a.f`), and a bare whole function argument
+    * (`COUNT(a)`, `FLATTEN(a)`). Known ambiguity (documented): a column
+    * used as a WHOLE bare function arg that shares the alias's name
+    * still renames — textual expansion cannot tell those apart. */
+  private def renameAlias(body: String, a: String, to: String): String = {
+    val q = java.util.regex.Pattern.quote(a)
+    val r = scala.util.matching.Regex.quoteReplacement(to)
+    var t = body
+    // lhs:  `a = …;`
+    t = ("""(?m)^(\s*)""" + q + """(\s*=)""").r.replaceAllIn(t, "$1" + r + "$2")
+    // rhs alias copy:  `x = a;`
+    t = ("""(=\s*)""" + q + """(\s*;)""").r.replaceAllIn(t, "$1" + r + "$2")
+    // after a relational keyword:  `FILTER a BY …`, `LIMIT a 3`
+    t = ("""(?i)(\b(?:""" + relKeywords + """)\s+)""" + q + """\b""").r
+      .replaceAllIn(t, "$1" + r)
+    // comma-list member before BY/INNER/terminator:  `JOIN x BY k, a BY k`
+    t = ("""(,\s*)""" + q + """\b(?=\s*(?i:by|inner)\b|\s*[;,])""").r
+      .replaceAllIn(t, "$1" + r)
+    // bag projection:  `a.f`
+    t = ("""\b""" + q + """(?=\s*\.)""").r.replaceAllIn(t, r)
+    // whole bare function argument:  `COUNT(a)`, `FLATTEN(a)`
+    t = ("""([(,]\s*)""" + q + """(?=\s*[),])""").r.replaceAllIn(t, "$1" + r)
+    t
+  }
+
   private def expand(mac: MacroDef, lhs: String, args: Seq[String], n: Int): String = {
     var body = mac.body
     // rename macro-local aliases (assigned in the body, not the return)
@@ -95,11 +159,16 @@ object PigPreprocessor {
       .map(_.group(1)).filter(_ != s"$$${mac.ret}").toSet
       .filterNot(a => a.startsWith("$"))
     for (a <- localAliases)
-      body = body.replaceAll("\\b" + a + "\\b", s"__m${n}_$a")
-    // substitute $param -> arg, $ret -> lhs
-    for ((p, arg) <- mac.params.zip(args))
-      body = body.replace(s"$$$p", arg)
-    body.replace(s"$$${mac.ret}", lhs)
+      body = renameAlias(body, a, s"__m${n}_$a")
+    // substitute $param -> arg, $ret -> lhs; `(?!\w)` keeps a param
+    // whose name prefixes another (`$p` vs `$prio`) from corrupting the
+    // longer reference
+    def subst(b: String, name: String, repl: String): String =
+      ("""\$""" + java.util.regex.Pattern.quote(name) + """(?!\w)""").r
+        .replaceAllIn(b, scala.util.matching.Regex.quoteReplacement(repl))
+    val afterParams = mac.params.zip(args)
+      .foldLeft(body) { case (b, (p, arg)) => subst(b, p, arg) }
+    subst(afterParams, mac.ret, lhs)
   }
 
   /** `$NAME` and `${NAME}` for names present in the map; unknown

@@ -4,11 +4,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The textual entry point — what `pig script.pig -p DIR=/data` is to
   * the reference (SURVEY.md §3.1). Pipeline: preprocess (params,
-  * %default, DEFINE-macros) → parse → compile to DataFrames.
+  * %default/%declare, param files, DEFINE-macros) → parse → compile to
+  * DataFrames. Parameter precedence matches the reference:
+  * `%default < param file < params (command line) < %declare`.
   *
   * Nothing executes until an action: the compiled script is a set of
   * named Catalyst plans, so running a script is as lazy (and as
   * optimized) as writing the same DataFrame code by hand.
+  *
+  * `ASSERT A BY cond [, 'msg'];` rebinds `A` so every downstream
+  * consumer trips the check at execution time (Pig 0.12 semantics): a
+  * violating row fails the job with the message; a holding predicate
+  * is optimized away by Catalyst's filter pushdown, not re-scanned.
   *
   * {{{
   * val result = PigScript.run(spark,
@@ -23,11 +30,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object PigScript {
 
   /** Parse + compile; STORE statements are recorded (and executed only
-    * when `executeStores = true`). */
+    * when `executeStores = true`). `paramFiles` are `-param_file` paths
+    * (`name=value` lines), applied between `%default` and `params`. */
   def run(spark: SparkSession, script: String,
       params: Map[String, String] = Map.empty,
-      executeStores: Boolean = false): PigCompiler.Result = {
-    val pre = PigPreprocessor(script, params)
+      executeStores: Boolean = false,
+      paramFiles: Seq[String] = Nil): PigCompiler.Result = {
+    val fileParams = paramFiles.foldLeft(Map.empty[String, String]) { (acc, p) =>
+      acc ++ PigPreprocessor.parseParamFile(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
+    }
+    val pre = PigPreprocessor(script, params, fileParams)
     PigCompiler.compile(spark, PigParser.parseScript(pre), executeStores)
   }
 

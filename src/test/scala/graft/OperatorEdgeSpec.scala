@@ -47,6 +47,11 @@ class OperatorEdgeSpec extends SparkSpec {
     // bloom pass is a superset of the exact semi join
     assert(pre.join(small, $"l_orderkey" === $"o_orderkey", "left_semi").count() == exact.count())
     assert(pre.count() >= exact.count())
+    // the probe is the native might_contain expression — the scan-side
+    // predicate must stay codegen'd, no ScalaUDF/BatchEvalPython node
+    val plan = pre.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEval"),
+      s"bloom probe fell out of codegen:\n$plan")
   }
 
   test("weighted_avg Aggregator is partition-count invariant") {

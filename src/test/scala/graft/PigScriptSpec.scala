@@ -51,6 +51,48 @@ class PigScriptSpec extends SparkSpec {
     assert(!out.linesIterator.exists(_.trim.startsWith("t =")))
   }
 
+  test("param precedence: %default < param file < CLI < %declare") {
+    val fileParams = PigPreprocessor.parseParamFile(
+      "# a comment\nA=file_a\nB='file_b'\nC=file_c\n")
+    val out = PigPreprocessor(
+      """%default A 'def_a';
+         %default D 'def_d';
+         %declare C 'decl_c';
+         x = LOAD '/$A/$B/$C/$D';""",
+      Map("B" -> "cli_b", "C" -> "cli_c"), fileParams)
+    assert(out.contains("'/file_a/cli_b/decl_c/def_d'"))
+  }
+
+  test("PigScript.run reads -param_file files") {
+    val f = java.nio.file.Files.createTempFile("graft_params", ".txt")
+    java.nio.file.Files.writeString(f, s"DIR=$sf\n")
+    val r = PigScript.run(spark,
+      "L = LOAD '$DIR/nation.parquet' USING parquet;",
+      paramFiles = Seq(f.toString))
+    assert(r("L").count() == tables.nation.count())
+  }
+
+  test("macro: prefix-named params don't corrupt longer refs") {
+    val out = PigPreprocessor(
+      """DEFINE m(p, prio) RETURNS T { f = FILTER $p BY pr > $prio; $T = LIMIT f 3; };
+         a = LOAD 'x';
+         b = m(a, 5);""", Map.empty)
+    assert(out.contains("BY pr > 5"), s"$$prio corrupted by $$p: $out")
+    assert(out.contains("FILTER a BY"))
+  }
+
+  test("macro hygiene: column sharing a local alias's name is not renamed") {
+    val out = PigPreprocessor(
+      """DEFINE m(R) RETURNS T { t = FILTER $R BY t > 5; $T = LIMIT t 3; };
+         b = m(a);""", Map.empty)
+    // the COLUMN t in the predicate survives; the ALIAS t is renamed
+    assert(out.contains("BY t > 5"), s"column ref was renamed: $out")
+    assert("""LIMIT __m\d+_t 3""".r.findFirstIn(out).isDefined,
+      s"alias operand not renamed: $out")
+    assert(!out.linesIterator.exists(_.trim.startsWith("t =")),
+      s"alias lhs not renamed: $out")
+  }
+
   // ---------------- compiler semantics ----------------
 
   test("algebraic FOREACH-on-GROUP compiles to relational agg (no collect_list)") {
@@ -364,6 +406,54 @@ class PigScriptSpec extends SparkSpec {
         coalesce(col("no"), lit(0L)).as("n_orders"))
     assert(pig.orderBy("c_custkey").collect().toSeq ==
       expect.orderBy("k").collect().toSeq)
+  }
+
+  test("error corpus: malformed scripts fail fast with position/context") {
+    def err(script: String): String =
+      intercept[IllegalArgumentException] {
+        PigScript.query(spark, script, Map("DIR" -> sf))
+      }.getMessage
+    val load = "L = LOAD '$DIR/nation.parquet' USING parquet;\n"
+
+    // parse errors carry line/col
+    assert(err("a = FILTER BY x;").contains("line 1"))
+    assert(err(load + "b = FOREACH L GENERATE ;").contains("line 2"))
+    // unknown alias / column; ambiguity after a join
+    assert(err("b = FILTER nope BY x > 1;").contains("unknown alias 'nope'"))
+    assert(err(load + "B = FILTER L BY nope > 1;").contains("unknown column 'nope'"))
+    assert(err(load + "M = L;\nJ = JOIN L BY n_nationkey, M BY n_nationkey;\n" +
+      "B = FOREACH J GENERATE n_name;").contains("ambiguous column 'n_name'"))
+    // schema/arity violations
+    assert(err("L = LOAD '$DIR/nation.parquet' USING parquet AS " +
+      "(a,b,c,d,e,f,g,h,i,j);\nB = FOREACH L GENERATE a;")
+      .contains("AS clause names 10 fields"))
+    assert(err(load + "G = GROUP L BY n_regionkey;\n" +
+      "A = FOREACH G GENERATE FLATTEN(group) AS (a, b), COUNT_STAR(L) AS n;")
+      .contains("FLATTEN(group) AS arity 2 != 1"))
+    // unknown function
+    assert(err(load + "B = FOREACH L GENERATE NOSUCH(n_name);")
+      .contains("unknown function NOSUCH"))
+    // nested pipeline misuse
+    assert(err(load + "G = GROUP L BY n_regionkey;\nA = FOREACH G {\n" +
+      "  x = FILTER missing BY n_nationkey > 1;\n" +
+      "  GENERATE group, COUNT_STAR(x) AS n;\n};")
+      .contains("not the bag or an earlier nested alias"))
+    assert(err(load + "G = GROUP L BY n_regionkey;\nA = FOREACH G {\n" +
+      "  x = DISTINCT group;\n  GENERATE group, FLATTEN(x);\n};")
+      .contains("over non-bag"))
+    assert(err(load + "G = GROUP L BY n_regionkey;\nA = FOREACH G {\n" +
+      "  p = FOREACH L GENERATE n_name AS nm;\n" +
+      "  GENERATE group, SUM(p.nope) AS s;\n};")
+      .contains("projected bag has no field 'nope'"))
+    // macro / parameter errors
+    assert(err("DEFINE m(a, b) RETURNS T { $T = LIMIT $a $b; };\nx = m(1);")
+      .contains("macro m: expected 2 args, got 1"))
+    assert(err("a = LOAD '$NOPE/x';").contains("undefined parameter $NOPE"))
+    // operator-specific constraints
+    assert(err(load + "S = STREAM L THROUGH nosuch AS (x);")
+      .contains("no such DEFINEd command"))
+    assert(err(load + "R = RANK L BY n_nationkey ASC, n_regionkey DESC;")
+      .contains("uniform sort direction"))
   }
 
   test("all bundled pig queries run and return rows at sf0.001") {
