@@ -40,6 +40,34 @@ final class GraftSession(val spark: SparkSession) {
   def store(alias: String, path: String, format: String = "parquet"): Unit =
     apply(alias).write.format(format).mode("overwrite").save(path)
 
+  /** ILLUSTRATE — example tuples for the alias and every alias bound
+    * before it, in registration order: a cheap walk of the pipeline
+    * showing what each step's rows look like (schema + up to `n`
+    * example rows). Spark-first rendition of the reference's
+    * ILLUSTRATE: each sample is a `take(n)` — limit-pushdown keeps it
+    * interactive even over large inputs — without the reference's
+    * synthesized-example machinery (a row that reaches step k IS an
+    * example that survived steps 1..k-1). */
+  def illustrate(alias: String, n: Int = 5): String = {
+    apply(alias) // fail fast on unknown alias
+    val chain = env.keys.toSeq.takeWhile(_ != alias) :+ alias
+    val sb = new StringBuilder
+    chain.foreach { a =>
+      val df = env(a)
+      val names = df.schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}")
+      sb.append(s"$a: {${names.mkString(", ")}}\n")
+      df.take(n).foreach { row =>
+        sb.append("  (").append(
+          row.toSeq.map {
+            case null => "null"
+            case s: String => s"'$s'"
+            case v => v.toString
+          }.mkString(", ")).append(")\n")
+      }
+    }
+    sb.toString
+  }
+
   /** Expose every registered alias as a temp view and run SQL against
     * them — the PigServer `registerQuery`/`openIterator` programmatic
     * entry point (SURVEY §3.3), with Spark SQL as the query language. */

@@ -121,6 +121,7 @@ object PigAst {
   final case class PDump(alias: String) extends PStmt
   final case class PDescribe(alias: String) extends PStmt
   final case class PExplain(alias: String) extends PStmt
+  final case class PIllustrate(alias: String) extends PStmt
   /** `ASSERT A BY cond [, 'msg'];` — rebinds A so downstream consumers
     * trip the check at execution (Pig 0.12 semantics). */
   final case class PAssertStmt(in: String, cond: PExpr,

@@ -108,7 +108,10 @@ object PigCompiler {
         val r = lookup(env, in)
         env(in) = new Rel(() => Relational.assertRows(r.df,
           compileExpr(r.df, cond), msg.getOrElse(cond.toString)), r.group)
-      case PDump(_) | PDescribe(_) | PExplain(_) => // interactive: no-ops here
+      case PDump(_) | PDescribe(_) | PExplain(_) | PIllustrate(_) =>
+        // interactive statements: no-ops in batch compile; the session
+        // surface (GraftSession dump/describe/explain/illustrate) serves
+        // them after runInto
     }
     new Result(env, stores.result(), last)
   }
@@ -249,6 +252,8 @@ object PigCompiler {
         val c = compileExpr(df, e); if (asc) c.asc else c.desc }: _*), None)
 
     case PLimit(in, n) =>
+      require(n <= Int.MaxValue, s"LIMIT $n exceeds Int.MaxValue " +
+        "(Spark's limit is Int-bounded; drop the LIMIT or pre-filter)")
       val df = lookup(env, in).df
       new Rel(() => df.limit(n.toInt), None)
 

@@ -325,6 +325,8 @@ object PigParser extends RegexParsers {
     kw("describe") ~> ident <~ ";" ^^ PDescribe.apply
   private def explainStmt: Parser[PStmt] =
     kw("explain") ~> ident <~ ";" ^^ PExplain.apply
+  private def illustrateStmt: Parser[PStmt] =
+    kw("illustrate") ~> ident <~ ";" ^^ PIllustrate.apply
   private def assertStmt: Parser[PStmt] =
     kw("assert") ~> ident ~ (kw("by") ~> expr) ~ opt("," ~> quoted) <~ ";" ^^ {
       case a ~ e ~ msg => PAssertStmt(a, e, msg)
@@ -332,7 +334,7 @@ object PigParser extends RegexParsers {
 
   private def stmt: Parser[PStmt] =
     defineCmdStmt | storeStmt | splitStmt | dumpStmt | describeStmt |
-      explainStmt | assertStmt | assign
+      explainStmt | illustrateStmt | assertStmt | assign
 
   private def script: Parser[Seq[PStmt]] = rep(stmt)
 

@@ -148,6 +148,18 @@ class PigScriptSpec extends SparkSpec {
     assert(phys.contains("BroadcastHashJoin"), s"expected BHJ in:\n$phys")
   }
 
+  test("PigStorage with a multi-char delimiter round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_multidelim")
+    val f = dir.resolve("rows.txt")
+    java.nio.file.Files.writeString(f, "1||alpha\n2||beta\n3||ga||mma\n")
+    val df = PigScript.query(spark,
+      s"""L = LOAD '$f' USING PigStorage('||') AS (k:int, v:chararray);
+          B = FILTER L BY k >= 2;""")
+    val rows = df.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    // the 3rd line has an extra delimiter: Pig keeps the first fields
+    assert(rows == Set(2 -> "beta", 3 -> "ga"))
+  }
+
   test("lazy-typed LOAD: positional refs + cast-at-use (bad cells -> null)") {
     val p = java.nio.file.Files.createTempFile("graft-lazy", ".csv")
     java.nio.file.Files.write(p, "1,aa,10\n2,bb,x\n3,cc,30\n".getBytes)
@@ -206,6 +218,23 @@ class PigScriptSpec extends SparkSpec {
     assert(session.describe("U").contains("o_orderkey"))
     val viaSql = session.sql("SELECT count(*) AS n FROM U").collect()(0).getLong(0)
     assert(viaSql == tables.orders.filter(col("o_orderpriority") === "1-URGENT").count())
+  }
+
+  test("ILLUSTRATE statement parses; session walks the pipeline with samples") {
+    val session = new graft.core.GraftSession(spark)
+    PigScript.runInto(session,
+      """O = LOAD '$DIR/orders.parquet' USING parquet;
+         U = FILTER O BY o_orderpriority == '1-URGENT';
+         T = LIMIT U 3;
+         ILLUSTRATE T;""",
+      Map("DIR" -> sf))
+    val out = session.illustrate("T", n = 2)
+    // every pipeline step appears, in order, with schema and examples
+    val idx = Seq("O:", "U:", "T:").map(out.indexOf)
+    assert(idx.forall(_ >= 0) && idx == idx.sorted, out)
+    assert(out.contains("o_orderpriority:string"), out)
+    assert(out.contains("'1-URGENT'"), out)
+    intercept[NoSuchElementException](session.illustrate("missing"))
   }
 
   test("ASSERT passes silently when the predicate holds, fails the job when not") {
