@@ -819,7 +819,18 @@ object SparkEntry {
     "q96_pig_cube" -> pigQ("/pig/q96_cube.pig"),
     "q97_pig_rollup" -> pigQ("/pig/q97_rollup.pig"),
     "q98_pig_inline_foreach" -> pigQ("/pig/q98_inline_foreach.pig"),
-    "q99_pig_nested_foreach" -> pigQ("/pig/q99_nested_foreach.pig")
+    "q99_pig_nested_foreach" -> pigQ("/pig/q99_nested_foreach.pig"),
+
+    // --- TF-IDF characteristic terms (corpus keyword extraction) ---
+    "q100_tfidf" -> ((s, dir) =>
+      graft.operators.TextAnalysis.tfidfTopTerms(
+        t(s, dir).documents, "doc_id", "text", k = 5)),
+
+    // --- deterministic epoch shuffle (training order) ---
+    "q101_epoch_shuffle" -> ((s, dir) =>
+      graft.operators.TrainingPipeline.epochShuffle(
+        t(s, dir).documents, "doc_id", seed = 7)
+        .select(col("doc_id"), col("ord")))
   )
 
   private def pigQ(res: String): (SparkSession, String) => DataFrame =
@@ -1570,6 +1581,29 @@ object SparkEntry {
          sum(l_quantity * 2.0) AS sum_dqty,
          count(CASE WHEN l_quantity * 2.0 > 60.0 THEN 1 END) AS n_big,
          max(CASE WHEN l_quantity * 2.0 > 60.0 THEN l_quantity * 2.0 END) AS max_big
-         FROM lineitem GROUP BY l_suppkey"""
+         FROM lineitem GROUP BY l_suppkey""",
+
+    "q100_tfidf" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term,
+             tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score
+           FROM tf JOIN df USING (term) CROSS JOIN n),
+         ranked AS (SELECT doc_id, term, score,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+           FROM scored)
+         SELECT doc_id, term, round(score, 6) AS score FROM ranked WHERE rn <= 5""",
+
+    "q101_epoch_shuffle" ->
+      """SELECT doc_id,
+         CAST(row_number() OVER (
+           ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS ord
+         FROM documents"""
   )
 }

@@ -136,4 +136,34 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_shared"))
   }
+
+  // ---------------- TF-IDF ----------------
+
+  /** Top-`k` characteristic terms per document by TF-IDF (the corpus
+    * keyword extractor feeding topic balance / quality dashboards).
+    *
+    * Shape at 100 TB: token explode is map-side; term frequency
+    * shuffles once on (doc, term); document frequency aggregates the
+    * ALREADY-distinct (doc, term) pairs on term (strictly smaller
+    * input, partial agg map-side). The tf⋈df join shuffles on term —
+    * a vocabulary is too big to assume broadcastable, and hot-term
+    * skew is AQE's skew-join case. Corpus size N is the one driver
+    * scalar (a count, not a collect). Top-k per doc is a bounded
+    * window on doc_id, ties broken by term for determinism.
+    *
+    * Scoring: `tf · ln(N / df)` — raw counts, no smoothing (df ≥ 1 by
+    * construction), matching the oracle's formulation exactly. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val n = docs.count()
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfTerm, "term")
+      .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
+    Relational.topPerGroup(scored, Seq(idCol), "score", k, tiebreak = "term")
+      .select(col(idCol), col("term"), round(col("score"), 6).as("score"))
+  }
 }

@@ -121,4 +121,22 @@ object TrainingPipeline {
       .filter(col("keep_id") === col(idCol))
       .drop("keep_id")
   }
+
+  /** Deterministic epoch shuffle — the training-order op: a stable
+    * pseudo-random permutation of the corpus per `seed`, reproducible
+    * across engines, partitionings, and reruns (the property a
+    * data-loader checkpoint needs). Key = md5("seed:id") — uniform and
+    * engine-portable (any SQL engine computes the same hex); the
+    * global order index comes from the two-pass zero-skew sequence
+    * ([[Relational.rankSequence]]: range-sort then per-partition
+    * offsets from bounded count longs), NOT a single-partition window
+    * — at 100 TB a window over a global ORDER BY is one task sorting
+    * the world. */
+  def epochShuffle(docs: DataFrame, idCol: String, seed: Int): DataFrame = {
+    val keyed = docs.withColumn("__shuffle_key",
+      md5(concat_ws(":", lit(seed), col(idCol))))
+    val ordered = keyed.orderBy(col("__shuffle_key"), col(idCol))
+    Relational.rankSequence(ordered, "ord")
+      .drop("__shuffle_key")
+  }
 }

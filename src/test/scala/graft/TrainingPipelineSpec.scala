@@ -110,4 +110,44 @@ class TrainingPipelineSpec extends SparkSpec {
     val twin = docs.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
     assert(s1.select("doc_id").collect().toSet == twin.select("doc_id").collect().toSet)
   }
+
+  test("epochShuffle: exact permutation, seed-stable, partitioning-invariant") {
+    val docs = tables.documents
+    val n = docs.count()
+    val e7 = TrainingPipeline.epochShuffle(docs, "doc_id", seed = 7)
+    // ord is exactly 1..N, each once
+    val ords = e7.select($"ord").as[Long].collect().sorted
+    assert(ords.toSeq == (1L to n).toSeq)
+    // same seed, different partitioning -> identical permutation
+    val again = TrainingPipeline
+      .epochShuffle(docs.repartition(13), "doc_id", seed = 7)
+      .select($"doc_id", $"ord").as[(Long, Long)].collect().toMap
+    val first = e7.select($"doc_id", $"ord").as[(Long, Long)].collect().toMap
+    assert(first == again)
+    // a different seed is a different permutation (not identity-related)
+    val e8 = TrainingPipeline.epochShuffle(docs, "doc_id", seed = 8)
+      .select($"doc_id", $"ord").as[(Long, Long)].collect().toMap
+    assert(e8 != first)
+  }
+
+  test("tfidfTopTerms: k per doc, corpus-wide terms rank below rare ones") {
+    val docs = Seq(
+      (1L, "alpha alpha alpha common common"),
+      (2L, "beta beta common common"),
+      (3L, "gamma common")).toDS().toDF("doc_id", "text")
+    val top = graft.operators.TextAnalysis
+      .tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .as[(Long, String, Double)].collect()
+    assert(top.count(_._1 == 1L) == 2)
+    // `common` appears in every doc -> idf = ln(1) = 0 -> never beats a
+    // doc-unique term
+    val best = top.groupBy(_._1).map { case (id, rows) => id -> rows.maxBy(_._3)._2 }
+    assert(best == Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"), best.toString)
+    assert(top.filter(_._2 == "common").forall(_._3 == 0.0))
+    // exactly k rows per doc on the real corpus, deterministic order
+    val corpus = graft.operators.TextAnalysis
+      .tfidfTopTerms(tables.documents, "doc_id", "text", k = 5)
+    val perDoc = corpus.groupBy($"doc_id").count().select($"count").as[Long].collect()
+    assert(perDoc.forall(_ == 5L))
+  }
 }
