@@ -820,6 +820,7 @@ object SparkEntry {
     "q97_pig_rollup" -> pigQ("/pig/q97_rollup.pig"),
     "q98_pig_inline_foreach" -> pigQ("/pig/q98_inline_foreach.pig"),
     "q99_pig_nested_foreach" -> pigQ("/pig/q99_nested_foreach.pig"),
+    "q102_pig_scalar_alias" -> pigQ("/pig/q102_scalar_alias.pig"),
 
     // --- TF-IDF characteristic terms (corpus keyword extraction) ---
     "q100_tfidf" -> ((s, dir) =>
@@ -1582,6 +1583,11 @@ object SparkEntry {
          count(CASE WHEN l_quantity * 2.0 > 60.0 THEN 1 END) AS n_big,
          max(CASE WHEN l_quantity * 2.0 > 60.0 THEN l_quantity * 2.0 END) AS max_big
          FROM lineitem GROUP BY l_suppkey""",
+
+    "q102_pig_scalar_alias" ->
+      """WITH t AS (SELECT avg(l_quantity) AS avg_qty FROM lineitem)
+         SELECT l_orderkey, l_linenumber, l_quantity / t.avg_qty AS qty_ratio
+         FROM lineitem, t WHERE l_quantity > t.avg_qty * 1.5""",
 
     "q100_tfidf" ->
       """WITH tk AS (

@@ -127,7 +127,11 @@ object PigCompiler {
 
     case PFilter(in, cond) =>
       val df = lookup(env, in).df
-      new Rel(() => df.filter(compileExpr(df, cond)), None)
+      new Rel(() => {
+        val (bound, cond2) = bindScalars(env, df, Seq(cond))
+        bound.filter(compileExpr(bound, cond2.head))
+          .select(df.columns.map(c => col(s"`$c`")): _*)
+      }, None)
 
     case PForeach(in, items) =>
       val rel = resolveRef(spark, env, cmds, in)
@@ -136,7 +140,11 @@ object PigCompiler {
           new Rel(() => compileAggForeach(meta, items,
             Map(meta.childAlias -> BagInfo(lit(true), None))), None)
         case _ =>
-          new Rel(() => compileRowForeach(rel.df, items), None)
+          new Rel(() => {
+            val (bound, exprs) = bindScalars(env, rel.df, items.map(_.expr))
+            compileRowForeach(bound,
+              items.zip(exprs).map { case (it, e) => it.copy(expr = e) })
+          }, None)
       }
 
     case PForeachNested(in, stmts, items) =>
@@ -318,6 +326,75 @@ object PigCompiler {
     case PAliasRef(in) =>
       val r = lookup(env, in)
       new Rel(() => r.df, r.group)
+  }
+
+  // ---------------- scalar aliases ----------------
+
+  /** Pig scalar aliases (Pig 0.8+): `C.total` where `C` is a BOUND
+    * RELATION (not a column of the input) reads the field of C's single
+    * row as a per-row scalar — the classic normalize-by-a-global idiom
+    * (`FOREACH L GENERATE qty / T.avg_qty`). Compiled Spark-first: each
+    * referenced relation contributes a guarded one-row global aggregate
+    * that is broadcast cross-joined onto the input — the same plan
+    * shape as Pig's distributed-cache scalar, with the reference's
+    * "scalar has more than one row" runtime error reproduced via
+    * raise_error. Column refs win over alias refs on a name clash,
+    * matching Pig's resolution order. */
+  private def bindScalars(env: mutable.LinkedHashMap[String, Rel],
+      df: DataFrame, exprs: Seq[PExpr]): (DataFrame, Seq[PExpr]) = {
+    def isCol(n: String): Boolean =
+      df.columns.contains(n) || df.columns.exists(_.endsWith(s"::$n"))
+    val refs = mutable.LinkedHashSet.empty[(String, String)]
+    def walk(e: PExpr): Unit = e match {
+      case PDot(PCol(a), f) if !isCol(a) && env.contains(a) => refs += ((a, f))
+      case PDot(b, _) => walk(b)
+      case PMapGet(b, _) => walk(b)
+      case PBin(_, l, r) => walk(l); walk(r)
+      case PNot(x) => walk(x)
+      case PNeg(x) => walk(x)
+      case PIsNull(x, _) => walk(x)
+      case PMatches(x, _) => walk(x)
+      case PIn(x, its) => walk(x); its.foreach(walk)
+      case PTernary(c, t, f) => walk(c); walk(t); walk(f)
+      case PCast(_, x) => walk(x)
+      case PCall(_, as) => as.foreach(walk)
+      case _ =>
+    }
+    exprs.foreach(walk)
+    if (refs.isEmpty) (df, exprs)
+    else {
+      val bound = refs.toSeq.groupBy(_._1).toSeq.sortBy(_._1)
+        .foldLeft(df) { case (acc, (a, fs)) =>
+          val src = lookup(env, a).df
+          val aggs = fs.map { case (_, f) =>
+            max(resolve(src, f)).as(s"__sc_${a}_$f")
+          } :+ count(lit(1)).as("__sc_n")
+          val one = src.agg(aggs.head, aggs.tail: _*)
+            .select(fs.map { case (_, f) =>
+              when(col("__sc_n") <= 1, col(s"__sc_${a}_$f"))
+                .otherwise(raise_error(lit(
+                  s"scalar alias '$a' has more than one row")))
+                .as(s"__sc_${a}_$f")
+            }: _*)
+          acc.crossJoin(broadcast(one))
+        }
+      def rw(e: PExpr): PExpr = e match {
+        case PDot(PCol(a), f) if refs.contains((a, f)) => PCol(s"__sc_${a}_$f")
+        case PDot(b, f) => PDot(rw(b), f)
+        case PMapGet(b, k) => PMapGet(rw(b), k)
+        case PBin(op, l, r) => PBin(op, rw(l), rw(r))
+        case PNot(x) => PNot(rw(x))
+        case PNeg(x) => PNeg(rw(x))
+        case PIsNull(x, n) => PIsNull(rw(x), n)
+        case PMatches(x, re) => PMatches(rw(x), re)
+        case PIn(x, its) => PIn(rw(x), its.map(rw))
+        case PTernary(c, t, f) => PTernary(rw(c), rw(t), rw(f))
+        case PCast(t, x) => PCast(t, rw(x))
+        case PCall(fn, as) => PCall(fn, as.map(rw))
+        case other => other
+      }
+      (bound, exprs.map(rw))
+    }
   }
 
   // ---------------- LOAD / STORE formats ----------------
@@ -670,12 +747,14 @@ object PigCompiler {
   // ---------------- FOREACH: row path (incl. FLATTEN) ----------------
 
   private def compileRowForeach(input: DataFrame, items: Seq[GenItem]): DataFrame = {
+    // `*` never includes bound scalar-alias columns (bindScalars)
+    val starCols = input.columns.filterNot(_.startsWith("__sc_"))
     // stage 1: compute every item into a temp slot (__it{i}); FLATTEN of
     // an array stays an array in its slot for now
     case class Slot(tmp: String, item: GenItem, dt: DataType)
     val slots = items.zipWithIndex.map { case (it, i) =>
       val c = it.expr match {
-        case PStar => struct(input.columns.map(c => input.col(s"`$c`")): _*)
+        case PStar => struct(starCols.map(c => input.col(s"`$c`")): _*)
         case e => compileExpr(input, e)
       }
       Slot(s"__it$i", it.copy(expr = it.expr), dtypeOf(input, c)) -> c
@@ -701,7 +780,7 @@ object PigCompiler {
       def cast1(c: Column, t: Option[String]) = t.map(castPigType(c, _)).getOrElse(c)
       s.item match {
         case GenItem(PStar, false, _) =>
-          input.columns.map(n => c.getField(n).as(n)).toSeq
+          starCols.map(n => c.getField(n).as(n)).toSeq
         case GenItem(e, true, _) =>
           val innerDt = s.dt match {
             case ArrayType(et, _) => et

@@ -293,8 +293,14 @@ object PigParser extends RegexParsers {
 
   // ---------------- statements ----------------
 
+  // `PARALLEL n` is accepted on any relational statement and ignored:
+  // reduce-side parallelism is Spark's call here (shuffle.partitions +
+  // AQE coalescing supersede Pig's per-operator reducer counts — a
+  // hand-pinned width would fight the runtime re-plan).
   private def assign: Parser[PStmt] =
-    ident ~ ("=" ~> op) <~ ";" ^^ { case a ~ o => PAssign(a, o) }
+    ident ~ ("=" ~> op) <~ opt(kw("parallel") ~> """\d+""".r) <~ ";" ^^ {
+      case a ~ o => PAssign(a, o)
+    }
 
   private def storeStmt: Parser[PStmt] =
     kw("store") ~> ident ~ (kw("into") ~> quoted) ~

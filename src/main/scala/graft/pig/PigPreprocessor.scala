@@ -19,8 +19,10 @@ package graft.pig
   *     comma lists, bag refs) — a COLUMN that merely shares the local
   *     alias's name in an expression position (`BY t > 5`) is left
   *     alone.
-  *  5. `SET/REGISTER/IMPORT` directives are stripped (engine-level
-  *     concerns handled by the SparkSession / classpath here).
+  *  5. `IMPORT 'macros.pig';` inlines the named file (recursively,
+  *     depth-bounded) so its macros join the importing script.
+  *  6. `SET/REGISTER` directives are stripped (engine-level concerns
+  *     handled by the SparkSession / classpath here).
   */
 object PigPreprocessor {
 
@@ -29,7 +31,9 @@ object PigPreprocessor {
   private val declareRe =
     """(?im)^\s*%declare\s+(\w+)\s+('(?:\\.|[^'\\])*'|\S+)\s*;?\s*$""".r
   private val directiveRe =
-    """(?im)^\s*(set|register|import)\s+[^;]*;\s*$""".r
+    """(?im)^\s*(set|register)\s+[^;]*;\s*$""".r
+  private val importRe =
+    """(?im)^\s*import\s+'([^']+)'\s*;\s*$""".r
   private val macroDefRe =
     """(?is)define\s+(\w+)\s*\(([^)]*)\)\s+returns\s+(\w+)\s*\{(.*?)\}\s*;""".r
 
@@ -43,10 +47,14 @@ object PigPreprocessor {
         val v = if (raw.startsWith("'")) raw.substring(1, raw.length - 1) else raw
         m.group(1) -> v
       }.toMap
+    // 0. IMPORT 'macros.pig'; — inline the file (recursively, bounded)
+    //    so its DEFINE…RETURNS macros join this script's
+    val imported = expandImports(text, depth = 0)
+
     // 1. %default / %declare lines: collect then strip
-    val defaults = collect(defaultRe, text)
-    val declares = collect(declareRe, text)
-    var t = defaultRe.replaceAllIn(text, "")
+    val defaults = collect(defaultRe, imported)
+    val declares = collect(declareRe, imported)
+    var t = defaultRe.replaceAllIn(imported, "")
     t = declareRe.replaceAllIn(t, "")
     t = directiveRe.replaceAllIn(t, "")
 
@@ -77,6 +85,16 @@ object PigPreprocessor {
 
     // 3. precedence: %default < param file < command line < %declare
     substituteParams(t, defaults ++ fileParams ++ params ++ declares)
+  }
+
+  private def expandImports(text: String, depth: Int): String = {
+    require(depth < 8, "IMPORT nesting deeper than 8 — cycle?")
+    importRe.replaceAllIn(text, m => {
+      val p = java.nio.file.Paths.get(m.group(1))
+      require(java.nio.file.Files.exists(p), s"IMPORT: no such file: $p")
+      scala.util.matching.Regex.quoteReplacement(
+        expandImports(java.nio.file.Files.readString(p), depth + 1))
+    })
   }
 
   /** A Pig parameter file: one `name=value` per line, `#` comments,

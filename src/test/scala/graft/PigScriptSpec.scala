@@ -389,6 +389,56 @@ class PigScriptSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("scalar alias: one-row relation field as a per-row scalar") {
+    val df = pigDf("/pig/q102_scalar_alias.pig")
+    // the scalar binds via a broadcast (nested-loop) join of one row —
+    // never a shuffle
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    val avgQty = tables.lineitem.agg(avg("l_quantity")).head().getDouble(0)
+    val expect = tables.lineitem.filter(col("l_quantity") > avgQty * 1.5)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") / avgQty).as("qty_ratio"))
+    assert(df.orderBy("l_orderkey", "l_linenumber").collect().toSeq ==
+      expect.orderBy("l_orderkey", "l_linenumber").collect().toSeq)
+    // the reference's runtime error on a multi-row scalar
+    val boom = intercept[Exception] {
+      PigScript.query(spark,
+        """L = LOAD '$DIR/nation.parquet' USING parquet;
+           B = FOREACH L GENERATE n_name, L.n_nationkey AS k;""",
+        Map("DIR" -> sf)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(boom).exists(m => m != null && m.contains("more than one row")),
+      boom.toString)
+  }
+
+  test("PARALLEL clause parses and is ignored (AQE owns parallelism)") {
+    val df = PigScript.query(spark,
+      """L = LOAD '$DIR/lineitem.parquet' USING parquet;
+         G = GROUP L BY l_returnflag PARALLEL 16;
+         A = FOREACH G GENERATE group AS l_returnflag, COUNT_STAR(L) AS n PARALLEL 4;""",
+      Map("DIR" -> sf))
+    assert(df.count() == tables.lineitem.select("l_returnflag").distinct().count())
+  }
+
+  test("IMPORT inlines a macro file") {
+    val f = java.nio.file.Files.createTempFile("graft_macros", ".pig")
+    java.nio.file.Files.writeString(f,
+      "DEFINE top_n(R, n) RETURNS T { s = ORDER $R BY o_totalprice DESC; $T = LIMIT s $n; };\n")
+    val df = PigScript.query(spark,
+      s"""IMPORT '$f';
+          O = LOAD '$$DIR/orders.parquet' USING parquet;
+          B = top_n(O, 5);""",
+      Map("DIR" -> sf))
+    assert(df.count() == 5)
+    val got = df.select(col("o_totalprice")).collect().map(_.getDouble(0)).sorted.reverse
+    val expect = tables.orders.orderBy(col("o_totalprice").desc).limit(5)
+      .select("o_totalprice").collect().map(_.getDouble(0)).sorted.reverse
+    assert(got.toSeq == expect.toSeq)
+  }
+
   test("CUBE statement matches DataFrame cube; ROLLUP matches rollup") {
     val pigCube = pigDf("/pig/q96_cube.pig")
     val dfCube = tables.lineitem.cube(col("l_returnflag"), col("l_linestatus"))
