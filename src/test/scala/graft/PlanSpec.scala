@@ -58,6 +58,6 @@ class PlanSpec extends SparkSpec {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"orphan oracles: ${os.diff(qs)}")
-    assert(qs.forall(_.matches("q[0-9]{2}_[a-z0-9_]+")))
+    assert(qs.forall(_.matches("q[0-9]{2,3}_[a-z0-9_]+")))
   }
 }
