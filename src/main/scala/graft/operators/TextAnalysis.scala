@@ -142,25 +142,33 @@ object TextAnalysis {
   /** Top-`k` characteristic terms per document by TF-IDF (the corpus
     * keyword extractor feeding topic balance / quality dashboards).
     *
-    * Shape at 100 TB: token explode is map-side; term frequency
-    * shuffles once on (doc, term); document frequency aggregates the
-    * ALREADY-distinct (doc, term) pairs on term (strictly smaller
-    * input, partial agg map-side). The tf⋈df join shuffles on term —
-    * a vocabulary is too big to assume broadcastable, and hot-term
-    * skew is AQE's skew-join case. Corpus size N is the one driver
-    * scalar (a count, not a collect). Top-k per doc is a bounded
-    * window on doc_id, ties broken by term for determinism.
+    * Shape at 100 TB: term frequency explodes tokens map-side and
+    * shuffles once on (doc, term). Document frequency runs its OWN
+    * lineage: `array_distinct` dedupes terms per doc map-side, so the
+    * df branch partial-aggregates straight on term — no (doc, term)
+    * exchange at all. Deriving df from the tf aggregate would read
+    * nicer but physically re-executes the explode+shuffle lineage
+    * (Catalyst does not share subplans across a self-join's sides
+    * reliably), and caching the (doc, term) matrix is heavier than the
+    * second column-pruned parquet scan this takes instead. The tf⋈df
+    * join shuffles on term — a vocabulary is too big to assume
+    * broadcastable, and hot-term skew is AQE's skew-join case. Corpus
+    * size N is the one driver scalar (a count, not a collect). Top-k
+    * per doc is a bounded window on doc_id, ties broken by term.
     *
     * Scoring: `tf · ln(N / df)` — raw counts, no smoothing (df ≥ 1 by
     * construction), matching the oracle's formulation exactly. */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     val n = docs.count()
+    val toks = tokens(col(textCol))
     val tf = docs
-      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .select(col(idCol), explode(toks).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfTerm = docs
+      .select(explode(array_distinct(toks)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(dfTerm, "term")
       .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
     Relational.topPerGroup(scored, Seq(idCol), "score", k, tiebreak = "term")

@@ -44,6 +44,10 @@ object PigAst {
   final case class PCall(fn: String, args: Seq[PExpr]) extends PExpr
   /** `*` — all columns of the input relation. */
   case object PStar extends PExpr
+  /** Range projection `a..d` / `..d` / `a..` / `$1..$3` — only valid
+    * as a GENERATE item; expands to the input columns between the
+    * endpoints (inclusive), in schema order. */
+  final case class PRangeProj(from: Option[PExpr], to: Option[PExpr]) extends PExpr
 
   // ---------------- FOREACH items ----------------
 

@@ -746,9 +746,27 @@ object PigCompiler {
 
   // ---------------- FOREACH: row path (incl. FLATTEN) ----------------
 
-  private def compileRowForeach(input: DataFrame, items: Seq[GenItem]): DataFrame = {
+  private def compileRowForeach(input: DataFrame, rawItems: Seq[GenItem]): DataFrame = {
     // `*` never includes bound scalar-alias columns (bindScalars)
     val starCols = input.columns.filterNot(_.startsWith("__sc_"))
+    // stage 0: expand range projections (`a..d`) to plain column items
+    val items = rawItems.flatMap {
+      case GenItem(PRangeProj(f, t), flat, as) =>
+        require(!flat && as.isEmpty, "range projection takes no FLATTEN/AS")
+        def idx(e: PExpr): Int = e match {
+          case PPos(i) => i
+          case PCol(n) => starCols.indexOf(resolvedName(input, n))
+          case other => throw new IllegalArgumentException(
+            s"range endpoint must be a column or $$n, got $other")
+        }
+        val lo = f.map(idx).getOrElse(0)
+        val hi = t.map(idx).getOrElse(starCols.length - 1)
+        require(lo >= 0 && hi >= lo && hi < starCols.length,
+          s"range projection out of order or out of bounds ($lo..$hi)")
+        starCols.slice(lo, hi + 1).toSeq.map(n =>
+          GenItem(PCol(n), flatten = false, Seq((n.split("::").last, None))))
+      case it => Seq(it)
+    }
     // stage 1: compute every item into a temp slot (__it{i}); FLATTEN of
     // an array stays an array in its slot for now
     case class Slot(tmp: String, item: GenItem, dt: DataType)
@@ -870,6 +888,8 @@ object PigCompiler {
     case PCall(fn, args) =>
       scalarCall(fn, args.map(compileExpr(df, _)), args, c => dtypeOf(df, c))
     case PStar => throw new IllegalArgumentException("* is only valid as a GENERATE item")
+    case PRangeProj(_, _) => throw new IllegalArgumentException(
+      "range projection (a..b) is only valid as a GENERATE item")
   }
 
   private def binOp(op: String, l: Column, r: Column): Column = op match {

@@ -160,10 +160,22 @@ object PigParser extends RegexParsers {
   private def asClause: Parser[Seq[(String, Option[String])]] =
     kw("as") ~> ("(" ~> rep1sep(fieldDecl, ",") <~ ")" | fieldDecl ^^ (Seq(_)))
 
+  private def rangeEnd: Parser[PExpr] =
+    """\$\d+""".r ^^ (s => PPos(s.tail.toInt)) | colRef ^^ PCol.apply
+
+  // `a..d` / `..d` / `a..` — tried before expr so the `..` is seen
+  // before a bare colRef ends the item (backtracks cleanly otherwise)
+  private def rangeItem: Parser[GenItem] =
+    rangeEnd ~ (".." ~> opt(rangeEnd)) ^^ {
+      case f ~ t => GenItem(PRangeProj(Some(f), t), flatten = false, Nil)
+    } |
+    ".." ~> rangeEnd ^^ (t => GenItem(PRangeProj(None, Some(t)), flatten = false, Nil))
+
   private def genItem: Parser[GenItem] =
     kw("flatten") ~> ("(" ~> expr <~ ")") ~ opt(asClause) ^^ {
       case e ~ as => GenItem(e, flatten = true, as.getOrElse(Nil))
     } |
+    rangeItem |
     expr ~ opt(asClause) ^^ {
       case e ~ as => GenItem(e, flatten = false, as.getOrElse(Nil))
     }

@@ -414,6 +414,22 @@ class PigScriptSpec extends SparkSpec {
       boom.toString)
   }
 
+  test("range projection a..b / ..b / a.. / $i..$j expands schema columns") {
+    val q = (gen: String) => PigScript.query(spark,
+      s"""N = LOAD '$$DIR/nation.parquet' USING parquet;
+          B = FOREACH N GENERATE $gen;""", Map("DIR" -> sf))
+    // nation schema: n_nationkey, n_name, n_regionkey
+    assert(q("n_nationkey..n_name").columns.toSeq == Seq("n_nationkey", "n_name"))
+    assert(q("..n_name").columns.toSeq == Seq("n_nationkey", "n_name"))
+    assert(q("n_name..").columns.toSeq == Seq("n_name", "n_regionkey"))
+    assert(q("$1..$2").columns.toSeq == Seq("n_name", "n_regionkey"))
+    assert(q("n_nationkey, n_name..").columns.length == 3)
+    // values survive the expansion
+    val full = q("n_nationkey..n_regionkey").orderBy("n_nationkey").collect().toSeq
+    assert(full == tables.nation.orderBy("n_nationkey").collect().toSeq)
+    intercept[IllegalArgumentException](q("n_regionkey..n_name").collect())
+  }
+
   test("PARALLEL clause parses and is ignored (AQE owns parallelism)") {
     val df = PigScript.query(spark,
       """L = LOAD '$DIR/lineitem.parquet' USING parquet;
