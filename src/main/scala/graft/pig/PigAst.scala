@@ -112,7 +112,11 @@ object PigAst {
 
   // ---------------- statements ----------------
 
-  sealed trait PStmt
+  /** Statements carry their source position (of the PREPROCESSED text —
+    * macro expansion and IMPORT inlining shift lines) so compile-time
+    * and execution-time errors can name the offending line, like parse
+    * errors already do. */
+  sealed trait PStmt extends scala.util.parsing.input.Positional
   /** `DEFINE name \`cmd\` [SHIP('f', …)];` — external streaming command
     * (the macro form of DEFINE is expanded by the preprocessor). */
   final case class PDefineCmd(name: String, command: String,

@@ -87,8 +87,18 @@ object PigCompiler {
     stmts.foreach {
       case PDefineCmd(name, cmd, ship) =>
         cmds(name) = (cmd, ship)
-      case PAssign(alias, op) =>
-        env(alias) = compileOp(spark, env, cmds, op)
+      case s @ PAssign(alias, op) =>
+        // attach alias + line to both compile-time and lazy plan-build
+        // errors — the statement a user has to fix, PigServer-style
+        def reframe[T](body: => T): T =
+          try body catch {
+            case e: IllegalArgumentException if e.getMessage != null &&
+                !e.getMessage.startsWith("in '") =>
+              throw new IllegalArgumentException(
+                s"in '$alias' (line ${s.pos.line}): ${e.getMessage}", e)
+          }
+        val r = reframe(compileOp(spark, env, cmds, op))
+        env(alias) = new Rel(() => reframe(r.df), r.group)
         last = Some(alias)
       case PStore(alias, path, using) =>
         val (fmt, opts) = storageFormat(using)

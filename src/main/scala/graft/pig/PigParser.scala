@@ -351,8 +351,8 @@ object PigParser extends RegexParsers {
     }
 
   private def stmt: Parser[PStmt] =
-    defineCmdStmt | storeStmt | splitStmt | dumpStmt | describeStmt |
-      explainStmt | illustrateStmt | assertStmt | assign
+    positioned(defineCmdStmt | storeStmt | splitStmt | dumpStmt | describeStmt |
+      explainStmt | illustrateStmt | assertStmt | assign)
 
   private def script: Parser[Seq[PStmt]] = rep(stmt)
 

@@ -515,7 +515,10 @@ class PigScriptSpec extends SparkSpec {
     assert(err(load + "b = FOREACH L GENERATE ;").contains("line 2"))
     // unknown alias / column; ambiguity after a join
     assert(err("b = FILTER nope BY x > 1;").contains("unknown alias 'nope'"))
-    assert(err(load + "B = FILTER L BY nope > 1;").contains("unknown column 'nope'"))
+    locally { // compile/plan-build errors name the alias and its line
+      val m = err(load + "B = FILTER L BY nope > 1;")
+      assert(m.contains("unknown column 'nope'") && m.contains("in 'B' (line 2)"), m)
+    }
     assert(err(load + "M = L;\nJ = JOIN L BY n_nationkey, M BY n_nationkey;\n" +
       "B = FOREACH J GENERATE n_name;").contains("ambiguous column 'n_name'"))
     // schema/arity violations
