@@ -1022,6 +1022,8 @@ object PigCompiler {
       case "TOMILLISECONDS" => PigFunctions.toMilliSeconds(a0)
       case "ISEMPTY" => PigFunctions.isEmptyBag(a0)
       case "BAGTOSTRING" => PigFunctions.bagToString(a0, litString(raw, 1, fn))
+      case "DIFF" => PigFunctions.bagDiff(a0, args(1))
+      case "SUBTRACT" => PigFunctions.bagSubtract(a0, args(1))
       case "TOBAG" => PigFunctions.toBag(args: _*)
       case "TOTUPLE" => PigFunctions.toTuple(args: _*)
       case "TOMAP" => PigFunctions.toMapPig(args: _*)

@@ -190,10 +190,13 @@ object PigPreprocessor {
   }
 
   /** `$NAME` and `${NAME}` for names present in the map; unknown
-    * `$name` refs are an error (same as the reference preprocessor). */
+    * `$name` refs are an error (same as the reference preprocessor).
+    * `\$` escapes a literal dollar (a regex `'a\$b'` survives
+    * substitution as `'a$b'`). */
   def substituteParams(text: String, params: Map[String, String]): String = {
+    val sentinel = "\u0001PIG_ESC_DOLLAR\u0001"
     val re = """\$\{(\w+)\}|\$([A-Za-z_]\w*)""".r
-    re.replaceAllIn(text, m => {
+    val out = re.replaceAllIn(text.replace("\\$", sentinel), m => {
       val name = Option(m.group(1)).getOrElse(m.group(2))
       params.get(name) match {
         case Some(v) => scala.util.matching.Regex.quoteReplacement(v)
@@ -201,5 +204,6 @@ object PigPreprocessor {
           s"undefined parameter $$$name (supplied: ${params.keys.toSeq.sorted.mkString(", ")})")
       }
     })
+    out.replace(sentinel, "$")
   }
 }

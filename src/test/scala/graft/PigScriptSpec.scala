@@ -72,6 +72,20 @@ class PigScriptSpec extends SparkSpec {
     assert(r("L").count() == tables.nation.count())
   }
 
+  test("\\$ escapes a literal dollar through substitution; DIFF/SUBTRACT bags work") {
+    val out = PigPreprocessor("""b = FILTER a BY v matches 'x\$y';""",
+      Map("y" -> "SHOULD_NOT_APPEAR"))
+    assert(out.contains("'x$y'"), out)
+    val df = PigScript.query(spark,
+      """N = LOAD '$DIR/nation.parquet' USING parquet;
+         G = GROUP N ALL;
+         D = FOREACH G GENERATE SIZE(DIFF(N.n_nationkey, N.n_nationkey)) AS n_diff,
+             SIZE(SUBTRACT(N.n_nationkey, N.n_nationkey)) AS n_sub;""",
+      Map("DIR" -> sf))
+    val r = df.head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L)
+  }
+
   test("macro: prefix-named params don't corrupt longer refs") {
     val out = PigPreprocessor(
       """DEFINE m(p, prio) RETURNS T { f = FILTER $p BY pr > $prio; $T = LIMIT f 3; };
