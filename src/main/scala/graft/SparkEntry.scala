@@ -821,6 +821,7 @@ object SparkEntry {
     "q98_pig_inline_foreach" -> pigQ("/pig/q98_inline_foreach.pig"),
     "q99_pig_nested_foreach" -> pigQ("/pig/q99_nested_foreach.pig"),
     "q102_pig_scalar_alias" -> pigQ("/pig/q102_scalar_alias.pig"),
+    "q103_pig_case" -> pigQ("/pig/q103_case.pig"),
 
     // --- TF-IDF characteristic terms (corpus keyword extraction) ---
     "q100_tfidf" -> ((s, dir) =>
@@ -1588,6 +1589,19 @@ object SparkEntry {
       """WITH t AS (SELECT avg(l_quantity) AS avg_qty FROM lineitem)
          SELECT l_orderkey, l_linenumber, l_quantity / t.avg_qty AS qty_ratio
          FROM lineitem, t WHERE l_quantity > t.avg_qty * 1.5""",
+
+    "q103_pig_case" ->
+      """WITH b AS (
+           SELECT o_orderkey,
+             CASE WHEN o_totalprice > 200000.0 THEN 'big'
+                  WHEN o_totalprice > 100000.0 THEN 'mid'
+                  ELSE 'small' END AS bucket,
+             CASE o_orderstatus WHEN 'F' THEN 'done' WHEN 'O' THEN 'open'
+                  ELSE 'other' END AS status_word
+           FROM orders)
+         SELECT bucket, status_word, count(*) AS n,
+           CASE WHEN count(*) > 100 THEN 'common' ELSE 'rare' END AS freq
+         FROM b GROUP BY bucket, status_word""",
 
     "q100_tfidf" ->
       """WITH tk AS (

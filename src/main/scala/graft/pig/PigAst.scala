@@ -39,6 +39,10 @@ object PigAst {
   final case class PIn(e: PExpr, items: Seq[PExpr]) extends PExpr
   /** `cond ? a : b` (Pig bincond). */
   final case class PTernary(c: PExpr, t: PExpr, f: PExpr) extends PExpr
+  /** Pig 0.12 CASE: `CASE [operand] WHEN w THEN t … [ELSE e] END`.
+    * With an operand, each WHEN is an equality test against it. */
+  final case class PCaseWhen(operand: Option[PExpr],
+      branches: Seq[(PExpr, PExpr)], els: Option[PExpr]) extends PExpr
   /** `(int)e` — Pig cast = try_cast under ANSI (null on failure). */
   final case class PCast(tpe: String, e: PExpr) extends PExpr
   final case class PCall(fn: String, args: Seq[PExpr]) extends PExpr

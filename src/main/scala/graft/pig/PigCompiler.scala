@@ -338,6 +338,21 @@ object PigCompiler {
       new Rel(() => r.df, r.group)
   }
 
+  /** CASE → a `when` chain; with an operand each WHEN is an equality
+    * test against it (`compile` is the expression compiler of the
+    * calling context — row, bag-element, or post-aggregate). */
+  private def caseWhen(compile: PExpr => Column, operand: Option[PExpr],
+      branches: Seq[(PExpr, PExpr)], els: Option[PExpr]): Column = {
+    val base = operand.map(compile)
+    val whens = branches.map { case (w, t) =>
+      (base.map(_ === compile(w)).getOrElse(compile(w)), compile(t))
+    }
+    val chained = whens.tail.foldLeft(when(whens.head._1, whens.head._2)) {
+      case (acc, (c, t)) => acc.when(c, t)
+    }
+    els.map(e => chained.otherwise(compile(e))).getOrElse(chained)
+  }
+
   // ---------------- scalar aliases ----------------
 
   /** Pig scalar aliases (Pig 0.8+): `C.total` where `C` is a BOUND
@@ -366,6 +381,10 @@ object PigCompiler {
       case PMatches(x, _) => walk(x)
       case PIn(x, its) => walk(x); its.foreach(walk)
       case PTernary(c, t, f) => walk(c); walk(t); walk(f)
+      case PCaseWhen(op, brs, els) =>
+        op.foreach(walk)
+        brs.foreach { case (w, t) => walk(w); walk(t) }
+        els.foreach(walk)
       case PCast(_, x) => walk(x)
       case PCall(_, as) => as.foreach(walk)
       case _ =>
@@ -399,6 +418,8 @@ object PigCompiler {
         case PMatches(x, re) => PMatches(rw(x), re)
         case PIn(x, its) => PIn(rw(x), its.map(rw))
         case PTernary(c, t, f) => PTernary(rw(c), rw(t), rw(f))
+        case PCaseWhen(op, brs, els) =>
+          PCaseWhen(op.map(rw), brs.map { case (w, t) => (rw(w), rw(t)) }, els.map(rw))
         case PCast(t, x) => PCast(t, rw(x))
         case PCall(fn, as) => PCall(fn, as.map(rw))
         case other => other
@@ -514,6 +535,8 @@ object PigCompiler {
         case PMatches(y, re) => PMatches(go(y), re)
         case PIn(y, its) => PIn(go(y), its.map(go))
         case PTernary(c, t, f) => PTernary(go(c), go(t), go(f))
+        case PCaseWhen(op, brs, els) =>
+          PCaseWhen(op.map(go), brs.map { case (w, t) => (go(w), go(t)) }, els.map(go))
         case PCast(t, y) => PCast(t, go(y))
         case PCall(fn, as) => PCall(fn, as.map(go))
         case other => other
@@ -547,6 +570,8 @@ object PigCompiler {
       case PNot(x) => ok(x)
       case PCast(_, x) => ok(x)
       case PTernary(c, t, f) => ok(c) && ok(t) && ok(f)
+      case PCaseWhen(op, brs, els) =>
+        op.forall(ok) && brs.forall { case (w, t) => ok(w) && ok(t) } && els.forall(ok)
       case PIsNull(x, _) => ok(x)
       case PMatches(x, _) => ok(x)
       case _ => false
@@ -589,6 +614,10 @@ object PigCompiler {
       case PNot(x) => collectAggs(x)
       case PCast(_, x) => collectAggs(x)
       case PTernary(c, t, f) => collectAggs(c); collectAggs(t); collectAggs(f)
+      case PCaseWhen(op, brs, els) =>
+        op.foreach(collectAggs)
+        brs.foreach { case (w, t) => collectAggs(w); collectAggs(t) }
+        els.foreach(collectAggs)
       case PIsNull(x, _) => collectAggs(x)
       case PMatches(x, _) => collectAggs(x)
       case _ =>
@@ -621,6 +650,7 @@ object PigCompiler {
       case PNot(x) => !post(x)
       case PCast(t, x) => castPigType(post(x), t)
       case PTernary(c, t, f) => when(post(c), post(t)).otherwise(post(f))
+      case PCaseWhen(op, brs, els) => caseWhen(post, op, brs, els)
       case PIsNull(x, neg) => if (neg) post(x).isNotNull else post(x).isNull
       case PMatches(x, re) => PigFunctions.matchesFull(post(x), re)
       case PCall(fn, args) =>
@@ -750,6 +780,7 @@ object PigCompiler {
       scalarCall(fn, args.map(compileElem(st, elem, _)), args, _ =>
         throw new IllegalArgumentException(
           s"$fn needs type dispatch — unsupported inside a nested FILTER predicate"))
+    case PCaseWhen(op, brs, els) => caseWhen(compileElem(st, elem, _), op, brs, els)
     case other => throw new IllegalArgumentException(
       s"unsupported in nested predicate: $other")
   }
@@ -897,6 +928,7 @@ object PigCompiler {
     case PCast(t, x) => castPigType(compileExpr(df, x), t)
     case PCall(fn, args) =>
       scalarCall(fn, args.map(compileExpr(df, _)), args, c => dtypeOf(df, c))
+    case PCaseWhen(op, brs, els) => caseWhen(compileExpr(df, _), op, brs, els)
     case PStar => throw new IllegalArgumentException("* is only valid as a GENERATE item")
     case PRangeProj(_, _) => throw new IllegalArgumentException(
       "range projection (a..b) is only valid as a GENERATE item")

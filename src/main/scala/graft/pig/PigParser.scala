@@ -21,7 +21,7 @@ object PigParser extends RegexParsers {
     "and", "or", "not", "as", "by", "is", "null", "matches", "in",
     "asc", "desc", "if", "otherwise", "into", "using", "inner", "outer",
     "left", "right", "full", "generate", "all", "dense", "through",
-    "flatten")
+    "flatten", "case", "when", "then", "else", "end")
 
   private def kw(s: String): Parser[String] =
     ("""(?i)\b""" + s + """\b""").r ^^ (_.toLowerCase)
@@ -119,10 +119,19 @@ object PigParser extends RegexParsers {
       case base ~ ops => ops.foldLeft(base)((e, f) => f(e))
     }
 
+  // Pig 0.12 CASE (both forms; WHENs over an operand are equality tests)
+  private def caseExpr: Parser[PExpr] =
+    kw("case") ~> opt(not(kw("when")) ~> expr) ~
+      rep1(kw("when") ~> expr ~ (kw("then") ~> expr) ^^ { case w ~ t => (w, t) }) ~
+      opt(kw("else") ~> expr) <~ kw("end") ^^ {
+        case op ~ branches ~ els => PCaseWhen(op, branches, els)
+      }
+
   private def primary: Parser[PExpr] =
     kw("null") ^^^ PLit(null) |
     kw("true") ^^^ PLit(true) |
     kw("false") ^^^ PLit(false) |
+    caseExpr |
     number |
     quoted ^^ (s => PLit(s)) |
     """\$\d+""".r ^^ (s => PPos(s.tail.toInt)) |

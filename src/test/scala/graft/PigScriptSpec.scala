@@ -444,6 +444,27 @@ class PigScriptSpec extends SparkSpec {
     intercept[IllegalArgumentException](q("n_regionkey..n_name").collect())
   }
 
+  test("CASE expression: searched + simple forms, bag-free in the agg path") {
+    val df = pigDf("/pig/q103_case.pig")
+    assert(!df.queryExecution.optimizedPlan.toString.contains("collect_list"))
+    val bucket = when(col("o_totalprice") > 200000.0, "big")
+      .when(col("o_totalprice") > 100000.0, "mid").otherwise("small")
+    val status = when(col("o_orderstatus") === "F", "done")
+      .when(col("o_orderstatus") === "O", "open").otherwise("other")
+    val expect = tables.orders
+      .select(bucket.as("bucket"), status.as("status_word"))
+      .groupBy("bucket", "status_word").agg(count(lit(1)).as("n"))
+      .withColumn("freq", when(col("n") > 100, "common").otherwise("rare"))
+    assert(df.orderBy("bucket", "status_word").collect().toSeq ==
+      expect.orderBy("bucket", "status_word").collect().toSeq)
+    // no ELSE -> null, like Pig/SQL
+    val nul = PigScript.query(spark,
+      """N = LOAD '$DIR/nation.parquet' USING parquet;
+         B = FOREACH N GENERATE (CASE WHEN n_nationkey < 0 THEN 'x' END) AS c;""",
+      Map("DIR" -> sf))
+    assert(nul.filter(col("c").isNotNull).count() == 0)
+  }
+
   test("PARALLEL clause parses and is ignored (AQE owns parallelism)") {
     val df = PigScript.query(spark,
       """L = LOAD '$DIR/lineitem.parquet' USING parquet;
