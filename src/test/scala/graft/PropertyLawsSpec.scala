@@ -112,4 +112,26 @@ class PropertyLawsSpec extends SparkSpec {
       }
     }
   }
+
+  test("Pig parser: random token soup parses or fails fast with a position — never hangs") {
+    val tokens = Array(
+      "LOAD", "FILTER", "FOREACH", "GENERATE", "GROUP", "BY", "JOIN",
+      "ORDER", "LIMIT", "CASE", "WHEN", "THEN", "ELSE", "END", "AS",
+      "FLATTEN", "ALL", "USING", "MATCHES", "AND", "OR", "NOT", "a",
+      "b", "x12", "foo::bar", "$0", "$3", "'str'", "3", "2.5", "-1",
+      "(", ")", "{", "}", ",", ";", "=", "==", "<=", ">", "+", "*",
+      "/", "%", "?", ":", "..", ".", "#", "::", "*", "NULL", "TRUE")
+    for (i <- 1 to 400) {
+      val n = 1 + rnd.nextInt(24)
+      val soup = Seq.fill(n)(tokens(rnd.nextInt(tokens.length))).mkString(" ")
+      val t0 = System.nanoTime()
+      try { graft.pig.PigParser.parseScript(soup); () }
+      catch {
+        case e: IllegalArgumentException =>
+          assert(e.getMessage.contains("line"), s"no position for: $soup")
+        case e: Throwable => fail(s"unexpected ${e.getClass.getName} for: $soup")
+      }
+      assert((System.nanoTime() - t0) < 5e9, s"parser took >5s on: $soup")
+    }
+  }
 }
