@@ -362,6 +362,19 @@ class PigScriptSpec extends SparkSpec {
       Map("DIR" -> sf))
     assert(flt.count() ==
       tables.orders.filter(col("o_totalprice") > 100000.0).count())
+    // inline relation + nested block compose (algebraic path)
+    val nested = PigScript.query(spark,
+      """O = LOAD '$DIR/orders.parquet' USING parquet;
+         A = FOREACH (GROUP O BY o_custkey) {
+           big = FILTER O BY o_totalprice > 100000.0;
+           GENERATE group AS o_custkey, COUNT_STAR(big) AS n_big;
+         };""",
+      Map("DIR" -> sf))
+    assert(!nested.queryExecution.optimizedPlan.toString.contains("collect_list"))
+    val twin = tables.orders.groupBy("o_custkey")
+      .agg(count(when(col("o_totalprice") > 100000.0, lit(1))).as("n_big"))
+    assert(nested.orderBy("o_custkey").collect().toSeq ==
+      twin.orderBy("o_custkey").collect().toSeq)
   }
 
   test("nested inner FOREACH projection: algebraic path, no bags") {
