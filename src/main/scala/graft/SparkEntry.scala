@@ -832,7 +832,14 @@ object SparkEntry {
     "q101_epoch_shuffle" -> ((s, dir) =>
       graft.operators.TrainingPipeline.epochShuffle(
         t(s, dir).documents, "doc_id", seed = 7)
-        .select(col("doc_id"), col("ord")))
+        .select(col("doc_id"), col("ord"))),
+
+    // --- sequence packing (docs -> fixed-token-budget sequences) ---
+    "q104_seq_pack" -> ((s, dir) =>
+      graft.operators.TrainingPipeline.packSequences(
+        t(s, dir).documents, "source", "doc_id",
+        graft.operators.TextAnalysis.wsTokenCount(col("text")), budgetTokens = 200L)
+        .select(col("doc_id"), col("source"), col("seq_id")))
   )
 
   private def pigQ(res: String): (SparkSession, String) => DataFrame =
@@ -1624,6 +1631,14 @@ object SparkEntry {
       """SELECT doc_id,
          CAST(row_number() OVER (
            ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS ord
+         FROM documents""",
+
+    "q104_seq_pack" ->
+      """SELECT doc_id, source,
+         CAST(COALESCE(FLOOR(
+           SUM(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')))
+             OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) / 200), 0) AS BIGINT) AS seq_id
          FROM documents"""
   )
 }

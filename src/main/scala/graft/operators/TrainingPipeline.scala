@@ -132,6 +132,31 @@ object TrainingPipeline {
     * offsets from bounded count longs), NOT a single-partition window
     * — at 100 TB a window over a global ORDER BY is one task sorting
     * the world. */
+  /** Sequence packing — assign documents to consecutive fixed-budget
+    * training sequences (the step between token chunking and
+    * batching): within each shard, docs in deterministic id order are
+    * laid on a concatenated token stream and `seq_id =
+    * floor(exclusive-prefix-tokens / budget)` — the standard
+    * concatenated-stream packing (a doc may straddle a boundary; the
+    * loader masks across the seam).
+    *
+    * Shape at 100 TB: one shuffle on the shard key; the running sum is
+    * a window per shard, so per-shard row counts must be bounded —
+    * which is exactly what [[graft.SparkEntry]]'s shard-assignment op
+    * (q66) guarantees upstream. Deterministic in (shard, id), so any
+    * retry/partitioning produces identical sequence ids. */
+  def packSequences(docs: DataFrame, shardCol: String, idCol: String,
+      tokens: Column, budgetTokens: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCol).orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.withColumn("__tok", tokens)
+      .withColumn("seq_id",
+        coalesce(floor(sum(col("__tok")).over(w) / budgetTokens), lit(0))
+          .cast("long"))
+      .drop("__tok")
+  }
+
   def epochShuffle(docs: DataFrame, idCol: String, seed: Int): DataFrame = {
     val keyed = docs.withColumn("__shuffle_key",
       md5(concat_ws(":", lit(seed), col(idCol))))

@@ -130,6 +130,33 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(e8 != first)
   }
 
+  test("packSequences: contiguous per-shard seq ids, budget-bounded, partition-invariant") {
+    import graft.operators.{TextAnalysis, TrainingPipeline}
+    val budget = 200L
+    val packed = TrainingPipeline.packSequences(tables.documents,
+      "source", "doc_id", TextAnalysis.wsTokenCount(col("text")), budget)
+      .withColumn("tok", TextAnalysis.wsTokenCount(col("text")))
+    val rows = packed.select($"source", $"doc_id", $"seq_id", $"tok")
+      .as[(String, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (src, docs) =>
+      val inOrder = docs.sortBy(_._2)
+      assert(inOrder.head._3 == 0L, src)
+      // concatenated-stream invariant (implies nondecreasing, no skips
+      // while the stream advances): a doc's seq is its exclusive prefix
+      // divided by the budget
+      var prefix = 0L
+      inOrder.foreach { case (_, id, seq, tok) =>
+        assert(seq == prefix / budget, s"$src doc $id")
+        prefix += tok
+      }
+    }
+    // partitioning-invariant
+    val again = TrainingPipeline.packSequences(tables.documents.repartition(13),
+      "source", "doc_id", TextAnalysis.wsTokenCount(col("text")), budget)
+      .select($"doc_id", $"seq_id").as[(Long, Long)].collect().toMap
+    assert(again == rows.map(r => r._2 -> r._3).toMap)
+  }
+
   test("tfidfTopTerms: k per doc, corpus-wide terms rank below rare ones") {
     val docs = Seq(
       (1L, "alpha alpha alpha common common"),
