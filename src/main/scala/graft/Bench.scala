@@ -17,7 +17,27 @@ object Bench {
     "q01_scan_filter_project", "q03_group_agg", "q05_join_agg",
     "q06_join_broadcast", "q14_order_limit", "q17_rank",
     "q21_flatten_tokenize", "q23_top_per_group", "q35_dedup_minhash",
-    "q39_cosine_topk", "q44_fingerprint", "q47_window_tumbling")
+    "q39_cosine_topk", "q44_fingerprint", "q47_window_tumbling",
+    // LLM-pipeline heavies (round 5+): TF-IDF, epoch shuffle, seq pack
+    "q100_tfidf", "q101_epoch_shuffle", "q104_seq_pack")
+
+  /** The CORRECTNESS entries for approximate ops are recall HARNESSES
+    * (operator + exact ground truth + compare in one job); benching the
+    * harness would time the brute-force truth stage, not the operator,
+    * and break comparability with BASELINE's pinned per-query numbers.
+    * These overrides bench the raw operator exactly as BASELINE ran it. */
+  val benchShapes: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map(
+      "q35_dedup_minhash" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        graft.operators.Dedup.fuzzyDupPairs(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+            shingleN = 3, threshold = 0.8)
+          .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+      }))
+
+  private def benchQuery(name: String): (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+    benchShapes.getOrElse(name, SparkEntry.queries(name))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -39,7 +59,7 @@ object Bench {
     // Warm pass: JIT, codegen caches, OS page cache for the parquet.
     qs.foreach { name =>
       System.err.println(s"[bench] warm $name")
-      try SparkEntry.queries(name)(spark, sfDir).count()
+      try benchQuery(name)(spark, sfDir).count()
       catch { case e: Throwable => System.err.println(s"[bench] warm $name failed: ${e.getMessage}") }
     }
 
@@ -53,7 +73,7 @@ object Bench {
       System.gc()
       val raw = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        try { benchQuery(name)(spark, sfDir).count() }
         catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }

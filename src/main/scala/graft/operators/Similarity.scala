@@ -121,21 +121,35 @@ object Similarity {
 
   /** ANN top-k via LSH buckets: corpus and queries are bucketed by the
     * same planes; candidates = same bucket; exact cosine + top-k within.
-    * One shuffle on bucket id; recall traded for never broadcasting or
-    * cross-joining the corpus — the 100 TB path. */
+    * One shuffle per band on bucket id; recall traded for never
+    * broadcasting or cross-joining the corpus — the 100 TB path.
+    *
+    * Multi-band OR-amplification (same shape as [[cosineDupPairs]]):
+    * one band of p planes finds a θ-neighbor with probability
+    * (1 − θ/π)^p — a coin-flip with no second chance; `bands`
+    * independent seeded plane sets drive candidate recall to
+    * 1 − (1 − (1−θ/π)^p)^bands while each band's buckets stay small.
+    * A candidate pair found by several bands is scored once per band
+    * and deduped by the distinct before top-k (score is deterministic,
+    * so the duplicate rows are identical). */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       corpusId: String, queryId: String, vecCol: String,
-      k: Int, planes: Int = 12): DataFrame = {
+      k: Int, planes: Int = 12, bands: Int = 4): DataFrame = {
     val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-      .select(col(corpusId), asDouble(col(vecCol)).as("__cvec"),
-        rpLshBucket(col(vecCol), planes).as("__bucket"))
-    val q = queries.select(col(queryId).as("query_id"), asDouble(col(vecCol)).as("__qvec"),
-      rpLshBucket(col(vecCol), planes).as("__bucket"))
-    val scored = c.join(q, Seq("__bucket"))
-      .filter(col(corpusId) =!= col("query_id"))
-      .withColumn("score", cosineFast(col("__cvec"), col("__qvec")))
-    boundedTopK(scored.select(col("query_id"), col(corpusId), col("score")), corpusId, k)
+      .select(col(corpusId), asDouble(col(vecCol)).as("__cvec"))
+    val q = queries.select(col(queryId).as("query_id"), asDouble(col(vecCol)).as("__qvec"))
+    val scored = (0 until bands).map { band =>
+      val cb = c.withColumn("__bucket",
+        graft.plans.VectorExpressions.rpLshBucket(col("__cvec"), planes, seed = 42L + band))
+      val qb = q.withColumn("__bucket",
+        graft.plans.VectorExpressions.rpLshBucket(col("__qvec"), planes, seed = 42L + band))
+      cb.join(qb, Seq("__bucket"))
+        .filter(col(corpusId) =!= col("query_id"))
+        .select(col("query_id"), col(corpusId),
+          cosineFast(col("__cvec"), col("__qvec")).as("score"))
+    }.reduce(_ unionAll _).distinct()
+    boundedTopK(scored, corpusId, k)
   }
 
   /** IVF (inverted-file) ANN top-k — the classic two-stage scale path:

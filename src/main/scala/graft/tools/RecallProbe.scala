@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only probe: prints the exact recall of the approximate ANN/dedup
+  * operators against brute-force truth at a given SF dir, so the
+  * CORRECTNESS recall bounds are set from measurement, not guesswork. */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = graft.core.GraftSession.configure(
+      SparkSession.builder().master("local[16]")
+        .config("spark.sql.shuffle.partitions", 16)
+        .config("spark.ui.enabled", "false")).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+    val truth = graft.operators.Similarity.bruteForceTopK(
+        emb, qs, "vec_id", "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+    def recall(name: String, found: org.apache.spark.sql.DataFrame): Unit = {
+      val nh = truth.join(found, Seq("query_id", "neighbor_id")).count()
+      val nt = truth.count()
+      println(f"[probe] $name: hit=$nh truth=$nt recall=${nh.toDouble / nt}%.3f")
+    }
+    recall("lsh p8 b4", graft.operators.Similarity.lshTopK(
+      emb, qs, "vec_id", "vec_id", "embedding", 5, planes = 8)
+      .select(col("query_id"), col("neighbor_id")))
+    recall("ivf 16/6", graft.operators.Similarity.ivfTopK(
+      emb, qs, "vec_id", "vec_id", "embedding", 5, nCentroids = 16, nProbe = 6)
+      .select(col("query_id"), col("neighbor_id")))
+    // minhash recall vs exact jaccard at 0.8
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val tPairs = graft.operators.Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id1", "id2")
+    val fPairs = graft.operators.Dedup.fuzzyDupPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id1", "id2")
+    val nh = tPairs.join(fPairs, Seq("id1", "id2")).count()
+    val nt = tPairs.count()
+    val nx = fPairs.join(tPairs, Seq("id1", "id2"), "left_anti").count()
+    println(f"[probe] minhash: hit=$nh truth=$nt extra=$nx recall=${nh.toDouble / nt}%.3f")
+    spark.stop()
+  }
+}
