@@ -158,7 +158,16 @@ object Relational {
         Row.fromSeq(r.toSeq :+ rank :+ dense)
       }
     }
+    // Eagerly materialize the small ranked-keys table (distinct keys +
+    // two longs) and cut its lineage, so the cached sorted-keys RDD can
+    // be released NOW instead of leaking for the session lifetime. The
+    // cache cannot simply be dropped lazily: the broadcast offsets were
+    // computed from one specific materialization, and the sampled range
+    // partitioner is not guaranteed to reproduce identical partition
+    // boundaries on a recompute.
     val rankedKeys = spark.createDataFrame(ranked, schema).drop("__cnt")
+      .localCheckpoint(true)
+    sortedRdd.unpersist(blocking = false)
     df.join(rankedKeys, keys)
   }
 

@@ -160,17 +160,27 @@ object TextAnalysis {
     * construction), matching the oracle's formulation exactly. */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val n = docs.count()
     val toks = tokens(col(textCol))
     val tf = docs
       .select(col(idCol), explode(toks).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfTerm = docs
-      .select(explode(array_distinct(toks)).as("term"))
+    // Corpus size N rides the SAME aggregate as the per-term document
+    // frequencies: every doc contributes one sentinel "term" (a lone
+    // space — the whitespace tokenizer can never produce a token
+    // containing whitespace, so it cannot collide), making
+    // df(sentinel) = N — including zero-token docs — with no separate
+    // count() pass over the docs lineage.
+    val sentinel = " "
+    val dfAll = docs
+      .select(explode(concat(array(lit(sentinel)), array_distinct(toks))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nRow = dfAll.filter(col("term") === sentinel)
+      .select(col("df").cast("double").as("__n"))
+    val dfTerm = dfAll.filter(col("term") =!= sentinel)
     val scored = tf.join(dfTerm, "term")
-      .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
+      .crossJoin(broadcast(nRow)) // 1 row by construction
+      .withColumn("score", col("tf") * log(col("__n") / col("df")))
     Relational.topPerGroup(scored, Seq(idCol), "score", k, tiebreak = "term")
       .select(col(idCol), col("term"), round(col("score"), 6).as("score"))
   }

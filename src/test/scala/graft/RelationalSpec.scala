@@ -46,6 +46,25 @@ class RelationalSpec extends SparkSpec {
     assert(got == Seq((1.0, 4L), (2.0, 2L), (2.0, 2L), (3.0, 1L)))
   }
 
+  test("rankBy does not leak a session-lifetime cached RDD") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    var result = Relational.rankBy(Seq(5, 1, 3, 3, 2).toDF("v"), Seq("v"))
+    result.count()
+    // the sorted-counts cache must be gone already; only the bounded
+    // ranked-keys localCheckpoint (lifetime = the result reference) may
+    // remain
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1)
+    // once the result is unreachable, the ContextCleaner reclaims the
+    // checkpoint blocks — i.e. nothing survives a rank call's consumers
+    result = null
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.sparkContext.getPersistentRDDs.size > before &&
+        System.nanoTime() < deadline) {
+      System.gc(); Thread.sleep(200)
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
+
   test("rankSequence assigns a 1-based dense sequence") {
     val df = Seq("a", "b", "c").toDF("s")
     val ranks = Relational.rankSequence(df).select($"rank").as[Long].collect().sorted
