@@ -936,7 +936,78 @@ object SparkEntry {
       graft.operators.TrainingPipeline.packSequences(
         t(s, dir).documents, "source", "doc_id",
         graft.operators.TextAnalysis.wsTokenCount(col("text")), budgetTokens = 200L)
-        .select(col("doc_id"), col("source"), col("seq_id")))
+        .select(col("doc_id"), col("source"), col("seq_id"))),
+
+    // --- federated two-cluster execution (SURVEY §2.8/§7.4): orders
+    //     lives on "cluster" A, customer on B (isolated newSession()s,
+    //     the FederationSpec harness shape). The planner cuts the join
+    //     edge, the orchestrator stages the cheaper side as parquet in
+    //     the destination's scratch area (cut + transfer + orchestrate),
+    //     and the result must hash-match the same plain single-session
+    //     SQL in DuckDB. ---
+    "q105_federated_join" -> ((s, dir) => {
+      import graft.fed.Federation._
+      val scratch = java.nio.file.Files.createTempDirectory("graft_fed_q105_").toString
+      val clusters = Map(
+        "A" -> Cluster("A", s.newSession(), s"$scratch/A"),
+        "B" -> Cluster("B", s.newSession(), s"$scratch/B"))
+      val catalog = new Catalog()
+        .register("orders", TableLoc("A", "parquet", s"$dir/orders.parquet"))
+        .register("customer", TableLoc("B", "parquet", s"$dir/customer.parquet"))
+      val fedPlan = FedBinary(
+        FedStage(FedScan("orders"),
+          _.filter(col("o_totalprice") > 100000), "hi_orders"),
+        FedScan("customer"),
+        (o, c) => o.join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_orders"),
+               sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price")),
+        "join_agg")
+      new Orchestrator(catalog, clusters).execute(fedPlan)
+    }),
+
+    // --- streaming replay through the real engine (watermark + window
+    //     + append-mode parquet sink, Trigger.AvailableNow, checkpoint
+    //     resume across runs). A sentinel event 365 days past the
+    //     fixture's max ts pushes the watermark beyond every real
+    //     window, so the emitted set is EXACTLY the batch answer —
+    //     which DuckDB recomputes. The sum goes through DECIMAL so
+    //     incremental state merge order cannot perturb the hash. ---
+    "q106_stream_replay" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_q106_").toString
+      val src = s"$tmp/src"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+      val ev = t(s, dir).events
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      ev.coalesce(1).write.mode("append").parquet(src)
+      val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0) // 1-row scalar
+      val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 365L * 86400 * 1000)
+      def run(): Unit = {
+        val counts = graft.streaming.EventsStreaming.readEvents(s, src)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+               sum(col("value").cast(DecimalType(18, 4))).as("sum_dec"))
+          .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+            col("event_type"), col("n_events"),
+            col("sum_dec").cast("double").as("sum_value"))
+        val q = counts.writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      run() // phase 1: the real timeline
+      ev.limit(1).select(lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
+          lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"))
+        .coalesce(1).write.mode("append").parquet(src)
+      run() // phase 2: sentinel arrives, watermark passes every real window
+      s.read.parquet(sink).filter(col("event_type") =!= "__sentinel")
+        .select(col("w_start"), col("w_end"), col("event_type"),
+          col("n_events"), col("sum_value"))
+    })
   )
 
   private def pigQ(res: String): (SparkSession, String) => DataFrame =
@@ -1827,6 +1898,24 @@ object SparkEntry {
            SUM(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')))
              OVER (PARTITION BY source ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) / 200), 0) AS BIGINT) AS seq_id
-         FROM documents"""
+         FROM documents""",
+
+    // the federated cut/transfer/orchestrate path must equal the plain
+    // single-engine join
+    "q105_federated_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_totalprice > 100000
+         GROUP BY c_nationkey""",
+
+    // the streaming replay's append-mode emitted set equals the batch
+    // windowed aggregation once the sentinel advances the watermark
+    "q106_stream_replay" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS w_end,
+         event_type, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2, 3"""
   )
 }
