@@ -249,13 +249,16 @@ object PigCompiler {
         val leftKeyCols = k0.map(compileExpr(d0, _))
         prepared.tail.foldLeft(d0) { case (acc, (_, di, ki)) =>
           // USING 'replicated' → broadcast; 'merge' (pre-sorted inputs) →
-          // sort-merge-join hint; 'skewed' → plain shuffle join, skew
-          // mitigation delegated to AQE (GraftSession enables
-          // skewJoin — the runtime split supersedes Pig's sampled
-          // skewed-join plan).
+          // sort-merge-join hint; 'skewed' → forced shuffle-merge join:
+          // the user is declaring big, skew-keyed sides, so a broadcast
+          // pick would be wrong at scale, and SMJ is the shape AQE's
+          // skew-join split acts on (GraftSession enables skewJoin —
+          // the runtime split supersedes Pig's sampled skewed-join
+          // plan).
           val right = using match {
             case Some("replicated") => broadcast(di)
             case Some("merge")      => di.hint("MERGE")
+            case Some("skewed")     => di.hint("SHUFFLE_MERGE")
             case _                  => di
           }
           val cond = leftKeyCols.zip(ki.map(compileExpr(di, _)))

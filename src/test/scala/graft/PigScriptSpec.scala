@@ -292,6 +292,21 @@ class PigScriptSpec extends SparkSpec {
         col("o_custkey") === col("c_custkey")).count())
   }
 
+  test("JOIN USING 'skewed' forces the shuffle-join shape AQE can skew-split") {
+    // nation is tiny — the un-hinted plan broadcasts it, so SMJ in the
+    // executed plan proves the skewed hint forced the shuffle shape
+    val j = PigScript.query(spark,
+      """C = LOAD '$DIR/customer.parquet' USING parquet;
+         N = LOAD '$DIR/nation.parquet' USING parquet;
+         J = JOIN C BY c_nationkey, N BY n_nationkey USING 'skewed';""",
+      Map("DIR" -> sf))
+    assert(j.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    assert(j.count() ==
+      tables.customer.join(tables.nation,
+        col("c_nationkey") === col("n_nationkey")).count())
+  }
+
   test("RANK BY is competition rank; RANK without BY is a sequence") {
     val ranked = PigScript.query(spark,
       """C = LOAD '$DIR/customer.parquet' USING parquet;
