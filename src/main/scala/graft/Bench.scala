@@ -56,6 +56,16 @@ object Bench {
     val qs = headline.filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.contains(n)))
 
+    // Co-tenant load is the main measurement hazard on this host (two
+    // rounds of phantom "regressions" were concurrent driver JVMs):
+    // record the 1/5/15-min load averages so a noisy run is attributable
+    // from the log instead of mis-read as a structural slowdown.
+    def logLoad(tag: String): Unit =
+      try System.err.println(s"[bench] loadavg $tag: " +
+        java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg")).trim)
+      catch { case _: Throwable => () }
+    logLoad("start")
+
     // Warm pass: JIT, codegen caches, OS page cache for the parquet.
     qs.foreach { name =>
       System.err.println(s"[bench] warm $name")
@@ -84,6 +94,7 @@ object Bench {
       System.err.println(f"[bench] $name times=${times.map(t => f"$t%.2f").mkString(",")}")
       name -> times(times.length / 2)
     }
+    logLoad("end")
     val qjson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -111,15 +111,26 @@ object Relational {
     *
     *   1. aggregate to per-key counts (shuffle #1, partial agg);
     *   2. range-partition + sort the keys (shuffle #2 — sampled range
-    *      partitioner, same as ORDER BY);
-    *   3. one tiny job collects per-partition (numKeys, numRows) — a
-    *      few longs per partition, NOT data rows;
-    *   4. broadcast the prefix offsets; per-partition scan assigns both
-    *      rank flavors;
-    *   5. join ranks back to the full relation on the key.
+    *      partitioner, same as ORDER BY), materialized ONCE as a local
+    *      checkpoint; per-partition (numKeys, numRows) stats ride the
+    *      SAME job via an accumulator — no separate stats pass over the
+    *      key table;
+    *   3. broadcast the prefix offsets; per-partition scan over the
+    *      checkpointed keys assigns both rank flavors;
+    *   4. join ranks back to the full relation on the key.
     *
     * Total: two shuffles over the distinct keys + one over the data for
-    * the final join — every step spillable and parallel.
+    * the final join, in TWO jobs — every step spillable and parallel.
+    *
+    * The checkpoint (not a bare persist) is load-bearing twice over:
+    * the offsets are only valid for one specific materialization (the
+    * sampled range partitioner need not reproduce identical partition
+    * boundaries on a recompute), and nothing survives the call — the
+    * checkpoint blocks' lifetime is the result's, reclaimed by the
+    * ContextCleaner, where an unpersisted cache leaked for the session.
+    * (Production note: use reliable checkpoint() with a checkpoint dir
+    * so executor loss cannot drop the truncated lineage — same note as
+    * [[graft.operators.Dedup.clusterPairs]].)
     */
   def rankBy(df: DataFrame, keys: Seq[String], ascending: Boolean = true): DataFrame = {
     val spark = df.sparkSession
@@ -132,21 +143,38 @@ object Relational {
       .add("dense_rank", LongType, nullable = false)
     val cntIdx = counts.schema.fieldIndex("__cnt")
 
-    val sortedRdd = counts.rdd
-    sortedRdd.persist(StorageLevel.MEMORY_AND_DISK)
-    val perPart = sortedRdd
-      .mapPartitionsWithIndex { (i, it) =>
-        var nKeys = 0L; var nRows = 0L
-        it.foreach { r => nKeys += 1; nRows += r.getLong(cntIdx) }
-        Iterator((i, nKeys, nRows))
+    // Pass-through iterator that reports (partition, numKeys, numRows)
+    // to the accumulator at exhaustion — the stats job and the
+    // materialization job are the same job. Task retries can report a
+    // partition twice (accumulator exactly-once holds per successful
+    // task, not per partition); values are deterministic per partition,
+    // so the driver dedupes by partition id.
+    val acc = spark.sparkContext.collectionAccumulator[(Int, Long, Long)]("rankBy partition stats")
+    val statted = counts.rdd.mapPartitionsWithIndex { (i, it) =>
+      var nKeys = 0L; var nRows = 0L; var reported = false
+      val underlying = it.map { r => nKeys += 1; nRows += r.getLong(cntIdx); r }
+      new scala.collection.AbstractIterator[Row] {
+        def hasNext: Boolean = {
+          val h = underlying.hasNext
+          if (!h && !reported) { acc.add((i, nKeys, nRows)); reported = true }
+          h
+        }
+        def next(): Row = underlying.next()
       }
-      .collect()
-      .sortBy(_._1)
-    val keyOffsets = perPart.map(_._2).scanLeft(0L)(_ + _).init
-    val rowOffsets = perPart.map(_._3).scanLeft(0L)(_ + _).init
+    }
+    val ckpt = statted.localCheckpoint()
+    ckpt.count() // job 1: materialize sorted keys + collect stats
+    val perPart = {
+      import scala.jdk.CollectionConverters._
+      acc.value.asScala.toSeq.groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
+    }
+    require(perPart.map(_._1) == (0 until ckpt.getNumPartitions),
+      s"rankBy: incomplete partition stats (${perPart.size} of ${ckpt.getNumPartitions})")
+    val keyOffsets = perPart.map(_._2).scanLeft(0L)(_ + _).init.toArray
+    val rowOffsets = perPart.map(_._3).scanLeft(0L)(_ + _).init.toArray
     val offB = spark.sparkContext.broadcast((keyOffsets, rowOffsets))
 
-    val ranked = sortedRdd.mapPartitionsWithIndex { (i, it) =>
+    val ranked = ckpt.mapPartitionsWithIndex { (i, it) =>
       val (ko, ro) = offB.value
       var localKeys = 0L
       var localRows = 0L
@@ -158,16 +186,7 @@ object Relational {
         Row.fromSeq(r.toSeq :+ rank :+ dense)
       }
     }
-    // Eagerly materialize the small ranked-keys table (distinct keys +
-    // two longs) and cut its lineage, so the cached sorted-keys RDD can
-    // be released NOW instead of leaking for the session lifetime. The
-    // cache cannot simply be dropped lazily: the broadcast offsets were
-    // computed from one specific materialization, and the sampled range
-    // partitioner is not guaranteed to reproduce identical partition
-    // boundaries on a recompute.
     val rankedKeys = spark.createDataFrame(ranked, schema).drop("__cnt")
-      .localCheckpoint(true)
-    sortedRdd.unpersist(blocking = false)
     df.join(rankedKeys, keys)
   }
 
