@@ -45,24 +45,33 @@ final class GraftSession(val spark: SparkSession) {
     * showing what each step's rows look like (schema + up to `n`
     * example rows). Spark-first rendition of the reference's
     * ILLUSTRATE: each sample is a `take(n)` — limit-pushdown keeps it
-    * interactive even over large inputs — without the reference's
-    * synthesized-example machinery (a row that reaches step k IS an
-    * example that survived steps 1..k-1). */
+    * interactive even over large inputs — and a row that reaches step k
+    * IS an example that survived steps 1..k-1. When a Filter step kills
+    * every sampled row, [[ExampleSynth]] supplies the reference's
+    * `pen.ExampleGenerator` behavior: a constraint-synthesized,
+    * predicate-verified example, clearly marked as synthesized. */
   def illustrate(alias: String, n: Int = 5): String = {
     apply(alias) // fail fast on unknown alias
     val chain = env.keys.toSeq.takeWhile(_ != alias) :+ alias
     val sb = new StringBuilder
+    def render(row: org.apache.spark.sql.Row): String =
+      row.toSeq.map {
+        case null => "null"
+        case s: String => s"'$s'"
+        case v => v.toString
+      }.mkString(", ")
     chain.foreach { a =>
       val df = env(a)
       val names = df.schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}")
       sb.append(s"$a: {${names.mkString(", ")}}\n")
-      df.take(n).foreach { row =>
-        sb.append("  (").append(
-          row.toSeq.map {
-            case null => "null"
-            case s: String => s"'$s'"
-            case v => v.toString
-          }.mkString(", ")).append(")\n")
+      val sampled = df.take(n)
+      sampled.foreach(row => sb.append("  (").append(render(row)).append(")\n"))
+      if (sampled.isEmpty) ExampleSynth.synthesize(df) match {
+        case Some(row) =>
+          sb.append("  (").append(render(row))
+            .append(")  -- synthesized: no input row reaches this step\n")
+        case None =>
+          sb.append("  -- empty (no example synthesizable)\n")
       }
     }
     sb.toString
