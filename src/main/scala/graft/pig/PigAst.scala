@@ -125,6 +125,10 @@ object PigAst {
     * (the macro form of DEFINE is expanded by the preprocessor). */
   final case class PDefineCmd(name: String, command: String,
       ship: Seq[String]) extends PStmt
+  /** `REGISTER 'path' [USING lang AS ns];` — with USING: a scripting-UDF
+    * namespace (functions callable as `ns.f(...)`); without: a jar. */
+  final case class PRegister(path: String,
+      script: Option[(String, String)]) extends PStmt
   final case class PAssign(alias: String, op: POp) extends PStmt
   final case class PStore(alias: String, path: String,
       using: Option[(String, Seq[String])]) extends PStmt

@@ -87,6 +87,14 @@ object PigCompiler {
     stmts.foreach {
       case PDefineCmd(name, cmd, ship) =>
         cmds(name) = (cmd, ship)
+      case PRegister(path, Some((lang, ns))) =>
+        // scripting UDFs: eager driver-side load — a missing engine or
+        // broken script fails HERE, at the REGISTER line, not mid-job
+        val src = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8")
+        graft.functions.ScriptUdfs.loadNamespace(ns, lang, src)
+      case PRegister(path, None) =>
+        spark.sparkContext.addJar(path)
       case s @ PAssign(alias, op) =>
         // attach alias + line to both compile-time and lazy plan-build
         // errors — the statement a user has to fix, PigServer-style
@@ -990,6 +998,14 @@ object PigCompiler {
       raw: Seq[PExpr], dtype: Column => DataType): Column = {
     def a0 = args.head
     fn match {
+      // `ns.func(...)`: scripting UDF (case-preserved by the parser).
+      // The active session is the one compiling this script — scalarCall
+      // has no session parameter and script UDFs are the only case that
+      // needs one (for the idempotent wrapper registration).
+      case nsfn if nsfn.contains(".") =>
+        val Array(ns, f) = nsfn.split("\\.", 2)
+        graft.functions.ScriptUdfs.column(
+          org.apache.spark.sql.SparkSession.active, ns, f, args)
       case "UPPER" => upper(a0)
       case "LOWER" => lower(a0)
       case "TRIM" => trim(a0)

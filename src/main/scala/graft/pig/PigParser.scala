@@ -141,8 +141,14 @@ object PigParser extends RegexParsers {
     "(" ~> expr <~ ")"
 
   // a call is ident followed immediately by '(' — disambiguated from a
-  // bare column ref by backtracking (| tries colRef next).
+  // bare column ref by backtracking (| tries colRef next). The
+  // namespaced form `ns.func(args)` is a scripting UDF (REGISTER …
+  // USING <lang> AS ns) — case-PRESERVED, script function names are
+  // case-sensitive, unlike builtins.
   private def funcCall: Parser[PExpr] =
+    (identRe ~ ("." ~> identRe) <~ guard("(")) ~ ("(" ~> repsep(expr, ",") <~ ")") ^^ {
+      case ns ~ f ~ args => PCall(s"$ns.$f", args)
+    } |
     (identRe <~ guard("(")) ~ ("(" ~> repsep(expr, ",") <~ ")") ^^ {
       case fn ~ args => PCall(fn.toUpperCase, args)
     }
@@ -347,6 +353,15 @@ object PigParser extends RegexParsers {
         case n ~ cmd ~ ship => PDefineCmd(n, cmd, ship.getOrElse(Nil))
       }
 
+  /** `REGISTER 'udf.py' USING jython AS myfuncs;` — scripting-UDF
+    * namespace; plain `REGISTER 'lib.jar';` ships a jar. */
+  private def registerStmt: Parser[PStmt] =
+    kw("register") ~> quoted ~
+      opt((kw("using") ~> ident) ~ (kw("as") ~> ident)) <~ ";" ^^ {
+        case path ~ Some(lang ~ ns) => PRegister(path, Some((lang, ns)))
+        case path ~ None => PRegister(path, None)
+      }
+
   private def dumpStmt: Parser[PStmt] = kw("dump") ~> ident <~ ";" ^^ PDump.apply
   private def describeStmt: Parser[PStmt] =
     kw("describe") ~> ident <~ ";" ^^ PDescribe.apply
@@ -360,8 +375,8 @@ object PigParser extends RegexParsers {
     }
 
   private def stmt: Parser[PStmt] =
-    positioned(defineCmdStmt | storeStmt | splitStmt | dumpStmt | describeStmt |
-      explainStmt | illustrateStmt | assertStmt | assign)
+    positioned(defineCmdStmt | registerStmt | storeStmt | splitStmt | dumpStmt |
+      describeStmt | explainStmt | illustrateStmt | assertStmt | assign)
 
   private def script: Parser[Seq[PStmt]] = rep(stmt)
 

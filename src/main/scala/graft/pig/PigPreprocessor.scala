@@ -21,8 +21,9 @@ package graft.pig
   *     alone.
   *  5. `IMPORT 'macros.pig';` inlines the named file (recursively,
   *     depth-bounded) so its macros join the importing script.
-  *  6. `SET/REGISTER` directives are stripped (engine-level concerns
-  *     handled by the SparkSession / classpath here).
+  *  6. `SET` directives are stripped (engine-level concerns handled by
+  *     the SparkSession here). `REGISTER` is NOT stripped — it is a real
+  *     statement (jar shipping / scripting-UDF namespaces, PigParser).
   */
 object PigPreprocessor {
 
@@ -31,7 +32,7 @@ object PigPreprocessor {
   private val declareRe =
     """(?im)^\s*%declare\s+(\w+)\s+('(?:\\.|[^'\\])*'|\S+)\s*;?\s*$""".r
   private val directiveRe =
-    """(?im)^\s*(set|register)\s+[^;]*;\s*$""".r
+    """(?im)^\s*set\s+[^;]*;\s*$""".r
   private val importRe =
     """(?im)^\s*import\s+'([^']+)'\s*;\s*$""".r
   private val macroDefRe =

@@ -47,22 +47,23 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("rankBy does not leak a session-lifetime cached RDD") {
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // track ids, not counts: the shared test session's OTHER cached RDDs
+    // come and go concurrently (ContextCleaner), only rankBy's are ours
+    val beforeIds = spark.sparkContext.getPersistentRDDs.keySet
+    def newIds = spark.sparkContext.getPersistentRDDs.keySet -- beforeIds
     var result = Relational.rankBy(Seq(5, 1, 3, 3, 2).toDF("v"), Seq("v"))
     result.count()
-    // the sorted-counts cache must be gone already; only the bounded
-    // ranked-keys localCheckpoint (lifetime = the result reference) may
-    // remain
-    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1)
+    // no separately-cached sorted-counts RDD; only the bounded
+    // sorted-keys localCheckpoint (lifetime = the result reference)
+    assert(newIds.size <= 1)
     // once the result is unreachable, the ContextCleaner reclaims the
     // checkpoint blocks — i.e. nothing survives a rank call's consumers
     result = null
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-    while (spark.sparkContext.getPersistentRDDs.size > before &&
-        System.nanoTime() < deadline) {
+    while (newIds.nonEmpty && System.nanoTime() < deadline) {
       System.gc(); Thread.sleep(200)
     }
-    assert(spark.sparkContext.getPersistentRDDs.size == before)
+    assert(newIds.isEmpty)
   }
 
   test("rankSequence assigns a 1-based dense sequence") {
