@@ -1007,7 +1007,14 @@ object SparkEntry {
       s.read.parquet(sink).filter(col("event_type") =!= "__sentinel")
         .select(col("w_start"), col("w_end"), col("event_type"),
           col("n_events"), col("sum_value"))
-    })
+    }),
+
+    // --- bigram-LM perplexity (CCNet-style quality filtering signal):
+    //     model trained on the corpus itself, so DuckDB recomputes the
+    //     identical counts and scores exactly ---
+    "q107_bigram_ppl" -> ((s, dir) =>
+      graft.operators.TextAnalysis.bigramPerplexity(
+        t(s, dir).documents, "doc_id", "text"))
   )
 
   private def pigQ(res: String): (SparkSession, String) => DataFrame =
@@ -1916,6 +1923,26 @@ object SparkEntry {
          time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS w_end,
          event_type, COUNT(*) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1, 2, 3"""
+         FROM events GROUP BY 1, 2, 3""",
+
+    // same add-0.5-smoothed bigram model, retrained by the oracle;
+    // per-bigram log-probs quantized to DECIMAL(18,12) on both engines
+    // so the per-doc mean is order-independent and portable
+    "q107_bigram_ppl" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+           FROM documents),
+         idx AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                 FROM tk WHERE len(toks) >= 2),
+         bge AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM idx),
+         c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bge GROUP BY 1, 2),
+         uni AS (SELECT unnest(toks) AS w FROM tk),
+         c1 AS (SELECT w, COUNT(*) AS c1 FROM uni GROUP BY 1),
+         v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM c1),
+         lp AS (SELECT doc_id, CAST(ln((c12 + 0.5) / (c1 + 0.5 * v)) AS DECIMAL(18,12)) AS lp
+                FROM bge JOIN c12 USING (w1, w2) JOIN c1 ON bge.w1 = c1.w CROSS JOIN v)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                round(exp(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*))), 6) AS ppl
+         FROM lp GROUP BY doc_id"""
   )
 }

@@ -184,4 +184,52 @@ object TextAnalysis {
     Relational.topPerGroup(scored, Seq(idCol), "score", k, tiebreak = "term")
       .select(col(idCol), col("term"), round(col("score"), 6).as("score"))
   }
+
+  /** Per-document bigram-LM perplexity against a model trained on the
+    * corpus itself — the classic LM-quality filtering signal every
+    * curation pipeline computes (boilerplate and gibberish score high,
+    * fluent prose low; filter on a ppl band).
+    *
+    * Model: add-α smoothed bigram MLE, P(w2|w1) = (C(w1,w2) + α) /
+    * (C(w1) + α·V) with C(w1) the corpus unigram count and V the
+    * vocabulary size. Because the model IS the corpus, every scored
+    * bigram exists in the counts — inner joins, no unseen-mass terms.
+    *
+    * Scale shape: bigrams are built expression-level (no per-doc
+    * window), counts are two partial-aggregated shuffles (bigram key,
+    * unigram key), scoring is two joins that shuffle on those same
+    * keys — the vocabulary is never broadcast and hot tokens ("the")
+    * are AQE's skew-join case. V rides the unigram aggregate (count of
+    * groups), not a separate pass.
+    *
+    * Float discipline: each bigram's log-probability is quantized to
+    * DECIMAL(18,12) before the per-doc sum, so the mean is independent
+    * of partitioning/order and engine-portable; only the final exp
+    * rides a double (rounded to 6). Docs with fewer than 2 tokens have
+    * no bigrams and are excluded, like any LM scorer. */
+  def bigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val based = docs.select(col(idCol), toks.as("__toks")).filter(size(col("__toks")) >= 2)
+    val bigrams = based.select(col(idCol),
+      explode(transform(sequence(lit(0), size(col("__toks")) - 2),
+        i => struct(element_at(col("__toks"), i + 1).as("w1"),
+          element_at(col("__toks"), i + 2).as("w2")))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni = docs.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vRow = uni.agg(count(lit(1)).cast("double").as("__v"))
+    val lp = bigrams
+      .join(c12, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vRow)) // 1 row by construction
+      .select(col(idCol),
+        log((col("c12") + lit(alpha)) / (col("c1") + lit(alpha) * col("__v")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 12)).as("lp"))
+    lp.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"), sum(col("lp")).as("slp"))
+      .select(col(idCol), col("n_bigrams"),
+        round(exp(-(col("slp").cast("double") / col("n_bigrams"))), 6).as("ppl"))
+  }
 }

@@ -6,6 +6,22 @@ import graft.operators.{Relational, StreamThrough}
 class OperatorEdgeSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bigramPerplexity: predictable text scores lower; short docs excluded") {
+    val docs = Seq(
+      (1L, "a a a a a a a a a a"),              // one bigram, fully predictable
+      (2L, "q w e r t y u i o p"),              // every bigram unique
+      (3L, "solo"),                             // < 2 tokens: no score
+      (4L, "")                                  // empty: no score
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.bigramPerplexity(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L))
+    val Seq((_, n1, p1), (_, _, p2)) = got
+    assert(n1 == 9L)
+    assert(p1 < p2, s"repeated text should be more predictable: $p1 vs $p2")
+  }
+
   test("assertRows passes valid data through unchanged") {
     val df = Seq(1, 2, 3).toDF("v")
     assert(Relational.assertRows(df, $"v" > 0, "positive").count() == 3)
