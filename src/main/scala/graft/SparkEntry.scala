@@ -1014,7 +1014,17 @@ object SparkEntry {
     //     identical counts and scores exactly ---
     "q107_bigram_ppl" -> ((s, dir) =>
       graft.operators.TextAnalysis.bigramPerplexity(
-        t(s, dir).documents, "doc_id", "text"))
+        t(s, dir).documents, "doc_id", "text")),
+
+    // --- temperature mixture resampling (LLaMA-style data mixing):
+    //     τ = 0.7, budget = 50% of corpus tokens; keep decisions are
+    //     md5-fraction deterministic so DuckDB recomputes the exact
+    //     kept set ---
+    "q108_temperature_mix" -> ((s, dir) =>
+      graft.operators.TrainingPipeline.temperatureMixture(
+        t(s, dir).documents, "doc_id", "source",
+        graft.operators.TextAnalysis.wsTokenCount(col("text")),
+        tau = 0.7, budgetFrac = 0.5))
   )
 
   private def pigQ(res: String): (SparkSession, String) => DataFrame =
@@ -1943,6 +1953,32 @@ object SparkEntry {
                 FROM bge JOIN c12 USING (w1, w2) JOIN c1 ON bge.w1 = c1.w CROSS JOIN v)
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
                 round(exp(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*))), 6) AS ppl
-         FROM lp GROUP BY doc_id"""
+         FROM lp GROUP BY doc_id""",
+
+    // identical τ-tempered rate table + md5-fraction keep rule; the
+    // nibble arithmetic is exact small-integer math on both engines
+    "q108_temperature_mix" ->
+      """WITH toks AS (
+           SELECT doc_id, source,
+             len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS nt
+           FROM documents),
+         masses AS (SELECT source, CAST(SUM(nt) AS DOUBLE) AS t_i FROM toks GROUP BY source),
+         z AS (SELECT SUM(pow(t_i, 0.7)) AS z, SUM(t_i) AS t_total FROM masses),
+         rates AS (
+           SELECT source, least(1.0, pow(t_i, 0.7) / z.z * 0.5 * z.t_total / t_i) AS rate
+           FROM masses CROSS JOIN z),
+         u AS (
+           SELECT doc_id, source,
+             (position(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN '0123456789abcdef') - 1) / 16.0
+           + (position(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1) IN '0123456789abcdef') - 1) / 256.0
+           + (position(substring(md5(CAST(doc_id AS VARCHAR)), 3, 1) IN '0123456789abcdef') - 1) / 4096.0
+           + (position(substring(md5(CAST(doc_id AS VARCHAR)), 4, 1) IN '0123456789abcdef') - 1) / 65536.0
+           + (position(substring(md5(CAST(doc_id AS VARCHAR)), 5, 1) IN '0123456789abcdef') - 1) / 1048576.0
+           + (position(substring(md5(CAST(doc_id AS VARCHAR)), 6, 1) IN '0123456789abcdef') - 1) / 16777216.0
+             AS u
+           FROM documents)
+         SELECT u.doc_id, u.source
+         FROM u JOIN rates ON u.source = rates.source
+         WHERE u.u < rates.rate"""
   )
 }

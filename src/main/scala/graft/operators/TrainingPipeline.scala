@@ -157,6 +157,41 @@ object TrainingPipeline {
       .drop("__tok")
   }
 
+  /** Temperature-based mixture resampling — the data-mixing step of
+    * every multi-source pretraining run: per-source token masses t_i
+    * become sampling weights w_i = t_i^τ / Σ t_j^τ (τ < 1 upweights
+    * small sources), a token budget B = budgetFrac · Σ t_i allocates
+    * target_i = B · w_i per source, and each doc keeps with rate
+    * min(1, target_i / t_i) — decided DETERMINISTICALLY by the doc's
+    * md5-fraction (first 6 nibbles → u ∈ [0,1), exact small-integer
+    * arithmetic, so any engine / retry / partitioning keeps the same
+    * docs; same contract as q63/q75).
+    *
+    * Scale shape: one aggregate over docs for the per-source masses
+    * (few sources → a broadcast rate table), then a pure per-row
+    * filter — no sort, no window, no per-source top-k; the expected
+    * budget error is binomial (O(1/√n_i) per source), which is what
+    * production mixers accept in exchange for a shuffle-free pass. */
+  def temperatureMixture(docs: DataFrame, idCol: String, sourceCol: String,
+      tokenCount: Column, tau: Double, budgetFrac: Double): DataFrame = {
+    val masses = docs.groupBy(col(sourceCol))
+      .agg(sum(tokenCount).cast("double").as("t_i"))
+    val z = masses.agg(sum(pow(col("t_i"), tau)).as("z"),
+      sum(col("t_i")).as("t_total"))
+    val rates = masses.crossJoin(broadcast(z)) // 1 row by construction
+      .select(col(sourceCol),
+        least(lit(1.0),
+          pow(col("t_i"), tau) / col("z") * lit(budgetFrac) * col("t_total") / col("t_i"))
+          .as("rate"))
+    val u = (0 until 6).map { k =>
+      (expr(s"position(substring(md5(cast($idCol as string)), ${k + 1}, 1) " +
+        "IN '0123456789abcdef')") - 1).cast("double") / math.pow(16.0, k + 1)
+    }.reduce(_ + _)
+    docs.join(broadcast(rates), sourceCol)
+      .filter(u < col("rate"))
+      .select(col(idCol), col(sourceCol))
+  }
+
   def epochShuffle(docs: DataFrame, idCol: String, seed: Int): DataFrame = {
     val keyed = docs.withColumn("__shuffle_key",
       md5(concat_ws(":", lit(seed), col(idCol))))

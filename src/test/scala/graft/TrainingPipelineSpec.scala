@@ -111,6 +111,38 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(s1.select("doc_id").collect().toSet == twin.select("doc_id").collect().toSet)
   }
 
+  test("temperatureMixture: deterministic, τ upweights small sources, budget-ish") {
+    import graft.operators.{TextAnalysis, TrainingPipeline}
+    val docs = tables.documents
+    def kept(tau: Double) = TrainingPipeline.temperatureMixture(
+      docs, "doc_id", "source", TextAnalysis.wsTokenCount(col("text")),
+      tau = tau, budgetFrac = 0.5)
+    // deterministic under repartitioning: pure hash filter
+    val a = kept(0.7).collect().map(_.getLong(0)).toSet
+    val b = TrainingPipeline.temperatureMixture(
+      docs.repartition(13), "doc_id", "source",
+      TextAnalysis.wsTokenCount(col("text")), 0.7, 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+    // the kept fraction lands near the 50% token budget (binomial slack)
+    val frac = a.size.toDouble / docs.count()
+    assert(frac > 0.3 && frac < 0.7, s"kept fraction $frac")
+    // τ < 1 upweights small sources: the smallest source's keep RATE is
+    // >= the largest source's under τ=0.7 (they'd be equal at τ=1)
+    val masses = docs.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptBySrc = kept(0.7).groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val smallest = masses.minBy(_._2)._1
+    val largest = masses.maxBy(_._2)._1
+    if (smallest != largest) {
+      val rSmall = keptBySrc.getOrElse(smallest, 0L).toDouble / masses(smallest)
+      val rLarge = keptBySrc.getOrElse(largest, 0L).toDouble / masses(largest)
+      assert(rSmall >= rLarge - 0.1,
+        s"τ<1 should favor small sources: $smallest=$rSmall vs $largest=$rLarge")
+    }
+  }
+
   test("epochShuffle: exact permutation, seed-stable, partitioning-invariant") {
     val docs = tables.documents
     val n = docs.count()
