@@ -129,6 +129,8 @@ object PigAst {
     * namespace (functions callable as `ns.f(...)`); without: a jar. */
   final case class PRegister(path: String,
       script: Option[(String, String)]) extends PStmt
+  /** `SET key value;` — engine property. */
+  final case class PSet(key: String, value: String) extends PStmt
   final case class PAssign(alias: String, op: POp) extends PStmt
   final case class PStore(alias: String, path: String,
       using: Option[(String, Seq[String])]) extends PStmt

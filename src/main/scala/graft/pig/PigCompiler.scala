@@ -95,6 +95,18 @@ object PigCompiler {
         graft.functions.ScriptUdfs.loadNamespace(ns, lang, src)
       case PRegister(path, None) =>
         spark.sparkContext.addJar(path)
+      case PSet(key, value) => key match {
+        // Pig's parallelism knob → Spark's shuffle parallelism
+        case "default_parallel" =>
+          spark.conf.set("spark.sql.shuffle.partitions", value)
+        // engine properties pass through (runtime-modifiable SQL confs;
+        // a static conf raises Spark's own clear error at this line)
+        case k if k.startsWith("spark.") => spark.conf.set(k, value)
+        // MR-era job properties (job.name, mapreduce.*, pig.*) have no
+        // Spark meaning — accepted and ignored, like Pig on an engine
+        // that does not know the key
+        case _ => ()
+      }
       case s @ PAssign(alias, op) =>
         // attach alias + line to both compile-time and lazy plan-build
         // errors — the statement a user has to fix, PigServer-style

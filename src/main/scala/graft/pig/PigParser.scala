@@ -362,6 +362,14 @@ object PigParser extends RegexParsers {
         case path ~ None => PRegister(path, None)
       }
 
+  /** `SET key value;` — engine property (dotted keys allowed; value may
+    * be quoted or a bare token). */
+  private def setStmt: Parser[PStmt] =
+    kw("set") ~> """[A-Za-z_][A-Za-z0-9_.]*""".r ~
+      (quoted | """[^\s;]+""".r) <~ ";" ^^ {
+        case k ~ v => PSet(k, v)
+      }
+
   private def dumpStmt: Parser[PStmt] = kw("dump") ~> ident <~ ";" ^^ PDump.apply
   private def describeStmt: Parser[PStmt] =
     kw("describe") ~> ident <~ ";" ^^ PDescribe.apply
@@ -375,8 +383,9 @@ object PigParser extends RegexParsers {
     }
 
   private def stmt: Parser[PStmt] =
-    positioned(defineCmdStmt | registerStmt | storeStmt | splitStmt | dumpStmt |
-      describeStmt | explainStmt | illustrateStmt | assertStmt | assign)
+    positioned(defineCmdStmt | registerStmt | setStmt | storeStmt | splitStmt |
+      dumpStmt | describeStmt | explainStmt | illustrateStmt | assertStmt |
+      assign)
 
   private def script: Parser[Seq[PStmt]] = rep(stmt)
 

@@ -21,9 +21,9 @@ package graft.pig
   *     alone.
   *  5. `IMPORT 'macros.pig';` inlines the named file (recursively,
   *     depth-bounded) so its macros join the importing script.
-  *  6. `SET` directives are stripped (engine-level concerns handled by
-  *     the SparkSession here). `REGISTER` is NOT stripped — it is a real
-  *     statement (jar shipping / scripting-UDF namespaces, PigParser).
+  *  6. Neither `SET` nor `REGISTER` is stripped — both are real
+  *     statements now (session conf / jar shipping / scripting-UDF
+  *     namespaces, PigParser).
   */
 object PigPreprocessor {
 
@@ -31,8 +31,6 @@ object PigPreprocessor {
     """(?im)^\s*%default\s+(\w+)\s+('(?:\\.|[^'\\])*'|\S+)\s*;?\s*$""".r
   private val declareRe =
     """(?im)^\s*%declare\s+(\w+)\s+('(?:\\.|[^'\\])*'|\S+)\s*;?\s*$""".r
-  private val directiveRe =
-    """(?im)^\s*set\s+[^;]*;\s*$""".r
   private val importRe =
     """(?im)^\s*import\s+'([^']+)'\s*;\s*$""".r
   private val macroDefRe =
@@ -57,7 +55,6 @@ object PigPreprocessor {
     val declares = collect(declareRe, imported)
     var t = defaultRe.replaceAllIn(imported, "")
     t = declareRe.replaceAllIn(t, "")
-    t = directiveRe.replaceAllIn(t, "")
 
     // 2. macros: collect definitions, strip them, then expand call sites
     val macros = macroDefRe.findAllMatchIn(t).map { m =>

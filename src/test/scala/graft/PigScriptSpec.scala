@@ -307,6 +307,25 @@ class PigScriptSpec extends SparkSpec {
         col("c_nationkey") === col("n_nationkey")).count())
   }
 
+  test("SET default_parallel / spark.* apply to the session; MR-era keys are ignored") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val df = PigScript.query(spark,
+        """SET default_parallel 7;
+           SET spark.sql.autoBroadcastJoinThreshold 1048576;
+           SET job.name 'legacy-mr-prop';
+           O = LOAD '$DIR/orders.parquet' USING parquet;
+           G = FOREACH (GROUP O ALL) GENERATE COUNT(O) AS n;""",
+        Map("DIR" -> sf))
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+      assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "1048576")
+      assert(df.collect()(0).getLong(0) == tables.orders.count())
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", before)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("RANK BY is competition rank; RANK without BY is a sequence") {
     val ranked = PigScript.query(spark,
       """C = LOAD '$DIR/customer.parquet' USING parquet;
