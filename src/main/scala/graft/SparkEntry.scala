@@ -1024,7 +1024,10 @@ object SparkEntry {
       graft.operators.TrainingPipeline.temperatureMixture(
         t(s, dir).documents, "doc_id", "source",
         graft.operators.TextAnalysis.wsTokenCount(col("text")),
-        tau = 0.7, budgetFrac = 0.5))
+        tau = 0.7, budgetFrac = 0.5)),
+
+    // --- TOP(n, field, bag) builtin through the Pig front-end ---
+    "q109_pig_top" -> pigQ("/pig/q109_top_builtin.pig")
   )
 
   private def pigQ(res: String): (SparkSession, String) => DataFrame =
@@ -1979,6 +1982,13 @@ object SparkEntry {
            FROM documents)
          SELECT u.doc_id, u.source
          FROM u JOIN rates ON u.source = rates.source
-         WHERE u.u < rates.rate"""
+         WHERE u.u < rates.rate""",
+
+    "q109_pig_top" ->
+      """SELECT o_custkey AS ck, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderkey DESC) AS rn
+           FROM orders) WHERE rn <= 3"""
   )
 }

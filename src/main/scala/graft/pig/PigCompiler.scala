@@ -1041,6 +1041,26 @@ object PigCompiler {
       case "STARTSWITH" => PigFunctions.startsWithPig(a0, litString(raw, 1, fn))
       case "ENDSWITH" => PigFunctions.endsWithPig(a0, litString(raw, 1, fn))
       case "EQUALSIGNORECASE" => PigFunctions.equalsIgnoreCase(a0, args(1))
+      // TOP(n, fieldIdx, bag) [Pig: o.a.p.builtin.TOP — priority-queue
+      // Algebraic UDF]: top-n tuples of the bag by the idx-th field,
+      // descending — expressed as sorted-slice bag HOFs (no shuffle;
+      // null field values compare equal, like an untouched PQ slot)
+      case "TOP" =>
+        val n = litInt(raw, 0, fn)
+        val idx = litInt(raw, 1, fn)
+        val bag = args(2)
+        dtype(bag) match {
+          case ArrayType(st: StructType, _) =>
+            require(idx >= 0 && idx < st.fields.length,
+              s"TOP: field index $idx out of range (0..${st.fields.length - 1})")
+            val f = st.fields(idx).name
+            slice(array_sort(bag, (l, r) =>
+              when(l.getField(f) < r.getField(f), lit(1))
+                .when(l.getField(f) > r.getField(f), lit(-1))
+                .otherwise(lit(0))), 1, n)
+          case other => throw new IllegalArgumentException(
+            s"TOP expects a bag of tuples, got ${other.simpleString}")
+        }
       case "SIZE" => dtype(a0) match {
         case StringType => length(a0).cast("long")
         case _: ArrayType | _: MapType => PigFunctions.sizeOf(a0).cast("long")

@@ -307,6 +307,25 @@ class PigScriptSpec extends SparkSpec {
         col("c_nationkey") === col("n_nationkey")).count())
   }
 
+  test("TOP builtin picks the n largest by the given field") {
+    val df = PigScript.query(spark,
+      """O = LOAD '$DIR/orders.parquet' USING parquet;
+         P = FOREACH O GENERATE o_custkey AS ck, o_orderkey, o_totalprice;
+         G = GROUP P BY ck;
+         T = FOREACH G GENERATE group AS g_ck, TOP(2, 2, P) AS top2;
+         R = FOREACH T GENERATE g_ck, FLATTEN(top2.o_totalprice) AS price;""",
+      Map("DIR" -> sf))
+    val got = df.groupBy(col("g_ck")).agg(min(col("price")).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
+    val want = tables.orders
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .groupBy(col("o_custkey")).agg(min(col("o_totalprice")).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want)
+  }
+
   test("SET default_parallel / spark.* apply to the session; MR-era keys are ignored") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {
