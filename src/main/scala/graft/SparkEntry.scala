@@ -1027,7 +1027,33 @@ object SparkEntry {
         tau = 0.7, budgetFrac = 0.5)),
 
     // --- TOP(n, field, bag) builtin through the Pig front-end ---
-    "q109_pig_top" -> pigQ("/pig/q109_top_builtin.pig")
+    "q109_pig_top" -> pigQ("/pig/q109_top_builtin.pig"),
+
+    // --- streaming stream–static enrichment (the lookup-join shape):
+    //     events replay through the engine, each micro-batch joins the
+    //     broadcast customer dim; append mode with no aggregation emits
+    //     every row exactly once, so the sink equals the batch left
+    //     join DuckDB computes ---
+    "q110_stream_enrich" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_q110_").toString
+      val src = s"$tmp/src"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+      val ev = t(s, dir).events
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      ev.coalesce(1).write.mode("append").parquet(src)
+      val dim = t(s, dir).customer.select(col("c_custkey"), col("c_mktsegment"))
+      val q = graft.streaming.EventsStreaming.enriched(
+          graft.streaming.EventsStreaming.readEvents(s, src), dim,
+          "user_id", "c_custkey")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("c_mktsegment"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink)
+    })
   )
 
   private def pigQ(res: String): (SparkSession, String) => DataFrame =
@@ -1989,6 +2015,12 @@ object SparkEntry {
            SELECT o_custkey, o_orderkey, o_totalprice,
                   row_number() OVER (PARTITION BY o_custkey
                                      ORDER BY o_orderkey DESC) AS rn
-           FROM orders) WHERE rn <= 3"""
+           FROM orders) WHERE rn <= 3""",
+
+    // append mode + no aggregation = every event exactly once = the
+    // batch left join
+    "q110_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"""
   )
 }
