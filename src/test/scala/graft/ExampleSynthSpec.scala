@@ -56,6 +56,39 @@ class ExampleSynthSpec extends SparkSpec {
     assert(ExampleSynth.synthesize(docs.groupBy($"name").count()).isEmpty)
   }
 
+  test("soundness law: a synthesized row ALWAYS passes the real filter (200 random predicates)") {
+    // seeded generator over (id: long, score: double, name: string):
+    // random conjunctions, possibly contradictory — the law is only
+    // that Some(row) implies df-of-row survives the original filter
+    val rnd = new scala.util.Random(7)
+    val base = docs.limit(0) // schema-only; sample rows must not matter
+    var synthesized = 0
+    for (_ <- 1 to 200) {
+      def numC(c: org.apache.spark.sql.Column, v: Double) = rnd.nextInt(5) match {
+        case 0 => c === v; case 1 => c > v; case 2 => c < v
+        case 3 => c >= v; case 4 => c <= v
+      }
+      val conjs = Seq.newBuilder[org.apache.spark.sql.Column]
+      if (rnd.nextBoolean()) conjs += numC($"id".cast("double"), rnd.nextInt(100) - 50)
+      if (rnd.nextBoolean()) conjs += numC($"score", (rnd.nextInt(200) - 100) / 4.0)
+      if (rnd.nextBoolean()) conjs += (rnd.nextInt(3) match {
+        case 0 => $"name" === s"v${rnd.nextInt(10)}"
+        case 1 => $"name".startsWith(s"p${rnd.nextInt(10)}")
+        case 2 => $"name" > s"m${rnd.nextInt(10)}"
+      })
+      val cs = conjs.result()
+      val cond = if (cs.isEmpty) lit(true) else cs.reduce(_ && _)
+      ExampleSynth.synthesize(base.filter(cond)).foreach { row =>
+        synthesized += 1
+        val one = spark.createDataFrame(
+          java.util.List.of(row), base.schema)
+        assert(one.filter(cond).count() == 1,
+          s"synthesized row $row does not satisfy $cond")
+      }
+    }
+    assert(synthesized > 100, s"solver succeeded only $synthesized/200 times")
+  }
+
   test("ILLUSTRATE renders the synthesized row, clearly marked") {
     val gs = new GraftSession(spark)
     gs.register("D", docs)
