@@ -18,8 +18,10 @@ object Bench {
     "q06_join_broadcast", "q14_order_limit", "q17_rank",
     "q21_flatten_tokenize", "q23_top_per_group", "q35_dedup_minhash",
     "q39_cosine_topk", "q44_fingerprint", "q47_window_tumbling",
-    // LLM-pipeline heavies (round 5+): TF-IDF, epoch shuffle, seq pack
-    "q100_tfidf", "q101_epoch_shuffle", "q104_seq_pack")
+    // LLM-pipeline heavies (round 5+): TF-IDF, epoch shuffle, seq pack,
+    // bigram perplexity, temperature mixture
+    "q100_tfidf", "q101_epoch_shuffle", "q104_seq_pack",
+    "q107_bigram_ppl", "q108_temperature_mix")
 
   /** The CORRECTNESS entries for approximate ops are recall HARNESSES
     * (operator + exact ground truth + compare in one job); benching the

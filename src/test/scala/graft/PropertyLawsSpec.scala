@@ -120,7 +120,10 @@ class PropertyLawsSpec extends SparkSpec {
       "FLATTEN", "ALL", "USING", "MATCHES", "AND", "OR", "NOT", "a",
       "b", "x12", "foo::bar", "$0", "$3", "'str'", "3", "2.5", "-1",
       "(", ")", "{", "}", ",", ";", "=", "==", "<=", ">", "+", "*",
-      "/", "%", "?", ":", "..", ".", "#", "::", "*", "NULL", "TRUE")
+      "/", "%", "?", ":", "..", ".", "#", "::", "*", "NULL", "TRUE",
+      // round-5 statement surface: SET / REGISTER / namespaced UDF calls
+      "SET", "REGISTER", "default_parallel", "spark.sql.x", "jython",
+      "ns.f", "m.double_it")
     for (i <- 1 to 400) {
       val n = 1 + rnd.nextInt(24)
       val soup = Seq.fill(n)(tokens(rnd.nextInt(tokens.length))).mkString(" ")

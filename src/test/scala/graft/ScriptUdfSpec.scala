@@ -64,6 +64,36 @@ class ScriptUdfSpec extends SparkSpec {
     assert(df.count() == want && want > 0)
   }
 
+  test("script UDFs work in nested FOREACH blocks and aggregate FOREACH") {
+    val path = writeScript()
+    // nested block: UDF inside the inner FILTER predicate
+    val nested = PigScript.query(spark,
+      s"""REGISTER '$path' USING toy AS fx;
+          O = LOAD '$$DIR/orders.parquet' USING parquet;
+          G = GROUP O BY o_custkey;
+          A = FOREACH G {
+            big = FILTER O BY fx.double_it(o_totalprice) > 200000.0;
+            GENERATE group AS ck, COUNT(big) AS n_big;
+          };""",
+      Map("DIR" -> sf))
+    val want = tables.orders.filter($"o_totalprice" * 2 > 200000.0)
+      .groupBy($"o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = nested.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // nested COUNT counts only matching rows; groups with zero matches
+    // report 0 on the Pig side and are absent from the batch groupBy
+    assert(got.filter(_._2 > 0) == want)
+    // aggregate FOREACH: UDF over the group key after aggregation
+    val agged = PigScript.query(spark,
+      s"""REGISTER '$path' USING toy AS fx;
+          O = LOAD '$$DIR/orders.parquet' USING parquet;
+          G = GROUP O BY o_orderpriority;
+          A = FOREACH G GENERATE fx.shout(group) AS tag, COUNT(O) AS n;""",
+      Map("DIR" -> sf))
+    val tags = agged.collect().map(_.getString(0)).toSet
+    assert(tags.nonEmpty && tags.forall(_.endsWith("!")))
+  }
+
   test("missing engine fails at the REGISTER line, naming the fix") {
     val path = writeScript()
     val e = intercept[IllegalArgumentException] {
