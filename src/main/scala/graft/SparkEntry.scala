@@ -1053,6 +1053,78 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       s.read.parquet(sink)
+    }),
+
+    // --- sketch bounds under the oracle: at 100 TB you count with
+    //     HLL++ and quantile sketches, not exact aggregates — this
+    //     entry computes BOTH and asserts the sketch lands within its
+    //     contract (both sketches are deterministic given the data, so
+    //     the booleans are stable); DuckDB recomputes the exact side ---
+    "q111_sketch_bounds" -> ((s, dir) =>
+      t(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("__hll"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_exact"),
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("__p50a"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("__hll") - col("exact_orders"))
+            <= col("exact_orders") * 0.05).as("hll_within_5pct"),
+          col("p50_exact"),
+          (abs(col("__p50a") - col("p50_exact")) <= lit(1.0)).as("p50_within_1"))),
+
+    // --- typed streaming state (mapGroupsWithState) under the oracle:
+    //     one AvailableNow batch over the replayed events emits each
+    //     user's final running totals, which equal the batch aggregate;
+    //     the double sum is rounded to 4 (state iteration order vs SQL
+    //     sum order differ by ~1e-12 on these magnitudes) ---
+    "q112_stream_state" -> ((s, dir) => {
+      import graft.streaming.EventsStreaming
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_q112_").toString
+      val ev = t(s, dir).events
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      ev.coalesce(1).write.mode("append").parquet(s"$tmp/src")
+      val name = "q112_state_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      EventsStreaming.runAvailableNow(
+        EventsStreaming.userRunningTotals(
+          EventsStreaming.readEvents(s, s"$tmp/src").as[EventsStreaming.Event]).toDF(),
+        name, org.apache.spark.sql.streaming.OutputMode.Update())
+      // update-mode memory sink keeps every emission; the final state
+      // per user is the row with max n_events (strictly increasing)
+      s.table(name).groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("total_value"))).as("s"))
+        .select(col("user_id"), col("s.n_events").as("n_events"),
+          round(col("s.total_value"), 4).as("total_value"))
+    }),
+
+    // --- bucketed co-located join (the merge-join sparse-index
+    //     equivalent): both sides written bucketed+sorted by the join
+    //     key, so the SMJ plans with ZERO Exchange (SourcesSpec asserts
+    //     the plan shape; this entry puts the result under the oracle) ---
+    "q113_bucketed_join" -> ((s, dir) => {
+      val tb = t(s, dir)
+      // a fresh session's catalog does not know tables a PREVIOUS run
+      // left in the warehouse dir — drop both catalog entry and stale
+      // location before writing, so the query is rerunnable
+      Seq("q113_orders", "q113_cust").foreach { name =>
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), name)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      tb.orders.write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("q113_orders")
+      tb.customer.write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("q113_cust")
+      s.table("q113_orders")
+        .join(s.table("q113_cust"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
     })
   )
 
@@ -2021,6 +2093,27 @@ object SparkEntry {
     // batch left join
     "q110_stream_enrich" ->
       """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
-         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey"""
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+
+    // exact side recomputed; the sketch-contract booleans are asserted
+    // constants the Spark side must reproduce from its own sketches
+    "q111_sketch_bounds" ->
+      """SELECT l_returnflag,
+                COUNT(DISTINCT l_orderkey) AS exact_orders,
+                TRUE AS hll_within_5pct,
+                round(quantile_cont(l_quantity, 0.5), 6) AS p50_exact,
+                TRUE AS p50_within_1
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q112_stream_state" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                round(SUM(value), 4) AS total_value
+         FROM events GROUP BY user_id""",
+
+    "q113_bucketed_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment"""
   )
 }
