@@ -1125,6 +1125,21 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+    }),
+
+    // --- explicit salted join (Pig's skewed join as manual salting,
+    //     for paths AQE's runtime split cannot reach) — same answer as
+    //     the plain join, which DuckDB recomputes ---
+    "q114_salted_join" -> ((s, dir) => {
+      val tb = t(s, dir)
+      Relational.saltedJoin(
+          probe = tb.lineitem.select(col("l_orderkey"), col("l_quantity")),
+          build = tb.orders.select(col("o_orderkey"), col("o_orderpriority")),
+          probeKeys = Seq("l_orderkey"), buildKeys = Seq("o_orderkey"),
+          salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
     })
   )
 
@@ -2114,6 +2129,12 @@ object SparkEntry {
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY c_mktsegment"""
+         GROUP BY c_mktsegment""",
+
+    "q114_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority"""
   )
 }

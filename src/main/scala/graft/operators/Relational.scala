@@ -251,6 +251,36 @@ object Relational {
     partial.groupBy(keys.map(col): _*).agg(finalAggs.head, finalAggs.tail: _*)
   }
 
+  /** Skew-resilient equi-join — Pig's skewed join [Pig: POSkewedJoin +
+    * sampled key-distribution plan] rebuilt as explicit salting, for
+    * the paths AQE's runtime skew split cannot reach (stream–stream
+    * joins, fixed plans, non-SMJ shapes): every probe row gets a
+    * deterministic salt in [0, salts); the build side is replicated
+    * once per salt; the join key becomes (keys..., salt), so a hot
+    * key's rows spread over `salts` reducers instead of one.
+    *
+    * Probe rows match exactly one build replica (the one sharing their
+    * salt), so inner/left multiplicities are exact. Right/full would
+    * count each unmatched BUILD row `salts` times — rejected.
+    * Cost: build side shuffles ×salts — the standard trade; keep the
+    * smaller side as `build`. */
+  def saltedJoin(probe: DataFrame, build: DataFrame,
+      probeKeys: Seq[String], buildKeys: Seq[String],
+      salts: Int, joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left", "left_outer", "leftouter").contains(joinType),
+      s"saltedJoin supports inner/left joins, not $joinType " +
+        "(an unmatched build row would appear once per salt)")
+    require(salts > 0, "salts must be positive")
+    val p = probe.withColumn("__psalt",
+      pmod(hash(probe.columns.map(col): _*), lit(salts)))
+    val b = build.withColumn("__bsalt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    val cond = probeKeys.zip(buildKeys)
+      .map { case (pk, bk) => p(pk) === b(bk) }
+      .reduce(_ && _) && p("__psalt") === b("__bsalt")
+    p.join(b, cond, joinType).drop("__psalt", "__bsalt")
+  }
+
   // ------------------------------------------------------------------
   // ASSERT — fail the job if any row violates the predicate (Pig 0.12).
   // ------------------------------------------------------------------

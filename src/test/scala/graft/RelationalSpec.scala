@@ -72,6 +72,26 @@ class RelationalSpec extends SparkSpec {
     assert(ranks.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("saltedJoin equals the plain join (inner + left), spreads hot keys, rejects right") {
+    // one hot key (90% of probe rows) + a probe row with no match
+    val probe = ((1 to 90).map(i => (7L, i)) ++ Seq((1L, 91), (2L, 92), (99L, 93)))
+      .toDF("k", "pv")
+    val build = Seq((7L, "hot"), (1L, "a"), (2L, "b"), (3L, "unmatched")).toDF("bk", "bv")
+    for (jt <- Seq("inner", "left")) {
+      val got = Relational.saltedJoin(probe, build, Seq("k"), Seq("bk"), salts = 4, jt)
+        .select($"k", $"pv", $"bv").collect().map(r => (r.get(0), r.get(1), r.get(2))).toSeq
+      val want = probe.join(build, $"k" === $"bk", jt)
+        .select($"k", $"pv", $"bv").collect().map(r => (r.get(0), r.get(1), r.get(2))).toSeq
+      assert(got.sortBy(_.toString) == want.sortBy(_.toString), s"joinType=$jt")
+    }
+    // the hot key's probe rows really scatter across salts
+    val salted = probe.withColumn("__s", pmod(hash(probe.columns.map(col): _*), lit(4)))
+    assert(salted.filter($"k" === 7L).select($"__s").distinct().count() > 1)
+    intercept[IllegalArgumentException] {
+      Relational.saltedJoin(probe, build, Seq("k"), Seq("bk"), 4, "full")
+    }
+  }
+
   test("topPerGroup is deterministic under ties via tiebreak") {
     val df = Seq((1, 100, 5.0), (1, 101, 5.0), (1, 102, 5.0), (2, 200, 1.0))
       .toDF("g", "id", "v")
