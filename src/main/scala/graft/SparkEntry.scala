@@ -1127,6 +1127,41 @@ object SparkEntry {
           sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
     }),
 
+    // --- streaming session windows through the real engine (the
+    //     gap-merge state machinery, not the batch shape): same
+    //     two-phase sentinel replay as q106 — after the sentinel the
+    //     watermark passes every real session's close, so the emitted
+    //     set is exactly the batch session answer ---
+    "q115_stream_sessions" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_q115_").toString
+      val src = s"$tmp/src"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+      val ev = t(s, dir).events
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      ev.coalesce(1).write.mode("append").parquet(src)
+      val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0) // 1-row scalar
+      val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 365L * 86400 * 1000)
+      def run(): Unit = {
+        val q = graft.streaming.EventsStreaming.sessionCounts(
+            graft.streaming.EventsStreaming.readEvents(s, src),
+            watermark = "10 minutes", gap = "30 minutes")
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      run()
+      ev.limit(1).select(lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
+          lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"))
+        .coalesce(1).write.mode("append").parquet(src)
+      run()
+      s.read.parquet(sink).filter(col("user_id") =!= -1L)
+        .select(col("user_id"), col("w_start"), col("w_end"), col("n_events"))
+    }),
+
     // --- explicit salted join (Pig's skewed join as manual salting,
     //     for paths AQE's runtime split cannot reach) — same answer as
     //     the plain join, which DuckDB recomputes ---
@@ -2135,6 +2170,25 @@ object SparkEntry {
       """SELECT o_orderpriority, COUNT(*) AS n_items,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY o_orderpriority"""
+         GROUP BY o_orderpriority""",
+
+    // q48's batch session formulation — the streaming engine must emit
+    // exactly this set once the sentinel closes every real session
+    "q115_stream_sessions" ->
+      """WITH g AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                       THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (SELECT user_id, ts,
+                      SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sess
+               FROM g)
+         SELECT user_id, MIN(ts) AS w_start,
+                MAX(ts) + INTERVAL '30 minutes' AS w_end,
+                COUNT(*) AS n_events
+         FROM s GROUP BY user_id, sess"""
   )
 }
