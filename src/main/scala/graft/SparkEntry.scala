@@ -1162,6 +1162,17 @@ object SparkEntry {
         .select(col("user_id"), col("w_start"), col("w_end"), col("n_events"))
     }),
 
+    // --- DSv2 connector (LoadFunc/LoadMetadata/LoadPushDown analogue)
+    //     under the oracle: the synthetic corpus is a pure function of
+    //     the id, so DuckDB regenerates the identical rows; the range
+    //     filter + projection exercise both pushdown paths (plan
+    //     asserts live in SourcesSpec) ---
+    "q116_dsv2_source" -> ((s, dir) =>
+      s.read.format("graft.sources.SyntheticDocs")
+        .option("rows", 5000).option("partitions", 8).load()
+        .filter(col("doc_id") >= 1000 && col("doc_id") < 3000)
+        .select(col("doc_id"), col("lang"), col("text"))),
+
     // --- explicit salted join (Pig's skewed join as manual salting,
     //     for paths AQE's runtime split cannot reach) — same answer as
     //     the plain join, which DuckDB recomputes ---
@@ -2171,6 +2182,24 @@ object SparkEntry {
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority""",
+
+    // the generator re-expressed in SQL: same word table, same modular
+    // arithmetic, same id-derived suffixes — byte-identical rows
+    "q116_dsv2_source" ->
+      """WITH ids AS (SELECT unnest(range(1000, 3000)) AS id),
+         w AS (SELECT ['alpha','bravo','charlie','delta','echo','foxtrot',
+                       'golf','hotel','india','juliet','kilo','lima'] AS ws,
+                      ['de','en','es','fr','zh'] AS ls)
+         SELECT id AS doc_id,
+                ls[CAST(id % 5 AS INT) + 1] AS lang,
+                array_to_string(
+                  list_transform(range(0, 5 + id % 7),
+                    i -> ws[CAST((id*31 + i*7) % 12 AS INT) + 1] ||
+                         CASE WHEN (id + i) % 3 = 0
+                              THEN CAST((id*131 + i*17) % 9973 AS VARCHAR)
+                              ELSE '' END),
+                  ' ') AS text
+         FROM ids CROSS JOIN w""",
 
     // q48's batch session formulation — the streaming engine must emit
     // exactly this set once the sentinel closes every real session
