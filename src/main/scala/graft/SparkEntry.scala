@@ -1186,6 +1186,101 @@ object SparkEntry {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+    }),
+
+    // --- piggybank SequenceFileLoader (SURVEY §2.1 "piggybank
+    //     extras"): nation → (Text,Text) sequence file → read back →
+    //     parse. Equality with the parquet source proves the Hadoop
+    //     write+read path loses nothing. ---
+    "q117_seqfile_roundtrip" -> ((s, dir) => {
+      import graft.sources.Piggybank
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pb_seq_").toString
+      val path = s"$tmp/nation_seq"
+      val kv = t(s, dir).nation.select(
+        col("n_nationkey").cast("string").as("k"),
+        concat_ws("|", col("n_name"), col("n_regionkey")).as("v"))
+      Piggybank.writeSequenceFile(kv, "k", "v", path)
+      Piggybank.readSequenceFile(s, path)
+        .select(col("key").cast("int").as("n_nationkey"),
+          split(col("value"), "\\|").getItem(0).as("n_name"),
+          split(col("value"), "\\|").getItem(1).cast("int").as("n_regionkey"))
+    }),
+
+    // --- piggybank CombinedLogLoader: render orders as Apache
+    //     combined-log lines, write text, read back, regex-parse.
+    //     DuckDB recomputes every parsed field straight from orders,
+    //     so equality proves parse(format(x)) == x field-for-field. ---
+    "q118_log_parse" -> ((s, dir) => {
+      import graft.sources.Piggybank
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pb_log_").toString
+      val logs = s"$tmp/access_log"
+      val o = t(s, dir).orders.filter(col("o_orderkey") < 4000)
+      val line = concat(
+        lit("10.0."), (col("o_custkey") % 256).cast("int"),
+        lit("."), (col("o_orderkey") % 256).cast("int"),
+        lit(" - frank ["),
+        date_format(col("o_orderdate"), "dd/MMM/yyyy:HH:mm:ss"),
+        lit(" +0000] \"GET /order/"), col("o_orderkey"),
+        lit(" HTTP/1.0\" "),
+        when(col("o_orderstatus") === "F", 200)
+          .when(col("o_orderstatus") === "O", 302).otherwise(404),
+        lit(" "), col("o_orderkey") * 7 + 13,
+        lit(" \"-\" \"graft-bench/1.0\""))
+      o.select(line.as("value")).write.mode("overwrite").text(logs)
+      s.read.text(logs)
+        .select(Piggybank.parseCombinedLog(col("value")).as("r"))
+        .select(col("r.ip").as("ip"), col("r.ts").as("ts_raw"),
+          col("r.method").as("method"), col("r.uri").as("uri"),
+          col("r.status").as("status"), col("r.bytes").as("bytes"),
+          col("r.agent").as("agent"))
+    }),
+
+    // --- piggybank XMLLoader: parts rendered as MULTI-LINE <part>
+    //     elements (attribute on the open tag, children indented),
+    //     read back one row per element, fields re-extracted. ---
+    "q119_xml_extract" -> ((s, dir) => {
+      import graft.sources.Piggybank
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pb_xml_").toString
+      val xml = s"$tmp/parts_xml"
+      t(s, dir).part.filter(col("p_partkey") % 3 === 0)
+        .select(concat(
+          lit("<part id=\""), col("p_partkey"), lit("\">\n  <key>"),
+          col("p_partkey"), lit("</key>\n  <name>"), col("p_name"),
+          lit("</name>\n  <brand>"), col("p_brand"),
+          lit("</brand>\n</part>")).as("value"))
+        .write.mode("overwrite").text(xml)
+      Piggybank.xmlRecords(s, xml, "part").select(
+        Piggybank.xmlElement(col("record"), "key").cast("long").as("p_partkey"),
+        Piggybank.xmlElement(col("record"), "name").as("p_name"),
+        Piggybank.xmlElement(col("record"), "brand").as("p_brand"))
+    }),
+
+    // --- piggybank CSVExcelStorage: fields with embedded delimiter,
+    //     quote, AND newline survive a write+read round trip (the case
+    //     plain PigStorage cannot express). ---
+    "q120_csv_excel" -> ((s, dir) => {
+      import graft.sources.Piggybank
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pb_csv_").toString
+      val csvp = s"$tmp/tricky_csv"
+      val n = t(s, dir).nation
+      Piggybank.writeCsvExcel(
+        n.select(col("n_nationkey"),
+          concat(col("n_name"), lit(", \"x\"\nline2")).as("field")), csvp)
+      Piggybank.readCsvExcel(s, csvp)
+        .select(col("_c0").cast("int").as("n_nationkey"),
+          col("_c1").as("field"))
+    }),
+
+    // --- piggybank datetime evals (ISOToUnix / UnixToISO /
+    //     ISODaysBetween) over orders dates ---
+    "q121_datetime_iso" -> ((s, dir) => {
+      import graft.sources.Piggybank
+      t(s, dir).orders.select(
+        col("o_orderkey"),
+        Piggybank.isoToUnix(col("o_orderdate")).as("unix_ms"),
+        Piggybank.unixToIso(Piggybank.isoToUnix(col("o_orderdate"))).as("iso"),
+        Piggybank.isoDaysBetween(col("o_orderdate"),
+          lit("1995-01-01").cast("date")).as("days_since"))
     })
   )
 
@@ -2218,6 +2313,41 @@ object SparkEntry {
          SELECT user_id, MIN(ts) AS w_start,
                 MAX(ts) + INTERVAL '30 minutes' AS w_end,
                 COUNT(*) AS n_events
-         FROM s GROUP BY user_id, sess"""
+         FROM s GROUP BY user_id, sess""",
+
+    // sequence-file round trip must land exactly back on the source
+    "q117_seqfile_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // every parsed log field recomputed straight from orders
+    "q118_log_parse" ->
+      """SELECT
+           '10.0.' || CAST(o_custkey % 256 AS VARCHAR) || '.' ||
+             CAST(o_orderkey % 256 AS VARCHAR) AS ip,
+           strftime(o_orderdate, '%d/%b/%Y:%H:%M:%S') || ' +0000' AS ts_raw,
+           'GET' AS method,
+           '/order/' || CAST(o_orderkey AS VARCHAR) AS uri,
+           CASE o_orderstatus WHEN 'F' THEN 200 WHEN 'O' THEN 302
+                ELSE 404 END AS status,
+           o_orderkey * 7 + 13 AS bytes,
+           'graft-bench/1.0' AS agent
+         FROM orders WHERE o_orderkey < 4000""",
+
+    "q119_xml_extract" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+         WHERE p_partkey % 3 = 0""",
+
+    "q120_csv_excel" ->
+      """SELECT n_nationkey,
+                n_name || ', "x"' || chr(10) || 'line2' AS field
+         FROM nation""",
+
+    "q121_datetime_iso" ->
+      """SELECT o_orderkey,
+                epoch_ms(o_orderdate) AS unix_ms,
+                strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '.000+00:00' AS iso,
+                date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS days_since
+         FROM orders"""
   )
 }

@@ -456,9 +456,17 @@ object PigCompiler {
   private def storageFormat(spec: Option[(String, Seq[String])]): (String, Map[String, String]) =
     spec match {
       case None => ("parquet", Map.empty) // engine-native interchange
-      case Some((name, args)) => name.toLowerCase match {
+      // scripts name storage classes bare or fully qualified
+      // (org.apache.pig.piggybank.storage.CSVExcelStorage) — dispatch
+      // on the simple class name either way
+      case Some((name, args)) => name.split('.').last.toLowerCase match {
         case "pigstorage" =>
           ("csv", Map("delimiter" -> args.headOption.getOrElse("\t")))
+        case "csvexcelstorage" =>
+          // Excel dialect: quoted fields, "" escapes a quote, embedded
+          // newlines allowed [Pig: piggybank.storage.CSVExcelStorage]
+          ("csv", Map("delimiter" -> args.headOption.getOrElse(","),
+            "quote" -> "\"", "escape" -> "\"", "multiLine" -> "true"))
         case "parquet" | "parquetloader" | "parquetstorer" | "binstorage" =>
           ("parquet", Map.empty)
         case "jsonloader" | "jsonstorage" | "json" => ("json", Map.empty)
@@ -472,9 +480,29 @@ object PigCompiler {
   private def load(spark: SparkSession, path: String,
       loader: Option[(String, Seq[String])],
       schema: Option[Seq[(String, Option[String])]]): DataFrame = {
-    // default loader is PigStorage('\t'): delimited text, lazy-typed
-    val (fmt, opts) = storageFormat(loader.orElse(Some(("pigstorage", Nil))))
-    val raw = spark.read.format(fmt).options(opts).load(path)
+    // loaders whose row shape is not a Spark file format: XMLLoader
+    // (one row per element) and SequenceFileLoader ((key, value)
+    // Text pairs) get dedicated readers [Pig: piggybank.storage]
+    val special = loader.map { case (n, args) =>
+      (n.split('.').last.toLowerCase, args)
+    } collect {
+      case ("xmlloader", args) =>
+        graft.sources.Piggybank.xmlRecords(spark, path,
+          args.headOption.getOrElse(
+            throw new IllegalArgumentException("XMLLoader needs a tag argument")))
+      case ("sequencefileloader", _) =>
+        graft.sources.Piggybank.readSequenceFile(spark, path)
+    }
+    val raw = special.getOrElse {
+      // default loader is PigStorage('\t'): delimited text, lazy-typed
+      val (fmt, opts) = storageFormat(loader.orElse(Some(("pigstorage", Nil))))
+      spark.read.format(fmt).options(opts).load(path)
+    }
+    applyAsSchema(raw, path, schema)
+  }
+
+  private def applyAsSchema(raw: DataFrame, path: String,
+      schema: Option[Seq[(String, Option[String])]]): DataFrame = {
     schema match {
       case None => raw // positional $0.. refs; cast-at-use (SURVEY §1.3)
       case Some(decls) =>

@@ -158,9 +158,12 @@ object PigParser extends RegexParsers {
   private def fieldDecl: Parser[(String, Option[String])] =
     ident ~ opt(":" ~> typeName) ^^ { case n ~ t => (n, t) }
 
+  /** Storage class, bare (`PigStorage`) or fully qualified
+    * (`org.apache.pig.piggybank.storage.CSVExcelStorage`), with
+    * optional quoted args. */
   private def funcSpec: Parser[(String, Seq[String])] =
-    ident ~ opt("(" ~> repsep(quoted, ",") <~ ")") ^^ {
-      case n ~ args => (n, args.getOrElse(Nil))
+    rep1sep(ident, ".") ~ opt("(" ~> repsep(quoted, ",") <~ ")") ^^ {
+      case ns ~ args => (ns.mkString("."), args.getOrElse(Nil))
     }
 
   private def loadOp: Parser[POp] =
