@@ -1271,6 +1271,30 @@ object SparkEntry {
           col("_c1").as("field"))
     }),
 
+    // --- merge-sparse join analogue (SURVEY §2 merge-sparse row):
+    //     lineitem written sorted by l_orderkey, then a SELECTIVE
+    //     probe (every 997th order) joined through the parquet-footer
+    //     sparse index — only files whose [min,max] can contain a
+    //     probe key are scanned. Same answer as the plain join, which
+    //     DuckDB recomputes; pruning is plan-asserted in
+    //     SparseIndexSpec. ---
+    "q122_sparse_lookup" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sparse_").toString
+      val sorted = s"$tmp/lineitem_sorted"
+      t(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(sorted)
+      val probe = t(s, dir).orders
+        .filter(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.SparseIndex
+        .lookupJoin(s, sorted, "l_orderkey", probe, "o_orderkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("o_orderpriority"))
+    }),
+
     // --- piggybank datetime evals (ISOToUnix / UnixToISO /
     //     ISODaysBetween) over orders dates ---
     "q121_datetime_iso" -> ((s, dir) => {
@@ -2348,6 +2372,12 @@ object SparkEntry {
                 strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '.000+00:00' AS iso,
                 date_diff('day', DATE '1995-01-01',
                           CAST(o_orderdate AS DATE)) AS days_since
-         FROM orders"""
+         FROM orders""",
+
+    // footer-pruned sparse lookup must equal the plain join
+    "q122_sparse_lookup" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderkey % 997 = 0"""
   )
 }
