@@ -1295,6 +1295,21 @@ object SparkEntry {
           col("o_orderpriority"))
     }),
 
+    // --- the same shape through the Pig front end: JOIN … USING
+    //     'merge-sparse' routes to the footer-pruned lookup (routing
+    //     is plan-asserted in SparseIndexSpec) ---
+    "q123_pig_merge_sparse" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sparse_pig_").toString
+      val sorted = s"$tmp/lineitem_sorted"
+      t(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(sorted)
+      graft.pig.PigScript.queryResource(s, "/pig/q123_merge_sparse.pig",
+        Map("DIR" -> dir, "SORTED" -> sorted))
+    }),
+
     // --- piggybank datetime evals (ISOToUnix / UnixToISO /
     //     ISODaysBetween) over orders dates ---
     "q121_datetime_iso" -> ((s, dir) => {
@@ -2376,6 +2391,11 @@ object SparkEntry {
 
     // footer-pruned sparse lookup must equal the plain join
     "q122_sparse_lookup" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderkey % 997 = 0""",
+
+    "q123_pig_merge_sparse" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_orderkey % 997 = 0"""

@@ -4,8 +4,12 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.format.converter.ParquetMetadataConverter
 import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 import org.apache.spark.util.SerializableConfiguration
 
 import scala.jdk.CollectionConverters._
@@ -107,14 +111,92 @@ object SparseIndex {
       s"sparse lookup probe exceeds $maxKeys distinct keys — " +
         "use a plain join for non-selective probes")
     val keys = keyRows.map(_.getLong(0)).sorted
-    val files = index(spark, dir, keyCol).filter { f =>
-      val i = java.util.Arrays.binarySearch(keys, f.min)
-      val from = if (i >= 0) i else -i - 1
-      from < keys.length && keys(from) <= f.max
-    }.map(_.path)
+    val files = pruneFiles(index(spark, dir, keyCol), keys)
     val base =
       if (files.isEmpty) spark.read.parquet(dir).limit(0)
       else spark.read.parquet(files: _*)
     base.join(broadcast(probe), base(keyCol) === probe(probeKey))
+  }
+
+  /** Files whose [min,max] contains at least one probe key (`keys`
+    * sorted ascending). */
+  private def pruneFiles(idx: Seq[FileStats], keys: Array[Long]): Seq[String] =
+    idx.filter { f =>
+      val i = java.util.Arrays.binarySearch(keys, f.min)
+      val from = if (i >= 0) i else -i - 1
+      from < keys.length && keys(from) <= f.max
+    }.map(_.path)
+
+  // ------------------------------------------------------------------
+  // Pig front-end routing: JOIN … USING 'merge-sparse'
+  // ------------------------------------------------------------------
+
+  /** Best-effort routing of the script-level `'merge-sparse'` hint:
+    * if `big` is a bare (rename/reorder-only) single-root parquet
+    * scan, both key sides are integral, and `probe`'s distinct keys
+    * fit the selective contract, rebuild the join against a
+    * footer-pruned scan. Returns None whenever the shape does not
+    * qualify — the compiler falls back to a sort-merge join, so the
+    * hint can improve the plan but never change semantics or fail a
+    * script that Pig would have run.
+    */
+  def routeScriptJoin(probe: DataFrame, probeKey: Column, big: DataFrame,
+      bigKeyName: String, maxKeys: Int = 100000): Option[DataFrame] = {
+    val spark = big.sparkSession
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    for {
+      (path, fileNames) <- asRenamedParquetScan(big)
+      keyIdx = big.columns.indexOf(bigKeyName)
+      if keyIdx >= 0 && integral(big.schema(keyIdx).dataType)
+      if integral(probe.select(probeKey).schema.head.dataType)
+      keyRows = probe.select(probeKey.cast("long")).na.drop()
+        .distinct().limit(maxKeys + 1).collect()
+      if keyRows.length <= maxKeys
+    } yield {
+      val keys = keyRows.map(_.getLong(0)).sorted
+      val files = pruneFiles(index(spark, path, fileNames(keyIdx)), keys)
+      val pruned =
+        if (files.isEmpty) big.limit(0)
+        else spark.read.parquet(files: _*)
+          .select(fileNames.map(n => col(s"`$n`")): _*)
+          .toDF(big.columns: _*)
+      probe.join(pruned, probeKey === pruned(s"`$bigKeyName`"))
+    }
+  }
+
+  /** Unwrap `df` down to a single-root parquet `LogicalRelation`
+    * through rename/reorder-only Projects and subquery aliases.
+    * Returns the root path plus, for each df output column, the FILE
+    * column name feeding it. Any computation, filter, or join on the
+    * way → None.
+    */
+  private def asRenamedParquetScan(df: DataFrame): Option[(String, Seq[String])] = {
+    def unwrap(p: LogicalPlan): Option[(LogicalRelation, Seq[String])] = p match {
+      case SubqueryAlias(_, c) => unwrap(c)
+      case Project(list, c) =>
+        unwrap(c).flatMap { case (rel, childNames) =>
+          val childOut = c.output
+          val mapped = list.map {
+            case ar: AttributeReference => childOut.indexWhere(_.exprId == ar.exprId)
+            case Alias(ar: AttributeReference, _) =>
+              childOut.indexWhere(_.exprId == ar.exprId)
+            case _ => -1
+          }
+          if (mapped.forall(_ >= 0)) Some((rel, mapped.map(childNames)))
+          else None
+        }
+      case lr: LogicalRelation => Some((lr, lr.output.map(_.name)))
+      case _ => None
+    }
+    unwrap(df.queryExecution.analyzed).flatMap { case (lr, fileNames) =>
+      lr.relation match {
+        case fs: HadoopFsRelation
+            if fs.fileFormat.getClass.getSimpleName.startsWith("Parquet")
+              && fs.location.rootPaths.length == 1 =>
+          Some((fs.location.rootPaths.head.toString, fileNames))
+        case _ => None
+      }
+    }
   }
 }

@@ -275,15 +275,31 @@ object PigCompiler {
           // skew-join split acts on (GraftSession enables skewJoin —
           // the runtime split supersedes Pig's sampled skewed-join
           // plan).
-          val right = using match {
-            case Some("replicated") => broadcast(di)
-            case Some("merge")      => di.hint("MERGE")
-            case Some("skewed")     => di.hint("SHUFFLE_MERGE")
-            case _                  => di
+          // 'merge-sparse' (right side sorted+indexed, few matches):
+          // route through the footer-pruned sparse lookup when the
+          // right side is a bare parquet scan; any other shape falls
+          // back to SMJ below — the hint can only improve the plan,
+          // never change the answer.
+          val sparse =
+            if (using.contains("merge-sparse") && joinType == "inner"
+                && ki.length == 1)
+              ki.head match {
+                case PCol(n) => graft.operators.SparseIndex.routeScriptJoin(
+                  acc, leftKeyCols.head, di, resolvedName(di, n))
+                case _ => None
+              }
+            else None
+          sparse.getOrElse {
+            val right = using match {
+              case Some("replicated") => broadcast(di)
+              case Some("merge") | Some("merge-sparse") => di.hint("MERGE")
+              case Some("skewed") => di.hint("SHUFFLE_MERGE")
+              case _ => di
+            }
+            val cond = leftKeyCols.zip(ki.map(compileExpr(di, _)))
+              .map { case (l, r) => l === r }.reduce(_ && _)
+            acc.join(right, cond, joinType)
           }
-          val cond = leftKeyCols.zip(ki.map(compileExpr(di, _)))
-            .map { case (l, r) => l === r }.reduce(_ && _)
-          acc.join(right, cond, joinType)
         }
       }, None)
 

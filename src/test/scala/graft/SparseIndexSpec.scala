@@ -74,4 +74,51 @@ class SparseIndexSpec extends SparkSpec {
         "o_orderkey", maxKeys = 10)
     }
   }
+
+  /** File-level root paths in some scan of the plan = the pruned read
+    * (a plain directory read has exactly one root, the dir). */
+  private def hasFileLevelScan(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            // pruned reads list individual part files; directory reads
+            // have the dir (or the fixture's *.parquet table path) as root
+            fs.location.rootPaths.exists(_.getName.startsWith("part-"))
+          case _ => false
+        }
+    }.exists(identity)
+
+  test("script JOIN … USING 'merge-sparse' routes to the pruned scan") {
+    val df = graft.pig.PigScript.query(spark,
+      s"""P0 = LOAD '$sf/orders.parquet' USING parquet;
+          P = FILTER P0 BY o_orderkey % 997 == 0;
+          B = LOAD '$sorted' USING parquet;
+          J = JOIN P BY o_orderkey, B BY l_orderkey USING 'merge-sparse';
+          R = FOREACH J GENERATE l_orderkey, o_orderpriority;
+          STORE R INTO 'out';""")
+    assert(hasFileLevelScan(df), "expected a footer-pruned file-level scan")
+    val want = tables.lineitem
+      .join(tables.orders.filter($"o_orderkey" % 997 === 0),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"o_orderpriority")
+    assert(df.exceptAll(want).count() == 0 && want.exceptAll(df).count() == 0)
+  }
+
+  test("'merge-sparse' over a non-scan right side falls back to SMJ, same answer") {
+    val df = graft.pig.PigScript.query(spark,
+      s"""P0 = LOAD '$sf/orders.parquet' USING parquet;
+          P = FILTER P0 BY o_orderkey % 997 == 0;
+          B0 = LOAD '$sorted' USING parquet;
+          B = FILTER B0 BY l_quantity > 0;
+          J = JOIN P BY o_orderkey, B BY l_orderkey USING 'merge-sparse';
+          R = FOREACH J GENERATE l_orderkey, o_orderpriority;
+          STORE R INTO 'out';""")
+    assert(!hasFileLevelScan(df), "filtered right side must not be routed")
+    val want = tables.lineitem.filter($"l_quantity" > 0)
+      .join(tables.orders.filter($"o_orderkey" % 997 === 0),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"o_orderpriority")
+    assert(df.exceptAll(want).count() == 0 && want.exceptAll(df).count() == 0)
+  }
 }
