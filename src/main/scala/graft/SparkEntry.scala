@@ -1310,6 +1310,38 @@ object SparkEntry {
         Map("DIR" -> dir, "SORTED" -> sorted))
     }),
 
+    // --- URL curation (C4/RefinedWeb-style): messy synthetic URLs
+    //     (uppercase scheme+host, utm params, fragments) derived from
+    //     documents must normalize into exactly the canonical form the
+    //     oracle builds from first principles, then aggregate per
+    //     registered domain. ---
+    "q124_url_curate" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      val d = t(s, dir).documents
+      val rawUrl = concat(
+        lit("HTTPS://WWW."), col("source"),
+        (col("doc_id") % 7).cast("string"), lit(".COM/p/"),
+        col("doc_id").cast("string"),
+        lit("?utm_campaign=c"), (col("doc_id") % 5).cast("string"),
+        lit("&q="), (col("doc_id") % 3).cast("string"), lit("#sec"))
+      TextAnalysis.domainStats(d, rawUrl, col("n_chars"))
+    }),
+
+    // --- incremental-ingest dedup: new batch vs the accumulated
+    //     corpus — bloom prefilter reroutes rows, exact anti-join
+    //     decides; answer must equal the plain NOT IN, which DuckDB
+    //     recomputes on md5 fingerprints. ---
+    "q125_incremental_dedup" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val corpus = t(s, dir).documents
+        .filter(col("doc_id") % 2 === 0)
+        .select(md5(col("text")).as("fp"))
+      val batch = t(s, dir).documents
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+      Dedup.incrementalNew(batch, corpus, "fp", expectedSeen = 100000L)
+        .select(col("doc_id"), col("fp"))
+    }),
+
     // --- piggybank datetime evals (ISOToUnix / UnixToISO /
     //     ISODaysBetween) over orders dates ---
     "q121_datetime_iso" -> ((s, dir) => {
@@ -2398,6 +2430,25 @@ object SparkEntry {
     "q123_pig_merge_sparse" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         WHERE o_orderkey % 997 = 0"""
+         WHERE o_orderkey % 997 = 0""",
+
+    // ground truth built from first principles: the Spark side must
+    // normalize the messy URL into exactly this canonical form
+    "q124_url_curate" ->
+      """WITH u AS (
+           SELECT n_chars,
+                  'https://www.' || source || CAST(doc_id % 7 AS VARCHAR)
+                    || '.com/p/' || CAST(doc_id AS VARCHAR)
+                    || '?q=' || CAST(doc_id % 3 AS VARCHAR) AS url_norm,
+                  source || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain
+           FROM documents)
+         SELECT domain, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+                MIN(url_norm) AS sample_url
+         FROM u GROUP BY domain""",
+
+    "q125_incremental_dedup" ->
+      """SELECT doc_id, md5(text) AS fp FROM documents
+         WHERE md5(text) NOT IN
+           (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)"""
   )
 }

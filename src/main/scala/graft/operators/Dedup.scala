@@ -266,4 +266,51 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  // ---------------- incremental ingest ----------------
+
+  /** Rows of `batch` whose fingerprint never appears in `corpus` — the
+    * incremental-ingest shape: each new crawl/snapshot dedupes against
+    * the accumulated corpus without re-deduping the corpus itself.
+    *
+    * The answer is an exact anti-join; the bloom prefilter only
+    * reroutes rows. A row the filter proves unseen (bloom filters have
+    * no false negatives) bypasses the shuffle entirely; only
+    * might-contain rows — true hits plus the fpp tail — pay the
+    * anti-join. At 100 TB the corpus dwarfs each batch, so cutting the
+    * anti-join's probe side to ~|seen ∩ batch| is the difference
+    * between shuffling the batch and shuffling almost nothing. The
+    * sketch itself is built distributed (aggregate); only the compact
+    * bitmap reaches the driver (sized by `expectedSeen`/`fpp`, the
+    * standard production trade for billion-key filters).
+    *
+    * The fingerprint may be any type — it is hashed to 64 bits
+    * internally for the native might_contain probe; false collisions
+    * there are removed by the exact join, so the internal hash never
+    * affects the answer.
+    */
+  def incrementalNew(batch: DataFrame, corpus: DataFrame, fpCol: String,
+      expectedSeen: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val seen = corpus.select(col(fpCol))
+    val bf = seen.select(xxhash64(col(fpCol)).as("h"))
+      .stat.bloomFilter("h", expectedSeen, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = column(BloomFilterMightContain(
+      expression(lit(bytes)),
+      expression(xxhash64(col(fpCol)))))
+    val definiteNew = batch.filter(!mightContain)
+    // alias-qualified condition: batch and corpus may share lineage
+    // (e.g. both derived from one table), which would make a bare
+    // column-equality condition ambiguous
+    val suspects = batch.filter(mightContain).alias("__batch")
+      .join(seen.alias("__seen"),
+        col(s"__batch.`$fpCol`") === col(s"__seen.`$fpCol`"), "left_anti")
+    definiteNew.unionByName(suspects)
+  }
 }

@@ -232,4 +232,45 @@ object TextAnalysis {
       .select(col(idCol), col("n_bigrams"),
         round(exp(-(col("slp").cast("double") / col("n_bigrams"))), 6).as("ppl"))
   }
+
+  // ------------------------------------------------------------------
+  // URL curation (C4/RefinedWeb-style canonicalization before
+  // URL-level dedup and per-domain quality decisions)
+  // ------------------------------------------------------------------
+
+  /** Canonicalize a URL: strip the fragment, drop `utm_*` tracking
+    * params (with their separators, cleaning any dangling `?`/`&`),
+    * and lowercase scheme+host while preserving path/query case. Pure
+    * regexp chain — codegen'd, no UDF. */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val noUtm = regexp_replace(
+      regexp_replace(noFrag, "utm_[a-zA-Z]+=[^&]*&?", ""),
+      "[?&]$", "")
+    val head = regexp_extract(noUtm, "^(\\w+://[^/?#]*)", 1)
+    val rest = regexp_replace(noUtm, "^\\w+://[^/?#]*", "")
+    concat(lower(head), rest)
+  }
+
+  /** Host part of a (normalized) URL. */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, "^\\w+://([^/?#]*)", 1)
+
+  /** Registered domain: last two labels of the host (the C4-style
+    * grouping key — a full public-suffix list is a lookup-table join,
+    * out of scope for the synthetic corpus). */
+  def registeredDomain(host: Column): Column =
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+
+  /** Per-domain corpus stats — the aggregation a blocklist/quality
+    * decision runs on. One shuffle on the domain key. */
+  def domainStats(docs: DataFrame, urlCol: Column, charsCol: Column): DataFrame = {
+    val norm = normalizeUrl(urlCol)
+    docs.select(registeredDomain(urlHost(norm)).as("domain"),
+        norm.as("url_norm"), charsCol.as("__chars"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__chars")).as("sum_chars"),
+        min(col("url_norm")).as("sample_url"))
+  }
 }

@@ -307,4 +307,52 @@ class DedupSimilaritySpec extends SparkSpec {
     // corpus-sized side
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("incrementalNew equals the exact anti-join (bloom is routing only)") {
+    val docs = tables.documents
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+      .select(md5($"text").as("fp"))
+    val batch = docs.select($"doc_id", md5($"text").as("fp"))
+    val got = Dedup.incrementalNew(batch, corpus, "fp", expectedSeen = 10000L)
+    val want = batch.alias("b").join(corpus.alias("c"),
+      $"b.fp" === $"c.fp", "left_anti")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // planted guarantee: every even-id doc's own fingerprint is seen
+    assert(got.join(docs.filter($"doc_id" % 2 === 0)
+      .select($"doc_id"), Seq("doc_id")).count() == 0)
+  }
+
+  test("incrementalNew with a tiny aggressive bloom still exact (fpp stress)") {
+    val docs = tables.documents
+    val corpus = docs.filter($"doc_id" % 3 === 0).select(md5($"text").as("fp"))
+    val batch = docs.select($"doc_id", md5($"text").as("fp"))
+    // expectedSeen far below reality → high false-positive rate → most
+    // rows take the anti-join path; the answer must not move
+    val got = Dedup.incrementalNew(batch, corpus, "fp",
+      expectedSeen = 10L, fpp = 0.5)
+    val want = batch.alias("b").join(corpus.alias("c"),
+      $"b.fp" === $"c.fp", "left_anti")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("normalizeUrl: fragment, utm params, and scheme/host case") {
+    import graft.operators.TextAnalysis._
+    val cases = Seq(
+      ("HTTPS://WWW.Ex.COM/Path/X?utm_source=a&q=1&utm_medium=b#frag",
+        "https://www.ex.com/Path/X?q=1"),
+      ("http://ex.com/p?utm_campaign=c", "http://ex.com/p"),
+      ("http://EX.com/p", "http://ex.com/p"),
+      ("https://a.b.ex.com/", "https://a.b.ex.com/"))
+    val got = cases.toDF("url", "want")
+      .select(normalizeUrl($"url").as("got"), $"want")
+      .as[(String, String)].collect()
+    got.foreach { case (g, w) => assert(g == w, s"got $g want $w") }
+    val host = Seq("https://a.b.ex.com/x").toDF("u")
+      .select(urlHost(normalizeUrl($"u"))).as[String].collect()(0)
+    assert(host == "a.b.ex.com")
+    val dom = Seq("a.b.ex.com").toDF("h")
+      .select(registeredDomain($"h")).as[String].collect()(0)
+    assert(dom == "ex.com")
+  }
 }
