@@ -21,7 +21,9 @@ object Bench {
     // LLM-pipeline heavies (round 5+): TF-IDF, epoch shuffle, seq pack,
     // bigram perplexity, temperature mixture
     "q100_tfidf", "q101_epoch_shuffle", "q104_seq_pack",
-    "q107_bigram_ppl", "q108_temperature_mix")
+    "q107_bigram_ppl", "q108_temperature_mix",
+    // late round 5: footer-pruned sparse lookup, incremental dedup
+    "q122_sparse_lookup", "q125_incremental_dedup")
 
   /** The CORRECTNESS entries for approximate ops are recall HARNESSES
     * (operator + exact ground truth + compare in one job); benching the
@@ -36,6 +38,27 @@ object Bench {
             s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
             shingleN = 3, threshold = 0.8)
           .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+      }),
+      // q122's entry writes its sorted fixture per call; benching must
+      // time the index+pruned-join, not the one-time fixture write, so
+      // the fixture is created once (warm pass) and reused
+      "q122_sparse_lookup" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val sorted = s"/tmp/graft_bench_sparse_${new java.io.File(dir).getName}/lineitem_sorted"
+        if (!new java.io.File(sorted).exists()) {
+          s.read.parquet(s"$dir/lineitem.parquet")
+            .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+            .repartitionByRange(8, col("l_orderkey"))
+            .sortWithinPartitions("l_orderkey")
+            .write.mode("overwrite").parquet(sorted)
+        }
+        val probe = s.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderkey") % 997 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        graft.operators.SparseIndex
+          .lookupJoin(s, sorted, "l_orderkey", probe, "o_orderkey")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("o_orderpriority"))
       }))
 
   private def benchQuery(name: String): (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =

@@ -50,6 +50,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("q118: log parse is pure projection — no UDF, no shuffle before scan output") {
+    val p = planOf("q118_log_parse")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p.take(2000))
+  }
+
+  test("q124: url curation is one aggregation over a scan (single shuffle)") {
+    val p = planOf("q124_url_curate")
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+    val tree = SparkEntry.queries("q124_url_curate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(tree).length
+    assert(exchanges <= 1, s"expected a single shuffle:\n$tree")
+  }
+
+  test("q125: definite-new path carries no join; bloom probe is native") {
+    val p = planOf("q125_incremental_dedup")
+    assert(p.contains("might_contain"), p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+  }
+
   test("entry() flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
