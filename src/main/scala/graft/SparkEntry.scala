@@ -1342,6 +1342,41 @@ object SparkEntry {
         .select(col("doc_id"), col("fp"))
     }),
 
+    // --- HBaseStorage-shaped KV connector (SURVEY §2.1): customer
+    //     written as a sorted KV table, read back through the DSv2
+    //     connector with a key-range filter (file pruning + in-file
+    //     scan range, plan-asserted in KeyValueStoreSpec) and column
+    //     projection. DuckDB recomputes from the customer source. ---
+    "q126_kv_store" -> ((s, dir) => {
+      import graft.sources.KeyValueStore
+      val tmp = java.nio.file.Files.createTempDirectory("graft_kv_").toString
+      val kv = s"$tmp/customer_kv"
+      KeyValueStore.write(t(s, dir).customer, "c_custkey",
+        Seq("c_name", "c_nationkey", "c_acctbal"), kv, nFiles = 8)
+      s.read.format(KeyValueStore.Format).load(kv)
+        .filter(col("key") >= 100 && col("key") < 600)
+        .select(col("key"), col("c_name"),
+          col("c_nationkey").cast("int").as("c_nationkey"))
+    }),
+
+    // --- the same table through the Pig front end:
+    //     LOAD … USING HBaseStorage('d:c_name d:c_acctbal',
+    //     '-loadKey true') ---
+    "q127_pig_hbase" -> ((s, dir) => {
+      import graft.sources.KeyValueStore
+      val tmp = java.nio.file.Files.createTempDirectory("graft_kv_pig_").toString
+      val kv = s"$tmp/customer_kv"
+      KeyValueStore.write(t(s, dir).customer, "c_custkey",
+        Seq("c_name", "c_nationkey", "c_acctbal"), kv, nFiles = 8)
+      graft.pig.PigScript.query(s,
+        s"""C = LOAD '$kv'
+              USING org.apache.pig.backend.hadoop.hbase.HBaseStorage(
+                'd:c_name d:c_acctbal', '-loadKey true')
+              AS (c_custkey:long, c_name:chararray, c_acctbal:double);
+            F = FILTER C BY c_custkey <= 300;
+            STORE F INTO 'out';""")
+    }),
+
     // --- piggybank datetime evals (ISOToUnix / UnixToISO /
     //     ISODaysBetween) over orders dates ---
     "q121_datetime_iso" -> ((s, dir) => {
@@ -2449,6 +2484,16 @@ object SparkEntry {
     "q125_incremental_dedup" ->
       """SELECT doc_id, md5(text) AS fp FROM documents
          WHERE md5(text) NOT IN
-           (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)"""
+           (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)""",
+
+    // KV connector read (key-range pushdown + projection) must land
+    // exactly on the source table
+    "q126_kv_store" ->
+      """SELECT c_custkey AS key, c_name, c_nationkey FROM customer
+         WHERE c_custkey >= 100 AND c_custkey < 600""",
+
+    "q127_pig_hbase" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE c_custkey <= 300"""
   )
 }

@@ -508,6 +508,18 @@ object PigCompiler {
             throw new IllegalArgumentException("XMLLoader needs a tag argument")))
       case ("sequencefileloader", _) =>
         graft.sources.Piggybank.readSequenceFile(spark, path)
+      case ("hbasestorage", args) =>
+        // HBaseStorage('cf:a cf:b'[, '-loadKey true']) → the sorted-KV
+        // connector; qualifiers map to value columns, the rowkey is
+        // exposed when -loadKey is set [Pig: o.a.p.backend.hadoop
+        // .hbase.HBaseStorage]
+        val quals = args.headOption.getOrElse(throw new IllegalArgumentException(
+            "HBaseStorage needs a column list ('cf:a cf:b')"))
+          .split("\\s+").filter(_.nonEmpty).toSeq.map(_.split(':').last)
+        val loadKey = args.lift(1).exists(_.toLowerCase.contains("-loadkey"))
+        val raw = spark.read.format(graft.sources.KeyValueStore.Format).load(path)
+        val cols = (if (loadKey) Seq("key") else Nil) ++ quals
+        raw.select(cols.map(c => raw.col(s"`$c`")): _*)
     }
     val raw = special.getOrElse {
       // default loader is PigStorage('\t'): delimited text, lazy-typed

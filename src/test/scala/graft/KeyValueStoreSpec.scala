@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import graft.sources.KeyValueStore
+
+/** §2.1 HBaseStorage slot: the sorted-KV DSv2 connector. The
+  * load-bearing asserts are the REGION-SERVER behaviors HBaseStorage
+  * pushed down: key ranges prune files and bound the in-file scan, and
+  * projection reaches the reader. */
+class KeyValueStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val base = Files.createTempDirectory("kvstore").toString
+  private lazy val kv: String = {
+    val p = s"$base/customer_kv"
+    KeyValueStore.write(tables.customer, "c_custkey",
+      Seq("c_name", "c_nationkey", "c_acctbal"), p, nFiles = 8)
+    p
+  }
+
+  private def read = spark.read.format(KeyValueStore.Format).load(kv)
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail("no BatchScanExec in plan"))
+
+  test("full read equals the source projection") {
+    val got = read.select($"key", $"c_name",
+      $"c_nationkey".cast("int").as("c_nationkey"))
+    val want = tables.customer.select($"c_custkey".as("key"), $"c_name",
+      $"c_nationkey")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("key range prunes files (partitions < files) and rows are exact") {
+    val all = scanOf(read).inputRDD.getNumPartitions
+    assert(all == 8, s"expected 8 files, planned $all")
+    val narrow = read.filter($"key" >= 100 && $"key" < 160)
+    assert(scanOf(narrow).inputRDD.getNumPartitions < all,
+      "range scan must not open every file")
+    assert(narrow.count() ==
+      tables.customer.filter($"c_custkey" >= 100 && $"c_custkey" < 160).count())
+  }
+
+  test("point get plans a single partition") {
+    val one = read.filter($"key" === 42L)
+    assert(scanOf(one).inputRDD.getNumPartitions == 1)
+    assert(one.select($"c_name").as[String].collect().toSeq ==
+      tables.customer.filter($"c_custkey" === 42)
+        .select($"c_name").as[String].collect().toSeq)
+  }
+
+  test("projection is pushed: scan description lists only requested columns") {
+    val df = read.filter($"key" >= 100).select($"c_name")
+    val desc = scanOf(df).scan.description()
+    assert(desc.contains("cols=c_name"), desc)
+    assert(desc.contains("range=[100,"), desc)
+  }
+
+  test("empty range yields zero partitions and zero rows") {
+    val none = read.filter($"key" > 100000000L)
+    assert(scanOf(none).inputRDD.getNumPartitions == 0)
+    assert(none.count() == 0)
+  }
+
+  test("nulls in value columns survive the round trip as empty-safe") {
+    val p = s"$base/nullable_kv"
+    val src = Seq((1L, Some("a"), Some("x")), (2L, None, Some("y")),
+      (3L, Some("c"), None)).toDF("k", "v1", "v2")
+    KeyValueStore.write(src, "k", Seq("v1", "v2"), p, nFiles = 2)
+    val back = spark.read.format(KeyValueStore.Format).load(p)
+    // empty string is the substrate's null rendering (documented: cells
+    // are bytes; absence and empty collapse — HBase's own semantics)
+    assert(back.count() == 3)
+    assert(back.filter($"key" === 2L).select($"v1").as[String].collect()(0) == "")
+  }
+
+  test("negative keys are rejected at write (rowkeys sort as bytes)") {
+    val src = Seq((-1L, "a")).toDF("k", "v1")
+    intercept[org.apache.spark.SparkException] {
+      KeyValueStore.write(src, "k", Seq("v1"), s"$base/neg_kv", nFiles = 1)
+    }
+  }
+
+  test("LOAD … USING HBaseStorage through the Pig front end") {
+    val df = graft.pig.PigScript.query(spark,
+      s"""C = LOAD '$kv'
+            USING org.apache.pig.backend.hadoop.hbase.HBaseStorage(
+              'd:c_name d:c_nationkey', '-loadKey true')
+            AS (ck:long, name:chararray, nk:int);
+          F = FILTER C BY ck <= 50;
+          STORE F INTO 'out';""")
+    val want = tables.customer.filter($"c_custkey" <= 50)
+      .select($"c_custkey".as("ck"), $"c_name".as("name"),
+        $"c_nationkey".as("nk"))
+    assert(df.exceptAll(want).count() == 0 && want.exceptAll(df).count() == 0)
+  }
+}
