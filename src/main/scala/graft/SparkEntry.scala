@@ -1377,6 +1377,24 @@ object SparkEntry {
             STORE F INTO 'out';""")
     }),
 
+    // --- MAPREDUCE native-job operator (SURVEY §2.7): STORE → opaque
+    //     external job (a shell script standing in for the jar; the
+    //     client-side submission boundary is the same) → LOAD. The
+    //     job's awk filter is recomputed by DuckDB. ---
+    "q128_pig_mapreduce" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mr_").toString
+      val job = s"$tmp/job.sh"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(job),
+        """#!/bin/sh
+          |set -e
+          |in="$1"; out="$2"
+          |cat "$in"/part-* | awk -F'\t' '$3 >= 3 {print $1"\t"$2}' > "$out"
+          |""".stripMargin)
+      graft.pig.PigScript.queryResource(s, "/pig/q128_mapreduce.pig",
+        Map("DIR" -> dir, "MRJOB" -> job,
+          "MRIN" -> s"$tmp/mr_in", "MROUT" -> s"$tmp/mr_out.tsv"))
+    }),
+
     // --- piggybank datetime evals (ISOToUnix / UnixToISO /
     //     ISODaysBetween) over orders dates ---
     "q121_datetime_iso" -> ((s, dir) => {
@@ -2494,6 +2512,10 @@ object SparkEntry {
 
     "q127_pig_hbase" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
-         WHERE c_custkey <= 300"""
+         WHERE c_custkey <= 300""",
+
+    // the external job's filter/projection, recomputed relationally
+    "q128_pig_mapreduce" ->
+      """SELECT n_nationkey, n_name FROM nation WHERE n_regionkey >= 3"""
   )
 }

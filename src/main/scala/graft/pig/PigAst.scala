@@ -113,6 +113,16 @@ object PigAst {
       schema: Seq[String], byName: Boolean = false) extends POp
   /** `B = A;` — alias copy. */
   final case class PAliasRef(in: String) extends POp
+  /** `B = MAPREDUCE 'job' STORE A INTO 'in' LOAD 'out' AS (…) `args`;`
+    * — opaque external batch job bridged by a STORE and a LOAD
+    * [Pig: LONative/PONative]. `job` runs as a local command here
+    * (there is no MR cluster to submit to); the dataflow contract —
+    * materialize input, run job, ingest output — is Pig's. */
+  final case class PNative(cmd: String, storeAlias: String,
+      storePath: String, storeFunc: Option[(String, Seq[String])],
+      loadPath: String, loadFunc: Option[(String, Seq[String])],
+      loadSchema: Option[Seq[(String, Option[String])]],
+      params: Option[String]) extends POp
 
   // ---------------- statements ----------------
 

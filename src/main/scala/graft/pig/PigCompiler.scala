@@ -355,6 +355,28 @@ object PigCompiler {
         ranked.select((rankCol +: df.columns.map(c => col(s"`$c`"))): _*)
       }, None)
 
+    case PNative(cmd, inAlias, inPath, inFunc, outPath, outFunc, schema, params) =>
+      val child = lookup(env, inAlias)
+      new Rel(() => {
+        // the Pig contract: materialize the input relation, run the
+        // opaque job, ingest its output. The job runs as a local
+        // command — the same CLIENT boundary as Pig's job submission;
+        // on a cluster deployment this becomes a spark-submit /
+        // YARN-submit wrapper with no change to the dataflow.
+        val (fmt, opts) = storageFormat(inFunc.orElse(Some(("pigstorage", Nil))))
+        child.df.write.format(fmt).options(opts).mode("overwrite").save(inPath)
+        val full = cmd + params.map(" " + _).getOrElse("")
+        val pb = new ProcessBuilder("/bin/sh", "-c", full)
+        pb.redirectErrorStream(true)
+        val proc = pb.start()
+        val log = scala.io.Source
+          .fromInputStream(proc.getInputStream, "UTF-8").mkString
+        val exit = proc.waitFor()
+        require(exit == 0,
+          s"MAPREDUCE job failed (exit $exit): $full\n${log.take(4000)}")
+        load(spark, outPath, outFunc.orElse(Some(("pigstorage", Nil))), schema)
+      }, None)
+
     case PStream(in, cmd, outCols, byName) =>
       require(outCols.nonEmpty, "STREAM ... THROUGH requires AS (col, ...)")
       val df = lookup(env, in).df

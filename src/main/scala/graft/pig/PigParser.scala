@@ -315,10 +315,24 @@ object PigParser extends RegexParsers {
           PStream(a, cmd, sch.getOrElse(Nil).map(_._1), byName)
       }
 
+  /** `MAPREDUCE 'job' STORE A INTO 'in' [USING f] LOAD 'out' [USING f]
+    * [AS (…)] [`args`]` [Pig: LONative]. */
+  private def mapreduceOp: Parser[POp] =
+    kw("mapreduce") ~> quoted ~
+      (kw("store") ~> ident) ~ (kw("into") ~> quoted) ~
+      opt(kw("using") ~> funcSpec) ~
+      (kw("load") ~> quoted) ~ opt(kw("using") ~> funcSpec) ~
+      opt(kw("as") ~> "(" ~> rep1sep(fieldDecl, ",") <~ ")") ~
+      opt(backtick) ^^ {
+        case cmd ~ a ~ inP ~ inF ~ outP ~ outF ~ sch ~ params =>
+          PNative(cmd, a, inP, inF, outP, outF, sch, params)
+      }
+
   private def op: Parser[POp] =
     loadOp | filterOp | foreachNestedOp | foreachOp | groupOp | cubeOp |
     joinOp | orderOp | limitOp |
     distinctOp | unionOp | crossOp | sampleOp | rankOp | streamOp |
+    mapreduceOp |
     ident ^^ PAliasRef.apply
 
   // ---------------- statements ----------------

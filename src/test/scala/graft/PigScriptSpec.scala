@@ -674,4 +674,30 @@ class PigScriptSpec extends SparkSpec {
     assert(q88.count() > 0)
     assert(q88.columns.toSeq == Seq("n_nationkey", "n_name_uc", "n_regionkey"))
   }
+
+  test("MAPREDUCE: external job bridges STORE -> LOAD") {
+    val tmp = java.nio.file.Files.createTempDirectory("pig_mr").toString
+    val df = graft.pig.PigScript.query(spark,
+      s"""N = LOAD '$sf/nation.parquet' USING parquet;
+          P = FOREACH N GENERATE n_nationkey, n_name;
+          R = MAPREDUCE 'sort $tmp/in/part-* > $tmp/out.tsv'
+              STORE P INTO '$tmp/in' USING PigStorage()
+              LOAD '$tmp/out.tsv' USING PigStorage()
+              AS (nk:int, name:chararray);
+          STORE R INTO 'out';""")
+    assert(df.count() == 25)
+    assert(df.columns.toSeq == Seq("nk", "name"))
+  }
+
+  test("MAPREDUCE: failing job surfaces exit code and output") {
+    val tmp = java.nio.file.Files.createTempDirectory("pig_mr_f").toString
+    val e = intercept[IllegalArgumentException] {
+      graft.pig.PigScript.query(spark,
+        s"""N = LOAD '$sf/nation.parquet' USING parquet;
+            R = MAPREDUCE 'false' STORE N INTO '$tmp/in' USING PigStorage()
+                LOAD '$tmp/out' AS (x:int);
+            STORE R INTO 'out';""").count()
+    }
+    assert(e.getMessage.contains("MAPREDUCE job failed"))
+  }
 }
