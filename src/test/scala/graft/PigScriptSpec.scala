@@ -653,6 +653,23 @@ class PigScriptSpec extends SparkSpec {
       .contains("no such DEFINEd command"))
     assert(err(load + "R = RANK L BY n_nationkey ASC, n_regionkey DESC;")
       .contains("uniform sort direction"))
+    // round-5 surface: special loaders and the MAPREDUCE bridge
+    assert(err("X = LOAD '$DIR/x' USING XMLLoader(); STORE X INTO 'o';")
+      .contains("XMLLoader needs a tag argument"))
+    assert(err("X = LOAD '$DIR/x' USING HBaseStorage(); STORE X INTO 'o';")
+      .contains("HBaseStorage needs a column list"))
+    locally { // job succeeded but produced no output → the LOAD fails
+      val e = intercept[Throwable] {
+        PigScript.query(spark, load +
+          "R = MAPREDUCE 'true' STORE L INTO '/tmp/graft_mr_err/in' " +
+          "LOAD '/tmp/graft_mr_err/nonexistent' AS (x:int);\nSTORE R INTO 'o';",
+          Map("DIR" -> sf)).count()
+      }
+      assert(e.getMessage.contains("nonexistent"), e.getMessage)
+    }
+    // MAPREDUCE grammar: missing STORE clause is a parse error with position
+    assert(err(load + "R = MAPREDUCE 'x' LOAD '/tmp/y' AS (a:int);")
+      .contains("line 2"))
   }
 
   test("all bundled pig queries run and return rows at sf0.001") {
