@@ -171,7 +171,7 @@ object TextAnalysis {
     // containing whitespace, so it cannot collide), making
     // df(sentinel) = N — including zero-token docs — with no separate
     // count() pass over the docs lineage.
-    val sentinel = " "
+    val sentinel = "\u0000"
     val dfAll = docs
       .select(explode(concat(array(lit(sentinel)), array_distinct(toks))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -197,10 +197,13 @@ object TextAnalysis {
     *
     * Scale shape: bigrams are built expression-level (no per-doc
     * window), counts are two partial-aggregated shuffles (bigram key,
-    * unigram key), scoring is two joins that shuffle on those same
-    * keys — the vocabulary is never broadcast and hot tokens ("the")
-    * are AQE's skew-join case. V rides the unigram aggregate (count of
-    * groups), not a separate pass.
+    * unigram key). Scoring first resolves each DISTINCT bigram's
+    * log-prob at the VOCABULARY level (c12 ⋈ c1 — |bigram vocab| rows,
+    * far smaller than the instance stream), so the instance stream
+    * shuffles exactly once, on (w1, w2). The vocabulary is never
+    * broadcast and hot tokens ("the") are AQE's skew-join case. V
+    * rides the unigram aggregate (count of groups), not a separate
+    * pass.
     *
     * Float discipline: each bigram's log-probability is quantized to
     * DECIMAL(18,12) before the per-doc sum, so the mean is independent
@@ -220,13 +223,14 @@ object TextAnalysis {
     val uni = docs.select(explode(toks).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
     val vRow = uni.agg(count(lit(1)).cast("double").as("__v"))
-    val lp = bigrams
-      .join(c12, Seq("w1", "w2"))
+    // vocabulary-level score table: one row per distinct bigram
+    val vocab = c12
       .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
       .crossJoin(broadcast(vRow)) // 1 row by construction
-      .select(col(idCol),
+      .select(col("w1"), col("w2"),
         log((col("c12") + lit(alpha)) / (col("c1") + lit(alpha) * col("__v")))
           .cast(org.apache.spark.sql.types.DecimalType(18, 12)).as("lp"))
+    val lp = bigrams.join(vocab, Seq("w1", "w2")).select(col(idCol), col("lp"))
     lp.groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_bigrams"), sum(col("lp")).as("slp"))
       .select(col(idCol), col("n_bigrams"),
