@@ -294,6 +294,9 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.GraftSqlBridge.{column, expression}
     val seen = corpus.select(col(fpCol))
+    // first ingest: an empty corpus has no filter to build (Spark's
+    // bloom aggregate yields null on zero rows) and nothing to drop
+    if (seen.isEmpty) return batch
     val bf = seen.select(xxhash64(col(fpCol)).as("h"))
       .stat.bloomFilter("h", expectedSeen, fpp)
     val bytes = {

@@ -123,7 +123,11 @@ class PropertyLawsSpec extends SparkSpec {
       "/", "%", "?", ":", "..", ".", "#", "::", "*", "NULL", "TRUE",
       // round-5 statement surface: SET / REGISTER / namespaced UDF calls
       "SET", "REGISTER", "default_parallel", "spark.sql.x", "jython",
-      "ns.f", "m.double_it")
+      "ns.f", "m.double_it",
+      // late-round-5 surface: MAPREDUCE bridge, qualified storage classes
+      "MAPREDUCE", "STORE", "INTO", "`args`",
+      "org.apache.pig.piggybank.storage.CSVExcelStorage", "XMLLoader",
+      "SequenceFileLoader", "HBaseStorage", "'merge-sparse'")
     for (i <- 1 to 400) {
       val n = 1 + rnd.nextInt(24)
       val soup = Seq.fill(n)(tokens(rnd.nextInt(tokens.length))).mkString(" ")
@@ -136,5 +140,42 @@ class PropertyLawsSpec extends SparkSpec {
       }
       assert((System.nanoTime() - t0) < 5e9, s"parser took >5s on: $soup")
     }
+  }
+
+  test("normalizeUrl is idempotent and host/domain are stable on generated URLs") {
+    import graft.operators.TextAnalysis._
+    val schemes = Array("http", "HTTPS", "Http")
+    val hosts = Array("Ex.COM", "www.ex.com", "A.B.Ex.Com", "x9.example.org")
+    val paths = Array("", "/", "/P/q", "/deep/Path-1")
+    val queries = Array("", "?q=1", "?utm_source=a", "?utm_source=a&q=1",
+      "?a=1&utm_medium=m&b=2", "?utm_x=1&utm_y=2")
+    val frags = Array("", "#f", "#Sec/2")
+    val urls = Seq.fill(150) {
+      schemes(rnd.nextInt(schemes.length)) + "://" +
+        hosts(rnd.nextInt(hosts.length)) + paths(rnd.nextInt(paths.length)) +
+        queries(rnd.nextInt(queries.length)) + frags(rnd.nextInt(frags.length))
+    }
+    val rows = urls.toDF("u").select(
+        $"u", normalizeUrl($"u").as("n1"),
+        normalizeUrl(normalizeUrl($"u")).as("n2"),
+        urlHost(normalizeUrl($"u")).as("h"))
+      .as[(String, String, String, String)].collect()
+    rows.foreach { case (u, n1, n2, h) =>
+      assert(n1 == n2, s"not idempotent: $u -> $n1 -> $n2")
+      assert(!n1.contains("#") && !n1.contains("utm_"), s"$u -> $n1")
+      assert(h == h.toLowerCase && u.toLowerCase.contains(h), s"$u host $h")
+    }
+  }
+
+  test("incrementalNew laws: empty corpus keeps all; corpus ⊇ batch keeps none") {
+    import graft.operators.Dedup
+    val batch = Seq.tabulate(60)(i => (i.toLong, s"fp_${i % 37}"))
+      .toDF("id", "fp")
+    val none = Seq.empty[(Long, String)].toDF("id", "fp").select($"fp")
+    assert(Dedup.incrementalNew(batch, none, "fp", expectedSeen = 10L)
+      .count() == 60)
+    val all = batch.select($"fp")
+    assert(Dedup.incrementalNew(batch, all, "fp", expectedSeen = 10L)
+      .count() == 0)
   }
 }
