@@ -1055,6 +1055,34 @@ object SparkEntry {
       s.read.parquet(sink)
     }),
 
+    // --- streaming dedup (dropDuplicatesWithinWatermark): the fixture
+    //     is written to the source TWICE, so every event arrives as a
+    //     duplicate; the engine must emit each event_id exactly once,
+    //     whether the copies land in one micro-batch (in-batch dedup)
+    //     or two (state lookup / late-drop past the watermark — both
+    //     suppress the re-emit). Sink must equal the batch DISTINCT,
+    //     which DuckDB recomputes. ---
+    "q129_stream_dedup" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_q129_").toString
+      val src = s"$tmp/src"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+      val ev = t(s, dir).events
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      ev.coalesce(1).write.mode("append").parquet(src)
+      ev.coalesce(1).write.mode("append").parquet(src) // the duplicates
+      val q = graft.streaming.EventsStreaming.readEvents(s, src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink)
+    }),
+
     // --- sketch bounds under the oracle: at 100 TB you count with
     //     HLL++ and quantile sketches, not exact aggregates — this
     //     entry computes BOTH and asserts the sketch lands within its
@@ -2516,6 +2544,10 @@ object SparkEntry {
 
     // the external job's filter/projection, recomputed relationally
     "q128_pig_mapreduce" ->
-      """SELECT n_nationkey, n_name FROM nation WHERE n_regionkey >= 3"""
+      """SELECT n_nationkey, n_name FROM nation WHERE n_regionkey >= 3""",
+
+    // doubled source, deduped sink: exactly the distinct event set
+    "q129_stream_dedup" ->
+      """SELECT event_id, user_id, event_type FROM events"""
   )
 }

@@ -77,6 +77,15 @@ class KeyValueStoreSpec extends SparkSpec {
     assert(back.filter($"key" === 2L).select($"v1").as[String].collect()(0) == "")
   }
 
+  test("empty table writes a valid sidecar; read plans zero partitions") {
+    val p = s"$base/empty_kv"
+    KeyValueStore.write(tables.customer.filter($"c_custkey" < 0),
+      "c_custkey", Seq("c_name"), p, nFiles = 2)
+    val back = spark.read.format(KeyValueStore.Format).load(p)
+    assert(back.columns.toSeq == Seq("key", "c_name"))
+    assert(back.count() == 0)
+  }
+
   test("negative keys are rejected at write (rowkeys sort as bytes)") {
     val src = Seq((-1L, "a")).toDF("k", "v1")
     intercept[org.apache.spark.SparkException] {
