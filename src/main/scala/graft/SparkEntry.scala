@@ -966,6 +966,41 @@ object SparkEntry {
       new Orchestrator(catalog, clusters).execute(fedPlan)
     }),
 
+    // --- three-cluster federation, two cut edges: orders on A,
+    //     customer on B, nation on C. The planner places each binary
+    //     node to minimize transfer bytes and the orchestrator stages
+    //     parquet across BOTH cuts; the answer must equal the plain
+    //     single-engine SQL DuckDB runs. FederationSpec asserts the
+    //     placement shape (multi-cluster, ≥1 transfer). ---
+    "q130_federated_3way" -> ((s, dir) => {
+      import graft.fed.Federation._
+      val scratch = java.nio.file.Files.createTempDirectory("graft_fed_q130_").toString
+      val clusters = Map(
+        "A" -> Cluster("A", s.newSession(), s"$scratch/A"),
+        "B" -> Cluster("B", s.newSession(), s"$scratch/B"),
+        "C" -> Cluster("C", s.newSession(), s"$scratch/C"))
+      val catalog = new Catalog()
+        .register("orders", TableLoc("A", "parquet", s"$dir/orders.parquet"))
+        .register("customer", TableLoc("B", "parquet", s"$dir/customer.parquet"))
+        .register("nation", TableLoc("C", "parquet", s"$dir/nation.parquet"))
+      val oc = FedBinary(
+        FedStage(FedScan("orders"),
+          _.filter(col("o_orderstatus") === "O"), "open_orders"),
+        FedScan("customer"),
+        (o, c) => o.join(c, o("o_custkey") === c("c_custkey"))
+          .select(c("c_nationkey"), o("o_totalprice")),
+        "oc_join")
+      val fedPlan = FedBinary(
+        oc, FedScan("nation"),
+        (j, n) => j.join(n, j("c_nationkey") === n("n_nationkey"))
+          .groupBy(n("n_name"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("sum_price")),
+        "with_nation")
+      new Orchestrator(catalog, clusters).execute(fedPlan)
+    }),
+
     // --- streaming replay through the real engine (watermark + window
     //     + append-mode parquet sink, Trigger.AvailableNow, checkpoint
     //     resume across runs). A sentinel event 365 days past the
@@ -2548,6 +2583,17 @@ object SparkEntry {
 
     // doubled source, deduped sink: exactly the distinct event set
     "q129_stream_dedup" ->
-      """SELECT event_id, user_id, event_type FROM events"""
+      """SELECT event_id, user_id, event_type FROM events""",
+
+    // two federated cuts must still land on the plain 3-way join
+    "q130_federated_3way" ->
+      """SELECT n_name, COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_price
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderstatus = 'O'
+         GROUP BY n_name"""
   )
 }
