@@ -114,7 +114,19 @@ object SparseIndex {
     val files = pruneFiles(index(spark, dir, keyCol), keys)
     val base =
       if (files.isEmpty) spark.read.parquet(dir).limit(0)
-      else spark.read.parquet(files: _*)
+      else {
+        // push the probe-key bounds into the scan: parquet's own
+        // row-group (and page-index) statistics then prune WITHIN each
+        // surviving file — the second level of Pig's index seek, for
+        // free. Small key sets push In (page-level); larger ones push
+        // the range (row-group-level). Either way the broadcast join
+        // still decides exact membership.
+        val raw = spark.read.parquet(files: _*)
+        val pred =
+          if (keys.length <= 1000) col(keyCol).isin(keys.map(_.asInstanceOf[Any]): _*)
+          else col(keyCol).between(keys.head, keys.last)
+        raw.filter(pred)
+      }
     base.join(broadcast(probe), base(keyCol) === probe(probeKey))
   }
 
@@ -158,9 +170,19 @@ object SparseIndex {
       val files = pruneFiles(index(spark, path, fileNames(keyIdx)), keys)
       val pruned =
         if (files.isEmpty) big.limit(0)
-        else spark.read.parquet(files: _*)
-          .select(fileNames.map(n => col(s"`$n`")): _*)
-          .toDF(big.columns: _*)
+        else {
+          val renamed = spark.read.parquet(files: _*)
+            .select(fileNames.map(n => col(s"`$n`")): _*)
+            .toDF(big.columns: _*)
+          // same second-level seek as lookupJoin: the key predicate
+          // pushes through the rename Project into the parquet scan,
+          // where row-group/page stats prune within surviving files
+          val pred =
+            if (keys.length <= 1000)
+              renamed(s"`$bigKeyName`").isin(keys.map(_.asInstanceOf[Any]): _*)
+            else renamed(s"`$bigKeyName`").between(keys.head, keys.last)
+          renamed.filter(pred)
+        }
       probe.join(pruned, probeKey === pruned(s"`$bigKeyName`"))
     }
   }

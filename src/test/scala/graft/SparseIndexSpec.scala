@@ -61,6 +61,16 @@ class SparseIndexSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("probe keys are pushed into the parquet scan (row-group pruning)") {
+    val probe = tables.orders.filter($"o_orderkey" % 997 === 0)
+      .select($"o_orderkey", $"o_orderpriority")
+    val df = SparseIndex.lookupJoin(spark, sorted, "l_orderkey", probe, "o_orderkey")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(l_orderkey") ||
+      plan.contains("PushedFilters: [l_orderkey IN"), // formatting varies
+      s"probe keys not pushed to the scan:\n${plan.take(1500)}")
+  }
+
   test("probe with no matching key range reads nothing and returns empty") {
     val probe = Seq((-5L, "none")).toDF("o_orderkey", "o_orderpriority")
     val got = SparseIndex.lookupJoin(spark, sorted, "l_orderkey", probe, "o_orderkey")
