@@ -9,15 +9,16 @@ import org.apache.hadoop.fs.Path
 import org.apache.hadoop.io.{SequenceFile, Text}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
-import org.apache.spark.util.SerializableConfiguration
 
 /** Sorted key-value table — the HBaseStorage-shaped connector
   * (SURVEY §2.1) [Pig: o.a.p.backend.hadoop.hbase.HBaseStorage, cited
@@ -52,9 +53,12 @@ class KeyValueStore extends TableProvider {
       throw new IllegalArgumentException("KeyValueStore needs a path"))
     KeyValueStore.schemaOf(KeyValueStore.readIndex(new Configuration(), path)._1)
   }
+  // writes carry the query's schema (no sidecar exists yet for a new
+  // table) — reads still infer from the sidecar above
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new KvTable(properties.get("path"))
+    new KvTable(properties.get("path"), Option(schema))
 }
 
 object KeyValueStore {
@@ -71,52 +75,25 @@ object KeyValueStore {
     StructType(StructField("key", LongType, nullable = false) +:
       valueCols.map(c => StructField(c, StringType, nullable = true)))
 
-  /** Write `df` as a sorted KV table: range-partition by key, sort
-    * within files, stream each partition to a sequence file on the
-    * EXECUTORS (no driver data path), then record per-file key ranges
-    * in the `_kvindex` sidecar (bounded: one line per file). */
+  /** Write `df` as a sorted KV table through the DSv2 write path: the
+    * connector declares its layout invariant via
+    * `RequiresDistributionAndOrdering` (ordered by key, `nFiles`
+    * partitions) and SPARK inserts the range partition + sort; each
+    * task streams its partition to a sequence file and commits a
+    * (file, min, max, rows) message; the job commit assembles the
+    * `_kvindex` sidecar from COMMITTED tasks only — speculative or
+    * failed attempts never become visible. */
   def write(df: DataFrame, keyCol: String, valueCols: Seq[String],
       path: String, nFiles: Int): Unit = {
-    val spark = df.sparkSession
-    val hconf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
     val root = new Path(path)
-    val fs = root.getFileSystem(hconf.value)
+    val fs = root.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
     fs.delete(root, true)
     fs.mkdirs(root)
-    val bc = spark.sparkContext.broadcast(hconf)
-    val prepared = df.select(
-        (col(keyCol).cast("long").as("__k") +:
-          valueCols.map(c => col(c).cast("string"))): _*)
-      .repartitionByRange(nFiles, col("__k"))
-      .sortWithinPartitions("__k")
-    val stats = prepared.rdd.mapPartitionsWithIndex { (pid, it) =>
-      if (it.isEmpty) Iterator.empty
-      else {
-        val conf = bc.value.value
-        val file = new Path(root, f"part-$pid%05d.seq")
-        val writer = SequenceFile.createWriter(conf,
-          SequenceFile.Writer.file(file),
-          SequenceFile.Writer.keyClass(classOf[Text]),
-          SequenceFile.Writer.valueClass(classOf[Text]))
-        val k = new Text(); val v = new Text()
-        var min = Long.MaxValue; var max = Long.MinValue; var n = 0L
-        try it.foreach { row =>
-          val key = row.getLong(0)
-          k.set(renderKey(key))
-          v.set((1 until row.length).map(i =>
-            if (row.isNullAt(i)) "" else row.getString(i)).mkString("\t"))
-          writer.append(k, v)
-          min = math.min(min, key); max = math.max(max, key); n += 1
-        } finally writer.close()
-        Iterator((file.toString, min, max, n))
-      }
-    }.collect() // O(files) sidecar triples — bounded metadata
-    val out = fs.create(new Path(root, "_kvindex"), true)
-    try {
-      out.write((s"#columns\t${valueCols.mkString(",")}\n" +
-        stats.sortBy(_._1).map { case (f, mn, mx, n) => s"$f\t$mn\t$mx\t$n\n" }
-          .mkString).getBytes("UTF-8"))
-    } finally out.close()
+    df.select(
+        (col(keyCol).cast("long").as("key") +:
+          valueCols.map(c => col(c).cast("string").as(c))): _*)
+      .write.format(Format).option("files", nFiles.toString)
+      .mode("append").save(path)
   }
 
   /** Sidecar: (value column names, per-file (path, min, max, rows)). */
@@ -138,15 +115,129 @@ object KeyValueStore {
   }
 }
 
-final class KvTable(path: String) extends Table with SupportsRead {
+final class KvTable(path: String, provided: Option[StructType])
+    extends Table with SupportsRead with SupportsWrite {
   private lazy val (valueCols, files) =
     KeyValueStore.readIndex(new Configuration(), path)
   override def name(): String = s"kv($path)"
-  override def schema(): StructType = KeyValueStore.schemaOf(valueCols)
+  override def schema(): StructType =
+    provided.filter(_.nonEmpty)
+      .getOrElse(KeyValueStore.schemaOf(valueCols))
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KvScanBuilder(valueCols, files)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val s = info.schema()
+    require(s.fields.headOption.exists(f =>
+        f.name == "key" && f.dataType == LongType),
+      s"KeyValueStore writes need a leading LongType 'key' column, got $s")
+    require(s.fields.drop(1).forall(_.dataType == StringType),
+      s"KeyValueStore value columns must be strings (cells are bytes), got $s")
+    val nFiles = Option(info.options.get("files")).map(_.toInt).getOrElse(0)
+    new WriteBuilder {
+      override def build(): Write = new KvWrite(path, s, nFiles)
+    }
+  }
+}
+
+/** The connector owns its layout invariant: Spark is told to range-
+  * distribute and sort by key (and how many partitions) and inserts
+  * the exchange itself — callers cannot produce an unsorted table. */
+final class KvWrite(path: String, writeSchema: StructType, nFiles: Int)
+    extends Write with RequiresDistributionAndOrdering {
+  private val order = Array[SortOrder](
+    Expressions.sort(Expressions.column("key"), SortDirection.ASCENDING))
+  override def requiredDistribution(): Distribution = Distributions.ordered(order)
+  override def requiredOrdering(): Array[SortOrder] = order
+  override def requiredNumPartitions(): Int = nFiles
+  override def toBatch: BatchWrite = new KvBatchWrite(path, writeSchema)
+}
+
+final case class KvCommitMessage(file: String, min: Long, max: Long,
+    rows: Long) extends WriterCommitMessage
+
+final class KvBatchWrite(path: String, writeSchema: StructType)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new KvWriterFactory(path, writeSchema)
+
+  /** Job commit: the sidecar is assembled from committed task messages
+    * only (merged with any prior sidecar for append), so files from
+    * speculative or failed attempts are never visible to readers. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val valueCols = writeSchema.fieldNames.toSeq.filterNot(_ == "key")
+    val prior =
+      if (fs.exists(new Path(root, "_kvindex")))
+        KeyValueStore.readIndex(conf, path)._2
+      else Nil
+    val fresh = messages.collect {
+      case m: KvCommitMessage if m.rows > 0 => (m.file, m.min, m.max, m.rows)
+    }
+    val out = fs.create(new Path(root, "_kvindex"), true)
+    try out.write((s"#columns\t${valueCols.mkString(",")}\n" +
+      (prior ++ fresh).sortBy(_._1)
+        .map { case (f, mn, mx, n) => s"$f\t$mn\t$mx\t$n\n" }.mkString)
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    messages.collect { case m: KvCommitMessage => m }.foreach { m =>
+      val p = new Path(m.file)
+      p.getFileSystem(conf).delete(p, false)
+    }
+  }
+}
+
+final class KvWriterFactory(path: String, writeSchema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KvDataWriter(path, writeSchema, partitionId, taskId)
+}
+
+/** One task's sorted slice → one sequence file; the (min, max, rows)
+  * triple travels back in the commit message. Task ids in the file
+  * name keep retried attempts from colliding; only the committed
+  * attempt's file enters the sidecar. */
+final class KvDataWriter(path: String, writeSchema: StructType,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+  private val file = new Path(path, f"part-$partitionId%05d-$taskId.seq")
+  private val conf = new Configuration()
+  private lazy val writer = SequenceFile.createWriter(conf,
+    SequenceFile.Writer.file(file),
+    SequenceFile.Writer.keyClass(classOf[Text]),
+    SequenceFile.Writer.valueClass(classOf[Text]))
+  private val valIdx = writeSchema.fields.zipWithIndex
+    .collect { case (f, i) if f.name != "key" => i }
+  private val keyIdx = writeSchema.fieldIndex("key")
+  private val k = new Text(); private val v = new Text()
+  private var min = Long.MaxValue
+  private var max = Long.MinValue
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val key = row.getLong(keyIdx)
+    k.set(KeyValueStore.renderKey(key))
+    v.set(valIdx.map(i =>
+      if (row.isNullAt(i)) "" else row.getUTF8String(i).toString)
+      .mkString("\t"))
+    writer.append(k, v)
+    min = math.min(min, key); max = math.max(max, key); rows += 1
+  }
+  override def commit(): WriterCommitMessage = {
+    if (rows > 0) writer.close()
+    KvCommitMessage(file.toString, min, max, rows)
+  }
+  override def abort(): Unit = {
+    if (rows > 0) writer.close()
+    file.getFileSystem(conf).delete(file, false)
+  }
+  override def close(): Unit = ()
 }
 
 final class KvScanBuilder(valueCols: Seq[String],

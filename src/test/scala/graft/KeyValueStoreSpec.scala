@@ -93,6 +93,35 @@ class KeyValueStoreSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 write: append merges the sidecar; schema is validated") {
+    val p = s"$base/append_kv"
+    Seq((1L, "a"), (2L, "b")).toDF("key", "v")
+      .write.format(KeyValueStore.Format).option("files", "1")
+      .mode("append").save(p)
+    Seq((10L, "x")).toDF("key", "v")
+      .write.format(KeyValueStore.Format).option("files", "1")
+      .mode("append").save(p)
+    val back = spark.read.format(KeyValueStore.Format).load(p)
+    assert(back.count() == 3)
+    assert(back.filter($"key" === 10L).select($"v").as[String].collect()(0) == "x")
+    intercept[IllegalArgumentException] { // leading column must be the long key
+      Seq(("a", 1L)).toDF("v", "key")
+        .write.format(KeyValueStore.Format).mode("append").save(s"$base/bad_kv")
+    }
+  }
+
+  test("connector inserts the range+sort itself: unsorted input still scans by range") {
+    val p = s"$base/unsorted_kv"
+    Seq(5L, 1L, 9L, 3L, 7L, 2L, 8L, 4L, 6L, 0L).map(k => (k, s"v$k"))
+      .toDF("key", "v")
+      .write.format(KeyValueStore.Format).option("files", "3")
+      .mode("append").save(p)
+    val back = spark.read.format(KeyValueStore.Format).load(p)
+      .filter($"key" >= 3 && $"key" <= 6)
+    assert(back.select($"v").as[String].collect().sorted.toSeq ==
+      Seq("v3", "v4", "v5", "v6"))
+  }
+
   test("LOAD … USING HBaseStorage through the Pig front end") {
     val df = graft.pig.PigScript.query(spark,
       s"""C = LOAD '$kv'
