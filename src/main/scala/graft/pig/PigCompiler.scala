@@ -120,6 +120,26 @@ object PigCompiler {
         val r = reframe(compileOp(spark, env, cmds, op))
         env(alias) = new Rel(() => reframe(r.df), r.group)
         last = Some(alias)
+      case PStore(alias, path, using)
+          if using.exists(_._1.split('.').last.equalsIgnoreCase("hbasestorage")) =>
+        // STORE … USING HBaseStorage('cf:a cf:b'): Pig's contract puts
+        // the rowkey in the FIRST field; remaining fields map onto the
+        // column list in order [Pig: HBaseStorage putNext]
+        val quals = using.get._2.headOption.getOrElse(
+            throw new IllegalArgumentException(
+              "HBaseStorage needs a column list ('cf:a cf:b')"))
+          .split("\\s+").filter(_.nonEmpty).toSeq.map(_.split(':').last)
+        stores += StoreTarget(alias, path, "hbasestorage", Map.empty)
+        if (executeStores) {
+          val df = lookup(env, alias).df
+          require(df.columns.length == quals.length + 1,
+            s"HBaseStorage column list names ${quals.length} columns but " +
+              s"'$alias' has ${df.columns.length} fields (first is the rowkey)")
+          val renamed = df.toDF(("__rowkey" +: quals): _*)
+          graft.sources.KeyValueStore.write(renamed, "__rowkey", quals, path,
+            nFiles = spark.sessionState.conf.numShufflePartitions)
+        }
+
       case PStore(alias, path, using) =>
         val (fmt, opts) = storageFormat(using)
         stores += StoreTarget(alias, path, fmt, opts)

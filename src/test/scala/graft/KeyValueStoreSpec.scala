@@ -122,6 +122,23 @@ class KeyValueStoreSpec extends SparkSpec {
       Seq("v3", "v4", "v5", "v6"))
   }
 
+  test("script STORE … USING HBaseStorage round-trips through the connector") {
+    val p = s"$base/script_store_kv"
+    graft.pig.PigScript.run(spark,
+      s"""N = LOAD '$sf/nation.parquet' USING parquet;
+          P = FOREACH N GENERATE n_nationkey, n_name, n_regionkey;
+          STORE P INTO '$p'
+            USING org.apache.pig.backend.hadoop.hbase.HBaseStorage('d:name d:rk');""",
+      executeStores = true)
+    val back = graft.pig.PigScript.query(spark,
+      s"""R = LOAD '$p' USING HBaseStorage('d:name d:rk', '-loadKey true')
+            AS (nk:int, name:chararray, rk:int);
+          STORE R INTO 'out';""")
+    val want = tables.nation.select($"n_nationkey".as("nk"),
+      $"n_name".as("name"), $"n_regionkey".as("rk"))
+    assert(back.exceptAll(want).count() == 0 && want.exceptAll(back).count() == 0)
+  }
+
   test("LOAD … USING HBaseStorage through the Pig front end") {
     val df = graft.pig.PigScript.query(spark,
       s"""C = LOAD '$kv'
