@@ -248,13 +248,21 @@ object PigParser extends RegexParsers {
       case a ~ ks ~ inn => (a, ks, inn.isDefined)
     }
 
+  /** `PARTITION BY fully.qualified.Partitioner` — accepted and
+    * IGNORED, like PARALLEL: shuffle partitioning is Spark's call
+    * (hash partitioning + AQE), and a hand-written Hadoop Partitioner
+    * class has no meaning here. Parsing it keeps reference scripts
+    * runnable [Pig: LOCogroup/LOCross setCustomPartitioner]. */
+  private def partitionClause: Parser[String] =
+    kw("partition") ~> kw("by") ~> rep1sep(ident, ".") ^^ (_.mkString("."))
+
   private def groupOp: Parser[POp] =
     (kw("group") | kw("cogroup")) ~> (
       ident <~ kw("all") ^^ (a => PGroup(Seq((a, Nil)), all = true, Set.empty)) |
       rep1sep(groupSide, ",") ^^ { sides =>
         PGroup(sides.map(s => (s._1, s._2)), all = false,
           sides.filter(_._3).map(_._1).toSet)
-      })
+      }) <~ opt(partitionClause)
 
   private def joinSide: Parser[(String, Seq[PExpr])] =
     ident ~ (kw("by") ~> keyList) ^^ { case a ~ ks => (a, ks) }
@@ -277,8 +285,13 @@ object PigParser extends RegexParsers {
       case e ~ d => (e, !d.contains("desc"))
     }
 
+  /** `ORDER … USING comparator` — the comparator class is accepted
+    * and ignored (keys + ASC/DESC fully define our sort; a Java
+    * comparator class cannot run inside Catalyst) [Pig: LOSort
+    * setUserFunc]. */
   private def orderOp: Parser[POp] =
-    kw("order") ~> ident ~ (kw("by") ~> rep1sep(orderKey, ",")) ^^ {
+    kw("order") ~> ident ~ (kw("by") ~> rep1sep(orderKey, ",")) <~
+      opt(kw("using") ~> funcSpec) ^^ {
       case a ~ ks => POrder(a, ks)
     }
 
@@ -286,7 +299,7 @@ object PigParser extends RegexParsers {
     kw("limit") ~> ident ~ """\d+""".r ^^ { case a ~ n => PLimit(a, n.toLong) }
 
   private def distinctOp: Parser[POp] =
-    kw("distinct") ~> ident ^^ PDistinct.apply
+    kw("distinct") ~> ident <~ opt(partitionClause) ^^ PDistinct.apply
 
   private def unionOp: Parser[POp] =
     kw("union") ~> opt(kw("onschema")) ~ rep1sep(ident, ",") ^^ {
@@ -294,7 +307,7 @@ object PigParser extends RegexParsers {
     }
 
   private def crossOp: Parser[POp] =
-    kw("cross") ~> rep1sep(ident, ",") ^^ PCross.apply
+    kw("cross") ~> rep1sep(ident, ",") <~ opt(partitionClause) ^^ PCross.apply
 
   private def sampleOp: Parser[POp] =
     kw("sample") ~> ident ~ """0?\.\d+|1\.0|0|1""".r ^^ {

@@ -540,6 +540,17 @@ class PigScriptSpec extends SparkSpec {
     assert(df.count() == tables.lineitem.select("l_returnflag").distinct().count())
   }
 
+  test("PARTITION BY and ORDER USING comparator parse and are ignored") {
+    val df = PigScript.query(spark,
+      """L = LOAD '$DIR/lineitem.parquet' USING parquet;
+         G = GROUP L BY l_returnflag PARTITION BY org.example.MyPartitioner PARALLEL 8;
+         A = FOREACH G GENERATE group AS l_returnflag, COUNT_STAR(L) AS n;
+         D = DISTINCT A PARTITION BY org.example.MyPartitioner;
+         S = ORDER D BY l_returnflag USING org.example.MyComparator;""",
+      Map("DIR" -> sf))
+    assert(df.count() == tables.lineitem.select("l_returnflag").distinct().count())
+  }
+
   test("IMPORT inlines a macro file") {
     val f = java.nio.file.Files.createTempFile("graft_macros", ".pig")
     java.nio.file.Files.writeString(f,
