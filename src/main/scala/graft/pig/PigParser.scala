@@ -256,13 +256,18 @@ object PigParser extends RegexParsers {
   private def partitionClause: Parser[String] =
     kw("partition") ~> kw("by") ~> rep1sep(ident, ".") ^^ (_.mkString("."))
 
+  /** `GROUP … USING 'collected'|'merge'` — Pig's map-side / sorted
+    * group execution hints. Results are identical to a plain GROUP;
+    * the exchange-elision they bought is what bucketed scans give
+    * Catalyst automatically, so the hint is accepted and ignored
+    * [Pig: LOCogroup GROUPTYPE]. */
   private def groupOp: Parser[POp] =
     (kw("group") | kw("cogroup")) ~> (
       ident <~ kw("all") ^^ (a => PGroup(Seq((a, Nil)), all = true, Set.empty)) |
       rep1sep(groupSide, ",") ^^ { sides =>
         PGroup(sides.map(s => (s._1, s._2)), all = false,
           sides.filter(_._3).map(_._1).toSet)
-      }) <~ opt(partitionClause)
+      }) <~ opt(kw("using") ~> quoted) <~ opt(partitionClause)
 
   private def joinSide: Parser[(String, Seq[PExpr])] =
     ident ~ (kw("by") ~> keyList) ^^ { case a ~ ks => (a, ks) }

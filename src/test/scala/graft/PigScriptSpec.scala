@@ -543,7 +543,8 @@ class PigScriptSpec extends SparkSpec {
   test("PARTITION BY and ORDER USING comparator parse and are ignored") {
     val df = PigScript.query(spark,
       """L = LOAD '$DIR/lineitem.parquet' USING parquet;
-         G = GROUP L BY l_returnflag PARTITION BY org.example.MyPartitioner PARALLEL 8;
+         G = GROUP L BY l_returnflag USING 'collected'
+             PARTITION BY org.example.MyPartitioner PARALLEL 8;
          A = FOREACH G GENERATE group AS l_returnflag, COUNT_STAR(L) AS n;
          D = DISTINCT A PARTITION BY org.example.MyPartitioner;
          S = ORDER D BY l_returnflag USING org.example.MyComparator;""",
