@@ -133,6 +133,11 @@ object PigAst {
   sealed trait PStmt extends scala.util.parsing.input.Positional
   /** `DEFINE name \`cmd\` [SHIP('f', …)];` — external streaming command
     * (the macro form of DEFINE is expanded by the preprocessor). */
+  /** `DEFINE seq SequenceFileLoader('\t');` — function/loader aliasing
+    * [Pig: DEFINE (UDFs, streaming)]. The alias substitutes for the
+    * class wherever a funcSpec is accepted (LOAD/STORE USING). */
+  final case class PDefineFunc(name: String,
+      func: (String, Seq[String])) extends PStmt
   final case class PDefineCmd(name: String, command: String,
       ship: Seq[String]) extends PStmt
   /** `REGISTER 'path' [USING lang AS ns];` — with USING: a scripting-UDF

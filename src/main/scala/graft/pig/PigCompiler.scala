@@ -81,10 +81,37 @@ object PigCompiler {
       executeStores: Boolean = false): Result = {
     val env = mutable.LinkedHashMap.empty[String, Rel]
     val cmds = mutable.Map.empty[String, (String, Seq[String])]
+    val funcAliases = mutable.Map.empty[String, (String, Seq[String])]
     val stores = Seq.newBuilder[StoreTarget]
     var last: Option[String] = None
 
+    // `DEFINE seq SequenceFileLoader('\t')` aliases substitute for the
+    // class wherever a funcSpec is accepted (a bare alias ref only —
+    // an alias with its own args would be a different definition)
+    def resolveSpec(spec: Option[(String, Seq[String])]): Option[(String, Seq[String])] =
+      spec match {
+        case Some((n, Nil)) if funcAliases.contains(n) => Some(funcAliases(n))
+        case other => other
+      }
+    def resolveFuncAliases(op: POp): POp =
+      if (funcAliases.isEmpty) op
+      else op match {
+        case PLoad(p, l, s) => PLoad(p, resolveSpec(l), s)
+        case PForeach(RInline(inner), items) =>
+          PForeach(RInline(resolveFuncAliases(inner)), items)
+        case f: PForeachNested => f.in match {
+          case RInline(inner) => f.copy(in = RInline(resolveFuncAliases(inner)))
+          case _ => f
+        }
+        case n: PNative =>
+          n.copy(storeFunc = resolveSpec(n.storeFunc),
+            loadFunc = resolveSpec(n.loadFunc))
+        case other => other
+      }
+
     stmts.foreach {
+      case PDefineFunc(name, f) =>
+        funcAliases(name) = f
       case PDefineCmd(name, cmd, ship) =>
         cmds(name) = (cmd, ship)
       case PRegister(path, Some((lang, ns))) =>
@@ -117,14 +144,16 @@ object PigCompiler {
               throw new IllegalArgumentException(
                 s"in '$alias' (line ${s.pos.line}): ${e.getMessage}", e)
           }
-        val r = reframe(compileOp(spark, env, cmds, op))
+        val r = reframe(compileOp(spark, env, cmds, resolveFuncAliases(op)))
         env(alias) = new Rel(() => reframe(r.df), r.group)
         last = Some(alias)
-      case PStore(alias, path, using)
-          if using.exists(_._1.split('.').last.equalsIgnoreCase("hbasestorage")) =>
+      case PStore(alias, path, using0)
+          if resolveSpec(using0).exists(
+            _._1.split('.').last.equalsIgnoreCase("hbasestorage")) =>
         // STORE … USING HBaseStorage('cf:a cf:b'): Pig's contract puts
         // the rowkey in the FIRST field; remaining fields map onto the
         // column list in order [Pig: HBaseStorage putNext]
+        val using = resolveSpec(using0)
         val quals = using.get._2.headOption.getOrElse(
             throw new IllegalArgumentException(
               "HBaseStorage needs a column list ('cf:a cf:b')"))
@@ -140,8 +169,8 @@ object PigCompiler {
             nFiles = spark.sessionState.conf.numShufflePartitions)
         }
 
-      case PStore(alias, path, using) =>
-        val (fmt, opts) = storageFormat(using)
+      case PStore(alias, path, using0) =>
+        val (fmt, opts) = storageFormat(resolveSpec(using0))
         stores += StoreTarget(alias, path, fmt, opts)
         if (executeStores)
           lookup(env, alias).df.write.format(fmt).options(opts)

@@ -386,7 +386,11 @@ object PigParser extends RegexParsers {
     kw("define") ~> ident ~ backtick ~
       opt(kw("ship") ~> "(" ~> rep1sep(quoted, ",") <~ ")") <~ ";" ^^ {
         case n ~ cmd ~ ship => PDefineCmd(n, cmd, ship.getOrElse(Nil))
-      }
+      } |
+    // `DEFINE seq SequenceFileLoader('\t');` — loader/storage aliasing
+    kw("define") ~> ident ~ funcSpec <~ ";" ^^ {
+      case n ~ f => PDefineFunc(n, f)
+    }
 
   /** `REGISTER 'udf.py' USING jython AS myfuncs;` — scripting-UDF
     * namespace; plain `REGISTER 'lib.jar';` ships a jar. */

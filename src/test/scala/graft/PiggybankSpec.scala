@@ -136,6 +136,20 @@ class PiggybankSpec extends SparkSpec {
       Map(1 -> "a,b", 2 -> "c\nd"))
   }
 
+  test("DEFINE aliases a loader class; alias resolves in LOAD USING") {
+    val path = s"$base/seq3"
+    Piggybank.writeSequenceFile(
+      tables.nation.select(col("n_nationkey").cast("string").as("k"),
+        col("n_name").as("v")), "k", "v", path)
+    val df = graft.pig.PigScript.query(spark,
+      s"""DEFINE seq org.apache.pig.piggybank.storage.SequenceFileLoader();
+          raw = LOAD '$path' USING seq AS (nk:int, name:chararray);
+          big = FILTER raw BY nk >= 20;
+          STORE big INTO 'out';""")
+    assert(df.count() ==
+      tables.nation.filter(col("n_nationkey") >= 20).count())
+  }
+
   // ---------------- datetime evals ----------------
 
   test("ISOToUnix / UnixToISO / ISODaysBetween") {
