@@ -2177,18 +2177,18 @@ object SparkEntry {
 
     "q78_pig_group_agg" ->
       """SELECT l_returnflag, l_linestatus,
-         count(*) AS count_order, sum(l_quantity) AS sum_qty,
+         count(*) AS count_order, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
          min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus""",
 
     "q79_pig_join_group" ->
-      """SELECT o_orderstatus, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+      """SELECT o_orderstatus, count(*) AS n_lines, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderstatus""",
 
     "q80_pig_join_replicated" ->
-      """SELECT n_name, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+      """SELECT n_name, count(*) AS n_lines, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
          FROM lineitem
          JOIN supplier ON l_suppkey = s_suppkey
          JOIN nation ON s_nationkey = n_nationkey
@@ -2294,7 +2294,7 @@ object SparkEntry {
          WHERE rn <= 3""",
 
     "q96_pig_cube" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
 
     "q97_pig_rollup" ->
@@ -2302,18 +2302,18 @@ object SparkEntry {
          FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
 
     "q98_pig_inline_foreach" ->
-      """SELECT l_returnflag, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+      """SELECT l_returnflag, count(*) AS n_lines, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY l_returnflag""",
 
     "q99_pig_nested_foreach" ->
       """SELECT l_suppkey,
-         sum(l_quantity * 2.0) AS sum_dqty,
+         CAST(sum(l_quantity * 2.0) AS DOUBLE) AS sum_dqty,
          count(CASE WHEN l_quantity * 2.0 > 60.0 THEN 1 END) AS n_big,
          max(CASE WHEN l_quantity * 2.0 > 60.0 THEN l_quantity * 2.0 END) AS max_big
          FROM lineitem GROUP BY l_suppkey""",
 
     "q102_pig_scalar_alias" ->
-      """WITH t AS (SELECT avg(l_quantity) AS avg_qty FROM lineitem)
+      """WITH t AS (SELECT CAST(avg(l_quantity) AS DOUBLE) AS avg_qty FROM lineitem)
          SELECT l_orderkey, l_linenumber, l_quantity / t.avg_qty AS qty_ratio
          FROM lineitem, t WHERE l_quantity > t.avg_qty * 1.5""",
 
@@ -2407,7 +2407,8 @@ object SparkEntry {
              len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS nt
            FROM documents),
          masses AS (SELECT source, CAST(SUM(nt) AS DOUBLE) AS t_i FROM toks GROUP BY source),
-         z AS (SELECT SUM(pow(t_i, 0.7)) AS z, SUM(t_i) AS t_total FROM masses),
+         z AS (SELECT CAST(SUM(pow(t_i, 0.7)) AS DOUBLE) AS z,
+              CAST(SUM(t_i) AS DOUBLE) AS t_total FROM masses),
          rates AS (
            SELECT source, least(1.0, pow(t_i, 0.7) / z.z * 0.5 * z.t_total / t_i) AS rate
            FROM masses CROSS JOIN z),
@@ -2558,7 +2559,8 @@ object SparkEntry {
                     || '?q=' || CAST(doc_id % 3 AS VARCHAR) AS url_norm,
                   source || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain
            FROM documents)
-         SELECT domain, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+         SELECT domain, COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                 MIN(url_norm) AS sample_url
          FROM u GROUP BY domain""",
 

@@ -248,9 +248,12 @@ object TextAnalysis {
     * regexp chain — codegen'd, no UDF. */
   def normalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*", "")
+    // Lookbehind anchors the param on its separator without consuming
+    // it, so back-to-back utm params all match and a param merely
+    // *containing* "utm_" mid-name (e.g. "gutm_source") is left alone.
     val noUtm = regexp_replace(
-      regexp_replace(noFrag, "utm_[a-zA-Z]+=[^&]*&?", ""),
-      "[?&]$", "")
+      regexp_replace(noFrag, "(?<=[?&])utm_[A-Za-z0-9_]+=[^&]*&?", ""),
+      "[?&]+$", "")
     val head = regexp_extract(noUtm, "^(\\w+://[^/?#]*)", 1)
     val rest = regexp_replace(noUtm, "^\\w+://[^/?#]*", "")
     concat(lower(head), rest)
@@ -274,7 +277,7 @@ object TextAnalysis {
         norm.as("url_norm"), charsCol.as("__chars"))
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("__chars")).as("sum_chars"),
+        sum(col("__chars")).cast("long").as("sum_chars"),
         min(col("url_norm")).as("sample_url"))
   }
 }

@@ -343,7 +343,15 @@ class DedupSimilaritySpec extends SparkSpec {
         "https://www.ex.com/Path/X?q=1"),
       ("http://ex.com/p?utm_campaign=c", "http://ex.com/p"),
       ("http://EX.com/p", "http://ex.com/p"),
-      ("https://a.b.ex.com/", "https://a.b.ex.com/"))
+      ("https://a.b.ex.com/", "https://a.b.ex.com/"),
+      // back-to-back utm params must BOTH go (the pre-round-6 regex
+      // consumed the separator and skipped the second one)
+      ("http://ex.com/p?utm_a=1&utm_b=2&q=3", "http://ex.com/p?q=3"),
+      // a param merely containing "utm_" mid-name is not a tracker
+      ("http://ex.com/p?gutm_source=1&q=2", "http://ex.com/p?gutm_source=1&q=2"),
+      // digits/underscores in the utm name are still trackers
+      ("http://ex.com/p?utm_id_2=x&q=1", "http://ex.com/p?q=1"),
+      ("http://ex.com/p?q=1&utm_a=2&utm_b=3", "http://ex.com/p?q=1"))
     val got = cases.toDF("url", "want")
       .select(normalizeUrl($"url").as("got"), $"want")
       .as[(String, String)].collect()

@@ -5,30 +5,53 @@ Replicates the driver's compare as closely as we can infer (BASELINE.md):
 sort columns by name, canonicalize values (floats rounded to 1e-9,
 timestamps as UTC strings), sort rows, sha256-hash, compare.
 
+Both sides are fetched THROUGH PANDAS (`rel.df()`), not `fetchall()`:
+round 5 proved the driver does the same — DuckDB renders HUGEINT
+(e.g. an uncast SUM(INTEGER)) as float64 through pandas, so an oracle
+whose output type is HUGEINT hashes `12.000000000` against Spark's
+`12` and fails. `fetchall()` preserves Python ints and green-lit
+exactly that bug (q124, round 5). Never switch this back.
+
 Usage: python3 tools/validate.py <verify_out_dir> <sf_dir>
 where <verify_out_dir> was produced by `sbt "runMain graft.Verify <sf_dir> <out>"`.
 """
 import sys, os, json, hashlib, glob
 import duckdb
+import numpy as np
+import pandas as pd
 
 
 def canon_cell(v):
-    if v is None:
+    if v is None or v is pd.NaT:
         return "NULL"
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return "true" if v else "false"
-    if isinstance(v, float):
+    if isinstance(v, (float, np.floating)):
         if v != v:
             return "NaN"
-        return f"{round(v, 9):.9f}"
+        return f"{round(float(v), 9):.9f}"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
     # timestamps / dates -> isoformat
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(canon_cell(x) for x in v) + "]"
     return str(v)
+
+
+def fetch(rel):
+    """Fetch a DuckDB relation the way the driver does: via pandas.
+
+    This is load-bearing for type canonicalization (HUGEINT/DECIMAL ->
+    float64, int columns with NULLs -> float64) — see module docstring.
+    """
+    df = rel.df()
+    cols = list(df.columns)
+    rows = [tuple(r) for r in df.itertuples(index=False, name=None)]
+    return cols, rows
 
 
 def canon_rows(cols, rows):
@@ -67,15 +90,13 @@ def main():
             print(f"{name}: NO SPARK OUTPUT")
             n_fail += 1
             continue
-        rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-        s_cols, s_rows = rel.columns, rel.fetchall()
+        s_cols, s_rows = fetch(con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
         if name not in oracles:
             print(f"{name}: no oracle (rows-only check): {len(s_rows)} rows")
             n_skip += 1
             continue
         try:
-            orel = con.sql(oracles[name])
-            o_cols, o_rows = orel.columns, orel.fetchall()
+            o_cols, o_rows = fetch(con.sql(oracles[name]))
         except Exception as e:
             print(f"{name}: ORACLE SQL ERROR: {str(e)[:200]}")
             n_fail += 1
