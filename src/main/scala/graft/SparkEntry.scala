@@ -1001,6 +1001,13 @@ object SparkEntry {
       new Orchestrator(catalog, clusters).execute(fedPlan)
     }),
 
+    // --- ORDER ... USING a case-insensitive comparator, honored as
+    //     lower(key)+raw-key sort keys (SURVEY §2.5 ORDER row). Half
+    //     the keys are UPPER()'d, so the LIMIT-25 selection set itself
+    //     proves comparator semantics: a case-sensitive sort would
+    //     pick only even doc_ids (ASCII upper < lower). ---
+    "q131_order_comparator" -> pigQ("/pig/q131_order_comparator.pig"),
+
     // --- streaming replay through the real engine (watermark + window
     //     + append-mode parquet sink, Trigger.AvailableNow, checkpoint
     //     resume across runs). A sentinel event 365 days past the
@@ -2596,6 +2603,16 @@ object SparkEntry {
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          WHERE o_orderstatus = 'O'
-         GROUP BY n_name"""
+         GROUP BY n_name""",
+
+    // case-insensitive comparator: the 25 rows smallest under
+    // (lower(k), k) — NOT under plain k, which ASCII-sorts every
+    // UPPER()'d even doc_id first
+    "q131_order_comparator" ->
+      """SELECT doc_id, k FROM (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END AS k
+           FROM documents)
+         ORDER BY lower(k), k LIMIT 25"""
   )
 }

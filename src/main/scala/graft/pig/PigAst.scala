@@ -99,7 +99,12 @@ object PigAst {
     * `using`: replicated | skewed | merge (strategy hints). */
   final case class PJoin(sides: Seq[(String, Seq[PExpr])],
       outer: Option[String], using: Option[String]) extends POp
-  final case class POrder(in: String, keys: Seq[(PExpr, Boolean)]) extends POp
+  /** `comparator`: `ORDER … USING <class>` — honored when the class
+    * name encodes one of the two idiomatic shapes (reverse /
+    * case-insensitive), refused loudly otherwise [Pig: LOSort
+    * setUserFunc]. */
+  final case class POrder(in: String, keys: Seq[(PExpr, Boolean)],
+      comparator: Option[(String, Seq[String])] = None) extends POp
   final case class PLimit(in: String, n: Long) extends POp
   final case class PDistinct(in: String) extends POp
   final case class PUnion(ins: Seq[String], onSchema: Boolean) extends POp

@@ -106,6 +106,7 @@ object PigCompiler {
         case n: PNative =>
           n.copy(storeFunc = resolveSpec(n.storeFunc),
             loadFunc = resolveSpec(n.loadFunc))
+        case o: POrder => o.copy(comparator = resolveSpec(o.comparator))
         case other => other
       }
 
@@ -352,10 +353,43 @@ object PigCompiler {
         }
       }, None)
 
-    case POrder(in, keys) =>
+    case POrder(in, keys, comparator) =>
       val df = lookup(env, in).df
-      new Rel(() => df.orderBy(keys.map { case (e, asc) =>
-        val c = compileExpr(df, e); if (asc) c.asc else c.desc }: _*), None)
+      // The two comparator shapes expressible as Catalyst sort keys are
+      // honored, recognized by the class's simple name; anything else
+      // is refused — silently dropping a user comparator reorders the
+      // output with no diagnostic (the round-5 behavior).
+      val sortCols: Seq[Column] = comparator.map(_._1) match {
+        case None =>
+          keys.map { case (e, asc) =>
+            val c = compileExpr(df, e); if (asc) c.asc else c.desc }
+        case Some(cls) =>
+          val simple = cls.split('.').last.toLowerCase
+          if (simple.contains("reverse") || simple.contains("descending")
+              || simple == "desc")
+            // a reversing comparator flips every key's direction
+            keys.map { case (e, asc) =>
+              val c = compileExpr(df, e); if (asc) c.desc else c.asc }
+          else if (simple.contains("caseinsensitive")
+              || simple.contains("ignorecase"))
+            // case-insensitive total order: LOWER(key) first, the raw
+            // key as the deterministic tiebreak; non-string keys are
+            // unaffected by case folding
+            keys.flatMap { case (e, asc) =>
+              val c = compileExpr(df, e)
+              val isStr = df.select(c).schema.head.dataType == StringType
+              val folded = if (isStr) Seq(lower(c), c) else Seq(c)
+              folded.map(k => if (asc) k.asc else k.desc)
+            }
+          else
+            throw new IllegalArgumentException(
+              s"ORDER ... USING '$cls': unsupported comparator. Only " +
+                "reverse (*Reverse*/*Descending*) and case-insensitive " +
+                "(*CaseInsensitive*/*IgnoreCase*) comparators compile to " +
+                "Catalyst sort keys; rewrite the order as BY <expr> " +
+                "ASC|DESC or drop the USING clause.")
+      }
+      new Rel(() => df.orderBy(sortCols: _*), None)
 
     case PLimit(in, n) =>
       require(n <= Int.MaxValue, s"LIMIT $n exceeds Int.MaxValue " +

@@ -259,15 +259,22 @@ object PigParser extends RegexParsers {
   /** `GROUP … USING 'collected'|'merge'` — Pig's map-side / sorted
     * group execution hints. Results are identical to a plain GROUP;
     * the exchange-elision they bought is what bucketed scans give
-    * Catalyst automatically, so the hint is accepted and ignored
-    * [Pig: LOCogroup GROUPTYPE]. */
+    * Catalyst automatically, so the known hints are accepted and
+    * ignored. Any OTHER quoted group type is a parse error, exactly
+    * as Pig rejects unknown GROUPTYPEs [Pig: LOCogroup GROUPTYPE]. */
+  private def groupHint: Parser[String] =
+    kw("using") ~> quoted ^? ({
+      case h if Set("collected", "merge")(h.toLowerCase) => h.toLowerCase
+    }: PartialFunction[String, String],
+      h => s"GROUP ... USING '$h': unknown group type (expected 'collected' or 'merge')")
+
   private def groupOp: Parser[POp] =
     (kw("group") | kw("cogroup")) ~> (
       ident <~ kw("all") ^^ (a => PGroup(Seq((a, Nil)), all = true, Set.empty)) |
       rep1sep(groupSide, ",") ^^ { sides =>
         PGroup(sides.map(s => (s._1, s._2)), all = false,
           sides.filter(_._3).map(_._1).toSet)
-      }) <~ opt(kw("using") ~> quoted) <~ opt(partitionClause)
+      }) <~ opt(groupHint) <~ opt(partitionClause)
 
   private def joinSide: Parser[(String, Seq[PExpr])] =
     ident ~ (kw("by") ~> keyList) ^^ { case a ~ ks => (a, ks) }
@@ -290,14 +297,16 @@ object PigParser extends RegexParsers {
       case e ~ d => (e, !d.contains("desc"))
     }
 
-  /** `ORDER … USING comparator` — the comparator class is accepted
-    * and ignored (keys + ASC/DESC fully define our sort; a Java
-    * comparator class cannot run inside Catalyst) [Pig: LOSort
-    * setUserFunc]. */
+  /** `ORDER … USING comparator` — the comparator class is carried to
+    * the compiler, which honors the two shapes expressible as
+    * Catalyst sort keys (reverse, case-insensitive) and refuses any
+    * other class loudly — an arbitrary Java comparator cannot run
+    * inside Catalyst, and silently ignoring it would reorder the
+    * user's output [Pig: LOSort setUserFunc]. */
   private def orderOp: Parser[POp] =
-    kw("order") ~> ident ~ (kw("by") ~> rep1sep(orderKey, ",")) <~
+    kw("order") ~> ident ~ (kw("by") ~> rep1sep(orderKey, ",")) ~
       opt(kw("using") ~> funcSpec) ^^ {
-      case a ~ ks => POrder(a, ks)
+      case a ~ ks ~ cmp => POrder(a, ks, cmp)
     }
 
   private def limitOp: Parser[POp] =

@@ -540,16 +540,77 @@ class PigScriptSpec extends SparkSpec {
     assert(df.count() == tables.lineitem.select("l_returnflag").distinct().count())
   }
 
-  test("PARTITION BY and ORDER USING comparator parse and are ignored") {
+  test("PARTITION BY and GROUP USING hints parse and are ignored") {
     val df = PigScript.query(spark,
       """L = LOAD '$DIR/lineitem.parquet' USING parquet;
          G = GROUP L BY l_returnflag USING 'collected'
              PARTITION BY org.example.MyPartitioner PARALLEL 8;
          A = FOREACH G GENERATE group AS l_returnflag, COUNT_STAR(L) AS n;
-         D = DISTINCT A PARTITION BY org.example.MyPartitioner;
-         S = ORDER D BY l_returnflag USING org.example.MyComparator;""",
+         D = DISTINCT A PARTITION BY org.example.MyPartitioner;""",
       Map("DIR" -> sf))
     assert(df.count() == tables.lineitem.select("l_returnflag").distinct().count())
+  }
+
+  test("GROUP USING an unknown group type is a parse error") {
+    val e = intercept[IllegalArgumentException] {
+      PigScript.query(spark,
+        """L = LOAD '$DIR/lineitem.parquet' USING parquet;
+           G = GROUP L BY l_returnflag USING 'regular';""",
+        Map("DIR" -> sf))
+    }
+    assert(e.getMessage.toLowerCase.contains("parse error"))
+  }
+
+  test("ORDER USING a reverse comparator flips the order") {
+    import spark.implicits._
+    val df = PigScript.query(spark,
+      """O = LOAD '$DIR/orders.parquet' USING parquet;
+         S = ORDER O BY o_orderkey USING org.example.ReverseComparator;
+         T = LIMIT S 5;
+         R = FOREACH T GENERATE o_orderkey;""",
+      Map("DIR" -> sf))
+    val got = df.as[Long].collect().toSeq
+    val want = tables.orders.select(col("o_orderkey")).as[Long]
+      .collect().sorted.reverse.take(5).toSeq
+    assert(got.sorted == want.sorted)
+  }
+
+  test("ORDER USING a case-insensitive comparator folds string keys") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_ci_").toString
+    Seq(("b", 1), ("A", 2), ("a", 3), ("B", 4), ("C", 5))
+      .toDF("name", "v").write.parquet(s"$t/x.parquet")
+    val df = PigScript.query(spark,
+      s"""X = LOAD '$t/x.parquet' USING parquet;
+          S = ORDER X BY name USING org.example.CaseInsensitiveComparator;
+          R = FOREACH S GENERATE name;""")
+    // lower(name) first, raw name as tiebreak: A a B b C
+    assert(df.as[String].collect().toSeq == Seq("A", "a", "B", "b", "C"))
+  }
+
+  test("ORDER USING an arbitrary comparator class is refused loudly") {
+    val e = intercept[IllegalArgumentException] {
+      PigScript.query(spark,
+        """O = LOAD '$DIR/orders.parquet' USING parquet;
+           S = ORDER O BY o_orderkey USING org.example.MyComparator;""",
+        Map("DIR" -> sf))
+    }
+    assert(e.getMessage.contains("unsupported comparator"))
+  }
+
+  test("DEFINE alias resolves an ORDER comparator") {
+    import spark.implicits._
+    val df = PigScript.query(spark,
+      """DEFINE rev org.example.ReverseComparator();
+         O = LOAD '$DIR/orders.parquet' USING parquet;
+         S = ORDER O BY o_orderkey DESC USING rev;
+         T = LIMIT S 3;
+         R = FOREACH T GENERATE o_orderkey;""",
+      Map("DIR" -> sf))
+    // reverse of DESC = ASC: the three smallest keys
+    val want = tables.orders.select(col("o_orderkey")).as[Long]
+      .collect().sorted.take(3).toSeq
+    assert(df.as[Long].collect().toSeq.sorted == want)
   }
 
   test("IMPORT inlines a macro file") {
