@@ -29,8 +29,16 @@ object Federation {
   /** An executable cluster: in production a Spark Connect endpoint per
     * physical cluster; in tests, isolated SparkSessions. `scratchUri` is
     * the cluster-local staging area for inbound transfers (the
-    * reference's BinStorage temp dir; ours is parquet). */
-  final case class Cluster(id: String, session: SparkSession, scratchUri: String)
+    * reference's BinStorage temp dir; ours is parquet).
+    *
+    * `computeFactor` is the per-cluster load term of the cost model
+    * (PigOut weighs cluster load alongside transfer sizes, SURVEY
+    * §2.8): relative cost per byte processed on this cluster — 1.0 =
+    * reference speed, 2.0 = twice as expensive (loaded/small cluster).
+    * At the default every cluster prices compute identically, so the
+    * greedy cut decision reduces to min-transfer exactly as before. */
+  final case class Cluster(id: String, session: SparkSession, scratchUri: String,
+      computeFactor: Double = 1.0)
 
   final class Catalog {
     private val tables = mutable.LinkedHashMap.empty[String, TableLoc]
@@ -69,8 +77,10 @@ object Federation {
       f: (DataFrame, DataFrame) => DataFrame, label: String) extends FedPlan
 
   /** Result of planning: where each node runs + the transfers inserted
-    * at cut edges (for observability/tests). */
-  final case class Placement(assignment: Map[FedPlan, String], transfers: Seq[(String, String, String)])
+    * at cut edges (for observability/tests) + the cost model's price
+    * for this placement (compute + transfer; NaN when unpriced). */
+  final case class Placement(assignment: Map[FedPlan, String],
+      transfers: Seq[(String, String, String)], cost: Double = Double.NaN)
 
   // ------------------------------------------------------------------
   // Cost model — PigOut-fidelity heuristics (SURVEY §7.5.6): base table
@@ -122,13 +132,64 @@ object Federation {
   def estimatedBytes(plan: FedPlan, catalog: Catalog, session: SparkSession): Long =
     estimateBytes(plan, catalog, session)
 
+  /** Relative price of moving one byte across clusters vs processing
+    * it in place. Transfers write + ship + re-read, so they price
+    * above compute (the paper's transfer term dominates its load
+    * term for cut decisions at equal cluster speeds). */
+  val TransferWeight: Double = 2.0
+
+  /** Direct children of a DAG node. */
+  private def children(p: FedPlan): Seq[FedPlan] = p match {
+    case FedScan(_) => Nil
+    case FedStage(in, _, _, _) => Seq(in)
+    case FedBinary(l, r, _, _) => Seq(l, r)
+  }
+
+  /** Every node of the DAG, post-order. */
+  private[fed] def nodes(p: FedPlan): Seq[FedPlan] =
+    children(p).flatMap(nodes) :+ p
+
+  /** Price a COMPLETE assignment under the full cost model
+    * (SURVEY §2.8; the paper's objective = intermediate-transfer
+    * sizes + per-cluster load):
+    *
+    *   Σ_node  inputBytes(node) × computeFactor(cluster(node))
+    * + Σ_edge  bytes(child) × TransferWeight   when the edge is cut
+    *
+    * `inputBytes` of a scan is the table itself; of a stage/join, the
+    * estimated output bytes of its children — the data the node must
+    * actually chew through where it runs. */
+  def assignmentCost(root: FedPlan, assignment: Map[FedPlan, String],
+      catalog: Catalog, clusters: Map[String, Cluster]): Double = {
+    val anySession = clusters.values.head.session
+    val bytes = mutable.Map.empty[FedPlan, Long]
+    def outBytes(p: FedPlan): Long =
+      bytes.getOrElseUpdate(p, estimateBytes(p, catalog, anySession))
+    nodes(root).distinct.map { n =>
+      val factor = clusters(assignment(n)).computeFactor
+      val inBytes = n match {
+        case FedScan(t) => tableBytes(anySession, catalog(t).uri)
+        case _ => children(n).map(outBytes).sum
+      }
+      val compute = inBytes.toDouble * factor
+      val transfer = children(n)
+        .filter(c => assignment(c) != assignment(n))
+        .map(c => outBytes(c).toDouble * TransferWeight).sum
+      compute + transfer
+    }.sum
+  }
+
   /** Greedy cut assignment (mirrors the paper's greedy search, which it
     * found near-optimal): each node runs where its inputs live; at a
-    * binary node with mixed clusters, ship the cheaper side. */
+    * binary node with mixed clusters, pick the destination whose
+    * incremental price — shipped bytes × TransferWeight + joined bytes
+    * × the destination's computeFactor — is lower. With equal
+    * computeFactors this is exactly "ship the cheaper side". */
   def plan(root: FedPlan, catalog: Catalog, clusters: Map[String, Cluster]): Placement = {
     val assign = mutable.Map.empty[FedPlan, String]
     val transfers = mutable.ArrayBuffer.empty[(String, String, String)]
     val anySession = clusters.values.head.session
+    def factor(c: String): Double = clusters(c).computeFactor
 
     def walk(p: FedPlan): String = p match {
       case s @ FedScan(t) =>
@@ -141,14 +202,49 @@ object Federation {
           if (cl == cr) cl
           else {
             val (lb, rb) = (estimateBytes(l, catalog, anySession), estimateBytes(r, catalog, anySession))
-            val (shipped, dest) = if (lb <= rb) (l, cr) else (r, cl)
+            val joined = (lb + rb).toDouble
+            val costAtCr = lb * TransferWeight + joined * factor(cr) // ship left
+            val costAtCl = rb * TransferWeight + joined * factor(cl) // ship right
+            val (shipped, dest) = if (costAtCr <= costAtCl) (l, cr) else (r, cl)
             transfers += ((shipped.label, assign(shipped), dest))
             dest
           }
         assign(b) = c; c
     }
     walk(root)
-    Placement(assign.toMap, transfers.toSeq)
+    val a = assign.toMap
+    Placement(a, transfers.toSeq, assignmentCost(root, a, catalog, clusters))
+  }
+
+  /** Exhaustive cut search: every non-scan node may run on ANY cluster
+    * (scans are pinned to their data); the cheapest assignment under
+    * [[assignmentCost]] wins. Exponential in non-scan node count — a
+    * test/calibration harness for the paper's greedy-vs-exhaustive
+    * comparison, not a production path. */
+  def planExhaustive(root: FedPlan, catalog: Catalog,
+      clusters: Map[String, Cluster]): Placement = {
+    val all = nodes(root).distinct
+    val free = all.filter { case FedScan(_) => false; case _ => true }
+    require(math.pow(clusters.size.toDouble, free.size.toDouble) <= 1e6,
+      s"exhaustive search over ${free.size} nodes × ${clusters.size} clusters is too large")
+    val pinned: Map[FedPlan, String] =
+      all.collect { case s @ FedScan(t) => s -> catalog(t).cluster }.toMap
+    val ids = clusters.keys.toSeq.sorted
+    var best: Map[FedPlan, String] = null
+    var bestCost = Double.MaxValue
+    def rec(rest: List[FedPlan], acc: Map[FedPlan, String]): Unit = rest match {
+      case Nil =>
+        val c = assignmentCost(root, acc, catalog, clusters)
+        if (c < bestCost) { bestCost = c; best = acc }
+      case n :: tail =>
+        ids.foreach(id => rec(tail, acc + (n -> id)))
+    }
+    rec(free.toList, pinned)
+    val transfers = nodes(root).distinct.flatMap { n =>
+      children(n).filter(c => best(c) != best(n))
+        .map(c => (c.label, best(c), best(n)))
+    }
+    Placement(best, transfers, bestCost)
   }
 
   // ------------------------------------------------------------------

@@ -114,6 +114,67 @@ class FederationSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("compute term steers the cut: a slow destination repels the join") {
+    val tmp = Files.createTempDirectory("fedslow").toString
+    val (custUri, ordUri) = (s"$tmp/a/customer", s"$tmp/b/orders")
+    tables.customer.write.mode("overwrite").parquet(custUri)
+    tables.orders.write.mode("overwrite").parquet(ordUri)
+    val catalog = new Catalog()
+      .register("customer", TableLoc("A", "parquet", custUri))
+      .register("orders", TableLoc("B", "parquet", ordUri))
+    val join = FedBinary(FedScan("customer"), FedScan("orders"),
+      (c, o) => c.join(o, c("c_custkey") === o("o_custkey")), "join")
+    // equal speeds: min-transfer wins, small customer ships A -> B
+    val even = Federation.plan(join, catalog, Map(
+      "A" -> Cluster("A", spark.newSession(), s"$tmp/a/scratch"),
+      "B" -> Cluster("B", spark.newSession(), s"$tmp/b/scratch")))
+    assert(even.assignment(join) == "B")
+    // B overloaded (10x compute): shipping the BIG side to fast A is
+    // cheaper than joining on slow B — the paper's load term in action
+    val skewed = Federation.plan(join, catalog, Map(
+      "A" -> Cluster("A", spark.newSession(), s"$tmp/a/scratch"),
+      "B" -> Cluster("B", spark.newSession(), s"$tmp/b/scratch", computeFactor = 10.0)))
+    assert(skewed.assignment(join) == "A")
+    val (_, from, dest) = skewed.transfers.head
+    assert(from == "B" && dest == "A")
+    assert(skewed.cost < even.cost * 10, "cost must be priced, not NaN")
+  }
+
+  test("greedy is within 1.5x of exhaustive on a 3-table DAG (paper's comparison)") {
+    val tmp = Files.createTempDirectory("fedex").toString
+    val (custUri, ordUri, liUri) = (s"$tmp/a/customer", s"$tmp/b/orders", s"$tmp/c/lineitem")
+    tables.customer.write.mode("overwrite").parquet(custUri)
+    tables.orders.write.mode("overwrite").parquet(ordUri)
+    tables.lineitem.write.mode("overwrite").parquet(liUri)
+    val catalog = new Catalog()
+      .register("customer", TableLoc("A", "parquet", custUri))
+      .register("orders", TableLoc("B", "parquet", ordUri))
+      .register("lineitem", TableLoc("C", "parquet", liUri))
+    val co = FedBinary(FedScan("customer"), FedScan("orders"),
+      (c, o) => c.join(o, c("c_custkey") === o("o_custkey")), "cust_orders")
+    val root = FedBinary(co, FedScan("lineitem"),
+      (coDf, li) => coDf.join(li, coDf("o_orderkey") === li("l_orderkey"))
+        .groupBy("c_custkey").agg(count(lit(1)).as("n")), "with_lines")
+    // asymmetric speeds: C (biggest data) is ALSO the slowest cluster,
+    // so the naive "move toward the big data" answer is not optimal
+    for (cFactor <- Seq(1.0, 4.0)) {
+      val clusters = Map(
+        "A" -> Cluster("A", spark.newSession(), s"$tmp/a/scratch"),
+        "B" -> Cluster("B", spark.newSession(), s"$tmp/b/scratch"),
+        "C" -> Cluster("C", spark.newSession(), s"$tmp/c/scratch", computeFactor = cFactor))
+      val greedy = Federation.plan(root, catalog, clusters)
+      val best = Federation.planExhaustive(root, catalog, clusters)
+      assert(!greedy.cost.isNaN && !best.cost.isNaN)
+      assert(best.cost <= greedy.cost + 1e-6,
+        s"exhaustive must lower-bound greedy: best=${best.cost} greedy=${greedy.cost}")
+      assert(greedy.cost <= best.cost * 1.5,
+        s"cFactor=$cFactor: greedy=${greedy.cost} vs exhaustive=${best.cost}")
+      // both placements price identically under the shared cost fn
+      assert(math.abs(Federation.assignmentCost(root, greedy.assignment, catalog, clusters)
+        - greedy.cost) < 1e-6)
+    }
+  }
+
   test("catalyst-derived stage estimates see column pruning; explicit selectivity still wins") {
     val (catalog, clusters) = setup()
     val s = clusters("A").session
