@@ -70,6 +70,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF"), p.take(2000))
   }
 
+  test("rankBy: data-sized key cardinality joins as SMJ, never fact-side broadcast") {
+    // The worst case for rankBy's final join (fact ⋈ rankedKeys) is
+    // key-cardinality ≈ row-count: at 100× BOTH sides are data-sized,
+    // so the plan AQE must settle on is a sort-merge join. Locally AQE
+    // broadcasts the small fact side (fine at sf0.01, size-correct) —
+    // this pin scales the broadcast threshold down the way 100× scales
+    // the data up and asserts the join flips to SMJ, not a broadcast
+    // of either side.
+    import graft.operators.Relational
+    val conf = spark.conf
+    val prevAuto = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAdaptive = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAuto)
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "1KB")
+    try {
+      val df = spark.range(20000)
+        .select(col("id").as("k"), (col("id") * 7 % 13).as("v"))
+      val ranked = Relational.rankBy(df, Seq("k"))
+      assert(ranked.count() == 20000)
+      val p = ranked.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+      assert(!p.contains("BroadcastHashJoin"), p.take(3000))
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAdaptive)
+    }
+  }
+
   test("entry() flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

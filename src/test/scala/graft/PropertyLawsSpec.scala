@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.functions.Aggregators.TopKByScore
 import graft.functions.PigFunctions._
+import graft.pig.PigPreprocessor
 
 /** Randomized law tests (seeded — deterministic across runs).
   *
@@ -139,6 +140,48 @@ class PropertyLawsSpec extends SparkSpec {
         case e: Throwable => fail(s"unexpected ${e.getClass.getName} for: $soup")
       }
       assert((System.nanoTime() - t0) < 5e9, s"parser took >5s on: $soup")
+    }
+  }
+
+  test("macro expansion hygiene: prefix-named params never corrupt, locals always rename") {
+    // Generated DEFINE…RETURNS macros where one param's name is a strict
+    // prefix of another's (`$p` vs `$prio`), declared in random order and
+    // referenced in both orders in the body. Expansion must substitute
+    // each ref with ITS arg (a naive `$p` → arg replace would turn
+    // `$prio` into `<arg>rio`), rename every macro-local alias, and
+    // leave zero `$` refs behind.
+    val letters = "abcdefghijkmnpqsuvwz" // no l/o (confusable), no r/t (R/T are taken)
+    def name(len: Int) = Seq.fill(len)(letters(rnd.nextInt(letters.length))).mkString
+    for (i <- 1 to 300) {
+      val short = name(1 + rnd.nextInt(3))
+      val long = short + name(1 + rnd.nextInt(4))
+      val (argShort, argLong) = (100 + rnd.nextInt(400), 700 + rnd.nextInt(300))
+      val declOrder = rnd.nextBoolean()
+      val (p1, p2, a1, a2) =
+        if (declOrder) (short, long, argShort, argLong)
+        else (long, short, argLong, argShort)
+      val refOrder = rnd.nextBoolean()
+      val body =
+        if (refOrder)
+          s"f = FILTER $$R BY pr > $$$long; g = LIMIT f $$$short; $$T = DISTINCT g;"
+        else
+          s"f = LIMIT $$R $$$short; g = FILTER f BY pr > $$$long; $$T = DISTINCT g;"
+      val script =
+        s"""DEFINE m(R, $p1, $p2) RETURNS T { $body };
+           |a = LOAD 'x';
+           |b = m(a, $a1, $a2);""".stripMargin
+      val out = PigPreprocessor(script, Map.empty)
+      assert(out.contains(s"BY pr > $argLong"),
+        s"[$i] long param corrupted by prefix:\n$script\n-->\n$out")
+      assert(s"""LIMIT __m\\d+_\\w+ $argShort\\b""".r.findFirstIn(out).isDefined
+        || s"""LIMIT a $argShort\\b""".r.findFirstIn(out).isDefined,
+        s"[$i] short param corrupted:\n$script\n-->\n$out")
+      assert(!out.contains("$"), s"[$i] unexpanded ref survives:\n$out")
+      assert(out.contains("b = DISTINCT"), s"[$i] return alias not bound:\n$out")
+      // macro-local aliases f/g must be renamed at every position
+      for (l <- Seq("f", "g"))
+        assert(!out.linesIterator.exists(_.trim.startsWith(s"$l =")),
+          s"[$i] local alias '$l' leaked:\n$out")
     }
   }
 
