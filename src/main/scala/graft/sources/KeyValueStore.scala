@@ -64,6 +64,13 @@ class KeyValueStore extends TableProvider {
 object KeyValueStore {
   val Format = "graft.sources.KeyValueStore"
 
+  /** NULL cell sentinel in the tab-joined value encoding. HBase skips
+    * null cells entirely; a positional encoding can't skip, so NULL is
+    * marked in-band and restored on read — it must NOT conflate with
+    * the empty string (a real, distinct value). NUL can't appear in
+    * the text columns this connector carries. */
+  private[sources] val NullSentinel = "\u0000"
+
   /** Fixed-width decimal key rendering: numeric order == lexicographic
     * order, the rowkey-design idiom HBase itself requires. */
   private[sources] def renderKey(k: Long): String = {
@@ -224,7 +231,8 @@ final class KvDataWriter(path: String, writeSchema: StructType,
     val key = row.getLong(keyIdx)
     k.set(KeyValueStore.renderKey(key))
     v.set(valIdx.map(i =>
-      if (row.isNullAt(i)) "" else row.getUTF8String(i).toString)
+      if (row.isNullAt(i)) KeyValueStore.NullSentinel
+      else row.getUTF8String(i).toString)
       .mkString("\t"))
     writer.append(k, v)
     min = math.min(min, key); max = math.max(max, key); rows += 1
@@ -323,7 +331,8 @@ final class KvPartitionReader(p: KvPartition, schema: StructType,
         row = InternalRow.fromSeq(fieldIdx.toSeq.map {
           case -1 => key
           case i if parts != null && i < parts.length =>
-            UTF8String.fromString(parts(i))
+            if (parts(i) == KeyValueStore.NullSentinel) null
+            else UTF8String.fromString(parts(i))
           case _ => null
         })
         return true

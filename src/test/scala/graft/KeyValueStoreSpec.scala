@@ -65,16 +65,23 @@ class KeyValueStoreSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
-  test("nulls in value columns survive the round trip as empty-safe") {
+  test("NULL and empty string are distinct across the round trip") {
     val p = s"$base/nullable_kv"
+    // row 2: NULL v1; row 3: EMPTY v1 — the two must not conflate
+    // (HBaseStorage skips null cells entirely; our positional encoding
+    // marks them in-band and restores real null on read)
     val src = Seq((1L, Some("a"), Some("x")), (2L, None, Some("y")),
-      (3L, Some("c"), None)).toDF("k", "v1", "v2")
+      (3L, Some(""), None)).toDF("k", "v1", "v2")
     KeyValueStore.write(src, "k", Seq("v1", "v2"), p, nFiles = 2)
     val back = spark.read.format(KeyValueStore.Format).load(p)
-    // empty string is the substrate's null rendering (documented: cells
-    // are bytes; absence and empty collapse — HBase's own semantics)
     assert(back.count() == 3)
-    assert(back.filter($"key" === 2L).select($"v1").as[String].collect()(0) == "")
+    val byKey = back.collect().map(r =>
+      r.getLong(0) -> (Option(r.getString(1)), Option(r.getString(2)))).toMap
+    assert(byKey(2L) == (None, Some("y")), s"null cell lost: ${byKey(2L)}")
+    assert(byKey(3L) == (Some(""), None), s"empty cell lost: ${byKey(3L)}")
+    // the declared nullable schema is actually exercisable
+    assert(back.filter($"v1".isNull).count() == 1)
+    assert(back.filter($"v1" === "").count() == 1)
   }
 
   test("empty table writes a valid sidecar; read plans zero partitions") {
