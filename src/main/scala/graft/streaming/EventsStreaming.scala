@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY.md §2.7: true stream processing
@@ -72,24 +72,43 @@ object EventsStreaming {
       event_type: String, value: Double, props: String)
   final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 
-  /** Per-user running totals via typed GroupState — the
-    * mapGroupsWithState shape for custom streaming state machines.
-    * ProcessingTimeTimeout-free: state lives for the run (tests replay
-    * finite data); production would set an event-time timeout. */
+  /** The custom state machine behind [[userRunningTotals]], on the
+    * arbitrary-state v2 API (`StatefulProcessor`, the Spark 4.x
+    * successor of mapGroupsWithState): typed ValueState per user,
+    * one updated total emitted per key per micro-batch. TTL-free:
+    * tests replay finite data; production would pass a
+    * `TTLConfig(Duration)` to bound state for inactive users. */
+  final class RunningTotalsProcessor
+      extends StatefulProcessor[Long, Event, UserTotals] {
+    @transient private var totals: ValueState[UserTotals] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals](
+        "totals", Encoders.product[UserTotals], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserTotals] = {
+      val prev = if (totals.exists()) totals.get() else UserTotals(user, 0L, 0.0)
+      var n = prev.n_events
+      var tot = prev.total_value
+      rows.foreach { e => n += 1; tot += e.value }
+      val next = UserTotals(user, n, tot)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Per-user running totals via `transformWithState` — the custom
+    * streaming-state shape on the current (4.x) API. */
   def userRunningTotals(events: Dataset[Event]): Dataset[UserTotals] = {
-    import events.sparkSession.implicits._
+    val spark = events.sparkSession
+    // the v2 state API runs only on the RocksDB state store provider
+    // (the production-standard one); set it before the query starts
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout) {
-        (user: Long, batch: Iterator[Event], state: GroupState[UserTotals]) =>
-          val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0.0))
-          var n = prev.n_events
-          var tot = prev.total_value
-          batch.foreach { e => n += 1; tot += e.value }
-          val next = UserTotals(user, n, tot)
-          state.update(next)
-          next
-      }
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Run any of the above to a memory sink, processing all available

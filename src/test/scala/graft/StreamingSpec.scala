@@ -62,7 +62,7 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() == 100)
   }
 
-  test("mapGroupsWithState running totals equal batch groupBy") {
+  test("transformWithState running totals equal batch groupBy") {
     val stream = EventsStreaming.readEvents(spark, replayDir).as[EventsStreaming.Event]
     EventsStreaming.runAvailableNow(
       EventsStreaming.userRunningTotals(stream).toDF(), "user_totals", OutputMode.Update())
