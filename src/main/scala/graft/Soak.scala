@@ -21,8 +21,13 @@ object Soak {
         .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // textmod ~ rows/50 keeps dup density CONSTANT as the corpus
+    // scales (the 9973 default saturates ~838k distinct texts, which
+    // at 50M rows makes the true near-dup pair set O(N·60) — that
+    // measures the corpus, not the operators)
     val docs = spark.read.format("graft.sources.SyntheticDocs")
-      .option("rows", rows).option("partitions", cpus.toInt * 2).load()
+      .option("rows", rows).option("partitions", cpus.toInt * 2)
+      .option("textmod", math.max(9973L, rows / 50).toString).load()
 
     def time(name: String)(body: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -53,9 +58,46 @@ object Soak {
           .cast("long") - 1L).mod(lit(8L)).as("shard"))
         .groupBy(col("shard")).count().count() * 0 + rows)
 
+    // --- banded joins at full corpus size (round 6): the ops whose
+    //     scale risk is BUCKET SKEW. Skew is measured first (max
+    //     bucket, Σc² = the candidate-pair upper bound) so a corpus
+    //     whose true-dup density makes the pair set itself huge is
+    //     reported rather than silently timing a pathological join. ---
+    import graft.operators.Dedup
+    val shh = docs.select(col("doc_id"),
+      graft.plans.TextExpressions.shingleHash64(col("text"), 3).as("shh"))
+    def bucketStats(name: String, keyed: org.apache.spark.sql.DataFrame,
+        keys: Seq[String]): Long = {
+      val r = keyed.groupBy(keys.map(col): _*).count()
+        .agg(max(col("count")).as("mx"),
+          sum(col("count") * col("count")).as("sq"),
+          count(lit(1)).as("nb")).collect()(0)
+      val (mx, sq, nb) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      println(f"[soak] $name buckets=$nb maxBucket=$mx pairUpperBound=${sq / 2}")
+      sq / 2
+    }
+    val mhBanded = Dedup.minhashBanded(shh, "doc_id", "shh", 128, 16)
+    val mhPairsUB = bucketStats("minhash_buckets", mhBanded, Seq("band", "sig"))
+    if (mhPairsUB <= 3_000_000_000L)
+      time("minhash_candidates")(
+        Dedup.minhashCandidates(shh, "doc_id", "shh", 128, 16).count())
+    else println(s"[soak] minhash_candidates SKIPPED: corpus true-dup density " +
+      s"puts the candidate set at ~$mhPairsUB pairs (bucket skew itself is " +
+      "bounded — see maxBucket above)")
+    val simKeyed = Dedup.simhashKeyed(
+      Dedup.simhashFingerprints(docs, "doc_id", "text"), "doc_id",
+      maxHamming = 3, blocks = 6)
+    val simPairsUB = bucketStats("simhash6_buckets", simKeyed, Seq("combo", "ck"))
+    if (simPairsUB <= 3_000_000_000L)
+      time("simhash_pairs_6block")(
+        Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, blocks = 6).count())
+    else println(s"[soak] simhash_pairs_6block SKIPPED: ~$simPairsUB true-dup " +
+      "candidate pairs (maxBucket above is the skew signal)")
+
     // synthetic embeddings (expression-generated, deterministic) to soak
-    // the similarity paths at corpus sizes the fixture can't reach
-    val nVec = math.min(rows, 1000000L)
+    // the similarity paths at corpus sizes the fixture can't reach;
+    // scales with the corpus (10M vectors at the 50M-row soak)
+    val nVec = math.min(math.max(rows / 5, 1000000L), 10000000L)
     val emb = docs.limit(nVec.toInt).select(col("doc_id").as("vec_id"),
       expr("transform(sequence(0, 15), i -> cast(pmod(hash(doc_id, i), 97) as double) / 97.0)")
         .as("embedding"))

@@ -1008,6 +1008,26 @@ object SparkEntry {
     //     pick only even doc_ids (ASCII upper < lower). ---
     "q131_order_comparator" -> pigQ("/pig/q131_order_comparator.pig"),
 
+    // --- SimHash block LSH, the 6-block SCALE shape (20 combos of 3
+    //     blocks, ~32-bit keys — buckets stay O(1) at 50M+ docs where
+    //     the 4×16-bit default floods): pigeonhole-EXACT for hamming≤3
+    //     like q36, so banded must equal brute force pair-for-pair. ---
+    "q132_simhash_6block" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      val banded = graft.operators.Dedup.simhashPairs(docs, "doc_id", "text",
+          maxHamming = 3, blocks = 6).select(col("id1"), col("id2"))
+      val fp = graft.operators.Dedup.simhashFingerprints(docs, "doc_id", "text")
+      val brute = fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .filter(graft.operators.Dedup.hamming64(col("a.fp"), col("b.fp")) <= 3)
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      val diff = brute.withColumn("in_b", lit(1))
+        .join(banded.withColumn("in_l", lit(1)), Seq("id1", "id2"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("in_l").isNull, 1)), lit(0)).cast("long").as("n_missed"),
+          coalesce(sum(when(col("in_b").isNull, 1)), lit(0)).cast("long").as("n_extra"))
+      docs.agg(count(lit(1)).cast("long").as("n_docs")).crossJoin(diff)
+    }),
+
     // --- streaming replay through the real engine (watermark + window
     //     + append-mode parquet sink, Trigger.AvailableNow, checkpoint
     //     resume across runs). A sentinel event 365 days past the
@@ -2613,6 +2633,13 @@ object SparkEntry {
            SELECT doc_id,
                   CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END AS k
            FROM documents)
-         ORDER BY lower(k), k LIMIT 25"""
+         ORDER BY lower(k), k LIMIT 25""",
+
+    // 6-block simhash is exact like q36: zero missed, zero extra
+    "q132_simhash_6block" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(0 AS BIGINT) AS n_missed,
+                CAST(0 AS BIGINT) AS n_extra
+         FROM documents"""
   )
 }

@@ -71,14 +71,22 @@ object Dedup {
 
   /** Candidate pairs (id1 < id2) from MinHash LSH banding.
     * `hashCol` holds the doc's array<long> of shingle hashes. */
+  /** The banded key stream (id, band, sig) that [[minhashCandidates]]
+    * self-joins — exposed so scale soaks can measure bucket skew
+    * (max / Σc² over buckets) BEFORE paying for the join. */
+  private[graft] def minhashBanded(
+      df: DataFrame, idCol: String, hashCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    df.withColumn("__sig", minhashSig(col(hashCol), numHashes))
+      .select(col(idCol), explode(lshBands(col("__sig"), bands, numHashes / bands)).as("b"))
+      .select(col(idCol), col("b.band").as("band"), col("b.sig").as("sig"))
+  }
+
   def minhashCandidates(
       df: DataFrame, idCol: String, hashCol: String,
       numHashes: Int = 128, bands: Int = 16): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val banded = df
-      .withColumn("__sig", minhashSig(col(hashCol), numHashes))
-      .select(col(idCol), explode(lshBands(col("__sig"), bands, numHashes / bands)).as("b"))
-      .select(col(idCol), col("b.band").as("band"), col("b.sig").as("sig"))
+    val banded = minhashBanded(df, idCol, hashCol, numHashes, bands)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -247,19 +255,53 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: LSH over 4×16-bit chunks (any doc pair with
-    * hamming <= 3 shares at least one exact chunk — pigeonhole), then
-    * exact hamming verify. */
-  def simhashPairs(
-      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val fp = simhashFingerprints(df, idCol, textCol)
-    val chunked = (0 until 4).map { c =>
-      fp.select(col(idCol), col("fp"), lit(c).as("chunk"),
-        shiftrightunsigned(col("fp"), 16 * c).bitwiseAND(lit(0xFFFFL)).as("ck"))
+  /** SimHash near-dup pairs: block LSH + exact hamming verify.
+    *
+    * The fingerprint's 64 bits are split into `blocks` segments; a pair
+    * with hamming <= maxHamming must agree EXACTLY on at least
+    * `blocks - maxHamming` of them (pigeonhole), so docs are keyed by
+    * every C(blocks, blocks-maxHamming) combination of that many block
+    * values (hashed to one 64-bit key) and only bucket-mates ever meet.
+    * Recall is exact; false candidates are filtered by the hamming
+    * verify.
+    *
+    * `blocks` is the SCALE knob (the Manku/Google near-dup detection
+    * scheme): at the 4-block default each key carries 16 bits →
+    * N/65536 docs per bucket, quadratic-in-bucket verify work — fine to
+    * ~1M docs, a candidate explosion at 50M+ (763 docs/bucket → ~10^13
+    * pairs). blocks=6 keys on 3-block (~32-bit) combinations: 20 keys
+    * per doc instead of 4 (5× shuffle volume) but buckets stay O(1) at
+    * 100M+ docs — shuffle scales linearly, verify stays proportional to
+    * true near-dups. That trade is the point: more tables, empty
+    * buckets. */
+  /** The combo-keyed stream (id, fp, combo, ck) that [[simhashPairs]]
+    * self-joins — exposed for bucket-skew soaks. */
+  private[graft] def simhashKeyed(
+      fp: DataFrame, idCol: String, maxHamming: Int, blocks: Int): DataFrame = {
+    require(blocks > maxHamming, s"need blocks > maxHamming for pigeonhole")
+    require(blocks <= 16, s"blocks=$blocks: keys would be too narrow to prune")
+    // block i covers bits [i*w, (i+1)*w) (last block takes the remainder)
+    val w = (64 + blocks - 1) / blocks
+    def blockVal(i: Int): Column = {
+      val len = math.min(w, 64 - i * w)
+      val mask = if (len >= 64) -1L else (1L << len) - 1
+      shiftrightunsigned(col("fp"), i * w).bitwiseAND(lit(mask))
+    }
+    val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
+    combos.zipWithIndex.map { case (combo, ci) =>
+      fp.select(col(idCol), col("fp"), lit(ci).as("combo"),
+        xxhash64(combo.map(blockVal): _*).as("ck"))
     }.reduce(_ unionByName _)
-    chunked.as("a")
-      .join(chunked.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+  }
+
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
+      blocks: Int = 4): DataFrame = {
+    val keyed = simhashKeyed(
+      simhashFingerprints(df, idCol, textCol), idCol, maxHamming, blocks)
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.combo") === col("b.combo") && col("a.ck") === col("b.ck") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
         hamming64(col("a.fp"), col("b.fp")).as("hamming"))

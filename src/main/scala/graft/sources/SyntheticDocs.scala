@@ -41,7 +41,8 @@ class SyntheticDocs extends TableProvider {
       properties: util.Map[String, String]): Table =
     new SyntheticDocsTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "4").toInt)
+      properties.getOrDefault("partitions", "4").toInt,
+      properties.getOrDefault("textmod", "9973").toLong)
 }
 
 object SyntheticDocs {
@@ -59,31 +60,37 @@ object SyntheticDocs {
     * vocabulary — without it every doc collapses into ~84 distinct
     * texts and dedup/contamination soaks measure a degenerate corpus. */
   def lang(id: Long): String = langs((id % langs.length).toInt)
-  def text(id: Long): String = {
+  /** `mod` bounds the numeric-suffix space and therefore the DISTINCT
+    * TEXT count (~84 word patterns x mod). The 9973 default saturates
+    * near 838k distinct texts, so a 50M-row corpus carries ~60 copies
+    * of each — realistic for crawl dedup but it makes the TRUE
+    * near-dup pair set O(N x 60). Soaks that need constant dup
+    * density at any N pass `textmod ~ rows/50`. */
+  def text(id: Long, mod: Long = 9973L): String = {
     val n = 5 + (id % 7).toInt
     val sb = new java.lang.StringBuilder(n * 8)
     var i = 0
     while (i < n) {
       if (i > 0) sb.append(' ')
       sb.append(words(((id * 31 + i * 7) % words.length).abs.toInt))
-      if ((id + i) % 3 == 0) sb.append(((id * 131 + i * 17) % 9973).abs)
+      if ((id + i) % 3 == 0) sb.append(((id * 131 + i * 17) % mod).abs)
       i += 1
     }
     sb.toString
   }
 }
 
-final class SyntheticDocsTable(rows: Long, partitions: Int)
+final class SyntheticDocsTable(rows: Long, partitions: Int, textMod: Long)
     extends Table with SupportsRead {
   override def name(): String = s"synthetic_docs($rows)"
   override def schema(): StructType = SyntheticDocs.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SyntheticScanBuilder(rows, partitions)
+    new SyntheticScanBuilder(rows, partitions, textMod)
 }
 
-final class SyntheticScanBuilder(rows: Long, partitions: Int)
+final class SyntheticScanBuilder(rows: Long, partitions: Int, textMod: Long = 9973L)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var requiredSchema: StructType = SyntheticDocs.schema
@@ -122,7 +129,7 @@ final class SyntheticScanBuilder(rows: Long, partitions: Int)
       (0 until partitions).iterator
         .map(i => (lo + i * per, math.min(lo + (i + 1) * per, hi)))
         .filter { case (a, b) => a < b }
-        .map { case (a, b) => SyntheticPartition(a, b): InputPartition }
+        .map { case (a, b) => SyntheticPartition(a, b, textMod): InputPartition }
         .toArray
     }
 
@@ -138,7 +145,7 @@ final class SyntheticScanBuilder(rows: Long, partitions: Int)
               InternalRow.fromSeq(schema.fieldNames.toSeq.map {
                 case "doc_id" => id
                 case "lang"   => UTF8String.fromString(SyntheticDocs.lang(id))
-                case "text"   => UTF8String.fromString(SyntheticDocs.text(id))
+                case "text"   => UTF8String.fromString(SyntheticDocs.text(id, sp.textMod))
               })
             override def close(): Unit = ()
           }
@@ -148,4 +155,5 @@ final class SyntheticScanBuilder(rows: Long, partitions: Int)
   }
 }
 
-final case class SyntheticPartition(start: Long, end: Long) extends InputPartition
+final case class SyntheticPartition(start: Long, end: Long,
+    textMod: Long = 9973L) extends InputPartition

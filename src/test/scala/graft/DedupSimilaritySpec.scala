@@ -45,6 +45,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(java.lang.Long.bitCount(fp(1L) ^ fp(5L)) > 10)
   }
 
+  test("simhash 6-block scale path finds the identical pair set as 4-block") {
+    // both are pigeonhole-EXACT for hamming<=3, so on any corpus they
+    // must agree pair-for-pair; blocks=6 (20 combos of 3 blocks,
+    // ~32-bit keys) is the shape whose buckets stay O(1) at 50M+ docs
+    val corpus = tables.documents
+    def pairs(blocks: Int) =
+      Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3, blocks = blocks)
+        .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(pairs(6) == pairs(4))
+  }
+
   test("native langId kernel equals the HOF argmax formulation on the corpus") {
     val diff = tables.documents
       .select(graft.operators.TextAnalysis.langId($"text").as("native"),
