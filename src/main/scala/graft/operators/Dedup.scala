@@ -296,9 +296,18 @@ object Dedup {
 
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
-      blocks: Int = 4): DataFrame = {
-    val keyed = simhashKeyed(
+      blocks: Int = 4): DataFrame =
+    simhashPairsFromFingerprints(
       simhashFingerprints(df, idCol, textCol), idCol, maxHamming, blocks)
+
+  /** [[simhashPairs]] from an already-fingerprinted relation
+    * (`idCol`, `fp: long`) — the entry point when fingerprints are
+    * precomputed/persisted (the usual shape at corpus scale: fingerprint
+    * once, pair-join per policy change). */
+  def simhashPairsFromFingerprints(
+      fp: DataFrame, idCol: String, maxHamming: Int = 3,
+      blocks: Int = 4): DataFrame = {
+    val keyed = simhashKeyed(fp, idCol, maxHamming, blocks)
     keyed.as("a")
       .join(keyed.as("b"),
         col("a.combo") === col("b.combo") && col("a.ck") === col("b.ck") &&
