@@ -104,10 +104,19 @@ object Soak {
     // ~84 base token patterns, so its TRUE near-dup families are huge
     // and any exact method's output is O(N·family) — that bound is the
     // corpus's, not the operator's)
+    // disk-bounded: 20 combo keys/doc × two self-join sides of unsafe
+    // rows ≈ 4.5 KB/doc of scratch — ~25M rows is what this sandbox's
+    // ~90 GB fs budget fits (measured: 50M filled it; a cluster's
+    // shuffle storage scales out with executors, this box's does not)
+    val simJoinRows = math.min(rows, 20000000L)
+    if (simJoinRows < rows)
+      println(s"[soak] simhash_pairs_6block_uniform_fp bounded to " +
+        s"$simJoinRows of $rows rows by the sandbox disk budget")
     time("simhash_pairs_6block_uniform_fp")(
       Dedup.simhashPairsFromFingerprints(
-        docs.select(col("doc_id"), xxhash64(col("doc_id")).as("fp")),
-        "doc_id", maxHamming = 3, blocks = 6).count() * 0 + rows)
+        docs.filter(col("doc_id") < simJoinRows)
+          .select(col("doc_id"), xxhash64(col("doc_id")).as("fp")),
+        "doc_id", maxHamming = 3, blocks = 6).count() * 0 + simJoinRows)
 
     // synthetic embeddings (expression-generated, deterministic) to soak
     // the similarity paths at corpus sizes the fixture can't reach;
