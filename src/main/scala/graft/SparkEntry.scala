@@ -1008,6 +1008,14 @@ object SparkEntry {
     //     pick only even doc_ids (ASCII upper < lower). ---
     "q131_order_comparator" -> pigQ("/pig/q131_order_comparator.pig"),
 
+    // --- BIGINTEGER arbitrary precision (the r5 verdict's precision
+    //     gap): per-row products beyond int64, sums ~1e23, a filter
+    //     bound past Long.MAX — exact string-backed bignum structs
+    //     (graft.functions.BigNum) end-to-end through the Pig front
+    //     end. DuckDB oracles the int128-reachable range; BigNumSpec
+    //     pins the >38-digit tail against java.math. ---
+    "q133_biginteger_agg" -> pigQ("/pig/q133_biginteger_agg.pig"),
+
     // --- SimHash block LSH, the 6-block SCALE shape (20 combos of 3
     //     blocks, ~32-bit keys — buckets stay O(1) at 50M+ docs where
     //     the 4×16-bit default floods): pigeonhole-EXACT for hamming≤3
@@ -2640,6 +2648,23 @@ object SparkEntry {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
                 CAST(0 AS BIGINT) AS n_missed,
                 CAST(0 AS BIGINT) AS n_extra
-         FROM documents"""
+         FROM documents""",
+
+    // exact biginteger arithmetic: DuckDB computes in HUGEINT (int128
+    // — covers the ~1e25 sums here); the engine's bignum strings must
+    // match digit-for-digit. Filter bound 5e19 > Long.MAX, so the
+    // selection set proves exact comparison too.
+    "q133_biginteger_agg" ->
+      """SELECT l_returnflag AS flag,
+                CAST(SUM(amt) AS VARCHAR) AS sum_amt,
+                CAST(MIN(amt) AS VARCHAR) AS min_amt,
+                CAST(MAX(amt) AS VARCHAR) AS max_amt,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM (SELECT l_returnflag,
+                      CAST(l_orderkey AS HUGEINT) * l_partkey
+                        * CAST('1000000000000000' AS HUGEINT) AS amt
+               FROM lineitem)
+         WHERE amt > CAST('50000000000000000000' AS HUGEINT)
+         GROUP BY 1"""
   )
 }

@@ -21,6 +21,9 @@ object PigAst {
   sealed trait PExpr
   /** Int / Long / Double / String / Boolean literal, or null. */
   final case class PLit(v: Any) extends PExpr
+  /** Arbitrary-precision literal: `123BI` / `1.25BD` (Pig BIGINTEGER /
+    * BIGDECIMAL). Carries the digits verbatim — no float round-trip. */
+  final case class PBigLit(digits: String) extends PExpr
   /** Column reference: `x` or the join-qualified `a::x`. */
   final case class PCol(name: String) extends PExpr
   /** Positional reference `$3` (lazy-typed loads, SURVEY §1.3). */

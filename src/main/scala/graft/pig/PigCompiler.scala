@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.PigFunctions
+import graft.functions.{BigNum, PigFunctions}
 import graft.operators.{Relational, StreamThrough}
 import PigAst._
 
@@ -161,7 +161,7 @@ object PigCompiler {
           .split("\\s+").filter(_.nonEmpty).toSeq.map(_.split(':').last)
         stores += StoreTarget(alias, path, "hbasestorage", Map.empty)
         if (executeStores) {
-          val df = lookup(env, alias).df
+          val df = BigNum.unwrapAll(lookup(env, alias).df)
           require(df.columns.length == quals.length + 1,
             s"HBaseStorage column list names ${quals.length} columns but " +
               s"'$alias' has ${df.columns.length} fields (first is the rowkey)")
@@ -174,7 +174,7 @@ object PigCompiler {
         val (fmt, opts) = storageFormat(resolveSpec(using0))
         stores += StoreTarget(alias, path, fmt, opts)
         if (executeStores)
-          lookup(env, alias).df.write.format(fmt).options(opts)
+          BigNum.unwrapAll(lookup(env, alias).df).write.format(fmt).options(opts)
             .mode("overwrite").save(path)
       case PSplit(in, branches, otherwise) =>
         val df = lookup(env, in).df
@@ -829,10 +829,19 @@ object PigCompiler {
           s"group has no field '$f' (keys: ${keyInfo.map(_._2).mkString(", ")})")))
       case PLit(null) => lit(null)
       case PLit(v) => lit(v)
-      case PBin(op, l, r) => binOp(op, post(l), post(r))
-      case PNeg(x) => -post(x)
+      case PBigLit(digits) => BigNum.big(lit(digits))
+      case PBin(op, l, r) =>
+        val (lc, rc) = (post(l), post(r))
+        if (bigSensitive(op))
+          binOpT(op, lc, rc, isBigCol(agged, lc), isBigCol(agged, rc))
+        else binOp(op, lc, rc)
+      case PNeg(x) =>
+        val c = post(x)
+        if (isBigCol(agged, c)) BigNum.neg(c) else -c
       case PNot(x) => !post(x)
-      case PCast(t, x) => castPigType(post(x), t)
+      case PCast(t, x) =>
+        val c = post(x)
+        castPigType(c, t, Some(dtypeOf(agged, c)))
       case PTernary(c, t, f) => when(post(c), post(t)).otherwise(post(f))
       case PCaseWhen(op, brs, els) => caseWhen(post, op, brs, els)
       case PIsNull(x, neg) => if (neg) post(x).isNotNull else post(x).isNull
@@ -876,13 +885,22 @@ object PigCompiler {
       case Some(m) => compileExpr(child, m.head._2)
       case None => child.col(s"`${child.columns.head}`")
     }
+    // bignum bag fields route to the exact aggregators (SUM/AVG) or
+    // native struct min/max — COUNT needs no special case (it counts
+    // non-null structs)
+    def bigField(f: String): Option[Column] = {
+      val c = field(f)
+      if (isBigCol(child, c)) Some(c) else None
+    }
     (fn, arg) match {
       // Pig COUNT(bag) counts tuples whose FIRST field is non-null
       case ("COUNT", PCol(_)) => count(when(bag.pred, firstField))
       case ("COUNT", PDot(_, f)) => count(field(f))
       case ("COUNT_STAR", _) => count(when(bag.pred, lit(1)))
-      case ("SUM", PDot(_, f)) => sum(field(f))
-      case ("AVG", PDot(_, f)) => avg(field(f))
+      case ("SUM", PDot(_, f)) =>
+        bigField(f).map(BigNum.sumBig).getOrElse(sum(field(f)))
+      case ("AVG", PDot(_, f)) =>
+        bigField(f).map(BigNum.avgBig).getOrElse(avg(field(f)))
       case ("MIN", PDot(_, f)) => min(field(f))
       case ("MAX", PDot(_, f)) => max(field(f))
       case _ => throw new IllegalArgumentException(
@@ -1092,6 +1110,7 @@ object PigCompiler {
   private[pig] def compileExpr(df: DataFrame, e: PExpr): Column = e match {
     case PLit(null) => lit(null)
     case PLit(v) => lit(v)
+    case PBigLit(digits) => BigNum.big(lit(digits))
     case PCol(n) => resolve(df, n)
     case PPos(i) =>
       require(i < df.columns.length,
@@ -1099,9 +1118,15 @@ object PigCompiler {
       df.col(s"`${df.columns(i)}`")
     case PDot(b, f) => compileExpr(df, b).getField(f)
     case PMapGet(b, k) => compileExpr(df, b).getItem(k)
-    case PBin(op, l, r) => binOp(op, compileExpr(df, l), compileExpr(df, r))
+    case PBin(op, l, r) =>
+      val (lc, rc) = (compileExpr(df, l), compileExpr(df, r))
+      if (bigSensitive(op))
+        binOpT(op, lc, rc, isBigCol(df, lc), isBigCol(df, rc))
+      else binOp(op, lc, rc)
     case PNot(x) => !compileExpr(df, x)
-    case PNeg(x) => -compileExpr(df, x)
+    case PNeg(x) =>
+      val c = compileExpr(df, x)
+      if (isBigCol(df, c)) BigNum.neg(c) else -c
     case PIsNull(x, neg) =>
       val c = compileExpr(df, x); if (neg) c.isNotNull else c.isNull
     case PMatches(x, re) => PigFunctions.matchesFull(compileExpr(df, x), re)
@@ -1109,7 +1134,9 @@ object PigCompiler {
       compileExpr(df, x).isin(items.map(compileExpr(df, _)): _*)
     case PTernary(c, t, f) =>
       when(compileExpr(df, c), compileExpr(df, t)).otherwise(compileExpr(df, f))
-    case PCast(t, x) => castPigType(compileExpr(df, x), t)
+    case PCast(t, x) =>
+      val c = compileExpr(df, x)
+      castPigType(c, t, Some(dtypeOf(df, c)))
     case PCall(fn, args) =>
       scalarCall(fn, args.map(compileExpr(df, _)), args, c => dtypeOf(df, c))
     case PCaseWhen(op, brs, els) => caseWhen(compileExpr(df, _), op, brs, els)
@@ -1117,6 +1144,34 @@ object PigCompiler {
     case PRangeProj(_, _) => throw new IllegalArgumentException(
       "range projection (a..b) is only valid as a GENERATE item")
   }
+
+  /** Ops whose operands may need bignum dispatch (arith + compares —
+    * and/or can't type a bignum). */
+  private val bigSensitive =
+    Set("+", "-", "*", "/", "%", "==", "!=", "<", "<=", ">", ">=")
+
+  private def isBigCol(df: DataFrame, c: Column): Boolean =
+    BigNum.isBig(dtypeOf(df, c))
+
+  /** Arithmetic/comparison with bignum promotion: if either side is a
+    * bignum struct, lift the other and run the exact kernels;
+    * comparisons ride native struct ordering (the sort-key field), so
+    * they stay inside codegen with no custom comparator. */
+  private def binOpT(op: String, l: Column, r: Column,
+      lBig: Boolean, rBig: Boolean): Column =
+    if (!lBig && !rBig) binOp(op, l, r)
+    else {
+      val lw = if (lBig) l else BigNum.big(l)
+      val rw = if (rBig) r else BigNum.big(r)
+      op match {
+        case "+" => BigNum.add(lw, rw)
+        case "-" => BigNum.sub(lw, rw)
+        case "*" => BigNum.mul(lw, rw)
+        case "/" => BigNum.div(lw, rw)
+        case "%" => BigNum.mod(lw, rw)
+        case _ => binOp(op, lw, rw)
+      }
+    }
 
   private def binOp(op: String, l: Column, r: Column): Column = op match {
     case "and" => l && r
@@ -1134,17 +1189,28 @@ object PigCompiler {
     case ">=" => l >= r
   }
 
-  private[pig] def castPigType(c: Column, pigType: String): Column = pigType match {
-    case "int" => PigFunctions.castPig(c, "int")
-    case "long" => PigFunctions.castPig(c, "bigint")
-    case "float" => PigFunctions.castPig(c, "float")
-    case "double" => PigFunctions.castPig(c, "double")
-    case "chararray" => PigFunctions.castPig(c, "string")
-    case "boolean" => PigFunctions.castPig(c, "boolean")
-    case "datetime" => PigFunctions.castPig(c, "timestamp")
-    case "biginteger" => PigFunctions.castPig(c, "decimal(38,0)")
-    case "bigdecimal" => PigFunctions.castPig(c, "decimal(38,18)")
-    case "bytearray" => c // bytearray = "raw, cast later": identity
+  /** `dt` is the input column's resolved type where the caller can
+    * supply it — needed only so bignum structs unwrap before a
+    * non-bignum cast (and pass through / truncate on a bignum one).
+    * BIGINTEGER/BIGDECIMAL are TRUE arbitrary precision (beyond
+    * DecimalType's 38-digit cap): values live in the
+    * [[graft.functions.BigNum]] struct rep. */
+  private[pig] def castPigType(c0: Column, pigType: String,
+      dt: Option[DataType] = None): Column = {
+    val fromBig = dt.exists(BigNum.isBig)
+    def c = if (fromBig) BigNum.str(c0) else c0
+    pigType match {
+      case "int" => PigFunctions.castPig(c, "int")
+      case "long" => PigFunctions.castPig(c, "bigint")
+      case "float" => PigFunctions.castPig(c, "float")
+      case "double" => PigFunctions.castPig(c, "double")
+      case "chararray" => PigFunctions.castPig(c, "string")
+      case "boolean" => PigFunctions.castPig(c, "boolean")
+      case "datetime" => PigFunctions.castPig(c, "timestamp")
+      case "biginteger" => BigNum.bigInteger(c)
+      case "bigdecimal" => if (fromBig) c0 else BigNum.big(c)
+      case "bytearray" => c0 // bytearray = "raw, cast later": identity
+    }
   }
 
   // ---------------- scalar builtin dispatch ----------------

@@ -45,6 +45,14 @@ object PigParser extends RegexParsers {
   private def backtick: Parser[String] =
     """`[^`]*`""".r ^^ (s => s.substring(1, s.length - 1))
 
+  /** `123BI` / `-1.25BD` — Pig's arbitrary-precision literal suffixes
+    * [Pig: QueryParser LONGINTEGER/BIGDECIMAL tokens]. Tried before
+    * [[number]] so the digits never round-trip through a double. */
+  private def bigNumber: Parser[PBigLit] =
+    """-?\d+\.\d+(?i:BD)|-?\d+(?i:BI|BD)""".r ^^ { s =>
+      PBigLit(s.substring(0, s.length - 2))
+    }
+
   private def number: Parser[PLit] =
     """-?\d+\.\d+([eE][-+]?\d+)?[fF]?|-?\d+[lLfF]?""".r ^^ { s =>
       val low = s.toLowerCase
@@ -132,6 +140,7 @@ object PigParser extends RegexParsers {
     kw("true") ^^^ PLit(true) |
     kw("false") ^^^ PLit(false) |
     caseExpr |
+    bigNumber |
     number |
     quoted ^^ (s => PLit(s)) |
     """\$\d+""".r ^^ (s => PPos(s.tail.toInt)) |

@@ -52,7 +52,8 @@ object PigScript {
     val r = run(spark, script, params)
     val alias = r.stores.lastOption.map(_.alias).orElse(r.lastAlias)
       .getOrElse(throw new IllegalArgumentException("script defines no relation"))
-    r(alias)
+    // same rendering STORE would write: bignums emit as decimal text
+    graft.functions.BigNum.unwrapAll(r(alias))
   }
 
   /** Load a `.pig` script bundled as a classpath resource. */

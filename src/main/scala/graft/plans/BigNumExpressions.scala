@@ -1,0 +1,158 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Arbitrary-precision decimal kernels for Pig's BIGINTEGER/BIGDECIMAL
+  * types (SURVEY.md §1.1, §2.6 — the one documented precision cap left
+  * after round 5: DecimalType tops out at 38 digits, Pig's types do
+  * not). Values travel as canonical decimal strings (no exponent, no
+  * trailing fraction zeros, "-0" → "0"); the engine wraps them in a
+  * 2-field struct `{__bn_k, __bn_s}` where `__bn_k` is an
+  * order-preserving byte-comparable encoding — so ORDER BY / MIN / MAX
+  * / GROUP BY / JOIN on bignums ride Spark's native struct ordering
+  * with zero custom comparator machinery (see
+  * [[graft.functions.BigNum]]).
+  *
+  * Static-forwarder methods so generated Java calls
+  * `graft.plans.BigNumOps.add(a, b)` directly — same discipline as
+  * [[HashKernels]].
+  */
+object BigNumOps {
+  import java.math.{MathContext, RoundingMode, BigDecimal => JBD}
+
+  private def parse(s: UTF8String): JBD = new JBD(s.toString.trim)
+
+  /** Canonical form: strip trailing fraction zeros, plain (non
+    * -scientific) rendering. Java 17's stripTrailingZeros maps every
+    * zero (0.00, -0, 0E-5) to plain 0. */
+  private def canon(b: JBD): UTF8String =
+    UTF8String.fromString(b.stripTrailingZeros.toPlainString)
+
+  def normalize(s: UTF8String): UTF8String = canon(parse(s))
+
+  /** Truncate toward zero — Pig's (biginteger) cast semantics. */
+  def trunc(s: UTF8String): UTF8String =
+    canon(parse(s).setScale(0, RoundingMode.DOWN))
+
+  def add(a: UTF8String, b: UTF8String): UTF8String = canon(parse(a).add(parse(b)))
+  def sub(a: UTF8String, b: UTF8String): UTF8String = canon(parse(a).subtract(parse(b)))
+  def mul(a: UTF8String, b: UTF8String): UTF8String = canon(parse(a).multiply(parse(b)))
+
+  /** Decimal division at DECIMAL128 (34 significant digits) — exact
+    * whenever the quotient terminates within that precision. A script
+    * needing Pig's truncating BIGINTEGER division writes
+    * `(biginteger)(a/b)`, which applies [[trunc]] on top. Div-by-zero
+    * raises ArithmeticException, consistent with the engine's ANSI
+    * arithmetic elsewhere. */
+  def div(a: UTF8String, b: UTF8String): UTF8String =
+    canon(parse(a).divide(parse(b), MathContext.DECIMAL128))
+
+  def mod(a: UTF8String, b: UTF8String): UTF8String =
+    canon(parse(a).remainder(parse(b)))
+
+  def neg(s: UTF8String): UTF8String = canon(parse(s).negate)
+
+  def cmp(a: UTF8String, b: UTF8String): Int = parse(a).compareTo(parse(b))
+
+  /** Order-preserving injective string encoding of a decimal:
+    * unlimited precision, exponent bounded at ±5000 (beyond any data).
+    *
+    * Normalize to sign · 0.d₁…dₙ · 10^e (d₁ ≠ 0, no trailing zeros):
+    *   zero      → "1"
+    *   positive  → "2" + pad4(e + 5000) + digits
+    *   negative  → "0" + pad4(4999 − e) + nines-complement(digits) + ":"
+    *
+    * Positive keys compare correctly without a terminator because
+    * normalized mantissas have no trailing zeros (a proper prefix is
+    * always the smaller value); negative keys need the ":" (sorts
+    * above '9') to flip that prefix rule. */
+  def sortKey(s: UTF8String): UTF8String = {
+    val b = parse(s).stripTrailingZeros
+    val sig = b.signum
+    if (sig == 0) return UTF8String.fromString("1")
+    val abs = b.abs
+    val digits = abs.unscaledValue.toString
+    val e = abs.precision - abs.scale // abs = 0.digits × 10^e
+    if (e <= -5000 || e >= 5000)
+      throw new ArithmeticException(s"bignum exponent $e out of sortable range (±5000)")
+    val out =
+      if (sig > 0) f"2${e + 5000}%04d$digits"
+      else {
+        val comp = digits.map(c => ('9' - c + '0').toChar)
+        f"0${4999 - e}%04d$comp:"
+      }
+    UTF8String.fromString(out)
+  }
+}
+
+/** Re-canonicalize any numeric rendered as a string (accepts exponent
+  * notation, so `CAST(double AS STRING)` round-trips). */
+case class BigNumNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bignum"
+  override def nullSafeEval(input: Any): Any =
+    BigNumOps.normalize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.plans.BigNumOps.normalize($c)")
+  override protected def withNewChildInternal(newChild: Expression): BigNumNorm =
+    copy(child = newChild)
+}
+
+/** Truncate-toward-zero — the (biginteger) cast. */
+case class BigNumTrunc(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bignum_trunc"
+  override def nullSafeEval(input: Any): Any =
+    BigNumOps.trunc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.plans.BigNumOps.trunc($c)")
+  override protected def withNewChildInternal(newChild: Expression): BigNumTrunc =
+    copy(child = newChild)
+}
+
+/** The byte-comparable sort key (see [[BigNumOps.sortKey]]). */
+case class BigNumSortKey(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bignum_sort_key"
+  override def nullSafeEval(input: Any): Any =
+    BigNumOps.sortKey(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.plans.BigNumOps.sortKey($c)")
+  override protected def withNewChildInternal(newChild: Expression): BigNumSortKey =
+    copy(child = newChild)
+}
+
+/** Exact arbitrary-precision arithmetic over canonical strings. */
+case class BigNumBin(op: String, left: Expression, right: Expression)
+    extends BinaryExpression {
+  require(BigNumBin.methods.contains(op), s"unknown bignum op '$op'")
+  override def dataType: DataType = StringType
+  override def prettyName: String = s"bignum_$op"
+  private val method = BigNumBin.methods(op)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    op match {
+      case "+" => BigNumOps.add(x, y)
+      case "-" => BigNumOps.sub(x, y)
+      case "*" => BigNumOps.mul(x, y)
+      case "/" => BigNumOps.div(x, y)
+      case "%" => BigNumOps.mod(x, y)
+    }
+  }
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.BigNumOps.$method($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BigNumBin =
+    copy(left = newLeft, right = newRight)
+}
+
+object BigNumBin {
+  val methods: Map[String, String] =
+    Map("+" -> "add", "-" -> "sub", "*" -> "mul", "/" -> "div", "%" -> "mod")
+}

@@ -1,0 +1,171 @@
+package graft
+
+import graft.functions.BigNum
+import graft.plans.BigNumOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Arbitrary-precision BIGINTEGER/BIGDECIMAL — the round-5 verdict's
+  * remaining precision gap (DecimalType caps at 38 digits; these
+  * don't). No DuckDB oracle can check >38-digit exactness (HUGEINT is
+  * int128), so the reference here is java.math.BigDecimal itself, plus
+  * partition-invariance laws for the aggregators.
+  */
+class BigNumSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def u(s: String) = UTF8String.fromString(s)
+  private def samples[T](g: Gen[T], n: Int = 200): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
+
+  private val decGen: Gen[java.math.BigDecimal] = for {
+    digits <- Gen.chooseNum(1, 60)
+    s <- Gen.listOfN(digits, Gen.numChar).map(_.mkString)
+    scale <- Gen.chooseNum(-10, 45)
+    neg <- Gen.oneOf(true, false)
+  } yield {
+    val v = new java.math.BigDecimal(new java.math.BigInteger(s), scale)
+    if (neg) v.negate else v
+  }
+
+  test("sortKey is order-preserving and injective on canonical forms") {
+    val vals = samples(decGen, 300) ++ Seq(
+      java.math.BigDecimal.ZERO, new java.math.BigDecimal("-0.000"),
+      new java.math.BigDecimal("0.5"), new java.math.BigDecimal("0.49"),
+      new java.math.BigDecimal("-0.5"), new java.math.BigDecimal("-0.55"),
+      new java.math.BigDecimal("1"), new java.math.BigDecimal("1.5"),
+      new java.math.BigDecimal("-1"), new java.math.BigDecimal("-1.5"),
+      new java.math.BigDecimal("1" + "0" * 50),
+      new java.math.BigDecimal("-1" + "0" * 50))
+    val pairs = vals.map(v =>
+      (v, BigNumOps.sortKey(u(v.toPlainString)).toString))
+    for (Seq((a, ka), (b, kb)) <- pairs.combinations(2)) {
+      val cmpV = a.compareTo(b)
+      val cmpK = ka.compareTo(kb)
+      assert(Integer.signum(cmpV) == Integer.signum(cmpK),
+        s"order mismatch: $a vs $b -> keys $ka vs $kb")
+      if (cmpV == 0) assert(ka == kb, s"equal values, different keys: $a $b")
+    }
+  }
+
+  test("kernels match java.math at 80-digit operands") {
+    val g = Gen.zip(decGen, decGen)
+    samples(g, 150).foreach { case (a, b) =>
+      val (ua, ub) = (u(a.toPlainString), u(b.toPlainString))
+      assert(BigNumOps.add(ua, ub).toString ==
+        a.add(b).stripTrailingZeros.toPlainString)
+      assert(BigNumOps.sub(ua, ub).toString ==
+        a.subtract(b).stripTrailingZeros.toPlainString)
+      assert(BigNumOps.mul(ua, ub).toString ==
+        a.multiply(b).stripTrailingZeros.toPlainString)
+      assert(Integer.signum(BigNumOps.cmp(ua, ub)) ==
+        Integer.signum(a.compareTo(b)))
+      if (b.signum != 0)
+        assert(BigNumOps.mod(ua, ub).toString ==
+          a.remainder(b).stripTrailingZeros.toPlainString)
+    }
+  }
+
+  test("normalize canonicalizes exponent notation and zeros") {
+    assert(BigNumOps.normalize(u("1.5E10")).toString == "15000000000")
+    assert(BigNumOps.normalize(u("-0.000")).toString == "0")
+    assert(BigNumOps.normalize(u("00012.3400")).toString == "12.34")
+    assert(BigNumOps.trunc(u("-3.99")).toString == "-3")
+    assert(BigNumOps.trunc(u("3.99")).toString == "3")
+  }
+
+  test("sum beyond DecimalType(38): exact 40-digit result, partition-invariant") {
+    // 100 distinct 38-digit values: their exact sum needs 40 digits
+    val vals = (0 until 100).map(i => new java.math.BigInteger("9" * 37 + f"$i%02d"))
+    val expect = vals.reduce(_ add _).toString
+    assert(expect.length > 38) // the DecimalType cap is genuinely exceeded
+    val df = vals.map(_.toString).toDF("v")
+    for (parts <- Seq(1, 4, 13)) {
+      val got = df.repartition(parts)
+        .agg(BigNum.sumBig(BigNum.big($"v")).as("s"))
+        .select(BigNum.str($"s")).as[String].head()
+      assert(got == expect, s"at $parts partitions")
+    }
+  }
+
+  test("orderBy / min / max on bignum columns follow numeric order") {
+    val raw = Seq("-2", "-1.5", "-0.5", "0", "0.49", "0.5", "1", "1.5",
+      "10", "9" * 45, "-" + "9" * 45)
+    val shuffled = scala.util.Random.shuffle(raw)
+    val df = shuffled.toDF("v").select(BigNum.big($"v").as("b"))
+    val sorted = df.orderBy($"b").select(BigNum.str($"b")).as[String].collect()
+    val expect = raw.map(new java.math.BigDecimal(_))
+      .sorted(Ordering.comparatorToOrdering(
+        java.util.Comparator.naturalOrder[java.math.BigDecimal]()))
+      .map(_.stripTrailingZeros.toPlainString)
+    assert(sorted.toSeq == expect)
+    val mn = df.agg(BigNum.str(BigNum.minBig($"b"))).as[String].head()
+    val mx = df.agg(BigNum.str(BigNum.maxBig($"b"))).as[String].head()
+    assert(mn == "-" + "9" * 45 && mx == "9" * 45)
+  }
+
+  test("arithmetic column API: exact product of two 40-digit factors") {
+    val a = "1" + "2" * 39
+    val b = "9" + "8" * 39
+    val expect = new java.math.BigInteger(a).multiply(new java.math.BigInteger(b)).toString
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(BigNum.str(BigNum.mul(BigNum.big($"a"), BigNum.big($"b")))).as[String].head()
+    assert(got == expect)
+  }
+
+  test("pig front end: BI/BD literals, casts, exact SUM, numeric ORDER") {
+    val script =
+      """L = LOAD '$DIR/lineitem.parquet' USING parquet;
+        |P = FOREACH L GENERATE l_returnflag,
+        |      (biginteger)l_orderkey * (biginteger)l_partkey * 1000000000000BI AS big_amt;
+        |G = GROUP P BY l_returnflag;
+        |S = FOREACH G GENERATE group AS flag, SUM(P.big_amt) AS total;
+        |O = ORDER S BY total DESC;
+        |""".stripMargin
+    val rows = graft.pig.PigScript.query(spark, script, Map("DIR" -> sf))
+      .as[(String, String)].collect()
+    // reference computed independently with java.math over the same data
+    val ref = tables.lineitem
+      .select($"l_returnflag", $"l_orderkey", $"l_partkey")
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues { rs =>
+        rs.map { case (_, ok, pk) =>
+          java.math.BigInteger.valueOf(ok).multiply(java.math.BigInteger.valueOf(pk))
+            .multiply(new java.math.BigInteger("1000000000000"))
+        }.reduce(_ add _)
+      }.toMap
+    assert(rows.length == ref.size)
+    // ORDER BY total DESC honored numerically (not lexically)
+    val totals = rows.map(r => new java.math.BigDecimal(r._2))
+    assert(totals.sliding(2).forall { case Array(x, y) => x.compareTo(y) >= 0; case _ => true })
+    rows.foreach { case (flag, tot) =>
+      assert(tot == ref(flag).toString, s"flag $flag")
+      assert(new java.math.BigDecimal(tot).precision > 18) // beyond long range
+    }
+  }
+
+  test("pig front end: bignum compares promote the other side; bigdecimal division") {
+    val script =
+      """L = LOAD '$DIR/lineitem.parquet' USING parquet;
+        |F = FILTER L BY (biginteger)l_orderkey * 100000000000000000000BI
+        |      > 300000000000000000000000BI;
+        |P = FOREACH F GENERATE l_orderkey,
+        |      (bigdecimal)l_orderkey / 8BD AS ratio;
+        |D = DISTINCT P;
+        |""".stripMargin
+    val rows = graft.pig.PigScript.query(spark, script, Map("DIR" -> sf))
+      .as[(Long, String)].collect()
+    // ok * 1e20 > 3e23  <=>  ok > 3000, evaluated exactly in bignum
+    val expectKeys = tables.lineitem.select($"l_orderkey").as[Long].collect()
+      .filter(_ > 3000).toSet
+    assert(rows.map(_._1).toSet == expectKeys)
+    rows.foreach { case (ok, ratio) =>
+      val expect = new java.math.BigDecimal(ok)
+        .divide(new java.math.BigDecimal(8), java.math.MathContext.DECIMAL128)
+        .stripTrailingZeros.toPlainString
+      assert(ratio == expect)
+    }
+  }
+}
