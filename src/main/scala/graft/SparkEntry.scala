@@ -1016,6 +1016,50 @@ object SparkEntry {
     //     pins the >38-digit tail against java.math. ---
     "q133_biginteger_agg" -> pigQ("/pig/q133_biginteger_agg.pig"),
 
+    // --- Gopher repetition filters (Rae et al. 2021): top-2gram count
+    //     and char mass + duplicate-LINE stats, one native kernel pass
+    //     (RepKernels), zero shuffle. The corpus has no newlines, so
+    //     the query injects one per space (same regexp both engines):
+    //     every dup-line counter takes real nonzero values — the
+    //     metrics are exercised, not vacuously zero. Integer ppm
+    //     outputs (q65's float-hazard discipline). ---
+    "q134_gopher_rep" -> ((s, dir) => {
+      val te = graft.plans.TextExpressions
+      t(s, dir).documents
+        .withColumn("__t2", regexp_replace(lower(col("text")), " ", "\n"))
+        .withColumn("__rs", te.repStats(col("__t2"), 2))
+        .select(
+          col("doc_id"),
+          element_at(col("__rs"), 3).as("top2_count"),
+          when(length(col("__t2")) > 0,
+            expr("__rs[3] * 1000000L div length(__t2)"))
+            .otherwise(lit(0L)).as("top2_char_ppm"),
+          element_at(col("__rs"), 5).as("n_lines"),
+          when(element_at(col("__rs"), 5) > 0,
+            expr("(__rs[4] - __rs[5]) * 1000000L div __rs[4]"))
+            .otherwise(lit(0L)).as("dup_line_ppm"),
+          when(element_at(col("__rs"), 8) > 0,
+            expr("__rs[6] * 1000000L div __rs[7]"))
+            .otherwise(lit(0L)).as("dup_line_char_ppm"))
+    }),
+
+    // --- SemDeDup (Abbas et al. 2023): embedding-cluster semantic
+    //     dedup — assignment is a zero-shuffle projection over inlined
+    //     centroid literals (IVF discipline); within-cluster prune
+    //     keeps the lowest id among cosine>=0.9 near-dups. q38's
+    //     planted-clone harness: every 50th vector gets an identical
+    //     clone at vec_id+1000000 — each clone lands in its source's
+    //     cluster (cosine 1.0 ≫ natural max ~0.48) and MUST be the
+    //     pruned one (higher id); everything else must be kept. ---
+    "q135_semdedup" -> ((s, dir) => {
+      val e = t(s, dir).embeddings
+      val planted = e.unionAll(
+        e.filter(col("vec_id") % 50 === 0)
+          .withColumn("vec_id", col("vec_id") + 1000000L))
+      graft.operators.Similarity.semDedup(
+        planted, "vec_id", "embedding", k = 8, tau = 0.9)
+    }),
+
     // --- SimHash block LSH, the 6-block SCALE shape (20 combos of 3
     //     blocks, ~32-bit keys — buckets stay O(1) at 50M+ docs where
     //     the 4×16-bit default floods): pigeonhole-EXACT for hamming≤3
@@ -2665,6 +2709,81 @@ object SparkEntry {
                         * CAST('1000000000000000' AS HUGEINT) AS amt
                FROM lineitem)
          WHERE amt > CAST('50000000000000000000' AS HUGEINT)
-         GROUP BY 1"""
+         GROUP BY 1""",
+
+    // Gopher repetition: same newline injection, token split, and
+    // integer-ppm arithmetic as the Spark side; LEFT JOINs + COALESCE
+    // reproduce the kernel's zero semantics for gram-less docs
+    "q134_gopher_rep" ->
+      """WITH base AS (
+           SELECT doc_id, regexp_replace(lower(text), ' ', chr(10), 'g') AS t2
+           FROM documents),
+         toks AS (
+           SELECT doc_id, t2,
+                  list_filter(string_split_regex(t2, '\s+'), x -> x <> '') AS tk
+           FROM base),
+         grams AS (
+           SELECT doc_id,
+                  CASE WHEN len(tk) >= 2
+                       THEN list_transform(range(1, len(tk)),
+                            i -> tk[i] || ' ' || tk[i+1])
+                       ELSE CAST([] AS VARCHAR[]) END AS gs
+           FROM toks),
+         gcnt AS (
+           SELECT doc_id, g, COUNT(*) AS c
+           FROM (SELECT doc_id, unnest(gs) AS g FROM grams) GROUP BY doc_id, g),
+         gstat AS (
+           SELECT doc_id, max(c) AS top2, max(c * length(g)) AS topprod
+           FROM gcnt GROUP BY doc_id),
+         lns AS (
+           SELECT doc_id, l, COUNT(*) AS c
+           FROM (SELECT doc_id,
+                        unnest(list_filter(string_split(t2, chr(10)), x -> x <> '')) AS l
+                 FROM base) GROUP BY doc_id, l),
+         lstat AS (
+           SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nl, COUNT(*) AS dl,
+                  CAST(SUM(CASE WHEN c > 1 THEN c * length(l) ELSE 0 END) AS BIGINT) AS dupch,
+                  CAST(SUM(c * length(l)) AS BIGINT) AS totch
+           FROM lns GROUP BY doc_id)
+         SELECT b.doc_id,
+           CAST(COALESCE(g.top2, 0) AS BIGINT) AS top2_count,
+           CAST(CASE WHEN length(b.t2) > 0
+                THEN COALESCE(g.topprod, 0) * 1000000 // length(b.t2)
+                ELSE 0 END AS BIGINT) AS top2_char_ppm,
+           CAST(COALESCE(l.nl, 0) AS BIGINT) AS n_lines,
+           CAST(CASE WHEN COALESCE(l.nl, 0) > 0
+                THEN (l.nl - l.dl) * 1000000 // l.nl ELSE 0 END AS BIGINT) AS dup_line_ppm,
+           CAST(CASE WHEN COALESCE(l.totch, 0) > 0
+                THEN l.dupch * 1000000 // l.totch ELSE 0 END AS BIGINT) AS dup_line_char_ppm
+         FROM base b
+         LEFT JOIN gstat g USING (doc_id)
+         LEFT JOIN lstat l USING (doc_id)""",
+
+    // SemDeDup: centroids = 8 lowest vec_ids; assignment = max-cosine
+    // centroid (ties -> lowest cid); pruned iff a lower-id row in the
+    // same cluster has cosine >= 0.9; clones planted as in the engine
+    "q135_semdedup" ->
+      """WITH v AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) AS ev
+           FROM embeddings WHERE vec_id % 50 = 0),
+         cent AS (SELECT vec_id AS cid, ev AS cv FROM v ORDER BY vec_id LIMIT 8),
+         asg AS (
+           SELECT vec_id, cid AS cluster FROM (
+             SELECT v.vec_id, cent.cid,
+                    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                      ORDER BY list_cosine_similarity(v.ev, cent.cv) DESC, cent.cid) AS rn
+             FROM v, cent) WHERE rn = 1),
+         pruned AS (
+           SELECT DISTINCT b.vec_id
+           FROM asg a
+           JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           JOIN v va ON va.vec_id = a.vec_id
+           JOIN v vb ON vb.vec_id = b.vec_id
+           WHERE list_cosine_similarity(va.ev, vb.ev) >= 0.9)
+         SELECT asg.vec_id, CAST(asg.cluster AS BIGINT) AS cluster,
+                CAST(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         FROM asg LEFT JOIN pruned p ON asg.vec_id = p.vec_id"""
   )
 }

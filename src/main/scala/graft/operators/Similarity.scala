@@ -216,6 +216,58 @@ object Similarity {
     * 1 − (1−p^planes)^N while each band's buckets stay small and
     * differently partitioned, so no single bucket carries the whole
     * hot cluster across every band. */
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    * embedding space, then prune semantic near-duplicates WITHIN each
+    * cluster, keeping one representative per near-dup set — the
+    * "semantic" tier above exact/MinHash/SimHash text dedup.
+    *
+    * Deterministic formulation (so an external oracle can replay it):
+    * centroids are the `k` lowest-id vectors (k-means-refined centroids
+    * drop in without changing the dataflow); a row is assigned to the
+    * max-cosine centroid (ties → lowest centroid id); a row is PRUNED
+    * iff some lower-id row in its cluster has cosine ≥ `tau` —
+    * representative = lowest id, the same keeper rule as exact dedup.
+    *
+    * Scale: the centroid table (k×dim doubles) is inlined as plan
+    * literals, so assignment is a pure per-row projection — zero
+    * shuffle, the IVF discipline. The within-cluster pair join is the
+    * scale knob: one shuffle on cluster id, O(Σ cell²) compare work.
+    * At 100 TB-scale cluster counts that quadratic is the bound to
+    * manage: raise k so cells stay bounded, or swap the exact pair
+    * join for [[cosineDupPairs]]' banded RP-LSH *within* each cluster
+    * (bucket key = (cluster, band bucket)) — same tau semantics at
+    * LSH recall, and the hot-cell blowup disappears. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, tau: Double = 0.9): DataFrame = {
+    val centroids: Array[(Long, Seq[Double])] = df
+      .select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("cv"))
+      .orderBy(col("cid").asc)
+      .limit(k)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+    // (−cosine, centroid id) structs sorted ascending = cosine desc,
+    // id-asc tiebreak; head = assignment. All plan literals, codegen'd.
+    def bestCell(v: Column): Column = {
+      val scored = centroids.map { case (cid, cv) =>
+        struct((-cosineFast(v, typedLit(cv))).as("ns"), lit(cid).as("cent"))
+      }
+      element_at(sort_array(array(scored: _*)), 1).getField("cent")
+    }
+
+    val assigned = df
+      .select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("cluster", bestCell(col("__v")))
+    val pruned = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col(s"a.$idCol") < col(s"b.$idCol") &&
+          cosineFast(col("a.__v"), col("b.__v")) >= tau)
+      .select(col(s"b.$idCol").as(idCol)).distinct()
+    assigned.join(pruned.withColumn("__pruned", lit(1L)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        when(col("__pruned").isNull, 1L).otherwise(0L).as("kept"))
+  }
+
   def cosineDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       tau: Double, planes: Int = 10, bands: Int = 4): DataFrame = {

@@ -92,6 +92,26 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
 
+  /** Gopher repetition filters (Rae et al. 2021 table A1) as one
+    * native-kernel pass: duplicate n-gram fraction, top n-gram count
+    * and char mass, duplicate-line fraction and char fraction (lines
+    * split on '\n'). Pure per-row projection — zero shuffle at any
+    * corpus size; filter on these, don't sort by them. */
+  def repetitionFeatures(text: Column, n: Int = 2): Column = {
+    val rs = graft.plans.TextExpressions.repStats(text, n)
+    def at(i: Int) = element_at(rs, i + 1)
+    def frac(num: Column, den: Column) =
+      when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+    struct(
+      at(0).as("n_ngrams"),
+      frac(at(0) - at(1), at(0)).as("dup_ngram_frac"),
+      at(2).as("top_ngram_count"),
+      frac(at(3), length(text)).as("top_ngram_char_frac"),
+      at(4).as("n_lines"),
+      frac(at(4) - at(5), at(4)).as("dup_line_frac"),
+      frac(at(6), at(7)).as("dup_line_char_frac"))
+  }
+
   // ---------------- fingerprinting ----------------
 
   /** Canonical-text fingerprint: md5 of lowercased, whitespace-collapsed,

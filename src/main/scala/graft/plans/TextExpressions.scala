@@ -407,6 +407,86 @@ case class LangId(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+  * Models", table A1 quality filters) in ONE native pass: word-n-gram
+  * repetition (total/distinct/top count/top char mass) and duplicate
+  * -line stats (lines split on '\n', empties dropped). Char counts are
+  * UTF-16 units — identical to codepoints on the ASCII corpus and to
+  * DuckDB's length() there (same caveat as every length() use here).
+  *
+  * The "top n-gram char mass" is max over grams of count·len(gram) —
+  * tie-free (Gopher's "chars in the MOST FREQUENT n-gram" is ambiguous
+  * under count ties; the max-product is deterministic and equals it
+  * whenever the top gram is unique).
+  */
+object RepKernels {
+  /** [nGrams, distinctGrams, maxGramCount, maxGramCharProd,
+    *  nLines, distinctLines, dupLineChars, totalLineChars] */
+  def repStats(text: org.apache.spark.unsafe.types.UTF8String, n: Int): Array[Long] = {
+    val s = text.toLowerCase.toString
+    val tokens = TokKernel.tokens(s)
+    val m = tokens.size
+    val counts = new java.util.HashMap[String, Int]()
+    var grams = 0L
+    if (m >= n) {
+      val sb = new java.lang.StringBuilder(64)
+      var j = 0
+      while (j <= m - n) {
+        sb.setLength(0)
+        var q = 0
+        while (q < n) { if (q > 0) sb.append(' '); sb.append(tokens.get(j + q)); q += 1 }
+        counts.merge(sb.toString, 1, Integer.sum)
+        j += 1
+      }
+      grams = (m - n + 1).toLong
+    }
+    var maxc = 0L
+    var maxProd = 0L
+    val git = counts.entrySet().iterator()
+    while (git.hasNext) {
+      val e = git.next()
+      val c = e.getValue.toLong
+      if (c > maxc) maxc = c
+      val prod = c * e.getKey.length
+      if (prod > maxProd) maxProd = prod
+    }
+    val lineCounts = new java.util.HashMap[String, Int]()
+    var nLines = 0L
+    s.split("\n", -1).foreach { line =>
+      if (line.nonEmpty) { nLines += 1; lineCounts.merge(line, 1, Integer.sum) }
+    }
+    var dupChars = 0L
+    var totChars = 0L
+    val lit = lineCounts.entrySet().iterator()
+    while (lit.hasNext) {
+      val e = lit.next()
+      val c = e.getValue.toLong
+      val len = e.getKey.length.toLong
+      totChars += c * len
+      if (c > 1) dupChars += c * len
+    }
+    Array(grams, counts.size.toLong, maxc, maxProd,
+      nLines, lineCounts.size.toLong, dupChars, totChars)
+  }
+}
+
+case class RepStats(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rep_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(RepKernels.repStats(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.plans.RepKernels.repStats($t, $n));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): RepStats =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Column entry point: shingle-hash array -> k-long MinHash signature. */
   def minhashSig(shingleHashes: Column, k: Int): Column =
@@ -419,6 +499,10 @@ object TextExpressions {
   /** Column entry point: text -> [n_ngrams, n_uniq] exact stats. */
   def ngramStats(text: Column, n: Int): Column =
     GraftSqlBridge.column(NgramStats(GraftSqlBridge.expression(text), n))
+
+  /** Column entry point: text -> 8-long Gopher repetition stats. */
+  def repStats(text: Column, n: Int): Column =
+    GraftSqlBridge.column(RepStats(GraftSqlBridge.expression(text), n))
 
   /** Column entry point: text -> distinct n-gram strings. */
   def ngramStrings(text: Column, n: Int): Column =

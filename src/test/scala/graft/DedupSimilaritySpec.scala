@@ -374,4 +374,65 @@ class DedupSimilaritySpec extends SparkSpec {
       .select(registeredDomain($"h")).as[String].collect()(0)
     assert(dom == "ex.com")
   }
+
+  test("repStats: hand-computed Gopher signals on genuine multi-line text") {
+    // lines: "aa bb" ×2 (5 chars each), "cc" ×1 (2) -> 3 lines, 2
+    // distinct; dup chars = 2*5 = 10 of total 12
+    // tokens: aa bb aa bb cc -> 2-grams: "aa bb"×2, "bb aa", "bb cc"
+    //   -> 4 grams, 3 distinct, max count 2, max c*len = 2*5 = 10
+    val text = "aa bb\naa bb\ncc"
+    val rs = Seq(text).toDF("t")
+      .select(graft.plans.TextExpressions.repStats($"t", 2).as("rs"))
+      .as[Seq[Long]].head()
+    assert(rs == Seq(4L, 3L, 2L, 10L, 3L, 2L, 10L, 12L))
+    // empty and single-token degenerate cases: all zeros except lines
+    val rs1 = Seq("solo").toDF("t")
+      .select(graft.plans.TextExpressions.repStats($"t", 2).as("rs"))
+      .as[Seq[Long]].head()
+    assert(rs1 == Seq(0L, 0L, 0L, 0L, 1L, 1L, 0L, 4L))
+    // uppercase folds: "AA\naa" is a duplicate line pair post-lowercase
+    val rs2 = Seq("AA\naa").toDF("t")
+      .select(graft.plans.TextExpressions.repStats($"t", 2).as("rs"))
+      .as[Seq[Long]].head()
+    assert(rs2(4) == 2L && rs2(5) == 1L && rs2(6) == 4L)
+  }
+
+  test("repetitionFeatures fractions agree with raw repStats") {
+    val f = graft.operators.TextAnalysis.repetitionFeatures($"t", 2)
+    val row = Seq("aa bb\naa bb\ncc").toDF("t").select(f.as("f"))
+      .select($"f.dup_ngram_frac", $"f.top_ngram_count", $"f.dup_line_frac",
+        $"f.dup_line_char_frac")
+      .as[(Double, Long, Double, Double)].head()
+    assert(row == ((1.0 / 4.0, 2L, 1.0 / 3.0, 10.0 / 12.0)))
+  }
+
+  test("semDedup: planted clones pruned, sources and singletons kept, clusters consistent") {
+    // one-hot vectors: every cross-pair cosine is EXACTLY 0, so the
+    // only >=tau pairs are the planted identical clones — no natural
+    // near-dup can sneak into the expected counts
+    val base = (0L until 60L).map { i =>
+      (i, Array.tabulate(60)(d => if (d == i) 1f else 0f))
+    }.toDF("vec_id", "embedding")
+    val clones = base.filter($"vec_id" % 20 === 0)
+      .withColumn("vec_id", $"vec_id" + 1000L)
+    val out = Similarity.semDedup(base.unionAll(clones), "vec_id", "embedding",
+      k = 4, tau = 0.9)
+    val rows = out.select($"vec_id", $"cluster", $"kept")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.length == 63)
+    val byId = rows.map(r => r._1 -> r).toMap
+    // every clone pruned, in the same cluster as its source; source kept
+    Seq(0L, 20L, 40L).foreach { src =>
+      assert(byId(src + 1000L)._3 == 0L, s"clone of $src must be pruned")
+      assert(byId(src + 1000L)._2 == byId(src)._2, s"clone of $src shares its cluster")
+      assert(byId(src)._3 == 1L, s"source $src must be kept")
+    }
+    // nothing else pruned at tau=0.9 on this spread-out synthetic set
+    assert(rows.count(_._3 == 0L) == 3)
+    // partition invariance: same verdicts at a different partition count
+    val out2 = Similarity.semDedup(
+      base.unionAll(clones).repartition(7), "vec_id", "embedding", k = 4, tau = 0.9)
+    assert(out2.select($"vec_id", $"cluster", $"kept").as[(Long, Long, Long)]
+      .collect().toSet == rows.toSet)
+  }
 }

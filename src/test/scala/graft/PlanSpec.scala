@@ -102,6 +102,23 @@ class PlanSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q134: repetition stats are one kernel projection — no shuffle at all") {
+    val tree = SparkEntry.queries("q134_gopher_rep")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!tree.contains("Exchange"), s"per-row metrics must not shuffle:\n$tree")
+    assert(tree.contains("rep_stats"), "native kernel in the plan")
+    assert(!tree.contains("ScalaUDF"))
+  }
+
+  test("q135: semDedup assignment is projection-only; one cluster-key pair join") {
+    val tree = SparkEntry.queries("q135_semdedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!tree.contains("Window"), s"assignment must not window:\n$tree")
+    // centroids are plan literals: no join against a centroid relation
+    assert(!tree.contains("BroadcastNestedLoopJoin"), tree.take(3000))
+    assert(!tree.contains("CartesianProduct"), tree.take(3000))
+  }
+
   test("every oracle key has a query; names are well-formed") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
