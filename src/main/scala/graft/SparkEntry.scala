@@ -1043,6 +1043,15 @@ object SparkEntry {
             .otherwise(lit(0L)).as("dup_line_char_ppm"))
     }),
 
+    // --- cross-document repeated 5-grams (Lee et al. 2021 exact
+    //     -substring dedup proxy): per doc, how much of its text is
+    //     repeated ANYWHERE else in the corpus. Doc-frequency
+    //     aggregation, never a pair join — hot grams cost one
+    //     combiner row at any corpus size. ---
+    "q137_crossdoc_repeats" -> ((s, dir) =>
+      graft.operators.TextAnalysis.crossDocRepeats(
+        t(s, dir).documents, "doc_id", "text", n = 5)),
+
     // --- SemDeDup (Abbas et al. 2023): embedding-cluster semantic
     //     dedup — assignment is a zero-shuffle projection over inlined
     //     centroid literals (IVF discipline); within-cluster prune
@@ -1160,6 +1169,45 @@ object SparkEntry {
           graft.streaming.EventsStreaming.readEvents(s, src), dim,
           "user_id", "c_custkey")
         .select(col("event_id"), col("user_id"), col("event_type"), col("c_mktsegment"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink)
+    }),
+
+    // --- stream–stream interval join (the one streaming join shape
+    //     q110's stream–static enrich doesn't cover): click→purchase
+    //     attribution, purchases within 30 min of a same-user click.
+    //     Inner interval matches emit eagerly under AvailableNow, so
+    //     the sink equals the batch interval join, which DuckDB
+    //     recomputes; the time-range predicate is also what bounds the
+    //     join state at scale (state = key-rate × window, not the
+    //     stream). ---
+    "q136_stream_interval_join" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_q136_").toString
+      val src = s"$tmp/src"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+      t(s, dir).events
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("append").parquet(src)
+      val clicks = graft.streaming.EventsStreaming.readEvents(s, src)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+          col("user_id").as("click_user"))
+      val buys = graft.streaming.EventsStreaming.readEvents(s, src)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("ts").as("buy_ts"),
+          col("user_id"), col("value"))
+      val q = graft.streaming.EventsStreaming.streamIntervalJoin(
+          clicks, buys, "click_user", "user_id", "click_ts", "buy_ts",
+          within = "30 minutes")
+        .select(col("click_id"), col("buy_id"), col("user_id"),
+          // explicit floor: double->int cast rounding conventions
+          // differ across engines; floor is IEEE-identical everywhere
+          expr("CAST(floor(value * 100) AS BIGINT)").as("value_cents"))
         .writeStream.format("parquet")
         .option("path", sink).option("checkpointLocation", ckpt)
         .outputMode("append")
@@ -2518,6 +2566,19 @@ object SparkEntry {
       """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
 
+    // the batch equivalent of the stream-stream interval join: value
+    // in integer cents (float-hazard discipline)
+    "q136_stream_interval_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS buy_id,
+                b.user_id,
+                CAST(floor(b.value * 100) AS BIGINT) AS value_cents
+         FROM events a
+         JOIN events b
+           ON a.user_id = b.user_id
+          AND b.ts >= a.ts
+          AND b.ts <= a.ts + INTERVAL 30 MINUTE
+         WHERE a.event_type = 'click' AND b.event_type = 'purchase'""",
+
     // exact side recomputed; the sketch-contract booleans are asserted
     // constants the Spark side must reproduce from its own sketches
     "q111_sketch_bounds" ->
@@ -2758,6 +2819,34 @@ object SparkEntry {
          FROM base b
          LEFT JOIN gstat g USING (doc_id)
          LEFT JOIN lstat l USING (doc_id)""",
+
+    // cross-doc repeated 5-grams: distinct grams per doc, then doc
+    // frequency; q65's tokenization and integer-ppm conventions
+    "q137_crossdoc_repeats" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         g AS (
+           SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(tk) >= 5
+                  THEN list_transform(range(1, len(tk) - 3),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                            tk[i+3] || ' ' || tk[i+4])
+                  ELSE CAST([] AS VARCHAR[]) END)) AS gram
+           FROM t),
+         df AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram),
+         per AS (
+           SELECT g.doc_id, COUNT(*) AS n_grams,
+                  CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+           FROM g JOIN df USING (gram) GROUP BY g.doc_id)
+         SELECT d.doc_id,
+                CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+                CAST(COALESCE(p.n_shared, 0) AS BIGINT) AS n_shared,
+                CAST(CASE WHEN COALESCE(p.n_grams, 0) > 0
+                     THEN p.n_shared * 1000000 // p.n_grams
+                     ELSE 0 END AS BIGINT) AS shared_ppm
+         FROM documents d LEFT JOIN per p USING (doc_id)""",
 
     // SemDeDup: centroids = 8 lowest vec_ids; assignment = max-cosine
     // centroid (ties -> lowest cid); pruned iff a lower-id row in the

@@ -112,6 +112,37 @@ object TextAnalysis {
       frac(at(6), at(7)).as("dup_line_char_frac"))
   }
 
+  /** Cross-document repeated n-gram statistics — the distributed proxy
+    * for exact-substring dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): an n-gram occurring
+    * in more than one document marks text repeated across the corpus.
+    * Per doc: distinct n-grams, how many are shared with ANY other
+    * doc, and the shared fraction in ppm (integer-exact).
+    *
+    * Dataflow: distinct grams per doc (native kernel, per-row) →
+    * explode → gram doc-frequency (one shuffle, partial-agg combine:
+    * grams are pre-deduped per doc so `count(*)` IS the doc
+    * frequency) → join back → per-doc aggregate. No pair join exists,
+    * so hot grams cost one combiner row, never a quadratic bucket —
+    * the same reason [[contamination]] scales. */
+  def crossDocRepeats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val grams = docs.select(col(idCol), explode(
+      graft.plans.TextExpressions.ngramStrings(col(textCol), n)).as("gram"))
+    val docFreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    val per = grams.join(docFreq, "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+    docs.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("shared_ppm",
+        when(col("n_grams") > 0, expr("n_shared * 1000000L div n_grams"))
+          .otherwise(lit(0L)))
+  }
+
   // ---------------- fingerprinting ----------------
 
   /** Canonical-text fingerprint: md5 of lowercased, whitespace-collapsed,

@@ -66,6 +66,24 @@ object EventsStreaming {
     events.join(org.apache.spark.sql.functions.broadcast(dim),
       col(eventKey) === col(dimKey), "left")
 
+  /** Stream–stream INNER interval join: right rows within
+    * `[leftTs, leftTs + within]` on a shared key — the
+    * click-then-purchase attribution shape. Both sides watermarked, and
+    * the time-range predicate is what lets Spark BOUND the join state:
+    * each side's buffered rows are dropped once the other side's
+    * watermark passes the interval, so state is O(key-rate × window),
+    * never O(stream). Inner matches emit eagerly (no watermark wait);
+    * caller renames columns apart before joining. */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      within: String, watermark: String = "10 minutes"): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + org.apache.spark.sql.functions.expr(
+            s"INTERVAL $within"))
+
   // ---------------- custom keyed state ----------------
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

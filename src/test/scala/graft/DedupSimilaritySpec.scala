@@ -406,6 +406,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(row == ((1.0 / 4.0, 2L, 1.0 / 3.0, 10.0 / 12.0)))
   }
 
+  test("crossDocRepeats: shared 5-grams counted per doc, short docs zeroed") {
+    val d = Seq(
+      (1L, "a b c d e f"),     // 5-grams: "a b c d e", "b c d e f"
+      (2L, "a b c d e x"),     // shares "a b c d e" with doc 1
+      (3L, "p q r s t u"),     // no sharing
+      (4L, "too short")        // <5 tokens: zero grams
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.crossDocRepeats(d, "doc_id", "text", n = 5)
+      .select($"doc_id", $"n_grams", $"n_shared", $"shared_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2L, 1L, 500000L)))
+    assert(out(2L) == ((2L, 1L, 500000L)))
+    assert(out(3L) == ((2L, 0L, 0L)))
+    assert(out(4L) == ((0L, 0L, 0L)))
+  }
+
   test("semDedup: planted clones pruned, sources and singletons kept, clusters consistent") {
     // one-hot vectors: every cross-pair cosine is EXACTLY 0, so the
     // only >=tau pairs are the planted identical clones — no natural
