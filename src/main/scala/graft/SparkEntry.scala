@@ -1217,6 +1217,54 @@ object SparkEntry {
       s.read.parquet(sink)
     }),
 
+    // --- stream–stream LEFT OUTER interval join: unmatched left rows
+    //     can only emit once the watermark proves no match can still
+    //     arrive, so the q106 sentinel discipline applies — phase 1
+    //     replays the real timeline (inner matches emit eagerly,
+    //     unmatched lefts are HELD in state), phase 2 appends a far
+    //     -future sentinel to BOTH type-filtered streams, advancing
+    //     the global watermark past every real interval and flushing
+    //     the null-extended rows. Sink must equal the batch LEFT JOIN
+    //     (DuckDB). ---
+    "q138_stream_outer_join" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_q138_").toString
+      val src = s"$tmp/src"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+      val ev = t(s, dir).events
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      ev.coalesce(1).write.mode("append").parquet(src)
+      val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0) // 1-row scalar
+      val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 365L * 86400 * 1000)
+      def run(): Unit = {
+        val clicks = graft.streaming.EventsStreaming.readEvents(s, src)
+          .filter(col("event_type").isin("click", "__sentinel"))
+          .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+            col("user_id").as("click_user"))
+        val buys = graft.streaming.EventsStreaming.readEvents(s, src)
+          .filter(col("event_type").isin("purchase", "__sentinel"))
+          .select(col("event_id").as("buy_id"), col("ts").as("buy_ts"),
+            col("user_id"), col("value"))
+        val q = graft.streaming.EventsStreaming.streamIntervalJoin(
+            clicks, buys, "click_user", "user_id", "click_ts", "buy_ts",
+            within = "30 minutes", joinType = "left_outer")
+          .select(col("click_id"), col("buy_id"), col("click_user"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("value_cents"))
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      run() // phase 1: real timeline; unmatched lefts held in state
+      ev.limit(1).select(lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
+          lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"))
+        .coalesce(1).write.mode("append").parquet(src)
+      run() // phase 2: watermark passes every interval; outer rows flush
+      s.read.parquet(sink).filter(col("click_id") =!= -1L)
+    }),
+
     // --- streaming dedup (dropDuplicatesWithinWatermark): the fixture
     //     is written to the source TWICE, so every event arrives as a
     //     duplicate; the engine must emit each event_id exactly once,
@@ -2578,6 +2626,20 @@ object SparkEntry {
           AND b.ts >= a.ts
           AND b.ts <= a.ts + INTERVAL 30 MINUTE
          WHERE a.event_type = 'click' AND b.event_type = 'purchase'""",
+
+    // batch equivalent of the streaming LEFT OUTER interval join:
+    // every click row survives; matched rows carry the purchase
+    "q138_stream_outer_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS buy_id,
+                a.user_id AS click_user,
+                CAST(floor(b.value * 100) AS BIGINT) AS value_cents
+         FROM events a
+         LEFT JOIN events b
+           ON a.user_id = b.user_id
+          AND b.event_type = 'purchase'
+          AND b.ts >= a.ts
+          AND b.ts <= a.ts + INTERVAL 30 MINUTE
+         WHERE a.event_type = 'click'""",
 
     // exact side recomputed; the sketch-contract booleans are asserted
     // constants the Spark side must reproduce from its own sketches

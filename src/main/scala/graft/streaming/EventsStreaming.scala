@@ -76,13 +76,15 @@ object EventsStreaming {
     * caller renames columns apart before joining. */
   def streamIntervalJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, leftTs: String, rightTs: String,
-      within: String, watermark: String = "10 minutes"): DataFrame =
+      within: String, watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTs, watermark)
       .join(right.withWatermark(rightTs, watermark),
         col(leftKey) === col(rightKey) &&
           col(rightTs) >= col(leftTs) &&
           col(rightTs) <= col(leftTs) + org.apache.spark.sql.functions.expr(
-            s"INTERVAL $within"))
+            s"INTERVAL $within"),
+        joinType)
 
   // ---------------- custom keyed state ----------------
 
