@@ -30,8 +30,10 @@ object Bench {
     "q107_bigram_ppl", "q108_temperature_mix",
     // late round 5: footer-pruned sparse lookup, incremental dedup
     "q122_sparse_lookup", "q125_incremental_dedup",
-    // round 6: Gopher repetition kernel, SemDeDup, cross-doc 5-grams
-    "q134_gopher_rep", "q135_semdedup", "q137_crossdoc_repeats")
+    // round 6: Gopher repetition kernel, SemDeDup, cross-doc 5-grams,
+    // hashed-feature quality classifier
+    "q134_gopher_rep", "q135_semdedup", "q137_crossdoc_repeats",
+    "q139_hash_classifier")
 
   /** The CORRECTNESS entries for approximate ops are recall HARNESSES
     * (operator + exact ground truth + compare in one job); benching the

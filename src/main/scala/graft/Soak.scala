@@ -172,6 +172,39 @@ object Soak {
             .otherwise(array().cast("array<int>"))).as(Seq("chunk_id", "start")))
         .count())
 
+    // --- round-6 operators ---
+    time("rep_stats")(
+      docs.select(graft.plans.TextExpressions.repStats(col("text"), 2).as("r"))
+        .agg(sum(expr("r[2]"))).count() * 0 + rows)
+    // cross-doc repeated grams: doc-frequency aggregation (no pair
+    // join anywhere — hot grams are one combiner row per partition).
+    // sum(shared_ppm), NOT count(): count of a left join whose right
+    // side is unique on the key lets the optimizer ELIMINATE the join
+    // and the soak would time a bare scan
+    time("crossdoc_repeats")(
+      graft.operators.TextAnalysis.crossDocRepeats(
+        docs, "doc_id", "text", n = 5)
+        .agg(sum(col("shared_ppm"))).collect()(0).getLong(0) * 0 + rows)
+    // semDedup: same skew-first discipline as the banded joins — the
+    // within-cluster exact pair join is O(Σ cell²); measure cell sizes
+    // before paying. k scales with the slice so cells stay ~2k rows
+    // (the operator's own scale rule: raise k, or swap in per-cluster
+    // banded LSH, docs/SCALE.md); real SemDeDup runs k in the tens of
+    // thousands for the same reason.
+    val sdRows = math.min(nVec, 500000L)
+    val sdSlice = emb.filter(col("vec_id") < sdRows)
+    val sdK = math.max(8, (sdRows / 2000).toInt)
+    val sdUB = bucketStats("semdedup_cells",
+      graft.operators.Similarity.semDedupAssign(sdSlice, "vec_id", "embedding", sdK)
+        .select(col("cluster")), Seq("cluster"))
+    if (sdUB <= 1_000_000_000L)
+      time(s"semdedup_${sdRows}_k$sdK")(
+        graft.operators.Similarity.semDedup(
+          sdSlice, "vec_id", "embedding", k = sdK, tau = 0.95)
+          .filter(col("kept") === 0L).count() * 0 + sdRows)
+    else println(s"[soak] semdedup SKIPPED: ~$sdUB within-cluster pairs " +
+      "(cell stats above; raise k or use per-cluster banded LSH at this density)")
+
     spark.stop()
   }
 }

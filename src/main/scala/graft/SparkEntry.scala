@@ -1052,6 +1052,17 @@ object SparkEntry {
       graft.operators.TextAnalysis.crossDocRepeats(
         t(s, dir).documents, "doc_id", "text", n = 5)),
 
+    // --- hashed-feature linear quality classifier (the fastText
+    //     "quality model" pipeline stage, CCNet/Gopher): token -> md5
+    //     bucket -> integer weight table -> exact ppm score. Pure
+    //     expression, zero shuffle; integer-exact end to end. ---
+    "q139_hash_classifier" -> ((s, dir) =>
+      t(s, dir).documents
+        .withColumn("__q",
+          graft.operators.TextAnalysis.hashClassifierScore(col("text"), dim = 1024))
+        .select(col("doc_id"), col("__q.n_tokens").as("n_tokens"),
+          col("__q.w_sum").as("w_sum"), col("__q.score_ppm").as("score_ppm"))),
+
     // --- SemDeDup (Abbas et al. 2023): embedding-cluster semantic
     //     dedup — assignment is a zero-shuffle projection over inlined
     //     centroid literals (IVF discipline); within-cluster prune
@@ -2909,6 +2920,27 @@ object SparkEntry {
                      THEN p.n_shared * 1000000 // p.n_grams
                      ELSE 0 END AS BIGINT) AS shared_ppm
          FROM documents d LEFT JOIN per p USING (doc_id)""",
+
+    // hashed-feature classifier: identical md5 bucketing, Knuth-mix
+    // integer weights, and exact integer ppm
+    "q139_hash_classifier" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         w AS (
+           SELECT doc_id,
+                  list_transform(tk, x ->
+                    ((CAST('0x' || substring(md5(x), 1, 8) AS BIGINT) % 1024)
+                      * 2654435761) % 997) AS ws
+           FROM t)
+         SELECT doc_id,
+                CAST(len(ws) AS BIGINT) AS n_tokens,
+                CAST(COALESCE(list_sum(ws), 0) AS BIGINT) AS w_sum,
+                CAST(CASE WHEN len(ws) > 0
+                     THEN COALESCE(list_sum(ws), 0) * 1000000 // (len(ws) * 996)
+                     ELSE 0 END AS BIGINT) AS score_ppm
+         FROM w""",
 
     // SemDeDup: centroids = 8 lowest vec_ids; assignment = max-cosine
     // centroid (ties -> lowest cid); pruned iff a lower-id row in the

@@ -237,8 +237,12 @@ object Similarity {
     * join for [[cosineDupPairs]]' banded RP-LSH *within* each cluster
     * (bucket key = (cluster, band bucket)) — same tau semantics at
     * LSH recall, and the hot-cell blowup disappears. */
-  def semDedup(df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 8, tau: Double = 0.9): DataFrame = {
+  /** The assignment stage of [[semDedup]], exposed so callers (and the
+    * soak's skew-first guard) can inspect cluster sizes without paying
+    * for the within-cluster pair join: (id, __v, cluster), a pure
+    * projection over inlined centroid literals. */
+  def semDedupAssign(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
     val centroids: Array[(Long, Seq[Double])] = df
       .select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("cv"))
       .orderBy(col("cid").asc)
@@ -255,9 +259,13 @@ object Similarity {
       element_at(sort_array(array(scored: _*)), 1).getField("cent")
     }
 
-    val assigned = df
-      .select(col(idCol), asDouble(col(vecCol)).as("__v"))
+    df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
       .withColumn("cluster", bestCell(col("__v")))
+  }
+
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, tau: Double = 0.9): DataFrame = {
+    val assigned = semDedupAssign(df, idCol, vecCol, k)
     val pruned = assigned.as("a").join(assigned.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col(s"a.$idCol") < col(s"b.$idCol") &&

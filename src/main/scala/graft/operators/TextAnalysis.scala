@@ -143,6 +143,43 @@ object TextAnalysis {
           .otherwise(lit(0L)))
   }
 
+  /** Model-based quality scoring with the hashing trick — the
+    * fastText-linear-classifier SHAPE (CCNet / Gopher's "quality
+    * model" pipeline stage) as a pure expression: token → md5 feature
+    * bucket (`dim` buckets) → weight-table lookup → normalized mean.
+    * Weights here are a deterministic keyed table (Knuth-mix of the
+    * bucket id, integer range [0, 996]) so an external engine can
+    * replay the exact score; swapping in trained weights is a
+    * broadcast-join or literal-array change that doesn't alter the
+    * dataflow. Per-row only — zero shuffle at any corpus size.
+    *
+    * Everything is INTEGER-exact (the float-hazard discipline):
+    * integer weights sum exactly in any order, and the ppm output is
+    * integer division of non-negatives, so no transcendental or
+    * summation-order divergence can split engines. md5 (not xxhash)
+    * for the same portability reason as [[docFingerprint]].
+    *
+    * Returns struct(n_tokens, w_sum, score_ppm) with score_ppm in
+    * [0, 1e6]. */
+  def hashClassifierScore(text: Column, dim: Int = 1024): Column = {
+    val toks = tokens(text)
+    val wInts = transform(toks, t => {
+      val b = pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(dim))
+      pmod(b * lit(2654435761L), lit(997L))
+    })
+    val n = size(toks).cast("long")
+    val wSum = aggregate(wInts, lit(0L), (acc, w) => acc + w)
+    // exact integer division: subtract the remainder first, so the
+    // double division is of an exactly-divisible pair (quotient<=1e6)
+    val num = wSum * lit(1000000L)
+    val den = n * lit(996L)
+    struct(
+      n.as("n_tokens"),
+      wSum.as("w_sum"),
+      when(n > 0, ((num - pmod(num, den)) / den).cast("long"))
+        .otherwise(lit(0L)).as("score_ppm"))
+  }
+
   // ---------------- fingerprinting ----------------
 
   /** Canonical-text fingerprint: md5 of lowercased, whitespace-collapsed,

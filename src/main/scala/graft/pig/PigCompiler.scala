@@ -1120,13 +1120,13 @@ object PigCompiler {
     case PMapGet(b, k) => compileExpr(df, b).getItem(k)
     case PBin(op, l, r) =>
       val (lc, rc) = (compileExpr(df, l), compileExpr(df, r))
-      if (bigSensitive(op))
-        binOpT(op, lc, rc, isBigCol(df, lc), isBigCol(df, rc))
+      if (bigSensitive(op) && (maybeBig(df, l) || maybeBig(df, r)))
+        binOpT(op, lc, rc, maybeBig(df, l), maybeBig(df, r))
       else binOp(op, lc, rc)
     case PNot(x) => !compileExpr(df, x)
     case PNeg(x) =>
       val c = compileExpr(df, x)
-      if (isBigCol(df, c)) BigNum.neg(c) else -c
+      if (maybeBig(df, x)) BigNum.neg(c) else -c
     case PIsNull(x, neg) =>
       val c = compileExpr(df, x); if (neg) c.isNotNull else c.isNull
     case PMatches(x, re) => PigFunctions.matchesFull(compileExpr(df, x), re)
@@ -1152,6 +1152,29 @@ object PigCompiler {
 
   private def isBigCol(df: DataFrame, c: Column): Boolean =
     BigNum.isBig(dtypeOf(df, c))
+
+  /** Structural "is this expression bignum-typed" — O(1) against the
+    * CACHED schema for the common shapes (field refs, casts, literals,
+    * arith), so the dispatch never re-analyzes a plan per binop. A
+    * false NEGATIVE on a comparison is still correct (struct equality/
+    * ordering is numeric by construction of the sort key); only the
+    * dtypeOf fallback shapes (nested field access) pay an analysis. */
+  private def maybeBig(df: DataFrame, e: PExpr): Boolean = e match {
+    case PBigLit(_) => true
+    case PCast(t, _) => t == "biginteger" || t == "bigdecimal"
+    case PCol(n) => BigNum.isBig(df.schema(resolvedName(df, n)).dataType)
+    case PPos(i) =>
+      i < df.columns.length && BigNum.isBig(df.schema(i).dataType)
+    case PBin(op, l, r) if Set("+", "-", "*", "/", "%")(op) =>
+      maybeBig(df, l) || maybeBig(df, r)
+    case PNeg(x) => maybeBig(df, x)
+    case PTernary(_, t, f) => maybeBig(df, t) || maybeBig(df, f)
+    case PCaseWhen(_, brs, els) =>
+      brs.exists(b => maybeBig(df, b._2)) || els.exists(maybeBig(df, _))
+    case PDot(_, _) | PMapGet(_, _) =>
+      BigNum.isBig(dtypeOf(df, compileExpr(df, e)))
+    case _ => false
+  }
 
   /** Arithmetic/comparison with bignum promotion: if either side is a
     * bignum struct, lift the other and run the exact kernels;

@@ -30,11 +30,18 @@ object BigNumOps {
   private def canon(b: JBD): UTF8String =
     UTF8String.fromString(b.stripTrailingZeros.toPlainString)
 
-  def normalize(s: UTF8String): UTF8String = canon(parse(s))
+  /** Cast entry points are LENIENT: unparseable input → null, matching
+    * Pig's cast-failure-warns-and-nulls semantics — a malformed row in
+    * a 100 TB scan must not kill the job. Arithmetic stays strict: its
+    * operands are canonical by construction, so a parse failure there
+    * is a bug worth surfacing. */
+  def normalize(s: UTF8String): UTF8String =
+    try canon(parse(s)) catch { case _: NumberFormatException => null }
 
   /** Truncate toward zero — Pig's (biginteger) cast semantics. */
   def trunc(s: UTF8String): UTF8String =
-    canon(parse(s).setScale(0, RoundingMode.DOWN))
+    try canon(parse(s).setScale(0, RoundingMode.DOWN))
+    catch { case _: NumberFormatException => null }
 
   def add(a: UTF8String, b: UTF8String): UTF8String = canon(parse(a).add(parse(b)))
   def sub(a: UTF8String, b: UTF8String): UTF8String = canon(parse(a).subtract(parse(b)))
@@ -92,11 +99,15 @@ object BigNumOps {
 case class BigNumNorm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "bignum"
+  // lenient cast: unparseable -> null even when the input is non-null
+  override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any =
     BigNumOps.normalize(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
-    defineCodeGen(ctx, ev, c => s"graft.plans.BigNumOps.normalize($c)")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.plans.BigNumOps.normalize($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
   override protected def withNewChildInternal(newChild: Expression): BigNumNorm =
     copy(child = newChild)
 }
@@ -105,11 +116,15 @@ case class BigNumNorm(child: Expression) extends UnaryExpression {
 case class BigNumTrunc(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "bignum_trunc"
+  // lenient cast: unparseable -> null even when the input is non-null
+  override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any =
     BigNumOps.trunc(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
-    defineCodeGen(ctx, ev, c => s"graft.plans.BigNumOps.trunc($c)")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.plans.BigNumOps.trunc($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
   override protected def withNewChildInternal(newChild: Expression): BigNumTrunc =
     copy(child = newChild)
 }

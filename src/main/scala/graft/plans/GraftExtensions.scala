@@ -23,6 +23,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   minhash_sig(hashes, k)    — k-permutation MinHash signature
   *   simhash64(text)           — 64-bit SimHash fingerprint
   *   rp_lsh_bucket(vec, p)     — random-hyperplane LSH bucket id
+  *   rep_stats(text, n)        — Gopher repetition stats (8 longs)
+  *   bignum(s)                 — canonical arbitrary-precision string
+  *   bignum_sort_key(s)        — order-preserving bignum sort key
+  *   bignum_add / bignum_mul   — exact arbitrary-precision arithmetic
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -76,6 +80,26 @@ object GraftExtensions {
     ("rp_lsh_bucket", "rp_lsh_bucket(vec, planes) - random-hyperplane LSH bucket id", {
       case Seq(v, p) => RpLshBucket(v, intArg(p, "rp_lsh_bucket"))
       case args => throw new IllegalArgumentException(s"rp_lsh_bucket needs 2 args, got ${args.length}")
+    }: Seq[Expression] => Expression),
+    ("rep_stats", "rep_stats(text, n) - Gopher repetition stats (8 longs)", {
+      case Seq(t, n) => RepStats(t, intArg(n, "rep_stats"))
+      case args => throw new IllegalArgumentException(s"rep_stats needs 2 args, got ${args.length}")
+    }: Seq[Expression] => Expression),
+    ("bignum", "bignum(s) - canonical arbitrary-precision decimal string", {
+      case Seq(s) => BigNumNorm(s)
+      case args => throw new IllegalArgumentException(s"bignum needs 1 arg, got ${args.length}")
+    }: Seq[Expression] => Expression),
+    ("bignum_sort_key", "bignum_sort_key(s) - order-preserving key of a bignum string", {
+      case Seq(s) => BigNumSortKey(s)
+      case args => throw new IllegalArgumentException(s"bignum_sort_key needs 1 arg, got ${args.length}")
+    }: Seq[Expression] => Expression),
+    ("bignum_add", "bignum_add(a, b) - exact arbitrary-precision sum", {
+      case Seq(a, b) => BigNumBin("+", a, b)
+      case args => throw new IllegalArgumentException(s"bignum_add needs 2 args, got ${args.length}")
+    }: Seq[Expression] => Expression),
+    ("bignum_mul", "bignum_mul(a, b) - exact arbitrary-precision product", {
+      case Seq(a, b) => BigNumBin("*", a, b)
+      case args => throw new IllegalArgumentException(s"bignum_mul needs 2 args, got ${args.length}")
     }: Seq[Expression] => Expression))
 
   /** Register into a LIVE session's function registry — usable when the

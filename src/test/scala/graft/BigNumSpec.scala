@@ -146,6 +146,20 @@ class BigNumSpec extends SparkSpec {
     }
   }
 
+  test("cast leniency: unparseable input nulls (Pig cast-failure semantics), never throws") {
+    // a malformed row in a 100 TB scan must not kill the job
+    assert(BigNumOps.normalize(u("not a number")) == null)
+    assert(BigNumOps.trunc(u("12.3.4")) == null)
+    val script =
+      """D = LOAD '$DIR/documents.parquet' USING parquet;
+        |P = FOREACH D GENERATE doc_id, (biginteger)text AS bad;
+        |F = FILTER P BY doc_id < 3;
+        |""".stripMargin
+    val rows = graft.pig.PigScript.query(spark, script, Map("DIR" -> sf))
+      .as[(Long, String)].collect()
+    assert(rows.length == 3 && rows.forall(_._2 == null))
+  }
+
   test("pig front end: bignum compares promote the other side; bigdecimal division") {
     val script =
       """L = LOAD '$DIR/lineitem.parquet' USING parquet;

@@ -423,6 +423,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0L)))
   }
 
+  test("hashClassifierScore: integer-exact, bounded, and linear in token multiset") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha alpha alpha"), // w_sum must be 3 x the single-token weight
+      (3L, "alpha"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        graft.operators.TextAnalysis.hashClassifierScore($"text").as("q"))
+      .select($"doc_id", $"q.n_tokens", $"q.w_sum", $"q.score_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(4L) == ((0L, 0L, 0L)))
+    assert(out(2L)._2 == 3L * out(3L)._2, "weights are a pure function of the token")
+    out.values.foreach { case (n, ws, ppm) =>
+      assert(ppm >= 0L && ppm <= 1000000L)
+      assert(ws >= 0L && ws <= n * 996L)
+      if (n > 0) assert(ppm == ws * 1000000L / (n * 996L))
+    }
+  }
+
   test("semDedup: planted clones pruned, sources and singletons kept, clusters consistent") {
     // one-hot vectors: every cross-pair cosine is EXACTLY 0, so the
     // only >=tau pairs are the planted identical clones — no natural

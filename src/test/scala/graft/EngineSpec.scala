@@ -53,6 +53,16 @@ class EngineSpec extends SparkSpec {
     val viaSql = tables.documents.limit(50)
       .selectExpr("lang_id(text) AS l")
     assert(viaCol.collect().toSeq == viaSql.collect().toSeq)
+    // round 6: repetition kernel and bignum kernels from plain SQL
+    val rep = spark.sql("SELECT rep_stats('x y\ny x\nx y', 2) AS r")
+      .selectExpr("r[4]", "r[5]").as[(Long, Long)].head()
+    assert(rep == ((3L, 2L))) // 3 lines, 2 distinct
+    val big = spark.sql(
+      "SELECT bignum_mul('123456789012345678901234567890', '10') AS p").as[String].head()
+    assert(big == "1234567890123456789012345678900")
+    val keysOrdered = spark.sql(
+      "SELECT bignum_sort_key('-2') < bignum_sort_key('-1.5') AS o").as[Boolean].head()
+    assert(keysOrdered)
   }
 
   test("GraftSession.sql queries registered aliases (PigServer entry point)") {
