@@ -70,15 +70,21 @@ object BigNum {
   def neg(c: Column): Column = sub(big(lit(0)), c)
 
   /** Exact sum — Algebraic protocol (partial strings merge
-    * associatively; result independent of partition count). */
+    * associatively; result independent of partition count). The empty
+    * buffer "" means "no non-null input yet": SUM of an all-null (or
+    * empty) group is null, the Pig/SQL convention — not 0. */
   object SumAgg extends Aggregator[String, String, String] {
     private def jbd(s: String) = new java.math.BigDecimal(s)
-    def zero: String = "0"
+    def zero: String = ""
     def reduce(b: String, a: String): String =
-      if (a == null) b else jbd(b).add(jbd(a)).stripTrailingZeros.toPlainString
+      if (a == null) b
+      else if (b.isEmpty) jbd(a).stripTrailingZeros.toPlainString
+      else jbd(b).add(jbd(a)).stripTrailingZeros.toPlainString
     def merge(a: String, b: String): String =
-      jbd(a).add(jbd(b)).stripTrailingZeros.toPlainString
-    def finish(r: String): String = r
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else jbd(a).add(jbd(b)).stripTrailingZeros.toPlainString
+    def finish(r: String): String = if (r.isEmpty) null else r
     def bufferEncoder: Encoder[String] = Encoders.STRING
     def outputEncoder: Encoder[String] = Encoders.STRING
   }

@@ -860,12 +860,12 @@ object PigCompiler {
           val (outName, tpe) =
             if (asNames.nonEmpty) asNames(j) else (nm, None)
           val c = col(gk)
-          tpe.map(castPigType(c, _)).getOrElse(c).as(outName)
+          tpe.map(castPigType(c, _, Some(dtypeOf(agged, c)))).getOrElse(c).as(outName)
         }
       } else {
         val c = post(it.expr)
         val (outName, tpe) = asNames.headOption.getOrElse((defaultName(it.expr, i), None))
-        Seq(tpe.map(castPigType(c, _)).getOrElse(c).as(outName))
+        Seq(tpe.map(castPigType(c, _, Some(dtypeOf(agged, c)))).getOrElse(c).as(outName))
       }
     }
     agged.select(outCols: _*)
@@ -1038,7 +1038,9 @@ object PigCompiler {
     val out = slots.flatMap { case (s, _) =>
       val c = col(s.tmp)
       val as = s.item.asNames
-      def cast1(c: Column, t: Option[String]) = t.map(castPigType(c, _)).getOrElse(c)
+      // dt rides along so bignum inputs unwrap before a scalar cast
+      def cast1(c: Column, t: Option[String], dt: DataType) =
+        t.map(castPigType(c, _, Some(dt))).getOrElse(c)
       s.item match {
         case GenItem(PStar, false, _) =>
           starCols.map(n => c.getField(n).as(n)).toSeq
@@ -1048,20 +1050,20 @@ object PigCompiler {
             case dt => dt
           }
           innerDt match {
-            case st: StructType =>
+            case st: StructType if !graft.functions.BigNum.isBig(st) =>
               require(as.isEmpty || as.length == st.fields.length,
                 s"FLATTEN AS arity ${as.length} != ${st.fields.length} fields")
               st.fields.zipWithIndex.map { case (f, j) =>
                 val (nm, t) = if (as.nonEmpty) as(j) else (f.name.split("::").last, None)
-                cast1(c.getField(f.name), t).as(nm)
+                cast1(c.getField(f.name), t, f.dataType).as(nm)
               }.toSeq
-            case _ =>
+            case other =>
               val (nm, t) = as.headOption.getOrElse((flatName(e), None))
-              Seq(cast1(c, t).as(nm))
+              Seq(cast1(c, t, other).as(nm))
           }
         case GenItem(e, false, _) =>
           val (nm, t) = as.headOption.getOrElse((defaultName(e, slots.indexWhere(_._1 eq s)), None))
-          Seq(cast1(c, t).as(nm))
+          Seq(cast1(c, t, s.dt).as(nm))
       }
     }
     df.select(out: _*)

@@ -160,6 +160,37 @@ class BigNumSpec extends SparkSpec {
     assert(rows.length == 3 && rows.forall(_._2 == null))
   }
 
+  test("SUM of an all-null bignum group is null (Pig/SQL convention), not 0") {
+    val df = Seq((1L, Some("5")), (1L, None), (2L, None), (2L, None))
+      .toDF("k", "v")
+      .select($"k", when($"v".isNotNull, BigNum.big($"v")).as("b"))
+    val out = df.groupBy($"k").agg(BigNum.str(BigNum.sumBig($"b")).as("s"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(1L).contains("5"))
+    assert(out(2L).isEmpty)
+  }
+
+  test("AS-clause casts unwrap bignums in row and aggregate FOREACH outputs") {
+    val script =
+      """L = LOAD '$DIR/lineitem.parquet' USING parquet;
+        |P = FOREACH L GENERATE l_returnflag,
+        |      (biginteger)l_orderkey * 1000000000000000BI AS amt;
+        |R = FOREACH P GENERATE l_returnflag, amt AS s1:chararray,
+        |      FLATTEN(amt) AS s2:chararray;
+        |G = GROUP P BY l_returnflag;
+        |S = FOREACH G GENERATE group AS flag, SUM(P.amt) AS tot:chararray;
+        |""".stripMargin
+    val r = graft.pig.PigScript.run(spark, script, Map("DIR" -> sf))
+    // row-path casts: canonical decimal text, not struct renderings
+    val row = r("R").select("s1", "s2").as[(String, String)].head()
+    assert(row._1 == row._2 && row._1.matches("\\d+"), row.toString)
+    assert(new java.math.BigDecimal(row._1).precision >= 16) // carries the 1e15 scale
+    val sOut = r("S").schema("tot").dataType
+    assert(sOut == org.apache.spark.sql.types.StringType)
+    val tot = r("S").select("tot").as[String].head()
+    assert(tot.matches("\\d+") && new java.math.BigDecimal(tot).precision > 18)
+  }
+
   test("pig front end: bignum compares promote the other side; bigdecimal division") {
     val script =
       """L = LOAD '$DIR/lineitem.parquet' USING parquet;
