@@ -1063,6 +1063,22 @@ object SparkEntry {
         .select(col("doc_id"), col("__q.n_tokens").as("n_tokens"),
           col("__q.w_sum").as("w_sum"), col("__q.score_ppm").as("score_ppm"))),
 
+    // --- BPE tokenizer-training inner loop (Sennrich et al. 2016):
+    //     corpus-weighted char-pair frequencies over the token
+    //     vocabulary; both shuffles are vocab-sized, the top-k is
+    //     TakeOrdered with a total (count desc, pair) order. ---
+    "q140_bpe_pairs" -> ((s, dir) =>
+      graft.operators.TextAnalysis.bpePairCounts(
+        t(s, dir).documents, "text", topK = 20)),
+
+    // --- bounded inverted index: per term, doc frequency + first-k
+    //     postings via the BoundedConcat Aggregator — a stop-word in
+    //     every doc costs k strings of state, never a corpus-sized
+    //     collect_list. ---
+    "q141_inverted_index" -> ((s, dir) =>
+      graft.operators.TextAnalysis.invertedIndex(
+        t(s, dir).documents, "doc_id", "text", k = 5)),
+
     // --- SemDeDup (Abbas et al. 2023): embedding-cluster semantic
     //     dedup — assignment is a zero-shuffle projection over inlined
     //     centroid literals (IVF discipline); within-cluster prune
@@ -2941,6 +2957,41 @@ object SparkEntry {
                      THEN COALESCE(list_sum(ws), 0) * 1000000 // (len(ws) * 996)
                      ELSE 0 END AS BIGINT) AS score_ppm
          FROM w""",
+
+    // BPE pair counts: same tokenization, 1-based substr, and the
+    // total (count desc, pair) order makes LIMIT deterministic
+    "q140_bpe_pairs" ->
+      """WITH v AS (
+           SELECT tok, COUNT(*) AS freq FROM (
+             SELECT unnest(list_filter(
+               string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+             FROM documents) GROUP BY tok),
+         p AS (
+           SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count FROM (
+             SELECT freq, unnest(list_transform(range(1, length(tok)),
+               i -> substr(tok, i, 2))) AS pair
+             FROM v WHERE length(tok) >= 2) GROUP BY pair)
+         SELECT pair, pair_count FROM p
+         ORDER BY pair_count DESC, pair LIMIT 20""",
+
+    // inverted index: distinct terms per doc, df over all postings,
+    // postings = the 5 lowest ids (zero-padded; lexical == numeric)
+    "q141_inverted_index" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(list_distinct(list_filter(
+             string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS term
+           FROM documents),
+         r AS (
+           SELECT term, lpad(CAST(doc_id AS VARCHAR), 10, '0') AS pid,
+                  ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+           FROM t),
+         agg AS (
+           SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM t GROUP BY term),
+         post AS (
+           SELECT term, string_agg(pid, ',' ORDER BY pid) AS postings
+           FROM r WHERE rn <= 5 GROUP BY term)
+         SELECT a.term, a.doc_freq, p.postings
+         FROM agg a JOIN post p USING (term)""",
 
     // SemDeDup: centroids = 8 lowest vec_ids; assignment = max-cosine
     // centroid (ties -> lowest cid); pruned iff a lower-id row in the

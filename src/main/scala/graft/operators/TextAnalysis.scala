@@ -180,6 +180,51 @@ object TextAnalysis {
         .otherwise(lit(0L)).as("score_ppm"))
   }
 
+  /** The inner loop of BPE tokenizer training (Sennrich et al. 2016):
+    * corpus-weighted character-pair frequencies. Dataflow: token
+    * vocabulary with frequencies (one shuffle, partial-agg — the
+    * vocabulary is tiny next to the corpus), char bigrams per DISTINCT
+    * token (per-row expression over the vocab, not the corpus), pair
+    * counts weighted by word frequency (second shuffle over the vocab
+    * -sized gram set), top-k by (count desc, pair asc) —
+    * TakeOrdered, never a global sort. A full BPE trainer iterates
+    * this with a merge step; each iteration is this same job shape. */
+  def bpePairCounts(docs: DataFrame, textCol: String, topK: Int = 20): DataFrame = {
+    val vocab = docs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    vocab
+      .filter(length(col("tok")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair").asc)
+      .limit(topK)
+  }
+
+  /** Bounded inverted index: per term, document frequency plus the
+    * first `k` postings (lowest doc ids, zero-padded so lexical order
+    * IS numeric order). The postings list is a bounded-state
+    * Aggregator ([[graft.functions.Aggregators.BoundedConcat]] — O(k)
+    * per group at any corpus size), NOT collect_list: a stop-word
+    * appearing in every doc costs k strings of state, not the corpus.
+    * Distinct terms per doc come from the native kernel. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    val terms = docs.select(col(idCol),
+      explode(graft.plans.TextExpressions.ngramStrings(col(textCol), 1)).as("term"))
+    val bounded = udf_boundedConcat(k)
+    terms
+      .select(col("term"), lpad(col(idCol).cast("string"), 10, "0").as("pid"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("doc_freq"), bounded(col("pid")).as("postings"))
+  }
+
+  private def udf_boundedConcat(k: Int) =
+    org.apache.spark.sql.functions.udaf(
+      new graft.functions.Aggregators.BoundedConcat(k, ","))
+
   // ---------------- fingerprinting ----------------
 
   /** Canonical-text fingerprint: md5 of lowercased, whitespace-collapsed,

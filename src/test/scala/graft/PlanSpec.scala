@@ -119,6 +119,19 @@ class PlanSpec extends SparkSpec {
     assert(!tree.contains("CartesianProduct"), tree.take(3000))
   }
 
+  test("q140: BPE top-k is TakeOrdered, never a global sort") {
+    val tree = SparkEntry.queries("q140_bpe_pairs")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(tree.contains("TakeOrderedAndProject"), tree.take(2000))
+    assert(!tree.contains("rangepartitioning"), "no global range sort")
+  }
+
+  test("q141: inverted-index postings are bounded state, not collect_list") {
+    val tree = SparkEntry.queries("q141_inverted_index")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!tree.toLowerCase.contains("collect_list"), tree.take(2000))
+  }
+
   test("every oracle key has a query; names are well-formed") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
