@@ -25,7 +25,15 @@ final class GraftSession(val spark: SparkSession) {
   def aliases: Seq[String] = env.keys.toSeq
 
   /** DESCRIBE — schema of the alias. */
-  def describe(alias: String): String = apply(alias).schema.treeString
+  def describe(alias: String): String = {
+    // render the bignum struct rep by its Pig type name — users see
+    // `biginteger`, not the internal {sort_key, text} carrier
+    val tree = apply(alias).schema.treeString
+    tree.replace(
+      "struct (nullable = true)\n |    |-- __bn_k: string (nullable = true)\n" +
+        " |    |-- __bn_s: string (nullable = true)",
+      "biginteger (nullable = true)")
+  }
 
   /** EXPLAIN — formatted physical plan (Catalyst's, richer than the
     * reference's logical/physical/MR dump). */

@@ -160,6 +160,15 @@ class BigNumSpec extends SparkSpec {
     assert(rows.length == 3 && rows.forall(_._2 == null))
   }
 
+  test("DESCRIBE renders bignum columns as biginteger, not the carrier struct") {
+    val gs = new graft.core.GraftSession(spark)
+    val df = Seq("12").toDF("v").select(BigNum.big($"v").as("amt"))
+    gs.register("B", df)
+    val d = gs.describe("B")
+    assert(d.contains("amt: biginteger"), d)
+    assert(!d.contains("__bn_k"), d)
+  }
+
   test("SUM of an all-null bignum group is null (Pig/SQL convention), not 0") {
     val df = Seq((1L, Some("5")), (1L, None), (2L, None), (2L, None))
       .toDF("k", "v")
