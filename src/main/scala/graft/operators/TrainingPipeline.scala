@@ -31,7 +31,13 @@ object TrainingPipeline {
   final case class Config(
       keepLangs: Set[String] = Set("en", "und"),
       minQuality: Double = 0.5,
-      fuzzyThreshold: Double = 0.8)
+      fuzzyThreshold: Double = 0.8,
+      // round-6 gates: Gopher repetition thresholds (permissive
+      // defaults — refuse only the degenerate tail) and the hashed
+      // -feature classifier floor (0 = gate off)
+      maxDupNgramFrac: Double = 0.9,
+      maxTopNgramCharFrac: Double = 0.6,
+      minClassifierPpm: Long = 0L)
 
   /** Deterministic stratified sample at scale: exactly `n` docs per
     * stratum, keyed by md5(id) so every engine/partitioning picks the
@@ -104,6 +110,15 @@ object TrainingPipeline {
     val filtered = annotated
       .filter(col("lang_pred").isin(cfg.keepLangs.toSeq.map(x => x: Any): _*))
       .filter(col("quality") >= cfg.minQuality)
+      // Gopher repetition + classifier gates (round 6): still pure
+      // per-row expressions, so the whole filter stack is one
+      // scan-resident stage before any shuffle
+      .withColumn("__rep", TextAnalysis.repetitionFeatures(col(textCol), 2))
+      .filter(col("__rep.dup_ngram_frac") <= cfg.maxDupNgramFrac &&
+        col("__rep.top_ngram_char_frac") <= cfg.maxTopNgramCharFrac)
+      .withColumn("__cls", TextAnalysis.hashClassifierScore(col(textCol)))
+      .filter(col("__cls.score_ppm") >= cfg.minClassifierPpm)
+      .drop("__rep", "__cls")
 
     // exact dedup on the canonical fingerprint: deterministic winner
     val exactWinners = filtered

@@ -6,6 +6,24 @@ import graft.operators.TrainingPipeline
 class TrainingPipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("curate round-6 gates: repetition-degenerate docs pruned when tightened") {
+    val good = "the data engine sorts and merges the large table rows and " +
+      "joins the filtered partitions for every query in the batch window today"
+    val loop = ("spam ham " * 40).trim // dup_2gram_frac ~ 1: degenerate repetition
+    val docs = Seq((1L, good), (2L, loop)).toDF("doc_id", "text")
+    val strict = TrainingPipeline.curate(docs, "doc_id", "text",
+      TrainingPipeline.Config(minQuality = 0.0, keepLangs = Set("en", "und", "de"),
+        maxDupNgramFrac = 0.8))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!strict.contains(2L), s"repetitive doc must be gated, kept=$strict")
+    assert(strict.contains(1L))
+    val loose = TrainingPipeline.curate(docs, "doc_id", "text",
+      TrainingPipeline.Config(minQuality = 0.0, keepLangs = Set("en", "und", "de"),
+        maxDupNgramFrac = 1.0, maxTopNgramCharFrac = 1.0))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(loose == Set(1L, 2L), s"permissive gates keep both, kept=$loose")
+  }
+
   test("curate drops exact dups, fuzzy dups, and low-quality docs; keeps the rest") {
     val good = "the data engine sorts and merges the large table rows and " +
       "joins the filtered partitions for every query in the batch window today"
