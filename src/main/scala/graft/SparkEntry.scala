@@ -1079,6 +1079,17 @@ object SparkEntry {
       graft.operators.TextAnalysis.invertedIndex(
         t(s, dir).documents, "doc_id", "text", k = 5)),
 
+    // --- int8 embedding quantization (vector-store prep): per-vector
+    //     affine codes, zero shuffle; codes joined to a string so the
+    //     hash compare is rendering-proof. Fixed-order IEEE double
+    //     ops -> DuckDB replays codes bit-for-bit. ---
+    "q142_quantize_int8" -> ((s, dir) =>
+      t(s, dir).embeddings
+        .withColumn("__q", graft.operators.Similarity.quantizeInt8(col("embedding")))
+        .select(col("vec_id"), col("__q.mn").as("mn"), col("__q.mx").as("mx"),
+          concat_ws(",", expr("transform(__q.codes, c -> cast(c as string))"))
+            .as("codes"))),
+
     // --- SemDeDup (Abbas et al. 2023): embedding-cluster semantic
     //     dedup — assignment is a zero-shuffle projection over inlined
     //     centroid literals (IVF discipline); within-cluster prune
@@ -2992,6 +3003,22 @@ object SparkEntry {
            FROM r WHERE rn <= 5 GROUP BY term)
          SELECT a.term, a.doc_freq, p.postings
          FROM agg a JOIN post p USING (term)""",
+
+    // int8 quantization: identical fixed-order double arithmetic
+    "q142_quantize_int8" ->
+      """WITH v AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         m AS (
+           SELECT vec_id, ev,
+                  list_aggregate(ev, 'min') AS mn,
+                  list_aggregate(ev, 'max') AS mx
+           FROM v)
+         SELECT vec_id, mn, mx,
+                array_to_string(list_transform(ev, x ->
+                  CASE WHEN mx > mn
+                       THEN CAST(LEAST(CAST(floor((x - mn) * 255.0 / (mx - mn)) AS INTEGER), 255) AS VARCHAR)
+                       ELSE '0' END), ',') AS codes
+         FROM m""",
 
     // SemDeDup: centroids = 8 lowest vec_ids; assignment = max-cosine
     // centroid (ties -> lowest cid); pruned iff a lower-id row in the

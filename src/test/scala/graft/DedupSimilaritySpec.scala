@@ -397,6 +397,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rs2(4) == 2L && rs2(5) == 1L && rs2(6) == 4L)
   }
 
+  test("repStats edges: tabs/CR split tokens, unicode lengths are UTF-16 units, null-safe") {
+    // \t and \r are token separators like the TokKernel contract;
+    // lines split ONLY on \n (a \r\n line keeps a trailing token-less
+    // \r that the tokenizer strips but the line string retains)
+    val rs = Seq("a\tb\r\na\tb").toDF("t")
+      .select(graft.plans.TextExpressions.repStats($"t", 2).as("rs"))
+      .as[Seq[Long]].head()
+    assert(rs(0) == 3L) // tokens a b a b -> 3 bigrams ("a b","b a","a b")
+    assert(rs(1) == 2L)
+    assert(rs(4) == 2L) // two \n-lines
+    // BMP unicode: char counts are UTF-16 units == codepoints here
+    val rs2 = Seq("héllo wörld\nhéllo wörld").toDF("t")
+      .select(graft.plans.TextExpressions.repStats($"t", 2).as("rs"))
+      .as[Seq[Long]].head()
+    assert(rs2(5) == 1L && rs2(7) == 22L) // dup line, 11 chars each
+    // null text -> null stats (expression is null-safe)
+    val n = Seq((1, null: String)).toDF("i", "t")
+      .select(graft.plans.TextExpressions.repStats($"t", 2).as("rs"))
+      .filter($"rs".isNull).count()
+    assert(n == 1L)
+  }
+
   test("repetitionFeatures fractions agree with raw repStats") {
     val f = graft.operators.TextAnalysis.repetitionFeatures($"t", 2)
     val row = Seq("aa bb\naa bb\ncc").toDF("t").select(f.as("f"))
@@ -421,6 +443,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(2L) == ((2L, 1L, 500000L)))
     assert(out(3L) == ((2L, 0L, 0L)))
     assert(out(4L) == ((0L, 0L, 0L)))
+  }
+
+  test("quantizeInt8: codes bounded, round-trip error <= range/255, constant vectors zero") {
+    val vecs = Seq(
+      (1L, Array(-0.5f, 0.25f, 0.75f, 0.0f)),
+      (2L, Array(3.0f, 3.0f, 3.0f, 3.0f)), // constant: mx == mn
+      (3L, Array(1e-6f, -1e-6f, 0.0f, 5e-7f))
+    ).toDF("vec_id", "embedding")
+    val out = vecs
+      .withColumn("q", Similarity.quantizeInt8($"embedding"))
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"),
+        $"q.codes".as("codes"), Similarity.dequantizeInt8($"q").as("vhat"),
+        ($"q.mx" - $"q.mn").as("range"))
+      .as[(Long, Seq[Double], Seq[Int], Seq[Double], Double)].collect()
+    out.foreach { case (id, v, codes, vhat, range) =>
+      assert(codes.forall(c => c >= 0 && c <= 255), s"id=$id codes=$codes")
+      v.zip(vhat).foreach { case (x, xh) =>
+        assert(math.abs(x - xh) <= range / 255.0 + 1e-12, s"id=$id $x vs $xh")
+      }
+      if (id == 2L) assert(codes.forall(_ == 0) && vhat.forall(_ == 3.0))
+    }
   }
 
   test("hashClassifierScore: integer-exact, bounded, and linear in token multiset") {
