@@ -200,6 +200,36 @@ object Engine {
   def packMedia(df: DataFrame, srcCol: String, mime: String): DataFrame =
     Multimodal.packMedia(df, srcCol, mime)
 
+  // round-6 surface: semantic dedup, repetition/classifier quality
+  // signals, cross-doc repeats, tokenizer induction, index + codes
+
+  def dedupSemantic(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, tau: Double = 0.9): DataFrame =
+    Similarity.semDedup(df, idCol, vecCol, k, tau)
+
+  def repetitionSignals(df: DataFrame, textCol: String, n: Int = 2,
+      as: String = "repetition"): DataFrame =
+    df.withColumn(as, TextAnalysis.repetitionFeatures(col(textCol), n))
+
+  def classifierScore(df: DataFrame, textCol: String,
+      as: String = "cls"): DataFrame =
+    df.withColumn(as, TextAnalysis.hashClassifierScore(col(textCol)))
+
+  def crossDocRepeats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame =
+    TextAnalysis.crossDocRepeats(df, idCol, textCol, n)
+
+  def bpePairCounts(df: DataFrame, textCol: String, topK: Int = 20): DataFrame =
+    TextAnalysis.bpePairCounts(df, textCol, topK)
+
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame =
+    TextAnalysis.invertedIndex(df, idCol, textCol, k)
+
+  def quantizeEmbeddings(df: DataFrame, vecCol: String,
+      as: String = "q8"): DataFrame =
+    df.withColumn(as, Similarity.quantizeInt8(col(vecCol)))
+
   /** One-call training-data curation: language/quality filter -> exact
     * dedup -> fuzzy dedup clusters -> token annotations. */
   def curate(df: DataFrame, idCol: String, textCol: String,
