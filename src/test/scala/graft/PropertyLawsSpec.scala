@@ -221,4 +221,33 @@ class PropertyLawsSpec extends SparkSpec {
     assert(Dedup.incrementalNew(batch, all, "fp", expectedSeen = 10L)
       .count() == 0)
   }
+
+  test("quantizeInt8 laws on random vectors: bounds, error, monotone codes") {
+    // ONE distributed pass over generated vectors (mixed magnitudes,
+    // negatives, near-ties), laws checked row-wise against plain math
+    val vecs = (0 until 300).map { i =>
+      val dim = 2 + rnd.nextInt(24)
+      val scale = math.pow(10, rnd.nextInt(7) - 3)
+      (i.toLong, Array.fill(dim)(((rnd.nextDouble() - 0.5) * scale).toFloat))
+    }
+    val out = vecs.toDF("id", "v")
+      .withColumn("q", graft.operators.Similarity.quantizeInt8($"v"))
+      .select($"id", $"v".cast("array<double>").as("v"),
+        $"q.codes".as("codes"), graft.operators.Similarity.dequantizeInt8($"q").as("vhat"),
+        ($"q.mx" - $"q.mn").as("range"))
+      .as[(Long, Seq[Double], Seq[Int], Seq[Double], Double)].collect()
+    assert(out.length == 300)
+    out.foreach { case (id, v, codes, vhat, range) =>
+      assert(codes.forall(c => c >= 0 && c <= 255), s"id=$id")
+      v.zip(vhat).foreach { case (x, xh) =>
+        assert(math.abs(x - xh) <= range / 255.0 * (1 + 1e-9) + 1e-300,
+          s"id=$id err ${math.abs(x - xh)} > ${range / 255.0}")
+      }
+      // codes are monotone in the value: sort by value, codes follow
+      val byVal = v.zip(codes).sortBy(_._1)
+      assert(byVal.map(_._2).sliding(2).forall {
+        case Seq(a, b) => a <= b; case _ => true
+      }, s"id=$id codes not monotone")
+    }
+  }
 }
