@@ -65,6 +65,23 @@ class EngineSpec extends SparkSpec {
     assert(keysOrdered)
   }
 
+  test("Engine facade round-6 surface: every delegation produces sane output") {
+    val docs = tables.documents.limit(200)
+    val embs = tables.embeddings.limit(200)
+    assert(Engine.repetitionSignals(docs, "text")
+      .select($"repetition.n_ngrams").as[Long].head() >= 0)
+    assert(Engine.classifierScore(docs, "text")
+      .select($"cls.score_ppm").as[Long].collect().forall(p => p >= 0 && p <= 1000000))
+    assert(Engine.crossDocRepeats(docs, "doc_id", "text").count() == 200)
+    assert(Engine.bpePairCounts(docs, "text", topK = 5).count() == 5)
+    val idx = Engine.invertedIndex(docs, "doc_id", "text", k = 3)
+    assert(idx.count() > 0 &&
+      idx.select(size(split($"postings", ",")) <= 3).as[Boolean].collect().forall(identity))
+    assert(Engine.dedupSemantic(embs, "vec_id", "embedding", k = 4).count() == 200)
+    assert(Engine.quantizeEmbeddings(embs, "embedding")
+      .select($"q8.codes").count() == 200)
+  }
+
   test("GraftSession.sql queries registered aliases (PigServer entry point)") {
     val gs = new GraftSession(spark)
     gs.register("r", tables.region).register("n", tables.nation)
