@@ -56,7 +56,19 @@ object Federation {
     * from Catalyst (`optimizedPlan.stats`) instead of a caller guess. */
   val DeriveSelectivity: Double = Double.NaN
 
-  sealed trait FedPlan { def label: String }
+  sealed trait FedPlan {
+    def label: String
+    // DAG nodes are identified by REFERENCE, not structure: a self-join
+    // legitimately holds two distinct FedScan(t) instances that must be
+    // priced and assigned separately — structural (case-class) equality
+    // would collapse them under distinct/Map keys and undercount the
+    // duplicated scan. Final here suppresses the case-class synthetics.
+    final override def equals(o: Any): Boolean = o match {
+      case r: AnyRef => this eq r
+      case _ => false
+    }
+    final override def hashCode: Int = System.identityHashCode(this)
+  }
   /** Leaf: scan a cataloged table. */
   final case class FedScan(table: String) extends FedPlan { def label = s"scan($table)" }
   /** Unary stage: any DataFrame pipeline (filter/project/agg/...).
@@ -145,9 +157,19 @@ object Federation {
     case FedBinary(l, r, _, _) => Seq(l, r)
   }
 
-  /** Every node of the DAG, post-order. */
-  private[fed] def nodes(p: FedPlan): Seq[FedPlan] =
-    children(p).flatMap(nodes) :+ p
+  /** Every node of the DAG, post-order, each REFERENCE once — a shared
+    * sub-DAG is computed once, so it is visited (and priced) once; the
+    * visited set also keeps the traversal linear where the naive
+    * recursion would re-walk shared subtrees exponentially. */
+  private[fed] def nodes(p: FedPlan): Seq[FedPlan] = {
+    val seen = mutable.Set.empty[FedPlan] // identity semantics (see FedPlan.equals)
+    val out = mutable.ArrayBuffer.empty[FedPlan]
+    def walk(n: FedPlan): Unit = if (seen.add(n)) {
+      children(n).foreach(walk); out += n
+    }
+    walk(p)
+    out.toSeq
+  }
 
   /** Price a COMPLETE assignment under the full cost model
     * (SURVEY §2.8; the paper's objective = intermediate-transfer
@@ -165,7 +187,7 @@ object Federation {
     val bytes = mutable.Map.empty[FedPlan, Long]
     def outBytes(p: FedPlan): Long =
       bytes.getOrElseUpdate(p, estimateBytes(p, catalog, anySession))
-    nodes(root).distinct.map { n =>
+    nodes(root).map { n =>
       val factor = clusters(assignment(n)).computeFactor
       val inBytes = n match {
         case FedScan(t) => tableBytes(anySession, catalog(t).uri)
@@ -223,7 +245,7 @@ object Federation {
     * comparison, not a production path. */
   def planExhaustive(root: FedPlan, catalog: Catalog,
       clusters: Map[String, Cluster]): Placement = {
-    val all = nodes(root).distinct
+    val all = nodes(root)
     val free = all.filter { case FedScan(_) => false; case _ => true }
     require(math.pow(clusters.size.toDouble, free.size.toDouble) <= 1e6,
       s"exhaustive search over ${free.size} nodes × ${clusters.size} clusters is too large")
@@ -240,7 +262,7 @@ object Federation {
         ids.foreach(id => rec(tail, acc + (n -> id)))
     }
     rec(free.toList, pinned)
-    val transfers = nodes(root).distinct.flatMap { n =>
+    val transfers = nodes(root).flatMap { n =>
       children(n).filter(c => best(c) != best(n))
         .map(c => (c.label, best(c), best(n)))
     }

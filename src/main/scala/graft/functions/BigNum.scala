@@ -119,13 +119,49 @@ object BigNum {
   def minBig(c: Column): Column = min(c)
   def maxBig(c: Column): Column = max(c)
 
-  /** Replace every top-level bignum struct with its canonical decimal
-    * string — what STORE/DUMP emit (Pig renders BIGINTEGER/BIGDECIMAL
-    * as their plain decimal text). */
+  /** Does this type contain a bignum carrier anywhere (top level or
+    * nested in a bag/tuple/map value)? */
+  private def containsBig(dt: DataType): Boolean = dt match {
+    case s: StructType => isBig(s) || s.fields.exists(f => containsBig(f.dataType))
+    case org.apache.spark.sql.types.ArrayType(et, _) => containsBig(et)
+    case org.apache.spark.sql.types.MapType(_, vt, _) => containsBig(vt)
+    case _ => false
+  }
+
+  /** The schema after unwrapping: carrier struct → string, recursively. */
+  private def unwrapType(dt: DataType): DataType = dt match {
+    case s: StructType if isBig(s) => StringType
+    case s: StructType =>
+      StructType(s.fields.map(f => f.copy(dataType = unwrapType(f.dataType))))
+    case a @ org.apache.spark.sql.types.ArrayType(et, _) =>
+      a.copy(elementType = unwrapType(et))
+    case m @ org.apache.spark.sql.types.MapType(_, vt, _) =>
+      m.copy(valueType = unwrapType(vt))
+    case other => other
+  }
+
+  private def unwrapCol(c: Column, dt: DataType): Column = dt match {
+    case s: StructType if isBig(s) => c.getField(sField)
+    case s: StructType if containsBig(s) =>
+      val rebuilt = struct(s.fields.map(f =>
+        unwrapCol(c.getField(f.name), f.dataType).as(f.name)).toSeq: _*)
+      when(c.isNull, lit(null).cast(unwrapType(s))).otherwise(rebuilt)
+    case org.apache.spark.sql.types.ArrayType(et, _) if containsBig(et) =>
+      transform(c, x => unwrapCol(x, et))
+    case org.apache.spark.sql.types.MapType(_, vt, _) if containsBig(vt) =>
+      transform_values(c, (_, v) => unwrapCol(v, vt))
+    case _ => c
+  }
+
+  /** Replace every bignum struct — top-level OR nested inside a
+    * bag/tuple/map (e.g. STORE of a grouped relation whose bag carries
+    * bignum fields) — with its canonical decimal string: what
+    * STORE/DUMP emit (Pig renders BIGINTEGER/BIGDECIMAL as plain
+    * decimal text). */
   def unwrapAll(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    if (!df.schema.fields.exists(f => isBig(f.dataType))) df
+    if (!df.schema.fields.exists(f => containsBig(f.dataType))) df
     else df.select(df.schema.fields.map { f =>
       val c = df.col(s"`${f.name}`")
-      if (isBig(f.dataType)) c.getField(sField).as(f.name) else c
+      if (containsBig(f.dataType)) unwrapCol(c, f.dataType).as(f.name) else c
     }.toSeq: _*)
 }

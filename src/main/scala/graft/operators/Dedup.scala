@@ -284,8 +284,16 @@ object Dedup {
     val w = (64 + blocks - 1) / blocks
     def blockVal(i: Int): Column = {
       val len = math.min(w, 64 - i * w)
-      val mask = if (len >= 64) -1L else (1L << len) - 1
-      shiftrightunsigned(col("fp"), i * w).bitwiseAND(lit(mask))
+      // blocks that don't divide 64 can leave trailing blocks empty
+      // (e.g. blocks=12 → w=6 → block 11 starts past bit 63); an empty
+      // block trivially agrees for every pair, which preserves the
+      // pigeonhole recall contract — a negative shift would instead wrap
+      // mod 64 and silently drop true near-dup pairs.
+      if (len <= 0) lit(0L)
+      else {
+        val mask = if (len >= 64) -1L else (1L << len) - 1
+        shiftrightunsigned(col("fp"), i * w).bitwiseAND(lit(mask))
+      }
     }
     val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
     combos.zipWithIndex.map { case (combo, ci) =>

@@ -169,14 +169,17 @@ object TextAnalysis {
     })
     val n = size(toks).cast("long")
     val wSum = aggregate(wInts, lit(0L), (acc, w) => acc + w)
-    // exact integer division: subtract the remainder first, so the
-    // double division is of an exactly-divisible pair (quotient<=1e6)
+    // exact integer division: subtract the remainder so the dividend is
+    // exactly divisible, then divide in DECIMAL (exact to 38 digits —
+    // a double divide would go inexact past 2^53, i.e. docs with ~9M+
+    // tokens would flake off-by-one vs an integer-division oracle)
     val num = wSum * lit(1000000L)
     val den = n * lit(996L)
     struct(
       n.as("n_tokens"),
       wSum.as("w_sum"),
-      when(n > 0, ((num - pmod(num, den)) / den).cast("long"))
+      when(n > 0,
+        ((num - pmod(num, den)).cast("decimal(38,0)") / den).cast("long"))
         .otherwise(lit(0L)).as("score_ppm"))
   }
 

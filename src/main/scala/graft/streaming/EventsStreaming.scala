@@ -120,10 +120,29 @@ object EventsStreaming {
     * streaming-state shape on the current (4.x) API. */
   def userRunningTotals(events: Dataset[Event]): Dataset[UserTotals] = {
     val spark = events.sparkSession
-    // the v2 state API runs only on the RocksDB state store provider
-    // (the production-standard one); set it before the query starts
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // The v2 state API runs only on the RocksDB state store provider
+    // (the production-standard one). The provider is read from the
+    // SESSION conf when the query starts — possibly long after this call
+    // returns — so it cannot be scoped to this query and cannot be
+    // restored here without a race. Loud contract instead of a silent
+    // clobber: set it only when the session still has the default
+    // (unset) provider; if the caller configured a DIFFERENT provider,
+    // refuse — a checkpoint written under one provider is not readable
+    // under another.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val rocks =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    // getOption would report the built-in HDFS DEFAULT as if it were
+    // set; getAll holds only explicitly-configured entries, which is
+    // the distinction that matters here.
+    spark.conf.getAll.get(provKey) match {
+      case None => spark.conf.set(provKey, rocks)
+      case Some(p) if p == rocks => // already ours
+      case Some(other) => throw new IllegalStateException(
+        s"userRunningTotals needs the RocksDB state store provider but the " +
+          s"session is pinned to $other; transformWithState cannot run on it " +
+          s"and silently switching would orphan existing checkpoints")
+    }
     import spark.implicits._
     events
       .groupByKey(_.user_id)

@@ -222,4 +222,39 @@ class BigNumSpec extends SparkSpec {
       assert(ratio == expect)
     }
   }
+
+  test("unwrapAll renders bignums nested in bags/tuples/maps, not just top level") {
+    // the STORE-of-a-grouped-relation shape: a bag of tuples each
+    // carrying a bignum, plus a tuple-nested and a map-valued bignum
+    val big = "9" * 45
+    val df = Seq((1L, big), (1L, "-" + big)).toDF("k", "v")
+      .select($"k", BigNum.big($"v").as("bn"))
+    val grouped = df.groupBy($"k").agg(
+      collect_list(struct($"bn".as("b"), lit(7).as("x"))).as("bag"),
+      BigNum.minBig($"bn").as("mn"))
+      .withColumn("tup", struct($"mn".as("inner")))
+      .withColumn("m2", map(lit("key"), BigNum.big(lit("5"))))
+      .drop("mn")
+    val out = BigNum.unwrapAll(grouped)
+    // nested carriers are gone from the schema entirely
+    def hasCarrier(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case s: org.apache.spark.sql.types.StructType =>
+        BigNum.isBig(s) || s.fields.exists(f => hasCarrier(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasCarrier(a.elementType)
+      case m: org.apache.spark.sql.types.MapType => hasCarrier(m.valueType)
+      case _ => false
+    }
+    assert(!out.schema.fields.exists(f => hasCarrier(f.dataType)))
+    val row = out.select($"bag", $"tup", $"m2").head()
+    val bagVals = row.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0)).toSet
+    assert(bagVals == Set(big, "-" + big))
+    assert(row.getStruct(1).getString(0) == "-" + big) // min inside tuple
+    assert(row.getMap[String, String](2)("key") == "5")
+    // null rows stay null after the rebuild
+    val withNull = df.limit(1)
+      .select(lit(null).cast(df.schema("bn").dataType).as("bn"))
+      .withColumn("t", when(lit(false), struct($"bn".as("b"))).otherwise(lit(null)))
+    val nrow = BigNum.unwrapAll(withNull).head()
+    assert(nrow.isNullAt(0) && nrow.isNullAt(1))
+  }
 }

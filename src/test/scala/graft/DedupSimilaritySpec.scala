@@ -56,6 +56,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs(6) == pairs(4))
   }
 
+  test("simhash block counts that don't divide 64 keep the pigeonhole contract") {
+    // blocks=12,14,15 give the last block a PAST-THE-END bit range
+    // ((blocks-1)*ceil(64/blocks) >= 64); it must degrade to an empty
+    // block that trivially agrees — a wrapped negative shift would
+    // silently drop true near-dup pairs
+    val corpus = tables.documents
+    def pairs(blocks: Int) =
+      Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3, blocks = blocks)
+        .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val reference = pairs(4) // divides 64 exactly; pigeonhole-exact
+    for (b <- Seq(12, 14, 15)) assert(pairs(b) == reference, s"blocks=$b")
+  }
+
   test("native langId kernel equals the HOF argmax formulation on the corpus") {
     val diff = tables.documents
       .select(graft.operators.TextAnalysis.langId($"text").as("native"),
