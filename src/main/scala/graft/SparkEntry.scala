@@ -1090,6 +1090,27 @@ object SparkEntry {
           concat_ws(",", expr("transform(__q.codes, c -> cast(c as string))"))
             .as("codes"))),
 
+    // --- SemDeDup past the literal-centroid ceiling: k=4096 clusters
+    //     (the paper's regime is k≈10k–50k — far past any sane plan-
+    //     literal budget), so assignment runs as a BROADCAST centroid-
+    //     table join + partial-agg argmin instead of inlined literals
+    //     (plan-asserted in PlanSpec). Fixture: each of the 500
+    //     embeddings expands to 16 exact clones (dim sliced to 16 to
+    //     keep the DuckDB oracle's 33M-cosine argmax affordable);
+    //     centroids = lowest 4096 ids. Every clone group must collapse
+    //     to its lowest id (cosine 1.0 ties broken by centroid id —
+    //     exercised 8000 times), natural cross-vector cosine ~0.5
+    //     never prunes. ---
+    "q143_semdedup_bigk" -> ((s, dir) => {
+      val e = t(s, dir).embeddings
+      val expanded = e
+        .select(col("vec_id"), slice(col("embedding"), 1, 16).as("ev"),
+          explode(sequence(lit(0), lit(15))).as("i"))
+        .select((col("vec_id") * 16 + col("i")).as("vid"), col("ev"))
+      graft.operators.Similarity.semDedup(expanded, "vid", "ev",
+        k = 4096, tau = 0.9)
+    }),
+
     // --- SemDeDup (Abbas et al. 2023): embedding-cluster semantic
     //     dedup — assignment is a zero-shuffle projection over inlined
     //     centroid literals (IVF discipline); within-cluster prune
@@ -3045,6 +3066,31 @@ object SparkEntry {
            WHERE list_cosine_similarity(va.ev, vb.ev) >= 0.9)
          SELECT asg.vec_id, CAST(asg.cluster AS BIGINT) AS cluster,
                 CAST(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
-         FROM asg LEFT JOIN pruned p ON asg.vec_id = p.vec_id"""
+         FROM asg LEFT JOIN pruned p ON asg.vec_id = p.vec_id""",
+
+    // SemDeDup at k=4096: same rule as q135 but over the 16x clone
+    // expansion (dim sliced to 16); argmax via min-of-struct (cosine
+    // desc, cid asc) — the window formulation is quadratically slower
+    // on the 33M-candidate matrix
+    "q143_semdedup_bigk" ->
+      """WITH v AS (
+           SELECT vec_id*16 + i AS vid, CAST(embedding[1:16] AS DOUBLE[]) AS ev
+           FROM embeddings, UNNEST(generate_series(0,15)) AS t(i)),
+         cent AS (SELECT vid AS cid, ev AS cv FROM v ORDER BY vid LIMIT 4096),
+         asg AS (
+           SELECT v.vid,
+                  (min(struct_pack(ns := -list_cosine_similarity(v.ev, cent.cv),
+                                   cid := cent.cid))).cid AS cluster
+           FROM v, cent GROUP BY v.vid),
+         pruned AS (
+           SELECT DISTINCT b.vid
+           FROM asg a
+           JOIN asg b ON a.cluster = b.cluster AND a.vid < b.vid
+           JOIN v va ON va.vid = a.vid
+           JOIN v vb ON vb.vid = b.vid
+           WHERE list_cosine_similarity(va.ev, vb.ev) >= 0.9)
+         SELECT asg.vid, CAST(asg.cluster AS BIGINT) AS cluster,
+                CAST(CASE WHEN p.vid IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         FROM asg LEFT JOIN pruned p ON asg.vid = p.vid"""
   )
 }

@@ -131,6 +131,47 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
   }
 
+  /** Buffer for [[ArgMinByScore]]: the single best (score, id) seen. */
+  final case class ArgMinBuf(score: Double, id: Long, set: Boolean)
+
+  /** Argmin by (score ASC, id ASC) — the k=1 selection used by centroid
+    * assignment. Why a typed Aggregator and not `min(struct(...))`:
+    * Min over a struct is a declarative aggregate with a non-mutable
+    * buffer, which Spark can only plan as SortAggregate — a full SORT
+    * of the corpus×k candidate stream. This shape runs as
+    * ObjectHashAggregate with a 17-byte state per group and map-side
+    * partial reduction, so the shuffle carries one state per (group,
+    * partition), never the candidate rows.
+    *
+    * Ordering matches the literal-inlined `sort_array` path and DuckDB
+    * struct min: NaN ranks GREATEST (a zero-norm vector's NaN cosine
+    * loses to any real score), -0.0 == 0.0, ties by id ASC. */
+  class ArgMinByScore extends Aggregator[(Double, Long), ArgMinBuf, Long] {
+    private def lt(aScore: Double, aId: Long, bScore: Double, bId: Long): Boolean = {
+      val sa = if (aScore == 0.0) 0.0 else aScore
+      val sb = if (bScore == 0.0) 0.0 else bScore
+      val aN = java.lang.Double.isNaN(sa)
+      val bN = java.lang.Double.isNaN(sb)
+      val c =
+        if (aN && bN) 0
+        else if (aN) 1
+        else if (bN) -1
+        else java.lang.Double.compare(sa, sb)
+      if (c != 0) c < 0 else aId < bId
+    }
+    def zero: ArgMinBuf = ArgMinBuf(Double.NaN, Long.MaxValue, set = false)
+    def reduce(b: ArgMinBuf, a: (Double, Long)): ArgMinBuf =
+      if (!b.set || lt(a._1, a._2, b.score, b.id)) ArgMinBuf(a._1, a._2, set = true)
+      else b
+    def merge(x: ArgMinBuf, y: ArgMinBuf): ArgMinBuf =
+      if (!x.set) y
+      else if (!y.set) x
+      else if (lt(y.score, y.id, x.score, x.id)) y else x
+    def finish(b: ArgMinBuf): Long = b.id
+    def bufferEncoder: Encoder[ArgMinBuf] = Encoders.product[ArgMinBuf]
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
   /** Register SQL-callable forms on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.udf.register("weighted_avg",

@@ -152,6 +152,128 @@ object Similarity {
     boundedTopK(scored, corpusId, k)
   }
 
+  // ------------------------------------------------------------------
+  // Centroid machinery shared by IVF and SemDeDup: literal inlining for
+  // small centroid sets, a broadcast centroid-table join past the
+  // budget, and a sampled spherical k-means fit.
+  // ------------------------------------------------------------------
+
+  /** Literal-inlining budget: centroid sets up to this many doubles
+    * (k × dim) are collected and inlined as plan literals — assignment
+    * becomes a pure per-row projection, zero joins. Past it, the plan
+    * would carry the centroid matrix as codegen'd constants (at the
+    * SemDeDup paper's k≈50k × dim 768 that is ~38M literal doubles —
+    * codegen and plan serialization break long before the data does),
+    * so assignment switches to [[assignByCentroidTable]]. */
+  val LiteralBudgetDoubles: Int = 10000
+
+  /** `size(vecCol)` from one row — a bounded metadata fetch (like the
+    * centroid collects) used only to price the literal budget. */
+  private def vecDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(asDouble(col(vecCol)))).head().getInt(0)
+
+  /** The deterministic lowest-`k`-id centroid rule as a TABLE
+    * (cid, cv) — the replayable default; a [[kMeansFit]] table drops in
+    * without changing the assignment dataflow. */
+  def centroidTable(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("cv"))
+      .orderBy(col("cid").asc).limit(k)
+
+  /** Max-cosine centroid per row against an arbitrary centroid TABLE:
+    * `broadcast(centroids)` nested-loop join (k×dim bytes shipped once
+    * per executor, never inlined in the plan) whose output is
+    * immediately projected NARROW — the corpus×k candidate stream
+    * never carries vectors.
+    *
+    * The argmin itself is the part that's easy to get catastrophically
+    * wrong in Spark: `min(struct(ns, cid))` has a non-mutable buffer
+    * and plans as SortAggregate (a full SORT of the corpus×k stream),
+    * and a typed Aggregator pays encoder deserialization per candidate
+    * row. Instead: two whole-stage-codegen'd primitive HashAggregates —
+    * pass 1 takes `min(ns)` per id; pass 2 re-scans the candidates,
+    * keeps rows whose ns EQUALS the group minimum (bit-identical — the
+    * same codegen'd expression over the same input), and takes
+    * `min(cid)`, which is exactly the literal path's (cosine desc,
+    * cid asc) tie rule. NaN cosines (zero-norm vectors) are nanvl'd to
+    * +∞ first: same ranking (NaN already sorted greatest), but `==`
+    * survives the all-NaN group that would otherwise drop out.
+    * Costs 2 candidate passes + 2 corpus-sized equi-joins; every
+    * operator is codegen'd and every aggregate buffer is primitive. */
+  def assignByCentroidTable(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val v = df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+    def ns(vc: Column): Column =
+      nanvl(-cosineFast(vc, col("cv")), lit(Double.PositiveInfinity))
+    val minNs = v.crossJoin(broadcast(centroids))
+      .select(col(idCol), ns(col("__v")).as("ns"))
+      .groupBy(col(idCol)).agg(min(col("ns")).as("__mn"))
+    val assign = v.join(minNs, Seq(idCol))
+      .crossJoin(broadcast(centroids))
+      .filter(ns(col("__v")) === col("__mn"))
+      .groupBy(col(idCol)).agg(min(col("cid")).as("cluster"))
+    v.join(assign, Seq(idCol))
+  }
+
+  /** Sampled spherical k-means centroid fit: Lloyd iterations (assign
+    * by max cosine, update = per-cluster mean) over a deterministic
+    * hash-ordered sample of ≤ `sampleN` vectors. The driver holds only
+    * the k×dim centroid matrix between iterations (inherent to
+    * k-means — MLlib's implementation carries the same state); all
+    * per-vector work is distributed: duplicate vectors pre-collapse
+    * with weights, assignment is a broadcast join + partial-agg argmin,
+    * means are a posexplode/groupBy over (cluster, dim) — vocab-sized,
+    * never corpus-sized. Empty clusters keep their previous centroid.
+    * Returns the fitted (cid, cv) table, ready for
+    * [[assignByCentroidTable]]. */
+  def kMeansFit(df: DataFrame, vecCol: String, k: Int, iters: Int = 5,
+      sampleN: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(k >= 1 && iters >= 0, s"k=$k iters=$iters")
+    val sample = df
+      .select(asDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+      .orderBy(xxhash64(col("v")).asc)
+      .limit(sampleN)
+      .groupBy(col("v")).agg(count(lit(1)).cast("double").as("w"))
+      .cache()
+    def centDf(cents: Array[Seq[Double]]): DataFrame =
+      cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
+        .toDF("cid", "cv")
+    var cents: Array[Seq[Double]] = sample
+      .orderBy(xxhash64(col("v")).asc).limit(k)
+      .collect().map(_.getSeq[Double](0))
+    for (_ <- 1 to iters) {
+      // narrow argmin assignment, same shape as assignByCentroidTable;
+      // the sample's distinct vectors are keyed by xxhash64(v) (a
+      // 64-bit collision merges two sample vectors into one weighted
+      // point — ~1e-10 at the 1e5 sample cap, harmless to a fit)
+      val keyed = sample.select(xxhash64(col("v")).as("kid"), col("v"), col("w"))
+      val best = keyed.crossJoin(broadcast(centDf(cents)))
+        .select(col("kid"), (-cosineFast(col("v"), col("cv"))).as("ns"), col("cid"))
+        .as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3))
+        .agg(new graft.functions.Aggregators.ArgMinByScore().toColumn)
+        .toDF("kid2", "cluster")
+      val means = keyed.join(best, col("kid") === col("kid2"))
+        .select(col("cluster"), col("w"), posexplode(col("v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("col") * col("w")).as("s"), sum(col("w")).as("n"))
+        .groupBy(col("cluster"))
+        .agg(sort_array(collect_list(struct(col("pos"),
+          (col("s") / col("n")).as("m")))).as("ps"))
+        .select(col("cluster"),
+          transform(col("ps"), p => p.getField("m")).as("cv"))
+        .as[(Long, Seq[Double])].collect().toMap
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        means.getOrElse(i.toLong, old)
+      }
+    }
+    sample.unpersist()
+    centDf(cents)
+  }
+
   /** IVF (inverted-file) ANN top-k — the classic two-stage scale path:
     * a small deterministic centroid set partitions the corpus into
     * cells; each query probes its `nProbe` nearest cells and scores
@@ -169,33 +291,65 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       corpusId: String, queryId: String, vecCol: String,
-      k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids: Array[(Long, Seq[Double])] = corpus
-      .select(col(corpusId).cast("long").as("cent_id"), asDouble(col(vecCol)).as("cvec"))
-      .orderBy(xxhash64(col("cent_id")).asc, col("cent_id").asc)
-      .limit(nCentroids)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      literalBudgetDoubles: Int = LiteralBudgetDoubles): DataFrame = {
+    val (assigned, probes) =
+      if (nCentroids.toLong * vecDim(corpus, vecCol) <= literalBudgetDoubles) {
+        val centroids: Array[(Long, Seq[Double])] = corpus
+          .select(col(corpusId).cast("long").as("cent_id"), asDouble(col(vecCol)).as("cvec"))
+          .orderBy(xxhash64(col("cent_id")).asc, col("cent_id").asc)
+          .limit(nCentroids)
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1)))
 
-    /** Per-row top-`m` nearest cells: a literal-built array of
-      * (−score, cent_id) structs, sorted ascending (score desc, id asc
-      * on ties — the previous window ordering), sliced to m. All of it
-      * codegen-resident; the centroid vectors are plan literals. */
-    def topCells(v: Column, m: Int): Column = {
-      val scoredCells = centroids.map { case (cid, cvec) =>
-        struct((-cosineFast(v, typedLit(cvec))).as("ns"), lit(cid).as("cent"))
+        /** Per-row top-`m` nearest cells: a literal-built array of
+          * (−score, cent_id) structs, sorted ascending (score desc, id asc
+          * on ties — the previous window ordering), sliced to m. All of it
+          * codegen-resident; the centroid vectors are plan literals. */
+        def topCells(v: Column, m: Int): Column = {
+          val scoredCells = centroids.map { case (cid, cvec) =>
+            struct((-cosineFast(v, typedLit(cvec))).as("ns"), lit(cid).as("cent"))
+          }
+          slice(sort_array(array(scoredCells: _*)), 1, m)
+        }
+
+        val a = corpus
+          .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+          .select(col(corpusId), asDouble(col(vecCol)).as("__v"))
+          .withColumn("cell", element_at(topCells(col("__v"), 1), 1).getField("cent"))
+        val p = queries
+          .select(col(queryId).as("query_id"), asDouble(col(vecCol)).as("__q"))
+          .withColumn("__pc", explode(topCells(col("__q"), nProbe)))
+          .select(col("query_id"), col("__q"), col("__pc").getField("cent").as("cell"))
+        (a, p)
+      } else {
+        // Past the literal budget: same centroid RULE as a broadcast
+        // table. Cell assignment is the shared partial-agg argmin;
+        // query probing aggregates its k candidate cells into a
+        // bounded per-query state (k structs — the centroid table the
+        // executor already holds, never corpus-sized) and keeps the
+        // best nProbe. Identical (score desc, cid asc) ordering.
+        val cents = corpus
+          .select(col(corpusId).cast("long").as("cid"), asDouble(col(vecCol)).as("cv"))
+          .orderBy(xxhash64(col("cid")).asc, col("cid").asc)
+          .limit(nCentroids)
+        val a = assignByCentroidTable(
+            corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism),
+            corpusId, vecCol, cents)
+          .withColumnRenamed("cluster", "cell")
+        val p = queries
+          .select(col(queryId).as("query_id"), asDouble(col(vecCol)).as("__q"))
+          .crossJoin(broadcast(cents))
+          .groupBy(col("query_id"))
+          .agg(first(col("__q")).as("__q"),
+            slice(sort_array(collect_list(struct(
+              (-cosineFast(col("__q"), col("cv"))).as("ns"),
+              col("cid").as("cent")))), 1, nProbe).as("__cells"))
+          .select(col("query_id"), col("__q"),
+            explode(col("__cells")).as("__pc"))
+          .select(col("query_id"), col("__q"), col("__pc").getField("cent").as("cell"))
+        (a, p)
       }
-      slice(sort_array(array(scoredCells: _*)), 1, m)
-    }
-
-    val assigned = corpus
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-      .select(col(corpusId), asDouble(col(vecCol)).as("__v"))
-      .withColumn("cell", element_at(topCells(col("__v"), 1), 1).getField("cent"))
-    val probes = queries
-      .select(col(queryId).as("query_id"), asDouble(col(vecCol)).as("__q"))
-      .withColumn("__pc", explode(topCells(col("__q"), nProbe)))
-      .select(col("query_id"), col("__q"), col("__pc").getField("cent").as("cell"))
     val scored = assigned.join(probes, Seq("cell"))
       .filter(col(corpusId) =!= col("query_id"))
       .withColumn("score", cosineFast(col("__v"), col("__q")))
@@ -253,10 +407,15 @@ object Similarity {
     * iff some lower-id row in its cluster has cosine ≥ `tau` —
     * representative = lowest id, the same keeper rule as exact dedup.
     *
-    * Scale: the centroid table (k×dim doubles) is inlined as plan
-    * literals, so assignment is a pure per-row projection — zero
-    * shuffle, the IVF discipline. The within-cluster pair join is the
-    * scale knob: one shuffle on cluster id, O(Σ cell²) compare work.
+    * Scale: up to [[LiteralBudgetDoubles]] (k×dim) the centroid table
+    * is inlined as plan literals and assignment is a pure per-row
+    * projection — zero shuffle, the IVF discipline. Past the budget
+    * (the paper's k ≈ 10k–50k clusters) assignment switches to a
+    * broadcast centroid-table join + partial-agg argmin
+    * ([[assignByCentroidTable]]) — constant-size plan, k×dim bytes per
+    * executor, one corpus-sized shuffle. The within-cluster pair join
+    * is the scale knob: one shuffle on cluster id, O(Σ cell²) compare
+    * work.
     * At 100 TB-scale cluster counts that quadratic is the bound to
     * manage: raise k so cells stay bounded, or swap the exact pair
     * join for [[cosineDupPairs]]' banded RP-LSH *within* each cluster
@@ -267,30 +426,37 @@ object Similarity {
     * for the within-cluster pair join: (id, __v, cluster), a pure
     * projection over inlined centroid literals. */
   def semDedupAssign(df: DataFrame, idCol: String, vecCol: String,
-      k: Int): DataFrame = {
-    val centroids: Array[(Long, Seq[Double])] = df
-      .select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("cv"))
-      .orderBy(col("cid").asc)
-      .limit(k)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      k: Int, literalBudgetDoubles: Int = LiteralBudgetDoubles): DataFrame =
+    if (k.toLong * vecDim(df, vecCol) <= literalBudgetDoubles) {
+      val centroids: Array[(Long, Seq[Double])] = df
+        .select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("cv"))
+        .orderBy(col("cid").asc)
+        .limit(k)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
 
-    // (−cosine, centroid id) structs sorted ascending = cosine desc,
-    // id-asc tiebreak; head = assignment. All plan literals, codegen'd.
-    def bestCell(v: Column): Column = {
-      val scored = centroids.map { case (cid, cv) =>
-        struct((-cosineFast(v, typedLit(cv))).as("ns"), lit(cid).as("cent"))
+      // (−cosine, centroid id) structs sorted ascending = cosine desc,
+      // id-asc tiebreak; head = assignment. All plan literals, codegen'd.
+      def bestCell(v: Column): Column = {
+        val scored = centroids.map { case (cid, cv) =>
+          struct((-cosineFast(v, typedLit(cv))).as("ns"), lit(cid).as("cent"))
+        }
+        element_at(sort_array(array(scored: _*)), 1).getField("cent")
       }
-      element_at(sort_array(array(scored: _*)), 1).getField("cent")
-    }
 
-    df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
-      .withColumn("cluster", bestCell(col("__v")))
-  }
+      df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+        .withColumn("cluster", bestCell(col("__v")))
+    } else
+      // paper-scale k (Abbas et al. run k ≈ 10k–50k): same lowest-id
+      // centroid rule as a broadcast TABLE + partial-agg argmin — the
+      // plan stays constant-size no matter how large k×dim grows
+      assignByCentroidTable(df, idCol, vecCol,
+        centroidTable(df, idCol, vecCol, k))
 
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 8, tau: Double = 0.9): DataFrame = {
-    val assigned = semDedupAssign(df, idCol, vecCol, k)
+      k: Int = 8, tau: Double = 0.9,
+      literalBudgetDoubles: Int = LiteralBudgetDoubles): DataFrame = {
+    val assigned = semDedupAssign(df, idCol, vecCol, k, literalBudgetDoubles)
     val pruned = assigned.as("a").join(assigned.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col(s"a.$idCol") < col(s"b.$idCol") &&

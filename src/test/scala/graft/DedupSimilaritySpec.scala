@@ -529,4 +529,61 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out2.select($"vec_id", $"cluster", $"kept").as[(Long, Long, Long)]
       .collect().toSet == rows.toSet)
   }
+
+  private def oneHot63 = {
+    val base = (0L until 60L).map { i =>
+      (i, Array.tabulate(60)(d => if (d == i) 1f else 0f))
+    }.toDF("vec_id", "embedding")
+    base.unionAll(base.filter($"vec_id" % 20 === 0)
+      .withColumn("vec_id", $"vec_id" + 1000L))
+  }
+
+  test("semDedup broadcast-centroid path equals the literal path verdict-for-verdict") {
+    // same k, two dataflows: literal inlining (budget ∞) vs broadcast
+    // table + typed argmin (budget 1). One-hot vectors make every
+    // cross cosine EXACTLY 0.0 — so this also pins the tie rule
+    // (lowest cid) and the -0.0/0.0 normalization across both paths.
+    val df = oneHot63
+    def run(budget: Int) = Similarity
+      .semDedup(df, "vec_id", "embedding", k = 4, tau = 0.9,
+        literalBudgetDoubles = budget)
+      .select($"vec_id", $"cluster", $"kept")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(run(Int.MaxValue) == run(1))
+  }
+
+  test("ivfTopK broadcast-centroid path equals the literal path") {
+    val corpus = oneHot63
+    val queries = corpus.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding")
+    def run(budget: Int) = Similarity
+      .ivfTopK(corpus, queries, "vec_id", "qid", "embedding",
+        k = 3, nCentroids = 8, nProbe = 8, literalBudgetDoubles = budget)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(run(Int.MaxValue) == run(1))
+  }
+
+  test("kMeansFit: recovers planted blobs; spherical objective non-increasing") {
+    // 3 blobs hugging axes 0/1/2 of a dim-4 space with deterministic
+    // jitter — cosine separation is unambiguous
+    val pts = (0 until 30).map { j =>
+      val blob = j % 3
+      (j.toLong, Array.tabulate(4)(d =>
+        (if (d == blob) 10f else 0f) + ((j * 7 + d * 3) % 5) * 0.1f))
+    }.toDF("id", "v")
+    def objective(cents: org.apache.spark.sql.DataFrame): Double =
+      Similarity.assignByCentroidTable(pts, "id", "v", cents)
+        .join(cents, $"cluster" === $"cid")
+        .select(sum(lit(1.0) - Similarity.cosineFast($"__v", $"cv")))
+        .as[Double].head()
+    val init = Similarity.kMeansFit(pts, "v", k = 3, iters = 0)
+    val fitted = Similarity.kMeansFit(pts, "v", k = 3, iters = 4)
+    assert(objective(fitted) <= objective(init) + 1e-9)
+    // fitted centroids separate the blobs exactly: one cluster per blob
+    val asg = Similarity.assignByCentroidTable(pts, "id", "v", fitted)
+      .select($"id", $"cluster").as[(Long, Long)].collect()
+    val byBlob = asg.groupBy(_._1 % 3).view.mapValues(_.map(_._2).toSet).toMap
+    byBlob.values.foreach(s => assert(s.size == 1, s"blob split across $s"))
+    assert(byBlob.values.flatten.toSet.size == 3, "blobs must not share a cluster")
+  }
 }

@@ -119,6 +119,28 @@ class PlanSpec extends SparkSpec {
     assert(!tree.contains("CartesianProduct"), tree.take(3000))
   }
 
+  test("q143: past the literal budget, centroid assignment is a broadcast join + hash argmin") {
+    val tree = SparkEntry.queries("q143_semdedup_bigk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // k=4096 × dim 16 >> budget: the centroid table must arrive via a
+    // broadcast join, never as a kilometer-long literal Project
+    assert(tree.contains("BroadcastNestedLoopJoin"), tree.take(3000))
+    // ... and the argmin must be primitive HashAggregates; min(struct)
+    // would plan as SortAggregate over the corpus×k candidate stream
+    assert(tree.contains("HashAggregate"), tree.take(3000))
+    assert(!tree.contains("SortAggregate"), s"corpus×k sort:\n${tree.take(3000)}")
+    assert(!tree.contains("Window"), tree.take(3000))
+  }
+
+  test("semDedupAssign: literal path below the budget has no join at all") {
+    val e = tables.embeddings
+    val tree = graft.operators.Similarity
+      .semDedupAssign(e, "vec_id", "embedding", k = 8)
+      .queryExecution.executedPlan.toString
+    assert(!tree.contains("Join"), s"assignment must be a pure projection:\n${tree.take(2000)}")
+    assert(!tree.contains("Exchange"), s"assignment must not shuffle:\n${tree.take(2000)}")
+  }
+
   test("q140: BPE top-k is TakeOrdered, never a global sort") {
     val tree = SparkEntry.queries("q140_bpe_pairs")(spark, sf)
       .queryExecution.executedPlan.toString
