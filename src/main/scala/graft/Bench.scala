@@ -33,7 +33,9 @@ object Bench {
     // round 6: Gopher repetition kernel, SemDeDup, cross-doc 5-grams,
     // hashed-feature quality classifier
     "q134_gopher_rep", "q135_semdedup", "q137_crossdoc_repeats",
-    "q139_hash_classifier")
+    "q139_hash_classifier",
+    // round 7: exact bignum aggregation (typed-BigDecimal buffer)
+    "q133_biginteger_agg")
 
   /** The CORRECTNESS entries for approximate ops are recall HARNESSES
     * (operator + exact ground truth + compare in one job); benching the

@@ -205,6 +205,19 @@ object Soak {
     else println(s"[soak] semdedup SKIPPED: ~$sdUB within-cluster pairs " +
       "(cell stats above; raise k or use per-cluster banded LSH at this density)")
 
+    // broadcast-centroid assignment PAST the literal budget (round 7):
+    // k=4096 × dim 16 = 65k doubles ≫ the 10k literal budget, so this
+    // runs the BroadcastNestedLoopJoin + two-pass primitive-HashAgg
+    // argmin. Work is inherently N×k×2 cosine evals (every row scores
+    // every centroid — the IVF/SemDeDup assignment contract), so the
+    // slice is sized to keep the candidate stream ~2B evals.
+    val baRows = math.min(nVec, 250000L)
+    val baSlice = emb.filter(col("vec_id") < baRows)
+    time(s"assign_broadcast_${baRows}_k4096")(
+      graft.operators.Similarity
+        .semDedupAssign(baSlice, "vec_id", "embedding", 4096)
+        .agg(countDistinct(col("cluster"))).collect()(0).getLong(0) * 0 + baRows)
+
     spark.stop()
   }
 }

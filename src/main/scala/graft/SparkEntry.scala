@@ -1111,6 +1111,111 @@ object SparkEntry {
         k = 4096, tau = 0.9)
     }),
 
+    // --- stream–stream RIGHT OUTER interval join (round 7; closes the
+    //     family with q136 inner / q138 left-outer): every purchase
+    //     survives, null-extended when no click preceded it within the
+    //     interval. Unmatched RIGHT rows can only emit once the LEFT
+    //     watermark proves no matching click can still arrive — the
+    //     q138 sentinel discipline, mirrored. ---
+    "q144_stream_right_outer_join" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_q144_").toString
+      val src = s"$tmp/src"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+      val ev = t(s, dir).events
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      ev.coalesce(1).write.mode("append").parquet(src)
+      val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0) // 1-row scalar
+      val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 365L * 86400 * 1000)
+      def run(): Unit = {
+        val clicks = graft.streaming.EventsStreaming.readEvents(s, src)
+          .filter(col("event_type").isin("click", "__sentinel"))
+          .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+            col("user_id").as("click_user"))
+        val buys = graft.streaming.EventsStreaming.readEvents(s, src)
+          .filter(col("event_type").isin("purchase", "__sentinel"))
+          .select(col("event_id").as("buy_id"), col("ts").as("buy_ts"),
+            col("user_id"), col("value"))
+        val q = graft.streaming.EventsStreaming.streamIntervalJoin(
+            clicks, buys, "click_user", "user_id", "click_ts", "buy_ts",
+            within = "30 minutes", joinType = "right_outer")
+          .select(col("click_id"), col("buy_id"), col("user_id").as("buy_user"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("value_cents"))
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      run() // phase 1: inner matches emit; unmatched buys held in state
+      ev.limit(1).select(lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
+          lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"))
+        .coalesce(1).write.mode("append").parquet(src)
+      run() // phase 2: watermark passes every interval; outer rows flush
+      // null-safe: click_id IS null on unmatched rows; <=> keeps them
+      s.read.parquet(sink)
+        .filter(!(col("click_id") <=> lit(-1L)) && !(col("buy_id") <=> lit(-1L)))
+    }),
+
+    // --- stream–stream FULL OUTER interval join (round 7): unmatched
+    //     rows of BOTH sides flush at the sentinel; matched rows carry
+    //     both ids. user_id coalesces across sides so every row has
+    //     its key. ---
+    "q145_stream_full_outer_join" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_q145_").toString
+      val src = s"$tmp/src"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+      val ev = t(s, dir).events
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      ev.coalesce(1).write.mode("append").parquet(src)
+      val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0) // 1-row scalar
+      val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 365L * 86400 * 1000)
+      def run(): Unit = {
+        val clicks = graft.streaming.EventsStreaming.readEvents(s, src)
+          .filter(col("event_type").isin("click", "__sentinel"))
+          .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+            col("user_id").as("click_user"))
+        val buys = graft.streaming.EventsStreaming.readEvents(s, src)
+          .filter(col("event_type").isin("purchase", "__sentinel"))
+          .select(col("event_id").as("buy_id"), col("ts").as("buy_ts"),
+            col("user_id"), col("value"))
+        val q = graft.streaming.EventsStreaming.streamIntervalJoin(
+            clicks, buys, "click_user", "user_id", "click_ts", "buy_ts",
+            within = "30 minutes", joinType = "full_outer")
+          .select(col("click_id"), col("buy_id"),
+            coalesce(col("click_user"), col("user_id")).as("user_id"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("value_cents"))
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      run() // phase 1
+      ev.limit(1).select(lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
+          lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"))
+        .coalesce(1).write.mode("append").parquet(src)
+      run() // phase 2: both sides' unmatched rows flush
+      s.read.parquet(sink)
+        .filter(!(col("click_id") <=> lit(-1L)) && !(col("buy_id") <=> lit(-1L)))
+    }),
+
+    // --- exact-substring dedup as SPANS (Lee et al. 2022; round 7 —
+    //     closes the "q137 is a frequency proxy" gap): all maximal
+    //     token-aligned verbatim overlaps >= 8 tokens between doc
+    //     pairs, as (pair, 1-based start offsets, token length).
+    //     Window-fingerprint equality has EXACT recall on aligned
+    //     overlaps; candidates only meet inside equal-fingerprint
+    //     buckets; spans chain per (pair, diagonal) — shuffle sized by
+    //     true matches. The oracle replays it from the window STRINGS
+    //     (the engine's xxhash64 is internal only). ---
+    "q146_verbatim_spans" -> ((s, dir) =>
+      graft.operators.Dedup.verbatimSpans(
+        t(s, dir).documents, "doc_id", "text", minLen = 8, maxDocFreq = 50)),
+
     // --- SemDeDup (Abbas et al. 2023): embedding-cluster semantic
     //     dedup — assignment is a zero-shuffle projection over inlined
     //     centroid literals (IVF discipline); within-cluster prune
@@ -3091,6 +3196,68 @@ object SparkEntry {
            WHERE list_cosine_similarity(va.ev, vb.ev) >= 0.9)
          SELECT asg.vid, CAST(asg.cluster AS BIGINT) AS cluster,
                 CAST(CASE WHEN p.vid IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
-         FROM asg LEFT JOIN pruned p ON asg.vid = p.vid"""
+         FROM asg LEFT JOIN pruned p ON asg.vid = p.vid""",
+
+    // batch equivalent of the streaming RIGHT OUTER interval join:
+    // every purchase survives; the click filter must live in the ON
+    // clause or null-extended rows would be WHERE'd away
+    "q144_stream_right_outer_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS buy_id,
+                b.user_id AS buy_user,
+                CAST(floor(b.value * 100) AS BIGINT) AS value_cents
+         FROM events a
+         RIGHT JOIN events b
+           ON a.user_id = b.user_id
+          AND a.event_type = 'click'
+          AND b.ts >= a.ts
+          AND b.ts <= a.ts + INTERVAL 30 MINUTE
+         WHERE b.event_type = 'purchase'""",
+
+    // batch equivalent of the streaming FULL OUTER interval join:
+    // both sides pre-filtered in subqueries (a WHERE on either side
+    // would drop that side's null-extended rows)
+    "q145_stream_full_outer_join" ->
+      """SELECT a.click_id, b.buy_id,
+                COALESCE(a.click_user, b.buy_user) AS user_id,
+                CAST(floor(b.value * 100) AS BIGINT) AS value_cents
+         FROM (SELECT event_id AS click_id, ts AS click_ts, user_id AS click_user
+               FROM events WHERE event_type = 'click') a
+         FULL JOIN (SELECT event_id AS buy_id, ts AS buy_ts,
+                           user_id AS buy_user, value
+                    FROM events WHERE event_type = 'purchase') b
+           ON a.click_user = b.buy_user
+          AND b.buy_ts >= a.click_ts
+          AND b.buy_ts <= a.click_ts + INTERVAL 30 MINUTE""",
+
+    // verbatim spans replayed from window STRINGS: same tokenization
+    // as the engine (lower, split \s+, drop empties), unit-separator
+    // join so token boundaries can't collide, same 2..50 doc-frequency
+    // guard, same diagonal-islands chaining
+    "q146_verbatim_spans" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         w AS (
+           SELECT doc_id, i AS pos, array_to_string(tk[i:i+7], chr(31)) AS g
+           FROM t, UNNEST(generate_series(1, len(tk) - 7)) AS u(i)
+           WHERE len(tk) >= 8),
+         eligible AS (
+           SELECT g FROM w GROUP BY g
+           HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 50),
+         wf AS (SELECT w.* FROM w JOIN eligible USING (g)),
+         m AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.pos AS pa, b.pos AS pb
+           FROM wf a JOIN wf b ON a.g = b.g AND a.doc_id < b.doc_id),
+         runs AS (
+           SELECT id1, id2, pa - pb AS diag, pa, pb,
+                  pa - ROW_NUMBER() OVER (PARTITION BY id1, id2, pa - pb
+                                          ORDER BY pa) AS run
+           FROM m)
+         SELECT id1, id2,
+                CAST(MIN(pa) AS BIGINT) AS a_start,
+                CAST(MIN(pb) AS BIGINT) AS b_start,
+                CAST(COUNT(*) + 7 AS BIGINT) AS len_tokens
+         FROM runs GROUP BY id1, id2, diag, run"""
   )
 }

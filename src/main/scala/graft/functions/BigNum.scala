@@ -69,42 +69,51 @@ object BigNum {
   def mod(a: Column, b: Column): Column = bin("%")(a, b)
   def neg(c: Column): Column = sub(big(lit(0)), c)
 
-  /** Exact sum — Algebraic protocol (partial strings merge
-    * associatively; result independent of partition count). The empty
-    * buffer "" means "no non-null input yet": SUM of an all-null (or
-    * empty) group is null, the Pig/SQL convention — not 0. */
-  object SumAgg extends Aggregator[String, String, String] {
-    private def jbd(s: String) = new java.math.BigDecimal(s)
-    def zero: String = ""
-    def reduce(b: String, a: String): String =
+  /** Exact sum — Algebraic protocol (partial buffers merge
+    * associatively; BigDecimal addition is exact, so the result is
+    * independent of partition count and reduction order). The buffer
+    * is a LIVE java.math.BigDecimal riding ObjectHashAggregate: each
+    * input string parses once, and the kryo encoder only runs at
+    * serialization boundaries (partial→final shuffle, spill) — the
+    * round-6 string-buffered version re-parsed AND re-rendered the
+    * running sum on every row, pure allocation churn at aggregate
+    * scale. null buffer = "no non-null input yet": SUM of an all-null
+    * (or empty) group is null, the Pig/SQL convention — not 0.
+    * Canonicalization (stripTrailingZeros, plain string) happens once
+    * in finish. */
+  object SumAgg extends Aggregator[String, java.math.BigDecimal, String] {
+    def zero: java.math.BigDecimal = null
+    def reduce(b: java.math.BigDecimal, a: String): java.math.BigDecimal =
       if (a == null) b
-      else if (b.isEmpty) jbd(a).stripTrailingZeros.toPlainString
-      else jbd(b).add(jbd(a)).stripTrailingZeros.toPlainString
-    def merge(a: String, b: String): String =
-      if (a.isEmpty) b
-      else if (b.isEmpty) a
-      else jbd(a).add(jbd(b)).stripTrailingZeros.toPlainString
-    def finish(r: String): String = if (r.isEmpty) null else r
-    def bufferEncoder: Encoder[String] = Encoders.STRING
+      else {
+        val x = new java.math.BigDecimal(a)
+        if (b == null) x else b.add(x)
+      }
+    def merge(a: java.math.BigDecimal, b: java.math.BigDecimal): java.math.BigDecimal =
+      if (a == null) b else if (b == null) a else a.add(b)
+    def finish(r: java.math.BigDecimal): String =
+      if (r == null) null else r.stripTrailingZeros.toPlainString
+    def bufferEncoder: Encoder[java.math.BigDecimal] =
+      Encoders.kryo[java.math.BigDecimal]
     def outputEncoder: Encoder[String] = Encoders.STRING
   }
 
-  final case class AvgBuf(sum: String, n: Long)
-
-  /** Exact running sum + count; finish divides at DECIMAL128. */
-  object AvgAgg extends Aggregator[String, AvgBuf, String] {
-    private def jbd(s: String) = new java.math.BigDecimal(s)
-    def zero: AvgBuf = AvgBuf("0", 0L)
-    def reduce(b: AvgBuf, a: String): AvgBuf =
+  /** Exact running sum + count on a live (BigDecimal, Long) buffer —
+    * same typed-buffer discipline as [[SumAgg]]; finish divides at
+    * DECIMAL128. */
+  object AvgAgg extends Aggregator[String, (java.math.BigDecimal, Long), String] {
+    def zero: (java.math.BigDecimal, Long) = (java.math.BigDecimal.ZERO, 0L)
+    def reduce(b: (java.math.BigDecimal, Long), a: String): (java.math.BigDecimal, Long) =
       if (a == null) b
-      else AvgBuf(jbd(b.sum).add(jbd(a)).stripTrailingZeros.toPlainString, b.n + 1)
-    def merge(a: AvgBuf, b: AvgBuf): AvgBuf =
-      AvgBuf(jbd(a.sum).add(jbd(b.sum)).stripTrailingZeros.toPlainString, a.n + b.n)
-    def finish(r: AvgBuf): String =
-      if (r.n == 0) null
-      else jbd(r.sum).divide(java.math.BigDecimal.valueOf(r.n),
+      else (b._1.add(new java.math.BigDecimal(a)), b._2 + 1)
+    def merge(a: (java.math.BigDecimal, Long), b: (java.math.BigDecimal, Long)): (java.math.BigDecimal, Long) =
+      (a._1.add(b._1), a._2 + b._2)
+    def finish(r: (java.math.BigDecimal, Long)): String =
+      if (r._2 == 0) null
+      else r._1.divide(java.math.BigDecimal.valueOf(r._2),
         java.math.MathContext.DECIMAL128).stripTrailingZeros.toPlainString
-    def bufferEncoder: Encoder[AvgBuf] = Encoders.product[AvgBuf]
+    def bufferEncoder: Encoder[(java.math.BigDecimal, Long)] =
+      Encoders.kryo[(java.math.BigDecimal, Long)]
     def outputEncoder: Encoder[String] = Encoders.STRING
   }
 

@@ -168,6 +168,81 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  // ---------------- exact-substring (verbatim-span) dedup ----------------
+
+  /** All maximal token-aligned verbatim overlaps of ≥ `minLen` tokens
+    * between document pairs, as concrete SPANS
+    * (id1, id2, a_start, b_start, len_tokens; 1-based token offsets) —
+    * the Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better") exact-substring surface. Their suffix array is a
+    * single-machine structure; this is the distributed reformulation:
+    *
+    * 1. every `minLen`-token window becomes one fingerprint row
+    *    (id, pos, h) — a doc pair sharing a verbatim run of
+    *    T ≥ minLen tokens shares ALL T−minLen+1 window fingerprints
+    *    inside it, so window-equality has exact recall on token-aligned
+    *    overlaps (no LSH, no probability);
+    * 2. a doc-frequency guard drops windows seen in > `maxDocFreq`
+    *    docs (boilerplate license headers would otherwise make one
+    *    fingerprint's bucket quadratic — the same hot-key discipline as
+    *    [[exactJaccardPairs]]; dropped grams are REPORTED via the
+    *    `hotWindowCount` accessor pattern: callers wanting them raise
+    *    the cap);
+    * 3. candidates meet ONLY inside equal-fingerprint buckets (never an
+    *    all-pairs stage), and matched windows chain into maximal spans
+    *    per (pair, diagonal) with the standard islands trick — the
+    *    span shuffle is sized by TRUE matches, not by the corpus.
+    *
+    * Fingerprints are xxhash64 over the unit-separator-joined window
+    * (collision odds ~(windows)²/2⁶⁴ — at 10⁹ windows that is ~0.03
+    * expected false window-matches corpus-wide, and a false SPAN also
+    * needs diagonal adjacency). Window construction is O(T·minLen) via
+    * slice+concat; a rolling-hash kernel would make it O(T) — the
+    * slice form is kept because it is replayable verbatim by a SQL
+    * oracle (same spans from joining the window STRINGS). */
+  def verbatimSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 20, maxDocFreq: Int = 50): DataFrame = {
+    require(minLen >= 2, s"minLen=$minLen")
+    val w = fanOut(df)
+      .select(col(idCol), tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= minLen)
+      .select(col(idCol),
+        explode(sequence(lit(1), size(col("tk")) - (minLen - 1))).as("pos"),
+        col("tk"))
+      .select(col(idCol), col("pos"),
+        xxhash64(concat_ws("\u001f",
+          slice(col("tk"), col("pos"), lit(minLen)))).as("h"))
+    // doc-frequency guard: only fingerprints shared by 2..maxDocFreq
+    // docs can seed candidate pairs (df<2 is noise, df>cap is the hot
+    // tail); the guard list is per-fingerprint counts — vocabulary-
+    // sized, one shuffle
+    val eligible = w.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxDocFreq)
+      .select(col("h"))
+    val wf = w.join(eligible, Seq("h"))
+    val matches = wf.as("a")
+      .join(wf.as("b"),
+        col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+      .distinct() // two docs can repeat a gram internally; (pa,pb) is the unit
+    // islands: consecutive matched windows share a diagonal (pa−pb)
+    // and increment pa by 1; (pa − row_number) is constant per run
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id1"), col("id2"), col("diag")).orderBy(col("pa"))
+    matches
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("__run", col("pa") - row_number().over(win))
+      .groupBy(col("id1"), col("id2"), col("diag"), col("__run"))
+      .agg(min(col("pa")).as("a_start"), min(col("pb")).as("b_start"),
+        (count(lit(1)) + minLen - 1).as("len_tokens"))
+      .select(col("id1"), col("id2"),
+        col("a_start").cast("long").as("a_start"),
+        col("b_start").cast("long").as("b_start"),
+        col("len_tokens").cast("long").as("len_tokens"))
+  }
+
   // ---------------- pair clustering / canonical winners ----------------
 
   /** Connected components over a dup-pair edge list (id1, id2) via

@@ -167,6 +167,16 @@ object Similarity {
     * so assignment switches to [[assignByCentroidTable]]. */
   val LiteralBudgetDoubles: Int = 10000
 
+  /** Independent cap on the literal path's centroid COUNT: generated
+    * code grows with k (one inlined cosine kernel per centroid)
+    * regardless of dim, and janino's 64 KB method limit lands near
+    * k≈250 — past which Spark silently falls back to INTERPRETED
+    * expression evaluation, quietly ~100× slower (caught by the round-7
+    * soak: `Code grows beyond 64 KB` at k=250 × dim 16, a shape the
+    * doubles budget alone admits). 64 keeps whole-stage codegen with
+    * comfortable margin; anything bigger rides the broadcast table. */
+  val LiteralMaxCentroids: Int = 64
+
   /** `size(vecCol)` from one row — a bounded metadata fetch (like the
     * centroid collects) used only to price the literal budget. */
   private def vecDim(df: DataFrame, vecCol: String): Int =
@@ -294,7 +304,8 @@ object Similarity {
       k: Int, nCentroids: Int = 16, nProbe: Int = 4,
       literalBudgetDoubles: Int = LiteralBudgetDoubles): DataFrame = {
     val (assigned, probes) =
-      if (nCentroids.toLong * vecDim(corpus, vecCol) <= literalBudgetDoubles) {
+      if (nCentroids <= LiteralMaxCentroids &&
+          nCentroids.toLong * vecDim(corpus, vecCol) <= literalBudgetDoubles) {
         val centroids: Array[(Long, Seq[Double])] = corpus
           .select(col(corpusId).cast("long").as("cent_id"), asDouble(col(vecCol)).as("cvec"))
           .orderBy(xxhash64(col("cent_id")).asc, col("cent_id").asc)
@@ -427,7 +438,8 @@ object Similarity {
     * projection over inlined centroid literals. */
   def semDedupAssign(df: DataFrame, idCol: String, vecCol: String,
       k: Int, literalBudgetDoubles: Int = LiteralBudgetDoubles): DataFrame =
-    if (k.toLong * vecDim(df, vecCol) <= literalBudgetDoubles) {
+    if (k <= LiteralMaxCentroids &&
+        k.toLong * vecDim(df, vecCol) <= literalBudgetDoubles) {
       val centroids: Array[(Long, Seq[Double])] = df
         .select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("cv"))
         .orderBy(col("cid").asc)

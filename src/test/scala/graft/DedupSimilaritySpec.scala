@@ -530,6 +530,45 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().toSet == rows.toSet)
   }
 
+  test("verbatimSpans: planted overlaps recovered as exact spans; brute-force parity") {
+    // doc 1 and doc 2 share a verbatim 12-token run at different
+    // offsets; doc 3 shares a distinct 8-token run with doc 1; doc 4 is
+    // disjoint; doc 5 repeats doc 1's run AND its own internal text
+    val run12 = (1 to 12).map(i => s"alpha$i").mkString(" ")
+    val run8 = (1 to 8).map(i => s"beta$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"intro one two $run12 tail x $run8"),
+      (2L, s"$run12 completely other words here"),
+      (3L, s"lead in words $run8 closing remarks"),
+      (4L, "nothing shared with anybody at all in this entire document body"),
+      (5L, s"prefix $run12 suffix")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.verbatimSpans(docs, "doc_id", "text", minLen = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // doc1 tokens: intro(1) one(2) two(3) alpha1..12(4..15) tail(16) x(17) beta1..8(18..25)
+    assert(spans.contains((1L, 2L, 4L, 1L, 12L)), spans.toString)   // 12-token run
+    assert(spans.contains((1L, 3L, 18L, 4L, 8L)), spans.toString)   // 8-token run
+    assert(spans.contains((1L, 5L, 4L, 2L, 12L)), spans.toString)
+    assert(spans.contains((2L, 5L, 1L, 2L, 12L)), spans.toString)
+    assert(!spans.exists(s => s._1 == 4L || s._2 == 4L), "disjoint doc must not pair")
+    // every reported span IS a verbatim overlap (precision check
+    // against the raw token arrays — the brute-force ground truth)
+    val tok = docs.select($"doc_id", Dedup.tokens($"text").as("tk"))
+      .as[(Long, Seq[String])].collect().toMap
+    spans.foreach { case (id1, id2, a, b, len) =>
+      assert(tok(id1).slice(a.toInt - 1, a.toInt - 1 + len.toInt) ==
+        tok(id2).slice(b.toInt - 1, b.toInt - 1 + len.toInt), s"span $id1/$id2")
+    }
+    // maximality: spans on the same diagonal don't touch or overlap
+    spans.groupBy(s => (s._1, s._2, s._3 - s._4)).values.foreach { g =>
+      val sorted = g.toSeq.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Seq(x, y) => assert(y._3 > x._3 + x._5, s"mergeable spans $x $y")
+        case _ =>
+      }
+    }
+  }
+
   private def oneHot63 = {
     val base = (0L until 60L).map { i =>
       (i, Array.tabulate(60)(d => if (d == i) 1f else 0f))
