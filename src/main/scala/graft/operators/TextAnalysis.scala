@@ -206,6 +206,93 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** One recorded merge step of [[bpeTrain]]. */
+  final case class BpeMerge(left: String, right: String, count: Long)
+
+  /** Apply ONE merge rule (left, right) → left+right to a symbol array,
+    * left-to-right non-overlapping (the Sennrich et al. 2016 merge
+    * semantics: "aaaa" under (a,a) → "aa","aa"). A pure HOF fold with
+    * (accumulated, pending-last-symbol) state; "" is a safe sentinel —
+    * tokenization never yields empty symbols. */
+  private[graft] def mergeAdjacent(syms: Column, a: String, b: String): Column = {
+    val sT = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType)
+    val init = struct(array().cast(sT).as("acc"), lit("").as("last"))
+    aggregate(syms, init,
+      (st, s) => {
+        val acc = st.getField("acc")
+        val last = st.getField("last")
+        when(last === lit(a) && s === lit(b),
+          struct(concat(acc, array(lit(a + b))).as("acc"), lit("").as("last")))
+          .otherwise(struct(
+            when(last === lit(""), acc)
+              .otherwise(concat(acc, array(last))).as("acc"),
+            s.as("last")))
+      },
+      st => when(st.getField("last") === lit(""), st.getField("acc"))
+        .otherwise(concat(st.getField("acc"), array(st.getField("last")))))
+  }
+
+  /** The full BPE tokenizer-training loop (Sennrich et al. 2016),
+    * iterating [[bpePairCounts]]' job shape `nMerges` times: count
+    * adjacent symbol pairs weighted by word frequency, take the single
+    * best pair (count desc, pair asc — TakeOrdered, never a global
+    * sort), merge it everywhere, repeat.
+    *
+    * Scale contract: every per-iteration job runs over the WORD
+    * VOCABULARY (distinct tokens + frequencies — built from the corpus
+    * in exactly one corpus-sized shuffle up front), so iteration cost
+    * is vocab-sized regardless of corpus size; the driver holds only
+    * the merge list (nMerges entries — the same state any BPE trainer
+    * ships as its artifact). The vocab is localCheckpoint'd each
+    * iteration: the symbols column is rewritten per merge, and without
+    * truncation the lineage (and Catalyst re-canonicalization cost)
+    * grows linearly in merges — the [[graft.operators.Dedup.clusterPairs]]
+    * iterative-dataflow lesson.
+    *
+    * The pair key joins symbols with U+001F so multi-char symbols
+    * can't alias ("ab"+"c" vs "a"+"bc"). Stops early when no pair
+    * repeats. Returns (merge sequence, final vocab as (syms, freq)).
+    * Like [[bpePairCounts]], symbols start as plain characters (no
+    * end-of-word marker — documented divergence from the paper's
+    * `</w>`). */
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int)
+      : (Seq[BpeMerge], DataFrame) = {
+    val sep = "\u001f"
+    var vocab = docs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .select(expr("transform(sequence(1, length(tok)), i -> substring(tok, i, 1))")
+        .as("syms"), col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    // adjacent pairs: zip the symbol array with its own tail
+    def adjacentPairs(syms: Column): Column = zip_with(
+      slice(syms, lit(1), size(syms) - 1),
+      slice(syms, lit(2), size(syms) - 1),
+      (x, y) => concat(x, lit(sep), y))
+    var done = false
+    for (_ <- 0 until nMerges if !done) {
+      val best = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(adjacentPairs(col("syms"))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .filter(col("cnt") >= 2) // a pair seen once carries no signal
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1)
+        .collect()
+      if (best.isEmpty) done = true
+      else {
+        val Array(a, b) = best(0).getString(0).split(sep, 2)
+        merges += BpeMerge(a, b, best(0).getLong(1))
+        vocab = vocab
+          .select(mergeAdjacent(col("syms"), a, b).as("syms"), col("freq"))
+          .localCheckpoint()
+      }
+    }
+    (merges.toSeq, vocab)
+  }
+
   /** Bounded inverted index: per term, document frequency plus the
     * first `k` postings (lowest doc ids, zero-padded so lexical order
     * IS numeric order). The postings list is a bounded-state

@@ -569,6 +569,71 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mergeAdjacent: left-to-right non-overlapping merge semantics") {
+    val df = Seq(
+      Seq("a", "a", "a", "a"), Seq("a", "a", "a"),
+      Seq("a", "b", "a", "b"), Seq("x", "a", "b", "y"), Seq("b", "a")
+    ).toDF("syms")
+    val out = df.select(
+      graft.operators.TextAnalysis.mergeAdjacent($"syms", "a", "a").as("aa"),
+      graft.operators.TextAnalysis.mergeAdjacent($"syms", "a", "b").as("ab"))
+      .as[(Seq[String], Seq[String])].collect()
+    assert(out(0)._1 == Seq("aa", "aa"))       // aaaa -> aa aa
+    assert(out(1)._1 == Seq("aa", "a"))        // aaa  -> aa a
+    assert(out(2)._2 == Seq("ab", "ab"))       // abab -> ab ab
+    assert(out(3)._2 == Seq("x", "ab", "y"))
+    assert(out(4)._2 == Seq("b", "a"))         // (b,a) is not (a,b)
+  }
+
+  test("bpeTrain merge sequence equals a single-node reference trainer") {
+    import graft.operators.TextAnalysis
+    val docs = tables.documents
+    // --- reference: plain Scala BPE with the same (count desc, pair
+    //     asc on the U+001F-joined key) tie rule and >=2 count floor ---
+    val corpusToks = docs.select(explode(Dedup.tokens($"text")).as("t"))
+      .as[String].collect()
+    var vocab: Vector[(Vector[String], Long)] = corpusToks
+      .groupBy(identity).view.mapValues(_.length.toLong).toVector
+      .map { case (t, f) => (t.map(_.toString).toVector, f) }
+    def applyMerge(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toVector
+    }
+    val nMerges = 12
+    val ref = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var stop = false
+    for (_ <- 0 until nMerges if !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      val eligible = counts.filter(_._2 >= 2)
+      if (eligible.isEmpty) stop = true
+      else {
+        val best = eligible.minBy { case ((a, b), c) => (-c, a + "\u001f" + b) }
+        ref += ((best._1._1, best._1._2, best._2))
+        vocab = vocab.map { case (s, f) => (applyMerge(s, best._1._1, best._1._2), f) }
+      }
+    }
+    // --- engine ---
+    val (merges, finalVocab) = TextAnalysis.bpeTrain(docs, "text", nMerges)
+    assert(merges.map(m => (m.left, m.right, m.count)) == ref.toSeq,
+      s"engine=$merges ref=$ref")
+    // per-iteration inputs are the checkpointed VOCAB, never the corpus
+    val tree = finalVocab.queryExecution.executedPlan.toString
+    assert(tree.contains("ExistingRDD"), tree.take(1000))
+    assert(!tree.contains("BatchScan") && !tree.contains("FileScan"),
+      s"iteration must not rescan the corpus:\n${tree.take(1000)}")
+    // final vocab rows still carry every distinct token's frequency
+    assert(finalVocab.agg(sum($"freq")).as[Long].head() == corpusToks.length)
+  }
+
   private def oneHot63 = {
     val base = (0L until 60L).map { i =>
       (i, Array.tabulate(60)(d => if (d == i) 1f else 0f))
