@@ -37,6 +37,14 @@ object Bench {
     // round 7: exact bignum aggregation (typed-BigDecimal buffer)
     "q133_biginteger_agg")
 
+  /** Streaming replays timed as their own section (never in the
+    * headline total — see main): watermarked interval-join family,
+    * typed transformWithState. */
+  val streamingSet: Seq[String] = Seq(
+    "q136_stream_interval_join", "q138_stream_outer_join",
+    "q144_stream_right_outer_join", "q145_stream_full_outer_join",
+    "q112_stream_state")
+
   /** The CORRECTNESS entries for approximate ops are recall HARNESSES
     * (operator + exact ground truth + compare in one job); benching the
     * harness would time the brute-force truth stage, not the operator,
@@ -138,7 +146,35 @@ object Bench {
     // both sums pinned as fields: the BASELINE-comparable 12-query
     // subset and the full headline, so the 2x gate reads directly
     val base12 = results.filter(r => baselineSubset.contains(r._1)).map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline12_sec":$base12%.3f,"headline_sec":$total%.3f,"queries":$qjson,"sf":"$sfDir"}""")
+
+    // Streaming section (round 7): end-to-end REPLAY wall-times for the
+    // streaming surface — source write + micro-batch execution +
+    // sentinel flush where the query has one. Kept OUT of the headline
+    // total: replay time is dominated by checkpoint/sink I/O round
+    // trips, a different quantity than the per-query compute the
+    // BASELINE protocol pins. 1 warm (JIT) + 3 timed, median; each run
+    // builds fresh temp source/sink/checkpoint dirs, so runs are
+    // independent full replays.
+    val streamQs = streamingSet.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n)))
+    val streamResults = streamQs.map { name =>
+      System.err.println(s"[bench] stream warm $name")
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench] stream warm $name failed: ${e.getMessage}") }
+      val raw = (1 to 3).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      System.err.println(f"[bench] stream $name raw=${raw.map(t => f"$t%.2f").mkString(",")}")
+      name -> raw.sorted.apply(raw.length / 2)
+    }
+    val sjson = streamResults.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val stotal = streamResults.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline12_sec":$base12%.3f,"headline_sec":$total%.3f,"queries":$qjson,"streaming_sec":$stotal%.3f,"streaming":$sjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
