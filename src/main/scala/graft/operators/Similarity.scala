@@ -122,7 +122,15 @@ object Similarity {
   /** ANN top-k via LSH buckets: corpus and queries are bucketed by the
     * same planes; candidates = same bucket; exact cosine + top-k within.
     * One shuffle per band on bucket id; recall traded for never
-    * broadcasting or cross-joining the corpus — the 100 TB path.
+    * broadcasting or cross-joining the corpus.
+    *
+    * BUILDING BLOCK, not the recommended ANN path: [[ivfTopK]] beats it
+    * at every measured recall point (docs/SCALE.md round-7 probe: IVF
+    * 0.84 recall in 0.7 s vs LSH needing 4-plane buckets — width N/2⁴,
+    * quadratic at corpus scale — to reach 0.68). Reach for this shape
+    * only where a centroid pass is impossible (e.g. single-scan
+    * streaming candidate generation); raise `bands`, never lower
+    * `planes`, when recall is short.
     *
     * Multi-band OR-amplification (same shape as [[cosineDupPairs]]):
     * one band of p planes finds a θ-neighbor with probability

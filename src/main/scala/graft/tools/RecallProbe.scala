@@ -19,17 +19,23 @@ object RecallProbe {
     val truth = graft.operators.Similarity.bruteForceTopK(
         emb, qs, "vec_id", "vec_id", "embedding", 5)
       .select(col("query_id"), col("neighbor_id"))
-    def recall(name: String, found: org.apache.spark.sql.DataFrame): Unit = {
+    def recall(name: String, found: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
       val nh = truth.join(found, Seq("query_id", "neighbor_id")).count()
+      val secs = (System.nanoTime() - t0) / 1e9
       val nt = truth.count()
-      println(f"[probe] $name: hit=$nh truth=$nt recall=${nh.toDouble / nt}%.3f")
+      println(f"[probe] $name: hit=$nh truth=$nt recall=${nh.toDouble / nt}%.3f secs=$secs%.1f")
     }
-    recall("lsh p8 b4", graft.operators.Similarity.lshTopK(
-      emb, qs, "vec_id", "vec_id", "embedding", 5, planes = 8)
-      .select(col("query_id"), col("neighbor_id")))
-    recall("ivf 16/6", graft.operators.Similarity.ivfTopK(
-      emb, qs, "vec_id", "vec_id", "embedding", 5, nCentroids = 16, nProbe = 6)
-      .select(col("query_id"), col("neighbor_id")))
+    // (planes, bands) sweep: fewer planes per band = wider buckets =
+    // more candidates; more bands = more OR-amplification chances.
+    for ((p, b) <- Seq((8, 4), (8, 8), (6, 8), (6, 16), (4, 8), (4, 16)))
+      recall(s"lsh p$p b$b", graft.operators.Similarity.lshTopK(
+        emb, qs, "vec_id", "vec_id", "embedding", 5, planes = p, bands = b)
+        .select(col("query_id"), col("neighbor_id")))
+    for ((c, pr) <- Seq((16, 6), (16, 8), (8, 4)))
+      recall(s"ivf $c/$pr", graft.operators.Similarity.ivfTopK(
+        emb, qs, "vec_id", "vec_id", "embedding", 5, nCentroids = c, nProbe = pr)
+        .select(col("query_id"), col("neighbor_id")))
     // minhash recall vs exact jaccard at 0.8
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val tPairs = graft.operators.Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.8)
