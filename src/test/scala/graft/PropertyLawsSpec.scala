@@ -185,6 +185,92 @@ class PropertyLawsSpec extends SparkSpec {
     }
   }
 
+  test("pig parse→compile round-trip: generated scripts equal the reference dataflow; mutations fail loudly") {
+    // Generator over the supported statement grammar: each op carries
+    // BOTH a Pig rendering and an independent DataFrame rendering, so a
+    // parse or compile slip shows up as a RESULT diff, not a hunch.
+    // (The token-soup test above covers "garbage fails fast"; this one
+    // covers the other direction — valid scripts never silently
+    // mis-compile — plus keyword mutations that must throw, not
+    // mis-run.)
+    import org.apache.spark.sql.DataFrame
+    val proj = "P0 = FOREACH L GENERATE l_orderkey, l_linenumber, l_quantity, l_returnflag;"
+    val refBase = tables.lineitem
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+
+    // (pig statement builder, reference builder, terminal?)
+    case class Op(pig: (String, String) => String, ref: DataFrame => DataFrame,
+      terminal: Boolean = false)
+    def ops(): Op = rnd.nextInt(6) match {
+      case 0 =>
+        val q = 1 + rnd.nextInt(49)
+        Op((in, out) => s"$out = FILTER $in BY l_quantity > $q;",
+          _.filter(col("l_quantity") > q))
+      case 1 =>
+        val f = Seq("R", "A", "N")(rnd.nextInt(3))
+        Op((in, out) => s"$out = FILTER $in BY l_returnflag == '$f';",
+          _.filter(col("l_returnflag") === f))
+      case 2 =>
+        Op((in, out) => s"$out = DISTINCT $in;", _.distinct())
+      case 3 =>
+        val k = 1 + rnd.nextInt(200)
+        // (l_orderkey, l_linenumber) is unique, so LIMIT is deterministic
+        Op((in, out) =>
+          s"__s$out = ORDER $in BY l_orderkey ASC, l_linenumber ASC; " +
+            s"$out = LIMIT __s$out $k;",
+          _.orderBy(col("l_orderkey").asc, col("l_linenumber").asc).limit(k))
+      case 4 =>
+        Op((in, out) => s"$out = FOREACH $in GENERATE l_orderkey, " +
+          s"l_quantity * 2.0 AS q2;",
+          _.select(col("l_orderkey"), (col("l_quantity") * 2.0).as("q2")),
+          terminal = true)
+      case 5 =>
+        Op((in, out) =>
+          s"__g$out = GROUP $in BY l_returnflag; " +
+            s"$out = FOREACH __g$out GENERATE group AS l_returnflag, COUNT($in) AS n;",
+          _.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n")),
+          terminal = true)
+    }
+
+    val mutations = Seq("FILTER " -> "FILTRE ", " BY " -> " BYE ",
+      "GENERATE " -> "GENRATE ", "DISTINCT " -> "DISTINKT ")
+    for (i <- 1 to 30) {
+      val nOps = 1 + rnd.nextInt(4)
+      val chain = scala.collection.mutable.ArrayBuffer.empty[Op]
+      while (chain.length < nOps && !chain.lastOption.exists(_.terminal))
+        chain += ops()
+      var alias = "P0"
+      var refDf = refBase
+      val lines = new StringBuilder
+      lines ++= s"L = LOAD '$$DIR/lineitem.parquet' USING parquet;\n$proj\n"
+      chain.zipWithIndex.foreach { case (op, j) =>
+        val out = s"P${j + 1}"
+        lines ++= op.pig(alias, out) + "\n"
+        refDf = op.ref(refDf)
+        alias = out
+      }
+      val script = lines.toString
+      val got = graft.pig.PigScript.query(spark, script, Map("DIR" -> sf))
+        .collect().map(_.toString).sorted.toSeq
+      val want = refDf.collect().map(_.toString).sorted.toSeq
+      assert(got == want,
+        s"[$i] round-trip diverged (${got.length} vs ${want.length} rows):\n$script")
+      // a keyword mutation must throw a positioned parse error — never
+      // return a (wrong) result
+      val applicable = mutations.filter(m => script.contains(m._1))
+      if (applicable.nonEmpty) {
+        val (from, to) = applicable(rnd.nextInt(applicable.length))
+        val bad = script.replaceFirst(java.util.regex.Pattern.quote(from),
+          java.util.regex.Matcher.quoteReplacement(to))
+        val e = intercept[IllegalArgumentException] {
+          graft.pig.PigScript.query(spark, bad, Map("DIR" -> sf)).collect()
+        }
+        assert(e.getMessage.contains("line"),
+          s"[$i] mutation '$from'->'$to' error lacks position: ${e.getMessage}")
+      }
+    }
+  }
+
   test("normalizeUrl is idempotent and host/domain are stable on generated URLs") {
     import graft.operators.TextAnalysis._
     val schemes = Array("http", "HTTPS", "Http")
