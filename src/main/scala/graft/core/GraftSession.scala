@@ -107,6 +107,9 @@ object GraftSession {
     * broadcast demotion), nested-schema pruning so struct/map accesses
     * prune at the parquet scan, UTC timestamps. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    // native kernels as SQL functions + the bignum carrier-unwrap
+    // optimizer rule (graft.plans.SimplifyBigNumCarriers)
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -39,12 +39,12 @@ object BigNum {
     GraftSqlBridge.column(e)
 
   /** Wrap a canonical-string column into the struct rep (null in →
-    * null struct, not a struct of nulls). */
-  private def wrapCanon(s: Column): Column = {
-    val keyed = struct(
-      colOf(BigNumSortKey(expr(s))).as(kField), s.as(sField))
-    when(s.isNull, lit(null).cast(schema)).otherwise(keyed)
-  }
+    * null struct, not a struct of nulls) — one null-intolerant kernel
+    * evaluating `s` exactly once (see [[graft.plans.BigNumWrap]]; the
+    * CASE-WHEN formulation re-evaluated chained arithmetic per field
+    * access because codegen CSE skips conditional branches). */
+  private def wrapCanon(s: Column): Column =
+    colOf(graft.plans.BigNumWrap(expr(s)))
 
   /** Any numeric/string column → bignum. Numerics go through their
     * string rendering (exact for integral and decimal types; a double

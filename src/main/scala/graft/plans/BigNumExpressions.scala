@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Arbitrary-precision decimal kernels for Pig's BIGINTEGER/BIGDECIMAL
@@ -170,4 +170,48 @@ case class BigNumBin(op: String, left: Expression, right: Expression)
 object BigNumBin {
   val methods: Map[String, String] =
     Map("+" -> "add", "-" -> "sub", "*" -> "mul", "/" -> "div", "%" -> "mod")
+}
+
+/** The bignum carrier struct type — single source of truth
+  * ([[graft.functions.BigNum]] forwards to these). */
+object BigNumCarrier {
+  val kField = "__bn_k"
+  val sField = "__bn_s"
+  val schema: StructType = StructType(Seq(
+    StructField(kField, StringType), StructField(sField, StringType)))
+  def isCarrier(dt: DataType): Boolean = dt match {
+    case StructType(Array(StructField(`kField`, StringType, _, _),
+                          StructField(`sField`, StringType, _, _))) => true
+    case _ => false
+  }
+}
+
+/** Canonical string → the full carrier struct {__bn_k, __bn_s} as ONE
+  * null-intolerant kernel: the child is evaluated exactly once, and a
+  * null input yields a null STRUCT (SQL null semantics for the bignum
+  * value as a whole).
+  *
+  * This exists for performance, not expressiveness: the Column-level
+  * formulation `CASE WHEN isnull(s) THEN null ELSE struct(sort_key(s),
+  * s) END` evaluates `s` up to three times per row (condition + both
+  * struct fields) because whole-stage-codegen common-subexpression
+  * elimination skips conditionally-evaluated branches. Chained bignum
+  * arithmetic squares that cost per nesting level. One expression,
+  * one evaluation ([[SimplifyBigNumCarriers]] then folds field
+  * extractions back to the bare child / [[BigNumSortKey]]). */
+case class BigNumWrap(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BigNumCarrier.schema
+  override def prettyName: String = "bignum_wrap"
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](BigNumOps.sortKey(s), s))
+  }
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { graft.plans.BigNumOps.sortKey($c), $c });""".stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): BigNumWrap =
+    copy(child = newChild)
 }

@@ -29,11 +29,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   bignum_add / bignum_mul   — exact arbitrary-precision arithmetic
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         GraftExtensions.info(name, usage), builder))
     }
+    // runs inside the operator-optimization fixed-point batch: unwraps
+    // the bignum carrier's null-guard CASEs so codegen CSE can dedup
+    // kernel chains (see SimplifyBigNumCarriers)
+    ext.injectOptimizerRule(_ => SimplifyBigNumCarriers)
+  }
 }
 
 object GraftExtensions {
