@@ -34,8 +34,9 @@ object Bench {
     // hashed-feature quality classifier
     "q134_gopher_rep", "q135_semdedup", "q137_crossdoc_repeats",
     "q139_hash_classifier",
-    // round 7: exact bignum aggregation (typed-BigDecimal buffer)
-    "q133_biginteger_agg")
+    // round 7: exact bignum aggregation (typed-BigDecimal buffer +
+    // carrier-unwrap optimizer rule), exact-substring span dedup
+    "q133_biginteger_agg", "q146_verbatim_spans")
 
   /** Streaming replays timed as their own section (never in the
     * headline total — see main): watermarked interval-join family,

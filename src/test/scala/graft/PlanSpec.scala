@@ -141,6 +141,21 @@ class PlanSpec extends SparkSpec {
     assert(!tree.contains("Exchange"), s"assignment must not shuffle:\n${tree.take(2000)}")
   }
 
+  test("q133: bignum chain evaluates once per operator — no CASE scaffolding") {
+    val plan = SparkEntry.queries("q133_biginteger_agg")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    def n(k: String) = plan.sliding(k.length).count(_ == k)
+    // SimplifyBigNumCarriers contract: the cast+multiply chain appears
+    // once in the filter (under a sort-key compare against a FOLDED
+    // literal key) and once in the project (inside bignum_wrap) — the
+    // CASE-WHEN carrier scaffolding that re-evaluated the chain per
+    // field access must be gone entirely
+    assert(!plan.contains("CASE WHEN"), plan.take(2000))
+    assert(n("bignum_wrap") == 1, plan.take(2000))
+    assert(n("bignum_trunc") == 4, s"chain must appear exactly twice (2 truncs each):\n${plan.take(2000)}")
+    assert(n("bignum_sort_key") == 1, plan.take(2000))
+  }
+
   test("q140: BPE top-k is TakeOrdered, never a global sort") {
     val tree = SparkEntry.queries("q140_bpe_pairs")(spark, sf)
       .queryExecution.executedPlan.toString
