@@ -476,7 +476,19 @@ object Similarity {
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       k: Int = 8, tau: Double = 0.9,
       literalBudgetDoubles: Int = LiteralBudgetDoubles): DataFrame = {
-    val assigned = semDedupAssign(df, idCol, vecCol, k, literalBudgetDoubles)
+    val assignedRaw = semDedupAssign(df, idCol, vecCol, k, literalBudgetDoubles)
+    // The assignment feeds THREE consumers (both pair-join sides + the
+    // verdict join), and Spark's exchange reuse does not recognize the
+    // broadcast-argmin subtree as shared — measured 6 full corpus×k
+    // candidate passes on q143 without this. On the broadcast path the
+    // N×k assignment is expensive enough that materializing it once is
+    // the production shape anyway (SemDeDup pipelines persist the
+    // cluster assignment before the prune phase); the literal path is
+    // a near-free projection where materializing would only add I/O.
+    val assigned =
+      if (k <= LiteralMaxCentroids &&
+          k.toLong * vecDim(df, vecCol) <= literalBudgetDoubles) assignedRaw
+      else assignedRaw.localCheckpoint()
     val pruned = assigned.as("a").join(assigned.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col(s"a.$idCol") < col(s"b.$idCol") &&

@@ -119,8 +119,14 @@ class PlanSpec extends SparkSpec {
     assert(!tree.contains("CartesianProduct"), tree.take(3000))
   }
 
-  test("q143: past the literal budget, centroid assignment is a broadcast join + hash argmin") {
-    val tree = SparkEntry.queries("q143_semdedup_bigk")(spark, sf)
+  test("q143 shape: past the literal budget, centroid assignment is a broadcast join + hash argmin") {
+    // semDedup localCheckpoints the assignment (it feeds 3 consumers),
+    // so q143's own executed plan shows only the truncated lineage —
+    // assert the ASSIGNMENT subplan, which is what the budget routes
+    val e = tables.embeddings
+      .select(col("vec_id"), slice(col("embedding"), 1, 16).as("ev"))
+    val tree = graft.operators.Similarity
+      .semDedupAssign(e, "vec_id", "ev", k = 4096)
       .queryExecution.executedPlan.toString
     // k=4096 × dim 16 >> budget: the centroid table must arrive via a
     // broadcast join, never as a kilometer-long literal Project
