@@ -193,25 +193,25 @@ object Dedup {
     *    per (pair, diagonal) with the standard islands trick — the
     *    span shuffle is sized by TRUE matches, not by the corpus.
     *
-    * Fingerprints are xxhash64 over the unit-separator-joined window
-    * (collision odds ~(windows)²/2⁶⁴ — at 10⁹ windows that is ~0.03
-    * expected false window-matches corpus-wide, and a false SPAN also
-    * needs diagonal adjacency). Window construction is O(T·minLen) via
-    * slice+concat; a rolling-hash kernel would make it O(T) — the
-    * slice form is kept because it is replayable verbatim by a SQL
-    * oracle (same spans from joining the window STRINGS). */
+    * Fingerprints come from the native window-hash kernel
+    * ([[graft.plans.TextExpressions.windowHash64]]: tokens byte-hashed
+    * once, windows chain-mixed — O(T) string work per doc; collision
+    * odds ~(windows)²/2⁶⁴ — at 10⁹ windows that is ~0.03 expected
+    * false window-matches corpus-wide, and a false SPAN also needs
+    * diagonal adjacency). The hash never leaves the engine: the output
+    * spans are hash-free positions+lengths, so a SQL oracle replays
+    * them by joining the window STRINGS instead. */
   def verbatimSpans(df: DataFrame, idCol: String, textCol: String,
       minLen: Int = 20, maxDocFreq: Int = 50): DataFrame = {
     require(minLen >= 2, s"minLen=$minLen")
+    // native kernel: tokens byte-hashed once, windows chain-mixed --
+    // O(T) string work per doc (a slice+concat formulation rebuilds
+    // every window string, O(T*minLen) -- measurably slower)
     val w = fanOut(df)
-      .select(col(idCol), tokens(col(textCol)).as("tk"))
-      .filter(size(col("tk")) >= minLen)
       .select(col(idCol),
-        explode(sequence(lit(1), size(col("tk")) - (minLen - 1))).as("pos"),
-        col("tk"))
-      .select(col(idCol), col("pos"),
-        xxhash64(concat_ws("\u001f",
-          slice(col("tk"), col("pos"), lit(minLen)))).as("h"))
+        posexplode(graft.plans.TextExpressions.windowHash64(
+          col(textCol), minLen)).as(Seq("__p", "h")))
+      .select(col(idCol), (col("__p") + 1).as("pos"), col("h"))
     // doc-frequency guard: only fingerprints shared by 2..maxDocFreq
     // docs can seed candidate pairs (df<2 is noise, df>cap is the hot
     // tail); the guard list is per-fingerprint counts — vocabulary-

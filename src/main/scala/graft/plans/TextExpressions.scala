@@ -166,6 +166,64 @@ object ShingleKernels {
   }
 }
 
+/** Positional n-token window hashes, one per window, order-sensitive,
+  * NOT de-duplicated — the fingerprint stream behind exact-substring
+  * span dedup ([[graft.operators.Dedup.verbatimSpans]]): window j
+  * covers tokens [j, j+n) of the lowercased whitespace tokenization
+  * and out[j] must equal out'[j'] iff the token sequences match (mod
+  * 64-bit collisions).
+  *
+  * Each token is byte-hashed ONCE (XXH64, seed 42), then each window
+  * chain-mixes its n token hashes ([[HashKernels.xxh64Long]] fold —
+  * order-sensitive by construction). That makes the per-doc cost
+  * O(T) string hashing + O(T·n) long mixes, versus the Column-level
+  * slice+concat formulation's O(T·n) string BUILDS + hashes — the
+  * string work is what dominated (measured 3× on the documents
+  * fixture at n=8). */
+object WindowKernels {
+  def windowHashes(text: org.apache.spark.unsafe.types.UTF8String, n: Int): Array[Long] = {
+    val tokens = TokKernel.tokens(text.toLowerCase.toString)
+    val m = tokens.size
+    if (m < n) return Array.emptyLongArray
+    val th = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      val bytes = tokens.get(j).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      th(j) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+      j += 1
+    }
+    val out = new Array[Long](m - n + 1)
+    var w = 0
+    while (w < out.length) {
+      var acc = 42L
+      var q = 0
+      while (q < n) { acc = HashKernels.xxh64Long(th(w + q), acc); q += 1 }
+      out(w) = acc
+      w += 1
+    }
+    out
+  }
+}
+
+/** text -> array<long> positional window hashes via [[WindowKernels]]. */
+case class WindowHash64(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "window_hash64"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(WindowKernels.windowHashes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.plans.WindowKernels.windowHashes($t, $n));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHash64 =
+    copy(child = newChild)
+}
+
 /** text -> array<long> shingle hashes via [[ShingleKernels]]. */
 case class ShingleHash64(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -495,6 +553,10 @@ object TextExpressions {
   /** Column entry point: text -> distinct shingle-hash array (fused). */
   def shingleHash64(text: Column, n: Int): Column =
     GraftSqlBridge.column(ShingleHash64(GraftSqlBridge.expression(text), n))
+
+  /** Column entry point: text -> positional n-token window hashes. */
+  def windowHash64(text: Column, n: Int): Column =
+    GraftSqlBridge.column(WindowHash64(GraftSqlBridge.expression(text), n))
 
   /** Column entry point: text -> [n_ngrams, n_uniq] exact stats. */
   def ngramStats(text: Column, n: Int): Column =
