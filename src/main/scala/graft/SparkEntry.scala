@@ -1203,6 +1203,23 @@ object SparkEntry {
         .filter(!(col("click_id") <=> lit(-1L)) && !(col("buy_id") <=> lit(-1L)))
     }),
 
+    // --- SemDeDup with per-cluster banded RP-LSH pruning (round 7):
+    //     the hot-semantic-cluster fallback as a first-class operator.
+    //     Same fixture/centroid rule as q143; exact clones collide in
+    //     EVERY band (recall 1 on identical vectors) and natural
+    //     cross-vector cosine (~0.5 at dim 16) never reaches tau=0.9,
+    //     so the verdict set is deterministic and equals the exact
+    //     pair-join's — which is what the q143-shaped oracle checks. ---
+    "q147_semdedup_lsh" -> ((s, dir) => {
+      val e = t(s, dir).embeddings
+      val expanded = e
+        .select(col("vec_id"), slice(col("embedding"), 1, 16).as("ev"),
+          explode(sequence(lit(0), lit(15))).as("i"))
+        .select((col("vec_id") * 16 + col("i")).as("vid"), col("ev"))
+      graft.operators.Similarity.semDedupLsh(expanded, "vid", "ev",
+        k = 4096, tau = 0.9, planes = 10, bands = 4)
+    }),
+
     // --- exact-substring dedup as SPANS (Lee et al. 2022; round 7 —
     //     closes the "q137 is a frequency proxy" gap): all maximal
     //     token-aligned verbatim overlaps >= 8 tokens between doc
@@ -3178,6 +3195,29 @@ object SparkEntry {
     // desc, cid asc) — the window formulation is quadratically slower
     // on the 33M-candidate matrix
     "q143_semdedup_bigk" ->
+      """WITH v AS (
+           SELECT vec_id*16 + i AS vid, CAST(embedding[1:16] AS DOUBLE[]) AS ev
+           FROM embeddings, UNNEST(generate_series(0,15)) AS t(i)),
+         cent AS (SELECT vid AS cid, ev AS cv FROM v ORDER BY vid LIMIT 4096),
+         asg AS (
+           SELECT v.vid,
+                  (min(struct_pack(ns := -list_cosine_similarity(v.ev, cent.cv),
+                                   cid := cent.cid))).cid AS cluster
+           FROM v, cent GROUP BY v.vid),
+         pruned AS (
+           SELECT DISTINCT b.vid
+           FROM asg a
+           JOIN asg b ON a.cluster = b.cluster AND a.vid < b.vid
+           JOIN v va ON va.vid = a.vid
+           JOIN v vb ON vb.vid = b.vid
+           WHERE list_cosine_similarity(va.ev, vb.ev) >= 0.9)
+         SELECT asg.vid, CAST(asg.cluster AS BIGINT) AS cluster,
+                CAST(CASE WHEN p.vid IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         FROM asg LEFT JOIN pruned p ON asg.vid = p.vid""",
+
+    // the LSH prune equals the exact pair join on this fixture (clones
+    // collide in every band; nothing else reaches tau) — same replay
+    "q147_semdedup_lsh" ->
       """WITH v AS (
            SELECT vec_id*16 + i AS vid, CAST(embedding[1:16] AS DOUBLE[]) AS ev
            FROM embeddings, UNNEST(generate_series(0,15)) AS t(i)),

@@ -499,6 +499,50 @@ object Similarity {
         when(col("__pruned").isNull, 1L).otherwise(0L).as("kept"))
   }
 
+  /** [[semDedup]] with the within-cluster EXACT pair join replaced by
+    * banded RP-LSH candidate generation — the hot-semantic-cluster
+    * fallback docs/SCALE.md prescribes, now a first-class operator.
+    * Bucket key = (cluster, band, bucket): a mega-cell (a corpus where
+    * one semantic cluster holds millions of docs) never meets itself
+    * all-pairs; each band's buckets split it independently, and the
+    * O(Σ cell²) bound becomes O(Σ bucket²) per band. Candidates are
+    * verified with the exact cosine, so precision is exact; only
+    * recall rides the multi-band amplification
+    * 1−(1−(1−θ/π)^planes)^bands, and identical vectors (the exact-
+    * clone case) collide in EVERY band — recall 1 there. A missed
+    * near-dup pair errs PRUNE-CONSERVATIVE: the doc survives where
+    * exact [[semDedup]] would prune it — curation keeps data on LSH
+    * misses, never drops extra. */
+  def semDedupLsh(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, tau: Double = 0.9, planes: Int = 10, bands: Int = 4,
+      literalBudgetDoubles: Int = LiteralBudgetDoubles): DataFrame = {
+    val assignedRaw = semDedupAssign(df, idCol, vecCol, k, literalBudgetDoubles)
+    // bands+2 consumers of the assignment — same materialization
+    // decision as semDedup (see there)
+    val assigned =
+      if (k <= LiteralMaxCentroids &&
+          k.toLong * vecDim(df, vecCol) <= literalBudgetDoubles) assignedRaw
+      else assignedRaw.localCheckpoint()
+    val candidates = (0 until bands).map { band =>
+      val b = assigned.select(col(idCol), col("cluster"),
+        graft.plans.VectorExpressions.rpLshBucket(
+          col("__v"), planes, seed = 42L + band).as("__bucket"))
+      b.as("a").join(b.as("b"),
+          col("a.cluster") === col("b.cluster") &&
+            col("a.__bucket") === col("b.__bucket") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+    }.reduce(_ unionAll _).distinct()
+    val pruned = candidates
+      .join(assigned.select(col(idCol).as("id1"), col("__v").as("__v1")), Seq("id1"))
+      .join(assigned.select(col(idCol).as("id2"), col("__v").as("__v2")), Seq("id2"))
+      .filter(cosineFast(col("__v1"), col("__v2")) >= tau)
+      .select(col("id2").as(idCol)).distinct()
+    assigned.join(pruned.withColumn("__pruned", lit(1L)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        when(col("__pruned").isNull, 1L).otherwise(0L).as("kept"))
+  }
+
   def cosineDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       tau: Double, planes: Int = 10, bands: Int = 4): DataFrame = {

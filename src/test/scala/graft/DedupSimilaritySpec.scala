@@ -667,6 +667,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(run(Int.MaxValue) == run(1))
   }
 
+  test("semDedupLsh equals exact semDedup on clone-planted data; never prunes extra") {
+    val df = oneHot63
+    def verdicts(f: => org.apache.spark.sql.DataFrame) =
+      f.select($"vec_id", $"cluster", $"kept").as[(Long, Long, Long)].collect().toSet
+    val exact = verdicts(Similarity.semDedup(df, "vec_id", "embedding", k = 4, tau = 0.9))
+    val lsh = verdicts(Similarity.semDedupLsh(df, "vec_id", "embedding",
+      k = 4, tau = 0.9, planes = 10, bands = 4))
+    // identical vectors collide in every band -> recall 1 on clones;
+    // nothing else reaches tau on one-hots, so the sets are equal
+    assert(lsh == exact)
+    // the prune-conservative law: LSH may only KEEP more, never prune
+    // more — check on the documents-derived embeddings too
+    val e = tables.embeddings
+    def prunedSet(f: => org.apache.spark.sql.DataFrame) =
+      f.filter($"kept" === 0).select($"vec_id").as[Long].collect().toSet
+    val pExact = prunedSet(Similarity.semDedup(e, "vec_id", "embedding", k = 8, tau = 0.6))
+    val pLsh = prunedSet(Similarity.semDedupLsh(e, "vec_id", "embedding",
+      k = 8, tau = 0.6, planes = 6, bands = 2)) // deliberately weak LSH
+    assert(pLsh.subsetOf(pExact), s"LSH pruned extra: ${pLsh -- pExact}")
+  }
+
   test("kMeansFit: recovers planted blobs; spherical objective non-increasing") {
     // 3 blobs hugging axes 0/1/2 of a dim-4 space with deterministic
     // jitter — cosine separation is unambiguous
