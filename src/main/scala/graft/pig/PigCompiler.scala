@@ -959,16 +959,49 @@ object PigCompiler {
     * FILTER predicates. Same operator surface as [[compileExpr]] minus
     * the type-dispatched builtins (no analysis is possible on a lambda
     * variable; nested predicates are scalar comparisons in practice). */
+  /** Static type of a nested-bag element expression, where resolvable
+    * (field refs and struct drills against the ELEMENT schema — the
+    * nested analogue of dtypeOf; None for computed expressions). */
+  private def elemTypeOf(st: StructType, e: PExpr): Option[DataType] = e match {
+    case PCol(n) => scala.util.Try(st(fieldIn(st, n)).dataType).toOption
+    case PPos(i) if i < st.fields.length => Some(st.fields(i).dataType)
+    case PDot(b, f) => elemTypeOf(st, b).flatMap {
+      case s: StructType => scala.util.Try(s(f).dataType).toOption
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Does a nested-bag element expression produce a bignum? Mirrors the
+    * top level's maybeBig: field types via [[elemTypeOf]], plus the
+    * shapes that CREATE bignums (literals, casts, arithmetic whose
+    * either side is big). Without this, bignum fields inside nested
+    * FOREACH/FILTER blocks fell through to plain numeric ops on the
+    * carrier struct. */
+  private def elemIsBig(st: StructType, e: PExpr): Boolean = e match {
+    case PBigLit(_) => true
+    case PCast(t, _) => t == "biginteger" || t == "bigdecimal"
+    case PBin(op, l, r) if Set("+", "-", "*", "/", "%")(op) =>
+      elemIsBig(st, l) || elemIsBig(st, r)
+    case PNeg(x) => elemIsBig(st, x)
+    case PTernary(_, t, f) => elemIsBig(st, t) || elemIsBig(st, f)
+    case _ => elemTypeOf(st, e).exists(BigNum.isBig)
+  }
+
   private def compileElem(st: StructType, elem: Column, e: PExpr): Column = e match {
     case PLit(null) => lit(null)
     case PLit(v) => lit(v)
+    case PBigLit(digits) => BigNum.big(lit(digits))
     case PCol(n) => elem.getField(fieldIn(st, n))
     case PPos(i) => elem.getField(st.fields(i).name)
     case PDot(b, f) => compileElem(st, elem, b).getField(f)
     case PMapGet(b, k) => compileElem(st, elem, b).getItem(k)
-    case PBin(op, l, r) => binOp(op, compileElem(st, elem, l), compileElem(st, elem, r))
+    case PBin(op, l, r) => binOpT(op, compileElem(st, elem, l), compileElem(st, elem, r),
+      elemIsBig(st, l), elemIsBig(st, r))
     case PNot(x) => !compileElem(st, elem, x)
-    case PNeg(x) => -compileElem(st, elem, x)
+    case PNeg(x) =>
+      val c = compileElem(st, elem, x)
+      if (elemIsBig(st, x)) BigNum.neg(c) else -c
     case PIsNull(x, neg) =>
       val c = compileElem(st, elem, x); if (neg) c.isNotNull else c.isNull
     case PMatches(x, re) => PigFunctions.matchesFull(compileElem(st, elem, x), re)
@@ -977,7 +1010,10 @@ object PigCompiler {
     case PTernary(c, t, f) =>
       when(compileElem(st, elem, c), compileElem(st, elem, t))
         .otherwise(compileElem(st, elem, f))
-    case PCast(t, x) => castPigType(compileElem(st, elem, x), t)
+    case PCast(t, x) =>
+      val dt: Option[DataType] =
+        if (elemIsBig(st, x)) Some(BigNum.schema) else elemTypeOf(st, x)
+      castPigType(compileElem(st, elem, x), t, dt)
     case PCall(fn, args) =>
       scalarCall(fn, args.map(compileElem(st, elem, _)), args, _ =>
         throw new IllegalArgumentException(

@@ -223,6 +223,38 @@ class BigNumSpec extends SparkSpec {
     }
   }
 
+  test("bignum fields inside nested FOREACH blocks: arithmetic, compare, aggregates") {
+    // amt is a BIGNUM bag field; the nested FILTER multiplies and
+    // compares it in bignum space (ok * 1e18 * 10 > 3e22 <=> ok > 3000,
+    // exact), and MAX rides the bignum ordering — the elem-context
+    // type dispatch that used to fall through to numeric ops on the
+    // carrier struct
+    val script =
+      """L = LOAD '$DIR/lineitem.parquet' USING parquet;
+        |P = FOREACH L GENERATE l_suppkey, (biginteger)l_orderkey * 1000000000000000000BI AS amt;
+        |G = GROUP P BY l_suppkey;
+        |A = FOREACH G {
+        |  big = FILTER P BY amt * 10BI > 30000000000000000000000BI;
+        |  GENERATE group AS sk, COUNT(big) AS n_big, MAX(big.amt) AS max_amt;
+        |};
+        |""".stripMargin
+    val got = graft.pig.PigScript.query(spark, script, Map("DIR" -> sf))
+      .as[(Long, Long, Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val ref = tables.lineitem.groupBy($"l_suppkey").agg(
+      sum(when($"l_orderkey" > 3000, 1L).otherwise(0L)).as("n"),
+      max(when($"l_orderkey" > 3000, $"l_orderkey")).as("mo"))
+      .as[(Long, Long, Option[Long])].collect()
+    assert(ref.nonEmpty && got.size == ref.length)
+    ref.foreach { case (sk, n, mo) =>
+      val (nGot, maxGot) = got(sk)
+      assert(nGot == n, s"suppkey $sk count")
+      val expectMax = mo.map(o => new java.math.BigInteger(o.toString)
+        .multiply(new java.math.BigInteger("1000000000000000000")).toString)
+      assert(maxGot == expectMax, s"suppkey $sk max: $maxGot vs $expectMax")
+    }
+  }
+
   test("unwrapAll renders bignums nested in bags/tuples/maps, not just top level") {
     // the STORE-of-a-grouped-relation shape: a bag of tuples each
     // carrying a bignum, plus a tuple-nested and a map-valued bignum
