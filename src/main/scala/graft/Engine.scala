@@ -230,6 +230,30 @@ object Engine {
       as: String = "q8"): DataFrame =
     df.withColumn(as, Similarity.quantizeInt8(col(vecCol)))
 
+  // round-7 surface: paper-scale semantic dedup (broadcast centroids /
+  // per-cluster LSH prune / fitted centroids), exact-substring spans,
+  // full BPE training
+
+  def dedupSemanticLsh(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, tau: Double = 0.9, planes: Int = 10, bands: Int = 4): DataFrame =
+    Similarity.semDedupLsh(df, idCol, vecCol, k, tau, planes, bands)
+
+  def fitCentroids(df: DataFrame, vecCol: String, k: Int,
+      iters: Int = 5, sampleN: Int = 100000): DataFrame =
+    Similarity.kMeansFit(df, vecCol, k, iters, sampleN)
+
+  def assignClusters(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    Similarity.assignByCentroidTable(df, idCol, vecCol, centroids)
+
+  def verbatimSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 20, maxDocFreq: Int = 50): DataFrame =
+    Dedup.verbatimSpans(df, idCol, textCol, minLen, maxDocFreq)
+
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int)
+      : (Seq[TextAnalysis.BpeMerge], DataFrame) =
+    TextAnalysis.bpeTrain(df, textCol, nMerges)
+
   /** One-call training-data curation: language/quality filter -> exact
     * dedup -> fuzzy dedup clusters -> token annotations. */
   def curate(df: DataFrame, idCol: String, textCol: String,

@@ -82,6 +82,19 @@ class EngineSpec extends SparkSpec {
       .select($"q8.codes").count() == 200)
   }
 
+  test("Engine facade round-7 surface: every delegation produces sane output") {
+    val docs = tables.documents.limit(100)
+    val embs = tables.embeddings.limit(100)
+    assert(Engine.dedupSemanticLsh(embs, "vec_id", "embedding", k = 4).count() == 100)
+    val cents = Engine.fitCentroids(embs, "embedding", k = 4, iters = 2)
+    assert(cents.count() == 4)
+    val asg = Engine.assignClusters(embs, "vec_id", "embedding", cents)
+    assert(asg.select($"cluster").distinct().count() <= 4 && asg.count() == 100)
+    assert(Engine.verbatimSpans(docs, "doc_id", "text", minLen = 8).count() >= 0)
+    val (merges, vocab) = Engine.bpeTrain(docs, "text", nMerges = 3)
+    assert(merges.length == 3 && vocab.count() > 0)
+  }
+
   test("GraftSession.sql queries registered aliases (PigServer entry point)") {
     val gs = new GraftSession(spark)
     gs.register("r", tables.region).register("n", tables.nation)
