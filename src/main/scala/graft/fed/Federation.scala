@@ -150,6 +150,18 @@ object Federation {
     * term for cut decisions at equal cluster speeds). */
   val TransferWeight: Double = 2.0
 
+  /** Network topology term (SURVEY §2.8: the paper weighs link
+    * bandwidths, not just sizes): per-byte transfer price for a
+    * specific (from, to) cluster pair. Missing entries fall back to
+    * the symmetric pair, then to the global [[TransferWeight]] — an
+    * empty map reproduces the topology-free model exactly. Asymmetric
+    * entries are honored (egress-priced clouds, one-way replication
+    * links). */
+  type Links = Map[(String, String), Double]
+
+  private def linkWeight(links: Links, from: String, to: String): Double =
+    links.getOrElse((from, to), links.getOrElse((to, from), TransferWeight))
+
   /** Direct children of a DAG node. */
   private def children(p: FedPlan): Seq[FedPlan] = p match {
     case FedScan(_) => Nil
@@ -182,7 +194,8 @@ object Federation {
     * estimated output bytes of its children — the data the node must
     * actually chew through where it runs. */
   def assignmentCost(root: FedPlan, assignment: Map[FedPlan, String],
-      catalog: Catalog, clusters: Map[String, Cluster]): Double = {
+      catalog: Catalog, clusters: Map[String, Cluster],
+      links: Links = Map.empty): Double = {
     val anySession = clusters.values.head.session
     val bytes = mutable.Map.empty[FedPlan, Long]
     def outBytes(p: FedPlan): Long =
@@ -196,7 +209,8 @@ object Federation {
       val compute = inBytes.toDouble * factor
       val transfer = children(n)
         .filter(c => assignment(c) != assignment(n))
-        .map(c => outBytes(c).toDouble * TransferWeight).sum
+        .map(c => outBytes(c).toDouble *
+          linkWeight(links, assignment(c), assignment(n))).sum
       compute + transfer
     }.sum
   }
@@ -207,7 +221,8 @@ object Federation {
     * incremental price — shipped bytes × TransferWeight + joined bytes
     * × the destination's computeFactor — is lower. With equal
     * computeFactors this is exactly "ship the cheaper side". */
-  def plan(root: FedPlan, catalog: Catalog, clusters: Map[String, Cluster]): Placement = {
+  def plan(root: FedPlan, catalog: Catalog, clusters: Map[String, Cluster],
+      links: Links = Map.empty): Placement = {
     val assign = mutable.Map.empty[FedPlan, String]
     val transfers = mutable.ArrayBuffer.empty[(String, String, String)]
     val anySession = clusters.values.head.session
@@ -225,8 +240,8 @@ object Federation {
           else {
             val (lb, rb) = (estimateBytes(l, catalog, anySession), estimateBytes(r, catalog, anySession))
             val joined = (lb + rb).toDouble
-            val costAtCr = lb * TransferWeight + joined * factor(cr) // ship left
-            val costAtCl = rb * TransferWeight + joined * factor(cl) // ship right
+            val costAtCr = lb * linkWeight(links, cl, cr) + joined * factor(cr) // ship left
+            val costAtCl = rb * linkWeight(links, cr, cl) + joined * factor(cl) // ship right
             val (shipped, dest) = if (costAtCr <= costAtCl) (l, cr) else (r, cl)
             transfers += ((shipped.label, assign(shipped), dest))
             dest
@@ -235,7 +250,7 @@ object Federation {
     }
     walk(root)
     val a = assign.toMap
-    Placement(a, transfers.toSeq, assignmentCost(root, a, catalog, clusters))
+    Placement(a, transfers.toSeq, assignmentCost(root, a, catalog, clusters, links))
   }
 
   /** Exhaustive cut search: every non-scan node may run on ANY cluster
@@ -244,7 +259,7 @@ object Federation {
     * test/calibration harness for the paper's greedy-vs-exhaustive
     * comparison, not a production path. */
   def planExhaustive(root: FedPlan, catalog: Catalog,
-      clusters: Map[String, Cluster]): Placement = {
+      clusters: Map[String, Cluster], links: Links = Map.empty): Placement = {
     val all = nodes(root)
     val free = all.filter { case FedScan(_) => false; case _ => true }
     require(math.pow(clusters.size.toDouble, free.size.toDouble) <= 1e6,
@@ -256,7 +271,7 @@ object Federation {
     var bestCost = Double.MaxValue
     def rec(rest: List[FedPlan], acc: Map[FedPlan, String]): Unit = rest match {
       case Nil =>
-        val c = assignmentCost(root, acc, catalog, clusters)
+        val c = assignmentCost(root, acc, catalog, clusters, links)
         if (c < bestCost) { bestCost = c; best = acc }
       case n :: tail =>
         ids.foreach(id => rec(tail, acc + (n -> id)))

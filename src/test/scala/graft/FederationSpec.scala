@@ -140,6 +140,40 @@ class FederationSpec extends SparkSpec {
     assert(skewed.cost < even.cost * 10, "cost must be priced, not NaN")
   }
 
+  test("network topology: an expensive link reverses the cut decision") {
+    val tmp = Files.createTempDirectory("fedlink").toString
+    val (custUri, ordUri) = (s"$tmp/a/customer", s"$tmp/b/orders")
+    tables.customer.write.mode("overwrite").parquet(custUri)
+    tables.orders.write.mode("overwrite").parquet(ordUri)
+    val catalog = new Catalog()
+      .register("customer", TableLoc("A", "parquet", custUri))
+      .register("orders", TableLoc("B", "parquet", ordUri))
+    val join = FedBinary(FedScan("customer"), FedScan("orders"),
+      (c, o) => c.join(o, c("c_custkey") === o("o_custkey")), "join")
+    val clusters = Map(
+      "A" -> Cluster("A", spark.newSession(), s"$tmp/a/scratch"),
+      "B" -> Cluster("B", spark.newSession(), s"$tmp/b/scratch"))
+    // default topology: small customer ships A -> B (baseline behavior)
+    val flat = Federation.plan(join, catalog, clusters)
+    assert(flat.assignment(join) == "B")
+    // A -> B link priced 100x (directional; B -> A stays cheap): the
+    // planner must now ship the BIG orders side B -> A instead
+    val links: Federation.Links = Map(("A", "B") -> 200.0, ("B", "A") -> 2.0)
+    val routed = Federation.plan(join, catalog, clusters, links)
+    assert(routed.assignment(join) == "A", routed.toString)
+    val (_, from, dest) = routed.transfers.head
+    assert(from == "B" && dest == "A")
+    // the cost model prices the same topology the greedy decided under
+    assert(routed.cost ==
+      Federation.assignmentCost(join, routed.assignment, catalog, clusters, links))
+    // symmetric fallback: an (A,B)-only entry also prices B -> A
+    val sym: Federation.Links = Map(("A", "B") -> 7.0)
+    val c1 = Federation.assignmentCost(join, routed.assignment, catalog, clusters, sym)
+    val c2 = Federation.assignmentCost(join, routed.assignment, catalog, clusters,
+      Map(("B", "A") -> 7.0))
+    assert(c1 == c2)
+  }
+
   test("greedy is within 1.5x of exhaustive on a 3-table DAG (paper's comparison)") {
     val tmp = Files.createTempDirectory("fedex").toString
     val (custUri, ordUri, liUri) = (s"$tmp/a/customer", s"$tmp/b/orders", s"$tmp/c/lineitem")
