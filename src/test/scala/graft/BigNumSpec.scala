@@ -82,11 +82,21 @@ class BigNumSpec extends SparkSpec {
     val expect = vals.reduce(_ add _).toString
     assert(expect.length > 38) // the DecimalType cap is genuinely exceeded
     val df = vals.map(_.toString).toDF("v")
+    // AVG divides the exact sum at DECIMAL128 in finish — same
+    // partition-invariance requirement as SUM (typed BigDecimal
+    // buffers since round 7; the law must survive the kryo encoder)
+    val expectAvg = new java.math.BigDecimal(vals.reduce(_ add _))
+      .divide(java.math.BigDecimal.valueOf(100), java.math.MathContext.DECIMAL128)
+      .stripTrailingZeros.toPlainString
     for (parts <- Seq(1, 4, 13)) {
       val got = df.repartition(parts)
         .agg(BigNum.sumBig(BigNum.big($"v")).as("s"))
         .select(BigNum.str($"s")).as[String].head()
       assert(got == expect, s"at $parts partitions")
+      val gotAvg = df.repartition(parts)
+        .agg(BigNum.avgBig(BigNum.big($"v")).as("a"))
+        .select(BigNum.str($"a")).as[String].head()
+      assert(gotAvg == expectAvg, s"avg at $parts partitions")
     }
   }
 
