@@ -205,6 +205,18 @@ object Soak {
     else println(s"[soak] semdedup SKIPPED: ~$sdUB within-cluster pairs " +
       "(cell stats above; raise k or use per-cluster banded LSH at this density)")
 
+    // verbatim-span dedup (round 7): window-fingerprint inverted index
+    // under dense-duplicate stress — the synthetic corpus's dup
+    // families (textmod copies of each distinct text) make EVERY
+    // window eligible at this cap, so the pair join and diagonal-
+    // islands stages run at their per-family quadratic bound (the
+    // guard drops nothing; at the default cap=50 it would drop all)
+    val vsRows = math.min(rows, 250000L)
+    time(s"verbatim_spans_$vsRows")(
+      Dedup.verbatimSpans(docs.filter(col("doc_id") < vsRows), "doc_id", "text",
+        minLen = 4, maxDocFreq = 60)
+        .agg(count(lit(1))).collect()(0).getLong(0))
+
     // broadcast-centroid assignment PAST the literal budget (round 7):
     // k=4096 × dim 16 = 65k doubles ≫ the 10k literal budget, so this
     // runs the BroadcastNestedLoopJoin + two-pass primitive-HashAgg
