@@ -228,7 +228,11 @@ object Federation {
     val anySession = clusters.values.head.session
     def factor(c: String): Double = clusters(c).computeFactor
 
-    def walk(p: FedPlan): String = p match {
+    // memoized BY REFERENCE (assign's keys are identity — see
+    // FedPlan.equals): a shared sub-DAG is walked once, so its transfer
+    // is recorded once and traversal stays linear — the same contract
+    // nodes() keeps for pricing
+    def walk(p: FedPlan): String = if (assign.contains(p)) assign(p) else p match {
       case s @ FedScan(t) =>
         val c = catalog(t).cluster; assign(s) = c; c
       case st @ FedStage(in, _, _, _) =>

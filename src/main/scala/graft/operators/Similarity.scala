@@ -187,8 +187,24 @@ object Similarity {
 
   /** `size(vecCol)` from one row — a bounded metadata fetch (like the
     * centroid collects) used only to price the literal budget. */
-  private def vecDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(asDouble(col(vecCol)))).head().getInt(0)
+  private def vecDim(df: DataFrame, vecCol: String): Int = {
+    // first NON-NULL vector; an empty frame (or all-null column) prices
+    // as dim 0 → the literal path, which degrades exactly like the
+    // pre-budget code did (empty centroid collect, empty result)
+    val r = df.select(size(asDouble(col(vecCol))).as("__d"))
+      .filter(col("__d").isNotNull).head(1)
+    if (r.isEmpty) 0 else r(0).getInt(0)
+  }
+
+  /** The literal-vs-broadcast routing decision, in ONE place: the same
+    * predicate gates semDedupAssign's dataflow choice AND semDedup's
+    * materialization of it, and those two must never drift apart (a
+    * mismatch either checkpoints a free projection or recomputes the
+    * corpus×k argmin 6×). Costs one bounded vecDim job per call. */
+  private def useLiteralPath(df: DataFrame, vecCol: String, k: Int,
+      literalBudgetDoubles: Int): Boolean =
+    k <= LiteralMaxCentroids &&
+      k.toLong * vecDim(df, vecCol) <= literalBudgetDoubles
 
   /** The deterministic lowest-`k`-id centroid rule as a TABLE
     * (cid, cv) — the replayable default; a [[kMeansFit]] table drops in
@@ -446,9 +462,21 @@ object Similarity {
     * projection over inlined centroid literals. */
   def semDedupAssign(df: DataFrame, idCol: String, vecCol: String,
       k: Int, literalBudgetDoubles: Int = LiteralBudgetDoubles): DataFrame =
-    if (k <= LiteralMaxCentroids &&
-        k.toLong * vecDim(df, vecCol) <= literalBudgetDoubles) {
+    semDedupAssignImpl(df, idCol, vecCol, k,
+      useLiteralPath(df, vecCol, k, literalBudgetDoubles))
+
+  /** Assignment with the routing decision PRE-MADE — callers that also
+    * act on the decision (semDedup's materialization) pass it in so it
+    * is priced once and cannot drift. Rows with NULL vectors are
+    * excluded on BOTH paths: a null embedding has no cosine to any
+    * centroid (the literal path used to give it an arbitrary cluster
+    * via null-sorting; the broadcast path dropped it in the argmin —
+    * now the contract is uniform and explicit). */
+  private def semDedupAssignImpl(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, literal: Boolean): DataFrame =
+    if (literal) {
       val centroids: Array[(Long, Seq[Double])] = df
+        .filter(col(vecCol).isNotNull)
         .select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("cv"))
         .orderBy(col("cid").asc)
         .limit(k)
@@ -464,19 +492,23 @@ object Similarity {
         element_at(sort_array(array(scored: _*)), 1).getField("cent")
       }
 
-      df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
-        .withColumn("cluster", bestCell(col("__v")))
+      val base = df.filter(col(vecCol).isNotNull)
+        .select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      // an empty corpus yields zero centroids; sort_array over a
+      // zero-length literal array is a VOID-typed analysis error, so
+      // degrade to the (correctly-typed) empty assignment explicitly
+      if (centroids.isEmpty) base.withColumn("cluster", lit(0L)).filter(lit(false))
+      else base.withColumn("cluster", bestCell(col("__v")))
     } else
       // paper-scale k (Abbas et al. run k ≈ 10k–50k): same lowest-id
       // centroid rule as a broadcast TABLE + partial-agg argmin — the
       // plan stays constant-size no matter how large k×dim grows
-      assignByCentroidTable(df, idCol, vecCol,
-        centroidTable(df, idCol, vecCol, k))
+      assignByCentroidTable(df.filter(col(vecCol).isNotNull), idCol, vecCol,
+        centroidTable(df.filter(col(vecCol).isNotNull), idCol, vecCol, k))
 
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       k: Int = 8, tau: Double = 0.9,
       literalBudgetDoubles: Int = LiteralBudgetDoubles): DataFrame = {
-    val assignedRaw = semDedupAssign(df, idCol, vecCol, k, literalBudgetDoubles)
     // The assignment feeds THREE consumers (both pair-join sides + the
     // verdict join), and Spark's exchange reuse does not recognize the
     // broadcast-argmin subtree as shared — measured 6 full corpus×k
@@ -485,10 +517,9 @@ object Similarity {
     // the production shape anyway (SemDeDup pipelines persist the
     // cluster assignment before the prune phase); the literal path is
     // a near-free projection where materializing would only add I/O.
-    val assigned =
-      if (k <= LiteralMaxCentroids &&
-          k.toLong * vecDim(df, vecCol) <= literalBudgetDoubles) assignedRaw
-      else assignedRaw.localCheckpoint()
+    val literal = useLiteralPath(df, vecCol, k, literalBudgetDoubles)
+    val assignedRaw = semDedupAssignImpl(df, idCol, vecCol, k, literal)
+    val assigned = if (literal) assignedRaw else assignedRaw.localCheckpoint()
     val pruned = assigned.as("a").join(assigned.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col(s"a.$idCol") < col(s"b.$idCol") &&
@@ -516,13 +547,11 @@ object Similarity {
   def semDedupLsh(df: DataFrame, idCol: String, vecCol: String,
       k: Int = 8, tau: Double = 0.9, planes: Int = 10, bands: Int = 4,
       literalBudgetDoubles: Int = LiteralBudgetDoubles): DataFrame = {
-    val assignedRaw = semDedupAssign(df, idCol, vecCol, k, literalBudgetDoubles)
     // bands+2 consumers of the assignment — same materialization
     // decision as semDedup (see there)
-    val assigned =
-      if (k <= LiteralMaxCentroids &&
-          k.toLong * vecDim(df, vecCol) <= literalBudgetDoubles) assignedRaw
-      else assignedRaw.localCheckpoint()
+    val literal = useLiteralPath(df, vecCol, k, literalBudgetDoubles)
+    val assignedRaw = semDedupAssignImpl(df, idCol, vecCol, k, literal)
+    val assigned = if (literal) assignedRaw else assignedRaw.localCheckpoint()
     val candidates = (0 until bands).map { band =>
       val b = assigned.select(col(idCol), col("cluster"),
         graft.plans.VectorExpressions.rpLshBucket(

@@ -250,15 +250,16 @@ object TextAnalysis {
     * grows linearly in merges — the [[graft.operators.Dedup.clusterPairs]]
     * iterative-dataflow lesson.
     *
-    * The pair key joins symbols with U+001F so multi-char symbols
-    * can't alias ("ab"+"c" vs "a"+"bc"). Stops early when no pair
-    * repeats. Returns (merge sequence, final vocab as (syms, freq)).
+    * Pairs travel as (l, r) STRUCTS — multi-char symbols can never
+    * alias, even for symbols containing exotic characters (a joined
+    * string key would be ambiguous the moment a symbol contains the
+    * separator). Tie rule: count desc, then (l, r) lexicographic.
+    * Stops early when no pair repeats. Returns (merge sequence, final vocab as (syms, freq)).
     * Like [[bpePairCounts]], symbols start as plain characters (no
     * end-of-word marker — documented divergence from the paper's
     * `</w>`). */
   def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int)
       : (Seq[BpeMerge], DataFrame) = {
-    val sep = "\u001f"
     var vocab = docs
       .select(explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
@@ -270,7 +271,7 @@ object TextAnalysis {
     def adjacentPairs(syms: Column): Column = zip_with(
       slice(syms, lit(1), size(syms) - 1),
       slice(syms, lit(2), size(syms) - 1),
-      (x, y) => concat(x, lit(sep), y))
+      (x, y) => struct(x.as("l"), y.as("r")))
     var done = false
     for (_ <- 0 until nMerges if !done) {
       val best = vocab
@@ -278,12 +279,13 @@ object TextAnalysis {
         .select(col("freq"), explode(adjacentPairs(col("syms"))).as("pair"))
         .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
         .filter(col("cnt") >= 2) // a pair seen once carries no signal
-        .orderBy(col("cnt").desc, col("pair").asc)
+        .orderBy(col("cnt").desc, col("pair.l").asc, col("pair.r").asc)
         .limit(1)
         .collect()
       if (best.isEmpty) done = true
       else {
-        val Array(a, b) = best(0).getString(0).split(sep, 2)
+        val pr = best(0).getStruct(0)
+        val (a, b) = (pr.getString(0), pr.getString(1))
         merges += BpeMerge(a, b, best(0).getLong(1))
         vocab = vocab
           .select(mergeAdjacent(col("syms"), a, b).as("syms"), col("freq"))

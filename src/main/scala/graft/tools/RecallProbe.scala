@@ -16,9 +16,14 @@ object RecallProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val qs = emb.filter(col("vec_id") % 100 === 0)
+    // truth is CACHED + materialized off the clock: each timed recall
+    // join would otherwise re-run the brute-force ground truth and the
+    // secs column would measure the oracle, not the operator
     val truth = graft.operators.Similarity.bruteForceTopK(
         emb, qs, "vec_id", "vec_id", "embedding", 5)
       .select(col("query_id"), col("neighbor_id"))
+      .cache()
+    truth.count()
     def recall(name: String, found: => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
       val nh = truth.join(found, Seq("query_id", "neighbor_id")).count()

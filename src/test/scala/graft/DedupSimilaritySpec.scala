@@ -588,8 +588,8 @@ class DedupSimilaritySpec extends SparkSpec {
   test("bpeTrain merge sequence equals a single-node reference trainer") {
     import graft.operators.TextAnalysis
     val docs = tables.documents
-    // --- reference: plain Scala BPE with the same (count desc, pair
-    //     asc on the U+001F-joined key) tie rule and >=2 count floor ---
+    // --- reference: plain Scala BPE with the same (count desc, (l, r)
+    //     lexicographic) tie rule and >=2 count floor ---
     val corpusToks = docs.select(explode(Dedup.tokens($"text")).as("t"))
       .as[String].collect()
     var vocab: Vector[(Vector[String], Long)] = corpusToks
@@ -616,7 +616,7 @@ class DedupSimilaritySpec extends SparkSpec {
       val eligible = counts.filter(_._2 >= 2)
       if (eligible.isEmpty) stop = true
       else {
-        val best = eligible.minBy { case ((a, b), c) => (-c, a + "\u001f" + b) }
+        val best = eligible.minBy { case ((a, b), c) => (-c, a, b) }
         ref += ((best._1._1, best._1._2, best._2))
         vocab = vocab.map { case (s, f) => (applyMerge(s, best._1._1, best._1._2), f) }
       }
@@ -686,6 +686,39 @@ class DedupSimilaritySpec extends SparkSpec {
     val pLsh = prunedSet(Similarity.semDedupLsh(e, "vec_id", "embedding",
       k = 8, tau = 0.6, planes = 6, bands = 2)) // deliberately weak LSH
     assert(pLsh.subsetOf(pExact), s"LSH pruned extra: ${pLsh -- pExact}")
+  }
+
+  test("semDedup contracts: null vectors excluded on BOTH paths; empty input degrades") {
+    val withNull = oneHot63.unionAll(
+      Seq((9999L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    def ids(budget: Int) = Similarity
+      .semDedup(withNull, "vec_id", "embedding", k = 4, tau = 0.9,
+        literalBudgetDoubles = budget)
+      .select($"vec_id").as[Long].collect().toSet
+    val lit_ = ids(Int.MaxValue)
+    val bc = ids(1)
+    // a null embedding has no cosine to anything: excluded from the
+    // verdict on the literal AND broadcast paths (they used to differ)
+    assert(lit_ == bc, s"paths diverge: ${lit_ -- bc} vs ${bc -- lit_}")
+    assert(!lit_.contains(9999L))
+    assert(lit_.size == 63)
+    // empty input: degenerate empty result, not a head()-crash
+    assert(Similarity.semDedup(withNull.limit(0), "vec_id", "embedding", k = 4)
+      .count() == 0)
+  }
+
+  test("verbatimHotWindows reports exactly what the doc-frequency guard drops") {
+    // the shared 8-gram runs of docs 1/2/4 have doc frequency 3
+    val hot = Dedup.verbatimHotWindows(docs, "doc_id", "text",
+      minLen = 8, maxDocFreq = 2)
+      .as[(Long, Long)].collect()
+    assert(hot.nonEmpty && hot.forall(_._2 == 3))
+    // ... and with the cap at 2 those windows seed no spans, while the
+    // default cap keeps them
+    val capped = Dedup.verbatimSpans(docs, "doc_id", "text", minLen = 8, maxDocFreq = 2)
+    val open = Dedup.verbatimSpans(docs, "doc_id", "text", minLen = 8, maxDocFreq = 50)
+    assert(capped.count() < open.count())
+    assert(open.count() > 0)
   }
 
   test("kMeansFit: recovers planted blobs; spherical objective non-increasing") {
