@@ -125,20 +125,28 @@ object Bench {
     // runs to corrupt the median. A GC between queries keeps one
     // query's garbage out of the next query's measurement.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
-    val results = qs.map { name =>
+    // A failed run's time-to-failure is NOT a measurement: failures are
+    // logged with the exception, excluded from the median, and queries
+    // with zero successful runs land in the JSON's "failed" list so a
+    // broken query can never report a plausible number.
+    val failedQueries = scala.collection.mutable.ListBuffer[String]()
+    val results = qs.flatMap { name =>
       System.gc()
       val raw = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
-        try { benchQuery(name)(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { benchQuery(name)(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name timed run FAILED: $e"); false }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val times = raw.sorted
       // raw (temporal) order exposes within-session drift; sorted order
       // is what the median is read from
-      System.err.println(f"[bench] $name raw=${raw.map(t => f"$t%.2f").mkString(",")}")
+      System.err.println(f"[bench] $name raw=${raw.map(t => f"${t._1}%.2f" + (if (t._2) "" else "!")).mkString(",")}")
+      val times = raw.filter(_._2).map(_._1).sorted
       System.err.println(f"[bench] $name times=${times.map(t => f"$t%.2f").mkString(",")}")
-      name -> times(times.length / 2)
+      if (times.isEmpty) { failedQueries += name; None }
+      else Some(name -> times(times.length / 2))
     }
     logLoad("end")
     val qjson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
@@ -158,24 +166,29 @@ object Bench {
     // independent full replays.
     val streamQs = streamingSet.filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.contains(n)))
-    val streamResults = streamQs.map { name =>
+    val streamResults = streamQs.flatMap { name =>
       System.err.println(s"[bench] stream warm $name")
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case e: Throwable => System.err.println(s"[bench] stream warm $name failed: ${e.getMessage}") }
       val raw = (1 to 3).map { _ =>
         System.gc()
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] stream $name timed run FAILED: $e"); false }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      System.err.println(f"[bench] stream $name raw=${raw.map(t => f"$t%.2f").mkString(",")}")
-      name -> raw.sorted.apply(raw.length / 2)
+      System.err.println(f"[bench] stream $name raw=${raw.map(t => f"${t._1}%.2f" + (if (t._2) "" else "!")).mkString(",")}")
+      val good = raw.filter(_._2).map(_._1).sorted
+      if (good.isEmpty) { failedQueries += name; None }
+      else Some(name -> good(good.length / 2))
     }
     val sjson = streamResults.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val stotal = streamResults.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline12_sec":$base12%.3f,"headline_sec":$total%.3f,"queries":$qjson,"streaming_sec":$stotal%.3f,"streaming":$sjson,"sf":"$sfDir"}""")
+    val fjson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline12_sec":$base12%.3f,"headline_sec":$total%.3f,"queries":$qjson,"streaming_sec":$stotal%.3f,"streaming":$sjson,"failed":$fjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

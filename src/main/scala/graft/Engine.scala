@@ -254,6 +254,27 @@ object Engine {
       : (Seq[TextAnalysis.BpeMerge], DataFrame) =
     TextAnalysis.bpeTrain(df, textCol, nMerges)
 
+  // round-8 surface: exact-substring REMOVAL, BPE apply-side, exact
+  // heavy hitters, hard token budgets
+
+  def removeVerbatimSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 20, maxDocFreq: Int = 50): DataFrame =
+    Dedup.removeVerbatimSpans(df, idCol, textCol, minLen, maxDocFreq)
+
+  def bpeEncode(df: DataFrame, textCol: String,
+      merges: Seq[TextAnalysis.BpeMerge], as: String = "bpe"): DataFrame =
+    df.withColumn(as, TextAnalysis.bpeEncode(col(textCol), merges))
+
+  def heavyHitters(df: DataFrame, textCol: String, minCount: Long,
+      capacity: Int = 4096): DataFrame =
+    TextAnalysis.heavyHitters(df, textCol, minCount, capacity)
+
+  def tokenBudgetSample(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = 0L): DataFrame =
+    TrainingPipeline.tokenBudgetSample(df, groupCol, idCol, textCol,
+      budgets, defaultBudget)
+
   /** One-call training-data curation: language/quality filter -> exact
     * dedup -> fuzzy dedup clusters -> token annotations. */
   def curate(df: DataFrame, idCol: String, textCol: String,

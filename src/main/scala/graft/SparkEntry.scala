@@ -1233,6 +1233,41 @@ object SparkEntry {
       graft.operators.Dedup.verbatimSpans(
         t(s, dir).documents, "doc_id", "text", minLen = 8, maxDocFreq = 50)),
 
+    // --- exact-substring dedup COMPLETED (round 8): detect AND REMOVE
+    //     (Lee et al. cut one copy of every duplicated span; q146 is
+    //     the detect half). Min-id keeps its copy; the id2-side
+    //     occurrence is cut. Interval UNION per doc (islands over a
+    //     per-doc window, span-count-sized), ONE left join of docs
+    //     against bounded cut lists, per-row HOF rebuild. The oracle
+    //     recomputes coverage INDEPENDENTLY (position-set anti-join,
+    //     no interval merge), so an island-merge bug cannot self-
+    //     confirm. ---
+    "q148_span_removal" -> ((s, dir) =>
+      graft.operators.Dedup.removeVerbatimSpans(
+        t(s, dir).documents, "doc_id", "text", minLen = 8, maxDocFreq = 50)),
+
+    // --- EXACT heavy hitters via Misra-Gries candidates + one exact
+    //     verify pass (round 8): no vocabulary-sized shuffle — per-
+    //     partition MG summaries (<= capacity counters), candidate
+    //     union broadcast to a verify join that recounts exactly.
+    //     minCount*capacity > N is require'd, so recall is a THEOREM
+    //     (averaging argument), not a hope; the oracle is the plain
+    //     exact GROUP BY HAVING. ---
+    "q149_heavy_hitters" -> ((s, dir) =>
+      graft.operators.TextAnalysis.heavyHitters(
+        t(s, dir).documents, "text", minCount = 500L, capacity = 1024)),
+
+    // --- hard per-group token budgets (round 8) — the exact-budget
+    //     half of data mixing (temperatureMixture is the rate half):
+    //     md5-ordered greedy prefix per lang until the budget fills;
+    //     deterministic under any partitioning/retry. One shuffle on
+    //     the group key; window partitioned by GROUP (parallelism =
+    //     group count — the per-domain-accounting shape). ---
+    "q150_token_budget" -> ((s, dir) =>
+      graft.operators.TrainingPipeline.tokenBudgetSample(
+        t(s, dir).documents, "lang", "doc_id", "text",
+        budgets = Map("en" -> 2000L, "de" -> 1000L), defaultBudget = 500L)),
+
     // --- SemDeDup (Abbas et al. 2023): embedding-cluster semantic
     //     dedup — assignment is a zero-shuffle projection over inlined
     //     centroid literals (IVF discipline); within-cluster prune
@@ -3298,6 +3333,87 @@ object SparkEntry {
                 CAST(MIN(pa) AS BIGINT) AS a_start,
                 CAST(MIN(pb) AS BIGINT) AS b_start,
                 CAST(COUNT(*) + 7 AS BIGINT) AS len_tokens
-         FROM runs GROUP BY id1, id2, diag, run"""
+         FROM runs GROUP BY id1, id2, diag, run""",
+
+    // span REMOVAL replayed from window strings, with coverage
+    // recomputed independently of the engine's interval merge: the
+    // covered-position SET per doc (DISTINCT over span expansion) is
+    // anti-joined against token positions — an island-merge bug in the
+    // engine cannot reproduce here
+    "q148_span_removal" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         w AS (
+           SELECT doc_id, i AS pos, array_to_string(tk[i:i+7], chr(31)) AS g
+           FROM t, UNNEST(generate_series(1, len(tk) - 7)) AS u(i)
+           WHERE len(tk) >= 8),
+         eligible AS (
+           SELECT g FROM w GROUP BY g
+           HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 50),
+         wf AS (SELECT w.* FROM w JOIN eligible USING (g)),
+         m AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.pos AS pa, b.pos AS pb
+           FROM wf a JOIN wf b ON a.g = b.g AND a.doc_id < b.doc_id),
+         runs AS (
+           SELECT id1, id2, pa - pb AS diag, pa, pb,
+                  pa - ROW_NUMBER() OVER (PARTITION BY id1, id2, pa - pb
+                                          ORDER BY pa) AS run
+           FROM m),
+         spans AS (
+           SELECT id1, id2, MIN(pa) AS a_start, MIN(pb) AS b_start,
+                  COUNT(*) + 7 AS len_tokens
+           FROM runs GROUP BY id1, id2, diag, run),
+         cov AS (
+           SELECT DISTINCT id2 AS doc_id, p
+           FROM spans, UNNEST(generate_series(b_start, b_start + len_tokens - 1)) g(p)),
+         pos AS (
+           SELECT doc_id, i AS pos, tk[i] AS tok
+           FROM t, UNNEST(generate_series(1, len(tk))) u(i)),
+         kept AS (
+           SELECT pos.doc_id, pos.pos, pos.tok
+           FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.pos = cov.p
+           WHERE cov.p IS NULL),
+         stats AS (
+           SELECT t.doc_id, len(tk) AS n_tokens, COALESCE(c.nrm, 0) AS tokens_removed
+           FROM t LEFT JOIN (SELECT doc_id, COUNT(*) AS nrm FROM cov GROUP BY doc_id) c
+             USING (doc_id))
+         SELECT s.doc_id,
+                CAST(s.n_tokens AS BIGINT) AS n_tokens,
+                CAST(s.tokens_removed AS BIGINT) AS tokens_removed,
+                CAST(s.n_tokens - s.tokens_removed AS BIGINT) AS tokens_kept,
+                COALESCE(k.txt, '') AS text_clean
+         FROM stats s
+         LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
+                    FROM kept GROUP BY doc_id) k USING (doc_id)""",
+
+    // heavy hitters: the oracle IS the exact definition the sketch
+    // path must reproduce
+    "q149_heavy_hitters" ->
+      """SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+           SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                     x -> x <> '')) AS tok
+           FROM documents)
+         GROUP BY tok HAVING count(*) >= 500""",
+
+    // greedy md5-ordered prefix per lang under hard token budgets
+    "q150_token_budget" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+                  len(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS nt
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang, nt,
+                  SUM(nt) OVER (PARTITION BY lang
+                                ORDER BY md5(lang || '|' || CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS cum
+           FROM d)
+         SELECT doc_id, lang, CAST(nt AS BIGINT) AS n_tokens,
+                CAST(cum AS BIGINT) AS cum_tokens
+         FROM c
+         WHERE cum <= CASE lang WHEN 'en' THEN 2000
+                                WHEN 'de' THEN 1000 ELSE 500 END"""
   )
 }

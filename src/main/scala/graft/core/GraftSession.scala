@@ -119,6 +119,12 @@ object GraftSession {
     // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
     // rejects; read as long and convert in Tables.events.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // fixture timestamps are TIMESTAMP(isAdjustedToUTC=false) micros;
+    // Spark 4's default infers those as TIMESTAMP_NTZ, which breaks
+    // TIMESTAMP-typed consumers (unix_micros, getTimestamp) and diverges
+    // from the DuckDB oracle's naive-timestamp reading. Infer as
+    // TIMESTAMP (session tz is UTC, so values are identical).
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // Spark 4.1 routes lower/upper through ICU case mappings whose class
     // init burns ~1 CPU-minute on first use and is slower per call; the
     // JVM fast path matches DuckDB's non-ICU lower() on our data.

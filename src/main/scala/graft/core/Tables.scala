@@ -17,17 +17,23 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame      = table("part")
   def orders: DataFrame    = table("orders")
   def lineitem: DataFrame  = table("lineitem")
-  /** `ts` is TIMESTAMP(NANOS) in the parquet; with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a long,
-    * which we truncate to microseconds (integer div — no double
-    * round-trip, exact for the full epoch-nanos range) to match how
-    * DuckDB's reader narrows nanos. */
+  /** `ts` normalization — robust to every form the fixture has shipped
+    * in: TIMESTAMP(NANOS) under `nanosAsLong=true` arrives as a long
+    * (truncate to micros by integer div — no double round-trip, exact
+    * for the full epoch-nanos range, matching DuckDB's nanos
+    * narrowing); TIMESTAMP(isAdjustedToUTC=false) micros arrives as
+    * TIMESTAMP_NTZ on sessions without GraftSession's
+    * `inferTimestampNTZ=false` (cast to TIMESTAMP — identity under the
+    * UTC session timezone); already-TIMESTAMP passes through. */
   def events: DataFrame = {
     val raw = table("events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -263,6 +263,62 @@ object Dedup {
         col("len_tokens").cast("long").as("len_tokens"))
   }
 
+  /** Exact-substring dedup COMPLETED — detect AND remove (the second
+    * half of Lee et al. 2022: their pipeline cuts one copy of every
+    * duplicated span from the corpus; [[verbatimSpans]] is the detect
+    * half). Winner rule: for every verbatim overlap, the copy in the
+    * LOWEST doc id survives (the [[exactGroups]] min-id discipline);
+    * every span's id2-side occurrence is cut from that doc.
+    *
+    * Output: one row per input doc —
+    * (id, n_tokens, tokens_removed, tokens_kept, text_clean), where
+    * text_clean is the surviving tokens joined by single spaces
+    * (tokenization lowercases and collapses whitespace, so text_clean
+    * is canonical-form text, same normalization as [[tokens]]).
+    *
+    * Scale shape: spans → per-doc interval UNION via the islands trick
+    * (running max-end over a per-doc window — work sized by SPAN count,
+    * never token count), then ONE corpus-sized left join of docs
+    * against their bounded cut lists; the rebuild is a per-row HOF
+    * filter (token-sized per-row work, no shuffle). Overlapping spans
+    * from different partners never double-count: the interval union is
+    * computed before any token is touched. */
+  def removeVerbatimSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 20, maxDocFreq: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = verbatimSpans(df, idCol, textCol, minLen, maxDocFreq)
+    // the losing (id2-side) occurrence of every span, as [s, e] token
+    // intervals (1-based, inclusive)
+    val rm = spans.select(col("id2").as(idCol), col("b_start").as("s"),
+      (col("b_start") + col("len_tokens") - 1).as("e"))
+    // interval union per doc: overlap-or-adjacent runs merge into
+    // islands keyed by the running count of new-island starts
+    val w = Window.partitionBy(col(idCol)).orderBy(col("s"), col("e"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val cuts = rm
+      .withColumn("__pmax", max(col("e")).over(wPrev))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("s") > col("__pmax") + 1, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(w))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__cut"),
+        sum(col("e") - col("s") + 1).as("__rm"))
+    val emptyCut = array().cast("array<struct<s:bigint,e:bigint>>")
+    df.select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .join(cuts, Seq(idCol), "left")
+      .withColumn("__cut", coalesce(col("__cut"), emptyCut))
+      .select(col(idCol),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        coalesce(col("__rm"), lit(0L)).as("tokens_removed"),
+        (size(col("__tk")) - coalesce(col("__rm"), lit(0L))).cast("long").as("tokens_kept"),
+        array_join(filter(col("__tk"), (t, i) =>
+          !exists(col("__cut"), iv =>
+            (i + 1) >= iv.getField("s") && (i + 1) <= iv.getField("e"))), " ")
+          .as("text_clean"))
+  }
+
   // ---------------- pair clustering / canonical winners ----------------
 
   /** Connected components over a dup-pair edge list (id1, id2) via

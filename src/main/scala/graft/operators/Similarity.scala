@@ -258,7 +258,15 @@ object Similarity {
     * means are a posexplode/groupBy over (cluster, dim) — vocab-sized,
     * never corpus-sized. Empty clusters keep their previous centroid.
     * Returns the fitted (cid, cv) table, ready for
-    * [[assignByCentroidTable]]. */
+    * [[assignByCentroidTable]].
+    *
+    * The `sampleN` cap applies to ROWS, then duplicates collapse, so on
+    * a duplicate-heavy corpus the effective distinct sample is smaller
+    * than `sampleN`. If fewer than `k` distinct vectors survive, the
+    * fit WARNS loudly and returns that many centroids (the returned
+    * table's row count is the actual centroid count) — silently
+    * clustering into fewer cells than requested was the failure mode
+    * this guards. */
   def kMeansFit(df: DataFrame, vecCol: String, k: Int, iters: Int = 5,
       sampleN: Int = 100000): DataFrame = {
     val spark = df.sparkSession
@@ -271,6 +279,10 @@ object Similarity {
       .limit(sampleN)
       .groupBy(col("v")).agg(count(lit(1)).cast("double").as("w"))
       .cache()
+    val nDistinct = sample.count()
+    if (nDistinct < k) System.err.println(
+      s"[graft] kMeansFit WARNING: only $nDistinct distinct vectors in the " +
+        s"$sampleN-row sample (requested k=$k); returning $nDistinct centroids")
     def centDf(cents: Array[Seq[Double]]): DataFrame =
       cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
         .toDF("cid", "cv")

@@ -295,6 +295,14 @@ object TextAnalysis {
     (merges.toSeq, vocab)
   }
 
+  /** Apply-side of [[bpeTrain]] — encode text under a trained merge
+    * sequence as a pure per-row native kernel (codegen'd; the merge
+    * list ships to executors once as a plan reference object, never
+    * per row). Together train+encode close the tokenizer loop: train
+    * on a corpus sample, encode the full corpus shuffle-free. */
+  def bpeEncode(text: Column, merges: Seq[BpeMerge]): Column =
+    graft.plans.TextExpressions.bpeEncode(text, merges.map(m => (m.left, m.right)))
+
   /** Bounded inverted index: per term, document frequency plus the
     * first `k` postings (lowest doc ids, zero-padded so lexical order
     * IS numeric order). The postings list is a bounded-state
@@ -316,6 +324,62 @@ object TextAnalysis {
   private def udf_boundedConcat(k: Int) =
     org.apache.spark.sql.functions.udaf(
       new graft.functions.Aggregators.BoundedConcat(k, ","))
+
+  /** EXACT heavy hitters (all tokens with global count ≥ `minCount`)
+    * without a vocabulary-sized shuffle: Misra–Gries candidate
+    * generation per partition + one exact verification pass over the
+    * candidates only — the classic sketch-then-verify shape.
+    *
+    * Soundness: MG with `capacity` counters retains every term whose
+    * partition-local count exceeds Nₚ/capacity; a term with global
+    * count > N/capacity must exceed Nₚ/capacity in at least one
+    * partition (averaging), so the UNION of per-partition keys has
+    * perfect recall on every term with count > N/capacity. The
+    * operator `require`s `minCount · capacity > N` (N read by one
+    * scan-only pre-pass — no shuffle, no explode), so the final
+    * `cnt ≥ minCount` filter is EXACT: no false negatives by the MG
+    * bound, no false positives because verification recounts
+    * candidates exactly.
+    *
+    * Scale: per-partition state is ≤ `capacity` counters; the
+    * candidate table is ≤ partitions × capacity rows (broadcast to the
+    * verify join — at 10⁴ partitions keep capacity ≤ ~10³ or raise
+    * spark's broadcast threshold accordingly); the verify aggregation
+    * shuffles candidate tokens only, never the vocabulary. */
+  def heavyHitters(docs: DataFrame, textCol: String, minCount: Long,
+      capacity: Int = 4096): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(minCount >= 1 && capacity >= 1, s"minCount=$minCount capacity=$capacity")
+    val n = docs.agg(sum(size(tokens(col(textCol))))).collect()(0).getLong(0)
+    require(minCount * capacity > n,
+      s"heavyHitters: minCount=$minCount x capacity=$capacity must exceed " +
+        s"total token count N=$n for the Misra-Gries recall guarantee; " +
+        s"raise capacity to > ${n / minCount}")
+    val toks = docs.select(explode(tokens(col(textCol))).as("tok"))
+    val cands = toks.as[String].mapPartitions { it =>
+      // Misra-Gries: capacity counters; a miss on a full summary
+      // decrements every counter (amortized O(1) per token)
+      val c = new java.util.HashMap[String, Long](capacity * 2)
+      it.foreach { t =>
+        if (c.containsKey(t)) c.put(t, c.get(t) + 1L)
+        else if (c.size < capacity) c.put(t, 1L)
+        else {
+          val dead = new java.util.ArrayList[String]()
+          val e = c.entrySet().iterator()
+          while (e.hasNext) {
+            val kv = e.next()
+            if (kv.getValue <= 1L) dead.add(kv.getKey) else kv.setValue(kv.getValue - 1L)
+          }
+          dead.forEach(k => c.remove(k))
+        }
+      }
+      scala.jdk.CollectionConverters.SetHasAsScala(c.keySet()).asScala.iterator
+    }.toDF("tok").distinct()
+    toks.join(broadcast(cands), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
 
   // ---------------- fingerprinting ----------------
 

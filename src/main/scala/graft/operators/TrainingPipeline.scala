@@ -207,6 +207,41 @@ object TrainingPipeline {
       .select(col(idCol), col(sourceCol))
   }
 
+  /** Hard per-group token budgets — the other half of data mixing:
+    * where [[temperatureMixture]] keeps docs at a RATE (binomial budget
+    * error, shuffle-free), this fills each group's budget EXACTLY
+    * (greedily, in a deterministic md5 order) — the "2 B tokens of
+    * wiki, 30 B of CC" recipe every pretraining mix sheet specifies.
+    * A doc survives iff its group's running token total INCLUDING it
+    * stays ≤ the group's budget, walking docs in md5(group|id) order
+    * (id tiebreak), so any engine / retry / partitioning selects the
+    * same set. Groups absent from `budgets` get `defaultBudget`.
+    *
+    * Scale shape: one shuffle on the group key + a within-group sorted
+    * running sum (a window, but partitioned by GROUP — parallelism is
+    * bounded by group count like any per-domain accounting; for
+    * few-group corpora at extreme scale, [[temperatureMixture]] is the
+    * shuffle-free alternative and this is the exact-budget one). The
+    * greedy-prefix rule means one oversized doc mid-order can shadow a
+    * smaller doc later (first-fit would keep it) — documented, not a
+    * bug: the prefix rule is what makes selection order-stable. */
+  def tokenBudgetSample(docs: DataFrame, groupCol: String, idCol: String,
+      textCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = 0L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(concat_ws("|", col(groupCol), col(idCol))), col(idCol))
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (g, b)) =>
+      when(col(groupCol) === g, lit(b)).otherwise(acc)
+    }
+    docs
+      .withColumn("__nt", size(Dedup.tokens(col(textCol))).cast("long"))
+      .withColumn("__cum", sum(col("__nt")).over(w))
+      .filter(col("__cum") <= budget)
+      .select(col(idCol), col(groupCol), col("__nt").as("n_tokens"),
+        col("__cum").as("cum_tokens"))
+  }
+
   def epochShuffle(docs: DataFrame, idCol: String, seed: Int): DataFrame = {
     val keyed = docs.withColumn("__shuffle_key",
       md5(concat_ws(":", lit(seed), col(idCol))))

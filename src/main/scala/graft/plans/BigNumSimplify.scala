@@ -39,6 +39,15 @@ import org.apache.spark.sql.types.StructType
   */
 object SimplifyBigNumCarriers extends Rule[LogicalPlan] {
 
+  /** The carrier struct itself, or a struct with a carrier field (the
+    * shape a FOREACH that keeps a bignum alongside other columns
+    * produces). */
+  private def carrierBearing(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case st: StructType =>
+      BigNumCarrier.isCarrier(st) || st.fields.exists(f => BigNumCarrier.isCarrier(f.dataType))
+    case _ => false
+  }
+
   private def isNullLit(e: Expression): Boolean = e match {
     case Literal(null, _) => true
     case c: Cast => c.child match {
@@ -75,8 +84,13 @@ object SimplifyBigNumCarriers extends Rule[LogicalPlan] {
         cmp.withNewChildren(Seq(
           GetStructField(cmp.left, 0, Some(BigNumCarrier.kField)),
           GetStructField(cmp.right, 0, Some(BigNumCarrier.kField))))
+      // scoped to bignum carriers (or structs holding one): pushing the
+      // extraction into every branch duplicates the CASE per extracted
+      // field, which is a net LOSS for unrelated struct-typed CASEs
+      // (codegen CSE skips conditional branches — the very premise of
+      // this rule), so non-carrier plans are left untouched
       case gsf @ GetStructField(cw: CaseWhen, _, _)
-          if cw.dataType.isInstanceOf[StructType] =>
+          if carrierBearing(cw.dataType) =>
         def ext(e: Expression): Expression =
           if (isNullLit(e)) Literal(null, gsf.dataType)
           else GetStructField(e, gsf.ordinal, gsf.name)

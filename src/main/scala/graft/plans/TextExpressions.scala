@@ -545,6 +545,113 @@ case class RepStats(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Trained BPE merge list as an immutable, serializable plan object:
+  * rank = position in the merge sequence (first merge = rank 0 = most
+  * frequent pair at train time). Shipped to executors ONCE per plan via
+  * codegen's reference-object mechanism — never re-parsed per row.
+  * Pairs key a tuple map (no joined-string key: a symbol may contain
+  * any non-whitespace character, so no separator is collision-safe). */
+final class BpeRanks(val merges: Array[(String, String)]) extends Serializable {
+  @transient lazy val rank: java.util.HashMap[(String, String), Integer] = {
+    val m = new java.util.HashMap[(String, String), Integer](merges.length * 2)
+    var i = 0
+    while (i < merges.length) {
+      if (!m.containsKey(merges(i))) m.put(merges(i), Integer.valueOf(i))
+      i += 1
+    }
+    m
+  }
+  // value equality on the merge sequence so expression canonicalization
+  // (and with it codegen CSE) sees two same-merges encoders as equal
+  override def equals(o: Any): Boolean = o match {
+    case r: BpeRanks => java.util.Arrays.equals(
+      merges.asInstanceOf[Array[AnyRef]], r.merges.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode: Int =
+    java.util.Arrays.hashCode(merges.asInstanceOf[Array[AnyRef]])
+}
+
+/** BPE apply-side (the other half of [[graft.operators.TextAnalysis]]
+  * bpeTrain): tokenize (lowercase, whitespace runs — TokKernel), then
+  * per word repeatedly merge the BEST-RANKED adjacent symbol pair,
+  * left-to-right non-overlapping ("aaaa" under (a,a) → "aa","aa" — the
+  * mergeAdjacent law), until no adjacent pair holds a trained rank.
+  * Initial symbols are CODE POINTS (matches the trainer's Spark-SQL
+  * `substring(tok,i,1)` char split, which is code-point based — a
+  * UTF-16 char split would break surrogate pairs). */
+object BpeKernels {
+  def encode(text: org.apache.spark.unsafe.types.UTF8String, ranks: BpeRanks)
+      : Array[org.apache.spark.unsafe.types.UTF8String] = {
+    val toks = TokKernel.tokens(text.toLowerCase.toString)
+    val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String]()
+    val rank = ranks.rank
+    var w = 0
+    while (w < toks.size) {
+      val word = toks.get(w)
+      // split to code points
+      var syms = new java.util.ArrayList[String](word.length)
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        val cc = Character.charCount(cp)
+        syms.add(word.substring(i, i + cc))
+        i += cc
+      }
+      var done = rank.isEmpty
+      while (!done && syms.size >= 2) {
+        // best (lowest) rank among adjacent pairs
+        var best = Integer.MAX_VALUE
+        var bl: String = null; var br: String = null
+        var j = 0
+        while (j < syms.size - 1) {
+          val r = rank.get((syms.get(j), syms.get(j + 1)))
+          if (r != null && r < best) { best = r; bl = syms.get(j); br = syms.get(j + 1) }
+          j += 1
+        }
+        if (bl == null) done = true
+        else {
+          val merged = new java.util.ArrayList[String](syms.size)
+          var p = 0
+          while (p < syms.size) {
+            if (p < syms.size - 1 && syms.get(p) == bl && syms.get(p + 1) == br) {
+              merged.add(bl + br); p += 2
+            } else { merged.add(syms.get(p)); p += 1 }
+          }
+          syms = merged
+        }
+      }
+      var q = 0
+      while (q < syms.size) {
+        out.add(org.apache.spark.unsafe.types.UTF8String.fromString(syms.get(q)))
+        q += 1
+      }
+      w += 1
+    }
+    out.toArray(new Array[org.apache.spark.unsafe.types.UTF8String](out.size))
+  }
+}
+
+case class BpeEncode(child: Expression, ranks: BpeRanks) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(BpeKernels.encode(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], ranks)
+      .asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("bpeRanks", ranks, "graft.plans.BpeRanks")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  (Object[]) graft.plans.BpeKernels.encode($t, $r));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Column entry point: shingle-hash array -> k-long MinHash signature. */
   def minhashSig(shingleHashes: Column, k: Int): Column =
@@ -577,4 +684,10 @@ object TextExpressions {
   /** Column entry point: text -> 64-bit SimHash fingerprint. */
   def simhash64(text: Column): Column =
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(text)))
+
+  /** Column entry point: text -> BPE symbol array under a trained
+    * merge list (apply-side of bpeTrain). */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    GraftSqlBridge.column(BpeEncode(GraftSqlBridge.expression(text),
+      new BpeRanks(merges.toArray)))
 }

@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Dev probe: window-fingerprint construction cost, native kernel vs
   * the slice+concat Column formulation, isolated from the span joins.
-  * Usage: `sbt "runMain graft.tools.WinHashBench [rows]"`. */
+  * Usage: `sbt "runMain graft.tools.WinHashBench [rows]"`; fixture dir
+  * from `SPARK_GRAFT_SF_DIR` like Bench/RecallProbe. */
 object WinHashBench {
   def main(args: Array[String]): Unit = {
     val rows = args.headOption.map(_.toLong).getOrElse(500000L)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.configure(
       SparkSession.builder().master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
@@ -16,7 +18,7 @@ object WinHashBench {
     spark.sparkContext.setLogLevel("WARN")
     // replicate the ~55-token documents fixture to `rows` docs — the
     // synthetic source's ~9-token texts underweight per-doc window cost
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("text"))
       .crossJoin(spark.range(math.max(1L, rows / 500)))
       .repartition(64)

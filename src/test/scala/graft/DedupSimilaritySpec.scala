@@ -569,6 +569,94 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("removeVerbatimSpans: min-id keeps its copy; interval union; clean rebuild") {
+    val run12 = (1 to 12).map(i => s"alpha$i").mkString(" ")
+    val run8 = (1 to 8).map(i => s"beta$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"intro one two $run12 tail x $run8"),
+      (2L, s"$run12 completely other words here"),
+      (3L, s"lead in words $run8 closing remarks"),
+      (4L, "nothing shared with anybody at all in this entire document body"),
+      (5L, s"prefix $run12 suffix")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeVerbatimSpans(docs, "doc_id", "text", minLen = 8)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size == 5, "one row per input doc")
+    // doc 1 is the min id of every pair it joins: loses nothing
+    assert(out(1L)._3 == 0L && out(1L)._5.startsWith("intro one two alpha1"))
+    // doc 2 loses run12 at positions 1..12
+    assert(out(2L) == ((2L, 16L, 12L, 4L, "completely other words here")))
+    // doc 3 loses run8 at positions 4..11
+    assert(out(3L) == ((3L, 13L, 8L, 5L, "lead in words closing remarks")))
+    // doc 4 untouched
+    assert(out(4L)._3 == 0L && out(4L)._4 == 11L)
+    // doc 5 loses run12 (union of the (1,5) and (2,5) cuts — same interval)
+    assert(out(5L) == ((5L, 14L, 12L, 2L, "prefix suffix")))
+    // conservation: kept + removed == total; clean text has kept tokens
+    out.values.foreach { r =>
+      assert(r._3 + r._4 == r._2, r.toString)
+      val n = if (r._5.isEmpty) 0 else r._5.split(" ").length
+      assert(n == r._4, s"clean-token count: $r")
+    }
+    // partition invariance
+    val out2 = Dedup.removeVerbatimSpans(docs.repartition(7), "doc_id", "text", minLen = 8)
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out2 == out)
+  }
+
+  test("removeVerbatimSpans merges OVERLAPPING cuts from different partners") {
+    // doc 10 holds c1..c10; doc 8 = c1..c8 and doc 9 = c3..c10 each cut
+    // an 8-token span from doc 10 — the [1,8] and [3,10] intervals
+    // overlap and must union to [1,10], never double-count to 16
+    val c = (1 to 10).map(i => s"c$i")
+    val docs = Seq(
+      (8L, c.take(8).mkString(" ")),
+      (9L, c.drop(2).mkString(" ")),
+      (10L, c.mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeVerbatimSpans(docs, "doc_id", "text", minLen = 8)
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(10L)._3 == 10L, s"overlap must union: ${out(10L)}")
+    assert(out(10L)._4 == 0L && out(10L)._5 == "", "fully-cut doc -> empty clean text")
+    assert(out(8L)._3 == 0L && out(9L)._3 == 0L, "min ids keep their copies")
+  }
+
+  test("bpeEncode: merge laws, rank precedence, trainer-segmentation parity") {
+    import graft.operators.TextAnalysis
+    def enc(text: String, merges: Seq[(String, String)]): Seq[String] =
+      Seq(Tuple1(text)).toDF("t")
+        .select(graft.plans.TextExpressions.bpeEncode($"t", merges).as("e"))
+        .as[Seq[String]].head()
+    // mergeAdjacent law: left-to-right non-overlapping
+    assert(enc("aaaa", Seq(("a", "a"))) == Seq("aa", "aa"))
+    assert(enc("aaaa", Seq(("a", "a"), ("aa", "aa"))) == Seq("aaaa"))
+    assert(enc("aaa", Seq(("a", "a"))) == Seq("aa", "a"))
+    // rank precedence: the LOWEST-ranked pair merges first
+    assert(enc("abc", Seq(("a", "b"), ("b", "c"))) == Seq("ab", "c"))
+    assert(enc("abc", Seq(("b", "c"), ("a", "b"))) == Seq("a", "bc"))
+    // multiple words, lowercasing, whitespace runs
+    assert(enc("AB  ab\tab", Seq(("a", "b"))) == Seq("ab", "ab", "ab"))
+    assert(enc("", Seq(("a", "b"))) == Seq.empty)
+    // parity with the TRAINER's segmentation: encoding any corpus word
+    // under the trained merge list must reproduce the final training
+    // vocab's symbols (greedy-by-rank == sequential merge application —
+    // the classic BPE apply/train equivalence, here cross-checked
+    // against the independent Spark-HOF trainer dataflow)
+    val docs = tables.documents
+    val (merges, finalVocab) = TextAnalysis.bpeTrain(docs, "text", nMerges = 12)
+    val trained = finalVocab.select($"syms").as[Seq[String]].collect()
+      .map(s => s.mkString("") -> s).toMap
+    val words = docs.select(explode(Dedup.tokens($"text")).as("w")).distinct()
+    val encoded = words
+      .select($"w", TextAnalysis.bpeEncode($"w", merges).as("e"))
+      .as[(String, Seq[String])].collect()
+    assert(encoded.nonEmpty)
+    encoded.foreach { case (w, e) =>
+      assert(e == trained(w), s"word '$w': encode=$e trained=${trained(w)}")
+    }
+  }
+
   test("mergeAdjacent: left-to-right non-overlapping merge semantics") {
     val df = Seq(
       Seq("a", "a", "a", "a"), Seq("a", "a", "a"),

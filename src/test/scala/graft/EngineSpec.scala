@@ -95,6 +95,20 @@ class EngineSpec extends SparkSpec {
     assert(merges.length == 3 && vocab.count() > 0)
   }
 
+  test("Engine facade round-8 surface: every delegation produces sane output") {
+    val docs = tables.documents.limit(100)
+    assert(Engine.removeVerbatimSpans(docs, "doc_id", "text", minLen = 8)
+      .count() == 100)
+    val (merges, _) = Engine.bpeTrain(docs, "text", nMerges = 3)
+    val enc = Engine.bpeEncode(docs, "text", merges)
+    assert(enc.filter(size($"bpe") > 0).count() == 100)
+    assert(Engine.heavyHitters(docs, "text", minCount = 50L, capacity = 1024)
+      .count() > 0)
+    val tb = Engine.tokenBudgetSample(docs, "lang", "doc_id", "text",
+      Map("en" -> 200L), defaultBudget = 100L)
+    assert(tb.count() > 0)
+  }
+
   test("GraftSession.sql queries registered aliases (PigServer entry point)") {
     val gs = new GraftSession(spark)
     gs.register("r", tables.region).register("n", tables.nation)

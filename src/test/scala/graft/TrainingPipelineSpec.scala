@@ -207,6 +207,70 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(again == rows.map(r => r._2 -> r._3).toMap)
   }
 
+  test("heavyHitters: exact results under a capacity that FORCES MG decrements") {
+    import graft.operators.TextAnalysis
+    // 300×hot + 100×warm + 500 distinct noise words, one word per row,
+    // shuffled across partitions: capacity 8 << 502 distinct terms, so
+    // the Misra-Gries decrement path runs constantly
+    val words = Seq.fill(300)("hot") ++ Seq.fill(100)("warm") ++
+      (1 to 500).map(i => s"noise$i")
+    val docs = new scala.util.Random(42).shuffle(words).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      .repartition(13)
+    // N = 900; minCount=120, capacity=8 -> 960 > 900: guarantee holds
+    val out = TextAnalysis.heavyHitters(docs, "text", minCount = 120L, capacity = 8)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("hot" -> 300L), out.toString)
+    // threshold at 100 catches warm too (100x9=900... needs > N=900, use 10)
+    assert(TextAnalysis.heavyHitters(docs, "text", minCount = 100L, capacity = 10)
+      .as[(String, Long)].collect().toMap == Map("hot" -> 300L, "warm" -> 100L))
+    // partition invariance
+    assert(TextAnalysis.heavyHitters(docs.repartition(3), "text",
+      minCount = 120L, capacity = 8).as[(String, Long)].collect().toMap ==
+      Map("hot" -> 300L))
+    // the recall guarantee is require'd, never silently hoped for
+    intercept[IllegalArgumentException] {
+      TextAnalysis.heavyHitters(docs, "text", minCount = 10L, capacity = 8)
+    }
+  }
+
+  test("tokenBudgetSample: greedy md5-prefix per group, deterministic, budget-exact") {
+    // deterministic fixture: 3 groups, known token counts
+    val docs = (1L to 30L).map { i =>
+      val g = if (i <= 12) "a" else if (i <= 22) "b" else "c"
+      (i, g, Seq.fill((i % 5 + 1).toInt)(s"w$i").mkString(" "))
+    }.toDF("doc_id", "grp", "text")
+    val budgets = Map("a" -> 9L, "b" -> 7L)
+    val out = TrainingPipeline.tokenBudgetSample(
+      docs, "grp", "doc_id", "text", budgets, defaultBudget = 4L)
+      .as[(Long, String, Long, Long)].collect()
+    // reference: same md5(g|id)-ordered greedy PREFIX computed in plain
+    // Scala (takeWhile: once cum exceeds the budget nothing re-enters)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expectedPrefix = (1L to 30L).map { i =>
+      val g = if (i <= 12) "a" else if (i <= 22) "b" else "c"
+      (i, g, (i % 5 + 1).toLong)
+    }.groupBy(_._2).flatMap { case (g, ds) =>
+      val budget = budgets.getOrElse(g, 4L)
+      val sorted = ds.sortBy(d => (md5hex(s"$g|${d._1}"), d._1))
+      val cums = sorted.scanLeft(0L)(_ + _._3).tail
+      sorted.zip(cums).takeWhile(_._2 <= budget)
+        .map { case (d, c) => (d._1, g, d._3, c) }
+    }.toSet
+    assert(out.toSet == expectedPrefix, s"got=${out.toSet}\nexp=$expectedPrefix")
+    // per-group budget is never exceeded
+    out.groupBy(_._2).foreach { case (g, rows) =>
+      assert(rows.map(_._3).sum <= budgets.getOrElse(g, 4L), s"group $g over budget")
+    }
+    // partition invariance
+    val out2 = TrainingPipeline.tokenBudgetSample(
+      docs.repartition(7), "grp", "doc_id", "text", budgets, defaultBudget = 4L)
+      .as[(Long, String, Long, Long)].collect()
+    assert(out2.toSet == out.toSet)
+  }
+
   test("tfidfTopTerms: k per doc, corpus-wide terms rank below rare ones") {
     val docs = Seq(
       (1L, "alpha alpha alpha common common"),

@@ -84,6 +84,14 @@ def main():
     names = sorted(
         d for d in os.listdir(out_dir)
         if os.path.isdir(os.path.join(out_dir, d)))
+    # A query that THREW inside Verify never dumps a directory and would
+    # otherwise vanish from this count (round 8 caught exactly that: six
+    # NTZ-broken queries, "144 pass, 0 fail"). Every oracle key must
+    # have an output dir — missing means the Spark side failed.
+    missing = sorted(set(oracles) - set(names))
+    for name in missing:
+        print(f"{name}: MISSING SPARK OUTPUT (query failed in Verify?)")
+        n_fail += 1
     for name in names:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
