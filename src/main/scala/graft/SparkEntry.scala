@@ -1126,12 +1126,13 @@ object SparkEntry {
       ev.coalesce(1).write.mode("append").parquet(src)
       val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0) // 1-row scalar
       val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 365L * 86400 * 1000)
+      val ss = graft.streaming.EventsStreaming.replaySession(s)
       def run(): Unit = {
-        val clicks = graft.streaming.EventsStreaming.readEvents(s, src)
+        val clicks = graft.streaming.EventsStreaming.readEvents(ss, src)
           .filter(col("event_type").isin("click", "__sentinel"))
           .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
             col("user_id").as("click_user"))
-        val buys = graft.streaming.EventsStreaming.readEvents(s, src)
+        val buys = graft.streaming.EventsStreaming.readEvents(ss, src)
           .filter(col("event_type").isin("purchase", "__sentinel"))
           .select(col("event_id").as("buy_id"), col("ts").as("buy_ts"),
             col("user_id"), col("value"))
@@ -1171,12 +1172,13 @@ object SparkEntry {
       ev.coalesce(1).write.mode("append").parquet(src)
       val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0) // 1-row scalar
       val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 365L * 86400 * 1000)
+      val ss = graft.streaming.EventsStreaming.replaySession(s)
       def run(): Unit = {
-        val clicks = graft.streaming.EventsStreaming.readEvents(s, src)
+        val clicks = graft.streaming.EventsStreaming.readEvents(ss, src)
           .filter(col("event_type").isin("click", "__sentinel"))
           .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
             col("user_id").as("click_user"))
-        val buys = graft.streaming.EventsStreaming.readEvents(s, src)
+        val buys = graft.streaming.EventsStreaming.readEvents(ss, src)
           .filter(col("event_type").isin("purchase", "__sentinel"))
           .select(col("event_id").as("buy_id"), col("ts").as("buy_ts"),
             col("user_id"), col("value"))
@@ -1321,8 +1323,9 @@ object SparkEntry {
       ev.coalesce(1).write.mode("append").parquet(src)
       val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0) // 1-row scalar
       val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 365L * 86400 * 1000)
+      val ss = graft.streaming.EventsStreaming.replaySession(s)
       def run(): Unit = {
-        val counts = graft.streaming.EventsStreaming.readEvents(s, src)
+        val counts = graft.streaming.EventsStreaming.readEvents(ss, src)
           .withWatermark("ts", "10 minutes")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n_events"),
@@ -1380,9 +1383,12 @@ object SparkEntry {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"), col("props"))
       ev.coalesce(1).write.mode("append").parquet(src)
-      val dim = t(s, dir).customer.select(col("c_custkey"), col("c_mktsegment"))
+      val ss = graft.streaming.EventsStreaming.replaySession(s)
+      // dim read through the SAME session as the stream: mixing frames
+      // from two sessions in one plan is undefined in Spark
+      val dim = t(ss, dir).customer.select(col("c_custkey"), col("c_mktsegment"))
       val q = graft.streaming.EventsStreaming.enriched(
-          graft.streaming.EventsStreaming.readEvents(s, src), dim,
+          graft.streaming.EventsStreaming.readEvents(ss, src), dim,
           "user_id", "c_custkey")
         .select(col("event_id"), col("user_id"), col("event_type"), col("c_mktsegment"))
         .writeStream.format("parquet")
@@ -1409,11 +1415,14 @@ object SparkEntry {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"), col("props"))
         .coalesce(1).write.mode("append").parquet(src)
-      val clicks = graft.streaming.EventsStreaming.readEvents(s, src)
+      // replay on a cloned session: state-store parallelism sized to
+      // the replay (see EventsStreaming.replaySession)
+      val ss = graft.streaming.EventsStreaming.replaySession(s)
+      val clicks = graft.streaming.EventsStreaming.readEvents(ss, src)
         .filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
           col("user_id").as("click_user"))
-      val buys = graft.streaming.EventsStreaming.readEvents(s, src)
+      val buys = graft.streaming.EventsStreaming.readEvents(ss, src)
         .filter(col("event_type") === "purchase")
         .select(col("event_id").as("buy_id"), col("ts").as("buy_ts"),
           col("user_id"), col("value"))
@@ -1451,12 +1460,13 @@ object SparkEntry {
       ev.coalesce(1).write.mode("append").parquet(src)
       val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0) // 1-row scalar
       val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 365L * 86400 * 1000)
+      val ss = graft.streaming.EventsStreaming.replaySession(s)
       def run(): Unit = {
-        val clicks = graft.streaming.EventsStreaming.readEvents(s, src)
+        val clicks = graft.streaming.EventsStreaming.readEvents(ss, src)
           .filter(col("event_type").isin("click", "__sentinel"))
           .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
             col("user_id").as("click_user"))
-        val buys = graft.streaming.EventsStreaming.readEvents(s, src)
+        val buys = graft.streaming.EventsStreaming.readEvents(ss, src)
           .filter(col("event_type").isin("purchase", "__sentinel"))
           .select(col("event_id").as("buy_id"), col("ts").as("buy_ts"),
             col("user_id"), col("value"))
@@ -1496,7 +1506,8 @@ object SparkEntry {
           col("event_type"), col("value"), col("props"))
       ev.coalesce(1).write.mode("append").parquet(src)
       ev.coalesce(1).write.mode("append").parquet(src) // the duplicates
-      val q = graft.streaming.EventsStreaming.readEvents(s, src)
+      val ss = graft.streaming.EventsStreaming.replaySession(s)
+      val q = graft.streaming.EventsStreaming.readEvents(ss, src)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
         .select(col("event_id"), col("user_id"), col("event_type"))
@@ -1542,13 +1553,17 @@ object SparkEntry {
           col("event_type"), col("value"), col("props"))
       ev.coalesce(1).write.mode("append").parquet(s"$tmp/src")
       val name = "q112_state_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // cloned replay session: state-store parallelism sized to the
+      // replay, AND the RocksDB provider conf stays scoped to the clone
+      val ss = EventsStreaming.replaySession(s)
       EventsStreaming.runAvailableNow(
         EventsStreaming.userRunningTotals(
-          EventsStreaming.readEvents(s, s"$tmp/src").as[EventsStreaming.Event]).toDF(),
+          EventsStreaming.readEvents(ss, s"$tmp/src").as[EventsStreaming.Event]).toDF(),
         name, org.apache.spark.sql.streaming.OutputMode.Update())
       // update-mode memory sink keeps every emission; the final state
       // per user is the row with max n_events (strictly increasing)
-      s.table(name).groupBy(col("user_id"))
+      // (memory sink registers in the CLONE's catalog)
+      ss.table(name).groupBy(col("user_id"))
         .agg(max(struct(col("n_events"), col("total_value"))).as("s"))
         .select(col("user_id"), col("s.n_events").as("n_events"),
           round(col("s.total_value"), 4).as("total_value"))
@@ -1595,9 +1610,10 @@ object SparkEntry {
       ev.coalesce(1).write.mode("append").parquet(src)
       val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0) // 1-row scalar
       val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 365L * 86400 * 1000)
+      val ss = graft.streaming.EventsStreaming.replaySession(s)
       def run(): Unit = {
         val q = graft.streaming.EventsStreaming.sessionCounts(
-            graft.streaming.EventsStreaming.readEvents(s, src),
+            graft.streaming.EventsStreaming.readEvents(ss, src),
             watermark = "10 minutes", gap = "30 minutes")
           .writeStream.format("parquet")
           .option("path", sink).option("checkpointLocation", ckpt)

@@ -32,6 +32,26 @@ object EventsStreaming {
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
+  /** Session CLONE for one replay, with state-store parallelism sized
+    * to the replay's volume. `spark.sql.shuffle.partitions` is, for a
+    * stateful streaming query, the number of state-store instances per
+    * stateful operator — each one pays commit/checkpoint I/O every
+    * micro-batch, so an oversized count turns a small replay into
+    * file-system round trips (a stream-stream join keeps 4 stores per
+    * partition; at the session default 32 that is 128 store commits
+    * per batch). The checkpoint PINS the count at first batch, which
+    * makes it a per-QUERY sizing decision, not a session-wide one:
+    * size it to event volume here, raise it for production volume.
+    * `newSession()` shares the SparkContext but owns its conf, so the
+    * sizing can never leak into concurrently-planned batch queries
+    * (the round-8 NTZ lesson: shared-session conf mutation is how
+    * parallel query runners corrupt each other). */
+  def replaySession(s: SparkSession, shufflePartitions: Int = 8): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    s2
+  }
+
   /** Tumbling event-time windowed aggregation with a watermark bounding
     * state and admitting bounded lateness. */
   def windowedCounts(events: DataFrame,
