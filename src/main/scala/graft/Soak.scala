@@ -230,6 +230,41 @@ object Soak {
         .semDedupAssign(baSlice, "vec_id", "embedding", 4096)
         .agg(countDistinct(col("cluster"))).collect()(0).getLong(0) * 0 + baRows)
 
+    // --- round-8 operators ---
+    // span REMOVAL under the same dense-duplicate stress as the span
+    // detect soak: every doc in a dup family gets cut lists from every
+    // family partner, so the interval-union window and the HOF rebuild
+    // run at their worst per-family density
+    val rmRows = math.min(rows, 250000L)
+    time(s"remove_spans_$rmRows")(
+      Dedup.removeVerbatimSpans(docs.filter(col("doc_id") < rmRows),
+        "doc_id", "text", minLen = 4, maxDocFreq = 60)
+        .agg(sum(col("tokens_removed"))).collect()(0).getLong(0) * 0 + rmRows)
+    // heavy hitters at full corpus: capacity/minCount derived from the
+    // measured token count so the MG recall guarantee require() holds
+    val ntok = docs.agg(sum(size(Dedup.tokens(col("text")))))
+      .collect()(0).getLong(0)
+    val hhMin = ntok / 10000 + 1
+    time(s"heavy_hitters_${rows}")(
+      graft.operators.TextAnalysis.heavyHitters(
+        docs, "text", minCount = hhMin, capacity = 20001)
+        .count() * 0 + rows)
+    // BPE: train on a bounded slice (driver holds only the merge list),
+    // encode the FULL corpus through the codegen'd kernel
+    val (bpeMerges, _) = graft.operators.TextAnalysis.bpeTrain(
+      docs.filter(col("doc_id") < 100000L), "text", nMerges = 20)
+    time(s"bpe_encode_$rows")(
+      docs.select(graft.operators.TextAnalysis.bpeEncode(
+          col("text"), bpeMerges).as("e"))
+        .agg(sum(size(col("e")))).collect()(0).getLong(0) * 0 + rows)
+    // hard token budgets per lang: 5 groups -> parallelism 5 (the
+    // documented per-domain-accounting bound); budget ~40% of tokens
+    time(s"token_budget_$rows")(
+      graft.operators.TrainingPipeline.tokenBudgetSample(
+        docs, "lang", "doc_id", "text",
+        budgets = Map.empty, defaultBudget = math.max(1L, ntok / 12))
+        .count())
+
     spark.stop()
   }
 }

@@ -175,6 +175,37 @@ class PlanSpec extends SparkSpec {
     assert(!tree.toLowerCase.contains("collect_list"), tree.take(2000))
   }
 
+  test("q148: span removal joins docs LEFT against bounded cut lists; no UDF") {
+    val p = planOf("q148_span_removal")
+    // the rebuild is expression-level (HOF filter), never a UDF
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p.take(2000))
+    // windows are produced by the native kernel, not slice+concat
+    assert(p.contains("window_hash64"), p.take(2000))
+  }
+
+  test("q149: heavy-hitter verify join is a broadcast of the bounded candidate set") {
+    val tree = SparkEntry.queries("q149_heavy_hitters")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // candidates (<= partitions x capacity rows) broadcast into the
+    // verify join — the token stream is never shuffled by token before
+    // the candidate filter
+    assert(tree.contains("BroadcastHashJoin"), tree.take(2000))
+    // final exact count is a partial->final hash aggregate over the
+    // candidate-filtered stream
+    assert("HashAggregate".r.findAllIn(tree).size >= 2, tree.take(2000))
+  }
+
+  test("q150: token budget is one group-key exchange + running-sum window") {
+    val tree = SparkEntry.queries("q150_token_budget")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(tree.contains("Window"), tree.take(2000))
+    // exactly one shuffle: the partitionBy(group) exchange (AQE reads
+    // may add none elsewhere — the scan is shuffle-free)
+    val exchanges = "Exchange".r.findAllIn(tree).length
+    assert(exchanges <= 1, s"expected a single group-key shuffle:\n$tree")
+    assert(!tree.contains("ScalaUDF"), tree.take(2000))
+  }
+
   test("every oracle key has a query; names are well-formed") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
