@@ -36,7 +36,9 @@ object Bench {
     "q139_hash_classifier",
     // round 7: exact bignum aggregation (typed-BigDecimal buffer +
     // carrier-unwrap optimizer rule), exact-substring span dedup
-    "q133_biginteger_agg", "q146_verbatim_spans")
+    "q133_biginteger_agg", "q146_verbatim_spans",
+    // round 8: span REMOVAL, Misra-Gries heavy hitters, token budgets
+    "q148_span_removal", "q149_heavy_hitters", "q150_token_budget")
 
   /** Streaming replays timed as their own section (never in the
     * headline total — see main): watermarked interval-join family,
@@ -44,7 +46,9 @@ object Bench {
   val streamingSet: Seq[String] = Seq(
     "q136_stream_interval_join", "q138_stream_outer_join",
     "q144_stream_right_outer_join", "q145_stream_full_outer_join",
-    "q112_stream_state")
+    "q112_stream_state",
+    // round 8: chained stateful operators (dedup -> windowed agg)
+    "q151_stream_dedup_agg")
 
   /** The CORRECTNESS entries for approximate ops are recall HARNESSES
     * (operator + exact ground truth + compare in one job); benching the

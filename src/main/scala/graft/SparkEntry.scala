@@ -1205,6 +1205,51 @@ object SparkEntry {
         .filter(!(col("click_id") <=> lit(-1L)) && !(col("buy_id") <=> lit(-1L)))
     }),
 
+    // --- CHAINED stateful streaming operators (round 8): dedup-
+    //     within-watermark FEEDING a windowed aggregation in ONE
+    //     query — Spark's multi-stateful-operator support, the shape
+    //     real event pipelines need (exactly-once counts over an
+    //     at-least-once source). The fixture is written to the source
+    //     TWICE, so every event arrives duplicated; the dedup stage
+    //     must suppress re-emits so the window counts each event
+    //     exactly once; the sentinel pushes the watermark past every
+    //     real window. Sink must equal batch DISTINCT -> hourly
+    //     counts, which DuckDB recomputes. ---
+    "q151_stream_dedup_agg" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_q151_").toString
+      val src = s"$tmp/src"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+      val ev = t(s, dir).events
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      ev.coalesce(1).write.mode("append").parquet(src)
+      ev.coalesce(1).write.mode("append").parquet(src) // the duplicates
+      val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0) // 1-row scalar
+      val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 365L * 86400 * 1000)
+      val ss = graft.streaming.EventsStreaming.replaySession(s)
+      def run(): Unit = {
+        val q = graft.streaming.EventsStreaming.readEvents(ss, src)
+          .withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("event_id")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("window.start").as("w_start"),
+            col("window.end").as("w_end"), col("event_type"), col("n_events"))
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      run() // phase 1: real timeline, dups suppressed by the dedup stage
+      ev.limit(1).select(lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
+          lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"))
+        .coalesce(1).write.mode("append").parquet(src)
+      run() // phase 2: watermark passes every real window
+      s.read.parquet(sink).filter(col("event_type") =!= "__sentinel")
+    }),
+
     // --- SemDeDup with per-cluster banded RP-LSH pruning (round 7):
     //     the hot-semantic-cluster fallback as a first-class operator.
     //     Same fixture/centroid rule as q143; exact clones collide in
@@ -2785,6 +2830,17 @@ object SparkEntry {
          event_type, COUNT(*) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2, 3""",
+
+    // batch equivalent of the CHAINED dedup->window-agg streaming
+    // query: the double-written source collapses under DISTINCT
+    // event_id before the hourly count
+    "q151_stream_dedup_agg" ->
+      """WITH d AS (
+           SELECT DISTINCT event_id, ts, event_type FROM events)
+         SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+                time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS w_end,
+                event_type, COUNT(*) AS n_events
+         FROM d GROUP BY 1, 2, 3""",
 
     // same add-0.5-smoothed bigram model, retrained by the oracle;
     // per-bigram log-probs quantized to DECIMAL(18,12) on both engines
