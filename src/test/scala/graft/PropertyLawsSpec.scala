@@ -336,4 +336,64 @@ class PropertyLawsSpec extends SparkSpec {
       }, s"id=$id codes not monotone")
     }
   }
+
+  test("bpeEncode laws on random texts/merges: lossless concat, no mergeable pair left") {
+    // random texts over a tiny alphabet (so random merges actually
+    // apply) and random merge lists incl. multi-char compounds
+    val alpha = "abc"
+    def word() = (0 until 1 + rnd.nextInt(6)).map(_ => alpha(rnd.nextInt(3))).mkString
+    val cases = (0 until 120).map { i =>
+      val text = (0 until rnd.nextInt(5)).map(_ => word()).mkString(" ")
+      val nm = rnd.nextInt(6)
+      val merges = Seq.tabulate(nm) { _ =>
+        val l = if (rnd.nextBoolean()) word().take(2) else alpha(rnd.nextInt(3)).toString
+        val r = alpha(rnd.nextInt(3)).toString
+        (l, r)
+      }
+      (i, text, merges)
+    }
+    cases.foreach { case (i, text, merges) =>
+      val out = Seq(Tuple1(text)).toDF("t")
+        .select(graft.plans.TextExpressions.bpeEncode($"t", merges).as("e"))
+        .as[Seq[String]].head()
+      // losslessness: symbols concatenate back to the tokenized text
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      assert(out.mkString == toks.mkString, s"case $i: '$text' merges=$merges out=$out")
+      // fixpoint: no adjacent pair inside any word still holds a rank
+      // (word boundaries recovered by walking token lengths)
+      val ranks = merges.zipWithIndex.filter { case (m, idx) =>
+        merges.indexOf(m) == idx }.toMap
+      var rest = out.toList
+      toks.foreach { w =>
+        var len = 0
+        val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (len < w.length) { syms += rest.head; len += rest.head.length; rest = rest.tail }
+        syms.toSeq.sliding(2).foreach {
+          case Seq(a, b) => assert(!ranks.contains((a, b)),
+            s"case $i: mergeable pair ($a,$b) survived in $syms")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("heavyHitters equals exact group-by counts on random skewed streams") {
+    for (trial <- 1 to 5) {
+      val zipf = (1 to 30).flatMap(r => Seq.fill(1 + 600 / (r * r))(s"w$r"))
+      val extra = (0 until 200).map(i => s"rare$i")
+      val words = new scala.util.Random(trial).shuffle(zipf ++ extra)
+      val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("id", "text").repartition(5 + trial)
+      val n = words.size.toLong
+      val minCount = 5L + trial * 7
+      // smallest capacity the guarantee admits (forces max MG pressure)
+      val capacity = (n / minCount + 1).toInt
+      val got = graft.operators.TextAnalysis
+        .heavyHitters(docs, "text", minCount, capacity)
+        .as[(String, Long)].collect().toMap
+      val want = words.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter(_._2 >= minCount).toMap
+      assert(got == want, s"trial $trial: got=$got want=$want")
+    }
+  }
 }
