@@ -351,7 +351,8 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     require(minCount >= 1 && capacity >= 1, s"minCount=$minCount capacity=$capacity")
-    val n = docs.agg(sum(size(tokens(col(textCol))))).collect()(0).getLong(0)
+    val n = docs.agg(coalesce(sum(size(tokens(col(textCol)))), lit(0L)))
+      .collect()(0).getLong(0)
     require(minCount * capacity > n,
       s"heavyHitters: minCount=$minCount x capacity=$capacity must exceed " +
         s"total token count N=$n for the Misra-Gries recall guarantee; " +
