@@ -37,8 +37,10 @@ object Bench {
     // round 7: exact bignum aggregation (typed-BigDecimal buffer +
     // carrier-unwrap optimizer rule), exact-substring span dedup
     "q133_biginteger_agg", "q146_verbatim_spans",
-    // round 8: span REMOVAL, Misra-Gries heavy hitters, token budgets
-    "q148_span_removal", "q149_heavy_hitters", "q150_token_budget")
+    // round 8: span REMOVAL, Misra-Gries heavy hitters (+ hot
+    // n-grams), token budgets
+    "q148_span_removal", "q149_heavy_hitters", "q150_token_budget",
+    "q152_hot_ngrams")
 
   /** Streaming replays timed as their own section (never in the
     * headline total — see main): watermarked interval-join family,

@@ -239,8 +239,8 @@ object Engine {
     Similarity.semDedupLsh(df, idCol, vecCol, k, tau, planes, bands)
 
   def fitCentroids(df: DataFrame, vecCol: String, k: Int,
-      iters: Int = 5, sampleN: Int = 100000): DataFrame =
-    Similarity.kMeansFit(df, vecCol, k, iters, sampleN)
+      iters: Int = 5, sampleN: Int = 100000, init: String = "auto"): DataFrame =
+    Similarity.kMeansFit(df, vecCol, k, iters, sampleN, init)
 
   def assignClusters(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame =
@@ -255,7 +255,11 @@ object Engine {
     TextAnalysis.bpeTrain(df, textCol, nMerges)
 
   // round-8 surface: exact-substring REMOVAL, BPE apply-side, exact
-  // heavy hitters, hard token budgets
+  // heavy hitters (+ hot n-grams), hard token budgets
+
+  def hotNgrams(df: DataFrame, textCol: String, n: Int, minCount: Long,
+      capacity: Int = 131072): DataFrame =
+    TextAnalysis.hotNgrams(df, textCol, n, minCount, capacity)
 
   def removeVerbatimSpans(df: DataFrame, idCol: String, textCol: String,
       minLen: Int = 20, maxDocFreq: Int = 50): DataFrame =

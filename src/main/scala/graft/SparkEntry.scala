@@ -1304,6 +1304,16 @@ object SparkEntry {
       graft.operators.TextAnalysis.heavyHitters(
         t(s, dir).documents, "text", minCount = 500L, capacity = 1024)),
 
+    // --- heavy-hitter 4-grams by TOTAL count (round 8): the
+    //     boilerplate detector — q137 measures doc-frequency, this
+    //     measures MASS (a license header repeated 1000x in one doc
+    //     is invisible to doc-frequency). Same MG-then-exact-verify
+    //     machinery as q149; capacity 131072 keeps the recall theorem
+    //     true through sf0.1 (255k grams < 3x131072). ---
+    "q152_hot_ngrams" -> ((s, dir) =>
+      graft.operators.TextAnalysis.hotNgrams(
+        t(s, dir).documents, "text", n = 4, minCount = 3L, capacity = 131072)),
+
     // --- hard per-group token budgets (round 8) — the exact-budget
     //     half of data mixing (temperatureMixture is the rate half):
     //     md5-ordered greedy prefix per lang until the budget fills;
@@ -3468,6 +3478,20 @@ object SparkEntry {
                                      x -> x <> '')) AS tok
            FROM documents)
          GROUP BY tok HAVING count(*) >= 500""",
+
+    // hot n-grams: the oracle is the exact sliding-window 4-gram
+    // count the sketch path must reproduce
+    "q152_hot_ngrams" ->
+      """WITH t AS (
+           SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '') AS tk
+           FROM documents),
+         g AS (
+           SELECT array_to_string(tk[i:i+3], ' ') AS gram
+           FROM t, UNNEST(generate_series(1, len(tk) - 3)) u(i)
+           WHERE len(tk) >= 4)
+         SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+         FROM g GROUP BY gram HAVING count(*) >= 3""",
 
     // greedy md5-ordered prefix per lang under hard token budgets
     "q150_token_budget" ->

@@ -268,10 +268,17 @@ object Similarity {
     * clustering into fewer cells than requested was the failure mode
     * this guards. */
   def kMeansFit(df: DataFrame, vecCol: String, k: Int, iters: Int = 5,
-      sampleN: Int = 100000): DataFrame = {
+      sampleN: Int = 100000, init: String = "auto"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(k >= 1 && iters >= 0, s"k=$k iters=$iters")
+    val useParallel = init match {
+      case "auto" => k > 64 // past the trivial-k point the init quality matters
+      case "parallel" => true
+      case "hash" => false
+      case other => throw new IllegalArgumentException(
+        s"kMeansFit init=$other (expected auto|parallel|hash)")
+    }
     val sample = df
       .select(asDouble(col(vecCol)).as("v"))
       .filter(col("v").isNotNull)
@@ -286,9 +293,11 @@ object Similarity {
     def centDf(cents: Array[Seq[Double]]): DataFrame =
       cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
         .toDF("cid", "cv")
-    var cents: Array[Seq[Double]] = sample
-      .orderBy(xxhash64(col("v")).asc).limit(k)
-      .collect().map(_.getSeq[Double](0))
+    var cents: Array[Seq[Double]] =
+      if (useParallel) kMeansParallelInit(sample, k)
+      else sample
+        .orderBy(xxhash64(col("v")).asc).limit(k)
+        .collect().map(_.getSeq[Double](0))
     for (_ <- 1 to iters) {
       // narrow argmin assignment, same shape as assignByCentroidTable;
       // the sample's distinct vectors are keyed by xxhash64(v) (a
@@ -318,6 +327,135 @@ object Similarity {
     }
     sample.unpersist()
     centDf(cents)
+  }
+
+  /** k-means|| initialization (Bahmani et al. 2012) over the weighted
+    * distinct sample — the init [[kMeansFit]] uses past trivial k
+    * (hash-ordered first-k seeds degrade as k grows; the paper's
+    * oversampled seeding provably approximates k-means++ in O(rounds)
+    * passes instead of k sequential ones).
+    *
+    * DETERMINISTIC variant: the per-point coin flip uses an
+    * md5-fraction of (point-hash, round) — same engine/retry/
+    * partition-stability contract as every sampler here. Spherical
+    * cost d(x,C) = 1 − max cos(x,c) (zero-norm vectors cost 2 —
+    * "far"). Each round draws ~l = 2k candidates with probability
+    * l·w·d/φ, then only the NEW candidates' distances are scored (the
+    * MLlib incremental-cost trick — round cost is sample × l, never
+    * sample × |C|). Candidates are weighted by the sample mass
+    * assigned to them ([[assignByCentroidTable]] — the broadcast
+    * argmin join, never inlined literals), then reduced to k by a
+    * deterministic driver-side weighted spherical Lloyd (candidate
+    * set is ~1 + rounds·l rows — driver-sized by construction,
+    * exactly the state any k-means|| implementation ships home). */
+  private[operators] def kMeansParallelInit(sample: DataFrame, k: Int,
+      rounds: Int = 2, oversample: Int = 0): Array[Seq[Double]] = {
+    val spark = sample.sparkSession
+    import spark.implicits._
+    val l = if (oversample > 0) oversample else 2 * k
+    val keyed = sample.select(xxhash64(col("v")).as("kid"), col("v"), col("w"))
+    def centDf(cs: Seq[Seq[Double]]): DataFrame =
+      cs.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toDF("cid", "cv")
+    // spherical distance to the nearest of `cs`, per point
+    def minDistTo(df: DataFrame, cs: Seq[Seq[Double]]): DataFrame =
+      df.crossJoin(broadcast(centDf(cs)))
+        .select(col("kid"),
+          (lit(1.0) - nanvl(cosineFast(col("v"), col("cv")), lit(-1.0))).as("d"))
+        .groupBy(col("kid")).agg(min(col("d")).as("nd"))
+    val first = keyed.orderBy(col("kid").asc).limit(1)
+      .select(col("v")).as[Seq[Double]].collect()
+    if (first.isEmpty) return Array.empty
+    val cands = scala.collection.mutable.ArrayBuffer[Seq[Double]](first(0))
+    var state = keyed
+      .join(minDistTo(keyed, cands.toSeq), Seq("kid"))
+      .select(col("kid"), col("v"), col("w"), col("nd").as("dmin"))
+      .localCheckpoint()
+    for (r <- 1 to rounds) {
+      val phi = state.agg(sum(col("dmin") * col("w"))).collect()(0).getDouble(0)
+      if (phi > 0) {
+        val p = least(lit(1.0), lit(l.toDouble) * col("dmin") * col("w") / lit(phi))
+        val u = conv(substring(md5(concat_ws(":", col("kid"), lit(r))), 1, 13), 16, 10)
+          .cast("double") / math.pow(16.0, 13)
+        val newC = state.filter(u < p).select(col("v")).as[Seq[Double]].collect()
+        if (newC.nonEmpty) {
+          cands ++= newC
+          state = state.join(minDistTo(state, newC.toSeq), Seq("kid"))
+            .select(col("kid"), col("v"), col("w"),
+              least(col("dmin"), col("nd")).as("dmin"))
+            .localCheckpoint()
+        }
+      }
+    }
+    val uniq = cands.distinct.toSeq
+    if (uniq.length <= k) return uniq.toArray
+    // weight candidates by assigned sample mass (one argmin join)
+    val cdf = centDf(uniq)
+    val wts = assignByCentroidTable(
+        state.select(col("kid"), col("v")), "kid", "v", cdf)
+      .join(state.select(col("kid"), col("w")), Seq("kid"))
+      .groupBy(col("cluster")).agg(sum(col("w")).as("cw"))
+      .as[(Long, Double)].collect().toMap
+    val weighted: Array[(Seq[Double], Double)] = uniq.zipWithIndex
+      .map { case (c, i) => (c, wts.getOrElse(i.toLong, 0.0)) }.toArray
+      .sortBy { case (c, w) => (-w, c.hashCode) }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0) -1.0 else d / den
+    }
+    // deterministic weighted FARTHEST-FIRST seeding down to k (the
+    // k-means++ max-variant: heaviest candidate first, then always the
+    // candidate maximizing weight × spherical distance to the chosen
+    // set) — top-k-by-weight alone can stack seeds inside one dense
+    // region and leave a cluster unclaimed. Incremental dmin array:
+    // k·|cands| distance evals total, never k·|cands|².
+    val nC = weighted.length
+    val dminArr = Array.fill(nC)(Double.PositiveInfinity)
+    val taken = new Array[Boolean](nC)
+    val chosen = scala.collection.mutable.ArrayBuffer(0)
+    taken(0) = true
+    var done = false
+    while (chosen.length < k && !done) {
+      val last = weighted(chosen.last)._1
+      var i = 0
+      while (i < nC) {
+        if (!taken(i)) {
+          val d = 1.0 - cos(weighted(i)._1, last)
+          if (d < dminArr(i)) dminArr(i) = d
+        }
+        i += 1
+      }
+      var bi = -1; var bv = Double.NegativeInfinity
+      i = 0
+      while (i < nC) {
+        if (!taken(i)) {
+          val v = weighted(i)._2 * dminArr(i)
+          if (v > bv) { bv = v; bi = i }
+        }
+        i += 1
+      }
+      if (bi < 0) done = true
+      else { chosen += bi; taken(bi) = true }
+    }
+    var centers = chosen.map(weighted(_)._1).toArray
+    for (_ <- 1 to 5) {
+      val sums = Array.fill(centers.length)(new Array[Double](uniq.head.length))
+      val mass = new Array[Double](centers.length)
+      weighted.foreach { case (c, w) =>
+        var best = 0; var bs = Double.NegativeInfinity; var j = 0
+        while (j < centers.length) {
+          val s = cos(c, centers(j)); if (s > bs) { bs = s; best = j }; j += 1
+        }
+        var d = 0
+        while (d < c.length) { sums(best)(d) += c(d) * w; d += 1 }
+        mass(best) += w
+      }
+      centers = centers.zipWithIndex.map { case (old, j) =>
+        if (mass(j) > 0) sums(j).map(_ / mass(j)).toSeq else old
+      }
+    }
+    centers
   }
 
   /** IVF (inverted-file) ANN top-k — the classic two-stage scale path:

@@ -348,16 +348,48 @@ object TextAnalysis {
     * shuffles candidate tokens only, never the vocabulary. */
   def heavyHitters(docs: DataFrame, textCol: String, minCount: Long,
       capacity: Int = 4096): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    require(minCount >= 1 && capacity >= 1, s"minCount=$minCount capacity=$capacity")
     val n = docs.agg(coalesce(sum(size(tokens(col(textCol)))), lit(0L)))
       .collect()(0).getLong(0)
+    mgExactCounts(docs.select(explode(tokens(col(textCol))).as("tok")),
+      n, minCount, capacity, "heavyHitters")
+  }
+
+  /** Heavy-hitter word n-grams by TOTAL occurrence count — the
+    * boilerplate detector (a license header repeated across a corpus
+    * is a hot n-gram by total count; [[crossDocRepeats]] measures
+    * doc-FREQUENCY, this measures mass). Same Misra–Gries-then-
+    * exact-verify machinery and guarantee as [[heavyHitters]]; all
+    * occurrences count (no per-doc distinct), so the stream is the
+    * full sliding-window gram sequence. */
+  def hotNgrams(docs: DataFrame, textCol: String, n: Int, minCount: Long,
+      capacity: Int = 131072): DataFrame = {
+    require(n >= 1, s"n=$n")
+    // native kernel for the window stream: the HOF formulation
+    // (transform + slice + array_join per window) measured 2.9 s per
+    // corpus pass at sf0.1 vs ~0.3 s for the kernel — and this stream
+    // is paid TWICE (sketch pass + verify pass)
+    val allGrams = graft.plans.TextExpressions.ngramStringsAll(col(textCol), n)
+    val total = docs
+      .agg(coalesce(sum(size(allGrams)), lit(0L)))
+      .collect()(0).getLong(0)
+    val grams = docs.select(explode(allGrams).as("tok"))
+    mgExactCounts(grams, total, minCount, capacity, "hotNgrams")
+      .withColumnRenamed("tok", "gram")
+  }
+
+  /** Shared sketch-then-verify core: Misra–Gries candidates per
+    * partition, candidate-union broadcast, one exact recount. The
+    * `require` is the recall theorem's premise (see [[heavyHitters]]
+    * scaladoc). `toks` must have a single string column `tok`. */
+  private def mgExactCounts(toks: DataFrame, n: Long, minCount: Long,
+      capacity: Int, opName: String): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    require(minCount >= 1 && capacity >= 1, s"minCount=$minCount capacity=$capacity")
     require(minCount * capacity > n,
-      s"heavyHitters: minCount=$minCount x capacity=$capacity must exceed " +
-        s"total token count N=$n for the Misra-Gries recall guarantee; " +
+      s"$opName: minCount=$minCount x capacity=$capacity must exceed " +
+        s"total stream count N=$n for the Misra-Gries recall guarantee; " +
         s"raise capacity to > ${n / minCount}")
-    val toks = docs.select(explode(tokens(col(textCol))).as("tok"))
     val cands = toks.as[String].mapPartitions { it =>
       // Misra-Gries: capacity counters; a miss on a full summary
       // decrements every counter (amortized O(1) per token)

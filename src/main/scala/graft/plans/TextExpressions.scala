@@ -303,6 +303,49 @@ object NgramStringKernels {
   }
 }
 
+/** EVERY word n-gram of the lowercased text, in order, repeats
+  * included — the total-count stream (hot-n-gram heavy hitters needs
+  * mass, not presence; [[NgramStringKernels]] dedups per doc and
+  * serves the doc-frequency ops). m < n tokens -> empty. */
+object NgramStringAllKernels {
+  def ngramStringsAll(text: org.apache.spark.unsafe.types.UTF8String, n: Int)
+      : Array[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = text.toLowerCase.toString
+    val tokens = TokKernel.tokens(s)
+    val m = tokens.size
+    if (m < n) return Array.empty
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](m - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var j = 0
+    while (j <= m - n) {
+      sb.setLength(0)
+      var q = 0
+      while (q < n) { if (q > 0) sb.append(' '); sb.append(tokens.get(j + q)); q += 1 }
+      out(j) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    out
+  }
+}
+
+case class NgramStringsAll(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ngram_strings_all"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(NgramStringAllKernels.ngramStringsAll(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+      .asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  (Object[]) graft.plans.NgramStringAllKernels.ngramStringsAll($t, $n));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): NgramStringsAll =
+    copy(child = newChild)
+}
+
 case class NgramStrings(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "ngram_strings"
@@ -676,6 +719,10 @@ object TextExpressions {
   /** Column entry point: text -> distinct n-gram strings. */
   def ngramStrings(text: Column, n: Int): Column =
     GraftSqlBridge.column(NgramStrings(GraftSqlBridge.expression(text), n))
+
+  /** Column entry point: text -> ALL n-gram strings (repeats kept). */
+  def ngramStringsAll(text: Column, n: Int): Column =
+    GraftSqlBridge.column(NgramStringsAll(GraftSqlBridge.expression(text), n))
 
   /** Column entry point: text -> language code (native argmax). */
   def langIdNative(text: Column): Column =

@@ -832,4 +832,36 @@ class DedupSimilaritySpec extends SparkSpec {
     byBlob.values.foreach(s => assert(s.size == 1, s"blob split across $s"))
     assert(byBlob.values.flatten.toSet.size == 3, "blobs must not share a cluster")
   }
+
+  test("kMeans|| init: recovers blobs, deterministic, never worse than hash init") {
+    // 8 well-separated axis blobs in dim-10; k=8 with init='parallel'
+    // (the auto threshold would pick hash at this k — force it)
+    val pts = (0 until 240).map { j =>
+      val blob = j % 8
+      (j.toLong, Array.tabulate(10)(d =>
+        (if (d == blob) 10f else 0f) + ((j * 11 + d * 5) % 7) * 0.05f))
+    }.toDF("id", "v")
+    def objective(cents: org.apache.spark.sql.DataFrame): Double =
+      Similarity.assignByCentroidTable(pts, "id", "v", cents)
+        .join(cents, $"cluster" === $"cid")
+        .select(sum(lit(1.0) - Similarity.cosineFast($"__v", $"cv")))
+        .as[Double].head()
+    def fit(init: String, df: org.apache.spark.sql.DataFrame) =
+      Similarity.kMeansFit(df, "v", k = 8, iters = 3, init = init)
+    val par = fit("parallel", pts)
+    assert(par.count() == 8)
+    assert(objective(par) <= objective(fit("hash", pts)) + 1e-9,
+      "parallel init must not end worse than hash init after equal Lloyd work")
+    // every blob lands in its own cluster under the parallel-init fit
+    val asg = Similarity.assignByCentroidTable(pts, "id", "v", par)
+      .select($"id", $"cluster").as[(Long, Long)].collect()
+    val byBlob = asg.groupBy(_._1 % 8).view.mapValues(_.map(_._2).toSet).toMap
+    byBlob.values.foreach(s => assert(s.size == 1, s"blob split across $s"))
+    assert(byBlob.values.flatten.toSet.size == 8, "blobs must not share a cluster")
+    // determinism: same centroids at a different partitioning
+    val par2 = fit("parallel", pts.repartition(7))
+    val c1 = par.orderBy($"cid").as[(Long, Seq[Double])].collect().toSeq
+    val c2 = par2.orderBy($"cid").as[(Long, Seq[Double])].collect().toSeq
+    assert(c1 == c2, "kMeans|| init must be partition-invariant")
+  }
 }

@@ -110,4 +110,27 @@ class OperatorEdgeSpec extends SparkSpec {
     val out = StreamThrough(df, Seq("sh", "-c", script), Seq("id", "s"))
     assert(out.count() == 2)
   }
+
+  test("ngramStringsAll kernel equals the HOF window formulation; keeps repeats") {
+    import graft.operators.Dedup.tokens
+    val texts = Seq(
+      "a b c d e", "A  B\tC", "x", "", "  ", "a a a a",
+      "one two one two one two", "tab\tand  runs \n lines")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("id", "t")
+    val n = 3
+    val tk = tokens($"t")
+    val hof = when(size(tk) >= n,
+        expr(s"transform(sequence(1, size(filter(split(lower(t), '\\\\s+'), x -> x != '')) - ${n - 1}), " +
+          s"i -> array_join(slice(filter(split(lower(t), '\\\\s+'), x -> x != ''), i, $n), ' '))"))
+      .otherwise(array().cast("array<string>"))
+    val out = df.select($"id",
+        graft.plans.TextExpressions.ngramStringsAll($"t", n).as("k"),
+        hof.as("h"))
+      .as[(Long, Seq[String], Seq[String])].collect()
+    out.foreach { case (id, k, h) => assert(k == h, s"id=$id k=$k h=$h") }
+    // repeats preserved (the distinct-gram kernel would collapse them)
+    val rep = out.find(_._1 == 6L).get._2
+    assert(rep.count(_ == "one two one") == 2, rep.toString)
+  }
 }
