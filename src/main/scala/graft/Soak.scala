@@ -264,6 +264,24 @@ object Soak {
         docs, "lang", "doc_id", "text",
         budgets = Map.empty, defaultBudget = math.max(1L, ntok / 12))
         .count())
+    // hot n-grams at full corpus through the all-window kernel —
+    // capacity derived from the gram count so the MG require holds
+    val ngrams = docs.agg(coalesce(sum(size(
+        graft.plans.TextExpressions.ngramStringsAll(col("text"), 3))), lit(0L)))
+      .collect()(0).getLong(0)
+    time(s"hot_ngrams_$rows")(
+      graft.operators.TextAnalysis.hotNgrams(
+        docs, "text", n = 3, minCount = ngrams / 20000 + 1, capacity = 20001)
+        .count() * 0 + rows)
+    // k-means|| at a paper-ish k over the synthetic embeddings: the
+    // init is the dominant cost (incremental rounds + candidate
+    // weighting); 2 distributed Lloyd iterations on top
+    val kmRows = math.min(nVec, 1000000L)
+    time(s"kmeans_parallel_${kmRows}_k1024")(
+      graft.operators.Similarity.kMeansFit(
+        emb.filter(col("vec_id") < kmRows), "embedding",
+        k = 1024, iters = 2, init = "parallel")
+        .count())
 
     spark.stop()
   }

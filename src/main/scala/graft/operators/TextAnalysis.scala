@@ -380,7 +380,15 @@ object TextAnalysis {
   /** Shared sketch-then-verify core: Misra–Gries candidates per
     * partition, candidate-union broadcast, one exact recount. The
     * `require` is the recall theorem's premise (see [[heavyHitters]]
-    * scaladoc). `toks` must have a single string column `tok`. */
+    * scaladoc). `toks` must have a single string column `tok`.
+    *
+    * Broadcast guard: the candidate union is bounded a priori by
+    * partitions × capacity (known driver-side, no extra pass). When
+    * that bound exceeds `MaxBroadcastCandidates`, the sketch cannot
+    * promise a broadcastable candidate set, so the op falls back to
+    * the plain exact aggregation (same answer — one vocabulary-sized
+    * shuffle instead of the candidate join) and says so loudly. */
+  private[operators] val MaxBroadcastCandidates = 2000000L
   private def mgExactCounts(toks: DataFrame, n: Long, minCount: Long,
       capacity: Int, opName: String): DataFrame = {
     val spark = toks.sparkSession
@@ -390,6 +398,15 @@ object TextAnalysis {
       s"$opName: minCount=$minCount x capacity=$capacity must exceed " +
         s"total stream count N=$n for the Misra-Gries recall guarantee; " +
         s"raise capacity to > ${n / minCount}")
+    val candBound = toks.rdd.getNumPartitions.toLong * capacity
+    if (candBound > MaxBroadcastCandidates) {
+      System.err.println(
+        s"[graft] $opName: candidate bound partitions x capacity = $candBound " +
+          s"exceeds $MaxBroadcastCandidates; using the exact one-shuffle " +
+          "aggregation instead of the sketch (same result)")
+      return toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minCount)
+    }
     val cands = toks.as[String].mapPartitions { it =>
       // Misra-Gries: capacity counters; a miss on a full summary
       // decrements every counter (amortized O(1) per token)

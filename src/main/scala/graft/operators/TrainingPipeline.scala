@@ -37,7 +37,13 @@ object TrainingPipeline {
       // -feature classifier floor (0 = gate off)
       maxDupNgramFrac: Double = 0.9,
       maxTopNgramCharFrac: Double = 0.6,
-      minClassifierPpm: Long = 0L)
+      minClassifierPpm: Long = 0L,
+      // round-8 gate: exact-substring span removal over the SURVIVORS
+      // (0 = off). Appends text_clean / tokens_removed / tokens_kept
+      // (Lee et al.: cut all-but-one copy of every >=minLen-token
+      // verbatim overlap; the min-id doc keeps its copy).
+      spanRemoveMinLen: Int = 0,
+      spanRemoveMaxDocFreq: Int = 50)
 
   /** Deterministic stratified sample at scale: exactly `n` docs per
     * stratum, keyed by md5(id) so every engine/partitioning picks the
@@ -131,10 +137,23 @@ object TrainingPipeline {
     val assignments = Dedup.dedupAssignments(
       exactWinners.select(col(idCol), col(textCol)), idCol, textCol,
       threshold = cfg.fuzzyThreshold)
-    exactWinners
+    val survivors = exactWinners
       .join(assignments, Seq(idCol))
       .filter(col("keep_id") === col(idCol))
       .drop("keep_id")
+
+    // optional final stage: exact-substring span REMOVAL over the
+    // deduped survivors (doc-level dedup first, then span-level —
+    // running span removal before doc dedup would pay the window
+    // index for docs that are about to be dropped whole)
+    if (cfg.spanRemoveMinLen <= 0) survivors
+    else survivors.join(
+      Dedup.removeVerbatimSpans(
+          survivors.select(col(idCol), col(textCol)), idCol, textCol,
+          cfg.spanRemoveMinLen, cfg.spanRemoveMaxDocFreq)
+        .select(col(idCol), col("text_clean"),
+          col("tokens_removed"), col("tokens_kept")),
+      Seq(idCol))
   }
 
   /** Deterministic epoch shuffle — the training-order op: a stable

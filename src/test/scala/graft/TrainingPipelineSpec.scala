@@ -207,6 +207,30 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(again == rows.map(r => r._2 -> r._3).toMap)
   }
 
+  test("curate spanRemoveMinLen gate: survivors get clean text; off by default") {
+    val run = (1 to 10).map(i => s"common$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"the data engine sorts and merges the filtered rows $run today"),
+      (2L, s"$run and the batch window joins every large partition for the query"),
+      (3L, "the data engine sorts and merges the large table rows and " +
+        "joins the filtered partitions for every query in the batch window")
+    ).toDF("doc_id", "text")
+    val cfg = TrainingPipeline.Config(minQuality = 0.0,
+      keepLangs = Set("en", "und", "de"), maxDupNgramFrac = 1.0,
+      maxTopNgramCharFrac = 1.0)
+    val off = TrainingPipeline.curate(docs, "doc_id", "text", cfg)
+    assert(!off.columns.contains("text_clean"), "gate must be off by default")
+    val on = TrainingPipeline.curate(docs, "doc_id", "text",
+      cfg.copy(spanRemoveMinLen = 8))
+      .select($"doc_id", $"tokens_removed", $"text_clean")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(on.size == 3, "span removal must not drop survivors")
+    // doc 1 (min id) keeps the shared run; doc 2 loses its copy
+    assert(on(1L)._2 == 0L)
+    assert(on(2L)._2 == 10L && !on(2L)._3.contains("common1"), on(2L).toString)
+    assert(on(3L)._2 == 0L)
+  }
+
   test("heavyHitters: exact results under a capacity that FORCES MG decrements") {
     import graft.operators.TextAnalysis
     // 300×hot + 100×warm + 500 distinct noise words, one word per row,
@@ -232,6 +256,11 @@ class TrainingPipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextAnalysis.heavyHitters(docs, "text", minCount = 10L, capacity = 8)
     }
+    // broadcast guard: when partitions x capacity exceeds the bound,
+    // the exact-aggregation fallback gives the identical answer
+    assert(TextAnalysis.heavyHitters(docs, "text", minCount = 120L,
+      capacity = 3000000).as[(String, Long)].collect().toMap ==
+      Map("hot" -> 300L))
   }
 
   test("tokenBudgetSample: greedy md5-prefix per group, deterministic, budget-exact") {
