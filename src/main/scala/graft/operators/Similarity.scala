@@ -299,18 +299,17 @@ object Similarity {
         .orderBy(xxhash64(col("v")).asc).limit(k)
         .collect().map(_.getSeq[Double](0))
     for (_ <- 1 to iters) {
-      // narrow argmin assignment, same shape as assignByCentroidTable;
-      // the sample's distinct vectors are keyed by xxhash64(v) (a
-      // 64-bit collision merges two sample vectors into one weighted
-      // point — ~1e-10 at the 1e5 sample cap, harmless to a fit)
+      // assignment through the codegen'd two-pass argmin
+      // (assignByCentroidTable) — the typed ArgMinByScore aggregator
+      // here was the round-7-measured encoder-per-candidate-row shape
+      // (31.6 s vs 19.8 s on the k=4096 assignment); the sample's
+      // distinct vectors are keyed by xxhash64(v) (a 64-bit collision
+      // merges two sample vectors into one weighted point — ~1e-10 at
+      // the 1e5 sample cap, harmless to a fit)
       val keyed = sample.select(xxhash64(col("v")).as("kid"), col("v"), col("w"))
-      val best = keyed.crossJoin(broadcast(centDf(cents)))
-        .select(col("kid"), (-cosineFast(col("v"), col("cv"))).as("ns"), col("cid"))
-        .as[(Long, Double, Long)]
-        .groupByKey(_._1)
-        .mapValues(t => (t._2, t._3))
-        .agg(new graft.functions.Aggregators.ArgMinByScore().toColumn)
-        .toDF("kid2", "cluster")
+      val best = assignByCentroidTable(
+        keyed.select(col("kid"), col("v")), "kid", "v", centDf(cents))
+        .select(col("kid").as("kid2"), col("cluster"))
       val means = keyed.join(best, col("kid") === col("kid2"))
         .select(col("cluster"), col("w"), posexplode(col("v")))
         .groupBy(col("cluster"), col("pos"))
