@@ -261,6 +261,16 @@ object Engine {
       capacity: Int = 131072): DataFrame =
     TextAnalysis.hotNgrams(df, textCol, n, minCount, capacity)
 
+  /** IVF ANN over FITTED centroids — compose [[fitCentroids]] with the
+    * IVF cell machinery (fitted cells route queries where their
+    * neighbors actually live; a hash-sampled centroid set can leave a
+    * dense region unrepresented at the same nProbe). */
+  def annTopKFitted(corpus: DataFrame, queries: DataFrame,
+      corpusId: String, queryId: String, vecCol: String, k: Int,
+      centroids: DataFrame, nProbe: Int = 4): DataFrame =
+    Similarity.ivfTopKWithCentroids(corpus, queries, corpusId, queryId,
+      vecCol, k, centroids, nProbe)
+
   def removeVerbatimSpans(df: DataFrame, idCol: String, textCol: String,
       minLen: Int = 20, maxDocFreq: Int = 50): DataFrame =
     Dedup.removeVerbatimSpans(df, idCol, textCol, minLen, maxDocFreq)

@@ -476,13 +476,43 @@ object Similarity {
       corpusId: String, queryId: String, vecCol: String,
       k: Int, nCentroids: Int = 16, nProbe: Int = 4,
       literalBudgetDoubles: Int = LiteralBudgetDoubles): DataFrame = {
+    // default centroid RULE: deterministic hash-ordered corpus sample
+    val cents = corpus
+      .select(col(corpusId).cast("long").as("cid"), asDouble(col(vecCol)).as("cv"))
+      .orderBy(xxhash64(col("cid")).asc, col("cid").asc)
+      .limit(nCentroids)
+    ivfCore(corpus, queries, corpusId, queryId, vecCol, k, cents,
+      nCentroids.toLong, nProbe, literalBudgetDoubles)
+  }
+
+  /** IVF top-k over an EXPLICIT centroid table — compose with
+    * [[kMeansFit]]: fitted centroids route queries to the cells their
+    * neighbors actually live in, where a hash-sampled centroid set
+    * can leave a dense region unrepresented (recall loss at the same
+    * nProbe). `centroids` must be (cid: integral, cv: vector); same
+    * literal-vs-broadcast dataflow decision as [[ivfTopK]]. */
+  def ivfTopKWithCentroids(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, queryId: String, vecCol: String,
+      k: Int, centroids: DataFrame, nProbe: Int = 4,
+      literalBudgetDoubles: Int = LiteralBudgetDoubles): DataFrame = {
+    val cc = centroids.columns
+    require(cc.length >= 2, s"centroids needs (cid, cv) columns, got ${cc.toSeq}")
+    val cents = centroids.select(col(cc(0)).cast("long").as("cid"),
+      asDouble(col(cc(1))).as("cv"))
+    ivfCore(corpus, queries, corpusId, queryId, vecCol, k, cents,
+      cents.count(), nProbe, literalBudgetDoubles)
+  }
+
+  private def ivfCore(
+      corpus: DataFrame, queries: DataFrame,
+      corpusId: String, queryId: String, vecCol: String,
+      k: Int, cents: DataFrame, nCentroids: Long, nProbe: Int,
+      literalBudgetDoubles: Int): DataFrame = {
     val (assigned, probes) =
       if (nCentroids <= LiteralMaxCentroids &&
-          nCentroids.toLong * vecDim(corpus, vecCol) <= literalBudgetDoubles) {
-        val centroids: Array[(Long, Seq[Double])] = corpus
-          .select(col(corpusId).cast("long").as("cent_id"), asDouble(col(vecCol)).as("cvec"))
-          .orderBy(xxhash64(col("cent_id")).asc, col("cent_id").asc)
-          .limit(nCentroids)
+          nCentroids * vecDim(corpus, vecCol) <= literalBudgetDoubles) {
+        val centroids: Array[(Long, Seq[Double])] = cents
           .collect()
           .map(r => (r.getLong(0), r.getSeq[Double](1)))
 
@@ -507,16 +537,12 @@ object Similarity {
           .select(col("query_id"), col("__q"), col("__pc").getField("cent").as("cell"))
         (a, p)
       } else {
-        // Past the literal budget: same centroid RULE as a broadcast
-        // table. Cell assignment is the shared partial-agg argmin;
+        // Past the literal budget: the same centroid table goes to a
+        // broadcast. Cell assignment is the shared partial-agg argmin;
         // query probing aggregates its k candidate cells into a
         // bounded per-query state (k structs — the centroid table the
         // executor already holds, never corpus-sized) and keeps the
         // best nProbe. Identical (score desc, cid asc) ordering.
-        val cents = corpus
-          .select(col(corpusId).cast("long").as("cid"), asDouble(col(vecCol)).as("cv"))
-          .orderBy(xxhash64(col("cid")).asc, col("cid").asc)
-          .limit(nCentroids)
         val a = assignByCentroidTable(
             corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism),
             corpusId, vecCol, cents)

@@ -41,6 +41,16 @@ object RecallProbe {
       recall(s"ivf $c/$pr", graft.operators.Similarity.ivfTopK(
         emb, qs, "vec_id", "vec_id", "embedding", 5, nCentroids = c, nProbe = pr)
         .select(col("query_id"), col("neighbor_id")))
+    // IVF over FITTED centroids (kMeansFit -> ivfTopKWithCentroids):
+    // same nProbe points, centroids from the k-means|| fit instead of
+    // the hash sample — the round-8 composition
+    for ((c, pr) <- Seq((16, 6), (16, 8))) {
+      val cents = graft.operators.Similarity.kMeansFit(
+        emb, "embedding", k = c, iters = 3, init = "parallel")
+      recall(s"ivf-fitted $c/$pr", graft.operators.Similarity.ivfTopKWithCentroids(
+        emb, qs, "vec_id", "vec_id", "embedding", 5, centroids = cents, nProbe = pr)
+        .select(col("query_id"), col("neighbor_id")))
+    }
     // minhash recall vs exact jaccard at 0.8
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val tPairs = graft.operators.Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.8)

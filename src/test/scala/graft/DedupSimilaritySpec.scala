@@ -833,6 +833,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(byBlob.values.flatten.toSet.size == 3, "blobs must not share a cluster")
   }
 
+  test("ivfTopKWithCentroids: fitted centroids never lose to hash-sampled at equal nProbe") {
+    // 8 tight blobs; queries = every vector. With nProbe=1 the cell
+    // router IS the recall: fitted centroids sit at blob centers, a
+    // hash-sampled set is blob MEMBERS and can leave blobs
+    // unrepresented (their residents get routed to a foreign cell
+    // where their true neighbors don't live).
+    val pts = (0 until 160).map { j =>
+      val blob = j % 8
+      (j.toLong, Array.tabulate(10)(d =>
+        (if (d == blob) 10f else 0f) + ((j * 13 + d * 3) % 7) * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val truth = Similarity.bruteForceTopK(pts, pts, "vec_id", "vec_id", "embedding", k = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(got: Set[(Long, Long)]): Double =
+      (truth intersect got).size.toDouble / truth.size
+    val fitted = Similarity.kMeansFit(pts, "embedding", k = 8, iters = 3, init = "parallel")
+    val rFit = recall(Similarity.ivfTopKWithCentroids(
+        pts, pts, "vec_id", "vec_id", "embedding", k = 3, centroids = fitted, nProbe = 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet)
+    val rHash = recall(Similarity.ivfTopK(
+        pts, pts, "vec_id", "vec_id", "embedding", k = 3, nCentroids = 8, nProbe = 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet)
+    assert(rFit >= rHash, s"fitted recall $rFit < sampled recall $rHash")
+    assert(rFit > 0.99, s"fitted centroids on clean blobs must route perfectly, got $rFit")
+    // explicit-centroid path == default path when given the SAME rule:
+    // the hash-sampled table fed back through ivfTopKWithCentroids
+    val sampled = pts
+      .select($"vec_id".cast("long").as("cid"),
+        $"embedding".cast("array<double>").as("cv"))
+      .orderBy(xxhash64($"cid").asc, $"cid".asc).limit(8)
+    val viaExplicit = Similarity.ivfTopKWithCentroids(
+        pts, pts, "vec_id", "vec_id", "embedding", k = 3, centroids = sampled, nProbe = 1)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val viaDefault = Similarity.ivfTopK(
+        pts, pts, "vec_id", "vec_id", "embedding", k = 3, nCentroids = 8, nProbe = 1)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(viaExplicit == viaDefault)
+  }
+
   test("kMeans|| init: recovers blobs, deterministic, never worse than hash init") {
     // 8 well-separated axis blobs in dim-10; k=8 with init='parallel'
     // (the auto threshold would pick hash at this k — force it)

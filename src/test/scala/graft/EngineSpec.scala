@@ -107,6 +107,11 @@ class EngineSpec extends SparkSpec {
     val tb = Engine.tokenBudgetSample(docs, "lang", "doc_id", "text",
       Map("en" -> 200L), defaultBudget = 100L)
     assert(tb.count() > 0)
+    val embs = tables.embeddings.limit(100)
+    assert(Engine.hotNgrams(docs, "text", n = 3, minCount = 2L).count() >= 0)
+    val cents = Engine.fitCentroids(embs, "embedding", k = 4, iters = 1)
+    assert(Engine.annTopKFitted(embs, embs.limit(5), "vec_id", "vec_id",
+      "embedding", k = 3, centroids = cents).count() > 0)
   }
 
   test("GraftSession.sql queries registered aliases (PigServer entry point)") {
