@@ -194,7 +194,16 @@ object Bench {
       .mkString("{", ",", "}")
     val stotal = streamResults.map(_._2).sum
     val fjson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","baseline12_sec":$base12%.3f,"headline_sec":$total%.3f,"queries":$qjson,"streaming_sec":$stotal%.3f,"streaming":$sjson,"failed":$fjson,"sf":"$sfDir"}""")
+    // A failed member query must make its aggregate UNMISTAKABLY
+    // broken, not smaller: summing only the survivors would report a
+    // phantom speedup to any consumer that doesn't parse `failed`.
+    val headlineBroken = failedQueries.exists(qs.contains)
+    val streamingBroken = failedQueries.exists(streamQs.contains)
+    val totalOut = if (headlineBroken) -1.0 else total
+    val base12Out =
+      if (failedQueries.exists(baselineSubset.contains)) -1.0 else base12
+    val stotalOut = if (streamingBroken) -1.0 else stotal
+    println(f"""{"metric":"total","value":$totalOut%.3f,"unit":"sec","baseline12_sec":$base12Out%.3f,"headline_sec":$totalOut%.3f,"queries":$qjson,"streaming_sec":$stotalOut%.3f,"streaming":$sjson,"failed":$fjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1227,8 +1227,15 @@ object SparkEntry {
       val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 365L * 86400 * 1000)
       val ss = graft.streaming.EventsStreaming.replaySession(s)
       def run(): Unit = {
+        // the dedup watermark delay must cover the DUPLICATE ARRIVAL
+        // SPAN, not just window lateness: a 10-minute delay would
+        // evict dedup state while hour windows are still open, so a
+        // duplicate landing in a later micro-batch than its original
+        // (e.g. under maxFilesPerTrigger) would re-count. 35 days
+        // covers the full fixture timeline; the +365d sentinel still
+        // clears every real window in phase 2.
         val q = graft.streaming.EventsStreaming.readEvents(ss, src)
-          .withWatermark("ts", "10 minutes")
+          .withWatermark("ts", "35 days")
           .dropDuplicatesWithinWatermark("event_id")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n_events"))

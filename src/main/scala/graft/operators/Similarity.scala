@@ -370,7 +370,14 @@ object Similarity {
       .select(col("kid"), col("v"), col("w"), col("nd").as("dmin"))
       .localCheckpoint()
     for (r <- 1 to rounds) {
-      val phi = state.agg(sum(col("dmin") * col("w"))).collect()(0).getDouble(0)
+      // DECIMAL-exact total cost: a double sum's rounding depends on
+      // partition/merge order, and phi feeds every coin-flip threshold
+      // — the partition-invariance contract needs it exact (the
+      // codebase-wide aggregate-through-DECIMAL discipline)
+      val phi = state
+        .agg(sum((col("dmin") * col("w")).cast(
+          org.apache.spark.sql.types.DecimalType(38, 18))).cast("double"))
+        .collect()(0).getDouble(0)
       if (phi > 0) {
         val p = least(lit(1.0), lit(l.toDouble) * col("dmin") * col("w") / lit(phi))
         val u = conv(substring(md5(concat_ws(":", col("kid"), lit(r))), 1, 13), 16, 10)
@@ -386,7 +393,17 @@ object Similarity {
       }
     }
     val uniq = cands.distinct.toSeq
-    if (uniq.length <= k) return uniq.toArray
+    if (uniq.length <= k) {
+      // degenerate geometry (one dense blob: dmin≈0 everywhere after
+      // the first seed, so rounds draw nothing) can land here even
+      // when the sample HAS k distinct vectors — same loud-not-silent
+      // contract as kMeansFit's under-k warning
+      if (uniq.length < k) System.err.println(
+        s"[graft] kMeansParallelInit WARNING: oversampling rounds drew only " +
+          s"${uniq.length} distinct candidates (requested k=$k); returning " +
+          s"${uniq.length} centroids — the sample geometry is degenerate")
+      return uniq.toArray
+    }
     // weight candidates by assigned sample mass (one argmin join)
     val cdf = centDf(uniq)
     val wts = assignByCentroidTable(
@@ -481,8 +498,13 @@ object Similarity {
       .select(col(corpusId).cast("long").as("cid"), asDouble(col(vecCol)).as("cv"))
       .orderBy(xxhash64(col("cid")).asc, col("cid").asc)
       .limit(nCentroids)
+    val collected =
+      if (nCentroids <= LiteralMaxCentroids &&
+          nCentroids.toLong * vecDim(corpus, vecCol) <= literalBudgetDoubles)
+        Some(cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1))))
+      else None
     ivfCore(corpus, queries, corpusId, queryId, vecCol, k, cents,
-      nCentroids.toLong, nProbe, literalBudgetDoubles)
+      collected, nProbe)
   }
 
   /** IVF top-k over an EXPLICIT centroid table — compose with
@@ -500,21 +522,30 @@ object Similarity {
     require(cc.length >= 2, s"centroids needs (cid, cv) columns, got ${cc.toSeq}")
     val cents = centroids.select(col(cc(0)).cast("long").as("cid"),
       asDouble(col(cc(1))).as("cv"))
+    // ONE bounded probe decides literal-vs-broadcast AND supplies the
+    // literal array — a separate count() would evaluate the caller's
+    // centroid plan twice (and could disagree with the collected rows
+    // if that plan were nondeterministic)
+    val probe = cents.limit(LiteralMaxCentroids + 1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val collected =
+      if (probe.length <= LiteralMaxCentroids &&
+          probe.length.toLong * vecDim(corpus, vecCol) <= literalBudgetDoubles)
+        Some(probe)
+      else None
     ivfCore(corpus, queries, corpusId, queryId, vecCol, k, cents,
-      cents.count(), nProbe, literalBudgetDoubles)
+      collected, nProbe)
   }
 
   private def ivfCore(
       corpus: DataFrame, queries: DataFrame,
       corpusId: String, queryId: String, vecCol: String,
-      k: Int, cents: DataFrame, nCentroids: Long, nProbe: Int,
-      literalBudgetDoubles: Int): DataFrame = {
+      k: Int, cents: DataFrame,
+      collectedForLiteral: Option[Array[(Long, Seq[Double])]],
+      nProbe: Int): DataFrame = {
     val (assigned, probes) =
-      if (nCentroids <= LiteralMaxCentroids &&
-          nCentroids * vecDim(corpus, vecCol) <= literalBudgetDoubles) {
-        val centroids: Array[(Long, Seq[Double])] = cents
-          .collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      if (collectedForLiteral.isDefined) {
+        val centroids: Array[(Long, Seq[Double])] = collectedForLiteral.get
 
         /** Per-row top-`m` nearest cells: a literal-built array of
           * (−score, cent_id) structs, sorted ascending (score desc, id asc

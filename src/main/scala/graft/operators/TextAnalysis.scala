@@ -334,12 +334,15 @@ object TextAnalysis {
     * partition-local count exceeds Nₚ/capacity; a term with global
     * count > N/capacity must exceed Nₚ/capacity in at least one
     * partition (averaging), so the UNION of per-partition keys has
-    * perfect recall on every term with count > N/capacity. The
-    * operator `require`s `minCount · capacity > N` (N read by one
-    * scan-only pre-pass — no shuffle, no explode), so the final
+    * perfect recall on every term with count > N/capacity. The sketch
+    * path runs only when `minCount · capacity > N` holds (N read by
+    * one scan-only pre-pass — no shuffle, no explode), so its final
     * `cnt ≥ minCount` filter is EXACT: no false negatives by the MG
     * bound, no false positives because verification recounts
-    * candidates exactly.
+    * candidates exactly. When the premise does NOT hold (or the
+    * candidate bound isn't broadcastable), the operator degrades
+    * LOUDLY to the exact one-shuffle aggregation — identical answer,
+    * vocabulary-sized shuffle instead of the candidate join.
     *
     * Scale: per-partition state is ≤ `capacity` counters; the
     * candidate table is ≤ partitions × capacity rows (broadcast to the
@@ -366,8 +369,9 @@ object TextAnalysis {
     require(n >= 1, s"n=$n")
     // native kernel for the window stream: the HOF formulation
     // (transform + slice + array_join per window) measured 2.9 s per
-    // corpus pass at sf0.1 vs ~0.3 s for the kernel — and this stream
-    // is paid TWICE (sketch pass + verify pass)
+    // corpus pass at sf0.1 vs ~0.3 s for the kernel — and the kernel
+    // runs in all THREE corpus passes (scan-only size pre-pass,
+    // sketch pass, verify pass)
     val allGrams = graft.plans.TextExpressions.ngramStringsAll(col(textCol), n)
     val total = docs
       .agg(coalesce(sum(size(allGrams)), lit(0L)))
@@ -394,16 +398,23 @@ object TextAnalysis {
     val spark = toks.sparkSession
     import spark.implicits._
     require(minCount >= 1 && capacity >= 1, s"minCount=$minCount capacity=$capacity")
-    require(minCount * capacity > n,
-      s"$opName: minCount=$minCount x capacity=$capacity must exceed " +
-        s"total stream count N=$n for the Misra-Gries recall guarantee; " +
-        s"raise capacity to > ${n / minCount}")
+    // The sketch path needs BOTH (a) the MG recall premise
+    // minCount x capacity > N and (b) a broadcastable candidate bound.
+    // When either fails, the exact one-shuffle aggregation computes
+    // the identical answer — degrade to it LOUDLY instead of throwing
+    // (a servable query must never fail because the sketch's premise
+    // doesn't hold; the premise guards the sketch, not the answer).
     val candBound = toks.rdd.getNumPartitions.toLong * capacity
-    if (candBound > MaxBroadcastCandidates) {
-      System.err.println(
-        s"[graft] $opName: candidate bound partitions x capacity = $candBound " +
-          s"exceeds $MaxBroadcastCandidates; using the exact one-shuffle " +
-          "aggregation instead of the sketch (same result)")
+    val premiseHolds = minCount * capacity > n
+    if (!premiseHolds || candBound > MaxBroadcastCandidates) {
+      val why =
+        if (!premiseHolds)
+          s"minCount=$minCount x capacity=$capacity <= stream count N=$n " +
+            s"(MG recall premise fails; capacity > ${n / minCount} would hold it)"
+        else
+          s"candidate bound partitions x capacity = $candBound exceeds $MaxBroadcastCandidates"
+      System.err.println(s"[graft] $opName: $why; using the exact " +
+        "one-shuffle aggregation instead of the sketch (same result)")
       return toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= minCount)
     }

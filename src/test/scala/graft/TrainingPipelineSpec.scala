@@ -252,10 +252,12 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(TextAnalysis.heavyHitters(docs.repartition(3), "text",
       minCount = 120L, capacity = 8).as[(String, Long)].collect().toMap ==
       Map("hot" -> 300L))
-    // the recall guarantee is require'd, never silently hoped for
-    intercept[IllegalArgumentException] {
-      TextAnalysis.heavyHitters(docs, "text", minCount = 10L, capacity = 8)
-    }
+    // when the MG recall premise can't hold (minCount*capacity <= N),
+    // the op degrades LOUDLY to the exact aggregation — the answer is
+    // still exact, never an exception for a servable query
+    assert(TextAnalysis.heavyHitters(docs, "text", minCount = 10L, capacity = 8)
+      .as[(String, Long)].collect().toMap ==
+      Map("hot" -> 300L, "warm" -> 100L))
     // broadcast guard: when partitions x capacity exceeds the bound,
     // the exact-aggregation fallback gives the identical answer
     assert(TextAnalysis.heavyHitters(docs, "text", minCount = 120L,
