@@ -57,6 +57,18 @@ object Soak {
     time("stratified_sample")(
       graft.operators.TrainingPipeline
         .stratifiedSample(docs, "lang", "doc_id", 1000).count())
+    time("token_budget") {
+      // evidence for the r9 de-serialized plan: work units (group x
+      // shard cells with mass) must exceed the group count
+      val kept = graft.operators.TrainingPipeline.tokenBudgetSample(
+        docs, "lang", "doc_id", "text",
+        budgets = Map("en" -> 2000000L), defaultBudget = 500000L)
+      val n = kept.count()
+      val groups = docs.select(col("lang")).distinct().count()
+      println(s"[soak] token_budget groups=$groups shards=32 " +
+        s"work-units<=${groups * 32} kept=$n")
+      n
+    }
     time("shard_assign")(
       docs.withColumn("__h", md5(col("doc_id").cast("string")))
         .select((expr("position(substring(__h, 1, 1) IN '0123456789abcdef')")

@@ -1221,6 +1221,18 @@ object SparkEntry {
       val ev = t(s, dir).events
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"), col("props"))
+      // fixture contract (r9 ADVICE): the stream dedups on event_id
+      // alone (keep-first) while the oracle dedups on the DISTINCT
+      // (event_id, ts, event_type) triple — equivalent ONLY while
+      // event_id determines the row, so assert that instead of
+      // relying on it silently (1-row scalar, fails loudly if a
+      // regenerated fixture ever reuses ids)
+      val ambiguous = ev.groupBy(col("event_id"))
+        .agg(countDistinct(col("ts"), col("event_type")).as("nv"))
+        .filter(col("nv") > 1).limit(1).count()
+      require(ambiguous == 0L, "q151 fixture contract violated: an event_id " +
+        "maps to multiple (ts, event_type) rows; keep-first stream dedup " +
+        "would diverge from the DISTINCT-triple oracle")
       ev.coalesce(1).write.mode("append").parquet(src)
       ev.coalesce(1).write.mode("append").parquet(src) // the duplicates
       val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0) // 1-row scalar
@@ -1324,9 +1336,10 @@ object SparkEntry {
     // --- hard per-group token budgets (round 8) — the exact-budget
     //     half of data mixing (temperatureMixture is the rate half):
     //     md5-ordered greedy prefix per lang until the budget fills;
-    //     deterministic under any partitioning/retry. One shuffle on
-    //     the group key; window partitioned by GROUP (parallelism =
-    //     group count — the per-domain-accounting shape). ---
+    //     deterministic under any partitioning/retry. Round 9: the
+    //     running sum shards each group into md5-range slices with
+    //     broadcast cumulative offsets (rankBy's two-pass trick), so
+    //     parallelism = groups x shards, not group count. ---
     "q150_token_budget" -> ((s, dir) =>
       graft.operators.TrainingPipeline.tokenBudgetSample(
         t(s, dir).documents, "lang", "doc_id", "text",

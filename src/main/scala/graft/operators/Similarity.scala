@@ -411,9 +411,24 @@ object Similarity {
       .join(state.select(col("kid"), col("w")), Seq("kid"))
       .groupBy(col("cluster")).agg(sum(col("w")).as("cw"))
       .as[(Long, Double)].collect().toMap
+    // weight desc, ties broken by lexicographic element compare — a
+    // content-stable total order (hashCode could collide and leave the
+    // seed order dependent on collect order; r9 ADVICE fix)
+    def lexCompare(a: Seq[Double], b: Seq[Double]): Int = {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val c = java.lang.Double.compare(a(i), b(i))
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(a.length, b.length)
+    }
     val weighted: Array[(Seq[Double], Double)] = uniq.zipWithIndex
       .map { case (c, i) => (c, wts.getOrElse(i.toLong, 0.0)) }.toArray
-      .sortBy { case (c, w) => (-w, c.hashCode) }
+      .sortWith { case ((c1, w1), (c2, w2)) =>
+        if (w1 != w2) w1 > w2 else lexCompare(c1, c2) < 0
+      }
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
@@ -533,7 +548,20 @@ object Similarity {
           probe.length.toLong * vecDim(corpus, vecCol) <= literalBudgetDoubles)
         Some(probe)
       else None
-    ivfCore(corpus, queries, corpusId, queryId, vecCol, k, cents,
+    // r9 ADVICE: past the literal budget the broadcast path would
+    // re-evaluate the CALLER'S centroid plan inside ivfCore — a
+    // nondeterministic plan could diverge from what the probe sized.
+    // When the probe already saw every row (the limit was not hit),
+    // rebuild the table from those exact rows; otherwise pin ONE
+    // materialization with localCheckpoint.
+    val stableCents =
+      if (collected.isDefined) cents // literal path never reads the table
+      else if (probe.length <= LiteralMaxCentroids) {
+        val spark = centroids.sparkSession
+        import spark.implicits._
+        probe.toSeq.toDF("cid", "cv")
+      } else cents.localCheckpoint()
+    ivfCore(corpus, queries, corpusId, queryId, vecCol, k, stableCents,
       collected, nProbe)
   }
 

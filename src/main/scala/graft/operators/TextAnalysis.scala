@@ -417,6 +417,7 @@ object TextAnalysis {
         "one-shuffle aggregation instead of the sketch (same result)")
       return toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= minCount)
+        .withColumn("cnt", col("cnt").as("cnt", pathMeta("exact-fallback", why)))
     }
     val cands = toks.as[String].mapPartitions { it =>
       // Misra-Gries: capacity counters; a miss on a full summary
@@ -440,7 +441,20 @@ object TextAnalysis {
     toks.join(broadcast(cands), Seq("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
+      .withColumn("cnt", col("cnt").as("cnt", pathMeta("sketch", "")))
   }
+
+  /** Which dataflow actually ran (sketch vs exact fallback), carried as
+    * schema metadata on the `cnt` column so benchmarks and plan dumps
+    * can ATTRIBUTE the measured path instead of inferring it from
+    * stderr (r9 ADVICE: the 2M broadcast guard trips at just 16 input
+    * partitions under the default capacity, silently switching paths).
+    * Read it with `df.schema("cnt").metadata.getString("graft.mg.path")`. */
+  private def pathMeta(path: String, why: String): org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("graft.mg.path", path)
+      .putString("graft.mg.why", why)
+      .build()
 
   // ---------------- fingerprinting ----------------
 

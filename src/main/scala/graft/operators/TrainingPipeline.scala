@@ -236,26 +236,79 @@ object TrainingPipeline {
     * (id tiebreak), so any engine / retry / partitioning selects the
     * same set. Groups absent from `budgets` get `defaultBudget`.
     *
-    * Scale shape: one shuffle on the group key + a within-group sorted
-    * running sum (a window, but partitioned by GROUP — parallelism is
-    * bounded by group count like any per-domain accounting; for
-    * few-group corpora at extreme scale, [[temperatureMixture]] is the
-    * shuffle-free alternative and this is the exact-budget one). The
-    * greedy-prefix rule means one oversized doc mid-order can shadow a
-    * smaller doc later (first-fit would keep it) — documented, not a
-    * bug: the prefix rule is what makes selection order-stable. */
+    * Scale shape (round 9 — the rankBy trick applied to running sums):
+    * a naive `Window.partitionBy(group)` makes parallelism = group
+    * count, so one task sorts and scans an entire domain at 100 TB.
+    * Instead each group is cut into `shardsPerGroup` md5-RANGE shards
+    * (shard = top 16 bits of the order hash, monotonically collapsed
+    * to [0, S), so shard boundaries ARE hash-order boundaries and
+    * (shard ASC, hash ASC, id ASC) equals the serial walk):
+    *
+    *   1. one tokenize pass → narrow (group, id, n_tokens, hash,
+    *      shard) projection, localCheckpoint'd so text is read once
+    *      (same lifetime discipline as [[Relational.rankBy]]);
+    *   2. per-(group, shard) token masses — groups × S rows, bounded
+    *      driver metadata (this is per-DOMAIN accounting; a guard
+    *      refuses high-cardinality group columns) — exclusive
+    *      prefix-summed on the driver into shard offsets;
+    *   3. the running sum windows over (group, SHARD) — parallelism =
+    *      groups × S, not groups — plus the broadcast offset.
+    *
+    * Greedy prefix identical to the serial form (proven in spec by
+    * S=1 vs S=32 equality). The greedy-prefix rule means one
+    * oversized doc mid-order can shadow a smaller doc later
+    * (first-fit would keep it) — documented, not a bug: the prefix
+    * rule is what makes selection order-stable. */
   def tokenBudgetSample(docs: DataFrame, groupCol: String, idCol: String,
       textCol: String, budgets: Map[String, Long],
-      defaultBudget: Long = 0L): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
-      .orderBy(md5(concat_ws("|", col(groupCol), col(idCol))), col(idCol))
+      defaultBudget: Long = 0L, shardsPerGroup: Int = 32): DataFrame = {
+    require(shardsPerGroup >= 1 && shardsPerGroup <= 65536,
+      s"tokenBudgetSample: shardsPerGroup must be in [1, 65536], got $shardsPerGroup")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    val spark = docs.sparkSession
+    val h = md5(concat_ws("|", col(groupCol), col(idCol)))
+    val narrow = docs.select(
+        col(groupCol), col(idCol),
+        size(Dedup.tokens(col(textCol))).cast("long").as("__nt"),
+        h.as("__h"))
+      .withColumn("__shard",
+        (conv(substring(col("__h"), 1, 4), 16, 10).cast("long") *
+          shardsPerGroup / 65536L).cast("int"))
+      // null-safe string join key: a plain equi-join on the group
+      // column would drop null-group rows the serial window kept
+      .withColumn("__gk", when(col(groupCol).isNull, lit(" "))
+        .otherwise(concat(lit("="), col(groupCol).cast("string"))))
+      .localCheckpoint()
+    val masses = narrow.groupBy(col("__gk"), col("__shard"))
+      .agg(coalesce(sum(col("__nt")), lit(0L)).as("__mass")).collect()
+    require(masses.length <= (1 << 20),
+      "tokenBudgetSample: group column cardinality is too high for per-group " +
+        "budget accounting (shard-offset table exceeds 2^20 rows); hard budgets " +
+        "are a per-DOMAIN recipe — for fine-grained keys use temperatureMixture")
+    val offRows: java.util.List[org.apache.spark.sql.Row] = {
+      val l = new java.util.ArrayList[org.apache.spark.sql.Row](masses.length)
+      masses.groupBy(_.getString(0)).valuesIterator.foreach { rs =>
+        val sorted = rs.sortBy(_.getInt(1))
+        var off = 0L
+        sorted.foreach { r =>
+          l.add(org.apache.spark.sql.Row(r.getString(0), r.getInt(1), off))
+          off += r.getLong(2)
+        }
+      }
+      l
+    }
+    val offsets = spark.createDataFrame(offRows, StructType(Seq(
+      StructField("__gk", StringType, nullable = false),
+      StructField("__shard", IntegerType, nullable = false),
+      StructField("__off", LongType, nullable = false))))
     val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (g, b)) =>
       when(col(groupCol) === g, lit(b)).otherwise(acc)
     }
-    docs
-      .withColumn("__nt", size(Dedup.tokens(col(textCol))).cast("long"))
-      .withColumn("__cum", sum(col("__nt")).over(w))
+    val wShard = Window.partitionBy(col("__gk"), col("__shard"))
+      .orderBy(col("__h"), col(idCol))
+    narrow.join(broadcast(offsets), Seq("__gk", "__shard"))
+      .withColumn("__cum", col("__off") + sum(col("__nt")).over(wShard))
       .filter(col("__cum") <= budget)
       .select(col(idCol), col(groupCol), col("__nt").as("n_tokens"),
         col("__cum").as("cum_tokens"))

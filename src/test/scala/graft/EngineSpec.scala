@@ -108,7 +108,9 @@ class EngineSpec extends SparkSpec {
       Map("en" -> 200L), defaultBudget = 100L)
     assert(tb.count() > 0)
     val embs = tables.embeddings.limit(100)
-    assert(Engine.hotNgrams(docs, "text", n = 3, minCount = 2L).count() >= 0)
+    // minCount=2 3-grams are non-empty on the 100-doc fixture (the
+    // r8 `>= 0` form was vacuous — count can never be negative)
+    assert(Engine.hotNgrams(docs, "text", n = 3, minCount = 2L).count() > 0)
     val cents = Engine.fitCentroids(embs, "embedding", k = 4, iters = 1)
     assert(Engine.annTopKFitted(embs, embs.limit(5), "vec_id", "vec_id",
       "embedding", k = 3, centroids = cents).count() > 0)

@@ -195,14 +195,18 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(tree).size >= 2, tree.take(2000))
   }
 
-  test("q150: token budget is one group-key exchange + running-sum window") {
+  test("q150: token budget running sum is SHARDED — no per-group serial window") {
     val tree = SparkEntry.queries("q150_token_budget")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(tree.contains("Window"), tree.take(2000))
-    // exactly one shuffle: the partitionBy(group) exchange (AQE reads
-    // may add none elsewhere — the scan is shuffle-free)
-    val exchanges = "Exchange".r.findAllIn(tree).length
-    assert(exchanges <= 1, s"expected a single group-key shuffle:\n$tree")
+    // every window in the plan partitions by (group-key, __shard):
+    // parallelism = groups x shards, not group count (the r8 weak
+    // plan was Window.partitionBy(group) over the full stream)
+    val winLines = tree.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, tree.take(2000))
+    assert(winLines.forall(_.contains("__shard")),
+      s"found a window not partitioned by __shard:\n${winLines.mkString("\n")}")
+    // the shard-offset table ships broadcast, never shuffles the corpus
+    assert(tree.contains("BroadcastHashJoin"), tree.take(2000))
     assert(!tree.contains("ScalaUDF"), tree.take(2000))
   }
 

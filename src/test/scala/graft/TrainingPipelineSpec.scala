@@ -300,6 +300,31 @@ class TrainingPipelineSpec extends SparkSpec {
       docs.repartition(7), "grp", "doc_id", "text", budgets, defaultBudget = 4L)
       .as[(Long, String, Long, Long)].collect()
     assert(out2.toSet == out.toSet)
+    // shard invariance: the sharded prefix sums (any S) equal the
+    // serial S=1 walk — the greedy prefix is a property of the md5
+    // order, not of the shard layout
+    val serial = TrainingPipeline.tokenBudgetSample(
+      docs, "grp", "doc_id", "text", budgets, defaultBudget = 4L,
+      shardsPerGroup = 1).as[(Long, String, Long, Long)].collect()
+    assert(serial.toSet == out.toSet)
+    val wide = TrainingPipeline.tokenBudgetSample(
+      docs, "grp", "doc_id", "text", budgets, defaultBudget = 4L,
+      shardsPerGroup = 256).as[(Long, String, Long, Long)].collect()
+    assert(wide.toSet == out.toSet)
+  }
+
+  test("tokenBudgetSample: null-group rows survive sharding under defaultBudget") {
+    val docs = Seq(
+      (1L, "a", "w w w"), (2L, "a", "w w"),
+      (3L, null.asInstanceOf[String], "w w"), (4L, null.asInstanceOf[String], "w"))
+      .toDF("doc_id", "grp", "text")
+    val out = TrainingPipeline.tokenBudgetSample(
+      docs, "grp", "doc_id", "text", Map("a" -> 100L), defaultBudget = 100L)
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.length == 4, out.mkString(","))
+    val nullRows = out.filter(_._2 == null)
+    assert(nullRows.map(_._1).toSet == Set(3L, 4L))
+    assert(nullRows.map(_._4).max == 3L) // cum over the null group alone
   }
 
   test("tfidfTopTerms: k per doc, corpus-wide terms rank below rare ones") {
