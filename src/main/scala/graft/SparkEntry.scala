@@ -1333,6 +1333,25 @@ object SparkEntry {
       graft.operators.TextAnalysis.hotNgrams(
         t(s, dir).documents, "text", n = 4, minCount = 3L, capacity = 131072)),
 
+    // --- GROUP ... USING 'collected' (round 9): Pig's map-side group
+    //     over collectable input, honored (not ignored): the input is
+    //     a table bucketed by the group key loaded through the catalog
+    //     route (HCatLoader analogue), so the aggregate needs ZERO
+    //     Exchange — the compiler verifies the contract via a probe
+    //     plan and refuses loudly on unclustered input. ---
+    "q153_group_collected" -> ((s, dir) => {
+      s.sql("DROP TABLE IF EXISTS q153_lineitem_b")
+      t(s, dir).lineitem.select(col("l_orderkey"), col("l_linenumber"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("q153_lineitem_b")
+      graft.pig.PigScript.query(s,
+        """L = LOAD 'q153_lineitem_b' USING hcatloader;
+           G = GROUP L BY l_orderkey USING 'collected';
+           A = FOREACH G GENERATE group AS l_orderkey,
+               SUM(L.l_linenumber) AS sum_ln, COUNT_STAR(L) AS n_items;""",
+        Map.empty)
+    }),
+
     // --- hard per-group token budgets (round 8) — the exact-budget
     //     half of data mixing (temperatureMixture is the rate half):
     //     md5-ordered greedy prefix per lang until the budget fills;
@@ -3512,6 +3531,12 @@ object SparkEntry {
            WHERE len(tk) >= 4)
          SELECT gram, CAST(count(*) AS BIGINT) AS cnt
          FROM g GROUP BY gram HAVING count(*) >= 3""",
+
+    // map-side (collected) group == plain group-by on the same rows
+    "q153_group_collected" ->
+      """SELECT l_orderkey, CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln,
+                COUNT(*) AS n_items
+         FROM lineitem GROUP BY 1""",
 
     // greedy md5-ordered prefix per lang under hard token budgets
     "q150_token_budget" ->

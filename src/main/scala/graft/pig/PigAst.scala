@@ -95,9 +95,13 @@ object PigAst {
   /** CUBE/ROLLUP statement: `C = CUBE A BY CUBE(d1, d2);` (Pig 0.11). */
   final case class PCubeOp(in: String, dims: Seq[PExpr], rollup: Boolean) extends POp
   /** GROUP (1 input) / COGROUP (n inputs); `inner` lists inputs with the
-    * INNER modifier (drop keys whose bag would be empty). */
+    * INNER modifier (drop keys whose bag would be empty). `hint`:
+    * Some("collected"|"merge") for `USING 'collected'/'merge'` — the
+    * input-is-already-clustered contract (Pig: CollectableLoadFunc /
+    * sorted loader), verified at compile so the aggregate runs with
+    * zero Exchange or fails loudly. */
   final case class PGroup(inputs: Seq[(String, Seq[PExpr])], all: Boolean,
-      inner: Set[String]) extends POp
+      inner: Set[String], hint: Option[String] = None) extends POp
   /** `outer`: None = inner; Some("left"|"right"|"full_outer").
     * `using`: replicated | skewed | merge (strategy hints). */
   final case class PJoin(sides: Seq[(String, Seq[PExpr])],

@@ -270,8 +270,9 @@ object PigCompiler {
           new Rel(() => compileNestedBags(rel.df, stmts, items), None)
       }
 
-    case PGroup(Seq((in, keys)), all, _) =>
+    case PGroup(Seq((in, keys)), all, _, hint) =>
       val child = lookup(env, in).df
+      hint.filter(_ => !all).foreach(requireCollocated(child, keys, _))
       val meta = GroupMeta(in, child, keys, all)
       new Rel(() => materializeGroup(meta), Some(meta))
 
@@ -283,9 +284,10 @@ object PigCompiler {
         mode = if (rollup) "rollup" else "cube")
       new Rel(() => materializeGroup(meta), Some(meta))
 
-    case PGroup(inputs, _, inner) => // COGROUP
+    case PGroup(inputs, _, inner, hint) => // COGROUP
       val sides = inputs.map { case (a, keys) =>
         val df = lookup(env, a).df
+        hint.foreach(requireCollocated(df, keys, _))
         val names = keys.map {
           case PCol(n) => resolvedName(df, n)
           case PPos(i) => df.columns(i)
@@ -598,6 +600,33 @@ object PigCompiler {
       }
     }
 
+  /** `GROUP … USING 'collected'/'merge'` contract check: the input
+    * must already be clustered by the group key — Pig required a
+    * CollectableLoadFunc ('collected') / sorted loader ('merge') and
+    * FAILED the job otherwise; the Spark-native equivalent is a scan
+    * whose partitioning (bucketing) already satisfies the aggregate's
+    * distribution, so the group runs with ZERO Exchange. Verified by
+    * planning a probe aggregate over the keys: a shuffle in that plan
+    * means the contract does not hold and the hint is refused loudly
+    * (silently shuffling anyway would lie about the plan the user
+    * asked for). Probe planning only — nothing executes here. */
+  private def requireCollocated(df: DataFrame, keys: Seq[PExpr], hint: String): Unit = {
+    val keyNames = keys.map {
+      case PCol(n) => resolvedName(df, n)
+      case PPos(i) => df.columns(i)
+      case other => throw new IllegalArgumentException(
+        s"GROUP ... USING '$hint' keys must be column refs, got $other")
+    }
+    val probe = df.groupBy(keyNames.map(k => col(s"`$k`")): _*).agg(count(lit(1)))
+    val plan = probe.queryExecution.executedPlan.toString
+    require(!plan.contains("Exchange hashpartitioning"),
+      s"GROUP ... USING '$hint' requires input already clustered by " +
+        s"(${keyNames.mkString(", ")}) — a CollectableLoadFunc/sorted input in Pig; " +
+        "here: a table bucketed by the group key (write with bucketBy + " +
+        "saveAsTable, LOAD ... USING hcatloader). This input would shuffle; " +
+        "drop the hint for a plain shuffled GROUP (identical result).")
+  }
+
   private def load(spark: SparkSession, path: String,
       loader: Option[(String, Seq[String])],
       schema: Option[Seq[(String, Option[String])]]): DataFrame = {
@@ -613,6 +642,11 @@ object PigCompiler {
             throw new IllegalArgumentException("XMLLoader needs a tag argument")))
       case ("sequencefileloader", _) =>
         graft.sources.Piggybank.readSequenceFile(spark, path)
+      case ("hcatloader" | "table", _) =>
+        // catalog-table load [Pig: o.a.hive.hcatalog.pig.HCatLoader] —
+        // the route that carries bucketing metadata, which path-based
+        // parquet reads cannot (GROUP USING 'collected' needs it)
+        spark.table(path)
       case ("hbasestorage", args) =>
         // HBaseStorage('cf:a cf:b'[, '-loadKey true']) → the sorted-KV
         // connector; qualifiers map to value columns, the rowkey is

@@ -267,10 +267,12 @@ object PigParser extends RegexParsers {
 
   /** `GROUP … USING 'collected'|'merge'` — Pig's map-side / sorted
     * group execution hints. Results are identical to a plain GROUP;
-    * the exchange-elision they bought is what bucketed scans give
-    * Catalyst automatically, so the known hints are accepted and
-    * ignored. Any OTHER quoted group type is a parse error, exactly
-    * as Pig rejects unknown GROUPTYPEs [Pig: LOCogroup GROUPTYPE]. */
+    * the hint is a CONTRACT that the input is already clustered by the
+    * group key (Pig: the loader must be a CollectableLoadFunc / sorted
+    * — Pig fails the job otherwise), so the compiler verifies it and
+    * the aggregate runs with zero Exchange (bucketed scans). Any OTHER
+    * quoted group type is a parse error, exactly as Pig rejects
+    * unknown GROUPTYPEs [Pig: LOCogroup GROUPTYPE]. */
   private def groupHint: Parser[String] =
     kw("using") ~> quoted ^? ({
       case h if Set("collected", "merge")(h.toLowerCase) => h.toLowerCase
@@ -278,12 +280,15 @@ object PigParser extends RegexParsers {
       h => s"GROUP ... USING '$h': unknown group type (expected 'collected' or 'merge')")
 
   private def groupOp: Parser[POp] =
-    (kw("group") | kw("cogroup")) ~> (
+    ((kw("group") | kw("cogroup")) ~> (
       ident <~ kw("all") ^^ (a => PGroup(Seq((a, Nil)), all = true, Set.empty)) |
       rep1sep(groupSide, ",") ^^ { sides =>
         PGroup(sides.map(s => (s._1, s._2)), all = false,
           sides.filter(_._3).map(_._1).toSet)
-      }) <~ opt(groupHint) <~ opt(partitionClause)
+      }) ~ opt(groupHint) <~ opt(partitionClause)) ^^ {
+        case (pg: PGroup) ~ h => pg.copy(hint = h)
+        case g ~ _ => g
+      }
 
   private def joinSide: Parser[(String, Seq[PExpr])] =
     ident ~ (kw("by") ~> keyList) ^^ { case a ~ ks => (a, ks) }

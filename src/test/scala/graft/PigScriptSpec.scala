@@ -540,15 +540,55 @@ class PigScriptSpec extends SparkSpec {
     assert(df.count() == tables.lineitem.select("l_returnflag").distinct().count())
   }
 
-  test("PARTITION BY and GROUP USING hints parse and are ignored") {
+  test("PARTITION BY parses and is ignored") {
     val df = PigScript.query(spark,
       """L = LOAD '$DIR/lineitem.parquet' USING parquet;
-         G = GROUP L BY l_returnflag USING 'collected'
+         G = GROUP L BY l_returnflag
              PARTITION BY org.example.MyPartitioner PARALLEL 8;
          A = FOREACH G GENERATE group AS l_returnflag, COUNT_STAR(L) AS n;
          D = DISTINCT A PARTITION BY org.example.MyPartitioner;""",
       Map("DIR" -> sf))
     assert(df.count() == tables.lineitem.select("l_returnflag").distinct().count())
+  }
+
+  test("GROUP USING 'collected' on unclustered input is a loud refusal") {
+    // Pig fails the job when the loader is not a CollectableLoadFunc;
+    // the Spark-native contract is the same — a path-based parquet
+    // scan has no bucketing metadata, so the hint must refuse, not
+    // silently shuffle
+    val e = intercept[IllegalArgumentException] {
+      PigScript.query(spark,
+        """L = LOAD '$DIR/lineitem.parquet' USING parquet;
+           G = GROUP L BY l_returnflag USING 'collected';
+           A = FOREACH G GENERATE group, COUNT_STAR(L) AS n;""",
+        Map("DIR" -> sf))
+    }
+    assert(e.getMessage.contains("clustered"), e.getMessage)
+  }
+
+  test("GROUP USING 'collected' over a bucketed table: honored, zero Exchange") {
+    spark.sql("DROP TABLE IF EXISTS pg_bucketed_li")
+    tables.lineitem.select(col("l_orderkey"), col("l_linenumber"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("pg_bucketed_li")
+    val df = PigScript.query(spark,
+      """L = LOAD 'pg_bucketed_li' USING hcatloader;
+         G = GROUP L BY l_orderkey USING 'collected';
+         A = FOREACH G GENERATE group AS l_orderkey, COUNT_STAR(L) AS n;""",
+      Map.empty)
+    assert(df.count() == tables.lineitem.select("l_orderkey").distinct().count())
+    // the map-side-group contract delivered: no shuffle anywhere in
+    // the aggregate — the bucketed scan already clusters the key
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"collected group still shuffles:\n$plan")
+    // 'merge' (sorted input) rides the same contract
+    val dfm = PigScript.query(spark,
+      """L = LOAD 'pg_bucketed_li' USING hcatloader;
+         G = GROUP L BY l_orderkey USING 'merge';
+         A = FOREACH G GENERATE group AS l_orderkey, COUNT_STAR(L) AS n;""",
+      Map.empty)
+    assert(!dfm.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
   }
 
   test("GROUP USING an unknown group type is a parse error") {

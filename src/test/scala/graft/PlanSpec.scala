@@ -210,6 +210,15 @@ class PlanSpec extends SparkSpec {
     assert(!tree.contains("ScalaUDF"), tree.take(2000))
   }
 
+  test("q153: collected group over bucketed input has zero Exchange") {
+    val tree = SparkEntry.queries("q153_group_collected")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(tree.contains("HashAggregate") || tree.contains("SortAggregate"),
+      tree.take(2000))
+    assert(!tree.contains("Exchange hashpartitioning"),
+      s"collected group shuffles — the bucketed-scan contract failed:\n$tree")
+  }
+
   test("every oracle key has a query; names are well-formed") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
