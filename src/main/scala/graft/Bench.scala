@@ -42,6 +42,24 @@ object Bench {
     "q148_span_removal", "q149_heavy_hitters", "q150_token_budget",
     "q152_hot_ngrams")
 
+  /** Per-query regression pins (round 9): each query's BEST recorded
+    * driver median at sf0.1 across rounds 1–8. A timed median above
+    * 2× its pin lands in the JSON's "regressed" list, so a
+    * single-query 3× slide can never hide inside a green total (the
+    * motivating case: q17 crept 0.985→1.138 across two driver runs
+    * with no plan change). Pins cover the BASELINE-comparable 12 plus
+    * the three most expensive batch queries; they only apply when the
+    * bench dir is the driver's sf0.1 — other SFs have no pinned record. */
+  val pinsSf01: Map[String, Double] = Map(
+    "q01_scan_filter_project" -> 0.160, "q03_group_agg" -> 0.218,
+    "q05_join_agg" -> 0.593, "q06_join_broadcast" -> 0.453,
+    "q14_order_limit" -> 0.143, "q17_rank" -> 0.820,
+    "q21_flatten_tokenize" -> 0.278, "q23_top_per_group" -> 0.330,
+    "q35_dedup_minhash" -> 0.522, "q39_cosine_topk" -> 0.448,
+    "q44_fingerprint" -> 0.109, "q47_window_tumbling" -> 0.186,
+    "q133_biginteger_agg" -> 3.371, "q146_verbatim_spans" -> 1.100,
+    "q152_hot_ngrams" -> 1.306)
+
   /** Streaming replays timed as their own section (never in the
     * headline total — see main): watermarked interval-join family,
     * typed transformWithState. */
@@ -203,7 +221,30 @@ object Bench {
     val base12Out =
       if (failedQueries.exists(baselineSubset.contains)) -1.0 else base12
     val stotalOut = if (streamingBroken) -1.0 else stotal
-    println(f"""{"metric":"total","value":$totalOut%.3f,"unit":"sec","baseline12_sec":$base12Out%.3f,"headline_sec":$totalOut%.3f,"queries":$qjson,"streaming_sec":$stotalOut%.3f,"streaming":$sjson,"failed":$fjson,"sf":"$sfDir"}""")
+    // per-query 2x pins (only meaningful at the driver's sf0.1 — the
+    // pinned medians were recorded there); load context rides along so
+    // a pin breach under co-tenant load is attributable from the
+    // artifact itself, not just the stderr log
+    val pinned = if (sfDir.contains("sf0.1")) pinsSf01 else Map.empty[String, Double]
+    val regressed = results.collect {
+      case (k, v) if pinned.get(k).exists(p => v > 2 * p) => k
+    }
+    val rjson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val loadavg =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .trim.split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "" }
+    val line = f"""{"metric":"total","value":$totalOut%.3f,"unit":"sec","baseline12_sec":$base12Out%.3f,"headline_sec":$totalOut%.3f,"queries":$qjson,"streaming_sec":$stotalOut%.3f,"streaming":$sjson,"failed":$fjson,"regressed":$rjson,"loadavg":"$loadavg","sf":"$sfDir"}"""
+    println(line)
+    // standalone artifact (BASELINE.md): survives any driver-side
+    // tail-parsing change — the JSON line inside a raw log tail is
+    // one parser regression away from being lost
+    try {
+      val dir = java.nio.file.Paths.get("bench")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("results.json"), line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench/results.json: $e") }
     spark.stop()
   }
 }
