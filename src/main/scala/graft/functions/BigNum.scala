@@ -69,51 +69,105 @@ object BigNum {
   def mod(a: Column, b: Column): Column = bin("%")(a, b)
   def neg(c: Column): Column = sub(big(lit(0)), c)
 
-  /** Exact sum — Algebraic protocol (partial buffers merge
-    * associatively; BigDecimal addition is exact, so the result is
-    * independent of partition count and reduction order). The buffer
-    * is a LIVE java.math.BigDecimal riding ObjectHashAggregate: each
-    * input string parses once, and the kryo encoder only runs at
-    * serialization boundaries (partial→final shuffle, spill) — the
-    * round-6 string-buffered version re-parsed AND re-rendered the
-    * running sum on every row, pure allocation churn at aggregate
-    * scale. null buffer = "no non-null input yet": SUM of an all-null
-    * (or empty) group is null, the Pig/SQL convention — not 0.
+  /** Mutable sum buffer: a long-scaled fast lane for canonical ≤17-digit
+    * integers (no BigDecimal allocation at all — most BIGINTEGER data)
+    * plus an exact BigDecimal slow lane everything else lands in. `fast`
+    * flushes into `slow` before it can overflow (|input| < 1e17, flush
+    * bound Long.Max − 1e17), and on every merge. `seen` distinguishes
+    * "no non-null input yet" (SUM → null, the Pig/SQL convention) from
+    * an all-zero sum. Addition is exact in both lanes, so the result is
+    * independent of partition count and reduction order; kryo only runs
+    * at serialization boundaries (partial→final shuffle, spill). */
+  final class SumBuf(
+      var slow: java.math.BigDecimal, var fast: Long, var seen: Boolean)
+      extends Serializable {
+    def addStr(a: String): SumBuf = {
+      val l = BigNum.fastLong17(a)
+      if (l != Long.MinValue) {
+        if (fast > SumBuf.FlushBound || fast < -SumBuf.FlushBound) flush()
+        fast += l
+      } else slow = SumBuf.addSlow(slow, new java.math.BigDecimal(a))
+      seen = true
+      this
+    }
+    def flush(): Unit =
+      if (fast != 0L) {
+        slow = SumBuf.addSlow(slow, java.math.BigDecimal.valueOf(fast))
+        fast = 0L
+      }
+    def total: java.math.BigDecimal = {
+      flush()
+      if (!seen) null
+      else if (slow == null) java.math.BigDecimal.ZERO
+      else slow
+    }
+  }
+  object SumBuf {
+    val FlushBound: Long = Long.MaxValue - 200000000000000000L // 2e17 headroom
+    def addSlow(b: java.math.BigDecimal, x: java.math.BigDecimal): java.math.BigDecimal =
+      if (b == null) x else b.add(x)
+  }
+
+  /** Canonical ≤17-digit integer → its long, else Long.MinValue (a
+    * 17-digit value can never be MinValue, so the sentinel is safe). */
+  private[graft] def fastLong17(s: String): Long = {
+    val n = s.length
+    if (n == 0) return Long.MinValue
+    val neg = s.charAt(0) == '-'
+    val start = if (neg) 1 else 0
+    val d = n - start
+    if (d <= 0 || d > 17) return Long.MinValue
+    var v = 0L
+    var i = start
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c < '0' || c > '9') return Long.MinValue
+      v = v * 10 + (c - '0')
+      i += 1
+    }
+    if (s.charAt(start) == '0' && (d > 1 || neg)) return Long.MinValue
+    if (neg) -v else v
+  }
+
+  /** Exact sum — Algebraic protocol over [[SumBuf]] (long fast lane +
+    * BigDecimal slow lane; see SumBuf for the exactness argument).
     * Canonicalization (stripTrailingZeros, plain string) happens once
     * in finish. */
-  object SumAgg extends Aggregator[String, java.math.BigDecimal, String] {
-    def zero: java.math.BigDecimal = null
-    def reduce(b: java.math.BigDecimal, a: String): java.math.BigDecimal =
-      if (a == null) b
-      else {
-        val x = new java.math.BigDecimal(a)
-        if (b == null) x else b.add(x)
-      }
-    def merge(a: java.math.BigDecimal, b: java.math.BigDecimal): java.math.BigDecimal =
-      if (a == null) b else if (b == null) a else a.add(b)
-    def finish(r: java.math.BigDecimal): String =
-      if (r == null) null else r.stripTrailingZeros.toPlainString
-    def bufferEncoder: Encoder[java.math.BigDecimal] =
-      Encoders.kryo[java.math.BigDecimal]
+  object SumAgg extends Aggregator[String, SumBuf, String] {
+    def zero: SumBuf = new SumBuf(null, 0L, false)
+    def reduce(b: SumBuf, a: String): SumBuf =
+      if (a == null) b else b.addStr(a)
+    def merge(a: SumBuf, b: SumBuf): SumBuf = {
+      b.flush()
+      if (b.slow != null) a.slow = SumBuf.addSlow(a.slow, b.slow)
+      a.seen ||= b.seen
+      a
+    }
+    def finish(r: SumBuf): String = {
+      val t = r.total
+      if (t == null) null else t.stripTrailingZeros.toPlainString
+    }
+    def bufferEncoder: Encoder[SumBuf] = Encoders.kryo[SumBuf]
     def outputEncoder: Encoder[String] = Encoders.STRING
   }
 
-  /** Exact running sum + count on a live (BigDecimal, Long) buffer —
-    * same typed-buffer discipline as [[SumAgg]]; finish divides at
-    * DECIMAL128. */
-  object AvgAgg extends Aggregator[String, (java.math.BigDecimal, Long), String] {
-    def zero: (java.math.BigDecimal, Long) = (java.math.BigDecimal.ZERO, 0L)
-    def reduce(b: (java.math.BigDecimal, Long), a: String): (java.math.BigDecimal, Long) =
-      if (a == null) b
-      else (b._1.add(new java.math.BigDecimal(a)), b._2 + 1)
-    def merge(a: (java.math.BigDecimal, Long), b: (java.math.BigDecimal, Long)): (java.math.BigDecimal, Long) =
-      (a._1.add(b._1), a._2 + b._2)
-    def finish(r: (java.math.BigDecimal, Long)): String =
+  /** Exact running sum + count — the [[SumBuf]] lanes plus a count;
+    * finish divides at DECIMAL128. */
+  object AvgAgg extends Aggregator[String, (SumBuf, Long), String] {
+    def zero: (SumBuf, Long) = (new SumBuf(null, 0L, false), 0L)
+    def reduce(b: (SumBuf, Long), a: String): (SumBuf, Long) =
+      if (a == null) b else (b._1.addStr(a), b._2 + 1)
+    def merge(a: (SumBuf, Long), b: (SumBuf, Long)): (SumBuf, Long) = {
+      b._1.flush()
+      if (b._1.slow != null) a._1.slow = SumBuf.addSlow(a._1.slow, b._1.slow)
+      a._1.seen ||= b._1.seen
+      (a._1, a._2 + b._2)
+    }
+    def finish(r: (SumBuf, Long)): String =
       if (r._2 == 0) null
-      else r._1.divide(java.math.BigDecimal.valueOf(r._2),
+      else r._1.total.divide(java.math.BigDecimal.valueOf(r._2),
         java.math.MathContext.DECIMAL128).stripTrailingZeros.toPlainString
-    def bufferEncoder: Encoder[(java.math.BigDecimal, Long)] =
-      Encoders.kryo[(java.math.BigDecimal, Long)]
+    def bufferEncoder: Encoder[(SumBuf, Long)] = Encoders.kryo[(SumBuf, Long)]
     def outputEncoder: Encoder[String] = Encoders.STRING
   }
 

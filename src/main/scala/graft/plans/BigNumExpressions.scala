@@ -20,9 +20,68 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[HashKernels]].
   */
 object BigNumOps {
-  import java.math.{MathContext, RoundingMode, BigDecimal => JBD}
+  import java.math.{MathContext, RoundingMode, BigDecimal => JBD, BigInteger => JBI}
 
   private def parse(s: UTF8String): JBD = new JBD(s.toString.trim)
+
+  // ---- canonical-integer fast paths -------------------------------------
+  //
+  // Arithmetic operands are canonical by construction (every kernel
+  // emits canonical form), and the overwhelmingly common bignum type is
+  // Pig BIGINTEGER — plain digit strings. The BigDecimal slow path costs
+  // a parse (String alloc + digit scan + BigInteger build) and a canon
+  // (stripTrailingZeros + toPlainString) per call; for canonical
+  // integers every one of those is computable directly from the bytes.
+  // q133's per-row chain (2 casts + 2 multiplies + sort-key + filter +
+  // sum input) ran ~8 BigDecimal round-trips per row before these.
+
+  /** Digit count (sign excluded) when `s` is a canonical integer —
+    * optional '-', all digits, no leading zero unless the single "0",
+    * never "-0" — else -1. */
+  def canonIntDigits(s: UTF8String): Int = {
+    val n = s.numBytes
+    if (n == 0) return -1
+    val neg = s.getByte(0) == '-'
+    val start = if (neg) 1 else 0
+    val d = n - start
+    if (d <= 0) return -1
+    var i = start
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b < '0' || b > '9') return -1
+      i += 1
+    }
+    if (s.getByte(start) == '0' && (d > 1 || neg)) return -1
+    d
+  }
+
+  /** `s` is 10^k for some k ≥ 0 (canonical "1", "10", "100", …). */
+  private def isPow10(s: UTF8String, digits: Int): Boolean = {
+    if (s.numBytes != digits || s.getByte(0) != '1') return false
+    var i = 1
+    while (i < digits) { if (s.getByte(i) != '0') return false; i += 1 }
+    true
+  }
+
+  /** Append `k` zeros (integer × 10^k); zero stays zero. */
+  private def shift10(x: UTF8String, k: Int): UTF8String = {
+    if (k == 0 || (x.numBytes == 1 && x.getByte(0) == '0')) return x
+    val sb = new java.lang.StringBuilder(x.numBytes + k)
+    sb.append(x.toString)
+    var i = 0
+    while (i < k) { sb.append('0'); i += 1 }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Parse a ≤18-digit canonical integer (caller guarantees shape). */
+  private def toLongCanon(s: UTF8String): Long = {
+    val w = new UTF8String.LongWrapper
+    if (!s.toLong(w))
+      throw new NumberFormatException(s"canonical int failed long parse: $s")
+    w.value
+  }
+
+  private def utf(l: Long): UTF8String = UTF8String.fromString(java.lang.Long.toString(l))
 
   /** Canonical form: strip trailing fraction zeros, plain (non
     * -scientific) rendering. Java 17's stripTrailingZeros maps every
@@ -36,16 +95,48 @@ object BigNumOps {
     * operands are canonical by construction, so a parse failure there
     * is a bug worth surfacing. */
   def normalize(s: UTF8String): UTF8String =
-    try canon(parse(s)) catch { case _: NumberFormatException => null }
+    if (canonIntDigits(s) > 0) s // already canonical — passthrough
+    else try canon(parse(s)) catch { case _: NumberFormatException => null }
 
   /** Truncate toward zero — Pig's (biginteger) cast semantics. */
   def trunc(s: UTF8String): UTF8String =
-    try canon(parse(s).setScale(0, RoundingMode.DOWN))
+    if (canonIntDigits(s) > 0) s // integral → truncation is identity
+    else try canon(parse(s).setScale(0, RoundingMode.DOWN))
     catch { case _: NumberFormatException => null }
 
-  def add(a: UTF8String, b: UTF8String): UTF8String = canon(parse(a).add(parse(b)))
-  def sub(a: UTF8String, b: UTF8String): UTF8String = canon(parse(a).subtract(parse(b)))
-  def mul(a: UTF8String, b: UTF8String): UTF8String = canon(parse(a).multiply(parse(b)))
+  def add(a: UTF8String, b: UTF8String): UTF8String = {
+    val da = canonIntDigits(a); val db = canonIntDigits(b)
+    if (da > 0 && db > 0) {
+      if (da <= 18 && db <= 18) // |x| < 1e18 each → sum fits a long
+        return utf(toLongCanon(a) + toLongCanon(b))
+      return UTF8String.fromString(
+        new JBI(a.toString).add(new JBI(b.toString)).toString)
+    }
+    canon(parse(a).add(parse(b)))
+  }
+  def sub(a: UTF8String, b: UTF8String): UTF8String = {
+    val da = canonIntDigits(a); val db = canonIntDigits(b)
+    if (da > 0 && db > 0) {
+      if (da <= 18 && db <= 18)
+        return utf(toLongCanon(a) - toLongCanon(b))
+      return UTF8String.fromString(
+        new JBI(a.toString).subtract(new JBI(b.toString)).toString)
+    }
+    canon(parse(a).subtract(parse(b)))
+  }
+  def mul(a: UTF8String, b: UTF8String): UTF8String = {
+    val da = canonIntDigits(a); val db = canonIntDigits(b)
+    if (da > 0 && db > 0) {
+      // ×10^k is a byte append — the "scale by 1e15" idiom costs a concat
+      if (isPow10(a, da)) return shift10(b, da - 1)
+      if (isPow10(b, db)) return shift10(a, db - 1)
+      if (da + db <= 18) // |product| < 1e18 → fits a long
+        return utf(toLongCanon(a) * toLongCanon(b))
+      return UTF8String.fromString(
+        new JBI(a.toString).multiply(new JBI(b.toString)).toString)
+    }
+    canon(parse(a).multiply(parse(b)))
+  }
 
   /** Decimal division at DECIMAL128 (34 significant digits) — exact
     * whenever the quotient terminates within that precision. A script
@@ -61,7 +152,17 @@ object BigNumOps {
 
   def neg(s: UTF8String): UTF8String = canon(parse(s).negate)
 
-  def cmp(a: UTF8String, b: UTF8String): Int = parse(a).compareTo(parse(b))
+  def cmp(a: UTF8String, b: UTF8String): Int = {
+    val da = canonIntDigits(a); val db = canonIntDigits(b)
+    if (da > 0 && db > 0) {
+      val negA = a.getByte(0) == '-'; val negB = b.getByte(0) == '-'
+      // canonical zeros compare as magnitude-0 positives ("0" only)
+      if (negA != negB) return if (negA) -1 else 1
+      val mag = if (da != db) Integer.compare(da, db) else a.compareTo(b)
+      return if (negA) -mag else mag
+    }
+    parse(a).compareTo(parse(b))
+  }
 
   /** Order-preserving injective string encoding of a decimal:
     * unlimited precision, exponent bounded at ±5000 (beyond any data).
@@ -76,6 +177,37 @@ object BigNumOps {
     * always the smaller value); negative keys need the ":" (sorts
     * above '9') to flip that prefix rule. */
   def sortKey(s: UTF8String): UTF8String = {
+    // canonical-integer fast path: mantissa = digits minus trailing
+    // zeros, exponent = digit count — straight from the bytes, no
+    // BigDecimal round-trip (identical output to the slow path below;
+    // BigNumSpec's fast-vs-slow law pins the equivalence)
+    val dFast = canonIntDigits(s)
+    if (dFast > 0 && dFast < 5000) {
+      val neg = s.getByte(0) == '-'
+      val start = if (neg) 1 else 0
+      if (dFast == 1 && s.getByte(start) == '0')
+        return UTF8String.fromString("1")
+      var end = s.numBytes - 1
+      while (s.getByte(end) == '0') end -= 1
+      val sb = new java.lang.StringBuilder(6 + (end - start + 1) + 1)
+      if (!neg) {
+        sb.append('2')
+        val e = dFast + 5000
+        sb.append(('0' + e / 1000).toChar).append(('0' + e / 100 % 10).toChar)
+          .append(('0' + e / 10 % 10).toChar).append(('0' + e % 10).toChar)
+        var i = start
+        while (i <= end) { sb.append(s.getByte(i).toChar); i += 1 }
+      } else {
+        sb.append('0')
+        val e = 4999 - dFast
+        sb.append(('0' + e / 1000).toChar).append(('0' + e / 100 % 10).toChar)
+          .append(('0' + e / 10 % 10).toChar).append(('0' + e % 10).toChar)
+        var i = start
+        while (i <= end) { sb.append(('9' - s.getByte(i) + '0').toChar); i += 1 }
+        sb.append(':')
+      }
+      return UTF8String.fromString(sb.toString)
+    }
     val b = parse(s).stripTrailingZeros
     val sig = b.signum
     if (sig == 0) return UTF8String.fromString("1")

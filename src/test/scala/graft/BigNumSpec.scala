@@ -100,6 +100,67 @@ class BigNumSpec extends SparkSpec {
     }
   }
 
+  test("canonical-int fast paths agree with the BigDecimal slow paths") {
+    // The r9 fast lanes (canonIntDigits passthrough, long/pow10/BigInteger
+    // arithmetic, byte-level sortKey) must be OBSERVATIONALLY identical
+    // to the slow paths they bypass. Feeding "<int>.0" parses to the
+    // same value but fails the canonical-int check, forcing the slow
+    // path — injectivity on values then demands byte-equal keys.
+    val intGen: Gen[java.math.BigInteger] = for {
+      digits <- Gen.chooseNum(1, 40)
+      s <- Gen.listOfN(digits, Gen.numChar).map(_.mkString)
+      neg <- Gen.oneOf(true, false)
+    } yield {
+      val v = new java.math.BigInteger(s)
+      if (neg) v.negate else v
+    }
+    val edge = Seq("0", "1", "-1", "10", "1000000000000000", // pow10 lane
+      "9" * 17, "-" + "9" * 17, "1" + "0" * 17, // long-lane boundary
+      "9" * 18, "1" + "2" * 18, "-" + "9" * 19 // just past it
+    ).map(new java.math.BigInteger(_))
+    val vals = samples(intGen, 200).map(_.toString) ++ edge.map(_.toString)
+    vals.foreach { v =>
+      assert(BigNumOps.sortKey(u(v)).toString ==
+        BigNumOps.sortKey(u(v + ".0")).toString, s"sortKey lanes differ at $v")
+      assert(BigNumOps.normalize(u(v)).toString == v)
+      assert(BigNumOps.trunc(u(v)).toString == v)
+    }
+    for (a <- vals.take(40); b <- vals.takeRight(15)) {
+      val (ba, bb) = (new java.math.BigInteger(a), new java.math.BigInteger(b))
+      assert(BigNumOps.add(u(a), u(b)).toString == ba.add(bb).toString)
+      assert(BigNumOps.sub(u(a), u(b)).toString == ba.subtract(bb).toString)
+      assert(BigNumOps.mul(u(a), u(b)).toString == ba.multiply(bb).toString)
+      assert(Integer.signum(BigNumOps.cmp(u(a), u(b))) == ba.compareTo(bb))
+    }
+  }
+
+  test("SumBuf long fast lane: overflow escape, lane mixing, null/zero semantics") {
+    // overflow escape: 9e16 added 300 times crosses the flush bound
+    // repeatedly; total must equal exact java.math
+    val buf = BigNum.SumAgg.zero
+    (1 to 300).foreach(_ => buf.addStr("90000000000000000"))
+    assert(BigNum.SumAgg.finish(buf) ==
+      new java.math.BigInteger("90000000000000000")
+        .multiply(java.math.BigInteger.valueOf(300)).toString)
+    // mixed lanes: small ints (fast), 40-digit ints and decimals (slow),
+    // arbitrary reduce/merge split points
+    val inputs = Seq("5", "-7", "123456789", "9" * 40, "-3.25", "0.125",
+      "17" * 10, "-" + "8" * 39, "0", "42")
+    val expect = inputs.map(new java.math.BigDecimal(_)).reduce(_ add _)
+      .stripTrailingZeros.toPlainString
+    for (split <- Seq(1, 3, 7, inputs.length)) {
+      val bufs = inputs.grouped(split).map(g =>
+        g.foldLeft(BigNum.SumAgg.zero)(BigNum.SumAgg.reduce)).toSeq
+      val merged = bufs.reduce(BigNum.SumAgg.merge)
+      assert(BigNum.SumAgg.finish(merged) == expect, s"split=$split")
+    }
+    // all-null → null, all-zero → "0" (Pig SUM convention)
+    val nb = BigNum.SumAgg.reduce(BigNum.SumAgg.zero, null)
+    assert(BigNum.SumAgg.finish(nb) == null)
+    val zb = Seq("0", "0").foldLeft(BigNum.SumAgg.zero)(BigNum.SumAgg.reduce)
+    assert(BigNum.SumAgg.finish(zb) == "0")
+  }
+
   test("orderBy / min / max on bignum columns follow numeric order") {
     val raw = Seq("-2", "-1.5", "-0.5", "0", "0.49", "0.5", "1", "1.5",
       "10", "9" * 45, "-" + "9" * 45)
