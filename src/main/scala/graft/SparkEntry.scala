@@ -1115,8 +1115,16 @@ object SparkEntry {
     //     family with q136 inner / q138 left-outer): every purchase
     //     survives, null-extended when no click preceded it within the
     //     interval. Unmatched RIGHT rows can only emit once the LEFT
-    //     watermark proves no matching click can still arrive — the
-    //     q138 sentinel discipline, mirrored. ---
+    //     watermark proves no matching click can still arrive. Unlike
+    //     q138/q145 (whose sentinel arrives in a SECOND query run, so
+    //     outer state must survive a checkpoint restart), the sentinel
+    //     here is appended to the source up front: batch 0 emits the
+    //     inner matches and lifts the watermark past every real
+    //     interval, and AvailableNow's no-data batch flushes the
+    //     null-extended rows — one query lifetime, half the replay
+    //     cost (r9 probe: 4.1 s -> 2.7 s warm; restart-flush coverage
+    //     stays with q138/q145). Store parallelism sized to the replay
+    //     (4 partitions x 4 join stores). ---
     "q144_stream_right_outer_join" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream_q144_").toString
       val src = s"$tmp/src"; val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
@@ -1126,34 +1134,30 @@ object SparkEntry {
       ev.coalesce(1).write.mode("append").parquet(src)
       val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0) // 1-row scalar
       val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 365L * 86400 * 1000)
-      val ss = graft.streaming.EventsStreaming.replaySession(s)
-      def run(): Unit = {
-        val clicks = graft.streaming.EventsStreaming.readEvents(ss, src)
-          .filter(col("event_type").isin("click", "__sentinel"))
-          .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
-            col("user_id").as("click_user"))
-        val buys = graft.streaming.EventsStreaming.readEvents(ss, src)
-          .filter(col("event_type").isin("purchase", "__sentinel"))
-          .select(col("event_id").as("buy_id"), col("ts").as("buy_ts"),
-            col("user_id"), col("value"))
-        val q = graft.streaming.EventsStreaming.streamIntervalJoin(
-            clicks, buys, "click_user", "user_id", "click_ts", "buy_ts",
-            within = "30 minutes", joinType = "right_outer")
-          .select(col("click_id"), col("buy_id"), col("user_id").as("buy_user"),
-            expr("CAST(floor(value * 100) AS BIGINT)").as("value_cents"))
-          .writeStream.format("parquet")
-          .option("path", sink).option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      run() // phase 1: inner matches emit; unmatched buys held in state
       ev.limit(1).select(lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
           lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
           lit(0.0).as("value"), lit(null).cast("string").as("props"))
         .coalesce(1).write.mode("append").parquet(src)
-      run() // phase 2: watermark passes every interval; outer rows flush
+      val ss = graft.streaming.EventsStreaming.replaySession(s, 4)
+      val clicks = graft.streaming.EventsStreaming.readEvents(ss, src)
+        .filter(col("event_type").isin("click", "__sentinel"))
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+          col("user_id").as("click_user"))
+      val buys = graft.streaming.EventsStreaming.readEvents(ss, src)
+        .filter(col("event_type").isin("purchase", "__sentinel"))
+        .select(col("event_id").as("buy_id"), col("ts").as("buy_ts"),
+          col("user_id"), col("value"))
+      val q = graft.streaming.EventsStreaming.streamIntervalJoin(
+          clicks, buys, "click_user", "user_id", "click_ts", "buy_ts",
+          within = "30 minutes", joinType = "right_outer")
+        .select(col("click_id"), col("buy_id"), col("user_id").as("buy_user"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("value_cents"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
       // null-safe: click_id IS null on unmatched rows; <=> keeps them
       s.read.parquet(sink)
         .filter(!(col("click_id") <=> lit(-1L)) && !(col("buy_id") <=> lit(-1L)))
