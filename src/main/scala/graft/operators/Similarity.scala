@@ -299,18 +299,16 @@ object Similarity {
         .orderBy(xxhash64(col("v")).asc).limit(k)
         .collect().map(_.getSeq[Double](0))
     for (_ <- 1 to iters) {
-      // assignment through the codegen'd two-pass argmin
-      // (assignByCentroidTable) — the typed ArgMinByScore aggregator
-      // here was the round-7-measured encoder-per-candidate-row shape
-      // (31.6 s vs 19.8 s on the k=4096 assignment); the sample's
-      // distinct vectors are keyed by xxhash64(v) (a 64-bit collision
-      // merges two sample vectors into one weighted point — ~1e-10 at
-      // the 1e5 sample cap, harmless to a fit)
-      val keyed = sample.select(xxhash64(col("v")).as("kid"), col("v"), col("w"))
-      val best = assignByCentroidTable(
-        keyed.select(col("kid"), col("v")), "kid", "v", centDf(cents))
-        .select(col("kid").as("kid2"), col("cluster"))
-      val means = keyed.join(best, col("kid") === col("kid2"))
+      // Assignment fused into the row (r9): the centroid matrix is
+      // driver state anyway, so it ships as a plan reference and the
+      // argmax is one codegen'd kernel scan (CosArgMaxToSet — same
+      // min-index tie rule as the r7/r8 broadcast-table argmin join it
+      // replaces, scores bit-identical). Kills both argmin crossJoin
+      // passes AND the kid join-back per Lloyd iteration; the only
+      // remaining movement is the (cluster, dim)-sized mean shuffle.
+      val means = sample
+        .withColumn("cluster",
+          graft.plans.VectorExpressions.cosArgMaxToSet(col("v"), cents.toSeq))
         .select(col("cluster"), col("w"), posexplode(col("v")))
         .groupBy(col("cluster"), col("pos"))
         .agg(sum(col("col") * col("w")).as("s"), sum(col("w")).as("n"))
@@ -341,33 +339,38 @@ object Similarity {
     * "far"). Each round draws ~l = 2k candidates with probability
     * l·w·d/φ, then only the NEW candidates' distances are scored (the
     * MLlib incremental-cost trick — round cost is sample × l, never
-    * sample × |C|). Candidates are weighted by the sample mass
-    * assigned to them ([[assignByCentroidTable]] — the broadcast
-    * argmin join, never inlined literals), then reduced to k by a
-    * deterministic driver-side weighted spherical Lloyd (candidate
-    * set is ~1 + rounds·l rows — driver-sized by construction,
-    * exactly the state any k-means|| implementation ships home). */
+    * sample × |C|), through the in-row codegen kernel
+    * ([[graft.plans.MinCosDistToSet]] — the candidate matrix rides the
+    * plan as a reference object, so rounds are map-only projections,
+    * r9). Candidates are weighted by the sample mass assigned to them
+    * ([[graft.plans.CosArgMaxToSet]], same tie rule as the argmin
+    * join), then reduced to k by a deterministic driver-side weighted
+    * spherical Lloyd (candidate set is ~1 + rounds·l rows —
+    * driver-sized by construction, exactly the state any k-means||
+    * implementation ships home). */
   private[operators] def kMeansParallelInit(sample: DataFrame, k: Int,
       rounds: Int = 2, oversample: Int = 0): Array[Seq[Double]] = {
     val spark = sample.sparkSession
     import spark.implicits._
     val l = if (oversample > 0) oversample else 2 * k
     val keyed = sample.select(xxhash64(col("v")).as("kid"), col("v"), col("w"))
-    def centDf(cs: Seq[Seq[Double]]): DataFrame =
-      cs.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toDF("cid", "cv")
-    // spherical distance to the nearest of `cs`, per point
-    def minDistTo(df: DataFrame, cs: Seq[Seq[Double]]): DataFrame =
-      df.crossJoin(broadcast(centDf(cs)))
-        .select(col("kid"),
-          (lit(1.0) - nanvl(cosineFast(col("v"), col("cv")), lit(-1.0))).as("d"))
-        .groupBy(col("kid")).agg(min(col("d")).as("nd"))
+    // Spherical distance to the nearest of `cs`, per point, FUSED into
+    // the row (r9): the candidate matrix rides the plan as a reference
+    // object and the min is one codegen'd kernel scan
+    // (graft.plans.MinCosDistToSet) — a map-only projection, scores
+    // bit-identical to the crossJoin formulation. The r8 shape
+    // (crossJoin each candidate, partial-agg min, join back on kid)
+    // paid two sample-sized shuffles per round for the same FLOPs; at
+    // 1M×k1024 those rounds were ~60% of the fit.
+    def withMinDist(df: DataFrame, cs: Seq[Seq[Double]], out: String): DataFrame =
+      df.withColumn(out,
+        graft.plans.VectorExpressions.minCosDistToSet(col("v"), cs))
     val first = keyed.orderBy(col("kid").asc).limit(1)
       .select(col("v")).as[Seq[Double]].collect()
     if (first.isEmpty) return Array.empty
     val cands = scala.collection.mutable.ArrayBuffer[Seq[Double]](first(0))
-    var state = keyed
-      .join(minDistTo(keyed, cands.toSeq), Seq("kid"))
-      .select(col("kid"), col("v"), col("w"), col("nd").as("dmin"))
+    var state = withMinDist(keyed, cands.toSeq, "dmin")
+      .select(col("kid"), col("v"), col("w"), col("dmin"))
       .localCheckpoint()
     for (r <- 1 to rounds) {
       // DECIMAL-exact total cost: a double sum's rounding depends on
@@ -385,7 +388,11 @@ object Similarity {
         val newC = state.filter(u < p).select(col("v")).as[Seq[Double]].collect()
         if (newC.nonEmpty) {
           cands ++= newC
-          state = state.join(minDistTo(state, newC.toSeq), Seq("kid"))
+          // only the NEW candidates are scored (incremental-cost
+          // trick), and the update is map-only — localCheckpoint keeps
+          // each round's dmin materialized so phi/coin-flip actions
+          // never replay prior rounds
+          state = withMinDist(state, newC.toSeq, "nd")
             .select(col("kid"), col("v"), col("w"),
               least(col("dmin"), col("nd")).as("dmin"))
             .localCheckpoint()
@@ -404,11 +411,12 @@ object Similarity {
           s"${uniq.length} centroids — the sample geometry is degenerate")
       return uniq.toArray
     }
-    // weight candidates by assigned sample mass (one argmin join)
-    val cdf = centDf(uniq)
-    val wts = assignByCentroidTable(
-        state.select(col("kid"), col("v")), "kid", "v", cdf)
-      .join(state.select(col("kid"), col("w")), Seq("kid"))
+    // weight candidates by assigned sample mass — in-row kernel argmax
+    // (same min-index tie rule as the argmin join it replaces), so the
+    // only movement is the candidate-count-sized groupBy
+    val wts = state
+      .withColumn("cluster",
+        graft.plans.VectorExpressions.cosArgMaxToSet(col("v"), uniq))
       .groupBy(col("cluster")).agg(sum(col("w")).as("cw"))
       .as[(Long, Double)].collect().toMap
     // weight desc, ties broken by lexicographic element compare — a

@@ -133,12 +133,124 @@ case class RpLshBucket(child: Expression, planes: Int, seed: Long = 42L)
     copy(child = newChild)
 }
 
+/** A driver-built candidate matrix shipped to executors inside the
+  * TASK BINARY (`ctx.addReferenceObj`), not as a Catalyst literal and
+  * not as a broadcast-join relation: no literal budget, no analyzer
+  * churn on giant trees, and — unlike the crossJoin + partial-agg
+  * shape — no per-(row × candidate) row materialization or shuffle.
+  * The k-means|| init paid two sample-sized shuffles per round through
+  * that shape (r8 soak: ~60% of the 1M×k1024 fit); against a set this
+  * size (≤ a few thousand × dim doubles) a fused in-row scan is the
+  * right plan. For corpus-scale candidate TABLES (millions of rows)
+  * the join shapes in [[graft.operators.Similarity]] remain correct —
+  * this class is for driver-sized sets only. */
+final class CandMatrix(val vecs: Array[Array[Double]]) extends Serializable {
+  require(vecs.nonEmpty, "empty candidate set")
+}
+
+object CandSetKernels {
+  // Per-pair accumulation order matches CosineSim exactly (dot/na/nb
+  // left-to-right, n = min(len)) so every score is bit-identical to
+  // the crossJoin formulation these kernels replace.
+  private def cos(v: ArrayData, c: Array[Double]): Double = {
+    val n = java.lang.Math.min(v.numElements(), c.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v.getDouble(i); val y = c(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb))
+  }
+
+  /** 1 − max cosine to any candidate; a NaN cosine (zero norm) counts
+    * as −1 ("far") — `min over (1 − nanvl(cos, −1))` exactly. */
+  def minCosDist(v: ArrayData, m: CandMatrix): Double = {
+    val cs = m.vecs
+    var best = Double.PositiveInfinity
+    var j = 0
+    while (j < cs.length) {
+      var c = cos(v, cs(j))
+      if (java.lang.Double.isNaN(c)) c = -1.0
+      val d = 1.0 - c
+      if (d < best) best = d
+      j += 1
+    }
+    best
+  }
+
+  /** Index of the max-cosine candidate, ties and all-NaN resolving to
+    * the LOWEST index — the `min(ns) → filter(ns = mn) → min(cid)`
+    * two-pass argmin's semantics in one scan. */
+  def cosArgMax(v: ArrayData, m: CandMatrix): Long = {
+    val cs = m.vecs
+    var bi = 0
+    var bs = Double.NegativeInfinity
+    var j = 0
+    while (j < cs.length) {
+      var c = cos(v, cs(j))
+      if (java.lang.Double.isNaN(c)) c = Double.NegativeInfinity
+      if (c > bs) { bs = c; bi = j }
+      j += 1
+    }
+    bi.toLong
+  }
+}
+
+/** Min spherical distance (1 − cos) from a vector column to a
+  * driver-sized candidate set riding the plan as a reference object. */
+case class MinCosDistToSet(child: Expression, cands: CandMatrix)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "min_cos_dist_to_set"
+  override def nullSafeEval(input: Any): Any =
+    CandSetKernels.minCosDist(input.asInstanceOf[ArrayData], cands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cands", cands, classOf[CandMatrix].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.plans.CandSetKernels.minCosDist($v, $ref);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinCosDistToSet =
+    copy(child = newChild)
+}
+
+/** Argmax-cosine candidate index (lowest index on ties) — the in-row
+  * form of the broadcast-table argmin join. */
+case class CosArgMaxToSet(child: Expression, cands: CandMatrix)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "cos_arg_max_to_set"
+  override def nullSafeEval(input: Any): Any =
+    CandSetKernels.cosArgMax(input.asInstanceOf[ArrayData], cands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cands", cands, classOf[CandMatrix].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.plans.CandSetKernels.cosArgMax($v, $ref);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CosArgMaxToSet =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-level entry point; inputs are cast to array<double>. */
   def cosineSim(a: Column, b: Column): Column =
     GraftSqlBridge.column(CosineSim(
       GraftSqlBridge.expression(a.cast("array<double>")),
       GraftSqlBridge.expression(b.cast("array<double>"))))
+
+  /** Min spherical distance to a driver-sized candidate set (see
+    * [[CandMatrix]] for the shipping mechanics). */
+  def minCosDistToSet(vec: Column, cands: Seq[Seq[Double]]): Column =
+    GraftSqlBridge.column(MinCosDistToSet(
+      GraftSqlBridge.expression(vec.cast("array<double>")),
+      new CandMatrix(cands.map(_.toArray).toArray)))
+
+  /** Argmax-cosine index into a driver-sized candidate set. */
+  def cosArgMaxToSet(vec: Column, cands: Seq[Seq[Double]]): Column =
+    GraftSqlBridge.column(CosArgMaxToSet(
+      GraftSqlBridge.expression(vec.cast("array<double>")),
+      new CandMatrix(cands.map(_.toArray).toArray)))
 
   /** Column-level entry point; input cast to array<double>. Distinct
     * `seed`s give independent plane sets (multi-band LSH). */
