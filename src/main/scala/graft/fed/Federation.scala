@@ -297,9 +297,38 @@ object Federation {
 
     private implicit val ec: ExecutionContext = ExecutionContext.global
 
+    // Every staged cut-edge path this orchestrator has written. The
+    // ROOT DataFrame reads from these lazily, so they must outlive
+    // execute(); the caller cleans up via [[cleanupStaged]] once the
+    // result is consumed. Failed/partial writes are deleted eagerly in
+    // ensureOn and never land here.
+    private val staged = mutable.ArrayBuffer.empty[(Cluster, String)]
+
+    /** Staged transfer dirs written so far (observability + tests). */
+    def stagedPaths: Seq[String] = staged.synchronized(staged.map(_._2).toSeq)
+
+    /** Delete every staged transfer dir. Call only after the result of
+      * execute() has been fully consumed — the returned DataFrame reads
+      * the staged parquet lazily. */
+    def cleanupStaged(): Unit = staged.synchronized {
+      staged.foreach { case (cluster, path) => deletePath(cluster, path) }
+      staged.clear()
+    }
+
+    private def deletePath(cluster: Cluster, path: String): Unit = Try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(cluster.session.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+    }
+
     /** Execute the plan; the returned DataFrame lives on the cluster the
       * planner assigned to the root. Independent subtrees run
-      * concurrently (Futures); each stage retries on failure. */
+      * concurrently (Futures); each stage retries on failure. A stage
+      * that exhausts its retries — including a cluster whose session
+      * died mid-plan — aborts the whole execution with the failing
+      * stage's label and cause; re-running execute() on a healthy
+      * orchestrator is safe (staging paths are unique per attempt and
+      * partial writes are deleted at failure). */
     def execute(root: FedPlan): DataFrame = {
       val placement = plan(root, catalog, clusters)
       Await.result(run(root, placement), Duration.Inf)
@@ -324,31 +353,43 @@ object Federation {
         Future {
           val loc = catalog(t)
           val cluster = clusters(pl.assignment(s))
-          withRetry(s.label) {
+          withRetry(s"${s.label} on cluster ${cluster.id}") {
             cluster.session.read.format(loc.format).load(loc.uri)
           }
         }
       case st @ FedStage(in, f, label, _) =>
-        run(in, pl).map { df => withRetry(label)(f(df)) }
+        run(in, pl).map { df =>
+          withRetry(s"$label on cluster ${pl.assignment(st)}")(f(df)) }
       case b @ FedBinary(l, r, f, label) =>
         val fl = run(l, pl)
         val fr = run(r, pl)
-        for { ldf <- fl; rdf <- fr } yield withRetry(label) {
-          val dest = clusters(pl.assignment(b))
-          f(ensureOn(ldf, pl.assignment(l), dest, l.label),
-            ensureOn(rdf, pl.assignment(r), dest, r.label))
-        }
+        for { ldf <- fl; rdf <- fr } yield
+          withRetry(s"$label on cluster ${pl.assignment(b)}") {
+            val dest = clusters(pl.assignment(b))
+            f(ensureOn(ldf, pl.assignment(l), dest, l.label),
+              ensureOn(rdf, pl.assignment(r), dest, r.label))
+          }
     }
 
     /** The cut edge: if a subplan ran on another cluster, stage its
       * result as parquet in the destination's scratch area and re-read
       * it there (the reference's STORE → distcp → LOAD glue; one
-      * write+read, no driver materialization). */
+      * write+read, no driver materialization).
+      *
+      * Fault contract (r9): the write is the point where the shipped
+      * subplan actually EXECUTES, so a mid-transfer failure (source
+      * task death, unreachable scratch, dest session dead) surfaces
+      * here. The partial staged dir is deleted before rethrowing —
+      * retries go to a fresh nanoTime-suffixed path, so a half-written
+      * transfer can never be read back as a complete one, and failed
+      * attempts leave no garbage behind. */
     private def ensureOn(df: DataFrame, from: String, dest: Cluster, label: String): DataFrame = {
       if (from == dest.id) df
       else {
         val path = s"${dest.scratchUri}/${label.replaceAll("[^A-Za-z0-9]", "_")}_${System.nanoTime()}"
-        df.write.mode("overwrite").parquet(path)
+        try df.write.mode("overwrite").parquet(path)
+        catch { case e: Throwable => deletePath(dest, path); throw e }
+        staged.synchronized(staged += ((dest, path)))
         dest.session.read.parquet(path)
       }
     }
