@@ -44,7 +44,27 @@ object RecallProbe {
     // IVF over FITTED centroids (kMeansFit -> ivfTopKWithCentroids):
     // same nProbe points, centroids from the k-means|| fit instead of
     // the hash sample — the round-8 composition
-    for ((c, pr) <- Seq((16, 6), (16, 8))) {
+    // topK=256 @ fitted 16 centroids / nProbe 8 is the r9 sf0.1
+    // spec-pin configuration (VERDICT r8 #9)
+    locally {
+      val truth256 = graft.operators.Similarity.bruteForceTopK(
+          emb, qs, "vec_id", "vec_id", "embedding", 256)
+        .select(col("query_id"), col("neighbor_id")).cache()
+      truth256.count()
+      val cents = graft.operators.Similarity.kMeansFit(
+        emb, "embedding", k = 16, iters = 3, init = "parallel")
+      val found = graft.operators.Similarity.ivfTopKWithCentroids(
+          emb, qs, "vec_id", "vec_id", "embedding", 256, centroids = cents, nProbe = 8)
+        .select(col("query_id"), col("neighbor_id"))
+      val nh = truth256.join(found, Seq("query_id", "neighbor_id")).count()
+      val nt = truth256.count()
+      println(f"[probe] ivf-fitted topK256 16/8: hit=$nh truth=$nt recall=${nh.toDouble / nt}%.3f")
+      truth256.unpersist()
+    }
+    // (256, 8) centroid config at this corpus size is an UNDERSIZED
+    // operating point (8 vectors/cell, 8/256 cells probed) — kept in
+    // the sweep as documentation of why the pin is not set there
+    for ((c, pr) <- Seq((16, 6), (16, 8), (256, 8))) {
       val cents = graft.operators.Similarity.kMeansFit(
         emb, "embedding", k = c, iters = 3, init = "parallel")
       recall(s"ivf-fitted $c/$pr", graft.operators.Similarity.ivfTopKWithCentroids(
