@@ -40,7 +40,10 @@ object Bench {
     // round 8: span REMOVAL, Misra-Gries heavy hitters (+ hot
     // n-grams), token budgets
     "q148_span_removal", "q149_heavy_hitters", "q150_token_budget",
-    "q152_hot_ngrams")
+    "q152_hot_ngrams",
+    // round 9: IVF-PQ ANN (train+encode+ADC+refine), HLL mergeable
+    // distinct sketches, DSIR importance weights
+    "q154_ann_ivfpq", "q155_hll_distinct", "q156_importance_weights")
 
   /** Per-query regression pins (round 9): each query's BEST recorded
     * driver median at sf0.1 across rounds 1–8. A timed median above

@@ -1356,6 +1356,84 @@ object SparkEntry {
         Map.empty)
     }),
 
+    // --- IVF-PQ ANN (round 9; Jégou et al. TPAMI 2011): coarse fitted
+    //     centroids route cells, candidates score by m=16 CODE IDS
+    //     (ADC) instead of vectors — the corpus-sized shuffle moves
+    //     code bytes, not embeddings — then the bounded refine re-ranks
+    //     the ADC shortlist exactly. Recall-invariant oracle like q54:
+    //     RecallProbe r9 measured this operating point (m16/c256,
+    //     nProbe 12/16, refine 4) at 1.00 / 1.00 / 0.94 recall on
+    //     sf0.001 / sf0.01 / sf0.1; pinned ≥0.9. Every stage is
+    //     deterministic (hash-ordered samples, lowest-index ties), so
+    //     the floor holds exactly, not probabilistically. ---
+    "q154_ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir).embeddings
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+      val truth = graft.operators.Similarity.bruteForceTopK(
+          corpus = emb, queries = qs, corpusId = "vec_id", queryId = "vec_id",
+          vecCol = "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val cents = graft.operators.Similarity.kMeansFit(
+        emb, "embedding", k = 16, iters = 3, init = "parallel")
+      val pq = graft.operators.Similarity.pqTrain(
+        emb, "embedding", m = 16, nCodes = 256, iters = 3)
+      val found = graft.operators.Similarity.ivfPqTopK(
+          corpus = emb, queries = qs, corpusId = "vec_id", queryId = "vec_id",
+          vecCol = "embedding", k = 5, centroids = cents, pq = pq,
+          nProbe = 12, refine = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      truth.withColumn("in_t", lit(1))
+        .join(found.withColumn("in_f", lit(1)),
+          Seq("query_id", "neighbor_id"), "full_outer")
+        .agg(
+          coalesce(sum(col("in_t")), lit(0)).cast("long").as("nt"),
+          coalesce(sum(when(col("in_t") === 1 && col("in_f") === 1, 1)), lit(0)).as("nh"))
+        .select(col("nt").as("n_truth"),
+          (col("nh") >= ceil(col("nt") * lit(0.9))).as("recall_ge_90"))
+    }),
+
+    // --- HLL mergeable-sketch distinct (round 9; Datasketches HLL via
+    //     Spark's hll_* functions): the 100 TB distinct-count shape —
+    //     per-shard sketches merge ASSOCIATIVELY (partial aggregation,
+    //     re-aggregation across days/partitions) where countDistinct
+    //     re-shuffles raw keys. The query pins BOTH contracts: the
+    //     estimate lands within 5% of exact (lgK=12 ⇒ ~1.6% rse;
+    //     measured ≤1.3% at all three SFs), and the sharded-sketch
+    //     union lands within the same 5% (register-max union is
+    //     exactly lossless once dense — measured bit-identical at
+    //     sf0.1 — while sparse-mode coupon promotion can differ from
+    //     the one-shot sketch by <1%, so exact equality is NOT the
+    //     contract). Deterministic: same input ⇒ same sketch. ---
+    "q155_hll_distinct" -> ((s, dir) => {
+      val li = t(s, dir).lineitem
+      val oneShot = li.groupBy(col("l_returnflag")).agg(
+        hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"), lit(12))).as("est"),
+        countDistinct(col("l_orderkey")).as("exact_distinct"))
+      val merged = li.withColumn("__sh", col("l_orderkey") % 8)
+        .groupBy(col("l_returnflag"), col("__sh"))
+        .agg(hll_sketch_agg(col("l_orderkey"), lit(12)).as("sk"))
+        .groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_m"))
+      oneShot.join(merged, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("exact_distinct"),
+          (abs(col("est") - col("exact_distinct"))
+            <= col("exact_distinct") * lit(0.05)).as("within_5pct"),
+          (abs(col("est_m") - col("exact_distinct"))
+            <= col("exact_distinct") * lit(0.05)).as("merge_within_5pct"))
+    }),
+
+    // --- DSIR importance resampling (round 9; Xie et al. 2023):
+    //     score every doc by the hashed-n-gram target/source frequency
+    //     ratio — here target = the English slice, i.e. "how English-
+    //     web-like is this doc's n-gram profile". Exact-integer
+    //     weights (md5-prefix buckets, BIGINT div) so DuckDB replays
+    //     the full per-doc score hash-exact — no float log-sums. ---
+    "q156_importance_weights" -> ((s, dir) => {
+      val d = t(s, dir).documents
+      graft.operators.TrainingPipeline.importanceWeights(
+        d, d.filter(col("lang") === "en"), "doc_id", "text")
+    }),
+
     // --- hard per-group token budgets (round 8) — the exact-budget
     //     half of data mixing (temperatureMixture is the rate half):
     //     md5-ordered greedy prefix per lang until the budget fills;
@@ -3535,6 +3613,46 @@ object SparkEntry {
            WHERE len(tk) >= 4)
          SELECT gram, CAST(count(*) AS BIGINT) AS cnt
          FROM g GROUP BY gram HAVING count(*) >= 3""",
+
+    // IVF-PQ with exact refine at the measured operating point: the
+    // oracle pins the deterministic truth size and the recall floor
+    "q154_ann_ivfpq" ->
+      """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_truth, TRUE AS recall_ge_90
+         FROM embeddings WHERE vec_id % 100 = 0""",
+
+    // HLL estimate and sharded-sketch-merge estimate both within 5%
+    // of exact — the oracle pins the exact counts and the invariants
+    "q155_hll_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_distinct,
+                TRUE AS within_5pct, TRUE AS merge_within_5pct
+         FROM lineitem GROUP BY 1""",
+
+    // DSIR hashed-n-gram importance weights, exact-integer replay:
+    // unigram+bigram features -> md5-hex-prefix buckets -> per-bucket
+    // (target*scale) div source weights -> per-doc BIGINT sums
+    "q156_importance_weights" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '') AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id, t[i] AS gram
+           FROM tk, UNNEST(generate_series(1, len(t))) u(i)
+           UNION ALL
+           SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+           FROM tk, UNNEST(generate_series(1, len(t) - 1)) u(i)),
+         b AS (SELECT doc_id, substr(md5(gram), 1, 3) AS bucket FROM g),
+         sc AS (SELECT bucket, COUNT(*) AS s FROM b GROUP BY 1),
+         tc AS (SELECT b.bucket, COUNT(*) AS c
+                FROM b JOIN documents USING (doc_id)
+                WHERE lang = 'en' GROUP BY 1),
+         w AS (SELECT sc.bucket, (COALESCE(tc.c, 0) * 1000000) // sc.s AS w
+               FROM sc LEFT JOIN tc ON sc.bucket = tc.bucket),
+         sco AS (SELECT b.doc_id, CAST(SUM(w.w) AS BIGINT) AS iw
+                 FROM b JOIN w USING (bucket) GROUP BY 1)
+         SELECT d.doc_id, CAST(COALESCE(sco.iw, 0) AS BIGINT) AS iw
+         FROM documents d LEFT JOIN sco ON d.doc_id = sco.doc_id""",
 
     // map-side (collected) group == plain group-by on the same rows
     "q153_group_collected" ->

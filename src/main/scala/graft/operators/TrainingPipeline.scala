@@ -321,4 +321,65 @@ object TrainingPipeline {
     Relational.rankSequence(ordered, "ord")
       .drop("__shuffle_key")
   }
+
+  /** DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling",
+    * arXiv:2302.03169): score each SOURCE doc by how much its
+    * hashed-n-gram feature distribution looks like the TARGET
+    * domain's, so a web-scale corpus can be resampled toward a
+    * high-quality domain without training a classifier.
+    *
+    * Deterministic integer formulation (so any engine replays it
+    * hash-exact): features are word unigrams + bigrams hashed to
+    * `16^hexChars` buckets by an md5 hex prefix (md5 bytes agree
+    * across engines, unlike engine-native hash functions); a
+    * bucket's weight is `(target_count × scale) div source_count`
+    * in EXACT integer arithmetic — the target/source frequency
+    * ratio the paper's importance weight estimates, scaled and
+    * floored instead of logged, which keeps per-doc scores exact
+    * BIGINT sums (order-invariant) rather than float log-sums whose
+    * summation order differs per engine. The constant global
+    * Tsource/Ttarget factor is dropped: it rescales every doc
+    * identically and resampling only reads relative weights.
+    *
+    * Scale shape: the weight table is bounded a priori at
+    * `16^hexChars` rows (4096 at the default) — it BROADCASTS into
+    * the doc-scoring scan; the only corpus-sized movements are the
+    * two vocab-bucketed count aggregations and the per-doc score
+    * groupBy. Nothing collects to the driver. Docs with no grams
+    * score 0 (kept in the output via left join).
+    *
+    * Resample with the existing deterministic samplers: threshold
+    * the returned `iw`, or feed it to [[temperatureMixture]]-style
+    * md5-coin keeps. */
+  def importanceWeights(source: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, hexChars: Int = 3,
+      scale: Long = 1000000L): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8, s"hexChars=$hexChars")
+    def buckets(df: DataFrame): DataFrame = {
+      val t = Dedup.tokens(col(textCol))
+      df.select(col(idCol), t.as("__t"))
+        .select(col(idCol),
+          explode(concat(
+            col("__t"),
+            when(size(col("__t")) >= 2,
+              transform(sequence(lit(1), size(col("__t")) - 1), i =>
+                concat(element_at(col("__t"), i), lit(" "),
+                  element_at(col("__t"), i + 1))))
+              .otherwise(array()))).as("gram"))
+        .select(col(idCol),
+          substring(md5(col("gram").cast("binary")), 1, hexChars).as("bucket"))
+    }
+    val src = buckets(source)
+    val sc = src.groupBy(col("bucket")).agg(count(lit(1)).as("s"))
+    val tc = buckets(target).groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+    val weights = sc.join(tc, Seq("bucket"), "left")
+      .select(col("bucket"),
+        expr(s"(coalesce(c, 0L) * ${scale}L) div s").as("w"))
+    val scores = src.join(broadcast(weights), Seq("bucket"))
+      .groupBy(col(idCol)).agg(sum(col("w")).as("iw"))
+    source.select(col(idCol))
+      .join(scores, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("iw"), lit(0L)).as("iw"))
+  }
 }

@@ -71,6 +71,34 @@ object RecallProbe {
         emb, qs, "vec_id", "vec_id", "embedding", 5, centroids = cents, nProbe = pr)
         .select(col("query_id"), col("neighbor_id")))
     }
+    // IVF-PQ (r9): coarse fitted 16 centroids / nProbe 8, PQ over m=8
+    // subspaces — recall cost of scoring on m code ids instead of the
+    // exact vector, swept over codebook size
+    locally {
+      val cents = graft.operators.Similarity.kMeansFit(
+        emb, "embedding", k = 16, iters = 3, init = "parallel")
+      for (nCodes <- Seq(16, 32, 64, 128)) {
+        val pq = graft.operators.Similarity.pqTrain(
+          emb, "embedding", m = 8, nCodes = nCodes, iters = 3)
+        recall(s"ivf-pq 16/8 m8 c$nCodes", graft.operators.Similarity.ivfPqTopK(
+          emb, qs, "vec_id", "vec_id", "embedding", 5, centroids = cents,
+          pq = pq, nProbe = 8)
+          .select(col("query_id"), col("neighbor_id")))
+        recall(s"ivf-pq+r4 16/8 m8 c$nCodes", graft.operators.Similarity.ivfPqTopK(
+          emb, qs, "vec_id", "vec_id", "embedding", 5, centroids = cents,
+          pq = pq, nProbe = 8, refine = 4)
+          .select(col("query_id"), col("neighbor_id")))
+      }
+      for ((m, nCodes, r, np) <- Seq((16, 128, 4, 8), (16, 256, 4, 8),
+          (16, 256, 8, 8), (8, 128, 8, 8), (16, 256, 4, 12), (16, 128, 4, 12))) {
+        val pq = graft.operators.Similarity.pqTrain(
+          emb, "embedding", m = m, nCodes = nCodes, iters = 3)
+        recall(s"ivf-pq+r$r 16/$np m$m c$nCodes", graft.operators.Similarity.ivfPqTopK(
+          emb, qs, "vec_id", "vec_id", "embedding", 5, centroids = cents,
+          pq = pq, nProbe = np, refine = r)
+          .select(col("query_id"), col("neighbor_id")))
+      }
+    }
     // minhash recall vs exact jaccard at 0.8
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val tPairs = graft.operators.Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.8)

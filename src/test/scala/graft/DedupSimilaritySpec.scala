@@ -933,4 +933,101 @@ class DedupSimilaritySpec extends SparkSpec {
     val c2 = par2.orderBy($"cid").as[(Long, Seq[Double])].collect().toSeq
     assert(c1 == c2, "kMeans|| init must be partition-invariant")
   }
+
+  test("PQ lossless codebooks recover the exact dot: bit-for-bit at m=1, ulps at m=2") {
+    // nCodes >= distinct subvectors and iters=0 keeps every subvector
+    // AS a centroid; encode then recovers each subvector exactly
+    // (L2 distance 0). At m=1 the single-subspace LUT dot IS the
+    // sequential dot — identical doubles. At m>1 the total is a
+    // grouped sum ((Σ sub0) + (Σ sub1)) vs the sequential fold, so
+    // equality holds to grouped-summation ulps, not bits.
+    val pts = (0 until 24).map { j =>
+      (j.toLong, Array.tabulate(8)(d => ((j * 7 + d * 3) % 11) - 5f))
+    }.toDF("vec_id", "embedding")
+    def scores(m: Int) = {
+      val pq = Similarity.pqTrain(pts, "embedding", m = m, nCodes = 64, iters = 0)
+      pts.select($"vec_id", Similarity.unitize($"embedding").as("nv"))
+        .withColumn("codes", graft.plans.PqExpressions.pqEncode($"nv", pq))
+        .crossJoin(pts.limit(3).select(
+          $"vec_id".as("qid"), Similarity.unitize($"embedding").as("nq")))
+        .withColumn("lut", graft.plans.PqExpressions.pqLut($"nq", pq))
+        .select($"qid", $"vec_id",
+          graft.plans.PqExpressions.pqAdc($"codes", $"lut", pq).as("s_adc"),
+          Similarity.dot($"nq", $"nv").as("s_exact"))
+        .as[(Long, Long, Double, Double)].collect()
+    }
+    scores(1).foreach { case (q, v, sAdc, sExact) =>
+      assert(sAdc == sExact, s"m=1 ($q,$v): adc $sAdc != exact $sExact")
+    }
+    scores(2).foreach { case (q, v, sAdc, sExact) =>
+      assert(math.abs(sAdc - sExact) <= 1e-12 * math.max(1.0, math.abs(sExact)),
+        s"m=2 ($q,$v): adc $sAdc vs exact $sExact beyond grouped-sum ulps")
+    }
+  }
+
+  test("pqTrain/pqEncode are partition-invariant; ragged subspaces warn and stay in range") {
+    // raw subspace 1 is constant, so after full-vector unitization its
+    // subvectors collapse to one value PER DISTINCT NORM — 5 distinct
+    // raw prefixes -> 5 distinct subvectors < nCodes=8 (ragged)
+    val pts = (0 until 40).map { j =>
+      (j.toLong, Array.tabulate(8)(d =>
+        if (d >= 4) 1.0f else ((j * 5 + d) % 9) - 4f))
+    }.toDF("vec_id", "embedding")
+    val pq1 = Similarity.pqTrain(pts, "embedding", m = 2, nCodes = 8, iters = 2)
+    val pq2 = Similarity.pqTrain(pts.repartition(7), "embedding", m = 2, nCodes = 8, iters = 2)
+    assert(pq1.codes.map(_.map(_.toSeq).toSeq).toSeq ==
+           pq2.codes.map(_.map(_.toSeq).toSeq).toSeq,
+      "pqTrain must be partition-invariant")
+    assert(pq1.codes(1).length == 5, "collapsed subspace must yield the ragged 5-entry codebook")
+    val enc1 = pts.select($"vec_id",
+        graft.plans.PqExpressions.pqEncode(Similarity.unitize($"embedding"), pq1).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val enc2 = pts.repartition(5).select($"vec_id",
+        graft.plans.PqExpressions.pqEncode(Similarity.unitize($"embedding"), pq1).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(enc1 == enc2, "pqEncode must be partition-invariant")
+    enc1.values.foreach { cs =>
+      assert(cs.length == 2)
+      assert(cs(0) >= 0 && cs(0) < pq1.codes(0).length)
+      assert(cs(1) >= 0 && cs(1) < pq1.codes(1).length,
+        "codes must stay inside the ragged codebook")
+    }
+  }
+
+  test("topCosArgMaxToSet: multi-probe routing matches the literal sort-slice rule") {
+    // the kernel must reproduce ivfCore's literal topCells ordering:
+    // score desc, candidate index asc on ties (incl. NaN -> last)
+    val cands: Seq[Seq[Double]] = Seq(
+      Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 1.0), Seq(1.0, 0.0), Seq(0.0, 0.0))
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.5f, 0.5f)), (3L, Array(0.0f, 2.0f)))
+      .toDF("id", "v")
+    val got = pts.select($"id",
+        graft.plans.PqExpressions.topCosArgMaxToSet($"v", cands, 3).as("cells"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // id 1: cos=1 with cands 0 and 3 (tie -> 0 before 3), then 2
+    assert(got(1L) == Seq(0L, 3L, 2L))
+    // id 2: cos=1 with 2; cands 0,1,3 at cos=.707 (tie -> 0 then 1)
+    assert(got(2L) == Seq(2L, 0L, 1L))
+    // id 3: best 1, then 2, then 0/3 tie -> 0
+    assert(got(3L) == Seq(1L, 2L, 0L))
+  }
+
+  test("ivfPqTopK: blob corpus routes and scores into full recall; code payload is m ints") {
+    val pts = (0 until 160).map { j =>
+      val blob = j % 8
+      (j.toLong, Array.tabulate(16)(d =>
+        (if (d == blob * 2) 10f else 0f) + ((j * 13 + d * 3) % 7) * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val truth = Similarity.bruteForceTopK(pts, pts, "vec_id", "vec_id", "embedding", k = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val cents = Similarity.kMeansFit(pts, "embedding", k = 8, iters = 3, init = "parallel")
+    val pq = Similarity.pqTrain(pts, "embedding", m = 8, nCodes = 32, iters = 2)
+    val found = Similarity.ivfPqTopK(
+        pts, pts, "vec_id", "vec_id", "embedding", k = 3,
+        centroids = cents, pq = pq, nProbe = 2)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (truth intersect found).size.toDouble / truth.size
+    assert(recall >= 0.9, s"blob-corpus IVF-PQ recall $recall below 0.9")
+  }
 }

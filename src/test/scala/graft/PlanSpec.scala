@@ -219,6 +219,28 @@ class PlanSpec extends SparkSpec {
       s"collected group shuffles — the bucketed-scan contract failed:\n$tree")
   }
 
+  test("q154: IVF-PQ scores through codegen kernels; refine is a broadcast, not a shuffle") {
+    val tree = SparkEntry.queries("q154_ann_ivfpq")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // encode/routing/LUT/ADC are all native kernels, never UDFs/HOFs
+    for (k <- Seq("pq_encode", "pq_lut", "pq_adc", "top_cos_arg_max_to_set"))
+      assert(tree.contains(k), s"missing kernel $k:\n${tree.take(2000)}")
+    assert(!tree.contains("ScalaUDF"), tree.take(2000))
+    // the exact re-rank joins the bounded shortlist BROADCAST into the
+    // corpus scan — no second corpus-sized exchange for refinement
+    assert(tree.contains("BroadcastHashJoin"), tree.take(2000))
+  }
+
+  test("q156: DSIR weight table broadcasts into the scoring scan") {
+    val tree = SparkEntry.queries("q156_importance_weights")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the <= 16^3-row weight table is the broadcast side; doc grams
+    // never shuffle by bucket to meet it
+    assert(tree.contains("BroadcastHashJoin"), tree.take(2000))
+    assert(!tree.contains("ScalaUDF") && !tree.contains("BatchEvalPython"),
+      tree.take(2000))
+  }
+
   test("every oracle key has a query; names are well-formed") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet

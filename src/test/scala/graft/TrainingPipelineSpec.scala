@@ -347,4 +347,53 @@ class TrainingPipelineSpec extends SparkSpec {
     val perDoc = corpus.groupBy($"doc_id").count().select($"count").as[Long].collect()
     assert(perDoc.forall(_ == 5L))
   }
+
+  test("importanceWeights: exact integer ratios, self-target fixpoint, partition-invariant") {
+    val src = Seq(
+      (1L, "aa bb cc"), (2L, "xx yy zz"), (3L, "aa bb"), (4L, "")
+    ).toDF("doc_id", "text")
+    // target = doc 1 only. Grams: doc1 {aa,bb,cc,"aa bb","bb cc"},
+    // doc2 {xx,yy,zz,"xx yy","yy zz"}, doc3 {aa,bb,"aa bb"}, doc4 {}.
+    // sc: aa 2, bb 2, cc 1, "aa bb" 2, "bb cc" 1, doc2 grams 1 each.
+    // tc (doc1): each of doc1's grams once. Integer weights at the
+    // 1e6 scale: shared grams 1e6/2 = 500000, doc1-unique 1e6,
+    // doc2 grams 0. (Distinct vocab ⇒ md5-prefix collisions between
+    // the 10 grams are possible in principle; this exact fixture is
+    // collision-free — the assertions below would catch a drift.)
+    val iw = TrainingPipeline.importanceWeights(
+        src, src.filter($"doc_id" === 1), "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(iw == Map(
+      1L -> (500000L + 500000L + 1000000L + 500000L + 1000000L),
+      2L -> 0L,
+      3L -> (500000L + 500000L + 500000L),
+      4L -> 0L), iw.toString)
+    // self-target: every bucket's tc == sc, so every gram scores
+    // exactly `scale` and a doc's weight is nGrams x scale
+    val self = TrainingPipeline.importanceWeights(src, src, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(self == Map(1L -> 5000000L, 2L -> 5000000L, 3L -> 3000000L, 4L -> 0L),
+      self.toString)
+    // partition invariance (md5 buckets + integer arithmetic only)
+    val rep = TrainingPipeline.importanceWeights(
+        src.repartition(7), src.filter($"doc_id" === 1).repartition(3),
+        "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(rep == iw)
+    // real corpus: English docs must outrank non-English on the
+    // English-target profile PER GRAM (iw is a sum, so raw scores are
+    // length-biased — the paper's weight is per-feature; normalize by
+    // the doc's gram count 2·len−1 before comparing averages)
+    val d = tables.documents
+    val w = TrainingPipeline.importanceWeights(
+      d, d.filter($"lang" === "en"), "doc_id", "text")
+    val toks = d.select($"doc_id", $"lang",
+      size(graft.operators.Dedup.tokens($"text")).as("nt"))
+    val byLang = w.join(toks, Seq("doc_id")).filter($"nt" > 0)
+      .groupBy(($"lang" === "en").as("en"))
+      .agg(avg($"iw" / ($"nt" * 2 - 1))).as[(Boolean, Double)]
+      .collect().toMap
+    assert(byLang(true) > byLang(false),
+      s"English target must upweight English docs per gram: $byLang")
+  }
 }
