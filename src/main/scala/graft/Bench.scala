@@ -71,7 +71,9 @@ object Bench {
     "q144_stream_right_outer_join", "q145_stream_full_outer_join",
     "q112_stream_state",
     // round 8: chained stateful operators (dedup -> windowed agg)
-    "q151_stream_dedup_agg")
+    "q151_stream_dedup_agg",
+    // round 9: streaming MinHash-LSH near-dup (typed band-owner state)
+    "q158_stream_near_dup")
 
   /** The CORRECTNESS entries for approximate ops are recall HARNESSES
     * (operator + exact ground truth + compare in one job); benching the
@@ -273,5 +275,8 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench/results.json: $e") }
     spark.stop()
+    // Output is flushed; exit explicitly so a stray non-daemon thread
+    // can never hang the forked JVM and stall the driver's bench.
+    sys.exit(0)
   }
 }

@@ -289,6 +289,32 @@ object Engine {
     TrainingPipeline.tokenBudgetSample(df, groupCol, idCol, textCol,
       budgets, defaultBudget)
 
+  /** Product-quantization codebooks for [[annTopKPq]] (round 9). */
+  def pqTrain(df: DataFrame, vecCol: String, m: Int, nCodes: Int = 256,
+      iters: Int = 5): graft.plans.PqCodebooks =
+    Similarity.pqTrain(df, vecCol, m, nCodes, iters)
+
+  /** IVF-PQ ANN with optional exact refine (round 9): the corpus ships
+    * m code bytes per row through the cell shuffle, not embeddings. */
+  def annTopKPq(corpus: DataFrame, queries: DataFrame,
+      corpusId: String, queryId: String, vecCol: String, k: Int,
+      centroids: DataFrame, pq: graft.plans.PqCodebooks,
+      nProbe: Int = 4, refine: Int = 0): DataFrame =
+    Similarity.ivfPqTopK(corpus, queries, corpusId, queryId, vecCol, k,
+      centroids, pq, nProbe, refine)
+
+  /** DSIR-style hashed-n-gram importance weights (round 9). */
+  def importanceWeights(source: DataFrame, target: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    TrainingPipeline.importanceWeights(source, target, idCol, textCol)
+
+  /** Streaming near-dup verdicts over a staged doc stream (round 9);
+    * see [[graft.streaming.CurationStreaming]]. */
+  def streamNearDupVerdicts(spark: org.apache.spark.sql.SparkSession,
+      stagedDir: String, numHashes: Int = 128, bands: Int = 16): DataFrame =
+    graft.streaming.CurationStreaming.streamNearDupVerdicts(
+      spark, stagedDir, numHashes, bands)
+
   /** One-call training-data curation: language/quality filter -> exact
     * dedup -> fuzzy dedup clusters -> token annotations. */
   def curate(df: DataFrame, idCol: String, textCol: String,

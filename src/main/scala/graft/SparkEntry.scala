@@ -966,6 +966,51 @@ object SparkEntry {
       new Orchestrator(catalog, clusters).execute(fedPlan)
     }),
 
+    // --- federation over the Spark Connect substrate (round 9; SURVEY
+    //     §3.2/§7.4 full case): q105's plan, but each "cluster" is a
+    //     CONNECT CLIENT session behind an sc:// URI — every read,
+    //     stage lambda, and cut-edge parquet write crosses the gRPC
+    //     protocol a production multi-cluster deployment would use
+    //     (the sandbox degenerates to one in-process server; nothing
+    //     in the orchestrator knows that). The bounded aggregate
+    //     result re-materializes on the local session so the client
+    //     channels close deterministically. ---
+    "q157_fed_connect" -> ((s, dir) => {
+      import graft.fed.Federation
+      import graft.fed.Federation._
+      val port = Federation.ensureConnectServer(s)
+      val scratch = java.nio.file.Files.createTempDirectory("graft_fed_q157_").toString
+      val clusters = Map(
+        "A" -> Federation.connectCluster("A", s"sc://localhost:$port", s"$scratch/A"),
+        "B" -> Federation.connectCluster("B", s"sc://localhost:$port", s"$scratch/B"))
+      val catalog = new Catalog()
+        .register("orders", TableLoc("A", "parquet", s"$dir/orders.parquet"))
+        .register("customer", TableLoc("B", "parquet", s"$dir/customer.parquet"))
+      val fedPlan = FedBinary(
+        FedStage(FedScan("orders"),
+          _.filter(col("o_totalprice") > 100000), "hi_orders"),
+        FedScan("customer"),
+        (o, c) => o.join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_orders"),
+               sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price")),
+        "join_agg")
+      val orch = new Orchestrator(catalog, clusters)
+      try {
+        val fed = orch.execute(fedPlan)
+        val (schema, rows) = (fed.schema, fed.collect().toSeq)
+        s.createDataFrame(
+          new java.util.ArrayList(scala.jdk.CollectionConverters
+            .SeqHasAsJava(rows).asJava), schema)
+      } finally {
+        orch.cleanupStaged()
+        Federation.closeClusterSessions(clusters)
+        // the gRPC server's threads are non-daemon: leaving it running
+        // would hang the forked Verify/Bench JVM at exit
+        Federation.stopConnectServer()
+      }
+    }),
+
     // --- three-cluster federation, two cut edges: orders on A,
     //     customer on B, nation on C. The planner places each binary
     //     node to minimize transfer bytes and the orchestrator stages
@@ -1743,6 +1788,50 @@ object SparkEntry {
         .agg(max(struct(col("n_events"), col("total_value"))).as("s"))
         .select(col("user_id"), col("s.n_events").as("n_events"),
           round(col("s.total_value"), 4).as("total_value"))
+    }),
+
+    // --- STREAMING near-dup dedup (round 9): the MinHash-LSH pipeline
+    //     incrementalized — in-stream banding (same codegen kernels as
+    //     batch) into a typed transformWithState that records each
+    //     band key's earliest-(ts,id) OWNER; a doc is a near-dup iff
+    //     any band is owned by an earlier doc. The stream's verdicts
+    //     must EQUAL the batch min-(ts,id) owner rule (computed
+    //     independently via groupBy min + join), and every exact
+    //     duplicate (same text, later id) must be flagged — an
+    //     independent semantic check that does not share the band
+    //     dataflow. Invariant-row oracle (q59 pattern): counts DuckDB
+    //     can derive + booleans pinned TRUE. ---
+    "q158_stream_near_dup" -> ((s, dir) => {
+      import graft.streaming.{CurationStreaming, EventsStreaming}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_q158_").toString
+      val docs = t(s, dir).documents.select(col("doc_id"), col("text"))
+        .withColumn("ts", to_timestamp(lit(1700000000L) + col("doc_id")))
+      docs.coalesce(2).write.mode("append").parquet(s"$tmp/src")
+      val name = "q158_neardup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val ss = EventsStreaming.replaySession(s)
+      EventsStreaming.runAvailableNow(
+        CurationStreaming.streamNearDupVerdicts(ss, s"$tmp/src"),
+        name, org.apache.spark.sql.streaming.OutputMode.Update())
+      val streamFlags = ss.table(name).groupBy(col("doc_id"))
+        .agg(max(col("dup_band").cast("int")).as("d"))
+        .select(col("doc_id"), (col("d") === 1).as("s_dup"))
+      val batchFlags = graft.streaming.CurationStreaming.batchNearDupFlags(docs)
+        .withColumnRenamed("is_dup", "b_dup")
+      val mismatches = streamFlags.join(batchFlags, Seq("doc_id"), "full_outer")
+        .filter(!(col("s_dup") <=> col("b_dup"))).limit(1).count() // 1-row probe
+      // independent semantic check: exact text dups (keeper = min id)
+      // MUST be flagged — exact dups agree on every band
+      val missedExact = docs.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .join(docs, Seq("text"))
+        .filter(col("doc_id") =!= col("keep_id"))
+        .join(streamFlags, Seq("doc_id"))
+        .filter(!col("s_dup")).limit(1).count() // 1-row probe
+      docs.agg(count(lit(1)).as("n_docs"))
+        .select(col("n_docs"),
+          lit(mismatches == 0L).as("stream_equals_batch"),
+          lit(missedExact == 0L).as("exact_dups_flagged"))
     }),
 
     // --- bucketed co-located join (the merge-join sparse-index
@@ -2947,6 +3036,24 @@ object SparkEntry {
     // the federated cut/transfer/orchestrate path must equal the plain
     // single-engine join
     "q105_federated_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_totalprice > 100000
+         GROUP BY c_nationkey""",
+
+    // streaming near-dup: derivable count + invariants pinned TRUE
+    // (q59 pattern — the booleans are computed from two INDEPENDENT
+    // formulations on the Spark side)
+    "q158_stream_near_dup" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                TRUE AS stream_equals_batch,
+                TRUE AS exact_dups_flagged
+         FROM documents""",
+
+    // same dataflow as q105, executed over Spark Connect client
+    // sessions — the answer must be byte-identical to the plain SQL
+    "q157_fed_connect" ->
       """SELECT c_nationkey, COUNT(*) AS n_orders,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM orders JOIN customer ON o_custkey = c_custkey

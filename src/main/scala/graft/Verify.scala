@@ -60,5 +60,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // All output is flushed; exit explicitly so a stray non-daemon
+    // thread (e.g. a gRPC server a query forgot to stop) can never
+    // hang the forked JVM and stall the driver's gate.
+    sys.exit(0)
   }
 }

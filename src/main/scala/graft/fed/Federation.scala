@@ -40,6 +40,65 @@ object Federation {
   final case class Cluster(id: String, session: SparkSession, scratchUri: String,
       computeFactor: Double = 1.0)
 
+  /** Start (once per JVM) an in-process Spark Connect SERVER bound to
+    * `spark`'s context and return the effective gRPC port. Idempotent:
+    * the service is context-global, so repeated calls reuse the
+    * running server (the port conf is read at first start).
+    *
+    * This is the SURVEY §3.2/§7.4 full-case substrate: with a server
+    * per physical cluster, the orchestrator addresses clusters by
+    * `sc://host:port` URI and drives them through the SAME wire
+    * protocol it would use in production — the sandbox degenerates to
+    * one in-process server, but nothing in the orchestrator knows
+    * that. */
+  private val connectServerStarted = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  def ensureConnectServer(spark: SparkSession): Int = {
+    if (connectServerStarted.compareAndSet(false, true))
+      org.apache.spark.sql.connect.service.SparkConnectService
+        .start(spark.sparkContext)
+    spark.sparkContext.getConf
+      .getInt("spark.connect.grpc.binding.port", 15002)
+  }
+
+  /** Stop the in-process Connect server started by
+    * [[ensureConnectServer]] (idempotent). Callers that start the
+    * server for a bounded task MUST pair it with this: the gRPC
+    * server's threads are non-daemon, so a forked JVM (Verify/Bench)
+    * would otherwise never exit after main returns. */
+  def stopConnectServer(): Unit =
+    if (connectServerStarted.compareAndSet(true, false))
+      Try(org.apache.spark.sql.connect.service.SparkConnectService
+        .stop(None, None))
+
+  /** A Cluster whose session is a Spark Connect CLIENT to `remoteUri`
+    * (`sc://host:port`). `org.apache.spark.sql.connect.SparkSession`
+    * extends the unified `SparkSession`, so the whole
+    * planner/orchestrator stack runs unchanged over gRPC: reads,
+    * stage functions, cut-edge parquet writes. Catalyst-stats size
+    * estimation is driver-side-only and falls back to the catalog
+    * heuristics for connect sessions (the existing `Try` paths);
+    * scratch cleanup falls back to a driver-side delete for local
+    * URIs (see deletePath). Close the session via
+    * [[closeClusterSessions]] once results are consumed. */
+  def connectCluster(id: String, remoteUri: String, scratchUri: String,
+      computeFactor: Double = 1.0): Cluster =
+    Cluster(id,
+      org.apache.spark.sql.connect.SparkSession.builder()
+        .remote(remoteUri).create(),
+      scratchUri, computeFactor)
+
+  /** Close every connect-client session in `clusters` (gRPC channels
+    * hold sockets; classic sessions are left alone — they share the
+    * JVM's context). */
+  def closeClusterSessions(clusters: Map[String, Cluster]): Unit =
+    clusters.values.foreach { c =>
+      c.session match {
+        case cs: org.apache.spark.sql.connect.SparkSession => Try(cs.close())
+        case _ => ()
+      }
+    }
+
   final class Catalog {
     private val tables = mutable.LinkedHashMap.empty[String, TableLoc]
     def register(name: String, loc: TableLoc): this.type = { tables(name) = loc; this }
@@ -315,10 +374,26 @@ object Federation {
       staged.clear()
     }
 
-    private def deletePath(cluster: Cluster, path: String): Unit = Try {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(cluster.session.sparkContext.hadoopConfiguration)
-      fs.delete(p, true)
+    private def deletePath(cluster: Cluster, path: String): Unit = {
+      val viaFs = Try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(cluster.session.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
+      // Connect-client sessions have no driver-side sparkContext; for
+      // local/file: scratch URIs (the sandbox case) fall back to a
+      // driver-side recursive delete. A production deployment deletes
+      // through the destination cluster's own FS tooling instead.
+      if (viaFs.isFailure && (path.startsWith("file:") || !path.contains("://"))) Try {
+        val root = java.nio.file.Paths.get(
+          path.stripPrefix("file://").stripPrefix("file:"))
+        if (java.nio.file.Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
     }
 
     /** Execute the plan; the returned DataFrame lives on the cluster the

@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.types._
+
+/** STREAMING training-data curation (SURVEY §7.1 × §2.7): the batch
+  * MinHash-LSH near-dup pipeline, incrementalized — an arriving doc is
+  * flagged a near-duplicate the moment any of its LSH band keys was
+  * already claimed by an earlier doc, without ever re-scanning the
+  * corpus. This is the ingest-time shape of fuzzy dedup: the batch
+  * operator ([[graft.operators.Dedup.fuzzyDupPairs]]) answers "which
+  * pairs collide" after the fact; this one answers "is THIS doc new"
+  * as data lands.
+  *
+  * Dataflow: the doc stream computes shingle hashes → MinHash
+  * signature → banded keys IN the stream (stateless projections over
+  * the same codegen'd kernels as batch), then a typed
+  * `transformWithState` keyed by (band, sig) records each band key's
+  * OWNER — the earliest (ts, doc_id) ever seen — and emits one verdict
+  * per (doc, band): owner or dup. A doc is a near-dup iff ANY of its
+  * bands is owned by someone else (downstream per-doc aggregation;
+  * OR-amplification exactly like the batch banding).
+  *
+  * Determinism: rows within a micro-batch arrive in partition order,
+  * so the processor SORTS each batch's rows per key by (ts, doc_id)
+  * before deciding ownership — the emitted verdicts equal the batch
+  * min-(ts, id) owner rule under any partitioning. Across
+  * micro-batches, ownership is first-seen: with event time monotone in
+  * arrival order (the replay contract here) that is again min-(ts,id);
+  * a genuinely out-of-order source keeps at-most-once ownership per
+  * key but a later-arriving earlier-ts doc cannot retract an already
+  * emitted verdict — the same trade every streaming dedup makes
+  * (q129's dropDuplicatesWithinWatermark included).
+  *
+  * Scale: state is ONE (ts, id) pair per distinct band key in the
+  * watermark horizon — bounded by content diversity, not corpus size,
+  * and identical to what the batch band join would shuffle. TTL-free
+  * here (tests replay finite data); production passes a TTLConfig so
+  * band ownership expires with the dedup horizon, exactly like
+  * q129's/q151's watermark-bounded dedup state. */
+object CurationStreaming {
+
+  final case class BandRow(band: Int, sig: Long, doc_id: Long, ts_ms: Long)
+  final case class BandVerdict(doc_id: Long, band: Int, dup_band: Boolean)
+
+  /** Keyed owner state: earliest (ts_ms, doc_id) per (band, sig). */
+  final class BandOwnerProcessor
+      extends StatefulProcessor[(Int, Long), BandRow, BandVerdict] {
+    @transient private var owner: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      owner = getHandle.getValueState[(Long, Long)](
+        "owner", Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: (Int, Long), rows: Iterator[BandRow],
+        timerValues: TimerValues): Iterator[BandVerdict] = {
+      // deterministic within-batch order: the verdicts must match the
+      // batch min-(ts, id) rule under any partitioning/arrival order
+      val sorted = rows.toArray.sortBy(r => (r.ts_ms, r.doc_id))
+      var cur: Option[(Long, Long)] = if (owner.exists()) Some(owner.get()) else None
+      val out = new Array[BandVerdict](sorted.length)
+      var i = 0
+      while (i < sorted.length) {
+        val r = sorted(i)
+        val me = (r.ts_ms, r.doc_id)
+        val isOwner = cur.isEmpty || me == cur.get ||
+          Ordering[(Long, Long)].lt(me, cur.get)
+        if (isOwner) cur = Some(if (cur.isEmpty) me else
+          Ordering[(Long, Long)].min(me, cur.get))
+        out(i) = BandVerdict(r.doc_id, r.band, !isOwner)
+        i += 1
+      }
+      if (cur.isDefined) owner.update(cur.get)
+      out.iterator
+    }
+  }
+
+  /** Schema of the staged doc stream: (doc_id, text, ts). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("ts", TimestampType)))
+
+  /** Banded key projection shared by the stream and its batch
+    * reference — the SAME native kernels as the batch dedup pipeline
+    * (the codegen'd shingle-hash path; the HOF formulation measured
+    * 52 s vs ~2 s for 5000 docs — interpreted lambdas again, the
+    * KMeansSoak lesson). */
+  def bandRows(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val hashes = graft.plans.TextExpressions.shingleHash64(col("text"), 3)
+    val sig = graft.operators.Dedup.minhashSig(hashes, numHashes)
+    docs
+      .select(col("doc_id"), (col("ts").cast("double") * 1000).cast("long").as("ts_ms"),
+        explode(graft.operators.Dedup.lshBands(sig, bands, numHashes / bands)).as("b"))
+      .select(col("b.band").as("band"), col("b.sig").as("sig"),
+        col("doc_id"), col("ts_ms"))
+  }
+
+  /** The streaming stage: staged parquet docs → in-stream banding →
+    * per-band-key typed ownership state → (doc, band) verdicts. */
+  def streamNearDupVerdicts(spark: SparkSession, stagedDir: String,
+      numHashes: Int = 128, bands: Int = 16): DataFrame = {
+    EventsStreaming.ensureRocksDbProvider(spark, "streamNearDupVerdicts")
+    import spark.implicits._
+    val stream = spark.readStream.schema(docSchema).parquet(stagedDir)
+    bandRows(stream, numHashes, bands)
+      .as[BandRow]
+      .groupByKey(r => (r.band, r.sig))
+      .transformWithState(new BandOwnerProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
+  /** The batch reference the stream must reproduce: per band key the
+    * owner is min-(ts, id); a doc is a near-dup iff any of its bands
+    * is owned by another doc. */
+  def batchNearDupFlags(docs: DataFrame, numHashes: Int = 128,
+      bands: Int = 16): DataFrame = {
+    val banded = bandRows(docs, numHashes, bands)
+    val owners = banded.groupBy(col("band"), col("sig"))
+      .agg(min(struct(col("ts_ms"), col("doc_id"))).as("o"))
+      .select(col("band"), col("sig"), col("o.doc_id").as("owner_id"))
+    banded.join(owners, Seq("band", "sig"))
+      .groupBy(col("doc_id"))
+      .agg(max((col("owner_id") =!= col("doc_id")).cast("int")).as("d"))
+      .select(col("doc_id"), (col("d") === 1).as("is_dup"))
+  }
+}

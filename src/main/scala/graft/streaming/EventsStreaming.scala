@@ -138,17 +138,17 @@ object EventsStreaming {
 
   /** Per-user running totals via `transformWithState` — the custom
     * streaming-state shape on the current (4.x) API. */
-  def userRunningTotals(events: Dataset[Event]): Dataset[UserTotals] = {
-    val spark = events.sparkSession
-    // The v2 state API runs only on the RocksDB state store provider
-    // (the production-standard one). The provider is read from the
-    // SESSION conf when the query starts — possibly long after this call
-    // returns — so it cannot be scoped to this query and cannot be
-    // restored here without a race. Loud contract instead of a silent
-    // clobber: set it only when the session still has the default
-    // (unset) provider; if the caller configured a DIFFERENT provider,
-    // refuse — a checkpoint written under one provider is not readable
-    // under another.
+  /** The v2 state API (`transformWithState`) runs only on the RocksDB
+    * state store provider (the production-standard one). The provider
+    * is read from the SESSION conf when the query starts — possibly
+    * long after this call returns — so it cannot be scoped to one
+    * query and cannot be restored here without a race. Loud contract
+    * instead of a silent clobber: set it only when the session still
+    * has the default (unset) provider; if the caller configured a
+    * DIFFERENT provider, refuse — a checkpoint written under one
+    * provider is not readable under another. */
+  private[streaming] def ensureRocksDbProvider(spark: SparkSession,
+      who: String): Unit = {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val rocks =
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -159,10 +159,15 @@ object EventsStreaming {
       case None => spark.conf.set(provKey, rocks)
       case Some(p) if p == rocks => // already ours
       case Some(other) => throw new IllegalStateException(
-        s"userRunningTotals needs the RocksDB state store provider but the " +
+        s"$who needs the RocksDB state store provider but the " +
           s"session is pinned to $other; transformWithState cannot run on it " +
           s"and silently switching would orphan existing checkpoints")
     }
+  }
+
+  def userRunningTotals(events: Dataset[Event]): Dataset[UserTotals] = {
+    val spark = events.sparkSession
+    ensureRocksDbProvider(spark, "userRunningTotals")
     import spark.implicits._
     events
       .groupByKey(_.user_id)

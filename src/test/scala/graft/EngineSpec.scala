@@ -114,6 +114,12 @@ class EngineSpec extends SparkSpec {
     val cents = Engine.fitCentroids(embs, "embedding", k = 4, iters = 1)
     assert(Engine.annTopKFitted(embs, embs.limit(5), "vec_id", "vec_id",
       "embedding", k = 3, centroids = cents).count() > 0)
+    val pq = Engine.pqTrain(embs, "embedding", m = 8, nCodes = 16, iters = 1)
+    assert(Engine.annTopKPq(embs, embs.limit(5), "vec_id", "vec_id",
+      "embedding", k = 3, centroids = cents, pq = pq, nProbe = 2,
+      refine = 2).count() > 0)
+    val iw = Engine.importanceWeights(docs, docs.limit(10), "doc_id", "text")
+    assert(iw.count() == 100 && iw.filter($"iw" > 0).count() > 0)
   }
 
   test("GraftSession.sql queries registered aliases (PigServer entry point)") {

@@ -305,6 +305,59 @@ class FederationSpec extends SparkSpec {
     paths.foreach(p => assert(!new java.io.File(p).exists(), s"staged dir survived $p"))
     assert(orch.stagedPaths.isEmpty)
   }
+
+  test("Spark Connect substrate: clusters behind sc:// URIs run the same plan to the same answer") {
+    // SURVEY §3.2/§7.4 full case: an in-process Connect SERVER stands
+    // in for each physical cluster's endpoint; the orchestrator talks
+    // ONLY gRPC — reads, stage lambdas, cut-edge parquet writes all
+    // cross the wire protocol a production deployment would use.
+    val port = Federation.ensureConnectServer(spark)
+    val tmp = Files.createTempDirectory("fed_connect").toString
+    val custUri = s"$tmp/a/customer"
+    val ordUri = s"$tmp/b/orders"
+    tables.customer.write.mode("overwrite").parquet(custUri)
+    tables.orders.write.mode("overwrite").parquet(ordUri)
+    val catalog = new Catalog()
+      .register("customer", TableLoc("A", "parquet", custUri))
+      .register("orders", TableLoc("B", "parquet", ordUri))
+    val clusters = Map(
+      "A" -> Federation.connectCluster("A", s"sc://localhost:$port", s"$tmp/a/scratch"),
+      "B" -> Federation.connectCluster("B", s"sc://localhost:$port", s"$tmp/b/scratch"))
+    try {
+      // session isolation sanity: a temp view on A is invisible on B
+      clusters("A").session.range(3).createOrReplaceTempView("fed_conn_probe")
+      assert(clusters("A").session.catalog.tableExists("fed_conn_probe"))
+      assert(!clusters("B").session.catalog.tableExists("fed_conn_probe"))
+      val join = FedBinary(
+        FedStage(FedScan("customer"), _.filter(col("c_acctbal") > 1000), "filter_cust"),
+        FedScan("orders"),
+        (c, o) => c.join(o, c("c_custkey") === o("o_custkey"))
+          .groupBy("c_custkey").agg(count(lit(1)).as("n"), sum("o_totalprice").as("spent")),
+        "join_agg")
+      val orch = new Orchestrator(catalog, clusters)
+      val placement = orch.executionReport(join)
+      assert(placement.transfers.nonEmpty, "cross-cluster plan must cut somewhere")
+      val fed = orch.execute(join)
+      val got = fed.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val local = tables.customer.filter(col("c_acctbal") > 1000)
+        .join(tables.orders, col("c_custkey") === col("o_custkey"))
+        .groupBy("c_custkey").agg(count(lit(1)).as("n"), sum("o_totalprice").as("spent"))
+      val want = local.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want)
+      assert(got.nonEmpty)
+      // cut-edge dirs were staged over gRPC and cleanupStaged's
+      // driver-side fallback (connect clients have no sparkContext)
+      // removes them
+      val stagedDirs = orch.stagedPaths
+      assert(stagedDirs.nonEmpty)
+      orch.cleanupStaged()
+      stagedDirs.foreach(p =>
+        assert(!new java.io.File(p).exists(), s"staged dir survived cleanup: $p"))
+    } finally {
+      Federation.closeClusterSessions(clusters)
+      Federation.stopConnectServer() // non-daemon gRPC threads
+    }
+  }
 }
 
 /** Top-level so the UDF closure never captures the spec instance. */

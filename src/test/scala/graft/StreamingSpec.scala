@@ -169,4 +169,65 @@ class StreamingSpec extends SparkSpec {
     // accidental per-batch recompute), not host weather
     assert(rows / secs > 50, f"throughput collapsed: ${rows / secs}%.1f rows/s")
   }
+
+  test("streaming near-dup: band ownership equals the batch min-(ts,id) rule across micro-batches") {
+    import graft.streaming.CurationStreaming
+    // planted corpus: 10/11 exact dups (all bands collide), 20/21
+    // near-dups (one word differs), 30 unique. ts monotone in doc_id.
+    val base = "the quick brown fox jumps over the lazy dog again and again today ok"
+    val docs = Seq(
+      (10L, base), (11L, base),
+      (20L, base + " extra trailing words here"),
+      (21L, base + " extra trailing words there"),
+      (30L, "completely different text about spark query engines and columnar execution plans")
+    ).toDF("doc_id", "text")
+      .withColumn("ts", to_timestamp(lit(1700000000L) + col("doc_id")))
+    val staged = Files.createTempDirectory("neardup-replay").toString
+    // TWO files -> at least two possible micro-batches; state must
+    // carry band ownership across them
+    docs.filter($"doc_id" <= 20).coalesce(1).write.mode("append").parquet(staged)
+    docs.filter($"doc_id" > 20).coalesce(1).write.mode("append").parquet(staged)
+    EventsStreaming.runAvailableNow(
+      CurationStreaming.streamNearDupVerdicts(spark, staged),
+      "near_dup_verdicts", OutputMode.Update())
+    val got = spark.table("near_dup_verdicts")
+      .groupBy($"doc_id")
+      .agg(max($"dup_band".cast("int")).as("d"))
+      .select($"doc_id", ($"d" === 1).as("is_dup"))
+      .as[(Long, Boolean)].collect().toMap
+    val want = CurationStreaming.batchNearDupFlags(docs)
+      .as[(Long, Boolean)].collect().toMap
+    assert(got == want, s"stream $got vs batch $want")
+    // semantic spot checks: first copy owns its bands, exact dup flagged
+    assert(!got(10L) && got(11L), got.toString)
+    assert(got(21L), "near-dup sharing a band with an earlier doc must flag")
+    assert(!got(30L), "unique doc must keep")
+    // partitioned replay (7 partitions) -> same verdicts (the in-batch
+    // sort makes ownership arrival-order-invariant)
+    val staged2 = Files.createTempDirectory("neardup-replay2").toString
+    docs.repartition(7).write.mode("append").parquet(staged2)
+    EventsStreaming.runAvailableNow(
+      CurationStreaming.streamNearDupVerdicts(spark, staged2),
+      "near_dup_verdicts2", OutputMode.Update())
+    val got2 = spark.table("near_dup_verdicts2")
+      .groupBy($"doc_id").agg(max($"dup_band".cast("int")).as("d"))
+      .select($"doc_id", ($"d" === 1).as("is_dup"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got2 == want)
+    // real corpus: stream == batch end-to-end
+    val staged3 = Files.createTempDirectory("neardup-replay3").toString
+    val corpus = tables.documents.select($"doc_id", $"text")
+      .withColumn("ts", to_timestamp(lit(1700000000L) + col("doc_id")))
+    corpus.coalesce(2).write.mode("append").parquet(staged3)
+    EventsStreaming.runAvailableNow(
+      CurationStreaming.streamNearDupVerdicts(spark, staged3),
+      "near_dup_verdicts3", OutputMode.Update())
+    val got3 = spark.table("near_dup_verdicts3")
+      .groupBy($"doc_id").agg(max($"dup_band".cast("int")).as("d"))
+      .select($"doc_id", ($"d" === 1).as("is_dup"))
+      .as[(Long, Boolean)].collect().toMap
+    val want3 = CurationStreaming.batchNearDupFlags(corpus)
+      .as[(Long, Boolean)].collect().toMap
+    assert(got3 == want3)
+  }
 }
