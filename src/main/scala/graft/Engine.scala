@@ -315,6 +315,20 @@ object Engine {
     graft.streaming.CurationStreaming.streamNearDupVerdicts(
       spark, stagedDir, numHashes, bands)
 
+  /** Train the hashed linear quality classifier in-engine (round 9):
+    * deterministic distributed logistic regression over the same
+    * md5-bucket features [[classifierScore]] applies. */
+  def trainClassifier(docs: DataFrame, textCol: String, labelCol: String,
+      dim: Int = 1024, iters: Int = 10, lr: Double = 0.5)
+      : graft.operators.ClassifierTrain.Fit =
+    graft.operators.ClassifierTrain.fit(docs, textCol, labelCol, dim, iters, lr)
+
+  /** Score with a trained classifier fit: P(label) per row. */
+  def classifierProb(df: DataFrame, textCol: String,
+      fit: graft.operators.ClassifierTrain.Fit, dim: Int = 1024,
+      as: String = "p"): DataFrame =
+    df.withColumn(as, graft.operators.ClassifierTrain.score(col(textCol), fit, dim))
+
   /** One-call training-data curation: language/quality filter -> exact
     * dedup -> fuzzy dedup clusters -> token annotations. */
   def curate(df: DataFrame, idCol: String, textCol: String,

@@ -1479,6 +1479,31 @@ object SparkEntry {
         d, d.filter(col("lang") === "en"), "doc_id", "text")
     }),
 
+    // --- in-engine classifier TRAINING (round 9): batch logistic
+    //     regression over the same md5-bucket features q139's scorer
+    //     applies — gradient sums cast to DECIMAL(38,18) before
+    //     aggregation, so the weight trajectory is bit-identical
+    //     under any partitioning (spec-pinned). Label: doc contains
+    //     the token 'batch' — a bucket-separable target, so the fit
+    //     must fully separate (measured acc 1.000 at all three SFs;
+    //     pinned ≥0.95; majority class is 0.77–0.80). Invariant-row
+    //     oracle (q59 pattern). ---
+    "q159_train_classifier" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+        .withColumn("y", array_contains(
+          split(lower(col("text")), "\\s+"), "batch").cast("int"))
+      val fit = graft.operators.ClassifierTrain.fit(
+        docs, "text", "y", dim = 1024, iters = 40, lr = 1.0)
+      val scored = docs.withColumn("p",
+        graft.operators.ClassifierTrain.score(col("text"), fit, 1024))
+      val acc = scored
+        .filter((col("p") >= 0.5) === (col("y") === 1)).count().toDouble / fit.n
+      docs.agg(count(lit(1)).as("n_docs"))
+        .select(col("n_docs"),
+          lit(fit.losses.last < fit.losses.head).as("loss_decreased"),
+          lit(acc >= 0.95).as("acc_ge_95"))
+    }),
+
     // --- hard per-group token budgets (round 8) — the exact-budget
     //     half of data mixing (temperatureMixture is the rate half):
     //     md5-ordered greedy prefix per lang until the budget fills;
@@ -3041,6 +3066,14 @@ object SparkEntry {
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE o_totalprice > 100000
          GROUP BY c_nationkey""",
+
+    // classifier training: derivable count + invariants pinned TRUE
+    // (loss trajectory and accuracy are computed Spark-side from a
+    // deterministic, partition-invariant fit)
+    "q159_train_classifier" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                TRUE AS loss_decreased, TRUE AS acc_ge_95
+         FROM documents""",
 
     // streaming near-dup: derivable count + invariants pinned TRUE
     // (q59 pattern — the booleans are computed from two INDEPENDENT

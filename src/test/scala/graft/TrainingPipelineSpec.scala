@@ -396,4 +396,31 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(byLang(true) > byLang(false),
       s"English target must upweight English docs per gram: $byLang")
   }
+
+  test("ClassifierTrain: separable fixture converges; DECIMAL-exact grads are partition-invariant") {
+    import graft.operators.ClassifierTrain
+    // separable toy: positives contain the marker token
+    val docs = (0 until 60).map { i =>
+      val marker = if (i % 3 == 0) " zebra" else ""
+      (i.toLong, s"alpha beta gamma delta token$i$marker", if (i % 3 == 0) 1 else 0)
+    }.toDF("doc_id", "text", "y")
+    val fit = ClassifierTrain.fit(docs, "text", "y", dim = 256, iters = 40, lr = 1.0)
+    assert(fit.losses.last < fit.losses.head,
+      s"loss must decrease: ${fit.losses.head} -> ${fit.losses.last}")
+    val scored = docs.withColumn("p",
+      ClassifierTrain.score($"text", fit, 256))
+    val acc = scored.filter(($"p" >= 0.5) === ($"y" === 1)).count().toDouble / 60
+    assert(acc == 1.0, s"separable fixture must fully separate, got $acc")
+    // DECIMAL-exact gradient sums -> the fitted weights are
+    // BIT-IDENTICAL at any partition count
+    val fit7 = ClassifierTrain.fit(docs.repartition(7), "text", "y",
+      dim = 256, iters = 40, lr = 1.0)
+    assert(fit.bias == fit7.bias)
+    assert(fit.weights.toSeq == fit7.weights.toSeq,
+      "weights must be partition-invariant bit-for-bit")
+    // trained model drops into the scoring dataflow: same bucket fn
+    val b1 = docs.select(ClassifierTrain.docBuckets($"text", 256).as("b"))
+      .limit(1).collect()(0).getSeq[Long](0)
+    assert(b1.forall(b => b >= 0 && b < 256))
+  }
 }
