@@ -1467,6 +1467,79 @@ object SparkEntry {
             <= col("exact_distinct") * lit(0.05)).as("merge_within_5pct"))
     }),
 
+    // --- Count-Min sketch token frequencies (round 9): the third
+    //     mergeable-sketch family member (HLL q155 = distinct, CMS =
+    //     frequency). Per-shard sketches ADD counter-wise (same
+    //     seed/width/depth), so merged estimates are BIT-equal to the
+    //     one-shot sketch — partial aggregation and cross-day
+    //     re-aggregation at 100 TB without reshuffling tokens. The
+    //     oracle pins real content: exact probe-token counts (DuckDB
+    //     recomputes them), the never-underestimate theorem, the
+    //     ε·N overestimate bound, and merge exactness. ---
+    "q160_cms_freq" -> ((s, dir) => {
+      import org.apache.spark.util.sketch.CountMinSketch
+      val toks = t(s, dir).documents
+        .select(explode(graft.operators.Dedup.tokens(col("text"))).as("tok"))
+      val eps = 0.001; val conf = 0.99; val seed = 42
+      val oneShot = CountMinSketch.readFrom(toks
+        .agg(count_min_sketch(col("tok"), lit(eps), lit(conf), lit(seed)).as("sk"))
+        .collect()(0).getAs[Array[Byte]](0))
+      val merged = t(s, dir).documents
+        .withColumn("__sh", col("doc_id") % 8)
+        .select(col("__sh"), explode(graft.operators.Dedup.tokens(col("text"))).as("tok"))
+        .groupBy(col("__sh"))
+        .agg(count_min_sketch(col("tok"), lit(eps), lit(conf), lit(seed)).as("sk"))
+        .collect().map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]]("sk")))
+        .reduce { (a, b) => a.mergeInPlace(b); a }
+      val n = toks.count()
+      val probes = Seq("batch", "scan", "join", "zzz_not_a_token")
+      val exact = toks.filter(col("tok").isin(probes: _*))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .as[(String, Long)](org.apache.spark.sql.Encoders.product[(String, Long)])
+        .collect().toMap
+      val rows = probes.map { p =>
+        val ex = exact.getOrElse(p, 0L)
+        val est = oneShot.estimateCount(p)
+        (p, ex,
+          est >= ex,                            // CMS never underestimates
+          est <= ex + math.ceil(eps * n).toLong, // ε·N overestimate bound
+          est == merged.estimateCount(p))        // counter-additive merge
+      }
+      import s.implicits._
+      rows.toDF("tok", "exact_cnt", "never_under", "within_eps", "merge_exact")
+    }),
+
+    // --- mergeable approx-percentile sketch contract (round 9): q58
+    //     pins exact percentiles; this pins the SKETCH path
+    //     (approx_percentile = mergeable quantile summaries — the
+    //     shape that re-aggregates across partitions/days). The
+    //     guarantee is RANK error, not value error: the number of
+    //     rows below the estimate must sit within ε·N of the target
+    //     rank. Computed Spark-side; the oracle pins n + the bounds. ---
+    "q161_approx_quantile" -> ((s, dir) => {
+      val li = t(s, dir).lineitem
+      val n = li.count()
+      val acc = 100 // accuracy parameter => rank error <= N/acc = 1%·N
+      val ps = li.agg(percentile_approx(col("l_quantity"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(acc)).as("p")).collect()(0)
+        .getSeq[Double](0)
+      // ties matter: l_quantity is discrete (~50 values), so a single
+      // value can own 2% of all rows. The sketch's guarantee is that
+      // the returned VALUE's rank interval [count(<est), count(<=est)]
+      // intersects [qN - eN, qN + eN] — count(<=) alone overshoots by
+      // a whole tie block and fails spuriously on duplicate-heavy data
+      def rankOk(est: Double, q: Double): Boolean = {
+        val lt = li.filter(col("l_quantity") < lit(est)).count()
+        val le = li.filter(col("l_quantity") <= lit(est)).count()
+        val slack = math.ceil(n.toDouble / acc).toLong
+        le >= math.floor(q * n).toLong - slack &&
+          lt <= math.ceil(q * n).toLong + slack
+      }
+      import s.implicits._
+      Seq((n, rankOk(ps(0), 0.5), rankOk(ps(1), 0.9), rankOk(ps(2), 0.99)))
+        .toDF("n_rows", "p50_rank_ok", "p90_rank_ok", "p99_rank_ok")
+    }),
+
     // --- DSIR importance resampling (round 9; Xie et al. 2023):
     //     score every doc by the hashed-n-gram target/source frequency
     //     ratio — here target = the English slice, i.e. "how English-
@@ -3066,6 +3139,26 @@ object SparkEntry {
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE o_totalprice > 100000
          GROUP BY c_nationkey""",
+
+    // CMS: exact probe-token counts recomputed by the oracle; the
+    // sketch invariants (never-under, eps bound, exact merge) pinned
+    "q160_cms_freq" ->
+      """WITH tk AS (
+           SELECT UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                                     x -> x <> '')) AS tok
+           FROM documents)
+         SELECT p.tok, CAST(COALESCE(c.c, 0) AS BIGINT) AS exact_cnt,
+                TRUE AS never_under, TRUE AS within_eps, TRUE AS merge_exact
+         FROM (VALUES ('batch'), ('scan'), ('join'), ('zzz_not_a_token')) p(tok)
+         LEFT JOIN (SELECT tok, COUNT(*) AS c FROM tk
+                    WHERE tok IN ('batch', 'scan', 'join', 'zzz_not_a_token')
+                    GROUP BY tok) c ON p.tok = c.tok""",
+
+    // approx-percentile sketch: rank-error contract pinned Spark-side
+    "q161_approx_quantile" ->
+      """SELECT COUNT(*) AS n_rows, TRUE AS p50_rank_ok,
+                TRUE AS p90_rank_ok, TRUE AS p99_rank_ok
+         FROM lineitem""",
 
     // classifier training: derivable count + invariants pinned TRUE
     // (loss trajectory and accuracy are computed Spark-side from a

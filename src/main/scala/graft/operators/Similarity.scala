@@ -831,11 +831,16 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id").as(corpusId))
         .join(queries.select(col(queryId).as("query_id"),
           unitize(col(vecCol)).as("__nq")), Seq("query_id"))
+      // zero-norm guard: cosineFast on a zero vector is NaN, and
+      // boundedTopK ranks NaN FIRST (its SQL-compat contract) — a
+      // degenerate vector would beat every real neighbor. The ADC
+      // stage scores such vectors 0.0 (dot of zeros); the refine must
+      // agree, so NaN re-scores to 0.0 here.
       val exact = corpus
         .select(col(corpusId), unitize(col(vecCol)).as("__nv"))
         .join(broadcast(shortlist), Seq(corpusId))
         .select(col("query_id"), col(corpusId),
-          cosineFast(col("__nq"), col("__nv")).as("score"))
+          nanvl(cosineFast(col("__nq"), col("__nv")), lit(0.0)).as("score"))
       boundedTopK(exact, corpusId, k)
     }
   }

@@ -133,4 +133,33 @@ class OperatorEdgeSpec extends SparkSpec {
     val rep = out.find(_._1 == 6L).get._2
     assert(rep.count(_ == "one two one") == 2, rep.toString)
   }
+
+  test("IVF-PQ edges: null vectors dropped, zero-norm vectors never surface as neighbors") {
+    import graft.operators.Similarity
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero-norm: cosine undefined
+      (5L, null.asInstanceOf[Array[Float]]) // null embedding
+    ).toDF("vec_id", "embedding")
+    val clean = pts.filter($"embedding".isNotNull)
+    val cents = Similarity.kMeansFit(clean, "embedding", k = 2, iters = 2)
+    val pq = Similarity.pqTrain(clean, "embedding", m = 2, nCodes = 8, iters = 1)
+    // null rows are dropped by the kernels' null-safe eval (cell/codes
+    // null -> join drops); zero-norm rows unitize to themselves and
+    // score NaN-free via the adc dot (0.0 contributions)
+    val got = Similarity.ivfPqTopK(pts, pts.filter($"vec_id" === 1),
+        "vec_id", "vec_id", "embedding", k = 2, centroids = cents, pq = pq,
+        nProbe = 2, refine = 2)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(!got.exists(_._2 == 5L), "null embedding must never be a neighbor")
+    assert(got.head._2 == 2L, s"nearest to v1 must be v2: ${got.toSeq}")
+    // pqTrain refuses a non-divisible subspace split loudly
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTrain(clean, "embedding", m = 3)
+    }
+    assert(e.getMessage.contains("not divisible"))
+  }
 }
