@@ -315,6 +315,12 @@ object Engine {
     graft.streaming.CurationStreaming.streamNearDupVerdicts(
       spark, stagedDir, numHashes, bands)
 
+  /** Deterministic training export: md5-nibble shards + a read-back
+    * manifest proving completeness (round 9). */
+  def exportShards(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int, outDir: String): DataFrame =
+    TrainingPipeline.exportShards(docs, idCol, textCol, nShards, outDir)
+
   /** Train the hashed linear quality classifier in-engine (round 9):
     * deterministic distributed logistic regression over the same
     * md5-bucket features [[classifierScore]] applies. */

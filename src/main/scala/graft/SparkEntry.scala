@@ -1389,7 +1389,17 @@ object SparkEntry {
     //     Exchange — the compiler verifies the contract via a probe
     //     plan and refuses loudly on unclustered input. ---
     "q153_group_collected" -> ((s, dir) => {
+      // drop BOTH the catalog entry and any stale warehouse location a
+      // previous JVM left (in-memory catalog cannot see it — q113's
+      // pattern; missing here, this flaked LOCATION_ALREADY_EXISTS on
+      // every fresh-JVM rerun)
       s.sql("DROP TABLE IF EXISTS q153_lineitem_b")
+      locally {
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "q153_lineitem_b")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
       t(s, dir).lineitem.select(col("l_orderkey"), col("l_linenumber"))
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable("q153_lineitem_b")
@@ -1538,6 +1548,18 @@ object SparkEntry {
       import s.implicits._
       Seq((n, rankOk(ps(0), 0.5), rankOk(ps(1), 0.9), rankOk(ps(2), 0.99)))
         .toDF("n_rows", "p50_rank_ok", "p90_rank_ok", "p99_rank_ok")
+    }),
+
+    // --- deterministic training export + manifest (round 9): write
+    //     the corpus as md5-nibble shards, then the manifest derives
+    //     from the READ-BACK files while the oracle recomputes the
+    //     same per-shard stats from the SOURCE table + shard rule —
+    //     a hash match proves the export is complete (no doc lost or
+    //     duplicated, every doc in its assigned shard). ---
+    "q162_export_manifest" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_export_q162_").toString
+      graft.operators.TrainingPipeline.exportShards(
+        t(s, dir).documents, "doc_id", "text", nShards = 8, outDir = s"$out/shards")
     }),
 
     // --- DSIR importance resampling (round 9; Xie et al. 2023):
@@ -3139,6 +3161,24 @@ object SparkEntry {
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE o_totalprice > 100000
          GROUP BY c_nationkey""",
+
+    // export manifest: the oracle recomputes every per-shard stat from
+    // the source table + the md5-nibble shard rule; Spark's side comes
+    // from the read-back files — matching hashes prove completeness
+    "q162_export_manifest" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CAST((position(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                        IN '0123456789abcdef') - 1) % 8 AS BIGINT) AS shard,
+                  len(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS nt,
+                  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) AS ck
+           FROM documents)
+         SELECT shard, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+                CAST(SUM(ck) AS BIGINT) AS checksum
+         FROM d GROUP BY shard""",
 
     // CMS: exact probe-token counts recomputed by the oracle; the
     // sketch invariants (never-under, eps bound, exact merge) pinned

@@ -17,6 +17,21 @@ object Verify {
         .config("spark.ui.enabled", "false")
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // START FRESH: a reused outDir keeps the PREVIOUS run's dump for
+    // any query that fails THIS run (per-query overwrite never clears
+    // siblings), so validate.py would silently green-light a stale
+    // result — the gap that masked q153's warehouse flake locally for
+    // three runs (r9). Full runs clear the dir; scoped dev runs
+    // (`only`) keep siblings but clear their own targets.
+    if (only.isEmpty) {
+      val root = java.nio.file.Paths.get(outDir)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     new java.io.File(outDir).mkdirs()
     // 3-way concurrency: queries are independent writes to separate
     // dirs, and overlapping their stages hides each one's scheduling

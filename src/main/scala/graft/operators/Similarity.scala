@@ -727,6 +727,10 @@ object Similarity {
       .filter(col("rn") <= nCodes)
       .select(col("sub"), col("rn"), col("sv"))
       .as[(Int, Int, Seq[Double])].collect()
+    // an empty corpus would otherwise surface as PqCodebooks' opaque
+    // "empty codebook" require — fail with the actual cause
+    require(initRows.nonEmpty,
+      s"pqTrain: no non-null vectors in $vecCol — cannot fit codebooks")
     var books: Array[Array[Array[Double]]] = {
       val bySub = initRows.groupBy(_._1)
       Array.tabulate(m) { s =>

@@ -322,6 +322,44 @@ object TrainingPipeline {
       .drop("__shuffle_key")
   }
 
+  /** Deterministic training-export: write the corpus as `nShards`
+    * content-addressed shards (the q66 md5-nibble rule, so ANY engine
+    * can recompute which shard owns a doc) and return a MANIFEST
+    * computed from the READ-BACK files — per shard: doc count, token
+    * count, id sum, and an order-invariant content checksum (sum of
+    * md5-prefix ints). The export contract a training job needs:
+    * because the manifest derives from what actually landed on disk
+    * while the oracle recomputes the same stats from the SOURCE table
+    * plus the shard rule, a hash match proves the export is complete
+    * (no doc lost, none duplicated, every doc in its assigned shard).
+    *
+    * Scale: one repartition-by-shard shuffle, one partitioned write,
+    * one read-back aggregation — all corpus-sized-linear; the
+    * manifest is nShards rows. Shard count bounds downstream
+    * packing/windowing work exactly like [[packSequences]]' sharder. */
+  def exportShards(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int, outDir: String): DataFrame = {
+    require(nShards >= 1 && nShards <= 16, s"nShards=$nShards (md5-nibble rule: <= 16)")
+    val withShard = docs
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .withColumn("shard",
+        (expr("position(substring(__h, 1, 1) IN '0123456789abcdef')").cast("long") - 1L)
+          .mod(lit(nShards.toLong)))
+      .drop("__h")
+    withShard
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    val back = docs.sparkSession.read.parquet(outDir)
+    back.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Dedup.tokens(col(textCol))).cast("long")).as("n_tokens"),
+        sum(col(idCol)).cast("long").as("sum_id"),
+        sum(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long")).as("checksum"))
+      .select(col("shard").cast("long").as("shard"), col("n_docs"),
+        col("n_tokens"), col("sum_id"), col("checksum"))
+  }
+
   /** DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling",
     * arXiv:2302.03169): score each SOURCE doc by how much its

