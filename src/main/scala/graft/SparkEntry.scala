@@ -2214,6 +2214,26 @@ object SparkEntry {
           col("c_nationkey").cast("int").as("c_nationkey"))
     }),
 
+    // --- DSv2 aggregate pushdown over the sorted-KV store (round 9):
+    //     COUNT/MIN/MAX answered from the per-file index WITHOUT
+    //     opening a data file (plan-asserted inline — the stats-only
+    //     shape is part of this query's contract); the oracle
+    //     recomputes the same aggregates from the source table. ---
+    "q163_kv_agg_pushdown" -> ((s, dir) => {
+      import graft.sources.KeyValueStore
+      val tmp = java.nio.file.Files.createTempDirectory("graft_kv_agg_").toString
+      val kvp = s"$tmp/customer_kv"
+      KeyValueStore.write(t(s, dir).customer, "c_custkey",
+        Seq("c_name"), kvp, nFiles = 8)
+      val stats = s.read.format(KeyValueStore.Format).load(kvp)
+        .agg(expr("count(*)").as("n_keys"),
+          min(col("key")).as("min_key"), max(col("key")).as("max_key"))
+      val plan = stats.queryExecution.executedPlan.toString
+      require(plan.contains("STATS-ONLY"),
+        s"q163 contract violated: aggregation was not index-answered\n${plan.take(1500)}")
+      stats
+    }),
+
     // --- the same table through the Pig front end:
     //     LOAD … USING HBaseStorage('d:c_name d:c_acctbal',
     //     '-loadKey true') ---
@@ -3161,6 +3181,12 @@ object SparkEntry {
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE o_totalprice > 100000
          GROUP BY c_nationkey""",
+
+    // KV stats-only aggregation: oracle recomputes from the source
+    "q163_kv_agg_pushdown" ->
+      """SELECT COUNT(*) AS n_keys,
+                MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+         FROM customer""",
 
     // export manifest: the oracle recomputes every per-shard stat from
     // the source table + the md5-nibble shard rule; Spark's side comes

@@ -12,7 +12,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -251,12 +252,44 @@ final class KvDataWriter(path: String, writeSchema: StructType,
 final class KvScanBuilder(valueCols: Seq[String],
     files: Seq[(String, Long, Long, Long)])
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = KeyValueStore.schemaOf(valueCols)
   private var lo: Long = 0L            // inclusive
   private var hi: Long = Long.MaxValue // inclusive
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[Seq[AggregateFunc]] = None
+
+  // ---- aggregate pushdown (stats-only scans) ----
+  //
+  // COUNT(*)/MIN(key)/MAX(key) with no grouping are answerable from
+  // the per-file index (min, max, count) WITHOUT opening a single
+  // data file — the HBase/row-store "metadata count" fast path; at
+  // 100 TB the difference between a full scan and reading N_file
+  // index entries. SOUNDNESS RULE: only when every file overlapping
+  // the pushed key range is FULLY CONTAINED in it (a partially
+  // overlapping file would need a real scan to know which of its
+  // rows qualify) — otherwise the pushdown is refused and Spark
+  // plans the ordinary scan+aggregate, which is always correct.
+  private def overlapping = files.filter { case (_, mn, mx, _) => mx >= lo && mn <= hi }
+  private def statsAnswerable: Boolean =
+    overlapping.forall { case (_, mn, mx, _) => lo <= mn && mx <= hi }
+  private def isKeyRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e.describe() == "key"
+  private def canPush(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && statsAnswerable &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => isKeyRef(m.column)
+        case m: Max => isKeyRef(m.column)
+        case _ => false
+      }
+  override def supportCompletePushDown(agg: Aggregation): Boolean = canPush(agg)
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!canPush(agg)) false
+    else { pushedAgg = Some(agg.aggregateExpressions.toSeq); true }
+  }
 
   override def pruneColumns(required: StructType): Unit =
     requiredSchema = required
@@ -278,7 +311,12 @@ final class KvScanBuilder(valueCols: Seq[String],
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new Scan with Batch {
+  override def build(): Scan = pushedAgg match {
+    case Some(aggs) => new KvStatsScan(aggs, overlapping, lo, hi)
+    case None => buildRowScan()
+  }
+
+  private def buildRowScan(): Scan = new Scan with Batch {
     override def readSchema(): StructType = requiredSchema
     override def description(): String =
       s"KeyValueStore range=[$lo,$hi] cols=${requiredSchema.fieldNames.mkString(",")}"
@@ -301,6 +339,52 @@ final class KvScanBuilder(valueCols: Seq[String],
 }
 
 final case class KvPartition(file: String, lo: Long, hi: Long)
+    extends InputPartition
+
+/** Stats-only scan for a COMPLETELY pushed aggregation: the answer
+  * comes from the per-file index alone — `planInputPartitions` emits
+  * ONE synthetic partition and no data file is ever opened. An empty
+  * overlap yields SQL aggregate-on-empty semantics: COUNT = 0,
+  * MIN/MAX = NULL. */
+final class KvStatsScan(aggs: Seq[AggregateFunc],
+    overlapping: Seq[(String, Long, Long, Long)], lo: Long, hi: Long)
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(aggs.zipWithIndex.map {
+    case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (_, i)            => StructField(s"agg_$i", LongType, nullable = true)
+  })
+  override def description(): String =
+    s"KeyValueStore STATS-ONLY range=[$lo,$hi] aggs=${aggs.map(_.describe()).mkString(",")}"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(KvStatsPartition(
+      overlapping.map(_._4).sum,
+      if (overlapping.isEmpty) None else Some(overlapping.map(_._2).min),
+      if (overlapping.isEmpty) None else Some(overlapping.map(_._3).max)))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val as = aggs
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val stats = p.asInstanceOf[KvStatsPartition]
+          private var emitted = false
+          override def next(): Boolean = !emitted && { emitted = true; true }
+          override def get(): InternalRow =
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              as.map {
+                case _: CountStar => stats.count: Any
+                case _: Min       => stats.min.map(x => x: Any).orNull
+                case _: Max       => stats.max.map(x => x: Any).orNull
+                case other => throw new IllegalStateException(
+                  s"unpushable aggregate slipped through: ${other.describe()}")
+              }.toArray)
+          override def close(): Unit = ()
+        }
+    }
+  }
+}
+
+final case class KvStatsPartition(count: Long, min: Option[Long], max: Option[Long])
     extends InputPartition
 
 /** Streams one sorted file: skips keys below `lo`, STOPS at the first

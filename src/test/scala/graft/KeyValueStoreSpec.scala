@@ -159,4 +159,44 @@ class KeyValueStoreSpec extends SparkSpec {
         $"c_nationkey".as("nk"))
     assert(df.exceptAll(want).count() == 0 && want.exceptAll(df).count() == 0)
   }
+
+  test("aggregate pushdown: COUNT/MIN/MAX from the file index; unsound ranges refuse") {
+    val p = Files.createTempDirectory("kv_agg").toString + "/t"
+    KeyValueStore.write(
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("key", "v"),
+      "key", Seq("v"), p, nFiles = 4)
+    val back = spark.read.format(KeyValueStore.Format).load(p)
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    // full table: answered from the index, no data file opened
+    val full = back.agg(expr("count(*)").as("n"),
+      min($"key").as("mn"), max($"key").as("mx"))
+    assert(planOf(full).contains("STATS-ONLY"), planOf(full).take(1500))
+    assert(full.as[(Long, Long, Long)].head() == ((100L, 1L, 100L)))
+    // covering range: still stats-only (every file fully contained)
+    val cover = back.filter($"key" >= 1 && $"key" <= 100)
+      .agg(expr("count(*)").as("n"), min($"key").as("mn"), max($"key").as("mx"))
+    assert(planOf(cover).contains("STATS-ONLY"), planOf(cover).take(1500))
+    assert(cover.as[(Long, Long, Long)].head() == ((100L, 1L, 100L)))
+    // partial range: a file overlaps without being contained — the
+    // pushdown REFUSES and the ordinary scan answers correctly
+    val part = back.filter($"key" >= 2 && $"key" <= 99)
+      .agg(expr("count(*)").as("n"), min($"key").as("mn"), max($"key").as("mx"))
+    assert(!planOf(part).contains("STATS-ONLY"), planOf(part).take(1500))
+    assert(part.as[(Long, Long, Long)].head() == ((98L, 2L, 99L)))
+    // empty range: SQL aggregate-on-empty semantics from zero files
+    val empty = back.filter($"key" > 1000)
+      .agg(expr("count(*)").as("n"), min($"key").as("mn"), max($"key").as("mx"))
+    assert(planOf(empty).contains("STATS-ONLY"), planOf(empty).take(1500))
+    val er = empty.collect()(0)
+    assert(er.getLong(0) == 0L && er.isNullAt(1) && er.isNullAt(2))
+    // grouped aggregation is never pushed; plain answer still correct
+    val grouped = back.groupBy(($"key" % 2).as("par")).count()
+    assert(!planOf(grouped).contains("STATS-ONLY"))
+    assert(grouped.as[(Long, Long)].collect().toMap == Map(0L -> 50L, 1L -> 50L))
+    // AVG/SUM cannot come from (min,max,count) — refused, not wrong
+    val avg = back.agg(sum($"key").as("s"))
+    assert(!planOf(avg).contains("STATS-ONLY"))
+    assert(avg.as[Long].head() == 5050L)
+  }
 }
