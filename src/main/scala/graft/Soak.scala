@@ -74,6 +74,35 @@ object Soak {
         .select((expr("position(substring(__h, 1, 1) IN '0123456789abcdef')")
           .cast("long") - 1L).mod(lit(8L)).as("shard"))
         .groupBy(col("shard")).count().count() * 0 + rows)
+    time("importance_weights") {
+      // r9 DSIR: two vocab-bucketed count aggs + a 4096-row broadcast
+      // into the doc-scoring scan — nothing pair-wise, nothing driver
+      val iw = graft.operators.TrainingPipeline.importanceWeights(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text")
+      iw.agg(sum(col("iw"))).collect()
+      rows
+    }
+    time("classifier_train_3it") {
+      // r9 in-engine LR: per iteration one scan + one <=dim-cell
+      // DECIMAL-exact gradient shuffle; 3 iterations probe the slope
+      val lab = docs.withColumn("y", (col("lang") === "en").cast("int"))
+      val fit = graft.operators.ClassifierTrain.fit(
+        lab, "text", "y", dim = 1024, iters = 3, lr = 0.1)
+      require(fit.losses.length == 4)
+      rows
+    }
+    time("export_shards") {
+      // r9 export manifest: one repartition + partitioned write +
+      // read-back agg; uses a bounded slice so the soak's disk budget
+      // holds (the dataflow shape is rows-linear either way)
+      val out = java.nio.file.Files.createTempDirectory("soak_export_").toString
+      val slice = docs.limit(math.min(rows, 1000000L).toInt)
+      val m = graft.operators.TrainingPipeline.exportShards(
+        slice, "doc_id", "text", 8, s"$out/shards")
+      val n = m.agg(sum(col("n_docs"))).collect()(0).getLong(0)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      n
+    }
 
     // --- banded joins at full corpus size (round 6): the ops whose
     //     scale risk is BUCKET SKEW. Skew is measured first (max
