@@ -1562,6 +1562,32 @@ object SparkEntry {
         t(s, dir).documents, "doc_id", "text", nShards = 8, outDir = s"$out/shards")
     }),
 
+    // --- the CAPSTONE composition (round 9): DSIR selection → hard
+    //     per-lang token budgets → sharded export with a completeness
+    //     manifest, as ONE dataflow — the "make a training mix" recipe
+    //     the individual operators exist for, under a single
+    //     differential oracle that replays every stage (q156's weight
+    //     CTEs, q150's budget window, q162's manifest stats) in SQL.
+    //     Threshold 4e7 keeps ~52–58 % of docs at every SF (measured);
+    //     every stage is deterministic, so the composed manifest is
+    //     hash-exact. ---
+    "q164_curate_mix_export" -> ((s, dir) => {
+      val docs = t(s, dir).documents
+      val iw = graft.operators.TrainingPipeline.importanceWeights(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text")
+      val kept = docs.join(iw, Seq("doc_id"))
+        .filter(col("iw") >= lit(40000000L))
+        .select(col("doc_id"), col("lang"), col("text"))
+      val budgeted = graft.operators.TrainingPipeline.tokenBudgetSample(
+        kept, "lang", "doc_id", "text",
+        budgets = Map("en" -> 5000L), defaultBudget = 2500L)
+      val out = java.nio.file.Files.createTempDirectory("graft_mix_q164_").toString
+      graft.operators.TrainingPipeline.exportShards(
+        budgeted.select(col("doc_id")).join(docs, Seq("doc_id"))
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", nShards = 8, outDir = s"$out/shards")
+    }),
+
     // --- DSIR importance resampling (round 9; Xie et al. 2023):
     //     score every doc by the hashed-n-gram target/source frequency
     //     ratio — here target = the English slice, i.e. "how English-
@@ -3181,6 +3207,53 @@ object SparkEntry {
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE o_totalprice > 100000
          GROUP BY c_nationkey""",
+
+    // capstone: DSIR keep -> budget window -> export manifest, every
+    // stage replayed in one SQL chain (q156 + q150 + q162 idioms)
+    "q164_curate_mix_export" ->
+      """WITH tk AS (
+           SELECT doc_id, lang,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '') AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id, t[i] AS gram
+           FROM tk, UNNEST(generate_series(1, len(t))) u(i)
+           UNION ALL
+           SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+           FROM tk, UNNEST(generate_series(1, len(t) - 1)) u(i)),
+         b AS (SELECT doc_id, substr(md5(gram), 1, 3) AS bucket FROM g),
+         sc AS (SELECT bucket, COUNT(*) AS s FROM b GROUP BY 1),
+         tc AS (SELECT b.bucket, COUNT(*) AS c
+                FROM b JOIN documents USING (doc_id)
+                WHERE lang = 'en' GROUP BY 1),
+         w AS (SELECT sc.bucket, (COALESCE(tc.c, 0) * 1000000) // sc.s AS w
+               FROM sc LEFT JOIN tc ON sc.bucket = tc.bucket),
+         sco AS (SELECT b.doc_id, CAST(SUM(w.w) AS BIGINT) AS iw
+                 FROM b JOIN w USING (bucket) GROUP BY 1),
+         kept AS (
+           SELECT tk.doc_id, tk.lang, len(tk.t) AS nt
+           FROM tk JOIN sco USING (doc_id) WHERE sco.iw >= 40000000),
+         cum AS (
+           SELECT doc_id, lang, nt,
+                  SUM(nt) OVER (PARTITION BY lang
+                                ORDER BY md5(lang || '|' || CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS cum
+           FROM kept),
+         bud AS (
+           SELECT doc_id, nt FROM cum
+           WHERE cum <= CASE lang WHEN 'en' THEN 5000 ELSE 2500 END),
+         m AS (
+           SELECT doc_id, nt,
+                  CAST((position(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                        IN '0123456789abcdef') - 1) % 8 AS BIGINT) AS shard,
+                  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) AS ck
+           FROM bud)
+         SELECT shard, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+                CAST(SUM(ck) AS BIGINT) AS checksum
+         FROM m GROUP BY shard""",
 
     // KV stats-only aggregation: oracle recomputes from the source
     "q163_kv_agg_pushdown" ->
