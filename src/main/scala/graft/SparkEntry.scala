@@ -1588,6 +1588,18 @@ object SparkEntry {
         "doc_id", "text", nShards = 8, outDir = s"$out/shards")
     }),
 
+    // --- CCNet-style passage dedup (round 10; Wenzek et al. 2020):
+    //     fixed 10-token passages, ONE global keeper per distinct
+    //     passage (min (doc, idx)), docs rebuilt from survivors.
+    //     Keeper election is a combiner-friendly MIN aggregate (a
+    //     boilerplate passage contributes one row per task to the
+    //     shuffle, not one per occurrence) — NOT a row_number window.
+    //     The oracle replays the same keep-first rule with a window,
+    //     so the two formulations check each other. ---
+    "q165_chunk_dedup" -> ((s, dir) =>
+      graft.operators.Dedup.chunkDedup(
+        t(s, dir).documents, "doc_id", "text", chunkTokens = 10)),
+
     // --- DSIR importance resampling (round 9; Xie et al. 2023):
     //     score every doc by the hashed-n-gram target/source frequency
     //     ratio — here target = the English slice, i.e. "how English-
@@ -3254,6 +3266,38 @@ object SparkEntry {
                 CAST(SUM(doc_id) AS BIGINT) AS sum_id,
                 CAST(SUM(ck) AS BIGINT) AS checksum
          FROM m GROUP BY shard""",
+
+    // CCNet passage dedup: the oracle replays the keep-first rule as a
+    // row_number window (a different formulation than the engine's
+    // min-aggregate + join-back), so each side checks the other
+    "q165_chunk_dedup" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '') AS tk
+           FROM documents),
+         p AS (
+           SELECT doc_id, i AS cidx,
+                  array_to_string(tk[i*10+1 : i*10+10], ' ') AS passage
+           FROM t, UNNEST(generate_series(0, CAST(ceil(len(tk)/10.0) AS INT) - 1)) u(i)
+           WHERE len(tk) > 0),
+         r AS (
+           SELECT doc_id, cidx, passage,
+                  ROW_NUMBER() OVER (PARTITION BY passage
+                                     ORDER BY doc_id, cidx) AS rn
+           FROM p),
+         k AS (SELECT doc_id, cidx, passage FROM r WHERE rn = 1),
+         agg AS (
+           SELECT doc_id, string_agg(passage, ' ' ORDER BY cidx) AS kept_text,
+                  COUNT(*) AS n_kept
+           FROM k GROUP BY doc_id),
+         tot AS (
+           SELECT doc_id, CAST(ceil(len(tk)/10.0) AS BIGINT) AS n_total FROM t)
+         SELECT tot.doc_id,
+                COALESCE(agg.kept_text, '') AS kept_text,
+                CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+                tot.n_total
+         FROM tot LEFT JOIN agg USING (doc_id)""",
 
     // KV stats-only aggregation: oracle recomputes from the source
     "q163_kv_agg_pushdown" ->

@@ -526,4 +526,69 @@ object Dedup {
         col(s"__batch.`$fpCol`") === col(s"__seen.`$fpCol`"), "left_anti")
     definiteNew.unionByName(suspects)
   }
+
+  // ---------------- passage-level (CCNet-style) dedup ----------------
+
+  /** Corpus-wide passage dedup in the CCNet style (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): split every document into fixed-size token passages, elect
+    * ONE global keeper per distinct passage text (minimum
+    * (doc_id, passage_idx) — deterministic, arrival-order-free), drop
+    * every other occurrence, and rebuild each document from its
+    * surviving passages in order.
+    *
+    * This is the chunk-granularity complement to [[removeVerbatimSpans]]
+    * (which removes arbitrary-offset verbatim runs): CCNet's passage rule
+    * is cheaper — no self-join at all — and is what production web-crawl
+    * curation runs FIRST, because boilerplate (headers, footers, cookie
+    * banners) repeats at passage granularity millions of times.
+    *
+    * Output: one row per input doc —
+    * (idCol, kept_text, n_kept, n_total), where n_total is the doc's
+    * passage count and kept_text joins surviving passages with one
+    * space ('' when nothing survives).
+    *
+    * Scale shape (100 TB): the passage stream is corpus-tokens/C rows;
+    * keeper election is a groupBy(passage) MIN aggregate — map-side
+    * combine means a boilerplate passage repeated 10^7 times
+    * contributes ONE row per task to the shuffle, not 10^7 (this is
+    * why election is an aggregate and NOT a row_number window, which
+    * would move every occurrence of the hottest passage to a single
+    * reducer before ranking). The keep test joins occurrences back to
+    * the one-row-per-distinct-passage winner table on the same key, so
+    * AQE reuses the exchange and splits any residual hot-key skew.
+    * Grouping is by passage TEXT, not a 64-bit hash: a passage is at
+    * most `chunkTokens` words (~60 bytes), so the shuffle payload is
+    * comparable to a hash+verify scheme while keeping the result
+    * provably collision-free (the differential oracle replays text
+    * equality; a silent xxhash64 collision would be unverifiable).
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 10): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val toks = tokens(col(textCol))
+    val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
+    val passages = when(size(toks) > 0,
+      transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val occ = df.select(col(idCol), posexplode_outer(passages).as(Seq("cidx", "passage")))
+    val occNonEmpty = occ.filter(col("passage").isNotNull)
+    // one row per distinct passage: the global keeper (min (doc, idx))
+    val winners = occNonEmpty.groupBy(col("passage"))
+      .agg(min(struct(col(idCol).as("d"), col("cidx").as("i"))).as("w"))
+    val kept = occNonEmpty.join(winners, "passage")
+      .filter(col("w.d") === col(idCol) && col("w.i") === col("cidx"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("cidx"), col("passage")))),
+          s => s("passage")), " ").as("kept_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol), coalesce(nChunks, lit(0)).cast("long").as("n_total"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("kept_text"), lit("")).as("kept_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("n_total"))
+  }
 }

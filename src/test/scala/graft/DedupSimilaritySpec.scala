@@ -622,6 +622,54 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(8L)._3 == 0L && out(9L)._3 == 0L, "min ids keep their copies")
   }
 
+  test("chunkDedup: global keep-first at passage granularity; chunk alignment; empties") {
+    val p1 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val p2 = (1 to 10).map(i => s"x$i").mkString(" ")
+    val p3 = (1 to 10).map(i => s"y$i").mkString(" ")
+    val p9 = (1 to 10).map(i => s"z$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$p1 $p2"),          // both kept (global first occurrences)
+      (2L, s"$p3 $p1"),          // p1 lost to doc 1 idx 0; p3 kept
+      (3L, s"$p1 $p1"),          // both occurrences lose -> empty
+      (4L, "short doc"),         // sub-chunk doc = one passage
+      (5L, ""),                  // no tokens -> zero passages
+      (6L, s"$p9 $p9 tail1 tail2") // within-doc dup: first kept, second dropped
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, "doc_id", "text", chunkTokens = 10)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 6, "one row per input doc, empties included")
+    assert(out(1L) == ((1L, s"$p1 $p2", 2L, 2L)))
+    assert(out(2L) == ((2L, p3, 1L, 2L)))
+    assert(out(3L) == ((3L, "", 0L, 2L)))
+    assert(out(4L) == ((4L, "short doc", 1L, 1L)))
+    assert(out(5L) == ((5L, "", 0L, 0L)))
+    // doc 6 tokenizes to 22 tokens -> passages [z1..z10][z1..z10][tail1 tail2];
+    // the second z-passage loses to the first WITHIN the same doc
+    assert(out(6L) == ((6L, s"$p9 tail1 tail2", 2L, 3L)))
+    // partition invariance: keeper election is min-(doc,idx), not arrival order
+    val out2 = Dedup.chunkDedup(docs.repartition(7), "doc_id", "text", chunkTokens = 10)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out2 == out)
+  }
+
+  test("chunkDedup: conservation and idempotence on the real corpus") {
+    val docs = tables.documents
+    val out = Dedup.chunkDedup(docs, "doc_id", "text", chunkTokens = 10).cache()
+    assert(out.count() == docs.count(), "row-preserving")
+    // kept <= total everywhere; at least one doc actually loses a passage
+    assert(out.filter($"n_kept" > $"n_total").isEmpty)
+    assert(out.filter($"n_kept" < $"n_total").count() > 0, "dedup must bite on the corpus")
+    // surviving passages are globally unique -> a second pass removes nothing
+    val again = Dedup.chunkDedup(
+      out.select($"doc_id", $"kept_text".as("text")), "doc_id", "text", chunkTokens = 10)
+    // NOTE idempotence is on passage CONTENT: re-chunking a shortened doc can
+    // re-align chunk boundaries, so compare total kept tokens, which must not grow
+    val t1 = out.select(sum(size(Dedup.tokens($"kept_text")))).as[Long].head()
+    val t2 = again.select(sum(size(Dedup.tokens($"kept_text")))).as[Long].head()
+    assert(t2 <= t1, s"second pass must not add tokens ($t1 -> $t2)")
+    out.unpersist()
+  }
+
   test("bpeEncode: merge laws, rank precedence, trainer-segmentation parity") {
     import graft.operators.TextAnalysis
     def enc(text: String, merges: Seq[(String, String)]): Seq[String] =
