@@ -1600,6 +1600,24 @@ object SparkEntry {
       graft.operators.Dedup.chunkDedup(
         t(s, dir).documents, "doc_id", "text", chunkTokens = 10)),
 
+    // --- incremental aggregate maintenance (round 10): the algebraic
+    //     partial-state contract behind Pig's Algebraic interface,
+    //     surfaced as a maintainable rollup — state(base) folded with
+    //     an insert-only delta must equal the full recompute, which is
+    //     exactly what the oracle computes (it never sees the split).
+    //     Exact DECIMAL sums make the merge order immaterial. ---
+    "q166_incremental_agg" -> ((s, dir) => {
+      val li = t(s, dir).lineitem
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val measures = Seq("qty" -> col("l_quantity"), "price" -> col("l_extendedprice"))
+      val base  = li.filter(col("l_orderkey") % 10 =!= 0)
+      val delta = li.filter(col("l_orderkey") % 10 === 0)
+      graft.operators.Incremental.finalizeState(
+        graft.operators.Incremental.applyDelta(
+          graft.operators.Incremental.aggState(base, keys, measures),
+          delta, keys, measures))
+    }),
+
     // --- DSIR importance resampling (round 9; Xie et al. 2023):
     //     score every doc by the hashed-n-gram target/source frequency
     //     ratio — here target = the English slice, i.e. "how English-
@@ -3298,6 +3316,20 @@ object SparkEntry {
                 CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
                 tot.n_total
          FROM tot LEFT JOIN agg USING (doc_id)""",
+
+    // incremental maintenance: the oracle is the FULL recompute — it
+    // never sees the base/delta split, so a merge bug cannot self-confirm
+    "q166_incremental_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)
+                  / COUNT(l_quantity) AS avg_qty,
+                MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+                  / COUNT(l_extendedprice) AS avg_price,
+                MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+         FROM lineitem GROUP BY 1, 2""",
 
     // KV stats-only aggregation: oracle recomputes from the source
     "q163_kv_agg_pushdown" ->

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Incremental aggregate maintenance (SURVEY.md §7.1 extension surface;
+  * the classic algebraic-aggregate contract behind Pig's
+  * `Algebraic` UDF interface and materialized-view delta maintenance).
+  *
+  * The point at 100 TB: a daily rollup over an append-only fact table
+  * should cost one scan of the DELTA, not one scan of history. That
+  * works exactly when the aggregate state is a commutative monoid:
+  *
+  *   state(a ∪ b) == merge(state(a), state(b))
+  *
+  * [[aggState]] produces such a state per group (exact DECIMAL sums +
+  * non-null counts + min/max per measure), [[mergeStates]] is the monoid
+  * op (re-aggregation of partial states), and [[finalizeState]] derives
+  * the user-facing aggregates (count / sum / avg / min / max) from the
+  * state. AVG is deliberately NOT part of the state — it is derived at
+  * finalize time from (exact sum, count), which is what makes it
+  * mergeable; the sums are DECIMAL so the result is identical under any
+  * split of the input into deltas and any merge order.
+  *
+  * Deltas are INSERT-ONLY by design: sums and counts would support
+  * retraction via signed rows, but MIN/MAX are not invertible — a
+  * deleted current-minimum row forces a group recompute. Production
+  * systems (e.g. streaming aggregation in Spark itself) make the same
+  * split; handling deletes correctly is a different operator with a
+  * different state (order statistics), refused here rather than done
+  * wrong.
+  *
+  * Scale shape: aggState is ONE combiner-friendly shuffle of the delta
+  * (map-side partial aggregation, group-count-sized output);
+  * mergeStates shuffles only STATES (rows = |groups| per input, not
+  * |facts|); finalize is per-row arithmetic on the state — no data
+  * scan. Persist the state table partitioned by the group keys and the
+  * nightly maintenance job never touches history.
+  */
+object Incremental {
+
+  private def sumCol(m: String) = s"${m}__sum"
+  private def cntCol(m: String) = s"${m}__cnt"
+  private def minCol(m: String) = s"${m}__min"
+  private def maxCol(m: String) = s"${m}__max"
+
+  /** Partial-aggregate state of `df` grouped by `keys`, for the named
+    * numeric measures. State columns per measure m:
+    * m__sum (DECIMAL(38,scale) exact), m__cnt (non-null count),
+    * m__min / m__max (original type); plus a group row count `__cnt`.
+    */
+  def aggState(df: DataFrame, keys: Seq[String],
+      measures: Seq[(String, Column)], scale: Int = 2): DataFrame = {
+    require(measures.nonEmpty, "at least one measure")
+    val aggs = count(lit(1)).as("__cnt") +: measures.flatMap { case (m, c) =>
+      Seq(
+        sum(c.cast(DecimalType(38, scale))).as(sumCol(m)),
+        count(c).as(cntCol(m)),
+        min(c).as(minCol(m)),
+        max(c).as(maxCol(m)))
+    }
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Monoid merge of two or more compatible states (same keys + state
+    * schema): union then re-aggregate — sums add, counts add, mins min,
+    * maxes max. Exact: DECIMAL addition is associative/commutative, so
+    * any merge tree yields the identical state. */
+  def mergeStates(states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "nothing to merge")
+    val all = states.reduce(_ unionByName _)
+    val stateCols = all.columns.filter(c =>
+      c == "__cnt" || c.endsWith("__sum") || c.endsWith("__cnt") ||
+      c.endsWith("__min") || c.endsWith("__max"))
+    val keys = all.columns.filterNot(stateCols.contains)
+    val aggs = stateCols.toSeq.map {
+      case c if c.endsWith("__min") => min(col(c)).as(c)
+      case c if c.endsWith("__max") => max(col(c)).as(c)
+      case c                        => sum(col(c)).as(c) // __sum and counts
+    }
+    val merged = all.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // re-establish the exact state schema: Spark widens DECIMAL(38,s)
+    // sums to (38,s) already (cannot widen past 38) and counts to long;
+    // cast sums back in case a narrower input state was passed in
+    stateCols.foldLeft(merged) { (d, c) =>
+      if (c.endsWith("__sum"))
+        d.withColumn(c, col(c).cast(all.schema(c).dataType))
+      else d
+    }
+  }
+
+  /** Convenience: fold an insert-only delta of raw FACTS into an
+    * existing state. Scans only the delta. */
+  def applyDelta(state: DataFrame, delta: DataFrame, keys: Seq[String],
+      measures: Seq[(String, Column)], scale: Int = 2): DataFrame =
+    mergeStates(state, aggState(delta, keys, measures, scale))
+
+  /** User-facing aggregates from a state: cnt plus, per measure m,
+    * sum_m (double, from the exact decimal), avg_m (double, exact-sum /
+    * count), min_m, max_m. Groups whose measure count is 0 surface NULL
+    * sum/avg (matching SQL aggregate semantics on empty input). */
+  def finalizeState(state: DataFrame): DataFrame = {
+    val ms = state.columns.filter(_.endsWith("__sum")).map(_.stripSuffix("__sum")).toSeq
+    val keys = state.columns.filterNot(c =>
+      c == "__cnt" || c.endsWith("__sum") || c.endsWith("__cnt") ||
+      c.endsWith("__min") || c.endsWith("__max")).toSeq
+    val outCols =
+      keys.map(col) ++ Seq(col("__cnt").as("cnt")) ++ ms.flatMap { m =>
+        val nonNull = col(cntCol(m)) > 0
+        Seq(
+          when(nonNull, col(sumCol(m)).cast("double")).as(s"sum_$m"),
+          when(nonNull, col(sumCol(m)).cast("double") / col(cntCol(m))).as(s"avg_$m"),
+          col(minCol(m)).as(s"min_$m"),
+          col(maxCol(m)).as(s"max_$m"))
+      }
+    state.select(outCols: _*)
+  }
+}

@@ -90,4 +90,61 @@ class AlgebraicLawsSpec extends SparkSpec {
     // one neighboring value of the true median
     assert(math.abs(approx - exact) <= 1.0, s"approx=$approx exact=$exact")
   }
+
+  // ---- incremental aggregate maintenance: the monoid laws (round 10) ----
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map {
+      case null => "NULL"
+      case d: java.math.BigDecimal => d.stripTrailingZeros.toPlainString
+      case v => v.toString
+    }.mkString("|")).toSet
+
+  test("Incremental: merge(state(a), state(b)) == state(a ++ b), any split, any order") {
+    import graft.operators.Incremental
+    val li = tables.lineitem
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val ms = Seq("qty" -> $"l_quantity", "price" -> $"l_extendedprice")
+    val full = canon(Incremental.aggState(li, keys, ms))
+    // three different splits, including a skewed one and a 3-way
+    for (mod <- Seq(2, 10)) {
+      val parts = (0 until mod).map(r => li.filter($"l_orderkey" % mod === r))
+      val states = parts.map(p => Incremental.aggState(p, keys, ms))
+      assert(canon(Incremental.mergeStates(states: _*)) == full, s"mod=$mod")
+      assert(canon(Incremental.mergeStates(states.reverse: _*)) == full, s"mod=$mod reversed")
+    }
+    // left-fold merge tree == one-shot merge (associativity in practice)
+    val s3 = (0 until 3).map(r => Incremental.aggState(li.filter($"l_orderkey" % 3 === r), keys, ms))
+    val folded = s3.reduce((a, b) => Incremental.mergeStates(a, b))
+    assert(canon(folded) == full)
+  }
+
+  test("Incremental: applyDelta on a group unseen in the base; all-null measures") {
+    import graft.operators.Incremental
+    val base = Seq(("a", Some(1.0)), ("a", Some(3.0))).toDF("k", "v")
+    val delta = Seq(("b", None: Option[Double]), ("b", Some(5.0)), ("c", None)).toDF("k", "v")
+    val st = Incremental.applyDelta(
+      Incremental.aggState(base, Seq("k"), Seq("v" -> $"v")),
+      delta, Seq("k"), Seq("v" -> $"v"))
+    val out = Incremental.finalizeState(st)
+      .as[(String, Long, Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("a") == (("a", 2L, Some(4.0), Some(2.0), Some(1.0), Some(3.0))))
+    assert(out("b") == (("b", 2L, Some(5.0), Some(5.0), Some(5.0), Some(5.0))))
+    // group c: rows exist but the measure never does -> NULL sum/avg, cnt 1
+    assert(out("c") == (("c", 1L, None, None, None, None)))
+  }
+
+  test("Incremental: finalize(incremental) == finalize(full) on the real table") {
+    import graft.operators.Incremental
+    val li = tables.lineitem
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val ms = Seq("qty" -> $"l_quantity")
+    val base  = li.filter($"l_orderkey" % 10 =!= 0)
+    val delta = li.filter($"l_orderkey" % 10 === 0)
+    val inc = Incremental.finalizeState(
+      Incremental.applyDelta(Incremental.aggState(base, keys, ms), delta, keys, ms))
+    val full = Incremental.finalizeState(Incremental.aggState(li, keys, ms))
+    assert(canon(inc) == canon(full))
+  }
 }
