@@ -1618,6 +1618,23 @@ object SparkEntry {
           delta, keys, measures))
     }),
 
+    // --- link-analysis ranking (round 10): PageRank as a curation
+    //     prior (the Common Crawl host-rank idiom), in exact integer
+    //     arithmetic so the oracle replays ALL iterations hash-exact.
+    //     Fixture graph: the symmetric customer<->supplier trade graph
+    //     (both directions, so mass cycles and every iteration moves).
+    //     Node ids are prefixed ('c'/'s') — the two key spaces overlap
+    //     numerically and must not alias. ---
+    "q167_pagerank" -> ((s, dir) => {
+      val tb = t(s, dir)
+      val e = tb.orders
+        .join(tb.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+                concat(lit("s"), col("l_suppkey")).as("dst"))
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.pageRank(sym, "src", "dst", iters = 3)
+    }),
+
     // --- DSIR importance resampling (round 9; Xie et al. 2023):
     //     score every doc by the hashed-n-gram target/source frequency
     //     ratio — here target = the English slice, i.e. "how English-
@@ -2356,8 +2373,39 @@ object SparkEntry {
     path
   }
 
+  /** q167's oracle, generated per iteration count: DuckDB replays every
+    * integer-exact PageRank iteration as a chained CTE — possible only
+    * because the engine's arithmetic is scaled-BIGINT (truncating div),
+    * never order-dependent floats. Mirrors Graph.pageRank exactly:
+    * teleport = scale*(100-85)/100, update = teleport + (85*mass) div 100. */
+  private def pageRankOracleSql(iters: Int): String = {
+    val scale = 1000000000000L
+    val teleport = scale * 15 / 100
+    val head =
+      s"""WITH e0 AS (
+            SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS s,
+                            's' || CAST(l_suppkey AS VARCHAR) AS d
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          e AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+          nodes AS (SELECT s AS n FROM e UNION SELECT d FROM e),
+          deg AS (SELECT s, COUNT(*) AS dg FROM e GROUP BY 1),
+          r0 AS (SELECT n, CAST($scale AS BIGINT) AS r FROM nodes)"""
+    val steps = (1 to iters).map { k =>
+      s""", c$k AS (
+            SELECT e.d AS n, SUM(r${k - 1}.r // deg.dg) AS m
+            FROM e JOIN r${k - 1} ON e.s = r${k - 1}.n JOIN deg ON e.s = deg.s
+            GROUP BY 1),
+          r$k AS (
+            SELECT nodes.n,
+                   CAST($teleport + (85 * COALESCE(c$k.m, 0)) // 100 AS BIGINT) AS r
+            FROM nodes LEFT JOIN c$k ON nodes.n = c$k.n)"""
+    }.mkString
+    s"$head$steps SELECT n AS node, r AS rank FROM r$iters"
+  }
+
   /** DuckDB-runnable oracle SQL, same column names as the Spark result. */
   def oracleSql: Map[String, String] = Map(
+    "q167_pagerank" -> pageRankOracleSql(3),
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
          CAST(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(22,4)) AS DOUBLE) AS revenue

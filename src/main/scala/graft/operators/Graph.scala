@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-analysis ranking (SURVEY.md §7.1 extension surface): PageRank
+  * (Page et al. 1999) over an edge table, as web-crawl curation uses it
+  * — a host-authority prior for URL/domain quality filtering (the
+  * Common Crawl host-rank idiom).
+  *
+  * Fixed-point arithmetic, not floats: ranks are BIGINTs scaled by
+  * `scale`, contributions use integer division, damping is the exact
+  * rational dampNum/dampDen. Every step is therefore deterministic
+  * under any partitioning AND replayable by an external SQL engine —
+  * the differential oracle recomputes all iterations hash-exact, which
+  * a float formulation (order-dependent sums) could never support. The
+  * deliberate cost: each division truncates toward zero, so ranks are
+  * a deterministic floor of the real-valued iteration — fine for a
+  * ranking prior, where only the order matters.
+  *
+  * Scale shape (100 TB of edges): one iteration = join(ranks, edges)
+  * on src + groupBy(dst) SUM — two shuffles over the EDGE table, with
+  * map-side partial sums on the dst aggregation (a hub page's million
+  * in-links combine per-task before shuffling). Ranks/degrees are
+  * node-sized. Each iteration is materialized (localCheckpoint) so the
+  * plan stays iteration-sized instead of growing a join tree `iters`
+  * deep — the standard Pregel-style practice. Repartition edges by src
+  * once up front and every iteration's probe side arrives pre-shuffled.
+  *
+  * Overflow bound: total rank mass stays ≤ nodes × scale (damping only
+  * shrinks it), so SUM of in-contributions × dampNum fits a long while
+  * nodes × scale × dampNum < 2^63 — require'd below.
+  */
+object Graph {
+
+  /** `iters` damped PageRank iterations over distinct directed edges.
+    * Input: any DataFrame with src/dst columns (cast to string
+    * internally so heterogeneous id spaces can be prefixed by the
+    * caller). Output: (node STRING, rank BIGINT) for every node
+    * appearing as src or dst; initial rank = scale ("1.0 per node",
+    * unnormalized convention). Dangling nodes (in-degree only) keep
+    * receiving mass; their out-mass leaks, as in the uniform-teleport
+    * formulation without dangling redistribution.
+    */
+  def pageRank(edgesIn: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, scale: Long = 1000000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    require(dampNum > 0 && dampNum < dampDen, "damping must be in (0,1)")
+    // materialize the derived graph ONCE: edges may come from an
+    // arbitrary upstream dataflow (a join, a dedup, …) and every
+    // iteration reads them twice — without a persist the whole lineage
+    // re-executes per iteration (measured 71 s -> 4 s at sf0.1).
+    // Safe to unpersist before returning: the final ranks are an eager
+    // localCheckpoint, so nothing downstream re-reads these.
+    val edges = edgesIn
+      .select(col(srcCol).cast("string").as("s"), col(dstCol).cast("string").as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull)
+      .distinct().persist()
+    val nodes = edges.select(col("s").as("node"))
+      .union(edges.select(col("d").as("node"))).distinct().persist()
+    val nNodes = nodes.count()
+    require(nNodes > 0, "empty graph")
+    require(BigInt(nNodes) * scale * dampNum < BigInt(Long.MaxValue),
+      s"rank mass may overflow a long: nodes=$nNodes scale=$scale damp=$dampNum")
+    val deg = edges.groupBy(col("s")).agg(count(lit(1)).as("dg")).persist()
+    val teleport = (scale * (dampDen - dampNum)) / dampDen
+    var ranks = nodes.withColumn("rank", lit(scale))
+    try {
+      for (_ <- 1 to iters) {
+        val contribs = edges.join(ranks, edges("s") === ranks("node"))
+          .join(deg, "s")
+          .select(col("d").as("node"), expr("`rank` div dg").as("c"))
+          .groupBy("node").agg(sum(col("c")).as("in_mass"))
+        ranks = nodes.join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (lit(teleport) +
+              expr(s"($dampNum * coalesce(in_mass, 0L)) div $dampDen")).as("rank"))
+          .localCheckpoint(true)
+      }
+      ranks
+    } finally {
+      edges.unpersist(); nodes.unpersist(); deg.unpersist()
+    }
+  }
+}
