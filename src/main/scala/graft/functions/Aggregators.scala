@@ -172,6 +172,43 @@ object Aggregators {
     def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  /** Buffer for [[KMinValues]]: unsorted accumulation (may transiently
+    * hold duplicates) + the unsigned bar from the last prune. */
+  final case class KmvBuf(items: List[Long], cnt: Int, bar: Long, hasBar: Boolean)
+
+  /** K-minimum-values sketch (Bar-Yossef et al. 2002): the k smallest
+    * DISTINCT 64-bit hashes under UNSIGNED order. The state is the
+    * mergeable summary behind distinct-count AND set-overlap estimation
+    * — unlike HLL, two KMV sketches support a Jaccard estimate, which
+    * is what cross-corpus contamination measurement needs.
+    *
+    * Same prune discipline as [[TopKByScore]]: O(1) bar-reject per row,
+    * dedup+sort only at 4k buffer fill; selection-based, so the sketch
+    * is identical at any partition count and arrival order. The merged
+    * sketch of two streams equals the sketch of their union EXACTLY
+    * (both are "k smallest distinct of the same multiset") — law-tested.
+    */
+  class KMinValues(k: Int) extends Aggregator[Long, KmvBuf, Seq[Long]] {
+    require(k >= 1, "k must be positive")
+    private val maxBuf = math.max(4 * k, 64)
+    private def ult(a: Long, b: Long) = java.lang.Long.compareUnsigned(a, b) < 0
+    private def prune(items: List[Long]): KmvBuf = {
+      val kept = items.distinct.sortWith(ult).take(k)
+      KmvBuf(kept, kept.length, kept.last, kept.length >= k)
+    }
+    def zero: KmvBuf = KmvBuf(Nil, 0, 0L, hasBar = false)
+    def reduce(b: KmvBuf, h: Long): KmvBuf =
+      if (b.hasBar && !ult(h, b.bar)) b // provably outside the k smallest
+      else if (b.cnt + 1 >= maxBuf) prune(h :: b.items)
+      else KmvBuf(h :: b.items, b.cnt + 1, b.bar, b.hasBar)
+    def merge(a: KmvBuf, b: KmvBuf): KmvBuf =
+      if (a.cnt == 0) b else if (b.cnt == 0) a else prune(a.items ++ b.items)
+    def finish(b: KmvBuf): Seq[Long] = b.items.distinct.sortWith(ult).take(k)
+    def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** Register SQL-callable forms on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.udf.register("weighted_avg",
