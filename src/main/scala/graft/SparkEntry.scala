@@ -1618,6 +1618,18 @@ object SparkEntry {
           delta, keys, measures))
     }),
 
+    // --- Z-order clustering key (round 10): the Morton interleave
+    //     behind Delta/Iceberg OPTIMIZE ZORDER, as five shift/mask
+    //     steps per column — all built-in codegen'd expressions, no
+    //     UDF. The layout rewrite itself (repartitionByRange on this
+    //     key + write) and the measured file-skipping receipts live in
+    //     LayoutSpec; this query pins the bit permutation row-by-row
+    //     against the oracle's identical shift chain. ---
+    "q169_zorder_key" -> ((s, dir) =>
+      t(s, dir).lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        graft.operators.Layout.zValue2(col("l_orderkey"), col("l_partkey"))
+          .as("zvalue"))),
+
     // --- KMV overlap sketch (round 10; Bar-Yossef et al. 2002): the
     //     train-vs-benchmark contamination estimate — each corpus
     //     reduces to k=1024 longs (one combiner-friendly aggregation,
@@ -2441,9 +2453,30 @@ object SparkEntry {
     s"$head$steps SELECT n AS node, r AS rank FROM r$iters"
   }
 
+  /** q169's oracle: DuckDB replays the identical bit-spreading chain
+    * (masks shared with Layout.spreadSteps) as a CTE pipeline. */
+  private def zOrderOracleSql: String = {
+    val head =
+      """WITH z0 AS (
+           SELECT l_orderkey, l_linenumber,
+                  l_orderkey AS sa, l_partkey AS sb
+           FROM lineitem)"""
+    val steps = graft.operators.Layout.spreadSteps.zipWithIndex.map {
+      case ((sh, m), i) =>
+        s""", z${i + 1} AS (
+              SELECT l_orderkey, l_linenumber,
+                     (sa | (sa << $sh)) & $m AS sa,
+                     (sb | (sb << $sh)) & $m AS sb
+              FROM z$i)"""
+    }.mkString
+    val n = graft.operators.Layout.spreadSteps.length
+    s"$head$steps SELECT l_orderkey, l_linenumber, sa | (sb << 1) AS zvalue FROM z$n"
+  }
+
   /** DuckDB-runnable oracle SQL, same column names as the Spark result. */
   def oracleSql: Map[String, String] = Map(
     "q167_pagerank" -> pageRankOracleSql(3),
+    "q169_zorder_key" -> zOrderOracleSql,
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
          CAST(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(22,4)) AS DOUBLE) AS revenue

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout clustering (SURVEY.md §7.1 extension surface): Z-order
+  * (Morton) interleaving, the multi-dimensional sort key behind
+  * Delta/Iceberg OPTIMIZE ZORDER.
+  *
+  * Why it matters at 100 TB: parquet scans prune FILES by footer
+  * min/max stats. A linear sort gives perfect pruning on the leading
+  * key and none on any other; interleaving the bits of two keys makes
+  * every file a small rectangle in (a, b) space, so a selective box
+  * predicate on EITHER dimension (or both) skips most files. The
+  * cluster-by key is computed with five shift/mask steps per column
+  * (the classic bit-spreading identity) — all built-in expressions,
+  * whole-stage-codegen'd, no UDF — and the layout itself is one
+  * `repartitionByRange(zvalue)` + in-partition sort: exactly one
+  * shuffle to rewrite a table into skip-friendly form.
+  *
+  * Determinism: the z-value is a pure bit permutation of its inputs —
+  * the differential oracle replays the identical shift/mask chain.
+  */
+object Layout {
+
+  /** Bit-spreading masks: after step i, the low 32 bits of x occupy
+    * every other bit position. Shared with the SQL oracle builder. */
+  val spreadSteps: Seq[(Int, Long)] = Seq(
+    16 -> 0x0000FFFF0000FFFFL,
+    8  -> 0x00FF00FF00FF00FFL,
+    4  -> 0x0F0F0F0F0F0F0F0FL,
+    2  -> 0x3333333333333333L,
+    1  -> 0x5555555555555555L)
+
+  private def spread(x: Column): Column =
+    spreadSteps.foldLeft(x) { case (c, (sh, m)) =>
+      (c.bitwiseOR(shiftleft(c, sh))).bitwiseAND(lit(m)) }
+
+  /** 64-bit Morton code of two non-negative 32-bit keys: a takes the
+    * even bit positions, b the odd. Out-of-range inputs fail loudly —
+    * silently masking would put far-apart rows in the same rectangle. */
+  def zValue2(a: Column, b: Column): Column = {
+    val lim = lit(4294967296L) // 2^32
+    def checked(c: Column, name: String): Column =
+      when(c.cast("long") >= 0 && c.cast("long") < lim, c.cast("long"))
+        .otherwise(raise_error(concat(lit(s"zValue2: $name out of [0, 2^32): "),
+          c.cast("string"))))
+    spread(checked(a, "a")).bitwiseOR(shiftleft(spread(checked(b, "b")), 1))
+  }
+
+  /** Rewrite `df` into `nFiles` z-clustered parquet files: range-
+    * partition on the interleaved key (sampling gives equal-sized
+    * files), sort within each partition so row groups are rectangles
+    * too. ONE shuffle, then a scan-shaped write. */
+  def zorderWrite(df: DataFrame, a: String, b: String, outDir: String,
+      nFiles: Int = 8): Unit = {
+    val keyed = df.withColumn("__z", zValue2(col(a), col(b)))
+    keyed.repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** Rank-normalized z-order write — the range-based variant behind
+    * Delta's OPTIMIZE ZORDER, REQUIRED when the two dimensions span
+    * different ranges: raw interleave lets the wider dimension's high
+    * bits dominate the key prefix and the narrow dimension never gets
+    * to split files. Each dimension is first mapped to its
+    * equal-frequency bucket id ((denseRank-1) * 2^bits div nDistinct,
+    * via the scalable two-pass [[Relational.rankBy]] — no
+    * single-partition window), then the BUCKET ids interleave.
+    * Cost: per dim, a distinct + rank of the distinct VALUES (far
+    * smaller than the data) and one map-side join back; then the same
+    * single repartitionByRange as [[zorderWrite]]. */
+  def zorderWriteNormalized(df: DataFrame, a: String, b: String,
+      outDir: String, nFiles: Int = 8, bits: Int = 16): Unit = {
+    require(bits >= 1 && bits <= 32, "bits in [1,32]")
+    def bucketMap(c: String, out: String): (DataFrame, Long) = {
+      val distinctVals = df.select(col(c).as("v")).na.drop().distinct()
+      val ranked = Relational.rankBy(distinctVals, Seq("v"))
+        .select(col("v").as(c), (col("dense_rank") - 1).as(s"__r$out"))
+      (ranked, ranked.count())
+    }
+    val (ra, na) = bucketMap(a, "a")
+    val (rb, nb) = bucketMap(b, "b")
+    val scale = 1L << bits
+    // LEFT joins: a null key has no rank row; it buckets to 0 rather
+    // than silently dropping the row from the rewritten table
+    val keyed = df.join(ra, Seq(a), "left").join(rb, Seq(b), "left")
+      .withColumn("__z", zValue2(
+        coalesce(expr(s"(__ra * ${scale}L) div ${na}L"), lit(0L)),
+        coalesce(expr(s"(__rb * ${scale}L) div ${nb}L"), lit(0L))))
+    keyed.repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z", "__ra", "__rb")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** Per-file [min, max] envelopes of two key columns for a written
+    * table — the stats a pruning scan consults. Small result (one row
+    * per file); used to PROVE skipping ratios in specs/soaks. */
+  def fileEnvelopes(spark: org.apache.spark.sql.SparkSession, dir: String,
+      a: String, b: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(a)).as("a_min"), max(col(a)).as("a_max"),
+           min(col(b)).as("b_min"), max(col(b)).as("b_max"))
+
+  /** How many files a box predicate `[aLo,aHi] × [bLo,bHi]` must read
+    * under the given envelopes (count of overlapping rectangles). */
+  def filesTouched(env: DataFrame, aLo: Long, aHi: Long,
+      bLo: Long, bHi: Long): Long =
+    env.filter(col("a_max") >= aLo && col("a_min") <= aHi &&
+               col("b_max") >= bLo && col("b_min") <= bHi).count()
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Layout
+
+/** Z-order layout (operators/Layout.scala): the bit permutation itself,
+  * its failure modes, and the thing the layout exists for — measured
+  * file-skipping on a box predicate, z-clustered vs linearly sorted. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def z(a: Long, b: Long): Long =
+    Seq((a, b)).toDF("a", "b")
+      .select(Layout.zValue2($"a", $"b")).as[Long].head()
+
+  test("zValue2: hand-computed interleaves and boundary values") {
+    assert(z(0L, 0L) == 0L)
+    assert(z(1L, 0L) == 1L) // a takes bit 0
+    assert(z(0L, 1L) == 2L) // b takes bit 1
+    // a=3 -> bits {0,2}; b=5 -> bits {1,5}: 1+4+2+32
+    assert(z(3L, 5L) == 39L)
+    // full 32-bit a spreads onto all even positions
+    assert(z(4294967295L, 0L) == 0x5555555555555555L)
+    assert(z(0L, 4294967295L) == 0xAAAAAAAAAAAAAAAAL)
+    // recursive quadrant structure: the high interleaved bits partition
+    // the plane — everything below 2^16 x 2^16 sorts before any point
+    // with a high bit set
+    assert(z(65535L, 65535L) == 4294967295L)
+    assert(z(65536L, 0L) == 4294967296L)
+  }
+
+  test("zValue2: out-of-range inputs fail loudly, not by silent masking") {
+    intercept[Exception] { z(-1L, 0L) }
+    intercept[Exception] { z(0L, 4294967296L) }
+  }
+
+  test("zorder layout: a box on the NON-leading dimension skips files; linear cannot") {
+    val li = tables.lineitem.select($"l_orderkey", $"l_partkey", $"l_extendedprice")
+    val nFiles = 16
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+    val linDir = java.nio.file.Files.createTempDirectory("graft_linear_").toString
+    // normalized: orderkey spans ~13 bits, partkey ~8 — raw interleave
+    // would let orderkey dominate the prefix (that asymmetry is exactly
+    // why the normalized variant exists)
+    Layout.zorderWriteNormalized(li, "l_orderkey", "l_partkey", zDir, nFiles)
+    li.repartitionByRange(nFiles, $"l_orderkey").sortWithinPartitions($"l_orderkey")
+      .write.mode("overwrite").parquet(linDir)
+
+    // both rewrites preserve the data exactly
+    val src = li.agg(count(lit(1)), sum($"l_orderkey"), sum($"l_partkey")).head()
+    Seq(zDir, linDir).foreach { d =>
+      val got = spark.read.parquet(d)
+        .agg(count(lit(1)), sum($"l_orderkey"), sum($"l_partkey")).head()
+      assert(got == src, s"rewrite at $d must be lossless")
+    }
+
+    val zEnv = Layout.fileEnvelopes(spark, zDir, "l_orderkey", "l_partkey").cache()
+    val linEnv = Layout.fileEnvelopes(spark, linDir, "l_orderkey", "l_partkey").cache()
+    assert(zEnv.count() == nFiles && linEnv.count() == nFiles)
+
+    val (okLo, okHi) = {
+      val r = li.agg(min($"l_orderkey"), max($"l_orderkey")).as[(Long, Long)].head()
+      (r._1, r._2)
+    }
+    val (pkLo, pkHi) = {
+      val r = li.agg(min($"l_partkey"), max($"l_partkey")).as[(Long, Long)].head()
+      (r._1, r._2)
+    }
+    // ~10% box on partkey ONLY (full orderkey range): linear layout has
+    // every partkey in every file -> reads all 16; z-order must skip
+    val pkW = math.max(1L, (pkHi - pkLo) / 10)
+    val zTouch = Layout.filesTouched(zEnv, okLo, okHi, pkLo, pkLo + pkW)
+    val linTouch = Layout.filesTouched(linEnv, okLo, okHi, pkLo, pkLo + pkW)
+    assert(linTouch == nFiles, s"linear layout cannot prune on partkey ($linTouch)")
+    assert(zTouch <= nFiles / 2,
+      s"z-order must skip at least half the files on a 10% partkey box (touched $zTouch)")
+    // ~10% box on orderkey only: linear is near-perfect; z-order still
+    // skips (rectangles bound orderkey too)
+    val okW = math.max(1L, (okHi - okLo) / 10)
+    val zTouchA = Layout.filesTouched(zEnv, okLo, okLo + okW, pkLo, pkHi)
+    val linTouchA = Layout.filesTouched(linEnv, okLo, okLo + okW, pkLo, pkHi)
+    assert(linTouchA <= 3, s"linear prunes its own sort key ($linTouchA)")
+    assert(zTouchA < nFiles, s"z-order bounds the leading dim too ($zTouchA)")
+    zEnv.unpersist(); linEnv.unpersist()
+  }
+}
