@@ -1618,6 +1618,16 @@ object SparkEntry {
           delta, keys, measures))
     }),
 
+    // --- fractional upsampling (round 10): the mix-sheet half that
+    //     temperatureMixture's capped rate refuses — "repeat src0
+    //     2.5x" = 2 copies each + an md5-chosen half a third. Dyadic
+    //     fractional parts make the draw comparison IEEE-exact, so the
+    //     oracle replays the copy count per doc digit by digit. ---
+    "q170_upsample_repeat" -> ((s, dir) =>
+      graft.operators.TrainingPipeline.upsampleRepeat(
+        t(s, dir).documents, "doc_id", "source",
+        rates = Map("src0" -> 2.5, "src1" -> 0.25), defaultRate = 1.0)),
+
     // --- Z-order clustering key (round 10): the Morton interleave
     //     behind Delta/Iceberg OPTIMIZE ZORDER, as five shift/mask
     //     steps per column — all built-in codegen'd expressions, no
@@ -3435,6 +3445,35 @@ object SparkEntry {
                 CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
                 tot.n_total
          FROM tot LEFT JOIN agg USING (doc_id)""",
+
+    // fractional upsampling: the oracle replays the md5 draw and the
+    // copy-count arithmetic, then generates the same (doc, copy) rows
+    "q170_upsample_repeat" ->
+      """WITH u AS (
+           SELECT doc_id, source,
+             (position(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN '0123456789abcdef') - 1) / 16.0
+           + (position(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1) IN '0123456789abcdef') - 1) / 256.0
+           + (position(substring(md5(CAST(doc_id AS VARCHAR)), 3, 1) IN '0123456789abcdef') - 1) / 4096.0
+           + (position(substring(md5(CAST(doc_id AS VARCHAR)), 4, 1) IN '0123456789abcdef') - 1) / 65536.0
+           + (position(substring(md5(CAST(doc_id AS VARCHAR)), 5, 1) IN '0123456789abcdef') - 1) / 1048576.0
+           + (position(substring(md5(CAST(doc_id AS VARCHAR)), 6, 1) IN '0123456789abcdef') - 1) / 16777216.0
+             AS u
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, u,
+                  CASE source WHEN 'src0' THEN 2.5
+                              WHEN 'src1' THEN 0.25
+                              ELSE 1.0 END AS rate
+           FROM u),
+         n AS (
+           SELECT doc_id, source,
+                  CAST(floor(rate) +
+                       CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END
+                       AS INT) AS n
+           FROM c)
+         SELECT doc_id, source, CAST(i AS BIGINT) AS copy
+         FROM n, UNNEST(generate_series(1, n)) t(i)
+         WHERE n >= 1""",
 
     // KMV overlap: the oracle recomputes the exact shingle-set sizes and
     // overlap from scratch and pins the measured estimator/merge contracts

@@ -217,13 +217,48 @@ object TrainingPipeline {
         least(lit(1.0),
           pow(col("t_i"), tau) / col("z") * lit(budgetFrac) * col("t_total") / col("t_i"))
           .as("rate"))
-    val u = (0 until 6).map { k =>
+    docs.join(broadcast(rates), sourceCol)
+      .filter(md5Fraction(idCol) < col("rate"))
+      .select(col(idCol), col(sourceCol))
+  }
+
+  /** Deterministic uniform-in-[0,1) draw per id: the first 6 md5
+    * nibbles as a dyadic fraction — exact small-integer arithmetic, so
+    * any engine / retry / partitioning draws the same value (q63/q75
+    * contract; the DuckDB oracles replay it digit by digit). */
+  private[operators] def md5Fraction(idCol: String): Column =
+    (0 until 6).map { k =>
       (expr(s"position(substring(md5(cast($idCol as string)), ${k + 1}, 1) " +
         "IN '0123456789abcdef')") - 1).cast("double") / math.pow(16.0, k + 1)
     }.reduce(_ + _)
-    docs.join(broadcast(rates), sourceCol)
-      .filter(u < col("rate"))
-      .select(col(idCol), col(sourceCol))
+
+  /** Fractional UPsampling — the half of data mixing
+    * [[temperatureMixture]] refuses (its rate is capped at 1): a mix
+    * sheet that says "repeat wiki 2.5x" emits every wiki doc twice and
+    * half of them (md5-chosen, deterministic) a third time. Output one
+    * row per (doc, copy), copy = 1..n where
+    * n = floor(rate) + [md5Fraction(id) < frac(rate)].
+    *
+    * Use dyadic fractional parts (.5, .25, .75) when exact budget
+    * replay matters: the md5 draw is a dyadic rational, so comparisons
+    * against dyadic rates are exact in IEEE and replay identically in
+    * any engine.
+    *
+    * Scale shape: shuffle-free — a broadcast-free per-row CASE on the
+    * source column plus one generator (explode) per row; output size is
+    * the only cost, which is the point of upsampling. */
+  def upsampleRepeat(docs: DataFrame, idCol: String, sourceCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(_ >= 0.0), "rates must be >= 0")
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(sourceCol) === k, lit(v)).otherwise(acc) }
+    val copies = (floor(rate) +
+      when(md5Fraction(idCol) < rate - floor(rate), 1).otherwise(0)).cast("int")
+    docs.select(col(idCol), col(sourceCol), copies.as("__n"))
+      .filter(col("__n") >= 1)
+      .select(col(idCol), col(sourceCol),
+        explode(sequence(lit(1), col("__n"))).as("copy"))
+      .withColumn("copy", col("copy").cast("long"))
   }
 
   /** Hard per-group token budgets — the other half of data mixing:

@@ -444,4 +444,36 @@ class TrainingPipelineSpec extends SparkSpec {
       .limit(1).collect()(0).getSeq[Long](0)
     assert(b1.forall(b => b >= 0 && b < 256))
   }
+
+  test("upsampleRepeat: copy counts per rate class, zero-rate exclusion, determinism") {
+    val docs = tables.documents
+    val out = TrainingPipeline.upsampleRepeat(docs, "doc_id", "source",
+      rates = Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0)).cache()
+    val perDoc = out.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n"), max($"copy").as("mx"), min($"copy").as("mn"))
+      .cache()
+    // copies are numbered 1..n with no gaps
+    assert(perDoc.filter($"mn" =!= 1 || $"mx" =!= $"n").isEmpty)
+    // src0: 2 or 3 copies, roughly half each (md5 draw vs dyadic .5)
+    val s0 = perDoc.filter($"source" === "src0").select("n").as[Long].collect()
+    assert(s0.forall(n => n == 2 || n == 3))
+    val frac3 = s0.count(_ == 3).toDouble / s0.length
+    assert(frac3 > 0.25 && frac3 < 0.75, s"src0 3-copy fraction $frac3")
+    // src1: docs appear at most once, ~25% kept
+    val n1 = perDoc.filter($"source" === "src1").count()
+    val d1 = docs.filter($"source" === "src1").count()
+    assert(perDoc.filter($"source" === "src1" && $"n" =!= 1).isEmpty)
+    assert(n1 > 0 && n1 < d1, s"src1 kept $n1 of $d1")
+    // src2 rate 0: fully excluded
+    assert(out.filter($"source" === "src2").isEmpty)
+    // every other source: exactly its docs, once each
+    val rest = perDoc.filter(!$"source".isin("src0", "src1", "src2"))
+    assert(rest.filter($"n" =!= 1).isEmpty)
+    assert(rest.count() == docs.filter(!$"source".isin("src0", "src1", "src2")).count())
+    // deterministic under repartitioning
+    val again = TrainingPipeline.upsampleRepeat(docs.repartition(7), "doc_id", "source",
+      rates = Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0))
+    assert(again.exceptAll(out).isEmpty && out.exceptAll(again).isEmpty)
+    perDoc.unpersist(); out.unpersist()
+  }
 }
