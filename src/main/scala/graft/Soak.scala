@@ -324,6 +324,74 @@ object Soak {
         k = 1024, iters = 2, init = "parallel")
         .count())
 
+    // --- round-10 operators ---
+    // CCNet passage dedup at full corpus: winner election is a MIN
+    // aggregate (map-side combine), so the dup families' enormous
+    // passage frequencies collapse to one row per task before the
+    // shuffle — the boilerplate shape the operator exists for
+    time(s"chunk_dedup_$rows")(
+      Dedup.chunkDedup(docs, "doc_id", "text", chunkTokens = 10)
+        .agg(sum(col("n_kept"))).collect()(0).getLong(0) * 0 + rows)
+    // PageRank over a synthetic hub graph (rows edges, rows/10 dst
+    // nodes): 3 iterations = per-iteration edge join + dst-sum, edges
+    // persisted once; exact integer arithmetic throughout
+    time(s"pagerank_${rows}e_3it") {
+      val edges = docs.select(col("doc_id").as("src"),
+        pmod(xxhash64(col("text")), lit(math.max(rows / 10, 1L))).as("dst"))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+        .agg(max(col("rank"))).collect()
+      rows
+    }
+    // KMV sketches per lang: k-long bounded states on the shuffle; the
+    // 10 pairwise overlap estimates afterwards are driver arithmetic
+    time(s"kmv_sketch_$rows") {
+      val sk = graft.operators.Sketches.kmvPerGroup(
+        docs.select(col("lang"), xxhash64(col("text")).as("h")), "lang", "h", 1024)
+      val sketches = sk.collect().map(r => r.getString(0) -> r.getSeq[Long](1))
+      val pairs = for { (a, sa) <- sketches; (b, sb) <- sketches if a < b }
+        yield graft.operators.Sketches.jaccardEstimate(sa, sb, 1024)
+      println(f"[soak] kmv pairwise overlaps: n=${pairs.length} max=${pairs.max}%.4f")
+      rows
+    }
+    // rank-normalized z-order rewrite (bounded slice for the disk
+    // budget): two distinct-value ranks + ONE repartitionByRange
+    time("zorder_write_1000000") {
+      val zr = math.min(rows, 1000000L)
+      val slice = docs.filter(col("doc_id") < zr)
+        .select(col("doc_id"), pmod(xxhash64(col("text")), lit(65536L)).as("k2"))
+      val out = java.nio.file.Files.createTempDirectory("soak_zorder_").toString
+      graft.operators.Layout.zorderWriteNormalized(slice, "doc_id", "k2", out, nFiles = 16)
+      val n = spark.read.parquet(out).count()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      n
+    }
+    // curation funnel: ONE scan for the whole stage report
+    time(s"curation_funnel_$rows")(
+      graft.operators.TrainingPipeline.curationFunnel(
+        docs.withColumn("nt", size(Dedup.tokens(col("text")))), col("nt"),
+        Seq("en" -> (col("lang") === "en"), "long" -> (col("nt") >= 20)))
+        .count() * 0 + rows)
+    // fractional upsampling + leakage-safe split: pure per-row passes
+    time(s"upsample_$rows")(
+      graft.operators.TrainingPipeline.upsampleRepeat(
+        docs, "doc_id", "lang", Map("en" -> 1.5)).count())
+    time(s"leakage_split_$rows")(
+      graft.operators.TrainingPipeline.leakageSafeSplit(
+        docs, "doc_id", col("text"), 0.125)
+        .filter(col("side") === "val").count() * 0 + rows)
+    // incremental maintenance: the delta path a nightly rollup pays —
+    // state(delta) + merge with the (precomputed) base state
+    time(s"incremental_agg_$rows") {
+      import graft.operators.Incremental
+      val keys = Seq("lang")
+      val ms = Seq("len" -> length(col("text")).cast("double"))
+      val base = Incremental.aggState(
+        docs.filter(col("doc_id") % 10 =!= 0), keys, ms).localCheckpoint(true)
+      val merged = Incremental.finalizeState(Incremental.applyDelta(
+        base, docs.filter(col("doc_id") % 10 === 0), keys, ms))
+      merged.count() * 0 + rows
+    }
+
     spark.stop()
   }
 }

@@ -1618,6 +1618,35 @@ object SparkEntry {
           delta, keys, measures))
     }),
 
+    // --- curation funnel report (round 10): per-stage survivor
+    //     accounting in ONE scan — each row computes the deepest stage
+    //     it survives, a stage-count-sized aggregate + driver suffix
+    //     sums produce the report (a naive funnel re-scans the corpus
+    //     per stage). The dedup-winner stage needs a join, so it is
+    //     precomputed as a boolean column, per the operator contract. ---
+    "q172_curation_funnel" -> ((s, dir) => {
+      val base = t(s, dir).documents.withColumn("h", md5(col("text")))
+      val winners = base.groupBy("h").agg(min(col("doc_id")).as("keep"))
+      val flagged = base.join(winners, "h")
+        .withColumn("is_w", col("doc_id") === col("keep"))
+        .withColumn("nt", size(graft.operators.Dedup.tokens(col("text"))))
+      graft.operators.TrainingPipeline.curationFunnel(flagged, col("nt"), Seq(
+        "lang_en" -> (col("lang") === "en"),
+        "min_chars" -> (col("n_chars") >= 200),
+        "dedup_winner" -> col("is_w"),
+        "min_tokens" -> (col("nt") >= 30)))
+    }),
+
+    // --- leakage-safe split (round 10): train/val side is a function
+    //     of the doc's TEXT hash, so exact duplicates can never
+    //     straddle the split (a per-row randomSplit leaks every dup
+    //     across the boundary — eval inflation, same failure mode as
+    //     benchmark contamination). valFrac 0.125 is dyadic: the md5
+    //     draw comparison is IEEE-exact and the oracle replays it. ---
+    "q171_leakage_safe_split" -> ((s, dir) =>
+      graft.operators.TrainingPipeline.leakageSafeSplit(
+        t(s, dir).documents, "doc_id", col("text"), valFrac = 0.125)),
+
     // --- fractional upsampling (round 10): the mix-sheet half that
     //     temperatureMixture's capped rate refuses — "repeat src0
     //     2.5x" = 2 copies each + an md5-chosen half a third. Dyadic
@@ -3445,6 +3474,43 @@ object SparkEntry {
                 CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
                 tot.n_total
          FROM tot LEFT JOIN agg USING (doc_id)""",
+
+    // curation funnel: the oracle recomputes every cumulative stage
+    // count independently (k filtered aggregates vs the engine's
+    // single-scan level trick — the formulations check each other)
+    "q172_curation_funnel" ->
+      """WITH base AS (
+           SELECT doc_id, lang, n_chars, text,
+                  len(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> t <> '')) AS nt,
+                  md5(text) AS h
+           FROM documents),
+         w AS (SELECT h, MIN(doc_id) AS keep FROM base GROUP BY h),
+         b AS (SELECT base.*, (base.doc_id = w.keep) AS is_w
+               FROM base JOIN w ON base.h = w.h),
+         s AS (
+           SELECT 0 AS stage, 'input' AS name, COUNT(*) AS c,
+                  COALESCE(SUM(nt), 0) AS t FROM b
+           UNION ALL SELECT 1, 'lang_en', COUNT(*), COALESCE(SUM(nt), 0)
+           FROM b WHERE lang = 'en'
+           UNION ALL SELECT 2, 'min_chars', COUNT(*), COALESCE(SUM(nt), 0)
+           FROM b WHERE lang = 'en' AND n_chars >= 200
+           UNION ALL SELECT 3, 'dedup_winner', COUNT(*), COALESCE(SUM(nt), 0)
+           FROM b WHERE lang = 'en' AND n_chars >= 200 AND is_w
+           UNION ALL SELECT 4, 'min_tokens', COUNT(*), COALESCE(SUM(nt), 0)
+           FROM b WHERE lang = 'en' AND n_chars >= 200 AND is_w AND nt >= 30)
+         SELECT CAST(stage AS INT) AS stage, name,
+                CAST(c AS BIGINT) AS n_docs, CAST(t AS BIGINT) AS n_tokens
+         FROM s""",
+
+    // leakage-safe split: the oracle replays the text-hash draw with
+    // DuckDB's hex-cast idiom (identical dyadic rational)
+    "q171_leakage_safe_split" ->
+      """SELECT doc_id,
+                CASE WHEN CAST('0x' || substring(md5(text), 1, 6) AS BIGINT)
+                          / 16777216.0 < 0.125
+                     THEN 'val' ELSE 'train' END AS side
+         FROM documents""",
 
     // fractional upsampling: the oracle replays the md5 draw and the
     // copy-count arithmetic, then generates the same (doc, copy) rows

@@ -232,6 +232,79 @@ object TrainingPipeline {
         "IN '0123456789abcdef')") - 1).cast("double") / math.pow(16.0, k + 1)
     }.reduce(_ + _)
 
+  /** Curation funnel report — per-stage survivor accounting for a
+    * cumulative filter chain ("input → lang → length → dedup → …"),
+    * the observability artifact every production curation run ships
+    * with its output.
+    *
+    * Scale shape: ONE scan, not one pass per stage. Each row computes
+    * the deepest stage it survives (a cumulative-AND chain folded into
+    * a codegen'd integer), a tiny groupBy(level) aggregates docs +
+    * tokens per level (≤ stages+1 rows), and the suffix sums that turn
+    * "failed at level k" into "survived stage k" run driver-side on
+    * that bounded result. A naive funnel re-filters and re-counts the
+    * corpus per stage — k scans of 100 TB instead of one.
+    *
+    * Stage predicates must be per-row columns; anything needing a join
+    * (e.g. "is the dedup keeper") is the caller's job to precompute as
+    * a boolean column first. Output: (stage, name, n_docs, n_tokens),
+    * stage 0 = raw input.
+    */
+  def curationFunnel(docs: DataFrame, tokenCount: Column,
+      stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "at least one stage")
+    val (_, reached) = stages.foldLeft((lit(true), lit(0))) {
+      case ((cond, r), (_, pred)) =>
+        val c2 = cond && coalesce(pred, lit(false))
+        (c2, r + when(c2, 1).otherwise(0))
+    }
+    val perLevel = docs
+      .select(reached.as("lvl"), coalesce(tokenCount.cast("long"), lit(0L)).as("nt"))
+      .groupBy(col("lvl"))
+      .agg(count(lit(1)).as("c"), sum(col("nt")).as("t"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val names = "input" +: stages.map(_._1)
+    val rows = names.zipWithIndex.map { case (name, k) =>
+      val (c, t) = (k to stages.length).foldLeft((0L, 0L)) { case ((dc, dt), lvl) =>
+        val (lc, lt) = perLevel.getOrElse(lvl, (0L, 0L))
+        (dc + lc, dt + lt)
+      }
+      (k, name, c, t)
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    rows.toDF("stage", "name", "n_docs", "n_tokens")
+  }
+
+  /** [[md5Fraction]] over an arbitrary key EXPRESSION (not just an id
+    * column): first 6 md5 nibbles via one base-16 conv — the same
+    * dyadic rational the nibble-sum form yields, exact in IEEE. */
+  def md5FractionOf(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 6), 16, 10)
+      .cast("long").cast("double") / lit(16777216.0)
+
+  /** Leakage-safe train/validation split: the side is a function of a
+    * CLUSTER KEY, not the row — every doc sharing the key (exact-dup
+    * fingerprint, MinHash cluster id, source domain…) lands on the
+    * same side BY CONSTRUCTION, so a val doc can never have a
+    * train-side duplicate. Splitting on a per-row draw — what a naive
+    * `randomSplit` does — leaks every duplicated document across the
+    * boundary, which inflates eval scores exactly like benchmark
+    * contamination does.
+    *
+    * Deterministic (md5 draw, dyadic `valFrac` recommended) and
+    * shuffle-free: one per-row hash, no join — cluster coherence costs
+    * nothing because the key itself carries it. Expected val fraction
+    * is valFrac of CLUSTERS (weighted by cluster size on docs).
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, clusterKey: Column,
+      valFrac: Double): DataFrame = {
+    require(valFrac > 0.0 && valFrac < 1.0, "valFrac in (0,1)")
+    docs.select(col(idCol),
+      when(md5FractionOf(clusterKey) < valFrac, lit("val"))
+        .otherwise(lit("train")).as("side"))
+  }
+
   /** Fractional UPsampling — the half of data mixing
     * [[temperatureMixture]] refuses (its rate is capped at 1): a mix
     * sheet that says "repeat wiki 2.5x" emits every wiki doc twice and

@@ -445,6 +445,57 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(b1.forall(b => b >= 0 && b < 256))
   }
 
+  test("curationFunnel: level counts equal per-stage refilters; null predicates fail closed") {
+    val df = Seq(
+      (1, Some(5), 10L), (2, Some(0), 20L), (3, Some(2), 30L),
+      (4, Some(1), 40L), (5, None, 50L)
+    ).toDF("id", "v", "nt")
+    val out = TrainingPipeline.curationFunnel(df, $"nt", Seq(
+        "ge1" -> ($"v" >= 1), "ge2" -> ($"v" >= 2)))
+      .as[(Int, String, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0, "input", 5L, 150L), // null-v doc counts at input...
+      (1, "ge1", 3L, 80L),    // ...but its NULL predicate fails closed
+      (2, "ge2", 2L, 40L)))
+    // funnel is monotone by construction
+    assert(out.map(_._3).toSeq == out.map(_._3).sorted.reverse.toSeq)
+    // refilter cross-check on the real corpus against the single-scan trick
+    val docs = tables.documents
+      .withColumn("nt", size(graft.operators.Dedup.tokens($"text")))
+    val funnel = TrainingPipeline.curationFunnel(docs, $"nt", Seq(
+        "en" -> ($"lang" === "en"), "long" -> ($"n_chars" >= 200)))
+      .as[(Int, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(funnel(0)._3 == docs.count())
+    assert(funnel(1)._3 == docs.filter($"lang" === "en").count())
+    assert(funnel(2)._3 == docs.filter($"lang" === "en" && $"n_chars" >= 200).count())
+  }
+
+  test("leakageSafeSplit: cluster coherence by construction; near-dup composition; proportions") {
+    val docs = tables.documents
+    // exact-dup key: identical text can never straddle the split
+    val split = TrainingPipeline.leakageSafeSplit(docs, "doc_id", $"text", 0.125).cache()
+    assert(split.count() == docs.count())
+    val straddle = docs.join(split, "doc_id")
+      .groupBy("text").agg(countDistinct($"side").as("sides"))
+      .filter($"sides" > 1).count()
+    assert(straddle == 0, "identical text on both sides = leakage")
+    val valFrac = split.filter($"side" === "val").count().toDouble / docs.count()
+    assert(valFrac > 0.05 && valFrac < 0.25, s"val fraction $valFrac vs 0.125")
+    // NEAR-dup composition: split on the MinHash cluster id; every
+    // cluster member (jaccard-similar, not identical) shares a side
+    val assign = graft.operators.Dedup.dedupAssignments(docs, "doc_id", "text")
+    val withKey = docs.join(assign, "doc_id")
+    val nearSplit = TrainingPipeline.leakageSafeSplit(withKey, "doc_id", $"keep_id", 0.125)
+    val clusterStraddle = withKey.join(nearSplit, "doc_id")
+      .groupBy("keep_id").agg(countDistinct($"side").as("sides"))
+      .filter($"sides" > 1).count()
+    assert(clusterStraddle == 0, "a near-dup cluster must land on one side")
+    // determinism
+    val again = TrainingPipeline.leakageSafeSplit(docs.repartition(7), "doc_id", $"text", 0.125)
+    assert(again.exceptAll(split).isEmpty && split.exceptAll(again).isEmpty)
+    split.unpersist()
+  }
+
   test("upsampleRepeat: copy counts per rate class, zero-rate exclusion, determinism") {
     val docs = tables.documents
     val out = TrainingPipeline.upsampleRepeat(docs, "doc_id", "source",
