@@ -43,7 +43,13 @@ object Bench {
     "q152_hot_ngrams",
     // round 9: IVF-PQ ANN (train+encode+ADC+refine), HLL mergeable
     // distinct sketches, DSIR importance weights
-    "q154_ann_ivfpq", "q155_hll_distinct", "q156_importance_weights")
+    "q154_ann_ivfpq", "q155_hll_distinct", "q156_importance_weights",
+    // round 10: CCNet passage dedup, incremental agg maintenance,
+    // integer-exact PageRank, KMV sketches (serving shape below),
+    // z-order keys, upsampling, split, funnel
+    "q165_chunk_dedup", "q166_incremental_agg", "q167_pagerank",
+    "q168_kmv_overlap", "q169_zorder_key", "q170_upsample_repeat",
+    "q171_leakage_safe_split", "q172_curation_funnel")
 
   /** Per-query regression pins (round 9): each query's BEST recorded
     * driver median at sf0.1 across rounds 1–8. A timed median above
@@ -130,6 +136,19 @@ object Bench {
         graft.operators.Similarity.ivfPqTopK(
           emb, qs, "vec_id", "vec_id", "embedding", k = 5,
           centroids = cents, pq = pq, nProbe = 12, refine = 4)
+      }),
+      // q168's CORRECTNESS entry is a harness: it computes the EXACT
+      // distinct-set overlap (two distinct()s + a join) to check the
+      // sketch against. The operator story is the sketch itself: one
+      // bounded-state aggregation per corpus group — that is what the
+      // bench times (20 per-source sketches over the 5-gram stream).
+      "q168_kmv_overlap" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val sh = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("source"),
+            explode(graft.plans.TextExpressions.shingleHash64(col("text"), 5)).as("h"))
+        graft.operators.Sketches.kmvPerGroup(sh, "source", "h", 1024)
+          .select(col("source"), size(col("sketch")).as("k"))
       }))
 
   private val pqModelCache = new java.util.concurrent.ConcurrentHashMap[

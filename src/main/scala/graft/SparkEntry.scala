@@ -1682,24 +1682,30 @@ object SparkEntry {
     "q168_kmv_overlap" -> ((s, dir) => {
       import graft.operators.{Dedup, Sketches}
       val k = 1024
-      val sh = t(s, dir).documents.select(col("source"),
+      val docs = t(s, dir).documents
+      val sh = docs.select(col("source"),
         explode(Dedup.wordShingles(Dedup.tokens(col("text")), 5)).as("g"))
       val a = sh.filter(col("source") =!= "src0").select("g")
       val b = sh.filter(col("source") === "src0").select("g")
       val na = a.distinct().count(); val nb = b.distinct().count()
       val inter = a.distinct().join(b.distinct(), "g").count()
       val uni = na + nb - inter
+      // sketches ride the CODEGEN shingle kernel (hashes straight from
+      // text, no string materialization) — the path the bench times;
+      // the string side above exists only as the exact truth
+      val hs = docs.select(col("source"),
+        explode(graft.plans.TextExpressions.shingleHash64(col("text"), 5)).as("h"))
       def sk(df: DataFrame) = Sketches.kmvPerGroup(
-          df.withColumn("grp", lit("x")).withColumn("h", xxhash64(col("g"))),
-          "grp", "h", k)
+          df.withColumn("grp", lit("x")), "grp", "h", k)
         .select("sketch").collect()(0).getSeq[Long](0)
-      val sa = sk(a); val sb = sk(b)
+      val sa = sk(hs.filter(col("source") =!= "src0"))
+      val sb = sk(hs.filter(col("source") === "src0"))
       val jExact = inter.toDouble / uni
       val estJ = Sketches.jaccardEstimate(sa, sb, k)
       val okA = math.abs(Sketches.distinctEstimate(sa, k) - na) / na <= 0.10
       val okB = math.abs(Sketches.distinctEstimate(sb, k) - nb) / nb <= 0.10
       val okJ = math.abs(estJ - jExact) <= 0.01
-      val mergeExact = Sketches.mergeSketches(sa, sb, k) == sk(a.unionByName(b))
+      val mergeExact = Sketches.mergeSketches(sa, sb, k) == sk(hs)
       import s.implicits._
       Seq((na, nb, inter, uni, okA, okB, okJ, mergeExact))
         .toDF("n_a", "n_b", "inter_exact", "union_exact",

@@ -25,12 +25,14 @@ object KmvProbe {
     val inter = a.distinct().join(b.distinct(), "g").count()
     val uni = na + nb - inter
     val jExact = inter.toDouble / uni
+    // sketch path = the codegen shingle kernel (mirrors q168)
+    val hs = docs.select(col("source"),
+      explode(graft.plans.TextExpressions.shingleHash64(col("text"), 5)).as("h"))
     def sk(df: org.apache.spark.sql.DataFrame) =
-      Sketches.kmvPerGroup(
-        df.withColumn("grp", lit("x")).withColumn("h", xxhash64(col("g"))),
-        "grp", "h", k)
+      Sketches.kmvPerGroup(df.withColumn("grp", lit("x")), "grp", "h", k)
         .select("sketch").collect()(0).getSeq[Long](0)
-    val sa = sk(a); val sb = sk(b)
+    val sa = sk(hs.filter(col("source") =!= "src0"))
+    val sb = sk(hs.filter(col("source") === "src0"))
     val estA = Sketches.distinctEstimate(sa, k)
     val estB = Sketches.distinctEstimate(sb, k)
     val estJ = Sketches.jaccardEstimate(sa, sb, k)
@@ -42,7 +44,7 @@ object KmvProbe {
     println(f"[kmv] est:   J=$estJ%.5f (absErr ${math.abs(estJ - jExact)}%.5f) " +
       f"inter=$estI%.1f (relErr ${if (inter > 0) math.abs(estI - inter) / inter else 0.0}%.4f)")
     val merged = Sketches.mergeSketches(sa, sb, k)
-    val direct = sk(a.unionByName(b))
+    val direct = sk(hs)
     println(s"[kmv] mergeLaw=${merged == direct}")
     spark.stop(); sys.exit(0)
   }
