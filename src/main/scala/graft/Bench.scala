@@ -79,7 +79,9 @@ object Bench {
     // round 8: chained stateful operators (dedup -> windowed agg)
     "q151_stream_dedup_agg",
     // round 9: streaming MinHash-LSH near-dup (typed band-owner state)
-    "q158_stream_near_dup")
+    "q158_stream_near_dup",
+    // round 10: exactly-once shard export (restart + idempotence probe)
+    "q173_stream_export")
 
   /** The CORRECTNESS entries for approximate ops are recall HARNESSES
     * (operator + exact ground truth + compare in one job); benching the

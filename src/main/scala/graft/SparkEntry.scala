@@ -1618,6 +1618,39 @@ object SparkEntry {
           delta, keys, measures))
     }),
 
+    // --- exactly-once streaming shard export (round 10): docs arrive
+    //     in two staged chunks with a RESTART between them (new query,
+    //     same checkpoint) and a third no-new-data run probing
+    //     idempotence; per-batch overwrite directories make retries
+    //     rewrite themselves instead of duplicating. The manifest
+    //     comes from the READ-BACK files; the oracle recomputes it
+    //     from the source table + the shard rule — a hash match
+    //     proves exactly-once delivery end to end. ---
+    "q173_stream_export" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_q173_").toString
+      val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val docs = t(s, dir).documents
+        .select(col("doc_id"), col("text"),
+          to_timestamp(from_unixtime(col("doc_id"))).as("ts"))
+      docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(src)
+      val ss = graft.streaming.EventsStreaming.replaySession(s)
+      graft.streaming.CurationStreaming.exportStream(ss, src, out, ckpt, nShards = 8)
+      // chunk 2 lands; RESTART from the same checkpoint
+      docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(src)
+      graft.streaming.CurationStreaming.exportStream(ss, src, out, ckpt, nShards = 8)
+      val m1 = graft.streaming.CurationStreaming.exportStreamManifest(s, out)
+        .collect().sortBy(_.getLong(0)).toSeq
+      // idempotence probe: nothing new to process -> export unchanged
+      graft.streaming.CurationStreaming.exportStream(ss, src, out, ckpt, nShards = 8)
+      val m2 = graft.streaming.CurationStreaming.exportStreamManifest(s, out)
+        .collect().sortBy(_.getLong(0)).toSeq
+      require(m1 == m2, "q173: a no-new-data re-run changed the export")
+      val dupDocs = s.read.parquet(out).groupBy(col("doc_id")).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dupDocs == 0L, "q173: exactly-once violated — a doc exported twice")
+      graft.streaming.CurationStreaming.exportStreamManifest(s, out)
+    }),
+
     // --- curation funnel report (round 10): per-stage survivor
     //     accounting in ONE scan — each row computes the deepest stage
     //     it survives, a stage-count-sized aggregate + driver suffix
@@ -3480,6 +3513,25 @@ object SparkEntry {
                 CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
                 tot.n_total
          FROM tot LEFT JOIN agg USING (doc_id)""",
+
+    // streaming export: the oracle recomputes the per-shard manifest
+    // from the source table — the same truth q162's batch export is
+    // held to (q157/q105 precedent: one oracle, two dataflows), so a
+    // lost, duplicated, or misrouted doc in ANY micro-batch mismatches
+    "q173_stream_export" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CAST((position(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                        IN '0123456789abcdef') - 1) % 8 AS BIGINT) AS shard,
+                  len(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS nt,
+                  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) AS ck
+           FROM documents)
+         SELECT shard, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+                CAST(SUM(ck) AS BIGINT) AS checksum
+         FROM d GROUP BY shard""",
 
     // curation funnel: the oracle recomputes every cumulative stage
     // count independently (k filtered aggregates vs the engine's

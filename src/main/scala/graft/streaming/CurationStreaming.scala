@@ -125,4 +125,64 @@ object CurationStreaming {
       .agg(max((col("owner_id") =!= col("doc_id")).cast("int")).as("d"))
       .select(col("doc_id"), (col("d") === 1).as("is_dup"))
   }
+
+  // ------------- exactly-once streaming shard export (round 10) -------------
+
+  /** Streaming counterpart of
+    * [[graft.operators.TrainingPipeline.exportShards]]: docs arrive as
+    * a stream and land in md5-nibble shards EXACTLY ONCE across
+    * micro-batches, restarts, and batch retries.
+    *
+    * The exactly-once mechanics are the standard foreachBatch contract:
+    * the checkpoint names which source files belong to each batchId
+    * (deterministic replay), and the batch writes
+    * `outDir/batch=<id>/shard=<k>/` in OVERWRITE mode — a retried or
+    * restarted batch rewrites ITS OWN directory and cannot duplicate
+    * rows. Parquet partition discovery then reads the whole export as
+    * one table (batch and shard become partition columns), so the
+    * manifest aggregation and every downstream consumer see one
+    * dataset regardless of how many batches produced it.
+    *
+    * Scale shape: per batch, ONE repartition on shard + a partitioned
+    * write — identical to the batch exporter, amortized over arrivals;
+    * state is only the checkpoint's file log. */
+  def exportStream(spark: SparkSession, stagedDir: String, outDir: String,
+      ckpt: String, nShards: Int, maxFilesPerTrigger: Int = 1): Unit = {
+    require(nShards >= 1 && nShards <= 16, "md5-nibble rule: nShards <= 16")
+    val stream = spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(stagedDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .withColumn("__h", md5(col("doc_id").cast("string")))
+          .withColumn("shard",
+            (expr("position(substring(__h, 1, 1) IN '0123456789abcdef')")
+              .cast("long") - 1L).mod(lit(nShards.toLong)))
+          .drop("__h")
+          .repartition(col("shard"))
+          .write.mode("overwrite").partitionBy("shard")
+          .parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Manifest of a [[exportStream]] output from the READ-BACK files
+    * (same stats as the batch exporter — count, tokens, id sum,
+    * md5-prefix checksum per shard), aggregated across all batches. */
+  def exportStreamManifest(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.operators.Dedup.tokens(col("text"))).cast("long")).as("n_tokens"),
+        sum(col("doc_id")).cast("long").as("sum_id"),
+        sum(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long")).as("checksum"))
+      .select(col("shard").cast("long").as("shard"), col("n_docs"),
+        col("n_tokens"), col("sum_id"), col("checksum"))
 }

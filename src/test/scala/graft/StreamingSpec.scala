@@ -198,6 +198,61 @@ class StreamingSpec extends SparkSpec {
     val want = CurationStreaming.batchNearDupFlags(docs)
       .as[(Long, Boolean)].collect().toMap
     assert(got == want, s"stream $got vs batch $want")
+  }
+
+  test("exportStream: restart + no-data re-run are exactly-once; manifest equals the batch exporter") {
+    import graft.streaming.CurationStreaming
+    val tmp = Files.createTempDirectory("export-stream").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val docs = tables.documents
+      .select($"doc_id", $"text", to_timestamp(from_unixtime($"doc_id")).as("ts"))
+    val ss = EventsStreaming.replaySession(spark)
+    // chunk 1 -> run; chunk 2 -> RESTART from the same checkpoint
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.mode("append").parquet(src)
+    CurationStreaming.exportStream(ss, src, out, ckpt, nShards = 8)
+    docs.filter($"doc_id" % 2 =!= 0).coalesce(1).write.mode("append").parquet(src)
+    CurationStreaming.exportStream(ss, src, out, ckpt, nShards = 8)
+    val m1 = CurationStreaming.exportStreamManifest(spark, out)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    // idempotence: a third run with nothing new must not move a byte of stats
+    CurationStreaming.exportStream(ss, src, out, ckpt, nShards = 8)
+    val m2 = CurationStreaming.exportStreamManifest(spark, out)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(m1.toSeq == m2.toSeq, "no-new-data re-run changed the export")
+    // exactly-once: every doc exactly one row across all batch dirs
+    assert(spark.read.parquet(out).groupBy($"doc_id").count()
+      .filter($"count" > 1).isEmpty)
+    assert(spark.read.parquet(out).count() == docs.count())
+    // the streaming manifest equals the BATCH exporter's on the same docs
+    val batchOut = s"$tmp/batch"
+    val mBatch = graft.operators.TrainingPipeline
+      .exportShards(docs.select($"doc_id", $"text"), "doc_id", "text", 8, batchOut)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(m1.toSeq == mBatch.toSeq, "streaming and batch exports must agree")
+  }
+
+  test("streaming near-dup: spot checks, partitioned replay, real-corpus parity") {
+    import graft.streaming.CurationStreaming
+    val base = "the quick brown fox jumps over the lazy dog again and again today ok"
+    val docs = Seq(
+      (10L, base), (11L, base),
+      (20L, base + " extra trailing words here"),
+      (21L, base + " extra trailing words there"),
+      (30L, "completely different text about spark query engines and columnar execution plans")
+    ).toDF("doc_id", "text")
+      .withColumn("ts", to_timestamp(lit(1700000000L) + col("doc_id")))
+    // self-contained replay (no dependence on the previous test's sink)
+    val staged1 = Files.createTempDirectory("neardup-replay1b").toString
+    docs.coalesce(1).write.mode("append").parquet(staged1)
+    EventsStreaming.runAvailableNow(
+      CurationStreaming.streamNearDupVerdicts(spark, staged1),
+      "near_dup_verdicts1b", OutputMode.Update())
+    val got = spark.table("near_dup_verdicts1b")
+      .groupBy($"doc_id").agg(max($"dup_band".cast("int")).as("d"))
+      .select($"doc_id", ($"d" === 1).as("is_dup"))
+      .as[(Long, Boolean)].collect().toMap
+    val want = CurationStreaming.batchNearDupFlags(docs)
+      .as[(Long, Boolean)].collect().toMap
     // semantic spot checks: first copy owns its bands, exact dup flagged
     assert(!got(10L) && got(11L), got.toString)
     assert(got(21L), "near-dup sharing a band with an earlier doc must flag")
