@@ -49,7 +49,8 @@ object Bench {
     // z-order keys, upsampling, split, funnel
     "q165_chunk_dedup", "q166_incremental_agg", "q167_pagerank",
     "q168_kmv_overlap", "q169_zorder_key", "q170_upsample_repeat",
-    "q171_leakage_safe_split", "q172_curation_funnel")
+    "q171_leakage_safe_split", "q172_curation_funnel",
+    "q174_pca_whiten")
 
   /** Per-query regression pins (round 9): each query's BEST recorded
     * driver median at sf0.1 across rounds 1–8. A timed median above
@@ -144,6 +145,16 @@ object Bench {
       // sketch against. The operator story is the sketch itself: one
       // bounded-state aggregation per corpus group — that is what the
       // bench times (20 per-source sketches over the 5-gram stream).
+      // q174's CORRECTNESS entry re-verifies the whitening contract with
+      // a second distributed moment pass (a harness stage); the operator
+      // story is moments -> eigensolve -> projection, which this times.
+      "q174_pca_whiten" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val (white, _) = graft.operators.Linalg.pcaWhiten(
+          emb, "vec_id", "embedding", dim = 64, k = 16)
+        white.select(col("vec_id"), element_at(col("white"), 1).as("w0"))
+      }),
       "q168_kmv_overlap" -> ((s, dir) => {
         import org.apache.spark.sql.functions._
         val sh = s.read.parquet(s"$dir/documents.parquet")

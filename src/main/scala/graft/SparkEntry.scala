@@ -1618,6 +1618,38 @@ object SparkEntry {
           delta, keys, measures))
     }),
 
+    // --- PCA whitening (round 10): the embedding-preprocessing step
+    //     real ANN/PQ pipelines run (OPQ lineage). Data-sized work is
+    //     ONE moment pass (2 145 DECIMAL-exact sums, map-side combined)
+    //     + ONE projection scan through the AffineProject codegen
+    //     kernel; the 64x64 eigensolve is driver-side model work
+    //     (deterministic cyclic Jacobi). The oracle replays the entire
+    //     exact moment matrix; the whitening contract (covariance of
+    //     the projected data == I within 1e-6, eigenvalues descending)
+    //     is computed here and pinned TRUE. ---
+    "q174_pca_whiten" -> ((s, dir) => {
+      import graft.operators.Linalg
+      val dim = 64; val k = 16
+      val emb = t(s, dir).embeddings
+      val (n, sums, prods) = Linalg.secondMoments(emb, "embedding", dim)
+      val (white, vals) =
+        Linalg.pcaWhitenFromMoments(emb, "vec_id", "embedding", n, sums, prods, k)
+      val eigsDesc = vals.zip(vals.tail).forall { case (a, b) => a >= b }
+      val wm = Linalg.secondMoments(white, "white", k)
+      val wc = Linalg.covariance(wm._1, wm._2, wm._3)
+      val maxOff = (for (i <- 0 until k; j <- 0 until k if i != j)
+        yield math.abs(wc(i)(j))).max
+      val maxDiag = (0 until k).map(i => math.abs(wc(i)(i) - 1.0)).max
+      val whiteOk = maxOff < 1e-6 && maxDiag < 1e-6
+      import s.implicits._
+      val prodRows = for (i <- 0 until dim; j <- i until dim)
+        yield (i, j, prods(i)(j).doubleValue())
+      val meanRows = (0 until dim).map(i => (i, -1, sums(i).doubleValue()))
+      (prodRows ++ meanRows).toDF("i", "j", "m2")
+        .withColumn("whitened_identity", lit(whiteOk))
+        .withColumn("eigs_desc", lit(eigsDesc))
+    }),
+
     // --- exactly-once streaming shard export (round 10): docs arrive
     //     in two staged chunks with a RESTART between them (new query,
     //     same checkpoint) and a third no-new-data run probing
@@ -2551,10 +2583,39 @@ object SparkEntry {
     s"$head$steps SELECT l_orderkey, l_linenumber, sa | (sb << 1) AS zvalue FROM z$n"
   }
 
+  /** q174's oracle: DuckDB recomputes the ENTIRE exact moment matrix
+    * (per-element double products cast to DECIMAL(38,18), summed
+    * exactly — order-free, so the hash compare is meaningful) and pins
+    * the whitening contract flags. Generated for dim = 64. */
+  private def pcaOracleSql: String = {
+    val dim = 64
+    s"""WITH e AS (SELECT embedding AS v FROM embeddings),
+        p AS (
+          SELECT a.i AS i, b.j AS j,
+                 CAST(SUM(CAST(CAST(v[a.i+1] AS DOUBLE) * CAST(v[b.j+1] AS DOUBLE)
+                               AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS s
+          FROM e,
+               UNNEST(generate_series(0, ${dim - 1})) a(i),
+               UNNEST(generate_series(0, ${dim - 1})) b(j)
+          WHERE a.i <= b.j
+          GROUP BY 1, 2),
+        m AS (
+          SELECT a.i AS i,
+                 CAST(SUM(CAST(CAST(v[a.i+1] AS DOUBLE)
+                               AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS s
+          FROM e, UNNEST(generate_series(0, ${dim - 1})) a(i)
+          GROUP BY 1)
+        SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, CAST(s AS DOUBLE) AS m2,
+               TRUE AS whitened_identity, TRUE AS eigs_desc FROM p
+        UNION ALL
+        SELECT CAST(i AS INT), -1, CAST(s AS DOUBLE), TRUE, TRUE FROM m"""
+  }
+
   /** DuckDB-runnable oracle SQL, same column names as the Spark result. */
   def oracleSql: Map[String, String] = Map(
     "q167_pagerank" -> pageRankOracleSql(3),
     "q169_zorder_key" -> zOrderOracleSql,
+    "q174_pca_whiten" -> pcaOracleSql,
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
          CAST(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(22,4)) AS DOUBLE) AS revenue

@@ -232,6 +232,99 @@ case class CosArgMaxToSet(child: Expression, cands: CandMatrix)
     copy(child = newChild)
 }
 
+/** Driver-sized affine projection model riding the plan as a reference
+  * object (the [[CandMatrix]] mechanics): out[r] = Σ_i (v[i] − mean[i])
+  * · rows[r][i], accumulated left-to-right — the per-row kernel of PCA
+  * projection / whitening. k×dim doubles ship once per task binary. */
+final class AffineMatrix(val mean: Array[Double], val rows: Array[Array[Double]])
+    extends Serializable {
+  require(rows.forall(_.length == mean.length), "row/mean dim mismatch")
+  override def hashCode(): Int =
+    java.util.Arrays.hashCode(mean) * 31 +
+      rows.map(java.util.Arrays.hashCode).toSeq.hashCode()
+  override def equals(o: Any): Boolean = o match {
+    case a: AffineMatrix =>
+      java.util.Arrays.equals(mean, a.mean) && rows.length == a.rows.length &&
+        rows.indices.forall(i => java.util.Arrays.equals(rows(i), a.rows(i)))
+    case _ => false
+  }
+}
+
+object AffineKernels {
+  def project(v: ArrayData, m: AffineMatrix): ArrayData = {
+    val k = m.rows.length
+    val out = new Array[Double](k)
+    var r = 0
+    while (r < k) {
+      val row = m.rows(r)
+      val n = java.lang.Math.min(v.numElements(), row.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += (v.getDouble(i) - m.mean(i)) * row(i); i += 1 }
+      out(r) = acc
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+object MomentKernels {
+  /** Flattened [v[0..d), upper-triangle products v[i]*v[j] (i ≤ j,
+    * row-major)] — one codegen pass builds the whole moment
+    * contribution of a row; the decimal casts and exact sums happen in
+    * the (map-side combined) aggregation layer above. */
+  def momentVector(v: ArrayData, dim: Int): ArrayData = {
+    val out = new Array[Double](dim + dim * (dim + 1) / 2)
+    var i = 0
+    while (i < dim) { out(i) = v.getDouble(i); i += 1 }
+    var k = dim
+    i = 0
+    while (i < dim) {
+      val x = v.getDouble(i)
+      var j = i
+      while (j < dim) { out(k) = x * v.getDouble(j); k += 1; j += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Per-row moment contributions [means ++ upper-triangle products] as
+  * one codegen'd array<double> — the row side of the exact
+  * second-moments pass (a column-per-moment formulation plans 2 145
+  * separate aggregates; this keeps the plan ONE generator + ONE
+  * grouped sum). */
+case class MomentVector(child: Expression, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "moment_vector"
+  override def nullSafeEval(input: Any): Any =
+    MomentKernels.momentVector(input.asInstanceOf[ArrayData], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.plans.MomentKernels.momentVector($v, $dim);")
+  override protected def withNewChildInternal(newChild: Expression): MomentVector =
+    copy(child = newChild)
+}
+
+/** Centered matrix-vector projection against a driver-sized model. */
+case class AffineProject(child: Expression, m: AffineMatrix)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "affine_project"
+  override def nullSafeEval(input: Any): Any =
+    AffineKernels.project(input.asInstanceOf[ArrayData], m)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("affine", m, classOf[AffineMatrix].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.plans.AffineKernels.project($v, $ref);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): AffineProject =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-level entry point; inputs are cast to array<double>. */
   def cosineSim(a: Column, b: Column): Column =
@@ -257,6 +350,17 @@ object VectorExpressions {
   def rpLshBucket(vec: Column, planes: Int, seed: Long = 42L): Column =
     GraftSqlBridge.column(RpLshBucket(
       GraftSqlBridge.expression(vec.cast("array<double>")), planes, seed))
+
+  /** Per-row [means ++ upper-triangle products] moment contributions. */
+  def momentVector(vec: Column, dim: Int): Column =
+    GraftSqlBridge.column(MomentVector(
+      GraftSqlBridge.expression(vec.cast("array<double>")), dim))
+
+  /** Centered projection v ↦ M(v − μ) against a driver-sized model. */
+  def affineProject(vec: Column, mean: Seq[Double], rows: Seq[Seq[Double]]): Column =
+    GraftSqlBridge.column(AffineProject(
+      GraftSqlBridge.expression(vec.cast("array<double>")),
+      new AffineMatrix(mean.toArray, rows.map(_.toArray).toArray)))
 
   /** SQL registration: `SELECT cosine_sim(a, b)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
