@@ -50,7 +50,7 @@ object Bench {
     "q165_chunk_dedup", "q166_incremental_agg", "q167_pagerank",
     "q168_kmv_overlap", "q169_zorder_key", "q170_upsample_repeat",
     "q171_leakage_safe_split", "q172_curation_funnel",
-    "q174_pca_whiten")
+    "q174_pca_whiten", "q175_merge_upsert")
 
   /** Per-query regression pins (round 9): each query's BEST recorded
     * driver median at sf0.1 across rounds 1–8. A timed median above

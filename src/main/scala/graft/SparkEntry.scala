@@ -1618,6 +1618,28 @@ object SparkEntry {
           delta, keys, measures))
     }),
 
+    // --- MERGE upsert (round 10): the Delta/Iceberg `MERGE INTO`
+    //     dataflow — a CDC change set (updates + inserts + deletes,
+    //     provably key-unique) reconciled into a base table with ONE
+    //     full-outer join. Change presence is a carried literal, not
+    //     value nullability, so a change may legitimately SET null.
+    //     The oracle replays the merge as SQL set logic. ---
+    "q175_merge_upsert" -> ((s, dir) => {
+      val cust = t(s, dir).customer.select(col("c_custkey").as("k"),
+        col("c_name").as("name"), col("c_acctbal").as("bal"))
+      val upd = cust.filter(col("k") % 7 === 0 && col("k") % 11 =!= 0)
+        .select(col("k"), upper(col("name")).as("name"),
+          (col("bal") + 1000).as("bal"), lit(false).as("del"))
+      val ins = cust.filter(col("k") % 13 === 0)
+        .select((col("k") + 1000000).as("k"),
+          concat(lit("new_"), col("k").cast("string")).as("name"),
+          lit(0.0).as("bal"), lit(false).as("del"))
+      val dels = cust.filter(col("k") % 11 === 0).withColumn("del", lit(true))
+      graft.operators.Incremental.mergeUpsert(
+        cust, upd.unionByName(ins).unionByName(dels), Seq("k"),
+        deleteCol = Some("del"))
+    }),
+
     // --- PCA whitening (round 10): the embedding-preprocessing step
     //     real ANN/PQ pipelines run (OPQ lineage). Data-sized work is
     //     ONE moment pass (2 145 DECIMAL-exact sums, map-side combined)
@@ -3574,6 +3596,28 @@ object SparkEntry {
                 CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
                 tot.n_total
          FROM tot LEFT JOIN agg USING (doc_id)""",
+
+    // MERGE upsert: the oracle replays the merge as plain SQL set
+    // logic over the same derived change set
+    "q175_merge_upsert" ->
+      """WITH base AS (
+           SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal FROM customer),
+         ch AS (
+           SELECT c_custkey AS k, upper(c_name) AS name,
+                  c_acctbal + 1000 AS bal, FALSE AS del
+           FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 0
+           UNION ALL
+           SELECT c_custkey + 1000000, 'new_' || CAST(c_custkey AS VARCHAR),
+                  0.0, FALSE
+           FROM customer WHERE c_custkey % 13 = 0
+           UNION ALL
+           SELECT c_custkey, c_name, c_acctbal, TRUE
+           FROM customer WHERE c_custkey % 11 = 0)
+         SELECT COALESCE(ch.k, base.k) AS k,
+                CASE WHEN ch.k IS NOT NULL THEN ch.name ELSE base.name END AS name,
+                CASE WHEN ch.k IS NOT NULL THEN ch.bal ELSE base.bal END AS bal
+         FROM base FULL OUTER JOIN ch ON base.k = ch.k
+         WHERE NOT COALESCE(ch.del, FALSE)""",
 
     // streaming export: the oracle recomputes the per-shard manifest
     // from the source table — the same truth q162's batch export is

@@ -96,6 +96,52 @@ object Incremental {
       measures: Seq[(String, Column)], scale: Int = 2): DataFrame =
     mergeStates(state, aggState(delta, keys, measures, scale))
 
+  /** MERGE-style upsert (the Delta/Iceberg `MERGE INTO` dataflow,
+    * expressed engine-neutrally): apply a CHANGES table to a BASE table
+    * by key — matched rows take the change's values, unmatched changes
+    * insert, unmatched base rows carry over, and changes flagged
+    * `deleteCol` remove the row. The result is what rewriting the base
+    * table would produce; pair with [[aggState]]/[[applyDelta]] when
+    * only a rollup (not the table) must be maintained.
+    *
+    * Requires the changes table to be key-unique (require'd via a
+    * bounded probe — an ambiguous MERGE source is the classic silent
+    * corruption; Delta throws `MERGE destination matched multiple
+    * source rows` for the same reason).
+    *
+    * Scale shape: ONE full-outer shuffle join on the key — the minimum
+    * any engine pays to reconcile two keyed tables; broadcastable
+    * automatically when the change set is small (the common CDC case),
+    * which AQE decides from runtime sizes. */
+  def mergeUpsert(base: DataFrame, changes: DataFrame, keys: Seq[String],
+      deleteCol: Option[String] = None): DataFrame = {
+    require(keys.nonEmpty, "at least one merge key")
+    val dataCols = base.columns.filterNot(keys.contains).toSeq
+    require(changes.columns.toSet == base.columns.toSet ++ deleteCol,
+      s"changes schema must be base schema + optional delete flag: " +
+        s"${changes.columns.mkString(",")} vs ${base.columns.mkString(",")}")
+    val dupSources = changes.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
+    require(dupSources == 0L,
+      "mergeUpsert: a key matches multiple change rows — ambiguous MERGE source")
+    // presence markers: a full-outer join nulls every column of the
+    // absent side, and a change may legitimately SET a column to null —
+    // so row presence must be a carried literal, not value nullability
+    val b = dataCols.foldLeft(base) { (d, c) => d.withColumnRenamed(c, s"__b_$c") }
+      .withColumn("__b_present", lit(true))
+    val c2 = changes.columns.filterNot(keys.contains).foldLeft(changes) {
+      (d, c) => d.withColumnRenamed(c, s"__c_$c") }
+      .withColumn("__c_present", lit(true))
+    val j = b.join(c2, keys, "full_outer")
+    val afterDelete = deleteCol match {
+      case Some(dc) => j.filter(!coalesce(col(s"__c_$dc"), lit(false)))
+      case None     => j
+    }
+    afterDelete.select(keys.map(col) ++ dataCols.map(c =>
+      when(col("__c_present").isNotNull, col(s"__c_$c"))
+        .otherwise(col(s"__b_$c")).as(c)): _*)
+  }
+
   /** User-facing aggregates from a state: cnt plus, per measure m,
     * sum_m (double, from the exact decimal), avg_m (double, exact-sum /
     * count), min_m, max_m. Groups whose measure count is 0 surface NULL

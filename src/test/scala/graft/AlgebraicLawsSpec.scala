@@ -135,6 +135,39 @@ class AlgebraicLawsSpec extends SparkSpec {
     assert(out("c") == (("c", 1L, None, None, None, None)))
   }
 
+  test("mergeUpsert: update/insert/delete semantics, null-SET, ambiguous source refused") {
+    import graft.operators.Incremental
+    val base = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0), (3L, Some("c"), 30.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq(
+      (2L, Some("B"), 22.0, false),   // update
+      (4L, Some("d"), 40.0, false),   // insert
+      (3L, Some("c"), 30.0, true),    // delete
+      (1L, None: Option[String], 11.0, false) // update that SETS name to null
+    ).toDF("k", "name", "bal", "del")
+    val out = Incremental.mergeUpsert(base, changes, Seq("k"), Some("del"))
+      .as[(Long, Option[String], Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 3)
+    assert(out(1L) == ((1L, None, 11.0)), "a change may SET a column to null")
+    assert(out(2L) == ((2L, Some("B"), 22.0)))
+    assert(out(4L) == ((4L, Some("d"), 40.0)))
+    assert(!out.contains(3L), "deleted key must vanish")
+    // no delete column: pure upsert keeps every key
+    val up = Incremental.mergeUpsert(base, changes.drop("del"), Seq("k"), None)
+    assert(up.count() == 4)
+    // ambiguous source: two change rows for one key must be refused
+    val dup = Seq((2L, Some("x"), 1.0, false), (2L, Some("y"), 2.0, false))
+      .toDF("k", "name", "bal", "del")
+    intercept[IllegalArgumentException] {
+      Incremental.mergeUpsert(base, dup, Seq("k"), Some("del"))
+    }
+    // schema drift refused
+    intercept[IllegalArgumentException] {
+      Incremental.mergeUpsert(base, changes.withColumnRenamed("bal", "amt"),
+        Seq("k"), Some("del"))
+    }
+  }
+
   test("Incremental: finalize(incremental) == finalize(full) on the real table") {
     import graft.operators.Incremental
     val li = tables.lineitem
