@@ -241,6 +241,51 @@ class PlanSpec extends SparkSpec {
       tree.take(2000))
   }
 
+  test("q165: passage keeper election is a partial-aggregated MIN, not a ranking window") {
+    val p = planOf("q165_chunk_dedup")
+    // combiner shape: a boilerplate passage collapses map-side
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("RunningWindowFunction") && !p.contains("row_number"),
+      "keeper election must not move every occurrence to a reducer before ranking")
+  }
+
+  test("q169: the Morton key is pure codegen'd built-ins — no UDF anywhere") {
+    val p = planOf("q169_zorder_key")
+    // formatted mode marks whole-stage-codegen nodes with a '*' prefix
+    assert(p.contains("* Project"), p.take(2000))
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p.take(2000))
+    // scan pruning: only the three needed columns are read
+    assert(!p.contains("l_comment") && !p.contains("l_shipdate"))
+  }
+
+  test("q170/q171: mix mechanics are shuffle-free per-row passes") {
+    for (q <- Seq("q170_upsample_repeat", "q171_leakage_safe_split")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n${p.take(2000)}")
+      assert(!p.contains("ScalaUDF"), p.take(2000))
+    }
+  }
+
+  test("q174: projection rides the affine_project codegen kernel") {
+    import graft.operators.Linalg
+    val emb = tables.embeddings
+    val (white, _) = Linalg.pcaWhiten(emb, "vec_id", "embedding", 64, 8)
+    val p = white.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("affine_project"), p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+  }
+
+  test("q175: merge is ONE join; the ambiguity probe aggregates partially") {
+    // executedPlan.toString: one line per node (formatted mode lists
+    // each node twice — tree + detail — and would double-count)
+    val tree = SparkEntry.queries("q175_merge_upsert")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val joins = "SortMergeJoin".r.findAllIn(tree).size +
+      "BroadcastHashJoin".r.findAllIn(tree).size +
+      "ShuffledHashJoin".r.findAllIn(tree).size
+    assert(joins == 1, s"expected exactly one reconciliation join, saw $joins:\n${tree.take(2000)}")
+  }
+
   test("every oracle key has a query; names are well-formed") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
