@@ -1640,6 +1640,31 @@ object SparkEntry {
         deleteCol = Some("del"))
     }),
 
+    // --- SCD Type 2 history (round 10): the dimension-table versioning
+    //     discipline — a change batch at time T closes genuinely
+    //     changed current versions and opens new ones; attribute-equal
+    //     changes are no-ops (no spurious versions); closed history
+    //     passes through untouched (never joined — at 100 TB the
+    //     history dwarfs the current slice). Oracle replays close/open/
+    //     no-op set logic with IS DISTINCT FROM. ---
+    "q176_scd2_history" -> ((s, dir) => {
+      val cust = t(s, dir).customer.select(col("c_custkey").as("k"),
+        col("c_name").as("name"), col("c_acctbal").as("bal"))
+      val hist = cust
+        .withColumn("valid_from", lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+      val upd = cust.filter(col("k") % 7 === 0)
+        .select(col("k"), upper(col("name")).as("name"), (col("bal") + 1000).as("bal"))
+      val noop = cust.filter(col("k") % 5 === 0 && col("k") % 7 =!= 0)
+      val ins = cust.filter(col("k") % 13 === 0)
+        .select((col("k") + 1000000).as("k"),
+          concat(lit("new_"), col("k").cast("string")).as("name"),
+          lit(0.0).as("bal"))
+      graft.operators.Incremental.scd2Apply(hist,
+        upd.unionByName(noop).unionByName(ins), Seq("k"),
+        java.sql.Timestamp.valueOf("2021-06-01 00:00:00"))
+    }),
+
     // --- PCA whitening (round 10): the embedding-preprocessing step
     //     real ANN/PQ pipelines run (OPQ lineage). Data-sized work is
     //     ONE moment pass (2 145 DECIMAL-exact sums, map-side combined)
@@ -3596,6 +3621,38 @@ object SparkEntry {
                 CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
                 tot.n_total
          FROM tot LEFT JOIN agg USING (doc_id)""",
+
+    // SCD2: the oracle replays close/open/no-op with IS DISTINCT FROM
+    "q176_scd2_history" ->
+      """WITH cur AS (
+           SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal,
+                  TIMESTAMP '2020-01-01 00:00:00' AS valid_from
+           FROM customer),
+         ch AS (
+           SELECT c_custkey AS k, upper(c_name) AS name, c_acctbal + 1000 AS bal
+           FROM customer WHERE c_custkey % 7 = 0
+           UNION ALL
+           SELECT c_custkey, c_name, c_acctbal
+           FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 7 <> 0
+           UNION ALL
+           SELECT c_custkey + 1000000, 'new_' || CAST(c_custkey AS VARCHAR), 0.0
+           FROM customer WHERE c_custkey % 13 = 0),
+         j AS (
+           SELECT cur.k AS bk, cur.name AS bname, cur.bal AS bbal, cur.valid_from,
+                  ch.k AS ck, ch.name AS cname, ch.bal AS cbal
+           FROM cur FULL OUTER JOIN ch ON cur.k = ch.k)
+         SELECT bk AS k, bname AS name, bbal AS bal, valid_from,
+                CASE WHEN ck IS NOT NULL AND (bname IS DISTINCT FROM cname
+                                              OR bbal IS DISTINCT FROM cbal)
+                     THEN TIMESTAMP '2021-06-01 00:00:00'
+                     ELSE NULL END AS valid_to
+         FROM j WHERE bk IS NOT NULL
+         UNION ALL
+         SELECT ck, cname, cbal, TIMESTAMP '2021-06-01 00:00:00',
+                CAST(NULL AS TIMESTAMP)
+         FROM j WHERE ck IS NOT NULL
+           AND (bk IS NULL OR bname IS DISTINCT FROM cname
+                OR bbal IS DISTINCT FROM cbal)""",
 
     // MERGE upsert: the oracle replays the merge as plain SQL set
     // logic over the same derived change set

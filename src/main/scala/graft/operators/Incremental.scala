@@ -142,6 +142,60 @@ object Incremental {
         .otherwise(col(s"__b_$c")).as(c)): _*)
   }
 
+  /** SCD Type 2 history maintenance — the dimension-table discipline
+    * that keeps EVERY version of a row with its validity interval
+    * (Kimball's slowly-changing-dimension type 2): applying a change
+    * batch at time T closes the current version of each genuinely
+    * changed key (valid_to = T) and opens a new version
+    * (valid_from = T, valid_to = NULL); a change whose attributes
+    * equal the current version is a no-op (no spurious versions).
+    * New keys open their first version.
+    *
+    * `hist` schema: keys ++ attrs ++ (valid_from TIMESTAMP,
+    * valid_to TIMESTAMP nullable — NULL marks the current version).
+    * `changes`: keys ++ attrs, key-unique (require'd, bounded probe),
+    * all applied at one `asOf` timestamp — the batch-CDC shape.
+    * Attribute comparison is NULL-SAFE (a change from NULL to value
+    * and value to NULL are both real changes).
+    *
+    * Scale shape: closed history passes through UNTOUCHED (never
+    * joined, never shuffled — at 100 TB the history dwarfs the current
+    * slice); one outer join of the CURRENT slice against the change
+    * batch decides closes/opens/no-ops. */
+  def scd2Apply(hist: DataFrame, changes: DataFrame, keys: Seq[String],
+      asOf: java.sql.Timestamp): DataFrame = {
+    require(keys.nonEmpty, "at least one key")
+    val attrs = hist.columns.filterNot(c =>
+      keys.contains(c) || c == "valid_from" || c == "valid_to").toSeq
+    require(hist.columns.contains("valid_from") && hist.columns.contains("valid_to"),
+      "hist must carry valid_from/valid_to")
+    require(changes.columns.toSet == (keys ++ attrs).toSet,
+      s"changes must be keys ++ attrs: ${changes.columns.mkString(",")}")
+    val dup = changes.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).count()
+    require(dup == 0L, "scd2Apply: ambiguous change batch (duplicate key)")
+
+    val closed = hist.filter(col("valid_to").isNotNull)
+    val current = hist.filter(col("valid_to").isNull)
+    val ch = attrs.foldLeft(changes) { (d, c) => d.withColumnRenamed(c, s"__c_$c") }
+      .withColumn("__c_present", lit(true))
+    val j = current.join(ch, keys, "full_outer")
+    val differs = attrs.map(c => !(col(c) <=> col(s"__c_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val isUpdate = col("__c_present").isNotNull && col("valid_from").isNotNull && differs
+    val isInsert = col("__c_present").isNotNull && col("valid_from").isNull
+    // current rows: closed if updated, untouched otherwise
+    val keptOrClosed = j.filter(col("valid_from").isNotNull)
+      .select(keys.map(col) ++ attrs.map(col) :+ col("valid_from") :+
+        when(isUpdate, lit(asOf)).otherwise(col("valid_to")).as("valid_to"): _*)
+    // new versions: updates with changed attrs + brand-new keys
+    val opened = j.filter(isUpdate || isInsert)
+      .select(keys.map(col) ++ attrs.map(c => col(s"__c_$c").as(c)) :+
+        lit(asOf).as("valid_from") :+
+        lit(null).cast("timestamp").as("valid_to"): _*)
+    closed.unionByName(keptOrClosed).unionByName(opened)
+  }
+
   /** User-facing aggregates from a state: cnt plus, per measure m,
     * sum_m (double, from the exact decimal), avg_m (double, exact-sum /
     * count), min_m, max_m. Groups whose measure count is 0 surface NULL

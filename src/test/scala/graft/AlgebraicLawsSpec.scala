@@ -168,6 +168,54 @@ class AlgebraicLawsSpec extends SparkSpec {
     }
   }
 
+  test("scd2Apply: close/open/no-op semantics; version chains stay contiguous") {
+    import graft.operators.Incremental
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val t0 = ts("2020-01-01 00:00:00"); val t1 = ts("2021-01-01 00:00:00")
+    val t2 = ts("2022-01-01 00:00:00")
+    val hist0 = Seq(
+      (1L, Some("a"), t0, None: Option[java.sql.Timestamp]),
+      (2L, Some("b"), t0, None),
+      (3L, None: Option[String], t0, None) // current attr is NULL
+    ).toDF("k", "name", "valid_from", "valid_to")
+    val ch1 = Seq(
+      (1L, Some("A")),  // real update
+      (2L, Some("b")),  // no-op: attrs equal -> no new version
+      (3L, Some("c")),  // NULL -> value is a REAL change (null-safe compare)
+      (4L, Some("d"))   // brand-new key
+    ).toDF("k", "name")
+    val h1 = Incremental.scd2Apply(hist0, ch1, Seq("k"), t1).cache()
+    val cur = h1.filter($"valid_to".isNull)
+      .as[(Long, Option[String], java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(cur(1L)._2 == Some("A") && cur(1L)._3 == t1)
+    assert(cur(2L)._2 == Some("b") && cur(2L)._3 == t0, "no-op must not version")
+    assert(cur(3L)._2 == Some("c") && cur(3L)._3 == t1, "NULL->value is a change")
+    assert(cur(4L)._2 == Some("d") && cur(4L)._3 == t1)
+    // closed versions carry the close timestamp
+    val closed = h1.filter($"valid_to".isNotNull)
+      .as[(Long, Option[String], java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect()
+    assert(closed.map(_._1).sorted.toSeq == Seq(1L, 3L))
+    assert(closed.forall(r => r._4 == Some(t1)))
+    // second application: chains stay contiguous, closed history untouched
+    val ch2 = Seq((1L, Some("AA"))).toDF("k", "name")
+    val h2 = Incremental.scd2Apply(h1, ch2, Seq("k"), t2)
+    val k1 = h2.filter($"k" === 1L)
+      .as[(Long, Option[String], java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().sortBy(_._3.getTime)
+    assert(k1.map(_._2).toSeq == Seq(Some("a"), Some("A"), Some("AA")))
+    assert(k1.map(_._3).toSeq == Seq(t0, t1, t2))
+    assert(k1.map(_._4).toSeq == Seq(Some(t1), Some(t2), None),
+      "validity intervals must chain without gaps")
+    // ambiguous batch refused
+    intercept[IllegalArgumentException] {
+      Incremental.scd2Apply(h1, Seq((1L, Some("x")), (1L, Some("y"))).toDF("k", "name"),
+        Seq("k"), t2)
+    }
+    h1.unpersist()
+  }
+
   test("Incremental: finalize(incremental) == finalize(full) on the real table") {
     import graft.operators.Incremental
     val li = tables.lineitem
