@@ -1640,6 +1640,28 @@ object SparkEntry {
         deleteCol = Some("del"))
     }),
 
+    // --- Data-quality constraint suite (round 10): the Deequ-style
+    //     validation gate a pipeline runs before promoting a snapshot.
+    //     ALL six row-local checks fold into ONE aggregate over ONE
+    //     scan (map-side combined); each Unique costs one shuffle on
+    //     its key set; RefIntegrity is one anti-join against DISTINCT
+    //     reference keys. Mixed pass/fail statuses by construction
+    //     (the in_range bound and the l_suppkey uniqueness fail). ---
+    "q177_dq_report" -> ((s, dir) => {
+      val tt = t(s, dir)
+      import graft.operators.DataQuality._
+      graft.operators.DataQuality.report(tt.lineitem, Seq(
+        NotNull("l_orderkey"),
+        Completeness("l_shipdate", 0.999),
+        InRange("l_discount", 0.0, 0.05),
+        AcceptedValues("l_returnflag", Seq("A", "N", "R")),
+        MatchesRatio("l_linestatus", "^[OF]$", 1.0),
+        MinRowCount(1000L),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        Unique(Seq("l_suppkey")),
+        RefIntegrity("l_orderkey", tt.orders, "o_orderkey")))
+    }),
+
     // --- SCD Type 2 history (round 10): the dimension-table versioning
     //     discipline — a change batch at time T closes genuinely
     //     changed current versions and opens new ones; attribute-equal
@@ -3621,6 +3643,60 @@ object SparkEntry {
                 CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
                 tot.n_total
          FROM tot LEFT JOIN agg USING (doc_id)""",
+
+    // DQ suite: every check replayed as an independent SQL aggregate
+    "q177_dq_report" ->
+      """SELECT 'not_null' AS check_name, 'l_orderkey' AS target,
+                CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS observed,
+                CAST(0.0 AS DOUBLE) AS threshold,
+                SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+         FROM lineitem
+         UNION ALL
+         SELECT 'completeness', 'l_shipdate',
+                CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*),
+                CAST(0.999 AS DOUBLE),
+                CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) >= 0.999
+         FROM lineitem
+         UNION ALL
+         SELECT 'in_range', 'l_discount',
+                CAST(SUM(CASE WHEN l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.05 THEN 1 ELSE 0 END) AS DOUBLE),
+                CAST(0.0 AS DOUBLE),
+                SUM(CASE WHEN l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.05 THEN 1 ELSE 0 END) = 0
+         FROM lineitem
+         UNION ALL
+         SELECT 'accepted_values', 'l_returnflag',
+                CAST(SUM(CASE WHEN l_returnflag IS NULL OR l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS DOUBLE),
+                CAST(0.0 AS DOUBLE),
+                SUM(CASE WHEN l_returnflag IS NULL OR l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) = 0
+         FROM lineitem
+         UNION ALL
+         SELECT 'matches_ratio', 'l_linestatus',
+                CAST(SUM(CASE WHEN regexp_matches(l_linestatus, '^[OF]$') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*),
+                CAST(1.0 AS DOUBLE),
+                CAST(SUM(CASE WHEN regexp_matches(l_linestatus, '^[OF]$') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) >= 1.0
+         FROM lineitem
+         UNION ALL
+         SELECT 'min_row_count', '*', CAST(COUNT(*) AS DOUBLE),
+                CAST(1000.0 AS DOUBLE), COUNT(*) >= 1000
+         FROM lineitem
+         UNION ALL
+         SELECT 'unique', 'l_orderkey,l_linenumber',
+                CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END), 0) AS DOUBLE),
+                CAST(0.0 AS DOUBLE),
+                COALESCE(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END), 0) = 0
+         FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
+         UNION ALL
+         SELECT 'unique', 'l_suppkey',
+                CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END), 0) AS DOUBLE),
+                CAST(0.0 AS DOUBLE),
+                COALESCE(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END), 0) = 0
+         FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_suppkey)
+         UNION ALL
+         SELECT 'ref_integrity', 'l_orderkey', CAST(COUNT(*) AS DOUBLE),
+                CAST(0.0 AS DOUBLE), COUNT(*) = 0
+         FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+           ON l.l_orderkey = o.o_orderkey
+         WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL""",
 
     // SCD2: the oracle replays close/open/no-op with IS DISTINCT FROM
     "q176_scd2_history" ->

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint suite — the Deequ-style
+  * validation gate a production pipeline runs before promoting a
+  * snapshot (SURVEY.md §7.1's curation discipline applied to table
+  * contracts; Schelter et al., "Automating Large-Scale Data Quality
+  * Verification", VLDB 2018, describes the public pattern).
+  *
+  * A suite is a list of [[Check]]s; [[report]] evaluates ALL of them
+  * and returns one row per check: (check_name, target, observed,
+  * threshold, passed). The report is a DataFrame — nothing is
+  * collected; callers gate on `passed` however they like.
+  *
+  * Scale shape (the whole point at 100 TB):
+  *   - every ROW-LOCAL check (not_null, completeness, in_range,
+  *     accepted_values, matches_ratio, min_row_count) folds into ONE
+  *     aggregate over ONE scan — adding a 20th check costs zero extra
+  *     passes, and the aggregate is map-side combined (one partial row
+  *     per task, regardless of input size);
+  *   - each [[Unique]] costs exactly one shuffle on its key set (the
+  *     excess-row count is an aggregate over the grouped counts —
+  *     never a self-join);
+  *   - each [[RefIntegrity]] is one LEFT ANTI join against the
+  *     DISTINCT reference keys (broadcastable for dimension-sized
+  *     refs; AQE picks the strategy) feeding a count — orphans are
+  *     counted, never materialized.
+  *
+  * NULL semantics, fixed and documented (q172's fail-closed rule):
+  * in_range / accepted_values / matches_ratio count NULL as a
+  * violation (a row that cannot prove compliance fails); not_null
+  * counts them by definition; ref_integrity follows SQL FK semantics
+  * (NULL foreign keys vacuously pass). Ratios on an EMPTY input are
+  * vacuously 1.0 (and counts 0), so an empty partition can never flip
+  * a green suite.
+  */
+object DataQuality {
+
+  sealed trait Check
+
+  /** Zero NULLs allowed in `col`. */
+  final case class NotNull(col: String) extends Check
+  /** non-NULL fraction of `col` must be >= minRatio. */
+  final case class Completeness(col: String, minRatio: Double) extends Check
+  /** Every value in [lo, hi]; NULL is a violation. */
+  final case class InRange(col: String, lo: Double, hi: Double) extends Check
+  /** Every value in `vals`; NULL is a violation. */
+  final case class AcceptedValues(col: String, vals: Seq[String]) extends Check
+  /** Fraction of rows fully matching `regex` must be >= minRatio;
+    * NULL does not match. Keep the pattern in the common Java/RE2
+    * subset — the oracle replays it in another engine. */
+  final case class MatchesRatio(col: String, regex: String, minRatio: Double)
+      extends Check
+  /** Total row count must be >= n. */
+  final case class MinRowCount(n: Long) extends Check
+  /** Key-set uniqueness; observed = number of EXCESS rows
+    * (sum over duplicated keys of count-1). NULLs group as values. */
+  final case class Unique(cols: Seq[String]) extends Check
+  /** Every non-NULL `col` value exists in ref.refCol (FK check);
+    * observed = orphan ROW count. */
+  final case class RefIntegrity(col: String, ref: DataFrame, refCol: String)
+      extends Check
+
+  private def resultRow(name: String, target: String, observed: Column,
+      threshold: Double, passed: Column): Column =
+    struct(lit(name).as("check_name"), lit(target).as("target"),
+      observed.cast("double").as("observed"),
+      lit(threshold).cast("double").as("threshold"), passed.as("passed"))
+
+  /** Evaluate the suite; one report row per check. */
+  def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "empty check suite")
+    val rowLocal = checks.filter {
+      case _: Unique | _: RefIntegrity => false
+      case _ => true
+    }
+    // --- pass 1: every row-local check in ONE aggregate ---
+    val local: Option[DataFrame] = if (rowLocal.isEmpty) None else Some {
+      val total = count(lit(1))
+      // coalesce: SUM over an EMPTY input is NULL, and a NULL observed
+      // would make `passed` NULL too — an empty partition must read as
+      // zero violations, not an indeterminate report row
+      def viol(c: Column) = coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+      // ratio with empty-input = vacuous pass
+      def ratio(compliant: Column) =
+        when(total === 0L, lit(1.0)).otherwise(compliant.cast("double") / total)
+      val structs = rowLocal.map {
+        case NotNull(c) =>
+          val v = viol(col(c).isNull)
+          resultRow("not_null", c, v, 0.0, v === 0L)
+        case Completeness(c, m) =>
+          val r = ratio(sum(when(col(c).isNotNull, 1L).otherwise(0L)))
+          resultRow("completeness", c, r, m, r >= m)
+        case InRange(c, lo, hi) =>
+          val v = viol(col(c).isNull || col(c) < lo || col(c) > hi)
+          resultRow("in_range", c, v, 0.0, v === 0L)
+        case AcceptedValues(c, vals) =>
+          val v = viol(!col(c).isin(vals: _*) || col(c).isNull)
+          resultRow("accepted_values", c, v, 0.0, v === 0L)
+        case MatchesRatio(c, re, m) =>
+          val r = ratio(sum(when(col(c).rlike(re), 1L).otherwise(0L)))
+          resultRow("matches_ratio", c, r, m, r >= m)
+        case MinRowCount(n) =>
+          resultRow("min_row_count", "*", total, n.toDouble, total >= n)
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+      df.agg(array(structs: _*).as("rows"))
+        .select(explode(col("rows")).as("r")).select(col("r.*"))
+    }
+    // --- one grouped pass per distinct Unique key set ---
+    val uniques = checks.collect { case Unique(cols) =>
+      require(cols.nonEmpty, "Unique needs at least one column")
+      val excess = coalesce(
+        sum(when(col("__n") > 1L, col("__n") - 1L).otherwise(0L)), lit(0L))
+      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
+        .agg(excess.as("observed"))
+        .select(resultRow("unique", cols.mkString(","), col("observed"), 0.0,
+          col("observed") === 0L).as("r"))
+        .select(col("r.*"))
+    }
+    // --- one anti-join pass per RefIntegrity ---
+    val refs = checks.collect { case RefIntegrity(c, ref, rc) =>
+      val orphans = df.select(col(c)).filter(col(c).isNotNull)
+        .join(ref.select(col(rc).as(c)).distinct(), Seq(c), "left_anti")
+        .agg(count(lit(1)).as("observed"))
+      orphans.select(resultRow("ref_integrity", c, col("observed"), 0.0,
+        col("observed") === 0L).as("r")).select(col("r.*"))
+    }
+    (local.toSeq ++ uniques ++ refs).reduce(_ unionByName _)
+  }
+}
