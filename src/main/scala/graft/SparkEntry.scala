@@ -1640,6 +1640,17 @@ object SparkEntry {
         deleteCol = Some("del"))
     }),
 
+    // --- PPS systematic sampling (round 10): size-proportional doc
+    //     selection in pure INTEGER arithmetic — bit-replayable from
+    //     (seed, offset, step), no IEEE pow/log keys to diverge on.
+    //     Engine: sharded prefix sums (parallelism = 256 shards);
+    //     oracle: the serial single-window formulation — the two
+    //     running-sum dataflows check each other. ---
+    "q178_pps_sample" -> ((s, dir) =>
+      graft.operators.TrainingPipeline.ppsSystematicSample(
+        t(s, dir).documents, "doc_id", "n_chars",
+        step = 3000L, offset = 7L)),
+
     // --- Data-quality constraint suite (round 10): the Deequ-style
     //     validation gate a pipeline runs before promoting a snapshot.
     //     ALL six row-local checks fold into ONE aggregate over ONE
@@ -3643,6 +3654,23 @@ object SparkEntry {
                 CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
                 tot.n_total
          FROM tot LEFT JOIN agg USING (doc_id)""",
+
+    // PPS sampling: oracle replays the SERIAL one-window prefix sum
+    // against the engine's sharded two-pass formulation
+    "q178_pps_sample" ->
+      """WITH w AS (
+           SELECT doc_id, COALESCE(n_chars, 0) AS wt,
+                  md5('42|' || CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         c AS (
+           SELECT doc_id, wt,
+                  CAST(SUM(wt) OVER (ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM w)
+         SELECT doc_id, wt AS weight, cum AS cum_weight,
+                CAST(((cum - 7 + 3000) // 3000) - ((cum - wt - 7 + 3000) // 3000) AS BIGINT) AS mult
+         FROM c
+         WHERE ((cum - 7 + 3000) // 3000) - ((cum - wt - 7 + 3000) // 3000) >= 1""",
 
     // DQ suite: every check replayed as an independent SQL aggregate
     "q177_dq_report" ->

@@ -422,6 +422,83 @@ object TrainingPipeline {
         col("__cum").as("cum_tokens"))
   }
 
+  /** Probability-proportional-to-size SYSTEMATIC sampling — the exact,
+    * replayable way to draw "a size-proportional sample of k docs"
+    * (survey-sampling's classic PPS systematic design, Madow 1949):
+    * walk the corpus in deterministic md5(seed|id) order, accumulate
+    * integer weights, and select every row whose cumulative interval
+    * (cum-w, cum] contains a sampling point {offset, offset+step, …}.
+    * Selection probability is exactly weight/step (for weight < step);
+    * a row with weight >= step is selected with multiplicity
+    * `mult` >= 1 — reported, never silently collapsed.
+    *
+    * Everything is INTEGER arithmetic on longs (div = floor on the
+    * non-negative shifted terms), so the draw is bit-replayable by any
+    * engine from (seed, offset, step) alone — no IEEE pow/log ordering
+    * to diverge on, unlike Efraimidis–Spirakis exponential keys.
+    *
+    * Scale shape: the running sum is the q150 rankBy trick — md5-RANGE
+    * shards (top 16 hash bits collapsed to [0, shards)), per-shard
+    * masses driver-prefix-summed into offsets, window per SHARD — so
+    * parallelism = shards, never 1. One narrow localCheckpoint'd
+    * projection; weights are probed non-negative (bounded limit-1
+    * probe; a negative weight would silently corrupt every cum after
+    * it, the same refuse-don't-fake rule as mergeUpsert ambiguity).
+    *
+    * NULL weights count as 0: the row occupies its order position but
+    * can never straddle a sampling point. */
+  def ppsSystematicSample(docs: DataFrame, idCol: String, weightCol: String,
+      step: Long, offset: Long, seed: Int = 42,
+      shards: Int = 256): DataFrame = {
+    require(step >= 1, s"step must be >= 1, got $step")
+    require(offset >= 1 && offset <= step,
+      s"offset must be in [1, step], got $offset")
+    require(shards >= 1 && shards <= 65536,
+      s"shards must be in [1, 65536], got $shards")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val spark = docs.sparkSession
+    val h = md5(concat_ws("|", lit(seed), col(idCol)))
+    val narrow = docs.select(col(idCol),
+        coalesce(col(weightCol).cast("long"), lit(0L)).as("__w"),
+        h.as("__h"))
+      .withColumn("__shard",
+        (conv(substring(col("__h"), 1, 4), 16, 10).cast("long") *
+          shards / 65536L).cast("int"))
+      .localCheckpoint()
+    val neg = narrow.filter(col("__w") < 0L).limit(1).count()
+    require(neg == 0L, "ppsSystematicSample: negative weight — cumulative " +
+      "intervals would be non-monotone; clean the weight column first")
+    val masses = narrow.groupBy(col("__shard"))
+      .agg(coalesce(sum(col("__w")), lit(0L)).as("__mass")).collect()
+    val offRows: java.util.List[org.apache.spark.sql.Row] = {
+      val l = new java.util.ArrayList[org.apache.spark.sql.Row](masses.length)
+      var off = 0L
+      masses.sortBy(_.getInt(0)).foreach { r =>
+        l.add(org.apache.spark.sql.Row(r.getInt(0), off))
+        off += r.getLong(1)
+      }
+      l
+    }
+    val offsets = spark.createDataFrame(offRows, StructType(Seq(
+      StructField("__shard", IntegerType, nullable = false),
+      StructField("__off", LongType, nullable = false))))
+    val wShard = Window.partitionBy(col("__shard"))
+      .orderBy(col("__h"), col(idCol))
+    narrow.join(broadcast(offsets), Seq("__shard"))
+      .withColumn("__cum", col("__off") + sum(col("__w")).over(wShard))
+      // points in (cum-w, cum]: floor((cum-offset+step)/step) -
+      // floor((cum-w-offset+step)/step); the +step shift keeps both
+      // numerators non-negative so truncating div == floor in every
+      // engine
+      .withColumn("mult", expr(
+        s"((__cum - $offset + $step) div $step) - " +
+        s"((__cum - __w - $offset + $step) div $step)"))
+      .filter(col("mult") >= 1L)
+      .select(col(idCol), col("__w").as("weight"),
+        col("__cum").as("cum_weight"), col("mult"))
+  }
+
   def epochShuffle(docs: DataFrame, idCol: String, seed: Int): DataFrame = {
     val keyed = docs.withColumn("__shuffle_key",
       md5(concat_ws(":", lit(seed), col(idCol))))

@@ -527,4 +527,53 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(again.exceptAll(out).isEmpty && out.exceptAll(again).isEmpty)
     perDoc.unpersist(); out.unpersist()
   }
+
+  test("ppsSystematicSample: equals the serial walk; mult for heavy rows; invariances") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // weights incl. a zero, a null, and one row HEAVIER than step
+    val rows = (1L to 40L).map { i =>
+      val w: java.lang.Long =
+        if (i == 7L) null
+        else if (i == 13L) 0L
+        else if (i == 21L) 250L // > step -> mult >= 2
+        else (i % 9) + 1L
+      (i, w)
+    }
+    val docs = rows.toDF("doc_id", "wt")
+    val step = 100L; val off = 17L
+    val out = TrainingPipeline.ppsSystematicSample(
+        docs, "doc_id", "wt", step, off)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // serial reference walk in plain Scala
+    val ordered = rows.map { case (i, w) =>
+      (i, Option(w).map(_.longValue).getOrElse(0L)) }
+      .sortBy { case (i, _) => (md5hex(s"42|$i"), i) }
+    var cum = 0L
+    val expected = ordered.flatMap { case (i, w) =>
+      val lo = cum; cum += w
+      val m = (cum - off + step) / step - (lo - off + step) / step
+      if (m >= 1) Some((i, w, cum, m)) else None
+    }.sortBy(_._1)
+    assert(out.toSeq == expected,
+      s"sharded engine walk must equal the serial reference")
+    // total multiplicity = number of sampling points under the mass
+    val totalW = ordered.map(_._2).sum
+    val points = if (totalW >= off) (totalW - off) / step + 1 else 0L
+    assert(out.map(_._4).sum == points)
+    assert(out.exists(_._4 >= 2), "the 250-weight row must be multi-selected")
+    assert(!out.exists(_._1 == 7L) && !out.exists(_._1 == 13L),
+      "null/zero weights can never straddle a sampling point")
+    // shard-count and partitioning invariance
+    val s1 = TrainingPipeline.ppsSystematicSample(
+        docs.repartition(7), "doc_id", "wt", step, off, shards = 1)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(s1.toSeq == out.toSeq, "shards=1 vs shards=256 must agree exactly")
+    // negative weight refused
+    intercept[IllegalArgumentException] {
+      TrainingPipeline.ppsSystematicSample(
+        Seq((1L, -5L), (2L, 3L)).toDF("doc_id", "wt"), "doc_id", "wt", 10L, 1L)
+    }
+  }
 }
