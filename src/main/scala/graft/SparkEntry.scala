@@ -1640,6 +1640,85 @@ object SparkEntry {
         deleteCol = Some("del"))
     }),
 
+    // --- Streaming SCD2 maintenance (round 10): CDC chunks stream in
+    //     (one as_of per micro-batch) and fold into a versioned
+    //     dimension history exactly once — the run replays two staged
+    //     chunks with a RESTART between them plus a no-new-data rerun,
+    //     and require()s idempotence and (k, valid_from) uniqueness.
+    //     Oracle: the two applications chained as SQL set logic (the
+    //     one-oracle-two-dataflows discipline, q173/q176 lineage). ---
+    "q180_stream_scd2" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_q180_").toString
+      val src = s"$tmp/src"; val snap = s"$tmp/snap"; val ckpt = s"$tmp/ckpt"
+      val cust = t(s, dir).customer.select(col("c_custkey").as("k"),
+        col("c_name").as("name"), col("c_acctbal").as("bal"))
+      val ts1 = java.sql.Timestamp.valueOf("2021-06-01 00:00:00")
+      val ts2 = java.sql.Timestamp.valueOf("2022-06-01 00:00:00")
+      val hist0 = cust
+        .withColumn("valid_from", lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+      val ch1 = cust.filter(col("k") % 7 === 0)
+        .select(col("k"), upper(col("name")).as("name"), (col("bal") + 1000).as("bal"))
+        .unionByName(cust.filter(col("k") % 5 === 0 && col("k") % 7 =!= 0))
+        .unionByName(cust.filter(col("k") % 13 === 0)
+          .select((col("k") + 1000000).as("k"),
+            concat(lit("new_"), col("k").cast("string")).as("name"),
+            lit(0.0).as("bal")))
+        .withColumn("as_of", lit(ts1))
+      val ch2 = cust.filter(col("k") % 3 === 0)
+        .select(col("k"), concat(col("name"), lit("!")).as("name"),
+          (col("bal") - 50).as("bal"))
+        .unionByName(cust.filter(col("k") % 11 === 0 &&
+          col("k") % 3 =!= 0 && col("k") % 7 =!= 0))
+        .withColumn("as_of", lit(ts2))
+      val ss = graft.streaming.EventsStreaming.replaySession(s)
+      ch1.coalesce(1).write.mode("append").parquet(src)
+      graft.streaming.CurationStreaming.scd2Stream(
+        ss, src, snap, ckpt, Seq("k"), hist0, ch1.schema)
+      // chunk 2 lands; RESTART from the same checkpoint
+      ch2.coalesce(1).write.mode("append").parquet(src)
+      graft.streaming.CurationStreaming.scd2Stream(
+        ss, src, snap, ckpt, Seq("k"), hist0, ch1.schema)
+      def probe(df: DataFrame) = df.agg(count(lit(1)),
+        sum(crc32(concat_ws("|", col("k"), col("name"), col("bal"),
+          col("valid_from").cast("string"),
+          coalesce(col("valid_to").cast("string"), lit("null")))))).collect().toSeq
+      val p1 = probe(graft.streaming.CurationStreaming.scd2Latest(s, snap))
+      // idempotence probe: nothing new to process -> history unchanged
+      graft.streaming.CurationStreaming.scd2Stream(
+        ss, src, snap, ckpt, Seq("k"), hist0, ch1.schema)
+      val hist = graft.streaming.CurationStreaming.scd2Latest(s, snap)
+      require(probe(hist) == p1, "q180: a no-new-data re-run changed the history")
+      val dup = hist.groupBy(col("k"), col("valid_from")).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dup == 0L, "q180: exactly-once violated — a version applied twice")
+      hist
+    }),
+
+    // --- Small-file compaction (round 10): the OPTIMIZE rewrite — the
+    //     corpus is first fragmented into 64 small files, then
+    //     bin-packed back into target-sized files. compact() itself
+    //     require()s the receipts (every planned bin = exactly ONE
+    //     output file); the emitted rows are per-lang content stats of
+    //     the COMPACTED table, which the oracle recomputes from the
+    //     SOURCE — a hash match proves the rewrite lost/duplicated
+    //     nothing (q173's require-plus-content-oracle pattern). ---
+    "q179_compaction" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_compact_q179_").toString
+      val frag = s"$tmp/frag"; val opt = s"$tmp/opt"
+      t(s, dir).documents.repartition(64).write.mode("overwrite").parquet(frag)
+      val filesBefore = new java.io.File(frag).listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      graft.operators.Layout.compact(s, frag, opt, targetBytes = 256L * 1024)
+      val filesAfter = new java.io.File(opt).listFiles().count(_.isDirectory)
+      require(filesAfter < filesBefore,
+        s"q179: compaction must reduce file count ($filesBefore -> $filesAfter)")
+      s.read.parquet(opt).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_sum"))
+    }),
+
     // --- PPS systematic sampling (round 10): size-proportional doc
     //     selection in pure INTEGER arithmetic — bit-replayable from
     //     (seed, offset, step), no IEEE pow/log keys to diverge on.
@@ -3654,6 +3733,79 @@ object SparkEntry {
                 CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
                 tot.n_total
          FROM tot LEFT JOIN agg USING (doc_id)""",
+
+    // Streaming SCD2: the oracle chains both CDC applications as SQL
+    // set logic over the same derived change chunks
+    "q180_stream_scd2" ->
+      """WITH cur0 AS (
+           SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal,
+                  TIMESTAMP '2020-01-01 00:00:00' AS vf
+           FROM customer),
+         ch1 AS (
+           SELECT c_custkey AS k, upper(c_name) AS name, c_acctbal + 1000 AS bal
+           FROM customer WHERE c_custkey % 7 = 0
+           UNION ALL
+           SELECT c_custkey, c_name, c_acctbal
+           FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 7 <> 0
+           UNION ALL
+           SELECT c_custkey + 1000000, 'new_' || CAST(c_custkey AS VARCHAR), 0.0
+           FROM customer WHERE c_custkey % 13 = 0),
+         j1 AS (
+           SELECT cur0.k AS bk, cur0.name AS bname, cur0.bal AS bbal, cur0.vf AS bvf,
+                  ch1.k AS ck, ch1.name AS cname, ch1.bal AS cbal
+           FROM cur0 FULL OUTER JOIN ch1 ON cur0.k = ch1.k),
+         hist1 AS (
+           SELECT bk AS k, bname AS name, bbal AS bal, bvf AS valid_from,
+                  CASE WHEN ck IS NOT NULL AND (bname IS DISTINCT FROM cname
+                                                OR bbal IS DISTINCT FROM cbal)
+                       THEN TIMESTAMP '2021-06-01 00:00:00'
+                       ELSE NULL END AS valid_to
+           FROM j1 WHERE bk IS NOT NULL
+           UNION ALL
+           SELECT ck, cname, cbal, TIMESTAMP '2021-06-01 00:00:00',
+                  CAST(NULL AS TIMESTAMP)
+           FROM j1 WHERE ck IS NOT NULL
+             AND (bk IS NULL OR bname IS DISTINCT FROM cname
+                  OR bbal IS DISTINCT FROM cbal)),
+         cur1 AS (
+           SELECT k, name, bal, valid_from AS vf FROM hist1 WHERE valid_to IS NULL),
+         closed1 AS (
+           SELECT k, name, bal, valid_from, valid_to FROM hist1 WHERE valid_to IS NOT NULL),
+         ch2 AS (
+           SELECT c_custkey AS k, c_name || '!' AS name, c_acctbal - 50 AS bal
+           FROM customer WHERE c_custkey % 3 = 0
+           UNION ALL
+           SELECT c_custkey, c_name, c_acctbal
+           FROM customer
+           WHERE c_custkey % 11 = 0 AND c_custkey % 3 <> 0 AND c_custkey % 7 <> 0),
+         j2 AS (
+           SELECT cur1.k AS bk, cur1.name AS bname, cur1.bal AS bbal, cur1.vf AS bvf,
+                  ch2.k AS ck, ch2.name AS cname, ch2.bal AS cbal
+           FROM cur1 FULL OUTER JOIN ch2 ON cur1.k = ch2.k),
+         hist2 AS (
+           SELECT bk AS k, bname AS name, bbal AS bal, bvf AS valid_from,
+                  CASE WHEN ck IS NOT NULL AND (bname IS DISTINCT FROM cname
+                                                OR bbal IS DISTINCT FROM cbal)
+                       THEN TIMESTAMP '2022-06-01 00:00:00'
+                       ELSE NULL END AS valid_to
+           FROM j2 WHERE bk IS NOT NULL
+           UNION ALL
+           SELECT ck, cname, cbal, TIMESTAMP '2022-06-01 00:00:00',
+                  CAST(NULL AS TIMESTAMP)
+           FROM j2 WHERE ck IS NOT NULL
+             AND (bk IS NULL OR bname IS DISTINCT FROM cname
+                  OR bbal IS DISTINCT FROM cbal))
+         SELECT k, name, bal, valid_from, valid_to FROM closed1
+         UNION ALL
+         SELECT k, name, bal, valid_from, valid_to FROM hist2""",
+
+    // Compaction: content conservation — the oracle aggregates the
+    // SOURCE table; the query aggregates the compacted rewrite
+    "q179_compaction" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+                CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+         FROM documents GROUP BY lang""",
 
     // PPS sampling: oracle replays the SERIAL one-window prefix sum
     // against the engine's sharded two-pass formulation

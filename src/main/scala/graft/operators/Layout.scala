@@ -96,6 +96,78 @@ object Layout {
       .write.mode("overwrite").parquet(outDir)
   }
 
+  /** OPTIMIZE-style small-file compaction — the bin-packing rewrite
+    * Delta/Iceberg run to fix the small-file problem (a 100 TB table
+    * ingested in small batches ends up with millions of KB-sized
+    * files; every scan then pays per-file open/footer costs and the
+    * driver pays per-file planning).
+    *
+    * Plan: driver lists the directory (bounded METADATA work — the
+    * same listing any commit protocol does), first-fit-DECREASING
+    * bin-packs file sizes into bins of <= targetBytes (a file larger
+    * than the target gets its own bin — never split, never dropped),
+    * then ONE shuffle moves each file's rows to its bin and a
+    * partitioned write lands exactly one output file per bin (all of
+    * a bin's rows hash to one partition; `partitionBy` splits
+    * directories, so sibling bins in the same partition still get
+    * separate files). Post-write, the output listing is require()'d:
+    * one data file per bin, every planned bin present — the rewrite
+    * is receipt-checked, not assumed.
+    *
+    * At 100 TB compaction runs per PARTITION directory (date/lang/…)
+    * so each driver listing stays bounded; rows never deserialize
+    * into anything wider than the source schema and the shuffle
+    * volume equals the data being compacted — the theoretical floor.
+    *
+    * Returns the bin plan as a receipt: (bin, n_files, input_bytes).
+    * Join keys are FILE NAMES (unique within the flat input dir), so
+    * URI-scheme spelling differences between the driver listing and
+    * `input_file_name()` cannot mis-route rows. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1L, s"targetBytes must be >= 1, got $targetBytes")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val inPath = new org.apache.hadoop.fs.Path(inDir)
+    val fs = inPath.getFileSystem(conf)
+    val files = fs.listStatus(inPath)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => (f.getPath.getName, f.getLen))
+      .sortBy { case (name, len) => (-len, name) } // FFD, name-tiebroken
+    require(files.nonEmpty, s"compact: no parquet files under $inDir")
+    // first-fit-decreasing over (bin -> remaining bytes)
+    val binBytes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val assign = files.map { case (name, len) =>
+      val i = binBytes.indexWhere(_ + len <= targetBytes)
+      val bin = if (len < targetBytes && i >= 0) {
+        binBytes(i) += len; i
+      } else { binBytes += len; binBytes.length - 1 }
+      (name, len, bin)
+    }
+    import spark.implicits._
+    val plan = assign.toSeq.toDF("__fname", "__bytes", "__bin")
+    val compacted = spark.read.parquet(inDir)
+      .withColumn("__fname",
+        regexp_extract(input_file_name(), "[^/]+$", 0))
+      .join(broadcast(plan.select("__fname", "__bin")), Seq("__fname"))
+      .drop("__fname")
+    compacted.repartition(binBytes.length, col("__bin"))
+      .write.mode("overwrite").partitionBy("__bin").parquet(outDir)
+    // receipt: every planned bin landed as exactly one data file
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val outFs = outPath.getFileSystem(conf)
+    val binDirs = outFs.listStatus(outPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__bin="))
+    require(binDirs.length == binBytes.length,
+      s"compact: planned ${binBytes.length} bins, found ${binDirs.length}")
+    binDirs.foreach { d =>
+      val n = outFs.listStatus(d.getPath)
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      require(n == 1, s"compact: bin ${d.getPath.getName} has $n files, want 1")
+    }
+    plan.groupBy(col("__bin").as("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("__bytes")).as("input_bytes"))
+  }
+
   /** Per-file [min, max] envelopes of two key columns for a written
     * table — the stats a pruning scan consults. Small result (one row
     * per file); used to PROVE skipping ratios in specs/soaks. */

@@ -172,6 +172,86 @@ object CurationStreaming {
     q.awaitTermination()
   }
 
+  // ------------- streaming SCD2 snapshot maintenance (round 10) -------------
+
+  /** Streaming counterpart of
+    * [[graft.operators.Incremental.scd2Apply]]: CDC change batches
+    * arrive as staged files (each carrying ONE `as_of` timestamp) and
+    * fold into a versioned dimension history EXACTLY ONCE across
+    * micro-batches, restarts, and batch retries.
+    *
+    * Snapshot discipline (the foreachBatch exactly-once contract,
+    * same as [[exportStream]]): batch `id` reads the LATEST snapshot
+    * with id' < id (or `init` if none), applies scd2Apply, and writes
+    * `snapDir/snap=<id>` in OVERWRITE mode. A retried batch re-reads
+    * the same predecessor and rewrites its OWN directory — it cannot
+    * double-apply; a restart replays the checkpoint's batch→file
+    * mapping against snapshots that already exist, landing in the
+    * same directories with the same content.
+    *
+    * Scale shape: per batch, one outer join of the snapshot's CURRENT
+    * slice against the (small) change batch — scd2Apply's contract
+    * that closed history is never joined holds here too; the write is
+    * snapshot-sized. Production would compact/expire old `snap=` dirs
+    * (retention), which is [[graft.operators.Layout.compact]]'s job.
+    * A batch mixing multiple as_of timestamps is REFUSED (bounded
+    * 2-row probe): fold order inside one batch would be ambiguous —
+    * stage chunks so a trigger sees one consistent CDC cut
+    * (maxFilesPerTrigger=1 enforces that for file sources). */
+  def scd2Stream(spark: SparkSession, stagedDir: String, snapDir: String,
+      ckpt: String, keys: Seq[String], init: DataFrame,
+      chgSchema: StructType, maxFilesPerTrigger: Int = 1): Unit = {
+    require(chgSchema.fieldNames.contains("as_of"),
+      "change schema must carry as_of TIMESTAMP")
+    val initCols = init.columns.toSeq
+    val stream = spark.readStream
+      .schema(chgSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(stagedDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val asOfs = batch.select(col("as_of")).distinct().limit(2).collect()
+        if (asOfs.nonEmpty) {
+          require(asOfs.length == 1,
+            s"scd2Stream: batch $batchId mixes as_of timestamps")
+          val asOf = asOfs(0).getTimestamp(0)
+          val hist = latestSnapshot(spark, snapDir, batchId)
+            .map(_.select(initCols.map(col): _*)).getOrElse(init)
+          graft.operators.Incremental
+            .scd2Apply(hist, batch.drop("as_of"), keys, asOf)
+            .write.mode("overwrite").parquet(s"$snapDir/snap=$batchId")
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private def snapshotIds(spark: SparkSession, snapDir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(snapDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("snap="))
+      .map(_.getPath.getName.stripPrefix("snap=").toLong)
+  }
+
+  /** Latest snapshot strictly BEFORE `beforeId` — a retried batch must
+    * see its original predecessor, never its own partial output. */
+  private def latestSnapshot(spark: SparkSession, snapDir: String,
+      beforeId: Long): Option[DataFrame] =
+    snapshotIds(spark, snapDir).filter(_ < beforeId).maxOption
+      .map(id => spark.read.parquet(s"$snapDir/snap=$id"))
+
+  /** The current materialized history: the highest-id snapshot. */
+  def scd2Latest(spark: SparkSession, snapDir: String): DataFrame = {
+    val ids = snapshotIds(spark, snapDir)
+    require(ids.nonEmpty, s"scd2Latest: no snapshots under $snapDir")
+    spark.read.parquet(s"$snapDir/snap=${ids.max}")
+  }
+
   /** Manifest of a [[exportStream]] output from the READ-BACK files
     * (same stats as the batch exporter — count, tokens, id sum,
     * md5-prefix checksum per shard), aggregated across all batches. */

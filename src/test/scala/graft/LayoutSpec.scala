@@ -83,4 +83,52 @@ class LayoutSpec extends SparkSpec {
     assert(zTouchA < nFiles, s"z-order bounds the leading dim too ($zTouchA)")
     zEnv.unpersist(); linEnv.unpersist()
   }
+
+  test("compact: bins respect the target, one file per bin, content lossless") {
+    val docs = tables.documents
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    val frag = s"$tmp/frag"; val opt = s"$tmp/opt"
+    docs.repartition(32).write.mode("overwrite").parquet(frag)
+    val inFiles = new java.io.File(frag).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val target = 128L * 1024
+    val receipt = Layout.compact(spark, frag, opt, target)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    // plan receipts: bins cover every input file; within-target unless
+    // a singleton oversized file owns the bin
+    assert(receipt.map(_._2).sum == inFiles.length)
+    receipt.foreach { case (bin, nFiles, bytes) =>
+      assert(bytes <= target || nFiles == 1,
+        s"bin $bin over target with $nFiles files ($bytes bytes)")
+    }
+    // fewer files than before (that's the point)
+    val outBins = new java.io.File(opt).listFiles().count(_.isDirectory)
+    assert(outBins == receipt.length && outBins < inFiles.length)
+    // lossless: exact multiset equality both ways
+    val back = spark.read.parquet(opt).drop("__bin")
+      .select(docs.columns.map(col).toSeq: _*)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty,
+      "compaction must preserve the exact row multiset")
+  }
+
+  test("compact: an oversized file gets its own bin rather than splitting") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_big_").toString
+    val frag = s"$tmp/frag"; val opt = s"$tmp/opt"
+    // one big file (single partition) + several tiny ones
+    val big = (1L to 20000L).map(i => (i, s"payload_$i" * 8)).toDF("id", "s")
+    val small = (20001L to 20040L).map(i => (i, s"p$i")).toDF("id", "s")
+    big.coalesce(1).write.mode("overwrite").parquet(frag)
+    small.repartition(8).write.mode("append").parquet(frag)
+    val sizes = new java.io.File(frag).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length)
+    val target = sizes.max / 2 // strictly smaller than the big file
+    val receipt = Layout.compact(spark, frag, opt, target)
+      .as[(Int, Long, Long)].collect()
+    val overs = receipt.filter(_._3 > target)
+    assert(overs.nonEmpty && overs.forall(_._2 == 1),
+      "every over-target bin must be a single unsplittable file")
+    val back = spark.read.parquet(opt).drop("__bin").select($"id", $"s")
+    val all = big.unionByName(small)
+    assert(back.exceptAll(all).isEmpty && all.exceptAll(back).isEmpty)
+  }
 }

@@ -231,6 +231,54 @@ class StreamingSpec extends SparkSpec {
     assert(m1.toSeq == mBatch.toSeq, "streaming and batch exports must agree")
   }
 
+  test("scd2Stream: snapshot chain equals sequential batch scd2Apply; restart-safe") {
+    import graft.streaming.CurationStreaming
+    import graft.operators.Incremental
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val tmp = Files.createTempDirectory("scd2-stream").toString
+    val src = s"$tmp/src"; val snap = s"$tmp/snap"; val ckpt = s"$tmp/ckpt"
+    val t0 = ts("2020-01-01 00:00:00")
+    val hist0 = Seq((1L, "a", t0), (2L, "b", t0), (3L, "c", t0))
+      .toDF("k", "name", "valid_from")
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    val ch1 = Seq((1L, "A"), (2L, "b"), (4L, "d")).toDF("k", "name")
+      .withColumn("as_of", lit(ts("2021-01-01 00:00:00")))
+    val ch2 = Seq((1L, "AA"), (3L, "c"), (4L, "D")).toDF("k", "name")
+      .withColumn("as_of", lit(ts("2022-01-01 00:00:00")))
+    val ss = EventsStreaming.replaySession(spark)
+    ch1.coalesce(1).write.mode("append").parquet(src)
+    CurationStreaming.scd2Stream(ss, src, snap, ckpt, Seq("k"), hist0, ch1.schema)
+    // chunk 2 arrives; RESTART from the same checkpoint
+    ch2.coalesce(1).write.mode("append").parquet(src)
+    CurationStreaming.scd2Stream(ss, src, snap, ckpt, Seq("k"), hist0, ch1.schema)
+    // no-new-data run must not add a snapshot's worth of change
+    CurationStreaming.scd2Stream(ss, src, snap, ckpt, Seq("k"), hist0, ch1.schema)
+    val streamed = CurationStreaming.scd2Latest(spark, snap)
+    val batch = Incremental.scd2Apply(
+      Incremental.scd2Apply(hist0, ch1.drop("as_of"), Seq("k"),
+        ts("2021-01-01 00:00:00")),
+      ch2.drop("as_of"), Seq("k"), ts("2022-01-01 00:00:00"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streaming snapshot chain must equal the sequential batch application")
+    // version chains contiguous for the twice-updated key
+    val k1 = streamed.filter($"k" === 1L)
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().sortBy(_._3.getTime)
+    assert(k1.map(_._2).toSeq == Seq("a", "A", "AA"))
+    assert(k1.map(_._4).toSeq ==
+      Seq(Some(ts("2021-01-01 00:00:00")), Some(ts("2022-01-01 00:00:00")), None))
+    // a batch mixing as_of timestamps is refused
+    val tmp2 = Files.createTempDirectory("scd2-mixed").toString
+    ch1.unionByName(ch2.withColumnRenamed("as_of", "as_of"))
+      .coalesce(1).write.parquet(s"$tmp2/src")
+    val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      CurationStreaming.scd2Stream(ss, s"$tmp2/src", s"$tmp2/snap",
+        s"$tmp2/ckpt", Seq("k"), hist0, ch1.schema)
+    }
+    assert(thrown.getMessage.contains("mixes as_of") ||
+      Option(thrown.getCause).exists(_.getMessage.contains("mixes as_of")))
+  }
+
   test("streaming near-dup: spot checks, partitioned replay, real-corpus parity") {
     import graft.streaming.CurationStreaming
     val base = "the quick brown fox jumps over the lazy dog again and again today ok"
