@@ -50,7 +50,13 @@ object Bench {
     "q165_chunk_dedup", "q166_incremental_agg", "q167_pagerank",
     "q168_kmv_overlap", "q169_zorder_key", "q170_upsample_repeat",
     "q171_leakage_safe_split", "q172_curation_funnel",
-    "q174_pca_whiten", "q175_merge_upsert")
+    "q174_pca_whiten", "q175_merge_upsert",
+    // round 10 (late): SCD2 versioning, DQ suite, PPS sampling,
+    // snapshot diff. q179 compaction is excluded for the q169 reason:
+    // it times tmp-dir write IO, not an operator dataflow (its
+    // scan/shuffle shape is plan-asserted and receipt-checked instead)
+    "q176_scd2_history", "q177_dq_report", "q178_pps_sample",
+    "q181_snapshot_diff")
 
   /** Per-query regression pins (round 9): each query's BEST recorded
     * driver median at sf0.1 across rounds 1–8. A timed median above
@@ -82,7 +88,10 @@ object Bench {
     // round 9: streaming MinHash-LSH near-dup (typed band-owner state)
     "q158_stream_near_dup",
     // round 10: exactly-once shard export (restart + idempotence probe)
-    "q173_stream_export")
+    "q173_stream_export",
+    // round 10 (late): streaming SCD2 snapshot maintenance (restart +
+    // no-new-data replay, like q173)
+    "q180_stream_scd2")
 
   /** The CORRECTNESS entries for approximate ops are recall HARNESSES
     * (operator + exact ground truth + compare in one job); benching the
@@ -154,6 +163,24 @@ object Bench {
         val (white, _) = graft.operators.Linalg.pcaWhiten(
           emb, "vec_id", "embedding", dim = 64, k = 16)
         white.select(col("vec_id"), element_at(col("white"), 1).as("w0"))
+      }),
+      // q181's CORRECTNESS entry require()s the round-trip law
+      // (diff-then-APPLY-back — a harness stage that re-runs the merge
+      // join); the operator story is the one-join diff itself.
+      "q181_snapshot_diff" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val cust = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").as("k"), col("c_name").as("name"),
+            col("c_acctbal").as("bal"))
+        val target = cust.filter(col("k") % 17 =!= 0)
+          .select(col("k"),
+            when(col("k") % 7 === 0, upper(col("name"))).otherwise(col("name")).as("name"),
+            when(col("k") % 7 === 0, col("bal") + 1000).otherwise(col("bal")).as("bal"))
+          .unionByName(cust.filter(col("k") % 13 === 0)
+            .select((col("k") + 1000000).as("k"),
+              concat(lit("new_"), col("k").cast("string")).as("name"),
+              lit(0.0).as("bal")))
+        graft.operators.Incremental.snapshotDiff(cust, target, Seq("k"))
       }),
       "q168_kmv_overlap" -> ((s, dir) => {
         import org.apache.spark.sql.functions._

@@ -1640,6 +1640,34 @@ object SparkEntry {
         deleteCol = Some("del"))
     }),
 
+    // --- Snapshot diff (round 10): the inverse of mergeUpsert — derive
+    //     the MINIMAL change feed between two full snapshots (how a
+    //     pipeline bootstraps CDC from snapshot-only upstreams). The
+    //     round-trip law mergeUpsert(base, diff) == target is
+    //     require()'d IN the query; the oracle replays the diff as
+    //     full-outer set logic. ---
+    "q181_snapshot_diff" -> ((s, dir) => {
+      val cust = t(s, dir).customer.select(col("c_custkey").as("k"),
+        col("c_name").as("name"), col("c_acctbal").as("bal"))
+      val target = cust.filter(col("k") % 17 =!= 0)
+        .select(col("k"),
+          when(col("k") % 7 === 0, upper(col("name"))).otherwise(col("name")).as("name"),
+          when(col("k") % 7 === 0, col("bal") + 1000).otherwise(col("bal")).as("bal"))
+        .unionByName(cust.filter(col("k") % 13 === 0)
+          .select((col("k") + 1000000).as("k"),
+            concat(lit("new_"), col("k").cast("string")).as("name"),
+            lit(0.0).as("bal")))
+      val diff = graft.operators.Incremental.snapshotDiff(cust, target, Seq("k"))
+      // round-trip law: applying the diff reconstructs the target exactly
+      val applied = graft.operators.Incremental.mergeUpsert(cust,
+        diff.withColumn("del", col("op") === "delete").drop("op"),
+        Seq("k"), deleteCol = Some("del"))
+      require(applied.exceptAll(target).limit(1).count() == 0L &&
+        target.exceptAll(applied).limit(1).count() == 0L,
+        "q181: diff-then-apply must reconstruct the target snapshot")
+      diff
+    }),
+
     // --- Streaming SCD2 maintenance (round 10): CDC chunks stream in
     //     (one as_of per micro-batch) and fold into a versioned
     //     dimension history exactly once — the run replays two staged
@@ -3733,6 +3761,31 @@ object SparkEntry {
                 CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
                 tot.n_total
          FROM tot LEFT JOIN agg USING (doc_id)""",
+
+    // Snapshot diff: full-outer set logic with null-safe compares;
+    // t-side columns are already NULL for deletes
+    "q181_snapshot_diff" ->
+      """WITH base AS (
+           SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal FROM customer),
+         t AS (
+           SELECT k,
+                  CASE WHEN k % 7 = 0 THEN upper(name) ELSE name END AS name,
+                  CASE WHEN k % 7 = 0 THEN bal + 1000 ELSE bal END AS bal
+           FROM base WHERE k % 17 <> 0
+           UNION ALL
+           SELECT k + 1000000, 'new_' || CAST(k AS VARCHAR), 0.0
+           FROM base WHERE k % 13 = 0),
+         j AS (
+           SELECT base.k AS bk, base.name AS bname, base.bal AS bbal,
+                  t.k AS tk, t.name AS tname, t.bal AS tbal
+           FROM base FULL OUTER JOIN t ON base.k = t.k)
+         SELECT COALESCE(bk, tk) AS k, tname AS name, tbal AS bal,
+                CASE WHEN bk IS NULL THEN 'insert'
+                     WHEN tk IS NULL THEN 'delete'
+                     ELSE 'update' END AS op
+         FROM j
+         WHERE bk IS NULL OR tk IS NULL
+            OR tname IS DISTINCT FROM bname OR tbal IS DISTINCT FROM bbal""",
 
     // Streaming SCD2: the oracle chains both CDC applications as SQL
     // set logic over the same derived change chunks

@@ -142,6 +142,54 @@ object Incremental {
         .otherwise(col(s"__b_$c")).as(c)): _*)
   }
 
+  /** Snapshot diff — the INVERSE of [[mergeUpsert]]: derive the
+    * MINIMAL change feed (inserts + updates + deletes, `op` column)
+    * that transforms `base` into `target`. The two operators are a
+    * round-trip law — mergeUpsert(base, snapshotDiff(base, target))
+    * == target — which q181 require()s per-run and the spec law-tests;
+    * it is also how a pipeline bootstraps CDC when the upstream only
+    * ships full snapshots (diff two snapshots, feed the delta to every
+    * incremental consumer instead of reprocessing the world).
+    *
+    * Output: keys ++ attrs (TARGET values; NULL for deletes, which are
+    * keyed removals) ++ `op` in ('insert','update','delete').
+    * Unchanged keys are OMITTED — that minimality is the point.
+    * Attribute comparison is NULL-SAFE (NULL -> value and value ->
+    * NULL are both real updates). Both sides must be key-unique
+    * (bounded probes; a diff between ambiguous snapshots has no
+    * well-defined change feed).
+    *
+    * Scale shape: ONE full-outer shuffle join on the key — the floor
+    * for reconciling two keyed tables — and the output is
+    * change-sized, not snapshot-sized. */
+  def snapshotDiff(base: DataFrame, target: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "at least one diff key")
+    require(target.columns.toSet == base.columns.toSet,
+      s"snapshot schemas must match: ${base.columns.mkString(",")} vs " +
+        target.columns.mkString(","))
+    val attrs = base.columns.filterNot(keys.contains).toSeq
+    Seq(base -> "base", target -> "target").foreach { case (df, side) =>
+      val dup = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).count()
+      require(dup == 0L, s"snapshotDiff: $side snapshot is not key-unique")
+    }
+    val b = attrs.foldLeft(base) { (d, c) => d.withColumnRenamed(c, s"__b_$c") }
+      .withColumn("__b_present", lit(true))
+    val t = attrs.foldLeft(target) { (d, c) => d.withColumnRenamed(c, s"__t_$c") }
+      .withColumn("__t_present", lit(true))
+    val j = b.join(t, keys, "full_outer")
+    val differs = attrs.map(c => !(col(s"__b_$c") <=> col(s"__t_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val op = when(col("__b_present").isNull, lit("insert"))
+      .when(col("__t_present").isNull, lit("delete"))
+      .when(differs, lit("update"))
+    j.withColumn("op", op).filter(col("op").isNotNull)
+      .select(keys.map(col) ++ attrs.map(c =>
+        when(col("op") === "delete", lit(null)).otherwise(col(s"__t_$c")).as(c))
+        :+ col("op"): _*)
+  }
+
   /** SCD Type 2 history maintenance — the dimension-table discipline
     * that keeps EVERY version of a row with its validity interval
     * (Kimball's slowly-changing-dimension type 2): applying a change
@@ -184,16 +232,24 @@ object Incremental {
       .reduceOption(_ || _).getOrElse(lit(false))
     val isUpdate = col("__c_present").isNotNull && col("valid_from").isNotNull && differs
     val isInsert = col("__c_present").isNotNull && col("valid_from").isNull
-    // current rows: closed if updated, untouched otherwise
-    val keptOrClosed = j.filter(col("valid_from").isNotNull)
-      .select(keys.map(col) ++ attrs.map(col) :+ col("valid_from") :+
-        when(isUpdate, lit(asOf)).otherwise(col("valid_to")).as("valid_to"): _*)
-    // new versions: updates with changed attrs + brand-new keys
-    val opened = j.filter(isUpdate || isInsert)
-      .select(keys.map(col) ++ attrs.map(c => col(s"__c_$c").as(c)) :+
-        lit(asOf).as("valid_from") :+
-        lit(null).cast("timestamp").as("valid_to"): _*)
-    closed.unionByName(keptOrClosed).unionByName(opened)
+    // Each joined row emits up to TWO output rows (the kept-or-closed
+    // current version and the newly opened one) from ONE pass: a
+    // filter-each-branch-then-union would make Catalyst duplicate the
+    // join subtree and scan the current slice twice (plan-asserted).
+    val kept = struct((keys ++ attrs).map(c => col(c).as(c)) ++ Seq(
+      col("valid_from").as("valid_from"),
+      when(isUpdate, lit(asOf)).otherwise(col("valid_to")).as("valid_to"),
+      col("valid_from").isNotNull.as("__emit")): _*)
+    val opened = struct(keys.map(c => col(c).as(c)) ++
+      attrs.map(c => col(s"__c_$c").as(c)) ++ Seq(
+      lit(asOf).cast("timestamp").as("valid_from"),
+      lit(null).cast("timestamp").as("valid_to"),
+      (isUpdate || isInsert).as("__emit")): _*)
+    val outCols = (keys ++ attrs) :+ "valid_from" :+ "valid_to"
+    val merged = j.select(explode(array(kept, opened)).as("r"))
+      .filter(col("r.__emit"))
+      .select(outCols.map(c => col(s"r.$c").as(c)): _*)
+    closed.unionByName(merged)
   }
 
   /** User-facing aggregates from a state: cnt plus, per measure m,

@@ -216,6 +216,53 @@ class AlgebraicLawsSpec extends SparkSpec {
     h1.unpersist()
   }
 
+  test("snapshotDiff: minimal change feed; diff-then-apply round-trips both ways") {
+    import graft.operators.Incremental
+    val base = Seq[(Long, Option[String], Option[Double])](
+      (1L, Some("a"), Some(1.0)),  // unchanged
+      (2L, Some("b"), Some(2.0)),  // value update
+      (3L, Some("c"), None),       // NULL -> value update
+      (4L, None, Some(4.0)),       // value -> NULL update
+      (5L, Some("e"), Some(5.0))   // deleted
+    ).toDF("k", "name", "x")
+    val target = Seq[(Long, Option[String], Option[Double])](
+      (1L, Some("a"), Some(1.0)),
+      (2L, Some("B"), Some(2.0)),
+      (3L, Some("c"), Some(3.0)),
+      (4L, None, None),
+      (6L, Some("f"), Some(6.0))   // inserted
+    ).toDF("k", "name", "x")
+    val diff = Incremental.snapshotDiff(base, target, Seq("k"))
+    val byKey = diff.as[(Long, Option[String], Option[Double], String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(byKey.size == 5 && !byKey.contains(1L), "unchanged keys are omitted")
+    assert(byKey(2L) == ((2L, Some("B"), Some(2.0), "update")))
+    assert(byKey(3L) == ((3L, Some("c"), Some(3.0), "update")),
+      "NULL -> value is a real update (null-safe compare)")
+    assert(byKey(4L) == ((4L, None, None, "update")),
+      "value -> NULL is a real update")
+    assert(byKey(5L) == ((5L, None, None, "delete")))
+    assert(byKey(6L) == ((6L, Some("f"), Some(6.0), "insert")))
+    // round trip forward: base + diff == target
+    val fwd = Incremental.mergeUpsert(base,
+      diff.withColumn("del", $"op" === "delete").drop("op"),
+      Seq("k"), deleteCol = Some("del"))
+    assert(fwd.exceptAll(target).isEmpty && target.exceptAll(fwd).isEmpty)
+    // round trip backward: target + diff(target, base) == base
+    val back = Incremental.snapshotDiff(target, base, Seq("k"))
+    val bwd = Incremental.mergeUpsert(target,
+      back.withColumn("del", $"op" === "delete").drop("op"),
+      Seq("k"), deleteCol = Some("del"))
+    assert(bwd.exceptAll(base).isEmpty && base.exceptAll(bwd).isEmpty)
+    // identical snapshots diff to EMPTY
+    assert(Incremental.snapshotDiff(base, base, Seq("k")).isEmpty)
+    // ambiguous snapshot refused
+    intercept[IllegalArgumentException] {
+      Incremental.snapshotDiff(
+        base.unionByName(base.limit(1)), target, Seq("k")).count()
+    }
+  }
+
   test("Incremental: finalize(incremental) == finalize(full) on the real table") {
     import graft.operators.Incremental
     val li = tables.lineitem

@@ -286,6 +286,49 @@ class PlanSpec extends SparkSpec {
     assert(joins == 1, s"expected exactly one reconciliation join, saw $joins:\n${tree.take(2000)}")
   }
 
+  test("q176: SCD2 closes/opens with ONE join; closed history is never joined") {
+    val tree = SparkEntry.queries("q176_scd2_history")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val joins = "SortMergeJoin".r.findAllIn(tree).size +
+      "BroadcastHashJoin".r.findAllIn(tree).size +
+      "ShuffledHashJoin".r.findAllIn(tree).size
+    assert(joins == 1,
+      s"expected one current-vs-changes join, saw $joins:\n${tree.take(2000)}")
+    assert(!tree.contains("ScalaUDF"), tree.take(2000))
+  }
+
+  test("q177: DQ suite has no windows, no cartesians, no UDFs") {
+    val tree = SparkEntry.queries("q177_dq_report")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!tree.contains("windowspecdefinition"),
+      s"a DQ report must never sort-window the corpus:\n${tree.take(2000)}")
+    assert(!tree.contains("CartesianProduct"), tree.take(2000))
+    assert(!tree.contains("ScalaUDF"), tree.take(2000))
+    // row-local single-scan shape is pinned separately in DataQualitySpec
+  }
+
+  test("q178: PPS running sum is SHARDED; shard offsets broadcast") {
+    val tree = SparkEntry.queries("q178_pps_sample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val winLines = tree.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, tree.take(2000))
+    assert(winLines.forall(_.contains("__shard")),
+      s"found a window not partitioned by __shard:\n${winLines.mkString("\n")}")
+    assert(tree.contains("BroadcastHashJoin"), tree.take(2000))
+    assert(!tree.contains("ScalaUDF"), tree.take(2000))
+  }
+
+  test("q181: snapshot diff is ONE full-outer join, change-sized output") {
+    val tree = SparkEntry.queries("q181_snapshot_diff")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val joins = "SortMergeJoin".r.findAllIn(tree).size +
+      "BroadcastHashJoin".r.findAllIn(tree).size +
+      "ShuffledHashJoin".r.findAllIn(tree).size
+    assert(joins == 1,
+      s"expected one reconciliation join, saw $joins:\n${tree.take(2000)}")
+    assert(!tree.contains("ScalaUDF"), tree.take(2000))
+  }
+
   test("every oracle key has a query; names are well-formed") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
