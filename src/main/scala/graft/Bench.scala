@@ -56,7 +56,7 @@ object Bench {
     // it times tmp-dir write IO, not an operator dataflow (its
     // scan/shuffle shape is plan-asserted and receipt-checked instead)
     "q176_scd2_history", "q177_dq_report", "q178_pps_sample",
-    "q181_snapshot_diff")
+    "q181_snapshot_diff", "q182_distinctive_terms", "q183_skew_profile")
 
   /** Per-query regression pins (round 9): each query's BEST recorded
     * driver median at sf0.1 across rounds 1–8. A timed median above

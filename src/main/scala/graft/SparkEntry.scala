@@ -1640,6 +1640,25 @@ object SparkEntry {
         deleteCol = Some("del"))
     }),
 
+    // --- Skew profile (round 10): the "measure skew BEFORE the join"
+    //     discipline as a first-class report — top-N heaviest keys via
+    //     TakeOrderedAndProject (bounded per-partition heaps, never a
+    //     total sort; plan-asserted), corpus total as a 1-row
+    //     broadcast off the same grouped counts. Total order
+    //     (cnt DESC, key ASC) makes cutoff ties deterministic. ---
+    "q183_skew_profile" -> ((s, dir) =>
+      graft.operators.Relational.skewProfile(
+        t(s, dir).lineitem, Seq("l_partkey"), topN = 20)),
+
+    // --- Distinctive vocabulary (round 10): fightin'-words-style
+    //     corpus comparison, integer-exact — the odds-ratio threshold
+    //     is evaluated by DECIMAL cross-multiplication, so no libm
+    //     log/double ordering can flip a term at the boundary. One
+    //     tokenize pass, one term shuffle, no join/window/sort. ---
+    "q182_distinctive_terms" -> ((s, dir) =>
+      graft.operators.TextAnalysis.distinctiveTerms(
+        t(s, dir).documents, "text", "lang", "en", "fr", thr = 3L)),
+
     // --- Snapshot diff (round 10): the inverse of mergeUpsert — derive
     //     the MINIMAL change feed between two full snapshots (how a
     //     pipeline bootstraps CDC from snapshot-only upstreams). The
@@ -1777,6 +1796,8 @@ object SparkEntry {
         MinRowCount(1000L),
         Unique(Seq("l_orderkey", "l_linenumber")),
         Unique(Seq("l_suppkey")),
+        FunctionalDependency(Seq("l_orderkey", "l_linenumber"), "l_partkey"),
+        FunctionalDependency(Seq("l_partkey"), "l_suppkey"),
         RefIntegrity("l_orderkey", tt.orders, "o_orderkey")))
     }),
 
@@ -3762,6 +3783,41 @@ object SparkEntry {
                 tot.n_total
          FROM tot LEFT JOIN agg USING (doc_id)""",
 
+    // Skew profile: same total order replayed as a plain sort+limit
+    "q183_skew_profile" ->
+      """WITH c AS (
+           SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey),
+         t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+         SELECT l_partkey, CAST(cnt AS BIGINT) AS cnt,
+                CAST(cnt AS DOUBLE) / total AS share
+         FROM c, t ORDER BY cnt DESC, l_partkey LIMIT 20""",
+
+    // Distinctive terms: exact HUGEINT cross-multiplication replays
+    // the decimal odds-ratio threshold
+    "q182_distinctive_terms" ->
+      """WITH toks AS (
+           SELECT lang AS c,
+                  unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                     x -> x <> '')) AS term
+           FROM documents WHERE lang IN ('en', 'fr')),
+         tot AS (
+           SELECT CAST(SUM(CASE WHEN c = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS atot,
+                  CAST(SUM(CASE WHEN c = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS btot
+           FROM toks),
+         cnt AS (
+           SELECT term,
+                  CAST(SUM(CASE WHEN c = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+                  CAST(SUM(CASE WHEN c = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt
+           FROM toks GROUP BY term),
+         sc AS (
+           SELECT term, a_cnt, b_cnt,
+                  CAST(a_cnt + 1 AS HUGEINT) * CAST(btot - b_cnt + 1 AS HUGEINT) AS ps,
+                  CAST(atot - a_cnt + 1 AS HUGEINT) * CAST(b_cnt + 1 AS HUGEINT) AS qr
+           FROM cnt, tot)
+         SELECT term, CASE WHEN ps > 3 * qr THEN 'A' ELSE 'B' END AS side,
+                a_cnt, b_cnt
+         FROM sc WHERE ps > 3 * qr OR qr > 3 * ps""",
+
     // Snapshot diff: full-outer set logic with null-safe compares;
     // t-side columns are already NULL for deletes
     "q181_snapshot_diff" ->
@@ -3924,6 +3980,22 @@ object SparkEntry {
                 CAST(0.0 AS DOUBLE),
                 COALESCE(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END), 0) = 0
          FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_suppkey)
+         UNION ALL
+         SELECT 'functional_dependency', 'l_orderkey,l_linenumber->l_partkey',
+                CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) AS DOUBLE),
+                CAST(0.0 AS DOUBLE),
+                COALESCE(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) = 0
+         FROM (SELECT COUNT(DISTINCT l_partkey)
+                      + MAX(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS nd
+               FROM lineitem GROUP BY l_orderkey, l_linenumber)
+         UNION ALL
+         SELECT 'functional_dependency', 'l_partkey->l_suppkey',
+                CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) AS DOUBLE),
+                CAST(0.0 AS DOUBLE),
+                COALESCE(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) = 0
+         FROM (SELECT COUNT(DISTINCT l_suppkey)
+                      + MAX(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS nd
+               FROM lineitem GROUP BY l_partkey)
          UNION ALL
          SELECT 'ref_integrity', 'l_orderkey', CAST(COUNT(*) AS DOUBLE),
                 CAST(0.0 AS DOUBLE), COUNT(*) = 0

@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   *     per task, regardless of input size);
   *   - each [[Unique]] costs exactly one shuffle on its key set (the
   *     excess-row count is an aggregate over the grouped counts —
-  *     never a self-join);
+  *     never a self-join); each [[FunctionalDependency]] likewise is
+  *     one grouped pass on its determinant;
   *   - each [[RefIntegrity]] is one LEFT ANTI join against the
   *     DISTINCT reference keys (broadcastable for dimension-sized
   *     refs; AQE picks the strategy) feeding a count — orphans are
@@ -62,6 +63,13 @@ object DataQuality {
     * observed = orphan ROW count. */
   final case class RefIntegrity(col: String, ref: DataFrame, refCol: String)
       extends Check
+  /** `determinant` functionally determines `dependent`; observed =
+    * number of determinant groups carrying more than one distinct
+    * dependent value (NULL counts as a value — a group with {NULL, x}
+    * violates). The profiling primitive behind candidate-key and
+    * denormalization checks. */
+  final case class FunctionalDependency(determinant: Seq[String],
+      dependent: String) extends Check
 
   private def resultRow(name: String, target: String, observed: Column,
       threshold: Double, passed: Column): Column =
@@ -73,7 +81,7 @@ object DataQuality {
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "empty check suite")
     val rowLocal = checks.filter {
-      case _: Unique | _: RefIntegrity => false
+      case _: Unique | _: RefIntegrity | _: FunctionalDependency => false
       case _ => true
     }
     // --- pass 1: every row-local check in ONE aggregate ---
@@ -120,6 +128,23 @@ object DataQuality {
           col("observed") === 0L).as("r"))
         .select(col("r.*"))
     }
+    // --- one grouped pass per FunctionalDependency: a determinant
+    //     group violates iff its NULL-inclusive distinct dependent
+    //     count exceeds 1 (countDistinct skips NULLs, so NULL presence
+    //     is added back as its own value) ---
+    val fds = checks.collect { case FunctionalDependency(det, dep) =>
+      require(det.nonEmpty, "FunctionalDependency needs a determinant")
+      val nd = countDistinct(col(dep)) +
+        max(when(col(dep).isNull, 1L).otherwise(0L))
+      val violating = coalesce(
+        sum(when(col("__nd") > 1L, 1L).otherwise(0L)), lit(0L))
+      df.groupBy(det.map(col): _*).agg(nd.as("__nd"))
+        .agg(violating.as("observed"))
+        .select(resultRow("functional_dependency",
+          s"${det.mkString(",")}->$dep", col("observed"), 0.0,
+          col("observed") === 0L).as("r"))
+        .select(col("r.*"))
+    }
     // --- one anti-join pass per RefIntegrity ---
     val refs = checks.collect { case RefIntegrity(c, ref, rc) =>
       val orphans = df.select(col(c)).filter(col(c).isNotNull)
@@ -128,6 +153,6 @@ object DataQuality {
       orphans.select(resultRow("ref_integrity", c, col("observed"), 0.0,
         col("observed") === 0L).as("r")).select(col("r.*"))
     }
-    (local.toSeq ++ uniques ++ refs).reduce(_ unionByName _)
+    (local.toSeq ++ uniques ++ fds ++ refs).reduce(_ unionByName _)
   }
 }

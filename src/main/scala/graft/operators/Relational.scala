@@ -323,6 +323,35 @@ object Relational {
   }
 
   // ------------------------------------------------------------------
+  // Join-key skew profiling.
+  // ------------------------------------------------------------------
+
+  /** Skew profile of a prospective join/group key: the top-N heaviest
+    * keys with their row counts and corpus share — the measurement the
+    * "measure skew BEFORE the join" discipline (Dedup's banded joins,
+    * the salted-join chooser) runs, promoted to a first-class report.
+    *
+    * Scale shape: one map-side-combined groupBy on the key, then the
+    * top-N via `orderBy(...).limit(n)` — Spark compiles that to
+    * TakeOrderedAndProject (per-partition bounded top-N heaps merged
+    * at the driver), NOT a total sort: no key-count-sized sort or
+    * single-partition stage anywhere (plan-asserted). The corpus total
+    * rides a 1-row broadcast from the same grouped counts, so the
+    * input is scanned ONCE. Ordering is total (count DESC, then key
+    * ASC), so ties at the cutoff are deterministic in any engine. */
+  def skewProfile(df: DataFrame, keys: Seq[String], topN: Int): DataFrame = {
+    require(keys.nonEmpty, "at least one key")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .select(keys.map(col) :+ col("cnt") :+
+        (col("cnt").cast("double") / col("__total")).as("share"): _*)
+      .orderBy(col("cnt").desc +: keys.map(col(_).asc): _*)
+      .limit(topN)
+  }
+
+  // ------------------------------------------------------------------
   // Nested FOREACH — per-group mini-pipelines over bags, as HOF chains.
   // ------------------------------------------------------------------
 

@@ -574,6 +574,54 @@ object TextAnalysis {
     * of partitioning/order and engine-portable; only the final exp
     * rides a double (rounded to 6). Docs with fewer than 2 tokens have
     * no bigrams and are excluded, like any LM scorer. */
+  /** Distinctive vocabulary between two corpora — "which terms
+    * characterize corpus A against corpus B" (the comparison behind
+    * Monroe et al. 2008's fightin'-words log-odds analysis, used in
+    * curation to spot domain drift, boilerplate, and contamination
+    * signatures). A term is distinctive for A iff its add-one-smoothed
+    * occurrence ODDS RATIO exceeds `thr`:
+    *
+    *   [(a+1)/(Atot-a+1)] / [(b+1)/(Btot-b+1)]  >  thr
+    *
+    * evaluated by EXACT cross-multiplication — (a+1)(Btot-b+1) >
+    * thr·(Atot-a+1)(b+1) — in DECIMAL(38,0), so unlike the usual
+    * log-space scoring there is no libm log/double ordering for two
+    * engines to disagree on at the threshold boundary. (Log-odds is
+    * monotone in the odds ratio, so thresholding the ratio IS
+    * thresholding the log-odds.) Products stay exact: token totals up
+    * to ~1e13 (a 100 TB corpus) square to 1e26 « the 1e38 cap.
+    *
+    * Scale shape: one tokenize+explode pass; corpus totals are a
+    * 2-row aggregate (driver literals); per-term counts are ONE
+    * map-side-combined shuffle on the term; the predicate is per-row.
+    * No join, no window, no sort. */
+  def distinctiveTerms(docs: DataFrame, textCol: String, corpusCol: String,
+      corpusA: String, corpusB: String, thr: Long = 3L): DataFrame = {
+    require(thr >= 1L, s"thr must be >= 1, got $thr")
+    require(corpusA != corpusB, "corpora must differ")
+    val toks = docs.filter(col(corpusCol).isin(corpusA, corpusB))
+      .select(col(corpusCol).as("__c"),
+        explode(tokens(col(textCol))).as("term"))
+    val totals = toks.groupBy(col("__c")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val aTot = totals.getOrElse(corpusA, 0L)
+    val bTot = totals.getOrElse(corpusB, 0L)
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val counts = toks.groupBy(col("term")).agg(
+      sum(when(col("__c") === corpusA, 1L).otherwise(0L)).as("a_cnt"),
+      sum(when(col("__c") === corpusB, 1L).otherwise(0L)).as("b_cnt"))
+    val ps = d19(col("a_cnt") + 1) * d19(lit(bTot) - col("b_cnt") + 1)
+    val qr = d19(lit(aTot) - col("a_cnt") + 1) * d19(col("b_cnt") + 1)
+    counts
+      .withColumn("__ps", ps).withColumn("__qr", qr)
+      .filter(col("__ps") > lit(thr) * col("__qr") ||
+              col("__qr") > lit(thr) * col("__ps"))
+      .select(col("term"),
+        when(col("__ps") > lit(thr) * col("__qr"), lit("A")).otherwise(lit("B"))
+          .as("side"),
+        col("a_cnt"), col("b_cnt"))
+  }
+
   def bigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
       alpha: Double = 0.5): DataFrame = {
     val toks = tokens(lower(col(textCol)))

@@ -46,6 +46,21 @@ class DataQualitySpec extends SparkSpec {
     assert(rep(("unique", "k")) == (3.0, false))
   }
 
+  test("functional_dependency: NULL-inclusive distinct; violating groups counted") {
+    val df = Seq[(java.lang.Long, String, String)](
+      (1L, "a", "x"), (1L, "a", "x"),   // consistent duplicate rows
+      (2L, "b", "x"), (2L, "b", "y"),   // b -> {x, y}: violates
+      (3L, "c", null), (3L, "c", "z"),  // {NULL, z}: violates
+      (4L, "d", null), (4L, "d", null)  // all-NULL group: consistent
+    ).toDF("k", "det", "dep")
+    val rep = asMap(DataQuality.report(df, Seq(
+      FunctionalDependency(Seq("det"), "dep"),
+      FunctionalDependency(Seq("det", "dep"), "k"))))
+    assert(rep(("functional_dependency", "det->dep")) == (2.0, false),
+      "groups b ({x,y}) and c ({NULL,z}) violate; d (all NULL) does not")
+    assert(rep(("functional_dependency", "det,dep->k")) == (0.0, true))
+  }
+
   test("ref_integrity: orphan rows counted, NULL FK vacuously passes") {
     val facts = Seq[(java.lang.Long, String)](
       (1L, "a"), (2L, "b"), (9L, "c"), (9L, "d"), (null, "e")

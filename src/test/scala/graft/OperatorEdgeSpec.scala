@@ -162,4 +162,48 @@ class OperatorEdgeSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not divisible"))
   }
+
+  test("distinctiveTerms: sides match a BigInt reference; boundary is strict") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      ("A", "alpha alpha alpha shared shared"),
+      ("A", "alpha shared common common"),
+      ("B", "beta beta shared common common"),
+      ("B", "beta shared shared common"),
+      ("C", "noise noise noise") // third corpus must be ignored
+    ).toDF("corp", "text")
+    val thr = 2L
+    val got = TextAnalysis.distinctiveTerms(docs, "text", "corp", "A", "B", thr)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // BigInt reference over the same token counts
+    val aToks = Seq("alpha", "alpha", "alpha", "shared", "shared",
+      "alpha", "shared", "common", "common")
+    val bToks = Seq("beta", "beta", "shared", "common", "common",
+      "beta", "shared", "shared", "common")
+    val aTot = BigInt(aToks.size); val bTot = BigInt(bToks.size)
+    val expected = (aToks ++ bToks).distinct.flatMap { term =>
+      val a = BigInt(aToks.count(_ == term)); val b = BigInt(bToks.count(_ == term))
+      val ps = (a + 1) * (bTot - b + 1); val qr = (aTot - a + 1) * (b + 1)
+      if (ps > thr * qr) Some(term -> ("A", a.toLong, b.toLong))
+      else if (qr > thr * ps) Some(term -> ("B", a.toLong, b.toLong))
+      else None
+    }.toMap
+    assert(got.keySet == expected.keySet,
+      s"got ${got.keySet}, expected ${expected.keySet}")
+    expected.foreach { case (term, (side, a, b)) =>
+      assert(got(term) == ((term, side, a, b)), s"term $term")
+    }
+    assert(got.contains("alpha") && got("alpha")._2 == "A")
+    assert(got.contains("beta") && got("beta")._2 == "B")
+    assert(!got.contains("noise"), "corpus C must not leak in")
+    assert(!got.contains("shared") && !got.contains("common"),
+      "balanced terms are not distinctive")
+    // strictness at the boundary: a term with ps == thr*qr is excluded
+    val bdocs = Seq(("A", "x"), ("B", "y")).toDF("corp", "text")
+    // x: a=1,b=0 -> ps=(2)*(2)=4, qr=(1)*(1)=1; with thr=4: 4 > 4 false
+    val strict = TextAnalysis.distinctiveTerms(bdocs, "text", "corp", "A", "B", 4L)
+      .as[(String, String, Long, Long)].collect().map(_._1).toSet
+    assert(!strict.contains("x"), "ps == thr*qr must NOT select (strict >)")
+  }
 }

@@ -329,6 +329,22 @@ class PlanSpec extends SparkSpec {
     assert(!tree.contains("ScalaUDF"), tree.take(2000))
   }
 
+  test("q182/q183: profiling reports are aggregate-only — no join of the corpus") {
+    // q182: one tokenize+term-shuffle; totals are literals, so NO join
+    val p182 = SparkEntry.queries("q182_distinctive_terms")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p182.contains("Join"), s"q182 must not join:\n${p182.take(2000)}")
+    assert(!p182.contains("windowspecdefinition"), p182.take(2000))
+    // q183: bounded top-N (TakeOrderedAndProject), 1-row broadcast total,
+    // never a global sort of the key counts
+    val p183 = SparkEntry.queries("q183_skew_profile")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p183.contains("TakeOrderedAndProject"), p183.take(2000))
+    assert(p183.contains("BroadcastNestedLoopJoin") ||
+      p183.contains("BroadcastExchange"), p183.take(2000))
+    Seq(p182, p183).foreach(p => assert(!p.contains("ScalaUDF"), p.take(2000)))
+  }
+
   test("every oracle key has a query; names are well-formed") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet

@@ -121,4 +121,28 @@ class RelationalSpec extends SparkSpec {
     val s = Relational.nested.sumBag(top2, "v")
     assert(df.select(s).as[Double].head() == 14.0) // 8.0 + 6.0
   }
+
+  test("skewProfile: exact top-N with deterministic ties; bounded top-N plan") {
+    import org.apache.spark.sql.functions._
+    // keys 1..10 with frequency = key; plus ties: 11 and 12 both x5
+    val rows = (1L to 10L).flatMap(k => Seq.fill(k.toInt)(k)) ++
+      Seq.fill(5)(11L) ++ Seq.fill(5)(12L)
+    val df = rows.toDF("k").repartition(7)
+    val prof = Relational.skewProfile(df, Seq("k"), 4)
+    val got = prof.as[(Long, Long, Double)].collect()
+    val total = rows.size.toDouble
+    // top-4 by (cnt DESC, k ASC): 10x10, 9x9, 8x8, 7x7
+    assert(got.map(r => (r._1, r._2)).toSeq ==
+      Seq((10L, 10L), (9L, 9L), (8L, 8L), (7L, 7L)))
+    got.foreach { case (_, cnt, share) => assert(share == cnt / total) }
+    // cutoff INSIDE the cnt=5 tie group {5, 11, 12}: top-7 takes 5 and
+    // 11 by key order and must never admit 12
+    val tied = Relational.skewProfile(df, Seq("k"), 7)
+      .as[(Long, Long, Double)].collect().map(_._1)
+    assert(tied.toSeq.sorted == Seq(5L, 6L, 7L, 8L, 9L, 10L, 11L),
+      s"tie at cnt=5 must break by key asc, got ${tied.toSeq}")
+    // plan: bounded top-N (TakeOrderedAndProject), never a global Sort
+    val plan = prof.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
 }
