@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * (driver collects, per-row overheads, partial-agg state growth).
   * Prints one line per op: rows, seconds, rows/sec.
   *
-  * Usage: `sbt "runMain graft.Soak [rows]"` (default 5,000,000).
+  * Usage: `sbt "runMain graft.Soak [rows] [onlyPrefixes]"` (default
+  * 5,000,000; optional comma-separated name prefixes run a subset).
   */
 object Soak {
   def main(args: Array[String]): Unit = {
     val rows = args.headOption.map(_.toLong).getOrElse(5000000L)
+    val only: Option[Seq[String]] = args.drop(1).headOption.map(_.split(',').toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]")
@@ -29,7 +31,8 @@ object Soak {
       .option("rows", rows).option("partitions", cpus.toInt * 2)
       .option("textmod", math.max(9973L, rows / 50).toString).load()
 
-    def time(name: String)(body: => Long): Unit = {
+    def time(name: String)(body: => Long): Unit =
+      if (only.exists(ps => !ps.exists(name.startsWith))) () else {
       // GC first: ContextCleaner releases the PREVIOUS op's shuffle
       // files, so ops are charged their own disk footprint — the
       // sandbox fs has a ~90 GB effective budget and the banded-join
@@ -338,7 +341,11 @@ object Soak {
     time(s"pagerank_${rows}e_3it") {
       val edges = docs.select(col("doc_id").as("src"),
         pmod(xxhash64(col("text")), lit(math.max(rows / 10, 1L))).as("dst"))
-      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+      // scale sized to the node count: the overflow guard (correctly)
+      // refuses the 1e12 default at ~5.5M nodes — mass x damp must fit
+      // a long, so a 5M-node soak runs at 1e9 fixed-point
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3,
+        scale = 1000000000L)
         .agg(max(col("rank"))).collect()
       rows
     }
@@ -391,6 +398,51 @@ object Soak {
         base, docs.filter(col("doc_id") % 10 === 0), keys, ms))
       merged.count() * 0 + rows
     }
+
+    // round 10 late: DQ suite (row-local single pass + one unique
+    // shuffle + one FD pass), PPS sampling (sharded prefix sums),
+    // snapshot diff (one full-outer join), SCD2 apply (one join of
+    // current vs a 1%-sized change batch), distinctive terms (one
+    // term shuffle), skew profile (bounded top-N)
+    time(s"dq_report_$rows") {
+      import graft.operators.DataQuality._
+      graft.operators.DataQuality.report(docs, Seq(
+        NotNull("doc_id"), Completeness("text", 0.99),
+        MatchesRatio("lang", "^[a-z]{2}$", 0.99),
+        MinRowCount(rows / 2), Unique(Seq("doc_id")),
+        FunctionalDependency(Seq("doc_id"), "lang")))
+        .count() * 0 + rows
+    }
+    time(s"pps_sample_$rows")(
+      graft.operators.TrainingPipeline.ppsSystematicSample(
+        docs.withColumn("nt", length(col("text")).cast("long")),
+        "doc_id", "nt", step = 10000L, offset = 7L).count() * 0 + rows)
+    time(s"snapshot_diff_$rows") {
+      val base = docs.select(col("doc_id"), col("lang"), col("text"))
+      val target = base.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, lit("xx")).otherwise(col("lang")).as("lang"),
+          col("text"))
+      graft.operators.Incremental.snapshotDiff(base, target, Seq("doc_id"))
+        .groupBy(col("op")).count().count() * 0 + rows
+    }
+    time(s"scd2_apply_$rows") {
+      val hist = docs.select(col("doc_id"), col("lang"),
+          lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")).as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"))
+      val changes = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id"), lit("xx").as("lang"))
+      graft.operators.Incremental.scd2Apply(hist, changes, Seq("doc_id"),
+        java.sql.Timestamp.valueOf("2021-01-01 00:00:00"))
+        .filter(col("valid_to").isNotNull).count() * 0 + rows
+    }
+    time(s"distinctive_terms_$rows")(
+      graft.operators.TextAnalysis.distinctiveTerms(
+        docs, "text", "lang", "en", "fr", thr = 3L).count() * 0 + rows)
+    time(s"skew_profile_$rows")(
+      graft.operators.Relational.skewProfile(
+        docs.select(pmod(xxhash64(col("text")), lit(4096L)).as("k")),
+        Seq("k"), 50).count() * 0 + rows)
 
     spark.stop()
   }

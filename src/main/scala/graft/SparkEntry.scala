@@ -1640,6 +1640,16 @@ object SparkEntry {
         deleteCol = Some("del"))
     }),
 
+    // --- Equi-depth histogram (round 10): EXACT B-quantile binning —
+    //     bucket = (rank-1)·B div N over the competition rank, pure
+    //     integer arithmetic, ties never straddle buckets. Engine rank
+    //     = rankBy's two-pass counters (no global window); oracle rank
+    //     = a plain RANK() window — the formulations check each
+    //     other. ---
+    "q184_equidepth_hist" -> ((s, dir) =>
+      graft.operators.Relational.equiDepthHistogram(
+        t(s, dir).lineitem, "l_extendedprice", buckets = 16)),
+
     // --- Skew profile (round 10): the "measure skew BEFORE the join"
     //     discipline as a first-class report — top-N heaviest keys via
     //     TakeOrderedAndProject (bounded per-partition heaps, never a
@@ -3782,6 +3792,18 @@ object SparkEntry {
                 CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
                 tot.n_total
          FROM tot LEFT JOIN agg USING (doc_id)""",
+
+    // Equi-depth histogram: the oracle ranks with a window and replays
+    // the identical integer bucket arithmetic
+    "q184_equidepth_hist" ->
+      """WITH v AS (
+           SELECT l_extendedprice AS x FROM lineitem
+           WHERE l_extendedprice IS NOT NULL),
+         n AS (SELECT COUNT(*) AS n FROM v),
+         r AS (SELECT x, RANK() OVER (ORDER BY x) AS rk FROM v)
+         SELECT CAST(((rk - 1) * 16) // n AS BIGINT) AS bucket,
+                MIN(x) AS lo, MAX(x) AS hi, COUNT(*) AS cnt
+         FROM r, n GROUP BY 1""",
 
     // Skew profile: same total order replayed as a plain sort+limit
     "q183_skew_profile" ->

@@ -323,6 +323,40 @@ object Relational {
   }
 
   // ------------------------------------------------------------------
+  // Equi-depth histograms — exact, rank-based, engine-portable.
+  // ------------------------------------------------------------------
+
+  /** EXACT equi-depth histogram of a numeric column: `buckets` bins
+    * holding (as nearly as ties allow) equal row counts, each reported
+    * with its [lo, hi] envelope and population — the optimizer/drift
+    * statistic ANALYZE computes, made a first-class report. Unlike
+    * approx_percentile sketches this is deterministic and
+    * engine-replayable: bucket = (rank-1)·B div N in INTEGER
+    * arithmetic over the competition rank, so ties share a rank and
+    * therefore a bucket (a value can never straddle two buckets), and
+    * any engine computing the same rank computes the same histogram.
+    *
+    * Scale shape: the rank comes from [[rankBy]]'s two-pass
+    * counter scheme — per-partition key counts + broadcast offsets —
+    * NEVER a single-partition global window; the histogram itself is
+    * a B-row aggregate. NULLs are excluded (no rank order exists for
+    * them), like every SQL ordering. */
+  def equiDepthHistogram(df: DataFrame, valueCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val vals = df.select(col(valueCol)).filter(col(valueCol).isNotNull)
+    val n = vals.count()
+    require(n > 0, "equiDepthHistogram: no non-null values")
+    val ranked = rankBy(vals, Seq(valueCol))
+    ranked
+      .withColumn("bucket",
+        expr(s"((rank - 1) * ${buckets.toLong}) div ${n}"))
+      .groupBy(col("bucket"))
+      .agg(min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"),
+        count(lit(1)).as("cnt"))
+  }
+
+  // ------------------------------------------------------------------
   // Join-key skew profiling.
   // ------------------------------------------------------------------
 

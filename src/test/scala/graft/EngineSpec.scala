@@ -90,7 +90,10 @@ class EngineSpec extends SparkSpec {
     assert(cents.count() == 4)
     val asg = Engine.assignClusters(embs, "vec_id", "embedding", cents)
     assert(asg.select($"cluster").distinct().count() <= 4 && asg.count() == 100)
-    assert(Engine.verbatimSpans(docs, "doc_id", "text", minLen = 8).count() >= 0)
+    // `>= 0` would be vacuous (the hotNgrams lesson): pin the facade
+    // to the operator it delegates to instead
+    assert(Engine.verbatimSpans(docs, "doc_id", "text", minLen = 8).count() ==
+      graft.operators.Dedup.verbatimSpans(docs, "doc_id", "text", minLen = 8).count())
     val (merges, vocab) = Engine.bpeTrain(docs, "text", nMerges = 3)
     assert(merges.length == 3 && vocab.count() > 0)
   }

@@ -122,6 +122,34 @@ class RelationalSpec extends SparkSpec {
     assert(df.select(s).as[Double].head() == 14.0) // 8.0 + 6.0
   }
 
+  test("equiDepthHistogram: exact bucket populations; ties never straddle") {
+    import org.apache.spark.sql.functions._
+    // 1..100 -> 4 buckets of exactly 25
+    val df = (1 to 100).map(_.toDouble).toDF("x").repartition(5)
+    val h = Relational.equiDepthHistogram(df, "x", 4)
+      .as[(Long, Double, Double, Long)].collect().sortBy(_._1)
+    assert(h.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(h.forall(_._4 == 25L))
+    assert(h.map(b => (b._2, b._3)).toSeq ==
+      Seq((1.0, 25.0), (26.0, 50.0), (51.0, 75.0), (76.0, 100.0)))
+    // heavy tie crossing a boundary: value 5 repeated 10x in 20 rows,
+    // 2 buckets — the tie block shares one rank, so it lands WHOLLY in
+    // one bucket (competition rank pins it to the first)
+    val tied = ((1 to 10).map(_ => 5.0) ++ (11 to 20).map(_.toDouble)).toDF("x")
+    val h2 = Relational.equiDepthHistogram(tied, "x", 2)
+      .as[(Long, Double, Double, Long)].collect().sortBy(_._1)
+    assert(h2.map(_._1).toSeq == Seq(0L, 1L))
+    val b0 = h2(0)
+    assert(b0._2 == 5.0 && b0._3 == 5.0 && b0._4 == 10L,
+      s"the 10-row tie at 5.0 must sit whole in bucket 0: $h2")
+    // nulls excluded; counts conserve
+    val withNulls = df.withColumn("x",
+      when($"x" <= 10, lit(null).cast("double")).otherwise($"x"))
+    val h3 = Relational.equiDepthHistogram(withNulls, "x", 3)
+      .agg(sum($"cnt")).as[Long].head()
+    assert(h3 == 90L)
+  }
+
   test("skewProfile: exact top-N with deterministic ties; bounded top-N plan") {
     import org.apache.spark.sql.functions._
     // keys 1..10 with frequency = key; plus ties: 11 and 12 both x5
