@@ -1640,6 +1640,17 @@ object SparkEntry {
         deleteCol = Some("del"))
     }),
 
+    // --- Distribution drift (round 10): bin base AND an incoming
+    //     slice by the BASE's equi-depth boundaries, report exact
+    //     per-bin counts (the integers behind PSI/KL monitoring).
+    //     The low-quantity slice has genuinely shifted extendedprice
+    //     mass, so the drift is real, not a fixture artifact. ---
+    "q185_distribution_drift" -> ((s, dir) => {
+      val li = t(s, dir).lineitem
+      graft.operators.Relational.distributionDrift(
+        li, li.filter(col("l_quantity") <= 10), "l_extendedprice", 16)
+    }),
+
     // --- Equi-depth histogram (round 10): EXACT B-quantile binning —
     //     bucket = (rank-1)·B div N over the competition rank, pure
     //     integer arithmetic, ties never straddle buckets. Engine rank
@@ -3792,6 +3803,31 @@ object SparkEntry {
                 CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
                 tot.n_total
          FROM tot LEFT JOIN agg USING (doc_id)""",
+
+    // Distribution drift: boundaries replayed via the same rank
+    // arithmetic; binning via a correlated boundary count
+    "q185_distribution_drift" ->
+      """WITH v AS (
+           SELECT l_extendedprice AS x FROM lineitem
+           WHERE l_extendedprice IS NOT NULL),
+         n AS (SELECT COUNT(*) AS n FROM v),
+         r AS (SELECT x, RANK() OVER (ORDER BY x) AS rk FROM v),
+         h AS (SELECT ((rk - 1) * 16) // n AS b, MAX(x) AS hi
+               FROM r, n GROUP BY 1),
+         cap AS (SELECT COUNT(*) - 1 AS cap FROM h),
+         bb AS (
+           SELECT x, 'base' AS side FROM v
+           UNION ALL
+           SELECT l_extendedprice, 'target' FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_quantity <= 10),
+         a AS (
+           SELECT LEAST((SELECT COUNT(*) FROM h WHERE h.hi < bb.x),
+                        cap.cap) AS bucket, side
+           FROM bb, cap)
+         SELECT CAST(bucket AS BIGINT) AS bucket,
+                CAST(SUM(CASE WHEN side = 'base' THEN 1 ELSE 0 END) AS BIGINT) AS base_cnt,
+                CAST(SUM(CASE WHEN side = 'target' THEN 1 ELSE 0 END) AS BIGINT) AS target_cnt
+         FROM a GROUP BY 1""",
 
     // Equi-depth histogram: the oracle ranks with a window and replays
     // the identical integer bucket arithmetic

@@ -356,6 +356,44 @@ object Relational {
         count(lit(1)).as("cnt"))
   }
 
+  /** Distribution drift report: bin BOTH corpora by the BASE corpus's
+    * equi-depth boundaries and report exact per-bin populations —
+    * the binned counts behind PSI/KL drift monitoring between a
+    * reference snapshot and an incoming one, kept in integers so the
+    * report is engine-replayable (the caller applies whatever
+    * divergence formula it likes to the counts; logs stay out of the
+    * gated dataflow, the q182 discipline).
+    *
+    * Bin rule: bucket(x) = min(#{boundaries hi < x}, B-1) over the
+    * base histogram's per-bucket max values — so target values beyond
+    * the base range clamp into the edge bins (out-of-range mass is
+    * drift, not an error), ties bin identically in any engine, and
+    * BOTH sides are recounted under the same value rule (the base
+    * histogram's own rank-based counts can differ at tie boundaries).
+    *
+    * Scale shape: one [[equiDepthHistogram]] pass over the base (its
+    * two-pass rank), boundaries collected as B driver literals, then
+    * ONE union + aggregate pass bins both corpora — assignment is a
+    * codegen'd array HOF over the literal boundary array, no join.
+    * NULLs are excluded on both sides, like the histogram. */
+  def distributionDrift(base: DataFrame, target: DataFrame,
+      valueCol: String, buckets: Int): DataFrame = {
+    val hist = equiDepthHistogram(base, valueCol, buckets)
+    val bounds = hist.select(col("bucket"), col("hi").cast("double"))
+      .collect().sortBy(_.getLong(0)).map(_.getDouble(1))
+    val cap = bounds.length - 1
+    val bArr = array(bounds.map(lit): _*)
+    def binned(df: DataFrame, side: String): DataFrame =
+      df.select(col(valueCol).cast("double").as("__x"))
+        .filter(col("__x").isNotNull)
+        .select(least(size(filter(bArr, b => b < col("__x"))), lit(cap))
+          .cast("long").as("bucket"), lit(side).as("__side"))
+    binned(base, "base").unionByName(binned(target, "target"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__side") === "base", 1L).otherwise(0L)).as("base_cnt"),
+        sum(when(col("__side") === "target", 1L).otherwise(0L)).as("target_cnt"))
+  }
+
   // ------------------------------------------------------------------
   // Join-key skew profiling.
   // ------------------------------------------------------------------

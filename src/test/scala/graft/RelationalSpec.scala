@@ -150,6 +150,33 @@ class RelationalSpec extends SparkSpec {
     assert(h3 == 90L)
   }
 
+  test("distributionDrift: identical dists split evenly; shifts and clamps land right") {
+    import org.apache.spark.sql.functions._
+    val base = (1 to 100).map(_.toDouble).toDF("x")
+    // self-drift: every bin holds exactly base_cnt == target_cnt == 25
+    val self = Relational.distributionDrift(base, base, "x", 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(self.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(self.forall(r => r._2 == 25L && r._3 == 25L))
+    // shifted target: all mass above the base range clamps to the LAST
+    // bin; mass below clamps to bin 0
+    val shifted = Seq(1000.0, 2000.0, -5.0).toDF("x")
+    val d = Relational.distributionDrift(base, shifted, "x", 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(d(3L) == 2L && d(0L) == 1L)
+    // boundary ownership: x equal to a bin's hi belongs to THAT bin
+    // (boundaries are hi values, rule is hi < x)
+    val onEdge = Seq(25.0, 26.0).toDF("x")
+    val e = Relational.distributionDrift(base, onEdge, "x", 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(e(0L) == 1L && e(1L) == 1L)
+    // nulls excluded from both sides
+    val withNull = Seq[Option[Double]](Some(50.0), None).toDF("x")
+    val nn = Relational.distributionDrift(base, withNull, "x", 4)
+      .agg(sum($"target_cnt")).as[Long].head()
+    assert(nn == 1L)
+  }
+
   test("skewProfile: exact top-N with deterministic ties; bounded top-N plan") {
     import org.apache.spark.sql.functions._
     // keys 1..10 with frequency = key; plus ties: 11 and 12 both x5
