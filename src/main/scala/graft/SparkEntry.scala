@@ -1640,6 +1640,35 @@ object SparkEntry {
         deleteCol = Some("del"))
     }),
 
+    // --- Point-in-time SCD2 read (round 10): "the table AS OF t" as a
+    //     pure pushable filter over the versioned history. The query
+    //     applies q176's change batch, reads the post-change snapshot,
+    //     and FIRST require()s the time-travel round trip: reading
+    //     between t0 and t1 reconstructs the ORIGINAL table exactly. ---
+    "q186_asof_snapshot" -> ((s, dir) => {
+      val cust = t(s, dir).customer.select(col("c_custkey").as("k"),
+        col("c_name").as("name"), col("c_acctbal").as("bal"))
+      val hist0 = cust
+        .withColumn("valid_from", lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+      val ch1 = cust.filter(col("k") % 7 === 0)
+        .select(col("k"), upper(col("name")).as("name"), (col("bal") + 1000).as("bal"))
+        .unionByName(cust.filter(col("k") % 13 === 0)
+          .select((col("k") + 1000000).as("k"),
+            concat(lit("new_"), col("k").cast("string")).as("name"),
+            lit(0.0).as("bal")))
+      val hist1 = graft.operators.Incremental.scd2Apply(hist0,
+        ch1, Seq("k"), java.sql.Timestamp.valueOf("2021-06-01 00:00:00"))
+        .localCheckpoint()
+      val mid = graft.operators.Incremental.asOfSnapshot(hist1,
+        java.sql.Timestamp.valueOf("2020-07-01 00:00:00"))
+      require(mid.exceptAll(cust).limit(1).count() == 0L &&
+        cust.exceptAll(mid).limit(1).count() == 0L,
+        "q186: AS OF between t0 and t1 must reconstruct the original table")
+      graft.operators.Incremental.asOfSnapshot(hist1,
+        java.sql.Timestamp.valueOf("2021-07-01 00:00:00"))
+    }),
+
     // --- Distribution drift (round 10): bin base AND an incoming
     //     slice by the BASE's equi-depth boundaries, report exact
     //     per-bin counts (the integers behind PSI/KL monitoring).
@@ -3803,6 +3832,17 @@ object SparkEntry {
                 CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
                 tot.n_total
          FROM tot LEFT JOIN agg USING (doc_id)""",
+
+    // AS OF snapshot: the post-change state replayed as plain CASE
+    // logic over the same derived change batch
+    "q186_asof_snapshot" ->
+      """SELECT c_custkey AS k,
+                CASE WHEN c_custkey % 7 = 0 THEN upper(c_name) ELSE c_name END AS name,
+                CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000 ELSE c_acctbal END AS bal
+         FROM customer
+         UNION ALL
+         SELECT c_custkey + 1000000, 'new_' || CAST(c_custkey AS VARCHAR), 0.0
+         FROM customer WHERE c_custkey % 13 = 0""",
 
     // Distribution drift: boundaries replayed via the same rank
     // arithmetic; binning via a correlated boundary count

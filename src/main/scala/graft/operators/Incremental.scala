@@ -142,6 +142,24 @@ object Incremental {
         .otherwise(col(s"__b_$c")).as(c)): _*)
   }
 
+  /** Point-in-time read over an SCD2 history — "the table AS OF t"
+    * (Kimball's point-in-time query; the same contract as Delta/Iceberg
+    * time travel, answered from versioned rows instead of file
+    * snapshots): a version is visible iff valid_from <= t < valid_to
+    * (NULL valid_to = still current). Returns the reconstructed
+    * snapshot (keys ++ attrs, validity columns dropped).
+    *
+    * Scale shape: a pure FILTER over the history — predicate-pushable
+    * into the scan, no join, no shuffle; if the history is partitioned
+    * or z-ordered on valid_from, partition/file pruning applies. */
+  def asOfSnapshot(hist: DataFrame, t: java.sql.Timestamp): DataFrame = {
+    require(hist.columns.contains("valid_from") && hist.columns.contains("valid_to"),
+      "hist must carry valid_from/valid_to")
+    hist.filter(col("valid_from") <= lit(t) &&
+        (col("valid_to").isNull || col("valid_to") > lit(t)))
+      .drop("valid_from", "valid_to")
+  }
+
   /** Snapshot diff — the INVERSE of [[mergeUpsert]]: derive the
     * MINIMAL change feed (inserts + updates + deletes, `op` column)
     * that transforms `base` into `target`. The two operators are a

@@ -124,7 +124,8 @@ object Layout {
     * URI-scheme spelling differences between the driver listing and
     * `input_file_name()` cannot mis-route rows. */
   def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
-      outDir: String, targetBytes: Long): DataFrame = {
+      outDir: String, targetBytes: Long,
+      sortWithin: Option[String] = None): DataFrame = {
     require(targetBytes >= 1L, s"targetBytes must be >= 1, got $targetBytes")
     val conf = spark.sparkContext.hadoopConfiguration
     val inPath = new org.apache.hadoop.fs.Path(inDir)
@@ -150,7 +151,11 @@ object Layout {
         regexp_extract(input_file_name(), "[^/]+$", 0))
       .join(broadcast(plan.select("__fname", "__bin")), Seq("__fname"))
       .drop("__fname")
+    // sortWithin: keep a clustering key's order INSIDE each output
+    // file, so compacting a z-ordered/range-laid table does not undo
+    // its file-internal clustering (row-group stats stay tight)
     compacted.repartition(binBytes.length, col("__bin"))
+      .sortWithinPartitions(col("__bin") +: sortWithin.map(col).toSeq: _*)
       .write.mode("overwrite").partitionBy("__bin").parquet(outDir)
     // receipt: every planned bin landed as exactly one data file
     val outPath = new org.apache.hadoop.fs.Path(outDir)

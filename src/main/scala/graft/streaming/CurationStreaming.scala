@@ -252,6 +252,25 @@ object CurationStreaming {
     spark.read.parquet(s"$snapDir/snap=${ids.max}")
   }
 
+  /** Retention: delete all but the newest `keep` snapshots (driver
+    * metadata work — each snapshot is a directory). The current table
+    * ([[scd2Latest]]) is untouched; a restart replaying an OLD batch
+    * id against an expired predecessor cannot happen because the
+    * checkpoint only replays batches at-or-after the last committed
+    * one, whose predecessor is always within the keep window.
+    * Returns the deleted snapshot ids. */
+  def scd2Expire(spark: SparkSession, snapDir: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val ids = snapshotIds(spark, snapDir).sorted
+    val victims = ids.dropRight(keep)
+    val fs = new org.apache.hadoop.fs.Path(snapDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    victims.foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$snapDir/snap=$id"), true)
+    }
+    victims
+  }
+
   /** Manifest of a [[exportStream]] output from the READ-BACK files
     * (same stats as the batch exporter — count, tokens, id sum,
     * md5-prefix checksum per shard), aggregated across all batches. */

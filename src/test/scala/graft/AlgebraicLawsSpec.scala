@@ -216,6 +216,30 @@ class AlgebraicLawsSpec extends SparkSpec {
     h1.unpersist()
   }
 
+  test("asOfSnapshot: time travel reconstructs every historical state exactly") {
+    import graft.operators.Incremental
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val t0 = ts("2020-01-01 00:00:00"); val t1 = ts("2021-01-01 00:00:00")
+    val t2 = ts("2022-01-01 00:00:00")
+    val hist0 = Seq((1L, "a", t0), (2L, "b", t0))
+      .toDF("k", "name", "valid_from")
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    val h1 = Incremental.scd2Apply(hist0,
+      Seq((1L, "A"), (3L, "c")).toDF("k", "name"), Seq("k"), t1)
+    val h2 = Incremental.scd2Apply(h1,
+      Seq((1L, "AA"), (2L, "B")).toDF("k", "name"), Seq("k"), t2)
+    def snap(t: java.sql.Timestamp) =
+      Incremental.asOfSnapshot(h2, t).as[(Long, String)].collect().toSet
+    // before t0: nothing existed
+    assert(snap(ts("2019-06-01 00:00:00")).isEmpty)
+    // AT a version boundary the NEW version is visible (valid_from <= t)
+    assert(snap(t0) == Set((1L, "a"), (2L, "b")))
+    assert(snap(ts("2020-06-01 00:00:00")) == Set((1L, "a"), (2L, "b")))
+    assert(snap(t1) == Set((1L, "A"), (2L, "b"), (3L, "c")))
+    assert(snap(ts("2021-06-01 00:00:00")) == Set((1L, "A"), (2L, "b"), (3L, "c")))
+    assert(snap(ts("2023-01-01 00:00:00")) == Set((1L, "AA"), (2L, "B"), (3L, "c")))
+  }
+
   test("snapshotDiff: minimal change feed; diff-then-apply round-trips both ways") {
     import graft.operators.Incremental
     val base = Seq[(Long, Option[String], Option[Double])](

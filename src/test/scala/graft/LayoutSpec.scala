@@ -111,6 +111,22 @@ class LayoutSpec extends SparkSpec {
       "compaction must preserve the exact row multiset")
   }
 
+  test("compact sortWithin: clustering key order survives inside each output file") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_sort_").toString
+    val frag = s"$tmp/frag"; val opt = s"$tmp/opt"
+    tables.documents.repartition(16).write.mode("overwrite").parquet(frag)
+    Layout.compact(spark, frag, opt, targetBytes = 128L * 1024,
+      sortWithin = Some("doc_id"))
+    val binDirs = new java.io.File(opt).listFiles().filter(_.isDirectory)
+    assert(binDirs.nonEmpty)
+    binDirs.foreach { d =>
+      val ids = spark.read.parquet(d.toString).select($"doc_id")
+        .as[Long].collect()
+      assert(ids.sameElements(ids.sorted),
+        s"bin ${d.getName} must keep doc_id order inside its file")
+    }
+  }
+
   test("compact: an oversized file gets its own bin rather than splitting") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact_big_").toString
     val frag = s"$tmp/frag"; val opt = s"$tmp/opt"

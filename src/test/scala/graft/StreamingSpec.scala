@@ -277,6 +277,15 @@ class StreamingSpec extends SparkSpec {
     }
     assert(thrown.getMessage.contains("mixes as_of") ||
       Option(thrown.getCause).exists(_.getMessage.contains("mixes as_of")))
+    // retention: expiring to keep=1 deletes older snapshots but leaves
+    // the current table byte-identical
+    val before = streamed.collect().toSet
+    val deleted = CurationStreaming.scd2Expire(spark, snap, keep = 1)
+    assert(deleted.nonEmpty, "two applied batches must leave an expirable snapshot")
+    val dirs = new java.io.File(snap).listFiles()
+      .count(d => d.isDirectory && d.getName.startsWith("snap="))
+    assert(dirs == 1)
+    assert(CurationStreaming.scd2Latest(spark, snap).collect().toSet == before)
   }
 
   test("streaming near-dup: spot checks, partitioned replay, real-corpus parity") {
