@@ -1640,6 +1640,43 @@ object SparkEntry {
         deleteCol = Some("del"))
     }),
 
+    // --- Governed promotion capstone (round 10): the whole CDC/DQ
+    //     family as ONE dataflow — an incoming snapshot is (1) gated
+    //     by a DQ suite (require all passed), (2) diffed against prod,
+    //     (3) promoted via MERGE with the round-trip law require()'d,
+    //     and (4) audited with a drift report over prod's equi-depth
+    //     boundaries — which is what the query emits and the oracle
+    //     replays end-to-end (q164's capstone discipline). ---
+    "q187_governed_promotion" -> ((s, dir) => {
+      import graft.operators.{DataQuality, Incremental, Relational}
+      val base = t(s, dir).customer.select(col("c_custkey").as("k"),
+        col("c_name").as("name"), col("c_acctbal").as("bal"))
+      val incoming = base.filter(col("k") % 17 =!= 0)
+        .select(col("k"),
+          when(col("k") % 7 === 0, upper(col("name"))).otherwise(col("name")).as("name"),
+          when(col("k") % 7 === 0, col("bal") + 1000).otherwise(col("bal")).as("bal"))
+        .unionByName(base.filter(col("k") % 13 === 0)
+          .select((col("k") + 1000000).as("k"),
+            concat(lit("new_"), col("k").cast("string")).as("name"),
+            lit(0.0).as("bal")))
+      // (1) DQ gate: nothing promotes on a red suite
+      val gate = DataQuality.report(incoming, Seq(
+        DataQuality.NotNull("k"), DataQuality.NotNull("name"),
+        DataQuality.Unique(Seq("k")), DataQuality.MinRowCount(1L)))
+      require(gate.filter(!col("passed")).limit(1).count() == 0L,
+        "q187: DQ gate failed — promotion refused")
+      // (2) diff + (3) promote, law-checked
+      val diff = Incremental.snapshotDiff(base, incoming, Seq("k"))
+      val promoted = Incremental.mergeUpsert(base,
+        diff.withColumn("del", col("op") === "delete").drop("op"),
+        Seq("k"), deleteCol = Some("del")).localCheckpoint()
+      require(promoted.exceptAll(incoming).limit(1).count() == 0L &&
+        incoming.exceptAll(promoted).limit(1).count() == 0L,
+        "q187: promotion must reconstruct the incoming snapshot")
+      // (4) audit: balance-distribution drift, prod boundaries
+      Relational.distributionDrift(base, promoted, "bal", 16)
+    }),
+
     // --- Point-in-time SCD2 read (round 10): "the table AS OF t" as a
     //     pure pushable filter over the versioned history. The query
     //     applies q176's change batch, reads the post-change snapshot,
@@ -3832,6 +3869,39 @@ object SparkEntry {
                 CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
                 tot.n_total
          FROM tot LEFT JOIN agg USING (doc_id)""",
+
+    // Governed promotion: the oracle replays the promoted snapshot as
+    // CASE logic, derives prod's equi-depth boundaries by rank, and
+    // bins both sides — the full pipeline, end-to-end
+    "q187_governed_promotion" ->
+      """WITH base AS (
+           SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal FROM customer),
+         promoted AS (
+           SELECT k,
+                  CASE WHEN k % 7 = 0 THEN upper(name) ELSE name END AS name,
+                  CASE WHEN k % 7 = 0 THEN bal + 1000 ELSE bal END AS bal
+           FROM base WHERE k % 17 <> 0
+           UNION ALL
+           SELECT k + 1000000, 'new_' || CAST(k AS VARCHAR), 0.0
+           FROM base WHERE k % 13 = 0),
+         v AS (SELECT bal AS x FROM base WHERE bal IS NOT NULL),
+         n AS (SELECT COUNT(*) AS n FROM v),
+         r AS (SELECT x, RANK() OVER (ORDER BY x) AS rk FROM v),
+         h AS (SELECT ((rk - 1) * 16) // n AS b, MAX(x) AS hi
+               FROM r, n GROUP BY 1),
+         cap AS (SELECT COUNT(*) - 1 AS cap FROM h),
+         bb AS (
+           SELECT x, 'base' AS side FROM v
+           UNION ALL
+           SELECT bal, 'target' FROM promoted WHERE bal IS NOT NULL),
+         a AS (
+           SELECT LEAST((SELECT COUNT(*) FROM h WHERE h.hi < bb.x),
+                        cap.cap) AS bucket, side
+           FROM bb, cap)
+         SELECT CAST(bucket AS BIGINT) AS bucket,
+                CAST(SUM(CASE WHEN side = 'base' THEN 1 ELSE 0 END) AS BIGINT) AS base_cnt,
+                CAST(SUM(CASE WHEN side = 'target' THEN 1 ELSE 0 END) AS BIGINT) AS target_cnt
+         FROM a GROUP BY 1""",
 
     // AS OF snapshot: the post-change state replayed as plain CASE
     // logic over the same derived change batch
