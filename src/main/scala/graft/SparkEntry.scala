@@ -2029,6 +2029,15 @@ object SparkEntry {
         graft.operators.Layout.zValue2(col("l_orderkey"), col("l_partkey"))
           .as("zvalue"))),
 
+    // --- 3-column Z-order key (round 10 late): Delta's
+    //     `OPTIMIZE ZORDER BY (a,b,c)` arity — bits land 2 apart, 21
+    //     bits per key, same codegen'd shift/mask chain and the same
+    //     generated-CTE oracle discipline as q169. ---
+    "q188_zorder3_key" -> ((s, dir) =>
+      t(s, dir).lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        graft.operators.Layout.zValue3(col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber")).as("zvalue"))),
+
     // --- KMV overlap sketch (round 10; Bar-Yossef et al. 2002): the
     //     train-vs-benchmark contamination estimate — each corpus
     //     reduces to k=1024 longs (one combiner-friendly aggregation,
@@ -2878,6 +2887,29 @@ object SparkEntry {
     s"$head$steps SELECT l_orderkey, l_linenumber, sa | (sb << 1) AS zvalue FROM z$n"
   }
 
+  /** q188's oracle: the 3-way spread chain, generated from the SAME
+    * masks the engine uses (Layout.spreadSteps3). */
+  private def zOrder3OracleSql: String = {
+    val head =
+      """WITH z0 AS (
+           SELECT l_orderkey, l_linenumber,
+                  l_partkey AS sa, l_suppkey AS sb,
+                  CAST(l_linenumber AS BIGINT) AS sc
+           FROM lineitem)"""
+    val steps = graft.operators.Layout.spreadSteps3.zipWithIndex.map {
+      case ((sh, m), i) =>
+        s""", z${i + 1} AS (
+              SELECT l_orderkey, l_linenumber,
+                     (sa | (sa << $sh)) & $m AS sa,
+                     (sb | (sb << $sh)) & $m AS sb,
+                     (sc | (sc << $sh)) & $m AS sc
+              FROM z$i)"""
+    }.mkString
+    val n = graft.operators.Layout.spreadSteps3.length
+    s"$head$steps SELECT l_orderkey, l_linenumber, " +
+      s"sa | (sb << 1) | (sc << 2) AS zvalue FROM z$n"
+  }
+
   /** q174's oracle: DuckDB recomputes the ENTIRE exact moment matrix
     * (per-element double products cast to DECIMAL(38,18), summed
     * exactly — order-free, so the hash compare is meaningful) and pins
@@ -2910,6 +2942,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q167_pagerank" -> pageRankOracleSql(3),
     "q169_zorder_key" -> zOrderOracleSql,
+    "q188_zorder3_key" -> zOrder3OracleSql,
     "q174_pca_whiten" -> pcaOracleSql,
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber,

@@ -48,6 +48,37 @@ object Layout {
     spread(checked(a, "a")).bitwiseOR(shiftleft(spread(checked(b, "b")), 1))
   }
 
+  /** 3-way bit-spreading masks (bits land 2 apart; 21 bits per key —
+    * the Delta `OPTIMIZE ZORDER BY (a,b,c)` arity). Shared with the
+    * SQL oracle builder like [[spreadSteps]]. */
+  val spreadSteps3: Seq[(Int, Long)] = Seq(
+    32 -> 0x1F00000000FFFFL,
+    16 -> 0x1F0000FF0000FFL,
+    8  -> 0x100F00F00F00F00FL,
+    4  -> 0x10C30C30C30C30C3L,
+    2  -> 0x1249249249249249L)
+
+  private def spread3(x: Column): Column =
+    spreadSteps3.foldLeft(x) { case (c, (sh, m)) =>
+      (c.bitwiseOR(shiftleft(c, sh))).bitwiseAND(lit(m)) }
+
+  /** 63-bit Morton code of three non-negative 21-bit keys — a in bit
+    * positions 0,3,6,…, b one left, c two left. Same out-of-range
+    * refusal as [[zValue2]]: masking would silently co-locate far
+    * rows. 21 bits per dimension is Delta's practical arity-3 budget;
+    * wider keys go through [[zorderWriteNormalized]]-style ranking
+    * first. */
+  def zValue3(a: Column, b: Column, c: Column): Column = {
+    val lim = lit(2097152L) // 2^21
+    def checked(x: Column, name: String): Column =
+      when(x.cast("long") >= 0 && x.cast("long") < lim, x.cast("long"))
+        .otherwise(raise_error(concat(lit(s"zValue3: $name out of [0, 2^21): "),
+          x.cast("string"))))
+    spread3(checked(a, "a"))
+      .bitwiseOR(shiftleft(spread3(checked(b, "b")), 1))
+      .bitwiseOR(shiftleft(spread3(checked(c, "c")), 2))
+  }
+
   /** Rewrite `df` into `nFiles` z-clustered parquet files: range-
     * partition on the interleaved key (sampling gives equal-sized
     * files), sort within each partition so row groups are rectangles

@@ -29,6 +29,30 @@ class LayoutSpec extends SparkSpec {
     assert(z(65536L, 0L) == 4294967296L)
   }
 
+  test("zValue3: hand-computed interleaves, boundaries, range guard") {
+    def z3(a: Long, b: Long, c: Long): Long =
+      Seq((a, b, c)).toDF("a", "b", "c")
+        .select(Layout.zValue3($"a", $"b", $"c")).as[Long].head()
+    assert(z3(0, 0, 0) == 0L)
+    assert(z3(1, 0, 0) == 1L && z3(0, 1, 0) == 2L && z3(0, 0, 1) == 4L)
+    assert(z3(1, 1, 1) == 7L)
+    assert(z3(2, 0, 0) == 8L && z3(0, 2, 0) == 16L && z3(0, 0, 2) == 32L)
+    assert(z3(3, 3, 3) == 63L)
+    // top bit of each 21-bit key lands at positions 60/61/62
+    assert(z3(1L << 20, 0, 0) == (1L << 60))
+    assert(z3(0, 1L << 20, 0) == (1L << 61))
+    assert(z3(0, 0, 1L << 20) == (1L << 62))
+    val max = (1L << 21) - 1
+    assert(z3(max, max, max) == (1L << 63) - 1,
+      "all-ones keys fill all 63 bits")
+    // adjacent-in-a rows differ only in the a-lane
+    assert((z3(5, 9, 2) ^ z3(4, 9, 2)) % 8 != 0)
+    val e = intercept[Exception] {
+      z3(1L << 21, 0, 0)
+    }
+    assert(e.getMessage.contains("out of [0, 2^21)"))
+  }
+
   test("zValue2: out-of-range inputs fail loudly, not by silent masking") {
     intercept[Exception] { z(-1L, 0L) }
     intercept[Exception] { z(0L, 4294967296L) }
