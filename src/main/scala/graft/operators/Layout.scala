@@ -79,6 +79,19 @@ object Layout {
       .bitwiseOR(shiftleft(spread3(checked(c, "c")), 2))
   }
 
+  /** 3-column [[zorderWrite]]: one repartitionByRange on the zValue3
+    * key + in-partition sort — every file becomes a small BOX in
+    * (a, b, c) space, so a selective predicate on ANY of the three
+    * dimensions skips files (receipt measured in LayoutSpec). */
+  def zorderWrite3(df: DataFrame, a: String, b: String, c: String,
+      outDir: String, nFiles: Int = 8): Unit = {
+    val keyed = df.withColumn("__z", zValue3(col(a), col(b), col(c)))
+    keyed.repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   /** Rewrite `df` into `nFiles` z-clustered parquet files: range-
     * partition on the interleaved key (sampling gives equal-sized
     * files), sort within each partition so row groups are rectangles

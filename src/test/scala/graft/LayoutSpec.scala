@@ -108,6 +108,35 @@ class LayoutSpec extends SparkSpec {
     zEnv.unpersist(); linEnv.unpersist()
   }
 
+  test("zorderWrite3: a box on the LAST dimension skips files; linear cannot") {
+    import org.apache.spark.sql.functions._
+    // uniform 32x32x32 grid
+    val grid = spark.range(32768).select(
+      (col("id") % 32).as("x"),
+      ((col("id") / 32) % 32).as("y"),
+      ((col("id") / 1024) % 32).as("z"))
+    val nFiles = 16
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z3_").toString
+    val linDir = java.nio.file.Files.createTempDirectory("graft_z3lin_").toString
+    Layout.zorderWrite3(grid, "x", "y", "z", zDir, nFiles)
+    grid.repartitionByRange(nFiles, $"x").sortWithinPartitions($"x")
+      .write.mode("overwrite").parquet(linDir)
+    def touched(dir: String, zLo: Long, zHi: Long): Long =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min($"z").as("zmin"), max($"z").as("zmax"))
+        .filter($"zmax" >= zLo && $"zmin" <= zHi).count()
+    // ~12% box on z ONLY: linear (sorted by x) has every z everywhere
+    val zT = touched(zDir, 0, 3); val linT = touched(linDir, 0, 3)
+    assert(linT == nFiles, s"linear layout cannot prune on z ($linT)")
+    assert(zT <= nFiles / 2,
+      s"3-D z-order must skip at least half the files on a z box (touched $zT)")
+    // losslessness
+    val src = grid.agg(count(lit(1)), sum($"x"), sum($"y"), sum($"z")).head()
+    assert(spark.read.parquet(zDir)
+      .agg(count(lit(1)), sum($"x"), sum($"y"), sum($"z")).head() == src)
+  }
+
   test("compact: bins respect the target, one file per bin, content lossless") {
     val docs = tables.documents
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact_").toString
