@@ -91,9 +91,10 @@ object Bench {
     "q158_stream_near_dup",
     // round 10: exactly-once shard export (restart + idempotence probe)
     "q173_stream_export",
-    // round 10 (late): streaming SCD2 snapshot maintenance (restart +
-    // no-new-data replay, like q173)
-    "q180_stream_scd2")
+    // round 10 (late): streaming SCD2 snapshot maintenance and
+    // streaming DQ metric accumulation (restart + no-new-data
+    // replays, like q173)
+    "q180_stream_scd2", "q189_stream_dq")
 
   /** The CORRECTNESS entries for approximate ops are recall HARNESSES
     * (operator + exact ground truth + compare in one job); benching the

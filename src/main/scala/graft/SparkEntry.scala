@@ -1640,6 +1640,42 @@ object SparkEntry {
         deleteCol = Some("del"))
     }),
 
+    // --- Streaming data quality (round 10): Deequ's incremental-
+    //     metrics contract — per-micro-batch counter states merge
+    //     under the exactly-once snapshot discipline (restart between
+    //     chunks + no-new-data rerun probed), and the accumulated
+    //     report equals the batch report over the union, which is
+    //     what the oracle recomputes from the full table. ---
+    "q189_stream_dq" -> ((s, dir) => {
+      import graft.operators.DataQuality._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_q189_").toString
+      val src = s"$tmp/src"; val st = s"$tmp/state"; val ckpt = s"$tmp/ckpt"
+      val docs = t(s, dir).documents
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val checks = Seq(
+        NotNull("doc_id"),
+        Completeness("text", 0.99),
+        MatchesRatio("lang", "^[a-z]{2}$", 1.0),
+        MatchesRatio("source", "^src[0-4]$", 1.0), // fails: 20 sources
+        InRange("n_chars", 1, 100000),
+        MinRowCount(100L))
+      val ss = graft.streaming.EventsStreaming.replaySession(s)
+      docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(src)
+      graft.streaming.CurationStreaming.dqStream(ss, src, st, ckpt, checks, docs.schema)
+      // chunk 2; RESTART from the same checkpoint
+      docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(src)
+      graft.streaming.CurationStreaming.dqStream(ss, src, st, ckpt, checks, docs.schema)
+      val p1 = graft.streaming.CurationStreaming.dqLatestReport(s, st, checks)
+        .collect().sortBy(_.toString).toSeq
+      // idempotence: a no-new-data rerun must not move a counter
+      graft.streaming.CurationStreaming.dqStream(ss, src, st, ckpt, checks, docs.schema)
+      val rep = graft.streaming.CurationStreaming.dqLatestReport(s, st, checks)
+      require(rep.collect().sortBy(_.toString).toSeq == p1,
+        "q189: a no-new-data re-run changed the accumulated metrics")
+      rep
+    }),
+
     // --- Governed promotion capstone (round 10): the whole CDC/DQ
     //     family as ONE dataflow — an incoming snapshot is (1) gated
     //     by a DQ suite (require all passed), (2) diffed against prod,
@@ -3902,6 +3938,43 @@ object SparkEntry {
                 CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
                 tot.n_total
          FROM tot LEFT JOIN agg USING (doc_id)""",
+
+    // Streaming DQ: the oracle recomputes every accumulated metric
+    // from the FULL table — counter additivity is what's on trial
+    "q189_stream_dq" ->
+      """SELECT 'not_null' AS check_name, 'doc_id' AS target,
+                CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS observed,
+                CAST(0.0 AS DOUBLE) AS threshold,
+                SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+         FROM documents
+         UNION ALL
+         SELECT 'completeness', 'text',
+                CAST(SUM(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*),
+                CAST(0.99 AS DOUBLE),
+                CAST(SUM(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) >= 0.99
+         FROM documents
+         UNION ALL
+         SELECT 'matches_ratio', 'lang',
+                CAST(SUM(CASE WHEN regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*),
+                CAST(1.0 AS DOUBLE),
+                CAST(SUM(CASE WHEN regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) >= 1.0
+         FROM documents
+         UNION ALL
+         SELECT 'matches_ratio', 'source',
+                CAST(SUM(CASE WHEN regexp_matches(source, '^src[0-4]$') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*),
+                CAST(1.0 AS DOUBLE),
+                CAST(SUM(CASE WHEN regexp_matches(source, '^src[0-4]$') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) >= 1.0
+         FROM documents
+         UNION ALL
+         SELECT 'in_range', 'n_chars',
+                CAST(SUM(CASE WHEN n_chars IS NULL OR n_chars < 1 OR n_chars > 100000 THEN 1 ELSE 0 END) AS DOUBLE),
+                CAST(0.0 AS DOUBLE),
+                SUM(CASE WHEN n_chars IS NULL OR n_chars < 1 OR n_chars > 100000 THEN 1 ELSE 0 END) = 0
+         FROM documents
+         UNION ALL
+         SELECT 'min_row_count', '*', CAST(COUNT(*) AS DOUBLE),
+                CAST(100.0 AS DOUBLE), COUNT(*) >= 100
+         FROM documents""",
 
     // Governed promotion: the oracle replays the promoted snapshot as
     // CASE logic, derives prod's equi-depth boundaries by rank, and

@@ -77,6 +77,90 @@ object DataQuality {
       observed.cast("double").as("observed"),
       lit(threshold).cast("double").as("threshold"), passed.as("passed"))
 
+  // ---------------- mergeable row-local metric states ----------------
+  //
+  // Deequ's incremental-metrics contract (Schelter et al. §3.3): every
+  // row-local check's evidence is a pair of LONG counters, so states
+  // from disjoint slices ADD — reportFromState(merge(state(a),
+  // state(b))) == report(a ++ b), law-tested in DataQualitySpec and
+  // driven per-micro-batch by q189's streaming accumulation. Unique /
+  // FunctionalDependency / RefIntegrity are deliberately NOT mergeable
+  // from counters (their evidence is key-grouped) — refused at the
+  // type level by rowLocalOnly below.
+
+  private def rowLocalOnly(checks: Seq[Check]): Seq[Check] = {
+    checks.foreach {
+      case _: Unique | _: RefIntegrity | _: FunctionalDependency =>
+        throw new IllegalArgumentException(
+          "mergeable DQ states cover row-local checks only; " +
+            "unique/FD/FK evidence is key-grouped, not counter-additive")
+      case _ => ()
+    }
+    checks
+  }
+
+  /** Per-check counter pair: (__total, and per check i: __c<i>).
+    * Count-style checks store VIOLATIONS; ratio-style store COMPLIANT
+    * rows; MinRowCount stores nothing extra. ONE aggregate, one scan —
+    * the same single-pass shape as [[report]]. */
+  def rowLocalState(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val cs = rowLocalOnly(checks)
+    require(cs.nonEmpty, "empty check suite")
+    val counters = cs.zipWithIndex.map { case (c, i) =>
+      val cnt = c match {
+        case NotNull(col0) => sum(when(col(col0).isNull, 1L).otherwise(0L))
+        case Completeness(col0, _) => sum(when(col(col0).isNotNull, 1L).otherwise(0L))
+        case InRange(col0, lo, hi) =>
+          sum(when(col(col0).isNull || col(col0) < lo || col(col0) > hi, 1L)
+            .otherwise(0L))
+        case AcceptedValues(col0, vals) =>
+          sum(when(!col(col0).isin(vals: _*) || col(col0).isNull, 1L).otherwise(0L))
+        case MatchesRatio(col0, re, _) =>
+          sum(when(col(col0).rlike(re), 1L).otherwise(0L))
+        case MinRowCount(_) => sum(lit(0L))
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+      coalesce(cnt, lit(0L)).as(s"__c$i")
+    }
+    df.agg(count(lit(1)).as("__total"), counters: _*)
+  }
+
+  /** Add two (or more) states column-wise. */
+  def mergeStates(states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "no states")
+    val cols = states.head.columns.toSeq
+    states.tail.foreach(s => require(s.columns.toSeq == cols,
+      "states must come from the same suite"))
+    states.reduce(_ unionByName _)
+      .agg(sum(col(cols.head)).as(cols.head),
+        cols.tail.map(c => sum(col(c)).as(c)): _*)
+  }
+
+  /** Derive the report (same shape as [[report]]) from a state. */
+  def reportFromState(state: DataFrame, checks: Seq[Check]): DataFrame = {
+    val cs = rowLocalOnly(checks)
+    val total = col("__total")
+    def ratio(compliant: Column) =
+      when(total === 0L, lit(1.0)).otherwise(compliant.cast("double") / total)
+    val structs = cs.zipWithIndex.map { case (c, i) =>
+      val cnt = col(s"__c$i")
+      c match {
+        case NotNull(col0) => resultRow("not_null", col0, cnt, 0.0, cnt === 0L)
+        case Completeness(col0, m) =>
+          val r = ratio(cnt); resultRow("completeness", col0, r, m, r >= m)
+        case InRange(col0, _, _) => resultRow("in_range", col0, cnt, 0.0, cnt === 0L)
+        case AcceptedValues(col0, _) =>
+          resultRow("accepted_values", col0, cnt, 0.0, cnt === 0L)
+        case MatchesRatio(col0, _, m) =>
+          val r = ratio(cnt); resultRow("matches_ratio", col0, r, m, r >= m)
+        case MinRowCount(n) =>
+          resultRow("min_row_count", "*", total, n.toDouble, total >= n)
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+    }
+    state.select(explode(array(structs: _*)).as("r")).select(col("r.*"))
+  }
+
   /** Evaluate the suite; one report row per check. */
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "empty check suite")

@@ -252,6 +252,46 @@ object CurationStreaming {
     spark.read.parquet(s"$snapDir/snap=${ids.max}")
   }
 
+  // ---------------- streaming data-quality accumulation ----------------
+
+  /** Streaming counterpart of [[graft.operators.DataQuality.report]]
+    * for ROW-LOCAL checks: each micro-batch computes its counter
+    * state (ONE aggregate over the batch) and merges it into the
+    * accumulated state — Deequ's incremental-metrics contract, under
+    * the same exactly-once snapshot discipline as [[scd2Stream]]
+    * (batch id reads latest state < id, overwrites `snap=<id>`;
+    * retries/restarts cannot double-count a batch). The final report
+    * over N batches equals the batch report over their union
+    * (counter additivity, law-tested in DataQualitySpec). */
+  def dqStream(spark: SparkSession, stagedDir: String, stateDir: String,
+      ckpt: String, checks: Seq[graft.operators.DataQuality.Check],
+      srcSchema: StructType, maxFilesPerTrigger: Int = 1): Unit = {
+    val stream = spark.readStream
+      .schema(srcSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(stagedDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = graft.operators.DataQuality.rowLocalState(batch, checks)
+        val merged = latestSnapshot(spark, stateDir, batchId) match {
+          case Some(prev) => graft.operators.DataQuality.mergeStates(prev, s)
+          case None => s
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/snap=$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The report over everything streamed so far. */
+  def dqLatestReport(spark: SparkSession, stateDir: String,
+      checks: Seq[graft.operators.DataQuality.Check]): DataFrame =
+    graft.operators.DataQuality.reportFromState(
+      scd2Latest(spark, stateDir), checks)
+
   /** Retention: delete all but the newest `keep` snapshots (driver
     * metadata work — each snapshot is a directory). The current table
     * ([[scd2Latest]]) is untouched; a restart replaying an OLD batch

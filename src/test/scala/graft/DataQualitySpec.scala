@@ -90,6 +90,44 @@ class DataQualitySpec extends SparkSpec {
     assert(rep(("min_row_count", "*")) == (0.0, true))
   }
 
+  test("mergeable states: report(merge(state(a), state(b))) == report(a ++ b)") {
+    val checks = Seq(
+      NotNull("id"), Completeness("flag", 0.8),
+      InRange("disc", 0.0, 0.1), AcceptedValues("flag", Seq("A", "B")),
+      MatchesRatio("flag", "^[AB]$", 0.5), MinRowCount(5L))
+    val all = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "A", 0.02), (2L, "B", 0.05), (3L, null, 0.20),
+      (null, "A", null), (5L, "Z", 0.03), (6L, "B", 0.01), (7L, null, 0.09)
+    ).toDF("id", "flag", "disc")
+    // any split point must give the same final report
+    for (cut <- Seq(1, 3, 6)) {
+      val a = all.filter($"id".isNull || $"id" <= cut)
+      val b = all.filter($"id".isNotNull && $"id" > cut)
+      val merged = DataQuality.reportFromState(
+        DataQuality.mergeStates(
+          DataQuality.rowLocalState(a, checks),
+          DataQuality.rowLocalState(b, checks)), checks)
+      val whole = DataQuality.report(all, checks)
+      assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+        s"split at $cut must be invisible to the report")
+    }
+    // empty slice is the identity element
+    val empty = DataQuality.rowLocalState(all.limit(0), checks)
+    val withEmpty = DataQuality.reportFromState(
+      DataQuality.mergeStates(DataQuality.rowLocalState(all, checks), empty),
+      checks)
+    val whole = DataQuality.report(all, checks)
+    assert(withEmpty.exceptAll(whole).isEmpty && whole.exceptAll(withEmpty).isEmpty)
+    // grouped-evidence checks are refused, not silently wrong
+    intercept[IllegalArgumentException] {
+      DataQuality.rowLocalState(all, Seq(Unique(Seq("id"))))
+    }
+    intercept[IllegalArgumentException] {
+      DataQuality.rowLocalState(all,
+        Seq(FunctionalDependency(Seq("id"), "flag")))
+    }
+  }
+
   test("row-local suite is ONE aggregate over ONE scan of the input") {
     val df = tables.lineitem
     val rep = DataQuality.report(df, Seq(
