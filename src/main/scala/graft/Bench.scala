@@ -58,7 +58,7 @@ object Bench {
     "q176_scd2_history", "q177_dq_report", "q178_pps_sample",
     "q181_snapshot_diff", "q182_distinctive_terms", "q183_skew_profile",
     "q184_equidepth_hist", "q185_distribution_drift", "q186_asof_snapshot",
-    "q187_governed_promotion", "q188_zorder3_key")
+    "q187_governed_promotion", "q188_zorder3_key", "q190_pit_join")
 
   /** Per-query regression pins (round 9): each query's BEST recorded
     * driver median at sf0.1 across rounds 1–8. A timed median above

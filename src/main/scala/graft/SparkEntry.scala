@@ -1640,6 +1640,30 @@ object SparkEntry {
         deleteCol = Some("del"))
     }),
 
+    // --- Point-in-time join (round 10): the feature-store rule —
+    //     each order is enriched with the customer VERSION valid at
+    //     its own order date (joining current attrs onto old facts
+    //     leaks the future). History built by scd2Apply (change at
+    //     1998-01-01: %3 keys renamed/re-balanced), orders 1995–2001
+    //     straddle it, so both versions surface. Equi-join on the key
+    //     + interval residual — never a range-only join. ---
+    "q190_pit_join" -> ((s, dir) => {
+      val cust = t(s, dir).customer.select(col("c_custkey").as("o_custkey"),
+        col("c_name").as("cust_name"), col("c_acctbal").as("cust_bal"))
+      val hist0 = cust
+        .withColumn("valid_from", lit(java.sql.Timestamp.valueOf("1990-01-01 00:00:00")))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+      val ch = cust.filter(col("o_custkey") % 3 === 0)
+        .select(col("o_custkey"), upper(col("cust_name")).as("cust_name"),
+          (col("cust_bal") + 500).as("cust_bal"))
+      val hist = graft.operators.Incremental.scd2Apply(hist0, ch,
+        Seq("o_custkey"), java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+      graft.operators.Incremental.pitJoin(
+        t(s, dir).orders.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate")),
+        hist, Seq("o_custkey"), "o_orderdate")
+    }),
+
     // --- Streaming data quality (round 10): Deequ's incremental-
     //     metrics contract — per-micro-batch counter states merge
     //     under the exactly-once snapshot discipline (restart between
@@ -3938,6 +3962,19 @@ object SparkEntry {
                 CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
                 tot.n_total
          FROM tot LEFT JOIN agg USING (doc_id)""",
+
+    // PIT join: the oracle replays version selection as interval
+    // CASE logic — pre-change orders see original attrs, post-change
+    // orders on %3 keys see the new version
+    "q190_pit_join" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+                CASE WHEN o.o_custkey % 3 = 0
+                      AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+                     THEN upper(c.c_name) ELSE c.c_name END AS cust_name,
+                CASE WHEN o.o_custkey % 3 = 0
+                      AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+                     THEN c.c_acctbal + 500 ELSE c.c_acctbal END AS cust_bal
+         FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""",
 
     // Streaming DQ: the oracle recomputes every accumulated metric
     // from the FULL table — counter additivity is what's on trial

@@ -160,6 +160,43 @@ object Incremental {
       .drop("valid_from", "valid_to")
   }
 
+  /** Point-in-time JOIN: enrich each fact with the dimension version
+    * that was valid AT the fact's own timestamp — the feature-store
+    * correctness rule (joining "current" attributes onto historical
+    * facts leaks the future into training labels; Kimball calls this
+    * the type-2 dimension lookup). A fact matches AT MOST one version
+    * because SCD2 validity intervals are disjoint per key; facts
+    * before the key's first version (or with no key) keep NULL attrs
+    * under the default left join.
+    *
+    * Distinct from [[AsOfJoin]]: as-of picks the NEAREST earlier event
+    * from a sorted stream; this picks the version whose [valid_from,
+    * valid_to) interval CONTAINS the fact timestamp — the interval
+    * end also bounds matches, so a fact after a deleted/closed version
+    * correctly gets nothing.
+    *
+    * Scale shape: an EQUI-join on the key (shuffle/broadcast decided
+    * by AQE like any dimension join) with the interval predicate as a
+    * residual filter — never a range-only join; per-key version
+    * counts are small, so the residual is cheap. Fact columns must
+    * not collide with history attribute names (require'd). */
+  def pitJoin(facts: DataFrame, hist: DataFrame, keys: Seq[String],
+      tsCol: String, how: String = "left"): DataFrame = {
+    require(keys.nonEmpty, "at least one key")
+    require(hist.columns.contains("valid_from") && hist.columns.contains("valid_to"),
+      "hist must carry valid_from/valid_to")
+    val attrs = hist.columns.filterNot(c =>
+      keys.contains(c) || c == "valid_from" || c == "valid_to").toSeq
+    val clash = facts.columns.toSet.intersect(attrs.toSet)
+    require(clash.isEmpty,
+      s"fact columns collide with history attributes: ${clash.mkString(",")}")
+    val cond = keys.map(k => facts(k) === hist(k)).reduce(_ && _) &&
+      hist("valid_from") <= facts(tsCol) &&
+      (hist("valid_to").isNull || hist("valid_to") > facts(tsCol))
+    facts.join(hist, cond, how)
+      .select(facts.columns.map(facts(_)) ++ attrs.map(hist(_)): _*)
+  }
+
   /** Snapshot diff — the INVERSE of [[mergeUpsert]]: derive the
     * MINIMAL change feed (inserts + updates + deletes, `op` column)
     * that transforms `base` into `target`. The two operators are a

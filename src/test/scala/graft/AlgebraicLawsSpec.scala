@@ -240,6 +240,38 @@ class AlgebraicLawsSpec extends SparkSpec {
     assert(snap(ts("2023-01-01 00:00:00")) == Set((1L, "AA"), (2L, "B"), (3L, "c")))
   }
 
+  test("pitJoin: each fact sees the version valid AT its timestamp") {
+    import graft.operators.Incremental
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val t0 = ts("2020-01-01 00:00:00"); val t1 = ts("2021-01-01 00:00:00")
+    val hist = Incremental.scd2Apply(
+      Seq((1L, "a", t0), (2L, "b", t0)).toDF("k", "name", "valid_from")
+        .withColumn("valid_to", lit(null).cast("timestamp")),
+      Seq((1L, "A")).toDF("k", "name"), Seq("k"), t1)
+    val facts = Seq(
+      (100L, 1L, ts("2020-06-01 00:00:00")), // v0 era
+      (101L, 1L, t1),                        // AT the boundary -> new version
+      (102L, 1L, ts("2022-01-01 00:00:00")), // v1 era
+      (103L, 2L, ts("2022-01-01 00:00:00")), // never-changed key
+      (104L, 9L, ts("2022-01-01 00:00:00")), // unknown key -> NULL attrs
+      (105L, 1L, ts("2019-01-01 00:00:00"))  // before first version -> NULL
+    ).toDF("fact_id", "k", "ts")
+    val out = Incremental.pitJoin(facts, hist, Seq("k"), "ts")
+      .as[(Long, Long, java.sql.Timestamp, Option[String])]
+      .collect().map(r => r._1 -> r._4).toMap
+    assert(out(100L) == Some("a"))
+    assert(out(101L) == Some("A"), "at t == valid_from the NEW version is valid")
+    assert(out(102L) == Some("A"))
+    assert(out(103L) == Some("b"))
+    assert(out(104L).isEmpty && out(105L).isEmpty)
+    assert(out.size == 6, "left join: every fact exactly once")
+    // attribute-name collision refused
+    intercept[IllegalArgumentException] {
+      Incremental.pitJoin(facts.withColumnRenamed("fact_id", "name"),
+        hist, Seq("k"), "ts")
+    }
+  }
+
   test("snapshotDiff: minimal change feed; diff-then-apply round-trips both ways") {
     import graft.operators.Incremental
     val base = Seq[(Long, Option[String], Option[Double])](
