@@ -443,6 +443,23 @@ object Soak {
       graft.operators.Relational.skewProfile(
         docs.select(pmod(xxhash64(col("text")), lit(4096L)).as("k")),
         Seq("k"), 50).count() * 0 + rows)
+    // PIT join: 5M facts vs a 2-epoch SCD2 dimension (1% churned) —
+    // the keyed-join-with-residual shape at corpus scale
+    time(s"pit_join_$rows") {
+      val t0 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+      val t1 = java.sql.Timestamp.valueOf("2021-01-01 00:00:00")
+      val hist = graft.operators.Incremental.scd2Apply(
+        docs.select(col("doc_id"), col("lang"))
+          .withColumn("valid_from", lit(t0))
+          .withColumn("valid_to", lit(null).cast("timestamp")),
+        docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id"), lit("xx").as("lang")),
+        Seq("doc_id"), t1)
+      val facts = docs.select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit(t0)).otherwise(lit(t1)).as("ts"))
+      graft.operators.Incremental.pitJoin(facts, hist, Seq("doc_id"), "ts")
+        .filter(col("lang") === "xx").count() * 0 + rows
+    }
 
     spark.stop()
   }

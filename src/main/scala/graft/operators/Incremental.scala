@@ -190,11 +190,20 @@ object Incremental {
     val clash = facts.columns.toSet.intersect(attrs.toSet)
     require(clash.isEmpty,
       s"fact columns collide with history attributes: ${clash.mkString(",")}")
-    val cond = keys.map(k => facts(k) === hist(k)).reduce(_ && _) &&
-      hist("valid_from") <= facts(tsCol) &&
-      (hist("valid_to").isNull || hist("valid_to") > facts(tsCol))
-    facts.join(hist, cond, how)
-      .select(facts.columns.map(facts(_)) ++ attrs.map(hist(_)): _*)
+    // alias both sides: facts and history routinely derive from the
+    // SAME upstream (a table and its own SCD2 rollup), and dataset-
+    // reference conditions trip Spark's ambiguous-self-join check
+    // there (found by the 5M soak)
+    val f = facts.alias("__pit_f")
+    val h = hist.alias("__pit_h")
+    val cond = keys.map(k => col(s"__pit_f.$k") === col(s"__pit_h.$k"))
+      .reduce(_ && _) &&
+      col("__pit_h.valid_from") <= col(s"__pit_f.$tsCol") &&
+      (col("__pit_h.valid_to").isNull ||
+        col("__pit_h.valid_to") > col(s"__pit_f.$tsCol"))
+    f.join(h, cond, how)
+      .select(facts.columns.map(c => col(s"__pit_f.$c")) ++
+        attrs.map(a => col(s"__pit_h.$a")): _*)
   }
 
   /** Snapshot diff — the INVERSE of [[mergeUpsert]]: derive the

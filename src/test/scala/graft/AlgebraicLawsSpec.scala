@@ -270,6 +270,20 @@ class AlgebraicLawsSpec extends SparkSpec {
       Incremental.pitJoin(facts.withColumnRenamed("fact_id", "name"),
         hist, Seq("k"), "ts")
     }
+    // facts and history from the SAME source (the common shape: a
+    // table joined to its own SCD2 rollup) must not trip Spark's
+    // ambiguous-self-join check — found by the 5M soak
+    val src = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val selfHist = Incremental.scd2Apply(
+      src.withColumn("valid_from", lit(t0))
+        .withColumn("valid_to", lit(null).cast("timestamp")),
+      src.filter($"k" === 1L).select($"k", lit("A").as("v")), Seq("k"), t1)
+    val selfFacts = src.select($"k", lit(ts("2022-01-01 00:00:00")).as("ts"))
+      .withColumnRenamed("k", "k") // same lineage on purpose
+    val self = Incremental.pitJoin(selfFacts, selfHist, Seq("k"), "ts")
+      .as[(Long, java.sql.Timestamp, String)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(self == Map(1L -> "A", 2L -> "b"))
   }
 
   test("snapshotDiff: minimal change feed; diff-then-apply round-trips both ways") {

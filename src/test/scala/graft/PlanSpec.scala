@@ -345,6 +345,17 @@ class PlanSpec extends SparkSpec {
     Seq(p182, p183).foreach(p => assert(!p.contains("ScalaUDF"), p.take(2000)))
   }
 
+  test("q190: PIT join is ONE equi-join with an interval residual — no cartesian") {
+    val tree = SparkEntry.queries("q190_pit_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the fact-vs-history lookup itself must be a keyed join; the
+    // upstream scd2Apply contributes its own (plan-asserted in q176)
+    assert(!tree.contains("CartesianProduct") &&
+      !tree.contains("BroadcastNestedLoopJoin"),
+      s"interval predicate must ride a keyed join as a residual:\n${tree.take(2000)}")
+    assert(!tree.contains("ScalaUDF"), tree.take(2000))
+  }
+
   test("every oracle key has a query; names are well-formed") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
