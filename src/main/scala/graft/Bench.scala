@@ -58,7 +58,14 @@ object Bench {
     "q176_scd2_history", "q177_dq_report", "q178_pps_sample",
     "q181_snapshot_diff", "q182_distinctive_terms", "q183_skew_profile",
     "q184_equidepth_hist", "q185_distribution_drift", "q186_asof_snapshot",
-    "q187_governed_promotion", "q188_zorder3_key", "q190_pit_join")
+    "q187_governed_promotion", "q188_zorder3_key", "q190_pit_join",
+    // round 11: ANN serving from a persisted index (load + probe +
+    // refine — the "train once, serve many" path), incremental BPE
+    // training at 256 merges, batched multimodal embed. q192
+    // versioned-table commit is excluded for the q179 reason: it
+    // times tmp-dir parquet writes, not an operator dataflow (the CAS
+    // and manifest reads are spec- and require()-checked instead)
+    "q191_ann_index_persist", "q193_bpe_train_fast", "q194_multimodal_embed")
 
   /** Per-query regression pins (round 9): each query's BEST recorded
     * driver median at sf0.1 across rounds 1–8. A timed median above
@@ -77,6 +84,21 @@ object Bench {
     "q44_fingerprint" -> 0.109, "q47_window_tumbling" -> 0.186,
     "q133_biginteger_agg" -> 3.371, "q146_verbatim_spans" -> 1.100,
     "q152_hot_ngrams" -> 1.306)
+
+  /** Streaming replay pins (round 11, VERDICT r10 #6): best recorded
+    * driver medians at sf0.1 (r10's run beat r8 on every common
+    * query, so these are the r10 numbers). Replay wall-time carries
+    * the checkpoint/sink I/O documented in the streaming-section
+    * comment, and the r8→r10 record shows ±30% load drift on
+    * untouched queries — so the 2× gate plus the loadavg field is the
+    * attribution recipe, same as the batch pins. */
+  val streamPinsSf01: Map[String, Double] = Map(
+    "q136_stream_interval_join" -> 3.298, "q138_stream_outer_join" -> 4.614,
+    "q144_stream_right_outer_join" -> 2.442,
+    "q145_stream_full_outer_join" -> 4.899, "q112_stream_state" -> 1.721,
+    "q151_stream_dedup_agg" -> 4.145, "q158_stream_near_dup" -> 10.588,
+    "q173_stream_export" -> 2.334, "q180_stream_scd2" -> 2.701,
+    "q189_stream_dq" -> 1.571)
 
   /** Streaming replays timed as their own section (never in the
     * headline total — see main): watermarked interval-join family,
@@ -192,6 +214,53 @@ object Bench {
             explode(graft.plans.TextExpressions.shingleHash64(col("text"), 5)).as("h"))
         graft.operators.Sketches.kmvPerGroup(sh, "source", "h", 1024)
           .select(col("source"), size(col("sketch")).as("k"))
+      }),
+      // q191's CORRECTNESS entry is a persistence harness (in-memory
+      // retrain + brute-force truth + row-exact compare); the operator
+      // story is SERVING from the stored index. The index is built and
+      // saved once per dir (the q122/q154 fixture discipline); timed
+      // runs pay manifest+model load and the probe/ADC/refine query.
+      "q191_ann_index_persist" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val idx = s"/tmp/graft_bench_annidx_${new java.io.File(dir).getName}"
+        if (!new java.io.File(s"$idx/manifest").exists()) {
+          val (cents, pq) = pqModelCache.computeIfAbsent(dir, { d =>
+            val emb = s.read.parquet(s"$d/embeddings.parquet")
+            (graft.operators.Similarity.kMeansFit(
+                emb, "embedding", k = 16, iters = 3, init = "parallel"),
+              graft.operators.Similarity.pqTrain(
+                emb, "embedding", m = 16, nCodes = 256, iters = 3))
+          })
+          graft.operators.AnnIndex.save(s, idx,
+            s.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
+            "embedding", cents, pq)
+        }
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val loaded = graft.operators.AnnIndex.load(s, idx)
+        graft.operators.AnnIndex.topK(loaded,
+          emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          k = 5, nProbe = 12, refine = 4, exactCorpus = Some(emb))
+      }),
+      // q193's CORRECTNESS entry carries a differential probe that
+      // re-runs the per-job trainer for 8 merges; the operator story
+      // is the incremental 256-merge train itself.
+      "q193_bpe_train_fast" -> ((s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val (_, vocab, _) = graft.operators.TextAnalysis
+          .bpeTrainIncremental(docs, "text", nMerges = 256)
+        vocab
+      }),
+      // q194's CORRECTNESS entry runs the embed twice (invariance
+      // probe); the operator story is one batched-inference pass.
+      "q194_multimodal_embed" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+        val packed = graft.operators.Multimodal
+          .packMedia(docs, "text", "text/plain")
+          .select(col("doc_id"), col("blob"))
+        graft.operators.Multimodal.batchEmbed(packed, "doc_id", "blob",
+          batchSize = 32, dim = 6)
       }))
 
   private val pqModelCache = new java.util.concurrent.ConcurrentHashMap[
@@ -317,8 +386,12 @@ object Bench {
     // a pin breach under co-tenant load is attributable from the
     // artifact itself, not just the stderr log
     val pinned = if (sfDir.contains("sf0.1")) pinsSf01 else Map.empty[String, Double]
+    val sPinned =
+      if (sfDir.contains("sf0.1")) streamPinsSf01 else Map.empty[String, Double]
     val regressed = results.collect {
       case (k, v) if pinned.get(k).exists(p => v > 2 * p) => k
+    } ++ streamResults.collect {
+      case (k, v) if sPinned.get(k).exists(p => v > 2 * p) => k
     }
     val rjson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadavg =

@@ -461,6 +461,71 @@ object Soak {
         .filter(col("lang") === "xx").count() * 0 + rows
     }
 
+    // --- round-11 operators ---
+    // incremental BPE train at a production-ish merge count: ONE
+    // corpus job to the word vocab, then 512 merges of driver-side
+    // incremental pair maintenance (zero per-merge Spark jobs — the
+    // r10 perf audit's fix, soaked at full corpus)
+    time(s"bpe_train_incr_${rows}_m512") {
+      val (m, _, receipt) = graft.operators.TextAnalysis
+        .bpeTrainIncremental(docs, "text", nMerges = 512)
+      println(s"[soak] bpe incremental: merges=${m.length} " +
+        s"wordTypes=${receipt.retainedTypes}")
+      rows
+    }
+    // ANN index persistence: the ONE corpus-sized encode pass lands
+    // the codes table; serving loads model-sized state and probes.
+    // Timed separately so the train-once/serve-many split is visible.
+    locally {
+      val annRows = math.min(nVec, 1000000L)
+      val corpus = emb.filter(col("vec_id") < annRows)
+      val cents = graft.operators.Similarity.centroidTable(
+        corpus, "vec_id", "embedding", 64)
+      val pq = graft.operators.Similarity.pqTrain(
+        corpus, "embedding", m = 16, nCodes = 256, iters = 2)
+      val idx = java.nio.file.Files.createTempDirectory("soak_annidx_").toString
+      time(s"ann_index_save_$annRows") {
+        graft.operators.AnnIndex.save(spark, idx, corpus, "vec_id",
+          "embedding", cents, pq)
+        annRows
+      }
+      time(s"ann_index_serve_$annRows") {
+        val loaded = graft.operators.AnnIndex.load(spark, idx)
+        graft.operators.AnnIndex.topK(loaded,
+          corpus.filter(col("vec_id") % 1000 === 0), "vec_id", "embedding",
+          k = 5, nProbe = 8, refine = 2, exactCorpus = Some(corpus))
+          .count() * 0 + annRows
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+    }
+    // versioned-table commit: stage-all + manifest CAS at corpus
+    // scale — v0 full load, v1 a 1%-churn MERGE, read through the log
+    time(s"versioned_commit_$rows") {
+      val vt = java.nio.file.Files.createTempDirectory("soak_vt_").toString + "/t"
+      val base = docs.select(col("doc_id"), col("lang"))
+      graft.operators.VersionedTable.commit(spark, vt, base, -1L, "soak")
+      val ch = base.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id"), lit("xx").as("lang"))
+      val m1 = graft.operators.Incremental.mergeUpsert(
+        graft.operators.VersionedTable.read(spark, vt), ch, Seq("doc_id"))
+      graft.operators.VersionedTable.commit(spark, vt, m1, 0L, "soak")
+      val n = graft.operators.VersionedTable.read(spark, vt).count()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(vt).getParentFile)
+      n * 0 + rows
+    }
+    // batched multimodal inference over the full corpus: fixed-size
+    // batches inside mapPartitions, integer-exact toy model
+    time(s"multimodal_embed_$rows") {
+      val packed = graft.operators.Multimodal.packMedia(
+        docs.select(col("doc_id"), col("text")), "text", "text/plain")
+        .select(col("doc_id"), col("blob"))
+      graft.operators.Multimodal.batchEmbed(packed, "doc_id", "blob",
+        batchSize = 64, dim = 6)
+        .agg(sum(element_at(col("embedding"), 1))).collect()
+      rows
+    }
+
     spark.stop()
   }
 }

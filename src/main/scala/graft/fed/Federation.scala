@@ -82,11 +82,26 @@ object Federation {
     * URIs (see deletePath). Close the session via
     * [[closeClusterSessions]] once results are consumed. */
   def connectCluster(id: String, remoteUri: String, scratchUri: String,
-      computeFactor: Double = 1.0): Cluster =
-    Cluster(id,
-      org.apache.spark.sql.connect.SparkSession.builder()
-        .remote(remoteUri).create(),
-      scratchUri, computeFactor)
+      computeFactor: Double = 1.0, failFast: Boolean = false): Cluster = {
+    val builder = org.apache.spark.sql.connect.SparkSession.builder()
+    val session =
+      if (!failFast) builder.remote(remoteUri).create()
+      else {
+        // fault-detection profile: the default client retry policy
+        // backs off for MINUTES on an unreachable/closed channel —
+        // correct for a transient network blip, wrong when the caller
+        // (executeWithFailover's liveness probe, a fault spec) needs
+        // "cluster is gone" to surface in seconds
+        import scala.concurrent.duration._
+        val quick = org.apache.spark.sql.connect.client.RetryPolicy
+          .defaultPolicy().copy(maxRetries = Some(2),
+            initialBackoff = 50.millis, maxBackoff = Some(200.millis))
+        org.apache.spark.sql.GraftSqlBridge.connectSession(
+          org.apache.spark.sql.connect.client.SparkConnectClient.builder()
+            .connectionString(remoteUri).retryPolicy(quick).build())
+      }
+    Cluster(id, session, scratchUri, computeFactor)
+  }
 
   /** Close every connect-client session in `clusters` (gRPC channels
     * hold sockets; classic sessions are left alone — they share the
@@ -100,10 +115,29 @@ object Federation {
     }
 
   final class Catalog {
-    private val tables = mutable.LinkedHashMap.empty[String, TableLoc]
-    def register(name: String, loc: TableLoc): this.type = { tables(name) = loc; this }
+    private val tables =
+      mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[TableLoc]]
+    /** Primary location; re-registering replaces the primary. */
+    def register(name: String, loc: TableLoc): this.type = {
+      val locs = tables.getOrElseUpdate(name, mutable.ArrayBuffer.empty)
+      if (locs.isEmpty) locs += loc else locs(0) = loc
+      this
+    }
+    /** An additional copy of the table on another cluster — what makes
+      * a lost PRIMARY cluster recoverable (failover re-resolves the
+      * scan to a surviving replica). Replicas are the caller's claim
+      * of byte-equivalence; the planner always prefers the primary. */
+    def registerReplica(name: String, loc: TableLoc): this.type = {
+      val locs = tables.getOrElse(name,
+        throw new NoSuchElementException(s"replica before primary: $name"))
+      locs += loc; this
+    }
     def apply(name: String): TableLoc =
-      tables.getOrElse(name, throw new NoSuchElementException(s"unknown table: $name"))
+      tables.getOrElse(name,
+        throw new NoSuchElementException(s"unknown table: $name")).head
+    def locations(name: String): Seq[TableLoc] =
+      tables.getOrElse(name,
+        throw new NoSuchElementException(s"unknown table: $name")).toSeq
     def names: Seq[String] = tables.keys.toSeq
   }
 
@@ -396,20 +430,78 @@ object Federation {
       }
     }
 
+    // clusters this orchestrator still trusts and the catalog it
+    // resolves scans through; both shrink/re-resolve only via the
+    // failover path below, never silently
+    private var live: Map[String, Cluster] = clusters
+    private var cat: Catalog = catalog
+
+    /** Clusters currently considered live (observability + tests). */
+    def liveClusters: Set[String] = live.keySet
+
     /** Execute the plan; the returned DataFrame lives on the cluster the
       * planner assigned to the root. Independent subtrees run
       * concurrently (Futures); each stage retries on failure. A stage
       * that exhausts its retries — including a cluster whose session
       * died mid-plan — aborts the whole execution with the failing
-      * stage's label and cause; re-running execute() on a healthy
+      * stage's label and cause, after deleting every staged transfer
+      * dir (an aborted result is never consumed, so its staging is
+      * garbage by definition); re-running execute() on a healthy
       * orchestrator is safe (staging paths are unique per attempt and
       * partial writes are deleted at failure). */
     def execute(root: FedPlan): DataFrame = {
-      val placement = plan(root, catalog, clusters)
-      Await.result(run(root, placement), Duration.Inf)
+      val placement = plan(root, cat, live)
+      try {
+        val out = Await.result(run(root, placement), Duration.Inf)
+        // analysis receipt: resolve the final plan on its destination
+        // NOW. Connect sessions build plans without a single RPC, so a
+        // cluster that died after the last cut-edge transfer would
+        // otherwise hand the caller a doomed DataFrame that only fails
+        // at its first action — outside execute(), where failover
+        // cannot see it. Schema analysis is metadata-only (no job).
+        out.schema
+        out
+      } catch { case e: Throwable => cleanupStaged(); throw e }
     }
 
-    def executionReport(root: FedPlan): Placement = plan(root, catalog, clusters)
+    /** Lost-cluster contract (r11): like [[execute]], but when the
+      * failure turns out to be a DEAD CLUSTER (its session no longer
+      * answers a 1-row probe), drop it, re-resolve every scan the plan
+      * needs through a SURVIVING location — the primary if its cluster
+      * lives, else a registered replica ([[Catalog.registerReplica]])
+      * — re-plan the whole job over the survivors and run it again. A
+      * table whose every copy lived on lost clusters is unrecoverable,
+      * and that failure stays loud (naming the lost clusters and the
+      * orphaned table), with all staged dirs already cleaned by the
+      * abort path. Failures with every cluster still healthy (a bad
+      * stage, an unwritable scratch) are rethrown untouched — failover
+      * must not mask plan bugs. */
+    def executeWithFailover(root: FedPlan): DataFrame = {
+      try execute(root)
+      catch {
+        case e: Throwable =>
+          val healthy = live.filter { case (_, c) =>
+            Try(c.session.range(1).count()).isSuccess }
+          if (healthy.size == live.size || healthy.isEmpty) throw e
+          val lost = live.keySet -- healthy.keySet
+          val resolved = new Catalog()
+          nodes(root).collect { case FedScan(t) => t }.distinct.foreach { t =>
+            cat.locations(t).find(l => healthy.contains(l.cluster)) match {
+              case Some(loc) => resolved.register(t, loc)
+              case None => throw new RuntimeException(
+                s"federated job lost cluster(s) ${lost.mkString(",")} and " +
+                  s"table '$t' has no surviving copy (locations: " +
+                  s"${cat.locations(t).map(_.cluster).mkString(",")}) — " +
+                  "data unavailable, cannot fail over; staged dirs cleaned", e)
+            }
+          }
+          live = healthy
+          cat = resolved
+          execute(root)
+      }
+    }
+
+    def executionReport(root: FedPlan): Placement = plan(root, cat, live)
 
     private def withRetry[T](label: String)(body: => T): T = {
       var last: Throwable = null
@@ -426,8 +518,8 @@ object Federation {
     private def run(p: FedPlan, pl: Placement): Future[DataFrame] = p match {
       case s @ FedScan(t) =>
         Future {
-          val loc = catalog(t)
-          val cluster = clusters(pl.assignment(s))
+          val loc = cat(t)
+          val cluster = live(pl.assignment(s))
           withRetry(s"${s.label} on cluster ${cluster.id}") {
             cluster.session.read.format(loc.format).load(loc.uri)
           }
@@ -440,7 +532,7 @@ object Federation {
         val fr = run(r, pl)
         for { ldf <- fl; rdf <- fr } yield
           withRetry(s"$label on cluster ${pl.assignment(b)}") {
-            val dest = clusters(pl.assignment(b))
+            val dest = live(pl.assignment(b))
             f(ensureOn(ldf, pl.assignment(l), dest, l.label),
               ensureOn(rdf, pl.assignment(r), dest, r.label))
           }

@@ -41,12 +41,21 @@ object Graph {
     * unnormalized convention). Dangling nodes (in-degree only) keep
     * receiving mass; their out-mass leaks, as in the uniform-teleport
     * formulation without dangling redistribution.
+    *
+    * `scale = 0` (the default) auto-derives the largest safe power of
+    * ten for the graph's node count, capped at 1e12 — so small graphs
+    * keep the historical 1e12 precision bit-for-bit while web-scale
+    * node counts no longer trip the overflow refusal (a 10^6-node
+    * graph gets 1e11, a 10^9-node graph 1e8). Powers of ten keep the
+    * differential oracle replayable. An explicit scale is honored
+    * as-is and still overflow-require'd.
     */
   def pageRank(edgesIn: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, scale: Long = 1000000000000L,
+      iters: Int, scale: Long = 0L,
       dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
     require(iters >= 1, "at least one iteration")
     require(dampNum > 0 && dampNum < dampDen, "damping must be in (0,1)")
+    require(scale >= 0, s"scale must be positive (or 0 = auto), got $scale")
     // materialize the derived graph ONCE: edges may come from an
     // arbitrary upstream dataflow (a join, a dedup, …) and every
     // iteration reads them twice — without a persist the whole lineage
@@ -61,11 +70,19 @@ object Graph {
       .union(edges.select(col("d").as("node"))).distinct().persist()
     val nNodes = nodes.count()
     require(nNodes > 0, "empty graph")
-    require(BigInt(nNodes) * scale * dampNum < BigInt(Long.MaxValue),
-      s"rank mass may overflow a long: nodes=$nNodes scale=$scale damp=$dampNum")
+    val sc = if (scale > 0) scale else {
+      var s = 1000000000000L
+      while (s > 1 && BigInt(nNodes) * s * dampNum >= BigInt(Long.MaxValue)) s /= 10
+      require(s >= 100,
+        s"pageRank: $nNodes nodes leave under 2 decimal digits of fixed-point " +
+          "precision in a long rank; shard the graph or lower dampDen")
+      s
+    }
+    require(BigInt(nNodes) * sc * dampNum < BigInt(Long.MaxValue),
+      s"rank mass may overflow a long: nodes=$nNodes scale=$sc damp=$dampNum")
     val deg = edges.groupBy(col("s")).agg(count(lit(1)).as("dg")).persist()
-    val teleport = (scale * (dampDen - dampNum)) / dampDen
-    var ranks = nodes.withColumn("rank", lit(scale))
+    val teleport = (sc * (dampDen - dampNum)) / dampDen
+    var ranks = nodes.withColumn("rank", lit(sc))
     try {
       for (_ <- 1 to iters) {
         val contribs = edges.join(ranks, edges("s") === ranks("node"))

@@ -154,9 +154,13 @@ object Layout {
     * partitioned write lands exactly one output file per bin (all of
     * a bin's rows hash to one partition; `partitionBy` splits
     * directories, so sibling bins in the same partition still get
-    * separate files). Post-write, the output listing is require()'d:
-    * one data file per bin, every planned bin present — the rewrite
-    * is receipt-checked, not assumed.
+    * separate files). The partitioned write lands in a staging dir and
+    * each bin's single file is PROMOTED to a plain `bin-NNNNN.parquet`
+    * at the output root, so the compacted table's read-back schema
+    * equals the source schema (no __bin partition column leaks to
+    * readers). Post-write, the listing is require()'d: one data file
+    * per bin, every planned bin present — the rewrite is
+    * receipt-checked, not assumed.
     *
     * At 100 TB compaction runs per PARTITION directory (date/lang/…)
     * so each driver listing stays bounded; rows never deserialize
@@ -198,21 +202,34 @@ object Layout {
     // sortWithin: keep a clustering key's order INSIDE each output
     // file, so compacting a z-ordered/range-laid table does not undo
     // its file-internal clustering (row-group stats stay tight)
-    compacted.repartition(binBytes.length, col("__bin"))
-      .sortWithinPartitions(col("__bin") +: sortWithin.map(col).toSeq: _*)
-      .write.mode("overwrite").partitionBy("__bin").parquet(outDir)
-    // receipt: every planned bin landed as exactly one data file
+    // land partitioned into a staging dir, then PROMOTE each bin's one
+    // data file to a plain `bin-NNNNN.parquet` at the outDir root: a
+    // partitioned layout left in place would graft a __bin column onto
+    // every downstream reader via partition discovery — the rewrite
+    // must be schema-preserving (read-back schema == source schema)
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     val outFs = outPath.getFileSystem(conf)
-    val binDirs = outFs.listStatus(outPath)
+    outFs.delete(outPath, true)
+    val staging = new org.apache.hadoop.fs.Path(outPath, ".staging")
+    compacted.repartition(binBytes.length, col("__bin"))
+      .sortWithinPartitions(col("__bin") +: sortWithin.map(col).toSeq: _*)
+      .write.mode("overwrite").partitionBy("__bin").parquet(staging.toString)
+    // receipt: every planned bin landed as exactly one data file
+    val binDirs = outFs.listStatus(staging)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__bin="))
     require(binDirs.length == binBytes.length,
       s"compact: planned ${binBytes.length} bins, found ${binDirs.length}")
     binDirs.foreach { d =>
-      val n = outFs.listStatus(d.getPath)
-        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      require(n == 1, s"compact: bin ${d.getPath.getName} has $n files, want 1")
+      val dataFiles = outFs.listStatus(d.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      require(dataFiles.length == 1,
+        s"compact: bin ${d.getPath.getName} has ${dataFiles.length} files, want 1")
+      val bin = d.getPath.getName.stripPrefix("__bin=").toInt
+      val dest = new org.apache.hadoop.fs.Path(outPath, f"bin-$bin%05d.parquet")
+      require(outFs.rename(dataFiles(0).getPath, dest),
+        s"compact: promoting ${dataFiles(0).getPath} to $dest failed")
     }
+    require(outFs.delete(staging, true), s"compact: could not drop $staging")
     plan.groupBy(col("__bin").as("bin"))
       .agg(count(lit(1)).as("n_files"), sum(col("__bytes")).as("input_bytes"))
   }

@@ -79,8 +79,12 @@ object Multimodal {
     * fixed-size batches (`it.grouped`), one inference call per batch —
     * the structure of GPU embedding at scale (batch amortizes model
     * call overhead; the iterator never materializes a partition).
-    * The model here is a deterministic STUB (byte-distribution moments
-    * per blob); a real build swaps ONLY the `infer` body. */
+    * The model here is a deterministic STUB chosen to be
+    * INTEGER-EXACT — emb[k] = Σ_i ((byte_i + k) mod 256), an exact
+    * BIGINT-ranged sum per dimension — so the whole batched-inference
+    * boundary is replayable by an external SQL oracle bit-for-bit
+    * (q194), not just batch-invariance-tested. A real build swaps
+    * ONLY the `infer` body. */
   def batchEmbed(df: DataFrame, idCol: String, blobCol: String,
       batchSize: Int = 32, dim: Int = 8): DataFrame = {
     val spark = df.sparkSession
@@ -94,16 +98,17 @@ object Multimodal {
     val rdd = df.rdd.mapPartitions { it =>
       // real pipeline: val model = Model.load() — once per partition
       def infer(batch: Seq[(Any, Array[Byte])]): Seq[Row] =
-        // ---- STUB model: k-th moment of the byte distribution per
-        // dimension; deterministic, batch-size-invariant ----
+        // ---- STUB model: emb[k] = Σ_i ((byte_i + k) mod 256) — a
+        // deterministic, batch-size-invariant, INTEGER-EXACT fake
+        // (every value < 2^53, so the doubles are exact and a SQL
+        // oracle replays them bit-for-bit) ----
         batch.map { case (id, bytes) =>
-          val n = math.max(1, bytes.length)
           val emb = (1 to dim).map { k =>
-            var s = 0.0; var i = 0
+            var s = 0L; var i = 0
             while (i < bytes.length) {
-              s += math.pow((bytes(i) & 0xff) / 255.0, k); i += 1
+              s += ((bytes(i) & 0xff) + k) & 0xff; i += 1
             }
-            s / n
+            s.toDouble
           }.toArray
           Row(id, emb)
         }

@@ -802,6 +802,19 @@ object Similarity {
       corpusId: String, queryId: String, vecCol: String,
       k: Int, centroids: DataFrame, pq: graft.plans.PqCodebooks,
       nProbe: Int = 4, refine: Int = 0): DataFrame = {
+    val cents = collectCentroids(centroids, "ivfPqTopK")
+    val assigned = ivfPqEncode(
+      corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism),
+      corpusId, vecCol, cents, pq)
+    ivfPqServe(assigned, queries, corpusId, queryId, vecCol, k, cents, pq,
+      nProbe, refine, exactCorpus = Some(corpus))
+  }
+
+  /** Collect a (cid, cv) coarse-centroid table into the driver-sized
+    * model `ivfPqTopK`/[[AnnIndex]] ship in the task binary. Cells are
+    * identified by POSITION in the cid-ascending collected order. */
+  private[operators] def collectCentroids(centroids: DataFrame,
+      who: String): Seq[Seq[Double]] = {
     val cc = centroids.columns
     require(cc.length >= 2, s"centroids needs (cid, cv) columns, got ${cc.toSeq}")
     val maxModel = 65536
@@ -810,16 +823,38 @@ object Similarity {
       .orderBy(col("cid").asc)
       .limit(maxModel + 1).collect()
     require(rows.length <= maxModel,
-      s"ivfPqTopK: > $maxModel coarse centroids is corpus-scale state, " +
+      s"$who: > $maxModel coarse centroids is corpus-scale state, " +
         "not a driver model — shard the corpus or lower the cell count")
-    val cents: Seq[Seq[Double]] = rows.map(_.getSeq[Double](1)).toSeq
+    rows.map(_.getSeq[Double](1)).toSeq
+  }
+
+  /** The one corpus-sized pass of IVF-PQ: route every row to its
+    * nearest coarse cell and quantize it to `m` code ids — the
+    * index-build stage ([[AnnIndex.save]] persists its output; the
+    * in-memory path feeds it straight to [[ivfPqServe]]). */
+  private[operators] def ivfPqEncode(corpus: DataFrame, corpusId: String,
+      vecCol: String, cents: Seq[Seq[Double]],
+      pq: graft.plans.PqCodebooks): DataFrame = {
     import graft.plans.{PqExpressions, VectorExpressions}
-    val assigned = corpus
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    corpus
       .select(col(corpusId), unitize(col(vecCol)).as("__nv"))
       .select(col(corpusId),
         VectorExpressions.cosArgMaxToSet(col("__nv"), cents).as("cell"),
         PqExpressions.pqEncode(col("__nv"), pq).as("__codes"))
+  }
+
+  /** The query-time stage of IVF-PQ over an already-encoded corpus
+    * (`assigned` = (corpusId, cell, __codes), from [[ivfPqEncode]] or
+    * reloaded by [[AnnIndex.load]]): probe nProbe cells per query,
+    * ADC-score candidates, optional exact re-rank. `exactCorpus` must
+    * carry (corpusId, vecCol) and is REQUIRED when refine > 0 — codes
+    * alone cannot re-rank exactly, and faking it with ADC scores
+    * would silently change the published recall contract. */
+  private[operators] def ivfPqServe(assigned: DataFrame, queries: DataFrame,
+      corpusId: String, queryId: String, vecCol: String,
+      k: Int, cents: Seq[Seq[Double]], pq: graft.plans.PqCodebooks,
+      nProbe: Int, refine: Int, exactCorpus: Option[DataFrame]): DataFrame = {
+    import graft.plans.PqExpressions
     val probes = queries
       .select(col(queryId).as("query_id"), unitize(col(vecCol)).as("__nq"))
       .select(col("query_id"),
@@ -831,6 +866,9 @@ object Similarity {
       .select(col("query_id"), col(corpusId), col("score"))
     if (refine <= 0) boundedTopK(scored, corpusId, k)
     else {
+      val corpus = exactCorpus.getOrElse(throw new IllegalArgumentException(
+        "ivfPqServe: refine > 0 needs the exact-vector corpus (PQ codes " +
+          "cannot re-rank exactly); pass exactCorpus or set refine = 0"))
       val shortlist = boundedTopK(scored, corpusId, k * refine)
         .select(col("query_id"), col("neighbor_id").as(corpusId))
         .join(queries.select(col(queryId).as("query_id"),

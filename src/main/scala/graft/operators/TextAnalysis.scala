@@ -295,6 +295,149 @@ object TextAnalysis {
     (merges.toSeq, vocab)
   }
 
+  /** What [[bpeTrainIncremental]] dropped before training (its
+    * `minFreq` prune), so the prune is a receipt, never silent. */
+  final case class BpeTrainReceipt(retainedTypes: Long, droppedTypes: Long,
+      droppedMass: Long)
+
+  /** Production-merge-count BPE training: identical merge semantics to
+    * [[bpeTrain]] (count desc / (l,r)-lexicographic ties / >= 2 floor /
+    * left-to-right non-overlapping merge — law-tested equal), but the
+    * scale shape a 32k-merge tokenizer run needs.
+    *
+    * [[bpeTrain]] launches one vocab-sized Spark job per merge — fine
+    * at tens of merges, 32k sequential jobs at production counts (the
+    * r10 perf audit's one flagged operator). The fix is the classic
+    * one (Sennrich's learn_bpe): after ONE corpus-sized job reduces
+    * the corpus to its word vocabulary (token, freq), every pair count
+    * is maintained INCREMENTALLY — a merge of (a,b) only touches words
+    * that contain that adjacency, via an occurrence index, and the
+    * running best pair comes from a lazy-deletion heap. No per-merge
+    * Spark jobs at all: the merge loop runs over model-sized driver
+    * state, which is exactly the state any BPE trainer ships as its
+    * artifact.
+    *
+    * The honest bound: the word vocabulary must fit the driver
+    * (`maxWordTypes`, refused loudly when exceeded — 100 TB of noisy
+    * web text has unbounded word types). The documented knob is
+    * `minFreq`: pruning hapax/rare types bounds the vocab the way
+    * every production tokenizer run does, and the dropped type count
+    * AND dropped frequency mass come back as a [[BpeTrainReceipt]] —
+    * the prune is visible, never faked. With minFreq = 1 the result
+    * is bit-identical to [[bpeTrain]] (merges and final vocab). */
+  def bpeTrainIncremental(docs: DataFrame, textCol: String, nMerges: Int,
+      minFreq: Long = 1L, maxWordTypes: Int = 1 << 22)
+      : (Seq[BpeMerge], DataFrame, BpeTrainReceipt) = {
+    require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
+    require(minFreq >= 1L, s"minFreq must be >= 1, got $minFreq")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val freqDf = docs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint() // one corpus-sized job; reread twice below
+    val Array(dropT, dropM) = freqDf.filter(col("freq") < minFreq)
+      .agg(coalesce(count(lit(1)), lit(0L)),
+        coalesce(sum(col("freq")), lit(0L)))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val retained = freqDf.filter(col("freq") >= minFreq)
+      .limit(maxWordTypes + 1)
+      .as[(String, Long)].collect()
+    require(retained.length <= maxWordTypes,
+      s"bpeTrainIncremental: > $maxWordTypes word types survive minFreq=" +
+        s"$minFreq — raise minFreq (the standard web-corpus prune) or " +
+        "raise maxWordTypes if the driver can hold it")
+    val words: Array[Array[String]] =
+      retained.map(_._1.map(_.toString).toArray)
+    val freqs: Array[Long] = retained.map(_._2)
+    // occurrence-weighted pair counts + (pair -> words containing it)
+    val stats = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val where = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    val heap = scala.collection.mutable.PriorityQueue
+      .empty[(Long, String, String)](new Ordering[(Long, String, String)] {
+        // max-heap: count desc, then l asc, r asc (reversed compares)
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(x._1, y._1)
+          if (c != 0) c
+          else {
+            val l = y._2.compareTo(x._2)
+            if (l != 0) l else y._3.compareTo(x._3)
+          }
+        }
+      })
+    def addWordPairs(i: Int, sign: Long): Unit = {
+      val s = words(i); val f = freqs(i) * sign
+      var j = 0
+      while (j + 1 < s.length) {
+        val p = (s(j), s(j + 1))
+        val n = stats.getOrElse(p, 0L) + f
+        if (n == 0L) stats.remove(p) else stats.update(p, n)
+        if (sign > 0) where.getOrElseUpdate(p,
+          scala.collection.mutable.HashSet.empty[Int]).add(i)
+        j += 1
+      }
+      if (sign < 0) {
+        // set-remove AFTER the counting pass (a pair can repeat in-word)
+        j = 0
+        while (j + 1 < s.length) {
+          where.get((s(j), s(j + 1))).foreach(_.remove(i)); j += 1
+        }
+      }
+    }
+    var i = 0
+    while (i < words.length) { addWordPairs(i, 1L); i += 1 }
+    stats.foreach { case ((a, b), c) => heap.enqueue((c, a, b)) }
+    def applyMerge(s: Array[String], a: String, b: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var j = 0
+      while (j < s.length) {
+        if (j + 1 < s.length && s(j) == a && s(j + 1) == b) {
+          out += (a + b); j += 2
+        } else { out += s(j); j += 1 }
+      }
+      out.toArray
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var done = false
+    while (merges.length < nMerges && !done) {
+      // lazy deletion: skip entries whose count is stale
+      var best: Option[(Long, String, String)] = None
+      while (best.isEmpty && heap.nonEmpty) {
+        val e = heap.dequeue()
+        if (e._1 >= 2L && stats.getOrElse((e._2, e._3), 0L) == e._1)
+          best = Some(e)
+      }
+      best match {
+        case None => done = true
+        case Some((cnt, a, b)) =>
+          merges += BpeMerge(a, b, cnt)
+          val affected = where.getOrElse((a, b),
+            scala.collection.mutable.HashSet.empty[Int]).toArray
+          val touched = scala.collection.mutable.HashSet.empty[(String, String)]
+          affected.foreach { w =>
+            val s = words(w)
+            var j = 0
+            while (j + 1 < s.length) { touched.add((s(j), s(j + 1))); j += 1 }
+            addWordPairs(w, -1L)
+            words(w) = applyMerge(s, a, b)
+            val s2 = words(w)
+            j = 0
+            while (j + 1 < s2.length) { touched.add((s2(j), s2(j + 1))); j += 1 }
+            addWordPairs(w, 1L)
+          }
+          touched.foreach { p =>
+            val c = stats.getOrElse(p, 0L)
+            if (c >= 2L) heap.enqueue((c, p._1, p._2))
+          }
+      }
+    }
+    val vocab = spark.createDataset(words.toSeq.map(_.toSeq).zip(freqs.toSeq))
+      .toDF("syms", "freq")
+    (merges.toSeq, vocab,
+      BpeTrainReceipt(retained.length.toLong, dropT, dropM))
+  }
+
   /** Apply-side of [[bpeTrain]] — encode text under a trained merge
     * sequence as a pure per-row native kernel (codegen'd; the merge
     * list ships to executors once as a plan reference object, never

@@ -385,7 +385,7 @@ object TrainingPipeline {
           shardsPerGroup / 65536L).cast("int"))
       // null-safe string join key: a plain equi-join on the group
       // column would drop null-group rows the serial window kept
-      .withColumn("__gk", when(col(groupCol).isNull, lit(" "))
+      .withColumn("__gk", when(col(groupCol).isNull, lit("\u0000"))
         .otherwise(concat(lit("="), col(groupCol).cast("string"))))
       .localCheckpoint()
     val masses = narrow.groupBy(col("__gk"), col("__shard"))

@@ -252,12 +252,19 @@ final class AffineMatrix(val mean: Array[Double], val rows: Array[Array[Double]]
 
 object AffineKernels {
   def project(v: ArrayData, m: AffineMatrix): ArrayData = {
+    // refuse, don't fake: a wrong-length input must not silently become
+    // a partial dot product (public Column API — callers may feed it
+    // vectors the fit never saw)
+    if (v.numElements() != m.mean.length)
+      throw new IllegalArgumentException(
+        s"affineProject: input vector has ${v.numElements()} elements, " +
+          s"model expects ${m.mean.length}")
     val k = m.rows.length
     val out = new Array[Double](k)
     var r = 0
     while (r < k) {
       val row = m.rows(r)
-      val n = java.lang.Math.min(v.numElements(), row.length)
+      val n = row.length
       var acc = 0.0
       var i = 0
       while (i < n) { acc += (v.getDouble(i) - m.mean(i)) * row(i); i += 1 }

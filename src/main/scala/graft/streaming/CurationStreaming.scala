@@ -239,11 +239,27 @@ object CurationStreaming {
   }
 
   /** Latest snapshot strictly BEFORE `beforeId` — a retried batch must
-    * see its original predecessor, never its own partial output. */
+    * see its original predecessor, never its own partial output.
+    *
+    * Corruption guard: snapshots at-or-after `beforeId` with NO
+    * predecessor below it means this batch's true predecessor was
+    * deleted out from under a replay (an expiry raced the
+    * checkpoint). Falling back to `init` here would silently rebuild
+    * the history from scratch — refuse instead. [[scd2Expire]]'s
+    * keep >= 2 floor makes this unreachable under the documented
+    * discipline; the throw is the belt to that suspender. */
   private def latestSnapshot(spark: SparkSession, snapDir: String,
-      beforeId: Long): Option[DataFrame] =
-    snapshotIds(spark, snapDir).filter(_ < beforeId).maxOption
-      .map(id => spark.read.parquet(s"$snapDir/snap=$id"))
+      beforeId: Long): Option[DataFrame] = {
+    val ids = snapshotIds(spark, snapDir)
+    val pred = ids.filter(_ < beforeId).maxOption
+    if (pred.isEmpty && ids.exists(_ > beforeId))
+      throw new IllegalStateException(
+        s"snapshot chain under $snapDir is torn: batch $beforeId has no " +
+          s"predecessor snapshot but later snapshots exist " +
+          s"(ids=${ids.sorted.mkString(",")}); its predecessor was expired " +
+          "while the batch was uncommitted — restore it or reset the stream")
+    pred.map(id => spark.read.parquet(s"$snapDir/snap=$id"))
+  }
 
   /** The current materialized history: the highest-id snapshot. */
   def scd2Latest(spark: SparkSession, snapDir: String): DataFrame = {
@@ -297,10 +313,17 @@ object CurationStreaming {
     * ([[scd2Latest]]) is untouched; a restart replaying an OLD batch
     * id against an expired predecessor cannot happen because the
     * checkpoint only replays batches at-or-after the last committed
-    * one, whose predecessor is always within the keep window.
+    * one, whose predecessor is always within the keep window —
+    * PROVIDED keep >= 2. keep = 1 is refused: a batch that wrote
+    * `snap=B` but crashed before its checkpoint commit leaves B as
+    * the newest snapshot while B's replay still needs B-1; keep = 1
+    * would delete B-1 in that uncommitted window (the replay then
+    * trips [[latestSnapshot]]'s torn-chain guard instead of silently
+    * rebuilding, but the recipe should never get there).
     * Returns the deleted snapshot ids. */
   def scd2Expire(spark: SparkSession, snapDir: String, keep: Int): Seq[Long] = {
-    require(keep >= 1, s"keep must be >= 1, got $keep")
+    require(keep >= 2, s"keep must be >= 2 (keep=1 can expire the " +
+      s"predecessor of an uncommitted batch mid-replay), got $keep")
     val ids = snapshotIds(spark, snapDir).sorted
     val victims = ids.dropRight(keep)
     val fs = new org.apache.hadoop.fs.Path(snapDir)

@@ -11,4 +11,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Build a Connect-client session over an explicitly configured
+    * [[org.apache.spark.sql.connect.client.SparkConnectClient]] (e.g.
+    * a fail-fast retry policy for fault detection) — `Builder.client`
+    * is `private[sql]`, same shim rationale as above. */
+  def connectSession(client: org.apache.spark.sql.connect.client.SparkConnectClient)
+      : org.apache.spark.sql.connect.SparkSession =
+    org.apache.spark.sql.connect.SparkSession.builder().client(client).create()
 }

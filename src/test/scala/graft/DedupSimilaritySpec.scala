@@ -768,6 +768,34 @@ class DedupSimilaritySpec extends SparkSpec {
       s"iteration must not rescan the corpus:\n${tree.take(1000)}")
     // final vocab rows still carry every distinct token's frequency
     assert(finalVocab.agg(sum($"freq")).as[Long].head() == corpusToks.length)
+    // the incremental trainer (zero per-merge jobs) must agree with
+    // BOTH, merges and final vocab, at minFreq = 1
+    val (mInc, vInc, receipt) =
+      TextAnalysis.bpeTrainIncremental(docs, "text", nMerges)
+    assert(mInc.map(m => (m.left, m.right, m.count)) == ref.toSeq,
+      s"incremental=$mInc ref=$ref")
+    assert(receipt.droppedTypes == 0L && receipt.droppedMass == 0L)
+    val a = finalVocab.select($"syms", $"freq").as[(Seq[String], Long)]
+      .collect().sortBy(_.toString).toSeq
+    val b = vInc.select($"syms", $"freq").as[(Seq[String], Long)]
+      .collect().sortBy(_.toString).toSeq
+    assert(a == b, "incremental trainer's final vocab diverged")
+  }
+
+  test("bpeTrainIncremental: minFreq prune is receipted; maxWordTypes refuses") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      "aa bb aa bb cc", "aa bb dd", "rare1 rare2 aa"
+    ).toDF("text")
+    val (_, _, r) = TextAnalysis.bpeTrainIncremental(docs, "text",
+      nMerges = 4, minFreq = 2L)
+    // dropped: cc, dd, rare1, rare2 (freq 1 each)
+    assert(r.droppedTypes == 4L && r.droppedMass == 4L && r.retainedTypes == 2L)
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeTrainIncremental(docs, "text", nMerges = 1,
+        maxWordTypes = 3)
+    }
+    assert(e.getMessage.contains("word types"))
   }
 
   private def oneHot63 = {

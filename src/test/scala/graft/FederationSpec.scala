@@ -358,9 +358,100 @@ class FederationSpec extends SparkSpec {
       Federation.stopConnectServer() // non-daemon gRPC threads
     }
   }
+
+  test("lost Connect cluster MID-JOB: failover re-plans on survivors; data loss stays loud") {
+    // r10 VERDICT #5: not just a failed transfer — the cluster itself
+    // goes away (its Connect session is closed mid-execution, so every
+    // subsequent RPC dies) while the job is running.
+    val port = Federation.ensureConnectServer(spark)
+    val tmp = Files.createTempDirectory("fed_lost").toString
+    tables.customer.write.mode("overwrite").parquet(s"$tmp/a/customer")
+    tables.orders.write.mode("overwrite").parquet(s"$tmp/b/orders")
+    tables.orders.write.mode("overwrite").parquet(s"$tmp/a/orders_replica")
+    // part 1: orders' PRIMARY is on B, its replica on A — losing B is
+    // recoverable by re-resolving the scan to the surviving replica
+    val catalog = new Catalog()
+      .register("customer", TableLoc("A", "parquet", s"$tmp/a/customer"))
+      .register("orders", TableLoc("B", "parquet", s"$tmp/b/orders"))
+      .registerReplica("orders", TableLoc("A", "parquet", s"$tmp/a/orders_replica"))
+    val clusters = Map(
+      "A" -> Federation.connectCluster("A", s"sc://localhost:$port",
+        s"$tmp/a/scratch", computeFactor = 4.0, failFast = true),
+      "B" -> Federation.connectCluster("B", s"sc://localhost:$port",
+        s"$tmp/b/scratch", computeFactor = 0.25, failFast = true))
+    try {
+      FederationLostCluster.killed.set(false)
+      val killMidJob: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        df => {
+          // first execution kills B WHILE the job is in flight; the
+          // failover re-run must pass through untouched
+          if (FederationLostCluster.killed.compareAndSet(false, true))
+            clusters("B").session match {
+              case cs: org.apache.spark.sql.connect.SparkSession => cs.close()
+              case _ => ()
+            }
+          df.filter(col("c_acctbal") > 1000)
+        }
+      val join = FedBinary(
+        FedStage(FedScan("customer"), killMidJob, "kill_then_filter"),
+        FedScan("orders"),
+        (c, o) => c.join(o, c("c_custkey") === o("o_custkey"))
+          .groupBy("c_custkey").agg(count(lit(1)).as("n")), "join")
+      val orch = new Orchestrator(catalog, clusters, maxRetries = 1)
+      // the planner must have put work on B (orders' primary host) for
+      // the kill to be mid-job, not a no-op
+      assert(orch.executionReport(join).assignment.values.toSet.contains("B"))
+      val got = orch.executeWithFailover(join).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = tables.customer.filter(col("c_acctbal") > 1000)
+        .join(tables.orders, col("c_custkey") === col("o_custkey"))
+        .groupBy("c_custkey").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(FederationLostCluster.killed.get(), "the kill never fired")
+      assert(got == want && got.nonEmpty)
+      assert(orch.liveClusters == Set("A"), "B must be marked lost")
+      // the failover run resolved orders to the A-side replica
+      assert(orch.executionReport(join).assignment.values.toSet == Set("A"))
+      // the aborted first attempt left no staging garbage anywhere
+      val bScratch = Option(new java.io.File(s"$tmp/b/scratch").listFiles())
+        .getOrElse(Array.empty)
+      assert(bScratch.isEmpty, s"staged garbage after abort: ${bScratch.toSeq}")
+    } finally Federation.closeClusterSessions(clusters)
+    // part 2: the lost cluster HOSTS a required table -> loud refusal
+    tables.orders.limit(10).write.mode("overwrite").parquet(s"$tmp/b/orders")
+    val catalog2 = new Catalog()
+      .register("customer", TableLoc("A", "parquet", s"$tmp/a/customer"))
+      .register("orders", TableLoc("B", "parquet", s"$tmp/b/orders"))
+    val clusters2 = Map(
+      "A" -> Federation.connectCluster("A", s"sc://localhost:$port",
+        s"$tmp/a2/scratch", failFast = true),
+      "B" -> Federation.connectCluster("B", s"sc://localhost:$port",
+        s"$tmp/b2/scratch", failFast = true))
+    try {
+      clusters2("B").session match {
+        case cs: org.apache.spark.sql.connect.SparkSession => cs.close()
+        case _ => ()
+      }
+      val plan2 = FedBinary(FedScan("customer"), FedScan("orders"),
+        (c, o) => c.join(o, c("c_custkey") === o("o_custkey")), "join2")
+      val e = intercept[RuntimeException] {
+        new Orchestrator(catalog2, clusters2, maxRetries = 0)
+          .executeWithFailover(plan2).collect()
+      }
+      assert(e.getMessage.contains("no surviving copy"), e.getMessage)
+    } finally {
+      Federation.closeClusterSessions(clusters2)
+      Federation.stopConnectServer() // non-daemon gRPC threads
+    }
+  }
 }
 
 /** Top-level so the UDF closure never captures the spec instance. */
 object FederationFlaky {
   val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+/** Mid-job cluster-kill latch (top-level: no spec-instance capture). */
+object FederationLostCluster {
+  val killed = new java.util.concurrent.atomic.AtomicBoolean(false)
 }

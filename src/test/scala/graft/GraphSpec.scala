@@ -63,4 +63,24 @@ class GraphSpec extends SparkSpec {
     val top = r1.maxBy(_._2)._1
     assert(top.startsWith("s"), s"expected a supplier hub on top, got $top")
   }
+
+  test("pageRank auto-scale: a 10^6-node graph the old 1e12 default refused") {
+    // ring: out-degree 1 everywhere, one in-edge each => exact fixed
+    // point rank == scale at every iteration, any scale
+    val n = 1000000L
+    val edges = spark.range(n).select($"id".cast("string").as("s"),
+      (($"id" + 1L) % n).cast("string").as("d"))
+    // the historical fixed default overflows the mass bound here...
+    val refused = intercept[IllegalArgumentException] {
+      Graph.pageRank(edges, "s", "d", iters = 1, scale = 1000000000000L)
+    }
+    assert(refused.getMessage.contains("overflow"))
+    // ...auto (scale=0 default) derives the largest safe power of ten:
+    // 1e6 * s * 85 < 2^63 => s = 1e11
+    val r = Graph.pageRank(edges, "s", "d", iters = 1)
+    val distinctRanks = r.select($"rank").distinct().as[Long].collect()
+    assert(distinctRanks.toSeq == Seq(100000000000L),
+      s"ring fixed point must hold at the auto-derived scale: $distinctRanks")
+    assert(r.count() == n)
+  }
 }

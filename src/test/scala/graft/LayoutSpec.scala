@@ -154,13 +154,19 @@ class LayoutSpec extends SparkSpec {
       assert(bytes <= target || nFiles == 1,
         s"bin $bin over target with $nFiles files ($bytes bytes)")
     }
-    // fewer files than before (that's the point)
-    val outBins = new java.io.File(opt).listFiles().count(_.isDirectory)
-    assert(outBins == receipt.length && outBins < inFiles.length)
-    // lossless: exact multiset equality both ways
-    val back = spark.read.parquet(opt).drop("__bin")
-      .select(docs.columns.map(col).toSeq: _*)
-    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty,
+    // fewer files than before (that's the point) — and plain files at
+    // the root: the rewrite is schema-preserving, no partition dirs
+    val outFiles = new java.io.File(opt).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(outFiles == receipt.length && outFiles < inFiles.length)
+    assert(new java.io.File(opt).listFiles().forall(!_.isDirectory),
+      "compacted output must not contain partition directories")
+    // lossless: exact multiset equality both ways, schema unchanged
+    val back = spark.read.parquet(opt)
+    assert(back.schema == spark.read.parquet(frag).schema,
+      "compaction must preserve the read-back schema exactly")
+    assert(back.select(docs.columns.map(col).toSeq: _*).exceptAll(docs).isEmpty &&
+      docs.exceptAll(back.select(docs.columns.map(col).toSeq: _*)).isEmpty,
       "compaction must preserve the exact row multiset")
   }
 
@@ -170,13 +176,14 @@ class LayoutSpec extends SparkSpec {
     tables.documents.repartition(16).write.mode("overwrite").parquet(frag)
     Layout.compact(spark, frag, opt, targetBytes = 128L * 1024,
       sortWithin = Some("doc_id"))
-    val binDirs = new java.io.File(opt).listFiles().filter(_.isDirectory)
-    assert(binDirs.nonEmpty)
-    binDirs.foreach { d =>
-      val ids = spark.read.parquet(d.toString).select($"doc_id")
+    val binFiles = new java.io.File(opt).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(binFiles.nonEmpty)
+    binFiles.foreach { f =>
+      val ids = spark.read.parquet(f.toString).select($"doc_id")
         .as[Long].collect()
       assert(ids.sameElements(ids.sorted),
-        s"bin ${d.getName} must keep doc_id order inside its file")
+        s"bin ${f.getName} must keep doc_id order inside its file")
     }
   }
 
@@ -196,7 +203,7 @@ class LayoutSpec extends SparkSpec {
     val overs = receipt.filter(_._3 > target)
     assert(overs.nonEmpty && overs.forall(_._2 == 1),
       "every over-target bin must be a single unsplittable file")
-    val back = spark.read.parquet(opt).drop("__bin").select($"id", $"s")
+    val back = spark.read.parquet(opt).select($"id", $"s")
     val all = big.unionByName(small)
     assert(back.exceptAll(all).isEmpty && all.exceptAll(back).isEmpty)
   }

@@ -56,7 +56,13 @@ class MultimodalSpec extends SparkSpec {
     assert(a.keySet.size == 100)
     assert(a == b) // batching and partitioning are execution details only
     assert(a.values.forall(_.length == 8))
-    // moments of a distribution on [0,1] are decreasing in k
-    assert(a.values.forall(e => e.sliding(2).forall(p => p(0) >= p(1))))
+    // the toy model is integer-exact: emb[k] = Σ((byte+k) mod 256), and
+    // ASCII bytes + small k never wrap, so consecutive dims differ by
+    // exactly n_bytes — the invariant a SQL oracle replays (q194)
+    assert(a.values.forall(e => e.forall(v => v == math.rint(v))))
+    val nb = packed.select($"doc_id", octet_length($"blob").cast("double"))
+      .as[(Long, Double)].collect().toMap
+    assert(a.forall { case (id, e) =>
+      e.sliding(2).forall(p => p(1) - p(0) == nb(id)) })
   }
 }

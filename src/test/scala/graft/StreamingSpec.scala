@@ -277,15 +277,45 @@ class StreamingSpec extends SparkSpec {
     }
     assert(thrown.getMessage.contains("mixes as_of") ||
       Option(thrown.getCause).exists(_.getMessage.contains("mixes as_of")))
-    // retention: expiring to keep=1 deletes older snapshots but leaves
-    // the current table byte-identical
+    // retention: keep=1 is refused (it could expire the predecessor of
+    // an uncommitted batch mid-replay); keep=2 deletes older snapshots
+    // but leaves the current table byte-identical
     val before = streamed.collect().toSet
-    val deleted = CurationStreaming.scd2Expire(spark, snap, keep = 1)
-    assert(deleted.nonEmpty, "two applied batches must leave an expirable snapshot")
+    intercept[IllegalArgumentException] {
+      CurationStreaming.scd2Expire(spark, snap, keep = 1)
+    }
+    val ch3 = Seq((2L, "BB")).toDF("k", "name")
+      .withColumn("as_of", lit(ts("2023-01-01 00:00:00")))
+    ch3.coalesce(1).write.mode("append").parquet(src)
+    CurationStreaming.scd2Stream(ss, src, snap, ckpt, Seq("k"), hist0, ch1.schema)
+    val deleted = CurationStreaming.scd2Expire(spark, snap, keep = 2)
+    assert(deleted.nonEmpty, "three applied batches must leave an expirable snapshot")
     val dirs = new java.io.File(snap).listFiles()
       .count(d => d.isDirectory && d.getName.startsWith("snap="))
-    assert(dirs == 1)
-    assert(CurationStreaming.scd2Latest(spark, snap).collect().toSet == before)
+    assert(dirs == 2)
+    val after3 = Incremental.scd2Apply(batch, ch3.drop("as_of"), Seq("k"),
+      ts("2023-01-01 00:00:00")).collect().toSet
+    assert(CurationStreaming.scd2Latest(spark, snap).collect().toSet == after3)
+    // torn-chain guard: delete the latest snapshot's predecessor by
+    // hand (simulating a keep=1-style expiry racing an uncommitted
+    // batch) — a replay of that batch must refuse, not rebuild from init
+    val ids = new java.io.File(snap).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("snap="))
+      .map(_.getName.stripPrefix("snap=").toLong).sorted
+    val fs = new org.apache.hadoop.fs.Path(snap)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$snap/snap=${ids.head}"), true)
+    val ch4 = Seq((4L, "dd")).toDF("k", "name")
+      .withColumn("as_of", lit(ts("2024-01-01 00:00:00")))
+    ch4.coalesce(1).write.mode("append").parquet(src)
+    val torn = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      // fresh checkpoint => batch ids restart at 0; snap ids on disk are
+      // all > 0 with none below the replayed id — exactly the torn shape
+      CurationStreaming.scd2Stream(ss, src, snap, s"$tmp/ckpt_torn",
+        Seq("k"), hist0, ch1.schema)
+    }
+    assert(torn.getMessage.contains("torn") ||
+      Option(torn.getCause).exists(_.getMessage.contains("torn")))
   }
 
   test("streaming near-dup: spot checks, partitioned replay, real-corpus parity") {
