@@ -61,11 +61,13 @@ object Bench {
     "q187_governed_promotion", "q188_zorder3_key", "q190_pit_join",
     // round 11: ANN serving from a persisted index (load + probe +
     // refine — the "train once, serve many" path), incremental BPE
-    // training at 256 merges, batched multimodal embed. q192
-    // versioned-table commit is excluded for the q179 reason: it
-    // times tmp-dir parquet writes, not an operator dataflow (the CAS
-    // and manifest reads are spec- and require()-checked instead)
-    "q191_ann_index_persist", "q193_bpe_train_fast", "q194_multimodal_embed")
+    // training at 256 merges, batched multimodal embed, tokenizer
+    // serving (load merges + full-corpus encode). q192/q195
+    // (versioned-table commits) are excluded for the q179 reason:
+    // they time tmp-dir parquet writes, not an operator dataflow (the
+    // CAS and manifest reads are spec- and require()-checked instead)
+    "q191_ann_index_persist", "q193_bpe_train_fast", "q194_multimodal_embed",
+    "q196_bpe_model_serve")
 
   /** Per-query regression pins (round 9): each query's BEST recorded
     * driver median at sf0.1 across rounds 1–8. A timed median above
@@ -116,7 +118,10 @@ object Bench {
     // round 10 (late): streaming SCD2 snapshot maintenance and
     // streaming DQ metric accumulation (restart + no-new-data
     // replays, like q173)
-    "q180_stream_scd2", "q189_stream_dq")
+    "q180_stream_scd2", "q189_stream_dq",
+    // round 11: streaming ANN-index ingest (frozen persisted model,
+    // exactly-once codes_delta, serve-over-deltas equality probe)
+    "q197_ann_stream_ingest")
 
   /** The CORRECTNESS entries for approximate ops are recall HARNESSES
     * (operator + exact ground truth + compare in one job); benching the
@@ -249,6 +254,23 @@ object Bench {
         val (_, vocab, _) = graft.operators.TextAnalysis
           .bpeTrainIncremental(docs, "text", nMerges = 256)
         vocab
+      }),
+      // q196's CORRECTNESS entry retrains and double-encodes (serve ==
+      // memory probe); the operator story is tokenizer SERVING: load
+      // the persisted merges, encode the corpus once. The model is
+      // trained+saved once per dir (q122/q154 fixture discipline).
+      "q196_bpe_model_serve" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val model = s"/tmp/graft_bench_bpe_${new java.io.File(dir).getName}"
+        if (!new java.io.File(model).exists()) {
+          val (m, _, _) = graft.operators.TextAnalysis.bpeTrainIncremental(
+            s.read.parquet(s"$dir/documents.parquet"), "text", nMerges = 64)
+          graft.operators.TextAnalysis.saveBpe(s, model, m)
+        }
+        val merges = graft.operators.TextAnalysis.loadBpe(s, model)
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), size(graft.operators.TextAnalysis
+            .bpeEncode(col("text"), merges)).as("n_pieces"))
       }),
       // q194's CORRECTNESS entry runs the embed twice (invariance
       // probe); the operator story is one batched-inference pass.

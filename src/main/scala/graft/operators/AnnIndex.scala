@@ -62,7 +62,8 @@ object AnnIndex {
     * VersionedTable). Returns the manifest row as a receipt. */
   def save(spark: SparkSession, dir: String,
       corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, pq: graft.plans.PqCodebooks): DataFrame = {
+      centroids: DataFrame, pq: graft.plans.PqCodebooks,
+      partitionCodesByCell: Boolean = false): DataFrame = {
     import spark.implicits._
     val cents = Similarity.collectCentroids(centroids, "AnnIndex.save")
     val subDim = pq.subDim
@@ -81,9 +82,16 @@ object AnnIndex {
       book.zipWithIndex.map { case (cv, code) => (sub, code, cv.toSeq) }
     }.toSeq.toDF("sub", "code", "cv").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/codebooks")
-    // the one corpus-sized pass: route + quantize, zero shuffles
-    Similarity.ivfPqEncode(corpus, idCol, vecCol, cents, pq)
-      .write.mode("overwrite").parquet(s"$dir/codes")
+    // the one corpus-sized pass: route + quantize. Unpartitioned =
+    // zero shuffles; partitionCodesByCell pays ONE shuffle on cell so
+    // the codes table lands one directory per cell — a probe of
+    // nProbe cells then reads only those cells' files (the SCALE.md
+    // claim, made real: PartitionFilters-prunable serving scans).
+    val encoded = Similarity.ivfPqEncode(corpus, idCol, vecCol, cents, pq)
+    if (partitionCodesByCell)
+      encoded.repartition(col("cell")).write.mode("overwrite")
+        .partitionBy("cell").parquet(s"$dir/codes")
+    else encoded.write.mode("overwrite").parquet(s"$dir/codes")
     val nCodes = spark.read.parquet(s"$dir/codes").count()
     // manifest LAST — its presence is the commit marker
     val manifest = Seq((FormatVersion, idCol, vecCol, subDim, pq.m,
@@ -97,8 +105,16 @@ object AnnIndex {
   /** Load a saved index. Refuses (loudly) an index with no manifest
     * (half-written save), a format version from the future, or
     * artifacts inconsistent with the manifest's receipts — serving
-    * from a torn index would silently return wrong neighbors. */
-  def load(spark: SparkSession, dir: String): Loaded = {
+    * from a torn index would silently return wrong neighbors.
+    *
+    * `includeDeltas`: streamed-in rows land under `codes_delta/`
+    * ([[graft.streaming.CurationStreaming.annIngestStream]]) encoded
+    * under this SAME frozen model; loading unions them into the codes
+    * scan so serving sees ingested rows without an index rebuild.
+    * The manifest's n_rows receipt covers the BASE codes only —
+    * deltas are exactly-once by the snapshot discipline instead. */
+  def load(spark: SparkSession, dir: String,
+      includeDeltas: Boolean = true): Loaded = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/manifest")),
@@ -140,7 +156,13 @@ object AnnIndex {
       rows.sortBy(_._2).map(_._3)
     }
     val pq = new graft.plans.PqCodebooks(subDim, books)
-    val codes = spark.read.parquet(s"$dir/codes")
+    val base = spark.read.parquet(s"$dir/codes")
+    val deltaPath = new org.apache.hadoop.fs.Path(s"$dir/codes_delta")
+    val codes =
+      if (includeDeltas && fs.exists(deltaPath))
+        base.unionByName(spark.read.parquet(deltaPath.toString)
+          .select(base.columns.map(org.apache.spark.sql.functions.col).toSeq: _*))
+      else base
     Loaded(centVecs, pq, codes, idCol, subDim * nSub)
   }
 

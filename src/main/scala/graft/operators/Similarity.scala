@@ -832,7 +832,7 @@ object Similarity {
     * nearest coarse cell and quantize it to `m` code ids — the
     * index-build stage ([[AnnIndex.save]] persists its output; the
     * in-memory path feeds it straight to [[ivfPqServe]]). */
-  private[operators] def ivfPqEncode(corpus: DataFrame, corpusId: String,
+  private[graft] def ivfPqEncode(corpus: DataFrame, corpusId: String,
       vecCol: String, cents: Seq[Seq[Double]],
       pq: graft.plans.PqCodebooks): DataFrame = {
     import graft.plans.{PqExpressions, VectorExpressions}

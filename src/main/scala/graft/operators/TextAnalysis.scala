@@ -446,6 +446,37 @@ object TextAnalysis {
   def bpeEncode(text: Column, merges: Seq[BpeMerge]): Column =
     graft.plans.TextExpressions.bpeEncode(text, merges.map(m => (m.left, m.right)))
 
+  /** Persist a trained merge sequence as parquet — the tokenizer
+    * artifact every pipeline ships (HF's merges.txt, as a table).
+    * RANK IS SEMANTICS: BPE applies merges in training order, so the
+    * rank column is the contract, not a convenience. Model-sized (one
+    * row per merge); written in one file. */
+  def saveBpe(spark: org.apache.spark.sql.SparkSession, dir: String,
+      merges: Seq[BpeMerge]): Unit = {
+    import spark.implicits._
+    require(merges.nonEmpty, "saveBpe: empty merge sequence")
+    merges.zipWithIndex
+      .map { case (m, r) => (r, m.left, m.right, m.count) }
+      .toDF("rank", "left", "right", "count")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a merge sequence saved by [[saveBpe]]. Refuses a table with
+    * rank gaps/dups — an incomplete merge list silently encodes a
+    * DIFFERENT tokenizer, the worst kind of wrong. */
+  def loadBpe(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[BpeMerge] = {
+    val rows = spark.read.parquet(dir)
+      .select(col("rank").cast("int"), col("left"), col("right"),
+        col("count").cast("long"))
+      .collect()
+      .map(r => (r.getInt(0), BpeMerge(r.getString(1), r.getString(2), r.getLong(3))))
+      .sortBy(_._1)
+    require(rows.map(_._1).toSeq == (0 until rows.length),
+      s"loadBpe: ranks under $dir are not the contiguous 0..${rows.length - 1} " +
+        "range — torn or foreign merge table, refusing to encode with it")
+    rows.map(_._2).toSeq
+  }
+
   /** Bounded inverted index: per term, document frequency plus the
     * first `k` postings (lowest doc ids, zero-padded so lexical order
     * IS numeric order). The postings list is a bounded-state

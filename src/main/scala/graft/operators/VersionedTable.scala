@@ -154,6 +154,14 @@ object VersionedTable {
     spark.read.parquet(s"$dir/${m("data")}")
   }
 
+  /** A committed version's data directory — for layout receipts
+    * (file envelopes, skipping ratios): a version whose commit
+    * carried a clustered plan (repartitionByRange + sort) has files
+    * whose min/max stats PROVE the clustering, and this is where a
+    * caller points [[Layout.fileEnvelopes]] at. */
+  def dataDir(spark: SparkSession, dir: String, v: Long): String =
+    s"$dir/${readManifest(spark, dir, v)("data")}"
+
   /** The table at its latest committed version. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val v = latestVersion(spark, dir)

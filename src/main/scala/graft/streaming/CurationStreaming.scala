@@ -172,6 +172,43 @@ object CurationStreaming {
     q.awaitTermination()
   }
 
+  /** Streaming ANN-index ingest (round 11): newly arrived vectors are
+    * PQ-encoded under the index's PERSISTED, FROZEN model and appended
+    * as `codes_delta/batch=<id>` — the overwrite-own-directory
+    * exactly-once contract of [[exportStream]] (a retried/replayed
+    * batch rewrites its own directory with identical content; it can
+    * never double-land). Model freeze is the production serving
+    * contract: ingest encodes under the trained centroids/codebooks,
+    * and re-training is a separate offline job that REBUILDS the
+    * index — silently re-fitting on ingest would shift every cell
+    * boundary under the served corpus.
+    * [[graft.operators.AnnIndex.load]] unions the deltas into the
+    * codes scan, so serving sees streamed rows with no rebuild.
+    * Scale shape: per batch, one batch-sized encode pass (per-row
+    * codegen kernels, zero shuffles) + one batch-sized write. */
+  def annIngestStream(spark: SparkSession, stagedDir: String, idxDir: String,
+      ckpt: String, vecCol: String,
+      srcSchema: StructType, maxFilesPerTrigger: Int = 1): Unit = {
+    val loaded = graft.operators.AnnIndex.load(spark, idxDir,
+      includeDeltas = false)
+    val stream = spark.readStream
+      .schema(srcSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(stagedDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity
+          .ivfPqEncode(batch, loaded.idCol, vecCol, loaded.cents, loaded.pq)
+          .write.mode("overwrite")
+          .parquet(s"$idxDir/codes_delta/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   // ------------- streaming SCD2 snapshot maintenance (round 10) -------------
 
   /** Streaming counterpart of

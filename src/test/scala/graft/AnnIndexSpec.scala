@@ -43,6 +43,28 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("cell-partitioned codes: identical serving, partition-pruned scans") {
+    val (cents, pq) = fit()
+    val qs = emb.filter($"vec_id" % 10 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("annidx-cell").toString
+    AnnIndex.save(spark, s"$tmp/flat", emb, "vec_id", "embedding", cents, pq)
+    AnnIndex.save(spark, s"$tmp/cell", emb, "vec_id", "embedding", cents, pq,
+      partitionCodesByCell = true)
+    val flat = AnnIndex.load(spark, s"$tmp/flat")
+    val celled = AnnIndex.load(spark, s"$tmp/cell")
+    // a probe's cell filter reaches the scan as a PARTITION filter —
+    // the serving scan reads only the probed cells' directories
+    val plan = celled.codes.filter($"cell" === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").contains("(cell"),
+      s"cell filter must prune partitions:\n${plan.take(800)}")
+    // layout is an execution detail: served answers are identical
+    val a = AnnIndex.topK(flat, qs, "vec_id", "embedding", k = 3, nProbe = 2)
+    val b = AnnIndex.topK(celled, qs, "vec_id", "embedding", k = 3, nProbe = 2)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("save -> load -> save is a fixpoint (models and codes byte-stable)") {
     val (cents, pq) = fit()
     val tmp = java.nio.file.Files.createTempDirectory("annidx-fix").toString

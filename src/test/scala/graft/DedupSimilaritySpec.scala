@@ -782,6 +782,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a == b, "incremental trainer's final vocab diverged")
   }
 
+  test("saveBpe/loadBpe: ranked round trip; rank gaps refuse to encode") {
+    import graft.operators.TextAnalysis
+    val docs = Seq("aa bb aa bb aa", "aa bb cc aa").toDF("text")
+    val (m, _, _) = TextAnalysis.bpeTrainIncremental(docs, "text", nMerges = 4)
+    assert(m.nonEmpty)
+    val tmp = java.nio.file.Files.createTempDirectory("bpe-save").toString
+    TextAnalysis.saveBpe(spark, s"$tmp/m", m)
+    assert(TextAnalysis.loadBpe(spark, s"$tmp/m") == m)
+    // a torn table (missing rank) is a DIFFERENT tokenizer — refuse
+    spark.read.parquet(s"$tmp/m").filter($"rank" =!= 0)
+      .write.parquet(s"$tmp/torn")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.loadBpe(spark, s"$tmp/torn")
+    }
+    assert(e.getMessage.contains("contiguous"))
+  }
+
   test("bpeTrainIncremental: minFreq prune is receipted; maxWordTypes refuses") {
     import graft.operators.TextAnalysis
     val docs = Seq(
