@@ -272,6 +272,38 @@ object Bench {
           .select(col("doc_id"), size(graft.operators.TextAnalysis
             .bpeEncode(col("text"), merges)).as("n_pieces"))
       }),
+      // q197's CORRECTNESS entry retrains models, replays restarts,
+      // and computes brute-force truth; the operator story is
+      // INGEST+SERVE: stream the 10% delta into a copy of the
+      // prebuilt index (fresh stream dirs per run — replays stay
+      // independent), then answer the query batch over base+delta.
+      "q197_ann_stream_ingest" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val idxBase = s"/tmp/graft_bench_annstream_${new java.io.File(dir).getName}"
+        if (!new java.io.File(s"$idxBase/manifest").exists()) {
+          val base = emb.filter(col("vec_id") % 10 =!= 0)
+          val cents = graft.operators.Similarity.kMeansFit(
+            base, "embedding", k = 16, iters = 3, init = "parallel")
+          val pq = graft.operators.Similarity.pqTrain(
+            base, "embedding", m = 16, nCodes = 256, iters = 3)
+          graft.operators.AnnIndex.save(s, idxBase, base, "vec_id",
+            "embedding", cents, pq)
+        }
+        val tmp = java.nio.file.Files
+          .createTempDirectory("bench_annstream_").toString
+        org.apache.commons.io.FileUtils.copyDirectory(
+          new java.io.File(idxBase), new java.io.File(s"$tmp/idx"))
+        val newRows = emb.filter(col("vec_id") % 10 === 0)
+        newRows.coalesce(1).write.mode("append").parquet(s"$tmp/src")
+        val ss = graft.streaming.EventsStreaming.replaySession(s)
+        graft.streaming.CurationStreaming.annIngestStream(ss, s"$tmp/src",
+          s"$tmp/idx", s"$tmp/ckpt", "embedding", newRows.schema)
+        val loaded = graft.operators.AnnIndex.load(s, s"$tmp/idx")
+        graft.operators.AnnIndex.topK(loaded,
+          emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          k = 5, nProbe = 14, refine = 6, exactCorpus = Some(emb))
+      }),
       // q194's CORRECTNESS entry runs the embed twice (invariance
       // probe); the operator story is one batched-inference pass.
       "q194_multimodal_embed" -> ((s, dir) => {
@@ -374,13 +406,13 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val streamResults = streamQs.flatMap { name =>
       System.err.println(s"[bench] stream warm $name")
-      try SparkEntry.queries(name)(spark, sfDir).count()
+      try benchQuery(name)(spark, sfDir).count()
       catch { case e: Throwable => System.err.println(s"[bench] stream warm $name failed: ${e.getMessage}") }
       val raw = (1 to 3).map { _ =>
         System.gc()
         val t0 = System.nanoTime()
         val ok =
-          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          try { benchQuery(name)(spark, sfDir).count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] stream $name timed run FAILED: $e"); false }
         ((System.nanoTime() - t0) / 1e9, ok)

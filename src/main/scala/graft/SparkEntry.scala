@@ -5607,7 +5607,8 @@ object SparkEntry {
     "q195_lakehouse_maintain" ->
       """WITH a AS (
            SELECT l_orderkey AS k1,
-                  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                       AS DECIMAL(38,2)) AS qty
            FROM lineitem GROUP BY 1),
          b AS (
            SELECT k1, CASE WHEN k1 % 97 = 0 THEN qty + 100 ELSE qty END AS qty
