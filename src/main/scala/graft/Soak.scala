@@ -466,9 +466,12 @@ object Soak {
     // corpus job to the word vocab, then 512 merges of driver-side
     // incremental pair maintenance (zero per-merge Spark jobs — the
     // r10 perf audit's fix, soaked at full corpus)
-    time(s"bpe_train_incr_${rows}_m512") {
+    // 4096 merges is tokenizer-scale territory (a 32k run is the same
+    // loop 8x longer): the per-merge cost is driver-side incremental
+    // maintenance, so merge count stops being a Spark-job count
+    time(s"bpe_train_incr_${rows}_m4096") {
       val (m, _, receipt) = graft.operators.TextAnalysis
-        .bpeTrainIncremental(docs, "text", nMerges = 512)
+        .bpeTrainIncremental(docs, "text", nMerges = 4096)
       println(s"[soak] bpe incremental: merges=${m.length} " +
         s"wordTypes=${receipt.retainedTypes}")
       rows

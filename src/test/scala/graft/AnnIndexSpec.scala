@@ -86,6 +86,28 @@ class AnnIndexSpec extends SparkSpec {
       "encoded corpus drifted across a save/load cycle")
   }
 
+  test("codes_delta union: load sees ingested rows; includeDeltas=false sees base only") {
+    val (cents, pq) = fit()
+    val base = emb.filter($"vec_id" < 30)
+    val extra = emb.filter($"vec_id" >= 30)
+    val tmp = java.nio.file.Files.createTempDirectory("annidx-delta").toString
+    AnnIndex.save(spark, s"$tmp/idx", base, "vec_id", "embedding", cents, pq)
+    // a delta batch as annIngestStream writes it (same frozen model)
+    val flat = AnnIndex.load(spark, s"$tmp/idx")
+    graft.operators.Similarity
+      .ivfPqEncode(extra, "vec_id", "embedding", flat.cents, flat.pq)
+      .write.parquet(s"$tmp/idx/codes_delta/batch=0")
+    val withDelta = AnnIndex.load(spark, s"$tmp/idx")
+    assert(withDelta.codes.count() == 40)
+    assert(AnnIndex.load(spark, s"$tmp/idx", includeDeltas = false)
+      .codes.count() == 30)
+    // a delta-resident vector is findable by serving
+    val q = extra.limit(1)
+    val got = AnnIndex.topK(withDelta, emb.filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 39, nProbe = 4)
+    assert(got.count() == 39, "all base+delta rows minus self must score")
+  }
+
   test("refusals: manifest-less dir, future format version, refine without vectors") {
     val (cents, pq) = fit()
     val tmp = java.nio.file.Files.createTempDirectory("annidx-bad").toString

@@ -62,6 +62,21 @@ class VersionedTableSpec extends SparkSpec {
     assert(retried == 2L && VersionedTable.read(spark, dir).count() == 2)
   }
 
+  test("edges: empty-table reads refuse; an empty DataFrame commits fine") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-edge").toString + "/t"
+    assert(VersionedTable.versions(spark, dir).isEmpty)
+    intercept[IllegalArgumentException] { VersionedTable.read(spark, dir) }
+    // an empty snapshot is a legitimate version (a full-delete merge)
+    VersionedTable.commit(spark, dir, df("x", 3).filter($"k" < 0), -1L, "w")
+    assert(VersionedTable.read(spark, dir).count() == 0)
+    VersionedTable.commit(spark, dir, df("y", 2), 0L, "w")
+    assert(VersionedTable.read(spark, dir).count() == 2)
+    // a far-future expectedVersion is stale too, loudly
+    intercept[CommitConflict] {
+      VersionedTable.commit(spark, dir, df("z", 1), 9L, "w")
+    }
+  }
+
   test("expire keeps the newest versions; vacuum sweeps crashed-writer orphans") {
     val dir = java.nio.file.Files.createTempDirectory("vt-exp").toString + "/t"
     (0 to 3).foreach(i =>
