@@ -1872,8 +1872,11 @@ object SparkEntry {
       require(nFiles >= 4 && touched < nFiles,
         s"q195: a k1-range probe must skip files ($touched of $nFiles touched)")
       val cur = VersionedTable.read(s, vt)
+      // cast back after +100: decimal addition widens precision, and
+      // the commit's schema-drift guard (rightly) refuses a silent
+      // column-type change
       val ch = cur.filter(col("k1") % 97 === 0)
-        .withColumn("qty", col("qty") + 100)
+        .withColumn("qty", (col("qty") + 100).cast(cur.schema("qty").dataType))
       val m2 = Incremental.mergeUpsert(cur, ch, Seq("k1"))
       require(VersionedTable.commit(s, vt, m2, 1L, "writer") == 2L)
       require(VersionedTable.expire(s, vt, keep = 2) == Seq(0L),

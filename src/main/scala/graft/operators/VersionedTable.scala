@@ -90,7 +90,8 @@ object VersionedTable {
     * this protocol exists to prevent. `writerId` must be unique per
     * concurrent writer (staging isolation), not globally. */
   def commit(spark: SparkSession, dir: String, df: DataFrame,
-      expectedVersion: Long, writerId: String): Long = {
+      expectedVersion: Long, writerId: String,
+      allowSchemaChange: Boolean = false): Long = {
     require(writerId.nonEmpty && !writerId.exists(c => c == '/' || c == '\n'),
       s"writerId must be a plain token, got '$writerId'")
     val f = fs(spark, dir)
@@ -101,6 +102,18 @@ object VersionedTable {
       throw new CommitConflict(
         s"commit to $dir: expected version $expectedVersion but table is " +
           s"at $cur — re-read, reconcile, retry")
+    // schema-drift guard (the Delta contract): a commit that silently
+    // changes column names/types breaks every downstream reader of
+    // the NEXT version — evolution must be an explicit decision
+    if (cur >= 0 && !allowSchemaChange) {
+      def shape(s: org.apache.spark.sql.types.StructType) =
+        s.fields.map(x => (x.name, x.dataType)).toSeq
+      val prev = readVersion(spark, dir, cur).schema
+      require(shape(prev) == shape(df.schema),
+        s"commit to $dir: schema changed (was ${prev.simpleString}, " +
+          s"committing ${df.schema.simpleString}) — pass " +
+          "allowSchemaChange = true to evolve the table explicitly")
+    }
     val dataRel = s"data/v$newV-$writerId"
     val dataPath = new org.apache.hadoop.fs.Path(s"$dir/$dataRel")
     df.write.mode("overwrite").parquet(dataPath.toString)

@@ -75,6 +75,16 @@ class VersionedTableSpec extends SparkSpec {
     intercept[CommitConflict] {
       VersionedTable.commit(spark, dir, df("z", 1), 9L, "w")
     }
+    // schema drift refuses unless made explicit (the Delta contract)
+    val drifted = spark.range(2).select($"id".as("k"), lit(7L).as("v"))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.commit(spark, dir, drifted, 1L, "w")
+    }
+    assert(e.getMessage.contains("allowSchemaChange"))
+    assert(VersionedTable.commit(spark, dir, drifted, 1L, "w",
+      allowSchemaChange = true) == 2L)
+    assert(VersionedTable.read(spark, dir).schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
   }
 
   test("expire keeps the newest versions; vacuum sweeps crashed-writer orphans") {
