@@ -86,6 +86,22 @@ class AnnIndexSpec extends SparkSpec {
       "encoded corpus drifted across a save/load cycle")
   }
 
+  test("serving plan scans the STORED codes — the corpus is never re-encoded") {
+    val (cents, pq) = fit()
+    val tmp = java.nio.file.Files.createTempDirectory("annidx-plan").toString
+    AnnIndex.save(spark, s"$tmp/idx", emb, "vec_id", "embedding", cents, pq)
+    val loaded = AnnIndex.load(spark, s"$tmp/idx")
+    val plan = AnnIndex.topK(loaded, emb.limit(3), "vec_id", "embedding",
+      k = 2, nProbe = 2).queryExecution.executedPlan.toString
+    // the corpus side is a parquet scan of the persisted codes table...
+    assert(plan.contains(s"$tmp/idx/codes"),
+      s"serve must read the stored codes:\n${plan.take(600)}")
+    // ...and the train/encode kernels appear NOWHERE in the serve plan
+    // (query-side LUT/ADC kernels are expected; corpus-side encode is not)
+    assert(!plan.toLowerCase.contains("pqencode"),
+      "serving must not re-encode the corpus")
+  }
+
   test("codes_delta union: load sees ingested rows; includeDeltas=false sees base only") {
     val (cents, pq) = fit()
     val base = emb.filter($"vec_id" < 30)
