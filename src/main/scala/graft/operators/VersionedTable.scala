@@ -3,24 +3,35 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Minimal atomic commit protocol for the versioned-table family —
-  * the piece that turns "a directory of parquet" into a table two
-  * writers can safely race on (the Delta/Iceberg commit-log idea at
-  * its smallest: monotonic integer versions, one manifest file per
-  * committed version, atomic create-exclusive as the CAS).
+/** Atomic commit protocol for the versioned-table family — the piece
+  * that turns "a directory of parquet" into a table two writers can
+  * safely race on (the Delta/Iceberg commit-log idea at its smallest:
+  * monotonic integer versions, one manifest file per committed
+  * version, atomic create-exclusive as the CAS), with FILE-GRANULAR
+  * versions: each manifest lists the exact live file set, so a MERGE
+  * or OPTIMIZE commits only the files it changed while unchanged
+  * files are shared across versions by reference (the Iceberg
+  * snapshot design — whole-table rewrites per version do not survive
+  * a 100 TB table with 1% daily churn; file-sharing does).
   *
   * Layout under `dir`:
   *
-  *   - `_log/<version>.manifest` — one file per COMMITTED version; the
-  *     body lists the version's data directory (exactly one per
-  *     commit) plus the writer id and expected-parent receipt. A
-  *     version exists iff its manifest file exists — manifest
-  *     creation IS the commit.
-  *   - `data/v<version>-<writer>/` — the version's parquet, staged
-  *     fully BEFORE the commit attempt. Losers' staged dirs are
-  *     deleted on conflict; a crashed writer leaves an orphan staging
-  *     dir that no manifest references (harmless; [[vacuum]] sweeps
-  *     them).
+  *   - `_log/<version>.manifest` — one file per COMMITTED version. A
+  *     version exists iff its manifest file exists — manifest creation
+  *     IS the commit. The body carries the writer id, the parent
+  *     receipt, the table schema (base64 of the Spark schema JSON —
+  *     readers of an empty version and the schema-drift guard never
+  *     touch parquet footers), the commit's own staging dir, and one
+  *     `file=` line per LIVE data file (the FULL live set, not a
+  *     delta — resolving a version reads exactly one manifest, never
+  *     a log replay; the Iceberg manifest-list shape). `removed=`
+  *     lines record files dropped vs the parent, as a diff receipt.
+  *   - `data/v<version>-<writer>/` — the files this commit ADDED,
+  *     staged fully BEFORE the commit attempt. Committed files are
+  *     immutable; later versions reference them by path. Losers'
+  *     staged dirs are deleted on conflict; a crashed writer leaves
+  *     an orphan staging dir that no manifest references (harmless;
+  *     [[vacuum]] sweeps it once its version number is superseded).
   *
   * The CAS: commit(expectedVersion = v) creates `_log/{v+1}.manifest`
   * with create-exclusive semantics (HDFS `create(overwrite=false)` is
@@ -28,23 +39,43 @@ import org.apache.spark.sql.functions._
   * writers racing from the same parent both stage data, but exactly
   * ONE creates the manifest — the other gets [[CommitConflict]],
   * loudly, with its staging cleaned up. Readers resolve the table by
-  * listing `_log` (bounded, version-count-sized driver metadata) and
-  * reading the referenced data directory — they can never observe a
-  * half-committed version because the manifest lands after the data.
+  * reading one manifest (bounded driver metadata) and scanning the
+  * referenced files — they can never observe a half-committed version
+  * because the manifest lands after the data.
   *
-  * Scale shape: the log is O(versions) tiny files and every data
-  * version is immutable-once-committed, so snapshot reads need no
-  * locks; time travel ([[readVersion]]) is a manifest lookup. At
-  * 100 TB, per-version data dirs hold the same partitioned/z-ordered
-  * layouts as any other table ([[Layout]] applies unchanged), and
-  * expired versions are dropped by deleting old manifests + their
-  * dirs ([[expire]]) — newest-first retention, same discipline as
+  * Scale shape: the log is O(versions) manifest files of O(live
+  * files) lines each; every data file is immutable-once-committed, so
+  * snapshot reads need no locks; time travel ([[readVersion]]) is a
+  * manifest lookup. [[commitDelta]]/[[merge]] write only changed
+  * files — at 100 TB with clustered layout ([[Layout]]), a keyed
+  * MERGE rewrites the files whose key envelopes intersect the change
+  * set and nothing else. Expired versions drop manifests plus the
+  * files no retained version still references ([[expire]]) —
+  * newest-first retention, same discipline as
   * [[graft.streaming.CurationStreaming.scd2Expire]] including its
   * keep >= 2 floor.
   */
 object VersionedTable {
 
   final class CommitConflict(msg: String) extends RuntimeException(msg)
+
+  /** One committed version's metadata, parsed from its manifest. */
+  final case class Manifest(
+      version: Long,
+      parent: Long,
+      writer: String,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      stagingDir: Option[String],
+      files: Seq[String],
+      removed: Seq[String],
+      legacyDataDir: Option[String])
+
+  /** Receipt for a delta commit — the q198 "bytes written < 5% of
+    * table" claim is checked from these numbers, not from trust. */
+  final case class DeltaStats(
+      version: Long,
+      filesAdded: Long, filesRemoved: Long, filesTotal: Long,
+      bytesAdded: Long, bytesTable: Long)
 
   private def fs(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
@@ -72,108 +103,98 @@ object VersionedTable {
   private def manifestPath(dir: String, v: Long) =
     new org.apache.hadoop.fs.Path(s"${logDir(dir)}/$v.manifest")
 
-  private def readManifest(spark: SparkSession, dir: String, v: Long): Map[String, String] = {
+  def readManifest(spark: SparkSession, dir: String, v: Long): Manifest = {
     val f = fs(spark, dir)
     val in = f.open(manifestPath(dir, v))
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    body.linesIterator.filter(_.contains("=")).map { l =>
-      val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
-    }.toMap
+    val kvs: Seq[(String, String)] =
+      body.linesIterator.filter(_.contains("=")).map { l =>
+        val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
+      }.toSeq
+    def one(k: String) = kvs.collectFirst { case (`k`, x) => x }
+    def all(k: String) = kvs.collect { case (`k`, x) => x }
+    Manifest(
+      version = one("version").map(_.toLong).getOrElse(v),
+      parent = one("parent").map(_.toLong).getOrElse(v - 1),
+      writer = one("writer").getOrElse(""),
+      schema = one("schema").map { b64 =>
+        org.apache.spark.sql.types.DataType.fromJson(new String(
+          java.util.Base64.getDecoder.decode(b64), "UTF-8"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      },
+      stagingDir = one("datadir"),
+      files = all("file"),
+      removed = all("removed"),
+      legacyDataDir = one("data"))
   }
 
-  /** Commit `df` as the child of `expectedVersion`. Stages the data
-    * fully, then CASes the manifest. Returns the new version number.
-    * Throws [[CommitConflict]] (staging cleaned) if another writer
-    * committed first — the caller re-reads the table, reconciles, and
-    * retries; silent last-writer-wins is exactly the torn-table bug
-    * this protocol exists to prevent. `writerId` must be unique per
-    * concurrent writer (staging isolation), not globally. */
-  def commit(spark: SparkSession, dir: String, df: DataFrame,
-      expectedVersion: Long, writerId: String,
-      allowSchemaChange: Boolean = false): Long = {
-    require(writerId.nonEmpty && !writerId.exists(c => c == '/' || c == '\n'),
-      s"writerId must be a plain token, got '$writerId'")
+  /** Data files (dir-relative paths) under a staging dir — parquet
+    * parts only, never `_SUCCESS`/hidden metadata. */
+  private def listDataFiles(spark: SparkSession, dir: String,
+      rel: String): Seq[String] = {
     val f = fs(spark, dir)
-    val newV = expectedVersion + 1
-    // fast-path staleness check (the CAS below still decides)
-    val cur = latestVersion(spark, dir)
-    if (cur != expectedVersion)
-      throw new CommitConflict(
-        s"commit to $dir: expected version $expectedVersion but table is " +
-          s"at $cur — re-read, reconcile, retry")
-    // schema-drift guard (the Delta contract): a commit that silently
-    // changes column names/types breaks every downstream reader of
-    // the NEXT version — evolution must be an explicit decision
-    if (cur >= 0 && !allowSchemaChange) {
-      def shape(s: org.apache.spark.sql.types.StructType) =
-        s.fields.map(x => (x.name, x.dataType)).toSeq
-      val prev = readVersion(spark, dir, cur).schema
-      require(shape(prev) == shape(df.schema),
-        s"commit to $dir: schema changed (was ${prev.simpleString}, " +
-          s"committing ${df.schema.simpleString}) — pass " +
-          "allowSchemaChange = true to evolve the table explicitly")
-    }
-    val dataRel = s"data/v$newV-$writerId"
-    val dataPath = new org.apache.hadoop.fs.Path(s"$dir/$dataRel")
-    df.write.mode("overwrite").parquet(dataPath.toString)
-    val body =
-      s"version=$newV\nparent=$expectedVersion\nwriter=$writerId\ndata=$dataRel\n"
-    f.mkdirs(new org.apache.hadoop.fs.Path(logDir(dir)))
-    val mp = manifestPath(dir, newV)
-    // Stage the FULL manifest body first, then promote atomically —
-    // readers must never observe a half-written manifest. The promote
-    // is the CAS: exactly one racer wins the destination name.
-    //   - local fs: hard-link (POSIX link(2) fails atomically if the
-    //     destination exists; content appears complete or not at all)
-    //   - everything else: FileContext.rename with Rename.NONE — the
-    //     HDFS-atomic no-overwrite rename (the Delta LogStore recipe)
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"${logDir(dir)}/.tmp-$writerId-$newV")
-    val out = f.create(tmp, true)
-    try { out.write(body.getBytes("UTF-8")) } finally out.close()
-    val won =
-      if (f.getScheme == "file") {
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(mp.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else {
-        try {
-          org.apache.hadoop.fs.FileContext
-            .getFileContext(mp.toUri, spark.sparkContext.hadoopConfiguration)
-            .rename(tmp, mp, org.apache.hadoop.fs.Options.Rename.NONE)
-          true
-        } catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case _: java.io.IOException if f.exists(mp) => false
-        }
-      }
-    f.delete(tmp, false)
-    if (!won) {
-      f.delete(dataPath, true)
-      throw new CommitConflict(
-        s"commit to $dir: lost the race for version $newV — staged data " +
-          "removed; re-read, reconcile, retry")
-    }
-    newV
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$rel")
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(s => s"$rel/${s.getPath.getName}").sorted
   }
 
-  /** The table at a specific committed version (time travel). */
+  /** A committed version's live file set (dir-relative). Legacy
+    * whole-dir manifests resolve by listing their data dir. */
+  def liveFiles(spark: SparkSession, dir: String, v: Long): Seq[String] = {
+    val m = readManifest(spark, dir, v)
+    m.legacyDataDir match {
+      case Some(rel) => listDataFiles(spark, dir, rel)
+      case None      => m.files
+    }
+  }
+
+  /** The table at a specific committed version (time travel). An
+    * all-rows-deleted version (zero live files) reads as an empty
+    * DataFrame with the manifest's schema. */
   def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
     val m = readManifest(spark, dir, v)
-    spark.read.parquet(s"$dir/${m("data")}")
+    m.legacyDataDir match {
+      case Some(rel) => spark.read.parquet(s"$dir/$rel")
+      case None =>
+        val files = m.files.map(rel => s"$dir/$rel")
+        (files, m.schema) match {
+          case (Nil, Some(sch)) =>
+            spark.createDataFrame(spark.sparkContext
+              .emptyRDD[org.apache.spark.sql.Row], sch)
+          case (Nil, None) =>
+            throw new IllegalStateException(
+              s"version $v of $dir has no files and no schema receipt")
+          case (fs0, sch) =>
+            // pin the manifest schema so a version reads identically
+            // even if parquet-footer inference would widen/reorder
+            sch.map(spark.read.schema(_)).getOrElse(spark.read)
+              .parquet(fs0: _*)
+        }
+    }
   }
 
-  /** A committed version's data directory — for layout receipts
-    * (file envelopes, skipping ratios): a version whose commit
-    * carried a clustered plan (repartitionByRange + sort) has files
-    * whose min/max stats PROVE the clustering, and this is where a
-    * caller points [[Layout.fileEnvelopes]] at. */
-  def dataDir(spark: SparkSession, dir: String, v: Long): String =
-    s"$dir/${readManifest(spark, dir, v)("data")}"
+  /** The schema a version committed with (manifest receipt when
+    * present, else footer inference). */
+  def schemaOf(spark: SparkSession, dir: String, v: Long): org.apache.spark.sql.types.StructType = {
+    val m = readManifest(spark, dir, v)
+    m.schema.getOrElse(readVersion(spark, dir, v).schema)
+  }
+
+  /** A committed version's own staging directory — for layout
+    * receipts (file envelopes, skipping ratios): a version whose
+    * commit carried a clustered plan (repartitionByRange + sort) has
+    * files whose min/max stats PROVE the clustering, and this is
+    * where a caller points [[Layout.fileEnvelopes]] at. */
+  def dataDir(spark: SparkSession, dir: String, v: Long): String = {
+    val m = readManifest(spark, dir, v)
+    val rel = m.stagingDir.orElse(m.legacyDataDir).getOrElse(
+      throw new IllegalStateException(s"version $v of $dir staged no files"))
+    s"$dir/$rel"
+  }
 
   /** The table at its latest committed version. */
   def read(spark: SparkSession, dir: String): DataFrame = {
@@ -182,35 +203,320 @@ object VersionedTable {
     readVersion(spark, dir, v)
   }
 
-  /** Retention: drop all but the newest `keep` versions — manifest
-    * first (the version disappears atomically), then its data dir.
-    * keep >= 2 for the same uncommitted-window reason as scd2Expire:
-    * a reader that resolved version N must not lose N's data while a
-    * writer is mid-commit on N+1. Returns dropped versions. */
+  private def schemaShape(s: org.apache.spark.sql.types.StructType) =
+    s.fields.map(x => (x.name, x.dataType)).toSeq
+
+  private def guardSchema(spark: SparkSession, dir: String, cur: Long,
+      next: org.apache.spark.sql.types.StructType,
+      allowSchemaChange: Boolean): Unit =
+    if (cur >= 0 && !allowSchemaChange) {
+      val prev = schemaOf(spark, dir, cur)
+      require(schemaShape(prev) == schemaShape(next),
+        s"commit to $dir: schema changed (was ${prev.simpleString}, " +
+          s"committing ${next.simpleString}) — pass " +
+          "allowSchemaChange = true to evolve the table explicitly")
+    }
+
+  /** The CAS itself: stage the FULL file body, then promote it
+    * atomically to `target` — readers must never observe a
+    * half-written file, and exactly one racer wins the name.
+    *   - local fs: hard-link (POSIX link(2) fails atomically if the
+    *     destination exists; content appears complete or not at all)
+    *   - everything else: FileContext.rename with Rename.NONE — the
+    *     HDFS-atomic no-overwrite rename (the Delta LogStore recipe)
+    * Shared with [[AnnIndex]]'s generation publish — one commit
+    * primitive, not two divergent copies. Returns true iff this
+    * caller created `target`. */
+  private[operators] def casCreate(spark: SparkSession,
+      target: org.apache.hadoop.fs.Path,
+      tmp: org.apache.hadoop.fs.Path, body: String): Boolean = {
+    val f = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(target.getParent)
+    val out = f.create(tmp, true)
+    try { out.write(body.getBytes("UTF-8")) } finally out.close()
+    val won =
+      if (f.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        try {
+          org.apache.hadoop.fs.FileContext
+            .getFileContext(target.toUri, spark.sparkContext.hadoopConfiguration)
+            .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.io.IOException if f.exists(target) => false
+        }
+      }
+    f.delete(tmp, false)
+    won
+  }
+
+  private def casManifest(spark: SparkSession, dir: String, newV: Long,
+      writerId: String, body: String): Boolean =
+    casCreate(spark, manifestPath(dir, newV),
+      new org.apache.hadoop.fs.Path(s"${logDir(dir)}/.tmp-$writerId-$newV"),
+      body)
+
+  private def manifestBody(newV: Long, parent: Long, writerId: String,
+      schema: org.apache.spark.sql.types.StructType,
+      stagingDir: Option[String], files: Seq[String],
+      removed: Seq[String]): String = {
+    val b64 = java.util.Base64.getEncoder
+      .encodeToString(schema.json.getBytes("UTF-8"))
+    val sb = new StringBuilder
+    sb ++= s"version=$newV\nparent=$parent\nwriter=$writerId\nschema=$b64\n"
+    stagingDir.foreach(d => sb ++= s"datadir=$d\n")
+    files.foreach(rel => sb ++= s"file=$rel\n")
+    removed.foreach(rel => sb ++= s"removed=$rel\n")
+    sb.toString
+  }
+
+  private def requireWriterId(writerId: String): Unit =
+    require(writerId.nonEmpty && !writerId.exists(c => c == '/' || c == '\n'),
+      s"writerId must be a plain token, got '$writerId'")
+
+  private def requireNotStale(spark: SparkSession, dir: String,
+      expectedVersion: Long): Unit = {
+    // fast-path staleness check (the CAS below still decides)
+    val cur = latestVersion(spark, dir)
+    if (cur != expectedVersion)
+      throw new CommitConflict(
+        s"commit to $dir: expected version $expectedVersion but table is " +
+          s"at $cur — re-read, reconcile, retry")
+  }
+
+  /** Commit `df` as a FULL SNAPSHOT child of `expectedVersion` — every
+    * row rewritten, parent files all dropped. Right for loads, layout
+    * rewrites (OPTIMIZE), and schema evolution; keyed churn should use
+    * [[merge]]/[[commitDelta]] so unchanged files are shared, not
+    * rewritten. Returns the new version number. Throws
+    * [[CommitConflict]] (staging cleaned) if another writer committed
+    * first — the caller re-reads the table, reconciles, and retries;
+    * silent last-writer-wins is exactly the torn-table bug this
+    * protocol exists to prevent. `writerId` must be unique per
+    * concurrent writer (staging isolation), not globally. */
+  def commit(spark: SparkSession, dir: String, df: DataFrame,
+      expectedVersion: Long, writerId: String,
+      allowSchemaChange: Boolean = false): Long = {
+    requireWriterId(writerId)
+    val newV = expectedVersion + 1
+    requireNotStale(spark, dir, expectedVersion)
+    guardSchema(spark, dir, expectedVersion, df.schema, allowSchemaChange)
+    val parentLive =
+      if (expectedVersion >= 0) liveFiles(spark, dir, expectedVersion)
+      else Seq.empty
+    val dataRel = s"data/v$newV-$writerId"
+    val dataPath = new org.apache.hadoop.fs.Path(s"$dir/$dataRel")
+    val f = fs(spark, dir)
+    df.write.mode("overwrite").parquet(dataPath.toString)
+    val staged = listDataFiles(spark, dir, dataRel)
+    val body = manifestBody(newV, expectedVersion, writerId, df.schema,
+      Some(dataRel), staged, removed = parentLive)
+    if (!casManifest(spark, dir, newV, writerId, body)) {
+      f.delete(dataPath, true)
+      throw new CommitConflict(
+        s"commit to $dir: lost the race for version $newV — staged data " +
+          "removed; re-read, reconcile, retry")
+    }
+    newV
+  }
+
+  /** Commit a DELTA child of `expectedVersion`: stage `adds` (if any)
+    * as new files, drop `removeFiles` (dir-relative paths that MUST
+    * be live in the parent — a stale remove list means the caller
+    * planned against a superseded version, refused loudly), keep
+    * every other parent file by reference. This is the primitive
+    * MERGE/OPTIMIZE ride on: bytes written scale with the change, not
+    * the table. Returns the new version + byte receipts. */
+  def commitDelta(spark: SparkSession, dir: String,
+      adds: Option[DataFrame], removeFiles: Seq[String],
+      expectedVersion: Long, writerId: String,
+      allowSchemaChange: Boolean = false): DeltaStats = {
+    requireWriterId(writerId)
+    require(expectedVersion >= 0,
+      "commitDelta needs an existing parent version — use commit for v0")
+    val newV = expectedVersion + 1
+    requireNotStale(spark, dir, expectedVersion)
+    adds.foreach(df =>
+      guardSchema(spark, dir, expectedVersion, df.schema, allowSchemaChange))
+    val parentLive = liveFiles(spark, dir, expectedVersion)
+    val stale = removeFiles.filterNot(parentLive.toSet)
+    require(stale.isEmpty,
+      s"commitDelta to $dir: remove list names files not live in " +
+        s"version $expectedVersion (${stale.take(3).mkString(", ")}…) — " +
+        "the delta was planned against a superseded version; re-plan")
+    val f = fs(spark, dir)
+    val dataRel = s"data/v$newV-$writerId"
+    val dataPath = new org.apache.hadoop.fs.Path(s"$dir/$dataRel")
+    val staged = adds match {
+      case Some(df) =>
+        df.write.mode("overwrite").parquet(dataPath.toString)
+        listDataFiles(spark, dir, dataRel)
+      case None => Seq.empty
+    }
+    val newLive = parentLive.filterNot(removeFiles.toSet) ++ staged
+    val schema = adds.map(_.schema)
+      .getOrElse(schemaOf(spark, dir, expectedVersion))
+    val body = manifestBody(newV, expectedVersion, writerId, schema,
+      adds.map(_ => dataRel), newLive, removed = removeFiles)
+    if (!casManifest(spark, dir, newV, writerId, body)) {
+      if (staged.nonEmpty) f.delete(dataPath, true)
+      throw new CommitConflict(
+        s"commitDelta to $dir: lost the race for version $newV — staged " +
+          "data removed; re-read, reconcile, retry")
+    }
+    def bytes(rels: Seq[String]): Long =
+      rels.map(rel => f.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/$rel")).getLen).sum
+    DeltaStats(newV, staged.length.toLong, removeFiles.length.toLong,
+      parentLive.length.toLong, bytes(staged), bytes(parentLive))
+  }
+
+  /** MERGE as a file-granular commit (the Delta MERGE shape): find
+    * the parent files that contain any row matching `changes`' keys,
+    * rewrite ONLY those files merged with the changes
+    * ([[Incremental.mergeUpsert]] semantics — matched rows take the
+    * change's values, unmatched changes insert, `deleteCol` rows
+    * drop), and commit (rewritten + inserts) as adds with the touched
+    * files as removes. Unchanged files are never read past the
+    * pruning pass nor rewritten.
+    *
+    * Scale shape: one pruning pass (scan keys + input_file_name,
+    * semi-join the change keys — with a clustered layout this is the
+    * files whose key envelopes intersect the change set), one
+    * touched-file-sized rewrite join. The touched FILE LIST is
+    * bounded driver metadata; row data never collects. */
+  def merge(spark: SparkSession, dir: String, changes: DataFrame,
+      keys: Seq[String], expectedVersion: Long, writerId: String,
+      deleteCol: Option[String] = None): DeltaStats = {
+    require(keys.nonEmpty, "at least one merge key")
+    requireNotStale(spark, dir, expectedVersion)
+    val parentLive = liveFiles(spark, dir, expectedVersion)
+    val schema = schemaOf(spark, dir, expectedVersion)
+    val dirAbs = fs(spark, dir).makeQualified(
+      new org.apache.hadoop.fs.Path(dir)).toUri.getPath
+    val keyChanges = changes.select(keys.map(col): _*).distinct()
+    val touched: Seq[String] =
+      if (parentLive.isEmpty) Seq.empty
+      else spark.read.schema(schema)
+        .parquet(parentLive.map(rel => s"$dir/$rel"): _*)
+        .select(keys.map(col) :+ input_file_name().as("__file"): _*)
+        .join(keyChanges, keys, "left_semi")
+        .select(col("__file")).distinct()
+        .collect().map { r =>
+          val p = new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath
+          require(p.startsWith(dirAbs + "/"),
+            s"merge: scanned file $p is outside the table at $dirAbs")
+          p.stripPrefix(dirAbs + "/")
+        }.toSeq.sorted
+    val touchedRows =
+      if (touched.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(touched.map(rel => s"$dir/$rel"): _*)
+    val rewritten =
+      Incremental.mergeUpsert(touchedRows, changes, keys, deleteCol)
+    commitDelta(spark, dir, Some(rewritten), touched, expectedVersion,
+      writerId)
+  }
+
+  /** OPTIMIZE as a file-granular commit: rewrite only the live files
+    * smaller than `smallBytes` into `targetFileCount` clustered files
+    * (callers pass a transform for z-order etc. via `reshape`),
+    * leaving already-big files untouched. No-op (returns None) when
+    * fewer than two small files exist — nothing to bin-pack. */
+  def compactSmallFiles(spark: SparkSession, dir: String,
+      expectedVersion: Long, writerId: String, smallBytes: Long,
+      targetFileCount: Int = 1,
+      reshape: DataFrame => DataFrame = identity): Option[DeltaStats] = {
+    val f = fs(spark, dir)
+    val small = liveFiles(spark, dir, expectedVersion).filter(rel =>
+      f.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$rel"))
+        .getLen < smallBytes)
+    if (small.length < 2) None
+    else {
+      val schema = schemaOf(spark, dir, expectedVersion)
+      val packed = reshape(spark.read.schema(schema)
+        .parquet(small.map(rel => s"$dir/$rel"): _*))
+        .coalesce(targetFileCount)
+      Some(commitDelta(spark, dir, Some(packed), small, expectedVersion,
+        writerId))
+    }
+  }
+
+  /** Retention: drop all but the newest `keep` versions — manifests
+    * first (the versions disappear atomically one by one), then every
+    * data file no RETAINED version still references (file-sharing
+    * means an old file can outlive its own version). keep >= 2 for
+    * the same uncommitted-window reason as scd2Expire: a reader that
+    * resolved version N must not lose N's data while a writer is
+    * mid-commit on N+1. Returns dropped versions. */
   def expire(spark: SparkSession, dir: String, keep: Int): Seq[Long] = {
     require(keep >= 2, s"keep must be >= 2, got $keep")
     val f = fs(spark, dir)
-    val victims = versions(spark, dir).dropRight(keep)
-    victims.foreach { v =>
-      val m = readManifest(spark, dir, v)
-      f.delete(manifestPath(dir, v), false)
-      f.delete(new org.apache.hadoop.fs.Path(s"$dir/${m("data")}"), true)
+    val all = versions(spark, dir)
+    val victims = all.dropRight(keep)
+    if (victims.isEmpty) return victims
+    val retained = all.takeRight(keep)
+    val retainedFiles = retained.flatMap(liveFiles(spark, dir, _)).toSet
+    val victimFiles = victims.flatMap(liveFiles(spark, dir, _)).distinct
+    val victimLegacyDirs = victims.flatMap(v =>
+      readManifest(spark, dir, v).legacyDataDir)
+    victims.foreach(v => f.delete(manifestPath(dir, v), false))
+    victimFiles.filterNot(retainedFiles).foreach(rel =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false))
+    // legacy whole-dir versions: the dir goes when nothing retained
+    // points into it; file-granular staging dirs are left for vacuum
+    // once empty (cheap, and never racing a concurrent reader)
+    victimLegacyDirs.distinct.foreach { rel =>
+      if (!retainedFiles.exists(_.startsWith(rel + "/")))
+        f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), true)
     }
     victims
   }
 
-  /** Sweep orphan staging dirs (crashed writers): any `data/v*` dir
-    * no manifest references. Never touches committed data. */
-  def vacuum(spark: SparkSession, dir: String): Seq[String] = {
+  /** Sweep orphan staging dirs (crashed or superseded writers): any
+    * `data/v*` dir that (a) no manifest references (neither as a file
+    * container nor a legacy data dir), (b) belongs to a version
+    * number <= the latest committed one — a dir named for a FUTURE
+    * version is a concurrent writer's in-flight staging, and deleting
+    * it would let that writer commit a manifest pointing at vanished
+    * data (the torn-commit race this module exists to prevent) — and
+    * (c) is older than `graceMs` (mtime gate, the Delta VACUUM
+    * discipline, belt-and-braces on top of the version gate for
+    * clock-skewed writers racing the CURRENT version). Never touches
+    * committed data. */
+  def vacuum(spark: SparkSession, dir: String, graceMs: Long = 0L): Seq[String] = {
     val f = fs(spark, dir)
     val dataRoot = new org.apache.hadoop.fs.Path(s"$dir/data")
     if (!f.exists(dataRoot)) return Seq.empty
-    val referenced = versions(spark, dir)
-      .map(v => readManifest(spark, dir, v)("data")).toSet
+    val latest = latestVersion(spark, dir)
+    val vs = versions(spark, dir)
+    val referencedDirs: Set[String] = vs.flatMap { v =>
+      val m = readManifest(spark, dir, v)
+      m.legacyDataDir.toSeq ++ m.stagingDir.toSeq ++
+        liveFiles(spark, dir, v).map(rel =>
+          rel.substring(0, rel.lastIndexOf('/')))
+    }.toSet
+    val now = System.currentTimeMillis()
     val orphans = f.listStatus(dataRoot).toSeq
       .filter(_.isDirectory)
+      .filter { s =>
+        val name = s.getPath.getName // v<version>-<writer>
+        val ver = name.stripPrefix("v").takeWhile(_.isDigit)
+        ver.nonEmpty && ver.toLong <= latest &&
+          (now - s.getModificationTime) >= graceMs
+      }
       .map(s => s"data/${s.getPath.getName}")
-      .filterNot(referenced.contains)
+      .filterNot(referencedDirs.contains)
+      .sorted
     orphans.foreach(rel => f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), true))
     orphans
   }

@@ -98,10 +98,129 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, dir) == Seq(2L, 3L))
     assert(VersionedTable.read(spark, dir).count() == 4)
     intercept[Exception] { VersionedTable.readVersion(spark, dir, 0L).collect() }
-    // a crashed writer's staged dir (no manifest references it)
-    df("crash", 9).write.parquet(s"$dir/data/v9-crashed")
-    assert(VersionedTable.vacuum(spark, dir) == Seq("data/v9-crashed"))
-    assert(!new java.io.File(s"$dir/data/v9-crashed").exists())
+    // a crashed writer's staged dir at a SUPERSEDED version number
+    // (no manifest references it) is swept...
+    df("crash", 9).write.parquet(s"$dir/data/v2-crashed")
+    // ...but a dir named for a FUTURE version is a concurrent writer's
+    // in-flight staging — vacuum must never touch it (the torn-commit
+    // race), and an mtime grace window protects even superseded dirs
+    df("inflight", 5).write.parquet(s"$dir/data/v9-inflight")
+    assert(VersionedTable.vacuum(spark, dir, graceMs = 3600000L).isEmpty)
+    // sweep = the crashed dir + the expired versions' emptied dirs
+    assert(VersionedTable.vacuum(spark, dir) ==
+      Seq("data/v0-w", "data/v1-w", "data/v2-crashed"))
+    assert(!new java.io.File(s"$dir/data/v2-crashed").exists())
+    assert(new java.io.File(s"$dir/data/v9-inflight").exists())
     assert(VersionedTable.read(spark, dir).count() == 4)
+  }
+
+  test("vacuum racing a staged-but-not-yet-CASed writer: the commit survives") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-race2").toString + "/t"
+    VersionedTable.commit(spark, dir, df("base", 4), -1L, "w0")
+    // simulate a writer that has fully staged v1's data but not yet
+    // promoted the manifest: exactly what commit() does before the CAS
+    df("staged", 6).write.parquet(s"$dir/data/v1-slow")
+    assert(VersionedTable.vacuum(spark, dir).isEmpty,
+      "vacuum must not sweep an in-flight staging dir")
+    // the writer now lands its manifest — the committed version must
+    // have its data intact
+    val files = new java.io.File(s"$dir/data/v1-slow").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(f => s"file=data/v1-slow/${f.getName}").sorted.mkString("\n")
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      df("staged", 6).schema.json.getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_log/1.manifest"),
+      s"version=1\nparent=0\nwriter=slow\nschema=$b64\ndatadir=data/v1-slow\n$files\n"
+        .getBytes("UTF-8"))
+    assert(VersionedTable.read(spark, dir).count() == 6)
+  }
+
+  test("commitDelta shares unchanged files; removes must be live; stats add up") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-delta").toString + "/t"
+    // v0: 4 files, clustered so each key range lives in one file
+    val base = spark.range(400).select($"id".as("k"), lit("a").as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions("k")
+    VersionedTable.commit(spark, dir, base, -1L, "loader")
+    val v0Files = VersionedTable.liveFiles(spark, dir, 0L)
+    assert(v0Files.length == 4)
+    // delta: replace the one file holding k < 100 with updated rows
+    val victim = v0Files.head
+    val adds = spark.read.parquet(s"$dir/$victim")
+      .select($"k", lit("b").as("v"))
+    val st = VersionedTable.commitDelta(spark, dir, Some(adds), Seq(victim),
+      0L, "delta")
+    assert(st.version == 1L && st.filesRemoved == 1L && st.filesTotal == 4L)
+    val v1Files = VersionedTable.liveFiles(spark, dir, 1L)
+    // unchanged files are SHARED by reference, not rewritten
+    assert(v0Files.tail.forall(v1Files.contains))
+    assert(!v1Files.contains(victim))
+    val v1 = VersionedTable.read(spark, dir)
+    assert(v1.count() == 400)
+    assert(v1.filter($"v" === "b").count() ==
+      spark.read.parquet(s"$dir/$victim").count())
+    // time travel still exact: v0 unchanged
+    assert(VersionedTable.readVersion(spark, dir, 0L)
+      .filter($"v" === "b").count() == 0)
+    // a remove list naming a non-live file refuses loudly
+    intercept[IllegalArgumentException] {
+      VersionedTable.commitDelta(spark, dir, None, Seq(victim), 1L, "delta")
+    }
+    // a pure-delete delta (no adds) drops a file's rows
+    val st2 = VersionedTable.commitDelta(spark, dir, None,
+      Seq(v1Files.head), 1L, "pruner")
+    assert(st2.filesAdded == 0L && VersionedTable.read(spark, dir).count() < 400)
+  }
+
+  test("merge rewrites only touched files; expire keeps shared files alive") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-merge").toString + "/t"
+    val base = spark.range(800).select($"id".as("k"), ($"id" * 2).as("v"))
+      .repartitionByRange(8, $"k").sortWithinPartitions("k")
+    VersionedTable.commit(spark, dir, base, -1L, "loader")
+    // churn a narrow key range (one file's worth) + one insert
+    val ch = spark.range(10).select($"id".as("k"), lit(-1L).as("v"))
+      .unionByName(Seq((9999L, 7L)).toDF("k", "v"))
+    val st = VersionedTable.merge(spark, dir, ch, Seq("k"), 0L, "merger")
+    assert(st.version == 1L)
+    assert(st.filesRemoved <= 2 && st.filesRemoved < st.filesTotal,
+      s"a narrow-key merge must touch a strict file subset: $st")
+    val got = VersionedTable.read(spark, dir)
+    assert(got.count() == 801)
+    assert(got.filter($"v" === -1L).count() == 10)
+    assert(got.filter($"k" === 9999L).count() == 1)
+    // delete-merge via the flag
+    val del = spark.range(5).select($"id".as("k"), lit(0L).as("v"),
+      lit(true).as("__del"))
+    VersionedTable.merge(spark, dir, del, Seq("k"), 1L, "merger",
+      deleteCol = Some("__del"))
+    assert(VersionedTable.read(spark, dir).count() == 796)
+    // v2 shares v0's untouched files; expiring v0+v1 must NOT delete
+    // files v2 still references
+    VersionedTable.commit(spark, dir,
+      VersionedTable.read(spark, dir), 2L, "w")  // v3, full rewrite
+    assert(VersionedTable.expire(spark, dir, keep = 2) == Seq(0L, 1L))
+    assert(VersionedTable.read(spark, dir).count() == 796)
+    assert(VersionedTable.readVersion(spark, dir, 2L).count() == 796,
+      "v2 must still read exactly after expiry of the versions it shares files with")
+  }
+
+  test("compactSmallFiles bin-packs only small files; empty-table merge inserts") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-comp").toString + "/t"
+    val base = spark.range(100).select($"id".as("k"), lit("x").as("v"))
+      .repartition(10)
+    VersionedTable.commit(spark, dir, base, -1L, "loader")
+    assert(VersionedTable.liveFiles(spark, dir, 0L).length == 10)
+    val st = VersionedTable.compactSmallFiles(spark, dir, 0L, "opt",
+      smallBytes = 1L << 20, targetFileCount = 2)
+    assert(st.isDefined && st.get.filesRemoved == 10L && st.get.filesAdded <= 2L)
+    assert(VersionedTable.read(spark, dir).count() == 100)
+    // all files now big enough → no-op
+    assert(VersionedTable.compactSmallFiles(spark, dir, 1L, "opt",
+      smallBytes = 10L).isEmpty)
+    // merge into a version where nothing matches = pure insert path
+    val ins = Seq((5000L, "new")).toDF("k", "v")
+    val st2 = VersionedTable.merge(spark, dir, ins, Seq("k"), 1L, "m")
+    assert(st2.filesRemoved == 0L)
+    assert(VersionedTable.read(spark, dir).count() == 101)
   }
 }
