@@ -189,6 +189,14 @@ object CurationStreaming {
   def annIngestStream(spark: SparkSession, stagedDir: String, idxDir: String,
       ckpt: String, vecCol: String,
       srcSchema: StructType, maxFilesPerTrigger: Int = 1): Unit = {
+    // `idxDir` may be a flat index or a savePublished root; the model
+    // is loaded ONCE (frozen), each batch re-resolves the ACTIVE
+    // generation so deltas land where serving looks. A compaction
+    // mid-stream is safe (models copied byte-stable; folded markers
+    // make replayed old batches inert); a RETRAIN is not — the
+    // stability guard refuses the batch instead of mis-routing rows.
+    val startGen = graft.operators.AnnIndex
+      .generations(spark, idxDir).lastOption.getOrElse(-1L)
     val loaded = graft.operators.AnnIndex.load(spark, idxDir,
       includeDeltas = false)
     val stream = spark.readStream
@@ -197,10 +205,12 @@ object CurationStreaming {
       .parquet(stagedDir)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.AnnIndex.requireModelStable(spark, idxDir, startGen)
+        val dir = graft.operators.AnnIndex.activeDir(spark, idxDir)
         graft.operators.Similarity
           .ivfPqEncode(batch, loaded.idCol, vecCol, loaded.cents, loaded.pq)
           .write.mode("overwrite")
-          .parquet(s"$idxDir/codes_delta/batch=$batchId")
+          .parquet(s"$dir/codes_delta/batch=$batchId")
         ()
       }
       .option("checkpointLocation", ckpt)
@@ -252,11 +262,14 @@ object CurationStreaming {
           require(asOfs.length == 1,
             s"scd2Stream: batch $batchId mixes as_of timestamps")
           val asOf = asOfs(0).getTimestamp(0)
+          val predId = snapshotIds(spark, snapDir).filter(_ < batchId)
+            .maxOption
           val hist = latestSnapshot(spark, snapDir, batchId)
             .map(_.select(initCols.map(col): _*)).getOrElse(init)
           graft.operators.Incremental
             .scd2Apply(hist, batch.drop("as_of"), keys, asOf)
             .write.mode("overwrite").parquet(s"$snapDir/snap=$batchId")
+          writePredMarker(spark, snapDir, batchId, predId)
         }
         ()
       }
@@ -275,26 +288,67 @@ object CurationStreaming {
       .map(_.getPath.getName.stripPrefix("snap=").toLong)
   }
 
+  /** Each snapshot carries a `_pred` sidecar naming the snapshot it
+    * was folded from (`init` for a true first fold). Underscore
+    * prefix = invisible to the parquet scan; written AFTER the data
+    * so a sidecar implies a complete snapshot. This is what lets a
+    * replay distinguish "I never had a predecessor" (legal init
+    * fold) from "my predecessor was expired under me" (torn chain). */
+  private def writePredMarker(spark: SparkSession, snapDir: String,
+      id: Long, pred: Option[Long]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$snapDir/snap=$id/_pred")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(pred.map(_.toString).getOrElse("init").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readPredMarker(spark: SparkSession, snapDir: String,
+      id: Long): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$snapDir/snap=$id/_pred")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
   /** Latest snapshot strictly BEFORE `beforeId` — a retried batch must
     * see its original predecessor, never its own partial output.
     *
-    * Corruption guard: snapshots at-or-after `beforeId` with NO
-    * predecessor below it means this batch's true predecessor was
-    * deleted out from under a replay (an expiry raced the
-    * checkpoint). Falling back to `init` here would silently rebuild
-    * the history from scratch — refuse instead. [[scd2Expire]]'s
-    * keep >= 2 floor makes this unreachable under the documented
-    * discipline; the throw is the belt to that suspender. */
+    * Corruption guard: no predecessor on disk is only legal when this
+    * batch never HAD one. Two tells that it did: (a) any LATER
+    * snapshot exists, or (b) the batch's own snapshot (a replay's
+    * partial output, snap=beforeId) exists and its `_pred` sidecar
+    * names a predecessor — that predecessor was expired while this
+    * batch was uncommitted, and falling back to `init` would silently
+    * rebuild the history from scratch. Refuse both instead.
+    * [[scd2Expire]]'s keep >= 2 floor makes this unreachable under
+    * the documented discipline; the throw is the belt to that
+    * suspender. A replayed snapshot whose sidecar says `init` (the
+    * stream's true first fold, possibly after empty batches) is the
+    * one case that legitimately proceeds from `init`. */
   private def latestSnapshot(spark: SparkSession, snapDir: String,
       beforeId: Long): Option[DataFrame] = {
     val ids = snapshotIds(spark, snapDir)
     val pred = ids.filter(_ < beforeId).maxOption
-    if (pred.isEmpty && ids.exists(_ > beforeId))
-      throw new IllegalStateException(
-        s"snapshot chain under $snapDir is torn: batch $beforeId has no " +
-          s"predecessor snapshot but later snapshots exist " +
-          s"(ids=${ids.sorted.mkString(",")}); its predecessor was expired " +
-          "while the batch was uncommitted — restore it or reset the stream")
+    if (pred.isEmpty) {
+      val ownPred =
+        if (ids.contains(beforeId))
+          // missing sidecar = pre-upgrade or torn write; conservative
+          Some(readPredMarker(spark, snapDir, beforeId).getOrElse("unknown"))
+        else None
+      val torn = ids.exists(_ > beforeId) || ownPred.exists(_ != "init")
+      if (torn)
+        throw new IllegalStateException(
+          s"snapshot chain under $snapDir is torn: batch $beforeId has no " +
+            s"predecessor snapshot but the chain shows it had one " +
+            s"(ids=${ids.sorted.mkString(",")}, own _pred=$ownPred); its " +
+            "predecessor was expired while the batch was uncommitted — " +
+            "restore it or reset the stream")
+    }
     pred.map(id => spark.read.parquet(s"$snapDir/snap=$id"))
   }
 
@@ -326,11 +380,14 @@ object CurationStreaming {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = graft.operators.DataQuality.rowLocalState(batch, checks)
+        val predId = snapshotIds(spark, stateDir).filter(_ < batchId)
+          .maxOption
         val merged = latestSnapshot(spark, stateDir, batchId) match {
           case Some(prev) => graft.operators.DataQuality.mergeStates(prev, s)
           case None => s
         }
         merged.write.mode("overwrite").parquet(s"$stateDir/snap=$batchId")
+        writePredMarker(spark, stateDir, batchId, predId)
         ()
       }
       .option("checkpointLocation", ckpt)

@@ -124,6 +124,111 @@ class AnnIndexSpec extends SparkSpec {
     assert(got.count() == 39, "all base+delta rows minus self must score")
   }
 
+  test("published generations: atomic publish, crashed-save isolation, retention") {
+    val (cents, pq) = fit()
+    val qs = emb.filter($"vec_id" % 10 === 0)
+    val root = java.nio.file.Files.createTempDirectory("annidx-pub").toString + "/r"
+    val g0 = AnnIndex.savePublished(spark, root, emb, "vec_id", "embedding",
+      cents, pq)
+    assert(g0 == 0L && AnnIndex.generations(spark, root) == Seq(0L))
+    // load resolves the root to the active generation
+    val l0 = AnnIndex.load(spark, root)
+    val flat = java.nio.file.Files.createTempDirectory("annidx-flat").toString
+    AnnIndex.save(spark, s"$flat/idx", emb, "vec_id", "embedding", cents, pq)
+    val lf = AnnIndex.load(spark, s"$flat/idx")
+    val a = AnnIndex.topK(l0, qs, "vec_id", "embedding", k = 3, nProbe = 2)
+    val b = AnnIndex.topK(lf, qs, "vec_id", "embedding", k = 3, nProbe = 2)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "published and flat indexes must serve identically")
+    // a crashed re-train: staged dir, NO pub file — the old generation
+    // keeps serving, untouched
+    emb.limit(3).write.parquet(s"$root/g1-crashed/garbage")
+    assert(AnnIndex.activeDir(spark, root).endsWith("g0-trainer"))
+    assert(AnnIndex.load(spark, root).codes.count() == 40)
+    // a real second publication supersedes (generation numbers come
+    // from PUB files — the crashed staging dir never claimed one);
+    // retention floor holds
+    val g2 = AnnIndex.savePublished(spark, root, emb.filter($"vec_id" < 20),
+      "vec_id", "embedding", cents, pq)
+    assert(g2 == 1L && AnnIndex.load(spark, root).codes.count() == 20)
+    intercept[IllegalArgumentException] {
+      AnnIndex.expireGenerations(spark, root, keep = 1)
+    }
+    assert(AnnIndex.expireGenerations(spark, root, keep = 2).isEmpty,
+      "two published generations and keep=2: nothing to expire")
+  }
+
+  test("tombstones: deleted ids vanish from serving; compact folds them away") {
+    val (cents, pq) = fit()
+    val root = java.nio.file.Files.createTempDirectory("annidx-ts").toString + "/r"
+    val base = emb.filter($"vec_id" < 30)
+    val extra = emb.filter($"vec_id" >= 30)
+    AnnIndex.savePublished(spark, root, base, "vec_id", "embedding", cents, pq)
+    // a delta batch under the frozen model (as the ingest stream writes)
+    val l0 = AnnIndex.load(spark, root)
+    val active0 = AnnIndex.activeDir(spark, root)
+    Similarity.ivfPqEncode(extra, "vec_id", "embedding", l0.cents, l0.pq)
+      .write.parquet(s"$active0/codes_delta/batch=0")
+    // delete ids straddling base (2, 4) and delta (30, 32)
+    val n = AnnIndex.deleteIds(spark, root,
+      Seq(2L, 4L, 30L, 32L).toDF("vec_id"))
+    assert(n == 4L)
+    val l1 = AnnIndex.load(spark, root)
+    assert(l1.codes.count() == 36)
+    assert(l1.codes.filter($"vec_id".isin(2L, 4L, 30L, 32L)).isEmpty,
+      "tombstoned ids must not appear in the serving scan")
+    val served1 = AnnIndex.topK(l1, emb.filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 35, nProbe = 4)
+    assert(served1.filter($"neighbor_id".isin(2L, 4L, 30L, 32L)).isEmpty)
+    // compact: new generation, physically clean, same serving answer
+    val g1 = AnnIndex.compact(spark, root)
+    assert(g1 == 1L)
+    val l2 = AnnIndex.load(spark, root)
+    assert(l2.codes.count() == 36)
+    val c1 = l1.codes.orderBy("vec_id").collect().toSeq
+    val c2 = l2.codes.orderBy("vec_id").collect().toSeq
+    assert(c1 == c2, "compacted codes must equal pre-compact serving codes")
+    // the new generation has no tombstones and no live deltas
+    val active1 = AnnIndex.activeDir(spark, root)
+    assert(active1 != active0)
+    assert(!new java.io.File(s"$active1/tombstones").exists())
+    // a REPLAYED old ingest batch re-landing in the new generation is
+    // inert: its dir name is in folded/, so load skips it
+    Similarity.ivfPqEncode(extra, "vec_id", "embedding", l0.cents, l0.pq)
+      .write.parquet(s"$active1/codes_delta/batch=0")
+    assert(AnnIndex.load(spark, root).codes.count() == 36,
+      "a folded batch replay must not double-serve its rows")
+    // ...while a genuinely NEW batch serves (and un-deletes nothing)
+    Similarity.ivfPqEncode(emb.filter($"vec_id" === 2L), "vec_id",
+        "embedding", l0.cents, l0.pq)
+      .write.parquet(s"$active1/codes_delta/batch=1")
+    assert(AnnIndex.load(spark, root).codes.count() == 37)
+    // serve-during-compact: the OLD loaded handle (resolved to g0)
+    // still serves after compaction published g1
+    assert(AnnIndex.topK(l1, emb.filter($"vec_id" === 0L), "vec_id",
+      "embedding", k = 5, nProbe = 4).count() == 5)
+    // compacting a FLAT index refuses (no atomic publish to ride)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.compact(spark, active1)
+    }
+    assert(e.getMessage.contains("savePublished"))
+  }
+
+  test("retrain guard: a train-publication after model load refuses ingest") {
+    val (cents, pq) = fit()
+    val root = java.nio.file.Files.createTempDirectory("annidx-guard").toString + "/r"
+    AnnIndex.savePublished(spark, root, emb, "vec_id", "embedding", cents, pq)
+    val gen0 = AnnIndex.generations(spark, root).last
+    AnnIndex.requireModelStable(spark, root, gen0) // fine: nothing newer
+    AnnIndex.compact(spark, root)
+    AnnIndex.requireModelStable(spark, root, gen0) // fine: compact is byte-stable
+    AnnIndex.savePublished(spark, root, emb, "vec_id", "embedding", cents, pq)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.requireModelStable(spark, root, gen0)
+    }
+    assert(e.getMessage.contains("retrained"))
+  }
+
   test("refusals: manifest-less dir, future format version, refine without vectors") {
     val (cents, pq) = fit()
     val tmp = java.nio.file.Files.createTempDirectory("annidx-bad").toString

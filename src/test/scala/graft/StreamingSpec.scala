@@ -318,6 +318,47 @@ class StreamingSpec extends SparkSpec {
       Option(torn.getCause).exists(_.getMessage.contains("torn")))
   }
 
+  test("scd2Stream torn-chain sidecar: own-partial replay refuses iff it HAD a predecessor") {
+    import graft.streaming.CurationStreaming
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val t0 = ts("2020-01-01 00:00:00")
+    val hist0 = Seq((1L, "a", t0)).toDF("k", "name", "valid_from")
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    val ch = Seq((1L, "A")).toDF("k", "name")
+      .withColumn("as_of", lit(ts("2021-01-01 00:00:00")))
+    val ss = EventsStreaming.replaySession(spark)
+    def stageOwnPartial(pred: String): (String, String) = {
+      // snap dir holding ONLY the replayed batch's own partial output
+      // (snap=0) whose _pred sidecar claims `pred`; fresh checkpoint
+      // so the stream replays batch 0 against it
+      val tmp = Files.createTempDirectory("scd2-sidecar").toString
+      ch.coalesce(1).write.parquet(s"$tmp/src")
+      hist0.write.parquet(s"$tmp/snap/snap=0")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/snap/snap=0/_pred"),
+        pred.getBytes("UTF-8"))
+      (tmp, s"$tmp/snap")
+    }
+    // _pred names an expired predecessor -> the ADVICE scenario: the
+    // only surviving snapshot is the batch's own partial; rebuilding
+    // from init must be REFUSED, not silently performed
+    val (tmp1, _) = stageOwnPartial(pred = "7")
+    val torn = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      CurationStreaming.scd2Stream(ss, s"$tmp1/src", s"$tmp1/snap",
+        s"$tmp1/ckpt", Seq("k"), hist0, ch.schema)
+    }
+    assert(torn.getMessage.contains("torn") ||
+      Option(torn.getCause).exists(_.getMessage.contains("torn")))
+    // _pred=init (a true first fold, e.g. after empty batches) -> the
+    // replay is legal and folds from init again
+    val (tmp2, snap2) = stageOwnPartial(pred = "init")
+    CurationStreaming.scd2Stream(ss, s"$tmp2/src", snap2,
+      s"$tmp2/ckpt", Seq("k"), hist0, ch.schema)
+    assert(CurationStreaming.scd2Latest(spark, snap2)
+      .filter($"name" === "A").count() == 1,
+      "the legal init-fold replay must apply the change batch")
+  }
+
   test("streaming near-dup: spot checks, partitioned replay, real-corpus parity") {
     import graft.streaming.CurationStreaming
     val base = "the quick brown fox jumps over the lazy dog again and again today ok"
