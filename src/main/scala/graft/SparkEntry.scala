@@ -1783,6 +1783,144 @@ object SparkEntry {
           (col("nh") >= ceil(col("nt") * lit(0.9))).as("recall_ge_90"))
     }),
 
+    // --- File-granular MERGE commits (round 12): manifests list the
+    //     exact live file set per version, so a keyed MERGE rewrites
+    //     ONLY the files containing matched keys and shares the rest
+    //     by reference — whole-table rewrites per version are the
+    //     r11 design's scale killer (1% daily churn on 100 TB must
+    //     not write 100 TB). Receipts require()'d from the commit's
+    //     own byte accounting: churn bytes < 5% of table bytes,
+    //     touched files a strict subset, a stale delta loses its CAS
+    //     loudly, and v0 time-travels back exactly. The oracle
+    //     replays update+insert then delete over the raw table. ---
+    "q198_file_granular_merge" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val vt = java.nio.file.Files.createTempDirectory("graft_fgm_q198_")
+        .toString + "/t"
+      // per-order rollup (synthetic lineitem has no unique natural
+      // key), range-clustered on k1 so keyed churn is file-local —
+      // the layout any lakehouse table carries for merge-heavy use
+      val li = t(s, dir).lineitem.groupBy(col("l_orderkey").as("k1"))
+        .agg(sum(col("l_quantity").cast(org.apache.spark.sql.types
+          .DecimalType(18, 2))).as("qty"))
+        .repartitionByRange(64, col("k1")).sortWithinPartitions("k1")
+      require(VersionedTable.commit(s, vt, li, -1L, "loader") == 0L)
+      val cur0 = VersionedTable.read(s, vt)
+      val qtyT = cur0.schema("qty").dataType
+      // churn leg 1: update the lowest ~2% of the key range + insert
+      // sparse new keys (the oracle replays the same arithmetic)
+      val thr = math.floor(t(s, dir).lineitem
+        .agg(max(col("l_orderkey"))).collect()(0).getLong(0) / 50.0).toLong
+      val ch1 = cur0.filter(col("k1") <= thr)
+        .select(col("k1"), (col("qty") + 100).cast(qtyT).as("qty"))
+        .unionByName(cur0.filter(col("k1") % 1009 === 0)
+          .select((col("k1") + 100000000L).as("k1"),
+            lit(1.00).cast(qtyT).as("qty")))
+      val st1 = VersionedTable.merge(s, vt, ch1, Seq("k1"), 0L, "merger")
+      require(st1.version == 1L)
+      require(st1.bytesAdded * 20 < st1.bytesTable,
+        s"q198: a ~2%-churn MERGE must write <5% of the table's bytes " +
+          s"(wrote ${st1.bytesAdded} of ${st1.bytesTable})")
+      require(st1.filesRemoved * 8 <= st1.filesTotal,
+        s"q198: churn must touch a strict file subset " +
+          s"(${st1.filesRemoved} of ${st1.filesTotal})")
+      // a concurrent writer's STALE delta (planned against v0 after
+      // v1 landed) must lose its CAS loudly, never tear the table
+      val conflicted =
+        try { VersionedTable.merge(s, vt, ch1, Seq("k1"), 0L, "stale"); false }
+        catch { case _: VersionedTable.CommitConflict => true }
+      require(conflicted, "q198: a stale merge must raise CommitConflict")
+      // churn leg 2: a delete-merge, also file-granular
+      val cur1 = VersionedTable.read(s, vt)
+      val ch2 = cur1.filter(col("k1") % 701 === 0)
+        .withColumn("__del", lit(true))
+      val st2 = VersionedTable.merge(s, vt, ch2, Seq("k1"),
+        VersionedTable.latestVersion(s, vt), "merger",
+        deleteCol = Some("__del"))
+      require(st2.version == 2L)
+      // time travel: v0 still reads exactly through its manifest
+      val v0 = VersionedTable.readVersion(s, vt, 0L)
+      require(v0.exceptAll(cur0).isEmpty && cur0.exceptAll(v0).isEmpty,
+        "q198: version 0 must remain exactly the loaded base")
+      VersionedTable.read(s, vt)
+        .groupBy((col("k1") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), dsum2(col("qty")).as("qty_sum"))
+    }),
+
+    // --- ANN index lifecycle capstone (round 12): publish → stream
+    //     ingest → tombstoned delete → compact → serve, all through
+    //     the atomic generation log. Receipts require()'d in-entry:
+    //     deleted ids vanish from serving, compaction changes NO
+    //     served answer (row-exact, scores included), and the
+    //     compacted index serves exactly what a FRESH build over the
+    //     current corpus under the same frozen models would — the
+    //     fold is lossless, not approximately so. The oracle pins the
+    //     deterministic truth size + recall floor (q191 contract). ---
+    "q199_ann_index_compact" -> ((s, dir) => {
+      import graft.operators.{AnnIndex, Similarity}
+      val emb = t(s, dir).embeddings
+      val base = emb.filter(col("vec_id") % 10 =!= 0)
+      val newRows = emb.filter(col("vec_id") % 10 === 0)
+      val cents = Similarity.kMeansFit(
+        base, "embedding", k = 16, iters = 3, init = "parallel")
+      val pq = Similarity.pqTrain(base, "embedding", m = 16, nCodes = 256,
+        iters = 3)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_anncomp_q199_").toString
+      val root = s"$tmp/idx"
+      require(AnnIndex.savePublished(s, root, base, "vec_id", "embedding",
+        cents, pq) == 0L)
+      // stream the 10% in under the frozen model (the q197 discipline)
+      newRows.coalesce(1).write.mode("append").parquet(s"$tmp/src")
+      graft.streaming.CurationStreaming.annIngestStream(
+        graft.streaming.EventsStreaming.replaySession(s),
+        s"$tmp/src", root, s"$tmp/ckpt", "embedding", newRows.schema)
+      // tombstone ids straddling base and delta
+      require(AnnIndex.deleteIds(s, root,
+        emb.filter(col("vec_id") % 9 === 0).select(col("vec_id"))) > 0L)
+      val corpus = emb.filter(col("vec_id") % 9 =!= 0)
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+      def serve(l: AnnIndex.Loaded) =
+        AnnIndex.topK(l, qs, "vec_id", "embedding", k = 5, nProbe = 14,
+            refine = 6, exactCorpus = Some(corpus))
+          .select(col("query_id"), col("neighbor_id"), col("score"))
+      val pre = serve(AnnIndex.load(s, root))
+      require(pre.join(emb.filter(col("vec_id") % 9 === 0)
+          .select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"),
+          "left_semi").limit(1).count() == 0L,
+        "q199: a tombstoned id must never be served as a neighbor")
+      require(AnnIndex.compact(s, root) == 1L)
+      val post = serve(AnnIndex.load(s, root))
+      require(post.exceptAll(pre).isEmpty && pre.exceptAll(post).isEmpty,
+        "q199: compaction changed a served answer")
+      // fresh build over the CURRENT corpus under the same models ==
+      // the compacted index, exactly
+      val loadedModels = AnnIndex.load(s, root)
+      val centsDf = loadedModels.cents.zipWithIndex
+        .map { case (cv, i) => (i.toLong, cv) }
+      val freshDir = s"$tmp/fresh"
+      AnnIndex.save(s, freshDir, corpus, "vec_id", "embedding",
+        { import s.implicits._; centsDf.toDF("cid", "cv") },
+        loadedModels.pq)
+      val fresh = serve(AnnIndex.load(s, freshDir))
+      require(fresh.exceptAll(post).isEmpty && post.exceptAll(fresh).isEmpty,
+        "q199: compacted serving diverged from a fresh build over the " +
+          "current corpus under the same models")
+      require(AnnIndex.expireGenerations(s, root, keep = 2).isEmpty)
+      val truth = Similarity.bruteForceTopK(
+          corpus = corpus, queries = qs, corpusId = "vec_id",
+          queryId = "vec_id", vecCol = "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      truth.withColumn("in_t", lit(1))
+        .join(post.withColumn("in_f", lit(1)),
+          Seq("query_id", "neighbor_id"), "full_outer")
+        .agg(
+          coalesce(sum(col("in_t")), lit(0)).cast("long").as("nt"),
+          coalesce(sum(when(col("in_t") === 1 && col("in_f") === 1, 1)), lit(0)).as("nh"))
+        .select(col("nt").as("n_truth"),
+          (col("nh") >= ceil(col("nt") * lit(0.9))).as("recall_ge_90"))
+    }),
+
     // --- Atomic commit protocol (round 11): the manifest-log CAS
     //     under the versioned-table family — commits stage data fully
     //     and promote a manifest file atomically (create-exclusive),
@@ -5583,6 +5721,39 @@ object SparkEntry {
     // served-over-deltas path (exactly-once + serve==memory equality
     // are require()'d in-entry; models trained on the 90% base)
     "q197_ann_stream_ingest" ->
+      """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_truth, TRUE AS recall_ge_90
+         FROM embeddings WHERE vec_id % 100 = 0""",
+
+    // file-granular MERGE: the oracle replays the update+insert leg
+    // then the delete leg over the raw rollup; the byte/file-subset
+    // receipts and the stale-CAS refusal are require()'d in-entry
+    // (file sharing is hash-invisible by design)
+    "q198_file_granular_merge" ->
+      """WITH a AS (
+           SELECT l_orderkey AS k1,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                       AS DECIMAL(38,2)) AS qty
+           FROM lineitem GROUP BY 1),
+         thr AS (
+           SELECT CAST(FLOOR(MAX(l_orderkey) / 50.0) AS BIGINT) AS t
+           FROM lineitem),
+         m1 AS (
+           SELECT k1,
+                  CASE WHEN k1 <= (SELECT t FROM thr) THEN qty + 100
+                       ELSE qty END AS qty
+           FROM a
+           UNION ALL
+           SELECT k1 + 100000000 AS k1, CAST(1.00 AS DECIMAL(38,2)) AS qty
+           FROM a WHERE k1 % 1009 = 0),
+         m2 AS (SELECT k1, qty FROM m1 WHERE k1 % 701 <> 0)
+         SELECT k1 % 10 AS bucket, COUNT(*) AS n,
+                CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+         FROM m2 GROUP BY 1""",
+
+    // ANN lifecycle capstone: the recall contract over the
+    // post-delete corpus (compaction==fresh-build row-exactness and
+    // the tombstone/generation receipts are require()'d in-entry)
+    "q199_ann_index_compact" ->
       """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_truth, TRUE AS recall_ge_90
          FROM embeddings WHERE vec_id % 100 = 0""",
 

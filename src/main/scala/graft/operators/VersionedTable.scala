@@ -421,8 +421,13 @@ object VersionedTable {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema)
         .parquet(touched.map(rel => s"$dir/$rel"): _*)
+    // size the rewrite to the churn: without the coalesce, the merge
+    // join's shuffle partitioning would fan a one-file rewrite into
+    // shuffle.partitions tiny files and the delta would cost a large
+    // multiple of the churn in bytes
     val rewritten =
       Incremental.mergeUpsert(touchedRows, changes, keys, deleteCol)
+        .coalesce(math.max(1, touched.length))
     commitDelta(spark, dir, Some(rewritten), touched, expectedVersion,
       writerId)
   }
