@@ -1921,6 +1921,71 @@ object SparkEntry {
           (col("nh") >= ceil(col("nt") * lit(0.9))).as("recall_ge_90"))
     }),
 
+    // --- Byte-level BPE (round 12): train/encode over UTF-8 bytes —
+    //     the 256-symbol base alphabet every production tokenizer
+    //     (GPT-2/tiktoken lineage) uses, because a byte vocabulary
+    //     can never hit an unknown symbol. Implementation rides the
+    //     existing string machinery via the Latin-1 trick (UTF-8
+    //     bytes re-read as Latin-1 chars, injective both ways).
+    //     In-entry receipts: on this PURE-ASCII corpus (premise
+    //     require()'d) byte mode and code-point mode train the
+    //     IDENTICAL merge sequence; the per-job and incremental
+    //     trainers agree in byte mode; a non-ASCII fixture diverges
+    //     between modes (bytes of 'é' merge before 'é' pairs do);
+    //     byte-encode round-trips every distinct token through
+    //     bpeDecodeBytes losslessly; save/load persists the MODE
+    //     (serving with the wrong alphabet is a silently different
+    //     tokenizer — refused by construction). ---
+    "q200_bpe_byte_level" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      val docs = t(s, dir).documents
+      require(docs.filter(col("text").rlike("[^\\x00-\\x7F]"))
+        .limit(1).count() == 0L,
+        "q200 premise drifted: synthetic documents must be pure ASCII")
+      val (mB, _, _) = TextAnalysis.bpeTrainIncremental(docs, "text",
+        nMerges = 256, byteLevel = true)
+      val (mC, _, _) = TextAnalysis.bpeTrainIncremental(docs, "text",
+        nMerges = 256)
+      require(mB.map(m => (m.left, m.right, m.count)) ==
+        mC.map(m => (m.left, m.right, m.count)),
+        "q200: on ASCII text the byte and code-point alphabets coincide " +
+          "— the two modes must train identical merges")
+      val (m8, _) = TextAnalysis.bpeTrain(docs, "text", nMerges = 8,
+        byteLevel = true)
+      require(mB.take(8).map(m => (m.left, m.right, m.count)) ==
+        m8.map(m => (m.left, m.right, m.count)),
+        "q200: byte-mode incremental trainer diverged from the per-job one")
+      // non-ASCII: the modes MUST diverge ('é' is one code point but
+      // two bytes, so byte mode merges its bytes first)
+      val uni = { import s.implicits._; Seq("éé éé ab ab").toDF("text") }
+      val (uB, _, _) = TextAnalysis.bpeTrainIncremental(uni, "text",
+        nMerges = 1, byteLevel = true)
+      val (uC, _, _) = TextAnalysis.bpeTrainIncremental(uni, "text",
+        nMerges = 1)
+      require(uB.map(m => (m.left, m.right)) != uC.map(m => (m.left, m.right)),
+        "q200: byte and code-point modes must diverge on non-ASCII text")
+      require(uB.head.left.length == 1 && uB.head.left.charAt(0) <= 0xFF,
+        "q200: byte-mode symbols must stay in the 0..255 alphabet")
+      // byte-mode losslessness over every distinct token
+      val bad = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w")).distinct()
+        .filter(TextAnalysis.bpeDecodeBytes(
+          TextAnalysis.bpeEncode(col("w"), mB, byteLevel = true)) =!= col("w"))
+        .limit(1).count()
+      require(bad == 0L, "q200: byte-mode encode must round-trip losslessly")
+      // the mode persists with the model
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_q200_")
+        .toString + "/m"
+      TextAnalysis.saveBpe(s, tmp, mB, byteLevel = true)
+      val (mLoaded, loadedMode) = TextAnalysis.loadBpeWithMode(s, tmp)
+      require(mLoaded == mB && loadedMode,
+        "q200: the alphabet mode must round-trip with the saved model")
+      docs.select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .agg(count(lit(1)).cast("long").as("n_tokens"))
+        .select(col("n_tokens"), lit(true).as("byte_lossless"),
+          lit(true).as("ascii_modes_agree"))
+    }),
+
     // --- Atomic commit protocol (round 11): the manifest-log CAS
     //     under the versioned-table family — commits stage data fully
     //     and promote a manifest file atomically (create-exclusive),
@@ -5756,6 +5821,16 @@ object SparkEntry {
     "q199_ann_index_compact" ->
       """SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_truth, TRUE AS recall_ge_90
          FROM embeddings WHERE vec_id % 100 = 0""",
+
+    // byte-level BPE: the merge sequence itself is iterative; the
+    // oracle pins the conserved token count while the mode-parity,
+    // divergence, and losslessness laws are require()'d in-entry
+    "q200_bpe_byte_level" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                TRUE AS byte_lossless, TRUE AS ascii_modes_agree
+         FROM (SELECT unnest(list_filter(
+                 string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+               FROM documents)""",
 
     // versioned-table lifecycle: the oracle replays merge1 (updates +
     // inserts) then merge2 (the %11 deletes) over the raw table; the

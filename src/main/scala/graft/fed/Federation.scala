@@ -432,9 +432,12 @@ object Federation {
 
     // clusters this orchestrator still trusts and the catalog it
     // resolves scans through; both shrink/re-resolve only via the
-    // failover path below, never silently
+    // failover path below, never silently. Tables whose EVERY copy
+    // lived on lost clusters are remembered here so a later scan of
+    // one fails with the real story, not "unknown table".
     private var live: Map[String, Cluster] = clusters
     private var cat: Catalog = catalog
+    private var lostTables: Map[String, Seq[String]] = Map.empty
 
     /** Clusters currently considered live (observability + tests). */
     def liveClusters: Set[String] = live.keySet
@@ -450,6 +453,13 @@ object Federation {
       * orchestrator is safe (staging paths are unique per attempt and
       * partial writes are deleted at failure). */
     def execute(root: FedPlan): DataFrame = {
+      nodes(root).collect { case FedScan(t) => t }.distinct
+        .filter(lostTables.contains).headOption.foreach { t =>
+          throw new RuntimeException(
+            s"table '$t' became unavailable when cluster(s) " +
+              s"${lostTables(t).mkString(",")} were lost and no replica " +
+              "survived — re-register a live copy before scanning it")
+        }
       val placement = plan(root, cat, live)
       try {
         val out = Await.result(run(root, placement), Duration.Inf)
@@ -484,19 +494,32 @@ object Federation {
             Try(c.session.range(1).count()).isSuccess }
           if (healthy.size == live.size || healthy.isEmpty) throw e
           val lost = live.keySet -- healthy.keySet
+          // Rebuild the WHOLE catalog, not just this plan's scans: every
+          // registered table keeps ALL its surviving locations (primary
+          // re-pointed to the first survivor, the rest staying replicas
+          // for FUTURE failovers). A plan-scoped, one-location rebuild
+          // would make every other table 'unknown' to later execute()
+          // calls and burn the remaining replicas.
+          val needed = nodes(root).collect { case FedScan(t) => t }.toSet
           val resolved = new Catalog()
-          nodes(root).collect { case FedScan(t) => t }.distinct.foreach { t =>
-            cat.locations(t).find(l => healthy.contains(l.cluster)) match {
-              case Some(loc) => resolved.register(t, loc)
-              case None => throw new RuntimeException(
+          val newlyLost = mutable.Map.empty[String, Seq[String]]
+          cat.names.foreach { t =>
+            val locs = cat.locations(t)
+            val surviving = locs.filter(l => healthy.contains(l.cluster))
+            if (surviving.nonEmpty) {
+              resolved.register(t, surviving.head)
+              surviving.tail.foreach(resolved.registerReplica(t, _))
+            } else if (needed.contains(t))
+              throw new RuntimeException(
                 s"federated job lost cluster(s) ${lost.mkString(",")} and " +
                   s"table '$t' has no surviving copy (locations: " +
-                  s"${cat.locations(t).map(_.cluster).mkString(",")}) — " +
+                  s"${locs.map(_.cluster).mkString(",")}) — " +
                   "data unavailable, cannot fail over; staged dirs cleaned", e)
-            }
+            else newlyLost(t) = locs.map(_.cluster)
           }
           live = healthy
           cat = resolved
+          lostTables = lostTables ++ newlyLost
           execute(root)
       }
     }

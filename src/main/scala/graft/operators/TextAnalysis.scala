@@ -258,11 +258,17 @@ object TextAnalysis {
     * Like [[bpePairCounts]], symbols start as plain characters (no
     * end-of-word marker — documented divergence from the paper's
     * `</w>`). */
-  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int)
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int,
+      byteLevel: Boolean = false)
       : (Seq[BpeMerge], DataFrame) = {
     var vocab = docs
       .select(explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      // byte mode: re-read the token's UTF-8 bytes as Latin-1 chars
+      // (one char per byte, injective), so the same per-"char" split
+      // below yields the 256-symbol byte alphabet
+      .select((if (byteLevel) decode(encode(col("tok"), "UTF-8"), "ISO-8859-1")
+        else col("tok")).as("tok"), col("freq"))
       .select(expr("transform(sequence(1, length(tok)), i -> substring(tok, i, 1))")
         .as("syms"), col("freq"))
       .localCheckpoint()
@@ -326,7 +332,8 @@ object TextAnalysis {
     * the prune is visible, never faked. With minFreq = 1 the result
     * is bit-identical to [[bpeTrain]] (merges and final vocab). */
   def bpeTrainIncremental(docs: DataFrame, textCol: String, nMerges: Int,
-      minFreq: Long = 1L, maxWordTypes: Int = 1 << 22)
+      minFreq: Long = 1L, maxWordTypes: Int = 1 << 22,
+      byteLevel: Boolean = false)
       : (Seq[BpeMerge], DataFrame, BpeTrainReceipt) = {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
     require(minFreq >= 1L, s"minFreq must be >= 1, got $minFreq")
@@ -347,13 +354,40 @@ object TextAnalysis {
       s"bpeTrainIncremental: > $maxWordTypes word types survive minFreq=" +
         s"$minFreq — raise minFreq (the standard web-corpus prune) or " +
         "raise maxWordTypes if the driver can hold it")
+    // split by CODE POINT, not UTF-16 unit — Spark's substring (the
+    // per-job trainer's splitter) is code-point-based, and halving a
+    // surrogate pair would both break the bit-parity law on non-BMP
+    // text (emoji, supplementary CJK) and emit unpaired-surrogate
+    // "symbols" no encoder could ever look up. Byte mode maps UTF-8
+    // bytes onto Latin-1 chars first (all BMP, so the same split
+    // yields exactly one symbol per byte).
     val words: Array[Array[String]] =
-      retained.map(_._1.map(_.toString).toArray)
+      if (byteLevel)
+        retained.map(w => new String(
+            w._1.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          .map(_.toString).toArray)
+      else retained.map(_._1.codePoints().toArray.map(Character.toString))
     val freqs: Array[Long] = retained.map(_._2)
     // occurrence-weighted pair counts + (pair -> words containing it)
     val stats = scala.collection.mutable.HashMap.empty[(String, String), Long]
     val where = scala.collection.mutable.HashMap
       .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    // Tie-break strings by CODE POINT order == UTF-8 byte order (UTF-8
+    // preserves code-point ordering), matching the per-job trainer's
+    // Spark orderBy (binary collation). Plain String.compareTo sorts
+    // by UTF-16 unit, which ranks supplementary characters (surrogate
+    // range 0xD800+) BELOW U+E000..U+FFFF — a divergent merge pick on
+    // non-BMP ties.
+    def cpCompare(x: String, y: String): Int = {
+      var i = 0; var j = 0
+      while (i < x.length && j < y.length) {
+        val cx = x.codePointAt(i); val cy = y.codePointAt(j)
+        if (cx != cy) return Integer.compare(cx, cy)
+        i += Character.charCount(cx); j += Character.charCount(cy)
+      }
+      Integer.compare(x.length - i, y.length - j)
+    }
     val heap = scala.collection.mutable.PriorityQueue
       .empty[(Long, String, String)](new Ordering[(Long, String, String)] {
         // max-heap: count desc, then l asc, r asc (reversed compares)
@@ -361,8 +395,8 @@ object TextAnalysis {
           val c = java.lang.Long.compare(x._1, y._1)
           if (c != 0) c
           else {
-            val l = y._2.compareTo(x._2)
-            if (l != 0) l else y._3.compareTo(x._3)
+            val l = cpCompare(y._2, x._2)
+            if (l != 0) l else cpCompare(y._3, x._3)
           }
         }
       })
@@ -443,8 +477,17 @@ object TextAnalysis {
     * list ships to executors once as a plan reference object, never
     * per row). Together train+encode close the tokenizer loop: train
     * on a corpus sample, encode the full corpus shuffle-free. */
-  def bpeEncode(text: Column, merges: Seq[BpeMerge]): Column =
-    graft.plans.TextExpressions.bpeEncode(text, merges.map(m => (m.left, m.right)))
+  def bpeEncode(text: Column, merges: Seq[BpeMerge],
+      byteLevel: Boolean = false): Column =
+    graft.plans.TextExpressions.bpeEncode(text,
+      merges.map(m => (m.left, m.right)), byteLevel)
+
+  /** Byte-mode decode: symbols are Latin-1-char views of UTF-8 bytes
+    * ([[bpeTrain]]/[[bpeEncode]] with byteLevel = true); re-reading
+    * the concatenated chars as their bytes and decoding UTF-8 gives
+    * the original word back — the byte-mode losslessness law. */
+  def bpeDecodeBytes(syms: Column): Column =
+    decode(encode(concat_ws("", syms), "ISO-8859-1"), "UTF-8")
 
   /** Persist a trained merge sequence as parquet — the tokenizer
     * artifact every pipeline ships (HF's merges.txt, as a table).
@@ -452,20 +495,37 @@ object TextAnalysis {
     * rank column is the contract, not a convenience. Model-sized (one
     * row per merge); written in one file. */
   def saveBpe(spark: org.apache.spark.sql.SparkSession, dir: String,
-      merges: Seq[BpeMerge]): Unit = {
+      merges: Seq[BpeMerge], byteLevel: Boolean = false): Unit = {
     import spark.implicits._
     require(merges.nonEmpty, "saveBpe: empty merge sequence")
     merges.zipWithIndex
-      .map { case (m, r) => (r, m.left, m.right, m.count) }
-      .toDF("rank", "left", "right", "count")
+      .map { case (m, r) => (r, m.left, m.right, m.count, byteLevel) }
+      .toDF("rank", "left", "right", "count", "byte_level")
       .coalesce(1).write.mode("overwrite").parquet(dir)
   }
 
-  /** Load a merge sequence saved by [[saveBpe]]. Refuses a table with
-    * rank gaps/dups — an incomplete merge list silently encodes a
-    * DIFFERENT tokenizer, the worst kind of wrong. */
-  def loadBpe(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[BpeMerge] = {
-    val rows = spark.read.parquet(dir)
+  /** Load a merge sequence saved by [[saveBpe]], plus its alphabet
+    * mode (byte-level or code-point; pre-mode tables read as
+    * code-point). MODE IS SEMANTICS too: encoding byte-trained merges
+    * over code-point symbols silently yields a different tokenizer,
+    * so serving must take the mode from here, never assume it.
+    * Refuses a table with rank gaps/dups — an incomplete merge list
+    * silently encodes a DIFFERENT tokenizer, the worst kind of
+    * wrong. */
+  def loadBpeWithMode(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Seq[BpeMerge], Boolean) = {
+    val df = spark.read.parquet(dir)
+    val byteLevel =
+      if (!df.columns.contains("byte_level")) false
+      else {
+        val modes = df.select(col("byte_level")).distinct()
+          .collect().map(_.getBoolean(0)).toSeq
+        require(modes.length == 1,
+          s"loadBpe: merge table under $dir mixes byte_level values " +
+            s"($modes) — torn or hand-edited, refusing")
+        modes.head
+      }
+    val rows = df
       .select(col("rank").cast("int"), col("left"), col("right"),
         col("count").cast("long"))
       .collect()
@@ -474,8 +534,12 @@ object TextAnalysis {
     require(rows.map(_._1).toSeq == (0 until rows.length),
       s"loadBpe: ranks under $dir are not the contiguous 0..${rows.length - 1} " +
         "range — torn or foreign merge table, refusing to encode with it")
-    rows.map(_._2).toSeq
+    (rows.map(_._2).toSeq, byteLevel)
   }
+
+  /** [[loadBpeWithMode]] for callers that pinned the mode themselves. */
+  def loadBpe(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[BpeMerge] =
+    loadBpeWithMode(spark, dir)._1
 
   /** Bounded inverted index: per term, document frequency plus the
     * first `k` postings (lowest doc ids, zero-padded so lexical order

@@ -594,7 +594,8 @@ case class RepStats(child: Expression, n: Int) extends UnaryExpression {
   * codegen's reference-object mechanism — never re-parsed per row.
   * Pairs key a tuple map (no joined-string key: a symbol may contain
   * any non-whitespace character, so no separator is collision-safe). */
-final class BpeRanks(val merges: Array[(String, String)]) extends Serializable {
+final class BpeRanks(val merges: Array[(String, String)],
+    val byteLevel: Boolean = false) extends Serializable {
   @transient lazy val rank: java.util.HashMap[(String, String), Integer] = {
     val m = new java.util.HashMap[(String, String), Integer](merges.length * 2)
     var i = 0
@@ -607,12 +608,13 @@ final class BpeRanks(val merges: Array[(String, String)]) extends Serializable {
   // value equality on the merge sequence so expression canonicalization
   // (and with it codegen CSE) sees two same-merges encoders as equal
   override def equals(o: Any): Boolean = o match {
-    case r: BpeRanks => java.util.Arrays.equals(
+    case r: BpeRanks => byteLevel == r.byteLevel && java.util.Arrays.equals(
       merges.asInstanceOf[Array[AnyRef]], r.merges.asInstanceOf[Array[AnyRef]])
     case _ => false
   }
   override def hashCode: Int =
-    java.util.Arrays.hashCode(merges.asInstanceOf[Array[AnyRef]])
+    31 * java.util.Arrays.hashCode(merges.asInstanceOf[Array[AnyRef]]) +
+      (if (byteLevel) 1 else 0)
 }
 
 /** BPE apply-side (the other half of [[graft.operators.TextAnalysis]]
@@ -632,14 +634,25 @@ object BpeKernels {
     var w = 0
     while (w < toks.size) {
       val word = toks.get(w)
-      // split to code points
+      // split to code points — or, byte-level, to UTF-8 bytes mapped
+      // one-to-one onto Latin-1 chars (code points 0..255), so the
+      // same string-symbol machinery serves both alphabets
       var syms = new java.util.ArrayList[String](word.length)
-      var i = 0
-      while (i < word.length) {
-        val cp = word.codePointAt(i)
-        val cc = Character.charCount(cp)
-        syms.add(word.substring(i, i + cc))
-        i += cc
+      if (ranks.byteLevel) {
+        val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        while (i < bytes.length) {
+          syms.add(String.valueOf((bytes(i) & 0xFF).toChar))
+          i += 1
+        }
+      } else {
+        var i = 0
+        while (i < word.length) {
+          val cp = word.codePointAt(i)
+          val cc = Character.charCount(cp)
+          syms.add(word.substring(i, i + cc))
+          i += cc
+        }
       }
       var done = rank.isEmpty
       while (!done && syms.size >= 2) {
@@ -733,8 +746,11 @@ object TextExpressions {
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(text)))
 
   /** Column entry point: text -> BPE symbol array under a trained
-    * merge list (apply-side of bpeTrain). */
-  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    * merge list (apply-side of bpeTrain). `byteLevel` switches the
+    * initial alphabet from code points to UTF-8 bytes (as Latin-1
+    * chars); the merge list must come from the SAME mode's trainer. */
+  def bpeEncode(text: Column, merges: Seq[(String, String)],
+      byteLevel: Boolean = false): Column =
     GraftSqlBridge.column(BpeEncode(GraftSqlBridge.expression(text),
-      new BpeRanks(merges.toArray)))
+      new BpeRanks(merges.toArray, byteLevel)))
 }

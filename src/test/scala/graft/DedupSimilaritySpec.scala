@@ -782,6 +782,62 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a == b, "incremental trainer's final vocab diverged")
   }
 
+  test("BPE non-BMP parity: surrogate pairs stay whole; ties break by code point") {
+    import graft.operators.TextAnalysis
+    // 😀 (U+1F600, a surrogate PAIR in UTF-16) vs ﬃ (U+FB03, a BMP
+    // char whose UTF-16 unit 0xFB03 sorts ABOVE the surrogate range):
+    // a count tie between pairs led by these two symbols separates
+    // UTF-16 String.compareTo ordering (😀 first) from the
+    // code-point/UTF-8-binary ordering Spark's orderBy uses (ﬃ
+    // first). The incremental trainer must match the per-job one.
+    val docs = Seq("😀a 😀a ﬃb ﬃb").toDF("text")
+    val (mJob, _) = TextAnalysis.bpeTrain(docs, "text", nMerges = 2)
+    val (mInc, _, _) = TextAnalysis.bpeTrainIncremental(docs, "text", nMerges = 2)
+    assert(mJob.map(m => (m.left, m.right, m.count)) ==
+      mInc.map(m => (m.left, m.right, m.count)),
+      s"non-BMP divergence: job=$mJob inc=$mInc")
+    assert(mJob.head.left == "ﬃ",
+      s"the tie must break by code-point order, got ${mJob.head}")
+    // the emoji is ONE symbol (never a halved surrogate) and merges
+    assert(mJob.map(m => (m.left, m.right)).contains(("😀", "a")))
+    // encode agrees: the trained merge applies and round-trips
+    val enc = docs.sparkSession.range(1)
+      .select(TextAnalysis.bpeEncode(lit("😀a"), mInc).as("syms"))
+      .select(concat_ws("", $"syms").as("w"), size($"syms").as("n"))
+      .as[(String, Int)].head()
+    assert(enc == ("😀a", 1),
+      s"encode must apply the non-BMP merge losslessly, got $enc")
+  }
+
+  test("byte-level BPE: 256-symbol alphabet, non-ASCII losslessness, mode persists") {
+    import graft.operators.TextAnalysis
+    // é is 2 UTF-8 bytes, 😀 is 4: byte mode must keep every symbol in
+    // 0..255 and still round-trip the original text exactly
+    val docs = Seq("éé éé 😀x 😀x aa aa").toDF("text")
+    val (m, _, _) = TextAnalysis.bpeTrainIncremental(docs, "text",
+      nMerges = 6, byteLevel = true)
+    assert(m.nonEmpty)
+    assert(m.forall(x => (x.left + x.right).forall(_ <= 0xFF.toChar)),
+      s"byte-mode symbols escaped the byte alphabet: $m")
+    val bad = docs
+      .select(explode(TextAnalysis.tokens($"text")).as("w")).distinct()
+      .filter(TextAnalysis.bpeDecodeBytes(
+        TextAnalysis.bpeEncode($"w", m, byteLevel = true)) =!= $"w")
+      .count()
+    assert(bad == 0L, "byte-mode encode must round-trip non-ASCII losslessly")
+    // per-job trainer parity in byte mode
+    val (mJob, _) = TextAnalysis.bpeTrain(docs, "text", nMerges = 6,
+      byteLevel = true)
+    assert(mJob.map(x => (x.left, x.right, x.count)) ==
+      m.map(x => (x.left, x.right, x.count)))
+    // the saved model carries its alphabet mode
+    val tmp = java.nio.file.Files.createTempDirectory("bpe-byte").toString
+    TextAnalysis.saveBpe(spark, s"$tmp/m", m, byteLevel = true)
+    assert(TextAnalysis.loadBpeWithMode(spark, s"$tmp/m") == ((m, true)))
+    TextAnalysis.saveBpe(spark, s"$tmp/c", m)
+    assert(TextAnalysis.loadBpeWithMode(spark, s"$tmp/c")._2 == false)
+  }
+
   test("saveBpe/loadBpe: ranked round trip; rank gaps refuse to encode") {
     import graft.operators.TextAnalysis
     val docs = Seq("aa bb aa bb aa", "aa bb cc aa").toDF("text")

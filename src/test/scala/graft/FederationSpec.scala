@@ -370,10 +370,15 @@ class FederationSpec extends SparkSpec {
     tables.orders.write.mode("overwrite").parquet(s"$tmp/a/orders_replica")
     // part 1: orders' PRIMARY is on B, its replica on A — losing B is
     // recoverable by re-resolving the scan to the surviving replica
+    tables.nation.write.mode("overwrite").parquet(s"$tmp/a/nation")
     val catalog = new Catalog()
       .register("customer", TableLoc("A", "parquet", s"$tmp/a/customer"))
       .register("orders", TableLoc("B", "parquet", s"$tmp/b/orders"))
       .registerReplica("orders", TableLoc("A", "parquet", s"$tmp/a/orders_replica"))
+      // registered but NOT scanned by the failing plan: failover must
+      // keep them resolvable (nation) / remembered as lost (region)
+      .register("nation", TableLoc("A", "parquet", s"$tmp/a/nation"))
+      .register("region", TableLoc("B", "parquet", s"$tmp/b/region_only_on_b"))
     val clusters = Map(
       "A" -> Federation.connectCluster("A", s"sc://localhost:$port",
         s"$tmp/a/scratch", computeFactor = 4.0, failFast = true),
@@ -416,6 +421,19 @@ class FederationSpec extends SparkSpec {
       val bScratch = Option(new java.io.File(s"$tmp/b/scratch").listFiles())
         .getOrElse(Array.empty)
       assert(bScratch.isEmpty, s"staged garbage after abort: ${bScratch.toSeq}")
+      // failover kept the FULL catalog: a table the failed plan never
+      // scanned still resolves and executes on the survivor...
+      val nGot = orch.execute(FedStage(FedScan("nation"),
+        df => df.groupBy().agg(count(lit(1)).as("n")), "count_nation"))
+        .collect()(0).getLong(0)
+      assert(nGot == tables.nation.count(), "post-failover scan of an " +
+        "unrelated registered table must still work")
+      // ...and a table whose every copy was lost fails with the real
+      // story when finally scanned, not 'unknown table'
+      val eLost = intercept[RuntimeException] {
+        orch.execute(FedScan("region"))
+      }
+      assert(eLost.getMessage.contains("became unavailable"), eLost.getMessage)
     } finally Federation.closeClusterSessions(clusters)
     // part 2: the lost cluster HOSTS a required table -> loud refusal
     tables.orders.limit(10).write.mode("overwrite").parquet(s"$tmp/b/orders")
