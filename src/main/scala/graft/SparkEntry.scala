@@ -2349,8 +2349,13 @@ object SparkEntry {
     //     require()'d IN the query; the oracle replays the diff as
     //     full-outer set logic. ---
     "q181_snapshot_diff" -> ((s, dir) => {
+      // both snapshots are re-scanned by the diff, the law probes AND
+      // the final evaluation — persist the derived inputs once (r11
+      // plan audit: the probes were recomputing `target`'s union per
+      // pass); the diff itself stays lineage-fresh so its plan is the
+      // operator's own one-join shape
       val cust = t(s, dir).customer.select(col("c_custkey").as("k"),
-        col("c_name").as("name"), col("c_acctbal").as("bal"))
+        col("c_name").as("name"), col("c_acctbal").as("bal")).persist()
       val target = cust.filter(col("k") % 17 =!= 0)
         .select(col("k"),
           when(col("k") % 7 === 0, upper(col("name"))).otherwise(col("name")).as("name"),
@@ -2359,6 +2364,7 @@ object SparkEntry {
           .select((col("k") + 1000000).as("k"),
             concat(lit("new_"), col("k").cast("string")).as("name"),
             lit(0.0).as("bal")))
+        .persist()
       val diff = graft.operators.Incremental.snapshotDiff(cust, target, Seq("k"))
       // round-trip law: applying the diff reconstructs the target exactly
       val applied = graft.operators.Incremental.mergeUpsert(cust,

@@ -96,6 +96,31 @@ object Incremental {
       measures: Seq[(String, Column)], scale: Int = 2): DataFrame =
     mergeStates(state, aggState(delta, keys, measures, scale))
 
+  /** Key-uniqueness guard folded INTO the dataflow rather than run as a
+    * separate probe job: pre-aggregate by key (count + first() pass-
+    * through of every non-key column) and trip `assert_true` on any
+    * count > 1. The groupBy hash-partitions on exactly the key the
+    * downstream join needs, so Catalyst reuses the exchange — the guard
+    * rides the shuffle the join pays anyway, instead of costing an
+    * extra full scan + shuffle per guarded side (the r11 q181 plan
+    * finding). For a key-unique input, first() is the row's own value,
+    * so the output is the input exactly. The violation surfaces at
+    * ACTION time as a SparkException (task failure) whose cause chain
+    * carries `msg` — later than an eager require, but at 100 TB a
+    * guard that doubles the scan count is the wrong trade. */
+  private def keyUniqueGuarded(df: DataFrame, keys: Seq[String],
+      prefix: String, msg: String): DataFrame = {
+    val others = df.columns.filterNot(keys.contains).toSeq
+    val aggs = count(lit(1)).as(s"${prefix}n") +:
+      others.map(c => first(col(c)).as(s"$prefix$c"))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      // assert_true returns NULL when the condition holds; the filter
+      // forces per-row evaluation and passes every (asserted) row
+      .filter(assert_true(col(s"${prefix}n") === 1, lit(msg)).isNull)
+      .drop(s"${prefix}n")
+      .withColumn(s"${prefix}present", lit(true))
+  }
+
   /** MERGE-style upsert (the Delta/Iceberg `MERGE INTO` dataflow,
     * expressed engine-neutrally): apply a CHANGES table to a BASE table
     * by key — matched rows take the change's values, unmatched changes
@@ -104,10 +129,12 @@ object Incremental {
     * table would produce; pair with [[aggState]]/[[applyDelta]] when
     * only a rollup (not the table) must be maintained.
     *
-    * Requires the changes table to be key-unique (require'd via a
-    * bounded probe — an ambiguous MERGE source is the classic silent
-    * corruption; Delta throws `MERGE destination matched multiple
-    * source rows` for the same reason).
+    * Requires the changes table to be key-unique — an ambiguous MERGE
+    * source is the classic silent corruption; Delta throws `MERGE
+    * destination matched multiple source rows` for the same reason.
+    * The guard is [[keyUniqueGuarded]]: it rides the join's own
+    * shuffle (zero extra jobs) and surfaces a violation at action time
+    * as a SparkException carrying "ambiguous MERGE source".
     *
     * Scale shape: ONE full-outer shuffle join on the key — the minimum
     * any engine pays to reconcile two keyed tables; broadcastable
@@ -120,18 +147,13 @@ object Incremental {
     require(changes.columns.toSet == base.columns.toSet ++ deleteCol,
       s"changes schema must be base schema + optional delete flag: " +
         s"${changes.columns.mkString(",")} vs ${base.columns.mkString(",")}")
-    val dupSources = changes.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
-    require(dupSources == 0L,
-      "mergeUpsert: a key matches multiple change rows — ambiguous MERGE source")
     // presence markers: a full-outer join nulls every column of the
     // absent side, and a change may legitimately SET a column to null —
     // so row presence must be a carried literal, not value nullability
     val b = dataCols.foldLeft(base) { (d, c) => d.withColumnRenamed(c, s"__b_$c") }
       .withColumn("__b_present", lit(true))
-    val c2 = changes.columns.filterNot(keys.contains).foldLeft(changes) {
-      (d, c) => d.withColumnRenamed(c, s"__c_$c") }
-      .withColumn("__c_present", lit(true))
+    val c2 = keyUniqueGuarded(changes, keys, "__c_",
+      "mergeUpsert: a key matches multiple change rows — ambiguous MERGE source")
     val j = b.join(c2, keys, "full_outer")
     val afterDelete = deleteCol match {
       case Some(dc) => j.filter(!coalesce(col(s"__c_$dc"), lit(false)))
@@ -220,12 +242,15 @@ object Incremental {
     * Unchanged keys are OMITTED — that minimality is the point.
     * Attribute comparison is NULL-SAFE (NULL -> value and value ->
     * NULL are both real updates). Both sides must be key-unique
-    * (bounded probes; a diff between ambiguous snapshots has no
-    * well-defined change feed).
+    * ([[keyUniqueGuarded]] — the check rides the diff's own shuffle
+    * and surfaces at action time; a diff between ambiguous snapshots
+    * has no well-defined change feed).
     *
     * Scale shape: ONE full-outer shuffle join on the key — the floor
     * for reconciling two keyed tables — and the output is
-    * change-sized, not snapshot-sized. */
+    * change-sized, not snapshot-sized. The uniqueness guards add no
+    * jobs and no shuffles (r11 plan audit: the old eager probes were
+    * two extra full scans). */
   def snapshotDiff(base: DataFrame, target: DataFrame,
       keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "at least one diff key")
@@ -233,15 +258,10 @@ object Incremental {
       s"snapshot schemas must match: ${base.columns.mkString(",")} vs " +
         target.columns.mkString(","))
     val attrs = base.columns.filterNot(keys.contains).toSeq
-    Seq(base -> "base", target -> "target").foreach { case (df, side) =>
-      val dup = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1).limit(1).count()
-      require(dup == 0L, s"snapshotDiff: $side snapshot is not key-unique")
-    }
-    val b = attrs.foldLeft(base) { (d, c) => d.withColumnRenamed(c, s"__b_$c") }
-      .withColumn("__b_present", lit(true))
-    val t = attrs.foldLeft(target) { (d, c) => d.withColumnRenamed(c, s"__t_$c") }
-      .withColumn("__t_present", lit(true))
+    val b = keyUniqueGuarded(base, keys, "__b_",
+      "snapshotDiff: base snapshot is not key-unique")
+    val t = keyUniqueGuarded(target, keys, "__t_",
+      "snapshotDiff: target snapshot is not key-unique")
     val j = b.join(t, keys, "full_outer")
     val differs = attrs.map(c => !(col(s"__b_$c") <=> col(s"__t_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
@@ -265,8 +285,9 @@ object Incremental {
     *
     * `hist` schema: keys ++ attrs ++ (valid_from TIMESTAMP,
     * valid_to TIMESTAMP nullable — NULL marks the current version).
-    * `changes`: keys ++ attrs, key-unique (require'd, bounded probe),
-    * all applied at one `asOf` timestamp — the batch-CDC shape.
+    * `changes`: keys ++ attrs, key-unique ([[keyUniqueGuarded]], rides
+    * the join shuffle), all applied at one `asOf` timestamp — the
+    * batch-CDC shape.
     * Attribute comparison is NULL-SAFE (a change from NULL to value
     * and value to NULL are both real changes).
     *
@@ -283,14 +304,10 @@ object Incremental {
       "hist must carry valid_from/valid_to")
     require(changes.columns.toSet == (keys ++ attrs).toSet,
       s"changes must be keys ++ attrs: ${changes.columns.mkString(",")}")
-    val dup = changes.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).limit(1).count()
-    require(dup == 0L, "scd2Apply: ambiguous change batch (duplicate key)")
-
     val closed = hist.filter(col("valid_to").isNotNull)
     val current = hist.filter(col("valid_to").isNull)
-    val ch = attrs.foldLeft(changes) { (d, c) => d.withColumnRenamed(c, s"__c_$c") }
-      .withColumn("__c_present", lit(true))
+    val ch = keyUniqueGuarded(changes, keys, "__c_",
+      "scd2Apply: ambiguous change batch (duplicate key)")
     val j = current.join(ch, keys, "full_outer")
     val differs = attrs.map(c => !(col(c) <=> col(s"__c_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))

@@ -21,6 +21,18 @@ class AlgebraicLawsSpec extends SparkSpec {
   private def samples[T](g: Gen[T], n: Int = 8): Seq[T] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  /** The uniqueness guards ride the operator's own shuffle (assert_true
+    * inside a task), so a violation surfaces at action time wrapped in
+    * SparkException layers — assert on the cause chain's message. */
+  private def assertRefusedWith(msg: String)(body: => Any): Unit = {
+    val e = intercept[Exception](body)
+    val chain = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .toSeq
+    assert(chain.exists(_.contains(msg)),
+      s"expected a failure containing '$msg', got:\n${chain.mkString("\n")}")
+  }
+
   test("filter commutes with projection when the predicate survives") {
     samples(rowsGen).foreach { rows =>
       val df = rows.toDF("a", "b")
@@ -155,11 +167,13 @@ class AlgebraicLawsSpec extends SparkSpec {
     // no delete column: pure upsert keeps every key
     val up = Incremental.mergeUpsert(base, changes.drop("del"), Seq("k"), None)
     assert(up.count() == 4)
-    // ambiguous source: two change rows for one key must be refused
+    // ambiguous source: two change rows for one key must be refused —
+    // the guard rides the merge join's own shuffle (no extra probe
+    // job), so it trips at action time inside a task
     val dup = Seq((2L, Some("x"), 1.0, false), (2L, Some("y"), 2.0, false))
       .toDF("k", "name", "bal", "del")
-    intercept[IllegalArgumentException] {
-      Incremental.mergeUpsert(base, dup, Seq("k"), Some("del"))
+    assertRefusedWith("ambiguous MERGE source") {
+      Incremental.mergeUpsert(base, dup, Seq("k"), Some("del")).count()
     }
     // schema drift refused
     intercept[IllegalArgumentException] {
@@ -208,10 +222,10 @@ class AlgebraicLawsSpec extends SparkSpec {
     assert(k1.map(_._3).toSeq == Seq(t0, t1, t2))
     assert(k1.map(_._4).toSeq == Seq(Some(t1), Some(t2), None),
       "validity intervals must chain without gaps")
-    // ambiguous batch refused
-    intercept[IllegalArgumentException] {
+    // ambiguous batch refused (in-flight guard: trips at action time)
+    assertRefusedWith("ambiguous change batch") {
       Incremental.scd2Apply(h1, Seq((1L, Some("x")), (1L, Some("y"))).toDF("k", "name"),
-        Seq("k"), t2)
+        Seq("k"), t2).count()
     }
     h1.unpersist()
   }
@@ -326,8 +340,8 @@ class AlgebraicLawsSpec extends SparkSpec {
     assert(bwd.exceptAll(base).isEmpty && base.exceptAll(bwd).isEmpty)
     // identical snapshots diff to EMPTY
     assert(Incremental.snapshotDiff(base, base, Seq("k")).isEmpty)
-    // ambiguous snapshot refused
-    intercept[IllegalArgumentException] {
+    // ambiguous snapshot refused (in-flight guard: trips at action time)
+    assertRefusedWith("not key-unique") {
       Incremental.snapshotDiff(
         base.unionByName(base.limit(1)), target, Seq("k")).count()
     }

@@ -329,6 +329,29 @@ class PlanSpec extends SparkSpec {
     assert(!tree.contains("ScalaUDF"), tree.take(2000))
   }
 
+  test("snapshotDiff: uniqueness guards ride the join's shuffles — 2 exchanges, 0 extra jobs") {
+    // r12 (VERDICT #3): the guard used to run two eager count-probe
+    // jobs before the join; now each side's groupBy(key) + assert_true
+    // IS the join's required partitioning, so the whole diff is two
+    // shuffle exchanges (one per side) and zero pre-jobs
+    import graft.operators.Incremental
+    val cust = tables.customer.select(col("c_custkey").as("k"),
+      col("c_name").as("name"), col("c_acctbal").as("bal"))
+    val target = cust.filter(col("k") % 2 === 0)
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val diff = Incremental.snapshotDiff(cust, target, Seq("k"))
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, s"building the diff launched ${after - before} probe job(s)")
+    val tree = diff.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(tree).size
+    assert(shuffles == 2,
+      s"expected exactly the join's two shuffles, saw $shuffles:\n${tree.take(3000)}")
+    // assert_true folds to `if (cond) true else isnull(raise_error(...))`
+    assert(tree.contains("raise_error"), s"guard missing from plan:\n${tree.take(3000)}")
+    // and the guarded diff still computes: every odd key is a delete
+    assert(diff.filter(col("op") =!= "delete").isEmpty)
+  }
+
   test("q182/q183: profiling reports are aggregate-only — no join of the corpus") {
     // q182: one tokenize+term-shuffle; totals are literals, so NO join
     val p182 = SparkEntry.queries("q182_distinctive_terms")(spark, sf)
