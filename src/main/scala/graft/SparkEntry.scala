@@ -1986,6 +1986,32 @@ object SparkEntry {
           lit(true).as("ascii_modes_agree"))
     }),
 
+    // --- Scripting UDFs (round 12, VERDICT #7): the `REGISTER
+    //     '<script>' USING <jsr223-lang> AS ns` surface oracle-checked
+    //     end to end — through the textual front-end, with the
+    //     built-in `toy` reference JSR-223 engine standing in for
+    //     jython/graal (none ship in this sandbox). Same protocol a
+    //     real engine jar takes: only (language, source) travels in
+    //     the UDF closure, each executor thread instantiates its own
+    //     engine, output types come from the script's declared
+    //     graft_output_schemas (schema-less functions default to
+    //     string, Pig's default-to-bytearray analogue). ---
+    "q201_script_udf" -> ((s, dir) => {
+      val udf = java.nio.file.Files.createTempFile("graft_q201_", ".toy")
+      java.nio.file.Files.writeString(udf,
+        """# schema: double_it double
+          |def double_it(x) = x * 2
+          |# schema: shout string
+          |def shout(s) = s + "!"
+          |# schema: add int
+          |def add(a, b) = a + b
+          |# schema: klen int
+          |def klen(s) = len(s)
+          |""".stripMargin)
+      graft.pig.PigScript.queryResource(s, "/pig/q201_script_udf.pig",
+        Map("DIR" -> dir, "UDF" -> udf.toString))
+    }),
+
     // --- Atomic commit protocol (round 11): the manifest-log CAS
     //     under the versioned-table family — commits stage data fully
     //     and promote a manifest file atomically (create-exclusive),
@@ -5837,6 +5863,17 @@ object SparkEntry {
          FROM (SELECT unnest(list_filter(
                  string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
                FROM documents)""",
+
+    // scripting UDFs: the oracle replays the toy script's arithmetic /
+    // string functions as plain SQL — double_it rides the filter,
+    // shout/add/klen the projection, with the declared output types
+    "q201_script_udf" ->
+      """SELECT o_orderkey,
+                o_orderpriority || '!' AS pr,
+                CAST(o_orderkey + 7 AS INTEGER) AS k7,
+                CAST(LENGTH(o_orderpriority) AS INTEGER) AS plen
+         FROM orders
+         WHERE o_totalprice * 2 > 200000.0""",
 
     // versioned-table lifecycle: the oracle replays merge1 (updates +
     // inserts) then merge2 (the %11 deletes) over the raw table; the

@@ -41,6 +41,9 @@ object ScriptUdfs {
     * (tests; embedders with custom engines). Checked before JSR-223
     * discovery. Keyed lowercase. */
   private val factories = TrieMap.empty[String, EngineFactory]
+  // built-in: the in-repo reference engine (see [[ToyScriptEngine]]),
+  // always resolvable — the protocol's oracle-checkable path (q201)
+  factories("toy") = () => new ToyScriptEngine
 
   /** Driver-side namespace registry: ns -> (language, source). Script-
     * scoped in Pig; JVM-scoped here with last-wins rebinding (same as

@@ -1,12 +1,14 @@
-package graft
+package graft.functions
 
 import javax.script.{AbstractScriptEngine, Bindings, ScriptContext, ScriptEngineFactory, SimpleBindings}
 import scala.collection.mutable
 
-/** A minimal but REAL JSR-223 engine for a toy UDF language, used to
-  * exercise the full scripting-UDF protocol (REGISTER → eval → schema
-  * binding → Invocable dispatch from executor threads) in a sandbox
-  * that ships no jython/graal jar. The engine honors the same contract
+/** A minimal but REAL JSR-223 engine for a toy UDF language — the
+  * in-repo reference engine for the scripting-UDF protocol (REGISTER →
+  * eval → schema binding → Invocable dispatch from executor threads),
+  * registered as the built-in `toy` language so the surface is
+  * exercisable (and oracle-checkable, q201) in a sandbox that ships no
+  * jython/graal jar. The engine honors the same contract
   * a real one would: `eval` defines functions and publishes
   * `graft_output_schemas`; `invokeFunction` dispatches by name.
   *

@@ -12,7 +12,10 @@ import graft.pig.PigScript
 class ScriptUdfSpec extends SparkSpec {
   import spark.implicits._
 
-  ScriptUdfs.registerEngineFactory("toy", () => new ToyScriptEngine)
+  // 'toy' is the built-in reference engine (ScriptUdfs registers it);
+  // the spec exercises the same factory path a real jar would take
+  ScriptUdfs.registerEngineFactory("toy",
+    () => new graft.functions.ToyScriptEngine)
 
   private def writeScript(): String = {
     val f = java.nio.file.Files.createTempFile("graft_udfs_", ".toy")
