@@ -67,7 +67,14 @@ object Bench {
     // they time tmp-dir parquet writes, not an operator dataflow (the
     // CAS and manifest reads are spec- and require()-checked instead)
     "q191_ann_index_persist", "q193_bpe_train_fast", "q194_multimodal_embed",
-    "q196_bpe_model_serve")
+    "q196_bpe_model_serve",
+    // round 12: PigMix corpus representatives — each timed run pays the
+    // FULL front-end (parse + typecheck + compile to DataFrame) plus
+    // execution, so a compiler-plan regression (e.g. a lost combiner in
+    // the nested-FOREACH lowering) shows up here, not just in plan
+    // specs. L1 = explode->regroup over documents, L7 = wide multi-agg
+    // over lineitem (the largest table), L16 = nested top-k flatten.
+    "q202_pigmix_l01", "q208_pigmix_l07", "q217_pigmix_l16")
 
   /** Per-query regression pins (round 9): each query's BEST recorded
     * driver median at sf0.1 across rounds 1–8. A timed median above
@@ -404,6 +411,39 @@ object Bench {
     // independent full replays.
     val streamQs = streamingSet.filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.contains(n)))
+    // Replay FLOOR (round 12, VERDICT r11 #9): the fixed cost of one
+    // micro-batch replay that does no work — fresh source/checkpoint/
+    // sink dirs, a 1-row parquet source, identity projection, parquet
+    // sink, AvailableNow. Everything above this number in a streaming
+    // median is the query's own state/shuffle/sink cost; the floor
+    // itself is session + offset-log + commit-log + sink I/O round
+    // trips. Emitted per artifact so "q158 is 10.6 s" is readable as
+    // "~1 floor + 9-something of near-dup state work" without a
+    // profiling session. Median of 3, measured only when the
+    // streaming section runs.
+    val streamFloor: Double = if (streamQs.isEmpty) -1.0 else {
+      def oneFloor(): Double = {
+        val tmp = java.nio.file.Files.createTempDirectory("bench_floor_").toString
+        val t0 = System.nanoTime()
+        val ss = graft.streaming.EventsStreaming.replaySession(spark)
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(StructField("k", LongType)))
+        spark.range(1).toDF("k").coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/src")
+        val q = ss.readStream.schema(schema).parquet(s"$tmp/src")
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      oneFloor() // warm (JIT + state-store class loading)
+      val fs = (1 to 3).map(_ => oneFloor()).sorted
+      System.err.println(f"[bench] stream floor times=${fs.map(t => f"$t%.2f").mkString(",")}")
+      fs(fs.length / 2)
+    }
     val streamResults = streamQs.flatMap { name =>
       System.err.println(s"[bench] stream warm $name")
       try benchQuery(name)(spark, sfDir).count()
@@ -452,7 +492,15 @@ object Bench {
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .trim.split(" ").take(3).mkString(" ")
       catch { case _: Throwable => "" }
-    val line = f"""{"metric":"total","value":$totalOut%.3f,"unit":"sec","baseline12_sec":$base12Out%.3f,"headline_sec":$totalOut%.3f,"queries":$qjson,"streaming_sec":$stotalOut%.3f,"streaming":$sjson,"failed":$fjson,"regressed":$rjson,"loadavg":"$loadavg","sf":"$sfDir"}"""
+    // Per-replay mean (round 12, VERDICT r11 #9): the streaming-section
+    // total grows every time a query is ADDED, so round-over-round
+    // section totals aren't comparable; seconds-per-replay is. Read
+    // with streaming_floor_sec: per-replay minus floor is the average
+    // real state/sink work per replay.
+    val perReplayOut =
+      if (streamingBroken || streamResults.isEmpty) -1.0
+      else stotal / streamResults.size
+    val line = f"""{"metric":"total","value":$totalOut%.3f,"unit":"sec","baseline12_sec":$base12Out%.3f,"headline_sec":$totalOut%.3f,"queries":$qjson,"streaming_sec":$stotalOut%.3f,"streaming_per_replay_sec":$perReplayOut%.3f,"streaming_floor_sec":$streamFloor%.3f,"streaming":$sjson,"failed":$fjson,"regressed":$rjson,"loadavg":"$loadavg","sf":"$sfDir"}"""
     println(line)
     // standalone artifact (BASELINE.md): survives any driver-side
     // tail-parsing change — the JSON line inside a raw log tail is

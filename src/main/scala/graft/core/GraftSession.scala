@@ -102,6 +102,52 @@ object GraftSession {
 
   private[core] val sqlLock = new Object
 
+  /** Materialize a DataFrame and truncate its lineage — the iteration
+    * primitive behind pageRank, pair-clustering, k-means, BPE training
+    * and the two-pass rank (anywhere a plan would otherwise grow
+    * `iters` deep or be recomputed per downstream job).
+    *
+    * Default = localCheckpoint: blocks live in executor storage
+    * (memory, spilling to local disk), no distributed-FS round trip —
+    * correct on local[*] and the fastest option on a healthy cluster,
+    * but NOT fault-tolerant: lineage is gone, so a lost executor makes
+    * the blocks unrecoverable and fails the job (Spark can't recompute
+    * what it no longer knows how to derive).
+    *
+    * On a real multi-node cluster, set a checkpoint directory once
+    * (`spark.sparkContext.setCheckpointDir("hdfs://…/ckpt")`): every
+    * iterative operator in the library then switches to RELIABLE
+    * checkpoints (replicated-FS-backed, executor-loss-safe) through
+    * this single switch — no per-operator flags. See SCALE.md
+    * ("Lineage truncation") for the tradeoff discussion.
+    *
+    * `eager=false` defers materialization to the first action, for
+    * call sites that truncate lineage but may never execute (e.g. a
+    * branch the caller might discard). */
+  def materialize(df: DataFrame, eager: Boolean = true): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager)
+    else df.localCheckpoint(eager)
+
+  /** RDD counterpart of [[materialize]] (rankBy's stats pass is the one
+    * RDD-level truncation in the library). Both variants mark the RDD
+    * and materialize at its next action; the reliable branch persists
+    * first so checkpointing doesn't recompute the job (and re-fire its
+    * accumulators). */
+  def materializeRdd[T](rdd: org.apache.spark.rdd.RDD[T]): org.apache.spark.rdd.RDD[T] =
+    if (rdd.sparkContext.getCheckpointDir.isDefined) {
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.checkpoint(); rdd
+    } else rdd.localCheckpoint()
+
+  /** Chainable form of [[materialize]] for operator pipelines:
+    * `import graft.core.GraftSession.Materialize` then
+    * `df.groupBy(…).agg(…).materialized()`. */
+  implicit class Materialize(private val df: DataFrame) extends AnyVal {
+    def materialized(eager: Boolean = true): DataFrame =
+      GraftSession.materialize(df, eager)
+  }
+
   /** Scale-oriented defaults applied to every session this engine builds:
     * AQE (runtime re-plan: skew-join splitting, partition coalescing,
     * broadcast demotion), nested-schema pruning so struct/map accesses

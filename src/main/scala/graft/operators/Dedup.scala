@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.GraftSession.Materialize
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -329,19 +330,19 @@ object Dedup {
     * chains; labels are exact when the driver-checked convergence flag
     * holds. */
   def clusterPairs(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // Eager localCheckpoint at every step: caching alone is NOT enough
+    // Eager materialize at every step: caching alone is NOT enough
     // for iterative dataflows — the LOGICAL plan keeps growing and
     // Catalyst canonicalization goes super-linear after a few rounds.
-    // Checkpointing truncates lineage to a materialized RDD. (Production
-    // note: use reliable checkpoint() with a checkpoint dir so executor
-    // loss cannot drop the truncated lineage.)
+    // GraftSession.materialize truncates lineage (localCheckpoint by
+    // default; reliable checkpoint when the context has a checkpoint
+    // dir — see SCALE.md "Lineage truncation").
     val edges = pairs.select(col("id1"), col("id2"))
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .localCheckpoint(true)
+      .materialized()
     var labels = edges.select(col("id1").as("id"))
       .union(edges.select(col("id2").as("id"))).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .materialized()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -351,7 +352,7 @@ object Dedup {
       val next = labels.select(col("id"), col("label"))
         .union(viaNeighbor)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+        .materialized()
       val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") =!= col("old")).limit(1).count()
       labels = next

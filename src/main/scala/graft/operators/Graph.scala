@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.GraftSession.Materialize
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -22,7 +23,7 @@ import org.apache.spark.sql.functions._
   * on src + groupBy(dst) SUM — two shuffles over the EDGE table, with
   * map-side partial sums on the dst aggregation (a hub page's million
   * in-links combine per-task before shuffling). Ranks/degrees are
-  * node-sized. Each iteration is materialized (localCheckpoint) so the
+  * node-sized. Each iteration is materialized (GraftSession.materialize) so the
   * plan stays iteration-sized instead of growing a join tree `iters`
   * deep — the standard Pregel-style practice. Repartition edges by src
   * once up front and every iteration's probe side arrives pre-shuffled.
@@ -61,7 +62,7 @@ object Graph {
     // iteration reads them twice — without a persist the whole lineage
     // re-executes per iteration (measured 71 s -> 4 s at sf0.1).
     // Safe to unpersist before returning: the final ranks are an eager
-    // localCheckpoint, so nothing downstream re-reads these.
+    // materialize, so nothing downstream re-reads these.
     val edges = edgesIn
       .select(col(srcCol).cast("string").as("s"), col(dstCol).cast("string").as("d"))
       .filter(col("s").isNotNull && col("d").isNotNull)
@@ -93,7 +94,7 @@ object Graph {
           .select(col("node"),
             (lit(teleport) +
               expr(s"($dampNum * coalesce(in_mass, 0L)) div $dampDen")).as("rank"))
-          .localCheckpoint(true)
+          .materialized()
       }
       ranks
     } finally {

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.GraftSession.Materialize
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -162,7 +163,7 @@ object Relational {
         def next(): Row = underlying.next()
       }
     }
-    val ckpt = statted.localCheckpoint()
+    val ckpt = graft.core.GraftSession.materializeRdd(statted)
     ckpt.count() // job 1: materialize sorted keys + collect stats
     val perPart = {
       import scala.jdk.CollectionConverters._

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.GraftSession.Materialize
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -371,7 +372,7 @@ object Similarity {
     val cands = scala.collection.mutable.ArrayBuffer[Seq[Double]](first(0))
     var state = withMinDist(keyed, cands.toSeq, "dmin")
       .select(col("kid"), col("v"), col("w"), col("dmin"))
-      .localCheckpoint()
+      .materialized()
     for (r <- 1 to rounds) {
       // DECIMAL-exact total cost: a double sum's rounding depends on
       // partition/merge order, and phi feeds every coin-flip threshold
@@ -389,13 +390,13 @@ object Similarity {
         if (newC.nonEmpty) {
           cands ++= newC
           // only the NEW candidates are scored (incremental-cost
-          // trick), and the update is map-only — localCheckpoint keeps
+          // trick), and the update is map-only — materialize keeps
           // each round's dmin materialized so phi/coin-flip actions
           // never replay prior rounds
           state = withMinDist(state, newC.toSeq, "nd")
             .select(col("kid"), col("v"), col("w"),
               least(col("dmin"), col("nd")).as("dmin"))
-            .localCheckpoint()
+            .materialized()
         }
       }
     }
@@ -561,14 +562,14 @@ object Similarity {
     // nondeterministic plan could diverge from what the probe sized.
     // When the probe already saw every row (the limit was not hit),
     // rebuild the table from those exact rows; otherwise pin ONE
-    // materialization with localCheckpoint.
+    // materialization with GraftSession.materialize.
     val stableCents =
       if (collected.isDefined) cents // literal path never reads the table
       else if (probe.length <= LiteralMaxCentroids) {
         val spark = centroids.sparkSession
         import spark.implicits._
         probe.toSeq.toDF("cid", "cv")
-      } else cents.localCheckpoint()
+      } else cents.materialized()
     ivfCore(corpus, queries, corpusId, queryId, vecCol, k, stableCents,
       collected, nProbe)
   }
@@ -976,7 +977,7 @@ object Similarity {
     // a near-free projection where materializing would only add I/O.
     val literal = useLiteralPath(df, vecCol, k, literalBudgetDoubles)
     val assignedRaw = semDedupAssignImpl(df, idCol, vecCol, k, literal)
-    val assigned = if (literal) assignedRaw else assignedRaw.localCheckpoint()
+    val assigned = if (literal) assignedRaw else assignedRaw.materialized()
     val pruned = assigned.as("a").join(assigned.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col(s"a.$idCol") < col(s"b.$idCol") &&
@@ -1008,7 +1009,7 @@ object Similarity {
     // decision as semDedup (see there)
     val literal = useLiteralPath(df, vecCol, k, literalBudgetDoubles)
     val assignedRaw = semDedupAssignImpl(df, idCol, vecCol, k, literal)
-    val assigned = if (literal) assignedRaw else assignedRaw.localCheckpoint()
+    val assigned = if (literal) assignedRaw else assignedRaw.materialized()
     val candidates = (0 until bands).map { band =>
       val b = assigned.select(col(idCol), col("cluster"),
         graft.plans.VectorExpressions.rpLshBucket(

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.GraftSession.Materialize
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -244,7 +245,7 @@ object TextAnalysis {
     * in exactly one corpus-sized shuffle up front), so iteration cost
     * is vocab-sized regardless of corpus size; the driver holds only
     * the merge list (nMerges entries — the same state any BPE trainer
-    * ships as its artifact). The vocab is localCheckpoint'd each
+    * ships as its artifact). The vocab is materialized each
     * iteration: the symbols column is rewritten per merge, and without
     * truncation the lineage (and Catalyst re-canonicalization cost)
     * grows linearly in merges — the [[graft.operators.Dedup.clusterPairs]]
@@ -271,7 +272,7 @@ object TextAnalysis {
         else col("tok")).as("tok"), col("freq"))
       .select(expr("transform(sequence(1, length(tok)), i -> substring(tok, i, 1))")
         .as("syms"), col("freq"))
-      .localCheckpoint()
+      .materialized()
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     // adjacent pairs: zip the symbol array with its own tail
     def adjacentPairs(syms: Column): Column = zip_with(
@@ -295,7 +296,7 @@ object TextAnalysis {
         merges += BpeMerge(a, b, best(0).getLong(1))
         vocab = vocab
           .select(mergeAdjacent(col("syms"), a, b).as("syms"), col("freq"))
-          .localCheckpoint()
+          .materialized()
       }
     }
     (merges.toSeq, vocab)
@@ -342,7 +343,7 @@ object TextAnalysis {
     val freqDf = docs
       .select(explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-      .localCheckpoint() // one corpus-sized job; reread twice below
+      .materialized() // one corpus-sized job; reread twice below
     val Array(dropT, dropM) = freqDf.filter(col("freq") < minFreq)
       .agg(coalesce(count(lit(1)), lit(0L)),
         coalesce(sum(col("freq")), lit(0L)))

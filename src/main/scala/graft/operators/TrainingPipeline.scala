@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.GraftSession.Materialize
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -353,7 +354,7 @@ object TrainingPipeline {
     * (shard ASC, hash ASC, id ASC) equals the serial walk):
     *
     *   1. one tokenize pass → narrow (group, id, n_tokens, hash,
-    *      shard) projection, localCheckpoint'd so text is read once
+    *      shard) projection, materialized so text is read once
     *      (same lifetime discipline as [[Relational.rankBy]]);
     *   2. per-(group, shard) token masses — groups × S rows, bounded
     *      driver metadata (this is per-DOMAIN accounting; a guard
@@ -387,7 +388,7 @@ object TrainingPipeline {
       // column would drop null-group rows the serial window kept
       .withColumn("__gk", when(col(groupCol).isNull, lit("\u0000"))
         .otherwise(concat(lit("="), col(groupCol).cast("string"))))
-      .localCheckpoint()
+      .materialized()
     val masses = narrow.groupBy(col("__gk"), col("__shard"))
       .agg(coalesce(sum(col("__nt")), lit(0L)).as("__mass")).collect()
     require(masses.length <= (1 << 20),
@@ -440,7 +441,7 @@ object TrainingPipeline {
     * Scale shape: the running sum is the q150 rankBy trick — md5-RANGE
     * shards (top 16 hash bits collapsed to [0, shards)), per-shard
     * masses driver-prefix-summed into offsets, window per SHARD — so
-    * parallelism = shards, never 1. One narrow localCheckpoint'd
+    * parallelism = shards, never 1. One narrow materialized
     * projection; weights are probed non-negative (bounded limit-1
     * probe; a negative weight would silently corrupt every cum after
     * it, the same refuse-don't-fake rule as mergeUpsert ambiguity).
@@ -465,7 +466,7 @@ object TrainingPipeline {
       .withColumn("__shard",
         (conv(substring(col("__h"), 1, 4), 16, 10).cast("long") *
           shards / 65536L).cast("int"))
-      .localCheckpoint()
+      .materialized()
     val neg = narrow.filter(col("__w") < 0L).limit(1).count()
     require(neg == 0L, "ppsSystematicSample: negative weight — cumulative " +
       "intervals would be non-monotone; clean the weight column first")

@@ -83,4 +83,39 @@ class GraphSpec extends SparkSpec {
       s"ring fixed point must hold at the auto-derived scale: $distinctRanks")
     assert(r.count() == n)
   }
+
+  test("reliable-checkpoint switch: setCheckpointDir flips every iterative operator, results identical") {
+    // GraftSession.materialize is the library's single lineage-truncation
+    // point; with a checkpoint dir set it must route to RELIABLE
+    // df.checkpoint (executor-loss-safe on a real cluster) and produce
+    // bit-identical results. Restore the unset state afterward — the
+    // SparkContext is JVM-shared and other suites assert the local path.
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "a"), ("c", "a")).toDF("s", "d")
+    val local = Graph.pageRank(edges, "s", "d", iters = 3, scale = S)
+      .as[(String, Long)].collect().toMap
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val localCc = graft.operators.Dedup.clusterPairs(pairs)
+      .as[(Long, Long)].collect().toMap
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_reliable_ckpt").toString
+    val sc = spark.sparkContext
+    sc.setCheckpointDir(ckptDir)
+    try {
+      val reliable = Graph.pageRank(edges, "s", "d", iters = 3, scale = S)
+        .as[(String, Long)].collect().toMap
+      assert(reliable == local, "reliable-checkpoint path must be bit-identical")
+      val reliableCc = graft.operators.Dedup.clusterPairs(pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(reliableCc == localCc)
+      // receipt: the switch actually engaged — checkpoint files exist
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable checkpoints must land in the checkpoint dir")
+    } finally {
+      // SparkContext has no public unset; restore via the private var so
+      // the rest of the suite keeps exercising the localCheckpoint path
+      val f = sc.getClass.getDeclaredMethod("checkpointDir_$eq", classOf[Option[String]])
+      f.invoke(sc, None)
+      assert(sc.getCheckpointDir.isEmpty)
+    }
+  }
 }
