@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
+import graft.core.GraftSession.Materialize
 import graft.functions.PigFunctions._
 import graft.operators.Relational
 
@@ -2058,6 +2059,91 @@ object SparkEntry {
     "q216_pigmix_l15" -> pigmixQ("l15"),
     "q217_pigmix_l16" -> pigmixQ("l16"),
     "q218_pigmix_l17" -> pigmixQ("l17"),
+
+    // --- Data skipping over manifest stats (round 12): commits record
+    //     per-file min/max from parquet footers (a distributed
+    //     metadata job, never a data scan); a range read resolves its
+    //     file list from ONE manifest read. Receipts require()'d
+    //     in-entry: a ~2% key range on a clustered table prunes ≥ 7/8
+    //     of the files, and the pruned read is row-exactly the full
+    //     read's filter (skipping must never change an answer). ---
+    "q219_data_skipping" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val vt = java.nio.file.Files.createTempDirectory("graft_skip_q219_")
+        .toString + "/t"
+      val ord = t(s, dir).orders.select(col("o_orderkey").as("k"),
+          col("o_orderpriority").as("pr"), col("o_totalprice").as("price"))
+        .repartitionByRange(32, col("k")).sortWithinPartitions("k")
+      require(VersionedTable.commit(s, vt, ord, -1L, "loader",
+        statsCols = Some(Seq("k", "price"))) == 0L)
+      val maxk = t(s, dir).orders.agg(max(col("o_orderkey")))
+        .collect()(0).getLong(0)
+      val lo = maxk / 4; val hi = lo + maxk / 50
+      val bounds = Seq(VersionedTable.ColBound("k", Some(lo), Some(hi)))
+      val (kept, total) = VersionedTable.prunedFiles(s, vt, 0L, bounds)
+      require(kept.length * 8 <= total,
+        s"q219: a ~2% key range on a clustered table must skip >= 7/8 of " +
+          s"its files (kept ${kept.length} of $total)")
+      val pruned = VersionedTable.readWhere(s, vt, bounds)
+        .filter(col("k").between(lo, hi))
+      val full = VersionedTable.read(s, vt).filter(col("k").between(lo, hi))
+      require(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty,
+        "q219: skipping changed the answer")
+      pruned
+    }),
+
+    // --- Change data feed at churn cost (round 12): the keyed change
+    //     set between two committed versions, diffed from ONLY the
+    //     files that changed — shared files never read. Receipts
+    //     require()'d in-entry: localized churn touches a strict file
+    //     subset, an OPTIMIZE between the versions diffs to EMPTY
+    //     (pure rewrites cancel), and the churn-file feed equals the
+    //     full snapshot diff row for row. ---
+    "q220_table_cdf" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val vt = java.nio.file.Files.createTempDirectory("graft_cdf_q220_")
+        .toString + "/t"
+      val cust = t(s, dir).customer.select(col("c_custkey").as("k"),
+          col("c_name").as("name"), col("c_acctbal").as("bal"))
+        .repartitionByRange(32, col("k")).sortWithinPartitions("k")
+      require(VersionedTable.commit(s, vt, cust, -1L, "loader",
+        statsCols = Some(Seq("k"))) == 0L)
+      val maxk = t(s, dir).customer.agg(max(col("c_custkey")))
+        .collect()(0).getLong(0)
+      val thr = maxk / 50
+      val v0 = VersionedTable.readVersion(s, vt, 0L)
+      val upd = v0.filter(col("k") <= thr).select(col("k"), col("name"),
+        (col("bal") + 1000).as("bal"), lit(false).as("__del"))
+      val del = v0.filter(col("k") > 2 * thr && col("k") <= 3 * thr)
+        .withColumn("__del", lit(true))
+      val ins = v0.filter(col("k") % 131 === 0)
+        .select((col("k") + 10000000L).as("k"),
+          concat(lit("new_"), col("k").cast("string")).as("name"),
+          lit(0.0).as("bal"), lit(false).as("__del"))
+      val st = VersionedTable.merge(s, vt, upd.unionByName(del).unionByName(ins),
+        Seq("k"), 0L, "merger", deleteCol = Some("__del"))
+      require(st.filesRemoved * 4 <= st.filesTotal,
+        s"q220: localized churn must touch a strict file subset ($st)")
+      val cdf = VersionedTable.changesBetween(s, vt, 0L, 1L, Seq("k"))
+        .materialized()
+      // law (verified at test scale, paid at churn bytes at any scale):
+      // the churn-file feed IS the full snapshot diff
+      val fullD = graft.operators.Incremental.snapshotDiff(
+        VersionedTable.readVersion(s, vt, 0L),
+        VersionedTable.readVersion(s, vt, 1L), Seq("k"))
+      require(cdf.exceptAll(fullD).isEmpty && fullD.exceptAll(cdf).isEmpty,
+        "q220: churn-file CDF must equal the full snapshot diff")
+      // an OPTIMIZE commit is invisible to the feed, and the feed
+      // across it still reports exactly the real churn
+      VersionedTable.compactSmallFiles(s, vt, 1L, "opt",
+        smallBytes = 1L << 30, targetFileCount = 4)
+      require(VersionedTable.changesBetween(s, vt, 1L, 2L, Seq("k"))
+        .count() == 0, "q220: compaction must diff to empty")
+      val across = VersionedTable.changesBetween(s, vt, 0L, 2L, Seq("k"))
+      require(across.exceptAll(cdf).isEmpty && cdf.exceptAll(across).isEmpty,
+        "q220: the feed across a compaction must still be the real churn")
+      cdf
+    }),
 
     // --- Atomic commit protocol (round 11): the manifest-log CAS
     //     under the versioned-table family — commits stage data fully
@@ -5898,6 +5984,36 @@ object SparkEntry {
          SELECT k1 % 10 AS bucket, COUNT(*) AS n,
                 CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
          FROM m2 GROUP BY 1""",
+
+    // data skipping: the oracle is the plain range filter — the
+    // engine side answers it from manifest-stats-pruned files (>=7/8
+    // skipped, require()'d in-entry with the exactness law)
+    "q219_data_skipping" ->
+      """WITH b AS (SELECT CAST(FLOOR(MAX(o_orderkey) / 4.0) AS BIGINT) AS lo,
+                           CAST(FLOOR(MAX(o_orderkey) / 4.0)
+                                + FLOOR(MAX(o_orderkey) / 50.0) AS BIGINT) AS hi
+                    FROM orders)
+         SELECT o_orderkey AS k, o_orderpriority AS pr, o_totalprice AS price
+         FROM orders, b WHERE o_orderkey BETWEEN lo AND hi""",
+
+    // change data feed: the oracle emits the churn directly (it knows
+    // the update/delete/insert recipe); the engine derives the same
+    // feed by diffing only the files the merge touched
+    "q220_table_cdf" ->
+      """WITH base AS (SELECT c_custkey AS k, c_name AS name,
+                              c_acctbal AS bal FROM customer),
+              b AS (SELECT CAST(FLOOR(MAX(c_custkey) / 50.0) AS BIGINT) AS t
+                    FROM customer)
+         SELECT k, name, bal + 1000 AS bal, 'update' AS op
+         FROM base, b WHERE k <= t
+         UNION ALL
+         SELECT k, CAST(NULL AS VARCHAR) AS name, CAST(NULL AS DOUBLE) AS bal,
+                'delete' AS op
+         FROM base, b WHERE k > 2 * t AND k <= 3 * t
+         UNION ALL
+         SELECT k + 10000000 AS k, 'new_' || CAST(k AS VARCHAR) AS name,
+                0.0 AS bal, 'insert' AS op
+         FROM base WHERE k % 131 = 0""",
 
     // ANN lifecycle capstone: the recall contract over the
     // post-delete corpus (compaction==fresh-build row-exactness and

@@ -54,12 +54,23 @@ import org.apache.spark.sql.functions._
   * newest-first retention, same discipline as
   * [[graft.streaming.CurationStreaming.scd2Expire]] including its
   * keep >= 2 floor.
+  *
+  * Round 12 additions riding the same manifest: per-file column
+  * min/max stats (footer-derived, `stats=` lines) give DATA SKIPPING
+  * — [[readWhere]] resolves a range predicate to the intersecting
+  * files from one manifest read, and [[merge]] pre-prunes its
+  * touched-file scan by the change set's key envelope; and
+  * [[changesBetween]] derives the keyed change feed between two
+  * versions from ONLY the changed files (CDC at churn cost — an
+  * OPTIMIZE diffs to empty because carried-along rows cancel).
   */
 object VersionedTable {
 
   final class CommitConflict(msg: String) extends RuntimeException(msg)
 
-  /** One committed version's metadata, parsed from its manifest. */
+  /** One committed version's metadata, parsed from its manifest.
+    * `stats`: rel-path → column → (minEnc, maxEnc) canonical encodings
+    * (see [[encodeStat]]) — the data-skipping index. */
   final case class Manifest(
       version: Long,
       parent: Long,
@@ -68,7 +79,8 @@ object VersionedTable {
       stagingDir: Option[String],
       files: Seq[String],
       removed: Seq[String],
-      legacyDataDir: Option[String])
+      legacyDataDir: Option[String],
+      stats: Map[String, Map[String, (String, String)]] = Map.empty)
 
   /** Receipt for a delta commit — the q198 "bytes written < 5% of
     * table" claim is checked from these numbers, not from trust. */
@@ -126,7 +138,15 @@ object VersionedTable {
       stagingDir = one("datadir"),
       files = all("file"),
       removed = all("removed"),
-      legacyDataDir = one("data"))
+      legacyDataDir = one("data"),
+      stats = all("stats").flatMap { line =>
+        line.split('\t') match {
+          case Array(rel, c, mn, mx) => Some((rel, c, mn, mx))
+          case _                     => None // malformed stats never break reads
+        }
+      }.groupBy(_._1).map { case (rel, rows) =>
+        rel -> rows.map(r => r._2 -> (r._3, r._4)).toMap
+      })
   }
 
   /** Data files (dir-relative paths) under a staging dir — parquet
@@ -203,6 +223,311 @@ object VersionedTable {
     readVersion(spark, dir, v)
   }
 
+  // ──────────────── data skipping over manifest stats (round 12) ────────────────
+  //
+  // Commits record per-file column min/max (parquet footer statistics,
+  // read in a distributed metadata job — never a data scan) as
+  // `stats=` manifest lines. A reader resolves a range predicate to
+  // the subset of live files whose envelopes intersect it from ONE
+  // manifest read — the Delta/Iceberg data-skipping design. At 100 TB
+  // with a clustered layout ([[Layout]]), a keyed point/range query
+  // reads the handful of files that can contain matches; everything
+  // else is skipped before Spark ever lists it. Pruning is
+  // CONSERVATIVE by construction: a file with no usable stats for a
+  // bounded column is always kept — missing stats degrade to a bigger
+  // read, never a wrong answer (the SparseIndex discipline).
+
+  /** Inclusive column-range predicate for file skipping. At least one
+    * side must be set. Bound values are plain values of the column's
+    * external type (Int/Long/Short/Byte, Float/Double, String,
+    * java.sql.Date / java.time.LocalDate, java.sql.Timestamp /
+    * java.time.Instant). */
+  final case class ColBound(col: String,
+      lower: Option[Any] = None, upper: Option[Any] = None) {
+    require(lower.isDefined || upper.isDefined,
+      s"ColBound($col): at least one side must be set")
+  }
+
+  /** Sentinel for "this file has zero non-null values for the column"
+    * — prunable by ANY range bound (SQL comparisons never match null). */
+  private val AllNull = "~null~"
+
+  /** The comparison domain a column's footer stats live in:
+    * 'l' integral-as-long (incl. date days and timestamp micros),
+    * 'd' floating-as-double (zeros normalized so -0.0 == 0.0, matching
+    * Spark comparison semantics), 'b' UTF-8 bytes compared unsigned —
+    * which is BOTH parquet's Binary stats order and Spark's
+    * binary-collation string order. None = unsupported type: stats are
+    * never collected and bounds on it never prune. */
+  private def statDomain(dt: org.apache.spark.sql.types.DataType): Option[Char] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType => Some('l')
+      case FloatType | DoubleType => Some('d')
+      case StringType => Some('b')
+      case _ => None
+    }
+  }
+
+  private def normZero(d: Double): Double = if (d == 0.0d) 0.0d else d
+
+  private def encodeStat(domain: Char, v: Any): String = domain match {
+    case 'l' => v.toString
+    case 'd' => java.lang.Double.toString(normZero(v.asInstanceOf[Double]))
+    case 'b' => java.util.Base64.getEncoder.encodeToString(v.asInstanceOf[Array[Byte]])
+  }
+
+  private def decodeStat(domain: Char, s: String): Any = domain match {
+    case 'l' => s.toLong
+    case 'd' => normZero(s.toDouble)
+    case 'b' => java.util.Base64.getDecoder.decode(s)
+  }
+
+  /** A user/envelope bound value in its comparison domain. */
+  private def boundValue(domain: Char, colName: String, v: Any): Any = domain match {
+    case 'l' => v match {
+      case d: java.sql.Date       => d.toLocalDate.toEpochDay
+      case d: java.time.LocalDate => d.toEpochDay
+      case t: java.sql.Timestamp  =>
+        Math.addExact(Math.multiplyExact(t.toInstant.getEpochSecond, 1000000L),
+          (t.getNanos / 1000).toLong)
+      case i: java.time.Instant   =>
+        Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+          (i.getNano / 1000).toLong)
+      case n: java.lang.Number    => n.longValue
+      case other => throw new IllegalArgumentException(
+        s"bound on $colName: expected an integral/date/timestamp value, got " +
+          s"${other.getClass.getName}")
+    }
+    case 'd' => v match {
+      case n: java.lang.Number =>
+        val d = n.doubleValue
+        require(!d.isNaN, s"bound on $colName: NaN is not a range bound")
+        normZero(d)
+      case other => throw new IllegalArgumentException(
+        s"bound on $colName: expected a numeric value, got ${other.getClass.getName}")
+    }
+    case 'b' => v match {
+      case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      case other => throw new IllegalArgumentException(
+        s"bound on $colName: expected a String, got ${other.getClass.getName}")
+    }
+  }
+
+  private def cmp(domain: Char, a: Any, b: Any): Int = domain match {
+    case 'l' => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case 'd' => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case 'b' =>
+      val x = a.asInstanceOf[Array[Byte]]; val y = b.asInstanceOf[Array[Byte]]
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(x.length, y.length)
+  }
+
+  /** Per-file footer stats for `colDomains`, read DISTRIBUTED (paths
+    * parallelized, footers opened on executors — indexing 100k files
+    * is a short metadata job). Per file and column:
+    *   - usable min/max across row groups → encoded envelope;
+    *   - zero non-null values anywhere → the [[AllNull]] sentinel;
+    *   - anything uncertain (column missing, stats absent/legacy,
+    *     unexpected physical type, NaN) → NO entry: the file is
+    *     never pruned on that column. */
+  private def collectStats(spark: SparkSession, dir: String,
+      rels: Seq[String], colDomains: Seq[(String, Char)])
+      : Map[String, Map[String, (String, String)]] = {
+    if (rels.isEmpty || colDomains.isEmpty) return Map.empty
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val dirStr = dir
+    val slices = math.max(1, math.min(rels.length, 64))
+    spark.sparkContext.parallelize(rels, slices).map { rel =>
+      rel -> fileFooterStats(conf.value, s"$dirStr/$rel", colDomains)
+    }.collect().toMap // O(files × cols) encodings — manifest-sized metadata
+  }
+
+  private def fileFooterStats(conf: org.apache.hadoop.conf.Configuration,
+      path: String, colDomains: Seq[(String, Char)])
+      : Map[String, (String, String)] = {
+    import scala.jdk.CollectionConverters._
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      conf, new org.apache.hadoop.fs.Path(path),
+      org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    val blocks = footer.getBlocks.asScala.toSeq
+    colDomains.flatMap { case (name, domain) =>
+      var usable = true
+      var sawValue = false
+      var mn: Any = null
+      var mx: Any = null
+      def fold(lo: Any, hi: Any): Unit = {
+        if (!sawValue) { mn = lo; mx = hi; sawValue = true }
+        else {
+          if (cmp(domain, lo, mn) < 0) mn = lo
+          if (cmp(domain, hi, mx) > 0) mx = hi
+        }
+      }
+      blocks.foreach { block =>
+        if (usable) block.getColumns.asScala
+          .find(_.getPath.toDotString == name) match {
+          case None => usable = false
+          case Some(cc) =>
+            val st = cc.getStatistics
+            if (st == null || st.isEmpty) usable = false
+            else if (!st.hasNonNullValue) {
+              // a chunk with no recorded values is fine ONLY when it is
+              // provably all-null; otherwise stats were simply not written
+              if (!(st.isNumNullsSet && st.getNumNulls == cc.getValueCount))
+                usable = false
+            } else (domain, st.genericGetMin, st.genericGetMax) match {
+              case ('l', lo: java.lang.Number, hi: java.lang.Number) =>
+                fold(lo.longValue, hi.longValue)
+              case ('d', lo: java.lang.Number, hi: java.lang.Number) =>
+                val (l, h) = (lo.doubleValue, hi.doubleValue)
+                if (l.isNaN || h.isNaN) usable = false
+                else fold(normZero(l), normZero(h))
+              case ('b', lo: org.apache.parquet.io.api.Binary,
+                         hi: org.apache.parquet.io.api.Binary) =>
+                fold(lo.getBytes, hi.getBytes)
+              case _ => usable = false
+            }
+        }
+      }
+      if (!usable) None
+      else if (!sawValue) Some(name -> (AllNull, AllNull))
+      else Some(name -> (encodeStat(domain, mn), encodeStat(domain, mx)))
+    }.toMap
+  }
+
+  /** Resolve which columns a commit collects stats for: an explicit
+    * list is validated LOUDLY (must exist, must be a supported type);
+    * None inherits the parent's stats-column set, quietly dropping
+    * columns the new schema no longer carries or supports. */
+  private def resolveStatsCols(explicit: Option[Seq[String]],
+      parentStats: Map[String, Map[String, (String, String)]],
+      schema: org.apache.spark.sql.types.StructType): Seq[(String, Char)] =
+    explicit match {
+      case Some(cols) => cols.map { c =>
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"statsCols: no column '$c' in ${schema.fieldNames.mkString(",")}"))
+        c -> statDomain(f.dataType).getOrElse(
+          throw new IllegalArgumentException(
+            s"statsCols: ${f.dataType.simpleString} column '$c' has no " +
+              "supported stats domain (integral/floating/string/date/timestamp)"))
+      }
+      case None =>
+        parentStats.valuesIterator.flatMap(_.keysIterator).toSeq.distinct.sorted
+          .flatMap { c =>
+            schema.fields.find(_.name == c)
+              .flatMap(f => statDomain(f.dataType)).map(c -> _)
+          }
+    }
+
+  /** The live files of version `v` that a conjunction of range bounds
+    * can possibly match, resolved purely from the manifest — plus the
+    * total live count as the skipping receipt. Files without usable
+    * stats for a bounded column are KEPT (conservative). */
+  def prunedFiles(spark: SparkSession, dir: String, v: Long,
+      bounds: Seq[ColBound]): (Seq[String], Int) = {
+    require(bounds.nonEmpty, "at least one bound (or use readVersion)")
+    val m = readManifest(spark, dir, v)
+    val live = liveFiles(spark, dir, v)
+    val schema = m.schema
+    if (m.stats.isEmpty || schema.isEmpty) return (live, live.length)
+    // pre-encode each bound in its column's domain; a bound on a
+    // column the schema lacks (or an unsupported type) never prunes
+    val encoded: Seq[(String, Char, Option[Any], Option[Any])] =
+      bounds.flatMap { b =>
+        schema.get.fields.find(_.name == b.col)
+          .flatMap(f => statDomain(f.dataType))
+          .map(d => (b.col, d,
+            b.lower.map(boundValue(d, b.col, _)),
+            b.upper.map(boundValue(d, b.col, _))))
+      }
+    val kept = live.filter { rel =>
+      val fileStats = m.stats.getOrElse(rel, Map.empty)
+      encoded.forall { case (c, d, lo, hi) =>
+        fileStats.get(c) match {
+          case None                 => true  // no stats → cannot prune
+          case Some((AllNull, _))   => false // zero non-null values → no match
+          case Some((mnE, mxE)) =>
+            val mn = decodeStat(d, mnE); val mx = decodeStat(d, mxE)
+            lo.forall(l => cmp(d, mx, l) >= 0) && hi.forall(h => cmp(d, mn, h) <= 0)
+        }
+      }
+    }
+    (kept, live.length)
+  }
+
+  /** Version `v` (latest when v < 0) restricted to the files whose
+    * stat envelopes intersect `bounds` — a conservative SUPERSET of
+    * the matching rows: apply the exact row filter on the result. At
+    * 100 TB with a clustered layout this is the point/range-read
+    * primitive: one manifest read decides the file list. */
+  def readWhere(spark: SparkSession, dir: String, bounds: Seq[ColBound],
+      v: Long = -1L): DataFrame = {
+    val ver = if (v >= 0) v else latestVersion(spark, dir)
+    require(ver >= 0, s"no committed versions under $dir")
+    val (kept, _) = prunedFiles(spark, dir, ver, bounds)
+    val schema = schemaOf(spark, dir, ver)
+    if (kept.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(kept.map(rel => s"$dir/$rel"): _*)
+  }
+
+  // ─────────────── change data feed at churn cost (round 12) ───────────────
+
+  /** The file-level delta between two committed versions:
+    * (added, removed) relative paths — files in `v2`'s live set but
+    * not `v1`'s, and vice versa. Shared files never appear. */
+  def changedFiles(spark: SparkSession, dir: String, v1: Long, v2: Long)
+      : (Seq[String], Seq[String]) = {
+    require(v1 < v2, s"need v1 < v2, got $v1 >= $v2")
+    val f1 = liveFiles(spark, dir, v1).toSet
+    val f2 = liveFiles(spark, dir, v2).toSet
+    ((f2 -- f1).toSeq.sorted, (f1 -- f2).toSeq.sorted)
+  }
+
+  /** Change data feed between two committed versions at CHURN cost:
+    * the minimal keyed change set (keys ++ attrs with TARGET values,
+    * NULL for deletes ++ `op` in insert/update/delete) that transforms
+    * version `v1` into version `v2` — computed by diffing ONLY the
+    * files that changed between the versions, never the shared ones.
+    * Rows carried along in rewritten files appear identically on both
+    * sides and cancel; a pure-compaction commit (OPTIMIZE) therefore
+    * diffs to EMPTY, as it should. Equals
+    * `Incremental.snapshotDiff(readVersion(v1), readVersion(v2))` row
+    * for row — at removed+added bytes instead of two full snapshots
+    * (the q181 CDC bootstrap at 1% churn pays 1%, not 200%).
+    *
+    * Contract: the table is key-unique per version (the [[merge]]
+    * contract). The diff's own guards enforce uniqueness WITHIN the
+    * changed files; a key duplicated across a changed and an
+    * untouched file is the caller having already broken the merge
+    * contract. Schema must not have changed between the versions
+    * (refused loudly — a change feed across a schema migration has no
+    * well-defined row shape). */
+  def changesBetween(spark: SparkSession, dir: String, v1: Long, v2: Long,
+      keys: Seq[String]): DataFrame = {
+    val s1 = schemaOf(spark, dir, v1)
+    val s2 = schemaOf(spark, dir, v2)
+    require(schemaShape(s1) == schemaShape(s2),
+      s"changesBetween $v1→$v2: schema changed (${s1.simpleString} vs " +
+        s"${s2.simpleString}) — diff each side of the migration separately")
+    val (added, removed) = changedFiles(spark, dir, v1, v2)
+    def readRels(rels: Seq[String], sch: org.apache.spark.sql.types.StructType) =
+      if (rels.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+      else spark.read.schema(sch).parquet(rels.map(rel => s"$dir/$rel"): _*)
+    Incremental.snapshotDiff(readRels(removed, s1), readRels(added, s2), keys)
+  }
+
   private def schemaShape(s: org.apache.spark.sql.types.StructType) =
     s.fields.map(x => (x.name, x.dataType)).toSeq
 
@@ -266,13 +591,22 @@ object VersionedTable {
   private def manifestBody(newV: Long, parent: Long, writerId: String,
       schema: org.apache.spark.sql.types.StructType,
       stagingDir: Option[String], files: Seq[String],
-      removed: Seq[String]): String = {
+      removed: Seq[String],
+      stats: Map[String, Map[String, (String, String)]] = Map.empty): String = {
     val b64 = java.util.Base64.getEncoder
       .encodeToString(schema.json.getBytes("UTF-8"))
     val sb = new StringBuilder
     sb ++= s"version=$newV\nparent=$parent\nwriter=$writerId\nschema=$b64\n"
     stagingDir.foreach(d => sb ++= s"datadir=$d\n")
-    files.foreach(rel => sb ++= s"file=$rel\n")
+    files.foreach { rel =>
+      sb ++= s"file=$rel\n"
+      // stats lines ride next to their file line: per-column canonical
+      // min/max from the parquet footer (the data-skipping index — a
+      // reader prunes files from ONE manifest read, no footer I/O)
+      stats.getOrElse(rel, Map.empty).toSeq.sortBy(_._1).foreach {
+        case (c, (mn, mx)) => sb ++= s"stats=$rel\t$c\t$mn\t$mx\n"
+      }
+    }
     removed.foreach(rel => sb ++= s"removed=$rel\n")
     sb.toString
   }
@@ -303,7 +637,8 @@ object VersionedTable {
     * concurrent writer (staging isolation), not globally. */
   def commit(spark: SparkSession, dir: String, df: DataFrame,
       expectedVersion: Long, writerId: String,
-      allowSchemaChange: Boolean = false): Long = {
+      allowSchemaChange: Boolean = false,
+      statsCols: Option[Seq[String]] = None): Long = {
     requireWriterId(writerId)
     val newV = expectedVersion + 1
     requireNotStale(spark, dir, expectedVersion)
@@ -311,13 +646,18 @@ object VersionedTable {
     val parentLive =
       if (expectedVersion >= 0) liveFiles(spark, dir, expectedVersion)
       else Seq.empty
+    val parentStats =
+      if (expectedVersion >= 0) readManifest(spark, dir, expectedVersion).stats
+      else Map.empty[String, Map[String, (String, String)]]
     val dataRel = s"data/v$newV-$writerId"
     val dataPath = new org.apache.hadoop.fs.Path(s"$dir/$dataRel")
     val f = fs(spark, dir)
     df.write.mode("overwrite").parquet(dataPath.toString)
     val staged = listDataFiles(spark, dir, dataRel)
+    val stats = collectStats(spark, dir, staged,
+      resolveStatsCols(statsCols, parentStats, df.schema))
     val body = manifestBody(newV, expectedVersion, writerId, df.schema,
-      Some(dataRel), staged, removed = parentLive)
+      Some(dataRel), staged, removed = parentLive, stats = stats)
     if (!casManifest(spark, dir, newV, writerId, body)) {
       f.delete(dataPath, true)
       throw new CommitConflict(
@@ -337,7 +677,8 @@ object VersionedTable {
   def commitDelta(spark: SparkSession, dir: String,
       adds: Option[DataFrame], removeFiles: Seq[String],
       expectedVersion: Long, writerId: String,
-      allowSchemaChange: Boolean = false): DeltaStats = {
+      allowSchemaChange: Boolean = false,
+      statsCols: Option[Seq[String]] = None): DeltaStats = {
     requireWriterId(writerId)
     require(expectedVersion >= 0,
       "commitDelta needs an existing parent version — use commit for v0")
@@ -363,8 +704,15 @@ object VersionedTable {
     val newLive = parentLive.filterNot(removeFiles.toSet) ++ staged
     val schema = adds.map(_.schema)
       .getOrElse(schemaOf(spark, dir, expectedVersion))
+    // kept files inherit the parent's stats verbatim (they are the
+    // same immutable bytes); only the staged files pay footer reads
+    val parentStats = readManifest(spark, dir, expectedVersion).stats
+    val newLiveSet = newLive.toSet
+    val stats = parentStats.filter { case (rel, _) => newLiveSet(rel) } ++
+      collectStats(spark, dir, staged,
+        resolveStatsCols(statsCols, parentStats, schema))
     val body = manifestBody(newV, expectedVersion, writerId, schema,
-      adds.map(_ => dataRel), newLive, removed = removeFiles)
+      adds.map(_ => dataRel), newLive, removed = removeFiles, stats = stats)
     if (!casManifest(spark, dir, newV, writerId, body)) {
       if (staged.nonEmpty) f.delete(dataPath, true)
       throw new CommitConflict(
@@ -402,10 +750,31 @@ object VersionedTable {
     val dirAbs = fs(spark, dir).makeQualified(
       new org.apache.hadoop.fs.Path(dir)).toUri.getPath
     val keyChanges = changes.select(keys.map(col): _*).distinct()
+    // Stats pre-prune (round 12): when the parent manifest carries
+    // stats for the leading merge key, restrict the touched-file SCAN
+    // to files whose key envelope intersects the change set's own
+    // [min, max] — a one-row aggregation over the (churn-sized)
+    // changes. Conservative superset of the semi-join's answer, so
+    // `touched` is unchanged; what changes is that a clustered 100 TB
+    // table with localized churn scans the intersecting files instead
+    // of every live file even in the PRUNING pass.
+    val scanCandidates: Seq[String] = {
+      val m = readManifest(spark, dir, expectedVersion)
+      val k = keys.head
+      val supported = schema.fields.find(_.name == k)
+        .flatMap(f => statDomain(f.dataType)).isDefined
+      if (!supported || !m.stats.valuesIterator.exists(_.contains(k))) parentLive
+      else {
+        val row = changes.agg(min(col(k)), max(col(k))).head()
+        if (row.isNullAt(0)) Seq.empty // all change keys NULL: no row can match
+        else prunedFiles(spark, dir, expectedVersion,
+          Seq(ColBound(k, Some(row.get(0)), Some(row.get(1)))))._1
+      }
+    }
     val touched: Seq[String] =
-      if (parentLive.isEmpty) Seq.empty
+      if (scanCandidates.isEmpty) Seq.empty
       else spark.read.schema(schema)
-        .parquet(parentLive.map(rel => s"$dir/$rel"): _*)
+        .parquet(scanCandidates.map(rel => s"$dir/$rel"): _*)
         .select(keys.map(col) :+ input_file_name().as("__file"): _*)
         .join(keyChanges, keys, "left_semi")
         .select(col("__file")).distinct()

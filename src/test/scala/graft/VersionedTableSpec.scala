@@ -223,4 +223,146 @@ class VersionedTableSpec extends SparkSpec {
     assert(st2.filesRemoved == 0L)
     assert(VersionedTable.read(spark, dir).count() == 101)
   }
+
+  test("manifest stats + readWhere: clustered range reads prune files, results exact") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-stats").toString + "/t"
+    // clustered on k; s/d/dt are monotone in k so every domain clusters
+    val base = spark.range(400).select($"id".as("k"),
+        format_string("k%05d", $"id").as("s"),
+        $"id".cast("double").as("d"),
+        date_add(to_date(lit("2020-01-01")), ($"id" / 10).cast("int")).as("dt"))
+      .repartitionByRange(4, $"k").sortWithinPartitions("k")
+    VersionedTable.commit(spark, dir, base, -1L, "loader",
+      statsCols = Some(Seq("k", "s", "d", "dt")))
+    val m = VersionedTable.readManifest(spark, dir, 0L)
+    assert(m.files.length == 4 && m.files.forall(f =>
+      m.stats.get(f).exists(_.keySet == Set("k", "s", "d", "dt"))),
+      s"every file needs stats for every stats column: ${m.stats}")
+    def exact(bounds: Seq[VersionedTable.ColBound], expectPruned: Boolean,
+        rowFilter: org.apache.spark.sql.Column): Unit = {
+      val (kept, total) = VersionedTable.prunedFiles(spark, dir, 0L, bounds)
+      if (expectPruned) assert(kept.length < total,
+        s"bounds $bounds must prune: kept ${kept.length} of $total")
+      val got = VersionedTable.readWhere(spark, dir, bounds).filter(rowFilter)
+        .select($"k").as[Long].collect().sorted.toSeq
+      val want = VersionedTable.read(spark, dir).filter(rowFilter)
+        .select($"k").as[Long].collect().sorted.toSeq
+      assert(got == want, s"pruned read must be exact for $bounds")
+    }
+    exact(Seq(VersionedTable.ColBound("k", Some(50L), Some(80L))),
+      expectPruned = true, $"k".between(50, 80))
+    exact(Seq(VersionedTable.ColBound("s", Some("k00050"), Some("k00080"))),
+      expectPruned = true, $"s".between("k00050", "k00080"))
+    exact(Seq(VersionedTable.ColBound("d", Some(50.0), Some(80.0))),
+      expectPruned = true, $"d".between(50.0, 80.0))
+    exact(Seq(VersionedTable.ColBound("dt",
+        Some(java.sql.Date.valueOf("2020-01-06")),
+        Some(java.sql.Date.valueOf("2020-01-08")))),
+      expectPruned = true,
+      $"dt".between("2020-01-06", "2020-01-08"))
+    // one-sided + conjunction; out-of-range prunes everything
+    exact(Seq(VersionedTable.ColBound("k", Some(350L), None)),
+      expectPruned = true, $"k" >= 350)
+    exact(Seq(VersionedTable.ColBound("k", Some(50L), Some(80L)),
+        VersionedTable.ColBound("d", Some(70.0), None)),
+      expectPruned = true, $"k".between(50, 80) && $"d" >= 70.0)
+    val (none, _) = VersionedTable.prunedFiles(spark, dir, 0L,
+      Seq(VersionedTable.ColBound("k", Some(100000L), None)))
+    assert(none.isEmpty, "a bound outside every envelope must prune all files")
+    assert(VersionedTable.readWhere(spark, dir,
+      Seq(VersionedTable.ColBound("k", Some(100000L), None))).count() == 0)
+  }
+
+  test("stats inherit through delta and merge; CDF diffs churn files only") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-cdf").toString + "/t"
+    val base = spark.range(800).select($"id".as("k"), ($"id" * 2).as("v"))
+      .repartitionByRange(8, $"k").sortWithinPartitions("k")
+    VersionedTable.commit(spark, dir, base, -1L, "loader",
+      statsCols = Some(Seq("k")))
+    // merge narrow churn (updates + an insert) — statsCols defaults to
+    // inherit, so v1's manifest must still cover every live file
+    val ch = spark.range(10).select($"id".as("k"), lit(-1L).as("v"))
+      .unionByName(Seq((9999L, 7L)).toDF("k", "v"))
+    VersionedTable.merge(spark, dir, ch, Seq("k"), 0L, "merger")
+    val m1 = VersionedTable.readManifest(spark, dir, 1L)
+    assert(m1.files.forall(f => m1.stats.get(f).exists(_.contains("k"))),
+      "kept files inherit stats; rewritten files get fresh ones")
+    // pruned read on the MERGED version is still exact
+    val got = VersionedTable.readWhere(spark, dir,
+        Seq(VersionedTable.ColBound("k", Some(0L), Some(9L))))
+      .filter($"k" <= 9).select($"v").as[Long].collect().toSeq
+    assert(got.nonEmpty && got.forall(_ == -1L),
+      "post-merge pruned read must see the merged values")
+    // CDF between v0 and v1 equals the full snapshot diff, row for row
+    val cdf = VersionedTable.changesBetween(spark, dir, 0L, 1L, Seq("k"))
+      .as[(Long, Option[Long], String)].collect().toSet
+    val full = graft.operators.Incremental.snapshotDiff(
+        VersionedTable.readVersion(spark, dir, 0L),
+        VersionedTable.readVersion(spark, dir, 1L), Seq("k"))
+      .as[(Long, Option[Long], String)].collect().toSet
+    assert(cdf == full, "churn-file CDF must equal the full snapshot diff")
+    assert(cdf.count(_._3 == "update") == 10 && cdf.count(_._3 == "insert") == 1)
+    // a pure compaction rewrites rows without changing them → CDF EMPTY
+    VersionedTable.compactSmallFiles(spark, dir, 1L, "opt",
+      smallBytes = 1L << 20, targetFileCount = 2)
+    assert(VersionedTable.changesBetween(spark, dir, 1L, 2L, Seq("k")).count() == 0,
+      "OPTIMIZE must be invisible to the change feed")
+    // ...and v0→v2 still reports exactly the real churn (transitive)
+    val cdf02 = VersionedTable.changesBetween(spark, dir, 0L, 2L, Seq("k"))
+      .as[(Long, Option[Long], String)].collect().toSet
+    assert(cdf02 == full)
+    // schema migration between the versions refuses loudly
+    VersionedTable.commit(spark, dir,
+      VersionedTable.read(spark, dir).withColumn("extra", lit(1)),
+      2L, "w", allowSchemaChange = true)
+    intercept[IllegalArgumentException] {
+      VersionedTable.changesBetween(spark, dir, 1L, 3L, Seq("k"))
+    }
+    // merge with an all-NULL key batch: inserts only, touches nothing
+    val nullIns = Seq((Option.empty[Long], 42L)).toDF("k", "v")
+      .withColumn("extra", lit(1))
+    val stN = VersionedTable.merge(spark, dir, nullIns, Seq("k"), 3L, "m2")
+    assert(stN.filesRemoved == 0L)
+    assert(VersionedTable.read(spark, dir).filter($"k".isNull).count() == 1)
+  }
+
+  test("stats edges: all-null pruning, stat-less columns, loud refusals, UTF-8 order") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-statedge").toString + "/t"
+    // v0: one file whose n is ALL NULL; delta adds a file with values
+    val f1 = Seq((1L, Option.empty[Long], "apple"), (2L, Option.empty[Long], "zebra"))
+      .toDF("k", "n", "s").coalesce(1)
+    VersionedTable.commit(spark, dir, f1, -1L, "w",
+      statsCols = Some(Seq("n", "s")))
+    val f2 = Seq((3L, Option(5L), "😀a"), (4L, Option(9L), "😀b"))
+      .toDF("k", "n", "s").coalesce(1)
+    VersionedTable.commitDelta(spark, dir, Some(f2), Seq.empty, 0L, "w")
+    // a range bound on n prunes the all-null file (no row can match)
+    val (keptN, totalN) = VersionedTable.prunedFiles(spark, dir, 1L,
+      Seq(VersionedTable.ColBound("n", Some(1L), Some(9L))))
+    assert(totalN == 2 && keptN.length == 1,
+      s"the all-null file must be pruned: $keptN")
+    assert(VersionedTable.readWhere(spark, dir,
+        Seq(VersionedTable.ColBound("n", Some(1L), Some(9L))))
+      .filter($"n".between(1, 9)).count() == 2)
+    // a bound on a column with NO stats (k was never collected) keeps all
+    val (keptK, _) = VersionedTable.prunedFiles(spark, dir, 1L,
+      Seq(VersionedTable.ColBound("k", Some(100L), None)))
+    assert(keptK.length == 2, "stat-less columns must never prune")
+    // UTF-8 byte order: non-BMP strings sort above ASCII, exactly as
+    // Spark's binary collation does — pruning must agree
+    val (keptS, _) = VersionedTable.prunedFiles(spark, dir, 1L,
+      Seq(VersionedTable.ColBound("s", Some("😀"), None)))
+    assert(keptS.length == 1, "the ASCII-only file must be pruned")
+    assert(VersionedTable.readWhere(spark, dir,
+        Seq(VersionedTable.ColBound("s", Some("😀"), None)))
+      .filter($"s" >= "😀").count() == 2)
+    // explicit statsCols on an unsupported type refuses loudly
+    intercept[IllegalArgumentException] {
+      VersionedTable.commit(spark, dir,
+        VersionedTable.read(spark, dir).withColumn("arr", array(lit(1))),
+        1L, "w", allowSchemaChange = true, statsCols = Some(Seq("arr")))
+    }
+    // ColBound with neither side set refuses at construction
+    intercept[IllegalArgumentException] { VersionedTable.ColBound("k") }
+  }
 }
