@@ -2092,6 +2092,56 @@ object SparkEntry {
       pruned
     }),
 
+    // --- Z-order × data skipping capstone (round 12): a versioned
+    //     table committed in Morton-interleaved layout makes every
+    //     file a BOX in (k1, k2) space, so manifest stats prune on
+    //     BOTH dimensions — the property a linear sort cannot give.
+    //     Receipts: a ~10% band on EITHER single dimension skips >=
+    //     half the files, the 2-D box skips >= 3/4, and every pruned
+    //     read is row-exactly the full read's filter. Dimensions are
+    //     range-normalized before interleave (uniform dense keys →
+    //     fixed-point scaling; the general-distribution variant is
+    //     Layout.zorderWriteNormalized's rankBy path). ---
+    "q221_zorder_skipping" -> ((s, dir) => {
+      import graft.operators.{Layout, VersionedTable}
+      val vt = java.nio.file.Files.createTempDirectory("graft_zskip_q221_")
+        .toString + "/t"
+      val o = t(s, dir).orders.select(col("o_orderkey").as("k1"),
+        col("o_custkey").as("k2"), col("o_totalprice").as("price"))
+      val Array(max1, max2) = o.agg(max(col("k1")), max(col("k2")))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long].max(1L)).toArray
+      val B = 1L << 16
+      val zed = o.withColumn("__z", Layout.zValue2(
+          expr(s"(k1 * ${B}L) div ${max1 + 1}L"),
+          expr(s"(k2 * ${B}L) div ${max2 + 1}L")))
+        .repartitionByRange(64, col("__z")).sortWithinPartitions("__z")
+        .drop("__z")
+      require(VersionedTable.commit(s, vt, zed, -1L, "loader",
+        statsCols = Some(Seq("k1", "k2"))) == 0L)
+      def band(maxK: Long): (Long, Long) = (maxK * 2 / 5, maxK * 2 / 5 + maxK / 10)
+      val (lo1, hi1) = band(max1); val (lo2, hi2) = band(max2)
+      def receipt(bounds: Seq[VersionedTable.ColBound], num: Int, den: Int,
+          what: String): Unit = {
+        val (kept, total) = VersionedTable.prunedFiles(s, vt, 0L, bounds)
+        require(kept.length * den <= total * num,
+          s"q221: $what must keep <= $num/$den of the files " +
+            s"(kept ${kept.length} of $total)")
+      }
+      receipt(Seq(VersionedTable.ColBound("k1", Some(lo1), Some(hi1))),
+        1, 2, "a ~10% band on k1")
+      receipt(Seq(VersionedTable.ColBound("k2", Some(lo2), Some(hi2))),
+        1, 2, "a ~10% band on k2 (the dimension a linear sort would strand)")
+      val box = Seq(VersionedTable.ColBound("k1", Some(lo1), Some(hi1)),
+        VersionedTable.ColBound("k2", Some(lo2), Some(hi2)))
+      receipt(box, 1, 4, "the 2-D box")
+      val rowFilter = col("k1").between(lo1, hi1) && col("k2").between(lo2, hi2)
+      val pruned = VersionedTable.readWhere(s, vt, box).filter(rowFilter)
+      val full = VersionedTable.read(s, vt).filter(rowFilter)
+      require(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty,
+        "q221: skipping changed the answer")
+      pruned
+    }),
+
     // --- Change data feed at churn cost (round 12): the keyed change
     //     set between two committed versions, diffed from ONLY the
     //     files that changed — shared files never read. Receipts
@@ -2143,6 +2193,72 @@ object SparkEntry {
       require(across.exceptAll(cdf).isEmpty && cdf.exceptAll(across).isEmpty,
         "q220: the feed across a compaction must still be the real churn")
       cdf
+    }),
+
+    // --- Cursor CDC capstone (round 12): a named consumer follows the
+    //     versioned table through poll → process → ack, each poll a
+    //     churn-cost changesBetween from its atomically-CAS'd cursor.
+    //     Receipts require()'d in-entry: a re-poll before the ack
+    //     re-delivers the IDENTICAL feed (crash replay), the consumer
+    //     ends caught-up (poll → None), and applying the two feeds to
+    //     the v0 snapshot reproduces the final table row-exactly (the
+    //     feed is complete AND minimal). ---
+    "q222_cursor_cdc" -> ((s, dir) => {
+      import graft.operators.{Incremental, VersionedTable}
+      val vt = java.nio.file.Files.createTempDirectory("graft_cur_q222_")
+        .toString + "/t"
+      val cust = t(s, dir).customer.select(col("c_custkey").as("k"),
+          col("c_name").as("name"), col("c_acctbal").as("bal"))
+        .repartitionByRange(32, col("k")).sortWithinPartitions("k")
+      require(VersionedTable.commit(s, vt, cust, -1L, "loader",
+        statsCols = Some(Seq("k"))) == 0L)
+      VersionedTable.initCursor(s, vt, "pipeline", 0L)
+      require(VersionedTable.pollChanges(s, vt, "pipeline", Seq("k")).isEmpty,
+        "q222: a fresh consumer at the head must be caught up")
+      val maxk = t(s, dir).customer.agg(max(col("c_custkey")))
+        .collect()(0).getLong(0)
+      val thr = maxk / 50
+      val v0 = VersionedTable.readVersion(s, vt, 0L)
+      // leg 1: updates only
+      VersionedTable.merge(s, vt,
+        v0.filter(col("k") <= thr).select(col("k"), col("name"),
+          (col("bal") + 1000).as("bal")),
+        Seq("k"), 0L, "m1")
+      val Some((feed1raw, from1, to1)) =
+        VersionedTable.pollChanges(s, vt, "pipeline", Seq("k"))
+      val feed1 = feed1raw.materialized()
+      // crash replay: a second poll BEFORE the ack is the same feed
+      val Some((replay, _, _)) =
+        VersionedTable.pollChanges(s, vt, "pipeline", Seq("k"))
+      require(replay.exceptAll(feed1).isEmpty && feed1.exceptAll(replay).isEmpty,
+        "q222: an unacked poll must re-deliver the identical feed")
+      VersionedTable.ackChanges(s, vt, "pipeline", from1, to1)
+      // leg 2: deletes + inserts
+      val del = v0.filter(col("k") > 2 * thr && col("k") <= 3 * thr)
+        .withColumn("__del", lit(true))
+      val ins = v0.filter(col("k") % 131 === 0)
+        .select((col("k") + 10000000L).as("k"),
+          concat(lit("new_"), col("k").cast("string")).as("name"),
+          lit(0.0).as("bal"), lit(false).as("__del"))
+      VersionedTable.merge(s, vt, del.unionByName(ins), Seq("k"),
+        VersionedTable.latestVersion(s, vt), "m2", deleteCol = Some("__del"))
+      val Some((feed2raw, from2, to2)) =
+        VersionedTable.pollChanges(s, vt, "pipeline", Seq("k"))
+      val feed2 = feed2raw.materialized()
+      VersionedTable.ackChanges(s, vt, "pipeline", from2, to2)
+      require(VersionedTable.pollChanges(s, vt, "pipeline", Seq("k")).isEmpty,
+        "q222: after both acks the consumer must be caught up")
+      // completeness law: v0 + feed1 + feed2 == the final table
+      def apply1(base: DataFrame, feed: DataFrame) =
+        Incremental.mergeUpsert(base,
+          feed.withColumn("__del", col("op") === "delete").drop("op"),
+          Seq("k"), deleteCol = Some("__del"))
+      val replayed = apply1(apply1(v0, feed1), feed2)
+      val fin = VersionedTable.read(s, vt)
+      require(replayed.exceptAll(fin).isEmpty && fin.exceptAll(replayed).isEmpty,
+        "q222: applying the consumed feeds must reproduce the final table")
+      feed1.withColumn("leg", lit(1))
+        .unionByName(feed2.withColumn("leg", lit(2)))
     }),
 
     // --- Atomic commit protocol (round 11): the manifest-log CAS
@@ -5996,6 +6112,20 @@ object SparkEntry {
          SELECT o_orderkey AS k, o_orderpriority AS pr, o_totalprice AS price
          FROM orders, b WHERE o_orderkey BETWEEN lo AND hi""",
 
+    // z-order × skipping: the oracle is the plain 2-D box filter —
+    // the engine answers it from a Morton-clustered versioned table
+    // with both-dimension file skipping (receipts require()'d in-entry)
+    "q221_zorder_skipping" ->
+      """WITH m AS (SELECT GREATEST(MAX(o_orderkey), 1) AS m1,
+                           GREATEST(MAX(o_custkey), 1) AS m2 FROM orders),
+              b AS (SELECT (m1 * 2) // 5 AS lo1, (m1 * 2) // 5 + m1 // 10 AS hi1,
+                           (m2 * 2) // 5 AS lo2, (m2 * 2) // 5 + m2 // 10 AS hi2
+                    FROM m)
+         SELECT o_orderkey AS k1, o_custkey AS k2, o_totalprice AS price
+         FROM orders, b
+         WHERE o_orderkey BETWEEN lo1 AND hi1
+           AND o_custkey BETWEEN lo2 AND hi2""",
+
     // change data feed: the oracle emits the churn directly (it knows
     // the update/delete/insert recipe); the engine derives the same
     // feed by diffing only the files the merge touched
@@ -6013,6 +6143,25 @@ object SparkEntry {
          UNION ALL
          SELECT k + 10000000 AS k, 'new_' || CAST(k AS VARCHAR) AS name,
                 0.0 AS bal, 'insert' AS op
+         FROM base WHERE k % 131 = 0""",
+
+    // cursor CDC: the oracle emits each leg's known churn; the engine
+    // side consumes it through poll/ack with the replay, caught-up,
+    // and completeness laws require()'d in-entry
+    "q222_cursor_cdc" ->
+      """WITH base AS (SELECT c_custkey AS k, c_name AS name,
+                              c_acctbal AS bal FROM customer),
+              b AS (SELECT CAST(FLOOR(MAX(c_custkey) / 50.0) AS BIGINT) AS t
+                    FROM customer)
+         SELECT k, name, bal + 1000 AS bal, 'update' AS op, 1 AS leg
+         FROM base, b WHERE k <= t
+         UNION ALL
+         SELECT k, CAST(NULL AS VARCHAR) AS name, CAST(NULL AS DOUBLE) AS bal,
+                'delete' AS op, 2 AS leg
+         FROM base, b WHERE k > 2 * t AND k <= 3 * t
+         UNION ALL
+         SELECT k + 10000000 AS k, 'new_' || CAST(k AS VARCHAR) AS name,
+                0.0 AS bal, 'insert' AS op, 2 AS leg
          FROM base WHERE k % 131 = 0""",
 
     // ANN lifecycle capstone: the recall contract over the

@@ -825,6 +825,119 @@ object VersionedTable {
     }
   }
 
+  // ─────────── incremental consumption: cursor CDC (round 12) ───────────
+  //
+  // The lakehouse streaming-source analogue: a named consumer holds a
+  // VERSION CURSOR in the table's own log discipline
+  // (`_cursors/<consumer>/<n>.cursor`, advanced by the same atomic
+  // create-exclusive CAS as commits), polls the feed from its cursor
+  // to the latest version at churn cost ([[changesBetween]]), and
+  // acknowledges AFTER its output landed. Crash anywhere before the
+  // ack and the next poll re-delivers the SAME feed (deterministic
+  // replay — pair it with an idempotent sink keyed by the version
+  // range, the q173 export discipline, for end-to-end exactly-once).
+  // Two racing consumers under one name: one ack wins the CAS, the
+  // other learns it loudly. [[expire]] refuses to drop versions a
+  // cursor still needs.
+
+  private def cursorDir(dir: String, consumer: String) =
+    s"$dir/_cursors/$consumer"
+
+  /** A consumer's current cursor: the table version it has fully
+    * processed (None before [[initCursor]]). */
+  def cursorVersion(spark: SparkSession, dir: String, consumer: String)
+      : Option[Long] = {
+    val f = fs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(cursorDir(dir, consumer))
+    if (!f.exists(p)) return None
+    val ids = f.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".cursor"))
+      .flatMap(n => n.stripSuffix(".cursor").toLongOption)
+    if (ids.isEmpty) None
+    else {
+      val n = ids.max
+      val in = f.open(new org.apache.hadoop.fs.Path(s"${cursorDir(dir, consumer)}/$n.cursor"))
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      body.linesIterator.collectFirst {
+        case l if l.startsWith("version=") => l.stripPrefix("version=").toLong
+      }
+    }
+  }
+
+  private def casCursor(spark: SparkSession, dir: String, consumer: String,
+      n: Long, toV: Long): Boolean =
+    casCreate(spark,
+      new org.apache.hadoop.fs.Path(s"${cursorDir(dir, consumer)}/$n.cursor"),
+      new org.apache.hadoop.fs.Path(s"${cursorDir(dir, consumer)}/.tmp-$n"),
+      s"version=$toV\n")
+
+  /** Register a consumer starting AFTER version `startV` (its first
+    * poll delivers changes startV → latest; pass the bootstrap
+    * version after an initial full-snapshot load). Refuses if the
+    * consumer already exists — a restart resumes from the stored
+    * cursor, it never re-inits. */
+  def initCursor(spark: SparkSession, dir: String, consumer: String,
+      startV: Long): Unit = {
+    requireWriterId(consumer)
+    require(versions(spark, dir).contains(startV),
+      s"initCursor: version $startV is not committed under $dir")
+    require(cursorVersion(spark, dir, consumer).isEmpty &&
+        casCursor(spark, dir, consumer, 0L, startV),
+      s"initCursor: consumer '$consumer' already exists on $dir — " +
+        "restarts resume from the stored cursor")
+  }
+
+  /** The unconsumed feed: changes from the consumer's cursor to the
+    * latest committed version, or None when caught up. Deterministic
+    * for a fixed (cursor, latest) pair — a crashed consumer re-polls
+    * the identical feed. Ack with [[ackChanges]] AFTER the output is
+    * durably (idempotently) written. */
+  def pollChanges(spark: SparkSession, dir: String, consumer: String,
+      keys: Seq[String]): Option[(DataFrame, Long, Long)] = {
+    val cur = cursorVersion(spark, dir, consumer).getOrElse(
+      throw new IllegalStateException(
+        s"pollChanges: consumer '$consumer' has no cursor on $dir — initCursor first"))
+    val latest = latestVersion(spark, dir)
+    if (latest <= cur) None
+    else Some((changesBetween(spark, dir, cur, latest, keys), cur, latest))
+  }
+
+  /** Advance the cursor fromV → toV, atomically. Refuses when the
+    * stored cursor is not `fromV` (a racing consumer instance already
+    * acked, or the caller skipped a poll) — the loser must re-poll,
+    * not silently double-advance past a feed it never processed. */
+  def ackChanges(spark: SparkSession, dir: String, consumer: String,
+      fromV: Long, toV: Long): Unit = {
+    require(fromV < toV, s"ack must advance: $fromV -> $toV")
+    val cur = cursorVersion(spark, dir, consumer)
+    if (!cur.contains(fromV))
+      throw new CommitConflict(
+        s"ackChanges: cursor of '$consumer' is $cur, not $fromV — another " +
+          "instance advanced it; re-poll from the stored cursor")
+    val f = fs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(cursorDir(dir, consumer))
+    val n = f.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".cursor"))
+      .flatMap(s => s.stripSuffix(".cursor").toLongOption).max
+    if (!casCursor(spark, dir, consumer, n + 1, toV))
+      throw new CommitConflict(
+        s"ackChanges: lost the cursor CAS for '$consumer' at ${n + 1} — " +
+          "another instance acked concurrently; re-poll")
+  }
+
+  /** The oldest cursor across all consumers (None when there are
+    * none) — the version floor [[expire]] must respect: a consumer's
+    * next poll reads liveFiles at its cursor version. */
+  def oldestCursor(spark: SparkSession, dir: String): Option[Long] = {
+    val f = fs(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(s"$dir/_cursors")
+    if (!f.exists(root)) return None
+    val cs = f.listStatus(root).toSeq.filter(_.isDirectory)
+      .flatMap(s => cursorVersion(spark, dir, s.getPath.getName))
+    if (cs.isEmpty) None else Some(cs.min)
+  }
+
   /** Retention: drop all but the newest `keep` versions — manifests
     * first (the versions disappear atomically one by one), then every
     * data file no RETAINED version still references (file-sharing
@@ -836,9 +949,12 @@ object VersionedTable {
     require(keep >= 2, s"keep must be >= 2, got $keep")
     val f = fs(spark, dir)
     val all = versions(spark, dir)
-    val victims = all.dropRight(keep)
+    // never drop a version a registered consumer's next poll reads —
+    // a lagging cursor extends retention rather than breaking CDC
+    val floor = oldestCursor(spark, dir).getOrElse(Long.MaxValue)
+    val victims = all.dropRight(keep).filter(_ < floor)
     if (victims.isEmpty) return victims
-    val retained = all.takeRight(keep)
+    val retained = all.filterNot(victims.toSet) // keep-window ∪ cursor-shielded
     val retainedFiles = retained.flatMap(liveFiles(spark, dir, _)).toSet
     val victimFiles = victims.flatMap(liveFiles(spark, dir, _)).distinct
     val victimLegacyDirs = victims.flatMap(v =>

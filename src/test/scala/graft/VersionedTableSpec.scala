@@ -365,4 +365,54 @@ class VersionedTableSpec extends SparkSpec {
     // ColBound with neither side set refuses at construction
     intercept[IllegalArgumentException] { VersionedTable.ColBound("k") }
   }
+
+  test("cursor CDC: poll/ack discipline, crash replay, racing acks, expire shield") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-cursor").toString + "/t"
+    val base = spark.range(100).select($"id".as("k"), ($"id" * 2).as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions("k")
+    VersionedTable.commit(spark, dir, base, -1L, "loader")
+    VersionedTable.initCursor(spark, dir, "c1", 0L)
+    // re-init refuses: restarts resume, never rewind
+    intercept[IllegalArgumentException] {
+      VersionedTable.initCursor(spark, dir, "c1", 0L)
+    }
+    // caught up → None
+    assert(VersionedTable.pollChanges(spark, dir, "c1", Seq("k")).isEmpty)
+    // churn leg 1
+    VersionedTable.merge(spark, dir,
+      Seq((5L, -1L), (2000L, 7L)).toDF("k", "v"), Seq("k"), 0L, "m")
+    val Some((feed1, f1, t1)) = VersionedTable.pollChanges(spark, dir, "c1", Seq("k"))
+    assert((f1, t1) == (0L, 1L))
+    val got1 = feed1.as[(Long, Option[Long], String)].collect().toSet
+    assert(got1 == Set((5L, Some(-1L), "update"), (2000L, Some(7L), "insert")))
+    // crash BEFORE ack: the re-poll delivers the identical feed
+    val Some((feed1b, _, _)) = VersionedTable.pollChanges(spark, dir, "c1", Seq("k"))
+    assert(feed1b.as[(Long, Option[Long], String)].collect().toSet == got1)
+    VersionedTable.ackChanges(spark, dir, "c1", 0L, 1L)
+    // a second ack of the same range (racing instance) loses LOUDLY
+    intercept[CommitConflict] {
+      VersionedTable.ackChanges(spark, dir, "c1", 0L, 1L)
+    }
+    // churn leg 2 accumulates with leg 3 into ONE poll (cursor → latest)
+    VersionedTable.merge(spark, dir,
+      Seq((7L, -2L)).toDF("k", "v"), Seq("k"), 1L, "m")
+    VersionedTable.merge(spark, dir,
+      Seq((7L, -3L)).toDF("k", "v"), Seq("k"), 2L, "m")
+    val Some((feed2, f2, t2)) = VersionedTable.pollChanges(spark, dir, "c1", Seq("k"))
+    assert((f2, t2) == (1L, 3L))
+    assert(feed2.as[(Long, Option[Long], String)].collect().toSet ==
+      Set((7L, Some(-3L), "update")),
+      "a multi-version poll must collapse to the NET change")
+    // expire refuses to drop the versions the lagging cursor still needs
+    VersionedTable.commit(spark, dir, VersionedTable.read(spark, dir), 3L, "w")
+    val dropped = VersionedTable.expire(spark, dir, keep = 2)
+    assert(!dropped.contains(1L),
+      s"version 1 is cursor-shielded (cursor=1), dropped=$dropped")
+    // the shielded version still reads (its files survived expiry)
+    assert(VersionedTable.readVersion(spark, dir, 1L).count() == 101)
+    // consumer catches up; the shield lifts on the next expire
+    VersionedTable.ackChanges(spark, dir, "c1", 1L, 4L)
+    assert(VersionedTable.pollChanges(spark, dir, "c1", Seq("k")).isEmpty)
+    assert(VersionedTable.expire(spark, dir, keep = 2).nonEmpty)
+  }
 }
