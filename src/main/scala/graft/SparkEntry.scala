@@ -2261,6 +2261,64 @@ object SparkEntry {
         .unionByName(feed2.withColumn("leg", lit(2)))
     }),
 
+    // --- Incremental cross-cluster replication (round 12): the PigOut
+    //     transfer idea at the table layer — sync a versioned table to
+    //     a second storage root shipping ONLY files the replica lacks,
+    //     publish with the replica's own manifest CAS. Receipts
+    //     require()'d in-entry: the first sync ships everything, the
+    //     churn re-sync ships < 1/4 of the table's bytes with most
+    //     files shared, data skipping works at the replica from the
+    //     carried manifest stats (no footer reads), and a third sync
+    //     is a version-less no-op. Result read FROM THE REPLICA. ---
+    "q223_table_replication" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_repl_q223_")
+        .toString
+      val src = s"$root/src"; val dst = s"$root/dst"
+      val cust = t(s, dir).customer.select(col("c_custkey").as("k"),
+          col("c_name").as("name"), col("c_acctbal").as("bal"))
+        .repartitionByRange(32, col("k")).sortWithinPartitions("k")
+      require(VersionedTable.commit(s, src, cust, -1L, "loader",
+        statsCols = Some(Seq("k"))) == 0L)
+      val r0 = VersionedTable.replicate(s, src, dst)
+      require(r0.version == 0L && r0.filesShared == 0L &&
+        r0.bytesCopied == r0.bytesTable, s"q223: first sync ships all: $r0")
+      // the q220/q222 churn recipe (updates + deletes + inserts)
+      val maxk = t(s, dir).customer.agg(max(col("c_custkey")))
+        .collect()(0).getLong(0)
+      val thr = maxk / 50
+      val v0 = VersionedTable.readVersion(s, src, 0L)
+      val upd = v0.filter(col("k") <= thr).select(col("k"), col("name"),
+        (col("bal") + 1000).as("bal"), lit(false).as("__del"))
+      val del = v0.filter(col("k") > 2 * thr && col("k") <= 3 * thr)
+        .withColumn("__del", lit(true))
+      val ins = v0.filter(col("k") % 131 === 0)
+        .select((col("k") + 10000000L).as("k"),
+          concat(lit("new_"), col("k").cast("string")).as("name"),
+          lit(0.0).as("bal"), lit(false).as("__del"))
+      VersionedTable.merge(s, src, upd.unionByName(del).unionByName(ins),
+        Seq("k"), 0L, "merger", deleteCol = Some("__del"))
+      val r1 = VersionedTable.replicate(s, src, dst)
+      require(r1.version == 1L && r1.bytesCopied * 4 < r1.bytesTable &&
+        r1.filesShared * 2 >= r1.filesShared + r1.filesCopied,
+        s"q223: a localized-churn sync must ship a fraction: $r1")
+      // skipping at the replica, straight from the carried stats
+      val (kept, total) = VersionedTable.prunedFiles(s, dst, 1L,
+        Seq(VersionedTable.ColBound("k", Some(1L), Some(thr.max(1L)))))
+      require(kept.length * 2 <= total,
+        s"q223: replica skipping must prune (kept ${kept.length} of $total)")
+      // already-current sync is a no-op
+      val r2 = VersionedTable.replicate(s, src, dst)
+      require(r2.version == -1L && r2.filesCopied == 0L,
+        s"q223: an in-sync replicate must be a no-op: $r2")
+      // fidelity law + the answer, read FROM THE REPLICA
+      val d = VersionedTable.read(s, dst)
+      val sr = VersionedTable.read(s, src)
+      require(d.exceptAll(sr).isEmpty && sr.exceptAll(d).isEmpty,
+        "q223: replica must equal source row-exactly")
+      d
+    }),
+
     // --- Atomic commit protocol (round 11): the manifest-log CAS
     //     under the versioned-table family — commits stage data fully
     //     and promote a manifest file atomically (create-exclusive),
@@ -6162,6 +6220,23 @@ object SparkEntry {
          UNION ALL
          SELECT k + 10000000 AS k, 'new_' || CAST(k AS VARCHAR) AS name,
                 0.0 AS bal, 'insert' AS op, 2 AS leg
+         FROM base WHERE k % 131 = 0""",
+
+    // table replication: the oracle replays the churn over the raw
+    // table; the engine side answers from the REPLICA after two
+    // incremental syncs (byte/file receipts require()'d in-entry)
+    "q223_table_replication" ->
+      """WITH base AS (SELECT c_custkey AS k, c_name AS name,
+                              c_acctbal AS bal FROM customer),
+              b AS (SELECT CAST(FLOOR(MAX(c_custkey) / 50.0) AS BIGINT) AS t
+                    FROM customer)
+         SELECT k, name, bal + 1000 AS bal FROM base, b WHERE k <= t
+         UNION ALL
+         SELECT k, name, bal FROM base, b
+         WHERE k > t AND NOT (k > 2 * t AND k <= 3 * t)
+         UNION ALL
+         SELECT k + 10000000 AS k, 'new_' || CAST(k AS VARCHAR) AS name,
+                0.0 AS bal
          FROM base WHERE k % 131 = 0""",
 
     // ANN lifecycle capstone: the recall contract over the

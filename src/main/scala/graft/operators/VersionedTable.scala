@@ -825,6 +825,96 @@ object VersionedTable {
     }
   }
 
+  // ──────── incremental cross-cluster replication (round 12) ────────
+  //
+  // The PigOut cross-cluster transfer re-expressed for the table
+  // layer: sync a versioned table to another storage root by copying
+  // ONLY the live files the replica does not already have (immutable
+  // files make rel-path identity sound), then publishing them with
+  // the replica's own atomic manifest CAS. A 1%-churn version ships
+  // 1% of the bytes; manifest stats ride along verbatim, so data
+  // skipping works at the replica without re-reading a single footer.
+  // Crash mid-copy leaves only tmp files and unreferenced completes —
+  // the next replicate resumes (absent files copied, present files
+  // skipped) and nothing is visible at the replica until its CAS.
+
+  /** Receipt for one [[replicate]] call. `version` = the replica
+    * version published (-1 when the replica was already current). */
+  final case class ReplicaStats(version: Long, srcVersion: Long,
+      filesCopied: Long, filesShared: Long,
+      bytesCopied: Long, bytesTable: Long)
+
+  /** Sync `srcDir`'s latest committed version to `dstDir` (any Hadoop
+    * filesystem URI — the cross-cluster case). File copies run as a
+    * distributed job (paths parallelized, bytes move executor-side);
+    * the replica version is published atomically AFTER every file
+    * landed, so replica readers never observe a torn sync. Files the
+    * source has since removed stay at the replica until ITS
+    * [[expire]]/[[vacuum]] — replica history is independent. */
+  def replicate(spark: SparkSession, srcDir: String, dstDir: String,
+      writerId: String = "replicator"): ReplicaStats = {
+    requireWriterId(writerId)
+    val srcV = latestVersion(spark, srcDir)
+    require(srcV >= 0, s"replicate: no committed versions under $srcDir")
+    val srcM = readManifest(spark, srcDir, srcV)
+    val srcLive = liveFiles(spark, srcDir, srcV)
+    val dstV = latestVersion(spark, dstDir)
+    val dstPrevLive = if (dstV >= 0) liveFiles(spark, dstDir, dstV) else Seq.empty
+    val fSrc = fs(spark, srcDir)
+    def srcBytes(rels: Seq[String]): Long = rels.map(rel => fSrc.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$srcDir/$rel")).getLen).sum
+    if (dstV >= 0 && dstPrevLive == srcLive)
+      return ReplicaStats(-1L, srcV, 0L, srcLive.length.toLong, 0L,
+        srcBytes(srcLive))
+    val fDst = fs(spark, dstDir)
+    val toCopy = srcLive.filterNot(rel =>
+      fDst.exists(new org.apache.hadoop.fs.Path(s"$dstDir/$rel")))
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val (srcRoot, dstRoot) = (srcDir, dstDir)
+    val wid = writerId
+    val copied: Long =
+      if (toCopy.isEmpty) 0L
+      else spark.sparkContext
+        .parallelize(toCopy, math.max(1, math.min(toCopy.length, 64)))
+        .map { rel =>
+          val c = conf.value
+          val sp = new org.apache.hadoop.fs.Path(s"$srcRoot/$rel")
+          val dp = new org.apache.hadoop.fs.Path(s"$dstRoot/$rel")
+          val sf = sp.getFileSystem(c); val df = dp.getFileSystem(c)
+          // full copy to a tmp name, then atomic no-overwrite promote:
+          // a crash leaves only tmp garbage; a racing replicator's
+          // loser finds the file present and discards its tmp
+          val tmp = new org.apache.hadoop.fs.Path(
+            dp.getParent, s".tmp-$wid-${dp.getName}")
+          val n = org.apache.hadoop.fs.FileUtil.copy(sf, sp, df, tmp,
+            false, true, c)
+          require(n, s"replicate: copy failed for $rel")
+          val won =
+            try {
+              org.apache.hadoop.fs.FileContext.getFileContext(dp.toUri, c)
+                .rename(tmp, dp, org.apache.hadoop.fs.Options.Rename.NONE)
+              true
+            } catch {
+              case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+              case _: java.io.IOException if df.exists(dp) => false
+            }
+          if (!won) df.delete(tmp, false)
+          if (won) df.getFileStatus(dp).getLen else 0L
+        }.sum().toLong
+    val newV = dstV + 1
+    val body = manifestBody(newV, dstV, writerId,
+      srcM.schema.getOrElse(schemaOf(spark, srcDir, srcV)),
+      stagingDir = None, files = srcLive,
+      removed = dstPrevLive.filterNot(srcLive.toSet), stats = srcM.stats)
+    if (!casManifest(spark, dstDir, newV, writerId, body))
+      throw new CommitConflict(
+        s"replicate to $dstDir: lost the race for version $newV — a " +
+          "concurrent replicator published; re-run to converge")
+    ReplicaStats(newV, srcV, toCopy.length.toLong,
+      (srcLive.length - toCopy.length).toLong, copied, srcBytes(srcLive))
+  }
+
   // ─────────── incremental consumption: cursor CDC (round 12) ───────────
   //
   // The lakehouse streaming-source analogue: a named consumer holds a
@@ -924,6 +1014,15 @@ object VersionedTable {
       throw new CommitConflict(
         s"ackChanges: lost the cursor CAS for '$consumer' at ${n + 1} — " +
           "another instance acked concurrently; re-poll")
+  }
+
+  /** Deregister a consumer (its retention shield lifts on the next
+    * [[expire]]). A consumer that was decommissioned but never dropped
+    * pins old versions forever — this is the GC. Idempotent. */
+  def dropCursor(spark: SparkSession, dir: String, consumer: String): Unit = {
+    requireWriterId(consumer)
+    fs(spark, dir).delete(
+      new org.apache.hadoop.fs.Path(cursorDir(dir, consumer)), true)
   }
 
   /** The oldest cursor across all consumers (None when there are

@@ -413,6 +413,57 @@ class VersionedTableSpec extends SparkSpec {
     // consumer catches up; the shield lifts on the next expire
     VersionedTable.ackChanges(spark, dir, "c1", 1L, 4L)
     assert(VersionedTable.pollChanges(spark, dir, "c1", Seq("k")).isEmpty)
-    assert(VersionedTable.expire(spark, dir, keep = 2).nonEmpty)
+    // a decommissioned-but-undropped consumer would pin old versions
+    // forever; dropCursor is the GC that lifts its shield
+    VersionedTable.commit(spark, dir, VersionedTable.read(spark, dir), 4L, "w")
+    VersionedTable.initCursor(spark, dir, "dead", 2L)
+    assert(VersionedTable.expire(spark, dir, keep = 2)
+      .forall(_ < 2L), "the dead consumer must shield version 2")
+    VersionedTable.dropCursor(spark, dir, "dead")
+    assert(VersionedTable.oldestCursor(spark, dir).contains(4L))
+    assert(VersionedTable.expire(spark, dir, keep = 2).contains(2L),
+      "dropping the cursor lifts the shield")
+  }
+
+  test("replicate: first sync full, churn sync incremental, stats ride along, no-op idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("vt-repl").toString
+    val src = s"$root/src"; val dst = s"$root/dst"
+    val base = spark.range(800).select($"id".as("k"), ($"id" * 2).as("v"))
+      .repartitionByRange(8, $"k").sortWithinPartitions("k")
+    VersionedTable.commit(spark, src, base, -1L, "loader",
+      statsCols = Some(Seq("k")))
+    val r0 = VersionedTable.replicate(spark, src, dst)
+    assert(r0.version == 0L && r0.filesShared == 0L && r0.filesCopied == 8L)
+    assert(r0.bytesCopied == r0.bytesTable, "first sync ships everything")
+    assert(VersionedTable.read(spark, dst).exceptAll(
+      VersionedTable.read(spark, src)).isEmpty)
+    // localized churn at the source → the re-sync ships only churn
+    val ch = spark.range(10).select($"id".as("k"), lit(-1L).as("v"))
+    VersionedTable.merge(spark, src, ch, Seq("k"), 0L, "m")
+    val r1 = VersionedTable.replicate(spark, src, dst)
+    assert(r1.version == 1L && r1.filesShared >= 6L,
+      s"unchanged files must not re-ship: $r1")
+    assert(r1.bytesCopied * 4 < r1.bytesTable,
+      s"a 10-row churn sync must ship a small fraction of the table: $r1")
+    val s2 = VersionedTable.read(spark, src)
+    val d2 = VersionedTable.read(spark, dst)
+    assert(d2.exceptAll(s2).isEmpty && s2.exceptAll(d2).isEmpty)
+    // stats rode along: the replica prunes without any footer work
+    val (kept, total) = VersionedTable.prunedFiles(spark, dst, 1L,
+      Seq(VersionedTable.ColBound("k", Some(0L), Some(9L))))
+    assert(total == 8 + 1 - 1 && kept.length * 2 <= total,
+      s"replica skipping must work from the copied manifest: $kept of $total")
+    // already current → no-op, no new version
+    val r2 = VersionedTable.replicate(spark, src, dst)
+    assert(r2.version == -1L && r2.filesCopied == 0L)
+    assert(VersionedTable.latestVersion(spark, dst) == 1L)
+    // replica history is independent: its own expire works
+    VersionedTable.merge(spark, src,
+      spark.range(5).select(($"id" + 2000L).as("k"), lit(9L).as("v")),
+      Seq("k"), 1L, "m")
+    VersionedTable.replicate(spark, src, dst)
+    assert(VersionedTable.expire(spark, dst, keep = 2) == Seq(0L))
+    assert(VersionedTable.read(spark, dst).count() ==
+      VersionedTable.read(spark, src).count())
   }
 }
