@@ -2319,6 +2319,65 @@ object SparkEntry {
       d
     }),
 
+    // --- Streaming lakehouse ingestion (round 12): CDC batches stream
+    //     into a versioned table as exactly-once file-granular MERGE
+    //     commits — each commit carries its stream-batch marker in the
+    //     manifest, so "rows applied" and "batch done" are one atomic
+    //     CAS. Receipts require()'d in-entry: four legs = four
+    //     versions, a no-data restart commits nothing, and a
+    //     LOST-CHECKPOINT replay of every batch is fully inert (the
+    //     double-apply a naive foreachBatch MERGE would make). ---
+    "q224_stream_table_merge" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stm_q224_")
+        .toString
+      val src = s"$tmp/src"; val vt = s"$tmp/t"; val ckpt = s"$tmp/ckpt"
+      val cust = t(s, dir).customer.select(col("c_custkey").as("k"),
+          col("c_name").as("name"), col("c_acctbal").as("bal"))
+        .repartitionByRange(32, col("k")).sortWithinPartitions("k")
+      require(VersionedTable.commit(s, vt, cust, -1L, "loader",
+        statsCols = Some(Seq("k"))) == 0L)
+      val maxk = t(s, dir).customer.agg(max(col("c_custkey")))
+        .collect()(0).getLong(0)
+      val thr = maxk / 50; val thr2 = thr / 2
+      val v0 = VersionedTable.readVersion(s, vt, 0L)
+      val legs = Seq(
+        v0.filter(col("k") <= thr).select(col("k"), col("name"),
+          (col("bal") + 1000).as("bal"), lit(false).as("__del")),
+        v0.filter(col("k") > 2 * thr && col("k") <= 3 * thr)
+          .withColumn("__del", lit(true)),
+        v0.filter(col("k") % 131 === 0)
+          .select((col("k") + 10000000L).as("k"),
+            concat(lit("new_"), col("k").cast("string")).as("name"),
+            lit(0.0).as("bal"), lit(false).as("__del")),
+        v0.filter(col("k") <= thr2).select(col("k"), col("name"),
+          (col("bal") + 500).as("bal"), lit(false).as("__del")))
+      val ss = graft.streaming.EventsStreaming.replaySession(s)
+      def run(ck: String = ckpt): Unit =
+        graft.streaming.CurationStreaming.tableMergeStream(
+          ss, src, vt, Seq("k"), ck, legs.head.schema,
+          deleteCol = Some("__del"))
+      legs.foreach { leg =>
+        leg.coalesce(1).write.mode("append").parquet(src)
+        run() // drain exactly this leg: deterministic batch order
+      }
+      require(VersionedTable.latestVersion(s, vt) == 4L,
+        "q224: four CDC legs must land as four merge commits")
+      val fin = VersionedTable.read(s, vt).materialized()
+      // no-data restart commits nothing
+      run()
+      require(VersionedTable.latestVersion(s, vt) == 4L,
+        "q224: a no-data restart must not commit")
+      // lost checkpoint: every batch replays; markers keep them inert
+      run(s"$tmp/ckpt_fresh")
+      require(VersionedTable.latestVersion(s, vt) == 4L,
+        "q224: replayed batches must be inert")
+      val after = VersionedTable.read(s, vt)
+      require(after.exceptAll(fin).isEmpty && fin.exceptAll(after).isEmpty,
+        "q224: a full replay must not change one row")
+      fin
+    }),
+
     // --- Atomic commit protocol (round 11): the manifest-log CAS
     //     under the versioned-table family — commits stage data fully
     //     and promote a manifest file atomically (create-exclusive),
@@ -6220,6 +6279,26 @@ object SparkEntry {
          UNION ALL
          SELECT k + 10000000 AS k, 'new_' || CAST(k AS VARCHAR) AS name,
                 0.0 AS bal, 'insert' AS op, 2 AS leg
+         FROM base WHERE k % 131 = 0""",
+
+    // streaming table merge: the oracle replays the four CDC legs in
+    // one closed form; the engine streams them through exactly-once
+    // MERGE commits (restart/replay inertness require()'d in-entry)
+    "q224_stream_table_merge" ->
+      """WITH base AS (SELECT c_custkey AS k, c_name AS name,
+                              c_acctbal AS bal FROM customer),
+              b AS (SELECT CAST(FLOOR(MAX(c_custkey) / 50.0) AS BIGINT) AS t,
+                           CAST(FLOOR(FLOOR(MAX(c_custkey) / 50.0) / 2.0)
+                                AS BIGINT) AS t2
+                    FROM customer)
+         SELECT k, name,
+                CASE WHEN k <= t2 THEN bal + 500
+                     WHEN k <= t THEN bal + 1000
+                     ELSE bal END AS bal
+         FROM base, b WHERE NOT (k > 2 * t AND k <= 3 * t)
+         UNION ALL
+         SELECT k + 10000000 AS k, 'new_' || CAST(k AS VARCHAR) AS name,
+                0.0 AS bal
          FROM base WHERE k % 131 = 0""",
 
     // table replication: the oracle replays the churn over the raw

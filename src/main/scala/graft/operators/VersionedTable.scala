@@ -80,7 +80,8 @@ object VersionedTable {
       files: Seq[String],
       removed: Seq[String],
       legacyDataDir: Option[String],
-      stats: Map[String, Map[String, (String, String)]] = Map.empty)
+      stats: Map[String, Map[String, (String, String)]] = Map.empty,
+      meta: Map[String, String] = Map.empty)
 
   /** Receipt for a delta commit — the q198 "bytes written < 5% of
     * table" claim is checked from these numbers, not from trust. */
@@ -146,7 +147,13 @@ object VersionedTable {
         }
       }.groupBy(_._1).map { case (rel, rows) =>
         rel -> rows.map(r => r._2 -> (r._3, r._4)).toMap
-      })
+      },
+      meta = all("meta").flatMap { line =>
+        line.split('\t') match {
+          case Array(k2, v2) => Some(k2 -> v2)
+          case _             => None
+        }
+      }.toMap)
   }
 
   /** Data files (dir-relative paths) under a staging dir — parquet
@@ -592,11 +599,20 @@ object VersionedTable {
       schema: org.apache.spark.sql.types.StructType,
       stagingDir: Option[String], files: Seq[String],
       removed: Seq[String],
-      stats: Map[String, Map[String, (String, String)]] = Map.empty): String = {
+      stats: Map[String, Map[String, (String, String)]] = Map.empty,
+      meta: Map[String, String] = Map.empty): String = {
     val b64 = java.util.Base64.getEncoder
       .encodeToString(schema.json.getBytes("UTF-8"))
     val sb = new StringBuilder
     sb ++= s"version=$newV\nparent=$parent\nwriter=$writerId\nschema=$b64\n"
+    // commit provenance (stream batch markers, job ids): opaque kv
+    // pairs that ride the atomic CAS — the exactly-once hook
+    meta.toSeq.sortBy(_._1).foreach { case (k2, v2) =>
+      require(!k2.contains('\t') && !k2.contains('\n') &&
+          !v2.contains('\t') && !v2.contains('\n'),
+        s"meta entries must be plain tokens: $k2=$v2")
+      sb ++= s"meta=$k2\t$v2\n"
+    }
     stagingDir.foreach(d => sb ++= s"datadir=$d\n")
     files.foreach { rel =>
       sb ++= s"file=$rel\n"
@@ -638,7 +654,8 @@ object VersionedTable {
   def commit(spark: SparkSession, dir: String, df: DataFrame,
       expectedVersion: Long, writerId: String,
       allowSchemaChange: Boolean = false,
-      statsCols: Option[Seq[String]] = None): Long = {
+      statsCols: Option[Seq[String]] = None,
+      meta: Map[String, String] = Map.empty): Long = {
     requireWriterId(writerId)
     val newV = expectedVersion + 1
     requireNotStale(spark, dir, expectedVersion)
@@ -657,7 +674,7 @@ object VersionedTable {
     val stats = collectStats(spark, dir, staged,
       resolveStatsCols(statsCols, parentStats, df.schema))
     val body = manifestBody(newV, expectedVersion, writerId, df.schema,
-      Some(dataRel), staged, removed = parentLive, stats = stats)
+      Some(dataRel), staged, removed = parentLive, stats = stats, meta = meta)
     if (!casManifest(spark, dir, newV, writerId, body)) {
       f.delete(dataPath, true)
       throw new CommitConflict(
@@ -678,7 +695,8 @@ object VersionedTable {
       adds: Option[DataFrame], removeFiles: Seq[String],
       expectedVersion: Long, writerId: String,
       allowSchemaChange: Boolean = false,
-      statsCols: Option[Seq[String]] = None): DeltaStats = {
+      statsCols: Option[Seq[String]] = None,
+      meta: Map[String, String] = Map.empty): DeltaStats = {
     requireWriterId(writerId)
     require(expectedVersion >= 0,
       "commitDelta needs an existing parent version — use commit for v0")
@@ -712,7 +730,8 @@ object VersionedTable {
       collectStats(spark, dir, staged,
         resolveStatsCols(statsCols, parentStats, schema))
     val body = manifestBody(newV, expectedVersion, writerId, schema,
-      adds.map(_ => dataRel), newLive, removed = removeFiles, stats = stats)
+      adds.map(_ => dataRel), newLive, removed = removeFiles, stats = stats,
+      meta = meta)
     if (!casManifest(spark, dir, newV, writerId, body)) {
       if (staged.nonEmpty) f.delete(dataPath, true)
       throw new CommitConflict(
@@ -742,7 +761,8 @@ object VersionedTable {
     * bounded driver metadata; row data never collects. */
   def merge(spark: SparkSession, dir: String, changes: DataFrame,
       keys: Seq[String], expectedVersion: Long, writerId: String,
-      deleteCol: Option[String] = None): DeltaStats = {
+      deleteCol: Option[String] = None,
+      meta: Map[String, String] = Map.empty): DeltaStats = {
     require(keys.nonEmpty, "at least one merge key")
     requireNotStale(spark, dir, expectedVersion)
     val parentLive = liveFiles(spark, dir, expectedVersion)
@@ -798,7 +818,7 @@ object VersionedTable {
       Incremental.mergeUpsert(touchedRows, changes, keys, deleteCol)
         .coalesce(math.max(1, touched.length))
     commitDelta(spark, dir, Some(rewritten), touched, expectedVersion,
-      writerId)
+      writerId, meta = meta)
   }
 
   /** OPTIMIZE as a file-granular commit: rewrite only the live files

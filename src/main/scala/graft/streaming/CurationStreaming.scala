@@ -428,6 +428,82 @@ object CurationStreaming {
     victims
   }
 
+  // ─────── exactly-once streaming MERGE into a versioned table (round 12) ───────
+
+  /** The newest committed stream-batch marker on `tableDir` for
+    * `marker` — scanned newest manifest first, stopping at the first
+    * hit (bounded by the commits since the stream's last merge). */
+  private def lastStreamBatch(spark: SparkSession, tableDir: String,
+      marker: String): Option[Long] = {
+    import graft.operators.VersionedTable
+    VersionedTable.versions(spark, tableDir).reverseIterator
+      .map(v => VersionedTable.readManifest(spark, tableDir, v).meta.get(marker))
+      .collectFirst { case Some(b) => b.toLong }
+  }
+
+  /** Stream CDC batches (staged files under `stagedDir`, each batch
+    * key-unique) into a [[graft.operators.VersionedTable]] as
+    * file-granular MERGE commits, EXACTLY ONCE across micro-batches,
+    * restarts, and batch retries.
+    *
+    * The exactly-once hinge: each merge commit carries its stream
+    * batch id as a manifest `meta` entry, so "the batch's rows are in
+    * the table" and "the batch is marked done" are ONE atomic CAS. A
+    * replayed batch (crash after commit, before the checkpoint ack)
+    * finds its id already committed and is inert; a crash before the
+    * commit replays into a fresh merge. Interleaved OTHER writers are
+    * handled by re-reading the head and retrying the CAS — the
+    * stream's own commits are serial, so the retry loop only races
+    * external writers.
+    *
+    * Retention contract: the newest stream commit's manifest carries
+    * the high-water marker; [[graft.operators.VersionedTable.expire]]
+    * keep-window sizing must retain it across a restart horizon (the
+    * scd2Expire keep >= 2 discipline — a marker expired while its
+    * batch could still replay would double-apply).
+    *
+    * Scale shape per batch: one churn-sized MERGE (envelope-pruned
+    * scan + touched-file rewrite) — the table never rewrites beyond
+    * the batch's key footprint; checkpoint state is the file-source
+    * log only. */
+  def tableMergeStream(spark: SparkSession, stagedDir: String,
+      tableDir: String, keys: Seq[String], ckpt: String,
+      srcSchema: StructType, deleteCol: Option[String] = None,
+      maxFilesPerTrigger: Int = 1, maxCasRetries: Int = 5,
+      marker: String = "stream.merge.batch"): Unit = {
+    import graft.operators.VersionedTable
+    val stream = spark.readStream
+      .schema(srcSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(stagedDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val done = lastStreamBatch(spark, tableDir, marker)
+        if (done.exists(_ >= batchId)) () // replay of a committed batch: inert
+        else {
+          var attempts = 0
+          var committed = false
+          while (!committed) {
+            val cur = VersionedTable.latestVersion(spark, tableDir)
+            try {
+              VersionedTable.merge(spark, tableDir, batch, keys, cur,
+                s"stream-b$batchId", deleteCol,
+                meta = Map(marker -> batchId.toString))
+              committed = true
+            } catch {
+              case _: VersionedTable.CommitConflict if attempts < maxCasRetries =>
+                attempts += 1 // an external writer took the version; re-plan
+            }
+          }
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Manifest of a [[exportStream]] output from the READ-BACK files
     * (same stats as the batch exporter — count, tokens, id sum,
     * md5-prefix checksum per shard), aggregated across all batches. */

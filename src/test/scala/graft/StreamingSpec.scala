@@ -413,4 +413,51 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Boolean)].collect().toMap
     assert(got3 == want3)
   }
+
+  test("tableMergeStream: exactly-once merges across restarts, replays, and external writers") {
+    import graft.operators.VersionedTable
+    import graft.streaming.CurationStreaming
+    val tmp = java.nio.file.Files.createTempDirectory("tms").toString
+    val src = s"$tmp/src"; val vt = s"$tmp/t"; val ckpt = s"$tmp/ckpt"
+    val base = spark.range(100).select($"id".as("k"), ($"id" * 2).as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions("k")
+    VersionedTable.commit(spark, vt, base, -1L, "loader",
+      statsCols = Some(Seq("k")))
+    val ss = graft.streaming.EventsStreaming.replaySession(spark)
+    def leg(df: org.apache.spark.sql.DataFrame): Unit =
+      df.coalesce(1).write.mode("append").parquet(src)
+    val leg1 = spark.range(10).select($"id".as("k"), lit(-1L).as("v"),
+      lit(false).as("__del"))
+    leg(leg1)
+    val schema = leg1.schema
+    def run(ck: String = ckpt): Unit = CurationStreaming.tableMergeStream(
+      ss, src, vt, Seq("k"), ck, schema, deleteCol = Some("__del"))
+    run()
+    assert(VersionedTable.latestVersion(spark, vt) == 1L)
+    assert(VersionedTable.read(spark, vt).filter($"v" === -1L).count() == 10)
+    // restart with nothing new: no commit
+    run()
+    assert(VersionedTable.latestVersion(spark, vt) == 1L)
+    // leg 2: deletes + an insert, applied once across a restart
+    leg(spark.range(5).select(($"id" + 20L).as("k"), lit(0L).as("v"),
+      lit(true).as("__del"))
+      .unionByName(Seq((5000L, 7L, false)).toDF("k", "v", "__del")))
+    run()
+    assert(VersionedTable.latestVersion(spark, vt) == 2L)
+    val after2 = VersionedTable.read(spark, vt)
+    assert(after2.count() == 96 && after2.filter($"k" === 5000L).count() == 1)
+    // an EXTERNAL writer interleaves; the stream's marker still rules
+    VersionedTable.merge(spark, vt, Seq((6000L, 1L)).toDF("k", "v"),
+      Seq("k"), 2L, "adhoc")
+    run()
+    assert(VersionedTable.latestVersion(spark, vt) == 3L,
+      "a no-data run after an external commit must not commit")
+    // lost-checkpoint replay: a FRESH checkpoint re-delivers every
+    // batch; the manifest markers make them all inert
+    val before = VersionedTable.read(spark, vt).as[(Long, Long)].collect().toSet
+    run(s"$tmp/ckpt2")
+    assert(VersionedTable.latestVersion(spark, vt) == 3L)
+    assert(VersionedTable.read(spark, vt).as[(Long, Long)].collect().toSet
+      == before, "replayed batches must be inert, never double-applied")
+  }
 }
