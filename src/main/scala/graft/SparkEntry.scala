@@ -2378,6 +2378,52 @@ object SparkEntry {
       fin
     }),
 
+    // --- CHECK expectations at the commit boundary (round 12): table
+    //     constraints persist in the manifest and refuse violating
+    //     commits BEFORE the CAS (counts reported, staging cleaned,
+    //     table untouched) — then the quarantine pattern re-merges
+    //     only the rows that satisfy the table's OWN persisted
+    //     predicates. Receipts require()'d in-entry: the poisoned
+    //     merge is refused, the table is bit-unchanged by the refusal,
+    //     and the quarantined merge lands exactly the clean rows. ---
+    "q225_commit_expectations" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val vt = java.nio.file.Files.createTempDirectory("graft_exp_q225_")
+        .toString + "/t"
+      val cust = t(s, dir).customer.select(col("c_custkey").as("k"),
+          col("c_name").as("name"), col("c_acctbal").as("bal"))
+        .repartitionByRange(32, col("k")).sortWithinPartitions("k")
+      require(VersionedTable.commit(s, vt, cust, -1L, "loader",
+        statsCols = Some(Seq("k")),
+        expectations = Map("bal_cap" -> "bal <= 1000000000",
+          "bal_notnull" -> "bal IS NOT NULL")) == 0L)
+      val maxk = t(s, dir).customer.agg(max(col("c_custkey")))
+        .collect()(0).getLong(0)
+      val thr = maxk / 50
+      val v0 = VersionedTable.readVersion(s, vt, 0L)
+      val churn = v0.filter(col("k") <= thr).select(col("k"), col("name"),
+          (col("bal") + 1000).as("bal"))
+        .unionByName(v0.filter(col("k") > 2 * thr && col("k") <= 3 * thr)
+          .select(col("k"), col("name"), lit(2.0e9).as("bal")))
+      val refused =
+        try { VersionedTable.merge(s, vt, churn, Seq("k"), 0L, "m"); false }
+        catch { case e: VersionedTable.ExpectationViolation =>
+          require(e.getMessage.contains("bal_cap"),
+            s"q225: the violated constraint must be named: ${e.getMessage}")
+          true
+        }
+      require(refused, "q225: a poisoned merge must be refused")
+      require(VersionedTable.latestVersion(s, vt) == 0L,
+        "q225: a refused merge must leave the table untouched")
+      // quarantine: the batch filtered by the table's OWN constraints
+      val checks = VersionedTable.tableExpectations(s, vt, 0L).values
+        .map(expr).reduce(_ && _)
+      val clean = churn.filter(coalesce(checks, lit(false)))
+      val st = VersionedTable.merge(s, vt, clean, Seq("k"), 0L, "m")
+      require(st.version == 1L)
+      VersionedTable.read(s, vt)
+    }),
+
     // --- Atomic commit protocol (round 11): the manifest-log CAS
     //     under the versioned-table family — commits stage data fully
     //     and promote a manifest file atomically (create-exclusive),
@@ -6300,6 +6346,18 @@ object SparkEntry {
          SELECT k + 10000000 AS k, 'new_' || CAST(k AS VARCHAR) AS name,
                 0.0 AS bal
          FROM base WHERE k % 131 = 0""",
+
+    // commit expectations: the oracle applies only the churn rows that
+    // satisfy the constraints (the poisoned band never lands); the
+    // refusal/quarantine receipts are require()'d in-entry
+    "q225_commit_expectations" ->
+      """WITH base AS (SELECT c_custkey AS k, c_name AS name,
+                              c_acctbal AS bal FROM customer),
+              b AS (SELECT CAST(FLOOR(MAX(c_custkey) / 50.0) AS BIGINT) AS t
+                    FROM customer)
+         SELECT k, name,
+                CASE WHEN k <= t THEN bal + 1000 ELSE bal END AS bal
+         FROM base, b""",
 
     // table replication: the oracle replays the churn over the raw
     // table; the engine side answers from the REPLICA after two

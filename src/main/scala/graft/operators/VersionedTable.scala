@@ -68,6 +68,10 @@ object VersionedTable {
 
   final class CommitConflict(msg: String) extends RuntimeException(msg)
 
+  /** A commit refused because staged rows violate the table's CHECK
+    * expectations — the table is unchanged, staging cleaned. */
+  final class ExpectationViolation(msg: String) extends RuntimeException(msg)
+
   /** One committed version's metadata, parsed from its manifest.
     * `stats`: rel-path → column → (minEnc, maxEnc) canonical encodings
     * (see [[encodeStat]]) — the data-skipping index. */
@@ -627,6 +631,69 @@ object VersionedTable {
     sb.toString
   }
 
+  // ─────────── CHECK expectations at the commit boundary (round 12) ───────────
+  //
+  // Delta-style table constraints: boolean SQL expressions persisted
+  // in the manifest (`meta` entries under "expect.") and enforced on
+  // every commit's ADDED rows before the CAS — bad data is refused at
+  // the table boundary with per-expectation violation counts, staging
+  // cleaned, table untouched. A row violates when its expression is
+  // not TRUE (NULL counts as a violation, the SQL CHECK discipline).
+  // Cost: ONE aggregation pass over the commit's staged (churn-sized)
+  // bytes evaluating every expectation together; existing files were
+  // validated by the commits that added them.
+
+  private val ExpectPrefix = "expect."
+
+  /** Version `v`'s persisted expectations: name → boolean SQL. */
+  def tableExpectations(spark: SparkSession, dir: String, v: Long)
+      : Map[String, String] =
+    readManifest(spark, dir, v).meta.collect {
+      case (k, sql) if k.startsWith(ExpectPrefix) =>
+        k.stripPrefix(ExpectPrefix) -> sql
+    }
+
+  /** Effective meta for a commit: the parent's persisted expectations
+    * (constraints outlive the commit that declared them), overridden
+    * by this commit's explicit `expectations`, plus the plain meta. */
+  private def expectMeta(spark: SparkSession, dir: String, parent: Long,
+      meta: Map[String, String], expectations: Map[String, String])
+      : Map[String, String] = {
+    val inherited =
+      if (parent >= 0) tableExpectations(spark, dir, parent) else Map.empty
+    (inherited ++ expectations).map { case (n, sql) =>
+      (s"$ExpectPrefix$n", sql)
+    }.toMap ++ meta
+  }
+
+  private def enforceExpectations(spark: SparkSession, dir: String,
+      stagedRels: Seq[String], schema: org.apache.spark.sql.types.StructType,
+      effMeta: Map[String, String], dataPath: org.apache.hadoop.fs.Path,
+      f: org.apache.hadoop.fs.FileSystem): Unit = {
+    val expects = effMeta.collect {
+      case (k, sql) if k.startsWith(ExpectPrefix) =>
+        k.stripPrefix(ExpectPrefix) -> sql
+    }
+    if (expects.isEmpty || stagedRels.isEmpty) return
+    val staged = spark.read.schema(schema)
+      .parquet(stagedRels.map(rel => s"$dir/$rel"): _*)
+    val names = expects.keys.toSeq.sorted
+    val aggs = names.map(n => coalesce(
+      sum(when(!coalesce(expr(expects(n)), lit(false)), 1L).otherwise(0L)),
+      lit(0L)).as(n))
+    val row = staged.agg(aggs.head, aggs.tail: _*).head()
+    val bad = names.zipWithIndex.collect {
+      case (n, i) if row.getLong(i) > 0 =>
+        s"$n (${expects(n)}): ${row.getLong(i)} rows"
+    }
+    if (bad.nonEmpty) {
+      f.delete(dataPath, true)
+      throw new ExpectationViolation(
+        s"commit to $dir refused — staged rows violate table " +
+          s"expectations: ${bad.mkString("; ")}")
+    }
+  }
+
   private def requireWriterId(writerId: String): Unit =
     require(writerId.nonEmpty && !writerId.exists(c => c == '/' || c == '\n'),
       s"writerId must be a plain token, got '$writerId'")
@@ -655,7 +722,8 @@ object VersionedTable {
       expectedVersion: Long, writerId: String,
       allowSchemaChange: Boolean = false,
       statsCols: Option[Seq[String]] = None,
-      meta: Map[String, String] = Map.empty): Long = {
+      meta: Map[String, String] = Map.empty,
+      expectations: Map[String, String] = Map.empty): Long = {
     requireWriterId(writerId)
     val newV = expectedVersion + 1
     requireNotStale(spark, dir, expectedVersion)
@@ -666,15 +734,18 @@ object VersionedTable {
     val parentStats =
       if (expectedVersion >= 0) readManifest(spark, dir, expectedVersion).stats
       else Map.empty[String, Map[String, (String, String)]]
+    val effMeta = expectMeta(spark, dir, expectedVersion, meta, expectations)
     val dataRel = s"data/v$newV-$writerId"
     val dataPath = new org.apache.hadoop.fs.Path(s"$dir/$dataRel")
     val f = fs(spark, dir)
     df.write.mode("overwrite").parquet(dataPath.toString)
     val staged = listDataFiles(spark, dir, dataRel)
+    enforceExpectations(spark, dir, staged, df.schema, effMeta, dataPath, f)
     val stats = collectStats(spark, dir, staged,
       resolveStatsCols(statsCols, parentStats, df.schema))
     val body = manifestBody(newV, expectedVersion, writerId, df.schema,
-      Some(dataRel), staged, removed = parentLive, stats = stats, meta = meta)
+      Some(dataRel), staged, removed = parentLive, stats = stats,
+      meta = effMeta)
     if (!casManifest(spark, dir, newV, writerId, body)) {
       f.delete(dataPath, true)
       throw new CommitConflict(
@@ -696,7 +767,8 @@ object VersionedTable {
       expectedVersion: Long, writerId: String,
       allowSchemaChange: Boolean = false,
       statsCols: Option[Seq[String]] = None,
-      meta: Map[String, String] = Map.empty): DeltaStats = {
+      meta: Map[String, String] = Map.empty,
+      expectations: Map[String, String] = Map.empty): DeltaStats = {
     requireWriterId(writerId)
     require(expectedVersion >= 0,
       "commitDelta needs an existing parent version — use commit for v0")
@@ -713,6 +785,7 @@ object VersionedTable {
     val f = fs(spark, dir)
     val dataRel = s"data/v$newV-$writerId"
     val dataPath = new org.apache.hadoop.fs.Path(s"$dir/$dataRel")
+    val effMeta = expectMeta(spark, dir, expectedVersion, meta, expectations)
     val staged = adds match {
       case Some(df) =>
         df.write.mode("overwrite").parquet(dataPath.toString)
@@ -722,6 +795,7 @@ object VersionedTable {
     val newLive = parentLive.filterNot(removeFiles.toSet) ++ staged
     val schema = adds.map(_.schema)
       .getOrElse(schemaOf(spark, dir, expectedVersion))
+    enforceExpectations(spark, dir, staged, schema, effMeta, dataPath, f)
     // kept files inherit the parent's stats verbatim (they are the
     // same immutable bytes); only the staged files pay footer reads
     val parentStats = readManifest(spark, dir, expectedVersion).stats
@@ -731,7 +805,7 @@ object VersionedTable {
         resolveStatsCols(statsCols, parentStats, schema))
     val body = manifestBody(newV, expectedVersion, writerId, schema,
       adds.map(_ => dataRel), newLive, removed = removeFiles, stats = stats,
-      meta = meta)
+      meta = effMeta)
     if (!casManifest(spark, dir, newV, writerId, body)) {
       if (staged.nonEmpty) f.delete(dataPath, true)
       throw new CommitConflict(

@@ -425,6 +425,42 @@ class VersionedTableSpec extends SparkSpec {
       "dropping the cursor lifts the shield")
   }
 
+  test("CHECK expectations: bad commits refused with counts, constraints persist and inherit") {
+    import graft.operators.VersionedTable.ExpectationViolation
+    val dir = java.nio.file.Files.createTempDirectory("vt-expect").toString + "/t"
+    val base = spark.range(50).select($"id".as("k"), ($"id" * 2).as("v"))
+    // declaring a constraint the BASE violates refuses the very first commit
+    intercept[ExpectationViolation] {
+      VersionedTable.commit(spark, dir, base, -1L, "w",
+        expectations = Map("v_small" -> "v < 10"))
+    }
+    assert(VersionedTable.latestVersion(spark, dir) == -1L,
+      "a refused v0 must leave no table")
+    VersionedTable.commit(spark, dir, base, -1L, "w",
+      expectations = Map("v_nonneg" -> "v >= 0", "k_notnull" -> "k IS NOT NULL"))
+    assert(VersionedTable.tableExpectations(spark, dir, 0L).keySet ==
+      Set("v_nonneg", "k_notnull"))
+    // a clean merge passes; the constraint set rides into the child
+    VersionedTable.merge(spark, dir, Seq((3L, 7L)).toDF("k", "v"), Seq("k"), 0L, "m")
+    assert(VersionedTable.tableExpectations(spark, dir, 1L).size == 2,
+      "expectations must inherit through delta commits")
+    // a violating merge is refused: counts reported, table unchanged
+    val boom = intercept[ExpectationViolation] {
+      VersionedTable.merge(spark, dir,
+        Seq((4L, -5L), (5L, -6L), (6L, 1L)).toDF("k", "v"), Seq("k"), 1L, "m")
+    }
+    assert(boom.getMessage.contains("v_nonneg") && boom.getMessage.contains("2 rows"))
+    assert(VersionedTable.latestVersion(spark, dir) == 1L)
+    assert(VersionedTable.read(spark, dir).filter($"v" < 0).count() == 0)
+    // NULL is a violation (the SQL CHECK discipline): null v refused
+    intercept[ExpectationViolation] {
+      VersionedTable.merge(spark, dir,
+        Seq((Option(9L), Option.empty[Long])).toDF("k", "v"), Seq("k"), 1L, "m")
+    }
+    // staging from refused commits is sweepable garbage, never live
+    assert(VersionedTable.read(spark, dir).count() == 50)
+  }
+
   test("replicate: first sync full, churn sync incremental, stats ride along, no-op idempotent") {
     val root = java.nio.file.Files.createTempDirectory("vt-repl").toString
     val src = s"$root/src"; val dst = s"$root/dst"
