@@ -55,14 +55,22 @@ import org.apache.spark.sql.functions._
   * [[graft.streaming.CurationStreaming.scd2Expire]] including its
   * keep >= 2 floor.
   *
-  * Round 12 additions riding the same manifest: per-file column
-  * min/max stats (footer-derived, `stats=` lines) give DATA SKIPPING
-  * — [[readWhere]] resolves a range predicate to the intersecting
-  * files from one manifest read, and [[merge]] pre-prunes its
-  * touched-file scan by the change set's key envelope; and
-  * [[changesBetween]] derives the keyed change feed between two
-  * versions from ONLY the changed files (CDC at churn cost — an
-  * OPTIMIZE diffs to empty because carried-along rows cancel).
+  * Round 12 additions, all riding the same manifest + CAS (no second
+  * log format): per-file column min/max stats (footer-derived,
+  * `stats=` lines) give DATA SKIPPING — [[readWhere]] resolves a
+  * range predicate to the intersecting files from one manifest read,
+  * [[merge]] pre-prunes its touched-file scan by the change set's key
+  * envelope; [[changesBetween]] derives the keyed change feed between
+  * two versions from ONLY the changed files (CDC at churn cost — an
+  * OPTIMIZE diffs to empty because carried-along rows cancel);
+  * [[pollChanges]]/[[ackChanges]] give named consumers an atomic
+  * version cursor (exactly-once consumption; [[expire]] shields
+  * lagging cursors); [[replicate]] syncs the table to another storage
+  * root shipping only missing files; opaque `meta` entries carry
+  * commit provenance (the streaming-MERGE exactly-once marker —
+  * [[graft.streaming.CurationStreaming.tableMergeStream]]); and
+  * CHECK [[tableExpectations]] persist in the manifest, enforced on
+  * every commit's added rows before the CAS.
   */
 object VersionedTable {
 
@@ -655,15 +663,21 @@ object VersionedTable {
 
   /** Effective meta for a commit: the parent's persisted expectations
     * (constraints outlive the commit that declared them), overridden
-    * by this commit's explicit `expectations`, plus the plain meta. */
+    * by this commit's explicit `expectations` — an entry with an EMPTY
+    * sql drops the constraint explicitly — plus the plain meta. */
   private def expectMeta(spark: SparkSession, dir: String, parent: Long,
       meta: Map[String, String], expectations: Map[String, String])
       : Map[String, String] = {
-    val inherited =
-      if (parent >= 0) tableExpectations(spark, dir, parent) else Map.empty
-    (inherited ++ expectations).map { case (n, sql) =>
-      (s"$ExpectPrefix$n", sql)
-    }.toMap ++ meta
+    // NB: the else branch MUST be typed — an untyped Map.empty widens
+    // `inherited` to Iterable[(String, String)], where ++ CONCATENATES
+    // instead of overriding by key and an explicit drop would silently
+    // not drop (caught by the drop-constraint spec case)
+    val inherited: Map[String, String] =
+      if (parent >= 0) tableExpectations(spark, dir, parent)
+      else Map.empty[String, String]
+    (inherited ++ expectations)
+      .filter { case (_, sql) => sql.trim.nonEmpty } // "" = explicit drop
+      .map { case (n, sql) => (s"$ExpectPrefix$n", sql) } ++ meta
   }
 
   private def enforceExpectations(spark: SparkSession, dir: String,
@@ -836,7 +850,8 @@ object VersionedTable {
   def merge(spark: SparkSession, dir: String, changes: DataFrame,
       keys: Seq[String], expectedVersion: Long, writerId: String,
       deleteCol: Option[String] = None,
-      meta: Map[String, String] = Map.empty): DeltaStats = {
+      meta: Map[String, String] = Map.empty,
+      expectations: Map[String, String] = Map.empty): DeltaStats = {
     require(keys.nonEmpty, "at least one merge key")
     requireNotStale(spark, dir, expectedVersion)
     val parentLive = liveFiles(spark, dir, expectedVersion)
@@ -892,7 +907,7 @@ object VersionedTable {
       Incremental.mergeUpsert(touchedRows, changes, keys, deleteCol)
         .coalesce(math.max(1, touched.length))
     commitDelta(spark, dir, Some(rewritten), touched, expectedVersion,
-      writerId, meta = meta)
+      writerId, meta = meta, expectations = expectations)
   }
 
   /** OPTIMIZE as a file-granular commit: rewrite only the live files

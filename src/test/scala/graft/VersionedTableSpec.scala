@@ -459,6 +459,15 @@ class VersionedTableSpec extends SparkSpec {
     }
     // staging from refused commits is sweepable garbage, never live
     assert(VersionedTable.read(spark, dir).count() == 50)
+    // dropping a constraint is EXPLICIT: an empty-sql override removes
+    // it from the child, and the previously-refused rows then commit
+    VersionedTable.merge(spark, dir, Seq((4L, -5L)).toDF("k", "v"),
+      Seq("k"), VersionedTable.latestVersion(spark, dir), "m",
+      meta = Map.empty, expectations = Map("v_nonneg" -> ""))
+    val vNow = VersionedTable.latestVersion(spark, dir)
+    assert(VersionedTable.tableExpectations(spark, dir, vNow).keySet ==
+      Set("k_notnull"), "the dropped constraint must not inherit")
+    assert(VersionedTable.read(spark, dir).filter($"v" === -5L).count() == 1)
   }
 
   test("replicate: first sync full, churn sync incremental, stats ride along, no-op idempotent") {
