@@ -517,6 +517,74 @@ object Soak {
         new java.io.File(vt).getParentFile)
       n * 0 + rows
     }
+    // round 12: the lakehouse path at corpus scale — ONE clustered
+    // stats-indexed table, then each feature timed on it. Receipts
+    // print alongside times so the 100× claims carry numbers: merge
+    // bytes vs table bytes, files kept vs live, replication bytes.
+    if (only.forall(_.exists("lakehouse".startsWith))) {
+      import graft.operators.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("soak_lake_").toString
+      val vt = s"$root/t"
+      val base = docs.select(col("doc_id").as("k"), col("lang"),
+        length(col("text")).cast("long").as("len"))
+      time(s"lakehouse_build_$rows") {
+        VersionedTable.commit(spark, vt, base, -1L, "soak",
+          expectations = Map("k_notnull" -> "k IS NOT NULL"),
+          clusterBy = Seq("k")) * 0 + rows
+      }
+      def mergeReceipt(tag: String, st: VersionedTable.DeltaStats): Unit =
+        println(s"[soak]   $tag receipt: files ${st.filesRemoved}/${st.filesTotal} " +
+          s"rewritten, bytes ${st.bytesAdded}/${st.bytesTable} " +
+          f"(${100.0 * st.bytesAdded / st.bytesTable}%.1f%% of table)")
+      // LOCALIZED 1% churn: the clustered-table sweet spot — touches
+      // only the files whose envelopes intersect the churned range
+      time(s"lakehouse_merge_local1pct_$rows") {
+        val ch = base.filter(col("k") <= rows / 100)
+          .select(col("k"), lit("xx").as("lang"), col("len"))
+        mergeReceipt("local-merge",
+          VersionedTable.merge(spark, vt, ch, Seq("k"), 0L, "soak"))
+        rows / 100
+      }
+      // UNIFORM 1% churn: the worst case — every file contains churn
+      // keys, so every file rewrites; the declared clustering makes
+      // the rewrite RE-CLUSTER, so skipping survives (receipt below)
+      time(s"lakehouse_merge_uniform1pct_$rows") {
+        val ch = base.filter(col("k") % 100 === 1)
+          .select(col("k"), lit("zz").as("lang"), col("len"))
+        mergeReceipt("uniform-merge",
+          VersionedTable.merge(spark, vt, ch, Seq("k"), 1L, "soak"))
+        rows / 100
+      }
+      time(s"lakehouse_skipping_$rows") {
+        val lo = rows / 4; val hi = lo + rows / 100
+        val bounds = Seq(VersionedTable.ColBound("k", Some(lo), Some(hi)))
+        val v = VersionedTable.latestVersion(spark, vt)
+        val (kept, total) = VersionedTable.prunedFiles(spark, vt, v, bounds)
+        println(s"[soak]   skipping receipt (post both merges): " +
+          s"${kept.length}/$total files read")
+        VersionedTable.readWhere(spark, vt, bounds)
+          .filter(col("k").between(lo, hi)).count()
+      }
+      time(s"lakehouse_cdf_$rows")(
+        VersionedTable.changesBetween(spark, vt, 0L, 1L, Seq("k")).count())
+      time(s"lakehouse_replicate_$rows") {
+        val dst = s"$root/replica"
+        val r0 = VersionedTable.replicate(spark, vt, dst)
+        // second sync after fresh LOCALIZED churn ships only the churn
+        val ch2 = base.filter(col("k") > rows / 2 && col("k") <= rows / 2 + rows / 200)
+          .select(col("k"), lit("yy").as("lang"), col("len"))
+        VersionedTable.merge(spark, vt, ch2, Seq("k"),
+          VersionedTable.latestVersion(spark, vt), "soak")
+        val r1 = VersionedTable.replicate(spark, vt, dst)
+        println(s"[soak]   replicate receipts: full ${r0.bytesCopied}B, " +
+          s"churn ${r1.bytesCopied}B of ${r1.bytesTable}B " +
+          f"(${100.0 * r1.bytesCopied / r1.bytesTable}%.1f%%), " +
+          s"shared ${r1.filesShared}/${r1.filesShared + r1.filesCopied} files")
+        VersionedTable.read(spark, dst).count()
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+
     // batched multimodal inference over the full corpus: fixed-size
     // batches inside mapPartitions, integer-exact toy model
     time(s"multimodal_embed_$rows") {

@@ -470,6 +470,37 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dir).filter($"v" === -5L).count() == 1)
   }
 
+  test("clusterBy declaration: merge re-clusters rewrites so skipping survives uniform churn") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-cluster").toString + "/t"
+    // commit with clusterBy: reshape + declaration + default stats index
+    VersionedTable.commit(spark, dir,
+      spark.range(800).select($"id".as("k"), ($"id" * 2).as("v")),
+      -1L, "w", clusterBy = Seq("k"), clusterFiles = 8)
+    assert(VersionedTable.clusterColsOf(spark, dir, 0L) == Seq("k"))
+    val m0 = VersionedTable.readManifest(spark, dir, 0L)
+    assert(m0.files.forall(f => m0.stats.get(f).exists(_.contains("k"))),
+      "clusterBy must default the stats index to the clustering columns")
+    // UNIFORM churn: every file rewrites — the worst case. Without the
+    // declaration the merge join's hash shuffle would spread every key
+    // range across every output file and stats could prune nothing.
+    VersionedTable.merge(spark, dir,
+      spark.range(8).select(($"id" * 100).as("k"), lit(-1L).as("v")),
+      Seq("k"), 0L, "m")
+    assert(VersionedTable.clusterColsOf(spark, dir, 1L) == Seq("k"),
+      "the declaration must inherit through the merge commit")
+    val (kept, total) = VersionedTable.prunedFiles(spark, dir, 1L,
+      Seq(VersionedTable.ColBound("k", Some(0L), Some(99L))))
+    assert(total > 1 && kept.length * 2 <= total,
+      s"skipping must survive a uniform-churn merge: kept ${kept.length} of $total")
+    // and the re-clustered table is still exactly right
+    val got = VersionedTable.read(spark, dir)
+    assert(got.count() == 800 && got.filter($"v" === -1L).count() == 8)
+    assert(VersionedTable.readWhere(spark, dir,
+        Seq(VersionedTable.ColBound("k", Some(0L), Some(99L))))
+      .filter($"k" <= 99).count() ==
+      got.filter($"k" <= 99).count(), "pruned read stays exact")
+  }
+
   test("replicate: first sync full, churn sync incremental, stats ride along, no-op idempotent") {
     val root = java.nio.file.Files.createTempDirectory("vt-repl").toString
     val src = s"$root/src"; val dst = s"$root/dst"
