@@ -2073,9 +2073,9 @@ object SparkEntry {
         .toString + "/t"
       val ord = t(s, dir).orders.select(col("o_orderkey").as("k"),
           col("o_orderpriority").as("pr"), col("o_totalprice").as("price"))
-        .repartitionByRange(32, col("k")).sortWithinPartitions("k")
       require(VersionedTable.commit(s, vt, ord, -1L, "loader",
-        statsCols = Some(Seq("k", "price"))) == 0L)
+        statsCols = Some(Seq("k", "price")),
+        clusterBy = Seq("k"), clusterFiles = 32) == 0L)
       val maxk = t(s, dir).orders.agg(max(col("o_orderkey")))
         .collect()(0).getLong(0)
       val lo = maxk / 4; val hi = lo + maxk / 50
@@ -2334,9 +2334,8 @@ object SparkEntry {
       val src = s"$tmp/src"; val vt = s"$tmp/t"; val ckpt = s"$tmp/ckpt"
       val cust = t(s, dir).customer.select(col("c_custkey").as("k"),
           col("c_name").as("name"), col("c_acctbal").as("bal"))
-        .repartitionByRange(32, col("k")).sortWithinPartitions("k")
       require(VersionedTable.commit(s, vt, cust, -1L, "loader",
-        statsCols = Some(Seq("k"))) == 0L)
+        clusterBy = Seq("k"), clusterFiles = 32) == 0L)
       val maxk = t(s, dir).customer.agg(max(col("c_custkey")))
         .collect()(0).getLong(0)
       val thr = maxk / 50; val thr2 = thr / 2
@@ -2375,6 +2374,13 @@ object SparkEntry {
       val after = VersionedTable.read(s, vt)
       require(after.exceptAll(fin).isEmpty && fin.exceptAll(after).isEmpty,
         "q224: a full replay must not change one row")
+      // the clusterBy declaration survived four streaming merges:
+      // skipping still prunes on the final version
+      val (kept, total) = VersionedTable.prunedFiles(s, vt,
+        VersionedTable.latestVersion(s, vt),
+        Seq(VersionedTable.ColBound("k", Some(1L), Some(thr.max(1L)))))
+      require(kept.length * 2 <= total,
+        s"q224: clustering must survive streamed merges (kept ${kept.length} of $total)")
       fin
     }),
 
