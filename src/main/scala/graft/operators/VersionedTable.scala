@@ -975,7 +975,7 @@ object VersionedTable {
   def compactSmallFiles(spark: SparkSession, dir: String,
       expectedVersion: Long, writerId: String, smallBytes: Long,
       targetFileCount: Int = 1,
-      reshape: DataFrame => DataFrame = identity): Option[DeltaStats] = {
+      reshape: Option[DataFrame => DataFrame] = None): Option[DeltaStats] = {
     val f = fs(spark, dir)
     val small = liveFiles(spark, dir, expectedVersion).filter(rel =>
       f.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$rel"))
@@ -983,9 +983,21 @@ object VersionedTable {
     if (small.length < 2) None
     else {
       val schema = schemaOf(spark, dir, expectedVersion)
-      val packed = reshape(spark.read.schema(schema)
-        .parquet(small.map(rel => s"$dir/$rel"): _*))
-        .coalesce(targetFileCount)
+      val read = spark.read.schema(schema)
+        .parquet(small.map(rel => s"$dir/$rel"): _*)
+      // clustering is a table property: with a declaration and no
+      // caller reshape, OPTIMIZE bin-packs INTO the clustering order
+      // (range + sort), so compaction tightens envelopes instead of
+      // scrambling them; an explicit reshape (e.g. z-order) wins
+      val clusterCols = clusterColsOf(spark, dir, expectedVersion)
+        .filter(schema.fieldNames.contains)
+      val packed = reshape match {
+        case Some(r) => r(read).coalesce(targetFileCount)
+        case None if clusterCols.nonEmpty => read
+          .repartitionByRange(targetFileCount, clusterCols.map(col): _*)
+          .sortWithinPartitions(clusterCols.map(col): _*)
+        case None => read.coalesce(targetFileCount)
+      }
       Some(commitDelta(spark, dir, Some(packed), small, expectedVersion,
         writerId))
     }

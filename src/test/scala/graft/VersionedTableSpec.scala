@@ -499,6 +499,16 @@ class VersionedTableSpec extends SparkSpec {
         Seq(VersionedTable.ColBound("k", Some(0L), Some(99L))))
       .filter($"k" <= 99).count() ==
       got.filter($"k" <= 99).count(), "pruned read stays exact")
+    // OPTIMIZE with no explicit reshape bin-packs INTO the clustering
+    // order, so compaction tightens envelopes instead of scrambling
+    val st = VersionedTable.compactSmallFiles(spark, dir, 1L, "opt",
+      smallBytes = 1L << 30, targetFileCount = 4)
+    assert(st.isDefined && st.get.version == 2L)
+    val (kept2, total2) = VersionedTable.prunedFiles(spark, dir, 2L,
+      Seq(VersionedTable.ColBound("k", Some(0L), Some(99L))))
+    assert(total2 == 4 && kept2.length == 1,
+      s"post-compaction skipping must still prune: $kept2 of $total2")
+    assert(VersionedTable.read(spark, dir).count() == 800)
   }
 
   test("replicate: first sync full, churn sync incremental, stats ride along, no-op idempotent") {
