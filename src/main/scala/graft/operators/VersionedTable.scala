@@ -717,7 +717,29 @@ object VersionedTable {
     val aggs = names.map(n => coalesce(
       sum(when(!coalesce(expr(expects(n)), lit(false)), 1L).otherwise(0L)),
       lit(0L)).as(n))
-    val row = staged.agg(aggs.head, aggs.tail: _*).head()
+    // an expectation that no longer ANALYZES against the staged schema
+    // (its column was dropped via allowSchemaChange, or the sql is
+    // malformed) must refuse the commit the same way a violation does
+    // — staging cleaned, ExpectationViolation raised naming the
+    // unresolvable constraint — not leak the staged dir via a raw
+    // AnalysisException that leaves the table un-committable
+    val row =
+      try staged.agg(aggs.head, aggs.tail: _*).head()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          f.delete(dataPath, true)
+          val broken = names.filter { n =>
+            try { staged.select(expr(expects(n))); false }
+            catch { case _: org.apache.spark.sql.AnalysisException => true }
+          }
+          throw new ExpectationViolation(
+            s"commit to $dir refused — table expectations do not resolve " +
+              s"against the staged schema: " +
+              broken.map(n => s"$n (${expects(n)})").mkString("; ") +
+              " — drop each via an explicit empty-sql override " +
+              "(expectations = Map(name -> \"\")) or restore the column. " +
+              s"Analysis error: ${e.getMessage.linesIterator.next()}")
+      }
     val bad = names.zipWithIndex.collect {
       case (n, i) if row.getLong(i) > 0 =>
         s"$n (${expects(n)}): ${row.getLong(i)} rows"
@@ -858,10 +880,29 @@ object VersionedTable {
       .getOrElse(schemaOf(spark, dir, expectedVersion))
     enforceExpectations(spark, dir, staged, schema, effMeta, dataPath, f)
     // kept files inherit the parent's stats verbatim (they are the
-    // same immutable bytes); only the staged files pay footer reads
+    // same immutable bytes) — EXCEPT for columns whose type changed
+    // under allowSchemaChange: the encodings are domain-specific
+    // ('l'/'d'/'b'), so an Int→String migration would decode the old
+    // longs as base64 bytes — either a decode exception or garbage
+    // comparisons that silently prune files containing matches. Drop
+    // inherited stats whose column type no longer matches the parent's
+    // (falls back to "no stats → never prune", the conservative pole);
+    // only the staged files pay footer reads
     val parentStats = readManifest(spark, dir, expectedVersion).stats
+    val parentSchema = schemaOf(spark, dir, expectedVersion)
+    val typeStable: String => Boolean = {
+      val pt = parentSchema.fields.map(f => f.name -> f.dataType).toMap
+      val nt = schema.fields.map(f => f.name -> f.dataType).toMap
+      c => pt.get(c).exists(t => nt.get(c).contains(t))
+    }
     val newLiveSet = newLive.toSet
-    val stats = parentStats.filter { case (rel, _) => newLiveSet(rel) } ++
+    val stats = parentStats.collect {
+      case (rel, cols) if newLiveSet(rel) =>
+        rel -> cols.filter { case (c, _) => typeStable(c) }
+    }.filter(_._2.nonEmpty) ++
+      // the stats-COLUMN set still inherits by name: staged files are
+      // written under the new schema, so their fresh stats land in the
+      // new domain and are safe regardless of the migration
       collectStats(spark, dir, staged,
         resolveStatsCols(statsCols, parentStats, schema))
     val body = manifestBody(newV, expectedVersion, writerId, schema,
@@ -1081,10 +1122,16 @@ object VersionedTable {
           if (won) df.getFileStatus(dp).getLen else 0L
         }.sum().toLong
     val newV = dstV + 1
+    // the source's meta rides along VERBATIM: persisted CHECK
+    // expectations keep constraining replica commits, the clustering
+    // declaration keeps replica merges skipping-friendly, and stream
+    // batch markers keep a streaming-merge failover to the replica
+    // exactly-once (without them a replayed batch would double-apply)
     val body = manifestBody(newV, dstV, writerId,
       srcM.schema.getOrElse(schemaOf(spark, srcDir, srcV)),
       stagingDir = None, files = srcLive,
-      removed = dstPrevLive.filterNot(srcLive.toSet), stats = srcM.stats)
+      removed = dstPrevLive.filterNot(srcLive.toSet), stats = srcM.stats,
+      meta = srcM.meta)
     if (!casManifest(spark, dstDir, newV, writerId, body))
       throw new CommitConflict(
         s"replicate to $dstDir: lost the race for version $newV — a " +
@@ -1135,9 +1182,15 @@ object VersionedTable {
 
   private def casCursor(spark: SparkSession, dir: String, consumer: String,
       n: Long, toV: Long): Boolean =
+    // per-call unique tmp name (the casManifest .tmp-$writerId-$newV
+    // discipline): two racing instances of ONE consumer must never
+    // share a tmp, or the hard-link winner could publish the loser's
+    // body — an ack to version X whose file says version Y silently
+    // skips the feed X..Y
     casCreate(spark,
       new org.apache.hadoop.fs.Path(s"${cursorDir(dir, consumer)}/$n.cursor"),
-      new org.apache.hadoop.fs.Path(s"${cursorDir(dir, consumer)}/.tmp-$n"),
+      new org.apache.hadoop.fs.Path(
+        s"${cursorDir(dir, consumer)}/.tmp-${java.util.UUID.randomUUID()}-$n"),
       s"version=$toV\n")
 
   /** Register a consumer starting AFTER version `startV` (its first

@@ -441,6 +441,36 @@ object CurationStreaming {
       .collectFirst { case Some(b) => b.toLong }
   }
 
+  /** Content fingerprint of a file-source micro-batch: md5 over the
+    * sorted input file NAMES (names, not full paths — the fingerprint
+    * must survive path re-qualification and replica roots). None when
+    * the batch cannot be attributed to files (non-file source). */
+  private def batchFilesHash(batch: DataFrame): Option[String] = {
+    val names = batch.inputFiles.toSeq
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).sorted
+    if (names.isEmpty) None
+    else Some(java.security.MessageDigest.getInstance("MD5")
+      .digest(names.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString)
+  }
+
+  /** The recorded content fingerprint of the commit that carried
+    * stream batch `batchId` (inner Option: the commit exists but
+    * predates fingerprinting). Stream merges are serial, so marker
+    * values descend with versions — the scan stops at the first
+    * marker below `batchId`. */
+  private def committedBatchHash(spark: SparkSession, tableDir: String,
+      marker: String, batchId: Long): Option[Option[String]] = {
+    import graft.operators.VersionedTable
+    VersionedTable.versions(spark, tableDir).reverseIterator
+      .map(v => VersionedTable.readManifest(spark, tableDir, v).meta)
+      .flatMap(meta => meta.get(marker).map(b => (b.toLong, meta)))
+      .takeWhile { case (b, _) => b >= batchId }
+      .collectFirst { case (b, meta) if b == batchId =>
+        meta.get(s"$marker.files")
+      }
+  }
+
   /** Stream CDC batches (staged files under `stagedDir`, each batch
     * key-unique) into a [[graft.operators.VersionedTable]] as
     * file-granular MERGE commits, EXACTLY ONCE across micro-batches,
@@ -478,23 +508,55 @@ object CurationStreaming {
       .parquet(stagedDir)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Inertness is keyed on batch CONTENT, not the raw batchId:
+        // batch ids are only stable within one checkpoint, so a fresh
+        // checkpoint that groups the staged files differently (bigger
+        // maxFilesPerTrigger, interleaved arrivals) must not have its
+        // batches silently suppressed by markers from the old
+        // checkpoint — that is data loss, not idempotence. A replay is
+        // inert iff a committed manifest carries BOTH this batchId and
+        // this batch's file fingerprint; a recorded id with a DIFFERENT
+        // fingerprint refuses loudly (divergent checkpoint).
         val done = lastStreamBatch(spark, tableDir, marker)
-        if (done.exists(_ >= batchId)) () // replay of a committed batch: inert
-        else {
-          var attempts = 0
-          var committed = false
-          while (!committed) {
-            val cur = VersionedTable.latestVersion(spark, tableDir)
-            try {
-              VersionedTable.merge(spark, tableDir, batch, keys, cur,
-                s"stream-b$batchId", deleteCol,
-                meta = Map(marker -> batchId.toString))
-              committed = true
-            } catch {
-              case _: VersionedTable.CommitConflict if attempts < maxCasRetries =>
-                attempts += 1 // an external writer took the version; re-plan
+        val h = batchFilesHash(batch)
+        committedBatchHash(spark, tableDir, marker, batchId) match {
+          case Some(recorded) =>
+            val diverged = (recorded, h) match {
+              case (Some(r), Some(x)) => r != x
+              case _ => false // pre-fingerprint commit or unattributable batch
             }
-          }
+            if (diverged) throw new IllegalStateException(
+              s"stream batch $batchId replayed with different contents than " +
+                s"its committed marker on $tableDir (recorded files hash " +
+                s"$recorded, replay $h) — the checkpoint was reset and the " +
+                "new batch grouping diverged; restart from the ORIGINAL " +
+                "checkpoint, or reset with a fresh marker namespace after " +
+                "verifying the table state")
+            () // true replay of a committed batch: inert
+          case None if done.exists(_ >= batchId) =>
+            throw new IllegalStateException(
+              s"stream batch $batchId is below the committed high-water " +
+                s"${done.get} on $tableDir but no commit carries its marker " +
+                "— either retention expired the marker inside the restart " +
+                "horizon (keep-window too small) or a fresh checkpoint " +
+                "regrouped the source; refusing to guess between " +
+                "double-apply and data loss")
+          case None =>
+            var attempts = 0
+            var committed = false
+            while (!committed) {
+              val cur = VersionedTable.latestVersion(spark, tableDir)
+              try {
+                VersionedTable.merge(spark, tableDir, batch, keys, cur,
+                  s"stream-b$batchId", deleteCol,
+                  meta = Map(marker -> batchId.toString) ++
+                    h.map(x => s"$marker.files" -> x))
+                committed = true
+              } catch {
+                case _: VersionedTable.CommitConflict if attempts < maxCasRetries =>
+                  attempts += 1 // an external writer took the version; re-plan
+              }
+            }
         }
         ()
       }

@@ -552,4 +552,81 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dst).count() ==
       VersionedTable.read(spark, src).count())
   }
+
+  test("replicate carries meta: expectations + clustering survive at the replica") {
+    val root = java.nio.file.Files.createTempDirectory("vt-repl-meta").toString
+    val src = s"$root/src"; val dst = s"$root/dst"
+    val base = spark.range(100).select($"id".as("k"), ($"id" * 2).as("v"))
+    VersionedTable.commit(spark, src, base, -1L, "loader",
+      clusterBy = Seq("k"), clusterFiles = 4,
+      expectations = Map("v_nonneg" -> "v >= 0"))
+    VersionedTable.replicate(spark, src, dst)
+    // the constraint constrains REPLICA commits too
+    assert(VersionedTable.tableExpectations(spark, dst, 0L) ==
+      Map("v_nonneg" -> "v >= 0"),
+      "persisted CHECK expectations must survive replication")
+    assert(VersionedTable.clusterColsOf(spark, dst, 0L) == Seq("k"),
+      "the clustering declaration must survive replication")
+    intercept[VersionedTable.ExpectationViolation] {
+      VersionedTable.merge(spark, dst,
+        spark.range(3).select($"id".as("k"), lit(-5L).as("v")),
+        Seq("k"), 0L, "m")
+    }
+  }
+
+  test("inherited stats are dropped when a column's type changes across domains") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-evostats").toString + "/t"
+    // v0: 4 clustered files with Long stats on k
+    VersionedTable.commit(spark, dir,
+      spark.range(400).select($"id".as("k"), lit("x").as("v")),
+      -1L, "w", clusterBy = Seq("k"), clusterFiles = 4)
+    val m0 = VersionedTable.readManifest(spark, dir, 0L)
+    assert(m0.stats.nonEmpty && m0.stats.values.forall(_.contains("k")))
+    // v1: schema change k Long → String via a delta that keeps v0's files.
+    // The kept files' 'l'-domain encodings must NOT survive into a manifest
+    // whose schema says k is a 'b'-domain string — they would decode as
+    // garbage and could silently prune files that contain matches.
+    val adds = spark.range(5).select(concat(lit("k"), $"id").as("k"),
+      lit("y").as("v"))
+    VersionedTable.commitDelta(spark, dir, Some(adds), Seq.empty, 0L, "w",
+      allowSchemaChange = true)
+    val m1 = VersionedTable.readManifest(spark, dir, 1L)
+    val keptRels = m0.files.toSet
+    assert(m1.files.exists(keptRels), "v0 files are shared into v1")
+    assert(m1.stats.filter { case (rel, _) => keptRels(rel) }
+        .values.forall(!_.contains("k")),
+      s"kept files must lose their old-domain k stats: ${m1.stats}")
+    // pruning on the string column stays conservative-correct: old files
+    // (no stats) are always kept
+    val (kept, total) = VersionedTable.prunedFiles(spark, dir, 1L,
+      Seq(VersionedTable.ColBound("k", Some("k0"), Some("k4"))))
+    assert(kept.toSet.intersect(keptRels) == keptRels.intersect(m1.files.toSet),
+      "files without usable stats are never pruned")
+    assert(total == m1.files.length)
+  }
+
+  test("expectation that no longer resolves refuses as ExpectationViolation, staging cleaned") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-expres").toString + "/t"
+    VersionedTable.commit(spark, dir,
+      spark.range(10).select($"id".as("k"), ($"id" % 5).as("v")),
+      -1L, "w", expectations = Map("v_nonneg" -> "v >= 0"))
+    // drop column v under allowSchemaChange: the persisted constraint
+    // can no longer analyze — must refuse as an ExpectationViolation
+    // (the commit-boundary error), not leak a raw AnalysisException
+    val noV = spark.range(10).select($"id".as("k"))
+    val ex = intercept[VersionedTable.ExpectationViolation] {
+      VersionedTable.commit(spark, dir, noV, 0L, "w",
+        allowSchemaChange = true)
+    }
+    assert(ex.getMessage.contains("v_nonneg"), ex.getMessage)
+    assert(VersionedTable.latestVersion(spark, dir) == 0L, "table unchanged")
+    // staging cleaned: no orphan dirs beyond the committed one
+    val f = new java.io.File(s"$dir/data")
+    assert(f.listFiles().count(_.getName.startsWith("v1-")) == 0,
+      "refused commit must not leak its staging dir")
+    // the documented escape hatch: explicit empty-sql override drops it
+    VersionedTable.commit(spark, dir, noV, 0L, "w",
+      allowSchemaChange = true, expectations = Map("v_nonneg" -> ""))
+    assert(VersionedTable.tableExpectations(spark, dir, 1L).isEmpty)
+  }
 }
