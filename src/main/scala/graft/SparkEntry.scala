@@ -2430,6 +2430,29 @@ object SparkEntry {
       VersionedTable.read(s, vt)
     }),
 
+    // --- AvroStorage round trip (SURVEY §2.1): write the table as
+    //     Avro via the explicit provider class (spark-sql compiles the
+    //     Avro reader/writer in; only the bare-name "avro" service
+    //     registration lives in the separate spark-avro module), read
+    //     it BACK from the Avro bytes, and aggregate — the oracle
+    //     never sees Avro, so a hash match proves the interchange is
+    //     value-exact for long/int/double/string columns. ---
+    "q229_avro_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_avro_q229_")
+        .toString + "/supplier_avro"
+      val src = t(s, dir).supplier
+      src.write.format(graft.Engine.AvroFormat).save(out)
+      val back = s.read.format(graft.Engine.AvroFormat).load(out)
+      require(back.schema.fieldNames.sorted.sameElements(
+        src.schema.fieldNames.sorted), "q229: avro must keep the schema")
+      back.groupBy(col("s_nationkey").cast("int").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(col("s_acctbal").cast("decimal(22,4)"))
+            .cast("double").as("sum_bal"),
+          min(col("s_name")).as("first_name"),
+          sum(col("s_suppkey")).as("sum_key"))
+    }),
+
     // --- Atomic commit protocol (round 11): the manifest-log CAS
     //     under the versioned-table family — commits stage data fully
     //     and promote a manifest file atomically (create-exclusive),
@@ -6364,6 +6387,17 @@ object SparkEntry {
          SELECT k, name,
                 CASE WHEN k <= t THEN bal + 1000 ELSE bal END AS bal
          FROM base, b""",
+
+    // avro round trip: the oracle aggregates the parquet source
+    // directly; the engine side answers from re-read AVRO bytes — a
+    // hash match proves the interchange preserved every value
+    "q229_avro_roundtrip" ->
+      """SELECT CAST(s_nationkey AS INTEGER) AS nationkey,
+                COUNT(*) AS n_supp,
+                CAST(SUM(CAST(s_acctbal AS DECIMAL(22,4))) AS DOUBLE) AS sum_bal,
+                MIN(s_name) AS first_name,
+                CAST(SUM(s_suppkey) AS BIGINT) AS sum_key
+         FROM supplier GROUP BY 1""",
 
     // table replication: the oracle replays the churn over the raw
     // table; the engine side answers from the REPLICA after two
