@@ -74,7 +74,11 @@ object Bench {
     // the nested-FOREACH lowering) shows up here, not just in plan
     // specs. L1 = explode->regroup over documents, L7 = wide multi-agg
     // over lineitem (the largest table), L16 = nested top-k flatten.
-    "q202_pigmix_l01", "q208_pigmix_l07", "q217_pigmix_l16")
+    "q202_pigmix_l01", "q208_pigmix_l07", "q217_pigmix_l16",
+    // round 13: L12 multi-output variant — three STOREs over one scan
+    // via the shared-scan (MultiQueryOptimizer) policy. Timed against
+    // q213 (single-store L12): the pin keeps it ~1x, not ~3x.
+    "q230_pigmix_l12_multistore")
 
   /** Per-query regression pins (round 9): each query's BEST recorded
     * driver median at sf0.1 across rounds 1–8. A timed median above

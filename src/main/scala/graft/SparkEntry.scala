@@ -2036,6 +2036,28 @@ object SparkEntry {
     "q211_pigmix_l10" -> pigmixQ("l10"),
     "q212_pigmix_l11" -> pigmixQ("l11"),
     "q213_pigmix_l12" -> pigmixQ("l12"),
+    // L12 multi-output variant (the reference's MultiQueryOptimizer,
+    // SURVEY §4.2): every branch summary lands in its OWN sink; the
+    // compiler's shared-scan policy persists the unsplit point so the
+    // three STOREs pay ~one scan of events. The entry executes the
+    // stores for real and answers from the read-back sinks.
+    "q230_pigmix_l12_multistore" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_mqo_q230_")
+        .toString
+      val script = graft.pig.PigScript.resource("/pigmix/l12multi.pig")
+      // the policy must pick the unsplit point — pinned here so a
+      // regression in the frontier computation fails the query, not
+      // just a spec
+      require(graft.pig.PigCompiler.sharedScanAliases(
+          graft.pig.PigParser.parseScript(
+            graft.pig.PigPreprocessor(script,
+              Map("DIR" -> dir, "OUT" -> out)))) == Set("E"),
+        "q230: the shared-scan policy must cache the unsplit input E")
+      graft.pig.PigScript.run(s, script,
+        Map("DIR" -> dir, "OUT" -> out), executeStores = true)
+      s.read.parquet(s"$out/err").unionByName(s.read.parquet(s"$out/buy"))
+        .unionByName(s.read.parquet(s"$out/rest"))
+    }),
     "q214_pigmix_l13" -> pigmixQ("l13"),
     // L14 (merge join) needs sorted-by-key inputs: the entry writes
     // both sides as range-partitioned, within-partition-sorted parquet
@@ -6500,6 +6522,16 @@ object SparkEntry {
            UNION ALL
            SELECT o_custkey AS id FROM orders)""",
     "q213_pigmix_l12" ->
+      """SELECT 'error' AS bucket, CAST(count(*) AS BIGINT) AS n,
+                max(value) AS max_value
+         FROM events WHERE event_type = 'error'
+         UNION ALL
+         SELECT 'purchase', CAST(count(*) AS BIGINT), max(value)
+         FROM events WHERE event_type = 'purchase'
+         UNION ALL
+         SELECT 'rest', CAST(count(*) AS BIGINT), max(value)
+         FROM events WHERE event_type NOT IN ('error', 'purchase')""",
+    "q230_pigmix_l12_multistore" ->
       """SELECT 'error' AS bucket, CAST(count(*) AS BIGINT) AS n,
                 max(value) AS max_value
          FROM events WHERE event_type = 'error'

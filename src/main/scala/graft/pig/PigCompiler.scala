@@ -75,6 +75,87 @@ object PigCompiler {
       case RInline(op) => compileOp(spark, env, cmds, op)
     }
 
+  // ---------------- multi-query shared-scan policy ----------------
+
+  /** Direct ALIAS inputs of an op. Scalar references inside
+    * expressions (bindScalars) are deliberately not counted — they
+    * collect a one-row aggregate, not a lineage re-scan. */
+  private def refsOf(op: POp): Seq[String] = op match {
+    case _: PLoad => Seq.empty
+    case PFilter(in, _) => Seq(in)
+    case PForeach(in, _) => refOf(in)
+    case PForeachNested(in, _, _) => refOf(in)
+    case PCubeOp(in, _, _) => Seq(in)
+    case PGroup(inputs, _, _, _) => inputs.map(_._1)
+    case PJoin(sides, _, _) => sides.map(_._1)
+    case POrder(in, _, _) => Seq(in)
+    case PLimit(in, _) => Seq(in)
+    case PDistinct(in) => Seq(in)
+    case PUnion(ins, _) => ins
+    case PCross(ins) => ins
+    case PSample(in, _) => Seq(in)
+    case PRank(in, _, _) => Seq(in)
+    case PStream(in, _, _, _) => Seq(in)
+    case PAliasRef(in) => Seq(in)
+    case n: PNative => Seq(n.storeAlias)
+  }
+  private def refOf(r: PRelRef): Seq[String] = r match {
+    case RAlias(n) => Seq(n)
+    case RInline(op) => refsOf(op)
+  }
+
+  /** The MultiQueryOptimizer analogue (SURVEY §4.2): a script with N>1
+    * STORE sinks whose lineages share a prefix would otherwise re-scan
+    * that prefix once PER SINK — correct at sf0.1, silently N× the
+    * single most expensive cost at 100 TB. This pre-pass picks the
+    * aliases to persist(MEMORY_AND_DISK) so one scan serves all sinks:
+    * the DEEPEST shared aliases — those on ≥2 store lineages with no
+    * direct consumer that is itself shared (caching a chain once, at
+    * the point closest to the sinks). SPLIT branches count as children
+    * of the split input, so a fan-out script with both branches stored
+    * caches the unsplit point, exactly Pig's MQO split-point. Scripts
+    * that rebind an alias fall back to per-sink execution (the static
+    * lineage would be ambiguous — rare, and correct either way).
+    *
+    * Known slack, both correctness-neutral: (a) a shared GROUP alias
+    * whose consumers are all ALGEBRAIC foreaches never forces its
+    * bag-df, so its cache entry stays empty and the group's input
+    * re-scans — the combiner rewrite usually makes that scan cheap;
+    * (b) a shared alias reached through a non-shared sibling path
+    * recomputes along that path. */
+  private[graft] def sharedScanAliases(stmts: Seq[PStmt]): Set[String] = {
+    val deps = mutable.Map.empty[String, Seq[String]]
+    val storeRoots = Seq.newBuilder[String]
+    var rebound = false
+    stmts.foreach {
+      case PAssign(a, op) =>
+        if (deps.contains(a)) rebound = true
+        deps(a) = refsOf(op)
+      case PSplit(in, branches, otherwise) =>
+        (branches.map(_._1) ++ otherwise).foreach { n =>
+          if (deps.contains(n)) rebound = true
+          deps(n) = Seq(in)
+        }
+      case PStore(a, _, _) => storeRoots += a
+      case _ => ()
+    }
+    val roots = storeRoots.result()
+    if (rebound || roots.distinct.size < 2) return Set.empty
+    def lineage(a: String): Set[String] = {
+      val seen = mutable.Set.empty[String]
+      def go(x: String): Unit =
+        if (seen.add(x)) deps.getOrElse(x, Seq.empty).foreach(go)
+      go(a); seen.toSet
+    }
+    val lins = roots.distinct.map(lineage)
+    val shared = lins.flatten.distinct
+      .filter(a => lins.count(_.contains(a)) >= 2).toSet
+    val consumers: Map[String, Set[String]] = deps.toSeq
+      .flatMap { case (a, ds) => ds.map(_ -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    shared.filter(x => !consumers.getOrElse(x, Set.empty).exists(shared))
+  }
+
   // ---------------- entry ----------------
 
   def compile(spark: SparkSession, stmts: Seq[PStmt],
@@ -84,6 +165,19 @@ object PigCompiler {
     val funcAliases = mutable.Map.empty[String, (String, Seq[String])]
     val stores = Seq.newBuilder[StoreTarget]
     var last: Option[String] = None
+    // shared-scan policy: aliases on ≥2 store lineages persist on
+    // first materialization and release after the last sink ran
+    val toCache: Set[String] =
+      if (executeStores) sharedScanAliases(stmts) else Set.empty
+    val cachedDfs = mutable.ArrayBuffer.empty[DataFrame]
+    def cacheWrap(alias: String, rel: Rel): Rel =
+      if (!toCache(alias)) rel
+      else new Rel(() => {
+        val d = rel.df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cachedDfs.synchronized { cachedDfs += d }
+        d
+      }, rel.group)
 
     // `DEFINE seq SequenceFileLoader('\t')` aliases substitute for the
     // class wherever a funcSpec is accepted (a bare alias ref only —
@@ -146,7 +240,7 @@ object PigCompiler {
                 s"in '$alias' (line ${s.pos.line}): ${e.getMessage}", e)
           }
         val r = reframe(compileOp(spark, env, cmds, resolveFuncAliases(op)))
-        env(alias) = new Rel(() => reframe(r.df), r.group)
+        env(alias) = cacheWrap(alias, new Rel(() => reframe(r.df), r.group))
         last = Some(alias)
       case PStore(alias, path, using0)
           if resolveSpec(using0).exists(
@@ -183,7 +277,9 @@ object PigCompiler {
         val parts = Relational.split(df,
           branches.map { case (n, e) => n -> compileExpr(df, e) }, otherwise,
           persist = false)
-        parts.foreach { case (n, d) => env(n) = new Rel(() => d, None) }
+        parts.foreach { case (n, d) =>
+          env(n) = cacheWrap(n, new Rel(() => d, None))
+        }
       case PAssertStmt(in, cond, msg) =>
         val r = lookup(env, in)
         env(in) = new Rel(() => Relational.assertRows(r.df,
@@ -193,6 +289,9 @@ object PigCompiler {
         // surface (GraftSession dump/describe/explain/illustrate) serves
         // them after runInto
     }
+    // every sink has run (stores execute inline above) — release the
+    // shared-scan cache; later Result.apply reads recompute uncached
+    cachedDfs.foreach(_.unpersist(false))
     new Result(env, stores.result(), last)
   }
 

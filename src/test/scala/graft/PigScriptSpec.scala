@@ -830,4 +830,76 @@ class PigScriptSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("MAPREDUCE job failed"))
   }
+
+  // ---------------- multi-STORE shared scan (MultiQueryOptimizer) ----------------
+
+  test("shared-scan policy picks the deepest shared alias per sink pair") {
+    import graft.pig.PigAst._
+    def parse(s: String) = PigParser.parseScript(s)
+    // two sinks over one filtered lineage → the filter is the split point
+    assert(PigCompiler.sharedScanAliases(parse(
+      """a = LOAD 'x' USING parquet;
+         f = FILTER a BY $0 > 3;
+         b = DISTINCT f; c = LIMIT f 5;
+         STORE b INTO 'o1'; STORE c INTO 'o2';""")) == Set("f"))
+    // SPLIT fan-out with both branches stored → cache the unsplit input
+    assert(PigCompiler.sharedScanAliases(parse(
+      """a = LOAD 'x' USING parquet;
+         SPLIT a INTO p IF $0 > 0, q OTHERWISE;
+         STORE p INTO 'o1'; STORE q INTO 'o2';""")) == Set("a"))
+    // one sink → nothing cached; rebound alias → policy disabled
+    assert(PigCompiler.sharedScanAliases(parse(
+      """a = LOAD 'x' USING parquet; STORE a INTO 'o';""")).isEmpty)
+    assert(PigCompiler.sharedScanAliases(parse(
+      """a = LOAD 'x' USING parquet;
+         b = DISTINCT a; a = LIMIT b 5;
+         STORE a INTO 'o1'; STORE b INTO 'o2';""")).isEmpty)
+  }
+
+  test("multi-STORE script executes with ONE scan of the shared lineage") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val tmp = java.nio.file.Files.createTempDirectory("pig_mqo").toString
+    spark.range(50000)
+      .select(col("id").as("k"), (col("id") % 97).as("v"))
+      .write.parquet(s"$tmp/in")
+    val plans = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val lis = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(lis)
+    try {
+      graft.pig.PigScript.run(spark,
+        s"""L = LOAD '$tmp/in' USING parquet;
+            F = FILTER L BY v < 50;
+            HI = FILTER F BY k >= 25000;
+            LO = FILTER F BY k < 25000;
+            STORE HI INTO '$tmp/hi' USING parquet;
+            STORE LO INTO '$tmp/lo' USING parquet;""",
+        executeStores = true)
+      // listener delivery is async — wait for both write plans
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (plans.size() < 2 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      import scala.jdk.CollectionConverters._
+      val writes = plans.asScala.filter(_.contains(s"$tmp/hi")) ++
+        plans.asScala.filter(_.contains(s"$tmp/lo"))
+      assert(writes.size == 2, s"expected 2 write plans, got:\n$plans")
+      // the shared prefix is served from the cache: both sink plans
+      // read InMemoryTableScan; only the cache FILL scans the parquet
+      assert(writes.forall(_.contains("InMemoryTableScan")),
+        s"both sinks must read the shared cache:\n${writes.mkString("\n---\n")}")
+      // and the outputs are exactly the uncached semantics
+      val hi = spark.read.parquet(s"$tmp/hi")
+      val lo = spark.read.parquet(s"$tmp/lo")
+      assert(hi.count() + lo.count() ==
+        spark.read.parquet(s"$tmp/in").filter(col("v") < 50).count())
+      assert(hi.filter(col("k") < 25000).isEmpty && lo.filter(col("k") >= 25000).isEmpty)
+      // the cache is RELEASED once the sinks ran (no leaked entries)
+      assert(spark.sharedState.cacheManager.isEmpty,
+        "shared-scan cache must be released after the last sink")
+    } finally spark.listenerManager.unregister(lis)
+  }
 }
