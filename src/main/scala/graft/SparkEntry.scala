@@ -918,6 +918,10 @@ object SparkEntry {
     "q97_pig_rollup" -> pigQ("/pig/q97_rollup.pig"),
     "q98_pig_inline_foreach" -> pigQ("/pig/q98_inline_foreach.pig"),
     "q99_pig_nested_foreach" -> pigQ("/pig/q99_nested_foreach.pig"),
+    // inner FLATTEN inside the nested block (legal Pig the compiler
+    // used to refuse): a sub-bag field expands via transform²+flatten
+    // HOFs — per-row, shuffle-free — then DISTINCT/count per group
+    "q228_nested_flatten" -> pigQ("/pig/q228_nested_flatten.pig"),
     "q102_pig_scalar_alias" -> pigQ("/pig/q102_scalar_alias.pig"),
     "q103_pig_case" -> pigQ("/pig/q103_case.pig"),
 
@@ -4866,6 +4870,15 @@ object SparkEntry {
          count(CASE WHEN l_quantity * 2.0 > 60.0 THEN 1 END) AS n_big,
          max(CASE WHEN l_quantity * 2.0 > 60.0 THEN l_quantity * 2.0 END) AS max_big
          FROM lineitem GROUP BY l_suppkey""",
+
+    "q228_nested_flatten" ->
+      """SELECT source,
+                CAST(COUNT(*) AS BIGINT) AS n_words,
+                CAST(COUNT(DISTINCT word) AS BIGINT) AS n_uniq
+         FROM (SELECT source,
+                      unnest(string_split_regex(text, '\s+')) AS word
+               FROM documents)
+         WHERE word <> '' GROUP BY source""",
 
     "q102_pig_scalar_alias" ->
       """WITH t AS (SELECT CAST(avg(l_quantity) AS DOUBLE) AS avg_qty FROM lineitem)

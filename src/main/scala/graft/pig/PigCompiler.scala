@@ -1064,19 +1064,95 @@ object PigCompiler {
         case NDistinct(_) => array_distinct(srcCol)
         // inner FOREACH over a materialized bag: per-element projection
         // (transform keeps the pipeline a per-row HOF — no shuffle)
-        case NForeach(_, gen) =>
-          require(gen.forall(!_.flatten),
-            "FLATTEN inside a nested FOREACH is not supported")
+        case NForeach(_, gen) if gen.forall(!_.flatten) =>
           transform(srcCol, e => struct(gen.zipWithIndex.map { case (it, i) =>
             val (nm, tpe) = it.asNames.headOption
               .getOrElse((defaultName(it.expr, i), None))
             val pc = compileElem(elemType, e, it.expr)
             tpe.map(castPigType(pc, _)).getOrElse(pc).as(nm)
           }: _*))
+        // inner FOREACH with FLATTEN: still a per-row HOF — a
+        // sub-bag field expands via a nested transform + flatten
+        // (each element's sub-bag elements become elements of the
+        // result bag, Pig's inner-FLATTEN inner-join semantics: null
+        // or empty sub-bags contribute nothing); a tuple field
+        // expands in place. Never a shuffle, never an explode.
+        case NForeach(_, gen) =>
+          require(gen.count(_.flatten) == 1,
+            "multiple FLATTENs in one nested FOREACH (a per-element " +
+              "cross product) are not supported — chain two nested " +
+              "FOREACH statements")
+          nestedFlattenForeach(elemType, srcCol, gen)
       }
       df = df.withColumn(name, c)
     }
     compileRowForeach(df, items)
+  }
+
+  /** Nested `p = FOREACH L GENERATE [pre…,] FLATTEN(f) [, post…];`
+    * lowered to per-row HOFs. `f` must be a STATICALLY TYPED bag or
+    * tuple field of the bag element (project a computed value with a
+    * prior nested FOREACH first — same discipline Pig's nested plans
+    * impose on re-used sub-expressions):
+    *   - bag of tuples  → each sub-element's fields expand, scalar
+    *     items ride along per sub-element (transform² + flatten);
+    *   - bag of scalars → one field per sub-element;
+    *   - tuple          → fields expand in place, one element each. */
+  private def nestedFlattenForeach(st: StructType, srcCol: Column,
+      gen: Seq[GenItem]): Column = {
+    val flatIdx = gen.indexWhere(_.flatten)
+    val flat = gen(flatIdx)
+    val ftype = elemTypeOf(st, flat.expr).getOrElse(
+      throw new IllegalArgumentException(
+        "FLATTEN inside a nested FOREACH needs a statically typed " +
+          s"bag/tuple field argument (got: ${flat.expr}) — project the " +
+          "value with a prior nested FOREACH statement first"))
+    def named(c: Column, as: Option[(String, Option[String])], i: Int,
+        e: PExpr): Column = {
+      val (nm, tpe) = as.getOrElse((defaultName(e, i), None))
+      tpe.map(castPigType(c, _)).getOrElse(c).as(nm)
+    }
+    // GENERATE-ordered output fields for one (outer elem, sub elem)
+    def fields(e: Column, sub: Option[Column]): Seq[Column] =
+      gen.zipWithIndex.flatMap { case (it, i) =>
+        if (!it.flatten)
+          Seq(named(compileElem(st, e, it.expr), it.asNames.headOption, i,
+            it.expr))
+        else ftype match {
+          case ArrayType(et: StructType, _) =>
+            require(flat.asNames.isEmpty ||
+                flat.asNames.length == et.fields.length,
+              s"FLATTEN AS arity ${flat.asNames.length} != " +
+                s"${et.fields.length} fields")
+            et.fields.zipWithIndex.map { case (f, j) =>
+              named(sub.get.getField(f.name),
+                flat.asNames.lift(j).orElse(Some((f.name, None))), i, it.expr)
+            }
+          case ArrayType(_, _) =>
+            Seq(named(sub.get, flat.asNames.headOption, i, it.expr))
+          case _: StructType =>
+            val base = compileElem(st, e, it.expr)
+            val sf = ftype.asInstanceOf[StructType].fields
+            require(flat.asNames.isEmpty || flat.asNames.length == sf.length,
+              s"FLATTEN AS arity ${flat.asNames.length} != ${sf.length} fields")
+            sf.zipWithIndex.map { case (f, j) =>
+              named(base.getField(f.name),
+                flat.asNames.lift(j).orElse(Some((f.name, None))), i, it.expr)
+            }
+          case other => throw new IllegalArgumentException(
+            s"FLATTEN inside a nested FOREACH needs a bag or tuple field, " +
+              s"got ${other.simpleString}")
+        }
+      }
+    ftype match {
+      case _: ArrayType =>
+        val nested = transform(srcCol, e =>
+          transform(compileElem(st, e, flat.expr), t =>
+            struct(fields(e, Some(t)): _*)))
+        flatten(filter(nested, a => a.isNotNull))
+      case _ =>
+        transform(srcCol, e => struct(fields(e, None): _*))
+    }
   }
 
   private def fieldIn(st: StructType, name: String): String =

@@ -831,6 +831,69 @@ class PigScriptSpec extends SparkSpec {
     assert(e.getMessage.contains("MAPREDUCE job failed"))
   }
 
+  // ---------------- nested FOREACH FLATTEN ----------------
+
+  test("nested FLATTEN: sub-bags expand per element, tuples in place, errors loud") {
+    val tmp = java.nio.file.Files.createTempDirectory("pig_nflat").toString
+    spark.sql(
+      """SELECT id % 2 AS k,
+                CASE WHEN id % 3 = 0 THEN
+                       array(named_struct('a', id, 'b', id*2),
+                             named_struct('a', id+10, 'b', 0L))
+                     WHEN id % 3 = 1 THEN array(named_struct('a', -id, 'b', 1L))
+                     WHEN id = 5 THEN CAST(NULL AS ARRAY<STRUCT<a:BIGINT,b:BIGINT>>)
+                     ELSE array() END AS items,
+                named_struct('x', id, 'y', CAST(id AS STRING)) AS tup
+         FROM range(6)""").write.parquet(s"$tmp/in")
+    // bag-of-structs FLATTEN with a scalar rider: each sub-element
+    // pairs with its outer element's fields; null/empty sub-bags
+    // contribute nothing (Pig inner-join FLATTEN)
+    val a = graft.pig.PigScript.query(spark,
+      s"""L = LOAD '$tmp/in' USING parquet;
+          G = GROUP L BY k;
+          A = FOREACH G {
+            w = FOREACH L GENERATE k AS src, FLATTEN(items);
+            GENERATE group AS k, COUNT_STAR(w) AS n, SUM(w.a) AS sum_a;
+          };""")
+    val exp = spark.read.parquet(s"$tmp/in")
+      .select(col("k"), explode(col("items")).as("e"))
+      .groupBy("k").agg(count(lit(1)).as("n"), sum(col("e.a")).as("sum_a"))
+    assert(a.exceptAll(exp).isEmpty && exp.exceptAll(a).isEmpty,
+      s"got ${a.collect().mkString}, want ${exp.collect().mkString}")
+    // tuple FLATTEN expands in place — one element per input element
+    val t2 = graft.pig.PigScript.query(spark,
+      s"""L = LOAD '$tmp/in' USING parquet;
+          G = GROUP L BY k;
+          A = FOREACH G {
+            t = FOREACH L GENERATE FLATTEN(tup) AS (x, y);
+            GENERATE group AS k, COUNT_STAR(t) AS n, MAX(t.x) AS max_x;
+          };""")
+    val expT = spark.read.parquet(s"$tmp/in")
+      .groupBy("k").agg(count(lit(1)).as("n"), max(col("tup.x")).as("max_x"))
+    assert(t2.exceptAll(expT).isEmpty && expT.exceptAll(t2).isEmpty)
+    // loud, positioned errors for the unsupported corners
+    val e1 = intercept[IllegalArgumentException] {
+      graft.pig.PigScript.query(spark,
+        s"""L = LOAD '$tmp/in' USING parquet;
+            G = GROUP L BY k;
+            A = FOREACH G {
+              w = FOREACH L GENERATE FLATTEN(items), FLATTEN(items);
+              GENERATE group, COUNT_STAR(w) AS n;
+            };""").collect()
+    }
+    assert(e1.getMessage.contains("multiple FLATTENs"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.pig.PigScript.query(spark,
+        s"""L = LOAD '$tmp/in' USING parquet;
+            G = GROUP L BY k;
+            A = FOREACH G {
+              w = FOREACH L GENERATE FLATTEN(TOKENIZE('a b')) AS word;
+              GENERATE group, COUNT_STAR(w) AS n;
+            };""").collect()
+    }
+    assert(e2.getMessage.contains("statically typed"), e2.getMessage)
+  }
+
   // ---------------- multi-STORE shared scan (MultiQueryOptimizer) ----------------
 
   test("shared-scan policy picks the deepest shared alias per sink pair") {
