@@ -251,8 +251,13 @@ object Engine {
     Dedup.verbatimSpans(df, idCol, textCol, minLen, maxDocFreq)
 
   def bpeTrain(df: DataFrame, textCol: String, nMerges: Int)
-      : (Seq[TextAnalysis.BpeMerge], DataFrame) =
-    TextAnalysis.bpeTrain(df, textCol, nMerges)
+      : (Seq[TextAnalysis.BpeMerge], DataFrame) = {
+    // route through the incremental trainer (zero per-merge Spark
+    // jobs); the legacy one-job-per-merge loop survives only as the
+    // parity oracle inside graft (TextAnalysis.bpeTrain)
+    val (merges, vocab, _) = TextAnalysis.bpeTrainIncremental(df, textCol, nMerges)
+    (merges, vocab)
+  }
 
   // round-8 surface: exact-substring REMOVAL, BPE apply-side, exact
   // heavy hitters (+ hot n-grams), hard token budgets

@@ -2479,6 +2479,126 @@ object SparkEntry {
           sum(col("s_suppkey")).as("sum_key"))
     }),
 
+    // --- Deletion vectors (round 13): DELETE WHERE as a position
+    //     mask, zero data-file rewrites — the GDPR-delete primitive.
+    //     Receipts require()'d in-entry: the delete commit leaves the
+    //     live file PATHS identical (filesMasked > 0, nothing
+    //     rewritten), a second overlapping delete counts only NEW
+    //     rows (the candidate scan is mask-applied), and the masked
+    //     table answers exactly the oracle's anti-filter. ---
+    "q231_dv_delete" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val vt = java.nio.file.Files.createTempDirectory("graft_dv_q231_")
+        .toString + "/t"
+      val ord = t(s, dir).orders.select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("pr"), col("o_totalprice").as("price"))
+      require(VersionedTable.commit(s, vt, ord, -1L, "loader",
+        clusterBy = Seq("k"), clusterFiles = 16) == 0L)
+      val live0 = VersionedTable.liveFiles(s, vt, 0L)
+      val st = VersionedTable.deleteWhere(s, vt, "k % 7 = 3", 0L, "gdpr")
+      require(st.version == 1L && st.filesMasked > 0 && st.filesDropped == 0,
+        s"q231: a scattered delete must mask, not rewrite: $st")
+      require(VersionedTable.liveFiles(s, vt, 1L) == live0,
+        "q231: the delete commit must not touch a single data file")
+      // overlapping second delete: k%21=3 ⊂ k%7=3 entirely — zero new rows
+      val st2 = VersionedTable.deleteWhere(s, vt, "k % 21 = 3", 1L, "gdpr")
+      require(st2.version == -1L && st2.rowsDeleted == 0L,
+        s"q231: already-masked rows must never recount: $st2")
+      VersionedTable.read(s, vt)
+    }),
+
+    // --- DV change feed: a mask-only commit changes no file paths,
+    //     but the feed still surfaces every masked row as a delete at
+    //     churn cost (only mask-changed files are re-read — receipt:
+    //     the diff's input file count equals the masked-file count,
+    //     not the table's). Cursor CDC rides the same feed. ---
+    "q232_dv_cdf" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val vt = java.nio.file.Files.createTempDirectory("graft_dv_q232_")
+        .toString + "/t"
+      val ord = t(s, dir).orders.select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("pr"), col("o_totalprice").as("price"))
+      require(VersionedTable.commit(s, vt, ord, -1L, "loader",
+        clusterBy = Seq("k"), clusterFiles = 16) == 0L)
+      VersionedTable.initCursor(s, vt, "exporter", 0L)
+      val st = VersionedTable.deleteWhere(s, vt, "k % 11 = 5", 0L, "gdpr")
+      require(st.filesMasked > 0, s"q231-style mask expected: $st")
+      val Some((feed, from, to)) =
+        VersionedTable.pollChanges(s, vt, "exporter", Seq("k"))
+      require(from == 0L && to == 1L, s"q232: cursor range $from->$to")
+      VersionedTable.ackChanges(s, vt, "exporter", from, to)
+      require(VersionedTable.pollChanges(s, vt, "exporter", Seq("k")).isEmpty,
+        "q232: an acked cursor must be caught up")
+      feed
+    }),
+
+    // --- DV × MERGE × purge capstone: delete by mask, then a keyed
+    //     MERGE whose change set overlaps the masked region — the
+    //     rewrite must NOT resurrect masked rows, and a change whose
+    //     key was DV-deleted re-inserts (it is absent from the merged
+    //     rows, the Delta semantics). purgeDeletes then materializes
+    //     every remaining mask; the read is row-identical before and
+    //     after (require()'d) and the oracle replays the whole
+    //     lifecycle relationally. ---
+    "q233_dv_merge_purge" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val vt = java.nio.file.Files.createTempDirectory("graft_dv_q233_")
+        .toString + "/t"
+      val ord = t(s, dir).orders.select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("pr"), col("o_totalprice").as("price"))
+      require(VersionedTable.commit(s, vt, ord, -1L, "loader",
+        clusterBy = Seq("k"), clusterFiles = 16) == 0L)
+      VersionedTable.deleteWhere(s, vt, "k % 5 = 0", 0L, "gdpr")
+      // churn-local change set (first quarter of the key range): the
+      // merge's stats pre-prune keeps it away from most files, so
+      // masks SURVIVE on untouched files and the purge below has work
+      val maxk = ord.agg(max(col("k"))).collect()(0).getLong(0)
+      val thr = maxk / 4
+      val changes = ord.filter(col("k") % 4 === 1 && col("k") <= thr)
+        .select(col("k"), lit("RUSH").as("pr"), col("price"))
+      VersionedTable.merge(s, vt, changes, Seq("k"), 1L, "merger")
+      val masked = VersionedTable.read(s, vt)
+      // purge: same rows, zero masks left, dv dirs become garbage
+      val pst = VersionedTable.purgeDeletes(s, vt, 2L, "optimizer")
+      require(pst.nonEmpty, "q233: masks must remain to purge")
+      require(VersionedTable.readManifest(s, vt, 3L).dv.isEmpty,
+        "q233: purge must drop every dv entry")
+      val purged = VersionedTable.read(s, vt)
+      require(purged.exceptAll(masked).isEmpty &&
+          masked.exceptAll(purged).isEmpty,
+        "q233: purge changed the answer")
+      purged
+    }),
+
+    // --- CDF across an ADD-COLUMN migration: the sanctioned schema
+    //     evolution path (allowSchemaChange) no longer dead-ends the
+    //     change feed — when every old column survives with its exact
+    //     type, the feed pads the old side with NULLs and reports the
+    //     added column's NULL→value transitions as updates (the Delta
+    //     CDF-through-mergeSchema behavior). Drops/renames/type
+    //     changes still refuse loudly (require()'d in-entry). ---
+    "q234_cdf_schema_add" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val vt = java.nio.file.Files.createTempDirectory("graft_dv_q234_")
+        .toString + "/t"
+      val ord = t(s, dir).orders
+      val v0 = ord.select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("pr"))
+      require(VersionedTable.commit(s, vt, v0, -1L, "loader") == 0L)
+      val v1 = ord.select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("pr"), col("o_totalprice").as("price"))
+      require(VersionedTable.commit(s, vt, v1, 0L, "migrator",
+        allowSchemaChange = true) == 1L)
+      // a DROP migration still refuses the feed
+      require(VersionedTable.commit(s, vt, v0, 1L, "migrator",
+        allowSchemaChange = true) == 2L)
+      val refused =
+        try { VersionedTable.changesBetween(s, vt, 1L, 2L, Seq("k")); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "q234: a drop-column feed must refuse loudly")
+      VersionedTable.changesBetween(s, vt, 0L, 1L, Seq("k"))
+    }),
+
     // --- Atomic commit protocol (round 11): the manifest-log CAS
     //     under the versioned-table family — commits stage data fully
     //     and promote a manifest file atomically (create-exclusive),
@@ -6433,6 +6553,43 @@ object SparkEntry {
                 MIN(s_name) AS first_name,
                 CAST(SUM(s_suppkey) AS BIGINT) AS sum_key
          FROM supplier GROUP BY 1""",
+
+    // deletion vectors: the engine answers from a MASKED versioned
+    // table (zero data files rewritten, receipts require()'d
+    // in-entry); the oracle is the plain anti-filter
+    "q231_dv_delete" ->
+      """SELECT o_orderkey AS k, o_orderpriority AS pr,
+                o_totalprice AS price
+         FROM orders WHERE o_orderkey % 7 <> 3""",
+
+    // DV change feed: every masked row surfaces as a delete (keys +
+    // NULL attrs, the CDC delete shape), nothing else
+    "q232_dv_cdf" ->
+      """SELECT o_orderkey AS k, CAST(NULL AS VARCHAR) AS pr,
+                CAST(NULL AS DOUBLE) AS price, 'delete' AS op
+         FROM orders WHERE o_orderkey % 11 = 5""",
+
+    // DV × MERGE × purge: mask k%5=0, merge pr:='RUSH' for k%4=1 in
+    // the first quarter of the key range (masked keys among them
+    // RE-INSERT — they are absent from the merged rows), purge
+    // materializes the surviving masks; the oracle replays it all
+    "q233_dv_merge_purge" ->
+      """WITH thr AS (SELECT CAST(FLOOR(MAX(o_orderkey) / 4.0) AS BIGINT) AS t
+                      FROM orders)
+         SELECT o_orderkey AS k,
+                CASE WHEN o_orderkey % 4 = 1 AND o_orderkey <= t THEN 'RUSH'
+                     ELSE o_orderpriority END AS pr,
+                o_totalprice AS price
+         FROM orders, thr
+         WHERE o_orderkey % 5 <> 0
+            OR (o_orderkey % 4 = 1 AND o_orderkey <= t)""",
+
+    // CDF across an add-column migration: same keys both sides, the
+    // added price column goes NULL -> value on every row -> all updates
+    "q234_cdf_schema_add" ->
+      """SELECT o_orderkey AS k, o_orderpriority AS pr,
+                o_totalprice AS price, 'update' AS op
+         FROM orders""",
 
     // table replication: the oracle replays the churn over the raw
     // table; the engine side answers from the REPLICA after two

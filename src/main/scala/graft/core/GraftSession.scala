@@ -88,7 +88,8 @@ final class GraftSession(val spark: SparkSession) {
   /** Expose every registered alias as a temp view and run SQL against
     * them — the PigServer `registerQuery`/`openIterator` programmatic
     * entry point (SURVEY §3.3), with Spark SQL as the query language. */
-  def sql(query: String): DataFrame = GraftSession.sqlLock.synchronized {
+  def sql(query: String): DataFrame =
+      GraftSession.sqlLockFor(spark).synchronized {
     // atomic register+analyze: spark.sql resolves the views eagerly, so
     // once this block returns the plan no longer depends on the temp
     // views and a concurrent caller (e.g. parallel Verify) re-binding
@@ -100,7 +101,19 @@ final class GraftSession(val spark: SparkSession) {
 
 object GraftSession {
 
-  private[core] val sqlLock = new Object
+  // one lock PER SparkSession, not global: temp views are scoped to
+  // their session catalog, so only GraftSessions sharing a
+  // SparkSession can corrupt each other's register+analyze window —
+  // independent sessions (concurrent-serving) must not serialize
+  // (weak keys: a dropped SparkSession must not be pinned by its lock)
+  private val sqlLocks =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, Object]
+  private[core] def sqlLockFor(
+      s: org.apache.spark.sql.SparkSession): Object = sqlLocks.synchronized {
+    var l = sqlLocks.get(s)
+    if (l == null) { l = new Object; sqlLocks.put(s, l) }
+    l
+  }
 
   /** Materialize a DataFrame and truncate its lineage — the iteration
     * primitive behind pageRank, pair-clustering, k-means, BPE training

@@ -259,7 +259,7 @@ object TextAnalysis {
     * Like [[bpePairCounts]], symbols start as plain characters (no
     * end-of-word marker — documented divergence from the paper's
     * `</w>`). */
-  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int,
+  private[graft] def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int,
       byteLevel: Boolean = false)
       : (Seq[BpeMerge], DataFrame) = {
     var vocab = docs

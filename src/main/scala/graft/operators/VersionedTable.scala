@@ -82,7 +82,13 @@ object VersionedTable {
 
   /** One committed version's metadata, parsed from its manifest.
     * `stats`: rel-path → column → (minEnc, maxEnc) canonical encodings
-    * (see [[encodeStat]]) — the data-skipping index. */
+    * (see [[encodeStat]]) — the data-skipping index.
+    * `dv`: rel-path → (dvDirRel, deletedRowCount) — the deletion-vector
+    * sidecar for that file (round 13): a parquet directory of
+    * (file, pos) rows masking deleted row positions, applied by every
+    * read path. At most one entry per live file; re-deletes write a
+    * MERGED mask so a single dv dir always carries a file's full
+    * position set (old dv dirs can then expire safely). */
   final case class Manifest(
       version: Long,
       parent: Long,
@@ -93,7 +99,8 @@ object VersionedTable {
       removed: Seq[String],
       legacyDataDir: Option[String],
       stats: Map[String, Map[String, (String, String)]] = Map.empty,
-      meta: Map[String, String] = Map.empty)
+      meta: Map[String, String] = Map.empty,
+      dv: Map[String, (String, Long)] = Map.empty)
 
   /** Receipt for a delta commit — the q198 "bytes written < 5% of
     * table" claim is checked from these numbers, not from trust. */
@@ -165,6 +172,12 @@ object VersionedTable {
           case Array(k2, v2) => Some(k2 -> v2)
           case _             => None
         }
+      }.toMap,
+      dv = all("dv").flatMap { line =>
+        line.split('\t') match {
+          case Array(rel, dvRel, n) => n.toLongOption.map(c => rel -> (dvRel, c))
+          case _                    => None
+        }
       }.toMap)
   }
 
@@ -193,28 +206,108 @@ object VersionedTable {
 
   /** The table at a specific committed version (time travel). An
     * all-rows-deleted version (zero live files) reads as an empty
-    * DataFrame with the manifest's schema. */
+    * DataFrame with the manifest's schema. Deletion-vector masks are
+    * applied — a DV-deleted row is invisible to every read path. */
   def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
     val m = readManifest(spark, dir, v)
     m.legacyDataDir match {
       case Some(rel) => spark.read.parquet(s"$dir/$rel")
       case None =>
-        val files = m.files.map(rel => s"$dir/$rel")
-        (files, m.schema) match {
+        (m.files, m.schema) match {
           case (Nil, Some(sch)) =>
             spark.createDataFrame(spark.sparkContext
               .emptyRDD[org.apache.spark.sql.Row], sch)
           case (Nil, None) =>
             throw new IllegalStateException(
               s"version $v of $dir has no files and no schema receipt")
-          case (fs0, sch) =>
+          case (rels, sch) =>
             // pin the manifest schema so a version reads identically
             // even if parquet-footer inference would widen/reorder
-            sch.map(spark.read.schema(_)).getOrElse(spark.read)
-              .parquet(fs0: _*)
+            readFilesMasked(spark, dir, m, rels,
+              sch.getOrElse(spark.read.parquet(
+                rels.map(r => s"$dir/$r"): _*).schema))
         }
     }
   }
+
+  // ─────────────── deletion vectors (round 13) ───────────────
+  //
+  // Row-level deletes WITHOUT file rewrites — the Delta/Iceberg
+  // deletion-vector design re-expressed on the manifest: a delete
+  // commit scans only the candidate files (stats-pruned when bounds
+  // are given), records the matched (file, row-position) pairs as a
+  // parquet sidecar under `_dv/v<version>-<writer>/`, and points each
+  // touched file's manifest entry at its mask. Bytes written scale
+  // with the DELETED ROW POSITIONS, not with the files touched — a
+  // scattered 0.01% GDPR delete on a 100 TB table writes kilobytes of
+  // positions instead of rewriting a large file per hit row.
+  //
+  // Read-path shape: every reader joins the scanned rows' implicit
+  // (file, _metadata.row_index) identity anti the mask — broadcast
+  // when the manifest's own deleted-count receipts say the mask is
+  // small (the common case by construction: a LARGE delete should be
+  // a [[merge]]/snapshot rewrite, not a mask), a plain shuffled
+  // anti-join beyond. Masks are MERGED per file (one dv entry per
+  // live file, always carrying the file's full position set), so a
+  // reader never unions historic dv dirs and [[expire]] can drop
+  // superseded ones. [[merge]]/[[compactSmallFiles]]/[[purgeDeletes]]
+  // materialize masks when they rewrite a file; a file whose every
+  // row is deleted leaves the live set entirely (no empty husks).
+
+  /** Staged data files live exactly two levels deep
+    * (`data/v<version>-<writer>/<part>`), so a scanned file's
+    * dir-relative identity is recoverable from its URI without
+    * knowing the filesystem's qualification quirks. */
+  private val FileRelPattern = "data/v[^/]+/[^/]+$"
+
+  /** Above this many masked rows across the files in scope, the
+    * anti-join abandons the broadcast hint (a mask this big should
+    * have been a rewrite; correctness is kept either way). */
+  private val DvBroadcastRows = 2000000L
+
+  /** Read `rels` (live files of manifest `m`) with `m`'s deletion
+    * vectors applied, keeping the row-identity columns
+    * `__graft_rel`/`__graft_pos` for callers that need them
+    * ([[deleteWhere]]). */
+  private def readFilesWithRowId(spark: SparkSession, dir: String,
+      m: Manifest, rels: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val base = spark.read.schema(schema)
+      .parquet(rels.map(rel => s"$dir/$rel"): _*)
+      .withColumn("__graft_rel",
+        regexp_extract(col("_metadata.file_path"), FileRelPattern, 0))
+      .withColumn("__graft_pos", col("_metadata.row_index"))
+    val masked = rels.flatMap(r => m.dv.get(r).map(r -> _))
+    if (masked.isEmpty) base
+    else {
+      val dvDirs = masked.map(_._2._1).distinct
+      val mask = spark.read
+        .parquet(dvDirs.map(rel => s"$dir/$rel"): _*)
+        .select(col("file").as("__dv_rel"), col("pos").as("__dv_pos"))
+      // manifest deleted-count receipts decide the join strategy with
+      // zero data I/O; stale rows for since-rewritten files in a
+      // shared dv dir are harmless (their rel never matches a scan)
+      val totalMasked = masked.map(_._2._2).sum
+      val side = if (totalMasked <= DvBroadcastRows) broadcast(mask) else mask
+      base.join(side,
+        base("__graft_rel") === side("__dv_rel") &&
+          base("__graft_pos") === side("__dv_pos"),
+        "left_anti")
+    }
+  }
+
+  /** Read a subset of a manifest's live files with deletion vectors
+    * applied — THE read primitive every path resolves through. */
+  private[operators] def readFilesMasked(spark: SparkSession, dir: String,
+      m: Manifest, rels: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (rels.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else if (rels.forall(r => !m.dv.contains(r)))
+      spark.read.schema(schema).parquet(rels.map(rel => s"$dir/$rel"): _*)
+    else readFilesWithRowId(spark, dir, m, rels, schema)
+      .drop("__graft_rel", "__graft_pos")
 
   /** The schema a version committed with (manifest receipt when
     * present, else footer inference). */
@@ -467,20 +560,44 @@ object VersionedTable {
             b.lower.map(boundValue(d, b.col, _)),
             b.upper.map(boundValue(d, b.col, _))))
       }
-    val kept = live.filter { rel =>
-      val fileStats = m.stats.getOrElse(rel, Map.empty)
-      encoded.forall { case (c, d, lo, hi) =>
-        fileStats.get(c) match {
-          case None                 => true  // no stats → cannot prune
-          case Some((AllNull, _))   => false // zero non-null values → no match
-          case Some((mnE, mxE)) =>
-            val mn = decodeStat(d, mnE); val mx = decodeStat(d, mxE)
-            lo.forall(l => cmp(d, mx, l) >= 0) && hi.forall(h => cmp(d, mn, h) <= 0)
-        }
+    val kept =
+      if (live.length <= DriverPruneFiles)
+        live.filter(rel =>
+          envelopeMatches(encoded, m.stats.getOrElse(rel, Map.empty)))
+      else {
+        // 100 TB × small files → ~10^7 manifest lines: the pruning
+        // DECISION itself becomes a short distributed job (per-file
+        // stats ship with their file; the bounds are tiny). The kept
+        // list preserves live order via the index.
+        val enc = encoded
+        val rows = live.zipWithIndex.map { case (rel, i) =>
+          (i, rel, m.stats.getOrElse(rel, Map.empty)) }
+        spark.sparkContext
+          .parallelize(rows, math.max(1, rows.length / 50000))
+          .filter { case (_, _, st) => envelopeMatches(enc, st) }
+          .map { case (i, rel, _) => (i, rel) }
+          .collect().sortBy(_._1).map(_._2).toSeq
       }
-    }
     (kept, live.length)
   }
+
+  /** Threshold above which [[prunedFiles]] distributes its filter —
+    * below it, a driver loop over the decoded manifest is faster than
+    * a job launch. */
+  private val DriverPruneFiles = 200000
+
+  private def envelopeMatches(
+      encoded: Seq[(String, Char, Option[Any], Option[Any])],
+      fileStats: Map[String, (String, String)]): Boolean =
+    encoded.forall { case (c, d, lo, hi) =>
+      fileStats.get(c) match {
+        case None                 => true  // no stats → cannot prune
+        case Some((AllNull, _))   => false // zero non-null values → no match
+        case Some((mnE, mxE)) =>
+          val mn = decodeStat(d, mnE); val mx = decodeStat(d, mxE)
+          lo.forall(l => cmp(d, mx, l) >= 0) && hi.forall(h => cmp(d, mn, h) <= 0)
+      }
+    }
 
   /** Version `v` (latest when v < 0) restricted to the files whose
     * stat envelopes intersect `bounds` — a conservative SUPERSET of
@@ -493,10 +610,7 @@ object VersionedTable {
     require(ver >= 0, s"no committed versions under $dir")
     val (kept, _) = prunedFiles(spark, dir, ver, bounds)
     val schema = schemaOf(spark, dir, ver)
-    if (kept.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(kept.map(rel => s"$dir/$rel"): _*)
+    readFilesMasked(spark, dir, readManifest(spark, dir, ver), kept, schema)
   }
 
   // ─────────────── change data feed at churn cost (round 12) ───────────────
@@ -528,23 +642,51 @@ object VersionedTable {
     * contract). The diff's own guards enforce uniqueness WITHIN the
     * changed files; a key duplicated across a changed and an
     * untouched file is the caller having already broken the merge
-    * contract. Schema must not have changed between the versions
-    * (refused loudly — a change feed across a schema migration has no
-    * well-defined row shape). */
+    * contract.
+    *
+    * Schema across the range: an ADD-COLUMN-ONLY migration (every v1
+    * column survives in v2 with its exact type; v2 may carry extra
+    * columns) is tolerated — the v1 side is padded with NULLs for the
+    * added columns, so the feed has v2's row shape and a row whose
+    * only change is the added column going NULL→value surfaces as an
+    * update (the Delta CDF-through-mergeSchema behavior). Any other
+    * migration (drop, rename, type change) is refused loudly — that
+    * feed has no well-defined row shape.
+    *
+    * Deletion vectors: a DV-only commit changes no file paths, but it
+    * changes file CONTENT — a file whose mask differs between the
+    * versions is diffed on both sides (its surviving rows cancel, its
+    * newly-masked rows surface as deletes), still at churn cost. */
   def changesBetween(spark: SparkSession, dir: String, v1: Long, v2: Long,
       keys: Seq[String]): DataFrame = {
+    require(v1 < v2, s"need v1 < v2, got $v1 >= $v2")
     val s1 = schemaOf(spark, dir, v1)
     val s2 = schemaOf(spark, dir, v2)
-    require(schemaShape(s1) == schemaShape(s2),
-      s"changesBetween $v1→$v2: schema changed (${s1.simpleString} vs " +
-        s"${s2.simpleString}) — diff each side of the migration separately")
-    val (added, removed) = changedFiles(spark, dir, v1, v2)
-    def readRels(rels: Seq[String], sch: org.apache.spark.sql.types.StructType) =
-      if (rels.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-      else spark.read.schema(sch).parquet(rels.map(rel => s"$dir/$rel"): _*)
-    Incremental.snapshotDiff(readRels(removed, s1), readRels(added, s2), keys)
+    val t1 = s1.fields.map(f => f.name -> f.dataType).toMap
+    val survived = s1.fields.forall(f =>
+      s2.fields.exists(g => g.name == f.name && g.dataType == f.dataType))
+    require(survived && s1.fields.length <= s2.fields.length,
+      s"changesBetween $v1→$v2: schema changed beyond column adds " +
+        s"(${s1.simpleString} vs ${s2.simpleString}) — diff each side of " +
+        "the migration separately")
+    val m1 = readManifest(spark, dir, v1)
+    val m2 = readManifest(spark, dir, v2)
+    val l1 = liveFiles(spark, dir, v1)
+    val l2 = liveFiles(spark, dir, v2)
+    val (set1, set2) = (l1.toSet, l2.toSet)
+    def maskChanged(rel: String) = m1.dv.get(rel) != m2.dv.get(rel)
+    val added = l2.filter(r => !set1(r) || maskChanged(r)).sorted
+    val removed = l1.filter(r => !set2(r) || maskChanged(r)).sorted
+    val oldSide = {
+      val read = readFilesMasked(spark, dir, m1, removed, s1)
+      // pad an add-column migration's v1 side to v2's shape
+      if (s1.fields.length == s2.fields.length) read
+      else read.select(s2.fields.map(f =>
+        if (t1.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+    }
+    Incremental.snapshotDiff(oldSide,
+      readFilesMasked(spark, dir, m2, added, s2), keys)
   }
 
   private def schemaShape(s: org.apache.spark.sql.types.StructType) =
@@ -612,7 +754,8 @@ object VersionedTable {
       stagingDir: Option[String], files: Seq[String],
       removed: Seq[String],
       stats: Map[String, Map[String, (String, String)]] = Map.empty,
-      meta: Map[String, String] = Map.empty): String = {
+      meta: Map[String, String] = Map.empty,
+      dv: Map[String, (String, Long)] = Map.empty): String = {
     val b64 = java.util.Base64.getEncoder
       .encodeToString(schema.json.getBytes("UTF-8"))
     val sb = new StringBuilder
@@ -634,6 +777,9 @@ object VersionedTable {
       stats.getOrElse(rel, Map.empty).toSeq.sortBy(_._1).foreach {
         case (c, (mn, mx)) => sb ++= s"stats=$rel\t$c\t$mn\t$mx\n"
       }
+      // deletion-vector line rides next to its file line: the mask is
+      // part of the file's identity for readers and the change feed
+      dv.get(rel).foreach { case (dvRel, n) => sb ++= s"dv=$rel\t$dvRel\t$n\n" }
     }
     removed.foreach(rel => sb ++= s"removed=$rel\n")
     sb.toString
@@ -888,7 +1034,8 @@ object VersionedTable {
     // inherited stats whose column type no longer matches the parent's
     // (falls back to "no stats → never prune", the conservative pole);
     // only the staged files pay footer reads
-    val parentStats = readManifest(spark, dir, expectedVersion).stats
+    val parentM = readManifest(spark, dir, expectedVersion)
+    val parentStats = parentM.stats
     val parentSchema = schemaOf(spark, dir, expectedVersion)
     val typeStable: String => Boolean = {
       val pt = parentSchema.fields.map(f => f.name -> f.dataType).toMap
@@ -905,9 +1052,16 @@ object VersionedTable {
       // new domain and are safe regardless of the migration
       collectStats(spark, dir, staged,
         resolveStatsCols(statsCols, parentStats, schema))
+    // kept files keep their deletion-vector masks (same immutable
+    // bytes, same positions); a REWRITTEN file is in removeFiles, so
+    // its mask is materialized-by-omission — callers that rewrite
+    // ([[merge]], [[compactSmallFiles]], [[purgeDeletes]]) read
+    // through [[readFilesMasked]], so the rewrite already dropped the
+    // masked rows
+    val dvKept = parentM.dv.filter { case (rel, _) => newLiveSet(rel) }
     val body = manifestBody(newV, expectedVersion, writerId, schema,
       adds.map(_ => dataRel), newLive, removed = removeFiles, stats = stats,
-      meta = effMeta)
+      meta = effMeta, dv = dvKept)
     if (!casManifest(spark, dir, newV, writerId, body)) {
       if (staged.nonEmpty) f.delete(dataPath, true)
       throw new CommitConflict(
@@ -942,6 +1096,7 @@ object VersionedTable {
       expectations: Map[String, String] = Map.empty): DeltaStats = {
     require(keys.nonEmpty, "at least one merge key")
     requireNotStale(spark, dir, expectedVersion)
+    val parentM = readManifest(spark, dir, expectedVersion)
     val parentLive = liveFiles(spark, dir, expectedVersion)
     val schema = schemaOf(spark, dir, expectedVersion)
     val dirAbs = fs(spark, dir).makeQualified(
@@ -956,11 +1111,11 @@ object VersionedTable {
     // table with localized churn scans the intersecting files instead
     // of every live file even in the PRUNING pass.
     val scanCandidates: Seq[String] = {
-      val m = readManifest(spark, dir, expectedVersion)
       val k = keys.head
       val supported = schema.fields.find(_.name == k)
         .flatMap(f => statDomain(f.dataType)).isDefined
-      if (!supported || !m.stats.valuesIterator.exists(_.contains(k))) parentLive
+      if (!supported || !parentM.stats.valuesIterator.exists(_.contains(k)))
+        parentLive
       else {
         val row = changes.agg(min(col(k)), max(col(k))).head()
         if (row.isNullAt(0)) Seq.empty // all change keys NULL: no row can match
@@ -981,12 +1136,10 @@ object VersionedTable {
             s"merge: scanned file $p is outside the table at $dirAbs")
           p.stripPrefix(dirAbs + "/")
         }.toSeq.sorted
-    val touchedRows =
-      if (touched.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .parquet(touched.map(rel => s"$dir/$rel"): _*)
+    // masked read: a rewrite MUST NOT resurrect DV-deleted rows — the
+    // pruning scan above may read them (conservative superset), but
+    // the rows that survive into the rewrite go through the mask
+    val touchedRows = readFilesMasked(spark, dir, parentM, touched, schema)
     // size the rewrite to the churn: without the coalesce, the merge
     // join's shuffle partitioning would fan a one-file rewrite into
     // shuffle.partitions tiny files and the delta would cost a large
@@ -1008,6 +1161,167 @@ object VersionedTable {
       writerId, meta = meta, expectations = expectations)
   }
 
+  /** Receipt for a [[deleteWhere]] commit. `version` = -1 when the
+    * predicate matched nothing — no commit was made, the table is
+    * untouched (the receipt still carries the live-file count). */
+  final case class DeleteStats(
+      version: Long, rowsDeleted: Long,
+      filesMasked: Long, filesDropped: Long, filesTotal: Long,
+      bytesDv: Long)
+
+  /** Per-file physical row counts from parquet footers — a
+    * distributed metadata job, never a data scan. */
+  private def footerRowCounts(spark: SparkSession, dir: String,
+      rels: Seq[String]): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    if (rels.isEmpty) return Map.empty
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val dirStr = dir
+    spark.sparkContext
+      .parallelize(rels, math.max(1, math.min(rels.length, 64)))
+      .map { rel =>
+        val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+          conf.value, new org.apache.hadoop.fs.Path(s"$dirStr/$rel"),
+          org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+        rel -> footer.getBlocks.asScala.map(_.getRowCount).sum
+      }.collect().toMap
+  }
+
+  /** DELETE WHERE as a deletion-vector commit: rows matching the
+    * boolean SQL `predicate` become invisible WITHOUT rewriting any
+    * data file — the commit writes only the matched row POSITIONS
+    * (a parquet sidecar under `_dv/`) and re-points the touched
+    * files' manifest entries at their (merged) masks. A file whose
+    * every surviving row matches leaves the live set entirely.
+    *
+    * Scale shape: this is the scattered-delete primitive (GDPR-style
+    * "0.01% of rows across many files") — bytes written scale with
+    * DELETED POSITIONS, not with touched-file bytes; a [[merge]]
+    * would rewrite a large file per hit row. Large deletes (a
+    * meaningful fraction of the table) should be a rewrite instead:
+    * masks make readers pay an anti-join forever, rewrites pay once
+    * ([[purgeDeletes]] converts accumulated masks to a rewrite).
+    * `bounds` pre-prunes the candidate scan from manifest stats (pass
+    * the predicate's range when you know it); the scan itself pushes
+    * the predicate into the parquet reader either way.
+    *
+    * Already-deleted rows never rematch (the candidate scan is
+    * mask-applied), so `rowsDeleted` receipts are exact and masks only
+    * grow. Stats stay inherited verbatim — a mask narrows a file's
+    * true envelope, and a too-wide envelope only weakens pruning,
+    * never correctness. */
+  def deleteWhere(spark: SparkSession, dir: String, predicate: String,
+      expectedVersion: Long, writerId: String,
+      bounds: Seq[ColBound] = Seq.empty,
+      meta: Map[String, String] = Map.empty): DeleteStats = {
+    requireWriterId(writerId)
+    require(expectedVersion >= 0,
+      "deleteWhere needs an existing version — nothing to delete from")
+    requireNotStale(spark, dir, expectedVersion)
+    val newV = expectedVersion + 1
+    val m = readManifest(spark, dir, expectedVersion)
+    require(m.legacyDataDir.isEmpty,
+      s"deleteWhere: $dir version $expectedVersion is a legacy whole-dir " +
+        "commit — recommit file-granular first")
+    val live = liveFiles(spark, dir, expectedVersion)
+    val schema = schemaOf(spark, dir, expectedVersion)
+    val candidates =
+      if (bounds.isEmpty) live
+      else prunedFiles(spark, dir, expectedVersion, bounds)._1
+    val noOp = DeleteStats(-1L, 0L, 0L, 0L, live.length.toLong, 0L)
+    if (candidates.isEmpty) return noOp
+    val matched = readFilesWithRowId(spark, dir, m, candidates, schema)
+      .where(expr(predicate))
+      .select(col("__graft_rel").as("file"), col("__graft_pos").as("pos"))
+    // per-file hit counts: file-count-bounded driver metadata
+    val newCounts: Map[String, Long] = matched.groupBy("file").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (newCounts.isEmpty) return noOp
+    val touched = newCounts.keys.toSeq.sorted
+    val totals = footerRowCounts(spark, dir, touched)
+    val afterDeleted: Map[String, Long] = touched.map(rel =>
+      rel -> (m.dv.get(rel).map(_._2).getOrElse(0L) + newCounts(rel))).toMap
+    val droppedSet = touched.filter(rel =>
+      afterDeleted(rel) >= totals(rel)).toSet // fully deleted: no husks
+    val maskedFiles = touched.filterNot(droppedSet)
+    val f = fs(spark, dir)
+    val dvRel = s"_dv/v$newV-$writerId"
+    val dvPath = new org.apache.hadoop.fs.Path(s"$dir/$dvRel")
+    if (maskedFiles.nonEmpty) {
+      val maskedDf = spark.createDataset(maskedFiles)(
+        org.apache.spark.sql.Encoders.STRING).toDF("file")
+      // MERGED mask: prior positions of re-masked files ride into the
+      // new dv dir, so one entry always carries a file's full set and
+      // superseded dv dirs can expire. No dedup needed — the candidate
+      // scan was mask-applied, so a prior position cannot rematch.
+      val priorDirs = maskedFiles.flatMap(r => m.dv.get(r).map(_._1)).distinct
+      val fresh = matched.join(broadcast(maskedDf), Seq("file"), "left_semi")
+      val body =
+        if (priorDirs.isEmpty) fresh
+        else fresh.unionByName(spark.read
+          .parquet(priorDirs.map(r => s"$dir/$r"): _*)
+          .select(col("file"), col("pos"))
+          .join(broadcast(maskedDf), Seq("file"), "left_semi"))
+      val parts = math.max(1L, math.min(32L,
+        newCounts.values.sum / 4000000L + 1L)).toInt
+      body.coalesce(parts).write.mode("overwrite").parquet(dvPath.toString)
+    }
+    val newLive = live.filterNot(droppedSet)
+    val newLiveSet = newLive.toSet
+    val stats = m.stats.filter { case (rel, _) => newLiveSet(rel) }
+    val dvNew: Map[String, (String, Long)] =
+      m.dv.filter { case (rel, _) =>
+        newLiveSet(rel) && !newCounts.contains(rel) } ++
+        maskedFiles.map(rel => rel -> (dvRel, afterDeleted(rel)))
+    val effMeta = expectMeta(spark, dir, expectedVersion, meta, Map.empty)
+    val body = manifestBody(newV, expectedVersion, writerId, schema,
+      stagingDir = None, files = newLive,
+      removed = droppedSet.toSeq.sorted, stats = stats, meta = effMeta,
+      dv = dvNew)
+    if (!casManifest(spark, dir, newV, writerId, body)) {
+      f.delete(dvPath, true)
+      throw new CommitConflict(
+        s"deleteWhere on $dir: lost the race for version $newV — mask " +
+          "removed; re-read, reconcile, retry")
+    }
+    val bytesDv =
+      if (maskedFiles.isEmpty) 0L
+      else f.getContentSummary(dvPath).getLength
+    DeleteStats(newV, newCounts.values.sum, maskedFiles.length.toLong,
+      droppedSet.size.toLong, newLive.length.toLong, bytesDv)
+  }
+
+  /** Materialize every deletion-vector mask: rewrite the masked files
+    * with masks applied (cluster-aware, like [[merge]]'s rewrite) and
+    * drop the dv entries — readers stop paying the anti-join, and the
+    * superseded `_dv` dirs become [[expire]]/[[vacuum]] garbage. The
+    * REWRITE-side of the mask-vs-rewrite tradeoff; run it when a
+    * table's masked-row fraction crosses your read-amplification
+    * budget. No-op (None) when nothing is masked. */
+  def purgeDeletes(spark: SparkSession, dir: String,
+      expectedVersion: Long, writerId: String): Option[DeltaStats] = {
+    requireNotStale(spark, dir, expectedVersion)
+    val m = readManifest(spark, dir, expectedVersion)
+    val live = liveFiles(spark, dir, expectedVersion)
+    val masked = live.filter(m.dv.contains)
+    if (masked.isEmpty) None
+    else {
+      val schema = schemaOf(spark, dir, expectedVersion)
+      val rows = readFilesMasked(spark, dir, m, masked, schema)
+      val clusterCols = clusterColsOf(spark, dir, expectedVersion)
+        .filter(schema.fieldNames.contains)
+      val rewritten =
+        if (clusterCols.nonEmpty)
+          rows.repartitionByRange(math.max(1, masked.length),
+              clusterCols.map(col): _*)
+            .sortWithinPartitions(clusterCols.map(col): _*)
+        else rows.coalesce(math.max(1, masked.length))
+      Some(commitDelta(spark, dir, Some(rewritten), masked, expectedVersion,
+        writerId))
+    }
+  }
+
   /** OPTIMIZE as a file-granular commit: rewrite only the live files
     * smaller than `smallBytes` into `targetFileCount` clustered files
     * (callers pass a transform for z-order etc. via `reshape`),
@@ -1024,8 +1338,10 @@ object VersionedTable {
     if (small.length < 2) None
     else {
       val schema = schemaOf(spark, dir, expectedVersion)
-      val read = spark.read.schema(schema)
-        .parquet(small.map(rel => s"$dir/$rel"): _*)
+      // masked read: bin-packing a DV-masked small file materializes
+      // its mask instead of resurrecting the deleted rows
+      val read = readFilesMasked(spark, dir,
+        readManifest(spark, dir, expectedVersion), small, schema)
       // clustering is a table property: with a declaration and no
       // caller reshape, OPTIMIZE bin-packs INTO the clustering order
       // (range + sort), so compaction tightens envelopes instead of
@@ -1079,14 +1395,24 @@ object VersionedTable {
     val srcLive = liveFiles(spark, srcDir, srcV)
     val dstV = latestVersion(spark, dstDir)
     val dstPrevLive = if (dstV >= 0) liveFiles(spark, dstDir, dstV) else Seq.empty
+    val dstPrevDv =
+      if (dstV >= 0) readManifest(spark, dstDir, dstV).dv
+      else Map.empty[String, (String, Long)]
     val fSrc = fs(spark, srcDir)
     def srcBytes(rels: Seq[String]): Long = rels.map(rel => fSrc.getFileStatus(
       new org.apache.hadoop.fs.Path(s"$srcDir/$rel")).getLen).sum
-    if (dstV >= 0 && dstPrevLive == srcLive)
+    // "already current" must compare MASKS too: a DV-only source
+    // commit changes no live paths but changes every masked file's
+    // effective content
+    if (dstV >= 0 && dstPrevLive == srcLive && dstPrevDv == srcM.dv)
       return ReplicaStats(-1L, srcV, 0L, srcLive.length.toLong, 0L,
         srcBytes(srcLive))
     val fDst = fs(spark, dstDir)
-    val toCopy = srcLive.filterNot(rel =>
+    // deletion-vector sidecars ship like data: the replica's masked
+    // reads need the position files at the same rel paths
+    val srcDvFiles = srcM.dv.values.map(_._1).toSeq.distinct.sorted
+      .flatMap(dvDir => listDataFiles(spark, srcDir, dvDir))
+    val toCopy = (srcLive ++ srcDvFiles).filterNot(rel =>
       fDst.exists(new org.apache.hadoop.fs.Path(s"$dstDir/$rel")))
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
@@ -1131,13 +1457,14 @@ object VersionedTable {
       srcM.schema.getOrElse(schemaOf(spark, srcDir, srcV)),
       stagingDir = None, files = srcLive,
       removed = dstPrevLive.filterNot(srcLive.toSet), stats = srcM.stats,
-      meta = srcM.meta)
+      meta = srcM.meta, dv = srcM.dv)
     if (!casManifest(spark, dstDir, newV, writerId, body))
       throw new CommitConflict(
         s"replicate to $dstDir: lost the race for version $newV — a " +
           "concurrent replicator published; re-run to converge")
     ReplicaStats(newV, srcV, toCopy.length.toLong,
-      (srcLive.length - toCopy.length).toLong, copied, srcBytes(srcLive))
+      (srcLive.length + srcDvFiles.length - toCopy.length).toLong, copied,
+      srcBytes(srcLive))
   }
 
   // ─────────── incremental consumption: cursor CDC (round 12) ───────────
@@ -1289,9 +1616,17 @@ object VersionedTable {
     val victimFiles = victims.flatMap(liveFiles(spark, dir, _)).distinct
     val victimLegacyDirs = victims.flatMap(v =>
       readManifest(spark, dir, v).legacyDataDir)
+    // deletion-vector dirs follow the same reference discipline: a dv
+    // dir dies with the last version whose manifest points at it
+    val retainedDvDirs = retained.flatMap(v =>
+      readManifest(spark, dir, v).dv.valuesIterator.map(_._1)).toSet
+    val victimDvDirs = victims.flatMap(v =>
+      readManifest(spark, dir, v).dv.valuesIterator.map(_._1)).distinct
     victims.foreach(v => f.delete(manifestPath(dir, v), false))
     victimFiles.filterNot(retainedFiles).foreach(rel =>
       f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false))
+    victimDvDirs.filterNot(retainedDvDirs).foreach(rel =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), true))
     // legacy whole-dir versions: the dir goes when nothing retained
     // points into it; file-granular staging dirs are left for vacuum
     // once empty (cheap, and never racing a concurrent reader)
@@ -1315,29 +1650,37 @@ object VersionedTable {
     * committed data. */
   def vacuum(spark: SparkSession, dir: String, graceMs: Long = 0L): Seq[String] = {
     val f = fs(spark, dir)
-    val dataRoot = new org.apache.hadoop.fs.Path(s"$dir/data")
-    if (!f.exists(dataRoot)) return Seq.empty
     val latest = latestVersion(spark, dir)
     val vs = versions(spark, dir)
     val referencedDirs: Set[String] = vs.flatMap { v =>
       val m = readManifest(spark, dir, v)
       m.legacyDataDir.toSeq ++ m.stagingDir.toSeq ++
+        m.dv.valuesIterator.map(_._1).toSeq ++
         liveFiles(spark, dir, v).map(rel =>
           rel.substring(0, rel.lastIndexOf('/')))
     }.toSet
     val now = System.currentTimeMillis()
-    val orphans = f.listStatus(dataRoot).toSeq
-      .filter(_.isDirectory)
-      .filter { s =>
-        val name = s.getPath.getName // v<version>-<writer>
-        val ver = name.stripPrefix("v").takeWhile(_.isDigit)
-        ver.nonEmpty && ver.toLong <= latest &&
-          (now - s.getModificationTime) >= graceMs
-      }
-      .map(s => s"data/${s.getPath.getName}")
-      .filterNot(referencedDirs.contains)
-      .sorted
-    orphans.foreach(rel => f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), true))
-    orphans
+    // same sweep for data staging dirs and dv sidecar dirs: both are
+    // named v<version>-<writer>, both become garbage only when no
+    // manifest references them and their version is superseded
+    def sweep(root: String): Seq[String] = {
+      val rootPath = new org.apache.hadoop.fs.Path(s"$dir/$root")
+      if (!f.exists(rootPath)) return Seq.empty
+      val orphans = f.listStatus(rootPath).toSeq
+        .filter(_.isDirectory)
+        .filter { s =>
+          val name = s.getPath.getName // v<version>-<writer>
+          val ver = name.stripPrefix("v").takeWhile(_.isDigit)
+          ver.nonEmpty && ver.toLong <= latest &&
+            (now - s.getModificationTime) >= graceMs
+        }
+        .map(s => s"$root/${s.getPath.getName}")
+        .filterNot(referencedDirs.contains)
+        .sorted
+      orphans.foreach(rel =>
+        f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), true))
+      orphans
+    }
+    sweep("data") ++ sweep("_dv")
   }
 }

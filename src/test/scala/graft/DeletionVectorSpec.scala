@@ -1,0 +1,242 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.VersionedTable
+import graft.operators.VersionedTable.ColBound
+
+/** Deletion vectors (operators/VersionedTable.scala, round 13):
+  * row-level deletes without file rewrites. Load-bearing claims:
+  * a [[VersionedTable.deleteWhere]] commit leaves every live data
+  * file byte-identical (only a position sidecar lands), every read
+  * path applies the mask (including merge/compaction rewrites — no
+  * resurrection), the change feed surfaces masked rows as deletes at
+  * churn cost, and retention/replication treat dv dirs like data. */
+class DeletionVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/t"
+
+  /** A 4-file clustered table over k = 0..99, v = "r<k>". */
+  private def mkTable(dir: String): Unit = {
+    val df = spark.range(100).select($"id".as("k"),
+      concat(lit("r"), $"id").as("v"))
+    VersionedTable.commit(spark, dir, df, -1L, "w0",
+      clusterBy = Seq("k"), clusterFiles = 4)
+  }
+
+  test("deleteWhere masks rows without touching data files") {
+    val dir = tmp("dv-basic")
+    mkTable(dir)
+    val filesBefore = VersionedTable.liveFiles(spark, dir, 0L)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mtimes = filesBefore.map(rel => f.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/$rel")).getModificationTime)
+    val mtBefore = mtimes
+    // scattered delete: every 10th row, hits every file
+    val st = VersionedTable.deleteWhere(spark, dir, "k % 10 = 0", 0L, "gdpr")
+    assert(st.version == 1L && st.rowsDeleted == 10L)
+    assert(st.filesMasked == 4L && st.filesDropped == 0L)
+    // zero data-file churn: same paths, same bytes (mtime proxy)
+    assert(VersionedTable.liveFiles(spark, dir, 1L) == filesBefore)
+    assert(mtimes == mtBefore)
+    // the mask applies to reads, point reads, and time travel
+    assert(VersionedTable.read(spark, dir).count() == 90L)
+    assert(VersionedTable.read(spark, dir)
+      .where($"k" % 10 === 0).count() == 0L)
+    assert(VersionedTable.readVersion(spark, dir, 0L).count() == 100L)
+    val skipped = VersionedTable.readWhere(spark, dir,
+      Seq(ColBound("k", Some(15), Some(35))))
+    assert(skipped.where($"k".between(15, 35)).count() == 19L) // 20, 30 gone
+    // no-match predicate: no commit at all
+    val noOp = VersionedTable.deleteWhere(spark, dir, "k < 0", 1L, "gdpr")
+    assert(noOp.version == -1L && noOp.rowsDeleted == 0L)
+    assert(VersionedTable.latestVersion(spark, dir) == 1L)
+  }
+
+  test("re-delete merges masks; counts accumulate; no double counting") {
+    val dir = tmp("dv-remask")
+    mkTable(dir)
+    VersionedTable.deleteWhere(spark, dir, "k % 10 = 0", 0L, "a")
+    // second delete overlaps the first predicate's rows (k=0,20,40 are
+    // already gone) — only NEW rows count, and the merged mask holds both
+    val st = VersionedTable.deleteWhere(spark, dir, "k % 20 < 2", 1L, "b")
+    // k%20 in {0,1} is 10 rows, but {0,20,40,60,80} are already masked
+    // and must NOT recount — only {1,21,41,61,81} are new
+    assert(st.rowsDeleted == 5L, s"already-masked rows must not recount: $st")
+    assert(VersionedTable.read(spark, dir).count() == 85L)
+    val m = VersionedTable.readManifest(spark, dir, 2L)
+    // every masked file's single dv entry carries its FULL position set
+    assert(m.dv.values.map(_._2).sum == 15L)
+    assert(m.dv.values.map(_._1).toSet.size == 1,
+      s"re-masked files must point at the merged v2 mask: ${m.dv}")
+  }
+
+  test("a fully-deleted file leaves the live set") {
+    val dir = tmp("dv-drop")
+    mkTable(dir)
+    // the clustered layout puts k=0..24 in one file
+    val st = VersionedTable.deleteWhere(spark, dir, "k < 25", 0L, "w")
+    assert(st.filesDropped == 1L && st.filesMasked == 0L,
+      s"a whole-file delete must drop the file, not mask it: $st")
+    assert(VersionedTable.liveFiles(spark, dir, 1L).length == 3)
+    assert(VersionedTable.read(spark, dir).count() == 75L)
+    // delete EVERYTHING: zero live files, schema-receipt empty read
+    val st2 = VersionedTable.deleteWhere(spark, dir, "true", 1L, "w")
+    assert(st2.filesDropped == 3L && st2.rowsDeleted == 75L)
+    assert(VersionedTable.read(spark, dir).count() == 0L)
+  }
+
+  test("merge over masked files: no resurrection, masks materialize") {
+    val dir = tmp("dv-merge")
+    mkTable(dir)
+    VersionedTable.deleteWhere(spark, dir, "k % 10 = 0", 0L, "gdpr")
+    // merge updates k=5 (same file region as deleted k=0,10,20) and
+    // inserts k=200
+    val changes = Seq((5L, "upd5"), (200L, "new200")).toDF("k", "v")
+    VersionedTable.merge(spark, dir, changes, Seq("k"), 1L, "m")
+    val got = VersionedTable.read(spark, dir)
+    assert(got.count() == 91L) // 90 surviving + 1 insert
+    assert(got.where($"k" % 10 === 0 && $"k" < 100).count() == 0L,
+      "merge rewrite must not resurrect DV-deleted rows")
+    assert(got.where($"k" === 5).select($"v").as[String].head() == "upd5")
+    // the rewritten file's mask is gone; untouched files keep theirs
+    val m = VersionedTable.readManifest(spark, dir, 2L)
+    val live = VersionedTable.liveFiles(spark, dir, 2L).toSet
+    assert(m.dv.keySet.subsetOf(live))
+    assert(m.dv.nonEmpty, "untouched masked files keep their dv entries")
+  }
+
+  test("purgeDeletes materializes every mask; reads identical") {
+    val dir = tmp("dv-purge")
+    mkTable(dir)
+    VersionedTable.deleteWhere(spark, dir, "k % 7 = 3", 0L, "w")
+    val before = VersionedTable.read(spark, dir)
+      .orderBy($"k").as[(Long, String)].collect().toSeq
+    val st = VersionedTable.purgeDeletes(spark, dir, 1L, "opt").get
+    assert(st.filesRemoved == 4L, s"all masked files rewritten: $st")
+    assert(VersionedTable.readManifest(spark, dir, 2L).dv.isEmpty)
+    val after = VersionedTable.read(spark, dir)
+      .orderBy($"k").as[(Long, String)].collect().toSeq
+    assert(after == before)
+    // clustering survived the purge: skipping still prunes
+    val (kept, total) = VersionedTable.prunedFiles(spark, dir, 2L,
+      Seq(ColBound("k", Some(1), Some(2))))
+    assert(kept.length < total, s"purge must keep the clustered layout")
+    // nothing masked → purge is a no-op
+    assert(VersionedTable.purgeDeletes(spark, dir, 2L, "opt").isEmpty)
+  }
+
+  test("compaction materializes masks instead of resurrecting") {
+    val dir = tmp("dv-compact")
+    mkTable(dir)
+    VersionedTable.deleteWhere(spark, dir, "k % 2 = 0", 0L, "w")
+    VersionedTable.compactSmallFiles(spark, dir, 1L, "opt",
+      smallBytes = Long.MaxValue, targetFileCount = 1)
+    val got = VersionedTable.read(spark, dir)
+    assert(got.count() == 50L && got.where($"k" % 2 === 0).count() == 0L)
+    assert(VersionedTable.readManifest(spark, dir,
+      VersionedTable.latestVersion(spark, dir)).dv.isEmpty)
+  }
+
+  test("change feed surfaces DV deletes at churn cost") {
+    val dir = tmp("dv-cdf")
+    mkTable(dir)
+    VersionedTable.deleteWhere(spark, dir, "k = 3 or k = 97", 0L, "w")
+    val feed = VersionedTable.changesBetween(spark, dir, 0L, 1L, Seq("k"))
+    val ops = feed.select($"k", $"op").as[(Long, String)].collect().toSet
+    assert(ops == Set((3L, "delete"), (97L, "delete")))
+    // equals the full snapshot diff, row for row
+    val full = graft.operators.Incremental.snapshotDiff(
+      VersionedTable.readVersion(spark, dir, 0L),
+      VersionedTable.readVersion(spark, dir, 1L), Seq("k"))
+    assert(feed.orderBy($"k").collect().toSeq ==
+      full.orderBy($"k").collect().toSeq)
+    // cursor CDC sees the same feed
+    VersionedTable.initCursor(spark, dir, "c1", 0L)
+    val Some((polled, from, to)) =
+      VersionedTable.pollChanges(spark, dir, "c1", Seq("k"))
+    assert((from, to) == (0L, 1L) && polled.count() == 2L)
+  }
+
+  test("change feed across an add-column migration pads with NULLs") {
+    val dir = tmp("dv-addcol")
+    val v0 = spark.range(10).select($"id".as("k"), lit("x").as("v"))
+    VersionedTable.commit(spark, dir, v0, -1L, "w")
+    val v1 = spark.range(12).select($"id".as("k"), lit("x").as("v"),
+      ($"id" * 2).as("extra"))
+    VersionedTable.commit(spark, dir, v1, 0L, "w", allowSchemaChange = true)
+    val feed = VersionedTable.changesBetween(spark, dir, 0L, 1L, Seq("k"))
+    assert(feed.columns.toSeq == Seq("k", "v", "extra", "op"))
+    // every old row's extra goes NULL→value (update); k=10,11 insert
+    val byOp = feed.groupBy($"op").count().as[(String, Long)].collect().toMap
+    assert(byOp == Map("update" -> 10L, "insert" -> 2L), s"got $byOp")
+    // a DROP still refuses
+    val v2 = spark.range(12).select($"id".as("k"))
+    VersionedTable.commit(spark, dir, v2, 1L, "w", allowSchemaChange = true)
+    intercept[IllegalArgumentException] {
+      VersionedTable.changesBetween(spark, dir, 1L, 2L, Seq("k"))
+    }
+  }
+
+  test("retention: dv dirs die with their last referencing version") {
+    val dir = tmp("dv-expire")
+    mkTable(dir)
+    VersionedTable.deleteWhere(spark, dir, "k = 1", 0L, "a")   // v1: mask A
+    VersionedTable.deleteWhere(spark, dir, "k = 2", 1L, "b")   // v2: merged mask B
+    VersionedTable.commit(spark, dir,
+      VersionedTable.read(spark, dir), 2L, "w")                // v3: full rewrite
+    VersionedTable.commit(spark, dir,
+      VersionedTable.read(spark, dir), 3L, "w")                // v4
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dvDirs = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_dv")
+      if (!f.exists(p)) Seq.empty
+      else f.listStatus(p).toSeq.map(_.getPath.getName).sorted
+    }
+    assert(dvDirs.length == 2)
+    // keep v2..v4: v2 still references mask B → only mask A dies
+    VersionedTable.expire(spark, dir, keep = 3)
+    assert(dvDirs == Seq("v2-b"), s"superseded mask must die: $dvDirs")
+    assert(VersionedTable.readVersion(spark, dir, 2L).count() == 98L)
+    // keep v3..v4: no retained version references any mask
+    VersionedTable.expire(spark, dir, keep = 2)
+    assert(dvDirs.isEmpty)
+    assert(VersionedTable.read(spark, dir).count() == 98L)
+  }
+
+  test("vacuum sweeps orphan dv dirs, never referenced ones") {
+    val dir = tmp("dv-vacuum")
+    mkTable(dir)
+    VersionedTable.deleteWhere(spark, dir, "k = 5", 0L, "w")
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed deleter's leftover: staged mask for an already-taken
+    // version, no manifest pointing at it
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_dv/v1-crashed"))
+    val swept = VersionedTable.vacuum(spark, dir)
+    assert(swept == Seq("_dv/v1-crashed"), s"got $swept")
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$dir/_dv/v1-w")))
+    assert(VersionedTable.read(spark, dir).count() == 99L)
+  }
+
+  test("replication ships masks; a dv-only commit is not 'current'") {
+    val src = tmp("dv-repl-src")
+    val dst = tmp("dv-repl-dst")
+    mkTable(src)
+    VersionedTable.replicate(spark, src, dst)
+    assert(VersionedTable.read(spark, dst).count() == 100L)
+    // dv-only source commit: live paths unchanged, masks changed
+    VersionedTable.deleteWhere(spark, src, "k % 4 = 1", 0L, "w")
+    val st = VersionedTable.replicate(spark, src, dst)
+    assert(st.version == 1L, "a mask change must replicate, not no-op")
+    assert(st.filesShared == 4L, "data files must ship zero bytes")
+    assert(VersionedTable.read(spark, dst).count() == 75L)
+    assert(VersionedTable.read(spark, dst)
+      .where($"k" % 4 === 1).count() == 0L)
+    // idempotent second sync
+    assert(VersionedTable.replicate(spark, src, dst).version == -1L)
+  }
+}

@@ -311,13 +311,18 @@ class VersionedTableSpec extends SparkSpec {
     val cdf02 = VersionedTable.changesBetween(spark, dir, 0L, 2L, Seq("k"))
       .as[(Long, Option[Long], String)].collect().toSet
     assert(cdf02 == full)
-    // schema migration between the versions refuses loudly
+    // ADD-COLUMN migration: the feed no longer dead-ends (round 13) —
+    // the old side pads with NULLs, so every carried row surfaces as
+    // an update (extra NULL→1). Drops/renames/type changes still
+    // refuse loudly (DeletionVectorSpec covers the refusal).
     VersionedTable.commit(spark, dir,
       VersionedTable.read(spark, dir).withColumn("extra", lit(1)),
       2L, "w", allowSchemaChange = true)
-    intercept[IllegalArgumentException] {
-      VersionedTable.changesBetween(spark, dir, 1L, 3L, Seq("k"))
-    }
+    val mig = VersionedTable.changesBetween(spark, dir, 1L, 3L, Seq("k"))
+    assert(mig.columns.toSeq == Seq("k", "v", "extra", "op"))
+    assert(mig.filter($"op" =!= "update").count() == 0 &&
+      mig.count() == VersionedTable.readVersion(spark, dir, 1L).count(),
+      "an add-column feed is all-updates over the carried rows")
     // merge with an all-NULL key batch: inserts only, touches nothing
     val nullIns = Seq((Option.empty[Long], 42L)).toDF("k", "v")
       .withColumn("extra", lit(1))
