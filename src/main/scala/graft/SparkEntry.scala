@@ -2599,6 +2599,57 @@ object SparkEntry {
       VersionedTable.changesBetween(s, vt, 0L, 1L, Seq("k"))
     }),
 
+    // --- Persisted change feed as a STREAM (round 13): a
+    //     `feed.keys`-declared table materializes each commit's keyed
+    //     change rows under `_changes/v<N>` (staged + atomic rename —
+    //     never torn), so the table is a Structured Streaming source
+    //     with ZERO custom source code: a vanilla file stream over
+    //     the feed dirs, exactly-once from the stream checkpoint.
+    //     The entry drives bootstrap + merge through one stream run,
+    //     then a DV delete through a RESTART of the same checkpoint —
+    //     require()'d to deliver only the new feed — into a parquet
+    //     sink; the oracle replays all three change sets. ---
+    "q235_table_change_stream" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val tmp = java.nio.file.Files.createTempDirectory("graft_feed_q235_")
+        .toString
+      val vt = s"$tmp/t"; val ckpt = s"$tmp/ckpt"; val out = s"$tmp/out"
+      val cust = t(s, dir).customer.select(col("c_custkey").as("k"),
+        col("c_name").as("name"), col("c_acctbal").as("bal"))
+      require(VersionedTable.commit(s, vt, cust, -1L, "loader",
+        clusterBy = Seq("k"), clusterFiles = 16,
+        meta = Map(VersionedTable.FeedKey -> "k")) == 0L)
+      val changes = cust.filter(col("k") % 7 === 0)
+          .select(col("k"), col("name"), (col("bal") + 100).as("bal"))
+        .unionByName(cust.filter(col("k") % 53 === 0)
+          .select((col("k") + 5000000L).as("k"),
+            concat(lit("n_"), col("k").cast("string")).as("name"),
+            lit(0.0).as("bal")))
+      VersionedTable.merge(s, vt, changes, Seq("k"), 0L, "merger")
+      def drain(): Unit = {
+        val q = VersionedTable.changeStream(s, vt)
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // bootstrap (v0) + merge feed (v1)
+      val afterFirst = s.read.parquet(out).count()
+      // a DV delete lands while the stream is DOWN; the restart must
+      // deliver exactly the new feed — nothing replays
+      VersionedTable.deleteWhere(s, vt,
+        "k % 97 = 1 and k < 5000000", 1L, "gdpr")
+      drain()
+      val feed = s.read.parquet(out)
+      require(feed.filter(col("version") < 2).count() == afterFirst,
+        "q235: the restarted stream must not re-deliver checkpointed feeds")
+      require(feed.filter(col("version") === 2).select(col("op"))
+          .distinct().collect().map(_.getString(0)).toSeq == Seq("delete"),
+        "q235: the delete commit must feed only deletes")
+      feed
+    }),
+
     // --- Atomic commit protocol (round 11): the manifest-log CAS
     //     under the versioned-table family — commits stage data fully
     //     and promote a manifest file atomically (create-exclusive),
@@ -6590,6 +6641,26 @@ object SparkEntry {
       """SELECT o_orderkey AS k, o_orderpriority AS pr,
                 o_totalprice AS price, 'update' AS op
          FROM orders""",
+
+    // persisted change feed: bootstrap inserts (v0) + merge feed (v1:
+    // bal updates and high-key inserts) + DV-delete feed (v2) — the
+    // engine side streams them through a checkpointed file source
+    "q235_table_change_stream" ->
+      """SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal,
+                'insert' AS op, CAST(0 AS BIGINT) AS version
+         FROM customer
+         UNION ALL
+         SELECT c_custkey, c_name, c_acctbal + 100, 'update',
+                CAST(1 AS BIGINT)
+         FROM customer WHERE c_custkey % 7 = 0
+         UNION ALL
+         SELECT c_custkey + 5000000, 'n_' || CAST(c_custkey AS VARCHAR),
+                0.0, 'insert', CAST(1 AS BIGINT)
+         FROM customer WHERE c_custkey % 53 = 0
+         UNION ALL
+         SELECT c_custkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+                'delete', CAST(2 AS BIGINT)
+         FROM customer WHERE c_custkey % 97 = 1""",
 
     // table replication: the oracle replays the churn over the raw
     // table; the engine side answers from the REPLICA after two

@@ -835,12 +835,12 @@ object VersionedTable {
     val inherited: Map[String, String] =
       if (parent >= 0) tableExpectations(spark, dir, parent)
       else Map.empty[String, String]
-    // the clustering declaration persists the same way (override via
-    // an explicit meta entry; "" clears it)
+    // the clustering and change-feed declarations persist the same
+    // way (override via an explicit meta entry; "" clears it)
     val cluster: Map[String, String] =
       if (parent >= 0)
         readManifest(spark, dir, parent).meta
-          .filter { case (k, _) => k.startsWith(ClusterKey) }
+          .filter { case (k, _) => k.startsWith(ClusterKey) || k == FeedKey }
       else Map.empty[String, String]
     ((inherited ++ expectations)
       .filter { case (_, sql) => sql.trim.nonEmpty } // "" = explicit drop
@@ -981,6 +981,8 @@ object VersionedTable {
         s"commit to $dir: lost the race for version $newV — staged data " +
           "removed; re-read, reconcile, retry")
     }
+    if (effMeta.get(FeedKey).exists(_.trim.nonEmpty))
+      ensureFeed(spark, dir, writerId)
     newV
   }
 
@@ -1068,6 +1070,8 @@ object VersionedTable {
         s"commitDelta to $dir: lost the race for version $newV — staged " +
           "data removed; re-read, reconcile, retry")
     }
+    if (effMeta.get(FeedKey).exists(_.trim.nonEmpty))
+      ensureFeed(spark, dir, writerId)
     def bytes(rels: Seq[String]): Long =
       rels.map(rel => f.getFileStatus(
         new org.apache.hadoop.fs.Path(s"$dir/$rel")).getLen).sum
@@ -1159,6 +1163,135 @@ object VersionedTable {
       else merged.coalesce(math.max(1, touched.length))
     commitDelta(spark, dir, Some(rewritten), touched, expectedVersion,
       writerId, meta = meta, expectations = expectations)
+  }
+
+  // ─────────────── persisted change feed (round 13) ───────────────
+  //
+  // The Delta "change data feed" design: a table declared with
+  // `feed.keys` materializes each commit's keyed change set (the
+  // exact [[changesBetween]] rows, plus a `version` column) as
+  // parquet under `_changes/v<N>` — written to a stage dir first and
+  // PROMOTED with an atomic no-overwrite directory rename, so a
+  // consumer can never observe a torn feed file. That makes the
+  // table consumable as a STREAM with zero custom source code:
+  // [[changeStream]] is a vanilla Structured Streaming file source
+  // over `_changes/*`, with exactly-once delivery from the stream's
+  // own checkpoint (each feed file is processed once, by path).
+  //
+  // Feed files are derived state: deterministic functions of two
+  // manifests ([[changesBetween]] is replay-stable), so a crash
+  // between the commit CAS and the feed write loses NOTHING —
+  // [[ensureFeed]] re-derives any missing version idempotently, and
+  // every writer calls it after its own commit (repairing its
+  // predecessors' crashes along the way). Cost rides the churn: a
+  // delta commit's feed is a diff over only its changed files.
+  //
+  // Non-add schema migrations have no well-defined feed row shape
+  // (same contract as [[changesBetween]]); such a version gets an
+  // EMPTY feed dir holding a `_RESET` marker — the stream sees
+  // nothing for it, and consumers that care re-bootstrap (checked via
+  // [[feedResets]]). Retention: [[expire]] drops victims' feed dirs
+  // with them — a stream checkpoint older than the retention window
+  // is broken the same way a lagging cursor would be.
+
+  /** Meta key declaring the change feed: comma-joined key columns.
+    * Inherits through child commits like expectations; an explicit
+    * empty value drops it. */
+  val FeedKey = "feed.keys"
+
+  private def changesRoot(dir: String) = s"$dir/_changes"
+  private def feedDirRel(v: Long) = s"_changes/v$v"
+
+  /** The feed declaration of version `v`, if any. */
+  def feedKeysOf(spark: SparkSession, dir: String, v: Long): Seq[String] =
+    readManifest(spark, dir, v).meta.get(FeedKey)
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+
+  /** Versions whose feed is a RESET marker (non-add schema migration
+    * — the feed has a gap there; consumers re-bootstrap). */
+  def feedResets(spark: SparkSession, dir: String): Seq[Long] = {
+    val f = fs(spark, dir)
+    versions(spark, dir).filter(v => f.exists(
+      new org.apache.hadoop.fs.Path(s"$dir/${feedDirRel(v)}/_RESET")))
+  }
+
+  /** Idempotently materialize every missing change-feed dir for
+    * feed-declared committed versions (v0 = the bootstrap: every row
+    * as an insert; v>0 = [[changesBetween]](v-1, v)). Returns the
+    * versions written by THIS call. Safe under races: the promote is
+    * an atomic no-overwrite rename, losers discard their stage — and
+    * identical content anyway, the diff being deterministic. */
+  def ensureFeed(spark: SparkSession, dir: String,
+      writerId: String = "feeder"): Seq[Long] = {
+    requireWriterId(writerId)
+    val f = fs(spark, dir)
+    val missing = versions(spark, dir).filter { v =>
+      feedKeysOf(spark, dir, v).nonEmpty && // "" = explicitly dropped
+        !f.exists(new org.apache.hadoop.fs.Path(s"$dir/${feedDirRel(v)}"))
+    }
+    missing.filter { v =>
+      val keys = feedKeysOf(spark, dir, v)
+      val stage = new org.apache.hadoop.fs.Path(
+        s"$dir/_feedstage/v$v-$writerId-${java.util.UUID.randomUUID()}")
+      val target = new org.apache.hadoop.fs.Path(s"$dir/${feedDirRel(v)}")
+      val rows: Option[DataFrame] =
+        if (v == 0L)
+          Some(readVersion(spark, dir, 0L).withColumn("op", lit("insert")))
+        else
+          try Some(changesBetween(spark, dir, v - 1, v, keys))
+          catch { case _: IllegalArgumentException => None } // non-add migration
+      rows match {
+        case Some(df) =>
+          val changed =
+            if (v == 0L) liveFiles(spark, dir, 0L).length
+            else {
+              val (a, r) = changedFiles(spark, dir, v - 1, v)
+              a.length + r.length
+            }
+          val parts = math.max(1, math.min(32, changed / 4))
+          df.withColumn("version", lit(v)).coalesce(parts)
+            .write.mode("overwrite").parquet(stage.toString)
+        case None =>
+          // reset marker: an empty feed dir the stream reads as
+          // nothing, discoverable via feedResets
+          f.mkdirs(stage)
+          val out = f.create(new org.apache.hadoop.fs.Path(stage, "_RESET"), true)
+          try out.write(s"version=$v\n".getBytes("UTF-8")) finally out.close()
+      }
+      f.mkdirs(target.getParent)
+      val won =
+        try {
+          org.apache.hadoop.fs.FileContext
+            .getFileContext(target.toUri, spark.sparkContext.hadoopConfiguration)
+            .rename(stage, target, org.apache.hadoop.fs.Options.Rename.NONE)
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.io.IOException if f.exists(target) => false
+        }
+      if (!won) f.delete(stage, true)
+      won
+    }
+  }
+
+  /** The table's change feed as a Structured Streaming source: one
+    * row per change (table columns with TARGET values, NULL attrs for
+    * deletes, plus `op` and `version`), exactly-once from the stream
+    * checkpoint. Consumers needing per-key ordering order by
+    * `version` within their sink. The schema is pinned to the LATEST
+    * version's (older feed files' missing added columns read as
+    * NULL, the parquet missing-column contract). */
+  def changeStream(spark: SparkSession, dir: String): DataFrame = {
+    val latest = latestVersion(spark, dir)
+    require(latest >= 0, s"no committed versions under $dir")
+    require(feedKeysOf(spark, dir, latest).nonEmpty,
+      s"changeStream: $dir has no feed declaration — commit with " +
+        s"meta($FeedKey -> \"k1,k2\") first")
+    val sch = schemaOf(spark, dir, latest)
+      .add("op", org.apache.spark.sql.types.StringType)
+      .add("version", org.apache.spark.sql.types.LongType)
+    spark.readStream.schema(sch).parquet(s"${changesRoot(dir)}/*")
   }
 
   /** Receipt for a [[deleteWhere]] commit. `version` = -1 when the
@@ -1285,6 +1418,8 @@ object VersionedTable {
         s"deleteWhere on $dir: lost the race for version $newV — mask " +
           "removed; re-read, reconcile, retry")
     }
+    if (effMeta.get(FeedKey).exists(_.trim.nonEmpty))
+      ensureFeed(spark, dir, writerId)
     val bytesDv =
       if (maskedFiles.isEmpty) 0L
       else f.getContentSummary(dvPath).getLength
@@ -1627,6 +1762,11 @@ object VersionedTable {
       f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false))
     victimDvDirs.filterNot(retainedDvDirs).foreach(rel =>
       f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), true))
+    // a version's feed dir dies with it (feeds are per-version, never
+    // shared) — a stream checkpoint older than retention is broken,
+    // the same contract as a lagging cursor without a shield
+    victims.foreach(v =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/${feedDirRel(v)}"), true))
     // legacy whole-dir versions: the dir goes when nothing retained
     // points into it; file-granular staging dirs are left for vacuum
     // once empty (cheap, and never racing a concurrent reader)
@@ -1681,6 +1821,22 @@ object VersionedTable {
         f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), true))
       orphans
     }
-    sweep("data") ++ sweep("_dv")
+    val feedOrphans = {
+      // feed stage dirs are transient (promoted immediately after the
+      // write): garbage once their target exists, or — opt-in via a
+      // positive grace — once old enough that no writer is in flight
+      val root = new org.apache.hadoop.fs.Path(s"$dir/_feedstage")
+      if (!f.exists(root)) Seq.empty
+      else f.listStatus(root).toSeq.filter(_.isDirectory).filter { s =>
+        val ver = s.getPath.getName.stripPrefix("v").takeWhile(_.isDigit)
+        val promoted = ver.nonEmpty && f.exists(
+          new org.apache.hadoop.fs.Path(s"$dir/${feedDirRel(ver.toLong)}"))
+        promoted ||
+          (graceMs > 0L && (now - s.getModificationTime) >= graceMs)
+      }.map(s => s"_feedstage/${s.getPath.getName}").sorted
+    }
+    feedOrphans.foreach(rel =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), true))
+    sweep("data") ++ sweep("_dv") ++ feedOrphans
   }
 }
