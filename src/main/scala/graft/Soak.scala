@@ -582,6 +582,36 @@ object Soak {
           s"shared ${r1.filesShared}/${r1.filesShared + r1.filesCopied} files")
         VersionedTable.read(spark, dst).count()
       }
+      // round 13: deletion vectors at corpus scale — a scattered
+      // 0.05% delete as a position mask (zero data files rewritten),
+      // the masked-read overhead, and the purge that pays it off.
+      // Receipts: dv bytes vs table bytes, masked vs purged read time.
+      time(s"lakehouse_dv_delete_$rows") {
+        val v = VersionedTable.latestVersion(spark, vt)
+        val st = VersionedTable.deleteWhere(spark, vt,
+          "k % 2000 = 7", v, "gdpr")
+        val tblBytes = VersionedTable.liveFiles(spark, vt, st.version).map {
+          rel => new org.apache.hadoop.fs.Path(s"$vt/$rel")
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .getFileStatus(new org.apache.hadoop.fs.Path(s"$vt/$rel")).getLen
+        }.sum
+        println(s"[soak]   dv receipt: ${st.rowsDeleted} rows masked " +
+          s"across ${st.filesMasked}/${st.filesTotal} files, " +
+          s"${st.bytesDv}B of positions vs ${tblBytes}B of data " +
+          f"(${100.0 * st.bytesDv / tblBytes}%.3f%%), 0 data files rewritten")
+        st.rowsDeleted
+      }
+      time(s"lakehouse_dv_masked_read_$rows")(
+        VersionedTable.read(spark, vt).count())
+      time(s"lakehouse_dv_purge_$rows") {
+        val st = VersionedTable.purgeDeletes(spark, vt,
+          VersionedTable.latestVersion(spark, vt), "opt").get
+        println(s"[soak]   purge receipt: ${st.filesRemoved} masked files " +
+          s"rewritten (${st.bytesAdded}B), masks gone")
+        st.filesAdded
+      }
+      time(s"lakehouse_dv_purged_read_$rows")(
+        VersionedTable.read(spark, vt).count())
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     }
 

@@ -1300,7 +1300,7 @@ object VersionedTable {
   final case class DeleteStats(
       version: Long, rowsDeleted: Long,
       filesMasked: Long, filesDropped: Long, filesTotal: Long,
-      bytesDv: Long)
+      bytesDv: Long, filesScanned: Long)
 
   /** Per-file physical row counts from parquet footers — a
     * distributed metadata job, never a data scan. */
@@ -1319,6 +1319,96 @@ object VersionedTable {
           org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
         rel -> footer.getBlocks.asScala.map(_.getRowCount).sum
       }.collect().toMap
+  }
+
+  /** Conservative pruning bounds IMPLIED by a predicate: every
+    * top-level AND conjunct of the form `<col> <cmp> <literal>` (or
+    * an IN-list of literals) yields a [[ColBound]]; anything else —
+    * ORs, function calls, casts, null-safe equality — contributes
+    * nothing. Sound by construction: a contributed bound is implied
+    * by its conjunct, so a file outside it provably holds no matching
+    * row; an empty result just means "scan everything", never a wrong
+    * answer. This is what lets a bare
+    * `deleteWhere(dir, "k >= 100 AND k < 200 AND lang = 'en'")` read
+    * only the intersecting files of a clustered 100 TB table without
+    * the caller hand-deriving bounds. */
+  private[graft] def impliedBounds(spark: SparkSession, predicate: String,
+      schema: org.apache.spark.sql.types.StructType): Seq[ColBound] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    def ext(l: Literal): Option[Any] = (l.value, l.dataType) match {
+      case (null, _) => None
+      case (days: java.lang.Integer, DateType) =>
+        Some(java.time.LocalDate.ofEpochDay(days.longValue))
+      case (us: java.lang.Long, TimestampType) =>
+        Some(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us.longValue, 1000000L),
+          Math.floorMod(us.longValue, 1000000L) * 1000L))
+      case (u: org.apache.spark.unsafe.types.UTF8String, _) => Some(u.toString)
+      case (d: java.lang.Double, _) if d.isNaN => None
+      case (f: java.lang.Float, _) if f.isNaN => None
+      case (v, _) => Some(v)
+    }
+    def name(e: Expression): Option[String] = e match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(a.name)
+      case _ => None
+    }
+    def dom(c: String): Option[Char] =
+      schema.fields.find(_.name == c).flatMap(f => statDomain(f.dataType))
+    def bound(c: String, lo: Option[Any], hi: Option[Any]): Seq[ColBound] =
+      // pre-flight the domain conversion: a literal the column's
+      // domain cannot encode (type mismatch in the SQL) yields no
+      // bound rather than a throw from the pruning path
+      dom(c) match {
+        case Some(d) if scala.util.Try {
+          lo.foreach(boundValue(d, c, _)); hi.foreach(boundValue(d, c, _))
+        }.isSuccess && (lo.isDefined || hi.isDefined) =>
+          Seq(ColBound(c, lo, hi))
+        case _ => Seq.empty
+      }
+    def go(e: Expression): Seq[ColBound] = e match {
+      case And(a, b) => go(a) ++ go(b)
+      case EqualTo(a, l: Literal) =>
+        name(a).toSeq.flatMap(c => bound(c, ext(l), ext(l)))
+      case EqualTo(l: Literal, a) =>
+        name(a).toSeq.flatMap(c => bound(c, ext(l), ext(l)))
+      case GreaterThan(a, l: Literal) =>
+        name(a).toSeq.flatMap(c => bound(c, ext(l), None))
+      case GreaterThanOrEqual(a, l: Literal) =>
+        name(a).toSeq.flatMap(c => bound(c, ext(l), None))
+      case LessThan(a, l: Literal) =>
+        name(a).toSeq.flatMap(c => bound(c, None, ext(l)))
+      case LessThanOrEqual(a, l: Literal) =>
+        name(a).toSeq.flatMap(c => bound(c, None, ext(l)))
+      case GreaterThan(l: Literal, a) =>
+        name(a).toSeq.flatMap(c => bound(c, None, ext(l)))
+      case GreaterThanOrEqual(l: Literal, a) =>
+        name(a).toSeq.flatMap(c => bound(c, None, ext(l)))
+      case LessThan(l: Literal, a) =>
+        name(a).toSeq.flatMap(c => bound(c, ext(l), None))
+      case LessThanOrEqual(l: Literal, a) =>
+        name(a).toSeq.flatMap(c => bound(c, ext(l), None))
+      case In(a, list) if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+        name(a).toSeq.flatMap { c =>
+          dom(c) match {
+            case Some(d) =>
+              val vs = list.map(l => ext(l.asInstanceOf[Literal]))
+              if (vs.exists(_.isEmpty)) Seq.empty
+              else scala.util.Try {
+                val enc = vs.map(v => v.get -> boundValue(d, c, v.get))
+                val lo = enc.minBy(_._2)(Ordering.fromLessThan[Any](cmp(d, _, _) < 0))._1
+                val hi = enc.maxBy(_._2)(Ordering.fromLessThan[Any](cmp(d, _, _) < 0))._1
+                Seq(ColBound(c, Some(lo), Some(hi)))
+              }.getOrElse(Seq.empty)
+            case None => Seq.empty
+          }
+        }
+      case _ => Seq.empty
+    }
+    scala.util.Try(
+      go(spark.sessionState.sqlParser.parseExpression(predicate))
+    ).getOrElse(Seq.empty)
   }
 
   /** DELETE WHERE as a deletion-vector commit: rows matching the
@@ -1359,10 +1449,14 @@ object VersionedTable {
         "commit — recommit file-granular first")
     val live = liveFiles(spark, dir, expectedVersion)
     val schema = schemaOf(spark, dir, expectedVersion)
+    // pruning bounds: explicit ones plus whatever the predicate's own
+    // AND-conjuncts imply (all conjunctive — prunedFiles ANDs them)
+    val effBounds = bounds ++ impliedBounds(spark, predicate, schema)
     val candidates =
-      if (bounds.isEmpty) live
-      else prunedFiles(spark, dir, expectedVersion, bounds)._1
-    val noOp = DeleteStats(-1L, 0L, 0L, 0L, live.length.toLong, 0L)
+      if (effBounds.isEmpty) live
+      else prunedFiles(spark, dir, expectedVersion, effBounds)._1
+    def noOp = DeleteStats(-1L, 0L, 0L, 0L, live.length.toLong, 0L,
+      candidates.length.toLong)
     if (candidates.isEmpty) return noOp
     val matched = readFilesWithRowId(spark, dir, m, candidates, schema)
       .where(expr(predicate))
@@ -1424,7 +1518,8 @@ object VersionedTable {
       if (maskedFiles.isEmpty) 0L
       else f.getContentSummary(dvPath).getLength
     DeleteStats(newV, newCounts.values.sum, maskedFiles.length.toLong,
-      droppedSet.size.toLong, newLive.length.toLong, bytesDv)
+      droppedSet.size.toLong, newLive.length.toLong, bytesDv,
+      candidates.length.toLong)
   }
 
   /** Materialize every deletion-vector mask: rewrite the masked files

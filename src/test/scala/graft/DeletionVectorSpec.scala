@@ -222,6 +222,32 @@ class DeletionVectorSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dir).count() == 99L)
   }
 
+  test("deleteWhere derives pruning bounds from its own predicate") {
+    val dir = tmp("dv-implied")
+    mkTable(dir) // 4 files clustered on k: 0-24, 25-49, 50-74, 75-99
+    val sch = VersionedTable.read(spark, dir).schema
+    // unit: the derivation is conservative and conjunct-only
+    def b(p: String) = VersionedTable.impliedBounds(spark, p, sch)
+    assert(b("k >= 10 AND k < 20") ==
+      Seq(VersionedTable.ColBound("k", Some(10), None),
+        VersionedTable.ColBound("k", None, Some(20))))
+    assert(b("k = 7 AND v like 'r%'") ==
+      Seq(VersionedTable.ColBound("k", Some(7), Some(7))))
+    assert(b("k in (30, 12, 44)") ==
+      Seq(VersionedTable.ColBound("k", Some(12), Some(44))))
+    assert(b("k = 5 OR k = 90").isEmpty, "OR must derive nothing")
+    assert(b("k % 10 = 0").isEmpty && b("nosuch = 1").isEmpty)
+    // behavioral: a range delete on a clustered table SCANS only the
+    // files its implied bounds intersect (the filesScanned receipt),
+    // with no bounds passed by the caller
+    val st = VersionedTable.deleteWhere(spark, dir, "k >= 30 and k <= 40",
+      0L, "w")
+    assert(st.filesScanned == 1L && st.filesMasked == 1L &&
+      st.rowsDeleted == 11L,
+      s"implied bounds must confine the candidate scan to 1 of 4 files: $st")
+    assert(VersionedTable.read(spark, dir).count() == 89L)
+  }
+
   test("replication ships masks; a dv-only commit is not 'current'") {
     val src = tmp("dv-repl-src")
     val dst = tmp("dv-repl-dst")
