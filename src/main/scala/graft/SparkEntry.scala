@@ -2650,6 +2650,50 @@ object SparkEntry {
       feed
     }),
 
+    // --- Incremental materialized aggregate view (round 13): a
+    //     versioned STATE table (exact DECIMAL sums + counts per
+    //     group) maintained from the source's preimage-carrying CDC
+    //     feed by retraction — refresh costs churn + affected groups,
+    //     never a source re-scan. Exactly-once via the view.synced
+    //     manifest marker (feed start = marker, not cursor — a lost
+    //     ack can never double-apply). The entry bootstraps the view
+    //     BEFORE the churn, applies a merge (updates + inserts) and a
+    //     DV delete through ONE sync, require()'s the marker/ack
+    //     discipline, and answers from the VIEW; the oracle aggregates
+    //     the replayed final table directly. ---
+    "q236_incremental_agg_view" -> ((s, dir) => {
+      import graft.operators.{AggView, VersionedTable}
+      val root = java.nio.file.Files.createTempDirectory("graft_aggv_q236_")
+        .toString
+      val src = s"$root/src"; val view = s"$root/view"
+      val ord = t(s, dir).orders.select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("grp"), col("o_totalprice").as("price"))
+      require(VersionedTable.commit(s, src, ord, -1L, "loader",
+        clusterBy = Seq("k"), clusterFiles = 16) == 0L)
+      val measures = Seq("price" -> col("price"))
+      AggView.init(s, src, view, "dash", Seq("grp"), measures)
+      // churn 1: keyed merge — price bumps + brand-new group rows
+      val changes = ord.filter(col("k") % 9 === 2)
+          .select(col("k"), col("grp"), (col("price") + 50).as("price"))
+        .unionByName(ord.filter(col("k") % 101 === 0)
+          .select((col("k") + 7000000L).as("k"), lit("ZNEW").as("grp"),
+            lit(1.0).as("price")))
+      VersionedTable.merge(s, src, changes, Seq("k"), 0L, "etl")
+      // churn 2: a scattered DV delete
+      VersionedTable.deleteWhere(s, src,
+        "k % 97 = 3 and k < 7000000", 1L, "gdpr")
+      val applied = AggView.sync(s, src, view, "dash", Seq("k"),
+        Seq("grp"), measures)
+      require(applied.contains((0L, 2L)),
+        s"q236: one sync must apply the whole 0->2 feed: $applied")
+      require(AggView.sync(s, src, view, "dash", Seq("k"),
+          Seq("grp"), measures).isEmpty,
+        "q236: a caught-up sync must be a no-op")
+      require(AggView.syncedVersion(s, view) == 2L,
+        "q236: the view marker must record the consumed source version")
+      AggView.read(s, view)
+    }),
+
     // --- Atomic commit protocol (round 11): the manifest-log CAS
     //     under the versioned-table family — commits stage data fully
     //     and promote a manifest file atomically (create-exclusive),
@@ -6661,6 +6705,26 @@ object SparkEntry {
          SELECT c_custkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
                 'delete', CAST(2 AS BIGINT)
          FROM customer WHERE c_custkey % 97 = 1""",
+
+    // incremental agg view: the engine answers from the incrementally
+    // maintained STATE table (exact decimal sums retracted/applied
+    // from the CDC feed); the oracle aggregates the replayed final
+    // table directly — a hash match proves retraction is exact
+    "q236_incremental_agg_view" ->
+      """WITH fin AS (
+           SELECT o_orderkey AS k, o_orderpriority AS grp,
+                  CASE WHEN o_orderkey % 9 = 2 THEN o_totalprice + 50
+                       ELSE o_totalprice END AS price
+           FROM orders
+           WHERE NOT (o_orderkey % 97 = 3)
+           UNION ALL
+           SELECT o_orderkey + 7000000, 'ZNEW', 1.0
+           FROM orders WHERE o_orderkey % 101 = 0)
+         SELECT grp, COUNT(*) AS cnt,
+                CAST(SUM(CAST(price AS DECIMAL(38,2))) AS DOUBLE) AS sum_price,
+                CAST(SUM(CAST(price AS DECIMAL(38,2))) AS DOUBLE)
+                  / COUNT(price) AS avg_price
+         FROM fin GROUP BY grp""",
 
     // table replication: the oracle replays the churn over the raw
     // table; the engine side answers from the REPLICA after two

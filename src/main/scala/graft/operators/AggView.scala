@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Incremental materialized AGGREGATE VIEWS over versioned tables —
+  * the "don't re-aggregate 100 TB to refresh a dashboard" piece,
+  * composed entirely from machinery this engine already has: the
+  * view is itself a [[VersionedTable]] holding exact partial-agg
+  * STATE (count + DECIMAL sums per measure, grouped by the view
+  * keys), maintained from the source table's cursor CDC feed
+  * ([[VersionedTable.pollChangesCdf]] — the preimage-carrying shape)
+  * by RETRACTING preimage/delete rows and APPLYING postimage/insert
+  * rows. Each refresh costs O(churn + affected groups), never a
+  * source re-scan.
+  *
+  * Exactly-once refresh with no extra transaction store: the view
+  * commit's manifest carries a `view.synced=<srcVersion>` marker, so
+  * a crash between the view MERGE and the cursor ack re-polls the
+  * same feed, sees the marker, and acks WITHOUT re-applying (the
+  * [[graft.streaming.CurationStreaming.tableMergeStream]] marker
+  * discipline, reused verbatim). Racing maintainers resolve through
+  * the same two CASes (view manifest + cursor) — one winner, loud
+  * losers.
+  *
+  * Scope: COUNT/SUM/AVG (sums are invertible; DECIMAL(38) addition is
+  * exact, so retraction is bit-exact, not float-drift). MIN/MAX are
+  * deliberately NOT maintained — they are not invertible under
+  * deletes without per-group re-scans; a view needing them should
+  * recompute from [[VersionedTable.readWhere]] over the affected
+  * groups instead.
+  *
+  * Scale shape: the feed is churn-sized; the delta state aggregates
+  * it map-side; the view MERGE rewrites only the view files whose
+  * groups changed (file-granular, like any merge). A group whose
+  * count reaches zero is DELETED from the view (never a ghost row).
+  */
+object AggView {
+
+  /** Meta key on the VIEW table recording the source version its
+    * state reflects — the exactly-once marker. */
+  val SyncedKey = "view.synced"
+
+  private def sumCol(m: String) = s"${m}__sum"
+  private def cntCol(m: String) = s"${m}__cnt"
+
+  /** Exact invertible partial-agg state of `df`: groupCols ++ `__cnt`
+    * (group row count) ++ per measure m: m__sum (DECIMAL(38,scale)),
+    * m__cnt (non-null count). */
+  def state(df: DataFrame, groupCols: Seq[String],
+      measures: Seq[(String, Column)], scale: Int = 2): DataFrame = {
+    require(groupCols.nonEmpty && measures.nonEmpty,
+      "at least one group column and one measure")
+    val aggs = count(lit(1)).as("__cnt") +: measures.flatMap { case (m, c) =>
+      Seq(
+        coalesce(sum(c.cast(DecimalType(38, scale))),
+          lit(0).cast(DecimalType(38, scale))).as(sumCol(m)),
+        count(c).as(cntCol(m)))
+    }
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The retraction of a state: every count and sum negated. Merging
+    * a state with its own negation cancels exactly (DECIMAL). */
+  def negate(state: DataFrame): DataFrame =
+    state.columns.foldLeft(state) { (d, c) =>
+      if (c == "__cnt" || c.endsWith("__sum") || c.endsWith("__cnt"))
+        d.withColumn(c, -col(c))
+      else d
+    }
+
+  /** User-facing view: groupCols, cnt, and per measure sum_m (double,
+    * from the exact decimal), avg_m. NULL sum/avg for groups whose
+    * measure count is zero (SQL aggregate-of-nothing semantics). */
+  def finalize(state: DataFrame): DataFrame = {
+    val ms = state.columns.filter(_.endsWith("__sum"))
+      .map(_.stripSuffix("__sum")).toSeq
+    val groupCols = state.columns.filterNot(c =>
+      c == "__cnt" || c.endsWith("__sum") || c.endsWith("__cnt")).toSeq
+    state.select(groupCols.map(col) ++ Seq(col("__cnt").as("cnt")) ++
+      ms.flatMap { m =>
+        val nonNull = col(cntCol(m)) > 0
+        Seq(
+          when(nonNull, col(sumCol(m)).cast("double")).as(s"sum_$m"),
+          when(nonNull, col(sumCol(m)).cast("double") / col(cntCol(m)))
+            .as(s"avg_$m"))
+      }: _*)
+  }
+
+  /** Bootstrap: aggregate the source's LATEST version into a new view
+    * table and register the maintenance cursor at that version. The
+    * one full-scan this view ever pays. */
+  def init(spark: SparkSession, srcDir: String, viewDir: String,
+      consumer: String, groupCols: Seq[String],
+      measures: Seq[(String, Column)], scale: Int = 2): Long = {
+    val srcV = VersionedTable.latestVersion(spark, srcDir)
+    require(srcV >= 0, s"init: no committed versions under $srcDir")
+    require(VersionedTable.latestVersion(spark, viewDir) < 0,
+      s"init: $viewDir already exists — sync resumes, it never re-inits")
+    val st = state(VersionedTable.readVersion(spark, srcDir, srcV),
+      groupCols, measures, scale)
+    VersionedTable.commit(spark, viewDir, st, -1L, consumer,
+      clusterBy = groupCols.take(1),
+      meta = Map(SyncedKey -> srcV.toString))
+    VersionedTable.initCursor(spark, srcDir, consumer, srcV)
+    srcV
+  }
+
+  /** The source version the view's state reflects. */
+  def syncedVersion(spark: SparkSession, viewDir: String): Long = {
+    val v = VersionedTable.latestVersion(spark, viewDir)
+    require(v >= 0, s"no view table under $viewDir")
+    VersionedTable.readManifest(spark, viewDir, v).meta
+      .get(SyncedKey).map(_.toLong).getOrElse(
+        throw new IllegalStateException(
+          s"$viewDir carries no $SyncedKey marker — not an AggView table"))
+  }
+
+  /** One maintenance step: poll the source feed from the cursor,
+    * retract/apply it into the view state, MERGE the affected groups
+    * into the view table (marker = the consumed source version), ack.
+    * Returns the (from, to) source range applied, None when caught
+    * up. Crash-safe at every boundary: before the merge → re-derive;
+    * between merge and ack → marker makes the re-poll ack-only. */
+  def sync(spark: SparkSession, srcDir: String, viewDir: String,
+      consumer: String, keys: Seq[String], groupCols: Seq[String],
+      measures: Seq[(String, Column)], scale: Int = 2)
+      : Option[(Long, Long)] = {
+    val cur = VersionedTable.cursorVersion(spark, srcDir, consumer)
+      .getOrElse(throw new IllegalStateException(
+        s"sync: consumer '$consumer' has no cursor on $srcDir — init first"))
+    val latest = VersionedTable.latestVersion(spark, srcDir)
+    if (latest <= cur) return None
+    // apply exactly the UNAPPLIED suffix: the view's own marker, not
+    // the cursor, decides where the feed starts — after a crash
+    // between a merge and its ack (cursor behind marker), or with new
+    // source commits stacked on top, the already-merged prefix is
+    // never re-applied. The cursor's remaining job is the retention
+    // shield + the ack CAS that serializes racing maintainers.
+    val synced = syncedVersion(spark, viewDir)
+    if (synced < latest) {
+      val feed = VersionedTable.changesBetweenCdf(
+        spark, srcDir, synced, latest, keys)
+      val apply0 = state(
+        feed.filter(col("op").isin("insert", "update_postimage")),
+        groupCols, measures, scale)
+      val retract = negate(state(
+        feed.filter(col("op").isin("delete", "update_preimage")),
+        groupCols, measures, scale))
+      val delta = Incremental.mergeStates(apply0, retract)
+      // fold the delta into the CURRENT state of the affected groups
+      // only (semi-join: the view side is view-sized, the delta
+      // churn-sized), then merge keyed on the group columns — groups
+      // emptied by retraction are deleted from the view
+      val viewV = VersionedTable.latestVersion(spark, viewDir)
+      val current = VersionedTable.readVersion(spark, viewDir, viewV)
+        .join(delta.select(groupCols.map(col): _*), groupCols, "left_semi")
+      val next = Incremental.mergeStates(current, delta)
+        .withColumn("__del", col("__cnt") === 0)
+      VersionedTable.merge(spark, viewDir, next, groupCols, viewV,
+        consumer, deleteCol = Some("__del"),
+        meta = Map(SyncedKey -> latest.toString))
+    }
+    VersionedTable.ackChanges(spark, srcDir, consumer, cur, latest)
+    Some((cur, latest))
+  }
+
+  /** The view, finalized for reading. */
+  def read(spark: SparkSession, viewDir: String): DataFrame =
+    finalize(VersionedTable.read(spark, viewDir))
+}

@@ -274,6 +274,44 @@ object Incremental {
         :+ col("op"): _*)
   }
 
+  /** [[snapshotDiff]] in the Delta change-data-feed shape, WITH
+    * preimages: inserts and deletes carry their row's values (a
+    * delete is NOT null-padded here — its old values ARE the
+    * retraction), and an update emits TWO rows, `update_preimage`
+    * (base values) and `update_postimage` (target values). This is
+    * the shape invertible-aggregate maintenance needs: retract the
+    * pre rows, apply the post rows ([[AggView]]). One full-outer
+    * join, one pass — the two update rows come from exploding a
+    * per-key array, never a second scan. */
+  def snapshotDiffCdf(base: DataFrame, target: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "at least one diff key")
+    require(target.columns.toSet == base.columns.toSet,
+      s"snapshot schemas must match: ${base.columns.mkString(",")} vs " +
+        target.columns.mkString(","))
+    val attrs = base.columns.filterNot(keys.contains).toSeq
+    val b = keyUniqueGuarded(base, keys, "__b_",
+      "snapshotDiffCdf: base snapshot is not key-unique")
+    val t = keyUniqueGuarded(target, keys, "__t_",
+      "snapshotDiffCdf: target snapshot is not key-unique")
+    val j = b.join(t, keys, "full_outer")
+    def side(prefix: String, op: String) =
+      struct(attrs.map(c => col(s"$prefix$c").as(c)) :+ lit(op).as("op"): _*)
+    val differs = attrs.map(c => !(col(s"__b_$c") <=> col(s"__t_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val rows = when(col("__b_present").isNull,
+        array(side("__t_", "insert")))
+      .when(col("__t_present").isNull,
+        array(side("__b_", "delete")))
+      .when(differs,
+        array(side("__b_", "update_preimage"),
+          side("__t_", "update_postimage")))
+      .otherwise(array())
+    j.select(keys.map(col) :+ explode(rows).as("__r"): _*)
+      .select(keys.map(col) ++ attrs.map(c => col(s"__r.$c").as(c))
+        :+ col("__r.op").as("op"): _*)
+  }
+
   /** SCD Type 2 history maintenance — the dimension-table discipline
     * that keeps EVERY version of a row with its validity interval
     * (Kimball's slowly-changing-dimension type 2): applying a change

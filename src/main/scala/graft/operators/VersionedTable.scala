@@ -659,6 +659,27 @@ object VersionedTable {
     * newly-masked rows surface as deletes), still at churn cost. */
   def changesBetween(spark: SparkSession, dir: String, v1: Long, v2: Long,
       keys: Seq[String]): DataFrame = {
+    val (oldSide, newSide) = diffSides(spark, dir, v1, v2)
+    Incremental.snapshotDiff(oldSide, newSide, keys)
+  }
+
+  /** [[changesBetween]] in the Delta CDF shape WITH preimages
+    * ([[Incremental.snapshotDiffCdf]]): deletes carry the deleted
+    * row's values, updates emit `update_preimage`/`update_postimage`
+    * pairs. The retraction-capable feed incremental view maintenance
+    * consumes ([[AggView]]), at the same churn cost. */
+  def changesBetweenCdf(spark: SparkSession, dir: String, v1: Long, v2: Long,
+      keys: Seq[String]): DataFrame = {
+    val (oldSide, newSide) = diffSides(spark, dir, v1, v2)
+    Incremental.snapshotDiffCdf(oldSide, newSide, keys)
+  }
+
+  /** The two churn-sized snapshots whose diff is the v1→v2 change
+    * feed: (content leaving, content arriving) — only files whose
+    * path OR mask changed, dv-applied, old side padded across an
+    * add-column migration. */
+  private def diffSides(spark: SparkSession, dir: String, v1: Long, v2: Long)
+      : (DataFrame, DataFrame) = {
     require(v1 < v2, s"need v1 < v2, got $v1 >= $v2")
     val s1 = schemaOf(spark, dir, v1)
     val s2 = schemaOf(spark, dir, v2)
@@ -685,8 +706,7 @@ object VersionedTable {
         if (t1.contains(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
     }
-    Incremental.snapshotDiff(oldSide,
-      readFilesMasked(spark, dir, m2, added, s2), keys)
+    (oldSide, readFilesMasked(spark, dir, m2, added, s2))
   }
 
   private def schemaShape(s: org.apache.spark.sql.types.StructType) =
@@ -1779,6 +1799,20 @@ object VersionedTable {
     val latest = latestVersion(spark, dir)
     if (latest <= cur) None
     else Some((changesBetween(spark, dir, cur, latest, keys), cur, latest))
+  }
+
+  /** [[pollChanges]] in the preimage-carrying CDF shape
+    * ([[changesBetweenCdf]]) — the poll an invertible-aggregate view
+    * maintainer uses ([[AggView.sync]]). Same cursor, same replay
+    * determinism, same ack discipline. */
+  def pollChangesCdf(spark: SparkSession, dir: String, consumer: String,
+      keys: Seq[String]): Option[(DataFrame, Long, Long)] = {
+    val cur = cursorVersion(spark, dir, consumer).getOrElse(
+      throw new IllegalStateException(
+        s"pollChangesCdf: consumer '$consumer' has no cursor on $dir — initCursor first"))
+    val latest = latestVersion(spark, dir)
+    if (latest <= cur) None
+    else Some((changesBetweenCdf(spark, dir, cur, latest, keys), cur, latest))
   }
 
   /** Advance the cursor fromV → toV, atomically. Refuses when the
