@@ -1906,6 +1906,77 @@ object VersionedTable {
     victims
   }
 
+  /** DESCRIBE HISTORY analogue: one row per committed version, newest
+    * first — writer, commit time (manifest mtime — the commit IS the
+    * manifest landing), file/byte-free counts readable straight off
+    * the manifests (bounded driver metadata, no data I/O), masked-row
+    * totals, and the persisted declarations. The audit surface for
+    * "who changed this table and when". */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val f = fs(spark, dir)
+    val rows = versions(spark, dir).sorted(Ordering[Long].reverse).map { v =>
+      val m = readManifest(spark, dir, v)
+      val parentLive: Set[String] =
+        if (m.parent >= 0 && f.exists(manifestPath(dir, m.parent)))
+          liveFiles(spark, dir, m.parent).toSet
+        else Set.empty
+      val live = liveFiles(spark, dir, v)
+      val ts = new java.sql.Timestamp(
+        f.getFileStatus(manifestPath(dir, v)).getModificationTime)
+      val metaStr = m.meta.toSeq.sorted
+        .map { case (k, v2) => s"$k=$v2" }.mkString("; ")
+      (v, m.parent, m.writer, ts, live.length.toLong,
+        live.count(r => !parentLive(r)).toLong, m.removed.length.toLong,
+        m.dv.valuesIterator.map(_._2).sum, metaStr)
+    }
+    import spark.implicits._
+    rows.toDF("version", "parent", "writer", "committed_at", "files_live",
+      "files_added", "files_removed", "masked_rows", "meta")
+  }
+
+  /** Receipts from one [[maintain]] pass. */
+  final case class MaintainStats(purged: Option[DeltaStats],
+      compacted: Option[DeltaStats], expired: Seq[Long],
+      vacuumed: Seq[String])
+
+  /** Housekeeping in one call, each step a normal commit on the chain:
+    * purge deletion-vector masks once the masked-row fraction crosses
+    * `maskedBudget` (readers stop paying the anti-join), bin-pack
+    * files under `smallBytes` (into the declared clustering), expire
+    * to `keepVersions` (cursor-shielded), vacuum orphans older than
+    * `graceMs`. Safe to run concurrently with writers: any lost CAS
+    * surfaces as [[CommitConflict]] — maintenance retries next tick,
+    * it never blocks ingest. */
+  def maintain(spark: SparkSession, dir: String, writerId: String,
+      maskedBudget: Double = 0.02, smallBytes: Long = 8L << 20,
+      keepVersions: Int = 10, graceMs: Long = 3600000L): MaintainStats = {
+    val v0 = latestVersion(spark, dir)
+    require(v0 >= 0, s"no committed versions under $dir")
+    val m = readManifest(spark, dir, v0)
+    val masked = m.dv.valuesIterator.map(_._2).sum
+    val purged =
+      if (masked == 0L) None
+      else {
+        val total = footerRowCounts(spark, dir, liveFiles(spark, dir, v0))
+          .values.sum
+        if (total > 0 && masked.toDouble / total >= maskedBudget)
+          purgeDeletes(spark, dir, v0, writerId)
+        else None
+      }
+    val v1 = latestVersion(spark, dir)
+    // bin-pack toward ~128 MB outputs, never into one giant file
+    val f = fs(spark, dir)
+    val smallTotal = liveFiles(spark, dir, v1).map(rel => f.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/$rel")).getLen)
+      .filter(_ < smallBytes).sum
+    val target = math.max(1L, (smallTotal + (128L << 20) - 1) / (128L << 20))
+    val compacted = compactSmallFiles(spark, dir, v1, writerId, smallBytes,
+      target.toInt)
+    val expired = expire(spark, dir, keepVersions)
+    val vacuumed = vacuum(spark, dir, graceMs)
+    MaintainStats(purged, compacted, expired, vacuumed)
+  }
+
   /** Sweep orphan staging dirs (crashed or superseded writers): any
     * `data/v*` dir that (a) no manifest references (neither as a file
     * container nor a legacy data dir), (b) belongs to a version

@@ -116,6 +116,72 @@ class ChangeFeedSpec extends SparkSpec {
     assert(f.exists(new org.apache.hadoop.fs.Path(s"$dir/_changes/v1/_RESET")))
   }
 
+  test("streaming MERGE into a feed-declared table feeds every batch") {
+    // composition: tableMergeStream commits ride the same expectMeta
+    // inheritance, so each micro-batch MERGE also materializes its
+    // feed — stream in, stream out, no extra wiring
+    val root = java.nio.file.Files.createTempDirectory("feed-compose").toString
+    val src = s"$root/src"; val vt = s"$root/t"; val ckpt = s"$root/ckpt"
+    VersionedTable.commit(spark, vt, base(10).withColumn("__keep", lit(1))
+        .drop("__keep"), -1L, "w",
+      meta = Map(VersionedTable.FeedKey -> "k"))
+    val leg = Seq((3L, "streamed3", false), (77L, "new77", false),
+      (4L, "x", true)).toDF("k", "v", "__del")
+    leg.coalesce(1).write.mode("append").parquet(src)
+    val ss = graft.streaming.EventsStreaming.replaySession(spark)
+    graft.streaming.CurationStreaming.tableMergeStream(
+      ss, src, vt, Seq("k"), ckpt, leg.schema, deleteCol = Some("__del"))
+    assert(VersionedTable.latestVersion(spark, vt) == 1L)
+    val f1 = spark.read.parquet(s"$vt/_changes/v1")
+    assert(f1.select($"k", $"op").as[(Long, String)].collect().toSet ==
+      Set((3L, "update"), (77L, "insert"), (4L, "delete")),
+      "the streamed batch's merge must feed its exact change set")
+  }
+
+  test("history reads the audit trail off the manifests") {
+    val dir = tmp("feed-history")
+    VersionedTable.commit(spark, dir, base(10), -1L, "alice",
+      meta = Map(VersionedTable.FeedKey -> "k"))
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "u")).toDF("k", "v"), Seq("k"), 0L, "bob")
+    VersionedTable.deleteWhere(spark, dir, "k = 2", 1L, "gdpr-job")
+    val h = VersionedTable.history(spark, dir)
+      .select($"version", $"writer", $"files_added", $"files_removed",
+        $"masked_rows")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(h.map(_._1) == Seq(2L, 1L, 0L), "newest first")
+    assert(h.map(_._2) == Seq("gdpr-job", "bob", "alice"))
+    val dv = h.head
+    assert(dv._3 == 0L && dv._4 == 0L && dv._5 == 1L,
+      s"a DV commit adds/removes nothing and masks 1 row: $dv")
+    assert(VersionedTable.history(spark, dir)
+      .filter($"meta".contains("feed.keys=k")).count() == 3L,
+      "declarations inherit and show in the audit trail")
+  }
+
+  test("maintain: purge over budget, compact, expire, vacuum — one call") {
+    val dir = tmp("feed-maintain")
+    val df = spark.range(1000).select($"id".as("k"),
+      concat(lit("v"), $"id").as("v"))
+    VersionedTable.commit(spark, dir, df, -1L, "w",
+      clusterBy = Seq("k"), clusterFiles = 4)
+    VersionedTable.deleteWhere(spark, dir, "k % 10 = 0", 0L, "gdpr") // 10%
+    val st = VersionedTable.maintain(spark, dir, "janitor",
+      maskedBudget = 0.02, smallBytes = 1L << 20, keepVersions = 2,
+      graceMs = 0L)
+    assert(st.purged.nonEmpty, "10% masked >= 2% budget must purge")
+    assert(VersionedTable.readManifest(spark, dir,
+      VersionedTable.latestVersion(spark, dir)).dv.isEmpty)
+    assert(VersionedTable.read(spark, dir).count() == 900L)
+    // under budget: no purge
+    VersionedTable.deleteWhere(spark, dir, "k = 1",
+      VersionedTable.latestVersion(spark, dir), "gdpr")
+    val st2 = VersionedTable.maintain(spark, dir, "janitor",
+      maskedBudget = 0.02, smallBytes = 1L, keepVersions = 2, graceMs = 0L)
+    assert(st2.purged.isEmpty, "1/900 masked is under the 2% budget")
+    assert(VersionedTable.read(spark, dir).count() == 899L)
+  }
+
   test("expire drops victims' feed dirs; vacuum sweeps stale stages") {
     val dir = tmp("feed-expire")
     VersionedTable.commit(spark, dir, base(8), -1L, "w",
