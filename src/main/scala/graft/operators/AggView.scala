@@ -93,16 +93,20 @@ object AggView {
     * one full-scan this view ever pays. */
   def init(spark: SparkSession, srcDir: String, viewDir: String,
       consumer: String, groupCols: Seq[String],
-      measures: Seq[(String, Column)], scale: Int = 2): Long = {
+      measures: Seq[(String, Column)], scale: Int = 2,
+      viewMeta: Map[String, String] = Map.empty): Long = {
     val srcV = VersionedTable.latestVersion(spark, srcDir)
     require(srcV >= 0, s"init: no committed versions under $srcDir")
     require(VersionedTable.latestVersion(spark, viewDir) < 0,
       s"init: $viewDir already exists — sync resumes, it never re-inits")
     val st = state(VersionedTable.readVersion(spark, srcDir, srcV),
       groupCols, measures, scale)
+    // viewMeta composes the view with everything tables already do:
+    // declare feed.keys here and the VIEW itself feeds downstream
+    // streams (views all the way down), expectations constrain it, …
     VersionedTable.commit(spark, viewDir, st, -1L, consumer,
       clusterBy = groupCols.take(1),
-      meta = Map(SyncedKey -> srcV.toString))
+      meta = viewMeta + (SyncedKey -> srcV.toString))
     VersionedTable.initCursor(spark, srcDir, consumer, srcV)
     srcV
   }

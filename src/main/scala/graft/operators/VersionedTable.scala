@@ -262,8 +262,14 @@ object VersionedTable {
 
   /** Above this many masked rows across the files in scope, the
     * anti-join abandons the broadcast hint (a mask this big should
-    * have been a rewrite; correctness is kept either way). */
-  private val DvBroadcastRows = 2000000L
+    * have been a rewrite; correctness is kept either way — the join
+    * falls back to Spark's own strategy choice). Tunable per session:
+    * `spark.conf.set("graft.dv.broadcastRows", n)` — size it to what
+    * an executor can hold, same calculus as
+    * autoBroadcastJoinThreshold. */
+  private def dvBroadcastRows(spark: SparkSession): Long =
+    spark.conf.getOption("graft.dv.broadcastRows")
+      .flatMap(_.toLongOption).getOrElse(2000000L)
 
   /** Read `rels` (live files of manifest `m`) with `m`'s deletion
     * vectors applied, keeping the row-identity columns
@@ -288,7 +294,8 @@ object VersionedTable {
       // zero data I/O; stale rows for since-rewritten files in a
       // shared dv dir are harmless (their rel never matches a scan)
       val totalMasked = masked.map(_._2._2).sum
-      val side = if (totalMasked <= DvBroadcastRows) broadcast(mask) else mask
+      val side =
+        if (totalMasked <= dvBroadcastRows(spark)) broadcast(mask) else mask
       base.join(side,
         base("__graft_rel") === side("__dv_rel") &&
           base("__graft_pos") === side("__dv_pos"),

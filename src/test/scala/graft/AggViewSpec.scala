@@ -88,6 +88,27 @@ class AggViewSpec extends SparkSpec {
     assert(sum == 48.0 + 100.0 + 200.0, s"double-applied: $sum")
   }
 
+  test("views compose: a feed-declared view feeds downstream streams") {
+    val root = tmp("aggview-compose")
+    val src = s"$root/src"; val view = s"$root/view"
+    val base = spark.range(20).select($"id".as("k"),
+      (($"id" % 2).cast("string")).as("g"), lit(1.0).as("x"))
+    VersionedTable.commit(spark, src, base, -1L, "w")
+    AggView.init(spark, src, view, "vmaint", Seq("g"), measures,
+      viewMeta = Map(VersionedTable.FeedKey -> "g"))
+    // the view's own bootstrap feed exists (the view IS a table)
+    assert(spark.read.parquet(s"$view/_changes/v0").count() == 2L)
+    VersionedTable.merge(spark, src,
+      Seq((0L, "0", 50.0)).toDF("k", "g", "x"), Seq("k"), 0L, "w")
+    AggView.sync(spark, src, view, "vmaint", Seq("k"), Seq("g"), measures)
+    // the sync's merge fed the view's OWN change rows downstream:
+    // group "0" state changed (update), group "1" untouched
+    val f1 = spark.read.parquet(s"$view/_changes/v1")
+    assert(f1.select($"g", $"op").as[(String, String)].collect().toSet ==
+      Set(("0", "update")), "only the affected group's state feeds")
+    viewEqualsDirect(src, view)
+  }
+
   test("refresh reads churn, not the source: feed receipts") {
     val root = tmp("aggview-cost")
     val src = s"$root/src"; val view = s"$root/view"

@@ -222,6 +222,30 @@ class DeletionVectorSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dir).count() == 99L)
   }
 
+  test("oversized masks drop the broadcast hint; answers identical") {
+    val dir = tmp("dv-bigmask")
+    mkTable(dir)
+    VersionedTable.deleteWhere(spark, dir, "k % 3 = 1", 0L, "w")
+    val expect = VersionedTable.read(spark, dir)
+      .orderBy($"k").as[(Long, String)].collect().toSeq
+    // force the fallback AND veto Spark's own auto-broadcast so the
+    // shuffled anti-join path actually executes end-to-end
+    spark.conf.set("graft.dv.broadcastRows", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val got = VersionedTable.read(spark, dir)
+      val answer = got.orderBy($"k").as[(Long, String)].collect().toSeq
+      assert(!got.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+        "hint dropped + auto-broadcast off must yield a shuffled anti-join")
+      assert(answer == expect,
+        "the join strategy must never change the answer")
+    } finally {
+      spark.conf.unset("graft.dv.broadcastRows")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("deleteWhere derives pruning bounds from its own predicate") {
     val dir = tmp("dv-implied")
     mkTable(dir) // 4 files clustered on k: 0-24, 25-49, 50-74, 75-99
