@@ -612,6 +612,37 @@ object Soak {
       }
       time(s"lakehouse_dv_purged_read_$rows")(
         VersionedTable.read(spark, vt).count())
+      // round 13: incremental agg view at corpus scale — bootstrap
+      // once, then a churn-sized refresh vs. what a full re-aggregate
+      // would cost (receipt: the refresh reads the CDC diff + the
+      // affected groups, never the corpus)
+      time(s"lakehouse_aggview_init_$rows") {
+        graft.operators.AggView.init(spark, vt, s"$root/view", "soakview",
+          Seq("lang"), Seq("len" -> col("len")))
+        graft.operators.AggView.read(spark, s"$root/view").count()
+      }
+      time(s"lakehouse_aggview_churn_ingest_$rows") {
+        val v = VersionedTable.latestVersion(spark, vt)
+        val ch = base.filter(col("k") > rows / 3 &&
+            col("k") <= rows / 3 + rows / 100)
+          .select(col("k"), lit("vv").as("lang"), (col("len") + 1).as("len"))
+        VersionedTable.merge(spark, vt, ch, Seq("k"), v, "soak")
+        rows / 100
+      }
+      time(s"lakehouse_aggview_refresh_$rows") {
+        val applied = graft.operators.AggView.sync(spark, vt, s"$root/view",
+          "soakview", Seq("k"), Seq("lang"), Seq("len" -> col("len")))
+        println(s"[soak]   aggview refresh receipt: applied $applied " +
+          s"(1% churn; reads the CDC diff + affected groups, never the " +
+          s"corpus), view rows " +
+          graft.operators.AggView.read(spark, s"$root/view").count())
+        rows / 100
+      }
+      time(s"lakehouse_aggview_full_reagg_$rows") {
+        // the cost the view AVOIDS: a direct re-aggregate of the table
+        graft.operators.AggView.state(VersionedTable.read(spark, vt),
+          Seq("lang"), Seq("len" -> col("len"))).count()
+      }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     }
 

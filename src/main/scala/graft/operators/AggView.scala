@@ -146,13 +146,22 @@ object AggView {
     if (synced < latest) {
       val feed = VersionedTable.changesBetweenCdf(
         spark, srcDir, synced, latest, keys)
-      val apply0 = state(
-        feed.filter(col("op").isin("insert", "update_postimage")),
-        groupCols, measures, scale)
-      val retract = negate(state(
-        feed.filter(col("op").isin("delete", "update_preimage")),
-        groupCols, measures, scale))
-      val delta = Incremental.mergeStates(apply0, retract)
+      // fused signed delta: ONE pass over the feed (apply and retract
+      // as ±1 weights in the same aggregation) — a filter-then-union
+      // would recompute the CDF join once per side
+      val w = when(col("op").isin("insert", "update_postimage"), 1L)
+        .otherwise(-1L)
+      val aggs = sum(col("__w")).as("__cnt") +:
+        measures.flatMap { case (m, c) =>
+          val dec = c.cast(DecimalType(38, scale))
+          Seq(
+            coalesce(sum(when(col("__w") > 0, dec).otherwise(-dec)),
+              lit(0).cast(DecimalType(38, scale))).as(sumCol(m)),
+            coalesce(sum(when(c.isNotNull, col("__w")).otherwise(0L)),
+              lit(0L)).as(cntCol(m)))
+        }
+      val delta = feed.withColumn("__w", w)
+        .groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
       // fold the delta into the CURRENT state of the affected groups
       // only (semi-join: the view side is view-sized, the delta
       // churn-sized), then merge keyed on the group columns — groups
