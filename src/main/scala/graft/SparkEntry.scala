@@ -2694,6 +2694,36 @@ object SparkEntry {
       AggView.read(s, view)
     }),
 
+    // --- Predicate-pruned read (round 13): readFiltered derives file
+    //     skipping from the predicate's OWN conjuncts (no hand-built
+    //     bounds), applies the residual on the pruned masked read, and
+    //     the DV mask composes — receipts require()'d: the implied
+    //     bounds prune, and the answer equals the unpruned filter. ---
+    "q237_pruned_predicate_read" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val vt = java.nio.file.Files.createTempDirectory("graft_rf_q237_")
+        .toString + "/t"
+      val ord = t(s, dir).orders.select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("pr"), col("o_totalprice").as("price"))
+      require(VersionedTable.commit(s, vt, ord, -1L, "loader",
+        clusterBy = Seq("k"), clusterFiles = 32) == 0L)
+      VersionedTable.deleteWhere(s, vt, "k % 13 = 2", 0L, "gdpr")
+      val maxk = ord.agg(max(col("k"))).collect()(0).getLong(0)
+      val lo = maxk / 3; val hi = lo + maxk / 10
+      val pred = s"k >= $lo and k <= $hi and pr like '%URGENT%'"
+      // the implied bounds must prune: ~10% key range on 32 files
+      val (kept, total) = VersionedTable.prunedFiles(s, vt, 1L,
+        VersionedTable.impliedBounds(s, pred,
+          VersionedTable.read(s, vt).schema))
+      require(kept.length * 4 <= total,
+        s"q237: a ~10% range must skip >= 3/4 of files (${kept.length}/$total)")
+      val pruned = VersionedTable.readFiltered(s, vt, pred)
+      val full = VersionedTable.read(s, vt).filter(expr(pred))
+      require(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty,
+        "q237: pruning changed the answer")
+      pruned
+    }),
+
     // --- Atomic commit protocol (round 11): the manifest-log CAS
     //     under the versioned-table family — commits stage data fully
     //     and promote a manifest file atomically (create-exclusive),
@@ -6725,6 +6755,19 @@ object SparkEntry {
                 CAST(SUM(CAST(price AS DECIMAL(38,2))) AS DOUBLE)
                   / COUNT(price) AS avg_price
          FROM fin GROUP BY grp""",
+
+    // predicate-pruned read over a masked clustered table: the oracle
+    // is the plain filter (range + LIKE residual + the DV anti-filter)
+    "q237_pruned_predicate_read" ->
+      """WITH m AS (SELECT CAST(FLOOR(MAX(o_orderkey) / 3.0) AS BIGINT) AS lo,
+                           CAST(FLOOR(MAX(o_orderkey) / 10.0) AS BIGINT) AS w
+                    FROM orders)
+         SELECT o_orderkey AS k, o_orderpriority AS pr,
+                o_totalprice AS price
+         FROM orders, m
+         WHERE o_orderkey >= lo AND o_orderkey <= lo + w
+           AND o_orderpriority LIKE '%URGENT%'
+           AND o_orderkey % 13 <> 2""",
 
     // table replication: the oracle replays the churn over the raw
     // table; the engine side answers from the REPLICA after two

@@ -620,6 +620,23 @@ object VersionedTable {
     readFilesMasked(spark, dir, readManifest(spark, dir, ver), kept, schema)
   }
 
+  /** The point/range read most callers want: EXACT rows matching a
+    * boolean SQL predicate, with file skipping derived automatically
+    * from the predicate's own conjuncts ([[impliedBounds]]) and the
+    * residual filter applied on the pruned read (which parquet then
+    * pushes into the scan). `readWhere` remains the primitive for
+    * callers carrying explicit bounds; this is the one-liner. */
+  def readFiltered(spark: SparkSession, dir: String, predicate: String,
+      v: Long = -1L): DataFrame = {
+    val ver = if (v >= 0) v else latestVersion(spark, dir)
+    require(ver >= 0, s"no committed versions under $dir")
+    val bounds = impliedBounds(spark, predicate, schemaOf(spark, dir, ver))
+    val base =
+      if (bounds.isEmpty) readVersion(spark, dir, ver)
+      else readWhere(spark, dir, bounds, ver)
+    base.filter(expr(predicate))
+  }
+
   // ─────────────── change data feed at churn cost (round 12) ───────────────
 
   /** The file-level delta between two committed versions:
