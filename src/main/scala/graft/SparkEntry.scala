@@ -2570,6 +2570,46 @@ object SparkEntry {
       purged
     }),
 
+    // --- Sanctioned schema evolution (VERDICT r12 missing #1): ADD
+    //     COLUMN as a METADATA-ONLY commit — no data file written or
+    //     touched (mtime-pinned in-entry), old files null-fill the new
+    //     column on read, time travel keeps each version's own schema,
+    //     and a backfilling MERGE then surfaces exactly the NULL→value
+    //     updates through the CDF. At 100 TB the monthly migration
+    //     costs one manifest write, not a table rewrite. ---
+    "q226_add_column_evolution" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      import org.apache.spark.sql.types.{StructField, DoubleType}
+      val vt = java.nio.file.Files.createTempDirectory("graft_evo_q226_")
+        .toString + "/t"
+      val ord = t(s, dir).orders.select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("pr"))
+      require(VersionedTable.commit(s, vt, ord, -1L, "loader",
+        clusterBy = Seq("k"), clusterFiles = 8) == 0L)
+      val dataRoot = new java.io.File(s"$vt/data")
+      val mt0 = dataRoot.listFiles().flatMap(d =>
+        d.listFiles().map(x => x.getPath -> x.lastModified())).toMap
+      require(VersionedTable.addColumns(s, vt,
+        Seq(StructField("price", DoubleType)), 0L, "migrator") == 1L)
+      // metadata-only receipt: not one staged byte, not one touched file
+      require(dataRoot.listFiles().flatMap(d => d.listFiles()).forall(x =>
+          mt0.get(x.getPath).contains(x.lastModified())),
+        "q226: addColumns must not touch data files")
+      // time travel: the pre-migration version keeps its own schema;
+      // the post-migration version null-fills
+      require(VersionedTable.readVersion(s, vt, 0L).columns.toSeq ==
+        Seq("k", "pr"), "q226: v0 must keep its 2-column schema")
+      require(VersionedTable.readVersion(s, vt, 1L)
+          .filter(col("price").isNotNull).count() == 0,
+        "q226: added column must read as NULL before backfill")
+      // backfill a third of the keys; CDF v0→v2 is exactly the backfill
+      val fill = t(s, dir).orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("pr"),
+          col("o_totalprice").as("price"))
+      VersionedTable.merge(s, vt, fill, Seq("k"), 1L, "backfill")
+      VersionedTable.changesBetween(s, vt, 0L, 2L, Seq("k"))
+    }),
+
     // --- CDF across an ADD-COLUMN migration: the sanctioned schema
     //     evolution path (allowSchemaChange) no longer dead-ends the
     //     change feed — when every old column survives with its exact
@@ -6711,6 +6751,13 @@ object SparkEntry {
 
     // CDF across an add-column migration: same keys both sides, the
     // added price column goes NULL -> value on every row -> all updates
+    // metadata-only ADD COLUMN then backfill merge: the CDF across the
+    // migration is exactly the backfilled third (NULL→value updates)
+    "q226_add_column_evolution" ->
+      """SELECT o_orderkey AS k, o_orderpriority AS pr,
+                o_totalprice AS price, 'update' AS op
+         FROM orders WHERE o_orderkey % 3 = 0""",
+
     "q234_cdf_schema_add" ->
       """SELECT o_orderkey AS k, o_orderpriority AS pr,
                 o_totalprice AS price, 'update' AS op

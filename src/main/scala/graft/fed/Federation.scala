@@ -142,6 +142,91 @@ object Federation {
   }
 
   // ------------------------------------------------------------------
+  // Catalog persistence (round 13): the coordinator's table placements
+  // survive a restart. The catalog is bounded driver metadata (one
+  // line per table location), persisted as a versioned log with the
+  // SAME atomic create-exclusive CAS as table commits — a racing
+  // coordinator save loses LOUDLY, a reader always sees a complete
+  // catalog version, and history stays auditable. Cluster SESSIONS are
+  // deliberately not persisted (they are live connections): a
+  // restarted coordinator reconnects its clusters, loads the catalog,
+  // and every placement/replica decision resumes where it left off.
+  // ------------------------------------------------------------------
+
+  final class CatalogConflict(msg: String) extends RuntimeException(msg)
+
+  /** The latest persisted catalog version under `dir` (-1 = none). */
+  def catalogVersion(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return -1L
+    val vs = f.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".catalog"))
+      .flatMap(n => n.stripPrefix("v").stripSuffix(".catalog").toLongOption)
+    if (vs.isEmpty) -1L else vs.max
+  }
+
+  /** Persist `cat` as the child of `expectedVersion` (the table-commit
+    * discipline: pass the version you loaded, or -1 for the first
+    * save; omit to append at latest). Ordering and the
+    * primary-vs-replica distinction are preserved exactly. Throws
+    * [[CatalogConflict]] when another coordinator saved concurrently —
+    * the caller re-loads, reconciles, re-saves; silent
+    * last-writer-wins would drop the other coordinator's
+    * registrations. */
+  def saveCatalog(spark: SparkSession, cat: Catalog, dir: String,
+      writerId: String = "coordinator",
+      expectedVersion: Long = Long.MinValue): Long = {
+    val newV =
+      if (expectedVersion == Long.MinValue) catalogVersion(spark, dir) + 1
+      else expectedVersion + 1
+    val sb = new StringBuilder(s"version=$newV\n")
+    cat.names.foreach { t =>
+      cat.locations(t).zipWithIndex.foreach { case (loc, i) =>
+        Seq(t, loc.cluster, loc.format, loc.uri).foreach(s =>
+          require(!s.contains('\t') && !s.contains('\n'),
+            s"catalog entries must be plain tokens: $s"))
+        val kind = if (i == 0) "primary" else "replica"
+        sb ++= s"table=$t\t$kind\t${loc.cluster}\t${loc.format}\t${loc.uri}\n"
+      }
+    }
+    val won = graft.operators.VersionedTable.casCreate(spark,
+      new org.apache.hadoop.fs.Path(s"$dir/v$newV.catalog"),
+      new org.apache.hadoop.fs.Path(
+        s"$dir/.tmp-$writerId-${java.util.UUID.randomUUID()}"), sb.toString)
+    if (!won)
+      throw new CatalogConflict(
+        s"saveCatalog to $dir: lost the race for version $newV — " +
+          "re-load, reconcile, re-save")
+    newV
+  }
+
+  /** Load the latest persisted catalog (or a pinned `version`). */
+  def loadCatalog(spark: SparkSession, dir: String,
+      version: Long = -1L): Catalog = {
+    val v = if (version >= 0) version else catalogVersion(spark, dir)
+    require(v >= 0, s"loadCatalog: no persisted catalog under $dir")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/v$v.catalog")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = f.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val cat = new Catalog()
+    body.linesIterator.filter(_.startsWith("table=")).foreach { l =>
+      l.stripPrefix("table=").split('\t') match {
+        case Array(t, "primary", c, fmt, uri) =>
+          cat.register(t, TableLoc(c, fmt, uri))
+        case Array(t, "replica", c, fmt, uri) =>
+          cat.registerReplica(t, TableLoc(c, fmt, uri))
+        case other =>
+          throw new IllegalStateException(
+            s"loadCatalog: malformed line in v$v.catalog: $l")
+      }
+    }
+    cat
+  }
+
+  // ------------------------------------------------------------------
   // Federated dataflow DAG (workflow-level, deliberately tiny)
   // ------------------------------------------------------------------
 

@@ -757,7 +757,7 @@ object VersionedTable {
     * Shared with [[AnnIndex]]'s generation publish — one commit
     * primitive, not two divergent copies. Returns true iff this
     * caller created `target`. */
-  private[operators] def casCreate(spark: SparkSession,
+  private[graft] def casCreate(spark: SparkSession,
       target: org.apache.hadoop.fs.Path,
       tmp: org.apache.hadoop.fs.Path, body: String): Boolean = {
     val f = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1121,6 +1121,72 @@ object VersionedTable {
         new org.apache.hadoop.fs.Path(s"$dir/$rel")).getLen).sum
     DeltaStats(newV, staged.length.toLong, removeFiles.length.toLong,
       parentLive.length.toLong, bytes(staged), bytes(parentLive))
+  }
+
+  /** Sanctioned schema evolution: ADD nullable columns as a
+    * METADATA-ONLY commit (the Delta/Iceberg `ALTER TABLE ADD COLUMNS`
+    * shape). No data file is written, read, or touched — the new
+    * manifest carries the parent's files/stats/masks verbatim under an
+    * EXTENDED schema, and every read path null-fills the added columns
+    * for pre-migration files (the parquet missing-column contract,
+    * already exercised by [[readVersion]]'s pinned-schema scan). At
+    * 100 TB this is the difference between a monthly migration costing
+    * one manifest write and costing a full-table rewrite.
+    *
+    * Contract:
+    *   - added columns must be NULLABLE (existing rows have no value to
+    *     give them) and must not collide case-insensitively with an
+    *     existing column (Spark resolves names case-insensitively by
+    *     default — a case-only "new" column would be unreadable);
+    *   - time travel is unaffected: version `expectedVersion` still
+    *     reads with its own (old) schema;
+    *   - the change feed for the new version is EMPTY (no row's
+    *     visible content changed — all added values are NULL); the
+    *     first backfilling [[merge]] surfaces NULL→value updates, the
+    *     [[changesBetween]] add-column policy;
+    *   - persisted declarations (expectations, clustering, feed keys)
+    *     ride along, exactly as any other commit.
+    *
+    * Drops / renames / type changes remain a full [[commit]] with
+    * `allowSchemaChange = true` (a snapshot rewrite) — there is no
+    * metadata-only form of those that old files could satisfy. */
+  def addColumns(spark: SparkSession, dir: String,
+      newCols: Seq[org.apache.spark.sql.types.StructField],
+      expectedVersion: Long, writerId: String): Long = {
+    requireWriterId(writerId)
+    require(newCols.nonEmpty, "addColumns: no columns to add")
+    require(expectedVersion >= 0,
+      "addColumns needs an existing parent version — use commit for v0")
+    val newV = expectedVersion + 1
+    requireNotStale(spark, dir, expectedVersion)
+    val prev = schemaOf(spark, dir, expectedVersion)
+    val taken = scala.collection.mutable.Set(
+      prev.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSeq: _*)
+    newCols.foreach { fld =>
+      require(fld.nullable,
+        s"addColumns: '${fld.name}' must be nullable — existing rows " +
+          "null-fill it; backfill values with a merge afterwards")
+      require(taken.add(fld.name.toLowerCase(java.util.Locale.ROOT)),
+        s"addColumns: column '${fld.name}' already exists (column names " +
+          "resolve case-insensitively)")
+    }
+    val evolved = org.apache.spark.sql.types.StructType(
+      prev.fields ++ newCols)
+    val m = readManifest(spark, dir, expectedVersion)
+    // the parent's live set resolves legacy whole-dir manifests to
+    // file granularity here, so the evolved manifest is always in the
+    // modern shape regardless of the table's age
+    val live = liveFiles(spark, dir, expectedVersion)
+    val body = manifestBody(newV, expectedVersion, writerId, evolved,
+      stagingDir = None, files = live, removed = Seq.empty,
+      stats = m.stats, dv = m.dv,
+      meta = expectMeta(spark, dir, expectedVersion, Map.empty, Map.empty))
+    if (!casManifest(spark, dir, newV, writerId, body))
+      throw new CommitConflict(
+        s"addColumns on $dir: lost the race for version $newV — " +
+          "re-read, reconcile, retry")
+    if (feedKeysOf(spark, dir, newV).nonEmpty) ensureFeed(spark, dir, writerId)
+    newV
   }
 
   /** MERGE as a file-granular commit (the Delta MERGE shape): find
@@ -1653,13 +1719,46 @@ object VersionedTable {
       filesCopied: Long, filesShared: Long,
       bytesCopied: Long, bytesTable: Long)
 
+  /** The source-side cursor name [[replicate]] maintains for a
+    * replica destination — visible in `_cursors/` and [[history]]-style
+    * ops tooling as the replica's lag, and counted by
+    * [[oldestCursor]] so [[expire]] never drops a version range a
+    * lagging replica's next incremental diff would need. Derived from
+    * the destination URI (stable across replicator restarts); a
+    * decommissioned replica is GC'd with
+    * `dropCursor(src, replicaCursorName(dst))`. */
+  def replicaCursorName(dstDir: String): String = {
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dstDir.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    s"replica-$h"
+  }
+
   /** Sync `srcDir`'s latest committed version to `dstDir` (any Hadoop
     * filesystem URI — the cross-cluster case). File copies run as a
     * distributed job (paths parallelized, bytes move executor-side);
     * the replica version is published atomically AFTER every file
     * landed, so replica readers never observe a torn sync. Files the
     * source has since removed stay at the replica until ITS
-    * [[expire]]/[[vacuum]] — replica history is independent. */
+    * [[expire]]/[[vacuum]] — replica history is independent.
+    *
+    * Cursor contract (the replication × retention integration):
+    *   - consumer cursors are NOT replicated — a cursor is consumer
+    *     state bound to one table instance's version numbering, and
+    *     the replica numbers its history independently. A consumer
+    *     failing over to the replica re-bootstraps ([[initCursor]] at
+    *     the replica version it loaded), and any attempt to ack with
+    *     source version numbers refuses loudly via the normal cursor
+    *     CAS discipline.
+    *   - each replicate advances a SOURCE-side cursor
+    *     ([[replicaCursorName]]) to the source version it shipped, so
+    *     the source's [[expire]] respects replica lag exactly as it
+    *     respects any lagging consumer: versions a replica has not
+    *     seen extend retention instead of silently vanishing.
+    *   - if the table declares a change feed, the replica's own feed
+    *     dirs are materialized after publish (replica version
+    *     numbering), so [[changeStream]] works at the replica with no
+    *     extra wiring. */
   def replicate(spark: SparkSession, srcDir: String, dstDir: String,
       writerId: String = "replicator"): ReplicaStats = {
     requireWriterId(writerId)
@@ -1678,9 +1777,11 @@ object VersionedTable {
     // "already current" must compare MASKS too: a DV-only source
     // commit changes no live paths but changes every masked file's
     // effective content
-    if (dstV >= 0 && dstPrevLive == srcLive && dstPrevDv == srcM.dv)
+    if (dstV >= 0 && dstPrevLive == srcLive && dstPrevDv == srcM.dv) {
+      advanceReplicaCursor(spark, srcDir, dstDir, srcV)
       return ReplicaStats(-1L, srcV, 0L, srcLive.length.toLong, 0L,
         srcBytes(srcLive))
+    }
     val fDst = fs(spark, dstDir)
     // deletion-vector sidecars ship like data: the replica's masked
     // reads need the position files at the same rel paths
@@ -1736,9 +1837,34 @@ object VersionedTable {
       throw new CommitConflict(
         s"replicate to $dstDir: lost the race for version $newV — a " +
           "concurrent replicator published; re-run to converge")
+    // the replica derives its OWN feed (its version numbering) so a
+    // changeStream at the replica works without extra wiring; cursors
+    // are deliberately NOT shipped (see the contract above)
+    if (feedKeysOf(spark, dstDir, newV).nonEmpty)
+      ensureFeed(spark, dstDir, writerId)
+    advanceReplicaCursor(spark, srcDir, dstDir, srcV)
     ReplicaStats(newV, srcV, toCopy.length.toLong,
       (srcLive.length + srcDvFiles.length - toCopy.length).toLong, copied,
       srcBytes(srcLive))
+  }
+
+  /** Advance the source's replica-lag cursor to `srcV` (init on first
+    * sync). Races with another replicator of the SAME destination are
+    * benign — the other instance advanced it at least as far. */
+  private def advanceReplicaCursor(spark: SparkSession, srcDir: String,
+      dstDir: String, srcV: Long): Unit = {
+    val name = replicaCursorName(dstDir)
+    try {
+      cursorVersion(spark, srcDir, name) match {
+        case None => initCursor(spark, srcDir, name, srcV)
+        case Some(cur) if cur < srcV =>
+          ackChanges(spark, srcDir, name, cur, srcV)
+        case _ => ()
+      }
+    } catch {
+      case _: CommitConflict => ()
+      case _: IllegalArgumentException => () // lost the init race
+    }
   }
 
   // ─────────── incremental consumption: cursor CDC (round 12) ───────────

@@ -37,6 +37,54 @@ class FederationSpec extends SparkSpec {
     assert(placement.assignment(p) == "A")
   }
 
+  test("catalog persistence: a restarted coordinator reloads placements and replicas") {
+    val (catalog, clusters) = setup()
+    val tmp = Files.createTempDirectory("fed-cat").toString
+    val catDir = s"$tmp/catalog"
+    // a replica registration must survive the round trip as a REPLICA
+    // (order encodes primary-vs-replica — failover burns them in order)
+    val custUri2 = s"$tmp/b/customer_replica"
+    tables.customer.write.mode("overwrite").parquet(custUri2)
+    catalog.registerReplica("customer", TableLoc("B", "parquet", custUri2))
+    assert(Federation.saveCatalog(spark, catalog, catDir) == 0L)
+    // a second save versions up; a pinned load sees the old version
+    val cat2 = Federation.loadCatalog(spark, catDir)
+    assert(cat2.names == catalog.names)
+    catalog.names.foreach(t =>
+      assert(cat2.locations(t) == catalog.locations(t),
+        s"locations of $t must round-trip exactly"))
+    Federation.saveCatalog(spark, cat2, catDir)
+    assert(Federation.catalogVersion(spark, catDir) == 1L)
+    assert(Federation.loadCatalog(spark, catDir, version = 0L)
+      .locations("customer").length == 2)
+    // the restarted coordinator: fresh sessions, loaded catalog — the
+    // federated job runs and failover machinery still sees the replica
+    val loaded = Federation.loadCatalog(spark, catDir)
+    val join = FedBinary(FedScan("customer"), FedScan("orders"),
+      (c, o) => c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy(c("c_mktsegment")).count(), "join")
+    val orch = new Orchestrator(loaded, clusters)
+    val out = orch.executeWithFailover(join).collect()
+    assert(out.length == 5)
+    // racing coordinator saves: exactly one wins the version CAS
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    def racer(id: String) = Future {
+      gate.await()
+      try Right(Federation.saveCatalog(spark, loaded, catDir, id,
+        expectedVersion = 1L))
+      catch { case t: Throwable => Left(t) }
+    }
+    val rs = Await.result(
+      Future.sequence(Seq(racer("c1"), racer("c2"))), 120.seconds)
+    assert(rs.count(_.isRight) == 1 &&
+      rs.collect { case Left(t) => t }
+        .forall(_.isInstanceOf[Federation.CatalogConflict]),
+      s"exactly one racing save must win: $rs")
+  }
+
   test("cross-cluster join inserts exactly one transfer, shipping the cheaper side") {
     val (catalog, clusters) = setup()
     val join = FedBinary(FedScan("customer"), FedScan("orders"),

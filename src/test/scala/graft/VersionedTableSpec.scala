@@ -558,6 +558,51 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.read(spark, src).count())
   }
 
+  test("replication × cursors: replica lag shields source expire; cursors never ship") {
+    val root = java.nio.file.Files.createTempDirectory("vt-repl-cur").toString
+    val src = s"$root/src"; val dst = s"$root/dst"
+    VersionedTable.commit(spark, src,
+      spark.range(100).select($"id".as("k"), ($"id" * 2).as("v")),
+      -1L, "loader")
+    // a consumer cursor on the source, then replicate: cursors are
+    // consumer state bound to THIS table instance's version numbering
+    // — they must NOT appear at the replica
+    VersionedTable.initCursor(spark, src, "etl", 0L)
+    VersionedTable.replicate(spark, src, dst)
+    assert(VersionedTable.cursorVersion(spark, dst, "etl").isEmpty,
+      "consumer cursors must not replicate")
+    assert(!new java.io.File(s"$dst/_cursors/etl").exists())
+    // ...but the SOURCE gained a replica-lag cursor at the synced version
+    val rc = VersionedTable.replicaCursorName(dst)
+    assert(VersionedTable.cursorVersion(spark, src, rc).contains(0L),
+      "replicate must record the replica's synced version on the source")
+    // the replica falls behind while the source churns 4 more versions
+    (1 to 4).foreach { i =>
+      VersionedTable.merge(spark, src,
+        spark.range(5).select(($"id" + 1000L * i).as("k"), lit(i.toLong).as("v")),
+        Seq("k"), i - 1L, "m")
+    }
+    VersionedTable.dropCursor(spark, src, "etl") // isolate the replica shield
+    // expire would drop v0..v2 under keep=2 — the replica cursor at v0
+    // extends retention instead (a lagging replica never loses its diff)
+    assert(VersionedTable.expire(spark, src, keep = 2).isEmpty,
+      "source expire must respect the replica-lag cursor")
+    assert(VersionedTable.versions(spark, src).contains(0L))
+    // re-sync catches the replica up; the cursor advances; expire frees
+    VersionedTable.replicate(spark, src, dst)
+    assert(VersionedTable.cursorVersion(spark, src, rc).contains(4L))
+    assert(VersionedTable.expire(spark, src, keep = 2) == Seq(0L, 1L, 2L))
+    // failover discipline: a consumer moving to the replica must
+    // re-bootstrap — acking the replica with source version numbers
+    // refuses loudly (no cursor exists there)
+    intercept[IllegalStateException] {
+      VersionedTable.pollChanges(spark, dst, "etl", Seq("k"))
+    }
+    // a decommissioned replica is GC'd explicitly; retention frees up
+    VersionedTable.dropCursor(spark, src, VersionedTable.replicaCursorName(dst))
+    assert(VersionedTable.oldestCursor(spark, src).isEmpty)
+  }
+
   test("replicate carries meta: expectations + clustering survive at the replica") {
     val root = java.nio.file.Files.createTempDirectory("vt-repl-meta").toString
     val src = s"$root/src"; val dst = s"$root/dst"
@@ -608,6 +653,75 @@ class VersionedTableSpec extends SparkSpec {
     assert(kept.toSet.intersect(keptRels) == keptRels.intersect(m1.files.toSet),
       "files without usable stats are never pruned")
     assert(total == m1.files.length)
+  }
+
+  test("addColumns: metadata-only ADD COLUMN — no data touched, null-fill, feed empty") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-addcol").toString + "/t"
+    val f = new java.io.File(s"$dir/data")
+    VersionedTable.commit(spark, dir,
+      spark.range(100).select($"id".as("k"), ($"id" * 2).as("v")),
+      -1L, "loader", clusterBy = Seq("k"), clusterFiles = 4,
+      expectations = Map("k_nonneg" -> "k >= 0"),
+      meta = Map(VersionedTable.FeedKey -> "k"))
+    val dataDirs0 = f.listFiles().map(_.getName).toSet
+    val mtimes0 = f.listFiles().flatMap(d =>
+      d.listFiles().map(x => x.getPath -> x.lastModified())).toMap
+    import org.apache.spark.sql.types._
+    // refusals: non-nullable, case-insensitive collision, stale version
+    intercept[IllegalArgumentException] {
+      VersionedTable.addColumns(spark, dir,
+        Seq(StructField("w", LongType, nullable = false)), 0L, "mig")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.addColumns(spark, dir,
+        Seq(StructField("K", StringType)), 0L, "mig")
+    }
+    intercept[CommitConflict] {
+      VersionedTable.addColumns(spark, dir,
+        Seq(StructField("w", LongType)), 5L, "mig")
+    }
+    assert(VersionedTable.addColumns(spark, dir,
+      Seq(StructField("w", DoubleType), StructField("tag", StringType)),
+      0L, "mig") == 1L)
+    // METADATA-ONLY: no new data dirs, no byte of v0 rewritten
+    assert(f.listFiles().map(_.getName).toSet == dataDirs0,
+      "addColumns must not stage data")
+    f.listFiles().foreach(d => d.listFiles().foreach(x =>
+      assert(mtimes0(x.getPath) == x.lastModified(),
+        s"addColumns touched ${x.getPath}")))
+    // time travel: v0 keeps its own schema; v1 null-fills
+    assert(VersionedTable.readVersion(spark, dir, 0L).columns.toSeq ==
+      Seq("k", "v"))
+    val v1 = VersionedTable.readVersion(spark, dir, 1L)
+    assert(v1.columns.toSeq == Seq("k", "v", "w", "tag"))
+    assert(v1.filter($"w".isNotNull || $"tag".isNotNull).count() == 0)
+    assert(v1.count() == 100)
+    // persisted declarations ride along
+    assert(VersionedTable.tableExpectations(spark, dir, 1L)
+      .contains("k_nonneg"))
+    assert(VersionedTable.clusterColsOf(spark, dir, 1L) == Seq("k"))
+    // the migration's own feed is EMPTY (nothing material changed) —
+    // the feed dir exists (the stream never stalls on a gap) with no rows
+    assert(new java.io.File(s"$dir/_changes/v1").exists())
+    assert(spark.read.schema(VersionedTable.schemaOf(spark, dir, 1L)
+        .add("op", StringType).add("version", LongType))
+      .parquet(s"$dir/_changes/v1").count() == 0)
+    assert(VersionedTable.feedResets(spark, dir).isEmpty,
+      "an add-column migration is NOT a feed reset")
+    // backfill via merge: stats/skipping machinery keeps working and
+    // the CDF across the whole migration is exactly the backfill
+    val fill = spark.range(100).filter($"id" % 5 === 0)
+      .select($"id".as("k"), ($"id" * 2).as("v"),
+        ($"id" * 1.5).as("w"), concat(lit("t"), $"id").as("tag"))
+    VersionedTable.merge(spark, dir, fill, Seq("k"), 1L, "backfill")
+    val cdf = VersionedTable.changesBetween(spark, dir, 0L, 2L, Seq("k"))
+    assert(cdf.filter($"op" =!= "update").count() == 0)
+    assert(cdf.count() == 20, "CDF across the migration = the backfill")
+    assert(cdf.filter($"w".isNull).count() == 0)
+    // and the feed-declared stream sees the backfill rows at v2
+    assert(spark.read.schema(VersionedTable.schemaOf(spark, dir, 2L)
+        .add("op", StringType).add("version", LongType))
+      .parquet(s"$dir/_changes/v2").count() == 20)
   }
 
   test("expectation that no longer resolves refuses as ExpectationViolation, staging cleaned") {
