@@ -2086,6 +2086,16 @@ object SparkEntry {
     "q217_pigmix_l16" -> pigmixQ("l16"),
     "q218_pigmix_l17" -> pigmixQ("l17"),
 
+    // --- PigMix VARIANTS (round-13 front-end hardening): corners the
+    //     L1–L17 shapes don't reach — a macro-wrapped replicated join
+    //     (hint survives expansion), a nested ORDER ... USING
+    //     comparator via a DEFINE alias, and FLATTEN of a COMPUTED
+    //     expression inside the nested block (typed by analyzing the
+    //     per-element HOF, never a materialized probe). ---
+    "q238_pigmix_l02macro" -> pigmixQ("l02macro"),
+    "q239_pigmix_l16cmp" -> pigmixQ("l16cmp"),
+    "q240_pigmix_l01flat" -> pigmixQ("l01flat"),
+
     // --- Data skipping over manifest stats (round 12): commits record
     //     per-file min/max from parquet footers (a distributed
     //     metadata job, never a data scan); a range read resolves its
@@ -6960,6 +6970,28 @@ object SparkEntry {
       """SELECT event_type, props, user_id,
                 CAST(count(*) AS BIGINT) AS n, max(value) AS max_value
          FROM events GROUP BY 1, 2, 3""",
+
+    // PigMix variants (front-end hardening): macro-wrapped replicated
+    // join; reverse comparator in a nested ORDER (2 smallest per
+    // supplier — only the price VALUES surface, so ties are safe);
+    // computed-FLATTEN + nested DISTINCT (distinct tokens per lang)
+    "q238_pigmix_l02macro" ->
+      """SELECT l_orderkey, l_linenumber, p_brand, l_quantity
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size < 5""",
+    "q239_pigmix_l16cmp" ->
+      """SELECT l_suppkey, price FROM (
+           SELECT l_suppkey, l_extendedprice AS price,
+                  row_number() OVER (PARTITION BY l_suppkey
+                                     ORDER BY l_extendedprice ASC) AS rn
+           FROM lineitem)
+         WHERE rn <= 2""",
+    "q240_pigmix_l01flat" ->
+      """SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tok
+         FROM (SELECT lang, unnest(list_filter(
+                 string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+               FROM documents)
+         GROUP BY lang""",
 
     // versioned-table lifecycle: the oracle replays merge1 (updates +
     // inserts) then merge2 (the %11 deletes) over the raw table; the

@@ -440,12 +440,23 @@ object Relational {
     def limitBag(bag: Column, n: Int): Column = slice(bag, 1, n)
 
     /** ORDER the bag by a struct field, ascending or descending. */
-    def sortBagBy(bag: Column, field: String, asc: Boolean = true): Column = {
-      val sgn = if (asc) 1 else -1
+    def sortBagBy(bag: Column, field: String, asc: Boolean = true): Column =
+      sortBagByKeys(bag, Seq(((e: Column) => e.getField(field), asc)))
+
+    /** Multi-key bag sort as a per-row HOF: each key is an extractor
+      * over the element plus a direction; later keys break ties of
+      * earlier ones (the comparator folds right). Still never a
+      * shuffle — the bag sorts inside its own row. */
+    def sortBagByKeys(bag: Column,
+        keys: Seq[(Column => Column, Boolean)]): Column = {
+      require(keys.nonEmpty, "sortBagByKeys: no keys")
       array_sort(bag, (l, r) =>
-        when(l.getField(field) < r.getField(field), lit(-sgn))
-          .when(l.getField(field) > r.getField(field), lit(sgn))
-          .otherwise(lit(0)))
+        keys.foldRight(lit(0)) { case ((k, asc), tiebreak) =>
+          val sgn = if (asc) 1 else -1
+          when(k(l) < k(r), lit(-sgn))
+            .when(k(l) > k(r), lit(sgn))
+            .otherwise(tiebreak)
+        })
     }
 
     /** SUM over a numeric field of a bag of structs (0.0 for empty). */

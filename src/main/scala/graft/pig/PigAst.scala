@@ -82,7 +82,11 @@ object PigAst {
     * inside a `FOREACH G { ... GENERATE ...; }` block). */
   sealed trait PNestedOp { def src: String }
   final case class NFilter(src: String, cond: PExpr) extends PNestedOp
-  final case class NOrder(src: String, field: String, asc: Boolean) extends PNestedOp
+  /** Nested ORDER: multi-key, with the same optional comparator
+    * surface as the top-level POrder (reverse / case-insensitive
+    * compile to key rewrites; anything else refuses loudly). */
+  final case class NOrder(src: String, keys: Seq[(String, Boolean)],
+      comparator: Option[(String, Seq[String])] = None) extends PNestedOp
   final case class NLimit(src: String, n: Int) extends PNestedOp
   final case class NDistinct(src: String) extends PNestedOp
   /** Inner FOREACH — bag-field projection before aggregation

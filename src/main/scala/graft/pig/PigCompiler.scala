@@ -193,10 +193,17 @@ object PigCompiler {
         case PLoad(p, l, s) => PLoad(p, resolveSpec(l), s)
         case PForeach(RInline(inner), items) =>
           PForeach(RInline(resolveFuncAliases(inner)), items)
-        case f: PForeachNested => f.in match {
-          case RInline(inner) => f.copy(in = RInline(resolveFuncAliases(inner)))
-          case _ => f
-        }
+        case f: PForeachNested =>
+          val withIn = f.in match {
+            case RInline(inner) => f.copy(in = RInline(resolveFuncAliases(inner)))
+            case _ => f
+          }
+          // nested ORDER ... USING <define-alias> resolves like any
+          // other funcSpec site
+          withIn.copy(stmts = withIn.stmts.map {
+            case (n, NOrder(s, ks, cmp)) => (n, NOrder(s, ks, resolveSpec(cmp)))
+            case other => other
+          })
         case n: PNative =>
           n.copy(storeFunc = resolveSpec(n.storeFunc),
             loadFunc = resolveSpec(n.loadFunc))
@@ -1058,8 +1065,40 @@ object PigCompiler {
       }
       val c = nop match {
         case NFilter(_, cond) => filter(srcCol, e => compileElem(elemType, e, cond))
-        case NOrder(_, f, asc) =>
-          Relational.nested.sortBagBy(srcCol, fieldIn(elemType, f), asc)
+        case NOrder(_, keys, cmp) =>
+          // the top-level comparator policy, applied to HOF sort keys:
+          // reverse flips every direction, case-insensitive folds
+          // string keys (raw key as tiebreak), anything else refuses
+          val resolved = keys.map { case (f, asc) =>
+            (fieldIn(elemType, f), asc) }
+          def isStr(f: String) = elemType(f).dataType == StringType
+          val hofKeys: Seq[(Column => Column, Boolean)] =
+            cmp.map(_._1) match {
+              case None =>
+                resolved.map { case (f, a) =>
+                  ((e: Column) => e.getField(f), a) }
+              case Some(cls) =>
+                val simple = cls.split('.').last.toLowerCase
+                if (simple.contains("reverse") ||
+                    simple.contains("descending") || simple == "desc")
+                  resolved.map { case (f, a) =>
+                    ((e: Column) => e.getField(f), !a) }
+                else if (simple.contains("caseinsensitive") ||
+                    simple.contains("ignorecase"))
+                  resolved.flatMap { case (f, a) =>
+                    val raw = (e: Column) => e.getField(f)
+                    if (isStr(f))
+                      Seq(((e: Column) => lower(e.getField(f)), a), (raw, a))
+                    else Seq((raw, a))
+                  }
+                else throw new IllegalArgumentException(
+                  s"nested ORDER ... USING '$cls': unsupported " +
+                    "comparator. Only reverse (*Reverse*/*Descending*) " +
+                    "and case-insensitive (*CaseInsensitive*/*IgnoreCase*) " +
+                    "comparators compile to sort keys; rewrite as BY " +
+                    "<field> ASC|DESC or drop the USING clause.")
+            }
+          Relational.nested.sortBagByKeys(srcCol, hofKeys)
         case NLimit(_, n) => slice(srcCol, 1, n)
         case NDistinct(_) => array_distinct(srcCol)
         // inner FOREACH over a materialized bag: per-element projection
@@ -1082,7 +1121,7 @@ object PigCompiler {
             "multiple FLATTENs in one nested FOREACH (a per-element " +
               "cross product) are not supported — chain two nested " +
               "FOREACH statements")
-          nestedFlattenForeach(elemType, srcCol, gen)
+          nestedFlattenForeach(df, elemType, srcCol, gen)
       }
       df = df.withColumn(name, c)
     }
@@ -1090,23 +1129,30 @@ object PigCompiler {
   }
 
   /** Nested `p = FOREACH L GENERATE [pre…,] FLATTEN(f) [, post…];`
-    * lowered to per-row HOFs. `f` must be a STATICALLY TYPED bag or
-    * tuple field of the bag element (project a computed value with a
-    * prior nested FOREACH first — same discipline Pig's nested plans
-    * impose on re-used sub-expressions):
+    * lowered to per-row HOFs. `f` is a bag or tuple field of the bag
+    * element, or any COMPUTED expression whose type Catalyst can
+    * derive against the frame (e.g. `FLATTEN(TOKENIZE(text))` — the
+    * probe HOF is analyzed, never executed):
     *   - bag of tuples  → each sub-element's fields expand, scalar
     *     items ride along per sub-element (transform² + flatten);
     *   - bag of scalars → one field per sub-element;
     *   - tuple          → fields expand in place, one element each. */
-  private def nestedFlattenForeach(st: StructType, srcCol: Column,
-      gen: Seq[GenItem]): Column = {
+  private def nestedFlattenForeach(df: DataFrame, st: StructType,
+      srcCol: Column, gen: Seq[GenItem]): Column = {
     val flatIdx = gen.indexWhere(_.flatten)
     val flat = gen(flatIdx)
-    val ftype = elemTypeOf(st, flat.expr).getOrElse(
+    val ftype = elemTypeOf(st, flat.expr).orElse {
+      // computed expression: type it by ANALYZING (not running) the
+      // per-element HOF against the real frame schema
+      scala.util.Try(dtypeOf(df,
+        transform(srcCol, e => compileElem(st, e, flat.expr)))).toOption
+        .collect { case ArrayType(t, _) => t }
+    }.getOrElse(
       throw new IllegalArgumentException(
-        "FLATTEN inside a nested FOREACH needs a statically typed " +
-          s"bag/tuple field argument (got: ${flat.expr}) — project the " +
-          "value with a prior nested FOREACH statement first"))
+        "FLATTEN inside a nested FOREACH needs a bag/tuple-valued " +
+          s"argument (got: ${flat.expr}, which does not analyze to one " +
+          "against the element schema) — project the value with a " +
+          "prior nested FOREACH statement first"))
     def named(c: Column, as: Option[(String, Option[String])], i: Int,
         e: PExpr): Column = {
       val (nm, tpe) = as.getOrElse((defaultName(e, i), None))

@@ -222,8 +222,11 @@ object PigParser extends RegexParsers {
   // over the bags, closed by a GENERATE (SURVEY §7.5.2)
   private def nestedOp: Parser[PNestedOp] =
     kw("filter") ~> ident ~ (kw("by") ~> expr) ^^ { case s ~ e => NFilter(s, e) } |
-    kw("order") ~> ident ~ (kw("by") ~> colRef) ~ opt(kw("asc") | kw("desc")) ^^ {
-      case s ~ f ~ d => NOrder(s, f, !d.contains("desc"))
+    kw("order") ~> ident ~ (kw("by") ~> rep1sep(
+        colRef ~ opt(kw("asc") | kw("desc")) ^^ {
+          case f ~ d => (f, !d.contains("desc"))
+        }, ",")) ~ opt(kw("using") ~> funcSpec) ^^ {
+      case s ~ ks ~ cmp => NOrder(s, ks, cmp)
     } |
     kw("limit") ~> ident ~ """\d+""".r ^^ { case s ~ n => NLimit(s, n.toInt) } |
     kw("distinct") ~> ident ^^ NDistinct.apply |

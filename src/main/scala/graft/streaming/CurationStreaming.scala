@@ -113,16 +113,24 @@ object CurationStreaming {
 
   /** The batch reference the stream must reproduce: per band key the
     * owner is min-(ts, id); a doc is a near-dup iff any of its bands
-    * is owned by another doc. */
+    * is owned by another doc.
+    *
+    * Shape: rank-within-band-key (rank 1 = owner) over ONE banding
+    * pass. The former owners-then-join formulation scanned `banded`
+    * twice — and the banding pass IS the cost (the 128-hash minhash
+    * kernel, ~2.4 s per pass on the sf0.1 corpus vs milliseconds for
+    * the join), so the self-join doubled the reference's price. The
+    * window sorts tiny groups (a band key holds the docs sharing one
+    * band signature) after the same single shuffle the join needed
+    * anyway. */
   def batchNearDupFlags(docs: DataFrame, numHashes: Int = 128,
       bands: Int = 16): DataFrame = {
-    val banded = bandRows(docs, numHashes, bands)
-    val owners = banded.groupBy(col("band"), col("sig"))
-      .agg(min(struct(col("ts_ms"), col("doc_id"))).as("o"))
-      .select(col("band"), col("sig"), col("o.doc_id").as("owner_id"))
-    banded.join(owners, Seq("band", "sig"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "sig").orderBy("ts_ms", "doc_id")
+    bandRows(docs, numHashes, bands)
+      .withColumn("rk", row_number().over(w))
       .groupBy(col("doc_id"))
-      .agg(max((col("owner_id") =!= col("doc_id")).cast("int")).as("d"))
+      .agg(max((col("rk") > 1).cast("int")).as("d"))
       .select(col("doc_id"), (col("d") === 1).as("is_dup"))
   }
 

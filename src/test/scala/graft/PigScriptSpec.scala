@@ -882,19 +882,160 @@ class PigScriptSpec extends SparkSpec {
             };""").collect()
     }
     assert(e1.getMessage.contains("multiple FLATTENs"), e1.getMessage)
+    // FLATTEN of a COMPUTED expression (the former refusal) now
+    // compiles: the per-element HOF is analyzed against the frame
+    // schema for its type (round 13) — two tokens per input element
+    val computed = graft.pig.PigScript.query(spark,
+      s"""L = LOAD '$tmp/in' USING parquet;
+          G = GROUP L BY k;
+          A = FOREACH G {
+            w = FOREACH L GENERATE FLATTEN(TOKENIZE('a b')) AS word;
+            GENERATE group AS k, COUNT_STAR(w) AS n;
+          };""")
+    val expC = spark.read.parquet(s"$tmp/in")
+      .groupBy("k").agg((count(lit(1)) * 2).as("n"))
+    assert(computed.exceptAll(expC).isEmpty && expC.exceptAll(computed).isEmpty)
+    // ...and an expression that does NOT analyze to a bag still
+    // refuses with a positioned, actionable error
     val e2 = intercept[IllegalArgumentException] {
       graft.pig.PigScript.query(spark,
         s"""L = LOAD '$tmp/in' USING parquet;
             G = GROUP L BY k;
             A = FOREACH G {
-              w = FOREACH L GENERATE FLATTEN(TOKENIZE('a b')) AS word;
+              w = FOREACH L GENERATE FLATTEN(k + 1) AS word;
               GENERATE group, COUNT_STAR(w) AS n;
             };""").collect()
     }
-    assert(e2.getMessage.contains("statically typed"), e2.getMessage)
+    assert(e2.getMessage.contains("bag or tuple field") &&
+      e2.getMessage.contains("line 3"), e2.getMessage)
   }
 
   // ---------------- multi-STORE shared scan (MultiQueryOptimizer) ----------------
+
+  // ---------------- round-13 hardening sweep (PigMix variants) ----------------
+
+  test("nested ORDER: multi-key, USING comparator, DEFINE alias, loud refusal") {
+    import spark.implicits._
+    // multi-key with mixed directions: qty DESC then price ASC tiebreak
+    val multi = PigScript.query(spark,
+      """L = LOAD '$DIR/lineitem.parquet' USING parquet;
+         G = GROUP L BY l_suppkey;
+         A = FOREACH G {
+           s = ORDER L BY l_quantity DESC, l_extendedprice ASC;
+           t = LIMIT s 1;
+           GENERATE group AS sk, FLATTEN(t.l_extendedprice) AS price;
+         };""", Map("DIR" -> sf))
+    val want = tables.lineitem
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("l_suppkey")
+          .orderBy(col("l_quantity").desc, col("l_extendedprice").asc)))
+      .filter(col("rn") === 1)
+      .select(col("l_suppkey").as("sk"), col("l_extendedprice").as("price"))
+    assert(multi.orderBy("sk").collect().toSeq ==
+      want.orderBy("sk").collect().toSeq)
+    // reverse comparator via a DEFINE alias: reverse-of-DESC = the 2
+    // smallest prices per supplier
+    val rev = PigScript.query(spark,
+      """DEFINE rev org.example.ReverseComparator();
+         L = LOAD '$DIR/lineitem.parquet' USING parquet;
+         G = GROUP L BY l_suppkey;
+         A = FOREACH G {
+           s = ORDER L BY l_extendedprice DESC USING rev;
+           t = LIMIT s 2;
+           GENERATE group AS sk, FLATTEN(t.l_extendedprice) AS price;
+         };""", Map("DIR" -> sf))
+    val wantRev = tables.lineitem
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("l_suppkey")
+          .orderBy(col("l_extendedprice").asc)))
+      .filter(col("rn") <= 2)
+      .groupBy(col("l_suppkey")).agg(sum("l_extendedprice"))
+      .as[(Long, Double)].collect().toMap
+    val gotRev = rev.groupBy(col("sk")).agg(sum("price"))
+      .as[(Long, Double)].collect().toMap
+    assert(gotRev.keySet == wantRev.keySet &&
+      gotRev.forall { case (k, v) => math.abs(v - wantRev(k)) < 1e-6 })
+    // an arbitrary comparator refuses with the same diagnostic as the
+    // top level — never a silent reorder
+    val e = intercept[IllegalArgumentException] {
+      PigScript.query(spark,
+        """L = LOAD '$DIR/lineitem.parquet' USING parquet;
+           G = GROUP L BY l_suppkey;
+           A = FOREACH G {
+             s = ORDER L BY l_extendedprice USING org.example.MyComparator;
+             GENERATE group, COUNT_STAR(s);
+           };""", Map("DIR" -> sf))
+    }
+    assert(e.getMessage.contains("unsupported comparator"))
+  }
+
+  test("nested FLATTEN of a computed expression, then DISTINCT") {
+    import spark.implicits._
+    val df = PigScript.query(spark,
+      """D = LOAD '$DIR/documents.parquet' USING parquet;
+         G = GROUP D BY lang;
+         A = FOREACH G {
+           toks = FOREACH D GENERATE FLATTEN(TOKENIZE(text)) AS tok;
+           d = DISTINCT toks;
+           GENERATE group AS lang, COUNT_STAR(d) AS n;
+         };""", Map("DIR" -> sf))
+    val want = tables.documents
+      .select(col("lang"), explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("lang").agg(countDistinct("tok").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(df.as[(String, Long)].collect().toMap == want)
+  }
+
+  test("macro-wrapped replicated join keeps the broadcast hint through expansion") {
+    val df = PigScript.query(spark,
+      """DEFINE smalljoin(big, small) RETURNS J {
+           $J = JOIN $big BY l_partkey, $small BY p_partkey USING 'replicated';
+         };
+         L = LOAD '$DIR/lineitem.parquet' USING parquet;
+         P = LOAD '$DIR/part.parquet' USING parquet;
+         S = FILTER P BY p_size < 5;
+         J = smalljoin(L, S);
+         A = FOREACH J GENERATE l_orderkey, p_brand;""",
+      Map("DIR" -> sf))
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"), s"expected BHJ in:\n$phys")
+    assert(df.count() == tables.lineitem.join(
+      tables.part.filter(col("p_size") < 5),
+      col("l_partkey") === col("p_partkey")).count())
+  }
+
+  test("self-join of one alias qualifies both sides; keywords are case-insensitive") {
+    // Pig proper refuses a self-join of one alias (load twice); we
+    // support it as a strict superset with alias::col qualification
+    val selfJ = PigScript.query(spark,
+      """O = LOAD '$DIR/orders.parquet' USING parquet;
+         J = JOIN O BY o_custkey, O BY o_custkey;""", Map("DIR" -> sf))
+    val perCust = tables.orders.groupBy("o_custkey").count()
+      .select(sum(col("count") * col("count")))
+      .collect()(0).getLong(0)
+    assert(selfJ.count() == perCust, "self-join = sum of squared group sizes")
+    assert(selfJ.columns.count(_ == "O::o_custkey") == 2)
+    // lowercase keywords parse (Pig keywords are case-insensitive)
+    val lc = PigScript.query(spark,
+      """o = load '$DIR/orders.parquet' using parquet;
+         f = filter o by o_totalprice > 100.0;
+         a = foreach f generate o_orderkey;""", Map("DIR" -> sf))
+    assert(lc.count() ==
+      tables.orders.filter(col("o_totalprice") > 100.0).count())
+  }
+
+  test("macro calling a macro expands transitively with hygiene intact") {
+    import spark.implicits._
+    val df = PigScript.query(spark,
+      """DEFINE pick(R, n) RETURNS T { s = ORDER $R BY o_totalprice DESC; $T = LIMIT s $n; };
+         DEFINE topkeys(R) RETURNS K { t = pick($R, 3); $K = FOREACH t GENERATE o_orderkey; };
+         O = LOAD '$DIR/orders.parquet' USING parquet;
+         A = topkeys(O);""", Map("DIR" -> sf))
+    val want = tables.orders.orderBy(col("o_totalprice").desc).limit(3)
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(df.as[Long].collect().toSet == want)
+  }
 
   test("shared-scan policy picks the deepest shared alias per sink pair") {
     import graft.pig.PigAst._
