@@ -132,7 +132,11 @@ object Bench {
     "q180_stream_scd2", "q189_stream_dq",
     // round 11: streaming ANN-index ingest (frozen persisted model,
     // exactly-once codes_delta, serve-over-deltas equality probe)
-    "q197_ann_stream_ingest")
+    "q197_ann_stream_ingest",
+    // round 13: versioned table as a streaming source — bootstrap +
+    // merge feed through one run, then a DV delete through a RESTART
+    // of the same checkpoint (replays nothing, require()'d in-entry)
+    "q235_table_change_stream")
 
   /** The CORRECTNESS entries for approximate ops are recall HARNESSES
     * (operator + exact ground truth + compare in one job); benching the

@@ -643,6 +643,48 @@ object Soak {
         graft.operators.AggView.state(VersionedTable.read(spark, vt),
           Seq("lang"), Seq("len" -> col("len"))).count()
       }
+      // round 13: the pruning DECISION at the 10^7-file shape — a
+      // synthetic manifest of 250k file lines (stats only; pruning
+      // never opens data files), driver loop vs distributed job on
+      // the SAME manifest: parity required, both times printed as the
+      // crossover receipt. The default crossover is 200k.
+      time("lakehouse_prune_250kfiles") {
+        val nFiles = 250000
+        val pr = s"$root/prunesoak"
+        val sch = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))
+        val b64 = java.util.Base64.getEncoder
+          .encodeToString(sch.json.getBytes("UTF-8"))
+        val sb = new StringBuilder(
+          s"version=0\nparent=-1\nwriter=soak\nschema=$b64\n")
+        var i = 0
+        while (i < nFiles) {
+          val rel = s"data/v0-soak/part-$i.parquet"
+          sb ++= s"file=$rel\n"
+          sb ++= s"stats=$rel\tk\t${i * 100L}\t${i * 100L + 99L}\n"
+          i += 1
+        }
+        val lp = new java.io.File(s"$pr/_log")
+        lp.mkdirs()
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$pr/_log/0.manifest"), sb.toString)
+        val bounds = Seq(VersionedTable.ColBound("k",
+          Some(nFiles * 50L), Some(nFiles * 50L + 99999L)))
+        spark.conf.set("graft.prune.driverFiles", (nFiles + 1).toString)
+        val t0 = System.nanoTime()
+        val (keptD, _) = VersionedTable.prunedFiles(spark, pr, 0L, bounds)
+        val driverSec = (System.nanoTime() - t0) / 1e9
+        spark.conf.unset("graft.prune.driverFiles") // 250k > 200k → job
+        val t1 = System.nanoTime()
+        val (keptJ, tot) = VersionedTable.prunedFiles(spark, pr, 0L, bounds)
+        val jobSec = (System.nanoTime() - t1) / 1e9
+        require(keptD == keptJ, "driver/job pruning parity broken")
+        println(f"[soak]   prune crossover receipt: $nFiles%d manifest " +
+          f"lines, kept ${keptJ.length}/$tot, driver $driverSec%.2fs vs " +
+          f"job $jobSec%.2fs")
+        nFiles.toLong
+      }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     }
 

@@ -568,7 +568,7 @@ object VersionedTable {
             b.upper.map(boundValue(d, b.col, _))))
       }
     val kept =
-      if (live.length <= DriverPruneFiles)
+      if (live.length <= driverPruneFiles(spark))
         live.filter(rel =>
           envelopeMatches(encoded, m.stats.getOrElse(rel, Map.empty)))
       else {
@@ -590,8 +590,12 @@ object VersionedTable {
 
   /** Threshold above which [[prunedFiles]] distributes its filter —
     * below it, a driver loop over the decoded manifest is faster than
-    * a job launch. */
-  private val DriverPruneFiles = 200000
+    * a job launch. Tunable per session
+    * (`graft.prune.driverFiles`) so parity of the two branches is
+    * testable without synthesizing 200k manifest lines. */
+  private def driverPruneFiles(spark: SparkSession): Int =
+    spark.conf.getOption("graft.prune.driverFiles")
+      .flatMap(_.toIntOption).getOrElse(200000)
 
   private def envelopeMatches(
       encoded: Seq[(String, Char, Option[Any], Option[Any])],

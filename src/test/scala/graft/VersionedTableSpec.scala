@@ -371,6 +371,30 @@ class VersionedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { VersionedTable.ColBound("k") }
   }
 
+  test("prunedFiles: distributed branch is order- and content-identical to the driver loop") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-prunedist").toString + "/t"
+    VersionedTable.commit(spark, dir,
+      spark.range(4000).select($"id".as("k"), lit("x").as("v")),
+      -1L, "w", clusterBy = Seq("k"), clusterFiles = 16)
+    val bounds = Seq(VersionedTable.ColBound("k", Some(500L), Some(1700L)))
+    val (driverKept, totD) = VersionedTable.prunedFiles(spark, dir, 0L, bounds)
+    assert(driverKept.length < totD, "the bound must prune something")
+    // force the distributed branch (the 10^7-file shape) on the SAME
+    // manifest by dropping the crossover below the live-file count
+    spark.conf.set("graft.prune.driverFiles", "1")
+    try {
+      val (distKept, totJ) = VersionedTable.prunedFiles(spark, dir, 0L, bounds)
+      assert(totJ == totD)
+      assert(distKept == driverKept,
+        s"distributed pruning must match the driver loop exactly:\n" +
+          s"driver=$driverKept\njob=$distKept")
+      // the read through the distributed decision is row-identical
+      val viaJob = VersionedTable.readWhere(spark, dir, bounds)
+        .filter($"k".between(500, 1700))
+      assert(viaJob.count() == 1201)
+    } finally spark.conf.unset("graft.prune.driverFiles")
+  }
+
   test("cursor CDC: poll/ack discipline, crash replay, racing acks, expire shield") {
     val dir = java.nio.file.Files.createTempDirectory("vt-cursor").toString + "/t"
     val base = spark.range(100).select($"id".as("k"), ($"id" * 2).as("v"))
