@@ -2620,6 +2620,36 @@ object SparkEntry {
       VersionedTable.changesBetween(s, vt, 0L, 2L, Seq("k"))
     }),
 
+    // --- TIMESTAMP AS OF time travel (round 13): version resolution
+    //     through manifest commit instants (mtime, running-max
+    //     canonicalized). Commit instants are pinned in-entry so the
+    //     resolution is deterministic: as-of between the commits reads
+    //     v0 exactly; as-of after reads v1; pre-birth refuses
+    //     (require()'d). The oracle replays v0's content. ---
+    "q241_timestamp_as_of" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val vt = java.nio.file.Files.createTempDirectory("graft_asof_q241_")
+        .toString + "/t"
+      val cust = t(s, dir).customer.select(col("c_custkey").as("k"),
+        col("c_acctbal").as("bal"))
+      require(VersionedTable.commit(s, vt, cust, -1L, "loader") == 0L)
+      require(VersionedTable.commit(s, vt,
+        cust.withColumn("bal", col("bal") + 100), 0L, "writer") == 1L)
+      val base = 1700000000000L
+      new java.io.File(s"$vt/_log/0.manifest").setLastModified(base)
+      new java.io.File(s"$vt/_log/1.manifest").setLastModified(base + 60000)
+      require(VersionedTable.versionAsOf(s, vt,
+        new java.sql.Timestamp(base + 30000)) == 0L)
+      require(VersionedTable.versionAsOf(s, vt,
+        new java.sql.Timestamp(base + 60000)) == 1L)
+      val refused =
+        try { VersionedTable.readAsOf(s, vt,
+          new java.sql.Timestamp(base - 1)); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "q241: pre-birth as-of must refuse")
+      VersionedTable.readAsOf(s, vt, new java.sql.Timestamp(base + 30000))
+    }),
+
     // --- CDF across an ADD-COLUMN migration: the sanctioned schema
     //     evolution path (allowSchemaChange) no longer dead-ends the
     //     change feed — when every old column survives with its exact
@@ -6761,6 +6791,10 @@ object SparkEntry {
 
     // CDF across an add-column migration: same keys both sides, the
     // added price column goes NULL -> value on every row -> all updates
+    // TIMESTAMP AS OF between the two commits reads exactly v0
+    "q241_timestamp_as_of" ->
+      """SELECT c_custkey AS k, c_acctbal AS bal FROM customer""",
+
     // metadata-only ADD COLUMN then backfill merge: the CDF across the
     // migration is exactly the backfilled third (NULL→value updates)
     "q226_add_column_evolution" ->

@@ -342,6 +342,40 @@ object VersionedTable {
     readVersion(spark, dir, v)
   }
 
+  /** TIMESTAMP AS OF: the latest version committed at or before `ts`.
+    * The commit instant is the manifest file's mtime — the CAS makes
+    * the manifest appear atomically, so its mtime IS the moment the
+    * version became readable. Non-monotone mtimes (a storage clock
+    * hiccup between writers) are canonicalized with a running max in
+    * version order, the Delta discipline: the version→time mapping a
+    * reader resolves through is always monotone, so "as of T" has
+    * exactly one answer. Refuses when the table's first commit is
+    * after `ts`. */
+  def versionAsOf(spark: SparkSession, dir: String,
+      ts: java.sql.Timestamp): Long = {
+    val f = fs(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed versions under $dir")
+    var run = Long.MinValue
+    val stamped = vs.map { v =>
+      run = math.max(run,
+        f.getFileStatus(manifestPath(dir, v)).getModificationTime)
+      (v, run)
+    }
+    val eligible = stamped.filter(_._2 <= ts.getTime)
+    require(eligible.nonEmpty,
+      s"readAsOf $dir: the earliest retained commit " +
+        s"(${new java.sql.Timestamp(stamped.head._2)}) is after $ts — " +
+        "nothing existed to read (or retention expired the versions " +
+        "that did)")
+    eligible.last._1
+  }
+
+  /** [[readVersion]] resolved through [[versionAsOf]]. */
+  def readAsOf(spark: SparkSession, dir: String,
+      ts: java.sql.Timestamp): DataFrame =
+    readVersion(spark, dir, versionAsOf(spark, dir, ts))
+
   // ──────────────── data skipping over manifest stats (round 12) ────────────────
   //
   // Commits record per-file column min/max (parquet footer statistics,

@@ -371,6 +371,36 @@ class VersionedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { VersionedTable.ColBound("k") }
   }
 
+  test("readAsOf: timestamp time travel, monotone under clock hiccups, refuses pre-birth") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-asof").toString + "/t"
+    VersionedTable.commit(spark, dir, df("a", 3), -1L, "w")
+    VersionedTable.commit(spark, dir, df("b", 5), 0L, "w")
+    VersionedTable.commit(spark, dir, df("c", 7), 1L, "w")
+    // pin distinct commit instants deterministically (no sleeps): the
+    // manifest mtime IS the commit time the reader resolves through
+    def mpath(v: Long) = new java.io.File(s"$dir/_log/$v.manifest")
+    val base = 1700000000000L
+    Seq(0L, 1L, 2L).foreach(v => mpath(v).setLastModified(base + v * 60000))
+    def at(ms: Long) =
+      VersionedTable.versionAsOf(spark, dir, new java.sql.Timestamp(ms))
+    assert(at(base) == 0L)
+    assert(at(base + 59999) == 0L)
+    assert(at(base + 60000) == 1L)
+    assert(at(base + 10 * 60000) == 2L)
+    assert(VersionedTable.readAsOf(spark, dir,
+      new java.sql.Timestamp(base + 60000)).count() == 5)
+    // before the first commit: loud refusal, not an empty read
+    val e = intercept[IllegalArgumentException] { at(base - 1) }
+    assert(e.getMessage.contains("after"), e.getMessage)
+    // clock hiccup: v1's mtime lands AFTER v2's — the running-max
+    // canonicalization keeps the mapping monotone (asking for v2's
+    // instant must never resolve to the OLDER v1)
+    mpath(1L).setLastModified(base + 3 * 60000)
+    assert(at(base + 2 * 60000) == 0L,
+      "a hiccup must delay visibility, never reorder versions")
+    assert(at(base + 3 * 60000) == 2L)
+  }
+
   test("prunedFiles: distributed branch is order- and content-identical to the driver loop") {
     val dir = java.nio.file.Files.createTempDirectory("vt-prunedist").toString + "/t"
     VersionedTable.commit(spark, dir,
