@@ -2620,6 +2620,38 @@ object SparkEntry {
       VersionedTable.changesBetween(s, vt, 0L, 2L, Seq("k"))
     }),
 
+    // --- Versioned tables THROUGH the Pig front-end (round 13):
+    //     `STORE … USING VersionedStorage('k')` commits atomically
+    //     (clustered, CAS, schema-guarded) and
+    //     `LOAD … USING VersionedStorage('0')` time-travels — the
+    //     lakehouse substrate reachable from a migrated script with
+    //     zero API code. v1 overwrites with scaled prices; the entry
+    //     reads VERSION AS OF 0 back through the script path. ---
+    "q242_pig_versioned_store" -> ((s, dir) => {
+      val vt = java.nio.file.Files.createTempDirectory("graft_pigvs_q242_")
+        .toString + "/t"
+      graft.pig.PigScript.run(s,
+        s"""O = LOAD '$dir/orders.parquet' USING parquet;
+            A = FOREACH O GENERATE o_orderkey AS k, o_orderpriority AS pr,
+                                   o_totalprice AS price;
+            STORE A INTO '$vt' USING VersionedStorage('k');""",
+        executeStores = true)
+      graft.pig.PigScript.run(s,
+        s"""O = LOAD '$dir/orders.parquet' USING parquet;
+            A = FOREACH O GENERATE o_orderkey AS k, o_orderpriority AS pr,
+                                   (o_totalprice * 1.1) AS price;
+            STORE A INTO '$vt' USING VersionedStorage;""",
+        executeStores = true)
+      import graft.operators.VersionedTable
+      require(VersionedTable.latestVersion(s, vt) == 1L,
+        "q242: two script STOREs must stack two versions")
+      require(VersionedTable.clusterColsOf(s, vt, 0L) == Seq("k"),
+        "q242: the script's clustering argument must persist")
+      graft.pig.PigScript.query(s,
+        s"""T = LOAD '$vt' USING VersionedStorage('0');
+            A = FOREACH T GENERATE k, pr, price;""")
+    }),
+
     // --- TIMESTAMP AS OF time travel (round 13): version resolution
     //     through manifest commit instants (mtime, running-max
     //     canonicalized). Commit instants are pinned in-entry so the
@@ -6791,6 +6823,11 @@ object SparkEntry {
 
     // CDF across an add-column migration: same keys both sides, the
     // added price column goes NULL -> value on every row -> all updates
+    // script-path VersionedStorage: VERSION AS OF 0 = the first STORE
+    "q242_pig_versioned_store" ->
+      """SELECT o_orderkey AS k, o_orderpriority AS pr,
+                o_totalprice AS price FROM orders""",
+
     // TIMESTAMP AS OF between the two commits reads exactly v0
     "q241_timestamp_as_of" ->
       """SELECT c_custkey AS k, c_acctbal AS bal FROM customer""",

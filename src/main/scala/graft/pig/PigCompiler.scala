@@ -271,6 +271,26 @@ object PigCompiler {
             nFiles = spark.sessionState.conf.numShufflePartitions)
         }
 
+      case PStore(alias, path, using0)
+          if resolveSpec(using0).exists(u => isVersionedStorage(u._1)) =>
+        // STORE … USING VersionedStorage[('k1,k2')]: the sink is a
+        // versioned table — an ATOMIC CAS commit as the child of the
+        // latest version (v0 creates the table), with the optional
+        // argument declaring clustering columns. Schema drift refuses
+        // exactly like the API commit (migrations are an explicit API
+        // act, not a side effect of a script re-run).
+        val clusterBy = resolveSpec(using0).get._2.headOption
+          .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+          .getOrElse(Seq.empty)
+        stores += StoreTarget(alias, path, "graft-versioned",
+          if (clusterBy.isEmpty) Map.empty
+          else Map("clusterBy" -> clusterBy.mkString(",")))
+        if (executeStores) {
+          val cur = graft.operators.VersionedTable.latestVersion(spark, path)
+          graft.operators.VersionedTable.commit(spark, path,
+            BigNum.unwrapAll(lookup(env, alias).df), cur, "pig",
+            clusterBy = clusterBy)
+        }
       case PStore(alias, path, using0) =>
         val (fmt, opts) = storageFormat(resolveSpec(using0))
         stores += StoreTarget(alias, path, fmt, opts)
@@ -682,6 +702,11 @@ object PigCompiler {
 
   // ---------------- LOAD / STORE formats ----------------
 
+  private def isVersionedStorage(name: String): Boolean = {
+    val s = name.split('.').last.toLowerCase
+    s == "versionedstorage" || s == "versionedtable"
+  }
+
   private def storageFormat(spec: Option[(String, Seq[String])]): (String, Map[String, String]) =
     spec match {
       case None => ("parquet", Map.empty) // engine-native interchange
@@ -753,6 +778,22 @@ object PigCompiler {
         // the route that carries bucketing metadata, which path-based
         // parquet reads cannot (GROUP USING 'collected' needs it)
         spark.table(path)
+      case ("versionedstorage" | "versionedtable", args) =>
+        // LOAD 'dir' USING VersionedStorage;          → latest version
+        // LOAD 'dir' USING VersionedStorage('7');     → VERSION AS OF 7
+        // LOAD 'dir' USING VersionedStorage('2026-01-01 00:00:00');
+        //                                             → TIMESTAMP AS OF
+        args.headOption match {
+          case None =>
+            graft.operators.VersionedTable.read(spark, path)
+          case Some(a) => a.toLongOption match {
+            case Some(v) =>
+              graft.operators.VersionedTable.readVersion(spark, path, v)
+            case None =>
+              graft.operators.VersionedTable.readAsOf(spark, path,
+                java.sql.Timestamp.valueOf(a))
+          }
+        }
       case ("hbasestorage", args) =>
         // HBaseStorage('cf:a cf:b'[, '-loadKey true']) → the sorted-KV
         // connector; qualifiers map to value columns, the rowkey is

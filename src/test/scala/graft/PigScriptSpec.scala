@@ -1037,6 +1037,60 @@ class PigScriptSpec extends SparkSpec {
     assert(df.as[Long].collect().toSet == want)
   }
 
+  test("VersionedStorage: STORE commits atomically, LOAD time-travels by version and timestamp") {
+    import graft.operators.VersionedTable
+    val tmp = java.nio.file.Files.createTempDirectory("pig_vstore").toString
+    val vt = s"$tmp/t"
+    // STORE → an atomic versioned commit (v0 creates the table), the
+    // optional argument declaring the clustering
+    graft.pig.PigScript.run(spark,
+      s"""O = LOAD '$sf/orders.parquet' USING parquet;
+          A = FOREACH O GENERATE o_orderkey AS k, o_totalprice AS price;
+          STORE A INTO '$vt' USING VersionedStorage('k');""",
+      executeStores = true)
+    assert(VersionedTable.latestVersion(spark, vt) == 0L)
+    assert(VersionedTable.clusterColsOf(spark, vt, 0L) == Seq("k"))
+    val n = tables.orders.count()
+    assert(VersionedTable.read(spark, vt).count() == n)
+    // a second STORE versions up (same schema — commits as v1)
+    graft.pig.PigScript.run(spark,
+      s"""O = LOAD '$sf/orders.parquet' USING parquet;
+          A = FOREACH O GENERATE o_orderkey AS k, o_totalprice + 1.0 AS price;
+          STORE A INTO '$vt' USING VersionedStorage;""",
+      executeStores = true)
+    assert(VersionedTable.latestVersion(spark, vt) == 1L)
+    // LOAD latest / VERSION AS OF / TIMESTAMP AS OF through the script
+    val latest = graft.pig.PigScript.query(spark,
+      s"""T = LOAD '$vt' USING VersionedStorage;
+          A = FOREACH T GENERATE k, price;""")
+    val v0 = graft.pig.PigScript.query(spark,
+      s"""T = LOAD '$vt' USING VersionedStorage('0');
+          A = FOREACH T GENERATE k, price;""")
+    assert(latest.agg(sum(col("price"))).head.getDouble(0) >
+      v0.agg(sum(col("price"))).head.getDouble(0) + n - 1)
+    val base = 1700000000000L
+    new java.io.File(s"$vt/_log/0.manifest").setLastModified(base)
+    new java.io.File(s"$vt/_log/1.manifest").setLastModified(base + 60000)
+    // render the instant in the JVM's own zone so Timestamp.valueOf
+    // inverts it exactly regardless of the container's TZ
+    val tsStr = new java.sql.Timestamp(base + 30000).toString
+    val asOf = graft.pig.PigScript.query(spark,
+      s"""T = LOAD '$vt' USING VersionedStorage('$tsStr');
+          A = FOREACH T GENERATE k, price;""")
+    assert(asOf.exceptAll(v0).isEmpty && v0.exceptAll(asOf).isEmpty,
+      "timestamp between the commits must read exactly v0")
+    // schema drift through the script path refuses like the API commit
+    val e = intercept[IllegalArgumentException] {
+      graft.pig.PigScript.run(spark,
+        s"""O = LOAD '$sf/orders.parquet' USING parquet;
+            A = FOREACH O GENERATE o_orderkey AS k;
+            STORE A INTO '$vt' USING VersionedStorage;""",
+        executeStores = true)
+    }
+    assert(e.getMessage.contains("allowSchemaChange"), e.getMessage)
+    assert(VersionedTable.latestVersion(spark, vt) == 1L, "table untouched")
+  }
+
   test("shared-scan policy picks the deepest shared alias per sink pair") {
     import graft.pig.PigAst._
     def parse(s: String) = PigParser.parseScript(s)
