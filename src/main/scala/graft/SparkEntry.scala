@@ -2652,6 +2652,40 @@ object SparkEntry {
             A = FOREACH T GENERATE k, pr, price;""")
     }),
 
+    // --- RESTORE (round 13): roll the table back to a prior version
+    //     as a NEW metadata-only commit — files re-pointed, nothing
+    //     rewritten (mtime-pinned), bad history stays time-travelable,
+    //     and the restore's own change feed UNDOES the rolled-back
+    //     churn (require()'d). The oracle replays the restored state:
+    //     the original orders projection. ---
+    "q243_restore" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val vt = java.nio.file.Files.createTempDirectory("graft_rst_q243_")
+        .toString + "/t"
+      val base = t(s, dir).orders.select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("pr"), col("o_totalprice").as("price"))
+      require(VersionedTable.commit(s, vt, base, -1L, "loader",
+        clusterBy = Seq("k"), clusterFiles = 8) == 0L)
+      // a bad batch lands: priorities clobbered for a seventh of keys
+      val bad = base.filter(col("k") % 7 === 0)
+        .select(col("k"), lit("0-BROKEN").as("pr"), col("price"))
+      VersionedTable.merge(s, vt, bad, Seq("k"), 0L, "oops")
+      val mt = new java.io.File(s"$vt/data").listFiles().flatMap(d =>
+        d.listFiles().map(x => x.getPath -> x.lastModified())).toMap
+      require(VersionedTable.restore(s, vt, 0L, 1L, "op") == 2L)
+      require(new java.io.File(s"$vt/data").listFiles().flatMap(_.listFiles())
+          .forall(x => mt.get(x.getPath).contains(x.lastModified())),
+        "q243: restore must not touch data files")
+      val undo = VersionedTable.changesBetween(s, vt, 1L, 2L, Seq("k"))
+      require(undo.filter(col("op") =!= "update").count() == 0 &&
+          undo.count() == base.filter(col("k") % 7 === 0).count(),
+        "q243: the restore feed must be exactly the reverted updates")
+      require(VersionedTable.readVersion(s, vt, 1L)
+          .filter(col("pr") === "0-BROKEN").count() > 0,
+        "q243: the bad version stays time-travelable")
+      VersionedTable.read(s, vt)
+    }),
+
     // --- TIMESTAMP AS OF time travel (round 13): version resolution
     //     through manifest commit instants (mtime, running-max
     //     canonicalized). Commit instants are pinned in-entry so the
@@ -6823,6 +6857,11 @@ object SparkEntry {
 
     // CDF across an add-column migration: same keys both sides, the
     // added price column goes NULL -> value on every row -> all updates
+    // RESTORE rolls the bad merge back: the table reads as v0 again
+    "q243_restore" ->
+      """SELECT o_orderkey AS k, o_orderpriority AS pr,
+                o_totalprice AS price FROM orders""",
+
     // script-path VersionedStorage: VERSION AS OF 0 = the first STORE
     "q242_pig_versioned_store" ->
       """SELECT o_orderkey AS k, o_orderpriority AS pr,

@@ -1227,6 +1227,57 @@ object VersionedTable {
     newV
   }
 
+  /** RESTORE: roll the table back to `toVersion`'s content as a NEW
+    * commit (the Delta RESTORE shape) — metadata-only: the new
+    * manifest re-points at the restored version's files, stats, and
+    * deletion-vector masks verbatim; no data file is written or read.
+    * History is preserved (the bad versions stay time-travelable until
+    * retention), and the change feed stays consistent: the restore
+    * version's feed is the churn diff that UNDOES the rolled-back
+    * writes, so downstream consumers/views converge without
+    * re-bootstrapping.
+    *
+    * `toVersion` must still be retained ([[expire]]d versions cannot
+    * be restored — their unshared files are gone). Declarations
+    * (expectations, clustering, feed) are inherited from the CURRENT
+    * version — restore rolls back DATA, not table policy; use
+    * `expectations` overrides to drop a constraint the restored rows
+    * predate. A restore across a schema migration needs
+    * `allowSchemaChange = true`, the same explicitness as any other
+    * schema-changing commit. */
+  def restore(spark: SparkSession, dir: String, toVersion: Long,
+      expectedVersion: Long, writerId: String,
+      allowSchemaChange: Boolean = false,
+      expectations: Map[String, String] = Map.empty): Long = {
+    requireWriterId(writerId)
+    require(expectedVersion >= 0,
+      "restore needs an existing latest version")
+    val newV = expectedVersion + 1
+    requireNotStale(spark, dir, expectedVersion)
+    require(versions(spark, dir).contains(toVersion),
+      s"restore to $dir: version $toVersion is not retained — expired " +
+        "versions cannot be restored (their unshared files were removed)")
+    if (toVersion == expectedVersion) return expectedVersion // no-op
+    val tgtSchema = schemaOf(spark, dir, toVersion)
+    guardSchema(spark, dir, expectedVersion, tgtSchema, allowSchemaChange)
+    val tgt = readManifest(spark, dir, toVersion)
+    val live = liveFiles(spark, dir, toVersion)
+    val curLive = liveFiles(spark, dir, expectedVersion)
+    val liveSet = live.toSet
+    val body = manifestBody(newV, expectedVersion, writerId, tgtSchema,
+      stagingDir = None, files = live,
+      removed = curLive.filterNot(liveSet),
+      stats = tgt.stats.filter { case (rel, _) => liveSet(rel) },
+      dv = tgt.dv.filter { case (rel, _) => liveSet(rel) },
+      meta = expectMeta(spark, dir, expectedVersion, Map.empty, expectations))
+    if (!casManifest(spark, dir, newV, writerId, body))
+      throw new CommitConflict(
+        s"restore on $dir: lost the race for version $newV — " +
+          "re-read, reconcile, retry")
+    if (feedKeysOf(spark, dir, newV).nonEmpty) ensureFeed(spark, dir, writerId)
+    newV
+  }
+
   /** MERGE as a file-granular commit (the Delta MERGE shape): find
     * the parent files that contain any row matching `changes`' keys,
     * rewrite ONLY those files merged with the changes

@@ -371,6 +371,64 @@ class VersionedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { VersionedTable.ColBound("k") }
   }
 
+  test("restore: metadata-only rollback; history preserved; feed undoes the churn") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-restore").toString + "/t"
+    VersionedTable.commit(spark, dir,
+      spark.range(100).select($"id".as("k"), ($"id" * 2).as("v")),
+      -1L, "loader", clusterBy = Seq("k"), clusterFiles = 4,
+      meta = Map(VersionedTable.FeedKey -> "k"))
+    val v0 = VersionedTable.readVersion(spark, dir, 0L)
+    // churn: updates + inserts (v1), then a DV delete (v2)
+    VersionedTable.merge(spark, dir,
+      spark.range(10).select($"id".as("k"), lit(-1L).as("v"))
+        .union(spark.range(5).select(($"id" + 500).as("k"), lit(9L).as("v"))),
+      Seq("k"), 0L, "m")
+    VersionedTable.deleteWhere(spark, dir, "k % 10 = 3", 1L, "gdpr")
+    val f = new java.io.File(s"$dir/data")
+    val mt = f.listFiles().flatMap(d =>
+      d.listFiles().map(x => x.getPath -> x.lastModified())).toMap
+    // restore to the same version is a no-op
+    assert(VersionedTable.restore(spark, dir, 2L, 2L, "op") == 2L)
+    assert(VersionedTable.restore(spark, dir, 0L, 2L, "op") == 3L)
+    // METADATA-ONLY: not one data byte moved
+    f.listFiles().foreach(d => d.listFiles().foreach(x =>
+      assert(mt.get(x.getPath).contains(x.lastModified()),
+        s"restore touched ${x.getPath}")))
+    // content == v0 exactly; bad history stays time-travelable
+    val v3 = VersionedTable.readVersion(spark, dir, 3L)
+    assert(v3.exceptAll(v0).isEmpty && v0.exceptAll(v3).isEmpty)
+    assert(VersionedTable.versions(spark, dir) == Seq(0L, 1L, 2L, 3L))
+    assert(VersionedTable.readVersion(spark, dir, 2L)
+      .filter($"k" % 10 === 3).count() == 0, "v2 keeps its DV mask")
+    // the restore's own feed UNDOES the churn: the masked rows come
+    // back as inserts, the merge updates revert, the inserts delete
+    // v1 merged k 0..9 (k=3 later masked) and inserted 500..504; v2
+    // masked k%10=3 (10 base rows + the inserted 503). Undo: 4 deletes
+    // (the surviving inserts; 503 was already masked so it cancels),
+    // 9 updates (surviving merged keys revert), 10 inserts (masked
+    // base rows come back)
+    val undo = VersionedTable.changesBetween(spark, dir, 2L, 3L, Seq("k"))
+    assert(undo.filter($"op" === "delete").count() == 4, "inserts undone")
+    assert(undo.filter($"op" === "update").count() == 9, "updates reverted")
+    assert(undo.filter($"op" === "insert").count() == 10,
+      "DV-deleted rows return")
+    // declarations are table policy, not data — they survive restore
+    assert(VersionedTable.clusterColsOf(spark, dir, 3L) == Seq("k"))
+    assert(VersionedTable.feedKeysOf(spark, dir, 3L) == Seq("k"))
+    // an expired target refuses loudly
+    (1 to 8).foreach { i =>
+      VersionedTable.merge(spark, dir,
+        spark.range(2).select(($"id" + 1000L * i).as("k"), lit(0L).as("v")),
+        Seq("k"), 2L + i, "m")
+    }
+    VersionedTable.expire(spark, dir, keep = 2)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.restore(spark, dir,
+        0L, VersionedTable.latestVersion(spark, dir), "op")
+    }
+    assert(e.getMessage.contains("not retained"), e.getMessage)
+  }
+
   test("readAsOf: timestamp time travel, monotone under clock hiccups, refuses pre-birth") {
     val dir = java.nio.file.Files.createTempDirectory("vt-asof").toString + "/t"
     VersionedTable.commit(spark, dir, df("a", 3), -1L, "w")
