@@ -109,9 +109,14 @@ object Bench {
     "q136_stream_interval_join" -> 3.298, "q138_stream_outer_join" -> 4.614,
     "q144_stream_right_outer_join" -> 2.442,
     "q145_stream_full_outer_join" -> 4.899, "q112_stream_state" -> 1.721,
-    "q151_stream_dedup_agg" -> 4.145, "q158_stream_near_dup" -> 10.588,
+    "q151_stream_dedup_agg" -> 4.145,
+    // re-pinned in round 13 after the batch-reference single-pass
+    // rewrite (was 10.588 with the double-banding self-join)
+    "q158_stream_near_dup" -> 8.681,
     "q173_stream_export" -> 2.334, "q180_stream_scd2" -> 2.701,
-    "q189_stream_dq" -> 1.571)
+    "q189_stream_dq" -> 1.571,
+    // round 13 first record (table change stream, local run)
+    "q235_table_change_stream" -> 4.822)
 
   /** Streaming replays timed as their own section (never in the
     * headline total — see main): watermarked interval-join family,

@@ -61,6 +61,30 @@ class AggViewSpec extends SparkSpec {
     viewEqualsDirect(src, view)
   }
 
+  test("view converges across a RESTORE: the undo feed retracts the bad batch") {
+    val root = tmp("aggview-rst")
+    val src = s"$root/src"; val view = s"$root/view"
+    val base = spark.range(100).select($"id".as("k"),
+      (($"id" % 4).cast("string")).as("g"), ($"id" * 10).cast("double").as("x"))
+    VersionedTable.commit(spark, src, base, -1L, "w",
+      clusterBy = Seq("k"), clusterFiles = 4)
+    AggView.init(spark, src, view, "vmaint", Seq("g"), measures)
+    // a bad batch lands AND the view syncs it (the worst case: the
+    // corruption is already folded into the view's state)
+    val bad = Seq((3L, "3", 1e6), (500L, "0", 1e6)).toDF("k", "g", "x")
+    VersionedTable.merge(spark, src, bad, Seq("k"), 0L, "w")
+    AggView.sync(spark, src, view, "vmaint", Seq("k"), Seq("g"), measures)
+    viewEqualsDirect(src, view)
+    // RESTORE rolls the source back; the view must converge through
+    // the restore's UNDO feed — exact retraction, no re-bootstrap
+    VersionedTable.restore(spark, src, 0L, 1L, "op")
+    AggView.sync(spark, src, view, "vmaint", Seq("k"), Seq("g"), measures)
+    viewEqualsDirect(src, view)
+    val d = direct(src)
+    assert(d.agg(max(col("sum_x"))).head.getDouble(0) < 1e6,
+      "the bad values must be fully retracted")
+  }
+
   test("a lost ack never double-applies: the marker decides the feed") {
     val root = tmp("aggview-crash")
     val src = s"$root/src"; val view = s"$root/view"
