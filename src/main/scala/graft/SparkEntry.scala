@@ -2652,6 +2652,35 @@ object SparkEntry {
             A = FOREACH T GENERATE k, pr, price;""")
     }),
 
+    // --- Declared Z-ORDER clustering (round 13): clusterMode="zorder"
+    //     persists with the table and every rewrite (merge/OPTIMIZE)
+    //     re-applies it — rank-normalized Morton interleave, so a box
+    //     probe on BOTH dimensions prunes to the intersecting
+    //     rectangles (require()'d receipt), where lexicographic
+    //     clustering could only prune the leading column. ---
+    "q244_zorder_table" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val vt = java.nio.file.Files.createTempDirectory("graft_zc_q244_")
+        .toString + "/t"
+      val li = t(s, dir).lineitem.select(col("l_suppkey").as("sk"),
+        col("l_partkey").as("pk"), col("l_quantity").as("qty"))
+      require(VersionedTable.commit(s, vt, li, -1L, "loader",
+        clusterBy = Seq("sk", "pk"), clusterFiles = 16,
+        clusterMode = "zorder") == 0L)
+      require(VersionedTable.clusterModeOf(s, vt, 0L) == "zorder")
+      val maxSk = li.agg(max(col("sk"))).collect()(0).getLong(0)
+      val maxPk = li.agg(max(col("pk"))).collect()(0).getLong(0)
+      val box = Seq(
+        VersionedTable.ColBound("sk", Some(1L), Some(maxSk / 4)),
+        VersionedTable.ColBound("pk", Some(1L), Some(maxPk / 4)))
+      val (kept, total) = VersionedTable.prunedFiles(s, vt, 0L, box)
+      require(kept.length * 2 <= total,
+        s"q244: a quarter-box probe must skip most files " +
+          s"(${kept.length}/$total read)")
+      // fixed-literal box for the oracle (stable across SFs)
+      VersionedTable.readFiltered(s, vt, "sk <= 5 AND pk <= 100")
+    }),
+
     // --- RESTORE (round 13): roll the table back to a prior version
     //     as a NEW metadata-only commit — files re-pointed, nothing
     //     rewritten (mtime-pinned), bad history stays time-travelable,
@@ -6857,6 +6886,11 @@ object SparkEntry {
 
     // CDF across an add-column migration: same keys both sides, the
     // added price column goes NULL -> value on every row -> all updates
+    // z-ordered table, exact rows of the fixed-literal box probe
+    "q244_zorder_table" ->
+      """SELECT l_suppkey AS sk, l_partkey AS pk, l_quantity AS qty
+         FROM lineitem WHERE l_suppkey <= 5 AND l_partkey <= 100""",
+
     // RESTORE rolls the bad merge back: the table reads as v0 again
     "q243_restore" ->
       """SELECT o_orderkey AS k, o_orderpriority AS pr,

@@ -889,11 +889,72 @@ object VersionedTable {
     * 5M soak: 32/32 files read after one uniform merge). */
   val ClusterKey = "cluster.cols"
 
+  /** Meta key declaring HOW the clustering columns shape files:
+    * "range" (default — lexicographic repartitionByRange + sort) or
+    * "zorder" (rank-normalized Morton interleave of 2–3 columns —
+    * the Delta OPTIMIZE ZORDER shape, right when probes bound SEVERAL
+    * of the columns independently rather than a prefix). */
+  val ClusterModeKey = "cluster.mode"
+
   /** The clustering declaration of version `v`, if any. */
   def clusterColsOf(spark: SparkSession, dir: String, v: Long): Seq[String] =
     readManifest(spark, dir, v).meta.get(ClusterKey)
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Seq.empty)
+
+  /** The clustering mode of version `v` ("range" when undeclared). */
+  def clusterModeOf(spark: SparkSession, dir: String, v: Long): String =
+    readManifest(spark, dir, v).meta.getOrElse(ClusterModeKey, "range")
+
+  /** Rank-normalized z-key: each dimension maps to its equal-frequency
+    * bucket id via a distinct+rank of the VALUES (scalable — never a
+    * single-partition window; the rank table is far smaller than the
+    * data), then the bucket ids Morton-interleave. NULLs bucket to 0
+    * rather than dropping rows. */
+  private def withZKey(df: DataFrame, cols: Seq[String],
+      bits: Int = 16): DataFrame = {
+    require(cols.length == 2 || cols.length == 3,
+      s"zorder clustering needs 2 or 3 columns, got ${cols.length}")
+    val scale = 1L << bits
+    var out = df
+    val bucketCols = cols.zipWithIndex.map { case (c, i) =>
+      val ranked = Relational.rankBy(
+          df.select(col(c).as("v")).na.drop().distinct(), Seq("v"))
+        .select(col("v").as(c), (col("dense_rank") - 1).as(s"__r$i"))
+      val n = math.max(1L, ranked.count())
+      out = out.join(ranked, Seq(c), "left")
+      coalesce(expr(s"(__r$i * ${scale}L) div ${n}L"), lit(0L))
+    }
+    val z =
+      if (cols.length == 2) Layout.zValue2(bucketCols(0), bucketCols(1))
+      else Layout.zValue3(bucketCols(0), bucketCols(1), bucketCols(2))
+    out.withColumn("__z", z).drop(cols.indices.map(i => s"__r$i"): _*)
+  }
+
+  /** Reshape `df` into the table's declared clustering: range =
+    * repartitionByRange + sort on the columns; zorder = the same on
+    * the rank-normalized Morton key. nParts <= 0 lets AQE size the
+    * shuffle. */
+  private def clusterShape(df: DataFrame, cols: Seq[String],
+      mode: String, nParts: Int): DataFrame =
+    if (cols.isEmpty) df
+    else mode match {
+      case "range" =>
+        (if (nParts > 0) df.repartitionByRange(nParts, cols.map(col): _*)
+         else df.repartitionByRange(cols.map(col): _*))
+          .sortWithinPartitions(cols.map(col): _*)
+      case "zorder" =>
+        val keyed = withZKey(df, cols)
+        (if (nParts > 0) keyed.repartitionByRange(nParts, col("__z"))
+         else keyed.repartitionByRange(col("__z")))
+          .sortWithinPartitions("__z").drop("__z")
+          // the rank joins moved the join columns to the front —
+          // restore the caller's column order (the schema guard
+          // rightly refuses a silent reorder)
+          .select(df.columns.map(c => col(s"`$c`")): _*)
+      case other => throw new IllegalArgumentException(
+        s"unknown cluster mode '$other' — 'range' or 'zorder'")
+    }
 
   /** Version `v`'s persisted expectations: name → boolean SQL. */
   def tableExpectations(spark: SparkSession, dir: String, v: Long)
@@ -922,7 +983,7 @@ object VersionedTable {
     val cluster: Map[String, String] =
       if (parent >= 0)
         readManifest(spark, dir, parent).meta
-          .filter { case (k, _) => k.startsWith(ClusterKey) || k == FeedKey }
+          .filter { case (k, _) => k.startsWith("cluster.") || k == FeedKey }
       else Map.empty[String, String]
     ((inherited ++ expectations)
       .filter { case (_, sql) => sql.trim.nonEmpty } // "" = explicit drop
@@ -1011,7 +1072,8 @@ object VersionedTable {
       meta: Map[String, String] = Map.empty,
       expectations: Map[String, String] = Map.empty,
       clusterBy: Seq[String] = Seq.empty,
-      clusterFiles: Int = 0): Long = {
+      clusterFiles: Int = 0,
+      clusterMode: String = "range"): Long = {
     requireWriterId(writerId)
     val newV = expectedVersion + 1
     requireNotStale(spark, dir, expectedVersion)
@@ -1031,15 +1093,12 @@ object VersionedTable {
     // clusterFiles = 0 lets Spark pick (AQE right-sizes the shuffle —
     // a tiny snapshot coalesces to few files); an explicit count pins
     // the layout (AQE never overrides user-specified partition counts)
-    val toWrite =
-      if (clusterBy.isEmpty) df
-      else (if (clusterFiles > 0)
-              df.repartitionByRange(clusterFiles, clusterBy.map(col): _*)
-            else df.repartitionByRange(clusterBy.map(col): _*))
-        .sortWithinPartitions(clusterBy.map(col): _*)
+    val toWrite = clusterShape(df, clusterBy, clusterMode, clusterFiles)
     val metaWithCluster =
       if (clusterBy.isEmpty) meta
-      else meta + (ClusterKey -> clusterBy.mkString(","))
+      else meta + (ClusterKey -> clusterBy.mkString(",")) ++
+        (if (clusterMode == "range") Map.empty
+         else Map(ClusterModeKey -> clusterMode))
     val effStatsCols =
       if (clusterBy.nonEmpty && statsCols.isEmpty && parentStats.isEmpty)
         Some(clusterBy)
@@ -1356,9 +1415,9 @@ object VersionedTable {
         // the merge join's hash shuffle would otherwise spread every
         // key range across every output file and kill data skipping
         // for all future reads (inserts land range-appropriately too)
-        merged.repartitionByRange(math.max(1, touched.length),
-            clusterCols.map(col): _*)
-          .sortWithinPartitions(clusterCols.map(col): _*)
+        clusterShape(merged, clusterCols,
+          clusterModeOf(spark, dir, expectedVersion),
+          math.max(1, touched.length))
       else merged.coalesce(math.max(1, touched.length))
     commitDelta(spark, dir, Some(rewritten), touched, expectedVersion,
       writerId, meta = meta, expectations = expectations)
@@ -1742,9 +1801,9 @@ object VersionedTable {
         .filter(schema.fieldNames.contains)
       val rewritten =
         if (clusterCols.nonEmpty)
-          rows.repartitionByRange(math.max(1, masked.length),
-              clusterCols.map(col): _*)
-            .sortWithinPartitions(clusterCols.map(col): _*)
+          clusterShape(rows, clusterCols,
+            clusterModeOf(spark, dir, expectedVersion),
+            math.max(1, masked.length))
         else rows.coalesce(math.max(1, masked.length))
       Some(commitDelta(spark, dir, Some(rewritten), masked, expectedVersion,
         writerId))
@@ -1779,9 +1838,9 @@ object VersionedTable {
         .filter(schema.fieldNames.contains)
       val packed = reshape match {
         case Some(r) => r(read).coalesce(targetFileCount)
-        case None if clusterCols.nonEmpty => read
-          .repartitionByRange(targetFileCount, clusterCols.map(col): _*)
-          .sortWithinPartitions(clusterCols.map(col): _*)
+        case None if clusterCols.nonEmpty =>
+          clusterShape(read, clusterCols,
+            clusterModeOf(spark, dir, expectedVersion), targetFileCount)
         case None => read.coalesce(targetFileCount)
       }
       Some(commitDelta(spark, dir, Some(packed), small, expectedVersion,

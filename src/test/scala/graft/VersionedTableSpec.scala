@@ -371,6 +371,60 @@ class VersionedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { VersionedTable.ColBound("k") }
   }
 
+  test("clusterMode zorder: multi-dim skipping beats range; mode survives merge") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-zorder").toString
+    val grid = spark.range(4096).select(($"id" % 64).as("a"),
+      ($"id" / 64).cast("long").as("b"), $"id".as("v"))
+    // the same data clustered both ways, same file count
+    VersionedTable.commit(spark, s"$dir/z", grid, -1L, "w",
+      clusterBy = Seq("a", "b"), clusterFiles = 16, clusterMode = "zorder",
+      statsCols = Some(Seq("a", "b")))
+    VersionedTable.commit(spark, s"$dir/r", grid, -1L, "w",
+      clusterBy = Seq("a", "b"), clusterFiles = 16,
+      statsCols = Some(Seq("a", "b")))
+    assert(VersionedTable.clusterModeOf(spark, s"$dir/z", 0L) == "zorder")
+    assert(VersionedTable.clusterModeOf(spark, s"$dir/r", 0L) == "range")
+    // a bound on the SECOND dimension alone: lexicographic files each
+    // span all of b (no pruning possible); z-ordered files are
+    // rectangles, so most of them cannot contain b < 16
+    val boundsB = Seq(VersionedTable.ColBound("b", Some(0L), Some(15L)))
+    val (keptRb, totR) = VersionedTable.prunedFiles(spark, s"$dir/r", 0L, boundsB)
+    val (keptZb, totZ) = VersionedTable.prunedFiles(spark, s"$dir/z", 0L, boundsB)
+    assert(totR == 16 && totZ == 16)
+    assert(keptRb.length == 16, "lexicographic clustering cannot prune on b")
+    assert(keptZb.length * 2 <= 16,
+      s"z-order must prune most files on the second dim: $keptZb")
+    // a box probe on both dims: z-rectangles localize it tightly
+    val box = Seq(VersionedTable.ColBound("a", Some(0L), Some(15L)),
+      VersionedTable.ColBound("b", Some(0L), Some(15L)))
+    val (keptZbox, _) = VersionedTable.prunedFiles(spark, s"$dir/z", 0L, box)
+    assert(keptZbox.length <= 4, s"box probe must stay local: $keptZbox")
+    // pruning is conservative-correct: the pruned read is row-exact
+    assert(VersionedTable.readWhere(spark, s"$dir/z", box)
+      .filter($"a" < 16 && $"b" < 16).count() == 256)
+    // churn: the mode is a table property — merge re-z-orders its
+    // rewrites, so the box probe stays local AFTER churn
+    val ch = grid.filter($"a" < 8 && $"b" < 8)
+      .select($"a", $"b", ($"v" + 100000).as("v"))
+    VersionedTable.merge(spark, s"$dir/z", ch, Seq("a", "b"), 0L, "m")
+    assert(VersionedTable.clusterModeOf(spark, s"$dir/z", 1L) == "zorder")
+    val (keptAfter, totAfter) = VersionedTable.prunedFiles(
+      spark, s"$dir/z", 1L, box)
+    assert(keptAfter.length * 2 <= totAfter,
+      s"skipping must survive churn: ${keptAfter.length}/$totAfter")
+    assert(VersionedTable.readWhere(spark, s"$dir/z", box)
+      .filter($"a" < 16 && $"b" < 16 && $"v" >= 100000).count() == 64)
+    // refusals: zorder needs 2-3 columns; unknown modes are loud
+    intercept[IllegalArgumentException] {
+      VersionedTable.commit(spark, s"$dir/bad1", grid, -1L, "w",
+        clusterBy = Seq("a"), clusterMode = "zorder")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.commit(spark, s"$dir/bad2", grid, -1L, "w",
+        clusterBy = Seq("a", "b"), clusterMode = "hilbert")
+    }
+  }
+
   test("restore: metadata-only rollback; history preserved; feed undoes the churn") {
     val dir = java.nio.file.Files.createTempDirectory("vt-restore").toString + "/t"
     VersionedTable.commit(spark, dir,
