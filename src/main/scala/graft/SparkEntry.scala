@@ -2652,6 +2652,40 @@ object SparkEntry {
             A = FOREACH T GENERATE k, pr, price;""")
     }),
 
+    // --- Type widening (round 13, schema evolution #2): INT ids
+    //     overflow, FLOAT measures need precision — widenColumns
+    //     migrates k INT→LONG and price FLOAT→DOUBLE as a
+    //     METADATA-ONLY commit (mtime-pinned in-entry, parquet reads
+    //     up-convert natively), the widening's own feed is EMPTY
+    //     (require()'d — values preserved), and a post-migration merge
+    //     inserts a beyond-int key to prove the point. ---
+    "q245_widen_columns" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      import org.apache.spark.sql.types.{LongType, DoubleType}
+      val vt = java.nio.file.Files.createTempDirectory("graft_wid_q245_")
+        .toString + "/t"
+      val base = t(s, dir).orders.selectExpr(
+        "CAST(o_orderkey AS INT) AS k",
+        "CAST(o_totalprice AS FLOAT) AS price")
+      require(VersionedTable.commit(s, vt, base, -1L, "loader",
+        clusterBy = Seq("k"), clusterFiles = 8) == 0L)
+      val dataRoot = new java.io.File(s"$vt/data")
+      val mt0 = dataRoot.listFiles().flatMap(d =>
+        d.listFiles().map(x => x.getPath -> x.lastModified())).toMap
+      require(VersionedTable.widenColumns(s, vt,
+        Map("k" -> LongType, "price" -> DoubleType), 0L, "migrator") == 1L)
+      require(dataRoot.listFiles().flatMap(d => d.listFiles()).forall(x =>
+          mt0.get(x.getPath).contains(x.lastModified())),
+        "q245: widenColumns must not touch data files")
+      require(VersionedTable.changesBetween(s, vt, 0L, 1L, Seq("k"))
+          .count() == 0, "q245: a pure widening must feed nothing")
+      // the migration's point: a key beyond Int.MaxValue now fits
+      VersionedTable.merge(s, vt,
+        s.range(1).select(lit(5000000000L).as("k"), lit(1.5).as("price")),
+        Seq("k"), 1L, "writer")
+      VersionedTable.read(s, vt)
+    }),
+
     // --- Declared Z-ORDER clustering (round 13): clusterMode="zorder"
     //     persists with the table and every rewrite (merge/OPTIMIZE)
     //     re-applies it — rank-normalized Morton interleave, so a box
@@ -6886,6 +6920,13 @@ object SparkEntry {
 
     // CDF across an add-column migration: same keys both sides, the
     // added price column goes NULL -> value on every row -> all updates
+    // widened table = float-exact base rows plus the beyond-int insert
+    "q245_widen_columns" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+                CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS price
+         FROM orders
+         UNION ALL SELECT 5000000000, 1.5""",
+
     // z-ordered table, exact rows of the fixed-literal box probe
     "q244_zorder_table" ->
       """SELECT l_suppkey AS sk, l_partkey AS pk, l_quantity AS qty

@@ -747,11 +747,12 @@ object VersionedTable {
     val s2 = schemaOf(spark, dir, v2)
     val t1 = s1.fields.map(f => f.name -> f.dataType).toMap
     val survived = s1.fields.forall(f =>
-      s2.fields.exists(g => g.name == f.name && g.dataType == f.dataType))
+      s2.fields.exists(g => g.name == f.name &&
+        (g.dataType == f.dataType || isWidening(f.dataType, g.dataType))))
     require(survived && s1.fields.length <= s2.fields.length,
-      s"changesBetween $v1→$v2: schema changed beyond column adds " +
-        s"(${s1.simpleString} vs ${s2.simpleString}) — diff each side of " +
-        "the migration separately")
+      s"changesBetween $v1→$v2: schema changed beyond column adds / " +
+        s"widenings (${s1.simpleString} vs ${s2.simpleString}) — diff " +
+        "each side of the migration separately")
     val m1 = readManifest(spark, dir, v1)
     val m2 = readManifest(spark, dir, v2)
     val l1 = liveFiles(spark, dir, v1)
@@ -762,11 +763,15 @@ object VersionedTable {
     val removed = l1.filter(r => !set2(r) || maskChanged(r)).sorted
     val oldSide = {
       val read = readFilesMasked(spark, dir, m1, removed, s1)
-      // pad an add-column migration's v1 side to v2's shape
-      if (s1.fields.length == s2.fields.length) read
-      else read.select(s2.fields.map(f =>
-        if (t1.contains(f.name)) col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+      // pad an add-column migration's v1 side to v2's shape; cast a
+      // widened column up (value-preserving, so a pure widening
+      // cancels to an EMPTY feed — nothing material changed)
+      if (schemaShape(s1) == schemaShape(s2)) read
+      else read.select(s2.fields.map(f => t1.get(f.name) match {
+        case Some(dt) if dt == f.dataType => col(f.name)
+        case Some(_) => col(f.name).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }).toSeq: _*)
     }
     (oldSide, readFilesMasked(spark, dir, m2, added, s2))
   }
@@ -1281,6 +1286,90 @@ object VersionedTable {
     if (!casManifest(spark, dir, newV, writerId, body))
       throw new CommitConflict(
         s"addColumns on $dir: lost the race for version $newV — " +
+          "re-read, reconcile, retry")
+    if (feedKeysOf(spark, dir, newV).nonEmpty) ensureFeed(spark, dir, writerId)
+    newV
+  }
+
+  /** Value-preserving type widenings Spark's parquet reader resolves
+    * NATIVELY when the pinned schema is wider than the file's (the
+    * Spark 4 widening-promotion support Delta's type widening rides
+    * on): integral up-casts, small-integral/float → double, and
+    * same-scale decimal precision growth. long → double is excluded
+    * (lossy past 2^53 — not a widening). */
+  private[operators] def isWidening(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (a, b) if a == b => false
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale == a.scale && b.precision > a.precision
+      case _ => false
+    }
+  }
+
+  /** Sanctioned schema evolution #2: WIDEN column types as a
+    * METADATA-ONLY commit (the [[addColumns]] discipline for the other
+    * common migration — "the int ids overflowed"). No data file is
+    * touched: every read path pins the widened schema and the parquet
+    * reader up-converts old files natively (verified widening set in
+    * [[isWidening]]). Time travel keeps each version's own schema; the
+    * change feed across a pure widening is EMPTY (values are
+    * preserved, so old and new sides cancel).
+    *
+    * Stats: an entry whose comparison domain survives the widening
+    * (integral→integral stays 'l', float→double stays 'd') is kept —
+    * skipping keeps working through the migration; a domain-crossing
+    * widening (int→double) drops that column's stats conservatively
+    * (old files stop pruning on it until their next rewrite). */
+  def widenColumns(spark: SparkSession, dir: String,
+      widen: Map[String, org.apache.spark.sql.types.DataType],
+      expectedVersion: Long, writerId: String): Long = {
+    requireWriterId(writerId)
+    require(widen.nonEmpty, "widenColumns: no columns to widen")
+    require(expectedVersion >= 0,
+      "widenColumns needs an existing parent version")
+    val newV = expectedVersion + 1
+    requireNotStale(spark, dir, expectedVersion)
+    val prev = schemaOf(spark, dir, expectedVersion)
+    val prevByName = prev.fields.map(f => f.name -> f).toMap
+    widen.foreach { case (c, to) =>
+      val f = prevByName.getOrElse(c, throw new IllegalArgumentException(
+        s"widenColumns: no column '$c' in ${prev.fieldNames.mkString(",")}"))
+      require(isWidening(f.dataType, to),
+        s"widenColumns: ${f.dataType.simpleString} → ${to.simpleString} " +
+          s"on '$c' is not a supported value-preserving widening " +
+          "(integral up-casts, byte/short/int/float → double, decimal " +
+          "precision growth at the same scale); anything else is a " +
+          "full rewrite via commit(allowSchemaChange = true)")
+    }
+    val evolved = org.apache.spark.sql.types.StructType(prev.fields.map(f =>
+      widen.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f)))
+    val m = readManifest(spark, dir, expectedVersion)
+    val live = liveFiles(spark, dir, expectedVersion)
+    // domain-stable stats survive; domain-crossing ones drop
+    val domainStable: String => Boolean = c =>
+      (prevByName.get(c).flatMap(f => statDomain(f.dataType)),
+        scala.util.Try(evolved(c)).toOption
+          .flatMap(f => statDomain(f.dataType))) match {
+        case (Some(a), Some(b)) => a == b
+        case _ => false
+      }
+    val stats = m.stats.map { case (rel, cols) =>
+      rel -> cols.filter { case (c, _) => domainStable(c) }
+    }.filter(_._2.nonEmpty)
+    val body = manifestBody(newV, expectedVersion, writerId, evolved,
+      stagingDir = None, files = live, removed = Seq.empty,
+      stats = stats, dv = m.dv,
+      meta = expectMeta(spark, dir, expectedVersion, Map.empty, Map.empty))
+    if (!casManifest(spark, dir, newV, writerId, body))
+      throw new CommitConflict(
+        s"widenColumns on $dir: lost the race for version $newV — " +
           "re-read, reconcile, retry")
     if (feedKeysOf(spark, dir, newV).nonEmpty) ensureFeed(spark, dir, writerId)
     newV

@@ -371,6 +371,64 @@ class VersionedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { VersionedTable.ColBound("k") }
   }
 
+  test("widenColumns: metadata-only type widening — null data I/O, empty feed, stats policy") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("vt-widen").toString + "/t"
+    val base = spark.range(100).selectExpr("CAST(id AS INT) AS k",
+      "CAST(id AS FLOAT) AS x", "CAST(id % 7 AS INT) AS g")
+    VersionedTable.commit(spark, dir, base, -1L, "loader",
+      clusterBy = Seq("k"), clusterFiles = 4,
+      statsCols = Some(Seq("k", "x", "g")),
+      meta = Map(VersionedTable.FeedKey -> "k"))
+    val f = new java.io.File(s"$dir/data")
+    val mt = f.listFiles().flatMap(d =>
+      d.listFiles().map(x => x.getPath -> x.lastModified())).toMap
+    // refusals: lossy or unsupported changes
+    intercept[IllegalArgumentException] {
+      VersionedTable.widenColumns(spark, dir, Map("k" -> StringType), 0L, "m")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.widenColumns(spark, dir, Map("nope" -> LongType), 0L, "m")
+    }
+    // the migration: k INT→LONG (domain-stable), x FLOAT→DOUBLE
+    // (domain-stable), g INT→DOUBLE (domain-crossing)
+    assert(VersionedTable.widenColumns(spark, dir,
+      Map("k" -> LongType, "x" -> DoubleType, "g" -> DoubleType),
+      0L, "mig") == 1L)
+    f.listFiles().foreach(d => d.listFiles().foreach(x =>
+      assert(mt.get(x.getPath).contains(x.lastModified()),
+        s"widenColumns touched ${x.getPath}")))
+    // reads up-convert natively; values preserved exactly
+    val v1 = VersionedTable.readVersion(spark, dir, 1L)
+    assert(v1.schema("k").dataType == LongType &&
+      v1.schema("x").dataType == DoubleType &&
+      v1.schema("g").dataType == DoubleType)
+    assert(v1.agg(sum($"k"), sum($"x")).as[(Long, Double)].head ==
+      ((4950L, 4950.0)))
+    // time travel keeps the old shape
+    assert(VersionedTable.readVersion(spark, dir, 0L)
+      .schema("k").dataType == IntegerType)
+    // the widening's own feed is EMPTY (values preserved → cancel)
+    assert(VersionedTable.changesBetween(spark, dir, 0L, 1L, Seq("k"))
+      .count() == 0, "a pure widening must feed nothing")
+    // stats: domain-stable columns keep pruning, crossing ones drop
+    val (keptK, totK) = VersionedTable.prunedFiles(spark, dir, 1L,
+      Seq(VersionedTable.ColBound("k", Some(0L), Some(20L))))
+    assert(keptK.length < totK, "k stats must survive INT→LONG")
+    val m1 = VersionedTable.readManifest(spark, dir, 1L)
+    assert(m1.stats.values.forall(!_.contains("g")),
+      "domain-crossing stats must drop conservatively")
+    // life goes on: a merge against the widened schema works and the
+    // CDF across the whole history replays end to end
+    VersionedTable.merge(spark, dir,
+      Seq((5000000000L, 5.5, 1.0)).toDF("k", "x", "g"), Seq("k"), 1L, "w")
+    assert(VersionedTable.read(spark, dir).count() == 101)
+    val cdf = VersionedTable.changesBetween(spark, dir, 0L, 2L, Seq("k"))
+    assert(cdf.count() == 1 &&
+      cdf.head.getAs[Long]("k") == 5000000000L,
+      "CDF across the widening is exactly the post-migration churn")
+  }
+
   test("clusterMode zorder: multi-dim skipping beats range; mode survives merge") {
     val dir = java.nio.file.Files.createTempDirectory("vt-zorder").toString
     val grid = spark.range(4096).select(($"id" % 64).as("a"),
