@@ -643,6 +643,32 @@ object Soak {
         graft.operators.AggView.state(VersionedTable.read(spark, vt),
           Seq("lang"), Seq("len" -> col("len"))).count()
       }
+      // round 13: metadata-only migrations at corpus scale — each is
+      // one manifest write regardless of rows (receipt: seconds,
+      // which would be MINUTES if any data rewrote)
+      time(s"lakehouse_schema_evolution_$rows") {
+        import org.apache.spark.sql.types._
+        val v = VersionedTable.latestVersion(spark, vt)
+        val v1 = VersionedTable.addColumns(spark, vt,
+          Seq(StructField("hits", IntegerType)), v, "mig")
+        val v2 = VersionedTable.widenColumns(spark, vt,
+          Map("hits" -> LongType), v1, "mig")
+        require(VersionedTable.read(spark, vt)
+          .schema("hits").dataType == LongType)
+        // ...and long->double is refused as lossy, not silently done
+        val refused =
+          try { VersionedTable.widenColumns(spark, vt,
+            Map("len" -> DoubleType), v2, "mig"); false }
+          catch { case _: IllegalArgumentException => true }
+        require(refused, "long->double must refuse")
+        val v3 = VersionedTable.restore(spark, vt, v, v2, "op",
+          allowSchemaChange = true)
+        require(VersionedTable.schemaOf(spark, vt, v3).fieldNames
+          .sameElements(VersionedTable.schemaOf(spark, vt, v).fieldNames))
+        println(s"[soak]   evolution receipt: addColumns v$v1, widen v$v2, " +
+          s"restore v$v3 — zero data files staged for any of them")
+        rows
+      }
       // round 13: the pruning DECISION at the 10^7-file shape — a
       // synthetic manifest of 250k file lines (stats only; pruning
       // never opens data files), driver loop vs distributed job on

@@ -2652,6 +2652,44 @@ object SparkEntry {
             A = FOREACH T GENERATE k, pr, price;""")
     }),
 
+    // --- SQL over lakehouse tables (round 13): registerVersioned
+    //     binds a versioned table into the PigServer-style SQL entry
+    //     point, pinned to latest / VERSION AS OF — the registered
+    //     alias is snapshot-isolated (a later commit must not shift
+    //     it, require()'d). The query joins the current and v0
+    //     snapshots to report per-segment balance drift. ---
+    "q246_sql_versioned" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val vt = java.nio.file.Files.createTempDirectory("graft_sqlv_q246_")
+        .toString + "/t"
+      val cust = t(s, dir).customer.select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
+      require(VersionedTable.commit(s, vt, cust, -1L, "loader") == 0L)
+      VersionedTable.merge(s, vt,
+        cust.filter(col("k") % 3 === 0)
+          .select(col("k"), col("seg"), (col("bal") + 50).as("bal")),
+        Seq("k"), 0L, "writer")
+      val gs = new graft.core.GraftSession(s)
+      gs.registerVersioned("cur", vt)
+        .registerVersioned("orig", vt, version = 0L)
+      val out = gs.sql(
+        """SELECT c.seg,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(c.bal - o.bal AS DECIMAL(18,2)))
+                       AS DOUBLE) AS drift
+           FROM cur c JOIN orig o ON c.k = o.k
+           GROUP BY c.seg""")
+      // snapshot isolation: a commit AFTER registration must not move
+      // the bound aliases
+      VersionedTable.merge(s, vt,
+        s.range(1).select(lit(-1L).as("k"), lit("XX").as("seg"),
+          lit(0.0).as("bal")), Seq("k"),
+        VersionedTable.latestVersion(s, vt), "late")
+      require(gs.sql("SELECT count(*) FROM cur").collect()(0).getLong(0) ==
+        cust.count(), "q246: registered alias must be snapshot-isolated")
+      out
+    }),
+
     // --- Type widening (round 13, schema evolution #2): INT ids
     //     overflow, FLOAT measures need precision — widenColumns
     //     migrates k INT→LONG and price FLOAT→DOUBLE as a
@@ -6920,6 +6958,14 @@ object SparkEntry {
 
     // CDF across an add-column migration: same keys both sides, the
     // added price column goes NULL -> value on every row -> all updates
+    // SQL over two pinned snapshots: per-segment balance drift
+    "q246_sql_versioned" ->
+      """SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(CASE WHEN c_custkey % 3 = 0 THEN 50.0
+                                   ELSE 0.0 END AS DECIMAL(18,2)))
+                     AS DOUBLE) AS drift
+         FROM customer GROUP BY 1""",
+
     // widened table = float-exact base rows plus the beyond-int insert
     "q245_widen_columns" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS k,

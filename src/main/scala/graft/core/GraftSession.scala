@@ -24,6 +24,28 @@ final class GraftSession(val spark: SparkSession) {
 
   def aliases: Seq[String] = env.keys.toSeq
 
+  /** Register a versioned table ([[graft.operators.VersionedTable]])
+    * as a SQL-queryable alias, pinned to latest / `VERSION AS OF` /
+    * `TIMESTAMP AS OF` — the lakehouse substrate reachable from the
+    * SQL entry point (`session.sql("SELECT ... FROM t")`) with the
+    * same resolution surface as the Pig front-end's VersionedStorage.
+    * Re-register after new commits to move a "latest" binding forward
+    * (a registered alias pins the version it resolved, the snapshot-
+    * isolation read a concurrent writer must not shift). */
+  def registerVersioned(alias: String, dir: String,
+      version: Long = -1L,
+      asOf: Option[java.sql.Timestamp] = None): this.type = {
+    import graft.operators.VersionedTable
+    require(version < 0 || asOf.isEmpty,
+      "registerVersioned: pass a version OR a timestamp, not both")
+    val df = asOf match {
+      case Some(ts) => VersionedTable.readAsOf(spark, dir, ts)
+      case None if version >= 0 => VersionedTable.readVersion(spark, dir, version)
+      case None => VersionedTable.read(spark, dir)
+    }
+    register(alias, df)
+  }
+
   /** DESCRIBE — schema of the alias. */
   def describe(alias: String): String = {
     // render the bignum struct rep by its Pig type name — users see

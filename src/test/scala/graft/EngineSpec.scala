@@ -134,6 +134,36 @@ class EngineSpec extends SparkSpec {
     assert(got.agg(sum($"n")).as[Long].head() == tables.nation.count())
   }
 
+  test("GraftSession.registerVersioned: SQL over lakehouse tables with time travel") {
+    import graft.operators.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("gs-vt").toString + "/t"
+    VersionedTable.commit(spark, dir,
+      spark.range(100).select($"id".as("k"), ($"id" * 2).as("v")),
+      -1L, "w")
+    VersionedTable.merge(spark, dir,
+      spark.range(10).select($"id".as("k"), lit(-1L).as("v")),
+      Seq("k"), 0L, "w")
+    val gs = new GraftSession(spark)
+    gs.registerVersioned("cur", dir)
+      .registerVersioned("old", dir, version = 0L)
+    val got = gs.sql(
+      """SELECT (SELECT sum(v) FROM cur) AS cur_sum,
+                (SELECT sum(v) FROM old) AS old_sum""").head()
+    assert(got.getLong(1) == 9900L, "v0 = sum 2k over 0..99")
+    assert(got.getLong(0) == 9900L - (0 until 10).map(_ * 2).sum - 10)
+    // a "latest" registration PINS its snapshot: a commit after the
+    // registration must not shift the already-registered alias
+    VersionedTable.merge(spark, dir,
+      Seq((0L, 1000000L)).toDF("k", "v"), Seq("k"), 1L, "w")
+    assert(gs.sql("SELECT sum(v) FROM cur").as[Long].head() ==
+      got.getLong(0), "registered alias is snapshot-isolated")
+    // both-pinned refusal
+    intercept[IllegalArgumentException] {
+      gs.registerVersioned("bad", dir, version = 0L,
+        asOf = Some(new java.sql.Timestamp(0L)))
+    }
+  }
+
   test("cogroupInner drops keys with an empty bag for that input") {
     val a = Seq((1, "x")).toDF("k", "va")
     val b = Seq((1, 10), (2, 20)).toDF("k", "vb")
