@@ -2652,6 +2652,43 @@ object SparkEntry {
             A = FOREACH T GENERATE k, pr, price;""")
     }),
 
+    // --- Verified right-to-be-forgotten (round 13): forget() = mask →
+    //     purge → history collapse → VERIFY (every retained version
+    //     re-scanned, every retained feed file checked for attribute
+    //     leakage; a failure throws — success is never unverified).
+    //     Receipts require()'d in-entry: the raw file bytes (read
+    //     without the manifest) lack the rows, and a re-run is an
+    //     idempotent no-op. ---
+    "q247_forget" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val vt = java.nio.file.Files.createTempDirectory("graft_fgt_q247_")
+        .toString + "/t"
+      val cust = t(s, dir).customer.select(col("c_custkey").as("k"),
+        col("c_name").as("name"), col("c_acctbal").as("bal"))
+      require(VersionedTable.commit(s, vt, cust, -1L, "loader",
+        clusterBy = Seq("k"), clusterFiles = 8,
+        meta = Map(VersionedTable.FeedKey -> "k")) == 0L)
+      // churn first, so history has multiple versions to collapse
+      VersionedTable.merge(s, vt,
+        cust.filter(col("k") % 50 === 1)
+          .select(col("k"), col("name"), (col("bal") + 1).as("bal")),
+        Seq("k"), 0L, "writer")
+      val st = VersionedTable.forget(s, vt, "k % 20 = 7", "gdpr")
+      require(st.rowsForgotten ==
+        cust.filter(col("k") % 20 === 7).count(),
+        s"q247: forgotten-count mismatch: $st")
+      require(st.versionsVerified == 2 && st.versionsDropped.nonEmpty,
+        s"q247: history must collapse and verify: $st")
+      val live = VersionedTable.liveFiles(s, vt,
+        VersionedTable.latestVersion(s, vt))
+      require(s.read.parquet(live.map(r => s"$vt/$r"): _*)
+          .filter(col("k") % 20 === 7).limit(1).count() == 0,
+        "q247: raw bytes must not contain forgotten rows")
+      require(VersionedTable.forget(s, vt, "k % 20 = 7", "gdpr")
+          .rowsForgotten == 0, "q247: re-run must be an idempotent no-op")
+      VersionedTable.read(s, vt)
+    }),
+
     // --- SQL over lakehouse tables (round 13): registerVersioned
     //     binds a versioned table into the PigServer-style SQL entry
     //     point, pinned to latest / VERSION AS OF — the registered
@@ -6958,6 +6995,13 @@ object SparkEntry {
 
     // CDF across an add-column migration: same keys both sides, the
     // added price column goes NULL -> value on every row -> all updates
+    // after forget: the churned table minus every k%20=7 row
+    "q247_forget" ->
+      """SELECT c_custkey AS k, c_name AS name,
+                CASE WHEN c_custkey % 50 = 1 THEN c_acctbal + 1
+                     ELSE c_acctbal END AS bal
+         FROM customer WHERE c_custkey % 20 <> 7""",
+
     // SQL over two pinned snapshots: per-segment balance drift
     "q246_sql_versioned" ->
       """SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,

@@ -2293,6 +2293,115 @@ object VersionedTable {
     victims
   }
 
+  /** Receipt of one [[forget]] pass: rows removed, the history
+    * versions dropped to unreference their bytes, and the count of
+    * retained versions the verification scan proved clean. */
+  final case class ForgetStats(rowsForgotten: Long, versionsDropped: Seq[Long],
+      versionsVerified: Long, feedFilesVerified: Long)
+
+  /** Right-to-be-forgotten as ONE verified pass (the GDPR composite a
+    * [[deleteWhere]] alone does NOT give you — a DV delete hides rows
+    * from reads but their bytes stay in the data files and in
+    * time-travelable history):
+    *
+    *   1. [[deleteWhere]] masks the matching rows (stats-pruned scan);
+    *   2. [[purgeDeletes]] rewrites the masked files WITHOUT them —
+    *      the bytes leave the live files;
+    *   3. a checkpoint commit + [[expire]](keep = 2) drop every
+    *      version that still references the pre-purge files, deleting
+    *      those files (and their feed dirs, which held the rows'
+    *      attribute values) from disk; [[vacuum]] sweeps stragglers;
+    *   4. VERIFICATION, not trust: every retained version is
+    *      re-scanned for the predicate (must hit nothing) and every
+    *      retained feed file is scanned for non-delete rows matching
+    *      it (must hit nothing). A violation throws — forget never
+    *      returns success unverified.
+    *
+    * Documented retention: delete markers in retained change feeds
+    * keep the forgotten rows' KEYS (with NULL attributes) — that is
+    * what lets downstream consumers/views retract them. If keys are
+    * themselves sensitive, drop the feed declaration before
+    * forgetting. Lagging cursors shield history from [[expire]], so
+    * forget REFUSES when a registered cursor would retain pre-purge
+    * versions — advance or drop it first (silently keeping the data
+    * while reporting success is the one unacceptable outcome).
+    * Replicas are independent table instances: run forget per replica
+    * (or re-replicate and expire there). */
+  def forget(spark: SparkSession, dir: String, predicate: String,
+      writerId: String, graceMs: Long = 0L): ForgetStats = {
+    val v0 = latestVersion(spark, dir)
+    require(v0 >= 0, s"no committed versions under $dir")
+    // 1. mask any still-visible matches (no-op when already masked or
+    //    absent — forget stays idempotent across partial prior runs)
+    val del = deleteWhere(spark, dir, predicate, v0, writerId)
+    // 2. purge EVERY mask so the bytes leave the live files (also the
+    //    masks a crashed earlier forget left behind)
+    val tip0 = latestVersion(spark, dir)
+    if (readManifest(spark, dir, tip0).dv.nonEmpty)
+      purgeDeletes(spark, dir, tip0, writerId)
+    // 3. checkpoint, then collapse retention: every pre-purge version
+    //    (whose files physically contain the rows) must drop. Refuse
+    //    if a cursor would shield one — silently keeping the bytes
+    //    while reporting success is the one unacceptable outcome.
+    commitDelta(spark, dir, None, Seq.empty,
+      latestVersion(spark, dir), writerId)
+    val vs = versions(spark, dir)
+    val mustDrop = vs.dropRight(2)
+    oldestCursor(spark, dir).foreach(c =>
+      require(mustDrop.forall(_ < c),
+        s"forget on $dir: a registered cursor at version $c shields " +
+          s"history that still contains the rows' bytes " +
+          s"(${mustDrop.filter(_ >= c).mkString(",")}) — advance or " +
+          "dropCursor first, then re-run"))
+    val dropped = expire(spark, dir, keep = 2)
+    require(dropped == mustDrop,
+      s"forget on $dir: expire retained ${mustDrop.diff(dropped)} — " +
+        "bytes would survive; investigate before trusting this table")
+    vacuum(spark, dir, graceMs)
+    // 4. prove it
+    val (nVers, nFeed) = verifyForgotten(spark, dir, predicate)
+    ForgetStats(math.max(0L, del.rowsDeleted), dropped, nVers, nFeed)
+  }
+
+  /** The verification scan behind [[forget]]: prove no retained
+    * version matches `predicate` and no retained feed file carries a
+    * matching NON-delete row (delete markers retain keys by design).
+    * Throws on any hit. Returns (versions scanned, feed files
+    * scanned). */
+  private def verifyForgotten(spark: SparkSession, dir: String,
+      predicate: String): (Long, Long) = {
+    val f = fs(spark, dir)
+    val vs = versions(spark, dir)
+    vs.foreach { v =>
+      val hit = readVersion(spark, dir, v).filter(expr(predicate))
+        .limit(1).count()
+      require(hit == 0L,
+        s"forget verification FAILED: retained version $v of $dir still " +
+          s"matches '$predicate'")
+    }
+    var feedFiles = 0L
+    vs.foreach { v =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/${feedDirRel(v)}")
+      if (f.exists(p)) {
+        val files = listDataFiles(spark, dir, feedDirRel(v))
+        if (files.nonEmpty) {
+          feedFiles += files.length
+          val sch = schemaOf(spark, dir, v)
+            .add("op", org.apache.spark.sql.types.StringType)
+            .add("version", org.apache.spark.sql.types.LongType)
+          val hit = spark.read.schema(sch)
+            .parquet(files.map(r => s"$dir/$r"): _*)
+            .filter(col("op") =!= "delete").filter(expr(predicate))
+            .limit(1).count()
+          require(hit == 0L,
+            s"forget verification FAILED: retained feed v$v of $dir " +
+              s"still carries attribute values matching '$predicate'")
+        }
+      }
+    }
+    (vs.length.toLong, feedFiles)
+  }
+
   /** DESCRIBE HISTORY analogue: one row per committed version, newest
     * first — writer, commit time (manifest mtime — the commit IS the
     * manifest landing), file/byte-free counts readable straight off

@@ -371,6 +371,63 @@ class VersionedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { VersionedTable.ColBound("k") }
   }
 
+  test("forget: verified erasure — bytes leave files, history, and feeds; cursors gate") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-forget").toString + "/t"
+    VersionedTable.commit(spark, dir,
+      spark.range(200).select($"id".as("k"), concat(lit("u"), $"id").as("email")),
+      -1L, "loader", clusterBy = Seq("k"), clusterFiles = 4,
+      meta = Map(VersionedTable.FeedKey -> "k"))
+    VersionedTable.merge(spark, dir,
+      spark.range(5).select(($"id" + 500).as("k"),
+        concat(lit("u"), $"id" + 500).as("email")), Seq("k"), 0L, "w")
+    val preMasked = VersionedTable.latestVersion(spark, dir)
+    val st = VersionedTable.forget(spark, dir, "k % 10 = 3", "gdpr")
+    assert(st.rowsForgotten == 21, s"got $st") // 3,13..193 plus the merged 503
+    assert(VersionedTable.versions(spark, dir).length == 2,
+      "history must collapse to the purged tip + checkpoint")
+    assert(st.versionsVerified == 2 && st.feedFilesVerified > 0)
+    // BYTE-level proof, below the mask machinery: every retained data
+    // file read RAW (no manifest, no DV) must lack the rows
+    val live = VersionedTable.liveFiles(spark, dir,
+      VersionedTable.latestVersion(spark, dir))
+    val raw = spark.read.parquet(live.map(r => s"$dir/$r"): _*)
+    assert(raw.filter($"k" % 10 === 3).count() == 0,
+      "raw file bytes must not contain forgotten rows")
+    assert(raw.count() == 205 - 21)
+    // retained feeds carry only DELETE markers for those keys (keys by
+    // design — the retraction signal), never attribute values
+    val feedSch = VersionedTable.schemaOf(spark, dir,
+        VersionedTable.latestVersion(spark, dir))
+      .add("op", org.apache.spark.sql.types.StringType)
+      .add("version", org.apache.spark.sql.types.LongType)
+    val feeds = spark.read.schema(feedSch).parquet(s"$dir/_changes/*")
+    assert(feeds.filter($"k" % 10 === 3 && $"op" =!= "delete").count() == 0)
+    assert(feeds.filter($"k" % 10 === 3 && $"email".isNotNull).count() == 0)
+    // the deleteWhere mask version itself is gone (its files held bytes)
+    assert(!VersionedTable.versions(spark, dir).contains(preMasked))
+    // idempotent: a re-run finds nothing, verifies, changes nothing
+    val st2 = VersionedTable.forget(spark, dir, "k % 10 = 3", "gdpr")
+    assert(st2.rowsForgotten == 0)
+    assert(VersionedTable.read(spark, dir).count() == 184)
+    // a registered cursor gates the erasure LOUDLY (history it shields
+    // would keep the bytes) — the masking already happened, so after
+    // the consumer is dealt with, the RE-RUN completes the erasure
+    VersionedTable.initCursor(spark, dir,
+      "etl", VersionedTable.versions(spark, dir).head)
+    val eCur = intercept[IllegalArgumentException] {
+      VersionedTable.forget(spark, dir, "k % 10 = 4", "gdpr")
+    }
+    assert(eCur.getMessage.contains("cursor"), eCur.getMessage)
+    VersionedTable.dropCursor(spark, dir, "etl")
+    VersionedTable.forget(spark, dir, "k % 10 = 4", "gdpr")
+    val live2 = VersionedTable.liveFiles(spark, dir,
+      VersionedTable.latestVersion(spark, dir))
+    assert(spark.read.parquet(live2.map(r => s"$dir/$r"): _*)
+      .filter($"k" % 10 === 4 || $"k" % 10 === 3).count() == 0,
+      "the completing re-run must finish the byte erasure")
+    assert(VersionedTable.read(spark, dir).count() == 163)
+  }
+
   test("widenColumns: metadata-only type widening — null data I/O, empty feed, stats policy") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("vt-widen").toString + "/t"
