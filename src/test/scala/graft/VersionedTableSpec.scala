@@ -371,6 +371,53 @@ class VersionedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { VersionedTable.ColBound("k") }
   }
 
+  test("metadata commits race writers safely: one wins the CAS, no torn table") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("vt-metarace").toString + "/t"
+    VersionedTable.commit(spark, dir,
+      spark.range(100).select($"id".as("k"), ($"id" * 2).as("v")),
+      -1L, "loader")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    def race(a: () => Long, b: () => Long): (Seq[Long], Seq[Throwable]) = {
+      val fs = Seq(a, b).map(f => Future {
+        gate.await()
+        try Right(f()) catch { case t: Throwable => Left(t) }
+      })
+      val rs = Await.result(Future.sequence(fs), 120.seconds)
+      (rs.collect { case Right(v) => v }, rs.collect { case Left(t) => t })
+    }
+    // addColumns vs merge, both against version 0
+    val (wins1, losses1) = race(
+      () => VersionedTable.addColumns(spark, dir,
+        Seq(StructField("w", DoubleType)), 0L, "mig"),
+      () => VersionedTable.merge(spark, dir,
+        spark.range(5).select($"id".as("k"), lit(-1L).as("v")),
+        Seq("k"), 0L, "m").version)
+    assert(wins1 == Seq(1L), s"exactly one metadata/data racer wins: $wins1")
+    assert(losses1.length == 1 &&
+      losses1.head.isInstanceOf[CommitConflict], s"loser is loud: $losses1")
+    // the table is exactly the winner's outcome, never a blend
+    val m1 = VersionedTable.readManifest(spark, dir, 1L)
+    val hasW = VersionedTable.schemaOf(spark, dir, 1L).fieldNames.contains("w")
+    if (hasW) assert(m1.files == VersionedTable.readManifest(spark, dir, 0L).files,
+      "an addColumns win must not carry the loser's data churn")
+    else assert(VersionedTable.read(spark, dir).filter($"v" === -1L).count() == 5)
+    // restore vs addColumns, both metadata-only, both against the tip
+    val tip = VersionedTable.latestVersion(spark, dir)
+    val (wins2, losses2) = race(
+      () => VersionedTable.restore(spark, dir, 0L, tip, "op",
+        allowSchemaChange = true),
+      () => VersionedTable.addColumns(spark, dir,
+        Seq(StructField("w2", DoubleType)), tip, "mig2"))
+    assert(wins2 == Seq(tip + 1), s"exactly one metadata racer wins: $wins2")
+    assert(losses2.length == 1 &&
+      losses2.head.isInstanceOf[CommitConflict], s"loser is loud: $losses2")
+    assert(VersionedTable.latestVersion(spark, dir) == tip + 1)
+  }
+
   test("forget: verified erasure — bytes leave files, history, and feeds; cursors gate") {
     val dir = java.nio.file.Files.createTempDirectory("vt-forget").toString + "/t"
     VersionedTable.commit(spark, dir,
