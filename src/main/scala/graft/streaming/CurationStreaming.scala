@@ -37,9 +37,14 @@ import org.apache.spark.sql.types._
   * Scale: state is ONE (ts, id) pair per distinct band key in the
   * watermark horizon — bounded by content diversity, not corpus size,
   * and identical to what the batch band join would shuffle. TTL-free
-  * here (tests replay finite data); production passes a TTLConfig so
-  * band ownership expires with the dedup horizon, exactly like
-  * q129's/q151's watermark-bounded dedup state. */
+  * here (tests replay finite data); production passes a TTLConfig in
+  * [[BandOwnerProcessor]]'s getValueState so band ownership expires
+  * with the dedup horizon, exactly like q129's/q151's
+  * watermark-bounded dedup state. Measured caveat for that swap-in:
+  * state TTL requires TimeMode.ProcessingTime, under which an
+  * AvailableNow REPLAY never terminates (the trigger keeps scheduling
+  * timer micro-batches) — the TTL posture belongs to continuous
+  * production triggers only, never to the replay/parity harnesses. */
 object CurationStreaming {
 
   final case class BandRow(band: Int, sig: Long, doc_id: Long, ts_ms: Long)
