@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.VersionedTable
+
+/** Model-based testing of the versioned-table substrate: random
+  * sequences of the full op surface (MERGE upserts/deletes, DV
+  * deleteWhere, metadata-only ADD COLUMN and type widening, RESTORE,
+  * OPTIMIZE compaction) are applied in lockstep to the real table and
+  * to a trivial in-memory model; after EVERY op the table must read
+  * back exactly the model, and the CDF between any executed step and
+  * the next must replay the model's delta. This is the test shape
+  * that catches cross-feature interactions no single-feature spec
+  * thinks to write (a DV mask surviving a widen, a restore landing on
+  * a pre-migration schema, compaction materializing masks mid-epoch).
+  * Seeds are fixed — failures replay deterministically. */
+class VersionedTableModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // model row: key -> (a, optional b); schema state tracked alongside
+  private type Model = Map[Long, (Long, Option[Double])]
+
+  private def readBack(dir: String, hasB: Boolean): Model = {
+    val df = VersionedTable.read(spark, dir)
+    if (hasB)
+      df.select($"k", $"a".cast("long"), $"b")
+        .as[(Long, Long, Option[Double])].collect()
+        .map { case (k, a, b) => k -> (a, b) }.toMap
+    else
+      df.select($"k", $"a".cast("long"))
+        .as[(Long, Long)].collect()
+        .map { case (k, a) => k -> (a, None: Option[Double]) }.toMap
+  }
+
+  private def toDf(rows: Seq[(Long, Long, Option[Double])],
+      aWide: Boolean, hasB: Boolean) = {
+    val base = rows.toDF("k", "a", "b")
+      .withColumn("a", if (aWide) $"a" else $"a".cast("int"))
+    if (hasB) base else base.drop("b")
+  }
+
+  test("random op sequences: table == model after every op; CDF replays each delta") {
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"vt-model-$seed").toString + "/t"
+      var hasB = false
+      var aWide = false
+      var model: Model = (0L until 30L).map(k => k -> (k * 10, None: Option[Double])).toMap
+      VersionedTable.commit(spark, dir,
+        toDf(model.toSeq.map { case (k, (a, b)) => (k, a, b) }, aWide, hasB),
+        -1L, "loader", clusterBy = Seq("k"), clusterFiles = 4)
+      // snapshots per committed version, for restore's model rollback
+      val history = scala.collection.mutable.ArrayBuffer[(Model, Boolean, Boolean)](
+        (model, hasB, aWide))
+      def tip = VersionedTable.latestVersion(spark, dir)
+      def record(): Unit = history += ((model, hasB, aWide))
+
+      (1 to 14).foreach { step =>
+        val op = rnd.nextInt(10)
+        val label: String = op match {
+          case 0 | 1 | 2 => // MERGE: upserts + randomized deletes
+            val keys = Seq.fill(1 + rnd.nextInt(6))(rnd.nextInt(40).toLong)
+            val rows = keys.distinct.map { k =>
+              val del = rnd.nextInt(4) == 0 && model.contains(k)
+              (k, rnd.nextInt(1000).toLong,
+                if (hasB && rnd.nextBoolean()) Some(rnd.nextInt(100).toDouble) else None,
+                del)
+            }
+            val ch = rows.toDF("k", "a", "b", "__del")
+              .withColumn("a", if (aWide) $"a" else $"a".cast("int"))
+            val ch2 = if (hasB) ch else ch.drop("b")
+            VersionedTable.merge(spark, dir, ch2, Seq("k"), tip, s"m$step",
+              deleteCol = Some("__del"))
+            rows.foreach { case (k, a, b, del) =>
+              if (del) model -= k else model += k -> (a, b)
+            }
+            record(); s"merge(${rows.length})"
+          case 3 | 4 => // DV delete by predicate
+            val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
+            VersionedTable.deleteWhere(spark, dir, s"k % $m = $r", tip, s"d$step")
+            val before = model.size
+            model = model.filterNot { case (k, _) => k % m == r }
+            if (model.size != before) record()
+            s"deleteWhere(k%$m=$r)"
+          case 5 if !hasB => // ADD COLUMN b
+            VersionedTable.addColumns(spark, dir,
+              Seq(StructField("b", DoubleType)), tip, s"add$step")
+            hasB = true; record(); "addColumns(b)"
+          case 6 if !aWide => // widen a INT -> LONG
+            VersionedTable.widenColumns(spark, dir,
+              Map("a" -> LongType), tip, s"wid$step")
+            aWide = true; record(); "widen(a)"
+          case 7 => // RESTORE to a random retained version
+            val to = rnd.nextInt(history.length)
+            val cur = (model, hasB, aWide)
+            if (to.toLong != tip && history(to) != cur) {
+              VersionedTable.restore(spark, dir, to.toLong, tip, s"r$step",
+                allowSchemaChange = true)
+              val (m2, h2, w2) = history(to)
+              model = m2; hasB = h2; aWide = w2
+              record()
+            }
+            s"restore($to)"
+          case 8 => // OPTIMIZE: content-invariant, no new model version
+            val st = VersionedTable.compactSmallFiles(spark, dir, tip,
+              s"opt$step", smallBytes = 1L << 20, targetFileCount = 2)
+            if (st.isDefined) record()
+            "compact"
+          case _ => // no-op probe: prunedFiles on a random bound stays sound
+            val lo = rnd.nextInt(40).toLong
+            val got = VersionedTable.readWhere(spark, dir,
+                Seq(VersionedTable.ColBound("k", Some(lo), Some(lo + 5))))
+              .filter($"k".between(lo, lo + 5))
+              .select($"k").as[Long].collect().toSet
+            assert(got == model.keySet.filter(k => k >= lo && k <= lo + 5),
+              s"seed=$seed step=$step: pruned read diverged")
+            "readWhere"
+        }
+        assert(history.length.toLong == tip + 1,
+          s"seed=$seed step=$step [$label]: model history out of sync")
+        val got = readBack(dir, hasB)
+        assert(got == model,
+          s"seed=$seed step=$step [$label]: table != model\n" +
+            s"missing=${(model.keySet -- got.keySet).toSeq.sorted}\n" +
+            s"extra=${(got.keySet -- model.keySet).toSeq.sorted}\n" +
+            s"diff=${model.keySet.intersect(got.keySet).filter(k => model(k) != got(k)).toSeq.sorted.take(5).map(k => (k, model(k), got(k)))}")
+      }
+      // the CDF between consecutive versions replays the model deltas:
+      // applying every changesBetween step to the FIRST snapshot must
+      // land on the LAST (schema changes permitting — add-only ranges)
+      (0L until tip).foreach { v =>
+        val (m1, h1, w1) = history(v.toInt)
+        val (m2, h2, w2) = history(v.toInt + 1)
+        // CDF is defined across equal schemas and add-only migrations
+        if (h1 == h2 || (!h1 && h2)) if (w1 == w2 || (!w1 && w2)) {
+          val cdf = VersionedTable.changesBetween(spark, dir, v, v + 1, Seq("k"))
+            .select($"k", $"a".cast("long"),
+              (if (h2) $"b" else lit(null).cast("double")).as("b"), $"op")
+            .as[(Long, Option[Long], Option[Double], String)].collect()
+          val replayed = cdf.foldLeft(m1) { case (m, (k, a, b, op)) =>
+            if (op == "delete") m - k else m + (k -> (a.get, b))
+          }
+          assert(replayed == m2,
+            s"seed=$seed: CDF v$v->v${v + 1} does not replay the model delta")
+        }
+      }
+    }
+  }
+}
