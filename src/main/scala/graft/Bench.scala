@@ -514,10 +514,18 @@ object Bench {
       if (streamingBroken || streamResults.isEmpty) -1.0
       else stotal / streamResults.size
     val line = f"""{"metric":"total","value":$totalOut%.3f,"unit":"sec","baseline12_sec":$base12Out%.3f,"headline_sec":$totalOut%.3f,"queries":$qjson,"streaming_sec":$stotalOut%.3f,"streaming_per_replay_sec":$perReplayOut%.3f,"streaming_floor_sec":$streamFloor%.3f,"streaming":$sjson,"failed":$fjson,"regressed":$rjson,"loadavg":"$loadavg","sf":"$sfDir"}"""
-    println(line)
-    // standalone artifact (BASELINE.md): survives any driver-side
-    // tail-parsing change — the JSON line inside a raw log tail is
-    // one parser regression away from being lost
+    // The PRINTED line must survive the driver's bounded tail capture
+    // (the r13 artifact arrived head-truncated and unparseable): stdout
+    // gets a COMPACT record — totals, the BASELINE-comparable 12-query
+    // dict, the streaming dict, failed/regressed/loadavg — that fits
+    // well inside the tail window; the full per-query dict lives in
+    // bench/results.json, which the same record points at.
+    val q12json = results.filter(r => baselineSubset.contains(r._1))
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val compact = f"""{"metric":"total","value":$totalOut%.3f,"unit":"sec","baseline12_sec":$base12Out%.3f,"headline_sec":$totalOut%.3f,"queries":$q12json,"streaming_sec":$stotalOut%.3f,"streaming_per_replay_sec":$perReplayOut%.3f,"streaming_floor_sec":$streamFloor%.3f,"streaming":$sjson,"failed":$fjson,"regressed":$rjson,"loadavg":"$loadavg","sf":"$sfDir","full":"bench/results.json"}"""
+    println(compact)
+    // standalone artifact (BASELINE.md): the FULL per-query record —
+    // survives any driver-side tail-parsing change
     try {
       val dir = java.nio.file.Paths.get("bench")
       java.nio.file.Files.createDirectories(dir)

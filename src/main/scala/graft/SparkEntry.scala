@@ -2836,12 +2836,15 @@ object SparkEntry {
         .toString + "/t"
       val cust = t(s, dir).customer.select(col("c_custkey").as("k"),
         col("c_acctbal").as("bal"))
+      // pin the in-manifest commit instants (ts= lines — authoritative
+      // for as-of since round 14; mtimes are only the legacy fallback)
+      val base = 1700000000000L
+      s.conf.set("graft.commit.clockMs", base.toString)
       require(VersionedTable.commit(s, vt, cust, -1L, "loader") == 0L)
+      s.conf.set("graft.commit.clockMs", (base + 60000).toString)
       require(VersionedTable.commit(s, vt,
         cust.withColumn("bal", col("bal") + 100), 0L, "writer") == 1L)
-      val base = 1700000000000L
-      new java.io.File(s"$vt/_log/0.manifest").setLastModified(base)
-      new java.io.File(s"$vt/_log/1.manifest").setLastModified(base + 60000)
+      s.conf.unset("graft.commit.clockMs")
       require(VersionedTable.versionAsOf(s, vt,
         new java.sql.Timestamp(base + 30000)) == 0L)
       require(VersionedTable.versionAsOf(s, vt,

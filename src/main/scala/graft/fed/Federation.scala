@@ -183,9 +183,14 @@ object Federation {
     val sb = new StringBuilder(s"version=$newV\n")
     cat.names.foreach { t =>
       cat.locations(t).zipWithIndex.foreach { case (loc, i) =>
+        // non-empty enforced at WRITE time: split-based parsing drops
+        // trailing empty tokens, so an empty uri/format would save fine
+        // and then make every subsequent loadCatalog throw — the
+        // round-trip invariant belongs at the producer
         Seq(t, loc.cluster, loc.format, loc.uri).foreach(s =>
-          require(!s.contains('\t') && !s.contains('\n'),
-            s"catalog entries must be plain tokens: $s"))
+          require(s.nonEmpty && !s.contains('\t') && !s.contains('\n'),
+            s"catalog entries must be non-empty plain tokens, got " +
+              s"'$s' in table=$t"))
         val kind = if (i == 0) "primary" else "replica"
         sb ++= s"table=$t\t$kind\t${loc.cluster}\t${loc.format}\t${loc.uri}\n"
       }
@@ -213,10 +218,15 @@ object Federation {
     finally in.close()
     val cat = new Catalog()
     body.linesIterator.filter(_.startsWith("table=")).foreach { l =>
-      l.stripPrefix("table=").split('\t') match {
-        case Array(t, "primary", c, fmt, uri) =>
+      // limit -1: trailing empty tokens (a legacy line with an empty
+      // uri) surface as the LOUD malformed-line error below instead of
+      // silently shifting fields
+      l.stripPrefix("table=").split("\t", -1) match {
+        case Array(t, "primary", c, fmt, uri)
+            if Seq(t, c, fmt, uri).forall(_.nonEmpty) =>
           cat.register(t, TableLoc(c, fmt, uri))
-        case Array(t, "replica", c, fmt, uri) =>
+        case Array(t, "replica", c, fmt, uri)
+            if Seq(t, c, fmt, uri).forall(_.nonEmpty) =>
           cat.registerReplica(t, TableLoc(c, fmt, uri))
         case other =>
           throw new IllegalStateException(

@@ -100,7 +100,8 @@ object VersionedTable {
       legacyDataDir: Option[String],
       stats: Map[String, Map[String, (String, String)]] = Map.empty,
       meta: Map[String, String] = Map.empty,
-      dv: Map[String, (String, Long)] = Map.empty)
+      dv: Map[String, (String, Long)] = Map.empty,
+      committedAtMs: Option[Long] = None)
 
   /** Receipt for a delta commit — the q198 "bytes written < 5% of
     * table" claim is checked from these numbers, not from trust. */
@@ -178,7 +179,8 @@ object VersionedTable {
           case Array(rel, dvRel, n) => n.toLongOption.map(c => rel -> (dvRel, c))
           case _                    => None
         }
-      }.toMap)
+      }.toMap,
+      committedAtMs = one("ts").flatMap(_.toLongOption))
   }
 
   /** Data files (dir-relative paths) under a staging dir — parquet
@@ -343,23 +345,28 @@ object VersionedTable {
   }
 
   /** TIMESTAMP AS OF: the latest version committed at or before `ts`.
-    * The commit instant is the manifest file's mtime — the CAS makes
-    * the manifest appear atomically, so its mtime IS the moment the
-    * version became readable. Non-monotone mtimes (a storage clock
-    * hiccup between writers) are canonicalized with a running max in
-    * version order, the Delta discipline: the version→time mapping a
-    * reader resolves through is always monotone, so "as of T" has
-    * exactly one answer. Refuses when the table's first commit is
-    * after `ts`. */
+    * The commit instant is the manifest's own `ts=` line (stamped at
+    * commit time — authoritative, survives distcp/object-store copies
+    * and backup restores that rewrite file mtimes); manifests written
+    * before the stamp existed fall back to their file mtime. Instants
+    * are canonicalized with a running max in version order (the Delta
+    * discipline): the version→time mapping a reader resolves through
+    * is always monotone, so "as of T" has exactly one answer and a
+    * clock hiccup between writers delays visibility, never reorders.
+    * Refuses when the table's first commit is after `ts`; with
+    * `strict = true` also refuses a `ts` AFTER the latest commit
+    * instead of silently resolving to latest — the stale-clock guard
+    * for callers that expect their timestamp to lie within history. */
   def versionAsOf(spark: SparkSession, dir: String,
-      ts: java.sql.Timestamp): Long = {
+      ts: java.sql.Timestamp, strict: Boolean = false): Long = {
     val f = fs(spark, dir)
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no committed versions under $dir")
     var run = Long.MinValue
     val stamped = vs.map { v =>
-      run = math.max(run,
+      val instant = readManifest(spark, dir, v).committedAtMs.getOrElse(
         f.getFileStatus(manifestPath(dir, v)).getModificationTime)
+      run = math.max(run, instant)
       (v, run)
     }
     val eligible = stamped.filter(_._2 <= ts.getTime)
@@ -368,13 +375,18 @@ object VersionedTable {
         s"(${new java.sql.Timestamp(stamped.head._2)}) is after $ts — " +
         "nothing existed to read (or retention expired the versions " +
         "that did)")
+    require(!strict || ts.getTime <= stamped.last._2,
+      s"readAsOf $dir (strict): $ts is after the latest commit " +
+        s"(${new java.sql.Timestamp(stamped.last._2)}) — refusing " +
+        "instead of resolving to latest; a timestamp beyond history " +
+        "usually means a stale caller clock")
     eligible.last._1
   }
 
   /** [[readVersion]] resolved through [[versionAsOf]]. */
   def readAsOf(spark: SparkSession, dir: String,
-      ts: java.sql.Timestamp): DataFrame =
-    readVersion(spark, dir, versionAsOf(spark, dir, ts))
+      ts: java.sql.Timestamp, strict: Boolean = false): DataFrame =
+    readVersion(spark, dir, versionAsOf(spark, dir, ts, strict))
 
   // ──────────────── data skipping over manifest stats (round 12) ────────────────
   //
@@ -836,17 +848,31 @@ object VersionedTable {
       new org.apache.hadoop.fs.Path(s"${logDir(dir)}/.tmp-$writerId-$newV"),
       body)
 
+  /** The instant a commit stamps into its manifest (`ts=` line) — the
+    * AUTHORITATIVE commit time [[versionAsOf]] resolves through.
+    * Manifest file mtimes are only the legacy fallback: file-level
+    * copies/migrations (distcp, object-store copy, backup restore)
+    * rewrite mtimes, silently re-basing time travel onto copy times;
+    * an in-manifest instant survives any byte-preserving move (the
+    * Delta in-commit-timestamp shape). Tests pin it via the session
+    * conf `graft.commit.clockMs` for deterministic as-of resolution. */
+  private def commitClock(spark: SparkSession): Long =
+    spark.conf.getOption("graft.commit.clockMs")
+      .flatMap(_.toLongOption).getOrElse(System.currentTimeMillis())
+
   private def manifestBody(newV: Long, parent: Long, writerId: String,
       schema: org.apache.spark.sql.types.StructType,
       stagingDir: Option[String], files: Seq[String],
       removed: Seq[String],
       stats: Map[String, Map[String, (String, String)]] = Map.empty,
       meta: Map[String, String] = Map.empty,
-      dv: Map[String, (String, Long)] = Map.empty): String = {
+      dv: Map[String, (String, Long)] = Map.empty,
+      tsMs: Long = -1L): String = {
     val b64 = java.util.Base64.getEncoder
       .encodeToString(schema.json.getBytes("UTF-8"))
     val sb = new StringBuilder
     sb ++= s"version=$newV\nparent=$parent\nwriter=$writerId\nschema=$b64\n"
+    if (tsMs >= 0L) sb ++= s"ts=$tsMs\n"
     // commit provenance (stream batch markers, job ids): opaque kv
     // pairs that ride the atomic CAS — the exactly-once hook
     meta.toSeq.sortBy(_._1).foreach { case (k2, v2) =>
@@ -1099,11 +1125,15 @@ object VersionedTable {
     // a tiny snapshot coalesces to few files); an explicit count pins
     // the layout (AQE never overrides user-specified partition counts)
     val toWrite = clusterShape(df, clusterBy, clusterMode, clusterFiles)
+    // the mode is ALWAYS written when clusterBy is given — "range" is
+    // written explicitly so a commit re-declaring clustering OVERRIDES
+    // an inherited cluster.mode=zorder instead of silently keeping it
+    // (declared vs actual layout must never diverge: this commit's
+    // files are range-shaped, and merges re-apply the declared mode)
     val metaWithCluster =
       if (clusterBy.isEmpty) meta
-      else meta + (ClusterKey -> clusterBy.mkString(",")) ++
-        (if (clusterMode == "range") Map.empty
-         else Map(ClusterModeKey -> clusterMode))
+      else meta + (ClusterKey -> clusterBy.mkString(",")) +
+        (ClusterModeKey -> clusterMode)
     val effStatsCols =
       if (clusterBy.nonEmpty && statsCols.isEmpty && parentStats.isEmpty)
         Some(clusterBy)
@@ -1120,7 +1150,7 @@ object VersionedTable {
       resolveStatsCols(effStatsCols, parentStats, df.schema))
     val body = manifestBody(newV, expectedVersion, writerId, df.schema,
       Some(dataRel), staged, removed = parentLive, stats = stats,
-      meta = effMeta)
+      meta = effMeta, tsMs = commitClock(spark))
     if (!casManifest(spark, dir, newV, writerId, body)) {
       f.delete(dataPath, true)
       throw new CommitConflict(
@@ -1209,7 +1239,7 @@ object VersionedTable {
     val dvKept = parentM.dv.filter { case (rel, _) => newLiveSet(rel) }
     val body = manifestBody(newV, expectedVersion, writerId, schema,
       adds.map(_ => dataRel), newLive, removed = removeFiles, stats = stats,
-      meta = effMeta, dv = dvKept)
+      meta = effMeta, dv = dvKept, tsMs = commitClock(spark))
     if (!casManifest(spark, dir, newV, writerId, body)) {
       if (staged.nonEmpty) f.delete(dataPath, true)
       throw new CommitConflict(
@@ -1282,7 +1312,8 @@ object VersionedTable {
     val body = manifestBody(newV, expectedVersion, writerId, evolved,
       stagingDir = None, files = live, removed = Seq.empty,
       stats = m.stats, dv = m.dv,
-      meta = expectMeta(spark, dir, expectedVersion, Map.empty, Map.empty))
+      meta = expectMeta(spark, dir, expectedVersion, Map.empty, Map.empty),
+      tsMs = commitClock(spark))
     if (!casManifest(spark, dir, newV, writerId, body))
       throw new CommitConflict(
         s"addColumns on $dir: lost the race for version $newV — " +
@@ -1366,7 +1397,8 @@ object VersionedTable {
     val body = manifestBody(newV, expectedVersion, writerId, evolved,
       stagingDir = None, files = live, removed = Seq.empty,
       stats = stats, dv = m.dv,
-      meta = expectMeta(spark, dir, expectedVersion, Map.empty, Map.empty))
+      meta = expectMeta(spark, dir, expectedVersion, Map.empty, Map.empty),
+      tsMs = commitClock(spark))
     if (!casManifest(spark, dir, newV, writerId, body))
       throw new CommitConflict(
         s"widenColumns on $dir: lost the race for version $newV — " +
@@ -1417,7 +1449,8 @@ object VersionedTable {
       removed = curLive.filterNot(liveSet),
       stats = tgt.stats.filter { case (rel, _) => liveSet(rel) },
       dv = tgt.dv.filter { case (rel, _) => liveSet(rel) },
-      meta = expectMeta(spark, dir, expectedVersion, Map.empty, expectations))
+      meta = expectMeta(spark, dir, expectedVersion, Map.empty, expectations),
+      tsMs = commitClock(spark))
     if (!casManifest(spark, dir, newV, writerId, body))
       throw new CommitConflict(
         s"restore on $dir: lost the race for version $newV — " +
@@ -1852,7 +1885,7 @@ object VersionedTable {
     val body = manifestBody(newV, expectedVersion, writerId, schema,
       stagingDir = None, files = newLive,
       removed = droppedSet.toSeq.sorted, stats = stats, meta = effMeta,
-      dv = dvNew)
+      dv = dvNew, tsMs = commitClock(spark))
     if (!casManifest(spark, dir, newV, writerId, body)) {
       f.delete(dvPath, true)
       throw new CommitConflict(
@@ -2069,7 +2102,7 @@ object VersionedTable {
       srcM.schema.getOrElse(schemaOf(spark, srcDir, srcV)),
       stagingDir = None, files = srcLive,
       removed = dstPrevLive.filterNot(srcLive.toSet), stats = srcM.stats,
-      meta = srcM.meta, dv = srcM.dv)
+      meta = srcM.meta, dv = srcM.dv, tsMs = commitClock(spark))
     if (!casManifest(spark, dstDir, newV, writerId, body))
       throw new CommitConflict(
         s"replicate to $dstDir: lost the race for version $newV — a " +
@@ -2093,14 +2126,34 @@ object VersionedTable {
     val name = replicaCursorName(dstDir)
     try {
       cursorVersion(spark, srcDir, name) match {
-        case None => initCursor(spark, srcDir, name, srcV)
+        case None =>
+          try initCursor(spark, srcDir, name, srcV)
+          catch {
+            // ONLY the already-exists init race is benign — a racing
+            // replicator of the same destination created the cursor
+            // between our check and the init. Re-check, then fall
+            // through to the ack path so OUR srcV still lands (the
+            // racer may have advanced less far). Any other
+            // IllegalArgumentException (srcV not committed, bad
+            // writer id) is a real bug and must surface: swallowing
+            // it would silently skip creating the replica-lag cursor
+            // that expire()/forget() retention safety depends on.
+            case e: IllegalArgumentException =>
+              cursorVersion(spark, srcDir, name) match {
+                case Some(cur) if cur < srcV =>
+                  ackChanges(spark, srcDir, name, cur, srcV)
+                case Some(_) => ()
+                case None => throw e
+              }
+          }
         case Some(cur) if cur < srcV =>
           ackChanges(spark, srcDir, name, cur, srcV)
         case _ => ()
       }
     } catch {
+      // a lost ack CAS means the other instance advanced at least as
+      // far — benign by the cursor's monotonicity
       case _: CommitConflict => ()
-      case _: IllegalArgumentException => () // lost the init race
     }
   }
 
@@ -2417,8 +2470,8 @@ object VersionedTable {
           liveFiles(spark, dir, m.parent).toSet
         else Set.empty
       val live = liveFiles(spark, dir, v)
-      val ts = new java.sql.Timestamp(
-        f.getFileStatus(manifestPath(dir, v)).getModificationTime)
+      val ts = new java.sql.Timestamp(m.committedAtMs.getOrElse(
+        f.getFileStatus(manifestPath(dir, v)).getModificationTime))
       val metaStr = m.meta.toSeq.sorted
         .map { case (k, v2) => s"$k=$v2" }.mkString("; ")
       (v, m.parent, m.writer, ts, live.length.toLong,

@@ -790,8 +790,30 @@ object PigCompiler {
             case Some(v) =>
               graft.operators.VersionedTable.readVersion(spark, path, v)
             case None =>
-              graft.operators.VersionedTable.readAsOf(spark, path,
-                java.sql.Timestamp.valueOf(a))
+              // normalize the common timestamp shapes before
+              // Timestamp.valueOf (which only accepts
+              // 'yyyy-[m]m-[d]d hh:mm:ss[.f…]'): a date-only argument
+              // means midnight, an ISO-8601 'T' separator is a space.
+              // Failures get a positioned, two-forms error instead of
+              // a bare IllegalArgumentException with no context.
+              val norm = a.trim match {
+                case d if d.matches("""\d{4}-\d{1,2}-\d{1,2}""") =>
+                  s"$d 00:00:00"
+                case t if t.matches("""\d{4}-\d{1,2}-\d{1,2}T.*""") =>
+                  t.replaceFirst("T", " ").stripSuffix("Z")
+                case other => other
+              }
+              val ts =
+                try java.sql.Timestamp.valueOf(norm)
+                catch {
+                  case _: IllegalArgumentException =>
+                    throw new IllegalArgumentException(
+                      s"LOAD '$path' USING VersionedStorage('$a'): the " +
+                        "argument must be either a version number " +
+                        "('7') or a timestamp ('yyyy-MM-dd[ HH:mm:ss]'" +
+                        " / ISO-8601 'T' form) for TIMESTAMP AS OF")
+                }
+              graft.operators.VersionedTable.readAsOf(spark, path, ts)
           }
         }
       case ("hbasestorage", args) =>

@@ -1068,9 +1068,17 @@ class PigScriptSpec extends SparkSpec {
           A = FOREACH T GENERATE k, price;""")
     assert(latest.agg(sum(col("price"))).head.getDouble(0) >
       v0.agg(sum(col("price"))).head.getDouble(0) + n - 1)
+    // re-pin the in-manifest commit instants (ts= is authoritative for
+    // as-of since round 14; mtimes are only the legacy fallback): the
+    // commits above already happened, so rewrite their ts= lines
     val base = 1700000000000L
-    new java.io.File(s"$vt/_log/0.manifest").setLastModified(base)
-    new java.io.File(s"$vt/_log/1.manifest").setLastModified(base + 60000)
+    Seq(0L -> base, 1L -> (base + 60000)).foreach { case (v, ms) =>
+      val p = java.nio.file.Paths.get(s"$vt/_log/$v.manifest")
+      val body = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .linesIterator.map(l => if (l.startsWith("ts=")) s"ts=$ms" else l)
+        .mkString("\n") + "\n"
+      java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+    }
     // render the instant in the JVM's own zone so Timestamp.valueOf
     // inverts it exactly regardless of the container's TZ
     val tsStr = new java.sql.Timestamp(base + 30000).toString

@@ -647,14 +647,20 @@ class VersionedTableSpec extends SparkSpec {
 
   test("readAsOf: timestamp time travel, monotone under clock hiccups, refuses pre-birth") {
     val dir = java.nio.file.Files.createTempDirectory("vt-asof").toString + "/t"
-    VersionedTable.commit(spark, dir, df("a", 3), -1L, "w")
-    VersionedTable.commit(spark, dir, df("b", 5), 0L, "w")
-    VersionedTable.commit(spark, dir, df("c", 7), 1L, "w")
     // pin distinct commit instants deterministically (no sleeps): the
-    // manifest mtime IS the commit time the reader resolves through
-    def mpath(v: Long) = new java.io.File(s"$dir/_log/$v.manifest")
+    // manifest's in-commit `ts=` line IS the commit time the reader
+    // resolves through (authoritative — survives mtime-rewriting
+    // copies); graft.commit.clockMs pins it per commit
     val base = 1700000000000L
-    Seq(0L, 1L, 2L).foreach(v => mpath(v).setLastModified(base + v * 60000))
+    def commitAt(ms: Long)(body: => Unit): Unit = {
+      spark.conf.set("graft.commit.clockMs", ms.toString)
+      try body finally spark.conf.unset("graft.commit.clockMs")
+    }
+    commitAt(base)(VersionedTable.commit(spark, dir, df("a", 3), -1L, "w"))
+    commitAt(base + 60000)(
+      VersionedTable.commit(spark, dir, df("b", 5), 0L, "w"))
+    commitAt(base + 2 * 60000)(
+      VersionedTable.commit(spark, dir, df("c", 7), 1L, "w"))
     def at(ms: Long) =
       VersionedTable.versionAsOf(spark, dir, new java.sql.Timestamp(ms))
     assert(at(base) == 0L)
@@ -663,16 +669,54 @@ class VersionedTableSpec extends SparkSpec {
     assert(at(base + 10 * 60000) == 2L)
     assert(VersionedTable.readAsOf(spark, dir,
       new java.sql.Timestamp(base + 60000)).count() == 5)
+    // the instant must be the IN-MANIFEST one, not the file mtime: a
+    // distcp/backup-restore rewrites mtimes — resolution must not move
+    new java.io.File(s"$dir/_log/1.manifest").setLastModified(base + 9 * 60000)
+    assert(at(base + 60000) == 1L,
+      "as-of must resolve through ts=, not the (rewritten) mtime")
     // before the first commit: loud refusal, not an empty read
     val e = intercept[IllegalArgumentException] { at(base - 1) }
     assert(e.getMessage.contains("after"), e.getMessage)
-    // clock hiccup: v1's mtime lands AFTER v2's — the running-max
+    // strict mode: a timestamp AFTER the latest commit refuses instead
+    // of silently resolving to latest (the stale-clock guard)
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.versionAsOf(spark, dir,
+        new java.sql.Timestamp(base + 10 * 60000), strict = true)
+    }
+    assert(e2.getMessage.contains("strict"), e2.getMessage)
+    assert(VersionedTable.versionAsOf(spark, dir,
+      new java.sql.Timestamp(base + 2 * 60000), strict = true) == 2L)
+  }
+
+  test("readAsOf: clock hiccup between writers delays visibility, never reorders; legacy manifests fall back to mtime") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-asof2").toString + "/t"
+    val base = 1700000000000L
+    def commitAt(ms: Long)(body: => Unit): Unit = {
+      spark.conf.set("graft.commit.clockMs", ms.toString)
+      try body finally spark.conf.unset("graft.commit.clockMs")
+    }
+    // hiccup: v1's wall clock lands AFTER v2's — the running-max
     // canonicalization keeps the mapping monotone (asking for v2's
     // instant must never resolve to the OLDER v1)
-    mpath(1L).setLastModified(base + 3 * 60000)
+    commitAt(base)(VersionedTable.commit(spark, dir, df("a", 3), -1L, "w"))
+    commitAt(base + 3 * 60000)(
+      VersionedTable.commit(spark, dir, df("b", 5), 0L, "w"))
+    commitAt(base + 2 * 60000)(
+      VersionedTable.commit(spark, dir, df("c", 7), 1L, "w"))
+    def at(ms: Long) =
+      VersionedTable.versionAsOf(spark, dir, new java.sql.Timestamp(ms))
     assert(at(base + 2 * 60000) == 0L,
       "a hiccup must delay visibility, never reorder versions")
     assert(at(base + 3 * 60000) == 2L)
+    // legacy fallback: strip v1's ts= line (a pre-round-14 manifest) —
+    // resolution falls back to its mtime, canonicalized the same way
+    val m1 = java.nio.file.Paths.get(s"$dir/_log/1.manifest")
+    val stripped = new String(java.nio.file.Files.readAllBytes(m1), "UTF-8")
+      .linesIterator.filterNot(_.startsWith("ts=")).mkString("\n") + "\n"
+    java.nio.file.Files.write(m1, stripped.getBytes("UTF-8"))
+    m1.toFile.setLastModified(base + 60000)
+    assert(at(base + 60000) == 1L,
+      "a manifest without ts= must resolve through its mtime")
   }
 
   test("prunedFiles: distributed branch is order- and content-identical to the driver loop") {
