@@ -2796,6 +2796,62 @@ object SparkEntry {
     //     and the restore's own change feed UNDOES the rolled-back
     //     churn (require()'d). The oracle replays the restored state:
     //     the original orders projection. ---
+    // --- optimistic rebase (round 14): writer A plans a merge-shaped
+    //     rewrite of the LOW-key files at v0; writer B (a DV delete on
+    //     the HIGH band) commits first. A's commitDelta arrives with a
+    //     superseded expectedVersion and a rebase budget — the conflict
+    //     analysis finds B logically disjoint (A's files untouched, B
+    //     added nothing inside A's key bounds), re-stamps A's staged
+    //     files onto the new parent, and A lands as v2 WITHOUT redoing
+    //     its write. The CDF of the rebased commit is require()'d to be
+    //     exactly A's logical change set (carried-along rows cancel) —
+    //     "rebased commits replay identically". The oracle replays the
+    //     serial result. ---
+    "q252_rebase_commit" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val vt = java.nio.file.Files.createTempDirectory("graft_rb_q252_")
+        .toString + "/t"
+      val ord = t(s, dir).orders.select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("pr"), col("o_totalprice").as("price"))
+      require(VersionedTable.commit(s, vt, ord, -1L, "loader",
+        clusterBy = Seq("k"), clusterFiles = 16) == 0L)
+      val maxK = ord.agg(max(col("k"))).head.getLong(0)
+      val loQ = maxK / 8
+      val hiQ = maxK * 7 / 8
+      // A PLANS at v0: the files that can hold k <= loQ, rewritten with
+      // pr suffixed for k%3=0 (other rows carried along verbatim)
+      val aFiles = VersionedTable.prunedFiles(s, vt, 0L,
+        Seq(VersionedTable.ColBound("k", None, Some(loQ))))._1
+      require(aFiles.nonEmpty &&
+        aFiles.length < VersionedTable.liveFiles(s, vt, 0L).length,
+        "q252: the low band must prune to a strict file subset")
+      val aRows = s.read.parquet(aFiles.map(r => s"$vt/$r"): _*)
+        .withColumn("pr", when(col("k") <= loQ && col("k") % 3 === 0,
+          concat(col("pr"), lit("!"))).otherwise(col("pr")))
+      // B commits FIRST: scattered delete in the high band (DV mask on
+      // the top files — no path changes, no adds)
+      val b = VersionedTable.deleteWhere(s, vt,
+        s"k > $hiQ AND k % 9 = 2", 0L, "wB")
+      require(b.version == 1L && b.rowsDeleted > 0,
+        s"q252: B must land first and mask rows: $b")
+      // A arrives stale with a rebase budget: must land as v2
+      val a = VersionedTable.commitDelta(s, vt,
+        Some(aRows.coalesce(aFiles.length)), aFiles, 0L, "wA",
+        readSet = aFiles,
+        readBounds = Seq(VersionedTable.ColBound("k", None, Some(loQ))),
+        readsTable = true, rebaseAttempts = 2)
+      require(a.version == 2L, s"q252: A must rebase onto B and land: $a")
+      // the rebased commit's CDF is exactly A's logical change set
+      val cdf = VersionedTable.changesBetween(s, vt, 1L, 2L, Seq("k"))
+        .select(col("k"), col("pr"), col("price"), col("op"))
+      val expect = ord.filter(col("k") <= loQ && col("k") % 3 === 0)
+        .select(col("k"), concat(col("pr"), lit("!")).as("pr"),
+          col("price"), lit("update").as("op"))
+      require(cdf.exceptAll(expect).isEmpty && expect.exceptAll(cdf).isEmpty,
+        "q252: the rebased commit must replay as exactly its own change")
+      VersionedTable.read(s, vt)
+    }),
+
     "q243_restore" -> ((s, dir) => {
       import graft.operators.VersionedTable
       val vt = java.nio.file.Files.createTempDirectory("graft_rst_q243_")
@@ -7024,6 +7080,20 @@ object SparkEntry {
     "q244_zorder_table" ->
       """SELECT l_suppkey AS sk, l_partkey AS pk, l_quantity AS qty
          FROM lineitem WHERE l_suppkey <= 5 AND l_partkey <= 100""",
+
+    // rebased serial result: high-band scattered delete (writer B) +
+    // low-band pr suffix for k%3=0 (writer A, landed via rebase)
+    "q252_rebase_commit" ->
+      """WITH q AS (SELECT CAST(FLOOR(MAX(o_orderkey) / 8.0) AS BIGINT) AS lo,
+                           CAST(FLOOR(MAX(o_orderkey) * 7 / 8.0) AS BIGINT) AS hi
+                    FROM orders)
+         SELECT o_orderkey AS k,
+                CASE WHEN o_orderkey <= lo AND o_orderkey % 3 = 0
+                     THEN o_orderpriority || '!'
+                     ELSE o_orderpriority END AS pr,
+                o_totalprice AS price
+         FROM orders, q
+         WHERE NOT (o_orderkey > hi AND o_orderkey % 9 = 2)""",
 
     // RESTORE rolls the bad merge back: the table reads as v0 again
     "q243_restore" ->

@@ -101,7 +101,8 @@ object VersionedTable {
       stats: Map[String, Map[String, (String, String)]] = Map.empty,
       meta: Map[String, String] = Map.empty,
       dv: Map[String, (String, Long)] = Map.empty,
-      committedAtMs: Option[Long] = None)
+      committedAtMs: Option[Long] = None,
+      colmap: Map[String, String] = Map.empty)
 
   /** Receipt for a delta commit — the q198 "bytes written < 5% of
     * table" claim is checked from these numbers, not from trust. */
@@ -180,7 +181,60 @@ object VersionedTable {
           case _                    => None
         }
       }.toMap,
-      committedAtMs = one("ts").flatMap(_.toLongOption))
+      committedAtMs = one("ts").flatMap(_.toLongOption),
+      colmap = all("colmap").flatMap { line =>
+        line.split('\t') match {
+          case Array(lg, ph) => Some(lg -> ph)
+          case _             => None
+        }
+      }.toMap)
+  }
+
+  // ─────────── column mapping: rename as metadata (round 14) ───────────
+  //
+  // The Delta column-mapping idea at its smallest: the manifest SCHEMA
+  // carries the table's LOGICAL column names; `colmap=` lines map each
+  // logical name to the PHYSICAL name stored in the parquet files
+  // (identity entries omitted — a table that never renamed has an
+  // empty map and zero behavior change). Physical names are STICKY:
+  // assigned when a column first appears and never changed, so every
+  // data file and feed file ever written — before or after any number
+  // of renames — carries the same physical name for the same column.
+  // RENAME COLUMN is then a manifest-only commit: readers pin the
+  // physical schema and alias back to logical; writers rename
+  // logical→physical right before the parquet write; the change feed
+  // and CDF match columns by physical identity ACROSS the rename, so
+  // cursors, views, and streams survive it with no `_RESET` gap.
+  // Drops and type changes remain full rewrites (documented).
+
+  private def physName(colmap: Map[String, String], logical: String): String =
+    colmap.getOrElse(logical, logical)
+
+  /** The schema as stored in the parquet files: logical fields renamed
+    * to their physical names. */
+  private def physSchema(schema: org.apache.spark.sql.types.StructType,
+      colmap: Map[String, String]): org.apache.spark.sql.types.StructType =
+    if (colmap.isEmpty) schema
+    else org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+      f.copy(name = physName(colmap, f.name))))
+
+  /** Rename a frame's columns logical→physical for writing. */
+  private def toPhysical(df: DataFrame,
+      colmap: Map[String, String]): DataFrame =
+    if (colmap.isEmpty) df
+    else df.select(df.columns.map(c =>
+      col(s"`$c`").as(physName(colmap, c))).toSeq: _*)
+
+  /** Read `rels` with the physical schema pinned and alias back to the
+    * logical names — the raw (mask-free) physical→logical read. */
+  private def readPhysical(spark: SparkSession, dir: String,
+      rels: Seq[String], schema: org.apache.spark.sql.types.StructType,
+      colmap: Map[String, String]): DataFrame = {
+    val raw = spark.read.schema(physSchema(schema, colmap))
+      .parquet(rels.map(rel => s"$dir/$rel"): _*)
+    if (colmap.isEmpty) raw
+    else raw.select(schema.fields.map(f =>
+      col(s"`${physName(colmap, f.name)}`").as(f.name)).toSeq: _*)
   }
 
   /** Data files (dir-relative paths) under a staging dir — parquet
@@ -280,11 +334,13 @@ object VersionedTable {
   private def readFilesWithRowId(spark: SparkSession, dir: String,
       m: Manifest, rels: Seq[String],
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val base = spark.read.schema(schema)
+    val raw = spark.read.schema(physSchema(schema, m.colmap))
       .parquet(rels.map(rel => s"$dir/$rel"): _*)
-      .withColumn("__graft_rel",
-        regexp_extract(col("_metadata.file_path"), FileRelPattern, 0))
-      .withColumn("__graft_pos", col("_metadata.row_index"))
+    val base = raw.select(schema.fields.map(f =>
+      col(s"`${physName(m.colmap, f.name)}`").as(f.name)) ++ Seq(
+      regexp_extract(col("_metadata.file_path"), FileRelPattern, 0)
+        .as("__graft_rel"),
+      col("_metadata.row_index").as("__graft_pos")): _*)
     val masked = rels.flatMap(r => m.dv.get(r).map(r -> _))
     if (masked.isEmpty) base
     else {
@@ -314,7 +370,7 @@ object VersionedTable {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else if (rels.forall(r => !m.dv.contains(r)))
-      spark.read.schema(schema).parquet(rels.map(rel => s"$dir/$rel"): _*)
+      readPhysical(spark, dir, rels, schema, m.colmap)
     else readFilesWithRowId(spark, dir, m, rels, schema)
       .drop("__graft_rel", "__graft_pos")
 
@@ -503,27 +559,32 @@ object VersionedTable {
     *     unexpected physical type, NaN) → NO entry: the file is
     *     never pruned on that column. */
   private def collectStats(spark: SparkSession, dir: String,
-      rels: Seq[String], colDomains: Seq[(String, Char)])
+      rels: Seq[String], colDomains: Seq[(String, Char)],
+      colmap: Map[String, String] = Map.empty)
       : Map[String, Map[String, (String, String)]] = {
     if (rels.isEmpty || colDomains.isEmpty) return Map.empty
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val dirStr = dir
+    // stats stay LOGICAL-keyed in the manifest; footers hold PHYSICAL
+    // column names — translate on the way in, key by logical on the
+    // way out (renames re-key the manifest entries, nothing else)
+    val triples = colDomains.map { case (c, d) => (c, physName(colmap, c), d) }
     val slices = math.max(1, math.min(rels.length, 64))
     spark.sparkContext.parallelize(rels, slices).map { rel =>
-      rel -> fileFooterStats(conf.value, s"$dirStr/$rel", colDomains)
+      rel -> fileFooterStats(conf.value, s"$dirStr/$rel", triples)
     }.collect().toMap // O(files × cols) encodings — manifest-sized metadata
   }
 
   private def fileFooterStats(conf: org.apache.hadoop.conf.Configuration,
-      path: String, colDomains: Seq[(String, Char)])
+      path: String, colDomains: Seq[(String, String, Char)])
       : Map[String, (String, String)] = {
     import scala.jdk.CollectionConverters._
     val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
       conf, new org.apache.hadoop.fs.Path(path),
       org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
     val blocks = footer.getBlocks.asScala.toSeq
-    colDomains.flatMap { case (name, domain) =>
+    colDomains.flatMap { case (name, phys, domain) =>
       var usable = true
       var sawValue = false
       var mn: Any = null
@@ -537,7 +598,7 @@ object VersionedTable {
       }
       blocks.foreach { block =>
         if (usable) block.getColumns.asScala
-          .find(_.getPath.toDotString == name) match {
+          .find(_.getPath.toDotString == phys) match {
           case None => usable = false
           case Some(cc) =>
             val st = cc.getStatistics
@@ -596,6 +657,24 @@ object VersionedTable {
     * can possibly match, resolved purely from the manifest — plus the
     * total live count as the skipping receipt. Files without usable
     * stats for a bounded column are KEPT (conservative). */
+  /** Pre-encode range bounds in their columns' stat domains; a bound
+    * on a column the schema lacks (or an unsupported type) encodes to
+    * nothing — it never prunes, and consumers treat the loss
+    * conservatively. */
+  private def encodeBounds(
+      schema: Option[org.apache.spark.sql.types.StructType],
+      bounds: Seq[ColBound]): Seq[(String, Char, Option[Any], Option[Any])] =
+    schema match {
+      case None => Seq.empty
+      case Some(sch) => bounds.flatMap { b =>
+        sch.fields.find(_.name == b.col)
+          .flatMap(f => statDomain(f.dataType))
+          .map(d => (b.col, d,
+            b.lower.map(boundValue(d, b.col, _)),
+            b.upper.map(boundValue(d, b.col, _))))
+      }
+    }
+
   def prunedFiles(spark: SparkSession, dir: String, v: Long,
       bounds: Seq[ColBound]): (Seq[String], Int) = {
     require(bounds.nonEmpty, "at least one bound (or use readVersion)")
@@ -603,16 +682,7 @@ object VersionedTable {
     val live = liveFiles(spark, dir, v)
     val schema = m.schema
     if (m.stats.isEmpty || schema.isEmpty) return (live, live.length)
-    // pre-encode each bound in its column's domain; a bound on a
-    // column the schema lacks (or an unsupported type) never prunes
-    val encoded: Seq[(String, Char, Option[Any], Option[Any])] =
-      bounds.flatMap { b =>
-        schema.get.fields.find(_.name == b.col)
-          .flatMap(f => statDomain(f.dataType))
-          .map(d => (b.col, d,
-            b.lower.map(boundValue(d, b.col, _)),
-            b.upper.map(boundValue(d, b.col, _))))
-      }
+    val encoded = encodeBounds(schema, bounds)
     val kept =
       if (live.length <= driverPruneFiles(spark))
         live.filter(rel =>
@@ -867,12 +937,22 @@ object VersionedTable {
       stats: Map[String, Map[String, (String, String)]] = Map.empty,
       meta: Map[String, String] = Map.empty,
       dv: Map[String, (String, Long)] = Map.empty,
-      tsMs: Long = -1L): String = {
+      tsMs: Long = -1L,
+      colmap: Map[String, String] = Map.empty): String = {
     val b64 = java.util.Base64.getEncoder
       .encodeToString(schema.json.getBytes("UTF-8"))
     val sb = new StringBuilder
     sb ++= s"version=$newV\nparent=$parent\nwriter=$writerId\nschema=$b64\n"
     if (tsMs >= 0L) sb ++= s"ts=$tsMs\n"
+    // logical→physical column mapping (identity entries never written)
+    colmap.toSeq.sortBy(_._1).foreach { case (lg, ph) =>
+      if (lg != ph) {
+        require(!lg.contains('\t') && !lg.contains('\n') &&
+            !ph.contains('\t') && !ph.contains('\n'),
+          s"colmap entries must be plain tokens: $lg -> $ph")
+        sb ++= s"colmap=$lg\t$ph\n"
+      }
+    }
     // commit provenance (stream batch markers, job ids): opaque kv
     // pairs that ride the atomic CAS — the exactly-once hook
     meta.toSeq.sortBy(_._1).foreach { case (k2, v2) =>
@@ -1162,97 +1242,249 @@ object VersionedTable {
     newV
   }
 
+  // ───────── optimistic concurrency: rebase on logical disjointness (round 14) ─────────
+  //
+  // Single-winner CAS is correct but expensive on a busy table: a
+  // streaming MERGE, a compaction, a DV delete, and a view refresh all
+  // racing means every loser redoes its ENTIRE write. The fix is the
+  // Delta/Iceberg conflict-detection design: a loser whose staged
+  // commit is LOGICALLY DISJOINT from the winner's — the winner
+  // touched none of the files the loser read or rewrites, changed no
+  // schema/declaration, and (for predicate-scoped ops) added no file
+  // that could contain rows in the loser's read scope — re-stamps its
+  // already-staged files onto the new parent and retries the CAS,
+  // with zero data rewritten. Overlapping commits still lose loudly:
+  // rebase is an optimization of the conflict-free case, never a
+  // weakening of the conflict rules.
+  //
+  // The analysis walks each intervening winner version and refuses
+  // when:
+  //   - the winner changed the schema (the loser's staged files carry
+  //     the old shape) or any persisted declaration (expectations were
+  //     enforced against the staged rows under the OLD declarations);
+  //   - the winner removed or re-masked a file the loser read or
+  //     rewrites (the loser's derivation is stale);
+  //   - the op logically read "rows matching P" (merge keys, delete
+  //     predicate) and the winner ADDED a file whose stats envelope
+  //     intersects P's bounds — under serialization the loser would
+  //     have seen those rows (a merge would update instead of
+  //     duplicate-insert; a delete would hit them). Files provably
+  //     outside the bounds are safe; missing stats refuse
+  //     conservatively.
+  //
+  // Sound by the same argument as data skipping: every rule errs
+  // toward refusing. DV changes on files OUTSIDE the read scope are
+  // safe for keyed ops — a mask only REMOVES rows, and a file outside
+  // the read scope provably contained no matching row at plan time.
+
+  /** Why the staged commit planned at `fromV` cannot be re-stamped
+    * onto `tipV` — None = logically disjoint from every intervening
+    * winner, safe to rebase. `readSet` = files the op read or
+    * rewrites; `readBounds` = conservative bounds of the op's logical
+    * row scope; `readsTable` = the op's semantics depend on rows NOT
+    * existing elsewhere in the table (merge insert-vs-update, delete
+    * completeness) — false for content-neutral rewrites (compaction,
+    * purge) and blind appends. */
+  private[operators] def rebaseConflict(spark: SparkSession, dir: String,
+      fromV: Long, tipV: Long, readSet: Set[String],
+      readBounds: Seq[ColBound], readsTable: Boolean): Option[String] = {
+    val vs = versions(spark, dir).toSet
+    if (!(fromV to tipV).forall(vs.contains))
+      return Some("intervening versions already expired")
+    var prev = readManifest(spark, dir, fromV)
+    var w = fromV + 1
+    while (w <= tipV) {
+      val cur = readManifest(spark, dir, w)
+      if (prev.legacyDataDir.nonEmpty || cur.legacyDataDir.nonEmpty)
+        return Some(s"version $w range includes legacy whole-dir commits")
+      if (prev.schema.map(schemaShape) != cur.schema.map(schemaShape))
+        return Some(s"version $w changed the table schema")
+      def decls(m: Manifest) = m.meta.filter { case (k, _) =>
+        k.startsWith(ExpectPrefix) || k.startsWith("cluster.") || k == FeedKey }
+      if (decls(prev) != decls(cur))
+        return Some(s"version $w changed table declarations " +
+          "(expectations/clustering/feed)")
+      val prevSet = prev.files.toSet
+      val curSet = cur.files.toSet
+      val removedByW = prev.files.filterNot(curSet)
+      val dvChangedByW = (prev.files ++ cur.files).distinct
+        .filter(r => prev.dv.get(r) != cur.dv.get(r))
+      val clash = (removedByW ++ dvChangedByW).distinct.filter(readSet)
+      if (clash.nonEmpty)
+        return Some(s"version $w removed/rewrote/re-masked files this " +
+          s"commit read or rewrites (${clash.take(3).mkString(", ")}" +
+          s"${if (clash.length > 3) "…" else ""})")
+      if (readsTable) {
+        val addedByW = cur.files.filterNot(prevSet)
+        val enc = encodeBounds(cur.schema, readBounds)
+        val risky =
+          if (readBounds.isEmpty || enc.isEmpty) addedByW
+          else addedByW.filter(rel =>
+            envelopeMatches(enc, cur.stats.getOrElse(rel, Map.empty)))
+        if (risky.nonEmpty)
+          return Some(s"version $w added files that may hold rows in " +
+            s"this commit's read scope (${risky.take(3).mkString(", ")}" +
+            s"${if (risky.length > 3) "…" else ""})")
+      }
+      prev = cur
+      w += 1
+    }
+    None
+  }
+
   /** Commit a DELTA child of `expectedVersion`: stage `adds` (if any)
     * as new files, drop `removeFiles` (dir-relative paths that MUST
     * be live in the parent — a stale remove list means the caller
     * planned against a superseded version, refused loudly), keep
     * every other parent file by reference. This is the primitive
     * MERGE/OPTIMIZE ride on: bytes written scale with the change, not
-    * the table. Returns the new version + byte receipts. */
+    * the table. Returns the new version + byte receipts.
+    *
+    * Optimistic rebase (round 14): with `rebaseAttempts > 0`, a lost
+    * CAS (or stale `expectedVersion` at entry) runs
+    * [[rebaseConflict]] against the current tip — when every
+    * intervening winner is logically disjoint (see `readSet` /
+    * `readBounds` / `readsTable`), the already-staged files are
+    * re-stamped onto the new parent and the CAS retried, no data
+    * rewritten. Conflicting or budget-exhausted commits still throw
+    * [[CommitConflict]] with staging cleaned. */
   def commitDelta(spark: SparkSession, dir: String,
       adds: Option[DataFrame], removeFiles: Seq[String],
       expectedVersion: Long, writerId: String,
       allowSchemaChange: Boolean = false,
       statsCols: Option[Seq[String]] = None,
       meta: Map[String, String] = Map.empty,
-      expectations: Map[String, String] = Map.empty): DeltaStats = {
+      expectations: Map[String, String] = Map.empty,
+      readSet: Seq[String] = Seq.empty,
+      readBounds: Seq[ColBound] = Seq.empty,
+      readsTable: Boolean = false,
+      rebaseAttempts: Int = 0): DeltaStats = {
     requireWriterId(writerId)
     require(expectedVersion >= 0,
       "commitDelta needs an existing parent version — use commit for v0")
-    val newV = expectedVersion + 1
-    requireNotStale(spark, dir, expectedVersion)
-    adds.foreach(df =>
-      guardSchema(spark, dir, expectedVersion, df.schema, allowSchemaChange))
-    val parentLive = liveFiles(spark, dir, expectedVersion)
-    val stale = removeFiles.filterNot(parentLive.toSet)
-    require(stale.isEmpty,
-      s"commitDelta to $dir: remove list names files not live in " +
-        s"version $expectedVersion (${stale.take(3).mkString(", ")}…) — " +
-        "the delta was planned against a superseded version; re-plan")
     val f = fs(spark, dir)
-    val dataRel = s"data/v$newV-$writerId"
+    // the op's full logical footprint: everything it read PLUS the
+    // files it rewrites (a winner touching either invalidates it)
+    val footprint = (readSet ++ removeFiles).toSet
+    var parent = expectedVersion
+    var attemptsLeft = rebaseAttempts
+    // shared conflict gate for both the entry staleness check and lost
+    // CASes: adopt the tip when logically disjoint, else throw —
+    // cleanup runs only on the throw path
+    def rebaseTo(cur: Long, context: String, cleanup: => Unit): Unit = {
+      val why =
+        if (attemptsLeft <= 0) Some("rebase budget exhausted")
+        else rebaseConflict(spark, dir, parent, cur, footprint, readBounds,
+          readsTable)
+      why match {
+        case None =>
+          attemptsLeft -= 1
+          parent = cur
+        case Some(reason) =>
+          cleanup
+          throw new CommitConflict(
+            s"commitDelta to $dir: $context at version ${parent + 1} and " +
+              s"cannot rebase onto $cur ($reason) — staged data removed; " +
+              "re-read, re-derive, retry")
+      }
+    }
+    locally {
+      val cur = latestVersion(spark, dir)
+      if (cur != parent) {
+        if (rebaseAttempts > 0 && cur > parent)
+          rebaseTo(cur, "planned against a superseded version", ())
+        else requireNotStale(spark, dir, parent) // throws with the usual message
+      }
+    }
+    adds.foreach(df =>
+      guardSchema(spark, dir, parent, df.schema, allowSchemaChange))
+    locally {
+      val parentLive = liveFiles(spark, dir, parent).toSet
+      val stale = removeFiles.filterNot(parentLive)
+      require(stale.isEmpty,
+        s"commitDelta to $dir: remove list names files not live in " +
+          s"version $parent (${stale.take(3).mkString(", ")}…) — " +
+          "the delta was planned against a superseded version; re-plan")
+    }
+    // stage ONCE — the staged dir keeps its original version-stamped
+    // name across rebases (manifest references, not names, keep it
+    // alive for vacuum/expire)
+    val dataRel = s"data/v${parent + 1}-$writerId"
     val dataPath = new org.apache.hadoop.fs.Path(s"$dir/$dataRel")
-    val effMeta = expectMeta(spark, dir, expectedVersion, meta, expectations)
     val staged = adds match {
       case Some(df) =>
         df.write.mode("overwrite").parquet(dataPath.toString)
         listDataFiles(spark, dir, dataRel)
       case None => Seq.empty
     }
-    val newLive = parentLive.filterNot(removeFiles.toSet) ++ staged
-    val schema = adds.map(_.schema)
-      .getOrElse(schemaOf(spark, dir, expectedVersion))
-    enforceExpectations(spark, dir, staged, schema, effMeta, dataPath, f)
-    // kept files inherit the parent's stats verbatim (they are the
-    // same immutable bytes) — EXCEPT for columns whose type changed
-    // under allowSchemaChange: the encodings are domain-specific
-    // ('l'/'d'/'b'), so an Int→String migration would decode the old
-    // longs as base64 bytes — either a decode exception or garbage
-    // comparisons that silently prune files containing matches. Drop
-    // inherited stats whose column type no longer matches the parent's
-    // (falls back to "no stats → never prune", the conservative pole);
-    // only the staged files pay footer reads
-    val parentM = readManifest(spark, dir, expectedVersion)
-    val parentStats = parentM.stats
-    val parentSchema = schemaOf(spark, dir, expectedVersion)
-    val typeStable: String => Boolean = {
-      val pt = parentSchema.fields.map(f => f.name -> f.dataType).toMap
-      val nt = schema.fields.map(f => f.name -> f.dataType).toMap
-      c => pt.get(c).exists(t => nt.get(c).contains(t))
+    val schema = adds.map(_.schema).getOrElse(schemaOf(spark, dir, parent))
+    // expectations are enforced ONCE, against the parent's effective
+    // declarations — sound across rebases because a winner that
+    // changed any declaration is a refused conflict
+    enforceExpectations(spark, dir, staged, schema,
+      expectMeta(spark, dir, parent, meta, expectations), dataPath, f)
+    // staged-file footer stats are parent-independent; collected once.
+    // The stats-COLUMN set resolves against the parent's inheritance —
+    // per-iteration below it could only change if a winner changed the
+    // stats column set, which is a schema/meta-stable change we accept
+    // (stats are a pruning hint, never correctness).
+    val stagedStats = collectStats(spark, dir, staged,
+      resolveStatsCols(statsCols, readManifest(spark, dir, parent).stats,
+        schema))
+    var result: Option[DeltaStats] = None
+    while (result.isEmpty) {
+      val newV = parent + 1
+      val parentM = readManifest(spark, dir, parent)
+      val parentLive = liveFiles(spark, dir, parent)
+      val effMeta = expectMeta(spark, dir, parent, meta, expectations)
+      val newLive = parentLive.filterNot(removeFiles.toSet) ++ staged
+      // kept files inherit the parent's stats verbatim (they are the
+      // same immutable bytes) — EXCEPT for columns whose type changed
+      // under allowSchemaChange: the encodings are domain-specific
+      // ('l'/'d'/'b'), so an Int→String migration would decode the old
+      // longs as base64 bytes — either a decode exception or garbage
+      // comparisons that silently prune files containing matches. Drop
+      // inherited stats whose column type no longer matches the
+      // parent's (falls back to "no stats → never prune", the
+      // conservative pole); only the staged files pay footer reads
+      val typeStable: String => Boolean = {
+        val pt = schemaOf(spark, dir, parent).fields
+          .map(f => f.name -> f.dataType).toMap
+        val nt = schema.fields.map(f => f.name -> f.dataType).toMap
+        c => pt.get(c).exists(t => nt.get(c).contains(t))
+      }
+      val newLiveSet = newLive.toSet
+      val stats = parentM.stats.collect {
+        case (rel, cols) if newLiveSet(rel) =>
+          rel -> cols.filter { case (c, _) => typeStable(c) }
+      }.filter(_._2.nonEmpty) ++ stagedStats
+      // kept files keep their deletion-vector masks (same immutable
+      // bytes, same positions); a REWRITTEN file is in removeFiles, so
+      // its mask is materialized-by-omission — callers that rewrite
+      // ([[merge]], [[compactSmallFiles]], [[purgeDeletes]]) read
+      // through [[readFilesMasked]], so the rewrite already dropped
+      // the masked rows
+      val dvKept = parentM.dv.filter { case (rel, _) => newLiveSet(rel) }
+      val body = manifestBody(newV, parent, writerId, schema,
+        adds.map(_ => dataRel), newLive, removed = removeFiles,
+        stats = stats, meta = effMeta, dv = dvKept,
+        tsMs = commitClock(spark))
+      if (casManifest(spark, dir, newV, writerId, body)) {
+        if (effMeta.get(FeedKey).exists(_.trim.nonEmpty))
+          ensureFeed(spark, dir, writerId)
+        def bytes(rels: Seq[String]): Long =
+          rels.map(rel => f.getFileStatus(
+            new org.apache.hadoop.fs.Path(s"$dir/$rel")).getLen).sum
+        result = Some(DeltaStats(newV, staged.length.toLong,
+          removeFiles.length.toLong, parentLive.length.toLong,
+          bytes(staged), bytes(parentLive)))
+      } else {
+        val cur = latestVersion(spark, dir)
+        rebaseTo(math.max(cur, newV), "lost the race",
+          if (staged.nonEmpty) f.delete(dataPath, true))
+      }
     }
-    val newLiveSet = newLive.toSet
-    val stats = parentStats.collect {
-      case (rel, cols) if newLiveSet(rel) =>
-        rel -> cols.filter { case (c, _) => typeStable(c) }
-    }.filter(_._2.nonEmpty) ++
-      // the stats-COLUMN set still inherits by name: staged files are
-      // written under the new schema, so their fresh stats land in the
-      // new domain and are safe regardless of the migration
-      collectStats(spark, dir, staged,
-        resolveStatsCols(statsCols, parentStats, schema))
-    // kept files keep their deletion-vector masks (same immutable
-    // bytes, same positions); a REWRITTEN file is in removeFiles, so
-    // its mask is materialized-by-omission — callers that rewrite
-    // ([[merge]], [[compactSmallFiles]], [[purgeDeletes]]) read
-    // through [[readFilesMasked]], so the rewrite already dropped the
-    // masked rows
-    val dvKept = parentM.dv.filter { case (rel, _) => newLiveSet(rel) }
-    val body = manifestBody(newV, expectedVersion, writerId, schema,
-      adds.map(_ => dataRel), newLive, removed = removeFiles, stats = stats,
-      meta = effMeta, dv = dvKept, tsMs = commitClock(spark))
-    if (!casManifest(spark, dir, newV, writerId, body)) {
-      if (staged.nonEmpty) f.delete(dataPath, true)
-      throw new CommitConflict(
-        s"commitDelta to $dir: lost the race for version $newV — staged " +
-          "data removed; re-read, reconcile, retry")
-    }
-    if (effMeta.get(FeedKey).exists(_.trim.nonEmpty))
-      ensureFeed(spark, dir, writerId)
-    def bytes(rels: Seq[String]): Long =
-      rels.map(rel => f.getFileStatus(
-        new org.apache.hadoop.fs.Path(s"$dir/$rel")).getLen).sum
-    DeltaStats(newV, staged.length.toLong, removeFiles.length.toLong,
-      parentLive.length.toLong, bytes(staged), bytes(parentLive))
+    result.get
   }
 
   /** Sanctioned schema evolution: ADD nullable columns as a
@@ -1477,15 +1709,41 @@ object VersionedTable {
       keys: Seq[String], expectedVersion: Long, writerId: String,
       deleteCol: Option[String] = None,
       meta: Map[String, String] = Map.empty,
-      expectations: Map[String, String] = Map.empty): DeltaStats = {
+      expectations: Map[String, String] = Map.empty,
+      rebaseAttempts: Int = 0): DeltaStats = {
     require(keys.nonEmpty, "at least one merge key")
-    requireNotStale(spark, dir, expectedVersion)
-    val parentM = readManifest(spark, dir, expectedVersion)
-    val parentLive = liveFiles(spark, dir, expectedVersion)
-    val schema = schemaOf(spark, dir, expectedVersion)
+    // with a rebase budget, a merge called against a superseded
+    // version simply PLANS against the current tip — merge derives its
+    // whole read set from the table itself, so re-planning at latest
+    // is exactly what "re-read, retry" would do by hand
+    val planV = {
+      val cur = latestVersion(spark, dir)
+      if (cur == expectedVersion) expectedVersion
+      else if (rebaseAttempts > 0 && cur > expectedVersion) cur
+      else { requireNotStale(spark, dir, expectedVersion); expectedVersion }
+    }
+    val parentM = readManifest(spark, dir, planV)
+    val parentLive = liveFiles(spark, dir, planV)
+    val schema = schemaOf(spark, dir, planV)
     val dirAbs = fs(spark, dir).makeQualified(
       new org.apache.hadoop.fs.Path(dir)).toUri.getPath
     val keyChanges = changes.select(keys.map(col): _*).distinct()
+    // the change set's leading-key envelope: drives BOTH the stats
+    // pre-prune below and (round 14) the rebase conflict analysis —
+    // a racing writer's added files provably outside it cannot hold
+    // rows this merge's keys match. Some(None) = all change keys NULL
+    // (nothing can match); None = the key type has no stats domain.
+    val keyEnvelope: Option[Option[ColBound]] = {
+      val k = keys.head
+      val supported = schema.fields.find(_.name == k)
+        .flatMap(f => statDomain(f.dataType)).isDefined
+      if (!supported) None
+      else {
+        val row = changes.agg(min(col(k)), max(col(k))).head()
+        if (row.isNullAt(0)) Some(None)
+        else Some(Some(ColBound(k, Some(row.get(0)), Some(row.get(1)))))
+      }
+    }
     // Stats pre-prune (round 12): when the parent manifest carries
     // stats for the leading merge key, restrict the touched-file SCAN
     // to files whose key envelope intersects the change set's own
@@ -1494,18 +1752,13 @@ object VersionedTable {
     // `touched` is unchanged; what changes is that a clustered 100 TB
     // table with localized churn scans the intersecting files instead
     // of every live file even in the PRUNING pass.
-    val scanCandidates: Seq[String] = {
-      val k = keys.head
-      val supported = schema.fields.find(_.name == k)
-        .flatMap(f => statDomain(f.dataType)).isDefined
-      if (!supported || !parentM.stats.valuesIterator.exists(_.contains(k)))
-        parentLive
-      else {
-        val row = changes.agg(min(col(k)), max(col(k))).head()
-        if (row.isNullAt(0)) Seq.empty // all change keys NULL: no row can match
-        else prunedFiles(spark, dir, expectedVersion,
-          Seq(ColBound(k, Some(row.get(0)), Some(row.get(1)))))._1
-      }
+    val scanCandidates: Seq[String] = keyEnvelope match {
+      case None => parentLive
+      case Some(None) => Seq.empty // all change keys NULL: no row can match
+      case Some(Some(b)) =>
+        if (!parentM.stats.valuesIterator.exists(_.contains(keys.head)))
+          parentLive
+        else prunedFiles(spark, dir, planV, Seq(b))._1
     }
     val touched: Seq[String] =
       if (scanCandidates.isEmpty) Seq.empty
@@ -1528,7 +1781,7 @@ object VersionedTable {
     // join's shuffle partitioning would fan a one-file rewrite into
     // shuffle.partitions tiny files and the delta would cost a large
     // multiple of the churn in bytes
-    val clusterCols = clusterColsOf(spark, dir, expectedVersion)
+    val clusterCols = clusterColsOf(spark, dir, planV)
       .filter(schema.fieldNames.contains)
     val merged = Incremental.mergeUpsert(touchedRows, changes, keys, deleteCol)
     val rewritten =
@@ -1538,11 +1791,18 @@ object VersionedTable {
         // key range across every output file and kill data skipping
         // for all future reads (inserts land range-appropriately too)
         clusterShape(merged, clusterCols,
-          clusterModeOf(spark, dir, expectedVersion),
+          clusterModeOf(spark, dir, planV),
           math.max(1, touched.length))
       else merged.coalesce(math.max(1, touched.length))
-    commitDelta(spark, dir, Some(rewritten), touched, expectedVersion,
-      writerId, meta = meta, expectations = expectations)
+    // rebase footprint: the merge READ exactly `touched` (files outside
+    // it provably held no matching keys at plan time — a winner's mask
+    // on them only removes rows, harmless), and its row scope is the
+    // change-key envelope: a winner's added file outside it cannot
+    // turn one of this merge's inserts into a missed update
+    commitDelta(spark, dir, Some(rewritten), touched, planV,
+      writerId, meta = meta, expectations = expectations,
+      readSet = touched, readBounds = keyEnvelope.flatten.toSeq,
+      readsTable = true, rebaseAttempts = rebaseAttempts)
   }
 
   // ─────────────── persisted change feed (round 13) ───────────────
@@ -1817,24 +2077,31 @@ object VersionedTable {
   def deleteWhere(spark: SparkSession, dir: String, predicate: String,
       expectedVersion: Long, writerId: String,
       bounds: Seq[ColBound] = Seq.empty,
-      meta: Map[String, String] = Map.empty): DeleteStats = {
+      meta: Map[String, String] = Map.empty,
+      rebaseAttempts: Int = 0): DeleteStats = {
     requireWriterId(writerId)
     require(expectedVersion >= 0,
       "deleteWhere needs an existing version — nothing to delete from")
-    requireNotStale(spark, dir, expectedVersion)
-    val newV = expectedVersion + 1
-    val m = readManifest(spark, dir, expectedVersion)
+    // with a rebase budget, a stale expectedVersion re-plans at the
+    // tip (the delete derives everything from the table itself)
+    var parent = {
+      val cur = latestVersion(spark, dir)
+      if (cur == expectedVersion) expectedVersion
+      else if (rebaseAttempts > 0 && cur > expectedVersion) cur
+      else { requireNotStale(spark, dir, expectedVersion); expectedVersion }
+    }
+    val m = readManifest(spark, dir, parent)
     require(m.legacyDataDir.isEmpty,
-      s"deleteWhere: $dir version $expectedVersion is a legacy whole-dir " +
+      s"deleteWhere: $dir version $parent is a legacy whole-dir " +
         "commit — recommit file-granular first")
-    val live = liveFiles(spark, dir, expectedVersion)
-    val schema = schemaOf(spark, dir, expectedVersion)
+    val live = liveFiles(spark, dir, parent)
+    val schema = schemaOf(spark, dir, parent)
     // pruning bounds: explicit ones plus whatever the predicate's own
     // AND-conjuncts imply (all conjunctive — prunedFiles ANDs them)
     val effBounds = bounds ++ impliedBounds(spark, predicate, schema)
     val candidates =
       if (effBounds.isEmpty) live
-      else prunedFiles(spark, dir, expectedVersion, effBounds)._1
+      else prunedFiles(spark, dir, parent, effBounds)._1
     def noOp = DeleteStats(-1L, 0L, 0L, 0L, live.length.toLong, 0L,
       candidates.length.toLong)
     if (candidates.isEmpty) return noOp
@@ -1853,7 +2120,9 @@ object VersionedTable {
       afterDeleted(rel) >= totals(rel)).toSet // fully deleted: no husks
     val maskedFiles = touched.filterNot(droppedSet)
     val f = fs(spark, dir)
-    val dvRel = s"_dv/v$newV-$writerId"
+    // the dv dir keeps its plan-time version stamp across rebases —
+    // manifest references, not names, keep it alive for vacuum/expire
+    val dvRel = s"_dv/v${parent + 1}-$writerId"
     val dvPath = new org.apache.hadoop.fs.Path(s"$dir/$dvRel")
     if (maskedFiles.nonEmpty) {
       val maskedDf = spark.createDataset(maskedFiles)(
@@ -1874,32 +2143,60 @@ object VersionedTable {
         newCounts.values.sum / 4000000L + 1L)).toInt
       body.coalesce(parts).write.mode("overwrite").parquet(dvPath.toString)
     }
-    val newLive = live.filterNot(droppedSet)
-    val newLiveSet = newLive.toSet
-    val stats = m.stats.filter { case (rel, _) => newLiveSet(rel) }
-    val dvNew: Map[String, (String, Long)] =
-      m.dv.filter { case (rel, _) =>
-        newLiveSet(rel) && !newCounts.contains(rel) } ++
-        maskedFiles.map(rel => rel -> (dvRel, afterDeleted(rel)))
-    val effMeta = expectMeta(spark, dir, expectedVersion, meta, Map.empty)
-    val body = manifestBody(newV, expectedVersion, writerId, schema,
-      stagingDir = None, files = newLive,
-      removed = droppedSet.toSeq.sorted, stats = stats, meta = effMeta,
-      dv = dvNew, tsMs = commitClock(spark))
-    if (!casManifest(spark, dir, newV, writerId, body)) {
-      f.delete(dvPath, true)
-      throw new CommitConflict(
-        s"deleteWhere on $dir: lost the race for version $newV — mask " +
-          "removed; re-read, reconcile, retry")
+    // CAS loop with rebase: the delete's read scope is `candidates`
+    // (conservative superset of every file that can match the
+    // predicate) bounded by effBounds — a winner that only touched
+    // files outside it, and added nothing inside the bounds, is
+    // logically disjoint: re-point the new parent's manifest at the
+    // same mask, no re-scan
+    var attemptsLeft = rebaseAttempts
+    val candidateSet = candidates.toSet
+    var out: Option[DeleteStats] = None
+    while (out.isEmpty) {
+      val newV = parent + 1
+      val pm = readManifest(spark, dir, parent)
+      val pLive = liveFiles(spark, dir, parent)
+      val newLive = pLive.filterNot(droppedSet)
+      val newLiveSet = newLive.toSet
+      val stats = pm.stats.filter { case (rel, _) => newLiveSet(rel) }
+      val dvNew: Map[String, (String, Long)] =
+        pm.dv.filter { case (rel, _) =>
+          newLiveSet(rel) && !newCounts.contains(rel) } ++
+          maskedFiles.map(rel => rel -> (dvRel, afterDeleted(rel)))
+      val effMeta = expectMeta(spark, dir, parent, meta, Map.empty)
+      val body = manifestBody(newV, parent, writerId, schema,
+        stagingDir = None, files = newLive,
+        removed = droppedSet.toSeq.sorted, stats = stats, meta = effMeta,
+        dv = dvNew, tsMs = commitClock(spark))
+      if (casManifest(spark, dir, newV, writerId, body)) {
+        if (effMeta.get(FeedKey).exists(_.trim.nonEmpty))
+          ensureFeed(spark, dir, writerId)
+        val bytesDv =
+          if (maskedFiles.isEmpty) 0L
+          else f.getContentSummary(dvPath).getLength
+        out = Some(DeleteStats(newV, newCounts.values.sum,
+          maskedFiles.length.toLong, droppedSet.size.toLong,
+          newLive.length.toLong, bytesDv, candidates.length.toLong))
+      } else {
+        val cur = math.max(latestVersion(spark, dir), newV)
+        val why =
+          if (attemptsLeft <= 0) Some("rebase budget exhausted")
+          else rebaseConflict(spark, dir, parent, cur, candidateSet,
+            effBounds, readsTable = true)
+        why match {
+          case None =>
+            attemptsLeft -= 1
+            parent = cur
+          case Some(reason) =>
+            f.delete(dvPath, true)
+            throw new CommitConflict(
+              s"deleteWhere on $dir: lost the race for version $newV and " +
+                s"cannot rebase onto $cur ($reason) — mask removed; " +
+                "re-read, reconcile, retry")
+        }
+      }
     }
-    if (effMeta.get(FeedKey).exists(_.trim.nonEmpty))
-      ensureFeed(spark, dir, writerId)
-    val bytesDv =
-      if (maskedFiles.isEmpty) 0L
-      else f.getContentSummary(dvPath).getLength
-    DeleteStats(newV, newCounts.values.sum, maskedFiles.length.toLong,
-      droppedSet.size.toLong, newLive.length.toLong, bytesDv,
-      candidates.length.toLong)
+    out.get
   }
 
   /** Materialize every deletion-vector mask: rewrite the masked files
@@ -1910,25 +2207,34 @@ object VersionedTable {
     * table's masked-row fraction crosses your read-amplification
     * budget. No-op (None) when nothing is masked. */
   def purgeDeletes(spark: SparkSession, dir: String,
-      expectedVersion: Long, writerId: String): Option[DeltaStats] = {
-    requireNotStale(spark, dir, expectedVersion)
-    val m = readManifest(spark, dir, expectedVersion)
-    val live = liveFiles(spark, dir, expectedVersion)
+      expectedVersion: Long, writerId: String,
+      rebaseAttempts: Int = 0): Option[DeltaStats] = {
+    val planV = {
+      val cur = latestVersion(spark, dir)
+      if (cur == expectedVersion) expectedVersion
+      else if (rebaseAttempts > 0 && cur > expectedVersion) cur
+      else { requireNotStale(spark, dir, expectedVersion); expectedVersion }
+    }
+    val m = readManifest(spark, dir, planV)
+    val live = liveFiles(spark, dir, planV)
     val masked = live.filter(m.dv.contains)
     if (masked.isEmpty) None
     else {
-      val schema = schemaOf(spark, dir, expectedVersion)
+      val schema = schemaOf(spark, dir, planV)
       val rows = readFilesMasked(spark, dir, m, masked, schema)
-      val clusterCols = clusterColsOf(spark, dir, expectedVersion)
+      val clusterCols = clusterColsOf(spark, dir, planV)
         .filter(schema.fieldNames.contains)
       val rewritten =
         if (clusterCols.nonEmpty)
           clusterShape(rows, clusterCols,
-            clusterModeOf(spark, dir, expectedVersion),
+            clusterModeOf(spark, dir, planV),
             math.max(1, masked.length))
         else rows.coalesce(math.max(1, masked.length))
-      Some(commitDelta(spark, dir, Some(rewritten), masked, expectedVersion,
-        writerId))
+      // content-neutral rewrite: depends only on its OWN files' bytes
+      // and masks — readsTable stays false, so a racing append/merge
+      // on other files rebases cleanly under it
+      Some(commitDelta(spark, dir, Some(rewritten), masked, planV,
+        writerId, readSet = masked, rebaseAttempts = rebaseAttempts))
     }
   }
 
@@ -1940,33 +2246,43 @@ object VersionedTable {
   def compactSmallFiles(spark: SparkSession, dir: String,
       expectedVersion: Long, writerId: String, smallBytes: Long,
       targetFileCount: Int = 1,
-      reshape: Option[DataFrame => DataFrame] = None): Option[DeltaStats] = {
+      reshape: Option[DataFrame => DataFrame] = None,
+      rebaseAttempts: Int = 0): Option[DeltaStats] = {
+    val planV = {
+      val cur = latestVersion(spark, dir)
+      if (cur == expectedVersion) expectedVersion
+      else if (rebaseAttempts > 0 && cur > expectedVersion) cur
+      else expectedVersion
+    }
     val f = fs(spark, dir)
-    val small = liveFiles(spark, dir, expectedVersion).filter(rel =>
+    val small = liveFiles(spark, dir, planV).filter(rel =>
       f.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$rel"))
         .getLen < smallBytes)
     if (small.length < 2) None
     else {
-      val schema = schemaOf(spark, dir, expectedVersion)
+      val schema = schemaOf(spark, dir, planV)
       // masked read: bin-packing a DV-masked small file materializes
       // its mask instead of resurrecting the deleted rows
       val read = readFilesMasked(spark, dir,
-        readManifest(spark, dir, expectedVersion), small, schema)
+        readManifest(spark, dir, planV), small, schema)
       // clustering is a table property: with a declaration and no
       // caller reshape, OPTIMIZE bin-packs INTO the clustering order
       // (range + sort), so compaction tightens envelopes instead of
       // scrambling them; an explicit reshape (e.g. z-order) wins
-      val clusterCols = clusterColsOf(spark, dir, expectedVersion)
+      val clusterCols = clusterColsOf(spark, dir, planV)
         .filter(schema.fieldNames.contains)
       val packed = reshape match {
         case Some(r) => r(read).coalesce(targetFileCount)
         case None if clusterCols.nonEmpty =>
           clusterShape(read, clusterCols,
-            clusterModeOf(spark, dir, expectedVersion), targetFileCount)
+            clusterModeOf(spark, dir, planV), targetFileCount)
         case None => read.coalesce(targetFileCount)
       }
-      Some(commitDelta(spark, dir, Some(packed), small, expectedVersion,
-        writerId))
+      // content-neutral: OPTIMIZE only repacks its own small files —
+      // a concurrent append/merge/delete on OTHER files rebases under
+      // it instead of forcing the whole bin-pack to redo
+      Some(commitDelta(spark, dir, Some(packed), small, planV,
+        writerId, readSet = small, rebaseAttempts = rebaseAttempts))
     }
   }
 
@@ -2509,7 +2825,11 @@ object VersionedTable {
         val total = footerRowCounts(spark, dir, liveFiles(spark, dir, v0))
           .values.sum
         if (total > 0 && masked.toDouble / total >= maskedBudget)
-          purgeDeletes(spark, dir, v0, writerId)
+          // rebase budget: housekeeping racing ingest is the ROUTINE
+          // case — a purge/compact whose files a concurrent append or
+          // disjoint merge never touched re-stamps instead of redoing
+          // its whole rewrite
+          purgeDeletes(spark, dir, v0, writerId, rebaseAttempts = 3)
         else None
       }
     val v1 = latestVersion(spark, dir)
@@ -2520,7 +2840,7 @@ object VersionedTable {
       .filter(_ < smallBytes).sum
     val target = math.max(1L, (smallTotal + (128L << 20) - 1) / (128L << 20))
     val compacted = compactSmallFiles(spark, dir, v1, writerId, smallBytes,
-      target.toInt)
+      target.toInt, rebaseAttempts = 3)
     val expired = expire(spark, dir, keepVersions)
     val vacuumed = vacuum(spark, dir, graceMs)
     MaintainStats(purged, compacted, expired, vacuumed)

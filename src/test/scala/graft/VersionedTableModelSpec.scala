@@ -148,4 +148,88 @@ class VersionedTableModelSpec extends SparkSpec {
       }
     }
   }
+
+  test("concurrent writers under rebase: every merge lands, and the CDF in COMMIT order replays the model exactly") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    (1 to 2).foreach { seed =>
+      val rnd = new scala.util.Random(seed + 400)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"vt-cmodel-$seed").toString + "/t"
+      var model: Map[Long, Long] = (0L until 400L).map(k => k -> k * 3).toMap
+      VersionedTable.commit(spark, dir,
+        model.toSeq.toDF("k", "a"), -1L, "loader",
+        clusterBy = Seq("k"), clusterFiles = 8)
+      def tip = VersionedTable.latestVersion(spark, dir)
+      (1 to 3).foreach { round =>
+        val tip0 = tip
+        // three writers, each churning its OWN key band — logically
+        // disjoint work; whether a given pair is file-disjoint depends
+        // on the sampled range boundaries, so a loser may legitimately
+        // refuse (overlapping file) — the documented recovery (call
+        // again; with a rebase budget a stale merge re-plans at tip)
+        // must then land it. Every merge must EVENTUALLY commit.
+        val deltas: Seq[(String, Seq[(Long, Long)])] = (0 to 2).map { w =>
+          val rows = Seq.fill(6)(w * 150L + rnd.nextInt(100).toLong)
+            .distinct.map(k => k -> rnd.nextInt(100000).toLong)
+          (s"w$w-r$round", rows)
+        }
+        val gate = new java.util.concurrent.CyclicBarrier(3)
+        val futs = deltas.map { case (wid, rows) =>
+          Future {
+            gate.await()
+            var out = -1L
+            var tries = 0
+            while (out < 0) {
+              tries += 1
+              try out = VersionedTable.merge(spark, dir,
+                rows.toDF("k", "a"), Seq("k"),
+                VersionedTable.latestVersion(spark, dir), wid,
+                rebaseAttempts = 6).version
+              catch {
+                case _: VersionedTable.CommitConflict if tries < 6 => ()
+              }
+            }
+            out
+          }
+        }
+        val vs = Await.result(Future.sequence(futs), 300.seconds)
+        assert(vs.toSet == Set(tip0 + 1, tip0 + 2, tip0 + 3),
+          s"seed=$seed round=$round: all three must land, got $vs")
+        // bands are disjoint → the final model is order-free
+        deltas.foreach { case (_, rows) => rows.foreach(model += _) }
+        val got = VersionedTable.read(spark, dir)
+          .select($"k", $"a").as[(Long, Long)].collect().toMap
+        assert(got == model, s"seed=$seed round=$round: table != model")
+        // the CDF between consecutive versions, folded in COMMIT order
+        // (manifest.writer identifies which delta each version is),
+        // must replay to exactly the serial application — this is the
+        // "rebased commits replay identically through CDF" law
+        val byWriter = deltas.toMap
+        // forward replay from the pre-round snapshot (ground truth)
+        var fwd = VersionedTable.readVersion(spark, dir, tip0)
+          .select($"k", $"a").as[(Long, Long)].collect().toMap
+        (tip0 until tip0 + 3).foreach { v =>
+          val wid = VersionedTable.readManifest(spark, dir, v + 1).writer
+          val cdf = VersionedTable
+            .changesBetween(spark, dir, v, v + 1, Seq("k"))
+            .select($"k", $"a", $"op")
+            .as[(Long, Option[Long], String)].collect()
+          fwd = cdf.foldLeft(fwd) { case (m, (k, a, op)) =>
+            if (op == "delete") m - k else m + (k -> a.get)
+          }
+          // after applying version v+1's feed, the state must equal
+          // the pre-round snapshot plus the committed writers' deltas
+          val committedSoFar = (tip0 + 1 to v + 1).map(u =>
+            VersionedTable.readManifest(spark, dir, u).writer)
+          val expected = VersionedTable.readVersion(spark, dir, tip0)
+            .select($"k", $"a").as[(Long, Long)].collect().toMap ++
+            committedSoFar.flatMap(byWriter)
+          assert(fwd == expected,
+            s"seed=$seed round=$round: CDF replay diverged at v${v + 1} ($wid)")
+        }
+      }
+    }
+  }
 }

@@ -1120,4 +1120,153 @@ class VersionedTableSpec extends SparkSpec {
       allowSchemaChange = true, expectations = Map("v_nonneg" -> ""))
     assert(VersionedTable.tableExpectations(spark, dir, 1L).isEmpty)
   }
+
+  // ───── optimistic rebase on logical disjointness (round 14) ─────
+
+  private def clusteredTable(dir: String, n: Int, files: Int): Unit =
+    VersionedTable.commit(spark, dir,
+      spark.range(n).select($"id".as("k"), ($"id" % 97).as("x")),
+      -1L, "loader", clusterBy = Seq("k"), clusterFiles = files)
+
+  private def fileDf(dir: String, rel: String) =
+    spark.read.parquet(s"$dir/$rel")
+
+  test("rebase: disjoint-file deltas BOTH commit — the loser re-stamps, no data rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-rb1").toString + "/t"
+    clusteredTable(dir, 4000, 4)
+    val live0 = VersionedTable.liveFiles(spark, dir, 0L)
+    assert(live0.length == 4)
+    // writer B lands first: rewrites the last file
+    val b = VersionedTable.commitDelta(spark, dir,
+      Some(fileDf(dir, live0(3)).withColumn("x", $"x" + 1).coalesce(1)),
+      Seq(live0(3)), 0L, "wB", readSet = Seq(live0(3)))
+    assert(b.version == 1L)
+    // writer A planned against v0 (now superseded) with a DISJOINT
+    // footprint (first file only) — with a rebase budget it must land
+    // as v2 without redoing its write
+    val mtimes0 = VersionedTable.liveFiles(spark, dir, 1L).map(rel =>
+      rel -> new java.io.File(s"$dir/$rel").lastModified).toMap
+    val a = VersionedTable.commitDelta(spark, dir,
+      Some(fileDf(dir, live0(0)).withColumn("x", $"x" + 10).coalesce(1)),
+      Seq(live0(0)), 0L, "wA", readSet = Seq(live0(0)), rebaseAttempts = 2)
+    assert(a.version == 2L)
+    val live2 = VersionedTable.liveFiles(spark, dir, 2L).toSet
+    assert(!live2.contains(live0(0)) && !live2.contains(live0(3)))
+    assert(live2.contains(live0(1)) && live2.contains(live0(2)))
+    // no pre-existing data file was rewritten by the rebase
+    mtimes0.foreach { case (rel, t0) =>
+      if (live2.contains(rel))
+        assert(new java.io.File(s"$dir/$rel").lastModified == t0,
+          s"rebase must not rewrite $rel")
+    }
+    // both writers' content present in the serial-equivalent result
+    // (range-partition boundaries are sampled, not exact — compare
+    // against the actual per-file row counts, not assumed key ranges)
+    val cnt0 = fileDf(dir, live0(0)).count()
+    val cnt3 = fileDf(dir, live0(3)).count()
+    val t = VersionedTable.read(spark, dir)
+    assert(t.count() == 4000)
+    assert(t.filter($"x" === ($"k" % 97) + 10).count() == cnt0,
+      "A's rewrite visible")
+    assert(t.filter($"x" === ($"k" % 97) + 1).count() == cnt3,
+      "B's rewrite visible")
+    // OVERLAPPING footprints stay one-winner-loud: C also planned at
+    // v0 and rewrites the file B already removed
+    val e = intercept[CommitConflict] {
+      VersionedTable.commitDelta(spark, dir,
+        Some(fileDf(dir, live0(3)).coalesce(1)), Seq(live0(3)), 0L, "wC",
+        readSet = Seq(live0(3)), rebaseAttempts = 5)
+    }
+    assert(e.getMessage.contains("cannot rebase"), e.getMessage)
+    // without a budget the behavior is exactly the old one
+    intercept[CommitConflict] {
+      VersionedTable.commitDelta(spark, dir,
+        Some(fileDf(dir, live0(1)).coalesce(1)), Seq(live0(1)), 0L, "wD")
+    }
+  }
+
+  test("rebase conflict rules: re-mask, read-scope add, and declaration change all refuse; provably-outside adds pass") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-rb2").toString + "/t"
+    clusteredTable(dir, 4000, 4)
+    val live0 = VersionedTable.liveFiles(spark, dir, 0L)
+    // winner masks rows in the first file (dv change, no path change)
+    val del = VersionedTable.deleteWhere(spark, dir, "k < 10", 0L, "del")
+    assert(del.version == 1L && del.filesMasked == 1L)
+    // a loser that READ the re-masked file refuses
+    intercept[CommitConflict] {
+      VersionedTable.commitDelta(spark, dir,
+        Some(fileDf(dir, live0(1)).coalesce(1)), Seq(live0(1)), 0L, "w1",
+        readSet = Seq(live0(0), live0(1)), rebaseAttempts = 3)
+    }
+    // one that read only untouched files rebases
+    val ok = VersionedTable.commitDelta(spark, dir,
+      Some(fileDf(dir, live0(2)).coalesce(1)), Seq(live0(2)), 0L, "w2",
+      readSet = Seq(live0(2)), rebaseAttempts = 3)
+    assert(ok.version == 2L)
+    // winner appends far-away keys (fresh stats ride the staged file)
+    VersionedTable.commitDelta(spark, dir,
+      Some(spark.range(100000, 100010)
+        .select($"id".as("k"), ($"id" % 97).as("x"))),
+      Seq.empty, 2L, "app")
+    // predicate-scoped loser whose bounds provably MISS the added
+    // file rebases; bounds that intersect it refuse; no bounds refuse
+    val ok2 = VersionedTable.commitDelta(spark, dir, None, Seq.empty, 2L,
+      "chk1", readBounds = Seq(VersionedTable.ColBound("k",
+        Some(0L), Some(50L))), readsTable = true, rebaseAttempts = 3)
+    assert(ok2.version == 4L)
+    intercept[CommitConflict] {
+      VersionedTable.commitDelta(spark, dir, None, Seq.empty, 2L, "chk2",
+        readBounds = Seq(VersionedTable.ColBound("k",
+          Some(100000L), Some(100005L))), readsTable = true,
+        rebaseAttempts = 3)
+    }
+    intercept[CommitConflict] {
+      VersionedTable.commitDelta(spark, dir, None, Seq.empty, 2L, "chk3",
+        readsTable = true, rebaseAttempts = 3)
+    }
+    // declaration change refuses: expectations were enforced against
+    // the loser's staged rows under the OLD declarations
+    VersionedTable.commitDelta(spark, dir, None, Seq.empty, 4L, "decl",
+      expectations = Map("nonneg" -> "k >= 0"))
+    intercept[CommitConflict] {
+      VersionedTable.commitDelta(spark, dir,
+        Some(spark.range(200000, 200005)
+          .select($"id".as("k"), ($"id" % 97).as("x"))),
+        Seq.empty, 4L, "w3", rebaseAttempts = 3)
+    }
+  }
+
+  test("rebase: racing blind appends ALL land; racing disjoint-key merges BOTH land") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-rb3").toString + "/t"
+    clusteredTable(dir, 8000, 8)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val gate = new java.util.concurrent.CyclicBarrier(4)
+    val appends = (1 to 4).map { i => Future {
+      gate.await()
+      VersionedTable.commitDelta(spark, dir,
+        Some(spark.range(100000L * i, 100000L * i + 10)
+          .select($"id".as("k"), ($"id" % 97).as("x"))),
+        Seq.empty, 0L, s"app$i", rebaseAttempts = 8).version
+    }}
+    val vs = Await.result(Future.sequence(appends), 240.seconds)
+    assert(vs.toSet == Set(1L, 2L, 3L, 4L), s"all four must land: $vs")
+    assert(VersionedTable.read(spark, dir).count() == 8040)
+    // disjoint-key merges from the same start version: whoever loses
+    // the CAS rebases (touched files disjoint, key envelopes disjoint)
+    val v0 = VersionedTable.latestVersion(spark, dir)
+    val gate2 = new java.util.concurrent.CyclicBarrier(2)
+    def m(lo: Long) = Future {
+      gate2.await()
+      VersionedTable.merge(spark, dir,
+        spark.range(lo, lo + 20).select($"id".as("k"), lit(-5L).as("x")),
+        Seq("k"), v0, s"m$lo", rebaseAttempts = 4).version
+    }
+    val mv = Await.result(Future.sequence(Seq(m(100L), m(7000L))), 240.seconds)
+    assert(mv.toSet == Set(v0 + 1, v0 + 2), s"both merges must land: $mv")
+    val t = VersionedTable.read(spark, dir)
+    assert(t.filter($"x" === -5L).count() == 40)
+    assert(t.count() == 8040)
+  }
 }
