@@ -25,11 +25,18 @@ import org.apache.spark.sql.types.DecimalType
   * losers.
   *
   * Scope: COUNT/SUM/AVG (sums are invertible; DECIMAL(38) addition is
-  * exact, so retraction is bit-exact, not float-drift). MIN/MAX are
-  * deliberately NOT maintained — they are not invertible under
-  * deletes without per-group re-scans; a view needing them should
-  * recompute from [[VersionedTable.readWhere]] over the affected
-  * groups instead.
+  * exact, so retraction is bit-exact, not float-drift), plus — round
+  * 14 — MIN/MAX via HYBRID maintenance (`extremes`): min/max are not
+  * invertible under deletes, so the common case is maintained
+  * incrementally (an applied row only ever TIGHTENS an extremum:
+  * new_min = least(cur_min, applied_min)) and ONLY the provably
+  * uncertain case — a retracted value that TIES the current extremum
+  * with no applied value beating it — re-scans, and re-scans ONLY the
+  * affected groups, read through the source's own data skipping
+  * ([[VersionedTable.prunedFiles]] on the leading group column). The
+  * re-scan receipt (`view.rescan.groups` / `view.rescan.files`) rides
+  * the view commit's manifest, so "bounded by affected-group file
+  * bytes" is checkable, not vibes.
   *
   * Scale shape: the feed is churn-sized; the delta state aggregates
   * it map-side; the view MERGE rewrites only the view files whose
@@ -44,19 +51,32 @@ object AggView {
 
   private def sumCol(m: String) = s"${m}__sum"
   private def cntCol(m: String) = s"${m}__cnt"
+  private def minCol(m: String) = s"${m}__min"
+  private def maxCol(m: String) = s"${m}__max"
+
+  /** Receipt meta keys the view commit carries when a sync's hybrid
+    * MIN/MAX maintenance had to re-scan: how many groups were
+    * uncertain and how many source files the skipping-pruned re-scan
+    * read (0/0 on the common fully-incremental path). */
+  val RescanGroupsKey = "view.rescan.groups"
+  val RescanFilesKey = "view.rescan.files"
 
   /** Exact invertible partial-agg state of `df`: groupCols ++ `__cnt`
     * (group row count) ++ per measure m: m__sum (DECIMAL(38,scale)),
-    * m__cnt (non-null count). */
+    * m__cnt (non-null count) — plus, per `extremes` entry, m__min and
+    * m__max in the column's own type (value picks, no accumulation). */
   def state(df: DataFrame, groupCols: Seq[String],
-      measures: Seq[(String, Column)], scale: Int = 2): DataFrame = {
+      measures: Seq[(String, Column)], scale: Int = 2,
+      extremes: Seq[(String, Column)] = Seq.empty): DataFrame = {
     require(groupCols.nonEmpty && measures.nonEmpty,
       "at least one group column and one measure")
-    val aggs = count(lit(1)).as("__cnt") +: measures.flatMap { case (m, c) =>
+    val aggs = (count(lit(1)).as("__cnt") +: measures.flatMap { case (m, c) =>
       Seq(
         coalesce(sum(c.cast(DecimalType(38, scale))),
           lit(0).cast(DecimalType(38, scale))).as(sumCol(m)),
         count(c).as(cntCol(m)))
+    }) ++ extremes.flatMap { case (m, c) =>
+      Seq(min(c).as(minCol(m)), max(c).as(maxCol(m)))
     }
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -70,14 +90,18 @@ object AggView {
       else d
     }
 
-  /** User-facing view: groupCols, cnt, and per measure sum_m (double,
-    * from the exact decimal), avg_m. NULL sum/avg for groups whose
-    * measure count is zero (SQL aggregate-of-nothing semantics). */
+  /** User-facing view: groupCols, cnt, per measure sum_m (double,
+    * from the exact decimal) and avg_m, and per extreme min_m/max_m.
+    * NULL sum/avg for groups whose measure count is zero (SQL
+    * aggregate-of-nothing semantics). */
   def finalize(state: DataFrame): DataFrame = {
     val ms = state.columns.filter(_.endsWith("__sum"))
       .map(_.stripSuffix("__sum")).toSeq
+    val es = state.columns.filter(_.endsWith("__min"))
+      .map(_.stripSuffix("__min")).toSeq
     val groupCols = state.columns.filterNot(c =>
-      c == "__cnt" || c.endsWith("__sum") || c.endsWith("__cnt")).toSeq
+      c == "__cnt" || c.endsWith("__sum") || c.endsWith("__cnt") ||
+      c.endsWith("__min") || c.endsWith("__max")).toSeq
     state.select(groupCols.map(col) ++ Seq(col("__cnt").as("cnt")) ++
       ms.flatMap { m =>
         val nonNull = col(cntCol(m)) > 0
@@ -85,6 +109,8 @@ object AggView {
           when(nonNull, col(sumCol(m)).cast("double")).as(s"sum_$m"),
           when(nonNull, col(sumCol(m)).cast("double") / col(cntCol(m)))
             .as(s"avg_$m"))
+      } ++ es.flatMap { m =>
+        Seq(col(minCol(m)).as(s"min_$m"), col(maxCol(m)).as(s"max_$m"))
       }: _*)
   }
 
@@ -94,13 +120,14 @@ object AggView {
   def init(spark: SparkSession, srcDir: String, viewDir: String,
       consumer: String, groupCols: Seq[String],
       measures: Seq[(String, Column)], scale: Int = 2,
-      viewMeta: Map[String, String] = Map.empty): Long = {
+      viewMeta: Map[String, String] = Map.empty,
+      extremes: Seq[(String, Column)] = Seq.empty): Long = {
     val srcV = VersionedTable.latestVersion(spark, srcDir)
     require(srcV >= 0, s"init: no committed versions under $srcDir")
     require(VersionedTable.latestVersion(spark, viewDir) < 0,
       s"init: $viewDir already exists — sync resumes, it never re-inits")
     val st = state(VersionedTable.readVersion(spark, srcDir, srcV),
-      groupCols, measures, scale)
+      groupCols, measures, scale, extremes)
     // viewMeta composes the view with everything tables already do:
     // declare feed.keys here and the VIEW itself feeds downstream
     // streams (views all the way down), expectations constrain it, …
@@ -129,7 +156,8 @@ object AggView {
     * between merge and ack → marker makes the re-poll ack-only. */
   def sync(spark: SparkSession, srcDir: String, viewDir: String,
       consumer: String, keys: Seq[String], groupCols: Seq[String],
-      measures: Seq[(String, Column)], scale: Int = 2)
+      measures: Seq[(String, Column)], scale: Int = 2,
+      extremes: Seq[(String, Column)] = Seq.empty)
       : Option[(Long, Long)] = {
     val cur = VersionedTable.cursorVersion(spark, srcDir, consumer)
       .getOrElse(throw new IllegalStateException(
@@ -148,10 +176,13 @@ object AggView {
         spark, srcDir, synced, latest, keys)
       // fused signed delta: ONE pass over the feed (apply and retract
       // as ±1 weights in the same aggregation) — a filter-then-union
-      // would recompute the CDF join once per side
+      // would recompute the CDF join once per side. Extreme candidates
+      // ride the same pass: per extreme, the applied side's min/max
+      // (can only TIGHTEN the view's extremum) and the retracted
+      // side's min/max (decides whether the old extremum is at risk).
       val w = when(col("op").isin("insert", "update_postimage"), 1L)
         .otherwise(-1L)
-      val aggs = sum(col("__w")).as("__cnt") +:
+      val aggs = (sum(col("__w")).as("__cnt") +:
         measures.flatMap { case (m, c) =>
           val dec = c.cast(DecimalType(38, scale))
           Seq(
@@ -159,21 +190,114 @@ object AggView {
               lit(0).cast(DecimalType(38, scale))).as(sumCol(m)),
             coalesce(sum(when(c.isNotNull, col("__w")).otherwise(0L)),
               lit(0L)).as(cntCol(m)))
+        }) ++ extremes.flatMap { case (m, c) =>
+          Seq(
+            min(when(col("__w") > 0, c)).as(s"${m}__min_app"),
+            max(when(col("__w") > 0, c)).as(s"${m}__max_app"),
+            min(when(col("__w") < 0, c)).as(s"${m}__min_ret"),
+            max(when(col("__w") < 0, c)).as(s"${m}__max_ret"))
         }
-      val delta = feed.withColumn("__w", w)
+      val candCols = extremes.map(_._1).flatMap(m => Seq(
+        s"${m}__min_app", s"${m}__max_app", s"${m}__min_ret",
+        s"${m}__max_ret"))
+      val extCols = extremes.map(_._1).flatMap(m =>
+        Seq(minCol(m), maxCol(m)))
+      val deltaAll = feed.withColumn("__w", w)
         .groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        .localCheckpoint() // one feed pass, reused by inv + ext paths
+      val delta = deltaAll.drop(candCols: _*)
       // fold the delta into the CURRENT state of the affected groups
       // only (semi-join: the view side is view-sized, the delta
       // churn-sized), then merge keyed on the group columns — groups
       // emptied by retraction are deleted from the view
       val viewV = VersionedTable.latestVersion(spark, viewDir)
-      val current = VersionedTable.readVersion(spark, viewDir, viewV)
-        .join(delta.select(groupCols.map(col): _*), groupCols, "left_semi")
-      val next = Incremental.mergeStates(current, delta)
-        .withColumn("__del", col("__cnt") === 0)
-      VersionedTable.merge(spark, viewDir, next, groupCols, viewV,
+      val affected = VersionedTable.readVersion(spark, viewDir, viewV)
+        .join(deltaAll.select(groupCols.map(col): _*), groupCols,
+          "left_semi")
+      val invNext = Incremental.mergeStates(
+        affected.drop(extCols: _*), delta)
+      val (next, rescanMeta) =
+        if (extremes.isEmpty)
+          (invNext, Map.empty[String, String])
+        else {
+          // hybrid MIN/MAX: incremental when provable, re-scan ONLY
+          // the uncertain groups. A group is uncertain iff a retracted
+          // value TIES its current extremum and no applied value beats
+          // it — a retraction strictly inside the range can never move
+          // an extremum, and an applied value at/past it pins the new
+          // one without looking at the data.
+          val curExt = affected.select(
+            (groupCols.map(col) ++ extCols.map(col)): _*)
+          val cand = deltaAll.select(
+            (groupCols.map(col) ++ candCols.map(col)): _*)
+          val needAny = extremes.map { case (m, _) =>
+            val (cMin, cMax) = (col(minCol(m)), col(maxCol(m)))
+            (cMin.isNotNull && col(s"${m}__min_ret").isNotNull &&
+              col(s"${m}__min_ret") <= cMin &&
+              !(col(s"${m}__min_app").isNotNull &&
+                col(s"${m}__min_app") <= cMin)) ||
+            (cMax.isNotNull && col(s"${m}__max_ret").isNotNull &&
+              col(s"${m}__max_ret") >= cMax &&
+              !(col(s"${m}__max_app").isNotNull &&
+                col(s"${m}__max_app") >= cMax))
+          }.reduce(_ || _)
+          // full outer: brand-new groups have no current row (extremum
+          // = the applied candidate), untouched-extreme groups no
+          // candidate row (extremum carried)
+          val resolved = curExt.join(cand, groupCols, "full_outer")
+            .select((groupCols.map(col) ++ Seq(needAny.as("__need")) ++
+              extremes.flatMap { case (m, _) =>
+                Seq(
+                  least(col(minCol(m)), col(s"${m}__min_app"))
+                    .as(minCol(m)),
+                  greatest(col(maxCol(m)), col(s"${m}__max_app"))
+                    .as(maxCol(m)))
+              }): _*).localCheckpoint() // decided once; reused 3×
+          val k = groupCols.head
+          val env = resolved.filter(col("__need"))
+            .agg(count(lit(1)), min(col(k)), max(col(k))).head()
+          val nRescan = env.getLong(0)
+          if (nRescan == 0L)
+            (invNext.join(resolved.drop("__need"), groupCols, "left"),
+              Map(RescanGroupsKey -> "0", RescanFilesKey -> "0"))
+          else {
+            // re-scan reads ONLY the files that can hold the uncertain
+            // groups — the source's own stats index prunes on the
+            // leading group column's envelope (receipt in the commit)
+            val (kept, _) = scala.util.Try(
+              VersionedTable.prunedFiles(spark, srcDir, latest, Seq(
+                VersionedTable.ColBound(k, Option(env.get(1)),
+                  Option(env.get(2)))))).getOrElse(
+              (VersionedTable.liveFiles(spark, srcDir, latest), 0))
+            val srcRows = VersionedTable.readFilesMasked(spark, srcDir,
+              VersionedTable.readManifest(spark, srcDir, latest), kept,
+              VersionedTable.schemaOf(spark, srcDir, latest))
+            val reAggs = extremes.flatMap { case (m, c) =>
+              Seq(min(c).as(s"${m}__min_re"), max(c).as(s"${m}__max_re"))
+            }
+            val re = srcRows.join(
+                resolved.filter(col("__need"))
+                  .select(groupCols.map(col): _*), groupCols, "left_semi")
+              .groupBy(groupCols.map(col): _*)
+              .agg(reAggs.head, reAggs.tail: _*)
+            val fixed = resolved.join(re, groupCols, "left")
+              .select((groupCols.map(col) ++
+                extremes.flatMap { case (m, _) =>
+                  Seq(
+                    when(col("__need"), col(s"${m}__min_re"))
+                      .otherwise(col(minCol(m))).as(minCol(m)),
+                    when(col("__need"), col(s"${m}__max_re"))
+                      .otherwise(col(maxCol(m))).as(maxCol(m)))
+                }): _*)
+            (invNext.join(fixed, groupCols, "left"),
+              Map(RescanGroupsKey -> nRescan.toString,
+                RescanFilesKey -> kept.length.toString))
+          }
+        }
+      VersionedTable.merge(spark, viewDir,
+        next.withColumn("__del", col("__cnt") === 0), groupCols, viewV,
         consumer, deleteCol = Some("__del"),
-        meta = Map(SyncedKey -> latest.toString))
+        meta = Map(SyncedKey -> latest.toString) ++ rescanMeta)
     }
     VersionedTable.ackChanges(spark, srcDir, consumer, cur, latest)
     Some((cur, latest))

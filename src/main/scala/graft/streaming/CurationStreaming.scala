@@ -36,27 +36,35 @@ import org.apache.spark.sql.types._
   *
   * Scale: state is ONE (ts, id) pair per distinct band key in the
   * watermark horizon — bounded by content diversity, not corpus size,
-  * and identical to what the batch band join would shuffle. TTL-free
-  * here (tests replay finite data); production passes a TTLConfig in
-  * [[BandOwnerProcessor]]'s getValueState so band ownership expires
-  * with the dedup horizon, exactly like q129's/q151's
-  * watermark-bounded dedup state. Measured caveat for that swap-in:
-  * state TTL requires TimeMode.ProcessingTime, under which an
-  * AvailableNow REPLAY never terminates (the trigger keeps scheduling
-  * timer micro-batches) — the TTL posture belongs to continuous
-  * production triggers only, never to the replay/parity harnesses. */
+  * and identical to what the batch band join would shuffle. The
+  * parity/replay harnesses run TTL-free (finite replays); production
+  * passes `stateTtlMs` so band ownership expires with the dedup
+  * horizon, exactly like q129's/q151's watermark-bounded dedup state
+  * — exercised by StreamingSpec's production-trigger TTL smoke
+  * (continuous trigger, bounded wall-time, eviction asserted).
+  * Caveat, measured r13 and pinned by that test: state TTL requires
+  * TimeMode.ProcessingTime, under which an AvailableNow replay — and
+  * processAllAvailable under ANY trigger — never terminates (TTL
+  * timer micro-batches keep the query "not caught up"); TTL runs
+  * under continuous triggers the caller stops, and PARITY HARNESSES
+  * ONLY stay TTL-free. */
 object CurationStreaming {
 
   final case class BandRow(band: Int, sig: Long, doc_id: Long, ts_ms: Long)
   final case class BandVerdict(doc_id: Long, band: Int, dup_band: Boolean)
 
-  /** Keyed owner state: earliest (ts_ms, doc_id) per (band, sig). */
-  final class BandOwnerProcessor
+  /** Keyed owner state: earliest (ts_ms, doc_id) per (band, sig).
+    * `ttlMs > 0` = the production posture: ownership expires with the
+    * dedup horizon (requires TimeMode.ProcessingTime — see
+    * [[streamNearDupVerdicts]]'s trigger contract). */
+  final class BandOwnerProcessor(ttlMs: Long = 0L)
       extends StatefulProcessor[(Int, Long), BandRow, BandVerdict] {
     @transient private var owner: ValueState[(Long, Long)] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       owner = getHandle.getValueState[(Long, Long)](
-        "owner", Encoders.product[(Long, Long)], TTLConfig.NONE)
+        "owner", Encoders.product[(Long, Long)],
+        if (ttlMs > 0L) new TTLConfig(java.time.Duration.ofMillis(ttlMs))
+        else TTLConfig.NONE)
     override def handleInputRows(key: (Int, Long), rows: Iterator[BandRow],
         timerValues: TimerValues): Iterator[BandVerdict] = {
       // deterministic within-batch order: the verdicts must match the
@@ -102,17 +110,28 @@ object CurationStreaming {
   }
 
   /** The streaming stage: staged parquet docs → in-stream banding →
-    * per-band-key typed ownership state → (doc, band) verdicts. */
+    * per-band-key typed ownership state → (doc, band) verdicts.
+    *
+    * `stateTtlMs > 0` = the PRODUCTION posture: band ownership expires
+    * after the dedup horizon, bounding state on an unbounded corpus.
+    * TTL requires TimeMode.ProcessingTime, and under ProcessingTime an
+    * AvailableNow replay never terminates (the trigger keeps
+    * scheduling timer micro-batches) — so the TTL form is for
+    * CONTINUOUS triggers stopped by the caller (the StreamingSpec TTL
+    * smoke runs exactly that: bounded wall-time, assert eviction);
+    * parity/replay harnesses use the TTL-free default. */
   def streamNearDupVerdicts(spark: SparkSession, stagedDir: String,
-      numHashes: Int = 128, bands: Int = 16): DataFrame = {
+      numHashes: Int = 128, bands: Int = 16,
+      stateTtlMs: Long = 0L): DataFrame = {
     EventsStreaming.ensureRocksDbProvider(spark, "streamNearDupVerdicts")
     import spark.implicits._
     val stream = spark.readStream.schema(docSchema).parquet(stagedDir)
     bandRows(stream, numHashes, bands)
       .as[BandRow]
       .groupByKey(r => (r.band, r.sig))
-      .transformWithState(new BandOwnerProcessor,
-        TimeMode.None(), OutputMode.Update())
+      .transformWithState(new BandOwnerProcessor(stateTtlMs),
+        if (stateTtlMs > 0L) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
       .toDF()
   }
 

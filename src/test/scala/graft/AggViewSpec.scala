@@ -151,4 +151,64 @@ class AggViewSpec extends SparkSpec {
     AggView.sync(spark, src, view, "vmaint", Seq("k"), Seq("g"), measures)
     viewEqualsDirect(src, view)
   }
+
+  test("hybrid MIN/MAX: incremental when provable, group-scoped rescan when not") {
+    val root = tmp("aggview-ext")
+    val src = s"$root/src"; val view = s"$root/view"
+    val ext = Seq("x" -> col("x"))
+    def check(): Unit = {
+      val v = AggView.read(spark, view)
+      val d = AggView.finalize(AggView.state(
+        VersionedTable.read(spark, src), Seq("g"), measures, extremes = ext))
+      assert(v.exceptAll(d).isEmpty && d.exceptAll(v).isEmpty,
+        s"view != direct:\nview=${v.orderBy($"g").collect().toSeq}\n" +
+          s"direct=${d.orderBy($"g").collect().toSeq}")
+    }
+    def rescanMeta: Map[String, String] =
+      VersionedTable.readManifest(spark, view,
+        VersionedTable.latestVersion(spark, view)).meta
+    def srcV = VersionedTable.latestVersion(spark, src)
+    def syncNow() = AggView.sync(spark, src, view, "vm", Seq("k"),
+      Seq("g"), measures, extremes = ext)
+    // cluster the SOURCE by the group column so the uncertain-group
+    // re-scan has a stats envelope to prune on
+    val base = spark.range(800).select($"id".as("k"),
+      (($"id" % 8).cast("string")).as("g"), $"id".cast("double").as("x"))
+    VersionedTable.commit(spark, src, base, -1L, "w",
+      clusterBy = Seq("g"), clusterFiles = 8)
+    AggView.init(spark, src, view, "vm", Seq("g"), measures, extremes = ext)
+    check()
+    // 1. insert-only churn sets a new group max: tightens in place
+    VersionedTable.merge(spark, src,
+      Seq((9001L, "1", 1e6)).toDF("k", "g", "x"), Seq("k"), srcV, "w")
+    syncNow(); check()
+    assert(rescanMeta.get(AggView.RescanGroupsKey).contains("0"),
+      s"insert-only churn must not re-scan: $rescanMeta")
+    // 2. delete a row strictly INSIDE a group's range: still no rescan
+    VersionedTable.deleteWhere(spark, src, "k = 100", srcV, "w")
+    syncNow(); check()
+    assert(rescanMeta.get(AggView.RescanGroupsKey).contains("0"),
+      s"an interior retraction must not re-scan: $rescanMeta")
+    // 3. delete group 1's MAX (the 1e6 row): provably uncertain — the
+    //    rescan runs, but reads only the affected group's files
+    //    (receipt in the view commit, pruned via the source's stats)
+    VersionedTable.deleteWhere(spark, src, "k = 9001", srcV, "w")
+    syncNow(); check()
+    val m3 = rescanMeta
+    val total = VersionedTable.liveFiles(spark, src, srcV).length
+    assert(m3(AggView.RescanGroupsKey).toInt == 1, s"one uncertain group: $m3")
+    assert(m3(AggView.RescanFilesKey).toInt > 0 &&
+      m3(AggView.RescanFilesKey).toInt < total,
+      s"rescan must read a pruned file subset, not the table: $m3 of $total")
+    assert(AggView.read(spark, view).filter($"g" === "1")
+      .select($"max_x").as[Double].head() == 793.0,
+      "the recomputed max must be the pre-insert group max")
+    // 4. a GROUP MOVE of a group's max row: retraction side rescans
+    //    the old group, applied side tightens the new group in place
+    VersionedTable.merge(spark, src,
+      Seq((798L, "7", 1.0)).toDF("k", "g", "x"), Seq("k"), srcV, "w")
+    syncNow(); check()
+    assert(AggView.read(spark, view).filter($"g" === "7")
+      .select($"min_x").as[Double].head() == 1.0)
+  }
 }

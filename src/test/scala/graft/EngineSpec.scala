@@ -164,6 +164,57 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("SQL DML over versioned tables: INSERT / DELETE / MERGE route to the CAS") {
+    import graft.operators.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("gs-dml").toString + "/t"
+    VersionedTable.commit(spark, dir,
+      spark.range(100).select($"id".as("k"), ($"id" * 2).as("v")),
+      -1L, "w", clusterBy = Seq("k"), clusterFiles = 4)
+    val gs = new GraftSession(spark)
+    gs.registerVersioned("t", dir)
+    // MERGE with star shorthand: updates + inserts, keyed from ON
+    gs.register("chg",
+      spark.range(5).select($"id".as("k"), lit(-7L).as("v"))
+        .union(spark.range(900, 903).select($"id".as("k"), lit(1L).as("v"))))
+    val m = gs.sql("""MERGE INTO t USING chg AS s ON t.k = s.k
+                      WHEN MATCHED THEN UPDATE SET *
+                      WHEN NOT MATCHED THEN INSERT *""").head()
+    assert(m.getString(0) == "merge" && m.getLong(2) == 1L)
+    // the latest-tracking alias advanced: the SELECT sees the write
+    assert(gs.sql("SELECT count(*) FROM t WHERE v = -7").as[Long].head() == 5)
+    assert(gs.sql("SELECT count(*) FROM t").as[Long].head() == 103)
+    // DELETE routes to deleteWhere (DV mask, rows receipt)
+    val d = gs.sql("DELETE FROM t WHERE k >= 900").head()
+    assert(d.getLong(2) == 2L && d.getLong(3) == 3L, s"got $d")
+    assert(gs.sql("SELECT count(*) FROM t").as[Long].head() == 100)
+    // INSERT INTO with a SELECT source: positional alignment + cast
+    gs.sql("INSERT INTO t SELECT k + 1000, 5 FROM chg WHERE k < 2")
+    assert(gs.sql("SELECT sum(v) FROM t WHERE k >= 1000").as[Long].head() == 10)
+    // INSERT INTO ... VALUES
+    gs.sql("INSERT INTO t VALUES (5000, 9), (5001, 9)")
+    assert(gs.sql("SELECT count(*) FROM t WHERE v = 9").as[Long].head() == 2)
+    assert(VersionedTable.latestVersion(spark, dir) == 4L)
+    // DML on a plain (non-versioned) alias refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      gs.sql("DELETE FROM chg WHERE k = 0")
+    }
+    assert(e.getMessage.contains("read-only"))
+    // snapshot-isolation write: a session whose binding is STALE
+    // (another writer moved the table) conflicts instead of clobbering
+    val stale = new GraftSession(spark)
+    stale.registerVersioned("t", dir, version = 1L)
+    intercept[graft.operators.VersionedTable.CommitConflict] {
+      stale.sql("DELETE FROM t WHERE k = 0")
+    }
+    // unsupported MERGE shapes fall through with a loud refusal, not
+    // a silent Spark parse of a table that doesn't exist there
+    intercept[IllegalArgumentException] {
+      gs.sql("""MERGE INTO t USING chg AS s ON t.k = s.k + 1
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *""")
+    }
+  }
+
   test("cogroupInner drops keys with an empty bag for that input") {
     val a = Seq((1, "x")).toDF("k", "va")
     val b = Seq((1, 10), (2, 20)).toDF("k", "vb")

@@ -1099,6 +1099,69 @@ class PigScriptSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(spark, vt) == 1L, "table untouched")
   }
 
+  test("VersionedStorage declarations: cluster/mode/feed/expect from the script") {
+    import graft.operators.VersionedTable
+    val vt = java.nio.file.Files.createTempDirectory("pig_vdecl")
+      .toString + "/t"
+    graft.pig.PigScript.run(spark,
+      s"""O = LOAD '$sf/orders.parquet' USING parquet;
+          A = FOREACH O GENERATE o_orderkey AS k, o_custkey AS c,
+                                 o_totalprice AS price;
+          STORE A INTO '$vt' USING VersionedStorage('cluster=k,c',
+            'mode=zorder', 'feed=k', 'expect.price_pos=price >= 0');""",
+      executeStores = true)
+    assert(VersionedTable.clusterColsOf(spark, vt, 0L) == Seq("k", "c"))
+    assert(VersionedTable.clusterModeOf(spark, vt, 0L) == "zorder")
+    assert(VersionedTable.feedKeysOf(spark, vt, 0L) == Seq("k"))
+    assert(VersionedTable.tableExpectations(spark, vt, 0L) ==
+      Map("price_pos" -> "price >= 0"))
+    // the feed materialized with the commit (CDC with zero Scala)
+    assert(spark.read.parquet(s"$vt/_changes/v0").count() ==
+      tables.orders.count())
+    // a violating STORE refuses through the script path
+    intercept[graft.operators.VersionedTable.ExpectationViolation] {
+      graft.pig.PigScript.run(spark,
+        s"""O = LOAD '$sf/orders.parquet' USING parquet;
+            A = FOREACH O GENERATE o_orderkey AS k, o_custkey AS c,
+                                   (0.0 - o_totalprice) AS price;
+            STORE A INTO '$vt' USING VersionedStorage;""",
+        executeStores = true)
+    }
+    assert(VersionedTable.latestVersion(spark, vt) == 0L)
+  }
+
+  test("VersionedStorage declarations: malformed forms refuse loudly") {
+    val vt = java.nio.file.Files.createTempDirectory("pig_vbad")
+      .toString + "/t"
+    def store(args: String): Unit = graft.pig.PigScript.run(spark,
+      s"""O = LOAD '$sf/region.parquet' USING parquet;
+          STORE O INTO '$vt' USING VersionedStorage($args);""",
+      executeStores = true)
+    // unknown declaration key (a typo'd 'clustre=' silently ignored
+    // would ship a script that THINKS it declared clustering)
+    val e1 = intercept[IllegalArgumentException] { store("'clustre=k'") }
+    assert(e1.getMessage.contains("unknown declaration"), e1.getMessage)
+    // bad mode value
+    val e2 = intercept[IllegalArgumentException] {
+      store("'cluster=r_regionkey', 'mode=hilbert'")
+    }
+    assert(e2.getMessage.contains("'range' or 'zorder'"), e2.getMessage)
+    // mode without clustering to shape
+    val e3 = intercept[IllegalArgumentException] { store("'mode=zorder'") }
+    assert(e3.getMessage.contains("need cluster="), e3.getMessage)
+    // bare argument only allowed in first position
+    val e4 = intercept[IllegalArgumentException] {
+      store("'feed=r_regionkey', 'r_name'")
+    }
+    assert(e4.getMessage.contains("bare argument"), e4.getMessage)
+    // expectation with no body
+    val e5 = intercept[IllegalArgumentException] { store("'expect.x='") }
+    assert(e5.getMessage.contains("boolean SQL body"), e5.getMessage)
+    // nothing committed by any refused STORE
+    assert(graft.operators.VersionedTable
+      .latestVersion(spark, vt) == -1L)
+  }
+
   test("shared-scan policy picks the deepest shared alias per sink pair") {
     import graft.pig.PigAst._
     def parse(s: String) = PigParser.parseScript(s)

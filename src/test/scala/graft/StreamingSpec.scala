@@ -460,4 +460,56 @@ class StreamingSpec extends SparkSpec {
     assert(VersionedTable.read(spark, vt).as[(Long, Long)].collect().toSet
       == before, "replayed batches must be inert, never double-applied")
   }
+
+  test("production-trigger TTL: band ownership expires; within-horizon dedup still works") {
+    // the one previously-untested boundary of the streaming surface
+    // (r13 caveat): state TTL needs TimeMode.ProcessingTime, under
+    // which an AvailableNow replay never terminates — so this runs a
+    // CONTINUOUS trigger with bounded wall-time (explicit stop) and
+    // asserts the eviction itself: a doc arriving past the horizon
+    // re-owns its band keys (expired state never resurfaces), while a
+    // doc within the horizon still deduplicates.
+    import graft.streaming.CurationStreaming
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = Files.createTempDirectory("neardup-ttl").toString
+    val staged = s"$tmp/staged"; val ckpt = s"$tmp/ckpt"
+    def stage(ids: Long*): Unit = ids.toDF("doc_id")
+      .select($"doc_id",
+        lit("the quick brown fox jumps over the lazy dog again").as("text"),
+        to_timestamp(from_unixtime($"doc_id" + 1700000000L)).as("ts"))
+      .coalesce(1).write.mode("append").parquet(staged)
+    stage(1L) // the file source needs an existing path at plan time
+    val q = CurationStreaming
+      .streamNearDupVerdicts(spark, staged, stateTtlMs = 2000L)
+      .writeStream.format("memory").queryName("ttl_verdicts")
+      .outputMode("update").option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("250 milliseconds")).start()
+    // processAllAvailable is unusable under TimeMode.ProcessingTime
+    // (TTL timer batches keep it "not caught up" forever — the same
+    // nontermination as AvailableNow); poll the sink with a hard wall
+    // bound instead — THAT is the bounded-wall-time discipline this
+    // test exists to demonstrate.
+    def awaitRows(n: Long): Unit = {
+      val t0 = System.currentTimeMillis()
+      while (spark.table("ttl_verdicts").count() < n) {
+        require(System.currentTimeMillis() - t0 < 90000L,
+          s"TTL smoke: sink never reached $n rows")
+        Thread.sleep(200L)
+      }
+    }
+    try {
+      awaitRows(16L) // doc 1: one verdict per band
+      Thread.sleep(3000L) // sleep past the 2 s TTL horizon
+      stage(2L, 3L)
+      awaitRows(48L)
+    } finally q.stop()
+    val dup = spark.table("ttl_verdicts").groupBy($"doc_id")
+      .agg(max($"dup_band".cast("int")).as("d"))
+      .as[(Long, Int)].collect().toMap
+    assert(dup(1L) == 0, s"first doc owns its bands: $dup")
+    assert(dup(2L) == 0,
+      s"doc past the horizon must re-own (state evicted): $dup")
+    assert(dup(3L) == 1,
+      s"doc within the horizon of doc 2 must still flag: $dup")
+  }
 }

@@ -1269,4 +1269,155 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.filter($"x" === -5L).count() == 40)
     assert(t.count() == 8040)
   }
+
+  // ───────── column mapping: RENAME as metadata (round 14) ─────────
+
+  private def dataFileMtimes(dir: String): Map[String, Long] = {
+    val root = new java.io.File(s"$dir/data")
+    root.listFiles().flatMap(d =>
+      d.listFiles().map(x => x.getPath -> x.lastModified())).toMap
+  }
+
+  test("renameColumns is metadata-only: zero files touched, reads alias") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-ren").toString + "/t"
+    VersionedTable.commit(spark, dir, df("a", 100), -1L, "w",
+      clusterBy = Seq("k"), clusterFiles = 4)
+    VersionedTable.merge(spark, dir,
+      spark.range(5).select($"id".as("k"), lit("b").as("v")), Seq("k"), 0L, "w")
+    val mt0 = dataFileMtimes(dir)
+    val v2 = VersionedTable.renameColumns(spark, dir, Map("v" -> "val"),
+      1L, "mig")
+    assert(v2 == 2L)
+    assert(dataFileMtimes(dir) == mt0, "rename must not touch a data file")
+    // latest reads with the NEW name, same values
+    val got = VersionedTable.read(spark, dir)
+    assert(got.columns.toSeq == Seq("k", "val"))
+    assert(got.filter($"val" === "b").count() == 5)
+    assert(got.count() == 100)
+    // time travel keeps each version's own names
+    assert(VersionedTable.readVersion(spark, dir, 1L).columns.toSeq ==
+      Seq("k", "v"))
+    // the parquet bytes still carry the PHYSICAL name (sticky identity)
+    val anyFile = VersionedTable.liveFiles(spark, dir, v2).head
+    assert(spark.read.parquet(s"$dir/$anyFile").columns.toSeq ==
+      Seq("k", "v"), "physical files keep their original column names")
+  }
+
+  test("writes after a rename: merge/delete through the new name, sticky physical") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-ren-w").toString + "/t"
+    VersionedTable.commit(spark, dir, df("a", 200), -1L, "w",
+      clusterBy = Seq("k"), clusterFiles = 4)
+    VersionedTable.renameColumns(spark, dir, Map("k" -> "id2"), 0L, "mig")
+    // merge keyed on the NEW name
+    val st = VersionedTable.merge(spark, dir,
+      spark.range(10, 14).select($"id".as("id2"), lit("m").as("v")),
+      Seq("id2"), 1L, "w")
+    assert(st.filesAdded >= 1)
+    val got = VersionedTable.read(spark, dir)
+    assert(got.columns.toSeq == Seq("id2", "v"))
+    assert(got.filter($"v" === "m").count() == 4 && got.count() == 200)
+    // post-rename staged files STILL carry the original physical name,
+    // so every file of the table reads under one pinned schema
+    val newRel = VersionedTable.readManifest(spark, dir, 2L).files
+      .filter(_.contains("v2-w"))
+    assert(newRel.nonEmpty &&
+      spark.read.parquet(s"$dir/${newRel.head}").columns.contains("k"),
+      "rewritten files must keep the sticky physical name")
+    // stats survived the re-key: a bound on the NEW name still prunes
+    val (kept, total) = VersionedTable.prunedFiles(spark, dir, 2L,
+      Seq(VersionedTable.ColBound("id2", Some(0L), Some(10L))))
+    assert(kept.length < total, s"skipping must survive the rename " +
+      s"($kept of $total)")
+    // deleteWhere through the new name (predicate-implied pruning path)
+    val del = VersionedTable.deleteWhere(spark, dir, "id2 >= 190", 2L, "gdpr")
+    assert(del.rowsDeleted == 10 &&
+      del.filesScanned < total, s"delete must prune via renamed stats: $del")
+    assert(VersionedTable.read(spark, dir).count() == 190)
+  }
+
+  test("feed and CDF survive a rename with no reset; rename feed is empty") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-ren-cdf").toString + "/t"
+    VersionedTable.commit(spark, dir, df("a", 50), -1L, "w",
+      meta = Map(VersionedTable.FeedKey -> "k"))
+    VersionedTable.initCursor(spark, dir, "sink", 0L)
+    VersionedTable.renameColumns(spark, dir, Map("v" -> "txt"), 0L, "mig")
+    VersionedTable.merge(spark, dir,
+      spark.range(3).select($"id".as("k"), lit("z").as("txt")),
+      Seq("k"), 1L, "w")
+    // the declaration renamed through; no reset gap anywhere
+    assert(VersionedTable.feedKeysOf(spark, dir, 2L) == Seq("k"))
+    assert(VersionedTable.feedResets(spark, dir).isEmpty,
+      "a pure rename must not reset the feed")
+    // the rename version's own feed is EMPTY (nothing material changed)
+    assert(VersionedTable.changesBetween(spark, dir, 0L, 1L, Seq("k"))
+      .count() == 0)
+    // a lagging consumer polls ACROSS the rename: new names, exact churn
+    val Some((changes, from, to)) =
+      VersionedTable.pollChanges(spark, dir, "sink", Seq("k"))
+    assert(from == 0L && to == 2L)
+    assert(changes.columns.contains("txt") && !changes.columns.contains("v"))
+    assert(changes.filter($"op" === "update").count() == 3 &&
+      changes.count() == 3)
+    // streaming over the feed sees one schema across the rename
+    val stream = VersionedTable.changeStream(spark, dir)
+    assert(stream.columns.toSeq == Seq("k", "txt", "op", "version"))
+  }
+
+  test("rename refusals: collisions, expectations, physical shadowing") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-ren-no").toString + "/t"
+    VersionedTable.commit(spark, dir, df("a", 10), -1L, "w",
+      expectations = Map("v_set" -> "v IS NOT NULL"))
+    // case-insensitive collision with an existing column
+    intercept[IllegalArgumentException] {
+      VersionedTable.renameColumns(spark, dir, Map("v" -> "K"), 0L, "m")
+    }
+    // unknown column, no-op rename
+    intercept[IllegalArgumentException] {
+      VersionedTable.renameColumns(spark, dir, Map("nope" -> "x"), 0L, "m")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.renameColumns(spark, dir, Map("v" -> "v"), 0L, "m")
+    }
+    // an expectation mentioning the column refuses (cannot rewrite SQL)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.renameColumns(spark, dir, Map("v" -> "w"), 0L, "m")
+    }
+    assert(e.getMessage.contains("v_set"))
+    // drop the expectation explicitly, then the rename lands
+    VersionedTable.commit(spark, dir, df("a", 10), 0L, "w",
+      expectations = Map("v_set" -> ""))
+    VersionedTable.renameColumns(spark, dir, Map("v" -> "w"), 1L, "m")
+    // a new column shadowing the renamed column's PHYSICAL name refuses
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.addColumns(spark, dir,
+        Seq(org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType)), 2L, "m")
+    }
+    assert(e2.getMessage.contains("PHYSICAL"))
+    // rename BACK collapses the chain: identity mapping, empty colmap
+    VersionedTable.renameColumns(spark, dir, Map("w" -> "v"), 2L, "m")
+    assert(VersionedTable.readManifest(spark, dir, 3L).colmap.isEmpty,
+      "a rename back to the physical name must leave no mapping")
+    assert(VersionedTable.read(spark, dir).columns.toSeq == Seq("k", "v"))
+  }
+
+  test("rename composes: replicate ships the map; restore keeps its version's map") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-ren-rep").toString + "/t"
+    val rep = java.nio.file.Files.createTempDirectory("vt-ren-rep").toString + "/r"
+    VersionedTable.commit(spark, dir, df("a", 40), -1L, "w",
+      clusterBy = Seq("k"), clusterFiles = 2)
+    VersionedTable.renameColumns(spark, dir, Map("v" -> "body"), 0L, "mig")
+    VersionedTable.replicate(spark, dir, rep)
+    val atReplica = VersionedTable.read(spark, rep)
+    assert(atReplica.columns.toSeq == Seq("k", "body"),
+      "the replica must ship the column mapping")
+    assert(atReplica.orderBy($"k").collect().toSeq ==
+      VersionedTable.read(spark, dir).orderBy($"k").collect().toSeq)
+    // restore to the pre-rename version re-points at ITS colmap/schema
+    val v2 = VersionedTable.restore(spark, dir, 0L, 1L, "ops",
+      allowSchemaChange = true)
+    assert(VersionedTable.readVersion(spark, dir, v2).columns.toSeq ==
+      Seq("k", "v"))
+    assert(VersionedTable.readManifest(spark, dir, v2).colmap.isEmpty)
+  }
 }
