@@ -711,6 +711,33 @@ object Soak {
           f"job $jobSec%.2fs")
         nFiles.toLong
       }
+      // round 14: deleteWhere's hit counts past the crossover — a
+      // REAL many-file table (2048 files), scattered delete, the
+      // crossover forced so counts + footer totals aggregate in ONE
+      // distributed job (branch parity is DeletionVectorSpec-pinned;
+      // this is the scale/shape receipt)
+      time("lakehouse_dv_distributed_counts") {
+        val vt2 = s"$root/dvsoak"
+        val n = 2000000L
+        VersionedTable.commit(spark, vt2,
+          spark.range(n).select(col("id").as("k"),
+            (col("id") % 997).as("w")),
+          -1L, "soak", clusterBy = Seq("k"), clusterFiles = 2048)
+        spark.conf.set("graft.prune.driverFiles", "0")
+        val st =
+          try VersionedTable.deleteWhere(spark, vt2, "k % 4001 = 7",
+            0L, "soak")
+          finally spark.conf.unset("graft.prune.driverFiles")
+        require(st.rowsDeleted == 500L,
+          s"scattered delete must hit exactly 500 rows: $st")
+        require(st.filesMasked > 300L,
+          s"the delete must scatter across hundreds of files: $st")
+        println(s"[soak]   dv distributed-count receipt: " +
+          s"${st.filesMasked} files masked / ${st.filesTotal} live, " +
+          s"${st.rowsDeleted} rows, ${st.bytesDv} dv bytes, " +
+          "counts+footers in one job")
+        n
+      }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     }
 

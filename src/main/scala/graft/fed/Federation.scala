@@ -26,6 +26,15 @@ object Federation {
   /** Where a table lives: owning cluster + format + URI. */
   final case class TableLoc(cluster: String, format: String, uri: String)
 
+  /** [[TableLoc.format]] token for a VERSIONED table
+    * ([[graft.operators.VersionedTable]] dir): scans resolve through
+    * the manifest (snapshot-pinned per orchestrator — see
+    * Orchestrator.readLocation) instead of a raw format load. Register
+    * replicas made by [[graft.operators.VersionedTable.replicate]]
+    * under the same token and failover serves the SAME pinned source
+    * snapshot at the replica. */
+  val VersionedFormat = "graft-versioned"
+
   /** An executable cluster: in production a Spark Connect endpoint per
     * physical cluster; in tests, isolated SparkSessions. `scratchUri` is
     * the cluster-local staging area for inbound transfers (the
@@ -534,6 +543,50 @@ object Federation {
     private var cat: Catalog = catalog
     private var lostTables: Map[String, Seq[String]] = Map.empty
 
+    // Snapshot pins for VERSIONED scans (format == VersionedFormat):
+    // the first resolution of a table records the SOURCE version it
+    // served; every later resolution — including a post-failover read
+    // at a replica, whose version numbering is independent — must
+    // serve the SAME source snapshot, located through the replica
+    // manifests' ReplicaSrcKey identity. Snapshot isolation holds
+    // ACROSS failover: a replica that advanced past the pin still
+    // serves the pinned version (file-sharing retains it); a replica
+    // that never received it refuses loudly.
+    private val pinnedSnapshots = mutable.Map.empty[String, Long]
+
+    /** The pinned source version of a versioned table, if resolved. */
+    def pinnedSnapshot(table: String): Option[Long] =
+      pinnedSnapshots.synchronized { pinnedSnapshots.get(table) }
+
+    private def readLocation(s: SparkSession, t: String,
+        loc: TableLoc): DataFrame =
+      if (loc.format != VersionedFormat)
+        s.read.format(loc.format).load(loc.uri)
+      else {
+        import graft.operators.VersionedTable
+        // the snapshot identity of a local version: its own number at
+        // the source, its recorded source version at a replica
+        def srcVersionOf(v: Long): Long = {
+          val m = VersionedTable.readManifest(s, loc.uri, v)
+          m.meta.get(VersionedTable.ReplicaSrcKey).map(_.toLong)
+            .getOrElse(m.version)
+        }
+        val vs = VersionedTable.versions(s, loc.uri)
+        require(vs.nonEmpty, s"versioned table '$t': nothing committed " +
+          s"under ${loc.uri}")
+        val pin = pinnedSnapshots.synchronized {
+          pinnedSnapshots.getOrElseUpdate(t, srcVersionOf(vs.last))
+        }
+        val local = vs.reverse.find(srcVersionOf(_) == pin).getOrElse(
+          throw new RuntimeException(
+            s"versioned table '$t' at ${loc.uri}: no retained version " +
+              s"holds the pinned source snapshot $pin (replica lag or " +
+              "expired history) — snapshot isolation across failover " +
+              "cannot be served; replicate the pinned version or " +
+              "re-plan from a fresh orchestrator"))
+        VersionedTable.readVersion(s, loc.uri, local)
+      }
+
     /** Clusters currently considered live (observability + tests). */
     def liveClusters: Set[String] = live.keySet
 
@@ -639,7 +692,7 @@ object Federation {
           val loc = cat(t)
           val cluster = live(pl.assignment(s))
           withRetry(s"${s.label} on cluster ${cluster.id}") {
-            cluster.session.read.format(loc.format).load(loc.uri)
+            readLocation(cluster.session, t, loc)
           }
         }
       case st @ FedStage(in, f, label, _) =>

@@ -113,7 +113,13 @@ object VersionedTable {
 
   private def fs(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // Spark Connect sessions have no sparkContext — fall back to a
+      // default Hadoop conf so the METADATA surface (manifest reads,
+      // version listing → the read paths the federation orchestrator
+      // drives over gRPC) works from a connect client; write paths
+      // still require a classic session (they parallelize jobs).
+      .getFileSystem(scala.util.Try(spark.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration()))
 
   private def logDir(dir: String) = s"$dir/_log"
 
@@ -2296,12 +2302,56 @@ object VersionedTable {
     val matched = readFilesWithRowId(spark, dir, m, candidates, schema)
       .where(expr(predicate))
       .select(col("__graft_rel").as("file"), col("__graft_pos").as("pos"))
-    // per-file hit counts: file-count-bounded driver metadata
-    val newCounts: Map[String, Long] = matched.groupBy("file").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Per-file (fresh hits, physical rows): below the crossover, the
+    // count collect + a footer metadata job (two small driver maps);
+    // past it (graft.prune.driverFiles — the prunedFiles discipline),
+    // ONE distributed job aggregates counts AND reads each touched
+    // file's footer next to its count, so a scattered delete over a
+    // 10^7-file table collects exactly one manifest-receipt-sized
+    // list and no intermediate driver map. (The FINAL per-masked-file
+    // receipt is irreducible: the manifest itself carries one dv line
+    // per masked file — bounded driver metadata by design.)
+    val hitStats: Array[(String, Long, Long)] = {
+      val counts = matched.groupBy("file").count()
+      if (candidates.length <= driverPruneFiles(spark)) {
+        val cmap = counts.collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (cmap.isEmpty) Array.empty
+        else {
+          val totals = footerRowCounts(spark, dir, cmap.keys.toSeq.sorted)
+          cmap.toSeq.sortBy(_._1)
+            .map { case (rel, h) => (rel, h, totals(rel)) }.toArray
+        }
+      } else {
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf())
+        val dirStr = dir
+        counts.select(col("file"), col("count"))
+          .as(org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.STRING,
+            org.apache.spark.sql.Encoders.scalaLong))
+          .mapPartitions { it =>
+            import scala.jdk.CollectionConverters._
+            it.map { case (rel, hits) =>
+              val footer =
+                org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+                  conf.value,
+                  new org.apache.hadoop.fs.Path(s"$dirStr/$rel"),
+                  org.apache.parquet.format.converter
+                    .ParquetMetadataConverter.NO_FILTER)
+              (rel, hits, footer.getBlocks.asScala.map(_.getRowCount).sum)
+            }
+          }(org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.STRING,
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong))
+          .collect().sortBy(_._1)
+      }
+    }
+    val newCounts: Map[String, Long] = hitStats.map(t => t._1 -> t._2).toMap
     if (newCounts.isEmpty) return noOp
-    val touched = newCounts.keys.toSeq.sorted
-    val totals = footerRowCounts(spark, dir, touched)
+    val touched = hitStats.map(_._1).toSeq
+    val totals: Map[String, Long] = hitStats.map(t => t._1 -> t._3).toMap
     val afterDeleted: Map[String, Long] = touched.map(rel =>
       rel -> (m.dv.get(rel).map(_._2).getOrElse(0L) + newCounts(rel))).toMap
     val droppedSet = touched.filter(rel =>
@@ -2493,6 +2543,13 @@ object VersionedTable {
       filesCopied: Long, filesShared: Long,
       bytesCopied: Long, bytesTable: Long)
 
+  /** Meta key a replica manifest carries recording WHICH source
+    * version it materializes — the cross-instance snapshot identity
+    * (replica version NUMBERING is independent; this key is what lets
+    * a reader resolve "source version N" at a replica, the federation
+    * failover's snapshot-isolation contract). */
+  val ReplicaSrcKey = "replica.src.version"
+
   /** The source-side cursor name [[replicate]] maintains for a
     * replica destination — visible in `_cursors/` and [[history]]-style
     * ops tooling as the replica's lag, and counted by
@@ -2541,17 +2598,22 @@ object VersionedTable {
     val srcM = readManifest(spark, srcDir, srcV)
     val srcLive = liveFiles(spark, srcDir, srcV)
     val dstV = latestVersion(spark, dstDir)
+    val dstM = if (dstV >= 0) Some(readManifest(spark, dstDir, dstV)) else None
     val dstPrevLive = if (dstV >= 0) liveFiles(spark, dstDir, dstV) else Seq.empty
-    val dstPrevDv =
-      if (dstV >= 0) readManifest(spark, dstDir, dstV).dv
-      else Map.empty[String, (String, Long)]
     val fSrc = fs(spark, srcDir)
     def srcBytes(rels: Seq[String]): Long = rels.map(rel => fSrc.getFileStatus(
       new org.apache.hadoop.fs.Path(s"$srcDir/$rel")).getLen).sum
-    // "already current" must compare MASKS too: a DV-only source
+    // "already current" must compare MASKS too (a DV-only source
     // commit changes no live paths but changes every masked file's
-    // effective content
-    if (dstV >= 0 && dstPrevLive == srcLive && dstPrevDv == srcM.dv) {
+    // effective content), the RECORDED source version and schema too
+    // (a metadata-only source commit — rename, widen — changes no
+    // files, but the replica must still publish a version recording
+    // the new snapshot identity, or failover readers pinning it would
+    // find the replica permanently "current yet lagging")
+    if (dstV >= 0 && dstPrevLive == srcLive &&
+        dstM.exists(m => m.dv == srcM.dv &&
+          m.meta.get(ReplicaSrcKey).contains(srcV.toString) &&
+          m.schema.map(_.json) == srcM.schema.map(_.json))) {
       advanceReplicaCursor(spark, srcDir, dstDir, srcV)
       return ReplicaStats(-1L, srcV, 0L, srcLive.length.toLong, 0L,
         srcBytes(srcLive))
@@ -2606,7 +2668,11 @@ object VersionedTable {
       srcM.schema.getOrElse(schemaOf(spark, srcDir, srcV)),
       stagingDir = None, files = srcLive,
       removed = dstPrevLive.filterNot(srcLive.toSet), stats = srcM.stats,
-      meta = srcM.meta, dv = srcM.dv, tsMs = commitClock(spark),
+      // the replica records WHICH source version this is (overwriting
+      // any replica-of-replica inherited value) — snapshot identity
+      // across instances for failover readers
+      meta = srcM.meta + (ReplicaSrcKey -> srcV.toString),
+      dv = srcM.dv, tsMs = commitClock(spark),
       colmap = srcM.colmap)
     if (!casManifest(spark, dstDir, newV, writerId, body))
       throw new CommitConflict(

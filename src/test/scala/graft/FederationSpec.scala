@@ -510,6 +510,71 @@ class FederationSpec extends SparkSpec {
       Federation.stopConnectServer() // non-daemon gRPC threads
     }
   }
+
+  test("versioned table across failover: the replica serves the SAME pinned snapshot") {
+    // Federation × lakehouse (r13 next-round #9): a VERSIONED table's
+    // scan pins the source version it first resolved; the primary dies
+    // MID-JOB while the source advances AND the replica syncs the new
+    // state — failover must serve the replica's version matching the
+    // PIN (snapshot isolation across failover), not the replica's
+    // latest, located via the ReplicaSrcKey identity.
+    import graft.operators.VersionedTable
+    val port = Federation.ensureConnectServer(spark)
+    val tmp = Files.createTempDirectory("fed_vt").toString
+    val src = s"$tmp/b/vt"; val rep = s"$tmp/a/vt_replica"
+    VersionedTable.commit(spark, src,
+      spark.range(2000).select(col("id").as("k"), (col("id") * 3).as("v")),
+      -1L, "w", clusterBy = Seq("k"), clusterFiles = 4)
+    VersionedTable.merge(spark, src,
+      spark.range(50).select(col("id").as("k"), lit(-1L).as("v")),
+      Seq("k"), 0L, "w")
+    VersionedTable.replicate(spark, src, rep) // replica holds src v1
+    val catalog = new Catalog()
+      .register("vt", TableLoc("B", Federation.VersionedFormat, src))
+      .registerReplica("vt", TableLoc("A", Federation.VersionedFormat, rep))
+    val clusters = Map(
+      "A" -> Federation.connectCluster("A", s"sc://localhost:$port",
+        s"$tmp/a/scratch", failFast = true),
+      "B" -> Federation.connectCluster("B", s"sc://localhost:$port",
+        s"$tmp/b/scratch", failFast = true))
+    try {
+      val killed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val plan = FedStage(FedScan("vt"), df => {
+        if (killed.compareAndSet(false, true)) {
+          // the world moves while the job is in flight: the source
+          // commits v2, the replica syncs it — and the primary dies
+          VersionedTable.merge(spark, src,
+            spark.range(50).select(col("id").as("k"), lit(-2L).as("v")),
+            Seq("k"), 1L, "w")
+          VersionedTable.replicate(spark, src, rep)
+          clusters("B").session match {
+            case cs: org.apache.spark.sql.connect.SparkSession => cs.close()
+            case _ => ()
+          }
+        }
+        df.filter(col("k") >= 0)
+      }, "filter_vt")
+      val orch = new Orchestrator(catalog, clusters, maxRetries = 0)
+      val out = orch.executeWithFailover(plan)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(orch.pinnedSnapshot("vt").contains(1L),
+        s"the scan must pin the source version it first resolved: " +
+          s"${orch.pinnedSnapshot("vt")}")
+      val want = VersionedTable.readVersion(spark, src, 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out == want, "failover must serve the PINNED snapshot")
+      assert(out.count(_._2 == -1L) == 50 && !out.exists(_._2 == -2L),
+        "the replica's newer state (src v2) must NOT leak into the " +
+          "pinned read")
+      // and the replica genuinely holds BOTH snapshots, newest last
+      assert(VersionedTable.readManifest(spark, rep,
+        VersionedTable.latestVersion(spark, rep))
+        .meta.get(VersionedTable.ReplicaSrcKey).contains("2"))
+    } finally {
+      Federation.closeClusterSessions(clusters)
+      Federation.stopConnectServer() // non-daemon gRPC threads
+    }
+  }
 }
 
 /** Top-level so the UDF closure never captures the spec instance. */

@@ -1130,6 +1130,93 @@ class PigScriptSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(spark, vt) == 0L)
   }
 
+  test("lakehouse script grammar probes: macros, params, SPLIT multi-STORE, self-append, ISO as-of") {
+    // r13 next-round #10: probe the versioned-storage grammar corners
+    // a migrated script actually hits — time-travel LOAD inside a
+    // macro body, version via %declare parameter, SPLIT fan-out into
+    // two versioned sinks, LOAD-v0-STORE-back self-append, ISO-8601
+    // 'T' timestamps, and a bogus STORE argument refusing loudly.
+    import graft.operators.VersionedTable
+    val tmp = java.nio.file.Files.createTempDirectory("pig_vprobe").toString
+    val vt = s"$tmp/t"
+    val base = 1710000000000L
+    spark.conf.set("graft.commit.clockMs", base.toString)
+    graft.pig.PigScript.run(spark,
+      s"""O = LOAD '$sf/orders.parquet' USING parquet;
+          A = FOREACH O GENERATE o_orderkey AS k, o_totalprice AS price;
+          STORE A INTO '$vt' USING VersionedStorage('k');""",
+      executeStores = true)
+    spark.conf.set("graft.commit.clockMs", (base + 60000).toString)
+    graft.pig.PigScript.run(spark,
+      s"""O = LOAD '$sf/orders.parquet' USING parquet;
+          A = FOREACH O GENERATE o_orderkey AS k,
+                                 (o_totalprice + 5.0) AS price;
+          STORE A INTO '$vt' USING VersionedStorage;""",
+      executeStores = true)
+    spark.conf.unset("graft.commit.clockMs")
+    val n = tables.orders.count()
+    val kSum = tables.orders.agg(sum(col("o_orderkey"))).head.getLong(0)
+    // probe 1: time-travel LOAD inside a MACRO body, version as a
+    // macro argument
+    val m1 = graft.pig.PigScript.query(spark,
+      s"""DEFINE oldcount(v) RETURNS S {
+            t = LOAD '$vt' USING VersionedStorage('$$v');
+            g = GROUP t ALL;
+            $$S = FOREACH g GENERATE COUNT(t) AS c, SUM(t.k) AS ks; };
+          R = oldcount(0);""")
+    assert((m1.head.getLong(0), m1.head.getLong(1)) == ((n, kSum)),
+      "macro-wrapped time travel must read v0 exactly")
+    // probe 2: version via %declare parameter substitution
+    val m2 = graft.pig.PigScript.query(spark,
+      s"""%declare V '1';
+          T = LOAD '$vt' USING VersionedStorage('$$V');
+          G = GROUP T ALL;
+          R = FOREACH G GENERATE COUNT(T) AS c;""")
+    assert(m2.head.getLong(0) == n)
+    // probe 3: SPLIT fan-out into TWO versioned sinks, each with its
+    // own declarations
+    val lo = s"$tmp/lo"; val hi = s"$tmp/hi"
+    graft.pig.PigScript.run(spark,
+      s"""T = LOAD '$vt' USING VersionedStorage;
+          SPLIT T INTO L IF k % 2 == 0, H OTHERWISE;
+          STORE L INTO '$lo' USING VersionedStorage('cluster=k');
+          STORE H INTO '$hi' USING VersionedStorage('cluster=k');""",
+      executeStores = true)
+    assert(VersionedTable.clusterColsOf(spark, lo, 0L) == Seq("k"))
+    assert(VersionedTable.read(spark, lo).count() +
+      VersionedTable.read(spark, hi).count() == n,
+      "the SPLIT branches must partition the versioned read exactly")
+    assert(VersionedTable.read(spark, hi)
+      .filter(col("k") % 2 === 0).count() == 0L)
+    // probe 4: LOAD v0 → transform → STORE back into the SAME table
+    graft.pig.PigScript.run(spark,
+      s"""T = LOAD '$vt' USING VersionedStorage('0');
+          A = FOREACH T GENERATE k, (price * 2.0) AS price;
+          STORE A INTO '$vt' USING VersionedStorage;""",
+      executeStores = true)
+    assert(VersionedTable.latestVersion(spark, vt) == 2L,
+      "a self-append must stack a new version, not clobber")
+    // probe 5: ISO-8601 'T' timestamp between the pinned commits
+    val iso = new java.sql.Timestamp(base + 30000).toString
+      .replaceFirst(" ", "T").takeWhile(_ != '.')
+    val m5 = graft.pig.PigScript.query(spark,
+      s"""T = LOAD '$vt' USING VersionedStorage('$iso');
+          G = GROUP T ALL;
+          R = FOREACH G GENERATE SUM(T.k) AS ks;""")
+    assert(m5.head.getLong(0) == kSum,
+      "ISO-'T' as-of between the commits must read v0")
+    // probe 6: a bogus STORE argument refuses loudly (a version number
+    // is a LOAD concept; on STORE it parses as a clustering column
+    // that does not exist)
+    val e = intercept[IllegalArgumentException] {
+      graft.pig.PigScript.run(spark,
+        s"""T = LOAD '$vt' USING VersionedStorage;
+            STORE T INTO '$tmp/bogus' USING VersionedStorage('0');""",
+        executeStores = true)
+    }
+    assert(e.getMessage.contains("clusterBy"), e.getMessage)
+  }
+
   test("VersionedStorage declarations: malformed forms refuse loudly") {
     val vt = java.nio.file.Files.createTempDirectory("pig_vbad")
       .toString + "/t"
