@@ -3181,10 +3181,14 @@ object SparkEntry {
         s"q250: DELETE must mask rows at version 2: $d")
       gs.sql("INSERT INTO t SELECT k + 9000000, pr, 0.5 FROM chg " +
         "WHERE k % 2 = 0")
-      require(VersionedTable.latestVersion(s, vt) == 3L,
-        "q250: three DML statements must stack three versions")
+      val u = gs.sql("UPDATE t SET price = price + 1000 " +
+        "WHERE k % 11 = 4 AND k < 7000000").head()
+      require(u.getString(0) == "update" && u.getLong(2) == 4L,
+        s"q250: UPDATE must commit version 4: $u")
+      require(VersionedTable.latestVersion(s, vt) == 4L,
+        "q250: four DML statements must stack four versions")
       // the latest-tracking alias advanced through its own writes:
-      // the SELECT that returns the deliverable sees all three
+      // the SELECT that returns the deliverable sees all four
       gs.sql("SELECT k, pr, price FROM t")
     }),
 
@@ -7406,7 +7410,8 @@ object SparkEntry {
          FROM fin GROUP BY grp""",
 
     // SQL DML composite: MERGE (upsert) → DELETE (DV mask) → INSERT
-    // (blind append), replayed relationally
+    // (blind append) → UPDATE (file-granular rewrite), replayed
+    // relationally
     "q250_sql_dml" ->
       """WITH base AS (
            SELECT o_orderkey AS k, o_orderpriority AS pr,
@@ -7419,10 +7424,15 @@ object SparkEntry {
            SELECT * FROM chg
            UNION ALL
            SELECT * FROM base WHERE k NOT IN (SELECT k FROM chg)),
-         d AS (SELECT * FROM m WHERE NOT (k % 97 = 3))
-         SELECT k, pr, price FROM d
-         UNION ALL
-         SELECT k + 9000000, pr, 0.5 FROM chg WHERE k % 2 = 0""",
+         d AS (SELECT * FROM m WHERE NOT (k % 97 = 3)),
+         i AS (
+           SELECT k, pr, price FROM d
+           UNION ALL
+           SELECT k + 9000000, pr, 0.5 FROM chg WHERE k % 2 = 0)
+         SELECT k, pr,
+                CASE WHEN k % 11 = 4 AND k < 7000000 THEN price + 1000
+                     ELSE price END AS price
+         FROM i""",
 
     // script-declared versioned store: the final table is the second
     // STORE's snapshot (the violating third STORE was refused)

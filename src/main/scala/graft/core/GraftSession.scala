@@ -135,6 +135,9 @@ final class GraftSession(val spark: SparkSession) {
     *     column alignment + cast, the SQL INSERT contract);
     *   - `DELETE FROM t WHERE <pred>` → deletion-vector
     *     [[graft.operators.VersionedTable.deleteWhere]] (no rewrite);
+    *   - `UPDATE t SET c = <expr>, … WHERE <pred>` → file-granular
+    *     [[graft.operators.VersionedTable.updateWhere]] (touched files
+    *     only, predicate-implied pruning);
     *   - `MERGE INTO t [AS a] USING <src> [AS s] ON a.k = s.k [AND …]
     *      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT
     *      *` → keyed [[graft.operators.VersionedTable.merge]] (the
@@ -155,6 +158,10 @@ final class GraftSession(val spark: SparkSession) {
     }.orElse {
       GraftSession.DmlDelete.findFirstMatchIn(query).map { m =>
         dmlDelete(m.group(1), m.group(2))
+      }
+    }.orElse {
+      GraftSession.DmlUpdate.findFirstMatchIn(query).map { m =>
+        dmlUpdate(m.group(1), m.group(2), m.group(3))
       }
     }.orElse {
       GraftSession.DmlMerge.findFirstMatchIn(query).map { m =>
@@ -225,6 +232,25 @@ final class GraftSession(val spark: SparkSession) {
     receipt("delete", alias, st.version, st.rowsDeleted)
   }
 
+  private def dmlUpdate(alias: String, setsSql: String,
+      predicate: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val b = binding(alias, "UPDATE")
+    val sets = GraftSession.splitTopLevel(setsSql).map { part =>
+      val mm = GraftSession.SetPair.findFirstMatchIn(part).getOrElse(
+        throw new IllegalArgumentException(
+          s"UPDATE $alias: SET clause '$part' is not `col = <expr>`"))
+      mm.group(1) -> mm.group(2).trim
+    }
+    val st = VersionedTable.updateWhere(spark, b.dir,
+      predicate.trim.stripSuffix(";"), sets, b.version, s"sql-$alias")
+    st match {
+      case Some(d) => advance(alias, b, d.version)
+        receipt("update", alias, d.version, -1L)
+      case None => receipt("update", alias, -1L, 0L) // nothing matched
+    }
+  }
+
   private def dmlMerge(alias: String, tAlias: Option[String],
       source: String, on: String): DataFrame = {
     import graft.operators.VersionedTable
@@ -282,6 +308,28 @@ object GraftSession {
     """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.+?)\s*;?\s*$""".r
   private val DmlDelete =
     """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+  private val DmlUpdate =
+    """(?is)^\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+  private val SetPair = """(?s)^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$""".r
+
+  /** Split a SET list on top-level commas only (function-call commas
+    * and quoted strings never split). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0; var quoted = false
+    s.foreach { ch =>
+      if (ch == '\'') { quoted = !quoted; sb += ch }
+      else if (!quoted && ch == '(') { depth += 1; sb += ch }
+      else if (!quoted && ch == ')') { depth -= 1; sb += ch }
+      else if (!quoted && ch == ',' && depth == 0) {
+        out += sb.toString; sb.clear()
+      }
+      else sb += ch
+    }
+    out += sb.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
   private val DmlMerge =
     ("""(?is)^\s*MERGE\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)""" +
       """(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?\s+USING\s+(.+?)\s+ON\s+(.+?)""" +

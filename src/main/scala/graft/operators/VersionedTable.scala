@@ -2437,6 +2437,72 @@ object VersionedTable {
     out.get
   }
 
+  /** UPDATE WHERE as a file-granular commit: rewrite ONLY the files
+    * containing rows that match the boolean SQL `predicate`, with
+    * `sets` (column → SQL expression) applied to the matching rows and
+    * every other row carried verbatim. The candidate scan prunes from
+    * the predicate's own conjuncts ([[impliedBounds]]); rewritten
+    * files re-cluster into the table's declared layout (the [[merge]]
+    * discipline, so skipping survives). Returns None when nothing
+    * matches — the table is untouched, no empty commit.
+    *
+    * Concurrency shape: the op depends only on its OWN files' rows
+    * (readsTable = false) — a racing append's new matching rows stay
+    * un-updated, exactly the update-then-append serialization — so
+    * with a rebase budget it re-stamps under disjoint winners like
+    * compaction does. Set types must keep the column's type (cast
+    * applied; the schema guard refuses silent shape drift).
+    * Expectations are enforced on the rewritten rows like any commit. */
+  def updateWhere(spark: SparkSession, dir: String, predicate: String,
+      sets: Seq[(String, String)], expectedVersion: Long, writerId: String,
+      meta: Map[String, String] = Map.empty,
+      rebaseAttempts: Int = 0): Option[DeltaStats] = {
+    require(sets.nonEmpty, "updateWhere: no SET columns")
+    val planV = {
+      val cur = latestVersion(spark, dir)
+      if (cur == expectedVersion) expectedVersion
+      else if (rebaseAttempts > 0 && cur > expectedVersion) cur
+      else { requireNotStale(spark, dir, expectedVersion); expectedVersion }
+    }
+    val m = readManifest(spark, dir, planV)
+    val schema = schemaOf(spark, dir, planV)
+    val fieldByName = schema.fields.map(f => f.name -> f).toMap
+    sets.foreach { case (c, _) =>
+      require(fieldByName.contains(c),
+        s"updateWhere: no column '$c' in ${schema.fieldNames.mkString(",")}")
+    }
+    val bounds = impliedBounds(spark, predicate, schema)
+    val candidates =
+      if (bounds.isEmpty) liveFiles(spark, dir, planV)
+      else prunedFiles(spark, dir, planV, bounds)._1
+    if (candidates.isEmpty) return None
+    // touched = files holding at least one matching (unmasked) row
+    val touched = readFilesWithRowId(spark, dir, m, candidates, schema)
+      .where(expr(predicate))
+      .select(col("__graft_rel")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (touched.isEmpty) return None
+    val rows = readFilesMasked(spark, dir, m, touched, schema)
+    val updated = rows.select(schema.fields.map { f =>
+      sets.find(_._1 == f.name) match {
+        case Some((_, e)) =>
+          when(expr(predicate), expr(e).cast(f.dataType))
+            .otherwise(col(s"`${f.name}`")).as(f.name)
+        case None => col(s"`${f.name}`")
+      }
+    }.toIndexedSeq: _*)
+    val clusterCols = clusterColsOf(spark, dir, planV)
+      .filter(schema.fieldNames.contains)
+    val rewritten =
+      if (clusterCols.nonEmpty)
+        clusterShape(updated, clusterCols, clusterModeOf(spark, dir, planV),
+          math.max(1, touched.length))
+      else updated.coalesce(math.max(1, touched.length))
+    Some(commitDelta(spark, dir, Some(rewritten), touched, planV, writerId,
+      meta = meta, readSet = touched, readBounds = bounds,
+      rebaseAttempts = rebaseAttempts))
+  }
+
   /** Materialize every deletion-vector mask: rewrite the masked files
     * with masks applied (cluster-aware, like [[merge]]'s rewrite) and
     * drop the dv entries — readers stop paying the anti-join, and the

@@ -194,6 +194,17 @@ class EngineSpec extends SparkSpec {
     gs.sql("INSERT INTO t VALUES (5000, 9), (5001, 9)")
     assert(gs.sql("SELECT count(*) FROM t WHERE v = 9").as[Long].head() == 2)
     assert(VersionedTable.latestVersion(spark, dir) == 4L)
+    // UPDATE routes to the file-granular rewrite (multi-SET with a
+    // function-call comma; no-match update commits nothing)
+    val u = gs.sql(
+      "UPDATE t SET v = greatest(v, 100), k = k WHERE k IN (5000, 5001)")
+      .head()
+    assert(u.getString(0) == "update" && u.getLong(2) == 5L, s"got $u")
+    assert(gs.sql("SELECT sum(v) FROM t WHERE k >= 5000").as[Long].head()
+      == 200L)
+    val noop = gs.sql("UPDATE t SET v = 0 WHERE k = -12345").head()
+    assert(noop.getLong(2) == -1L, s"no-match UPDATE must not commit: $noop")
+    assert(VersionedTable.latestVersion(spark, dir) == 5L)
     // DML on a plain (non-versioned) alias refuses loudly
     val e = intercept[IllegalArgumentException] {
       gs.sql("DELETE FROM chg WHERE k = 0")
