@@ -101,7 +101,11 @@ object Bench {
     "q21_flatten_tokenize" -> 0.270, "q23_top_per_group" -> 0.330,
     "q35_dedup_minhash" -> 0.522, "q39_cosine_topk" -> 0.448,
     "q44_fingerprint" -> 0.109, "q47_window_tumbling" -> 0.186,
-    "q133_biginteger_agg" -> 0.590, "q146_verbatim_spans" -> 1.050,
+    // q146 deliberately NOT tightened: two back-to-back local runs
+    // measured 1.05 and 2.53 medians on identical code (bimodal host
+    // behavior on the string-heavy span kernel) — a pin from the good
+    // mode would flag the bad mode as a phantom regression
+    "q133_biginteger_agg" -> 0.590, "q146_verbatim_spans" -> 1.100,
     "q152_hot_ngrams" -> 1.170)
 
   /** Streaming replay pins (round 11, VERDICT r10 #6): best recorded

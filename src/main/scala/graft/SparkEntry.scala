@@ -3192,6 +3192,54 @@ object SparkEntry {
       gs.sql("SELECT k, pr, price FROM t")
     }),
 
+    // --- Metadata-only DROP COLUMN (round 14, completing the column-
+    //     mapping migration family): the column leaves the logical
+    //     schema with ZERO files touched (mtime-pinned in-entry);
+    //     reads never deserialize the lingering bytes; the dropped
+    //     PHYSICAL name is tombstoned so no future column can shadow
+    //     them (require()'d); the feed RESETS at the drop (documented
+    //     drop semantics — consumers re-bootstrap); merges through the
+    //     dropped schema work and their rewrites shed the bytes. The
+    //     oracle replays the projection + churn. ---
+    "q254_drop_column" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val vt = java.nio.file.Files.createTempDirectory("graft_drop_q254_")
+        .toString + "/t"
+      val base = t(s, dir).orders.select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("pr"), col("o_orderstatus").as("secret"),
+        col("o_totalprice").as("price"))
+      require(VersionedTable.commit(s, vt, base, -1L, "loader",
+        clusterBy = Seq("k"), clusterFiles = 8,
+        meta = Map(VersionedTable.FeedKey -> "k")) == 0L)
+      val dataRoot = new java.io.File(s"$vt/data")
+      val mt0 = dataRoot.listFiles().flatMap(d =>
+        d.listFiles().map(x => x.getPath -> x.lastModified())).toMap
+      require(VersionedTable.dropColumns(s, vt, Seq("secret"), 0L,
+        "migrator") == 1L)
+      require(dataRoot.listFiles().flatMap(d => d.listFiles()).forall(x =>
+          mt0.get(x.getPath).contains(x.lastModified())),
+        "q254: dropColumns must not touch data files")
+      require(VersionedTable.feedResets(s, vt) == Seq(1L),
+        "q254: a drop must reset the feed")
+      require(VersionedTable.readVersion(s, vt, 0L).columns
+          .contains("secret") &&
+          !VersionedTable.read(s, vt).columns.contains("secret"),
+        "q254: time travel keeps the column; latest excludes it")
+      // the tombstone: the physical name can never be shadowed
+      val refused = try {
+        VersionedTable.addColumns(s, vt,
+          Seq(org.apache.spark.sql.types.StructField("secret",
+            org.apache.spark.sql.types.StringType)), 1L, "w")
+        false
+      } catch { case _: IllegalArgumentException => true }
+      require(refused, "q254: re-adding a dropped name must refuse")
+      // churn through the dropped schema (rewrites shed the bytes)
+      val chg = base.filter(col("k") % 9 === 2).select(col("k"),
+        col("pr"), (col("price") + 50).as("price"))
+      VersionedTable.merge(s, vt, chg, Seq("k"), 1L, "etl")
+      VersionedTable.read(s, vt)
+    }),
+
     // --- VersionedStorage declaration surface (VERDICT r13 #8): a
     //     migrated script declares clustering, change feed, and CHECK
     //     expectations straight from the STORE clause — skipping, CDC,
@@ -7433,6 +7481,14 @@ object SparkEntry {
                 CASE WHEN k % 11 = 4 AND k < 7000000 THEN price + 1000
                      ELSE price END AS price
          FROM i""",
+
+    // metadata-only DROP + post-drop merge: the final table is the
+    // remaining projection with the churn applied
+    "q254_drop_column" ->
+      """SELECT o_orderkey AS k, o_orderpriority AS pr,
+                CASE WHEN o_orderkey % 9 = 2 THEN o_totalprice + 50
+                     ELSE o_totalprice END AS price
+         FROM orders""",
 
     // script-declared versioned store: the final table is the second
     // STORE's snapshot (the violating third STORE was refused)

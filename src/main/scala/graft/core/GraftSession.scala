@@ -142,7 +142,10 @@ final class GraftSession(val spark: SparkSession) {
     *      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT
     *      *` → keyed [[graft.operators.VersionedTable.merge]] (the
     *     Delta star-shorthand surface; per-column SET lists are the
-    *     Scala API's job).
+    *     Scala API's job);
+    *   - `ALTER TABLE t RENAME COLUMN a TO b` / `ADD COLUMNS (a INT,
+    *     …)` / `DROP COLUMN(S) a, b` → the metadata-only migrations
+    *     (renameColumns / addColumns / dropColumns).
     *
     * Writes commit against the version the alias RESOLVED at
     * registration — snapshot-isolation writes: if another writer moved
@@ -167,7 +170,42 @@ final class GraftSession(val spark: SparkSession) {
       GraftSession.DmlMerge.findFirstMatchIn(query).map { m =>
         dmlMerge(m.group(1), Option(m.group(2)), m.group(3), m.group(4))
       }
+    }.orElse {
+      GraftSession.DdlRename.findFirstMatchIn(query).map { m =>
+        ddl("rename", m.group(1)) { b =>
+          graft.operators.VersionedTable.renameColumns(spark, b.dir,
+            Map(m.group(2) -> m.group(3)), b.version, s"sql-${m.group(1)}")
+        }
+      }
+    }.orElse {
+      GraftSession.DdlAdd.findFirstMatchIn(query).map { m =>
+        ddl("add_columns", m.group(1)) { b =>
+          graft.operators.VersionedTable.addColumns(spark, b.dir,
+            org.apache.spark.sql.types.StructType.fromDDL(m.group(2))
+              .fields.toIndexedSeq,
+            b.version, s"sql-${m.group(1)}")
+        }
+      }
+    }.orElse {
+      GraftSession.DdlDrop.findFirstMatchIn(query).map { m =>
+        ddl("drop_columns", m.group(1)) { b =>
+          graft.operators.VersionedTable.dropColumns(spark, b.dir,
+            m.group(2).split(',').toSeq.map(_.trim).filter(_.nonEmpty),
+            b.version, s"sql-${m.group(1)}")
+        }
+      }
     }.getOrElse(rawSql(query))
+
+  /** Shared ALTER TABLE plumbing: resolve the versioned binding, run
+    * the metadata-only migration, advance a latest-tracking binding
+    * past it, return the receipt row. */
+  private def ddl(op: String, alias: String)(
+      run: VBinding => Long): DataFrame = {
+    val b = binding(alias, s"ALTER TABLE ($op)")
+    val newV = run(b)
+    advance(alias, b, newV)
+    receipt(op, alias, newV, -1L)
+  }
 
   private def rawSql(query: String): DataFrame =
       GraftSession.sqlLockFor(spark).synchronized {
@@ -335,6 +373,15 @@ object GraftSession {
       """(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?\s+USING\s+(.+?)\s+ON\s+(.+?)""" +
       """\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
       """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$""").r
+  private val DdlRename =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+""" +
+      """COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
+  private val DdlAdd =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+""" +
+      """COLUMNS?\s*\((.+)\)\s*;?\s*$""").r
+  private val DdlDrop =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+""" +
+      """COLUMNS?\s+\(?\s*([A-Za-z0-9_,\s]+?)\s*\)?\s*;?\s*$""").r
   private val MergeSubquery =
     """(?is)^\((.+)\)\s*(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)?$""".r
   private val MergeView =

@@ -1112,10 +1112,17 @@ object VersionedTable {
         readManifest(spark, dir, parent).meta
           .filter { case (k, _) => k.startsWith("cluster.") || k == FeedKey }
       else Map.empty[String, String]
+    // the dropped-physical-name tombstones persist unconditionally —
+    // they guard EVERY future commit's new columns (see dropColumns)
+    val tombstones: Map[String, String] =
+      if (parent >= 0)
+        readManifest(spark, dir, parent).meta
+          .filter { case (k, _) => k == DroppedPhysKey }
+      else Map.empty[String, String]
     ((inherited ++ expectations)
       .filter { case (_, sql) => sql.trim.nonEmpty } // "" = explicit drop
       .map { case (n, sql) => (s"$ExpectPrefix$n", sql) }
-      .toMap: Map[String, String]) ++ cluster ++ meta
+      .toMap: Map[String, String]) ++ cluster ++ tombstones ++ meta
   }
 
   private def enforceExpectations(spark: SparkSession, dir: String,
@@ -1229,6 +1236,17 @@ object VersionedTable {
         s"commit to $dir: a column's name collides with the PHYSICAL " +
           "name of a renamed column — feed/replica files keep physical " +
           "names forever; pick a different name")
+      // tombstones are ABSOLUTE: even a snapshot rewrite drops only
+      // data files — feed files and retained old versions keep the
+      // dropped bytes under the old physical name forever
+      val tomb = parentM.map(m => m.meta.getOrElse(DroppedPhysKey, ""))
+        .getOrElse("").split(',').map(_.trim.toLowerCase(
+          java.util.Locale.ROOT)).filter(_.nonEmpty).toSet
+      val hit = phys.filter(tomb.contains)
+      require(hit.isEmpty,
+        s"commit to $dir: column(s) ${hit.mkString(",")} reuse a DROPPED " +
+          "column's physical name — retained versions and feed files " +
+          "still carry those bytes; pick another name")
     }
     // clusterBy = "CREATE/REPLACE TABLE CLUSTERED BY": reshape the
     // snapshot into range-clustered sorted files, persist the
@@ -1466,6 +1484,15 @@ object VersionedTable {
       require(phys.distinct.length == phys.length,
         s"commitDelta to $dir: a column's name collides with the " +
           "PHYSICAL name of a renamed column — pick a different name")
+      val tomb = readManifest(spark, dir, parent).meta
+        .getOrElse(DroppedPhysKey, "").split(',')
+        .map(_.trim.toLowerCase(java.util.Locale.ROOT))
+        .filter(_.nonEmpty).toSet
+      val hit = phys.filter(tomb.contains)
+      require(hit.isEmpty,
+        s"commitDelta to $dir: column(s) ${hit.mkString(",")} reuse a " +
+          "DROPPED column's physical name — live files still carry " +
+          "those bytes; pick another name")
     }
     // stage ONCE — the staged dir keeps its original version-stamped
     // name across rebases (manifest references, not names, keep it
@@ -1594,8 +1621,10 @@ object VersionedTable {
     // files' parquet column (the renamed one's bytes) read as the new
     // column's values
     val takenPhys = scala.collection.mutable.Set(
-      prev.fieldNames.map(n =>
-        physName(m.colmap, n).toLowerCase(java.util.Locale.ROOT)).toSeq: _*)
+      (prev.fieldNames.map(n =>
+        physName(m.colmap, n).toLowerCase(java.util.Locale.ROOT)).toSeq ++
+        droppedPhysOf(spark, dir, expectedVersion)
+          .map(_.toLowerCase(java.util.Locale.ROOT))): _*)
     newCols.foreach { fld =>
       require(fld.nullable,
         s"addColumns: '${fld.name}' must be nullable — existing rows " +
@@ -1605,8 +1634,8 @@ object VersionedTable {
           "resolve case-insensitively)")
       require(takenPhys.add(fld.name.toLowerCase(java.util.Locale.ROOT)),
         s"addColumns: '${fld.name}' collides with the PHYSICAL name of " +
-          "a renamed column — old files' parquet bytes still carry that " +
-          "name; pick a different one")
+          "a renamed or DROPPED column — old files' parquet bytes still " +
+          "carry that name; pick a different one")
     }
     val evolved = org.apache.spark.sql.types.StructType(
       prev.fields ++ newCols)
@@ -1737,10 +1766,9 @@ object VersionedTable {
     *   - time travel is unaffected: old versions read with their own
     *     names; the rename version's change feed is empty.
     *
-    * DROPS and type NARROWING remain a full [[commit]] with
-    * `allowSchemaChange = true` (a rewrite) and still `_RESET` the
-    * feed — old files physically carry the dropped column's bytes, and
-    * no mapping makes a missing-column read of them sound. */
+    * DROPS are [[dropColumns]] (metadata-only too, with the bytes-
+    * remain caveat and a feed `_RESET`); type NARROWING remains a full
+    * [[commit]] with `allowSchemaChange = true` (a rewrite). */
   def renameColumns(spark: SparkSession, dir: String,
       renames: Map[String, String], expectedVersion: Long,
       writerId: String): Long = {
@@ -1816,6 +1844,102 @@ object VersionedTable {
     if (!casManifest(spark, dir, newV, writerId, body))
       throw new CommitConflict(
         s"renameColumns on $dir: lost the race for version $newV — " +
+          "re-read, reconcile, retry")
+    if (feedKeysOf(spark, dir, newV).nonEmpty) ensureFeed(spark, dir, writerId)
+    newV
+  }
+
+  /** Meta key accumulating the PHYSICAL names of dropped columns
+    * (comma-joined, inherited through every commit): old files still
+    * carry those parquet columns, so no future column may take one of
+    * these names — its reads would surface the dropped column's bytes
+    * as the new column's values. */
+  val DroppedPhysKey = "colmap.dropped"
+
+  /** The dropped-physical-name tombstones of version `v`. */
+  def droppedPhysOf(spark: SparkSession, dir: String, v: Long): Set[String] =
+    readManifest(spark, dir, v).meta.get(DroppedPhysKey)
+      .map(_.split(',').toSet.map((s: String) => s.trim).filter(_.nonEmpty))
+      .getOrElse(Set.empty)
+
+  /** Sanctioned schema evolution #4: DROP columns as a METADATA-ONLY
+    * commit (the Delta column-mapping drop shape). No data file is
+    * touched — the column simply leaves the logical schema; every read
+    * path pins the remaining columns' physical schema and parquet
+    * never deserializes the dropped bytes. The dropped column's
+    * PHYSICAL name is tombstoned ([[DroppedPhysKey]]) so no future
+    * column can shadow the lingering bytes.
+    *
+    * LOUD CONTRACT — what a drop does NOT do:
+    *   - the BYTES REMAIN in existing files until their natural
+    *     rewrite (merge/compact/purge write only current columns); a
+    *     privacy-grade removal is [[forget]] or a snapshot rewrite,
+    *     never a drop;
+    *   - the change feed RESETS at the drop version (a cross-drop diff
+    *     has no well-defined row shape — consumers re-bootstrap, the
+    *     documented drop semantics since r13);
+    *   - declarations referencing the column refuse: expectations
+    *     (free-form SQL), cluster.cols, feed.keys must be re-declared
+    *     or dropped first;
+    *   - time travel keeps each version's own schema. */
+  def dropColumns(spark: SparkSession, dir: String, cols: Seq[String],
+      expectedVersion: Long, writerId: String): Long = {
+    requireWriterId(writerId)
+    require(cols.nonEmpty, "dropColumns: nothing to drop")
+    require(expectedVersion >= 0,
+      "dropColumns needs an existing parent version")
+    val newV = expectedVersion + 1
+    requireNotStale(spark, dir, expectedVersion)
+    val m = readManifest(spark, dir, expectedVersion)
+    require(m.legacyDataDir.isEmpty,
+      s"dropColumns: $dir version $expectedVersion is a legacy " +
+        "whole-dir commit — recommit file-granular first")
+    val prev = schemaOf(spark, dir, expectedVersion)
+    val prevNames = prev.fieldNames.toSet
+    cols.foreach(c => require(prevNames.contains(c),
+      s"dropColumns: no column '$c' in ${prev.fieldNames.mkString(",")}"))
+    require(prev.fields.length > cols.distinct.length,
+      "dropColumns: cannot drop every column")
+    val dropSet = cols.toSet
+    val inherited = expectMeta(spark, dir, expectedVersion, Map.empty,
+      Map.empty)
+    def mentions(sql: String, c: String): Boolean =
+      ("(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(c) +
+        "(?![A-Za-z0-9_])").r.findFirstIn(sql).isDefined
+    inherited.foreach { case (k, v2) =>
+      if (k.startsWith(ExpectPrefix))
+        cols.filter(mentions(v2, _)).foreach(c =>
+          throw new IllegalArgumentException(
+            s"dropColumns: expectation '${k.stripPrefix(ExpectPrefix)}' " +
+              s"($v2) mentions '$c' — drop it first " +
+              "(expectations = Map(name -> \"\"))"))
+      if (k == ClusterKey || k == FeedKey) {
+        val hit = v2.split(',').map(_.trim).filter(dropSet.contains)
+        require(hit.isEmpty,
+          s"dropColumns: $k declares '${hit.mkString(",")}' — re-declare " +
+            "the clustering/feed without it first (an explicit \"\" " +
+            "meta entry clears a declaration)")
+      }
+    }
+    val evolved = org.apache.spark.sql.types.StructType(
+      prev.fields.filterNot(f => dropSet.contains(f.name)))
+    // tombstone the dropped columns' PHYSICAL names forever
+    val droppedPhys = droppedPhysOf(spark, dir, expectedVersion) ++
+      cols.map(c => physName(m.colmap, c))
+    val colmap = m.colmap.filter { case (lg, _) => !dropSet.contains(lg) }
+    val stats = m.stats.map { case (rel, cs) =>
+      rel -> cs.filter { case (c, _) => !dropSet.contains(c) }
+    }.filter(_._2.nonEmpty)
+    val live = liveFiles(spark, dir, expectedVersion)
+    val body = manifestBody(newV, expectedVersion, writerId, evolved,
+      stagingDir = None, files = live, removed = Seq.empty,
+      stats = stats, dv = m.dv,
+      meta = inherited + (DroppedPhysKey -> droppedPhys.toSeq.sorted
+        .mkString(",")),
+      tsMs = commitClock(spark), colmap = colmap)
+    if (!casManifest(spark, dir, newV, writerId, body))
+      throw new CommitConflict(
+        s"dropColumns on $dir: lost the race for version $newV — " +
           "re-read, reconcile, retry")
     if (feedKeysOf(spark, dir, newV).nonEmpty) ensureFeed(spark, dir, writerId)
     newV

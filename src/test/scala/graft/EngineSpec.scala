@@ -226,6 +226,36 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("SQL DDL over versioned tables: ALTER TABLE rename/add/drop") {
+    import graft.operators.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("gs-ddl").toString + "/t"
+    VersionedTable.commit(spark, dir,
+      spark.range(10).select($"id".as("k"), ($"id" * 2).as("v")), -1L, "w")
+    val gs = new GraftSession(spark)
+    gs.registerVersioned("t", dir)
+    val r1 = gs.sql("ALTER TABLE t RENAME COLUMN v TO val").head()
+    assert(r1.getString(0) == "rename" && r1.getLong(2) == 1L)
+    assert(gs.sql("SELECT sum(val) FROM t").as[Long].head() == 90L)
+    gs.sql("ALTER TABLE t ADD COLUMNS (w DOUBLE, tag STRING)")
+    assert(gs.sql("SELECT count(*) FROM t WHERE w IS NULL")
+      .as[Long].head() == 10L)
+    gs.sql("ALTER TABLE t DROP COLUMN tag")
+    assert(!gs("t").columns.contains("tag") &&
+      gs("t").columns.contains("w"))
+    assert(VersionedTable.latestVersion(spark, dir) == 3L,
+      "three metadata-only migrations must stack three versions")
+    // re-adding the dropped name refuses through SQL too (tombstone)
+    val e = intercept[IllegalArgumentException] {
+      gs.sql("ALTER TABLE t ADD COLUMN (tag STRING)")
+    }
+    assert(e.getMessage.contains("DROPPED"), e.getMessage)
+    // ALTER on a plain alias refuses loudly
+    gs.register("p", spark.range(1).toDF("x"))
+    intercept[IllegalArgumentException] {
+      gs.sql("ALTER TABLE p RENAME COLUMN x TO y")
+    }
+  }
+
   test("cogroupInner drops keys with an empty bag for that input") {
     val a = Seq((1, "x")).toDF("k", "va")
     val b = Seq((1, 10), (2, 20)).toDF("k", "vb")

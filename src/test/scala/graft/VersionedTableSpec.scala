@@ -1401,6 +1401,81 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dir).columns.toSeq == Seq("k", "v"))
   }
 
+  test("dropColumns is metadata-only: bytes linger, reads exclude, tombstones guard") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-drop").toString + "/t"
+    val df3 = spark.range(60).select($"id".as("k"), lit("s").as("secret"),
+      lit("x").as("v"))
+    VersionedTable.commit(spark, dir, df3, -1L, "w",
+      clusterBy = Seq("k"), clusterFiles = 3)
+    val mt0 = dataFileMtimes(dir)
+    assert(VersionedTable.dropColumns(spark, dir, Seq("secret"), 0L, "mig")
+      == 1L)
+    assert(dataFileMtimes(dir) == mt0, "drop must not touch a data file")
+    // reads exclude it; time travel keeps it; the BYTES remain (the
+    // documented caveat — a privacy-grade removal is forget/rewrite)
+    assert(VersionedTable.read(spark, dir).columns.toSeq == Seq("k", "v"))
+    assert(VersionedTable.readVersion(spark, dir, 0L).columns
+      .contains("secret"))
+    val anyFile = VersionedTable.liveFiles(spark, dir, 1L).head
+    assert(spark.read.parquet(s"$dir/$anyFile").columns.contains("secret"),
+      "dropColumns must NOT remove bytes — that is forget()'s job")
+    // writes through the new schema work; rewritten files lack the column
+    VersionedTable.merge(spark, dir,
+      Seq((3L, "y")).toDF("k", "v"), Seq("k"), 1L, "w")
+    val newRel = VersionedTable.readManifest(spark, dir, 2L).files
+      .filter(_.contains("v2-w")).head
+    assert(!spark.read.parquet(s"$dir/$newRel").columns.contains("secret"),
+      "rewrites write only the current columns")
+    // the tombstone: no future column may shadow the lingering bytes
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.addColumns(spark, dir,
+        Seq(org.apache.spark.sql.types.StructField("secret",
+          org.apache.spark.sql.types.StringType)), 2L, "w")
+    }
+    assert(e.getMessage.contains("DROPPED"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      VersionedTable.commit(spark, dir,
+        spark.range(5).select($"id".as("k"), lit("a").as("v"),
+          lit("b").as("secret")),
+        2L, "w", allowSchemaChange = true)
+    }
+    // but renaming another column TO the dropped LOGICAL name is fine
+    // (logical labels never touch storage)
+    VersionedTable.renameColumns(spark, dir, Map("v" -> "secret"), 2L, "m")
+    val got = VersionedTable.read(spark, dir)
+    assert(got.columns.toSeq == Seq("k", "secret") &&
+      got.filter($"secret" === "y").count() == 1)
+  }
+
+  test("dropColumns refusals and the feed reset") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-drop-no").toString + "/t"
+    VersionedTable.commit(spark, dir,
+      spark.range(20).select($"id".as("k"), lit(1L).as("a"), lit("t").as("b")),
+      -1L, "w", clusterBy = Seq("k"),
+      meta = Map(VersionedTable.FeedKey -> "k"),
+      expectations = Map("a_pos" -> "a >= 0"))
+    // declared columns refuse: cluster col, feed key, expectation
+    intercept[IllegalArgumentException] {
+      VersionedTable.dropColumns(spark, dir, Seq("k"), 0L, "m")
+    }
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.dropColumns(spark, dir, Seq("a"), 0L, "m")
+    }
+    assert(e.getMessage.contains("a_pos"), e.getMessage)
+    intercept[IllegalArgumentException] { // cannot drop everything
+      VersionedTable.dropColumns(spark, dir, Seq("k", "a", "b"), 0L, "m")
+    }
+    // a legal drop RESETS the feed (no well-defined cross-drop shape)
+    VersionedTable.dropColumns(spark, dir, Seq("b"), 0L, "m")
+    assert(VersionedTable.feedResets(spark, dir) == Seq(1L),
+      "a drop must reset the feed — consumers re-bootstrap")
+    // post-drop commits still feed normally
+    VersionedTable.merge(spark, dir, Seq((2L, 9L)).toDF("k", "a"),
+      Seq("k"), 1L, "w")
+    assert(VersionedTable.changesBetween(spark, dir, 1L, 2L, Seq("k"))
+      .count() == 1)
+  }
+
   test("rename composes: replicate ships the map; restore keeps its version's map") {
     val dir = java.nio.file.Files.createTempDirectory("vt-ren-rep").toString + "/t"
     val rep = java.nio.file.Files.createTempDirectory("vt-ren-rep").toString + "/r"
