@@ -1982,12 +1982,32 @@ object VersionedTable {
     val live = liveFiles(spark, dir, toVersion)
     val curLive = liveFiles(spark, dir, expectedVersion)
     val liveSet = live.toSet
+    // tombstone symmetry across the rollback: a column this restore
+    // RESURRECTS (present in the restored schema) is that column again
+    // — its tombstone lifts, or every future commit would refuse the
+    // table forever; a column this restore REMOVES (present now, not
+    // in the target) gets a tombstone — retained post-restore-window
+    // versions and feed files still carry its bytes
+    val inheritedMeta = expectMeta(spark, dir, expectedVersion, Map.empty,
+      expectations)
+    val curM = readManifest(spark, dir, expectedVersion)
+    val curSchema = schemaOf(spark, dir, expectedVersion)
+    def physNames(sch: org.apache.spark.sql.types.StructType,
+        cm: Map[String, String]): Set[String] =
+      sch.fieldNames.map(n => physName(cm, n)).toSet
+    val tgtPhys = physNames(tgtSchema, tgt.colmap)
+    val removedPhys = physNames(curSchema, curM.colmap) -- tgtPhys
+    val tomb = (inheritedMeta.getOrElse(DroppedPhysKey, "").split(',')
+      .map(_.trim).filter(_.nonEmpty).toSet ++ removedPhys) -- tgtPhys
+    val metaAdj = (inheritedMeta - DroppedPhysKey) ++
+      (if (tomb.isEmpty) Map.empty[String, String]
+       else Map(DroppedPhysKey -> tomb.toSeq.sorted.mkString(",")))
     val body = manifestBody(newV, expectedVersion, writerId, tgtSchema,
       stagingDir = None, files = live,
       removed = curLive.filterNot(liveSet),
       stats = tgt.stats.filter { case (rel, _) => liveSet(rel) },
       dv = tgt.dv.filter { case (rel, _) => liveSet(rel) },
-      meta = expectMeta(spark, dir, expectedVersion, Map.empty, expectations),
+      meta = metaAdj,
       tsMs = commitClock(spark), colmap = tgt.colmap)
     if (!casManifest(spark, dir, newV, writerId, body))
       throw new CommitConflict(

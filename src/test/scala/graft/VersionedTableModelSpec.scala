@@ -6,38 +6,42 @@ import graft.operators.VersionedTable
 
 /** Model-based testing of the versioned-table substrate: random
   * sequences of the full op surface (MERGE upserts/deletes, DV
-  * deleteWhere, metadata-only ADD COLUMN and type widening, RESTORE,
-  * OPTIMIZE compaction) are applied in lockstep to the real table and
-  * to a trivial in-memory model; after EVERY op the table must read
-  * back exactly the model, and the CDF between any executed step and
-  * the next must replay the model's delta. This is the test shape
-  * that catches cross-feature interactions no single-feature spec
-  * thinks to write (a DV mask surviving a widen, a restore landing on
-  * a pre-migration schema, compaction materializing masks mid-epoch).
-  * Seeds are fixed — failures replay deterministically. */
+  * deleteWhere, UPDATE WHERE, metadata-only ADD/RENAME/DROP COLUMN
+  * and type widening, RESTORE, OPTIMIZE compaction) are applied in
+  * lockstep to the real table and to a trivial in-memory model; after
+  * EVERY op the table must read back exactly the model, and the CDF
+  * between any executed step and the next must replay the model's
+  * delta. This is the test shape that catches cross-feature
+  * interactions no single-feature spec thinks to write (a DV mask
+  * surviving a widen, a restore landing on a pre-migration schema, a
+  * rename mid-feed, a restore resurrecting a dropped column's
+  * tombstone). Seeds are fixed — failures replay deterministically. */
 class VersionedTableModelSpec extends SparkSpec {
   import spark.implicits._
 
-  // model row: key -> (a, optional b); schema state tracked alongside
+  // model row: key -> (a, optional b); schema state tracked alongside:
+  // (rows, hasB, aWide, logical name of a, logical name of b)
   private type Model = Map[Long, (Long, Option[Double])]
+  private case class Snap(m: Model, hasB: Boolean, aWide: Boolean,
+      aName: String, bName: String)
 
-  private def readBack(dir: String, hasB: Boolean): Model = {
+  private def readBack(dir: String, s: Snap): Model = {
     val df = VersionedTable.read(spark, dir)
-    if (hasB)
-      df.select($"k", $"a".cast("long"), $"b")
+    if (s.hasB)
+      df.select(col("k"), col(s.aName).cast("long"), col(s.bName))
         .as[(Long, Long, Option[Double])].collect()
         .map { case (k, a, b) => k -> (a, b) }.toMap
     else
-      df.select($"k", $"a".cast("long"))
+      df.select(col("k"), col(s.aName).cast("long"))
         .as[(Long, Long)].collect()
         .map { case (k, a) => k -> (a, None: Option[Double]) }.toMap
   }
 
-  private def toDf(rows: Seq[(Long, Long, Option[Double])],
-      aWide: Boolean, hasB: Boolean) = {
+  private def toDf(rows: Seq[(Long, Long, Option[Double])], s: Snap) = {
     val base = rows.toDF("k", "a", "b")
-      .withColumn("a", if (aWide) $"a" else $"a".cast("int"))
-    if (hasB) base else base.drop("b")
+      .withColumn("a", if (s.aWide) $"a" else $"a".cast("int"))
+      .withColumnRenamed("a", s.aName).withColumnRenamed("b", s.bName)
+    if (s.hasB) base else base.drop(s.bName)
   }
 
   test("random op sequences: table == model after every op; CDF replays each delta") {
@@ -45,32 +49,35 @@ class VersionedTableModelSpec extends SparkSpec {
       val rnd = new scala.util.Random(seed)
       val dir = java.nio.file.Files
         .createTempDirectory(s"vt-model-$seed").toString + "/t"
-      var hasB = false
-      var aWide = false
-      var model: Model = (0L until 30L).map(k => k -> (k * 10, None: Option[Double])).toMap
+      var model: Model =
+        (0L until 30L).map(k => k -> (k * 10, None: Option[Double])).toMap
+      var snap = Snap(model, hasB = false, aWide = false, "a", "b0")
+      var bGen = 0 // dropped b-names are tombstoned; re-adds need fresh
       VersionedTable.commit(spark, dir,
-        toDf(model.toSeq.map { case (k, (a, b)) => (k, a, b) }, aWide, hasB),
+        toDf(model.toSeq.map { case (k, (a, b)) => (k, a, b) }, snap),
         -1L, "loader", clusterBy = Seq("k"), clusterFiles = 4)
       // snapshots per committed version, for restore's model rollback
-      val history = scala.collection.mutable.ArrayBuffer[(Model, Boolean, Boolean)](
-        (model, hasB, aWide))
+      val history = scala.collection.mutable.ArrayBuffer[Snap](snap)
       def tip = VersionedTable.latestVersion(spark, dir)
-      def record(): Unit = history += ((model, hasB, aWide))
+      def record(): Unit = { snap = snap.copy(m = model); history += snap }
 
-      (1 to 14).foreach { step =>
-        val op = rnd.nextInt(10)
+      (1 to 18).foreach { step =>
+        val op = rnd.nextInt(14)
         val label: String = op match {
           case 0 | 1 | 2 => // MERGE: upserts + randomized deletes
             val keys = Seq.fill(1 + rnd.nextInt(6))(rnd.nextInt(40).toLong)
             val rows = keys.distinct.map { k =>
               val del = rnd.nextInt(4) == 0 && model.contains(k)
               (k, rnd.nextInt(1000).toLong,
-                if (hasB && rnd.nextBoolean()) Some(rnd.nextInt(100).toDouble) else None,
+                if (snap.hasB && rnd.nextBoolean())
+                  Some(rnd.nextInt(100).toDouble) else None,
                 del)
             }
             val ch = rows.toDF("k", "a", "b", "__del")
-              .withColumn("a", if (aWide) $"a" else $"a".cast("int"))
-            val ch2 = if (hasB) ch else ch.drop("b")
+              .withColumn("a", if (snap.aWide) $"a" else $"a".cast("int"))
+              .withColumnRenamed("a", snap.aName)
+              .withColumnRenamed("b", snap.bName)
+            val ch2 = if (snap.hasB) ch else ch.drop(snap.bName)
             VersionedTable.merge(spark, dir, ch2, Seq("k"), tip, s"m$step",
               deleteCol = Some("__del"))
             rows.foreach { case (k, a, b, del) =>
@@ -84,23 +91,21 @@ class VersionedTableModelSpec extends SparkSpec {
             model = model.filterNot { case (k, _) => k % m == r }
             if (model.size != before) record()
             s"deleteWhere(k%$m=$r)"
-          case 5 if !hasB => // ADD COLUMN b
+          case 5 if !snap.hasB => // ADD COLUMN (fresh name per generation)
             VersionedTable.addColumns(spark, dir,
-              Seq(StructField("b", DoubleType)), tip, s"add$step")
-            hasB = true; record(); "addColumns(b)"
-          case 6 if !aWide => // widen a INT -> LONG
+              Seq(StructField(snap.bName, DoubleType)), tip, s"add$step")
+            snap = snap.copy(hasB = true); record(); s"addColumns(${snap.bName})"
+          case 6 if !snap.aWide => // widen a INT -> LONG
             VersionedTable.widenColumns(spark, dir,
-              Map("a" -> LongType), tip, s"wid$step")
-            aWide = true; record(); "widen(a)"
+              Map(snap.aName -> LongType), tip, s"wid$step")
+            snap = snap.copy(aWide = true); record(); s"widen(${snap.aName})"
           case 7 => // RESTORE to a random retained version
             val to = rnd.nextInt(history.length)
-            val cur = (model, hasB, aWide)
-            if (to.toLong != tip && history(to) != cur) {
+            if (to.toLong != tip && history(to) != snap.copy(m = model)) {
               VersionedTable.restore(spark, dir, to.toLong, tip, s"r$step",
                 allowSchemaChange = true)
-              val (m2, h2, w2) = history(to)
-              model = m2; hasB = h2; aWide = w2
-              record()
+              snap = history(to); model = snap.m
+              history += snap
             }
             s"restore($to)"
           case 8 => // OPTIMIZE: content-invariant, no new model version
@@ -108,6 +113,30 @@ class VersionedTableModelSpec extends SparkSpec {
               s"opt$step", smallBytes = 1L << 20, targetFileCount = 2)
             if (st.isDefined) record()
             "compact"
+          case 9 => // UPDATE WHERE: keyed bump through the rewrite path
+            val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
+            val st = VersionedTable.updateWhere(spark, dir,
+              s"k % $m = $r",
+              Seq(snap.aName -> s"`${snap.aName}` + 7"), tip, s"u$step")
+            if (st.isDefined) {
+              model = model.map { case (k, (a, b)) =>
+                k -> (if (k % m == r) (a + 7, b) else (a, b))
+              }
+              record()
+            }
+            s"updateWhere(k%$m=$r)"
+          case 10 => // RENAME a (metadata-only; labels toggle, bytes don't)
+            val next = if (snap.aName == "a") "a_r" else "a"
+            VersionedTable.renameColumns(spark, dir,
+              Map(snap.aName -> next), tip, s"rn$step")
+            snap = snap.copy(aName = next); record(); s"rename(->$next)"
+          case 11 if snap.hasB => // DROP b (tombstoned; next add = fresh name)
+            VersionedTable.dropColumns(spark, dir, Seq(snap.bName), tip,
+              s"dr$step")
+            model = model.map { case (k, (a, _)) => k -> (a, None) }
+            bGen += 1
+            snap = snap.copy(hasB = false, bName = s"b$bGen")
+            record(); "dropColumns"
           case _ => // no-op probe: prunedFiles on a random bound stays sound
             val lo = rnd.nextInt(40).toLong
             val got = VersionedTable.readWhere(spark, dir,
@@ -120,31 +149,36 @@ class VersionedTableModelSpec extends SparkSpec {
         }
         assert(history.length.toLong == tip + 1,
           s"seed=$seed step=$step [$label]: model history out of sync")
-        val got = readBack(dir, hasB)
+        val got = readBack(dir, snap)
         assert(got == model,
           s"seed=$seed step=$step [$label]: table != model\n" +
             s"missing=${(model.keySet -- got.keySet).toSeq.sorted}\n" +
             s"extra=${(got.keySet -- model.keySet).toSeq.sorted}\n" +
             s"diff=${model.keySet.intersect(got.keySet).filter(k => model(k) != got(k)).toSeq.sorted.take(5).map(k => (k, model(k), got(k)))}")
       }
-      // the CDF between consecutive versions replays the model deltas:
-      // applying every changesBetween step to the FIRST snapshot must
-      // land on the LAST (schema changes permitting — add-only ranges)
+      // the CDF between consecutive versions replays the model deltas.
+      // Defined across equal schemas, add-only migrations, widenings,
+      // and RENAMES (physical identity; the feed carries v2's names) —
+      // only a drop between the versions has no well-defined row shape.
       (0L until tip).foreach { v =>
-        val (m1, h1, w1) = history(v.toInt)
-        val (m2, h2, w2) = history(v.toInt + 1)
-        // CDF is defined across equal schemas and add-only migrations
-        if (h1 == h2 || (!h1 && h2)) if (w1 == w2 || (!w1 && w2)) {
-          val cdf = VersionedTable.changesBetween(spark, dir, v, v + 1, Seq("k"))
-            .select($"k", $"a".cast("long"),
-              (if (h2) $"b" else lit(null).cast("double")).as("b"), $"op")
-            .as[(Long, Option[Long], Option[Double], String)].collect()
-          val replayed = cdf.foldLeft(m1) { case (m, (k, a, b, op)) =>
-            if (op == "delete") m - k else m + (k -> (a.get, b))
+        val s1 = history(v.toInt)
+        val s2 = history(v.toInt + 1)
+        if (s1.hasB == s2.hasB || (!s1.hasB && s2.hasB))
+          if ((s1.aWide == s2.aWide || (!s1.aWide && s2.aWide)) &&
+              (s1.hasB, s2.hasB) != (true, false) &&
+              !(s1.hasB && s2.hasB && s1.bName != s2.bName)) {
+            val cdf = VersionedTable.changesBetween(spark, dir, v, v + 1,
+                Seq("k"))
+              .select(col("k"), col(s2.aName).cast("long").as("a"),
+                (if (s2.hasB) col(s2.bName)
+                 else lit(null).cast("double")).as("b"), col("op"))
+              .as[(Long, Option[Long], Option[Double], String)].collect()
+            val replayed = cdf.foldLeft(s1.m) { case (m, (k, a, b, op)) =>
+              if (op == "delete") m - k else m + (k -> (a.get, b))
+            }
+            assert(replayed == s2.m,
+              s"seed=$seed: CDF v$v->v${v + 1} does not replay the model delta")
           }
-          assert(replayed == m2,
-            s"seed=$seed: CDF v$v->v${v + 1} does not replay the model delta")
-        }
       }
     }
   }
