@@ -139,10 +139,12 @@ final class GraftSession(val spark: SparkSession) {
     *     [[graft.operators.VersionedTable.updateWhere]] (touched files
     *     only, predicate-implied pruning);
     *   - `MERGE INTO t [AS a] USING <src> [AS s] ON a.k = s.k [AND …]
+    *      [WHEN MATCHED AND <cond> THEN DELETE]
     *      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT
     *      *` → keyed [[graft.operators.VersionedTable.merge]] (the
-    *     Delta star-shorthand surface; per-column SET lists are the
-    *     Scala API's job);
+    *     Delta star-shorthand surface — the DELETE condition evaluates
+    *     over the source row's unqualified columns; per-column SET
+    *     lists are the Scala API's job);
     *   - `ALTER TABLE t RENAME COLUMN a TO b` / `ADD COLUMNS (a INT,
     *     …)` / `DROP COLUMN(S) a, b` → the metadata-only migrations
     *     (renameColumns / addColumns / dropColumns).
@@ -168,7 +170,8 @@ final class GraftSession(val spark: SparkSession) {
       }
     }.orElse {
       GraftSession.DmlMerge.findFirstMatchIn(query).map { m =>
-        dmlMerge(m.group(1), Option(m.group(2)), m.group(3), m.group(4))
+        dmlMerge(m.group(1), Option(m.group(2)), m.group(3), m.group(4),
+          Option(m.group(5)))
       }
     }.orElse {
       GraftSession.DdlRename.findFirstMatchIn(query).map { m =>
@@ -290,7 +293,8 @@ final class GraftSession(val spark: SparkSession) {
   }
 
   private def dmlMerge(alias: String, tAlias: Option[String],
-      source: String, on: String): DataFrame = {
+      source: String, on: String,
+      deleteCond: Option[String] = None): DataFrame = {
     import graft.operators.VersionedTable
     val b = binding(alias, "MERGE INTO")
     val src = source.trim
@@ -330,8 +334,19 @@ final class GraftSession(val spark: SparkSession) {
         s"carry exactly the table's columns (${schema.fieldNames.mkString(",")})")
     val aligned = changes.select(schema.fieldNames.map(n =>
       org.apache.spark.sql.functions.col(s"`$n`")).toIndexedSeq: _*)
-    val st = VersionedTable.merge(spark, b.dir, aligned, keys, b.version,
-      s"sql-$alias")
+    // WHEN MATCHED AND <cond> THEN DELETE: the condition is evaluated
+    // over the SOURCE row (unqualified column names); a matched target
+    // row whose source row satisfies it drops, an UNMATCHED satisfying
+    // source row is a no-op (never inserted) — the Delta clause order
+    val (withDel, delCol) = deleteCond match {
+      case Some(cond) =>
+        import org.apache.spark.sql.functions.{coalesce, expr, lit}
+        (aligned.withColumn("__del",
+          coalesce(expr(cond), lit(false))), Some("__del"))
+      case None => (aligned, None)
+    }
+    val st = VersionedTable.merge(spark, b.dir, withDel, keys, b.version,
+      s"sql-$alias", deleteCol = delCol)
     advance(alias, b, st.version)
     receipt("merge", alias, st.version, -1L)
   }
@@ -371,6 +386,7 @@ object GraftSession {
   private val DmlMerge =
     ("""(?is)^\s*MERGE\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)""" +
       """(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?\s+USING\s+(.+?)\s+ON\s+(.+?)""" +
+      """(?:\s+WHEN\s+MATCHED\s+AND\s+(.+?)\s+THEN\s+DELETE)?""" +
       """\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
       """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$""").r
   private val DdlRename =

@@ -205,6 +205,19 @@ class EngineSpec extends SparkSpec {
     val noop = gs.sql("UPDATE t SET v = 0 WHERE k = -12345").head()
     assert(noop.getLong(2) == -1L, s"no-match UPDATE must not commit: $noop")
     assert(VersionedTable.latestVersion(spark, dir) == 5L)
+    // MERGE with the matched-DELETE clause: a matched source row
+    // satisfying the condition DROPS the target row; a satisfying
+    // UNMATCHED source row is a no-op (never inserted)
+    gs.register("chg2",
+      Seq((0L, -9L), (1L, -9L), (777777L, -9L)).toDF("k", "v"))
+    val m2 = gs.sql("""MERGE INTO t USING chg2 AS s ON t.k = s.k
+                       WHEN MATCHED AND v < 0 THEN DELETE
+                       WHEN MATCHED THEN UPDATE SET *
+                       WHEN NOT MATCHED THEN INSERT *""").head()
+    assert(m2.getString(0) == "merge" && m2.getLong(2) == 6L, s"got $m2")
+    assert(gs.sql("SELECT count(*) FROM t").as[Long].head() == 102)
+    assert(gs.sql("SELECT count(*) FROM t WHERE k IN (0, 1, 777777)")
+      .as[Long].head() == 0, "matched delete + unmatched no-op")
     // DML on a plain (non-versioned) alias refuses loudly
     val e = intercept[IllegalArgumentException] {
       gs.sql("DELETE FROM chg WHERE k = 0")
