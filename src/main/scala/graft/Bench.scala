@@ -152,7 +152,10 @@ object Bench {
     // round 13: versioned table as a streaming source — bootstrap +
     // merge feed through one run, then a DV delete through a RESTART
     // of the same checkpoint (replays nothing, require()'d in-entry)
-    "q235_table_change_stream")
+    "q235_table_change_stream",
+    // round 14: the change stream consumed ACROSS a metadata-only
+    // RENAME through one checkpoint (sticky physical names)
+    "q253_stream_across_rename")
 
   /** The CORRECTNESS entries for approximate ops are recall HARNESSES
     * (operator + exact ground truth + compare in one job); benching the

@@ -3045,6 +3045,69 @@ object SparkEntry {
       feed
     }),
 
+    // --- Change stream ACROSS a rename through ONE checkpoint (round
+    //     14): the column-mapping payoff end-to-end in STREAMING. Feed
+    //     files carry STICKY physical names, so the post-rename stream
+    //     reads every feed file ever written under one pinned physical
+    //     schema and aliases to the NEW logical names; the checkpoint
+    //     survives (nothing re-delivers — require()'d), the rename
+    //     version feeds nothing, and the post-rename churn arrives
+    //     under the new names. Oracle = exactly that churn. ---
+    "q253_stream_across_rename" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val tmp = java.nio.file.Files.createTempDirectory("graft_srn_q253_")
+        .toString
+      val vt = s"$tmp/t"; val ckpt = s"$tmp/ckpt"
+      val cust = t(s, dir).customer.select(col("c_custkey").as("k"),
+        col("c_name").as("name"), col("c_acctbal").as("bal"))
+      require(VersionedTable.commit(s, vt, cust, -1L, "loader",
+        clusterBy = Seq("k"), clusterFiles = 16,
+        meta = Map(VersionedTable.FeedKey -> "k")) == 0L)
+      VersionedTable.merge(s, vt,
+        cust.filter(col("k") % 7 === 0).select(col("k"), col("name"),
+          (col("bal") + 100).as("bal")), Seq("k"), 0L, "etl")
+      val out = s"$tmp/out"
+      def drain(): Unit = {
+        val q = VersionedTable.changeStream(s, vt)
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // bootstrap (v0) + pre-rename churn (v1), OLD names
+      val n1 = s.read.parquet(out).count()
+      require(n1 == t(s, dir).customer.count() +
+          t(s, dir).customer.filter(col("c_custkey") % 7 === 0).count(),
+        "q253: the pre-rename drain must deliver bootstrap + churn")
+      // the rename lands while the stream is DOWN; its feed is EMPTY
+      require(VersionedTable.renameColumns(s, vt,
+        Map("bal" -> "balance"), 1L, "migrator") == 2L)
+      require(VersionedTable.feedResets(s, vt).isEmpty,
+        "q253: a rename must not reset the feed")
+      // post-rename churn through the NEW schema
+      VersionedTable.merge(s, vt,
+        cust.filter(col("k") % 53 === 0)
+          .select((col("k") + 5000000L).as("k"),
+            concat(lit("n_"), col("k").cast("string")).as("name"),
+            lit(0.0).as("balance")),
+        Seq("k"), 2L, "etl")
+      // SAME checkpoint + sink: the restarted stream reads old and new
+      // feed files under one pinned PHYSICAL schema and delivers ONLY
+      // the post-rename versions (the empty rename feed + the churn)
+      drain()
+      val sch = VersionedTable.schemaOf(s, vt,
+          VersionedTable.latestVersion(s, vt))
+        .add("op", org.apache.spark.sql.types.StringType)
+        .add("version", org.apache.spark.sql.types.LongType)
+      val feed = s.read.schema(sch).parquet(out)
+      require(feed.count() == n1 +
+          t(s, dir).customer.filter(col("c_custkey") % 53 === 0).count(),
+        "q253: the checkpoint must survive the rename — no replays")
+      feed.filter(col("version") >= 3)
+        .select(col("k"), col("name"), col("balance"), col("op"))
+    }),
+
     // --- Incremental materialized aggregate view (round 13): a
     //     versioned STATE table (exact DECIMAL sums + counts per
     //     group) maintained from the source's preimage-carrying CDC
@@ -7361,6 +7424,14 @@ object SparkEntry {
                 o_totalprice AS price
          FROM orders, q
          WHERE NOT (o_orderkey > hi AND o_orderkey % 9 = 2)""",
+
+    // streaming across the rename: the post-rename drain delivers
+    // exactly the new churn, under the new names
+    "q253_stream_across_rename" ->
+      """SELECT c_custkey + 5000000 AS k,
+                'n_' || CAST(c_custkey AS VARCHAR) AS name,
+                0.0 AS balance, 'insert' AS op
+         FROM customer WHERE c_custkey % 53 = 0""",
 
     // metadata-only RENAME (column mapping): the CDF a lagging consumer
     // polls ACROSS the rename is exactly the post-rename merge churn,
