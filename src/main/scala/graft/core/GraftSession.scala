@@ -174,6 +174,11 @@ final class GraftSession(val spark: SparkSession) {
           Option(m.group(5)))
       }
     }.orElse {
+      GraftSession.DescHistory.findFirstMatchIn(query).map { m =>
+        val b = binding(m.group(1), "DESCRIBE HISTORY")
+        graft.operators.VersionedTable.history(spark, b.dir)
+      }
+    }.orElse {
       GraftSession.DdlRename.findFirstMatchIn(query).map { m =>
         ddl("rename", m.group(1)) { b =>
           graft.operators.VersionedTable.renameColumns(spark, b.dir,
@@ -389,6 +394,8 @@ object GraftSession {
       """(?:\s+WHEN\s+MATCHED\s+AND\s+(.+?)\s+THEN\s+DELETE)?""" +
       """\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
       """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$""").r
+  private val DescHistory =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val DdlRename =
     ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+""" +
       """COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r

@@ -267,6 +267,10 @@ class EngineSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       gs.sql("ALTER TABLE p RENAME COLUMN x TO y")
     }
+    // DESCRIBE HISTORY: the audit surface, newest first
+    val h = gs.sql("DESCRIBE HISTORY t")
+    assert(h.columns.contains("writer") &&
+      h.select($"version").as[Long].collect().toSeq == Seq(3L, 2L, 1L, 0L))
   }
 
   test("cogroupInner drops keys with an empty bag for that input") {
