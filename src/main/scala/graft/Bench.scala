@@ -127,7 +127,10 @@ object Bench {
     "q173_stream_export" -> 2.210, "q180_stream_scd2" -> 2.519,
     "q189_stream_dq" -> 1.571,
     // round 13 first record (table change stream, local run)
-    "q235_table_change_stream" -> 4.822)
+    "q235_table_change_stream" -> 4.822,
+    // round 14 first record (stream across a rename, local run) — two
+    // full drains + two merges + the rename inside one replay
+    "q253_stream_across_rename" -> 6.220)
 
   /** Streaming replays timed as their own section (never in the
     * headline total — see main): watermarked interval-join family,

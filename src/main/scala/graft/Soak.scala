@@ -738,6 +738,30 @@ object Soak {
           "counts+footers in one job")
         n
       }
+      // round 14: RENAME at the many-files shape — the commit is
+      // manifest-sized (re-keyed stats for 2048 files, zero data I/O),
+      // and skipping + keyed merge keep working through the new name
+      time("lakehouse_rename_2048files") {
+        val vt2 = s"$root/dvsoak" // the 2048-file table from the leg above
+        val v0 = VersionedTable.latestVersion(spark, vt2)
+        val t0 = System.nanoTime()
+        VersionedTable.renameColumns(spark, vt2, Map("k" -> "doc_id"),
+          v0, "mig")
+        val renameSec = (System.nanoTime() - t0) / 1e9
+        val (kept, total) = VersionedTable.prunedFiles(spark, vt2, v0 + 1,
+          Seq(VersionedTable.ColBound("doc_id", Some(0L), Some(9999L))))
+        require(kept.length * 50 < total,
+          s"skipping must survive the rename (${kept.length}/$total)")
+        VersionedTable.merge(spark, vt2,
+          spark.range(100).select(col("id").as("doc_id"),
+            lit(-1L).as("w")), Seq("doc_id"), v0 + 1, "w")
+        require(VersionedTable.read(spark, vt2)
+          .filter(col("w") === -1L).count() == 100L)
+        println(f"[soak]   rename receipt: 2048-file manifest re-keyed in " +
+          f"$renameSec%.2fs (zero data I/O), pruned probe kept " +
+          f"${kept.length}/$total, keyed merge through the new name OK")
+        2048L
+      }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     }
 

@@ -273,6 +273,27 @@ class EngineSpec extends SparkSpec {
       h.select($"version").as[Long].collect().toSeq == Seq(3L, 2L, 1L, 0L))
   }
 
+  test("SQL DML grammar edges: case, semicolons, embedded newlines") {
+    import graft.operators.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("gs-gram").toString + "/t"
+    VersionedTable.commit(spark, dir,
+      spark.range(20).select($"id".as("k"), $"id".as("v")), -1L, "w")
+    val gs = new GraftSession(spark)
+    gs.registerVersioned("t", dir)
+    gs.sql("insert into t\n  select k + 100, 0 from t where k < 3 ;")
+    assert(gs.sql("SELECT count(*) FROM t").as[Long].head() == 23)
+    gs.sql("delete from t where k >= 100;")
+    assert(gs.sql("select count(*) from t").as[Long].head() == 20)
+    gs.sql("update t set v = v + 1\nwhere k = 0;")
+    assert(gs.sql("SELECT v FROM t WHERE k = 0").as[Long].head() == 1)
+    gs.sql("alter table t rename column v to w;")
+    assert(gs("t").columns.contains("w"))
+    // a SELECT whose text merely CONTAINS dml-ish words passes through
+    assert(gs.sql(
+      "SELECT count(*) FROM t WHERE 'delete from x' = 'delete from x'")
+      .as[Long].head() == 20)
+  }
+
   test("cogroupInner drops keys with an empty bag for that input") {
     val a = Seq((1, "x")).toDF("k", "va")
     val b = Seq((1, 10), (2, 20)).toDF("k", "vb")
