@@ -215,6 +215,19 @@ final class GraftSession(val spark: SparkSession) {
     receipt(op, alias, newV, -1L)
   }
 
+  /** Run a MULTI-STATEMENT SQL script: statements split on top-level
+    * semicolons (semicolons inside quoted strings or parentheses never
+    * split), each routed through [[sql]] — so a migration script mixes
+    * SELECTs, DML, and ALTER TABLE freely against versioned aliases.
+    * Statements run IN ORDER; DML/DDL commit eagerly inside their
+    * [[sql]] call, so a following SELECT sees the write. Returns the
+    * per-statement results, last one last. A failing statement stops
+    * the script there: completed commits stay (SQL scripts over a
+    * lakehouse are not transactions — the versioned history IS the
+    * recovery surface, RESTORE included). */
+  def runScript(script: String): Seq[DataFrame] =
+    GraftSession.splitStatements(script).map(sql)
+
   private def rawSql(query: String): DataFrame =
       GraftSession.sqlLockFor(spark).synchronized {
     // atomic register+analyze: spark.sql resolves the views eagerly, so
@@ -370,9 +383,9 @@ object GraftSession {
     """(?is)^\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val SetPair = """(?s)^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$""".r
 
-  /** Split a SET list on top-level commas only (function-call commas
-    * and quoted strings never split). */
-  private def splitTopLevel(s: String): Seq[String] = {
+  /** Split on a top-level separator only (separators inside quoted
+    * strings or parentheses never split). */
+  private def splitOn(s: String, sep: Char): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var depth = 0; var quoted = false
@@ -380,7 +393,7 @@ object GraftSession {
       if (ch == '\'') { quoted = !quoted; sb += ch }
       else if (!quoted && ch == '(') { depth += 1; sb += ch }
       else if (!quoted && ch == ')') { depth -= 1; sb += ch }
-      else if (!quoted && ch == ',' && depth == 0) {
+      else if (!quoted && ch == sep && depth == 0) {
         out += sb.toString; sb.clear()
       }
       else sb += ch
@@ -388,6 +401,12 @@ object GraftSession {
     out += sb.toString
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
+
+  /** SET-list split (function-call commas never split). */
+  private def splitTopLevel(s: String): Seq[String] = splitOn(s, ',')
+
+  /** Script split into statements on top-level semicolons. */
+  private def splitStatements(s: String): Seq[String] = splitOn(s, ';')
   private val DmlMerge =
     ("""(?is)^\s*MERGE\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)""" +
       """(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?\s+USING\s+(.+?)\s+ON\s+(.+?)""" +

@@ -294,6 +294,42 @@ class EngineSpec extends SparkSpec {
       .as[Long].head() == 20)
   }
 
+  test("runScript: a multi-statement migration runs in order against the lakehouse") {
+    import graft.operators.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("gs-script").toString + "/t"
+    VersionedTable.commit(spark, dir,
+      spark.range(50).select($"id".as("k"), ($"id" * 2).as("v")), -1L, "w")
+    val gs = new GraftSession(spark)
+    gs.registerVersioned("t", dir)
+    val results = gs.runScript(
+      """ALTER TABLE t RENAME COLUMN v TO amount;
+         UPDATE t SET amount = amount + 1 WHERE k < 5;
+         DELETE FROM t WHERE k >= 40;
+         INSERT INTO t VALUES (1000, 7), (1001, 7);
+         SELECT count(*) AS n, sum(amount) AS s FROM t""")
+    assert(results.length == 5)
+    // the statements committed in order: 4 versions stacked, and the
+    // final SELECT (planned AFTER the writes) sees all of them
+    assert(VersionedTable.latestVersion(spark, dir) == 4L)
+    val last = results.last.head()
+    assert(last.getLong(0) == 42L, s"got $last")
+    assert(last.getLong(1) ==
+      (0L until 40L).map(_ * 2).sum + 5 + 14, s"got $last")
+    // a semicolon inside a string literal never splits
+    val r2 = gs.runScript("SELECT count(*) FROM t WHERE 'a;b' = 'a;b'")
+    assert(r2.length == 1 && r2.head.as[Long].head() == 42L)
+    // a failing mid-script statement stops there; prior commits stay
+    intercept[IllegalArgumentException] {
+      gs.runScript(
+        """DELETE FROM t WHERE k = 1000;
+           ALTER TABLE t RENAME COLUMN nope TO x;
+           DELETE FROM t WHERE k = 1001""")
+    }
+    assert(VersionedTable.latestVersion(spark, dir) == 5L &&
+      gs.sql("SELECT count(*) FROM t").as[Long].head() == 41L,
+      "the completed first statement stays; the third never ran")
+  }
+
   test("cogroupInner drops keys with an empty bag for that input") {
     val a = Seq((1, "x")).toDF("k", "va")
     val b = Seq((1, 10), (2, 20)).toDF("k", "vb")
