@@ -2301,8 +2301,11 @@ object VersionedTable {
 
   /** Conservative pruning bounds IMPLIED by a predicate: every
     * top-level AND conjunct of the form `<col> <cmp> <literal>` (or
-    * an IN-list of literals) yields a [[ColBound]]; anything else —
-    * ORs, function calls, casts, null-safe equality — contributes
+    * an IN-list of literals) yields a [[ColBound]]; an OR contributes
+    * the HULL of any column BOTH branches bound (a matching row
+    * satisfies one branch, so it lies inside the union ⊆ hull — the
+    * `id = a OR id = b` GDPR-delete shape prunes); anything else —
+    * function calls, casts, null-safe equality — contributes
     * nothing. Sound by construction: a contributed bound is implied
     * by its conjunct, so a file outside it provably holds no matching
     * row; an empty result just means "scan everything", never a wrong
@@ -2347,6 +2350,31 @@ object VersionedTable {
       }
     def go(e: Expression): Seq[ColBound] = e match {
       case And(a, b) => go(a) ++ go(b)
+      case Or(a, b) =>
+        // hull per column BOTH branches bound (exactly one bound per
+        // branch per column — conjunct-duplicated columns degrade
+        // conservatively to no contribution). A side unbounded in
+        // either branch is unbounded in the hull.
+        val (ba, bb) = (go(a).groupBy(_.col), go(b).groupBy(_.col))
+        ba.keySet.intersect(bb.keySet).toSeq.sorted.flatMap { c =>
+          (ba(c), bb(c)) match {
+            case (Seq(x), Seq(y)) => dom(c).toSeq.flatMap { d =>
+              scala.util.Try {
+                def pick(u: Option[Any], v: Option[Any], wantLo: Boolean) =
+                  for { uu <- u; vv <- v } yield {
+                    val cless = cmp(d, boundValue(d, c, uu),
+                      boundValue(d, c, vv)) <= 0
+                    if (cless == wantLo) uu else vv
+                  }
+                val lo = pick(x.lower, y.lower, wantLo = true)
+                val hi = pick(x.upper, y.upper, wantLo = false)
+                if (lo.isEmpty && hi.isEmpty) Seq.empty
+                else Seq(ColBound(c, lo, hi))
+              }.getOrElse(Seq.empty)
+            }
+            case _ => Seq.empty
+          }
+        }
       case EqualTo(a, l: Literal) =>
         name(a).toSeq.flatMap(c => bound(c, ext(l), ext(l)))
       case EqualTo(l: Literal, a) =>

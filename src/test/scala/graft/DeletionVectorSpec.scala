@@ -259,7 +259,16 @@ class DeletionVectorSpec extends SparkSpec {
       Seq(VersionedTable.ColBound("k", Some(7), Some(7))))
     assert(b("k in (30, 12, 44)") ==
       Seq(VersionedTable.ColBound("k", Some(12), Some(44))))
-    assert(b("k = 5 OR k = 90").isEmpty, "OR must derive nothing")
+    // OR: the hull of a column both branches bound (round 14 — the
+    // `id = a OR id = b` GDPR shape); anything one-sided or cross-
+    // column degrades to nothing
+    assert(b("k = 5 OR k = 90") ==
+      Seq(VersionedTable.ColBound("k", Some(5), Some(90))))
+    assert(b("k in (3, 9) OR (k >= 80 AND v like 'r%')") ==
+      Seq(VersionedTable.ColBound("k", Some(3), None)),
+      "hull keeps only sides bounded in BOTH branches")
+    assert(b("k = 5 OR v = 'r1'").isEmpty,
+      "cross-column OR must derive nothing")
     assert(b("k % 10 = 0").isEmpty && b("nosuch = 1").isEmpty)
     // behavioral: a range delete on a clustered table SCANS only the
     // files its implied bounds intersect (the filesScanned receipt),
