@@ -217,8 +217,11 @@ final class GraftSession(val spark: SparkSession) {
 
   /** Run a MULTI-STATEMENT SQL script: statements split on top-level
     * semicolons (semicolons inside quoted strings or parentheses never
-    * split), each routed through [[sql]] — so a migration script mixes
-    * SELECTs, DML, and ALTER TABLE freely against versioned aliases.
+    * split; SQL comments are NOT stripped — a `--` comment containing
+    * a semicolon would split, keep scripts comment-free or comment
+    * without semicolons), each routed through [[sql]] — so a migration
+    * script mixes SELECTs, DML, and ALTER TABLE freely against
+    * versioned aliases.
     * Statements run IN ORDER; DML/DDL commit eagerly inside their
     * [[sql]] call, so a following SELECT sees the write. Returns the
     * per-statement results, last one last. A failing statement stops

@@ -756,11 +756,13 @@ object VersionedTable {
       v: Long = -1L): DataFrame = {
     val ver = if (v >= 0) v else latestVersion(spark, dir)
     require(ver >= 0, s"no committed versions under $dir")
-    val bounds = impliedBounds(spark, predicate, schemaOf(spark, dir, ver))
-    val base =
-      if (bounds.isEmpty) readVersion(spark, dir, ver)
-      else readWhere(spark, dir, bounds, ver)
-    base.filter(expr(predicate))
+    val schema = schemaOf(spark, dir, ver)
+    // per-disjunct union pruning: `id IN (…)` reads the id-holding
+    // files, not the hull between them
+    val kept = prunedCandidates(spark, dir, ver, predicate, schema,
+      Seq.empty)
+    readFilesMasked(spark, dir, readManifest(spark, dir, ver), kept, schema)
+      .filter(expr(predicate))
   }
 
   // ─────────────── change data feed at churn cost (round 12) ───────────────
@@ -2417,6 +2419,61 @@ object VersionedTable {
     ).getOrElse(Seq.empty)
   }
 
+  /** Disjunctive pruning alternatives: a top-level OR chain (or a
+    * literal IN-list of up to `maxAlts` values) yields ONE conjunctive
+    * bound set PER DISJUNCT, so the candidate file set is the UNION of
+    * each disjunct's pruned files — the scattered GDPR-delete shape
+    * (`id = a OR id = b`, `id IN (…)`) reads the handful of files
+    * holding the ids instead of the hull between them (which on a
+    * clustered 100 TB table is usually the whole table). Falls back to
+    * the single [[impliedBounds]] conjunction (sound hull) when the
+    * predicate is not a top-level disjunction, a disjunct derives no
+    * bounds (its alternative would cover everything), or the disjunct
+    * count exceeds `maxAlts` (each alternative prices one manifest
+    * pruning pass). */
+  private[graft] def impliedAlternatives(spark: SparkSession,
+      predicate: String, schema: org.apache.spark.sql.types.StructType,
+      maxAlts: Int = 16): Seq[Seq[ColBound]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    lazy val fallback = Seq(impliedBounds(spark, predicate, schema))
+    scala.util.Try {
+      val root = spark.sessionState.sqlParser.parseExpression(predicate)
+      def leaves(e: Expression): Seq[Expression] = e match {
+        case Or(a, b) => leaves(a) ++ leaves(b)
+        case In(a, list) if list.nonEmpty && list.length <= maxAlts &&
+            list.forall(_.isInstanceOf[Literal]) =>
+          list.map(l => EqualTo(a, l))
+        case other => Seq(other)
+      }
+      val ds = leaves(root)
+      if (ds.length <= 1 || ds.length > maxAlts) fallback
+      else {
+        val alts = ds.map(d => impliedBounds(spark, d.sql, schema))
+        if (alts.exists(_.isEmpty)) fallback else alts
+      }
+    }.getOrElse(fallback)
+  }
+
+  /** The pruned candidate set for a predicate, resolved through
+    * [[impliedAlternatives]] (union of per-disjunct prunes), plus any
+    * explicit extra bounds ANDed into every alternative. Preserves
+    * live-file order. */
+  private def prunedCandidates(spark: SparkSession, dir: String, v: Long,
+      predicate: String, schema: org.apache.spark.sql.types.StructType,
+      extra: Seq[ColBound]): Seq[String] = {
+    val alts = impliedAlternatives(spark, predicate, schema)
+      .map(_ ++ extra)
+    val live = liveFiles(spark, dir, v)
+    if (alts.forall(_.isEmpty)) live
+    else {
+      val kept = alts.flatMap {
+        case Seq() => live
+        case bs => prunedFiles(spark, dir, v, bs)._1
+      }.toSet
+      live.filter(kept)
+    }
+  }
+
   /** DELETE WHERE as a deletion-vector commit: rows matching the
     * boolean SQL `predicate` become invisible WITHOUT rewriting any
     * data file — the commit writes only the matched row POSITIONS
@@ -2462,12 +2519,15 @@ object VersionedTable {
         "commit — recommit file-granular first")
     val live = liveFiles(spark, dir, parent)
     val schema = schemaOf(spark, dir, parent)
-    // pruning bounds: explicit ones plus whatever the predicate's own
-    // AND-conjuncts imply (all conjunctive — prunedFiles ANDs them)
+    // candidate pruning: per-disjunct union ([[impliedAlternatives]] —
+    // the scattered `id IN (…)` delete reads only the files holding
+    // the ids) with the caller's explicit bounds ANDed into every
+    // alternative; effBounds stays the CONJUNCTIVE hull for the rebase
+    // conflict analysis (a winner-added file inside the hull refuses —
+    // conservative superset of every alternative)
     val effBounds = bounds ++ impliedBounds(spark, predicate, schema)
-    val candidates =
-      if (effBounds.isEmpty) live
-      else prunedFiles(spark, dir, parent, effBounds)._1
+    val candidates = prunedCandidates(spark, dir, parent, predicate,
+      schema, bounds)
     def noOp = DeleteStats(-1L, 0L, 0L, 0L, live.length.toLong, 0L,
       candidates.length.toLong)
     if (candidates.isEmpty) return noOp
@@ -2644,9 +2704,8 @@ object VersionedTable {
         s"updateWhere: no column '$c' in ${schema.fieldNames.mkString(",")}")
     }
     val bounds = impliedBounds(spark, predicate, schema)
-    val candidates =
-      if (bounds.isEmpty) liveFiles(spark, dir, planV)
-      else prunedFiles(spark, dir, planV, bounds)._1
+    val candidates = prunedCandidates(spark, dir, planV, predicate,
+      schema, Seq.empty)
     if (candidates.isEmpty) return None
     // touched = files holding at least one matching (unmasked) row
     val touched = readFilesWithRowId(spark, dir, m, candidates, schema)

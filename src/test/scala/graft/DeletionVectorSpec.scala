@@ -299,6 +299,38 @@ class DeletionVectorSpec extends SparkSpec {
     assert(VersionedTable.replicate(spark, src, dst).version == -1L)
   }
 
+  test("disjunctive pruning: a scattered OR/IN delete reads the union, not the hull") {
+    val dir = tmp("dv-alts")
+    mkTable(dir) // 4 files clustered on k: 0-24, 25-49, 50-74, 75-99
+    val sch = VersionedTable.read(spark, dir).schema
+    // alternatives derivation: per-disjunct conjunctions
+    assert(VersionedTable.impliedAlternatives(spark, "k = 5 OR k = 90", sch)
+      == Seq(Seq(VersionedTable.ColBound("k", Some(5), Some(5))),
+             Seq(VersionedTable.ColBound("k", Some(90), Some(90)))))
+    assert(VersionedTable.impliedAlternatives(spark, "k in (2, 97)", sch)
+      .length == 2, "a small IN-list expands per literal")
+    // CROSS-COLUMN disjuncts still union (each prunes on its own
+    // column — sound: the union covers both branches' rows)
+    assert(VersionedTable.impliedAlternatives(spark,
+      "k = 5 OR v = 'r9'", sch)
+      == Seq(Seq(VersionedTable.ColBound("k", Some(5), Some(5))),
+             Seq(VersionedTable.ColBound("v", Some("r9"), Some("r9")))))
+    // an UNDERIVABLE disjunct collapses to the conjunctive fallback
+    // (its alternative would cover the whole table anyway)
+    assert(VersionedTable.impliedAlternatives(spark,
+      "k = 5 OR v like 'r%'", sch) == Seq(Seq.empty))
+    // behavioral: the scattered delete scans exactly the 2 end files,
+    // never the hull (which spans all 4)
+    val st = VersionedTable.deleteWhere(spark, dir, "k = 5 or k = 90",
+      0L, "w")
+    assert(st.filesScanned == 2L && st.rowsDeleted == 2L,
+      s"union pruning must scan 2 of 4 files: $st")
+    // readFiltered takes the same path and stays row-exact
+    val got = VersionedTable.readFiltered(spark, dir, "k in (2, 97, 5)")
+      .select($"k").as[Long].collect().toSet
+    assert(got == Set(2L, 97L), "k=5 was deleted; the pruned read agrees")
+  }
+
   test("distributed hit-count branch: parity with the driver loop past the crossover") {
     // r13 blemish: deleteWhere's per-file hit counts collected to a
     // driver map regardless of scale. Past graft.prune.driverFiles the
