@@ -250,7 +250,9 @@ class DeletionVectorSpec extends SparkSpec {
     val dir = tmp("dv-implied")
     mkTable(dir) // 4 files clustered on k: 0-24, 25-49, 50-74, 75-99
     val sch = VersionedTable.read(spark, dir).schema
-    // unit: the derivation is conservative and conjunct-only
+    // unit: the conjunctive derivation is conservative (AND conjuncts
+    // + OR hulls; disjunct-union pruning is the separate
+    // impliedAlternatives path, tested below)
     def b(p: String) = VersionedTable.impliedBounds(spark, p, sch)
     assert(b("k >= 10 AND k < 20") ==
       Seq(VersionedTable.ColBound("k", Some(10), None),
