@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through UNPREFIXED (no sbt "[info] "/"[error] "
+// logger decoration): the driver's bench harness tail-captures stdout and
+// json-parses the final line — a logger prefix or interleaved decoration
+// breaks the handshake (every BENCH_r{1..14}.json arrived parsed=null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -532,15 +532,16 @@ object Bench {
       else stotal / streamResults.size
     val line = f"""{"metric":"total","value":$totalOut%.3f,"unit":"sec","baseline12_sec":$base12Out%.3f,"headline_sec":$totalOut%.3f,"queries":$qjson,"streaming_sec":$stotalOut%.3f,"streaming_per_replay_sec":$perReplayOut%.3f,"streaming_floor_sec":$streamFloor%.3f,"streaming":$sjson,"failed":$fjson,"regressed":$rjson,"loadavg":"$loadavg","sf":"$sfDir"}"""
     // The PRINTED line must survive the driver's bounded tail capture
-    // (the r13 artifact arrived head-truncated and unparseable): stdout
-    // gets a COMPACT record — totals, the BASELINE-comparable 12-query
-    // dict, the streaming dict, failed/regressed/loadavg — that fits
-    // well inside the tail window; the full per-query dict lives in
-    // bench/results.json, which the same record points at.
-    val q12json = results.filter(r => baselineSubset.contains(r._1))
-      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val compact = f"""{"metric":"total","value":$totalOut%.3f,"unit":"sec","baseline12_sec":$base12Out%.3f,"headline_sec":$totalOut%.3f,"queries":$q12json,"streaming_sec":$stotalOut%.3f,"streaming_per_replay_sec":$perReplayOut%.3f,"streaming_floor_sec":$streamFloor%.3f,"streaming":$sjson,"failed":$fjson,"regressed":$rjson,"loadavg":"$loadavg","sf":"$sfDir","full":"bench/results.json"}"""
-    println(compact)
+    // (every BENCH_r{1..14}.json arrived parsed=null: the line carried
+    // an sbt "[info] " prefix and/or overflowed the ~2000-char tail
+    // window). Three defenses: (a) build.sbt routes forked-run output
+    // through StdoutOutput, so no logger prefix is ever added; (b) the
+    // stdout record is ULTRA-compact — totals + failed/regressed +
+    // loadavg only, well under the window even with noise around it;
+    // (c) it prints AFTER spark.stop(), so Spark shutdown logging
+    // cannot land after it. Full per-query dicts live in
+    // bench/results.json, which the record points at.
+    val compact = f"""{"metric":"total","value":$totalOut%.3f,"unit":"sec","baseline12_sec":$base12Out%.3f,"headline_sec":$totalOut%.3f,"streaming_sec":$stotalOut%.3f,"streaming_per_replay_sec":$perReplayOut%.3f,"streaming_floor_sec":$streamFloor%.3f,"failed":$fjson,"regressed":$rjson,"loadavg":"$loadavg","sf":"$sfDir","full":"bench/results.json"}"""
     // standalone artifact (BASELINE.md): the FULL per-query record —
     // survives any driver-side tail-parsing change
     try {
@@ -550,6 +551,8 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench/results.json: $e") }
     spark.stop()
+    println(compact)
+    Console.out.flush()
     // Output is flushed; exit explicitly so a stray non-daemon thread
     // can never hang the forked JVM and stall the driver's bench.
     sys.exit(0)

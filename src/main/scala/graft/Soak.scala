@@ -762,6 +762,107 @@ object Soak {
           f"${kept.length}/$total, keyed merge through the new name OK")
         2048L
       }
+      // round 15 (VERDICT r14 #7): the change stream at the many-file
+      // shape — declare a feed on the 2048-file table, drain through a
+      // checkpoint, land a 100k-row localized churn + a RENAME + a
+      // second churn, and drain the SAME checkpoint: the receipt is
+      // drain seconds + exact delivered counts (zero re-delivery
+      // across the rename).
+      time("lakehouse_changestream_rename_churn_2048") {
+        val vt2 = s"$root/dvsoak" // columns (doc_id, w) after the rename leg
+        val v0 = VersionedTable.latestVersion(spark, vt2)
+        // declare the feed via a metadata-only delta (its own feed
+        // file is the empty diff — declaration, not bootstrap)
+        VersionedTable.commitDelta(spark, vt2, None, Seq.empty, v0,
+          "soak", meta = Map(VersionedTable.FeedKey -> "doc_id"))
+        val out = s"$root/cs_out"; val ckpt = s"$root/cs_ckpt"
+        def drain(): Double = {
+          val t0 = System.nanoTime()
+          val q = VersionedTable.changeStream(spark, vt2)
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val s0 = drain() // declaration version only (empty feed)
+        // localized 100k-row churn: rewrites only the low-key files
+        VersionedTable.merge(spark, vt2,
+          spark.range(100000L).select(col("id").as("doc_id"),
+            lit(-7L).as("w")), Seq("doc_id"),
+          VersionedTable.latestVersion(spark, vt2), "soak")
+        val s1 = drain()
+        val n1 = spark.read.parquet(out).count()
+        require(n1 >= 100000L && n1 <= 200001L, // updates ± prior -1L rows
+          s"churn drain must deliver the churn, got $n1")
+        // RENAME through the checkpoint, then a small churn under the
+        // new name — the restarted stream must deliver ONLY the new
+        // churn (sticky physical names; no reset, no re-delivery)
+        VersionedTable.renameColumns(spark, vt2, Map("w" -> "weight"),
+          VersionedTable.latestVersion(spark, vt2), "mig")
+        VersionedTable.merge(spark, vt2,
+          spark.range(1000L).select((col("id") + 5000000L).as("doc_id"),
+            lit(-9L).as("weight")), Seq("doc_id"),
+          VersionedTable.latestVersion(spark, vt2), "soak")
+        val s2 = drain()
+        val sch = VersionedTable.schemaOf(spark, vt2,
+            VersionedTable.latestVersion(spark, vt2))
+          .add("op", org.apache.spark.sql.types.StringType)
+          .add("version", org.apache.spark.sql.types.LongType)
+        val n2 = spark.read.schema(sch).parquet(out).count()
+        require(n2 == n1 + 1000L,
+          s"post-rename drain must deliver EXACTLY the new churn " +
+            s"($n1 + 1000), got $n2 — re-delivery or loss")
+        println(f"[soak]   changestream receipt: declare-drain $s0%.1fs, " +
+          f"100k-churn drain $s1%.1fs ($n1 rows), rename + 1k churn " +
+          f"drain $s2%.1fs (+${n2 - n1} rows, zero re-delivery)")
+        n2
+      }
+      // round 15 (VERDICT r14 #10): the hybrid MIN/MAX re-scan law at
+      // the many-file shape — on a 2048-file group-clustered source,
+      // deleting ONE group's max re-scans exactly that group through
+      // the stats index: the receipt pins view.rescan.files ≪ total.
+      time("lakehouse_aggview_rescan_2048files") {
+        import graft.operators.AggView
+        val src = s"$root/aggsoak"; val view = s"$root/aggsoak_view"
+        val n = 2000000L
+        VersionedTable.commit(spark, src,
+          spark.range(n).select(col("id").as("k"),
+            (col("id") / 1000L).as("grp"),
+            (col("id") % 100000L).cast("double").as("x")),
+          -1L, "soak", clusterBy = Seq("grp"), clusterFiles = 2048)
+        val measures = Seq("x" -> col("x"))
+        val ext = Seq("x" -> col("x"))
+        AggView.init(spark, src, view, "dash", Seq("grp"), measures,
+          extremes = ext)
+        // plant a sentinel max in ONE group, then delete it
+        VersionedTable.merge(spark, src,
+          spark.range(1).select(lit(9999999L).as("k"),
+            lit(777L).as("grp"), lit(9.9e9).as("x")),
+          Seq("k"), 0L, "soak")
+        AggView.sync(spark, src, view, "dash", Seq("k"), Seq("grp"),
+          measures, extremes = ext)
+        VersionedTable.deleteWhere(spark, src, "k = 9999999",
+          VersionedTable.latestVersion(spark, src), "gdpr")
+        val t0 = System.nanoTime()
+        AggView.sync(spark, src, view, "dash", Seq("k"), Seq("grp"),
+          measures, extremes = ext)
+        val syncSec = (System.nanoTime() - t0) / 1e9
+        val vm = VersionedTable.readManifest(spark, view,
+          VersionedTable.latestVersion(spark, view)).meta
+        val g = vm(AggView.RescanGroupsKey).toInt
+        val fl = vm(AggView.RescanFilesKey).toInt
+        val total = VersionedTable.liveFiles(spark, src,
+          VersionedTable.latestVersion(spark, src)).length
+        require(g == 1, s"exactly the max-deleted group re-scans: $g")
+        require(fl > 0 && fl * 50 < total,
+          s"the re-scan must read ≪ the table ($fl of $total files)")
+        println(f"[soak]   aggview rescan receipt: delete-the-max sync " +
+          f"$syncSec%.1fs, re-scanned $g group / $fl of $total files " +
+          "(stats-pruned, never a source re-scan)")
+        n
+      }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     }
 

@@ -3210,6 +3210,61 @@ object SparkEntry {
       AggView.read(s, view)
     }),
 
+    // --- AggView across a source RENAME (VERDICT r14 #3): the view's
+    //     config is stored RESOLVED (source-physical column names) in
+    //     the view manifest at init, so sync needs no caller-held
+    //     strings; a rename of the GROUP and the MEASURE column
+    //     between syncs is a spec-pinned non-event — syncResolved
+    //     translates through the source's colmap, propagates the
+    //     group rename to the view's own header (metadata-only), and
+    //     applies the post-rename churn under the new names. The
+    //     oracle aggregates the replayed final table. ---
+    "q256_aggview_rename" -> ((s, dir) => {
+      import graft.operators.{AggView, VersionedTable}
+      val root = java.nio.file.Files.createTempDirectory("graft_aggr_q256_")
+        .toString
+      val src = s"$root/src"; val view = s"$root/view"
+      val ord = t(s, dir).orders.select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("grp"), col("o_totalprice").as("price"))
+      require(VersionedTable.commit(s, src, ord, -1L, "loader",
+        clusterBy = Seq("k"), clusterFiles = 16) == 0L)
+      AggView.initResolved(s, src, view, "dash", keys = Seq("k"),
+        groupCols = Seq("grp"), measures = Seq("price" -> "price"),
+        extremes = Seq("price" -> "price"))
+      // churn 1 under the ORIGINAL names: bumps + a brand-new group
+      VersionedTable.merge(s, src,
+        ord.filter(col("k") % 9 === 2)
+            .select(col("k"), col("grp"), (col("price") + 50).as("price"))
+          .unionByName(ord.filter(col("k") % 101 === 0)
+            .select((col("k") + 7000000L).as("k"), lit("ZNEW").as("grp"),
+              lit(1.0).as("price"))),
+        Seq("k"), 0L, "etl")
+      require(AggView.syncResolved(s, src, view, "dash")
+          .contains((0L, 1L)), "q256: pre-rename sync must apply churn 1")
+      // the RENAME between syncs: BOTH the group and the measure column
+      require(VersionedTable.renameColumns(s, src,
+        Map("grp" -> "bucket", "price" -> "amount"), 1L, "migrator") == 2L)
+      // churn 2 under the NEW names: bumps (they override churn 1 for
+      // overlapping keys — merge replaces by key) + a scattered delete
+      VersionedTable.merge(s, src,
+        ord.filter(col("k") % 13 === 1)
+          .select(col("k"), col("grp").as("bucket"),
+            (col("price") + 7).as("amount")),
+        Seq("k"), 2L, "etl")
+      VersionedTable.deleteWhere(s, src,
+        "k % 97 = 3 AND k < 7000000", 3L, "gdpr")
+      val applied = AggView.syncResolved(s, src, view, "dash")
+      require(applied.contains((1L, 4L)),
+        s"q256: the post-rename sync must apply the 1->4 feed: $applied")
+      require(AggView.syncResolved(s, src, view, "dash").isEmpty,
+        "q256: a caught-up syncResolved must be a no-op")
+      // the view's own header tracked the source rename
+      require(VersionedTable.schemaOf(s, view,
+          VersionedTable.latestVersion(s, view)).fieldNames.head == "bucket",
+        "q256: the group rename must propagate to the view's schema")
+      AggView.read(s, view)
+    }),
+
     // --- SQL DML over versioned tables (VERDICT r13 missing #4): the
     //     PigServer-analogue SQL surface WRITES the lakehouse —
     //     MERGE INTO (star shorthand) / DELETE FROM / INSERT INTO on a
@@ -3252,6 +3307,67 @@ object SparkEntry {
         "q250: four DML statements must stack four versions")
       // the latest-tracking alias advanced through its own writes:
       // the SELECT that returns the deliverable sees all four
+      gs.sql("SELECT k, pr, price FROM t")
+    }),
+
+    // --- SQL table LIFECYCLE (VERDICT r14 #5): a SQL-only user runs
+    //     the whole arc in ONE script — CREATE TABLE … LOCATION …
+    //     USING (clustering) AS SELECT, then DML, then RESTORE (undo
+    //     the update), then OPTIMIZE (layout-only) — and the final
+    //     SELECT hash-matches the relational replay. Refusal probes
+    //     ride in-entry: keyword-routed statements that miss their
+    //     grammar refuse loudly instead of leaking into Spark. ---
+    "q257_sql_lifecycle" -> ((s, dir) => {
+      val vt = java.nio.file.Files.createTempDirectory("graft_lc_q257_")
+        .toString + "/t"
+      val gs = new graft.core.GraftSession(s)
+      gs.register("orders_raw", t(s, dir).orders)
+      val rs = gs.runScript(
+        s"""-- lifecycle script; this comment's semicolon ; must be inert
+           |CREATE TABLE t LOCATION '$vt' USING ('cluster=k', 'files=8')
+           |  AS SELECT o_orderkey AS k, o_orderpriority AS pr,
+           |            o_totalprice AS price FROM orders_raw;
+           |INSERT INTO t SELECT k + 7000000, '9;SQL', 1.0 FROM t
+           |  WHERE k % 101 = 0;
+           |DELETE FROM t WHERE k % 97 = 3;
+           |UPDATE t SET price = price + 1000 WHERE k % 11 = 4;
+           |RESTORE t TO VERSION 2;
+           |OPTIMIZE t;
+           |DESCRIBE HISTORY t""".stripMargin)
+      val ops = rs.dropRight(1).map(_.head())
+      require(ops.map(_.getString(0)) == Seq("create_table", "insert",
+          "delete", "update", "restore", "optimize"),
+        s"q257: six lifecycle receipts in order: ${ops.map(_.getString(0))}")
+      require(ops.map(_.getLong(2)) == Seq(0L, 1L, 2L, 3L, 4L, 5L),
+        s"q257: versions must stack 0..5: ${ops.map(_.getLong(2))}")
+      require(rs.last.count() == 6L,
+        "q257: DESCRIBE HISTORY must show all six versions")
+      // refusal probes: shape variants refuse with the grammar, they
+      // never leak into Spark as unrelated errors
+      def refuses(stmt: String): Boolean =
+        try { gs.sql(stmt); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("expected:") ||
+            e.getMessage.contains("not a versioned-table alias") }
+      require(refuses("DELETE FROM t"),
+        "q257: DELETE without WHERE must refuse with the grammar")
+      require(refuses("UPDATE t SET price = 1"),
+        "q257: UPDATE without WHERE must refuse with the grammar")
+      require(refuses("INSERT INTO t (k, pr) SELECT 1, 'x'"),
+        "q257: INSERT with a column list must refuse with the grammar")
+      require(refuses("RESTORE t TO VERSION latest"),
+        "q257: RESTORE with a non-numeric version must refuse")
+      require(refuses("OPTIMIZE t FULL"),
+        "q257: OPTIMIZE with trailing tokens must refuse")
+      locally { // CREATE onto an existing table refuses (never overwrite)
+        val refused =
+          try { gs.sql(s"CREATE TABLE t2 LOCATION '$vt' AS SELECT 1"); false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("never overwrites") }
+        require(refused, "q257: CREATE onto a live table must refuse")
+      }
+      // final content: create + insert − delete (update was restored
+      // away; optimize is layout-only)
       gs.sql("SELECT k, pr, price FROM t")
     }),
 
@@ -4823,6 +4939,76 @@ object SparkEntry {
       graft.pig.PigScript.queryResource(s, "/pig/q128_mapreduce.pig",
         Map("DIR" -> dir, "MRJOB" -> job,
           "MRIN" -> s"$tmp/mr_in", "MROUT" -> s"$tmp/mr_out.tsv"))
+    }),
+
+    // --- Branching / named refs over the manifest log (round 15):
+    //     fork a branch (O(manifest), shared data files), commit
+    //     isolated work on BOTH sides — a scattered DV delete + an
+    //     append on the branch, a file-disjoint DV delete on mainline
+    //     — then fastForward the branch's NET effect onto mainline as
+    //     ONE commit gated by the rebase disjointness analysis. The
+    //     refusal pole is probed in-entry: a second branch masking a
+    //     row in a file mainline then rewrites must be refused loudly,
+    //     and a repeated fastForward of a landed tip is a no-op. The
+    //     oracle recomputes the landed table from raw parquet. ---
+    "q255_branch_fast_forward" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val vt = java.nio.file.Files.createTempDirectory("graft_br_q255_")
+        .toString + "/t"
+      val cust = t(s, dir).customer.select(col("c_custkey").as("k"),
+        col("c_name").as("name"), col("c_acctbal").as("bal"))
+      require(VersionedTable.commit(s, vt, cust, -1L, "loader",
+        clusterBy = Seq("k"), clusterFiles = 16) == 0L)
+      require(VersionedTable.createBranch(s, vt, "dev") == 0L)
+      val ref = VersionedTable.branchRef(vt, "dev")
+      val maxK = cust.agg(max(col("k"))).head.getLong(0)
+      val lo = maxK / 8
+      val hi = maxK * 7 / 8
+      // branch leg 1: scattered DV delete in the LOW band
+      val dB = VersionedTable.deleteWhere(s, ref,
+        s"k <= $lo AND k % 5 = 1", 0L, "wb")
+      require(dB.version == 1L && dB.rowsDeleted > 0,
+        s"q255: the branch delete must mask rows: $dB")
+      // branch leg 2: append re-keyed rows (new file, zero rewrites)
+      VersionedTable.commitDelta(s, ref,
+        Some(cust.filter(col("k") <= 20)
+          .select((col("k") + 10000000L).as("k"),
+            concat(lit("b_"), col("k").cast("string")).as("name"),
+            lit(0.0).as("bal")).coalesce(1)),
+        Seq.empty, 1L, "wb")
+      // mainline advances CONCURRENTLY: a DV delete in the HIGH band —
+      // file-disjoint from everything the branch touched
+      val dM = VersionedTable.deleteWhere(s, vt,
+        s"k > $hi AND k % 7 = 3", 0L, "wm")
+      require(dM.version == 1L && dM.rowsDeleted > 0,
+        s"q255: the mainline delete must mask rows: $dM")
+      locally {
+        val bT = VersionedTable.readManifest(s, ref, 1L).dv.keySet
+        val mT = VersionedTable.readManifest(s, vt, 1L).dv.keySet
+        require(bT.nonEmpty && mT.nonEmpty && (bT & mT).isEmpty,
+          s"q255: fixture must be file-disjoint: $bT vs $mT")
+      }
+      // the landing: one atomic mainline commit, both masks carried
+      val landed = VersionedTable.fastForward(s, vt, "dev", "merger")
+      require(landed.contains(2L), s"q255: must land as v2: $landed")
+      require(VersionedTable.fastForward(s, vt, "dev", "merger").isEmpty,
+        "q255: a landed tip must not land twice")
+      // refusal pole: branch masks k=2; mainline rewrites k=2's file
+      // (an identity update of the same row) → same-file overlap,
+      // refused (k=2 survives both band deletes: 2%5≠1 and 2 ≤ hi)
+      require(VersionedTable.createBranch(s, vt, "hot") == 2L)
+      val hotRef = VersionedTable.branchRef(vt, "hot")
+      val dH = VersionedTable.deleteWhere(s, hotRef, "k = 2", 2L, "wh")
+      require(dH.rowsDeleted == 1L, s"q255: hot-branch mask: $dH")
+      require(VersionedTable.updateWhere(s, vt, "k = 2",
+        Seq("name" -> "name"), 2L, "wm").nonEmpty,
+        "q255: the mainline rewrite must touch k=2's file")
+      val refused =
+        try { VersionedTable.fastForward(s, vt, "hot", "merger"); false }
+        catch { case _: VersionedTable.CommitConflict => true }
+      require(refused,
+        "q255: same-file overlap must refuse the merge-back loudly")
+      VersionedTable.read(s, vt).select(col("k"), col("name"), col("bal"))
     }),
 
     // --- piggybank datetime evals (ISOToUnix / UnixToISO /
@@ -7528,6 +7714,27 @@ object SparkEntry {
                 MIN(price) AS min_price, MAX(price) AS max_price
          FROM fin GROUP BY grp""",
 
+    // rename-proof view: churn 2 (under the new names) overrides
+    // churn 1 for overlapping keys (merge replaces by key); the view
+    // answers under the RENAMED group header
+    "q256_aggview_rename" ->
+      """WITH fin AS (
+           SELECT o_orderkey AS k, o_orderpriority AS bucket,
+                  CASE WHEN o_orderkey % 13 = 1 THEN o_totalprice + 7
+                       WHEN o_orderkey % 9 = 2 THEN o_totalprice + 50
+                       ELSE o_totalprice END AS amount
+           FROM orders
+           WHERE NOT (o_orderkey % 97 = 3)
+           UNION ALL
+           SELECT o_orderkey + 7000000, 'ZNEW', 1.0
+           FROM orders WHERE o_orderkey % 101 = 0)
+         SELECT bucket, COUNT(*) AS cnt,
+                CAST(SUM(CAST(amount AS DECIMAL(38,2))) AS DOUBLE) AS sum_price,
+                CAST(SUM(CAST(amount AS DECIMAL(38,2))) AS DOUBLE)
+                  / COUNT(amount) AS avg_price,
+                MIN(amount) AS min_price, MAX(amount) AS max_price
+         FROM fin GROUP BY bucket""",
+
     // SQL DML composite: MERGE (upsert) → DELETE (DV mask) → INSERT
     // (blind append) → UPDATE (file-granular rewrite), replayed
     // relationally
@@ -7552,6 +7759,18 @@ object SparkEntry {
                 CASE WHEN k % 11 = 4 AND k < 7000000 THEN price + 1000
                      ELSE price END AS price
          FROM i""",
+
+    // SQL lifecycle: create + insert − delete; the UPDATE was rolled
+    // back by RESTORE and OPTIMIZE is layout-only
+    "q257_sql_lifecycle" ->
+      """WITH base AS (
+           SELECT o_orderkey AS k, o_orderpriority AS pr,
+                  o_totalprice AS price FROM orders),
+         i AS (
+           SELECT * FROM base
+           UNION ALL
+           SELECT k + 7000000, '9;SQL', 1.0 FROM base WHERE k % 101 = 0)
+         SELECT k, pr, price FROM i WHERE NOT (k % 97 = 3)""",
 
     // metadata-only DROP + post-drop merge: the final table is the
     // remaining projection with the churn applied
@@ -7865,6 +8084,23 @@ object SparkEntry {
       """SELECT l_orderkey, CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln,
                 COUNT(*) AS n_items
          FROM lineitem GROUP BY 1""",
+
+    // branch fast-forward: mainline after landing = customers minus
+    // the branch's low-band mask minus mainline's concurrent high-band
+    // mask, plus the branch's appended re-keyed rows (the refused
+    // "hot" branch must leave no trace)
+    "q255_branch_fast_forward" ->
+      """WITH q AS (SELECT CAST(FLOOR(MAX(c_custkey) / 8.0) AS BIGINT) AS lo,
+                           CAST(FLOOR(MAX(c_custkey) * 7 / 8.0) AS BIGINT) AS hi
+                    FROM customer)
+         SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal
+         FROM customer, q
+         WHERE NOT (c_custkey <= lo AND c_custkey % 5 = 1)
+           AND NOT (c_custkey > hi AND c_custkey % 7 = 3)
+         UNION ALL
+         SELECT c_custkey + 10000000 AS k,
+                'b_' || CAST(c_custkey AS VARCHAR) AS name, 0.0 AS bal
+         FROM customer WHERE c_custkey <= 20""",
 
     // greedy md5-ordered prefix per lang under hard token budgets
     "q150_token_budget" ->

@@ -147,7 +147,25 @@ final class GraftSession(val spark: SparkSession) {
     *     lists are the Scala API's job);
     *   - `ALTER TABLE t RENAME COLUMN a TO b` / `ADD COLUMNS (a INT,
     *     …)` / `DROP COLUMN(S) a, b` → the metadata-only migrations
-    *     (renameColumns / addColumns / dropColumns).
+    *     (renameColumns / addColumns / dropColumns);
+    *   - table LIFECYCLE (round 15 — a SQL-only user can now create
+    *     and maintain what they mutate):
+    *     `CREATE TABLE t LOCATION '<dir>' [USING ('cluster=k1,k2',
+    *     'mode=zorder', 'files=8', 'feed=k', 'expect.<n>=<sql>')] AS
+    *     <query>` → v0 [[graft.operators.VersionedTable.commit]] +
+    *     registerVersioned (USING mirrors the Pig VersionedStorage
+    *     declaration grammar verbatim);
+    *     `OPTIMIZE t` → [[graft.operators.VersionedTable.compactSmallFiles]];
+    *     `VACUUM t [RETAIN n VERSIONS]` → orphan sweep (+ expire);
+    *     `RESTORE t TO VERSION n` → [[graft.operators.VersionedTable.restore]].
+    *
+    * Routing is KEYWORD-FIRST (round 15, the r14 advice): a statement
+    * whose leading keyword is INSERT/DELETE/UPDATE/MERGE/OPTIMIZE/
+    * VACUUM/RESTORE either matches its supported shape or REFUSES
+    * with the expected grammar — a shape variant (DELETE without
+    * WHERE, INSERT with a column list) can no longer fall through to
+    * Spark and surface an unrelated error. CREATE/ALTER/DESCRIBE keep
+    * their Spark meanings for the forms this engine does not claim.
     *
     * Writes commit against the version the alias RESOLVED at
     * registration — snapshot-isolation writes: if another writer moved
@@ -157,52 +175,98 @@ final class GraftSession(val spark: SparkSession) {
     * so a following SELECT sees the write. Each DML returns a receipt
     * row (op, table, version, rows; rows = -1 where the op's receipt
     * has no row count). */
-  def sql(query: String): DataFrame =
-    GraftSession.DmlInsert.findFirstMatchIn(query).map { m =>
-      dmlInsert(m.group(1), m.group(2))
-    }.orElse {
-      GraftSession.DmlDelete.findFirstMatchIn(query).map { m =>
-        dmlDelete(m.group(1), m.group(2))
-      }
-    }.orElse {
-      GraftSession.DmlUpdate.findFirstMatchIn(query).map { m =>
-        dmlUpdate(m.group(1), m.group(2), m.group(3))
-      }
-    }.orElse {
-      GraftSession.DmlMerge.findFirstMatchIn(query).map { m =>
-        dmlMerge(m.group(1), Option(m.group(2)), m.group(3), m.group(4),
-          Option(m.group(5)))
-      }
-    }.orElse {
-      GraftSession.DescHistory.findFirstMatchIn(query).map { m =>
-        val b = binding(m.group(1), "DESCRIBE HISTORY")
-        graft.operators.VersionedTable.history(spark, b.dir)
-      }
-    }.orElse {
-      GraftSession.DdlRename.findFirstMatchIn(query).map { m =>
-        ddl("rename", m.group(1)) { b =>
-          graft.operators.VersionedTable.renameColumns(spark, b.dir,
-            Map(m.group(2) -> m.group(3)), b.version, s"sql-${m.group(1)}")
-        }
-      }
-    }.orElse {
-      GraftSession.DdlAdd.findFirstMatchIn(query).map { m =>
-        ddl("add_columns", m.group(1)) { b =>
-          graft.operators.VersionedTable.addColumns(spark, b.dir,
-            org.apache.spark.sql.types.StructType.fromDDL(m.group(2))
-              .fields.toIndexedSeq,
-            b.version, s"sql-${m.group(1)}")
-        }
-      }
-    }.orElse {
-      GraftSession.DdlDrop.findFirstMatchIn(query).map { m =>
-        ddl("drop_columns", m.group(1)) { b =>
-          graft.operators.VersionedTable.dropColumns(spark, b.dir,
-            m.group(2).split(',').toSeq.map(_.trim).filter(_.nonEmpty),
-            b.version, s"sql-${m.group(1)}")
-        }
-      }
-    }.getOrElse(rawSql(query))
+  def sql(query: String): DataFrame = {
+    def refuse(stmt: String, grammar: String): Nothing =
+      throw new IllegalArgumentException(
+        s"$stmt did not match the supported shape — expected: $grammar")
+    val kw = query.trim.takeWhile(c => !c.isWhitespace)
+      .toUpperCase(java.util.Locale.ROOT)
+    kw match {
+      case "INSERT" =>
+        GraftSession.DmlInsert.findFirstMatchIn(query).map { m =>
+          val src = m.group(2).trim
+          if (src.startsWith("("))
+            refuse("INSERT INTO", "INSERT INTO <alias> <query|VALUES …> " +
+              "— column lists are not supported; project the table's " +
+              "columns (in order) in the query itself")
+          dmlInsert(m.group(1), m.group(2))
+        }.getOrElse(refuse("INSERT INTO",
+          "INSERT INTO <alias> <query|VALUES …>"))
+      case "DELETE" =>
+        GraftSession.DmlDelete.findFirstMatchIn(query).map { m =>
+          dmlDelete(m.group(1), m.group(2))
+        }.getOrElse(refuse("DELETE FROM",
+          "DELETE FROM <alias> WHERE <predicate> — WHERE is required " +
+            "(say WHERE true to mean a full-table delete)"))
+      case "UPDATE" =>
+        GraftSession.DmlUpdate.findFirstMatchIn(query).map { m =>
+          dmlUpdate(m.group(1), m.group(2), m.group(3))
+        }.getOrElse(refuse("UPDATE",
+          "UPDATE <alias> SET c = <expr>[, …] WHERE <predicate> — " +
+            "both SET and WHERE are required"))
+      case "MERGE" =>
+        GraftSession.DmlMerge.findFirstMatchIn(query).map { m =>
+          dmlMerge(m.group(1), Option(m.group(2)), m.group(3), m.group(4),
+            Option(m.group(5)))
+        }.getOrElse(refuse("MERGE INTO",
+          "MERGE INTO <alias> [AS a] USING <src> [AS s] ON a.k = s.k " +
+            "[AND …] [WHEN MATCHED AND <cond> THEN DELETE] WHEN MATCHED " +
+            "THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"))
+      case "OPTIMIZE" =>
+        GraftSession.LcOptimize.findFirstMatchIn(query).map { m =>
+          lcOptimize(m.group(1))
+        }.getOrElse(refuse("OPTIMIZE", "OPTIMIZE <alias>"))
+      case "VACUUM" =>
+        GraftSession.LcVacuum.findFirstMatchIn(query).map { m =>
+          lcVacuum(m.group(1), Option(m.group(2)).map(_.toInt))
+        }.getOrElse(refuse("VACUUM",
+          "VACUUM <alias> [RETAIN <n> VERSIONS]"))
+      case "RESTORE" =>
+        GraftSession.LcRestore.findFirstMatchIn(query).map { m =>
+          lcRestore(m.group(1), m.group(2).toLong)
+        }.getOrElse(refuse("RESTORE",
+          "RESTORE <alias> TO VERSION <n>"))
+      case "CREATE" =>
+        // only the versioned-table form is claimed; every other CREATE
+        // (temp views, catalog tables) keeps its Spark meaning
+        GraftSession.LcCreate.findFirstMatchIn(query).map { m =>
+          lcCreateTable(m.group(1), m.group(2), Option(m.group(3)),
+            m.group(4))
+        }.getOrElse(rawSql(query))
+      case "ALTER" =>
+        GraftSession.DdlRename.findFirstMatchIn(query).map { m =>
+          ddl("rename", m.group(1)) { b =>
+            graft.operators.VersionedTable.renameColumns(spark, b.dir,
+              Map(m.group(2) -> m.group(3)), b.version, s"sql-${m.group(1)}")
+          }
+        }.orElse {
+          GraftSession.DdlAdd.findFirstMatchIn(query).map { m =>
+            ddl("add_columns", m.group(1)) { b =>
+              graft.operators.VersionedTable.addColumns(spark, b.dir,
+                org.apache.spark.sql.types.StructType.fromDDL(m.group(2))
+                  .fields.toIndexedSeq,
+                b.version, s"sql-${m.group(1)}")
+            }
+          }
+        }.orElse {
+          GraftSession.DdlDrop.findFirstMatchIn(query).map { m =>
+            ddl("drop_columns", m.group(1)) { b =>
+              graft.operators.VersionedTable.dropColumns(spark, b.dir,
+                m.group(2).split(',').toSeq.map(_.trim).filter(_.nonEmpty),
+                b.version, s"sql-${m.group(1)}")
+            }
+          }
+        }.getOrElse(refuse("ALTER TABLE",
+          "ALTER TABLE <alias> RENAME COLUMN a TO b | ADD COLUMNS " +
+            "(a INT, …) | DROP COLUMN[S] a[, b …]"))
+      case "DESCRIBE" =>
+        GraftSession.DescHistory.findFirstMatchIn(query).map { m =>
+          val b = binding(m.group(1), "DESCRIBE HISTORY")
+          graft.operators.VersionedTable.history(spark, b.dir)
+        }.getOrElse(rawSql(query))
+      case _ => rawSql(query)
+    }
+  }
 
   /** Shared ALTER TABLE plumbing: resolve the versioned binding, run
     * the metadata-only migration, advance a latest-tracking binding
@@ -217,11 +281,11 @@ final class GraftSession(val spark: SparkSession) {
 
   /** Run a MULTI-STATEMENT SQL script: statements split on top-level
     * semicolons (semicolons inside quoted strings or parentheses never
-    * split; SQL comments are NOT stripped — a `--` comment containing
-    * a semicolon would split, keep scripts comment-free or comment
-    * without semicolons), each routed through [[sql]] — so a migration
-    * script mixes SELECTs, DML, and ALTER TABLE freely against
-    * versioned aliases.
+    * split; `--` and &#47;* *&#47; comments are stripped by the
+    * splitter, so a comment containing a semicolon is inert), each
+    * routed through [[sql]] — so a migration script mixes SELECTs,
+    * DML, DDL, and lifecycle statements freely against versioned
+    * aliases.
     * Statements run IN ORDER; DML/DDL commit eagerly inside their
     * [[sql]] call, so a following SELECT sees the write. Returns the
     * per-statement results, last one last. A failing statement stops
@@ -371,6 +435,73 @@ final class GraftSession(val spark: SparkSession) {
     advance(alias, b, st.version)
     receipt("merge", alias, st.version, -1L)
   }
+
+  // ─────────── SQL table lifecycle (round 15) ───────────
+
+  /** CREATE TABLE … LOCATION … [USING (…)] AS <query>: evaluate the
+    * query over the registered aliases, commit it as v0 of a NEW
+    * versioned table (declarations via the Pig VersionedStorage
+    * grammar, reused verbatim), and register the alias latest-tracking
+    * — the following statements SELECT/mutate/maintain it by name. */
+  private def lcCreateTable(alias: String, dir: String,
+      usingArgs: Option[String], query: String): DataFrame = {
+    import graft.operators.VersionedTable
+    require(VersionedTable.latestVersion(spark, dir) < 0,
+      s"CREATE TABLE $alias: $dir already holds a versioned table — " +
+        "CREATE never overwrites (mutate via DML, or RESTORE; pick a " +
+        "new LOCATION for a new table)")
+    val decl = graft.pig.PigCompiler.parseVersionedStoreArgs(
+      usingArgs.map(a => GraftSession.splitTopLevel(a)
+        .map(_.trim.stripPrefix("'").stripSuffix("'"))).getOrElse(Seq.empty))
+    val v = VersionedTable.commit(spark, dir, rawSql(query), -1L,
+      s"sql-$alias",
+      clusterBy = decl.cluster, clusterMode = decl.mode,
+      clusterFiles = decl.files,
+      meta = if (decl.feed.isEmpty) Map.empty
+        else Map(VersionedTable.FeedKey -> decl.feed.mkString(",")),
+      expectations = decl.expects)
+    registerVersioned(alias, dir)
+    receipt("create_table", alias, v, -1L)
+  }
+
+  /** OPTIMIZE — bin-pack the table's small files (8 MiB threshold,
+    * the maintain default); a no-op table returns version -1. */
+  private def lcOptimize(alias: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val b = binding(alias, "OPTIMIZE")
+    VersionedTable.compactSmallFiles(spark, b.dir, b.version,
+      s"sql-$alias", smallBytes = 8L << 20) match {
+      case Some(d) =>
+        advance(alias, b, d.version)
+        receipt("optimize", alias, d.version, d.filesRemoved)
+      case None => receipt("optimize", alias, -1L, 0L)
+    }
+  }
+
+  /** VACUUM [RETAIN n VERSIONS] — expire history past the window (when
+    * RETAIN is given), then sweep unreferenced staging/dv orphans.
+    * Receipt rows = swept paths. */
+  private def lcVacuum(alias: String, retain: Option[Int]): DataFrame = {
+    import graft.operators.VersionedTable
+    val b = binding(alias, "VACUUM")
+    retain.foreach(k => VersionedTable.expire(spark, b.dir, k))
+    val swept = VersionedTable.vacuum(spark, b.dir)
+    val latest = VersionedTable.latestVersion(spark, b.dir)
+    // a pinned binding whose version was expired must fail loudly on
+    // next use, not here — only latest-tracking bindings re-resolve
+    if (b.track) advance(alias, b, latest)
+    receipt("vacuum", alias, latest, swept.length.toLong)
+  }
+
+  /** RESTORE TO VERSION n — the metadata-only rollback commit. */
+  private def lcRestore(alias: String, toVersion: Long): DataFrame = {
+    import graft.operators.VersionedTable
+    val b = binding(alias, "RESTORE")
+    val newV = VersionedTable.restore(spark, b.dir, toVersion, b.version,
+      s"sql-$alias")
+    advance(alias, b, newV)
+    receipt("restore", alias, newV, -1L)
+  }
 }
 
 object GraftSession {
@@ -386,20 +517,40 @@ object GraftSession {
     """(?is)^\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val SetPair = """(?s)^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$""".r
 
-  /** Split on a top-level separator only (separators inside quoted
-    * strings or parentheses never split). */
+  /** Split on a top-level separator only. Separators inside quoted
+    * strings (single- OR double-quoted, backslash escapes honored) or
+    * parentheses never split; SQL comments (`-- …\n` and `/* … */`)
+    * are STRIPPED to a single space (round 15, the r14 advice) — so a
+    * `--` comment containing a semicolon can no longer mis-split a
+    * migration script mid-statement, and downstream regex routing
+    * never sees comment text. */
   private def splitOn(s: String, sep: Char): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
-    var depth = 0; var quoted = false
-    s.foreach { ch =>
-      if (ch == '\'') { quoted = !quoted; sb += ch }
-      else if (!quoted && ch == '(') { depth += 1; sb += ch }
-      else if (!quoted && ch == ')') { depth -= 1; sb += ch }
-      else if (!quoted && ch == sep && depth == 0) {
-        out += sb.toString; sb.clear()
-      }
-      else sb += ch
+    var depth = 0
+    var quote: Char = 0 // 0 = unquoted, else the opening quote char
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (quote != 0) {
+        sb += ch
+        if (ch == '\\' && i + 1 < s.length) { sb += s.charAt(i + 1); i += 1 }
+        else if (ch == quote) quote = 0
+        i += 1
+      } else if (ch == '\'' || ch == '"') { quote = ch; sb += ch; i += 1 }
+      else if (ch == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        val nl = s.indexOf('\n', i)
+        sb += ' '
+        i = if (nl < 0) s.length else nl // the \n itself is kept
+      } else if (ch == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        val end = s.indexOf("*/", i + 2)
+        sb += ' '
+        i = if (end < 0) s.length else end + 2
+      } else if (ch == '(') { depth += 1; sb += ch; i += 1 }
+      else if (ch == ')') { depth -= 1; sb += ch; i += 1 }
+      else if (ch == sep && depth == 0) {
+        out += sb.toString; sb.clear(); i += 1
+      } else { sb += ch; i += 1 }
     }
     out += sb.toString
     out.toSeq.map(_.trim).filter(_.nonEmpty)
@@ -418,6 +569,20 @@ object GraftSession {
       """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$""").r
   private val DescHistory =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+
+  // table lifecycle (round 15): CREATE … LOCATION claims only the
+  // versioned form — every other CREATE keeps its Spark meaning
+  private val LcCreate =
+    ("""(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+LOCATION\s+""" +
+      """'([^']+)'(?:\s+USING\s+\((.*?)\))?\s+AS\s+(.+?)\s*;?\s*$""").r
+  private val LcOptimize =
+    """(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val LcVacuum =
+    ("""(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)""" +
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""").r
+  private val LcRestore =
+    ("""(?is)^\s*RESTORE\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+VERSION\s+""" +
+      """(\d+)\s*;?\s*$""").r
   private val DdlRename =
     ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+""" +
       """COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r

@@ -306,4 +306,106 @@ object AggView {
   /** The view, finalized for reading. */
   def read(spark: SparkSession, viewDir: String): DataFrame =
     finalize(VersionedTable.read(spark, viewDir))
+
+  // ─────────── rename-proof views: resolved config (round 15) ───────────
+  //
+  // The r14 documented breakage: the view's group/measure config was
+  // caller-held STRINGS, so a source `renameColumns` broke sync (the
+  // feed arrives under the new logical names). The fix is the same
+  // carrier that takes feeds across renames: the view manifest stores
+  // its config by the source's PHYSICAL column names (sticky across
+  // any number of renames), and every sync translates physical →
+  // CURRENT logical through the source's colmap. A group-column
+  // rename additionally propagates to the VIEW's own schema (a
+  // metadata-only renameColumns on the view), so the view's columns
+  // track the source's current names — the dashboard never sees a
+  // stale header.
+
+  private val CfgPrefix = "view.cfg."
+  private def plainToken(s: String): String = {
+    require(s.nonEmpty && !s.exists(c => c == ',' || c == ':' ||
+        c == '\t' || c == '\n'),
+      s"resolved-view names must be plain tokens, got '$s'")
+    s
+  }
+
+  private def toPhys(colmap: Map[String, String], c: String): String =
+    colmap.getOrElse(c, c)
+
+  private def toLogical(colmap: Map[String, String], phys: String): String =
+    colmap.collectFirst { case (lg, ph) if ph == phys => lg }.getOrElse(phys)
+
+  /** [[init]] + persist the view's RESOLVED config (source-physical
+    * column names) in the view manifest, so [[syncResolved]] needs no
+    * caller-held strings and survives source renames. Measures and
+    * extremes are (label -> source column name) — plain columns by
+    * design: an expression has no physical identity to resolve. */
+  def initResolved(spark: SparkSession, srcDir: String, viewDir: String,
+      consumer: String, keys: Seq[String], groupCols: Seq[String],
+      measures: Seq[(String, String)], scale: Int = 2,
+      extremes: Seq[(String, String)] = Seq.empty,
+      viewMeta: Map[String, String] = Map.empty): Long = {
+    val srcV = VersionedTable.latestVersion(spark, srcDir)
+    require(srcV >= 0, s"initResolved: no committed versions under $srcDir")
+    val colmap = VersionedTable.readManifest(spark, srcDir, srcV).colmap
+    def enc(cs: Seq[String]) =
+      cs.map(c => plainToken(toPhys(colmap, c))).mkString(",")
+    def encPairs(ps: Seq[(String, String)]) =
+      ps.map { case (m, c) =>
+        s"${plainToken(m)}:${plainToken(toPhys(colmap, c))}" }.mkString(",")
+    val cfg = Map(
+      s"${CfgPrefix}keys" -> enc(keys),
+      s"${CfgPrefix}group" -> enc(groupCols),
+      s"${CfgPrefix}measures" -> encPairs(measures),
+      s"${CfgPrefix}scale" -> scale.toString) ++
+      (if (extremes.isEmpty) Map.empty
+       else Map(s"${CfgPrefix}extremes" -> encPairs(extremes)))
+    init(spark, srcDir, viewDir, consumer, groupCols,
+      measures.map { case (m, c) => m -> col(c) }, scale,
+      viewMeta ++ cfg, extremes.map { case (m, c) => m -> col(c) })
+  }
+
+  /** [[sync]] driven entirely by the manifest-stored config: resolves
+    * each stored physical name to the source's CURRENT logical name,
+    * propagates group-column renames to the view's own schema, then
+    * runs the normal incremental maintenance. The spec-pinned claim:
+    * a source rename between syncs is a NON-EVENT — the next
+    * syncResolved applies the churn under the new names and the view
+    * hash-matches a direct aggregate. */
+  def syncResolved(spark: SparkSession, srcDir: String, viewDir: String,
+      consumer: String): Option[(Long, Long)] = {
+    val viewV = VersionedTable.latestVersion(spark, viewDir)
+    require(viewV >= 0, s"no view table under $viewDir")
+    val meta = VersionedTable.readManifest(spark, viewDir, viewV).meta
+    def cfg(k: String): String = meta.getOrElse(s"$CfgPrefix$k",
+      throw new IllegalStateException(
+        s"$viewDir carries no $CfgPrefix$k — init the view with " +
+          "initResolved to sync without caller-held config"))
+    val srcV = VersionedTable.latestVersion(spark, srcDir)
+    val colmap = VersionedTable.readManifest(spark, srcDir, srcV).colmap
+    def dec(s: String) = s.split(',').toSeq.filter(_.nonEmpty)
+    def decPairs(s: String) = dec(s).map { p =>
+      val i = p.indexOf(':'); (p.substring(0, i), p.substring(i + 1))
+    }
+    val keys = dec(cfg("keys")).map(toLogical(colmap, _))
+    val group = dec(cfg("group")).map(toLogical(colmap, _))
+    val measures = decPairs(cfg("measures"))
+      .map { case (m, ph) => m -> col(toLogical(colmap, ph)) }
+    val extremes = meta.get(s"${CfgPrefix}extremes").map(decPairs)
+      .getOrElse(Seq.empty)
+      .map { case (m, ph) => m -> col(toLogical(colmap, ph)) }
+    val scale = cfg("scale").toInt
+    // propagate source group renames to the view's own columns: the
+    // view's group columns are (by construction) its leading columns,
+    // in config order — a metadata-only rename keeps the view's
+    // headers tracking the source's current names
+    val viewSchema = VersionedTable.schemaOf(spark, viewDir, viewV)
+    val renames = viewSchema.fieldNames.take(group.length).toSeq
+      .zip(group).filter { case (o, n) => o != n }
+    if (renames.nonEmpty)
+      VersionedTable.renameColumns(spark, viewDir, renames.toMap,
+        viewV, consumer)
+    sync(spark, srcDir, viewDir, consumer, keys, group, measures,
+      scale, extremes)
+  }
 }

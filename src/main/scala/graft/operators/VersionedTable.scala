@@ -112,16 +112,88 @@ object VersionedTable {
       bytesAdded: Long, bytesTable: Long)
 
   private def fs(spark: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      // Spark Connect sessions have no sparkContext — fall back to a
-      // default Hadoop conf so the METADATA surface (manifest reads,
-      // version listing → the read paths the federation orchestrator
-      // drives over gRPC) works from a connect client; write paths
-      // still require a classic session (they parallelize jobs).
+    new org.apache.hadoop.fs.Path(rootOf(dir))
+      // Spark Connect sessions have no sparkContext — fall back first
+      // to the session-state conf (carries spark.hadoop.* credentials
+      // and fs implementations, unlike a bare new Configuration()) so
+      // the METADATA surface (manifest reads, version listing → the
+      // read paths the federation orchestrator drives over gRPC)
+      // works from a connect client with the session's own settings;
+      // write paths still require a classic session (they parallelize
+      // jobs). The bare-Configuration pole survives only for sessions
+      // where even sessionState is unreachable.
       .getFileSystem(scala.util.Try(spark.sparkContext.hadoopConfiguration)
+        .orElse(scala.util.Try(spark.sessionState.newHadoopConf()))
         .getOrElse(new org.apache.hadoop.conf.Configuration()))
 
-  private def logDir(dir: String) = s"$dir/_log"
+  // ─────────── named refs / branches (round 15) ───────────
+  //
+  // The Iceberg named-ref idea on the manifest log: a BRANCH is a
+  // second manifest chain under `_branchlog/<name>/`, forked from a
+  // mainline version and SHARING its data files (manifests reference
+  // dir-relative paths resolved against the table ROOT, so a branch
+  // commit's kept files are the same bytes mainline reads). A branch
+  // is addressed as `<dir>@<name>` ([[branchRef]]) — every operation
+  // that takes a table dir (commit, commitDelta, merge, deleteWhere,
+  // updateWhere, readVersion, history, CDF…) works on a branch ref
+  // unchanged, because only the LOG resolves to the branch chain;
+  // data, dv, and staging paths resolve to the root. Mainline-only
+  // surfaces (change feed, retention, forget) refuse or no-op on a
+  // ref — isolation is the point of a branch, and CDC/retention fire
+  // when work lands back on main ([[fastForward]]).
+  //
+  // Version numbering CONTINUES from the fork point (fork at v5 →
+  // first branch commit is v6 in the branch log), so `parent` chains
+  // stay meaningful and the rebase analysis walks a branch's history
+  // with the same arithmetic as mainline's.
+
+  private val RefSep = '@'
+
+  /** Address of branch `name` of the table at `dir` — pass anywhere a
+    * table dir is accepted. */
+  def branchRef(dir: String, name: String): String = {
+    requireBranchName(name)
+    s"${rootOf(dir)}$RefSep$name"
+  }
+
+  private def requireBranchName(name: String): Unit =
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
+        c == '.' || c == '_' || c == '-'),
+      s"branch names are plain tokens ([A-Za-z0-9._-]+), got '$name'")
+
+  /** (root dir, branch name) of a possibly-ref address. The separator
+    * only counts after the last '/', so user paths keep any '@'
+    * elsewhere. */
+  private[operators] def splitRef(dir: String): (String, Option[String]) = {
+    val at = dir.lastIndexOf(RefSep)
+    if (at > dir.lastIndexOf('/') && at > 0)
+      (dir.substring(0, at), Some(dir.substring(at + 1)))
+    else (dir, None)
+  }
+
+  private[operators] def rootOf(dir: String): String = splitRef(dir)._1
+  private[operators] def branchOf(dir: String): Option[String] =
+    splitRef(dir)._2
+
+  private def branchLogRoot(root: String) = s"$root/_branchlog"
+
+  private def logDir(dir: String) = splitRef(dir) match {
+    case (root, None)    => s"$root/_log"
+    case (root, Some(b)) => s"${branchLogRoot(root)}/$b"
+  }
+
+  /** Staging-name tag keeping a branch writer's staging/dv dirs
+    * disjoint from a mainline writer's at the same version+writerId
+    * (both live under the ROOT's data/). Rides inside the version
+    * token so [[FileRelPattern]] row-identity recovery still works. */
+  private def stageTag(dir: String): String =
+    branchOf(dir).map(b => s"b.$b.").getOrElse("")
+
+  private def requireMainline(dir: String, op: String): Unit =
+    require(branchOf(dir).isEmpty,
+      s"$op is a mainline-only operation — got branch ref '$dir'; " +
+        "run it against the table root (branch work reaches the feed/" +
+        "retention surfaces when it lands via fastForward)")
 
   /** Committed versions, ascending. Bounded driver metadata. */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
@@ -143,9 +215,34 @@ object VersionedTable {
   private def manifestPath(dir: String, v: Long) =
     new org.apache.hadoop.fs.Path(s"${logDir(dir)}/$v.manifest")
 
+  // Manifests are IMMUTABLE once CAS'd: a version's file is never
+  // overwritten in place — it can only be deleted ([[expire]]) or
+  // created. A process-wide bounded LRU keyed by manifest path and
+  // validated against (mtime, length) turns the commit/feed paths'
+  // repeated re-reads (feedKeysOf per version, expectMeta, tombstone
+  // lookups — dozens per micro-batch commit, the r14 streaming
+  // regression's named cause) into one stat call each; on object
+  // stores the saved GETs matter even more. Validation keeps the
+  // cache safe under table re-creation at the same path; deletions
+  // surface as FileNotFoundException from the stat, same as before.
+  private val manifestCache =
+    new java.util.LinkedHashMap[String, (Long, Long, Manifest)](
+        256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Long, Manifest)]): Boolean =
+        size > 4096
+    }
+
   def readManifest(spark: SparkSession, dir: String, v: Long): Manifest = {
     val f = fs(spark, dir)
-    val in = f.open(manifestPath(dir, v))
+    val p = manifestPath(dir, v)
+    val st = f.getFileStatus(p) // throws FileNotFoundException like open
+    val key = p.toString
+    manifestCache.synchronized(Option(manifestCache.get(key))).foreach {
+      case (mt, len, m) =>
+        if (mt == st.getModificationTime && len == st.getLen) return m
+    }
+    val in = f.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     val kvs: Seq[(String, String)] =
@@ -154,7 +251,7 @@ object VersionedTable {
       }.toSeq
     def one(k: String) = kvs.collectFirst { case (`k`, x) => x }
     def all(k: String) = kvs.collect { case (`k`, x) => x }
-    Manifest(
+    val parsed = Manifest(
       version = one("version").map(_.toLong).getOrElse(v),
       parent = one("parent").map(_.toLong).getOrElse(v - 1),
       writer = one("writer").getOrElse(""),
@@ -194,6 +291,10 @@ object VersionedTable {
           case _             => None
         }
       }.toMap)
+    manifestCache.synchronized {
+      manifestCache.put(key, (st.getModificationTime, st.getLen, parsed))
+    }
+    parsed
   }
 
   // ─────────── column mapping: rename as metadata (round 14) ───────────
@@ -237,7 +338,7 @@ object VersionedTable {
       rels: Seq[String], schema: org.apache.spark.sql.types.StructType,
       colmap: Map[String, String]): DataFrame = {
     val raw = spark.read.schema(physSchema(schema, colmap))
-      .parquet(rels.map(rel => s"$dir/$rel"): _*)
+      .parquet(rels.map(rel => s"${rootOf(dir)}/$rel"): _*)
     if (colmap.isEmpty) raw
     else raw.select(schema.fields.map(f =>
       col(s"`${physName(colmap, f.name)}`").as(f.name)).toSeq: _*)
@@ -248,7 +349,7 @@ object VersionedTable {
   private def listDataFiles(spark: SparkSession, dir: String,
       rel: String): Seq[String] = {
     val f = fs(spark, dir)
-    val p = new org.apache.hadoop.fs.Path(s"$dir/$rel")
+    val p = new org.apache.hadoop.fs.Path(s"${rootOf(dir)}/$rel")
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
@@ -273,7 +374,7 @@ object VersionedTable {
   def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
     val m = readManifest(spark, dir, v)
     m.legacyDataDir match {
-      case Some(rel) => spark.read.parquet(s"$dir/$rel")
+      case Some(rel) => spark.read.parquet(s"${rootOf(dir)}/$rel")
       case None =>
         (m.files, m.schema) match {
           case (Nil, Some(sch)) =>
@@ -287,7 +388,7 @@ object VersionedTable {
             // even if parquet-footer inference would widen/reorder
             readFilesMasked(spark, dir, m, rels,
               sch.getOrElse(spark.read.parquet(
-                rels.map(r => s"$dir/$r"): _*).schema))
+                rels.map(r => s"${rootOf(dir)}/$r"): _*).schema))
         }
     }
   }
@@ -341,7 +442,7 @@ object VersionedTable {
       m: Manifest, rels: Seq[String],
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val raw = spark.read.schema(physSchema(schema, m.colmap))
-      .parquet(rels.map(rel => s"$dir/$rel"): _*)
+      .parquet(rels.map(rel => s"${rootOf(dir)}/$rel"): _*)
     val base = raw.select(schema.fields.map(f =>
       col(s"`${physName(m.colmap, f.name)}`").as(f.name)) ++ Seq(
       regexp_extract(col("_metadata.file_path"), FileRelPattern, 0)
@@ -352,7 +453,7 @@ object VersionedTable {
     else {
       val dvDirs = masked.map(_._2._1).distinct
       val mask = spark.read
-        .parquet(dvDirs.map(rel => s"$dir/$rel"): _*)
+        .parquet(dvDirs.map(rel => s"${rootOf(dir)}/$rel"): _*)
         .select(col("file").as("__dv_rel"), col("pos").as("__dv_pos"))
       // manifest deleted-count receipts decide the join strategy with
       // zero data I/O; stale rows for since-rewritten files in a
@@ -396,7 +497,7 @@ object VersionedTable {
     val m = readManifest(spark, dir, v)
     val rel = m.stagingDir.orElse(m.legacyDataDir).getOrElse(
       throw new IllegalStateException(s"version $v of $dir staged no files"))
-    s"$dir/$rel"
+    s"${rootOf(dir)}/$rel"
   }
 
   /** The table at its latest committed version. */
@@ -571,7 +672,7 @@ object VersionedTable {
     if (rels.isEmpty || colDomains.isEmpty) return Map.empty
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
-    val dirStr = dir
+    val dirStr = rootOf(dir)
     // stats stay LOGICAL-keyed in the manifest; footers hold PHYSICAL
     // column names — translate on the way in, key by logical on the
     // way out (renames re-key the manifest entries, nothing else)
@@ -1115,11 +1216,21 @@ object VersionedTable {
           .filter { case (k, _) => k.startsWith("cluster.") || k == FeedKey }
       else Map.empty[String, String]
     // the dropped-physical-name tombstones persist unconditionally —
-    // they guard EVERY future commit's new columns (see dropColumns)
+    // they guard EVERY future commit's new columns (see dropColumns).
+    // AggView's resolved config ("view.cfg.*", round 15) persists the
+    // same way: it is the view's identity, written once at init and
+    // read by every syncResolved. The "view.synced" marker inherits
+    // too (a metadata-only commit between syncs — e.g. the propagated
+    // group-column rename — does not change which source version the
+    // state reflects); each sync still overrides it explicitly.
+    // Rescan RECEIPTS (view.rescan.*) deliberately do NOT inherit —
+    // a receipt describes its own commit only.
     val tombstones: Map[String, String] =
       if (parent >= 0)
         readManifest(spark, dir, parent).meta
-          .filter { case (k, _) => k == DroppedPhysKey }
+          .filter { case (k, _) =>
+            k == DroppedPhysKey || k.startsWith("view.cfg.") ||
+              k == "view.synced" }
       else Map.empty[String, String]
     ((inherited ++ expectations)
       .filter { case (_, sql) => sql.trim.nonEmpty } // "" = explicit drop
@@ -1212,6 +1323,13 @@ object VersionedTable {
       clusterFiles: Int = 0,
       clusterMode: String = "range"): Long = {
     requireWriterId(writerId)
+    // a commit to a branch ref requires the branch to EXIST — a typo'd
+    // ref must not silently create a parallel world from v0
+    branchOf(dir).foreach { b =>
+      require(branches(spark, dir).contains(b),
+        s"commit to $dir: no branch '$b' under ${rootOf(dir)} — " +
+          "createBranch first")
+    }
     val newV = expectedVersion + 1
     requireNotStale(spark, dir, expectedVersion)
     guardSchema(spark, dir, expectedVersion, df.schema, allowSchemaChange)
@@ -1283,10 +1401,30 @@ object VersionedTable {
       if (clusterBy.nonEmpty && statsCols.isEmpty && parentStats.isEmpty)
         Some(clusterBy)
       else statsCols
-    val effMeta = expectMeta(spark, dir, expectedVersion, metaWithCluster,
+    // A snapshot rewrite that DROPS columns (allowSchemaChange) must
+    // tombstone their physical names exactly like dropColumns: feed
+    // files and retained versions keep the dropped bytes under the old
+    // physical name, so a later column legally reusing that name would
+    // read the lingering bytes as its own values (changeStream pins a
+    // single physical schema across the feed history).
+    val metaWithTombs = parentM match {
+      case Some(pm) =>
+        val next = df.schema.fieldNames.toSet
+        val droppedNow = pm.schema.map(_.fieldNames.toSeq)
+          .getOrElse(Seq.empty).filterNot(next.contains)
+        if (droppedNow.isEmpty) metaWithCluster
+        else {
+          val merged = droppedPhysOf(spark, dir, expectedVersion) ++
+            droppedNow.map(c => physName(pm.colmap, c))
+          metaWithCluster + (DroppedPhysKey ->
+            merged.toSeq.sorted.mkString(","))
+        }
+      case None => metaWithCluster
+    }
+    val effMeta = expectMeta(spark, dir, expectedVersion, metaWithTombs,
       expectations)
-    val dataRel = s"data/v$newV-$writerId"
-    val dataPath = new org.apache.hadoop.fs.Path(s"$dir/$dataRel")
+    val dataRel = s"data/v$newV-${stageTag(dir)}$writerId"
+    val dataPath = new org.apache.hadoop.fs.Path(s"${rootOf(dir)}/$dataRel")
     val f = fs(spark, dir)
     toPhysical(toWrite, colmap).write.mode("overwrite")
       .parquet(dataPath.toString)
@@ -1499,8 +1637,8 @@ object VersionedTable {
     // stage ONCE — the staged dir keeps its original version-stamped
     // name across rebases (manifest references, not names, keep it
     // alive for vacuum/expire)
-    val dataRel = s"data/v${parent + 1}-$writerId"
-    val dataPath = new org.apache.hadoop.fs.Path(s"$dir/$dataRel")
+    val dataRel = s"data/v${parent + 1}-${stageTag(dir)}$writerId"
+    val dataPath = new org.apache.hadoop.fs.Path(s"${rootOf(dir)}/$dataRel")
     val staged = adds match {
       case Some(df) =>
         toPhysical(df, colmap).write.mode("overwrite")
@@ -1565,7 +1703,7 @@ object VersionedTable {
           ensureFeed(spark, dir, writerId)
         def bytes(rels: Seq[String]): Long =
           rels.map(rel => f.getFileStatus(
-            new org.apache.hadoop.fs.Path(s"$dir/$rel")).getLen).sum
+            new org.apache.hadoop.fs.Path(s"${rootOf(dir)}/$rel")).getLen).sum
         result = Some(DeltaStats(newV, staged.length.toLong,
           removeFiles.length.toLong, parentLive.length.toLong,
           bytes(staged), bytes(parentLive)))
@@ -2054,7 +2192,7 @@ object VersionedTable {
     val parentLive = liveFiles(spark, dir, planV)
     val schema = schemaOf(spark, dir, planV)
     val dirAbs = fs(spark, dir).makeQualified(
-      new org.apache.hadoop.fs.Path(dir)).toUri.getPath
+      new org.apache.hadoop.fs.Path(rootOf(dir))).toUri.getPath
     val keyChanges = changes.select(keys.map(col): _*).distinct()
     // the change set's leading-key envelope: drives BOTH the stats
     // pre-prune below and (round 14) the rebase conflict analysis —
@@ -2091,7 +2229,7 @@ object VersionedTable {
     val touched: Seq[String] =
       if (scanCandidates.isEmpty) Seq.empty
       else spark.read.schema(physSchema(schema, parentM.colmap))
-        .parquet(scanCandidates.map(rel => s"$dir/$rel"): _*)
+        .parquet(scanCandidates.map(rel => s"${rootOf(dir)}/$rel"): _*)
         .select(keys.map(k =>
           col(s"`${physName(parentM.colmap, k)}`").as(k)) :+
           input_file_name().as("__file"): _*)
@@ -2169,7 +2307,7 @@ object VersionedTable {
     * empty value drops it. */
   val FeedKey = "feed.keys"
 
-  private def changesRoot(dir: String) = s"$dir/_changes"
+  private def changesRoot(dir: String) = s"${rootOf(dir)}/_changes"
   private def feedDirRel(v: Long) = s"_changes/v$v"
 
   /** The feed declaration of version `v`, if any. */
@@ -2183,7 +2321,7 @@ object VersionedTable {
   def feedResets(spark: SparkSession, dir: String): Seq[Long] = {
     val f = fs(spark, dir)
     versions(spark, dir).filter(v => f.exists(
-      new org.apache.hadoop.fs.Path(s"$dir/${feedDirRel(v)}/_RESET")))
+      new org.apache.hadoop.fs.Path(s"${rootOf(dir)}/${feedDirRel(v)}/_RESET")))
   }
 
   /** Idempotently materialize every missing change-feed dir for
@@ -2194,17 +2332,23 @@ object VersionedTable {
     * identical content anyway, the diff being deterministic. */
   def ensureFeed(spark: SparkSession, dir: String,
       writerId: String = "feeder"): Seq[Long] = {
+    // branch commits never write feed files: the feed is the MAINLINE
+    // change history (versions under _changes/ are mainline version
+    // numbers — a branch's v6 and mainline's v6 are different
+    // contents). Branch work surfaces in the feed when it lands via
+    // fastForward, whose mainline commit feeds normally.
+    if (branchOf(dir).isDefined) return Seq.empty
     requireWriterId(writerId)
     val f = fs(spark, dir)
     val missing = versions(spark, dir).filter { v =>
       feedKeysOf(spark, dir, v).nonEmpty && // "" = explicitly dropped
-        !f.exists(new org.apache.hadoop.fs.Path(s"$dir/${feedDirRel(v)}"))
+        !f.exists(new org.apache.hadoop.fs.Path(s"${rootOf(dir)}/${feedDirRel(v)}"))
     }
     missing.filter { v =>
       val keys = feedKeysOf(spark, dir, v)
       val stage = new org.apache.hadoop.fs.Path(
-        s"$dir/_feedstage/v$v-$writerId-${java.util.UUID.randomUUID()}")
-      val target = new org.apache.hadoop.fs.Path(s"$dir/${feedDirRel(v)}")
+        s"${rootOf(dir)}/_feedstage/v$v-$writerId-${java.util.UUID.randomUUID()}")
+      val target = new org.apache.hadoop.fs.Path(s"${rootOf(dir)}/${feedDirRel(v)}")
       val rows: Option[DataFrame] =
         if (v == 0L)
           Some(readVersion(spark, dir, 0L).withColumn("op", lit("insert")))
@@ -2257,6 +2401,7 @@ object VersionedTable {
     * version's (older feed files' missing added columns read as
     * NULL, the parquet missing-column contract). */
   def changeStream(spark: SparkSession, dir: String): DataFrame = {
+    requireMainline(dir, "changeStream")
     val latest = latestVersion(spark, dir)
     require(latest >= 0, s"no committed versions under $dir")
     require(feedKeysOf(spark, dir, latest).nonEmpty,
@@ -2290,7 +2435,7 @@ object VersionedTable {
     if (rels.isEmpty) return Map.empty
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
-    val dirStr = dir
+    val dirStr = rootOf(dir)
     spark.sparkContext
       .parallelize(rels, math.max(1, math.min(rels.length, 64)))
       .map { rel =>
@@ -2315,6 +2460,124 @@ object VersionedTable {
     * `deleteWhere(dir, "k >= 100 AND k < 200 AND lang = 'en'")` read
     * only the intersecting files of a clustered 100 TB table without
     * the caller hand-deriving bounds. */
+  // ───── recorded delete scopes + mask-union rebase (round 15) ─────
+  //
+  // VERDICT r14 #6: file/bounds-granular conflict detection serializes
+  // two scattered deletes that touch the SAME hot file even when their
+  // row scopes provably cannot share a row. The refinement: every
+  // deleteWhere commit RECORDS its logical scope (the predicate's
+  // conjunctive hull, canonically encoded) in its own manifest; a
+  // losing delete whose clash with the winners is dv-only, on files
+  // both sides masked, with BOTH scopes recorded and provably
+  // disjoint, rebases by UNIONING the masks — positions are
+  // file-absolute coordinates into the same immutable bytes, and
+  // row-disjoint predicates can never mask the same position, so the
+  // union is exact, not heuristic. Every other overlap still refuses
+  // loudly (rewrites invalidate positions; updates would resurrect;
+  // unrecorded scopes prove nothing).
+
+  /** Meta keys a delete commit stamps: its op kind and the canonical
+    * encoding of its predicate's hull. Self-describing — the rebase
+    * analysis reads the WINNER's scope from the winner's manifest. */
+  val ScopeOpKey = "scope.op"
+  val ScopeBoundsKey = "scope.bounds"
+
+  /** Canonical scope string for `bounds`, or None when any bound's
+    * column is stat-unencodable (no claim recorded → no merge admit —
+    * the conservative pole). Format: `col|domain|loEnc|hiEnc`, comma-
+    * joined; base64/digit encodings never collide with separators. */
+  private def encodeScopeMeta(
+      schema: org.apache.spark.sql.types.StructType,
+      bounds: Seq[ColBound]): Option[String] = {
+    if (bounds.isEmpty) return None
+    val enc = encodeBounds(Some(schema), bounds)
+    if (enc.length != bounds.length ||
+        enc.exists { case (c, _, _, _) =>
+          c.contains('|') || c.contains(',') || c.contains('\t') })
+      None
+    else Some(enc.map { case (c, d, lo, hi) =>
+      s"$c|$d|${lo.map(encodeStat(d, _)).getOrElse("")}|${
+        hi.map(encodeStat(d, _)).getOrElse("")}"
+    }.mkString(","))
+  }
+
+  private def decodeScopeMeta(
+      s: String): Seq[(String, Char, Option[Any], Option[Any])] =
+    s.split(',').toSeq.filter(_.nonEmpty).flatMap { part =>
+      part.split("\\|", -1) match {
+        case Array(c, d, lo, hi) if d.length == 1 =>
+          scala.util.Try((c, d.head,
+            if (lo.isEmpty) None else Some(decodeStat(d.head, lo)),
+            if (hi.isEmpty) None else Some(decodeStat(d.head, hi)))).toOption
+        case _ => None
+      }
+    }
+
+  /** True when the two recorded scopes provably cannot share a row:
+    * some column is bounded in BOTH and the intervals do not
+    * intersect. Hull disjointness implies predicate disjointness. */
+  private[operators] def scopesDisjoint(a: String, b: String): Boolean = {
+    val da = decodeScopeMeta(a).groupBy(_._1)
+    val db = decodeScopeMeta(b).groupBy(_._1)
+    def hull(bs: Seq[(String, Char, Option[Any], Option[Any])])
+        : Option[(Char, Option[Any], Option[Any])] = {
+      val d = bs.head._2
+      if (!bs.forall(_._2 == d)) return None
+      val ord = Ordering.fromLessThan[Any](cmp(d, _, _) < 0)
+      val los = bs.flatMap(_._3)
+      val his = bs.flatMap(_._4)
+      Some((d,
+        if (los.isEmpty) None else Some(los.max(ord)),   // AND: tightest lo
+        if (his.isEmpty) None else Some(his.min(ord))))  // AND: tightest hi
+    }
+    da.keySet.intersect(db.keySet).exists { c =>
+      (hull(da(c)), hull(db(c))) match {
+        case (Some((d1, lo1, hi1)), Some((d2, lo2, hi2))) if d1 == d2 =>
+          hi1.exists(h => lo2.exists(l => cmp(d1, h, l) < 0)) ||
+            hi2.exists(h => lo1.exists(l => cmp(d1, h, l) < 0))
+        case _ => false
+      }
+    }
+  }
+
+  /** Whether the staged delete (planned at `fromV`, masking
+    * `touched`, with recorded scope `myScope`) can MASK-MERGE onto
+    * `tipV`: every intervening winner is itself a recorded delete
+    * whose scope is provably disjoint from ours, changed no
+    * schema/declarations, and dropped/rewrote no file we mask. */
+  private def maskMergeOk(spark: SparkSession, dir: String,
+      fromV: Long, tipV: Long, touched: Set[String],
+      myScope: Option[String]): Boolean = {
+    val mine = myScope.getOrElse(return false)
+    val vs = versions(spark, dir).toSet
+    if (!(fromV to tipV).forall(vs.contains)) return false
+    var prev = readManifest(spark, dir, fromV)
+    var w = fromV + 1
+    while (w <= tipV) {
+      val cur = readManifest(spark, dir, w)
+      if (prev.legacyDataDir.nonEmpty || cur.legacyDataDir.nonEmpty)
+        return false
+      if (prev.schema.map(schemaShape) != cur.schema.map(schemaShape))
+        return false
+      def decls(m: Manifest) = m.meta.filter { case (k, _) =>
+        k.startsWith(ExpectPrefix) || k.startsWith("cluster.") ||
+          k == FeedKey }
+      if (decls(prev) != decls(cur)) return false
+      if (!cur.meta.get(ScopeOpKey).contains("delete")) return false
+      val theirScope = cur.meta.getOrElse(ScopeBoundsKey, return false)
+      if (!scopesDisjoint(mine, theirScope)) return false
+      // a delete only masks or fully-drops; a drop of a file WE mask
+      // would mean a shared row (contradicting disjointness) on the
+      // real rows, but our candidate superset can be wrong — refuse
+      val curSet = cur.files.toSet
+      if (prev.files.exists(r => !curSet(r) && touched(r))) return false
+      if (cur.files.exists(r => !prev.files.contains(r))) return false
+      prev = cur
+      w += 1
+    }
+    true
+  }
+
   private[graft] def impliedBounds(spark: SparkSession, predicate: String,
       schema: org.apache.spark.sql.types.StructType): Seq[ColBound] = {
     import org.apache.spark.sql.catalyst.expressions._
@@ -2438,11 +2701,24 @@ object VersionedTable {
     lazy val fallback = Seq(impliedBounds(spark, predicate, schema))
     scala.util.Try {
       val root = spark.sessionState.sqlParser.parseExpression(predicate)
+      // bounded DNF: OR chains and literal IN-lists expand to
+      // alternatives, and (round 15) a conjunction DISTRIBUTES over
+      // its sides' alternatives — so `date BETWEEN … AND id IN (…)`,
+      // the real GDPR-delete shape, prunes to the union of per-id
+      // files each intersected with the date bounds, instead of
+      // degrading to the conjunctive hull spanning the table. The
+      // product cap keeps the expansion bounded: a conjunction whose
+      // distribution would exceed maxAlts stays ONE leaf (its
+      // impliedBounds hull — the conservative pole, never wrong).
       def leaves(e: Expression): Seq[Expression] = e match {
         case Or(a, b) => leaves(a) ++ leaves(b)
         case In(a, list) if list.nonEmpty && list.length <= maxAlts &&
             list.forall(_.isInstanceOf[Literal]) =>
           list.map(l => EqualTo(a, l))
+        case And(a, b) =>
+          val (as, bs) = (leaves(a), leaves(b))
+          if (as.length.toLong * bs.length > maxAlts) Seq(e)
+          else for { x <- as; y <- bs } yield And(x, y)
         case other => Seq(other)
       }
       val ds = leaves(root)
@@ -2557,7 +2833,7 @@ object VersionedTable {
       } else {
         val conf = new org.apache.spark.util.SerializableConfiguration(
           spark.sessionState.newHadoopConf())
-        val dirStr = dir
+        val dirStr = rootOf(dir)
         counts.select(col("file"), col("count"))
           .as(org.apache.spark.sql.Encoders.tuple(
             org.apache.spark.sql.Encoders.STRING,
@@ -2592,8 +2868,8 @@ object VersionedTable {
     val f = fs(spark, dir)
     // the dv dir keeps its plan-time version stamp across rebases —
     // manifest references, not names, keep it alive for vacuum/expire
-    val dvRel = s"_dv/v${parent + 1}-$writerId"
-    val dvPath = new org.apache.hadoop.fs.Path(s"$dir/$dvRel")
+    val dvRel = s"_dv/v${parent + 1}-${stageTag(dir)}$writerId"
+    val dvPath = new org.apache.hadoop.fs.Path(s"${rootOf(dir)}/$dvRel")
     if (maskedFiles.nonEmpty) {
       val maskedDf = spark.createDataset(maskedFiles)(
         org.apache.spark.sql.Encoders.STRING).toDF("file")
@@ -2606,7 +2882,7 @@ object VersionedTable {
       val body =
         if (priorDirs.isEmpty) fresh
         else fresh.unionByName(spark.read
-          .parquet(priorDirs.map(r => s"$dir/$r"): _*)
+          .parquet(priorDirs.map(r => s"${rootOf(dir)}/$r"): _*)
           .select(col("file"), col("pos"))
           .join(broadcast(maskedDf), Seq("file"), "left_semi"))
       val parts = math.max(1L, math.min(32L,
@@ -2618,25 +2894,40 @@ object VersionedTable {
     // predicate) bounded by effBounds — a winner that only touched
     // files outside it, and added nothing inside the bounds, is
     // logically disjoint: re-point the new parent's manifest at the
-    // same mask, no re-scan
+    // same mask, no re-scan. When the clash is dv-only on files BOTH
+    // sides masked and both scopes are recorded and provably disjoint
+    // (two scattered deletes hitting the same hot file), the masks
+    // UNION instead of refusing — see the scope/mask-merge section.
     var attemptsLeft = rebaseAttempts
     val candidateSet = candidates.toSet
+    val touchedSet = touched.toSet
+    val myScope = encodeScopeMeta(schema, effBounds)
+    val scopedMeta = meta ++ myScope.map(sc =>
+      Map(ScopeOpKey -> "delete", ScopeBoundsKey -> sc))
+      .getOrElse(Map.empty[String, String])
+    var dvOverride: Map[String, (String, Long)] = Map.empty
+    var dropNow: Set[String] = droppedSet
+    var mergeSeq = 0
+    val mergedPaths = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.Path]
     var out: Option[DeleteStats] = None
     while (out.isEmpty) {
       val newV = parent + 1
       val pm = readManifest(spark, dir, parent)
       val pLive = liveFiles(spark, dir, parent)
-      val newLive = pLive.filterNot(droppedSet)
+      val newLive = pLive.filterNot(dropNow)
       val newLiveSet = newLive.toSet
+      val maskedNow = maskedFiles.filterNot(dropNow)
       val stats = pm.stats.filter { case (rel, _) => newLiveSet(rel) }
       val dvNew: Map[String, (String, Long)] =
         pm.dv.filter { case (rel, _) =>
           newLiveSet(rel) && !newCounts.contains(rel) } ++
-          maskedFiles.map(rel => rel -> (dvRel, afterDeleted(rel)))
-      val effMeta = expectMeta(spark, dir, parent, meta, Map.empty)
+          maskedNow.map(rel =>
+            rel -> dvOverride.getOrElse(rel, (dvRel, afterDeleted(rel))))
+      val effMeta = expectMeta(spark, dir, parent, scopedMeta, Map.empty)
       val body = manifestBody(newV, parent, writerId, schema,
         stagingDir = None, files = newLive,
-        removed = droppedSet.toSeq.sorted, stats = stats, meta = effMeta,
+        removed = dropNow.toSeq.sorted, stats = stats, meta = effMeta,
         dv = dvNew, tsMs = commitClock(spark), colmap = pm.colmap)
       if (casManifest(spark, dir, newV, writerId, body)) {
         if (effMeta.get(FeedKey).exists(_.trim.nonEmpty))
@@ -2645,7 +2936,7 @@ object VersionedTable {
           if (maskedFiles.isEmpty) 0L
           else f.getContentSummary(dvPath).getLength
         out = Some(DeleteStats(newV, newCounts.values.sum,
-          maskedFiles.length.toLong, droppedSet.size.toLong,
+          maskedNow.length.toLong, dropNow.size.toLong,
           newLive.length.toLong, bytesDv, candidates.length.toLong))
       } else {
         val cur = math.max(latestVersion(spark, dir), newV)
@@ -2657,8 +2948,51 @@ object VersionedTable {
           case None =>
             attemptsLeft -= 1
             parent = cur
+          case Some(reason)
+              if attemptsLeft > 0 &&
+                maskMergeOk(spark, dir, parent, cur, touchedSet, myScope) =>
+            // mask-union rebase: winners are recorded, scope-disjoint
+            // deletes — union our positions with the tip's for files
+            // both sides masked (exact: row-disjoint predicates never
+            // mask the same position), re-stamp, retry
+            attemptsLeft -= 1
+            val tipM = readManifest(spark, dir, cur)
+            val affected = maskedFiles.filter(rel =>
+              tipM.dv.get(rel) != m.dv.get(rel))
+            if (affected.nonEmpty) {
+              mergeSeq += 1
+              val mergedRel =
+                s"_dv/v${cur + 1}-${stageTag(dir)}$writerId-m$mergeSeq"
+              val mergedPath =
+                new org.apache.hadoop.fs.Path(s"${rootOf(dir)}/$mergedRel")
+              val affectedDf = spark.createDataset(affected)(
+                org.apache.spark.sql.Encoders.STRING).toDF("file")
+              val ourDirs = affected.map(rel =>
+                dvOverride.get(rel).map(_._1).getOrElse(dvRel)).distinct
+              val theirDirs =
+                affected.flatMap(r => tipM.dv.get(r).map(_._1)).distinct
+              val union = spark.read
+                .parquet((ourDirs ++ theirDirs).distinct
+                  .map(r => s"${rootOf(dir)}/$r"): _*)
+                .select(col("file"), col("pos"))
+                .join(broadcast(affectedDf), Seq("file"), "left_semi")
+                .distinct()
+              union.coalesce(1).write.mode("overwrite")
+                .parquet(mergedPath.toString)
+              mergedPaths += mergedPath
+              val counts = spark.read.parquet(mergedPath.toString)
+                .groupBy("file").count().collect()
+                .map(r => r.getString(0) -> r.getLong(1)).toMap
+              dvOverride = dvOverride ++
+                counts.map { case (rel, c) => rel -> (mergedRel, c) }
+              // a file the union fully deletes leaves the live set
+              dropNow = dropNow ++ affected.filter(rel =>
+                counts.getOrElse(rel, 0L) >= totals(rel))
+            }
+            parent = cur
           case Some(reason) =>
             f.delete(dvPath, true)
+            mergedPaths.foreach(p => f.delete(p, true))
             throw new CommitConflict(
               s"deleteWhere on $dir: lost the race for version $newV and " +
                 s"cannot rebase onto $cur ($reason) — mask removed; " +
@@ -2791,7 +3125,7 @@ object VersionedTable {
     }
     val f = fs(spark, dir)
     val small = liveFiles(spark, dir, planV).filter(rel =>
-      f.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$rel"))
+      f.getFileStatus(new org.apache.hadoop.fs.Path(s"${rootOf(dir)}/$rel"))
         .getLen < smallBytes)
     if (small.length < 2) None
     else {
@@ -2899,7 +3233,7 @@ object VersionedTable {
     val dstPrevLive = if (dstV >= 0) liveFiles(spark, dstDir, dstV) else Seq.empty
     val fSrc = fs(spark, srcDir)
     def srcBytes(rels: Seq[String]): Long = rels.map(rel => fSrc.getFileStatus(
-      new org.apache.hadoop.fs.Path(s"$srcDir/$rel")).getLen).sum
+      new org.apache.hadoop.fs.Path(s"${rootOf(srcDir)}/$rel")).getLen).sum
     // "already current" must compare MASKS too (a DV-only source
     // commit changes no live paths but changes every masked file's
     // effective content), the RECORDED source version and schema too
@@ -2921,10 +3255,10 @@ object VersionedTable {
     val srcDvFiles = srcM.dv.values.map(_._1).toSeq.distinct.sorted
       .flatMap(dvDir => listDataFiles(spark, srcDir, dvDir))
     val toCopy = (srcLive ++ srcDvFiles).filterNot(rel =>
-      fDst.exists(new org.apache.hadoop.fs.Path(s"$dstDir/$rel")))
+      fDst.exists(new org.apache.hadoop.fs.Path(s"${rootOf(dstDir)}/$rel")))
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
-    val (srcRoot, dstRoot) = (srcDir, dstDir)
+    val (srcRoot, dstRoot) = (rootOf(srcDir), rootOf(dstDir))
     val wid = writerId
     val copied: Long =
       if (toCopy.isEmpty) 0L
@@ -3041,7 +3375,7 @@ object VersionedTable {
   // cursor still needs.
 
   private def cursorDir(dir: String, consumer: String) =
-    s"$dir/_cursors/$consumer"
+    s"${rootOf(dir)}/_cursors/$consumer"
 
   /** A consumer's current cursor: the table version it has fully
     * processed (None before [[initCursor]]). */
@@ -3160,7 +3494,7 @@ object VersionedTable {
     * next poll reads liveFiles at its cursor version. */
   def oldestCursor(spark: SparkSession, dir: String): Option[Long] = {
     val f = fs(spark, dir)
-    val root = new org.apache.hadoop.fs.Path(s"$dir/_cursors")
+    val root = new org.apache.hadoop.fs.Path(s"${rootOf(dir)}/_cursors")
     if (!f.exists(root)) return None
     val cs = f.listStatus(root).toSeq.filter(_.isDirectory)
       .flatMap(s => cursorVersion(spark, dir, s.getPath.getName))
@@ -3175,6 +3509,7 @@ object VersionedTable {
     * resolved version N must not lose N's data while a writer is
     * mid-commit on N+1. Returns dropped versions. */
   def expire(spark: SparkSession, dir: String, keep: Int): Seq[Long] = {
+    requireMainline(dir, "expire")
     require(keep >= 2, s"keep must be >= 2, got $keep")
     val f = fs(spark, dir)
     val all = versions(spark, dir)
@@ -3184,32 +3519,38 @@ object VersionedTable {
     val victims = all.dropRight(keep).filter(_ < floor)
     if (victims.isEmpty) return victims
     val retained = all.filterNot(victims.toSet) // keep-window ∪ cursor-shielded
-    val retainedFiles = retained.flatMap(liveFiles(spark, dir, _)).toSet
+    // live branches pin the files their manifests still reference —
+    // branch chains SHARE mainline data files, so mainline retention
+    // must treat every branch manifest as a retaining reader
+    val (branchFiles, branchDvDirs) = branchReferenced(spark, dir)
+    val retainedFiles =
+      retained.flatMap(liveFiles(spark, dir, _)).toSet ++ branchFiles
     val victimFiles = victims.flatMap(liveFiles(spark, dir, _)).distinct
     val victimLegacyDirs = victims.flatMap(v =>
       readManifest(spark, dir, v).legacyDataDir)
     // deletion-vector dirs follow the same reference discipline: a dv
     // dir dies with the last version whose manifest points at it
     val retainedDvDirs = retained.flatMap(v =>
-      readManifest(spark, dir, v).dv.valuesIterator.map(_._1)).toSet
+      readManifest(spark, dir, v).dv.valuesIterator.map(_._1)).toSet ++
+      branchDvDirs
     val victimDvDirs = victims.flatMap(v =>
       readManifest(spark, dir, v).dv.valuesIterator.map(_._1)).distinct
     victims.foreach(v => f.delete(manifestPath(dir, v), false))
     victimFiles.filterNot(retainedFiles).foreach(rel =>
-      f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false))
+      f.delete(new org.apache.hadoop.fs.Path(s"${rootOf(dir)}/$rel"), false))
     victimDvDirs.filterNot(retainedDvDirs).foreach(rel =>
-      f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), true))
+      f.delete(new org.apache.hadoop.fs.Path(s"${rootOf(dir)}/$rel"), true))
     // a version's feed dir dies with it (feeds are per-version, never
     // shared) — a stream checkpoint older than retention is broken,
     // the same contract as a lagging cursor without a shield
     victims.foreach(v =>
-      f.delete(new org.apache.hadoop.fs.Path(s"$dir/${feedDirRel(v)}"), true))
+      f.delete(new org.apache.hadoop.fs.Path(s"${rootOf(dir)}/${feedDirRel(v)}"), true))
     // legacy whole-dir versions: the dir goes when nothing retained
     // points into it; file-granular staging dirs are left for vacuum
     // once empty (cheap, and never racing a concurrent reader)
     victimLegacyDirs.distinct.foreach { rel =>
       if (!retainedFiles.exists(_.startsWith(rel + "/")))
-        f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), true)
+        f.delete(new org.apache.hadoop.fs.Path(s"${rootOf(dir)}/$rel"), true)
     }
     victims
   }
@@ -3250,6 +3591,12 @@ object VersionedTable {
     * (or re-replicate and expire there). */
   def forget(spark: SparkSession, dir: String, predicate: String,
       writerId: String, graceMs: Long = 0L): ForgetStats = {
+    requireMainline(dir, "forget")
+    require(branches(spark, dir).isEmpty,
+      s"forget on $dir: live branches exist — their manifests may pin " +
+        "files holding matching rows past the purge (delete or land " +
+        "the branches first; a verified forget must leave NO retained " +
+        "reference to the forgotten bytes)")
     val v0 = latestVersion(spark, dir)
     require(v0 >= 0, s"no committed versions under $dir")
     // 1. mask any still-visible matches (no-op when already masked or
@@ -3302,7 +3649,7 @@ object VersionedTable {
     }
     var feedFiles = 0L
     vs.foreach { v =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/${feedDirRel(v)}")
+      val p = new org.apache.hadoop.fs.Path(s"${rootOf(dir)}/${feedDirRel(v)}")
       if (f.exists(p)) {
         val files = listDataFiles(spark, dir, feedDirRel(v))
         if (files.nonEmpty) {
@@ -3314,7 +3661,7 @@ object VersionedTable {
             .add("op", org.apache.spark.sql.types.StringType)
             .add("version", org.apache.spark.sql.types.LongType)
           val raw = spark.read.schema(sch)
-            .parquet(files.map(r => s"$dir/$r"): _*)
+            .parquet(files.map(r => s"${rootOf(dir)}/$r"): _*)
           val aliased =
             if (colmap.isEmpty) raw
             else raw.select(logical.fields.map(f =>
@@ -3376,6 +3723,7 @@ object VersionedTable {
   def maintain(spark: SparkSession, dir: String, writerId: String,
       maskedBudget: Double = 0.02, smallBytes: Long = 8L << 20,
       keepVersions: Int = 10, graceMs: Long = 3600000L): MaintainStats = {
+    requireMainline(dir, "maintain") // expire/vacuum legs are mainline-only
     val v0 = latestVersion(spark, dir)
     require(v0 >= 0, s"no committed versions under $dir")
     val m = readManifest(spark, dir, v0)
@@ -3397,7 +3745,7 @@ object VersionedTable {
     // bin-pack toward ~128 MB outputs, never into one giant file
     val f = fs(spark, dir)
     val smallTotal = liveFiles(spark, dir, v1).map(rel => f.getFileStatus(
-        new org.apache.hadoop.fs.Path(s"$dir/$rel")).getLen)
+        new org.apache.hadoop.fs.Path(s"${rootOf(dir)}/$rel")).getLen)
       .filter(_ < smallBytes).sum
     val target = math.max(1L, (smallTotal + (128L << 20) - 1) / (128L << 20))
     val compacted = compactSmallFiles(spark, dir, v1, writerId, smallBytes,
@@ -3419,22 +3767,26 @@ object VersionedTable {
     * clock-skewed writers racing the CURRENT version). Never touches
     * committed data. */
   def vacuum(spark: SparkSession, dir: String, graceMs: Long = 0L): Seq[String] = {
+    requireMainline(dir, "vacuum")
     val f = fs(spark, dir)
     val latest = latestVersion(spark, dir)
     val vs = versions(spark, dir)
+    // live branches pin their referenced dirs too (shared files)
+    val (branchFiles, branchDvDirs) = branchReferenced(spark, dir)
     val referencedDirs: Set[String] = vs.flatMap { v =>
       val m = readManifest(spark, dir, v)
       m.legacyDataDir.toSeq ++ m.stagingDir.toSeq ++
         m.dv.valuesIterator.map(_._1).toSeq ++
         liveFiles(spark, dir, v).map(rel =>
           rel.substring(0, rel.lastIndexOf('/')))
-    }.toSet
+    }.toSet ++ branchFiles.map(rel =>
+      rel.substring(0, rel.lastIndexOf('/'))) ++ branchDvDirs
     val now = System.currentTimeMillis()
     // same sweep for data staging dirs and dv sidecar dirs: both are
     // named v<version>-<writer>, both become garbage only when no
     // manifest references them and their version is superseded
     def sweep(root: String): Seq[String] = {
-      val rootPath = new org.apache.hadoop.fs.Path(s"$dir/$root")
+      val rootPath = new org.apache.hadoop.fs.Path(s"${rootOf(dir)}/$root")
       if (!f.exists(rootPath)) return Seq.empty
       val orphans = f.listStatus(rootPath).toSeq
         .filter(_.isDirectory)
@@ -3448,25 +3800,277 @@ object VersionedTable {
         .filterNot(referencedDirs.contains)
         .sorted
       orphans.foreach(rel =>
-        f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), true))
+        f.delete(new org.apache.hadoop.fs.Path(s"${rootOf(dir)}/$rel"), true))
       orphans
     }
     val feedOrphans = {
       // feed stage dirs are transient (promoted immediately after the
       // write): garbage once their target exists, or — opt-in via a
       // positive grace — once old enough that no writer is in flight
-      val root = new org.apache.hadoop.fs.Path(s"$dir/_feedstage")
+      val root = new org.apache.hadoop.fs.Path(s"${rootOf(dir)}/_feedstage")
       if (!f.exists(root)) Seq.empty
       else f.listStatus(root).toSeq.filter(_.isDirectory).filter { s =>
         val ver = s.getPath.getName.stripPrefix("v").takeWhile(_.isDigit)
         val promoted = ver.nonEmpty && f.exists(
-          new org.apache.hadoop.fs.Path(s"$dir/${feedDirRel(ver.toLong)}"))
+          new org.apache.hadoop.fs.Path(s"${rootOf(dir)}/${feedDirRel(ver.toLong)}"))
         promoted ||
           (graceMs > 0L && (now - s.getModificationTime) >= graceMs)
       }.map(s => s"_feedstage/${s.getPath.getName}").sorted
     }
     feedOrphans.foreach(rel =>
-      f.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), true))
+      f.delete(new org.apache.hadoop.fs.Path(s"${rootOf(dir)}/$rel"), true))
     sweep("data") ++ sweep("_dv") ++ feedOrphans
+  }
+
+  // ─────────── branch lifecycle + merge-back (round 15) ───────────
+
+  /** Fork branch `name` from mainline version `fromVersion` (default:
+    * the latest). Metadata-only and O(1): the fork copies ONE manifest
+    * into the branch log (so the branch is self-contained for reads
+    * even after mainline [[expire]]) and CASes a `BASE` marker — data
+    * files are shared, zero bytes of data move. Returns the fork
+    * version. Exactly one racing creator wins; the rest get refused.
+    * Address the branch as [[branchRef]]`(dir, name)` everywhere a
+    * table dir is accepted. */
+  def createBranch(spark: SparkSession, dir: String, name: String,
+      fromVersion: Long = -1L): Long = {
+    requireMainline(dir, "createBranch")
+    requireBranchName(name)
+    val root = rootOf(dir)
+    val base =
+      if (fromVersion >= 0L) fromVersion else latestVersion(spark, dir)
+    require(base >= 0L, s"createBranch: no committed versions under $root")
+    require(versions(spark, dir).contains(base),
+      s"createBranch: version $base of $root is not retained")
+    val f = fs(spark, dir)
+    val baseBody = {
+      val in = f.open(manifestPath(dir, base))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val bdir = branchLogDirOf(root, name)
+    // BASE is the existence CAS (exactly one creator); the fork
+    // manifest copy lands after — identical bytes for any racer, so a
+    // re-copy is harmless, and a crash between the two leaves a
+    // visibly broken branch (reads say "no committed versions"):
+    // delete and recreate.
+    val won = casCreate(spark,
+      new org.apache.hadoop.fs.Path(s"$bdir/BASE"),
+      new org.apache.hadoop.fs.Path(s"$bdir/.tmp-base-${
+        java.util.UUID.randomUUID()}"),
+      s"base=$base\nts=${commitClock(spark)}\n")
+    if (!won) throw new CommitConflict(
+      s"createBranch: branch '$name' already exists under $root")
+    casCreate(spark,
+      new org.apache.hadoop.fs.Path(s"$bdir/$base.manifest"),
+      new org.apache.hadoop.fs.Path(s"$bdir/.tmp-fork-$base"), baseBody)
+    base
+  }
+
+  private def branchLogDirOf(root: String, name: String) =
+    s"${branchLogRoot(root)}/$name"
+
+  /** Live branch names of the table at `dir`, sorted. */
+  def branches(spark: SparkSession, dir: String): Seq[String] = {
+    val root = rootOf(dir)
+    val f = fs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(branchLogRoot(root))
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => f.exists(
+        new org.apache.hadoop.fs.Path(s"${branchLogDirOf(root, n)}/BASE")))
+      .sorted
+  }
+
+  /** The mainline version branch `name` forked from. */
+  def branchBase(spark: SparkSession, dir: String, name: String): Long = {
+    requireBranchName(name)
+    val f = fs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(
+      s"${branchLogDirOf(rootOf(dir), name)}/BASE")
+    require(f.exists(p), s"no branch '$name' under ${rootOf(dir)}")
+    val in = f.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    body.linesIterator.collectFirst {
+      case l if l.startsWith("base=") => l.stripPrefix("base=").toLong
+    }.getOrElse(throw new IllegalStateException(
+      s"branch '$name': malformed BASE marker"))
+  }
+
+  /** Drop branch `name` — its manifest chain and marker; shared data
+    * files stay (mainline still references them; branch-only staged
+    * files become [[vacuum]] garbage). */
+  def deleteBranch(spark: SparkSession, dir: String, name: String): Unit = {
+    requireBranchName(name)
+    fs(spark, dir).delete(new org.apache.hadoop.fs.Path(
+      branchLogDirOf(rootOf(dir), name)), true)
+  }
+
+  /** Every data file and dv dir referenced by ANY live branch manifest
+    * — the retention shield [[expire]] and [[vacuum]] honor (branch
+    * chains share mainline bytes). Bounded driver metadata: branches
+    * are few and their logs short-lived by design. */
+  private def branchReferenced(spark: SparkSession,
+      dir: String): (Set[String], Set[String]) = {
+    val root = rootOf(dir)
+    val names = branches(spark, dir)
+    if (names.isEmpty) return (Set.empty, Set.empty)
+    val files = Set.newBuilder[String]
+    val dvDirs = Set.newBuilder[String]
+    names.foreach { n =>
+      val ref = branchRef(root, n)
+      versions(spark, ref).foreach { v =>
+        val m = readManifest(spark, ref, v)
+        files ++= m.files
+        m.stagingDir.foreach { rel => files ++= listDataFiles(spark, ref, rel) }
+        dvDirs ++= m.dv.valuesIterator.map(_._1)
+      }
+    }
+    (files.result(), dvDirs.result())
+  }
+
+  /** Land branch `name`'s NET effect (its tip vs its fork point) on
+    * mainline as ONE commit — the merge-back gate of the branching
+    * story (Iceberg fast-forward / cherry-pick semantics, squashed:
+    * one atomic mainline version, clean history, one change-feed
+    * diff). Zero data movement: the branch's added files are
+    * re-referenced, its removed files dropped, its dv masks carried.
+    *
+    * When mainline advanced past the fork point, the landing is gated
+    * by [[rebaseConflict]] over the intervening mainline winners —
+    * exactly the optimistic-concurrency analysis delta commits use:
+    * refused when any winner changed schema/declarations, removed or
+    * re-masked a file the branch rewrote, or (with `readsTable`,
+    * the conservative default) added any file at all — a branch whose
+    * work READ the table (a keyed merge, a predicate delete) would
+    * have seen those rows under serialization. Pass
+    * `readsTable = false` only when the branch's commits were
+    * content-local (blind appends, compactions, file rewrites), which
+    * admits mainline appends/deletes on untouched files.
+    *
+    * Returns None when the branch has no commits past its fork point.
+    * The branch itself is left in place (delete it after landing, or
+    * keep committing — its base does not move). */
+  def fastForward(spark: SparkSession, dir: String, name: String,
+      writerId: String, readsTable: Boolean = true,
+      rebaseAttempts: Int = 1,
+      meta: Map[String, String] = Map.empty): Option[Long] = {
+    requireMainline(dir, "fastForward")
+    requireWriterId(writerId)
+    val ref = branchRef(dir, name)
+    val base = branchBase(spark, dir, name)
+    val tip = latestVersion(spark, ref)
+    if (tip <= base) return None
+    // already landed at this tip? (the LANDED receipt makes repeated
+    // fastForward idempotent — without it, a second call would see
+    // its OWN landing as a conflicting mainline winner)
+    val f = fs(spark, dir)
+    val landedPath = new org.apache.hadoop.fs.Path(
+      s"${branchLogDirOf(rootOf(dir), name)}/LANDED")
+    if (f.exists(landedPath)) {
+      val in = f.open(landedPath)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val recorded = body.linesIterator.collectFirst {
+        case l if l.startsWith("tip=") => l.stripPrefix("tip=").toLong
+      }
+      if (recorded.contains(tip)) return None
+    }
+    val baseM = readManifest(spark, ref, base)
+    val tipM = readManifest(spark, ref, tip)
+    require(baseM.legacyDataDir.isEmpty && tipM.legacyDataDir.isEmpty,
+      s"fastForward: legacy whole-dir commits cannot merge — recommit " +
+        "file-granular first")
+    val baseLive = baseM.files
+    val baseSet = baseLive.toSet
+    val tipLive = tipM.files
+    val tipSet = tipLive.toSet
+    val adds = tipLive.filterNot(baseSet)
+    val removes = baseLive.filterNot(tipSet)
+    val dvChanged = baseLive.filter(r =>
+      tipSet(r) && baseM.dv.get(r) != tipM.dv.get(r))
+    // the branch's WRITE set: what a disjoint mainline must not touch
+    val touched = (removes ++ dvChanged).toSet
+    def decls(m: Manifest) = m.meta.filter { case (k, _) =>
+      k.startsWith(ExpectPrefix) || k.startsWith("cluster.") ||
+        k == FeedKey || k == DroppedPhysKey }
+    var parent = latestVersion(spark, dir)
+    var attemptsLeft = math.max(1, rebaseAttempts)
+    var out: Option[Long] = None
+    while (out.isEmpty) {
+      val pm = readManifest(spark, dir, parent)
+      if (parent != base) {
+        // gates that are free when mainline never moved (pm == baseM)
+        require(pm.schema.map(schemaShape) == tipM.schema.map(schemaShape),
+          s"fastForward '$name': branch and mainline schemas diverged " +
+            "— reconcile by hand (schema merges are not automatic)")
+        require(pm.colmap == tipM.colmap,
+          s"fastForward '$name': branch and mainline column mappings " +
+            "diverged (a rename on one side) — reconcile by hand")
+        require(decls(pm) == decls(tipM),
+          s"fastForward '$name': branch and mainline declarations " +
+            "(expectations/clustering/feed/tombstones) diverged — " +
+            "re-declare on one side first")
+        rebaseConflict(spark, dir, base, parent, touched,
+          Seq.empty, readsTable).foreach { reason =>
+          throw new CommitConflict(
+            s"fastForward '$name' onto $dir: mainline advanced past the " +
+              s"fork point and is not logically disjoint ($reason) — " +
+              "re-fork, replay the branch work, or reconcile by hand")
+        }
+      }
+      val newV = parent + 1
+      val pLive = liveFiles(spark, dir, parent)
+      locally {
+        val pSet = pLive.toSet
+        val gone = removes.filterNot(pSet)
+        require(gone.isEmpty, // unreachable past the gate; belt anyway
+          s"fastForward '$name': mainline no longer holds " +
+            s"${gone.take(3).mkString(", ")}")
+      }
+      // kept mainline files (minus the branch's removes) first, then
+      // the branch's added files — deterministic order, no dupes (a
+      // branch add is by construction not a mainline live file)
+      val newLiveOrdered =
+        (pLive.filterNot(removes.toSet) ++ adds).distinct
+      val newLiveSet = newLiveOrdered.toSet
+      val addSet = adds.toSet
+      val stats = pm.stats.filter { case (rel, _) => newLiveSet(rel) } ++
+        tipM.stats.filter { case (rel, _) => addSet(rel) }
+      val dv = (pm.dv -- removes -- dvChanged) ++
+        dvChanged.flatMap(r => tipM.dv.get(r).map(r -> _)) ++
+        adds.flatMap(r => tipM.dv.get(r).map(r -> _))
+      val landMeta =
+        (if (parent == base) tipM.meta else pm.meta) ++ meta +
+          ("branch.landed" -> name) + ("branch.landedTip" -> tip.toString)
+      val schema = (if (parent == base) tipM.schema else pm.schema)
+        .getOrElse(throw new IllegalStateException(
+          s"fastForward '$name': no schema receipt on either side"))
+      val colmap = if (parent == base) tipM.colmap else pm.colmap
+      val body = manifestBody(newV, parent, writerId, schema,
+        stagingDir = None, files = newLiveOrdered, removed = removes,
+        stats = stats, meta = landMeta, dv = dv,
+        tsMs = commitClock(spark), colmap = colmap)
+      if (casManifest(spark, dir, newV, writerId, body)) {
+        if (landMeta.get(FeedKey).exists(_.trim.nonEmpty))
+          ensureFeed(spark, dir, writerId)
+        // landing receipt (plain overwrite: any racer that got here
+        // landed the SAME tip, so the content is identical)
+        val outS = f.create(landedPath, true)
+        try outS.write(s"tip=$tip\nmain=$newV\n".getBytes("UTF-8"))
+        finally outS.close()
+        out = Some(newV)
+      } else {
+        attemptsLeft -= 1
+        if (attemptsLeft <= 0)
+          throw new CommitConflict(
+            s"fastForward '$name' onto $dir: lost the race for version " +
+              s"$newV and the retry budget is exhausted — retry")
+        parent = latestVersion(spark, dir)
+      }
+    }
+    out
   }
 }

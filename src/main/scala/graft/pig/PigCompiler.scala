@@ -719,13 +719,13 @@ object PigCompiler {
     s == "versionedstorage" || s == "versionedtable"
   }
 
-  private case class VStoreDecl(cluster: Seq[String], mode: String,
+  private[graft] case class VStoreDecl(cluster: Seq[String], mode: String,
       files: Int, feed: Seq[String], expects: Map[String, String])
 
   /** The VersionedStorage STORE declaration grammar. Malformed
     * declarations refuse LOUDLY (an unknown key silently ignored would
     * mean a script that THINKS it declared a feed ships without CDC). */
-  private def parseVersionedStoreArgs(args: Seq[String]): VStoreDecl = {
+  private[graft] def parseVersionedStoreArgs(args: Seq[String]): VStoreDecl = {
     def cols(v: String) = v.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
     var cluster = Seq.empty[String]
     var mode = "range"; var modeSet = false

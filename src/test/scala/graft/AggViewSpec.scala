@@ -211,4 +211,44 @@ class AggViewSpec extends SparkSpec {
     assert(AggView.read(spark, view).filter($"g" === "7")
       .select($"min_x").as[Double].head() == 1.0)
   }
+
+  test("resolved config survives a source rename of group AND measure") {
+    val root = tmp("aggview-rn")
+    val src = s"$root/src"; val view = s"$root/view"
+    val rows = (1L to 300L).map(k => (k, (k % 4).toString, k.toDouble))
+      .toDF("k", "g", "x")
+    VersionedTable.commit(spark, src, rows, -1L, "w",
+      clusterBy = Seq("k"), clusterFiles = 4)
+    AggView.initResolved(spark, src, view, "dash", keys = Seq("k"),
+      groupCols = Seq("g"), measures = Seq("x" -> "x"),
+      extremes = Seq("x" -> "x"))
+    // churn 1 under original names
+    VersionedTable.merge(spark, src,
+      Seq((7L, "2", 700.0), (400L, "9", 4.0)).toDF("k", "g", "x"),
+      Seq("k"), 0L, "w")
+    assert(AggView.syncResolved(spark, src, view, "dash")
+      .contains((0L, 1L)))
+    // the rename between syncs: group AND measure columns
+    VersionedTable.renameColumns(spark, src,
+      Map("g" -> "grp", "x" -> "val"), 1L, "mig")
+    // churn 2 under NEW names: update + delete + group move
+    VersionedTable.merge(spark, src,
+      Seq((8L, "3", 800.0), (400L, "2", 5.0)).toDF("k", "grp", "val"),
+      Seq("k"), 2L, "w")
+    VersionedTable.deleteWhere(spark, src, "k = 7", 3L, "w")
+    val applied = AggView.syncResolved(spark, src, view, "dash")
+    assert(applied.contains((1L, 4L)), s"post-rename sync: $applied")
+    // the view's header tracked the rename (metadata-only)
+    assert(VersionedTable.schemaOf(spark, view,
+      VersionedTable.latestVersion(spark, view)).fieldNames.head == "grp")
+    // bit-exact vs the direct aggregate under the NEW names
+    val v = AggView.read(spark, view)
+    val d = AggView.finalize(AggView.state(
+      VersionedTable.read(spark, src), Seq("grp"),
+      Seq("x" -> col("val")), extremes = Seq("x" -> col("val"))))
+    assert(v.exceptAll(d).isEmpty && d.exceptAll(v).isEmpty,
+      s"view != direct:\nview=${v.collect().toSeq}\nd=${d.collect().toSeq}")
+    // a caught-up resolved sync is a no-op
+    assert(AggView.syncResolved(spark, src, view, "dash").isEmpty)
+  }
 }

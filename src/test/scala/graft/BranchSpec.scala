@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.VersionedTable
+import graft.operators.VersionedTable.CommitConflict
+
+/** Named refs / branching over the manifest log
+  * (operators/VersionedTable.scala, round 15): a branch is a second
+  * manifest chain SHARING mainline's data files; every table
+  * operation works on a `branchRef` address; merge-back is one
+  * atomic mainline commit gated by the rebase disjointness analysis.
+  * The load-bearing claims: (1) branch isolation is total in both
+  * directions until fastForward, (2) fastForward lands the branch's
+  * NET effect with zero data movement, refuses on overlap, and
+  * (3) mainline retention never eats a live branch's shared files. */
+class BranchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(tag: String, n: Int, from: Int = 0) =
+    spark.range(from, from + n).select($"id".as("k"), lit(tag).as("v"))
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/t"
+
+  private def rows(d: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    d.select($"k", $"v").as[(Long, String)].collect().toSet
+
+  test("fork is O(manifest); both directions stay isolated until landing") {
+    val dir = tmp("br-iso")
+    VersionedTable.commit(spark, dir, df("a", 4), -1L, "w")
+    val base = VersionedTable.createBranch(spark, dir, "dev")
+    assert(base == 0L)
+    assert(VersionedTable.branches(spark, dir) == Seq("dev"))
+    val ref = VersionedTable.branchRef(dir, "dev")
+    // the fork reads the SAME content (shared files, copied manifest)
+    assert(rows(VersionedTable.read(spark, ref)) ==
+      rows(VersionedTable.read(spark, dir)))
+    // branch commit: mainline blind to it
+    VersionedTable.commit(spark, ref, df("dev1", 6), base, "wb")
+    assert(VersionedTable.latestVersion(spark, ref) == 1L)
+    assert(VersionedTable.latestVersion(spark, dir) == 0L)
+    assert(rows(VersionedTable.read(spark, dir)) == rows(df("a", 4)))
+    assert(rows(VersionedTable.read(spark, ref)) == rows(df("dev1", 6)))
+    // mainline commit: branch blind to it
+    VersionedTable.commit(spark, dir, df("m1", 5), 0L, "w")
+    assert(rows(VersionedTable.read(spark, ref)) == rows(df("dev1", 6)))
+    // a branch has its own CAS discipline (stale expectedVersion loud)
+    intercept[CommitConflict] {
+      VersionedTable.commit(spark, ref, df("dev2", 2), base, "wb")
+    }
+    // duplicate creation refused; typo'd refs never create worlds
+    intercept[CommitConflict] {
+      VersionedTable.createBranch(spark, dir, "dev")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.commit(spark,
+        VersionedTable.branchRef(dir, "nope"), df("x", 1), -1L, "w")
+    }
+    VersionedTable.deleteBranch(spark, dir, "dev")
+    assert(VersionedTable.branches(spark, dir).isEmpty)
+  }
+
+  test("fastForward with quiet mainline lands the tip; provenance recorded") {
+    val dir = tmp("br-ff")
+    VersionedTable.commit(spark, dir, df("a", 4), -1L, "w")
+    VersionedTable.createBranch(spark, dir, "dev")
+    val ref = VersionedTable.branchRef(dir, "dev")
+    // two branch commits: the landing is their NET effect
+    VersionedTable.commit(spark, ref, df("d1", 6), 0L, "wb")
+    VersionedTable.commit(spark, ref, df("d2", 3), 1L, "wb")
+    val landed = VersionedTable.fastForward(spark, dir, "dev", "w")
+    assert(landed.contains(1L))
+    assert(rows(VersionedTable.read(spark, dir)) == rows(df("d2", 3)))
+    val m = VersionedTable.readManifest(spark, dir, 1L)
+    assert(m.meta.get("branch.landed").contains("dev"))
+    assert(m.meta.get("branch.landedTip").contains("2"))
+    // idempotence of emptiness: nothing more to land
+    assert(VersionedTable.fastForward(spark, dir, "dev", "w").isEmpty)
+    // history on the branch ref walks the branch chain
+    assert(VersionedTable.history(spark, ref).count() == 3L) // base + 2
+  }
+
+  test("fastForward net effect: zero data movement, masks carried") {
+    val dir = tmp("br-net")
+    // multi-file clustered mainline so the branch can touch a subset
+    VersionedTable.commit(spark, dir, df("a", 40), -1L, "w",
+      statsCols = Some(Seq("k")), clusterBy = Seq("k"), clusterFiles = 4)
+    VersionedTable.createBranch(spark, dir, "fix")
+    val ref = VersionedTable.branchRef(dir, "fix")
+    val preFiles = VersionedTable.liveFiles(spark, dir, 0L).toSet
+    // branch work: a DV delete (mask) + an append (new file)
+    VersionedTable.deleteWhere(spark, ref, "k = 3", 0L, "wb")
+    VersionedTable.commitDelta(spark, ref, Some(df("extra", 2, 100)),
+      Seq.empty, 1L, "wb")
+    val landed = VersionedTable.fastForward(spark, dir, "fix", "w").get
+    val lm = VersionedTable.readManifest(spark, dir, landed)
+    // kept mainline files are the same paths (shared bytes, re-pointed)
+    assert(preFiles.subsetOf(lm.files.toSet))
+    assert(lm.dv.nonEmpty, "the branch's deletion mask must ride along")
+    assert(rows(VersionedTable.read(spark, dir)) ==
+      (rows(df("a", 40)) - ((3L, "a"))) ++ rows(df("extra", 2, 100)))
+    // CDF across the landing shows the net churn
+    val ch = VersionedTable.changesBetween(spark, dir, 0L, landed, Seq("k"))
+    assert(ch.where($"op" === "delete").count() == 1L)
+    assert(ch.where($"op" === "insert").count() == 2L)
+  }
+
+  test("fastForward gate: disjoint mainline lands, overlap refuses") {
+    val dir = tmp("br-gate")
+    VersionedTable.commit(spark, dir, df("a", 40), -1L, "w",
+      statsCols = Some(Seq("k")), clusterBy = Seq("k"), clusterFiles = 4)
+    VersionedTable.createBranch(spark, dir, "dev")
+    val ref = VersionedTable.branchRef(dir, "dev")
+    // branch masks rows in the k-envelope around 35
+    VersionedTable.deleteWhere(spark, ref, "k = 35", 0L, "wb")
+    // mainline advances DISJOINTLY: masks a row in a different file
+    VersionedTable.deleteWhere(spark, dir, "k = 2", 0L, "wm")
+    // sanity: they really touched different files
+    val branchTouched = VersionedTable.readManifest(spark, ref, 1L).dv.keySet
+    val mainTouched = VersionedTable.readManifest(spark, dir, 1L).dv.keySet
+    assert((branchTouched & mainTouched).isEmpty,
+      s"fixture must be file-disjoint: $branchTouched vs $mainTouched")
+    val landed = VersionedTable.fastForward(spark, dir, "dev", "w").get
+    assert(rows(VersionedTable.read(spark, dir)) ==
+      rows(df("a", 40)) -- Set((35L, "a"), (2L, "a")))
+    // overlap pole: a second branch masks a row mainline then rewrites
+    VersionedTable.createBranch(spark, dir, "dev2")
+    val ref2 = VersionedTable.branchRef(dir, "dev2")
+    VersionedTable.deleteWhere(spark, ref2, "k = 10", landed, "wb2")
+    // mainline update rewrites the file holding k=10 (same-file overlap)
+    VersionedTable.updateWhere(spark, dir, "k = 11",
+      Seq("v" -> "'bumped'"), landed, "wm")
+    intercept[CommitConflict] {
+      VersionedTable.fastForward(spark, dir, "dev2", "w")
+    }
+    // conservative default: mainline APPENDS refuse under readsTable,
+    // land with readsTable = false (content-local branch work)
+    VersionedTable.createBranch(spark, dir, "dev3")
+    val ref3 = VersionedTable.branchRef(dir, "dev3")
+    val v = VersionedTable.latestVersion(spark, dir)
+    VersionedTable.commitDelta(spark, ref3, Some(df("b3", 2, 200)),
+      Seq.empty, v, "wb3")
+    VersionedTable.commitDelta(spark, dir, Some(df("m2", 2, 300)),
+      Seq.empty, v, "wm")
+    intercept[CommitConflict] {
+      VersionedTable.fastForward(spark, dir, "dev3", "w")
+    }
+    val landed3 = VersionedTable.fastForward(spark, dir, "dev3", "w",
+      readsTable = false)
+    assert(landed3.nonEmpty)
+    val got = rows(VersionedTable.read(spark, dir))
+    assert(got.exists(_._2 == "b3") && got.exists(_._2 == "m2"))
+  }
+
+  test("mainline retention shields live branches; landing frees them") {
+    val dir = tmp("br-ret")
+    VersionedTable.commit(spark, dir, df("a", 4), -1L, "w")
+    VersionedTable.createBranch(spark, dir, "keep")
+    val ref = VersionedTable.branchRef(dir, "keep")
+    VersionedTable.commitDelta(spark, ref, Some(df("extra", 2, 50)),
+      Seq.empty, 0L, "wb")
+    // mainline rewrites everything twice, then expires history so the
+    // branch's fork version is GONE from the mainline log
+    VersionedTable.commit(spark, dir, df("m1", 5), 0L, "w")
+    VersionedTable.commit(spark, dir, df("m2", 6), 1L, "w")
+    VersionedTable.commit(spark, dir, df("m3", 7), 2L, "w")
+    val dropped = VersionedTable.expire(spark, dir, keep = 2)
+    assert(dropped.contains(0L))
+    VersionedTable.vacuum(spark, dir)
+    // the branch still reads: its fork manifest is its own copy, and
+    // retention treated its referenced files as pinned
+    assert(rows(VersionedTable.read(spark, ref)) ==
+      rows(df("a", 4)) ++ rows(df("extra", 2, 50)))
+    // mainline-only surfaces refuse the ref loudly
+    intercept[IllegalArgumentException] {
+      VersionedTable.expire(spark, ref, keep = 2)
+    }
+    intercept[IllegalArgumentException] { VersionedTable.vacuum(spark, ref) }
+    intercept[IllegalArgumentException] {
+      VersionedTable.changeStream(spark, ref)
+    }
+    // after deleteBranch, vacuum reclaims the branch-only staging
+    VersionedTable.deleteBranch(spark, dir, "keep")
+    val swept = VersionedTable.vacuum(spark, dir)
+    assert(swept.nonEmpty, "branch-only staged files become garbage")
+    assert(rows(VersionedTable.read(spark, dir)) == rows(df("m3", 7)))
+  }
+
+  test("the full machinery works against a branch ref (merge, time travel)") {
+    val dir = tmp("br-machinery")
+    VersionedTable.commit(spark, dir, df("a", 10), -1L, "w",
+      statsCols = Some(Seq("k")))
+    VersionedTable.createBranch(spark, dir, "work")
+    val ref = VersionedTable.branchRef(dir, "work")
+    // keyed MERGE against the branch
+    val changes = Seq((3L, "upd"), (100L, "new")).toDF("k", "v")
+    VersionedTable.merge(spark, ref, changes, Seq("k"), 0L, "wb")
+    assert(rows(VersionedTable.read(spark, ref)) ==
+      rows(df("a", 10)) - ((3L, "a")) + ((3L, "upd")) + ((100L, "new")))
+    // time travel on the branch chain
+    assert(rows(VersionedTable.readVersion(spark, ref, 0L)) ==
+      rows(df("a", 10)))
+    // ensureFeed is a documented no-op on a branch ref
+    assert(VersionedTable.ensureFeed(spark, ref, "wb").isEmpty)
+  }
+}

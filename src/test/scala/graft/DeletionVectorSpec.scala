@@ -333,6 +333,133 @@ class DeletionVectorSpec extends SparkSpec {
     assert(got == Set(2L, 97L), "k=5 was deleted; the pruned read agrees")
   }
 
+  test("conjunction distributes over alternatives: date∧IN prunes to the union ∩ bounds") {
+    val dir = tmp("dv-andalts")
+    mkTable(dir) // 4 files clustered on k: 0-24, 25-49, 50-74, 75-99
+    val sch = VersionedTable.read(spark, dir).schema
+    // the r14 documented refinement: a disjunction nested UNDER a
+    // top-level AND no longer degrades to the conjunctive hull — the
+    // AND distributes, so each alternative carries BOTH its disjunct's
+    // equality and the shared range conjunct
+    assert(VersionedTable.impliedAlternatives(spark,
+      "k < 50 AND (k = 5 OR k = 97)", sch)
+      == Seq(
+        Seq(VersionedTable.ColBound("k", None, Some(50)),
+          VersionedTable.ColBound("k", Some(5), Some(5))),
+        Seq(VersionedTable.ColBound("k", None, Some(50)),
+          VersionedTable.ColBound("k", Some(97), Some(97)))))
+    // behavioral: the k=97 alternative's bounds are unsatisfiable under
+    // k<50, so the delete scans exactly ONE file (the hull spans all 4)
+    val st = VersionedTable.deleteWhere(spark, dir,
+      "k < 50 AND (k = 5 OR k = 97)", 0L, "w")
+    assert(st.filesScanned == 1L && st.rowsDeleted == 1L,
+      s"AND-distributed pruning must scan 1 of 4 files: $st")
+    // cross-column conjunct rides into every alternative
+    assert(VersionedTable.impliedAlternatives(spark,
+      "v = 'r7' AND k IN (2, 90)", sch).map(_.toSet)
+      == Seq(
+        Set(VersionedTable.ColBound("v", Some("r7"), Some("r7")),
+          VersionedTable.ColBound("k", Some(2), Some(2))),
+        Set(VersionedTable.ColBound("v", Some("r7"), Some("r7")),
+          VersionedTable.ColBound("k", Some(90), Some(90)))))
+    // a distribution that would blow the cap stays ONE hull leaf —
+    // bounded expansion, conservative, never wrong
+    assert(VersionedTable.impliedAlternatives(spark,
+      "k in (1,2,3,4,5) and v in ('a','b','c','d')", sch).length == 1,
+      "a >maxAlts product must fall back to the conjunctive hull")
+    // readFiltered routes the same way and stays row-exact
+    val got = VersionedTable.readFiltered(spark, dir,
+        "k < 50 AND k IN (2, 97, 5)")
+      .select($"k").as[Long].collect().toSet
+    assert(got == Set(2L), "k=5 was deleted, k=97 is out of range")
+  }
+
+  /** Deterministic mid-flight race: the loser's predicate carries a
+    * latch-gated UDF, so the winner provably commits BETWEEN the
+    * loser's plan and its CAS (a stale entry would otherwise just
+    * replan at the tip and never exercise the rebase). */
+  private def raceLoser(dir: String, gate: String, losersPred: String,
+      winner: () => Unit, attempts: Int = 2)
+      : Either[Throwable, VersionedTable.DeleteStats] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    RaceGates.arm(gate)
+    val loser = Future {
+      try Right(VersionedTable.deleteWhere(spark, dir,
+        s"race_gate('$gate') AND $losersPred", 0L, s"loser-$gate",
+        rebaseAttempts = attempts))
+      catch { case t: Throwable => Left(t) }
+    }
+    assert(RaceGates.entered(gate).await(60,
+      java.util.concurrent.TimeUnit.SECONDS), "loser never started scanning")
+    winner()
+    RaceGates.release(gate).countDown()
+    Await.result(loser, 120.seconds)
+  }
+
+  test("mask-union rebase: two scope-disjoint deletes on the SAME hot file both land") {
+    val dir = tmp("dv-union")
+    mkTable(dir) // 4 files clustered on k: 0-24, 25-49, 50-74, 75-99
+    spark.udf.register("race_gate", (name: String) => RaceGates.gate(name))
+    // both deletes hit the FIRST file: file-granular conflict detection
+    // would serialize them; recorded disjoint scopes admit the union.
+    // A plans at v0, B wins v1 mid-flight, A mask-merges onto v2.
+    val a = raceLoser(dir, "u1", "k >= 10 AND k <= 12", () => {
+      val b = VersionedTable.deleteWhere(spark, dir, "k >= 2 AND k <= 4",
+        0L, "wB")
+      assert(b.version == 1L && b.rowsDeleted == 3L)
+    })
+    assert(a.toOption.exists(st => st.version == 2L && st.rowsDeleted == 3L),
+      s"A must land via mask-union rebase: $a")
+    // the union is exact: both predicates' rows gone, everything else kept
+    val got = VersionedTable.read(spark, dir).select($"k").as[Long]
+      .collect().toSet
+    assert(got == (0L until 100L).toSet -- Set(2L, 3L, 4L, 10L, 11L, 12L))
+    // ONE dv entry per file carrying the FULL merged position set
+    val m2 = VersionedTable.readManifest(spark, dir, 2L)
+    val hot = m2.dv.filter(_._2._2 == 6L)
+    assert(hot.size == 1, s"the hot file's entry must carry all 6: ${m2.dv}")
+    // CDF replay identity: the rebased history replays as exactly each
+    // commit's own logical change
+    val c1 = VersionedTable.changesBetween(spark, dir, 0L, 1L, Seq("k"))
+      .select($"k").as[Long].collect().toSet
+    val c2 = VersionedTable.changesBetween(spark, dir, 1L, 2L, Seq("k"))
+      .select($"k").as[Long].collect().toSet
+    assert(c1 == Set(2L, 3L, 4L) && c2 == Set(10L, 11L, 12L),
+      s"rebased history must replay per-commit: $c1 / $c2")
+    // the union survives downstream machinery: purge materializes it
+    VersionedTable.purgeDeletes(spark, dir, 2L, "opt")
+    val after = VersionedTable.read(spark, dir).select($"k").as[Long]
+      .collect().toSet
+    assert(after == (0L until 100L).toSet --
+      Set(2L, 3L, 4L, 10L, 11L, 12L))
+  }
+
+  test("mask-union rebase refuses: overlapping scopes, non-delete winners") {
+    spark.udf.register("race_gate", (name: String) => RaceGates.gate(name))
+    locally { // OVERLAPPING scopes on the same file still lose loudly
+      val dir = tmp("dv-union-ovl")
+      mkTable(dir)
+      val r = raceLoser(dir, "u2", "k >= 21 AND k <= 23", () => {
+        VersionedTable.deleteWhere(spark, dir, "k >= 20 AND k <= 22",
+          0L, "wC")
+      })
+      assert(r.swap.toOption.exists(_.isInstanceOf[VersionedTable.CommitConflict]),
+        s"overlapping scopes must refuse: $r")
+    }
+    locally { // a winner that REWROTE the file (update) proves nothing
+      val dir = tmp("dv-union-upd")
+      mkTable(dir)
+      val r = raceLoser(dir, "u3", "k = 11", () => {
+        VersionedTable.updateWhere(spark, dir, "k = 12",
+          Seq("v" -> "'x'"), 0L, "wU")
+      })
+      assert(r.swap.toOption.exists(_.isInstanceOf[VersionedTable.CommitConflict]),
+        s"a rewrite winner must refuse the mask merge: $r")
+    }
+  }
+
   test("distributed hit-count branch: parity with the driver loop past the crossover") {
     // r13 blemish: deleteWhere's per-file hit counts collected to a
     // driver map regardless of scale. Past graft.prune.driverFiles the
@@ -361,5 +488,27 @@ class DeletionVectorSpec extends SparkSpec {
         "part-\\d+".r.findFirstIn(rel).get -> n }
     assert(byPart(a) == byPart(b),
       s"per-file mask counts diverged: ${byPart(a)} vs ${byPart(b)}")
+  }
+}
+
+/** Latch registry for the deterministic mid-flight commit races above
+  * (local-mode executor threads share this JVM). */
+object RaceGates {
+  private val enteredM = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CountDownLatch]()
+  private val releaseM = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CountDownLatch]()
+  def arm(name: String): Unit = {
+    enteredM.put(name, new java.util.concurrent.CountDownLatch(1))
+    releaseM.put(name, new java.util.concurrent.CountDownLatch(1))
+  }
+  def entered(name: String): java.util.concurrent.CountDownLatch =
+    enteredM.get(name)
+  def release(name: String): java.util.concurrent.CountDownLatch =
+    releaseM.get(name)
+  def gate(name: String): Boolean = {
+    enteredM.get(name).countDown()
+    releaseM.get(name).await(60, java.util.concurrent.TimeUnit.SECONDS)
+    true
   }
 }

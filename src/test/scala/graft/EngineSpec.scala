@@ -356,4 +356,64 @@ class EngineSpec extends SparkSpec {
     assert(df.select(PigFunctions.isEmptyBag($"b2")).as[Boolean].head() == false)
     assert(df.select(PigFunctions.sizeOf($"b1")).as[Int].head() == 3)
   }
+
+  test("SQL routing probes: shadowing aliases, DML-words in strings, comments, multi-line MERGE") {
+    import graft.operators.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("gs-probe").toString + "/t"
+    VersionedTable.commit(spark, dir,
+      spark.range(20).select($"id".as("k"), $"id".as("v")), -1L, "w")
+    val gs = new GraftSession(spark)
+    gs.registerVersioned("t", dir)
+    // 1. an alias SHADOWING a DML keyword reads fine (keyword routing
+    //    looks at the statement's leading token, never at table names)
+    gs.register("delete", spark.range(3).toDF("x"))
+    assert(gs.sql("SELECT count(*) FROM delete").as[Long].head() == 3L)
+    // 2. a WHERE containing the word MERGE routes as a DELETE and the
+    //    predicate evaluates untouched
+    val d = gs.sql(
+      "DELETE FROM t WHERE k = 5 AND 'MERGE INTO x' = 'MERGE INTO x'")
+    assert(d.head().getLong(3) == 1L, "one row deleted")
+    // 3. double-quoted string literals carrying DML words pass through
+    assert(gs.sql(
+      """SELECT count(*) FROM t WHERE "UPDATE t SET" = "UPDATE t SET"""")
+      .as[Long].head() == 19L)
+    // 4. multi-line MERGE with an inline subquery source
+    val m = gs.sql(
+      """MERGE INTO t AS tgt
+        |USING (SELECT 100 AS k, 9 AS v) AS src
+        |  ON tgt.k = src.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(m.head().getString(0) == "merge")
+    assert(gs.sql("SELECT v FROM t WHERE k = 100").as[Long].head() == 9L)
+    // 5. comments with semicolons are inert in scripts (line + block)
+    val rs = gs.runScript(
+      """-- setup; not a statement boundary
+        |INSERT INTO t SELECT k + 200, 0 FROM t WHERE 'a;b' = 'a;b' AND k < 2;
+        |/* block comment; also inert */
+        |SELECT count(*) FROM t WHERE k >= 200""".stripMargin)
+    assert(rs.length == 2 && rs.last.as[Long].head() == 2L)
+    // 6. lifecycle statements route + refuse by grammar
+    val dir2 = java.nio.file.Files.createTempDirectory("gs-probe2")
+      .toString + "/t2"
+    val rs2 = gs.runScript(
+      s"""CREATE TABLE u LOCATION '$dir2'
+         |  USING ('cluster=k', 'files=4') AS SELECT k, v FROM t;
+         |OPTIMIZE u;
+         |VACUUM u;
+         |SELECT count(*) FROM u""".stripMargin)
+    assert(rs2.head.head().getString(0) == "create_table")
+    assert(rs2(1).head().getString(0) == "optimize")
+    assert(rs2(2).head().getString(0) == "vacuum")
+    assert(rs2.last.as[Long].head() ==
+      gs.sql("SELECT count(*) FROM t").as[Long].head())
+    assert(VersionedTable.clusterColsOf(spark, dir2,
+      VersionedTable.latestVersion(spark, dir2)) == Seq("k"),
+      "CREATE TABLE USING must persist the clustering declaration")
+    intercept[IllegalArgumentException] { gs.sql("DELETE FROM t") }
+    intercept[IllegalArgumentException] { gs.sql("UPDATE t SET v = 1") }
+    intercept[IllegalArgumentException] { gs.sql("MERGE INTO t USING x") }
+    intercept[IllegalArgumentException] { gs.sql("VACUUM t RETAIN VERSIONS") }
+    intercept[IllegalArgumentException] { gs.sql("ALTER TABLE t SET X") }
+  }
 }
