@@ -95,18 +95,19 @@ object Bench {
     // predated the bignum carrier-unwrap + codegen kernels and was ~6×
     // loose. Pins stay "best recorded", so a loaded run can only
     // leave them unchanged, never loosen them.
-    "q01_scan_filter_project" -> 0.160, "q03_group_agg" -> 0.218,
+    "q01_scan_filter_project" -> 0.149, "q03_group_agg" -> 0.218,
     "q05_join_agg" -> 0.559, "q06_join_broadcast" -> 0.453,
     "q14_order_limit" -> 0.124, "q17_rank" -> 0.820,
     "q21_flatten_tokenize" -> 0.270, "q23_top_per_group" -> 0.330,
-    "q35_dedup_minhash" -> 0.522, "q39_cosine_topk" -> 0.448,
+    "q35_dedup_minhash" -> 0.522, "q39_cosine_topk" -> 0.411,
     "q44_fingerprint" -> 0.109, "q47_window_tumbling" -> 0.186,
-    // q146 deliberately NOT tightened: two back-to-back local runs
-    // measured 1.05 and 2.53 medians on identical code (bimodal host
-    // behavior on the string-heavy span kernel) — a pin from the good
-    // mode would flag the bad mode as a phantom regression
-    "q133_biginteger_agg" -> 0.590, "q146_verbatim_spans" -> 1.100,
-    "q152_hot_ngrams" -> 1.170)
+    // q146 deliberately NOT tightened (r14 rationale stands): two
+    // back-to-back local runs measured 1.05 and 2.53 medians on
+    // identical code (bimodal host behavior on the string-heavy span
+    // kernel) — a pin from the good mode would flag the bad mode as a
+    // phantom regression. q01/q39/q133/q152 tightened r15.
+    "q133_biginteger_agg" -> 0.529, "q146_verbatim_spans" -> 1.100,
+    "q152_hot_ngrams" -> 1.164)
 
   /** Streaming replay pins (round 11, VERDICT r10 #6): best recorded
     * driver medians at sf0.1 (r10's run beat r8 on every common
@@ -116,12 +117,13 @@ object Bench {
     * untouched queries — so the 2× gate plus the loadavg field is the
     * attribution recipe, same as the batch pins. */
   val streamPinsSf01: Map[String, Double] = Map(
-    // q136/q158/q173/q180 re-pinned r14 from the same quiet-load run
-    // as the batch pins (q158's drop 8.681 → 6.863 is the r13 one-
-    // banding-pass rewrite finally measured without co-tenant load)
-    "q136_stream_interval_join" -> 3.191, "q138_stream_outer_join" -> 4.614,
+    // q136/q158/q173/q180 re-pinned r14; q136/q145/q112/q253
+    // re-pinned r15 from the round's full local run (q253's drop
+    // 6.220 → 4.546 reflects the manifest-cache commit path — its
+    // replay is commit-heaviest: two drains + two merges + a rename)
+    "q136_stream_interval_join" -> 2.856, "q138_stream_outer_join" -> 4.614,
     "q144_stream_right_outer_join" -> 2.442,
-    "q145_stream_full_outer_join" -> 4.899, "q112_stream_state" -> 1.721,
+    "q145_stream_full_outer_join" -> 4.758, "q112_stream_state" -> 1.655,
     "q151_stream_dedup_agg" -> 4.145,
     "q158_stream_near_dup" -> 6.863,
     "q173_stream_export" -> 2.210, "q180_stream_scd2" -> 2.519,
@@ -130,7 +132,7 @@ object Bench {
     "q235_table_change_stream" -> 4.822,
     // round 14 first record (stream across a rename, local run) — two
     // full drains + two merges + the rename inside one replay
-    "q253_stream_across_rename" -> 6.220)
+    "q253_stream_across_rename" -> 4.546)
 
   /** Streaming replays timed as their own section (never in the
     * headline total — see main): watermarked interval-join family,

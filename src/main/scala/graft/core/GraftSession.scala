@@ -157,7 +157,10 @@ final class GraftSession(val spark: SparkSession) {
     *     declaration grammar verbatim);
     *     `OPTIMIZE t` → [[graft.operators.VersionedTable.compactSmallFiles]];
     *     `VACUUM t [RETAIN n VERSIONS]` → orphan sweep (+ expire);
-    *     `RESTORE t TO VERSION n` → [[graft.operators.VersionedTable.restore]].
+    *     `RESTORE t TO VERSION n` → [[graft.operators.VersionedTable.restore]];
+    *     `CREATE BRANCH dev ON t [AS tdev]` / `FAST FORWARD t FROM
+    *     dev` / `DROP BRANCH dev ON t` → the branch lifecycle (AS
+    *     registers the branch world as its own DML-capable alias).
     *
     * Routing is KEYWORD-FIRST (round 15, the r14 advice): a statement
     * whose leading keyword is INSERT/DELETE/UPDATE/MERGE/OPTIMIZE/
@@ -215,7 +218,13 @@ final class GraftSession(val spark: SparkSession) {
       case "OPTIMIZE" =>
         GraftSession.LcOptimize.findFirstMatchIn(query).map { m =>
           lcOptimize(m.group(1))
-        }.getOrElse(refuse("OPTIMIZE", "OPTIMIZE <alias>"))
+        }.orElse {
+          GraftSession.LcOptimizeZorder.findFirstMatchIn(query).map { m =>
+            lcOptimizeZorder(m.group(1),
+              m.group(2).split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+          }
+        }.getOrElse(refuse("OPTIMIZE",
+          "OPTIMIZE <alias> [ZORDER BY (c1, c2, …)]"))
       case "VACUUM" =>
         GraftSession.LcVacuum.findFirstMatchIn(query).map { m =>
           lcVacuum(m.group(1), Option(m.group(2)).map(_.toInt))
@@ -227,12 +236,28 @@ final class GraftSession(val spark: SparkSession) {
         }.getOrElse(refuse("RESTORE",
           "RESTORE <alias> TO VERSION <n>"))
       case "CREATE" =>
-        // only the versioned-table form is claimed; every other CREATE
-        // (temp views, catalog tables) keeps its Spark meaning
+        // only the versioned-table forms are claimed; every other
+        // CREATE (temp views, catalog tables) keeps its Spark meaning
         GraftSession.LcCreate.findFirstMatchIn(query).map { m =>
           lcCreateTable(m.group(1), m.group(2), Option(m.group(3)),
             m.group(4))
+        }.orElse {
+          GraftSession.LcCreateBranch.findFirstMatchIn(query).map { m =>
+            lcCreateBranch(m.group(2), m.group(1), Option(m.group(3)))
+          }
         }.getOrElse(rawSql(query))
+      case "FAST" =>
+        GraftSession.LcFastForward.findFirstMatchIn(query).map { m =>
+          lcFastForward(m.group(1), m.group(2))
+        }.getOrElse(refuse("FAST FORWARD",
+          "FAST FORWARD <alias> FROM <branch>"))
+      case "DROP" =>
+        GraftSession.LcDropBranch.findFirstMatchIn(query).map { m =>
+          val b = binding(m.group(2), "DROP BRANCH")
+          graft.operators.VersionedTable.deleteBranch(spark, b.dir,
+            m.group(1))
+          receipt("drop_branch", m.group(2), b.version, -1L)
+        }.getOrElse(rawSql(query)) // plain DROP VIEW/TABLE stays Spark's
       case "ALTER" =>
         GraftSession.DdlRename.findFirstMatchIn(query).map { m =>
           ddl("rename", m.group(1)) { b =>
@@ -502,6 +527,49 @@ final class GraftSession(val spark: SparkSession) {
     advance(alias, b, newV)
     receipt("restore", alias, newV, -1L)
   }
+
+  /** OPTIMIZE … ZORDER BY (c1, c2, …) — a full re-layout commit:
+    * rewrite the snapshot z-order-clustered on the given columns and
+    * PERSIST the declaration (merges keep re-clustering rewrites, the
+    * stats index follows the new columns) — the Delta OPTIMIZE ZORDER
+    * shape on the commit machinery this engine already has. */
+  private def lcOptimizeZorder(alias: String,
+      cols: Seq[String]): DataFrame = {
+    import graft.operators.VersionedTable
+    require(cols.nonEmpty, "OPTIMIZE ZORDER BY: no columns")
+    val b = binding(alias, "OPTIMIZE ZORDER")
+    val newV = VersionedTable.commit(spark, b.dir,
+      VersionedTable.readVersion(spark, b.dir, b.version), b.version,
+      s"sql-$alias", clusterBy = cols, clusterMode = "zorder")
+    advance(alias, b, newV)
+    receipt("optimize_zorder", alias, newV, -1L)
+  }
+
+  /** CREATE BRANCH name ON alias [AS alias2] — fork at the alias's
+    * resolved version; AS registers the branch world as its own
+    * latest-tracking alias (SELECT + every DML work against it). */
+  private def lcCreateBranch(alias: String, name: String,
+      as: Option[String]): DataFrame = {
+    import graft.operators.VersionedTable
+    val b = binding(alias, "CREATE BRANCH")
+    val base = VersionedTable.createBranch(spark, b.dir, name, b.version)
+    as.foreach(a =>
+      registerVersioned(a, VersionedTable.branchRef(b.dir, name)))
+    receipt("create_branch", alias, base, -1L)
+  }
+
+  /** FAST FORWARD alias FROM branch — land the branch's net effect on
+    * mainline (rows = -1 when the branch had nothing to land). */
+  private def lcFastForward(alias: String, name: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val b = binding(alias, "FAST FORWARD")
+    VersionedTable.fastForward(spark, b.dir, name, s"sql-$alias") match {
+      case Some(v) =>
+        advance(alias, b, v)
+        receipt("fast_forward", alias, v, -1L)
+      case None => receipt("fast_forward", alias, b.version, -1L)
+    }
+  }
 }
 
 object GraftSession {
@@ -577,12 +645,29 @@ object GraftSession {
       """'([^']+)'(?:\s+USING\s+\((.*?)\))?\s+AS\s+(.+?)\s*;?\s*$""").r
   private val LcOptimize =
     """(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val LcOptimizeZorder =
+    ("""(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ZORDER\s+BY\s+""" +
+      """\(([^)]+)\)\s*;?\s*$""").r
   private val LcVacuum =
     ("""(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)""" +
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""").r
   private val LcRestore =
     ("""(?is)^\s*RESTORE\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+VERSION\s+""" +
       """(\d+)\s*;?\s*$""").r
+
+  // branching (round 15): fork, land, drop — the SQL spelling of the
+  // branchRef lifecycle; AS registers the branch as its own alias so
+  // a SQL-only session can SELECT/mutate the branch world by name
+  private val LcCreateBranch =
+    ("""(?is)^\s*CREATE\s+BRANCH\s+([A-Za-z0-9._-]+)\s+ON\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?""" +
+      """\s*;?\s*$""").r
+  private val LcFastForward =
+    ("""(?is)^\s*FAST\s+FORWARD\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+""" +
+      """([A-Za-z0-9._-]+)\s*;?\s*$""").r
+  private val LcDropBranch =
+    ("""(?is)^\s*DROP\s+BRANCH\s+([A-Za-z0-9._-]+)\s+ON\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
   private val DdlRename =
     ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+""" +
       """COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r

@@ -236,12 +236,18 @@ object VersionedTable {
   def readManifest(spark: SparkSession, dir: String, v: Long): Manifest = {
     val f = fs(spark, dir)
     val p = manifestPath(dir, v)
+    // session kill-switch (and the A/B lever for the attribution
+    // probe, tools/CacheProbe): graft.manifest.cache=false reads every
+    // manifest from disk, bypassing the LRU entirely
+    val cacheOn = spark.conf.getOption("graft.manifest.cache")
+      .forall(_ != "false")
     val st = f.getFileStatus(p) // throws FileNotFoundException like open
     val key = p.toString
-    manifestCache.synchronized(Option(manifestCache.get(key))).foreach {
-      case (mt, len, m) =>
-        if (mt == st.getModificationTime && len == st.getLen) return m
-    }
+    if (cacheOn)
+      manifestCache.synchronized(Option(manifestCache.get(key))).foreach {
+        case (mt, len, m) =>
+          if (mt == st.getModificationTime && len == st.getLen) return m
+      }
     val in = f.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()

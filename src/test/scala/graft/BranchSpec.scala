@@ -179,6 +179,11 @@ class BranchSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       VersionedTable.changeStream(spark, ref)
     }
+    // forget refuses while ANY branch lives: a branch manifest may pin
+    // files holding matching rows past the purge
+    intercept[IllegalArgumentException] {
+      VersionedTable.forget(spark, dir, "k = 1", "gdpr")
+    }
     // after deleteBranch, vacuum reclaims the branch-only staging
     VersionedTable.deleteBranch(spark, dir, "keep")
     val swept = VersionedTable.vacuum(spark, dir)
@@ -202,5 +207,37 @@ class BranchSpec extends SparkSpec {
       rows(df("a", 10)))
     // ensureFeed is a documented no-op on a branch ref
     assert(VersionedTable.ensureFeed(spark, ref, "wb").isEmpty)
+  }
+
+  test("an incremental view maintains over a BRANCH ref (dashboards on in-flight worlds)") {
+    import graft.operators.AggView
+    val dir = tmp("br-view")
+    val root = dir.stripSuffix("/t")
+    VersionedTable.commit(spark, dir,
+      (1L to 200L).map(k => (k, (k % 5).toString, k.toDouble))
+        .toDF("k", "g", "x"),
+      -1L, "w", clusterBy = Seq("k"), clusterFiles = 4)
+    VersionedTable.createBranch(spark, dir, "dev")
+    val ref = VersionedTable.branchRef(dir, "dev")
+    val view = s"$root/view"
+    val measures = Seq("x" -> col("x"))
+    AggView.init(spark, ref, view, "dash", Seq("g"), measures)
+    // churn the BRANCH; mainline churns too (the view must not see it)
+    VersionedTable.merge(spark, ref,
+      Seq((7L, "0", 700.0), (300L, "9", 3.0)).toDF("k", "g", "x"),
+      Seq("k"), 0L, "wb")
+    VersionedTable.merge(spark, dir,
+      Seq((8L, "0", 999.0)).toDF("k", "g", "x"), Seq("k"), 0L, "wm")
+    val applied = AggView.sync(spark, ref, view, "dash", Seq("k"),
+      Seq("g"), measures)
+    assert(applied.contains((0L, 1L)), s"branch view sync: $applied")
+    val v = AggView.read(spark, view)
+    val d = AggView.finalize(AggView.state(
+      VersionedTable.read(spark, ref), Seq("g"), measures))
+    assert(v.exceptAll(d).isEmpty && d.exceptAll(v).isEmpty,
+      "the view must equal the BRANCH world's direct aggregate")
+    assert(v.where($"g" === "9").count() == 1L &&
+      VersionedTable.read(spark, dir).where($"k" === 300L).count() == 0L,
+      "branch-only rows in the view; mainline without them")
   }
 }

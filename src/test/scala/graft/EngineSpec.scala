@@ -416,4 +416,46 @@ class EngineSpec extends SparkSpec {
     intercept[IllegalArgumentException] { gs.sql("VACUUM t RETAIN VERSIONS") }
     intercept[IllegalArgumentException] { gs.sql("ALTER TABLE t SET X") }
   }
+
+  test("SQL branching: CREATE BRANCH / branch DML via its alias / FAST FORWARD / DROP BRANCH") {
+    import graft.operators.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("gs-branch").toString + "/t"
+    VersionedTable.commit(spark, dir,
+      spark.range(40).select($"id".as("k"), $"id".as("v")), -1L, "w",
+      clusterBy = Seq("k"), clusterFiles = 4)
+    val gs = new GraftSession(spark)
+    gs.registerVersioned("t", dir)
+    val rs = gs.runScript(
+      """CREATE BRANCH dev ON t AS tdev;
+        |DELETE FROM tdev WHERE k < 10;
+        |INSERT INTO tdev SELECT k + 100, -1 FROM tdev WHERE k < 12;
+        |SELECT count(*) FROM tdev;
+        |SELECT count(*) FROM t""".stripMargin)
+    assert(rs.head.head().getString(0) == "create_branch")
+    // branch world: 40 - 10 deleted + 2 inserts (k=10,11 survive < 12)
+    assert(rs(3).head().getLong(0) == 32L)
+    // mainline untouched through the branch's DML
+    assert(rs(4).head().getLong(0) == 40L)
+    val ff = gs.sql("FAST FORWARD t FROM dev").head()
+    assert(ff.getString(0) == "fast_forward" && ff.getLong(2) == 1L)
+    assert(gs.sql("SELECT count(*) FROM t").as[Long].head() == 32L)
+    // nothing more to land: receipt keeps the current version
+    assert(gs.sql("FAST FORWARD t FROM dev").head().getLong(2) == 1L)
+    gs.sql("DROP BRANCH dev ON t")
+    assert(VersionedTable.branches(spark, dir).isEmpty)
+    // OPTIMIZE ZORDER BY: a re-layout commit that persists the
+    // declaration and keeps the content bit-identical
+    val oz = gs.sql("OPTIMIZE t ZORDER BY (v, k)").head()
+    assert(oz.getString(0) == "optimize_zorder")
+    assert(VersionedTable.clusterColsOf(spark, dir,
+      VersionedTable.latestVersion(spark, dir)) == Seq("v", "k"))
+    assert(VersionedTable.clusterModeOf(spark, dir,
+      VersionedTable.latestVersion(spark, dir)) == "zorder")
+    assert(gs.sql("SELECT count(*) FROM t").as[Long].head() == 32L)
+    // grammar refusals stay loud; plain Spark DROP VIEW still works
+    intercept[IllegalArgumentException] { gs.sql("FAST FORWARD t") }
+    gs.register("tmpv", spark.range(1).toDF("x"))
+    gs.sql("SELECT * FROM tmpv") // materialize the temp view binding
+    gs.sql("DROP VIEW IF EXISTS tmpv")
+  }
 }

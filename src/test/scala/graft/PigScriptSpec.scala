@@ -1130,6 +1130,42 @@ class PigScriptSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(spark, vt) == 0L)
   }
 
+  test("branch refs flow through the script front-end: LOAD/STORE 'table@branch'") {
+    import graft.operators.VersionedTable
+    val vt = java.nio.file.Files.createTempDirectory("pig_branch")
+      .toString + "/t"
+    // mainline table from a script
+    graft.pig.PigScript.run(spark,
+      s"""O = LOAD '$sf/orders.parquet' USING parquet;
+          A = FOREACH O GENERATE o_orderkey AS k, o_totalprice AS price;
+          STORE A INTO '$vt' USING VersionedStorage('cluster=k');""",
+      executeStores = true)
+    VersionedTable.createBranch(spark, vt, "dev")
+    // a script STORE against the branch REF commits to the branch only
+    graft.pig.PigScript.run(spark,
+      s"""B = LOAD '$vt@dev' USING VersionedStorage;
+          C = FILTER B BY k % 2 == 0;
+          STORE C INTO '$vt@dev' USING VersionedStorage;""",
+      executeStores = true)
+    val nAll = tables.orders.count()
+    val nEven = tables.orders
+      .filter(org.apache.spark.sql.functions.col("o_orderkey") % 2 === 0)
+      .count()
+    // branch world halved; mainline untouched
+    assert(VersionedTable.read(spark,
+      VersionedTable.branchRef(vt, "dev")).count() == nEven)
+    assert(VersionedTable.read(spark, vt).count() == nAll)
+    // a script LOAD of the branch ref reads the branch world
+    val got = graft.pig.PigScript.query(spark,
+      s"""B = LOAD '$vt@dev' USING VersionedStorage;
+          G = GROUP B ALL;
+          R = FOREACH G GENERATE COUNT(B) AS n;""")
+    assert(got.head().getLong(0) == nEven)
+    // the landing brings the branch's snapshot rewrite to mainline
+    VersionedTable.fastForward(spark, vt, "dev", "merger")
+    assert(VersionedTable.read(spark, vt).count() == nEven)
+  }
+
   test("lakehouse script grammar probes: macros, params, SPLIT multi-STORE, self-append, ISO as-of") {
     // r13 next-round #10: probe the versioned-storage grammar corners
     // a migrated script actually hits — time-travel LOAD inside a

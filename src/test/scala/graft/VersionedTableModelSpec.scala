@@ -266,4 +266,93 @@ class VersionedTableModelSpec extends SparkSpec {
       }
     }
   }
+
+  test("branch model: fastForward lands the exact net effect or refuses with both worlds intact") {
+    (1 to 2).foreach { seed =>
+      val rnd = new scala.util.Random(seed + 700)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"vt-bmodel-$seed").toString + "/t"
+      var main: Map[Long, Long] = (0L until 400L).map(k => k -> k).toMap
+      VersionedTable.commit(spark, dir, main.toSeq.toDF("k", "a"),
+        -1L, "loader", clusterBy = Seq("k"), clusterFiles = 8)
+      def readMap(d: String): Map[Long, Long] =
+        VersionedTable.read(spark, d)
+          .select($"k", $"a").as[(Long, Long)].collect().toMap
+      (1 to 3).foreach { round =>
+        val bname = s"b$round"
+        VersionedTable.createBranch(spark, dir, bname)
+        val ref = VersionedTable.branchRef(dir, bname)
+        val fork = main // main state at the fork point
+        var branch = main
+        // two branch ops on the LOW key band [0, 150)
+        (1 to 2).foreach { _ =>
+          val bv = VersionedTable.latestVersion(spark, ref)
+          if (rnd.nextBoolean()) {
+            val rows = Seq.fill(5)(rnd.nextInt(150).toLong).distinct
+              .map(k => k -> rnd.nextInt(9999).toLong)
+            VersionedTable.merge(spark, ref, rows.toDF("k", "a"),
+              Seq("k"), bv, "bw")
+            branch = branch ++ rows
+          } else {
+            val lo = rnd.nextInt(120).toLong
+            VersionedTable.deleteWhere(spark, ref,
+              s"k >= $lo AND k <= ${lo + 9}", bv, "bw")
+            branch = branch.filterNot { case (k, _) => k >= lo && k <= lo + 9 }
+          }
+        }
+        // one concurrent MAIN op on the HIGH band [250, 400): a merge
+        // ADDS files (refused under readsTable), a delete only masks
+        // (admitted when file-disjoint) — both outcomes are legal and
+        // both worlds are asserted either way
+        val mv = VersionedTable.latestVersion(spark, dir)
+        if (rnd.nextBoolean()) {
+          val lo = (250 + rnd.nextInt(140)).toLong
+          VersionedTable.deleteWhere(spark, dir,
+            s"k >= $lo AND k <= ${lo + 5}", mv, "mw")
+          main = main.filterNot { case (k, _) => k >= lo && k <= lo + 5 }
+        } else {
+          val rows = Seq.fill(4)((250 + rnd.nextInt(150)).toLong).distinct
+            .map(k => k -> rnd.nextInt(9999).toLong)
+          VersionedTable.merge(spark, dir, rows.toDF("k", "a"),
+            Seq("k"), mv, "mw")
+          main = main ++ rows
+        }
+        // isolation in both directions before the landing
+        assert(readMap(ref) == branch,
+          s"seed=$seed round=$round: branch world drifted")
+        assert(readMap(dir) == main,
+          s"seed=$seed round=$round: main world drifted")
+        // the law: land EXACTLY the net effect, or refuse with both
+        // worlds intact — never anything in between
+        val landedModel = {
+          // branch net vs fork, applied onto main's current state
+          val changed = (fork.keySet ++ branch.keySet).filter(k =>
+            fork.get(k) != branch.get(k))
+          changed.foldLeft(main) { (m, k) =>
+            branch.get(k) match {
+              case Some(v) => m + (k -> v)
+              case None    => m - k
+            }
+          }
+        }
+        try {
+          VersionedTable.fastForward(spark, dir, bname, "merger")
+          main = landedModel
+          assert(readMap(dir) == main,
+            s"seed=$seed round=$round: landing != net effect")
+        } catch {
+          case _: VersionedTable.CommitConflict =>
+            assert(readMap(dir) == main,
+              s"seed=$seed round=$round: refused landing must not touch main")
+            assert(readMap(ref) == branch,
+              s"seed=$seed round=$round: refused landing must not touch branch")
+        }
+        VersionedTable.deleteBranch(spark, dir, bname)
+      }
+      // retention still works under the accumulated branch history
+      VersionedTable.expire(spark, dir, keep = 2)
+      VersionedTable.vacuum(spark, dir)
+      assert(readMap(dir) == main, s"seed=$seed: retention broke the tip")
+    }
+  }
 }
