@@ -284,6 +284,17 @@ final class GraftSession(val spark: SparkSession) {
         }.getOrElse(refuse("ALTER TABLE",
           "ALTER TABLE <alias> RENAME COLUMN a TO b | ADD COLUMNS " +
             "(a INT, …) | DROP COLUMN[S] a[, b …]"))
+      case "SHOW" =>
+        GraftSession.LcShowBranches.findFirstMatchIn(query).map { m =>
+          val b = binding(m.group(1), "SHOW BRANCHES")
+          import graft.operators.VersionedTable
+          import spark.implicits._
+          VersionedTable.branches(spark, b.dir).map { n =>
+            (n, VersionedTable.branchBase(spark, b.dir, n),
+              VersionedTable.latestVersion(spark,
+                VersionedTable.branchRef(b.dir, n)))
+          }.toDF("branch", "base", "tip")
+        }.getOrElse(rawSql(query)) // SHOW TABLES etc. stay Spark's
       case "DESCRIBE" =>
         GraftSession.DescHistory.findFirstMatchIn(query).map { m =>
           val b = binding(m.group(1), "DESCRIBE HISTORY")
@@ -665,6 +676,9 @@ object GraftSession {
   private val LcFastForward =
     ("""(?is)^\s*FAST\s+FORWARD\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+""" +
       """([A-Za-z0-9._-]+)\s*;?\s*$""").r
+  private val LcShowBranches =
+    ("""(?is)^\s*SHOW\s+BRANCHES\s+ON\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
   private val LcDropBranch =
     ("""(?is)^\s*DROP\s+BRANCH\s+([A-Za-z0-9._-]+)\s+ON\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r

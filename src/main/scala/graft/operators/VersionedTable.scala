@@ -3905,6 +3905,27 @@ object VersionedTable {
       s"branch '$name': malformed BASE marker"))
   }
 
+  /** Branch retention: drop all but the newest `keep` BRANCH manifests
+    * — manifests ONLY, never data files (they are shared with mainline
+    * and other branches; mainline [[vacuum]] reclaims branch-only
+    * staging once no retained manifest anywhere references it). The
+    * FORK manifest always stays ([[fastForward]] diffs tip vs base),
+    * and registered cursor shields extend retention exactly like
+    * mainline [[expire]]. Keeps long-lived branches' logs bounded. */
+  def expireBranch(spark: SparkSession, dir: String, name: String,
+      keep: Int): Seq[Long] = {
+    require(keep >= 2, s"keep must be >= 2, got $keep")
+    val root = rootOf(dir)
+    val ref = branchRef(root, name)
+    val base = branchBase(spark, root, name)
+    val all = versions(spark, ref)
+    val floor = oldestCursor(spark, root).getOrElse(Long.MaxValue)
+    val victims = all.filterNot(_ == base).dropRight(keep).filter(_ < floor)
+    val f = fs(spark, root)
+    victims.foreach(v => f.delete(manifestPath(ref, v), false))
+    victims
+  }
+
   /** Drop branch `name` — its manifest chain and marker; shared data
     * files stay (mainline still references them; branch-only staged
     * files become [[vacuum]] garbage). */

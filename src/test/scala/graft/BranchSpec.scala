@@ -240,4 +240,32 @@ class BranchSpec extends SparkSpec {
       VersionedTable.read(spark, dir).where($"k" === 300L).count() == 0L,
       "branch-only rows in the view; mainline without them")
   }
+
+  test("branch retention: expireBranch bounds the log, keeps the fork, ff still lands") {
+    val dir = tmp("br-expire")
+    VersionedTable.commit(spark, dir, df("a", 20), -1L, "w",
+      clusterBy = Seq("k"), clusterFiles = 2)
+    VersionedTable.createBranch(spark, dir, "long")
+    val ref = VersionedTable.branchRef(dir, "long")
+    // five branch commits stack five manifests past the fork
+    (1 to 5).foreach { i =>
+      VersionedTable.commitDelta(spark, ref, Some(df(s"b$i", 2, 100 + i * 10)),
+        Seq.empty, i - 1L, "wb")
+    }
+    val before = VersionedTable.read(spark, ref).count()
+    val victims = VersionedTable.expireBranch(spark, dir, "long", keep = 2)
+    assert(victims == Seq(1L, 2L, 3L),
+      s"drop all but fork + newest two: $victims")
+    // the fork manifest survives (fastForward needs it), reads intact
+    assert(VersionedTable.readManifest(spark, ref, 0L).version == 0L)
+    assert(VersionedTable.read(spark, ref).count() == before)
+    // expired-manifest staging is NOT sweepable while its files are
+    // still referenced by retained manifests (delta commits share)
+    VersionedTable.vacuum(spark, dir)
+    assert(VersionedTable.read(spark, ref).count() == before,
+      "vacuum must never eat retained branch references")
+    val landed = VersionedTable.fastForward(spark, dir, "long", "w")
+    assert(landed.contains(1L))
+    assert(VersionedTable.read(spark, dir).count() == before)
+  }
 }
