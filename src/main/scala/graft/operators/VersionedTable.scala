@@ -3864,7 +3864,7 @@ object VersionedTable {
       new org.apache.hadoop.fs.Path(s"$bdir/BASE"),
       new org.apache.hadoop.fs.Path(s"$bdir/.tmp-base-${
         java.util.UUID.randomUUID()}"),
-      s"base=$base\nts=${commitClock(spark)}\n")
+      s"base=$base\nmainBase=$base\nts=${commitClock(spark)}\n")
     if (!won) throw new CommitConflict(
       s"createBranch: branch '$name' already exists under $root")
     casCreate(spark,
@@ -3889,8 +3889,17 @@ object VersionedTable {
       .sorted
   }
 
-  /** The mainline version branch `name` forked from. */
-  def branchBase(spark: SparkSession, dir: String, name: String): Long = {
+  /** The branch's current DIFF ANCHOR: the branch-log version its
+    * next [[fastForward]] nets against. Starts at the fork point and
+    * ADVANCES to the landed tip on every landing, so repeated
+    * stage-validate-land cycles each publish only their increment. */
+  def branchBase(spark: SparkSession, dir: String, name: String): Long =
+    readBranchBase(spark, dir, name)._1
+
+  /** (diff anchor in the branch log, mainline version the landing
+    * gate walks from). Equal at fork; a landing advances both. */
+  private def readBranchBase(spark: SparkSession, dir: String,
+      name: String): (Long, Long) = {
     requireBranchName(name)
     val f = fs(spark, dir)
     val p = new org.apache.hadoop.fs.Path(
@@ -3899,10 +3908,12 @@ object VersionedTable {
     val in = f.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    body.linesIterator.collectFirst {
-      case l if l.startsWith("base=") => l.stripPrefix("base=").toLong
-    }.getOrElse(throw new IllegalStateException(
+    def one(k: String) = body.linesIterator.collectFirst {
+      case l if l.startsWith(s"$k=") => l.stripPrefix(s"$k=").toLong
+    }
+    val base = one("base").getOrElse(throw new IllegalStateException(
       s"branch '$name': malformed BASE marker"))
+    (base, one("mainBase").getOrElse(base))
   }
 
   /** Branch retention: drop all but the newest `keep` BRANCH manifests
@@ -3987,24 +3998,10 @@ object VersionedTable {
     requireMainline(dir, "fastForward")
     requireWriterId(writerId)
     val ref = branchRef(dir, name)
-    val base = branchBase(spark, dir, name)
+    val (base, mainBase) = readBranchBase(spark, dir, name)
     val tip = latestVersion(spark, ref)
-    if (tip <= base) return None
-    // already landed at this tip? (the LANDED receipt makes repeated
-    // fastForward idempotent — without it, a second call would see
-    // its OWN landing as a conflicting mainline winner)
+    if (tip <= base) return None // nothing past the diff anchor
     val f = fs(spark, dir)
-    val landedPath = new org.apache.hadoop.fs.Path(
-      s"${branchLogDirOf(rootOf(dir), name)}/LANDED")
-    if (f.exists(landedPath)) {
-      val in = f.open(landedPath)
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      val recorded = body.linesIterator.collectFirst {
-        case l if l.startsWith("tip=") => l.stripPrefix("tip=").toLong
-      }
-      if (recorded.contains(tip)) return None
-    }
     val baseM = readManifest(spark, ref, base)
     val tipM = readManifest(spark, ref, tip)
     require(baseM.legacyDataDir.isEmpty && tipM.legacyDataDir.isEmpty,
@@ -4028,7 +4025,7 @@ object VersionedTable {
     var out: Option[Long] = None
     while (out.isEmpty) {
       val pm = readManifest(spark, dir, parent)
-      if (parent != base) {
+      if (parent != mainBase) {
         // gates that are free when mainline never moved (pm == baseM)
         require(pm.schema.map(schemaShape) == tipM.schema.map(schemaShape),
           s"fastForward '$name': branch and mainline schemas diverged " +
@@ -4040,7 +4037,7 @@ object VersionedTable {
           s"fastForward '$name': branch and mainline declarations " +
             "(expectations/clustering/feed/tombstones) diverged — " +
             "re-declare on one side first")
-        rebaseConflict(spark, dir, base, parent, touched,
+        rebaseConflict(spark, dir, mainBase, parent, touched,
           Seq.empty, readsTable).foreach { reason =>
           throw new CommitConflict(
             s"fastForward '$name' onto $dir: mainline advanced past the " +
@@ -4070,12 +4067,12 @@ object VersionedTable {
         dvChanged.flatMap(r => tipM.dv.get(r).map(r -> _)) ++
         adds.flatMap(r => tipM.dv.get(r).map(r -> _))
       val landMeta =
-        (if (parent == base) tipM.meta else pm.meta) ++ meta +
+        (if (parent == mainBase) tipM.meta else pm.meta) ++ meta +
           ("branch.landed" -> name) + ("branch.landedTip" -> tip.toString)
-      val schema = (if (parent == base) tipM.schema else pm.schema)
+      val schema = (if (parent == mainBase) tipM.schema else pm.schema)
         .getOrElse(throw new IllegalStateException(
           s"fastForward '$name': no schema receipt on either side"))
-      val colmap = if (parent == base) tipM.colmap else pm.colmap
+      val colmap = if (parent == mainBase) tipM.colmap else pm.colmap
       val body = manifestBody(newV, parent, writerId, schema,
         stagingDir = None, files = newLiveOrdered, removed = removes,
         stats = stats, meta = landMeta, dv = dv,
@@ -4083,10 +4080,18 @@ object VersionedTable {
       if (casManifest(spark, dir, newV, writerId, body)) {
         if (landMeta.get(FeedKey).exists(_.trim.nonEmpty))
           ensureFeed(spark, dir, writerId)
-        // landing receipt (plain overwrite: any racer that got here
-        // landed the SAME tip, so the content is identical)
-        val outS = f.create(landedPath, true)
-        try outS.write(s"tip=$tip\nmain=$newV\n".getBytes("UTF-8"))
+        // advance the diff anchor: the NEXT landing nets tip2 vs this
+        // tip and gates from this mainline version — repeated
+        // stage-validate-land cycles each publish their increment,
+        // and a re-landing of an unchanged tip is a no-op by the
+        // tip <= base check. Plain overwrite: any racer that got here
+        // landed the SAME tip (the mainline CAS decided), identical
+        // content either way.
+        val basePath = new org.apache.hadoop.fs.Path(
+          s"${branchLogDirOf(rootOf(dir), name)}/BASE")
+        val outS = f.create(basePath, true)
+        try outS.write(s"base=$tip\nmainBase=$newV\nts=${
+          commitClock(spark)}\n".getBytes("UTF-8"))
         finally outS.close()
         out = Some(newV)
       } else {

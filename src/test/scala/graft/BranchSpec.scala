@@ -268,4 +268,43 @@ class BranchSpec extends SparkSpec {
     assert(landed.contains(1L))
     assert(VersionedTable.read(spark, dir).count() == before)
   }
+
+  test("a stream STAGES into a branch; validation gates the atomic landing") {
+    import graft.streaming.CurationStreaming
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("br-stream").toString
+    val dir = s"$root/t"; val staged = s"$root/staged"; val ckpt = s"$root/ck"
+    VersionedTable.commit(spark, dir, df("a", 20), -1L, "w",
+      clusterBy = Seq("k"), clusterFiles = 2)
+    VersionedTable.createBranch(spark, dir, "ingest")
+    val ref = VersionedTable.branchRef(dir, "ingest")
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType)))
+    val ss = graft.streaming.EventsStreaming.replaySession(spark)
+    // wave 1 arrives; the stream merges it into the BRANCH only
+    df("w1", 3, 100).coalesce(1).write.mode("append").parquet(staged)
+    CurationStreaming.tableMergeStream(ss, staged, ref, Seq("k"),
+      ckpt, sch)
+    assert(rows(VersionedTable.read(spark, ref))
+      .exists(_._2 == "w1"))
+    assert(!rows(VersionedTable.read(spark, dir)).exists(_._2 == "w1"),
+      "staged ingest must be invisible on mainline")
+    // the validation gate (a DQ check over the BRANCH world) passes →
+    // land atomically; mainline sees the whole wave exactly once
+    assert(VersionedTable.read(spark, ref).where($"k".isNull).count() == 0L)
+    VersionedTable.fastForward(spark, dir, "ingest", "w")
+    assert(rows(VersionedTable.read(spark, dir))
+      .count(_._2 == "w1") == 3)
+    // wave 2 through the SAME checkpoint: the stream keeps committing
+    // to the branch (markers live on the branch chain, undisturbed by
+    // the landing); a second landing publishes ONLY the increment
+    df("w2", 2, 200).coalesce(1).write.mode("append").parquet(staged)
+    CurationStreaming.tableMergeStream(ss, staged, ref, Seq("k"),
+      ckpt, sch)
+    val landed2 = VersionedTable.fastForward(spark, dir, "ingest", "w")
+    assert(landed2.nonEmpty)
+    val got = rows(VersionedTable.read(spark, dir))
+    assert(got.count(_._2 == "w1") == 3 && got.count(_._2 == "w2") == 2,
+      s"exactly-once across two stage-validate-land cycles: $got")
+  }
 }

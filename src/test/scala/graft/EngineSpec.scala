@@ -441,8 +441,9 @@ class EngineSpec extends SparkSpec {
     assert(gs.sql("SELECT count(*) FROM t").as[Long].head() == 32L)
     // nothing more to land: receipt keeps the current version
     assert(gs.sql("FAST FORWARD t FROM dev").head().getLong(2) == 1L)
+    // base reports the DIFF ANCHOR, which advanced to the landed tip
     assert(gs.sql("SHOW BRANCHES ON t")
-      .as[(String, Long, Long)].collect().toSeq == Seq(("dev", 0L, 2L)))
+      .as[(String, Long, Long)].collect().toSeq == Seq(("dev", 2L, 2L)))
     gs.sql("DROP BRANCH dev ON t")
     assert(VersionedTable.branches(spark, dir).isEmpty)
     assert(gs.sql("SHOW BRANCHES ON t").count() == 0L)
