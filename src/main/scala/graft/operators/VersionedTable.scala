@@ -3969,6 +3969,105 @@ object VersionedTable {
     (files.result(), dvDirs.result())
   }
 
+  /** CHERRY-PICK: land ONE branch commit's delta (`branchVersion` vs
+    * its parent) on mainline, leaving the rest of the branch unlanded
+    * and the diff anchor unmoved — the selective sibling of
+    * [[fastForward]]. Same zero-data-movement mechanics (files land by
+    * reference) and the same gate, with one EXTRA refusal class: the
+    * picked commit's removed/rewritten files must still be LIVE on
+    * mainline — a pick whose delta was derived over EARLIER unlanded
+    * branch work (it rewrote a file a prior branch commit created, or
+    * masks a file mainline no longer has) refuses loudly, exactly
+    * git's cherry-pick-conflict shape. Returns the new mainline
+    * version. */
+  def cherryPick(spark: SparkSession, dir: String, name: String,
+      branchVersion: Long, writerId: String,
+      readsTable: Boolean = true, rebaseAttempts: Int = 1,
+      meta: Map[String, String] = Map.empty): Long = {
+    requireMainline(dir, "cherryPick")
+    requireWriterId(writerId)
+    val ref = branchRef(dir, name)
+    val (_, mainBase) = readBranchBase(spark, dir, name)
+    require(versions(spark, ref).contains(branchVersion) &&
+        versions(spark, ref).contains(branchVersion - 1),
+      s"cherryPick '$name': version $branchVersion (and its parent) " +
+        "must be retained on the branch")
+    val prevM = readManifest(spark, ref, branchVersion - 1)
+    val vM = readManifest(spark, ref, branchVersion)
+    require(prevM.legacyDataDir.isEmpty && vM.legacyDataDir.isEmpty,
+      "cherryPick: legacy whole-dir commits cannot land")
+    require(prevM.schema.map(schemaShape) == vM.schema.map(schemaShape) &&
+        prevM.colmap == vM.colmap,
+      s"cherryPick '$name': v$branchVersion changed the schema/mapping " +
+        "— schema migrations land via fastForward of the whole branch")
+    val prevSet = prevM.files.toSet
+    val vSet = vM.files.toSet
+    val adds = vM.files.filterNot(prevSet)
+    val removes = prevM.files.filterNot(vSet)
+    val dvChanged = prevM.files.filter(r =>
+      vSet(r) && prevM.dv.get(r) != vM.dv.get(r))
+    val touched = (removes ++ dvChanged).toSet
+    var parent = latestVersion(spark, dir)
+    var attemptsLeft = math.max(1, rebaseAttempts)
+    var out = -1L
+    while (out < 0) {
+      val pm = readManifest(spark, dir, parent)
+      // the picked delta must be schema-compatible with MAINLINE too
+      // (an earlier unlanded branch migration would desync the shapes)
+      require(pm.schema.map(schemaShape) == vM.schema.map(schemaShape) &&
+          pm.colmap == vM.colmap,
+        s"cherryPick '$name' v$branchVersion: branch and mainline " +
+          "schemas/mappings diverged — fastForward the whole branch")
+      if (parent != mainBase)
+        rebaseConflict(spark, dir, mainBase, parent, touched,
+          Seq.empty, readsTable).foreach { reason =>
+          throw new CommitConflict(
+            s"cherryPick '$name' v$branchVersion onto $dir: mainline " +
+              s"is not logically disjoint ($reason)")
+        }
+      val pLive = liveFiles(spark, dir, parent)
+      val pSet = pLive.toSet
+      locally {
+        val gone = (removes ++ dvChanged).filterNot(pSet)
+        require(gone.isEmpty,
+          s"cherryPick '$name' v$branchVersion: its delta touches files " +
+            s"mainline does not hold (${gone.take(3).mkString(", ")}) — " +
+            "it depends on earlier unlanded branch work; fastForward " +
+            "the branch, or pick in order")
+      }
+      val newV = parent + 1
+      val newLive = (pLive.filterNot(removes.toSet) ++ adds).distinct
+      val newSet = newLive.toSet
+      val addSet = adds.toSet
+      val stats = pm.stats.filter { case (rel, _) => newSet(rel) } ++
+        vM.stats.filter { case (rel, _) => addSet(rel) }
+      val dv = (pm.dv -- removes -- dvChanged) ++
+        dvChanged.flatMap(r => vM.dv.get(r).map(r -> _)) ++
+        adds.flatMap(r => vM.dv.get(r).map(r -> _))
+      val landMeta = pm.meta ++ meta +
+        ("branch.cherryPicked" -> s"$name@$branchVersion")
+      val schema = pm.schema.getOrElse(throw new IllegalStateException(
+        s"cherryPick: no schema receipt on mainline $dir"))
+      val body = manifestBody(newV, parent, writerId, schema,
+        stagingDir = None, files = newLive, removed = removes,
+        stats = stats, meta = landMeta, dv = dv,
+        tsMs = commitClock(spark), colmap = pm.colmap)
+      if (casManifest(spark, dir, newV, writerId, body)) {
+        if (landMeta.get(FeedKey).exists(_.trim.nonEmpty))
+          ensureFeed(spark, dir, writerId)
+        out = newV
+      } else {
+        attemptsLeft -= 1
+        if (attemptsLeft <= 0)
+          throw new CommitConflict(
+            s"cherryPick '$name' onto $dir: lost the race for version " +
+              s"$newV and the retry budget is exhausted — retry")
+        parent = latestVersion(spark, dir)
+      }
+    }
+    out
+  }
+
   /** Land branch `name`'s NET effect (its tip vs its fork point) on
     * mainline as ONE commit — the merge-back gate of the branching
     * story (Iceberg fast-forward / cherry-pick semantics, squashed:

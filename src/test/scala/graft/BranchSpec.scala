@@ -307,4 +307,55 @@ class BranchSpec extends SparkSpec {
     assert(got.count(_._2 == "w1") == 3 && got.count(_._2 == "w2") == 2,
       s"exactly-once across two stage-validate-land cycles: $got")
   }
+
+  test("cherryPick lands ONE branch commit; order-dependent picks refuse like git") {
+    val dir = tmp("br-pick")
+    VersionedTable.commit(spark, dir, df("a", 40), -1L, "w",
+      clusterBy = Seq("k"), clusterFiles = 4)
+    VersionedTable.createBranch(spark, dir, "dev")
+    val ref = VersionedTable.branchRef(dir, "dev")
+    // three independent branch commits: a low-band mask (v1), a blind
+    // append (v2), a high-band mask (v3)
+    VersionedTable.deleteWhere(spark, ref, "k = 2", 0L, "wb")
+    VersionedTable.commitDelta(spark, ref, Some(df("extra", 2, 100)),
+      Seq.empty, 1L, "wb")
+    VersionedTable.deleteWhere(spark, ref, "k = 35", 2L, "wb")
+    // pick ONLY the append (v2): mainline gains the rows, neither mask
+    val picked = VersionedTable.cherryPick(spark, dir, "dev", 2L, "w")
+    assert(picked == 1L)
+    val got = rows(VersionedTable.read(spark, dir))
+    assert(got.count(_._2 == "extra") == 2 && got.contains((2L, "a")) &&
+      got.contains((35L, "a")), s"only the append lands: $got")
+    // the anchor did NOT move: a later fastForward lands the REST.
+    // The net vs the anchor still includes the picked append — its
+    // files are already live on main, so the landing keeps them by
+    // path (idempotent by reference) and the masks land now. The pick
+    // itself is the "mainline add" the conservative gate flags, so
+    // the caller who picked passes readsTable = false knowingly.
+    VersionedTable.fastForward(spark, dir, "dev", "w",
+      readsTable = false)
+    val all = rows(VersionedTable.read(spark, dir))
+    assert(all.count(_._2 == "extra") == 2 &&
+      !all.contains((2L, "a")) && !all.contains((35L, "a")),
+      s"the full landing converges: $all")
+    // order-dependence refuses: a branch commit that REWRITES a file an
+    // earlier unlanded branch commit created cannot pick alone
+    VersionedTable.createBranch(spark, dir, "dep")
+    val ref2 = VersionedTable.branchRef(dir, "dep")
+    val b0 = VersionedTable.latestVersion(spark, ref2)
+    VersionedTable.commitDelta(spark, ref2, Some(df("w1", 3, 500)),
+      Seq.empty, b0, "wb")
+    // v(b0+2) rewrites the file v(b0+1) created (merge on its keys)
+    VersionedTable.merge(spark, ref2,
+      Seq((500L, "w1x")).toDF("k", "v"), Seq("k"), b0 + 1, "wb")
+    intercept[IllegalArgumentException] {
+      VersionedTable.cherryPick(spark, dir, "dep", b0 + 2, "w")
+    }
+    // picked in order, both land (pick 2 sees pick 1 as the mainline
+    // "add" — the picker passes readsTable = false for their own pick)
+    VersionedTable.cherryPick(spark, dir, "dep", b0 + 1, "w")
+    VersionedTable.cherryPick(spark, dir, "dep", b0 + 2, "w",
+      readsTable = false)
+    assert(rows(VersionedTable.read(spark, dir)).contains((500L, "w1x")))
+  }
 }
