@@ -5011,6 +5011,68 @@ object SparkEntry {
       VersionedTable.read(s, vt).select(col("k"), col("name"), col("bal"))
     }),
 
+    // --- cherryPick + fastForward convergence (round 15): three
+    //     branch commits (mask / append / mask); cherry-pick ONLY the
+    //     append — mainline gains the rows and NEITHER mask; then
+    //     fastForward lands the rest, idempotently keeping the picked
+    //     files by reference. The oracle replays the converged table.
+    //     The order-dependence refusal is probed in-entry. ---
+    "q258_branch_cherry_pick" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val vt = java.nio.file.Files.createTempDirectory("graft_cp_q258_")
+        .toString + "/t"
+      val base = t(s, dir).orders.select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("pr"), col("o_totalprice").as("price"))
+      require(VersionedTable.commit(s, vt, base, -1L, "loader",
+        clusterBy = Seq("k"), clusterFiles = 16) == 0L)
+      require(VersionedTable.createBranch(s, vt, "fix") == 0L)
+      val ref = VersionedTable.branchRef(vt, "fix")
+      val d1 = VersionedTable.deleteWhere(s, ref, "k % 91 = 5", 0L, "wb")
+      require(d1.rowsDeleted > 0, s"q258: branch mask 1: $d1")
+      VersionedTable.commitDelta(s, ref,
+        Some(base.filter(col("k") % 131 === 0)
+          .select((col("k") + 8000000L).as("k"), lit("9-PICK").as("pr"),
+            lit(2.0).as("price")).coalesce(1)),
+        Seq.empty, 1L, "wb")
+      val d3 = VersionedTable.deleteWhere(s, ref,
+        "k % 87 = 11 AND k < 8000000", 2L, "wb")
+      require(d3.rowsDeleted > 0, s"q258: branch mask 2: $d3")
+      // pick ONLY the append (branch v2)
+      require(VersionedTable.cherryPick(s, vt, "fix", 2L, "picker") == 1L)
+      val afterPick = VersionedTable.read(s, vt)
+      val nAppend = base.filter(col("k") % 131 === 0).count()
+      require(afterPick.filter(col("pr") === "9-PICK").count() == nAppend,
+        "q258: the picked append must land in full")
+      require(afterPick.filter(col("k") % 91 === 5 &&
+          col("k") < 8000000).count() == d1.rowsDeleted,
+        "q258: the unpicked masks must NOT land with the pick")
+      // order-dependence refusal probe: on a second branch, a commit
+      // rewriting an earlier unlanded commit's file cannot pick alone
+      VersionedTable.createBranch(s, vt, "dep")
+      val ref2 = VersionedTable.branchRef(vt, "dep")
+      val b0 = VersionedTable.latestVersion(s, ref2)
+      VersionedTable.commitDelta(s, ref2,
+        Some(s.range(3).select((col("id") + 9000000L).as("k"),
+          lit("w1").as("pr"), lit(1.0).as("price"))), Seq.empty, b0, "wb2")
+      VersionedTable.merge(s, ref2,
+        s.range(1).select(lit(9000001L).as("k"), lit("w1x").as("pr"),
+          lit(1.5).as("price")), Seq("k"), b0 + 1, "wb2")
+      val refused =
+        try { VersionedTable.cherryPick(s, vt, "dep", b0 + 2, "picker")
+          false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "q258: an order-dependent pick must refuse loudly")
+      VersionedTable.deleteBranch(s, vt, "dep")
+      // the full landing converges: masks arrive, the picked files are
+      // kept by reference (the pick is the "mainline add" the
+      // conservative gate flags — the picker passes readsTable=false)
+      require(VersionedTable.fastForward(s, vt, "fix", "merger",
+        readsTable = false).contains(2L))
+      require(VersionedTable.fastForward(s, vt, "fix", "merger").isEmpty,
+        "q258: a landed tip must not land twice")
+      VersionedTable.read(s, vt).select(col("k"), col("pr"), col("price"))
+    }),
+
     // --- piggybank datetime evals (ISOToUnix / UnixToISO /
     //     ISODaysBetween) over orders dates ---
     "q121_datetime_iso" -> ((s, dir) => {
@@ -8101,6 +8163,18 @@ object SparkEntry {
          SELECT c_custkey + 10000000 AS k,
                 'b_' || CAST(c_custkey AS VARCHAR) AS name, 0.0 AS bal
          FROM customer WHERE c_custkey <= 20""",
+
+    // cherry-pick then fast-forward: converged = base minus both
+    // branch masks plus the picked append (landed exactly once)
+    "q258_branch_cherry_pick" ->
+      """SELECT o_orderkey AS k, o_orderpriority AS pr,
+                o_totalprice AS price
+         FROM orders
+         WHERE NOT (o_orderkey % 91 = 5)
+           AND NOT (o_orderkey % 87 = 11)
+         UNION ALL
+         SELECT o_orderkey + 8000000 AS k, '9-PICK' AS pr, 2.0 AS price
+         FROM orders WHERE o_orderkey % 131 = 0""",
 
     // greedy md5-ordered prefix per lang under hard token budgets
     "q150_token_budget" ->
