@@ -3646,21 +3646,32 @@ object VersionedTable {
       predicate: String): (Long, Long) = {
     val f = fs(spark, dir)
     val vs = versions(spark, dir)
-    vs.foreach { v =>
-      val hit = readVersion(spark, dir, v).filter(expr(predicate))
-        .limit(1).count()
-      require(hit == 0L,
-        s"forget verification FAILED: retained version $v of $dir still " +
-          s"matches '$predicate'")
+    // ONE distributed job probes every retained version (this used to
+    // be a job per version — the standing r13/r14 blemish): each
+    // version's branch filters under its OWN schema (evolution-safe)
+    // and projects only its version tag; the union's distinct returns
+    // exactly the violating versions for the error message.
+    if (vs.nonEmpty) {
+      val bad = vs.map(v => readVersion(spark, dir, v)
+          .filter(expr(predicate)).select(lit(v).as("v")))
+        .reduce(_.unionByName(_)).distinct()
+        .collect().map(_.getLong(0)).sorted
+      require(bad.isEmpty,
+        s"forget verification FAILED: retained version(s) " +
+          s"${bad.mkString(",")} of $dir still match '$predicate'")
     }
+    // feed probes batch the same way (one job over every retained
+    // feed dir); feed files carry physical names, the predicate is
+    // logical, so each version's branch aliases through its colmap
     var feedFiles = 0L
-    vs.foreach { v =>
+    val feedProbes = vs.flatMap { v =>
       val p = new org.apache.hadoop.fs.Path(s"${rootOf(dir)}/${feedDirRel(v)}")
-      if (f.exists(p)) {
+      if (!f.exists(p)) None
+      else {
         val files = listDataFiles(spark, dir, feedDirRel(v))
-        if (files.nonEmpty) {
+        if (files.isEmpty) None
+        else {
           feedFiles += files.length
-          // feed files carry physical names; the predicate is logical
           val logical = schemaOf(spark, dir, v)
           val colmap = readManifest(spark, dir, v).colmap
           val sch = physSchema(logical, colmap)
@@ -3673,14 +3684,19 @@ object VersionedTable {
             else raw.select(logical.fields.map(f =>
               col(s"`${physName(colmap, f.name)}`").as(f.name)).toSeq ++
               Seq(col("op"), col("version")): _*)
-          val hit = aliased
+          Some(aliased
             .filter(col("op") =!= "delete").filter(expr(predicate))
-            .limit(1).count()
-          require(hit == 0L,
-            s"forget verification FAILED: retained feed v$v of $dir " +
-              s"still carries attribute values matching '$predicate'")
+            .select(lit(v).as("v")))
         }
       }
+    }
+    if (feedProbes.nonEmpty) {
+      val bad = feedProbes.reduce(_.unionByName(_)).distinct()
+        .collect().map(_.getLong(0)).sorted
+      require(bad.isEmpty,
+        s"forget verification FAILED: retained feed(s) v" +
+          s"${bad.mkString(",v")} of $dir still carry attribute values " +
+          s"matching '$predicate'")
     }
     (vs.length.toLong, feedFiles)
   }
