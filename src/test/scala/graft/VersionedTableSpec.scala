@@ -1495,4 +1495,28 @@ class VersionedTableSpec extends SparkSpec {
       Seq("k", "v"))
     assert(VersionedTable.readManifest(spark, dir, v2).colmap.isEmpty)
   }
+
+  test("manifest cache: a recreated table at the same path never serves stale metadata") {
+    val dir = java.nio.file.Files.createTempDirectory("vt-cache").toString + "/t"
+    VersionedTable.commit(spark, dir, df("old", 5), -1L, "w")
+    // warm the cache through every metadata path
+    assert(VersionedTable.read(spark, dir).count() == 5)
+    assert(VersionedTable.schemaOf(spark, dir, 0L).fieldNames.length == 2)
+    // nuke and recreate the table at the SAME path (a test fixture
+    // rebuild, a dev reset — the realistic cache-poisoning shape)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(dir), true)
+    VersionedTable.commit(spark, dir, df("new", 7), -1L, "w2")
+    // the cache is validated by (mtime, length): the new manifest is
+    // served, never the old parse
+    assert(VersionedTable.read(spark, dir).count() == 7)
+    assert(VersionedTable.readManifest(spark, dir, 0L).writer == "w2")
+    assert(VersionedTable.read(spark, dir).select($"v").distinct()
+      .as[String].head() == "new")
+    // the kill-switch path answers identically
+    spark.conf.set("graft.manifest.cache", "false")
+    try assert(VersionedTable.readManifest(spark, dir, 0L).writer == "w2")
+    finally spark.conf.unset("graft.manifest.cache")
+  }
 }
