@@ -5073,6 +5073,110 @@ object SparkEntry {
       VersionedTable.read(s, vt).select(col("k"), col("pr"), col("price"))
     }),
 
+    // --- fastForward additive reconciliation (round 16, VERDICT r15
+    //     #2): the branch ADDs a nullable column AND re-declares the
+    //     change feed while mainline absorbs an unrelated high-band
+    //     delete — the landing takes the union schema + the branch's
+    //     declarations, mainline rows null-fill, and the landing's
+    //     PERSISTED feed files carry exactly the branch's appended
+    //     rows. Result = post-merge read UNION a feed-file digest, so
+    //     the oracle hash covers BOTH surfaces. ---
+    "q259_ff_reconcile" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val vt = java.nio.file.Files.createTempDirectory("graft_ffr_q259_")
+        .toString + "/t"
+      val cust = t(s, dir).customer.select(col("c_custkey").as("k"),
+        col("c_name").as("name"), col("c_acctbal").as("bal"))
+      require(VersionedTable.commit(s, vt, cust, -1L, "loader",
+        clusterBy = Seq("k"), clusterFiles = 16) == 0L)
+      require(VersionedTable.createBranch(s, vt, "sch") == 0L)
+      val ref = VersionedTable.branchRef(vt, "sch")
+      // branch: ADD COLUMNS (metadata-only) + rows carrying the new
+      // column + the feed re-declaration, all unlanded
+      VersionedTable.addColumns(s, ref, Seq(
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType, nullable = true)),
+        0L, "wb")
+      VersionedTable.commitDelta(s, ref,
+        Some(cust.filter(col("k") % 97 === 0)
+          .select((col("k") + 20000000L).as("k"),
+            concat(lit("s_"), col("k").cast("string")).as("name"),
+            lit(0.0).as("bal"), (col("k") % 13).cast("double").as("score"))
+          .coalesce(1)),
+        Seq.empty, 1L, "wb",
+        meta = Map(VersionedTable.FeedKey -> "k"))
+      // mainline advances past the fork: an unrelated high-band delete
+      val maxK = cust.agg(max(col("k"))).head.getLong(0)
+      val hi = maxK * 7 / 8
+      val dM = VersionedTable.deleteWhere(s, vt,
+        s"k > $hi AND k % 7 = 3", 0L, "wm")
+      require(dM.rowsDeleted > 0, s"q259: mainline delete must mask: $dM")
+      val landed = VersionedTable.fastForward(s, vt, "sch", "merger")
+      require(landed.contains(2L), s"q259: must land as v2: $landed")
+      val lm = VersionedTable.readManifest(s, vt, 2L)
+      require(lm.schema.get.fieldNames.toSeq == Seq("k", "name", "bal",
+        "score"), s"q259: union schema: ${lm.schema.get.fieldNames.toSeq}")
+      require(lm.meta.get(VersionedTable.FeedKey).contains("k"),
+        "q259: the branch's feed declaration must land")
+      require(!lm.meta.contains(VersionedTable.ScopeOpKey),
+        "q259: a landing must not inherit the delete's recorded scope")
+      // the landing's PERSISTED feed (ensureFeed ran under the landed
+      // declaration): exactly the appended rows, as inserts
+      val feed = s.read.parquet(s"$vt/_changes/v2")
+      val feedDigest = feed.groupBy(col("op"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sk"))
+        .select(col("n").as("k"), concat(lit("feed_"), col("op")).as("name"),
+          col("sk").cast("double").as("bal"),
+          lit(null).cast("double").as("score"))
+      VersionedTable.read(s, vt)
+        .select(col("k"), col("name"), col("bal"), col("score"))
+        .unionByName(feedDigest)
+    }),
+
+    // --- SQL CHERRY PICK (round 16, VERDICT r15 #4): a SQL-only
+    //     session forks a branch (dotted name), stages two appends,
+    //     and lands ONLY the second via `CHERRY PICK <n> FROM <b> ON
+    //     t` through runScript; the first stays unlanded. Grammar and
+    //     dependency refusals are probed in-entry (bad version, pick
+    //     on a missing branch, non-numeric version). ---
+    "q260_sql_cherry_pick" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val vt = java.nio.file.Files.createTempDirectory("graft_cp_q260_")
+        .toString + "/t"
+      val base = t(s, dir).orders.select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("pr"), col("o_totalprice").as("price"))
+      require(VersionedTable.commit(s, vt, base, -1L, "loader",
+        clusterBy = Seq("k"), clusterFiles = 16) == 0L)
+      val gs = new graft.core.GraftSession(s)
+      gs.registerVersioned("t", vt)
+      val rs = gs.runScript(
+        """CREATE BRANCH fix.one ON t AS tdev;
+          |INSERT INTO tdev SELECT k + 7000000, 'P1', 1.0 FROM tdev
+          |  WHERE k % 113 = 0;
+          |INSERT INTO tdev SELECT k + 7500000, 'P2', 2.0 FROM tdev
+          |  WHERE k % 127 = 0 AND k < 7000000;
+          |CHERRY PICK 2 FROM fix.one ON t""".stripMargin)
+      require(rs.last.head().getString(0) == "cherry_pick" &&
+        rs.last.head().getLong(2) == 1L,
+        s"q260: the pick must land as mainline v1")
+      // refusal probes: unretained version, missing branch, bad grammar
+      def refuses(stmt: String): Boolean =
+        try { gs.sql(stmt); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refuses("CHERRY PICK 99 FROM fix.one ON t"),
+        "q260: an unretained branch version must refuse")
+      require(refuses("CHERRY PICK 1 FROM nope ON t"),
+        "q260: a pick from a missing branch must refuse")
+      require(refuses("CHERRY PICK x FROM fix.one ON t"),
+        "q260: a non-numeric version must refuse with the grammar")
+      require(refuses("CHERRY PICK 1 FROM fix.one"),
+        "q260: a pick without ON must refuse with the grammar")
+      // the unlanded P1 stays branch-only; mainline gained exactly P2
+      require(gs.sql("SELECT count(*) FROM t WHERE pr = 'P1'")
+        .head().getLong(0) == 0L, "q260: the unpicked commit must not land")
+      gs.sql("SELECT k, pr, price FROM t")
+    }),
+
     // --- piggybank datetime evals (ISOToUnix / UnixToISO /
     //     ISODaysBetween) over orders dates ---
     "q121_datetime_iso" -> ((s, dir) => {
@@ -8175,6 +8279,38 @@ object SparkEntry {
          UNION ALL
          SELECT o_orderkey + 8000000 AS k, '9-PICK' AS pr, 2.0 AS price
          FROM orders WHERE o_orderkey % 131 = 0""",
+
+    // fastForward additive reconciliation: post-merge table = customer
+    // minus mainline's high-band mask, score NULL-filled, plus the
+    // branch's appended rows carrying score; the landing's persisted
+    // feed digest rides as one extra row (insert count + key sum)
+    "q259_ff_reconcile" ->
+      """WITH q AS (SELECT CAST(FLOOR(MAX(c_custkey) * 7 / 8.0) AS BIGINT) AS hi
+                    FROM customer),
+         ap AS (SELECT c_custkey + 20000000 AS k,
+                       's_' || CAST(c_custkey AS VARCHAR) AS name,
+                       0.0 AS bal,
+                       CAST(c_custkey % 13 AS DOUBLE) AS score
+                FROM customer WHERE c_custkey % 97 = 0)
+         SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal,
+                CAST(NULL AS DOUBLE) AS score
+         FROM customer, q
+         WHERE NOT (c_custkey > hi AND c_custkey % 7 = 3)
+         UNION ALL SELECT k, name, bal, score FROM ap
+         UNION ALL
+         SELECT COUNT(*) AS k, 'feed_insert' AS name,
+                CAST(SUM(k) AS DOUBLE) AS bal, CAST(NULL AS DOUBLE) AS score
+         FROM ap""",
+
+    // SQL cherry-pick: mainline = orders + ONLY the picked (second)
+    // append; the first staged append must leave no trace
+    "q260_sql_cherry_pick" ->
+      """SELECT o_orderkey AS k, o_orderpriority AS pr,
+                o_totalprice AS price
+         FROM orders
+         UNION ALL
+         SELECT o_orderkey + 7500000 AS k, 'P2' AS pr, 2.0 AS price
+         FROM orders WHERE o_orderkey % 127 = 0""",
 
     // greedy md5-ordered prefix per lang under hard token budgets
     "q150_token_budget" ->

@@ -159,16 +159,23 @@ final class GraftSession(val spark: SparkSession) {
     *     `VACUUM t [RETAIN n VERSIONS]` → orphan sweep (+ expire);
     *     `RESTORE t TO VERSION n` → [[graft.operators.VersionedTable.restore]];
     *     `CREATE BRANCH dev ON t [AS tdev]` / `FAST FORWARD t FROM
-    *     dev` / `DROP BRANCH dev ON t` → the branch lifecycle (AS
-    *     registers the branch world as its own DML-capable alias).
+    *     dev` / `CHERRY PICK <n> FROM dev ON t` (round 16) / `DROP
+    *     BRANCH dev ON t` → the branch lifecycle (AS registers the
+    *     branch world as its own DML-capable alias).
     *
     * Routing is KEYWORD-FIRST (round 15, the r14 advice): a statement
     * whose leading keyword is INSERT/DELETE/UPDATE/MERGE/OPTIMIZE/
-    * VACUUM/RESTORE either matches its supported shape or REFUSES
-    * with the expected grammar — a shape variant (DELETE without
-    * WHERE, INSERT with a column list) can no longer fall through to
-    * Spark and surface an unrelated error. CREATE/ALTER/DESCRIBE keep
-    * their Spark meanings for the forms this engine does not claim.
+    * VACUUM/RESTORE/CHERRY either matches its supported shape or
+    * REFUSES with the expected grammar — a shape variant (DELETE
+    * without WHERE, INSERT with a column list) can no longer fall
+    * through to Spark and surface an unrelated error. CREATE/ALTER/
+    * DESCRIBE keep their Spark meanings for the forms this engine
+    * does not claim — with one carve-out (round 16, the r15 advice):
+    * an unmatched ALTER that targets a REGISTERED VERSIONED ALIAS
+    * refuses with the supported grammar (Spark has no catalog binding
+    * for it, so falling through could only surface an unrelated
+    * error), while ALTER over anything else — Spark catalog tables,
+    * views, qualified names — falls through untouched.
     *
     * Writes commit against the version the alias RESOLVED at
     * registration — snapshot-isolation writes: if another writer moved
@@ -281,9 +288,27 @@ final class GraftSession(val spark: SparkSession) {
                 b.version, s"sql-${m.group(1)}")
             }
           }
-        }.getOrElse(refuse("ALTER TABLE",
-          "ALTER TABLE <alias> RENAME COLUMN a TO b | ADD COLUMNS " +
-            "(a INT, …) | DROP COLUMN[S] a[, b …]"))
+        }.getOrElse {
+          // unmatched ALTER forms refuse ONLY when they target a
+          // registered versioned alias (this engine owns that table
+          // and claims no other ALTER over it — falling through would
+          // surface an unrelated Spark catalog error); everything else
+          // (ALTER VIEW, ALTER TABLE on Spark catalog tables,
+          // SET TBLPROPERTIES, qualified names) keeps its Spark
+          // meaning, matching the documented CREATE/ALTER contract
+          GraftSession.AlterTarget.findFirstMatchIn(query) match {
+            case Some(mm) if versioned.contains(mm.group(1)) =>
+              refuse(s"ALTER TABLE ${mm.group(1)} (a versioned alias)",
+                "ALTER TABLE <alias> RENAME COLUMN a TO b | ADD COLUMNS " +
+                  "(a INT, …) | DROP COLUMN[S] a[, b …]")
+            case _ => rawSql(query)
+          }
+        }
+      case "CHERRY" =>
+        GraftSession.LcCherryPick.findFirstMatchIn(query).map { m =>
+          lcCherryPick(m.group(3), m.group(2), m.group(1).toLong)
+        }.getOrElse(refuse("CHERRY PICK",
+          "CHERRY PICK <branch-version> FROM <branch> ON <alias>"))
       case "SHOW" =>
         GraftSession.LcShowBranches.findFirstMatchIn(query).map { m =>
           val b = binding(m.group(1), "SHOW BRANCHES")
@@ -581,6 +606,22 @@ final class GraftSession(val spark: SparkSession) {
       case None => receipt("fast_forward", alias, b.version, -1L)
     }
   }
+
+  /** CHERRY PICK n FROM branch ON alias — land ONE branch commit's
+    * delta on mainline (the selective sibling of FAST FORWARD; the
+    * branch and its diff anchor stay put). Refusals surface the
+    * table layer's own messages: an unretained version, a pick whose
+    * delta depends on earlier unlanded branch work, a schema change
+    * (those land via FAST FORWARD of the whole branch). */
+  private def lcCherryPick(alias: String, name: String,
+      branchVersion: Long): DataFrame = {
+    import graft.operators.VersionedTable
+    val b = binding(alias, "CHERRY PICK")
+    val v = VersionedTable.cherryPick(spark, b.dir, name, branchVersion,
+      s"sql-$alias")
+    advance(alias, b, v)
+    receipt("cherry_pick", alias, v, -1L)
+  }
 }
 
 object GraftSession {
@@ -682,6 +723,14 @@ object GraftSession {
   private val LcDropBranch =
     ("""(?is)^\s*DROP\s+BRANCH\s+([A-Za-z0-9._-]+)\s+ON\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
+  private val LcCherryPick =
+    ("""(?is)^\s*CHERRY\s+PICK\s+(\d+)\s+FROM\s+([A-Za-z0-9._-]+)\s+ON\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
+  // the bare target of an otherwise-unmatched ALTER TABLE — used only
+  // to decide refuse-vs-fallthrough (versioned aliases refuse with the
+  // supported grammar; everything else keeps its Spark meaning)
+  private val AlterTarget =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\b""".r
   private val DdlRename =
     ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+""" +
       """COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r

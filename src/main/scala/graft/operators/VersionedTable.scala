@@ -195,16 +195,60 @@ object VersionedTable {
         "run it against the table root (branch work reaches the feed/" +
         "retention surfaces when it lands via fastForward)")
 
+  // Version-LISTING cache (round 16, VERDICT r15 #6): every commit —
+  // and every latestVersion-resolving read — pays a directory
+  // listStatus over the log. Irrelevant on local disk; the dominant
+  // commit-path metadata cost on an object store (a LIST round trip
+  // per call, priced ~10× a HEAD). The cache is validated by the log
+  // DIRECTORY's mtime (child create/delete bumps it on HDFS and local
+  // fs) under the same coarse-tick discipline as the manifest LRU:
+  //   - a listing is CACHED only when taken safely after the dir's
+  //     last mtime tick (now >= mtime + grace) — a same-tick mutation
+  //     racing the listStatus can then never be masked, because any
+  //     later mutation stamps a strictly newer tick;
+  //   - a hit additionally probes existence of manifest(tip + 1) — one
+  //     HEAD — so even a pathological store that fails to bump the dir
+  //     mtime on child create (object stores with synthesized
+  //     directory statuses report mtime 0, which the `mt > 0` guard
+  //     excludes from caching entirely) surfaces a new commit.
+  // Kill-switch: graft.listing.cache=false (reads and puts).
+  private val listingCache =
+    new java.util.LinkedHashMap[String, (Long, Seq[Long])](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Seq[Long])]): Boolean =
+        size > 1024
+    }
+  private[operators] def invalidateListing(dir: String): Unit =
+    listingCache.synchronized(listingCache.remove(logDir(dir)))
+
   /** Committed versions, ascending. Bounded driver metadata. */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(logDir(dir))
+    val key = logDir(dir)
+    val p = new org.apache.hadoop.fs.Path(key)
     val f = fs(spark, dir)
-    if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).toSeq
+    val cacheOn = spark.conf.getOption("graft.listing.cache")
+      .forall(_ != "false")
+    val st =
+      try f.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException => return Seq.empty }
+    if (cacheOn) {
+      listingCache.synchronized(Option(listingCache.get(key))).foreach {
+        case (mt, vs) =>
+          if (mt == st.getModificationTime &&
+              !f.exists(manifestPath(dir, vs.lastOption.getOrElse(-1L) + 1)))
+            return vs
+      }
+    }
+    val listed = f.listStatus(p).toSeq
       .map(_.getPath.getName)
       .filter(_.endsWith(".manifest"))
       .map(_.stripSuffix(".manifest").toLong)
       .sorted
+    val mt = st.getModificationTime
+    if (cacheOn && mt > 0 &&
+        mt + cacheGraceMs(spark) <= System.currentTimeMillis())
+      listingCache.synchronized(listingCache.put(key, (mt, listed)))
+    listed
   }
 
   /** Latest committed version, or -1 for an empty table (so the first
@@ -225,28 +269,74 @@ object VersionedTable {
   // stores the saved GETs matter even more. Validation keeps the
   // cache safe under table re-creation at the same path; deletions
   // surface as FileNotFoundException from the stat, same as before.
-  private val manifestCache =
-    new java.util.LinkedHashMap[String, (Long, Long, Manifest)](
-        256, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (Long, Long, Manifest)]): Boolean =
-        size > 4096
+  //
+  // Two refinements (round 16, the r15 advice):
+  //   - (mtime, length) cannot distinguish a delete + recreate that
+  //     lands inside ONE mtime tick with an equal-length body (stores
+  //     report second-granular mtimes). A cached entry is therefore
+  //     served only once its mtime tick is safely in the past
+  //     ([[manifestCacheGraceMs]]): any later recreation necessarily
+  //     stamps a NEWER tick and misses the (mtime) compare. Freshly
+  //     committed manifests re-read from disk for ~one tick — the
+  //     commit loop's wins are the O(versions) OLD manifests, which
+  //     keep hitting.
+  //   - eviction is weighted by manifest SIZE (≈ live-file count +
+  //     masks), not entry count: a Manifest holds one entry per live
+  //     file, so thousands of cached versions of a 10^5-file table
+  //     would otherwise pin gigabytes of driver heap. Manifests above
+  //     [[manifestCacheMaxWeight]]/4 are never cached at all.
+  private val manifestCacheMaxWeight = 4L * 1024 * 1024 // ~file entries
+  private def manifestWeight(m: Manifest): Long =
+    math.max(1L, m.files.length.toLong + m.dv.size.toLong +
+      m.stats.valuesIterator.map(_.size.toLong).sum)
+  private object manifestCache {
+    private var totalWeight = 0L
+    private val map =
+      new java.util.LinkedHashMap[String, (Long, Long, Manifest)](
+        256, 0.75f, true)
+    def get(key: String): Option[(Long, Long, Manifest)] =
+      synchronized(Option(map.get(key)))
+    def put(key: String, v: (Long, Long, Manifest)): Unit = synchronized {
+      val w = manifestWeight(v._3)
+      if (w > manifestCacheMaxWeight / 4) return // never pin huge tables
+      Option(map.remove(key)).foreach(old =>
+        totalWeight -= manifestWeight(old._3))
+      map.put(key, v)
+      totalWeight += w
+      val it = map.entrySet().iterator()
+      while (totalWeight > manifestCacheMaxWeight && it.hasNext) {
+        val e = it.next() // eldest-accessed first (accessOrder = true)
+        totalWeight -= manifestWeight(e.getValue._3)
+        it.remove()
+      }
     }
+  }
+
+  /** Coarse-mtime shield for the (mtime, length) cache validations: an
+    * entry is served only when its recorded mtime is at least this far
+    * in the past — one tick of the coarsest store granularity
+    * (S3/HDFS report seconds). Session-tunable for the specs. */
+  private def cacheGraceMs(spark: SparkSession): Long =
+    spark.conf.getOption("graft.manifest.cache.graceMs")
+      .flatMap(_.toLongOption).getOrElse(2000L)
 
   def readManifest(spark: SparkSession, dir: String, v: Long): Manifest = {
     val f = fs(spark, dir)
     val p = manifestPath(dir, v)
     // session kill-switch (and the A/B lever for the attribution
     // probe, tools/CacheProbe): graft.manifest.cache=false reads every
-    // manifest from disk, bypassing the LRU entirely
+    // manifest from disk, bypassing the LRU entirely — reads AND the
+    // put below, so a probe's OFF leg never warms the ON leg
     val cacheOn = spark.conf.getOption("graft.manifest.cache")
       .forall(_ != "false")
     val st = f.getFileStatus(p) // throws FileNotFoundException like open
     val key = p.toString
     if (cacheOn)
-      manifestCache.synchronized(Option(manifestCache.get(key))).foreach {
+      manifestCache.get(key).foreach {
         case (mt, len, m) =>
-          if (mt == st.getModificationTime && len == st.getLen) return m
+          if (mt == st.getModificationTime && len == st.getLen &&
+              mt + cacheGraceMs(spark) <= System.currentTimeMillis())
+            return m
       }
     val in = f.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -297,9 +387,8 @@ object VersionedTable {
           case _             => None
         }
       }.toMap)
-    manifestCache.synchronized {
+    if (cacheOn)
       manifestCache.put(key, (st.getModificationTime, st.getLen, parsed))
-    }
     parsed
   }
 
@@ -986,6 +1075,42 @@ object VersionedTable {
   private def schemaShape(s: org.apache.spark.sql.types.StructType) =
     s.fields.map(x => (x.name, x.dataType)).toSeq
 
+  /** The appended fields making `to` a pure additive extension of
+    * `from` (the [[addColumns]] shape: `from`'s fields as an unchanged
+    * prefix, new fields after). Some(empty) when the shapes are equal;
+    * None for any other change — renames, drops, type changes,
+    * reorders. Nullability is NOT part of the shape (a commit whose
+    * DataFrame happened to produce a non-nullable receipt for the new
+    * column still matches); consumers that land an extension force
+    * the appended fields nullable, because the un-extended side's
+    * files null-fill them. */
+  private def additiveExtension(
+      from: Option[org.apache.spark.sql.types.StructType],
+      to: Option[org.apache.spark.sql.types.StructType])
+      : Option[Seq[org.apache.spark.sql.types.StructField]] =
+    (from, to) match {
+      case (Some(a), Some(b))
+          if b.fields.length >= a.fields.length &&
+            schemaShape(org.apache.spark.sql.types.StructType(
+              b.fields.take(a.fields.length))) == schemaShape(a) =>
+        Some(b.fields.drop(a.fields.length).toSeq)
+      case _ => None
+    }
+
+  /** The landing schema for an admitted one-sided extension: the
+    * extended side's fields with the appended tail forced NULLABLE
+    * (pre-extension files null-fill it on every read path). None when
+    * `ext` does not additively extend `base`. */
+  private def extendedSchema(
+      base: Option[org.apache.spark.sql.types.StructType],
+      ext: Option[org.apache.spark.sql.types.StructType])
+      : Option[org.apache.spark.sql.types.StructType] =
+    additiveExtension(base, ext).flatMap { newF =>
+      ext.map(e => org.apache.spark.sql.types.StructType(
+        e.fields.dropRight(newF.length) ++
+          newF.map(_.copy(nullable = true))))
+    }
+
   private def guardSchema(spark: SparkSession, dir: String, cur: Long,
       next: org.apache.spark.sql.types.StructType,
       allowSchemaChange: Boolean): Unit =
@@ -1038,10 +1163,16 @@ object VersionedTable {
   }
 
   private def casManifest(spark: SparkSession, dir: String, newV: Long,
-      writerId: String, body: String): Boolean =
-    casCreate(spark, manifestPath(dir, newV),
+      writerId: String, body: String): Boolean = {
+    val won = casCreate(spark, manifestPath(dir, newV),
       new org.apache.hadoop.fs.Path(s"${logDir(dir)}/.tmp-$writerId-$newV"),
       body)
+    // our own commit obsoletes any cached listing of this log — the
+    // mtime validation would catch it anyway; this keeps the same
+    // process's next latestVersion exact without the probe round trip
+    if (won) invalidateListing(dir)
+    won
+  }
 
   /** The instant a commit stamps into its manifest (`ts=` line) — the
     * AUTHORITATIVE commit time [[versionAsOf]] resolves through.
@@ -1244,6 +1375,24 @@ object VersionedTable {
       .toMap: Map[String, String]) ++ cluster ++ tombstones ++ meta
   }
 
+  /** The meta keys that are TABLE STATE rather than per-commit
+    * receipts — exactly the set [[expectMeta]] lets a child commit
+    * inherit: declarations (expectations, clustering, feed keys),
+    * dropped-physical-name tombstones, and the aggregate-view
+    * identity/config. Everything else a manifest carries (recorded
+    * write scopes, view.rescan receipts, stream batch markers,
+    * branch.landed provenance) describes its OWN commit only and must
+    * never ride into a commit that merely references the same files —
+    * [[fastForward]]/[[cherryPick]] build their landing meta through
+    * this filter (round 16, the r15 advice: a landing that inherited a
+    * deleteWhere's scope.bounds masqueraded as a recorded scoped
+    * delete and could wrongly admit a mask-union rebase). */
+  private def persistentMeta(meta: Map[String, String]): Map[String, String] =
+    meta.filter { case (k, _) =>
+      k.startsWith(ExpectPrefix) || k.startsWith("cluster.") ||
+        k == FeedKey || k == DroppedPhysKey ||
+        k.startsWith("view.cfg.") || k == "view.synced" }
+
   private def enforceExpectations(spark: SparkSession, dir: String,
       stagedRels: Seq[String], schema: org.apache.spark.sql.types.StructType,
       effMeta: Map[String, String], dataPath: org.apache.hadoop.fs.Path,
@@ -1293,6 +1442,40 @@ object VersionedTable {
         s"commit to $dir refused — staged rows violate table " +
           s"expectations: ${bad.mkString("; ")}")
     }
+  }
+
+  /** Non-destructive expectation check over ALREADY-COMMITTED files
+    * (nothing staged, nothing to clean): one aggregation pass over
+    * `rels` read with `m`'s masks and colmap under the (possibly
+    * extended) pinned `schema`. The [[fastForward]] reconciliation
+    * uses it to enforce one side's re-declared expectations on the
+    * other side's since-fork adds — an expectation that references a
+    * column those files null-fill counts NULL rows as violations,
+    * exactly the enforceExpectations contract. */
+  private def requireExpectationsHold(spark: SparkSession, dir: String,
+      m: Manifest, rels: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      expects: Map[String, String], context: String): Unit = {
+    if (expects.isEmpty || rels.isEmpty) return
+    val rows = readFilesMasked(spark, dir, m, rels, schema)
+    val names = expects.keys.toSeq.sorted
+    val aggs = names.map(n => coalesce(
+      sum(when(!coalesce(expr(expects(n)), lit(false)), 1L).otherwise(0L)),
+      lit(0L)).as(n))
+    val row =
+      try rows.agg(aggs.head, aggs.tail: _*).head()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new ExpectationViolation(s"$context — expectation does " +
+            s"not resolve against the landed schema: " +
+            e.getMessage.linesIterator.next())
+      }
+    val bad = names.zipWithIndex.collect {
+      case (n, i) if row.getLong(i) > 0 =>
+        s"$n (${expects(n)}): ${row.getLong(i)} rows"
+    }
+    if (bad.nonEmpty)
+      throw new ExpectationViolation(s"$context: ${bad.mkString("; ")}")
   }
 
   private def requireWriterId(writerId: String): Unit =
@@ -1495,10 +1678,31 @@ object VersionedTable {
     * row scope; `readsTable` = the op's semantics depend on rows NOT
     * existing elsewhere in the table (merge insert-vs-update, delete
     * completeness) — false for content-neutral rewrites (compaction,
-    * purge) and blind appends. */
+    * purge) and blind appends.
+    *
+    * `myScope` (round 16): the loser's own RECORDED scope (the
+    * [[encodeScopeMeta]] encoding its commit stamps). A winner-added
+    * file whose stats envelope intersects `readBounds` normally
+    * refuses; when the winner is itself a recorded scoped write
+    * (delete/merge/update) whose scope is provably disjoint from
+    * ours, the add is admitted. Sound because a winner's added file
+    * can only hold (i) rows the winner wrote — keys inside ITS scope,
+    * disjoint from ours by the check — or (ii) rows carried verbatim
+    * from the file it rewrote; a carried row that MATTERS to this
+    * loser (matches its keys/predicate) existed in that source file
+    * at plan time, so stats-sound candidate pruning placed the file
+    * in this loser's `readSet` and the winner's removal of it already
+    * refused at the clash check above. Unrecorded winners (blind
+    * appends, scope-less commits) prove nothing and keep refusing.
+    * An updateWhere whose SET list touches a scoped column records NO
+    * bound for it ([[updateWhere]]), so post-images escaping the
+    * predicate envelope can never carry a disjointness proof. */
   private[operators] def rebaseConflict(spark: SparkSession, dir: String,
       fromV: Long, tipV: Long, readSet: Set[String],
-      readBounds: Seq[ColBound], readsTable: Boolean): Option[String] = {
+      readBounds: Seq[ColBound], readsTable: Boolean,
+      myScope: Option[String] = None,
+      allowAdditiveSchema: Boolean = false,
+      allowDeclChange: Boolean = false): Option[String] = {
     val vs = versions(spark, dir).toSet
     if (!(fromV to tipV).forall(vs.contains))
       return Some("intervening versions already expired")
@@ -1508,11 +1712,18 @@ object VersionedTable {
       val cur = readManifest(spark, dir, w)
       if (prev.legacyDataDir.nonEmpty || cur.legacyDataDir.nonEmpty)
         return Some(s"version $w range includes legacy whole-dir commits")
-      if (prev.schema.map(schemaShape) != cur.schema.map(schemaShape))
+      // allowAdditiveSchema (round 16, fastForward reconciliation):
+      // the caller has already verified the OVERALL change is a pure
+      // nullable-append and takes the extended schema — a winner that
+      // merely appended nullable columns is then admissible; any
+      // non-additive step (drop, rename, type change) still refuses
+      if (prev.schema.map(schemaShape) != cur.schema.map(schemaShape) &&
+          !(allowAdditiveSchema &&
+            additiveExtension(prev.schema, cur.schema).isDefined))
         return Some(s"version $w changed the table schema")
       def decls(m: Manifest) = m.meta.filter { case (k, _) =>
         k.startsWith(ExpectPrefix) || k.startsWith("cluster.") || k == FeedKey }
-      if (decls(prev) != decls(cur))
+      if (decls(prev) != decls(cur) && !allowDeclChange)
         return Some(s"version $w changed table declarations " +
           "(expectations/clustering/feed)")
       val prevSet = prev.files.toSet
@@ -1532,7 +1743,17 @@ object VersionedTable {
           if (readBounds.isEmpty || enc.isEmpty) addedByW
           else addedByW.filter(rel =>
             envelopeMatches(enc, cur.stats.getOrElse(rel, Map.empty)))
-        if (risky.nonEmpty)
+        // recorded-scope admit (round 16): the winner's own manifest
+        // proves its adds hold only rows outside our scope — see the
+        // scaladoc soundness argument (carried rows route through the
+        // clash check above)
+        val scopedDisjoint = risky.nonEmpty && myScope.exists { mine =>
+          cur.meta.get(ScopeOpKey)
+            .exists(Set("delete", "merge", "update").contains) &&
+            cur.meta.get(ScopeBoundsKey)
+              .exists(theirs => scopesDisjoint(mine, theirs))
+        }
+        if (risky.nonEmpty && !scopedDisjoint)
           return Some(s"version $w added files that may hold rows in " +
             s"this commit's read scope (${risky.take(3).mkString(", ")}" +
             s"${if (risky.length > 3) "…" else ""})")
@@ -1569,7 +1790,8 @@ object VersionedTable {
       readSet: Seq[String] = Seq.empty,
       readBounds: Seq[ColBound] = Seq.empty,
       readsTable: Boolean = false,
-      rebaseAttempts: Int = 0): DeltaStats = {
+      rebaseAttempts: Int = 0,
+      readScope: Option[String] = None): DeltaStats = {
     requireWriterId(writerId)
     require(expectedVersion >= 0,
       "commitDelta needs an existing parent version — use commit for v0")
@@ -1586,7 +1808,7 @@ object VersionedTable {
       val why =
         if (attemptsLeft <= 0) Some("rebase budget exhausted")
         else rebaseConflict(spark, dir, parent, cur, footprint, readBounds,
-          readsTable)
+          readsTable, readScope)
       why match {
         case None =>
           attemptsLeft -= 1
@@ -2272,11 +2494,24 @@ object VersionedTable {
     // it provably held no matching keys at plan time — a winner's mask
     // on them only removes rows, harmless), and its row scope is the
     // change-key envelope: a winner's added file outside it cannot
-    // turn one of this merge's inserts into a missed update
+    // turn one of this merge's inserts into a missed update.
+    // The scope is also RECORDED in the commit's own manifest (round
+    // 16 — the deleteWhere discipline generalized): every row this
+    // merge INSERTED or UPDATED (as opposed to carried verbatim from
+    // a rewritten file) has its leading key inside the envelope, so a
+    // LATER scoped loser whose recorded scope is provably disjoint can
+    // rebase under this winner instead of refusing on its added files
+    // (carried rows are covered by the loser's readSet clash check —
+    // see the rebaseConflict scaladoc)
+    val myScope = encodeScopeMeta(schema, keyEnvelope.flatten.toSeq)
+    val scopedMeta = meta ++ myScope.map(sc =>
+      Map(ScopeOpKey -> "merge", ScopeBoundsKey -> sc))
+      .getOrElse(Map.empty[String, String])
     commitDelta(spark, dir, Some(rewritten), touched, planV,
-      writerId, meta = meta, expectations = expectations,
+      writerId, meta = scopedMeta, expectations = expectations,
       readSet = touched, readBounds = keyEnvelope.flatten.toSeq,
-      readsTable = true, rebaseAttempts = rebaseAttempts)
+      readsTable = true, rebaseAttempts = rebaseAttempts,
+      readScope = myScope)
   }
 
   // ─────────────── persisted change feed (round 13) ───────────────
@@ -2482,9 +2717,14 @@ object VersionedTable {
   // loudly (rewrites invalidate positions; updates would resurrect;
   // unrecorded scopes prove nothing).
 
-  /** Meta keys a delete commit stamps: its op kind and the canonical
-    * encoding of its predicate's hull. Self-describing — the rebase
-    * analysis reads the WINNER's scope from the winner's manifest. */
+  /** Meta keys a scoped write stamps — its op kind ("delete",
+    * "merge", "update") and the canonical encoding of its row scope
+    * (predicate hull for delete/update, change-key envelope for
+    * merge). Self-describing — the rebase analysis reads the WINNER's
+    * scope from the winner's own manifest. A scope describes ITS
+    * commit only: regular commits never inherit these keys
+    * ([[expectMeta]] whitelists declarations), and branch landings
+    * strip them ([[fastForward]]/[[cherryPick]] via persistentMeta). */
   val ScopeOpKey = "scope.op"
   val ScopeBoundsKey = "scope.bounds"
 
@@ -2913,6 +3153,13 @@ object VersionedTable {
       .getOrElse(Map.empty[String, String])
     var dvOverride: Map[String, (String, Long)] = Map.empty
     var dropNow: Set[String] = droppedSet
+    // the manifest our current masks were last reconciled against:
+    // starts at the PLAN parent and advances to the adopted tip after
+    // every mask-union, so a SECOND contested retry re-unions only
+    // files with genuinely new third-party masks — diffing against the
+    // original plan manifest would re-classify files whose dv we
+    // already unioned and write redundant merged sidecars each round
+    var reconciledM = m
     var mergeSeq = 0
     val mergedPaths = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.hadoop.fs.Path]
@@ -2949,7 +3196,7 @@ object VersionedTable {
         val why =
           if (attemptsLeft <= 0) Some("rebase budget exhausted")
           else rebaseConflict(spark, dir, parent, cur, candidateSet,
-            effBounds, readsTable = true)
+            effBounds, readsTable = true, myScope)
         why match {
           case None =>
             attemptsLeft -= 1
@@ -2964,7 +3211,7 @@ object VersionedTable {
             attemptsLeft -= 1
             val tipM = readManifest(spark, dir, cur)
             val affected = maskedFiles.filter(rel =>
-              tipM.dv.get(rel) != m.dv.get(rel))
+              tipM.dv.get(rel) != reconciledM.dv.get(rel))
             if (affected.nonEmpty) {
               mergeSeq += 1
               val mergedRel =
@@ -2995,6 +3242,7 @@ object VersionedTable {
               dropNow = dropNow ++ affected.filter(rel =>
                 counts.getOrElse(rel, 0L) >= totals(rel))
             }
+            reconciledM = tipM
             parent = cur
           case Some(reason) =>
             f.delete(dvPath, true)
@@ -3069,9 +3317,21 @@ object VersionedTable {
         clusterShape(updated, clusterCols, clusterModeOf(spark, dir, planV),
           math.max(1, touched.length))
       else updated.coalesce(math.max(1, touched.length))
+    // recorded scope (round 16): the predicate hull restricted to
+    // columns this update does NOT set — a SET column's post-image can
+    // leave the predicate envelope, so recording its bound would let a
+    // disjointness proof admit rows the update moved INTO another
+    // writer's scope. Bounds on untouched columns survive the rewrite
+    // verbatim (modified rows keep those values), so they are exact
+    // claims about every row this commit modified.
+    val scopeBounds = bounds.filterNot(b => sets.exists(_._1 == b.col))
+    val myScope = encodeScopeMeta(schema, scopeBounds)
+    val scopedMeta = meta ++ myScope.map(sc =>
+      Map(ScopeOpKey -> "update", ScopeBoundsKey -> sc))
+      .getOrElse(Map.empty[String, String])
     Some(commitDelta(spark, dir, Some(rewritten), touched, planV, writerId,
-      meta = meta, readSet = touched, readBounds = bounds,
-      rebaseAttempts = rebaseAttempts))
+      meta = scopedMeta, readSet = touched, readBounds = bounds,
+      rebaseAttempts = rebaseAttempts, readScope = myScope))
   }
 
   /** Materialize every deletion-vector mask: rewrite the masked files
@@ -3542,6 +3802,7 @@ object VersionedTable {
     val victimDvDirs = victims.flatMap(v =>
       readManifest(spark, dir, v).dv.valuesIterator.map(_._1)).distinct
     victims.foreach(v => f.delete(manifestPath(dir, v), false))
+    invalidateListing(dir)
     victimFiles.filterNot(retainedFiles).foreach(rel =>
       f.delete(new org.apache.hadoop.fs.Path(s"${rootOf(dir)}/$rel"), false))
     victimDvDirs.filterNot(retainedDvDirs).foreach(rel =>
@@ -3886,6 +4147,7 @@ object VersionedTable {
     casCreate(spark,
       new org.apache.hadoop.fs.Path(s"$bdir/$base.manifest"),
       new org.apache.hadoop.fs.Path(s"$bdir/.tmp-fork-$base"), baseBody)
+    invalidateListing(branchRef(root, name))
     base
   }
 
@@ -3950,6 +4212,7 @@ object VersionedTable {
     val victims = all.filterNot(_ == base).dropRight(keep).filter(_ < floor)
     val f = fs(spark, root)
     victims.foreach(v => f.delete(manifestPath(ref, v), false))
+    invalidateListing(ref)
     victims
   }
 
@@ -4060,7 +4323,7 @@ object VersionedTable {
       val dv = (pm.dv -- removes -- dvChanged) ++
         dvChanged.flatMap(r => vM.dv.get(r).map(r -> _)) ++
         adds.flatMap(r => vM.dv.get(r).map(r -> _))
-      val landMeta = pm.meta ++ meta +
+      val landMeta = persistentMeta(pm.meta) ++ meta +
         ("branch.cherryPicked" -> s"$name@$branchVersion")
       val schema = pm.schema.getOrElse(throw new IllegalStateException(
         s"cherryPick: no schema receipt on mainline $dir"))
@@ -4094,14 +4357,34 @@ object VersionedTable {
     * When mainline advanced past the fork point, the landing is gated
     * by [[rebaseConflict]] over the intervening mainline winners —
     * exactly the optimistic-concurrency analysis delta commits use:
-    * refused when any winner changed schema/declarations, removed or
-    * re-masked a file the branch rewrote, or (with `readsTable`,
-    * the conservative default) added any file at all — a branch whose
-    * work READ the table (a keyed merge, a predicate delete) would
-    * have seen those rows under serialization. Pass
-    * `readsTable = false` only when the branch's commits were
-    * content-local (blind appends, compactions, file rewrites), which
-    * admits mainline appends/deletes on untouched files.
+    * refused when any winner removed or re-masked a file the branch
+    * rewrote, or (with `readsTable`, the conservative default) added
+    * any file at all — a branch whose work READ the table (a keyed
+    * merge, a predicate delete) would have seen those rows under
+    * serialization. Pass `readsTable = false` only when the branch's
+    * commits were content-local (blind appends, compactions, file
+    * rewrites), which admits mainline appends/deletes on untouched
+    * files.
+    *
+    * Divergence reconciliation (round 16 — VERDICT r15 #2): two
+    * one-sided divergences are well-defined and land automatically
+    * instead of refusing:
+    *   - SCHEMA: one side appended nullable columns (the
+    *     [[addColumns]] shape) while the other side's shape is
+    *     unchanged — the landing takes the extended schema and the
+    *     un-extended side's files null-fill (the pinned-schema read
+    *     contract, the exact mechanics addColumns already relies on);
+    *   - DECLARATIONS (expectations / clustering / feed / tombstones):
+    *     changed on one side only — the landing takes the changed
+    *     side's set. New or tightened EXPECTATIONS are enforced
+    *     against the other side's since-fork added rows before the
+    *     CAS (one churn-sized aggregation), so a landing can never
+    *     admit rows a serialized declare-then-write would have
+    *     refused; existing pre-declaration rows are grandfathered,
+    *     the same contract as declaring on a live table.
+    * Everything two-sided — both sides re-declared, both appended
+    * columns differently, any rename/drop/type change — still refuses
+    * loudly: those have no automatic resolution.
     *
     * Returns None when the branch has no commits past its fork point.
     * The branch itself is left in place (delete it after landing, or
@@ -4135,31 +4418,125 @@ object VersionedTable {
     def decls(m: Manifest) = m.meta.filter { case (k, _) =>
       k.startsWith(ExpectPrefix) || k.startsWith("cluster.") ||
         k == FeedKey || k == DroppedPhysKey }
+    def expectsOf(d: Map[String, String]) = d.collect {
+      case (k, sql) if k.startsWith(ExpectPrefix) =>
+        k.stripPrefix(ExpectPrefix) -> sql
+    }
     var parent = latestVersion(spark, dir)
     var attemptsLeft = math.max(1, rebaseAttempts)
     var out: Option[Long] = None
     while (out.isEmpty) {
       val pm = readManifest(spark, dir, parent)
-      if (parent != mainBase) {
-        // gates that are free when mainline never moved (pm == baseM)
-        require(pm.schema.map(schemaShape) == tipM.schema.map(schemaShape),
-          s"fastForward '$name': branch and mainline schemas diverged " +
-            "— reconcile by hand (schema merges are not automatic)")
-        require(pm.colmap == tipM.colmap,
-          s"fastForward '$name': branch and mainline column mappings " +
-            "diverged (a rename on one side) — reconcile by hand")
-        require(decls(pm) == decls(tipM),
-          s"fastForward '$name': branch and mainline declarations " +
-            "(expectations/clustering/feed/tombstones) diverged — " +
-            "re-declare on one side first")
-        rebaseConflict(spark, dir, mainBase, parent, touched,
-          Seq.empty, readsTable).foreach { reason =>
-          throw new CommitConflict(
-            s"fastForward '$name' onto $dir: mainline advanced past the " +
-              s"fork point and is not logically disjoint ($reason) — " +
-              "re-fork, replay the branch work, or reconcile by hand")
+      // ── reconcile the landing's schema + declarations (see scaladoc)
+      // Wholesale adoption (the r15 behavior) applies only when
+      // mainline is BOTH commit-quiet (parent == mainBase) and
+      // state-identical to what the branch diverged from — then the
+      // branch may land ANY migration (drops, renames) as its own
+      // snapshot rewrite did. The state check matters after a
+      // mainline-side divergence landed: parent == mainBase again,
+      // but the branch tip's schema LAGS mainline's — adopting it
+      // wholesale would silently drop mainline's added columns.
+      val wholesale = parent == mainBase &&
+        pm.schema.map(schemaShape) == baseM.schema.map(schemaShape) &&
+        pm.colmap == baseM.colmap && decls(pm) == decls(baseM)
+      val (landSchemaOpt, landDecls) =
+        if (wholesale) (tipM.schema, decls(tipM))
+        else {
+          require(pm.colmap == tipM.colmap,
+            s"fastForward '$name': branch and mainline column mappings " +
+              "diverged (a rename on one side) — reconcile by hand")
+          val mainM0 =
+            if (parent == mainBase) pm
+            else readManifest(spark, dir, mainBase)
+          val (sTip, sPm) =
+            (tipM.schema.map(schemaShape), pm.schema.map(schemaShape))
+          val (sBase, sM0) =
+            (baseM.schema.map(schemaShape), mainM0.schema.map(schemaShape))
+          // schema: equal shapes land as-is; one-sided nullable appends
+          // take the extended side; anything else refuses. The
+          // reference for "did this side change?" is each side's OWN
+          // divergence point (the branch's diff anchor / the mainline
+          // version the landing gate walks from), so repeated
+          // stage-land cycles after an admitted extension keep landing.
+          val landSchema: Option[org.apache.spark.sql.types.StructType] =
+            if (sPm == sTip) pm.schema
+            else if (sTip == sBase &&
+                additiveExtension(tipM.schema, pm.schema).isDefined)
+              extendedSchema(tipM.schema, pm.schema)
+            else if (sPm == sM0 &&
+                additiveExtension(pm.schema, tipM.schema)
+                  .exists(_.nonEmpty)) {
+              // branch appended; mainline shape untouched since the
+              // walk base. New names must not shadow a physical name
+              // mainline files still carry (the addColumns guard —
+              // near-vacuous here because mainline drops/renames
+              // change its shape and refuse above, kept as a belt)
+              val newFields =
+                additiveExtension(pm.schema, tipM.schema).get
+              val takenPhys = pm.schema.map(_.fieldNames.toSeq)
+                .getOrElse(Seq.empty)
+                .map(n => physName(pm.colmap, n)
+                  .toLowerCase(java.util.Locale.ROOT)).toSet ++
+                pm.meta.getOrElse(DroppedPhysKey, "").split(',')
+                  .map(_.trim.toLowerCase(java.util.Locale.ROOT))
+                  .filter(_.nonEmpty)
+              newFields.foreach(fld => require(
+                !takenPhys(fld.name.toLowerCase(java.util.Locale.ROOT)),
+                s"fastForward '$name': branch-added column " +
+                  s"'${fld.name}' collides with a physical name " +
+                  "mainline files still carry — rename it on the branch"))
+              extendedSchema(pm.schema, tipM.schema)
+            } else throw new CommitConflict(
+              s"fastForward '$name' onto $dir: branch and mainline " +
+                "schemas diverged beyond a one-sided nullable append " +
+                "— reconcile by hand (only the addColumns shape merges " +
+                "automatically)")
+          // declarations: unchanged-side rule. A side that did not
+          // re-declare since its own reference yields to the side that
+          // did; both-changed refuses. New/changed EXPECTATIONS are
+          // enforced on the other side's since-fork adds below.
+          val (dTip, dPm) = (decls(tipM), decls(pm))
+          val (dBase, dM0) = (decls(baseM), decls(mainM0))
+          val landD =
+            if (dPm == dTip) dPm
+            else if (dTip != dBase && dPm == dM0) {
+              // branch re-declared: its new expectations must hold on
+              // the rows mainline added since the walk base
+              val toCheck = expectsOf(dTip).filter { case (n, sql) =>
+                !expectsOf(dPm).get(n).contains(sql) }
+              val mainAdds = pm.files.filterNot(mainM0.files.toSet)
+              landSchema.foreach(sch => requireExpectationsHold(spark,
+                dir, pm, mainAdds, sch, toCheck,
+                s"fastForward '$name': mainline rows added since the " +
+                  "fork violate the branch's re-declared expectations"))
+              dTip
+            } else if (dTip == dBase) {
+              // mainline re-declared (now or at an earlier landing):
+              // its expectations must hold on the branch's adds
+              val toCheck = expectsOf(dPm).filter { case (n, sql) =>
+                !expectsOf(dTip).get(n).contains(sql) }
+              landSchema.foreach(sch => requireExpectationsHold(spark,
+                ref, tipM, adds, sch, toCheck,
+                s"fastForward '$name': branch rows violate mainline's " +
+                  "re-declared expectations"))
+              dPm
+            } else throw new CommitConflict(
+              s"fastForward '$name' onto $dir: branch AND mainline both " +
+                "re-declared (expectations/clustering/feed/tombstones) " +
+                "— two-sided declaration changes have no automatic " +
+                "resolution; re-declare on one side first")
+          if (parent != mainBase)
+            rebaseConflict(spark, dir, mainBase, parent, touched,
+              Seq.empty, readsTable,
+              allowAdditiveSchema = sPm != sM0,
+              allowDeclChange = dPm != dM0).foreach { reason =>
+              throw new CommitConflict(
+                s"fastForward '$name' onto $dir: mainline advanced past " +
+                  s"the fork point and is not logically disjoint ($reason) " +
+                  "— re-fork, replay the branch work, or reconcile by hand")
+            }
+          (landSchema, landD)
         }
-      }
       val newV = parent + 1
       val pLive = liveFiles(spark, dir, parent)
       locally {
@@ -4181,13 +4558,22 @@ object VersionedTable {
       val dv = (pm.dv -- removes -- dvChanged) ++
         dvChanged.flatMap(r => tipM.dv.get(r).map(r -> _)) ++
         adds.flatMap(r => tipM.dv.get(r).map(r -> _))
+      // landing meta = persistent table state only (per-commit
+      // receipts — recorded scopes, rescan receipts, stream markers —
+      // describe their own commit and never ride a landing; round 16,
+      // the r15 advice), with the declaration keys replaced by the
+      // reconciled set
       val landMeta =
-        (if (parent == mainBase) tipM.meta else pm.meta) ++ meta +
+        persistentMeta(if (wholesale) tipM.meta else pm.meta)
+          .filterNot { case (k, _) =>
+            k.startsWith(ExpectPrefix) || k.startsWith("cluster.") ||
+              k == FeedKey || k == DroppedPhysKey } ++
+          landDecls ++ meta +
           ("branch.landed" -> name) + ("branch.landedTip" -> tip.toString)
-      val schema = (if (parent == mainBase) tipM.schema else pm.schema)
+      val schema = landSchemaOpt
         .getOrElse(throw new IllegalStateException(
           s"fastForward '$name': no schema receipt on either side"))
-      val colmap = if (parent == mainBase) tipM.colmap else pm.colmap
+      val colmap = if (wholesale) tipM.colmap else pm.colmap
       val body = manifestBody(newV, parent, writerId, schema,
         stagingDir = None, files = newLiveOrdered, removed = removes,
         stats = stats, meta = landMeta, dv = dv,

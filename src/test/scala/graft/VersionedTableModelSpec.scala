@@ -355,4 +355,99 @@ class VersionedTableModelSpec extends SparkSpec {
       assert(readMap(dir) == main, s"seed=$seed: retention broke the tip")
     }
   }
+
+  test("branch model under divergence: one-sided extension lands net effect + schema, two-sided refuses intact") {
+    // round-16 law (VERDICT r15 #2): with mainline MOVED past the fork,
+    // a one-sided nullable column append still lands — the data law is
+    // unchanged (landing == net effect applied to main) and the landed
+    // schema is the union — while a TWO-sided append refuses with both
+    // worlds intact. Fresh table per case so each case's fork starts
+    // from a clean 2-column world.
+    (1 to 2).foreach { seed =>
+      val rnd = new scala.util.Random(seed + 1600)
+      (1 to 3).foreach { mode => // 1 = branch adds col, 2 = mainline, 3 = both
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"vt-bdiv-$seed-$mode").toString + "/t"
+        var main: Map[Long, Long] = (0L until 400L).map(k => k -> k).toMap
+        VersionedTable.commit(spark, dir, main.toSeq.toDF("k", "a"),
+          -1L, "loader", clusterBy = Seq("k"), clusterFiles = 8)
+        def readMap(d: String): Map[Long, Long] =
+          VersionedTable.read(spark, d)
+            .select($"k", $"a").as[(Long, Long)].collect().toMap
+        VersionedTable.createBranch(spark, dir, "div")
+        val ref = VersionedTable.branchRef(dir, "div")
+        val fork = main
+        var branch = main
+        // branch data ops on the LOW band, as the base law
+        (1 to 2).foreach { _ =>
+          val bv = VersionedTable.latestVersion(spark, ref)
+          if (rnd.nextBoolean()) {
+            val rows = Seq.fill(5)(rnd.nextInt(150).toLong).distinct
+              .map(k => k -> rnd.nextInt(9999).toLong)
+            VersionedTable.merge(spark, ref, rows.toDF("k", "a"),
+              Seq("k"), bv, "bw")
+            branch = branch ++ rows
+          } else {
+            val lo = rnd.nextInt(120).toLong
+            VersionedTable.deleteWhere(spark, ref,
+              s"k >= $lo AND k <= ${lo + 9}", bv, "bw")
+            branch = branch.filterNot { case (k, _) => k >= lo && k <= lo + 9 }
+          }
+        }
+        // mainline op: a HIGH-band delete (masks only — admissible)
+        locally {
+          val lo = (250 + rnd.nextInt(140)).toLong
+          VersionedTable.deleteWhere(spark, dir,
+            s"k >= $lo AND k <= ${lo + 5}",
+            VersionedTable.latestVersion(spark, dir), "mw")
+          main = main.filterNot { case (k, _) => k >= lo && k <= lo + 5 }
+        }
+        // the divergence
+        def addCol(d: String, n: String): Unit =
+          VersionedTable.addColumns(spark, d, Seq(
+            org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.LongType, nullable = true)),
+            VersionedTable.latestVersion(spark, d),
+            if (d == dir) "mw" else "bw")
+        if (mode == 1 || mode == 3) addCol(ref, "cb")
+        if (mode == 2 || mode == 3) addCol(dir, "cm")
+        val landedModel = {
+          val changed = (fork.keySet ++ branch.keySet).filter(k =>
+            fork.get(k) != branch.get(k))
+          changed.foldLeft(main) { (m, k) =>
+            branch.get(k) match {
+              case Some(v) => m + (k -> v)
+              case None    => m - k
+            }
+          }
+        }
+        try {
+          val landed = VersionedTable.fastForward(spark, dir, "div", "merger")
+          assert(mode != 3,
+            s"seed=$seed mode=$mode: two-sided append must refuse")
+          assert(readMap(dir) == landedModel,
+            s"seed=$seed mode=$mode: landing != net effect")
+          val sch = VersionedTable.readManifest(spark, dir, landed.get)
+            .schema.get
+          val want = if (mode == 1) "cb" else "cm"
+          assert(sch.fieldNames.toSeq == Seq("k", "a", want),
+            s"seed=$seed mode=$mode: landed schema ${sch.fieldNames.toSeq}")
+          assert(sch.fields.last.nullable,
+            "the landed extension must be nullable (old files null-fill)")
+          // every surviving row null-fills the extension
+          assert(VersionedTable.read(spark, dir)
+            .where(org.apache.spark.sql.functions.col(want).isNotNull)
+            .isEmpty)
+        } catch {
+          case _: VersionedTable.CommitConflict =>
+            assert(mode == 3,
+              s"seed=$seed mode=$mode: one-sided append must land")
+            assert(readMap(dir) == main,
+              s"seed=$seed mode=$mode: refused landing touched main")
+            assert(readMap(ref) == branch,
+              s"seed=$seed mode=$mode: refused landing touched branch")
+        }
+      }
+    }
+  }
 }
