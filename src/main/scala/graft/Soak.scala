@@ -862,6 +862,76 @@ object Soak {
           f" kept — zero data bytes moved (incl. the landing's feed)")
         10000L
       }
+      // round 16 (VERDICT r15 #7): branch breadth at the 2048-file
+      // shape — a 50-commit branch (mostly appends, a few keyed merges
+      // rewriting earlier branch files), cherry-pick ONE mid commit,
+      // expire the branch log to keep=3, then fastForward the rest and
+      // vacuum: the fork manifest must survive the expiry (the diff
+      // anchor), the landing must still be manifest-only, and vacuum
+      // must reclaim the branch's superseded intermediate files.
+      time("lakehouse_branch_pick_expire_2048files") {
+        val vt2 = s"$root/dvsoak"
+        val mv0 = VersionedTable.latestVersion(spark, vt2)
+        val base = VersionedTable.createBranch(spark, vt2, "wide")
+        val ref = VersionedTable.branchRef(vt2, "wide")
+        val t0 = System.nanoTime()
+        (1 to 50).foreach { i =>
+          val bv = VersionedTable.latestVersion(spark, ref)
+          if (i % 10 == 0)
+            // rewrite an EARLIER branch append: its superseded file
+            // becomes branch-only garbage for vacuum after the expiry
+            VersionedTable.merge(spark, ref,
+              spark.range(1).coalesce(1)
+                .select(lit(5000000000L + i - 5).as("doc_id"),
+                  lit(-9L).as("weight")),
+              Seq("doc_id"), bv, "soakwide")
+          else
+            VersionedTable.commitDelta(spark, ref,
+              Some(spark.range(1).coalesce(1)
+                .select(lit(5000000000L + i).as("doc_id"),
+                  lit(1L).as("weight"))),
+              Seq.empty, bv, "soakwide")
+        }
+        val commitSec = (System.nanoTime() - t0) / 1e9
+        // pick ONE early append (no dependency on other branch work)
+        val pickV = base + 2
+        val picked = VersionedTable.cherryPick(spark, vt2, "wide",
+          pickV, "soak")
+        require(picked == mv0 + 1, s"the pick must land next: $picked")
+        // bound the branch log; the FORK manifest must survive
+        val dropped = VersionedTable.expireBranch(spark, vt2, "wide",
+          keep = 3)
+        require(dropped.size >= 40,
+          s"the 50-commit log must actually shrink: ${dropped.size}")
+        require(VersionedTable.versions(spark, ref).contains(base),
+          "the fork manifest (diff anchor) must survive expireBranch")
+        // land the rest; the pick is the "mainline add" the
+        // conservative gate flags — content-local branch work passes
+        // readsTable=false (the q258 discipline)
+        val t1 = System.nanoTime()
+        val landed = VersionedTable.fastForward(spark, vt2, "wide",
+          "soak", readsTable = false).get
+        val ffSec = (System.nanoTime() - t1) / 1e9
+        val lm2 = VersionedTable.readManifest(spark, vt2, landed)
+        require(lm2.stagingDir.isEmpty,
+          "the landing must stay manifest-only after pick + expiry")
+        val out = VersionedTable.read(spark, vt2)
+          .filter(col("doc_id") >= 5000000000L)
+        require(out.count() == 50L - 5L, // 45 appends; 5 rewritten in place
+          s"all branch rows must land exactly once: ${out.count()}")
+        require(out.filter(col("weight") === -9L).count() == 5L,
+          "the branch's internal rewrites must land at their final values")
+        VersionedTable.deleteBranch(spark, vt2, "wide")
+        val swept = VersionedTable.vacuum(spark, vt2)
+        require(swept.nonEmpty,
+          "vacuum must reclaim the branch's superseded staging")
+        println(f"[soak]   branch-breadth receipt: 50 branch commits " +
+          f"$commitSec%.1fs, cherry-pick 1, expireBranch dropped " +
+          f"${dropped.size} manifests (fork kept), fastForward " +
+          f"$ffSec%.2fs manifest-only, vacuum swept ${swept.size} " +
+          "branch-only paths")
+        50L
+      }
       // round 15 (VERDICT r14 #10): the hybrid MIN/MAX re-scan law at
       // the many-file shape — on a 2048-file group-clustered source,
       // deleting ONE group's max re-scans exactly that group through

@@ -159,9 +159,10 @@ final class GraftSession(val spark: SparkSession) {
     *     `VACUUM t [RETAIN n VERSIONS]` → orphan sweep (+ expire);
     *     `RESTORE t TO VERSION n` → [[graft.operators.VersionedTable.restore]];
     *     `CREATE BRANCH dev ON t [AS tdev]` / `FAST FORWARD t FROM
-    *     dev` / `CHERRY PICK <n> FROM dev ON t` (round 16) / `DROP
-    *     BRANCH dev ON t` → the branch lifecycle (AS registers the
-    *     branch world as its own DML-capable alias).
+    *     dev` / `CHERRY PICK <n> FROM dev ON t` / `EXPIRE BRANCH dev
+    *     ON t KEEP <n>` (round 16) / `DROP BRANCH dev ON t` → the
+    *     branch lifecycle (AS registers the branch world as its own
+    *     DML-capable alias).
     *
     * Routing is KEYWORD-FIRST (round 15, the r14 advice): a statement
     * whose leading keyword is INSERT/DELETE/UPDATE/MERGE/OPTIMIZE/
@@ -309,6 +310,16 @@ final class GraftSession(val spark: SparkSession) {
           lcCherryPick(m.group(3), m.group(2), m.group(1).toLong)
         }.getOrElse(refuse("CHERRY PICK",
           "CHERRY PICK <branch-version> FROM <branch> ON <alias>"))
+      case "EXPIRE" =>
+        GraftSession.LcExpireBranch.findFirstMatchIn(query).map { m =>
+          val b = binding(m.group(2), "EXPIRE BRANCH")
+          val dropped = graft.operators.VersionedTable.expireBranch(
+            spark, b.dir, m.group(1), m.group(3).toInt)
+          receipt("expire_branch", m.group(2), b.version,
+            dropped.length.toLong)
+        }.getOrElse(refuse("EXPIRE BRANCH",
+          "EXPIRE BRANCH <branch> ON <alias> KEEP <n> — bounds the " +
+            "branch log (the fork manifest always survives)"))
       case "SHOW" =>
         GraftSession.LcShowBranches.findFirstMatchIn(query).map { m =>
           val b = binding(m.group(1), "SHOW BRANCHES")
@@ -726,6 +737,9 @@ object GraftSession {
   private val LcCherryPick =
     ("""(?is)^\s*CHERRY\s+PICK\s+(\d+)\s+FROM\s+([A-Za-z0-9._-]+)\s+ON\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
+  private val LcExpireBranch =
+    ("""(?is)^\s*EXPIRE\s+BRANCH\s+([A-Za-z0-9._-]+)\s+ON\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s+KEEP\s+(\d+)\s*;?\s*$""").r
   // the bare target of an otherwise-unmatched ALTER TABLE — used only
   // to decide refuse-vs-fallthrough (versioned aliases refuse with the
   // supported grammar; everything else keeps its Spark meaning)

@@ -4064,6 +4064,20 @@ object VersionedTable {
           rel.substring(0, rel.lastIndexOf('/')))
     }.toSet ++ branchFiles.map(rel =>
       rel.substring(0, rel.lastIndexOf('/'))) ++ branchDvDirs
+    // branch-tagged staging (`v<n>-b.<branch>.<writer>`) carries the
+    // BRANCH's version numbering, which runs ahead of mainline's — the
+    // mainline-latest future-version guard below would shield it
+    // forever (round 16: a deleted 50-commit branch's superseded
+    // staging was unreclaimable). Resolve such dirs against their
+    // OWNING branch instead: gate by the branch's own tip when the
+    // branch is live, and treat the dir as a plain orphan when no live
+    // branch matches (the branch was deleted; the grace gate is the
+    // in-flight-writer protection, the Delta VACUUM discipline).
+    // Branch names may contain dots, so ownership is tested against
+    // the live-branch list, prefix-longest irrelevant: ANY matching
+    // live branch shields with its tip.
+    val liveBranchTips: Seq[(String, Long)] = branches(spark, dir)
+      .map(b => b -> latestVersion(spark, branchRef(rootOf(dir), b)))
     val now = System.currentTimeMillis()
     // same sweep for data staging dirs and dv sidecar dirs: both are
     // named v<version>-<writer>, both become garbage only when no
@@ -4074,10 +4088,19 @@ object VersionedTable {
       val orphans = f.listStatus(rootPath).toSeq
         .filter(_.isDirectory)
         .filter { s =>
-          val name = s.getPath.getName // v<version>-<writer>
+          val name = s.getPath.getName // v<version>[-b.<branch>.]-<writer>
           val ver = name.stripPrefix("v").takeWhile(_.isDigit)
-          ver.nonEmpty && ver.toLong <= latest &&
-            (now - s.getModificationTime) >= graceMs
+          if (ver.isEmpty) false
+          else {
+            val rest = name.drop(1 + ver.length + 1) // past "v<ver>-"
+            val verGate =
+              if (rest.startsWith("b.")) {
+                val owners = liveBranchTips.filter { case (b, _) =>
+                  rest.startsWith(s"b.$b.") }
+                owners.isEmpty || ver.toLong <= owners.map(_._2).max
+              } else ver.toLong <= latest
+            verGate && (now - s.getModificationTime) >= graceMs
+          }
         }
         .map(s => s"$root/${s.getPath.getName}")
         .filterNot(referencedDirs.contains)

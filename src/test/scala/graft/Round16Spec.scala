@@ -487,12 +487,17 @@ class Round16Spec extends SparkSpec {
         |INSERT INTO tdev SELECT k + 10, 'd1' FROM tdev;
         |INSERT INTO tdev SELECT k + 20, 'd2' FROM tdev WHERE v = 'd1';
         |INSERT INTO tdev SELECT k + 30, 'd3' FROM tdev WHERE v = 'd2'""".stripMargin)
-    // bound the branch log; the fork manifest must survive for the diff
-    val dropped = VersionedTable.expireBranch(spark, dir, "dev", keep = 2)
-    assert(dropped.nonEmpty)
+    // bound the branch log THROUGH SQL; the fork manifest must survive
+    val ex = gs.sql("EXPIRE BRANCH dev ON t KEEP 2").head()
+    assert(ex.getString(0) == "expire_branch" && ex.getLong(3) >= 1L)
     val ff = gs.sql("FAST FORWARD t FROM dev").head()
     assert(ff.getString(0) == "fast_forward" && ff.getLong(2) == 1L)
     assert(gs.sql("SELECT count(*) FROM t").as[Long].head() == 16L)
+    // grammar refusals
+    intercept[IllegalArgumentException] { gs.sql("EXPIRE BRANCH dev ON t") }
+    intercept[IllegalArgumentException] {
+      gs.sql("EXPIRE BRANCH dev ON t KEEP 1") // keep >= 2 floor
+    }
   }
 
   test("Pig LOAD of a missing branch ref fails with a clear message; names collide safely") {
