@@ -80,34 +80,66 @@ object Bench {
     // q213 (single-store L12): the pin keeps it ~1x, not ~3x.
     "q230_pigmix_l12_multistore")
 
-  /** Per-query regression pins (round 9): each query's BEST recorded
-    * driver median at sf0.1 across rounds 1–8. A timed median above
-    * 2× its pin lands in the JSON's "regressed" list, so a
-    * single-query 3× slide can never hide inside a green total (the
-    * motivating case: q17 crept 0.985→1.138 across two driver runs
-    * with no plan change). Pins cover the BASELINE-comparable 12 plus
-    * the three most expensive batch queries; they only apply when the
-    * bench dir is the driver's sf0.1 — other SFs have no pinned record. */
+  /** Per-query regression pins: each query's BEST recorded driver
+    * median at sf0.1. A timed median above 2× its pin lands in the
+    * JSON's "regressed" list, so a single-query 3× slide can never
+    * hide inside a green total (the motivating case: q17 crept
+    * 0.985→1.138 across two driver runs with no plan change; the
+    * decisive one: r15's q167 read 11.71 vs its 4.28 best on
+    * UNCHANGED code and no pin existed to flag it). Round 16 applies
+    * the BASELINE.md first-green-run protocol uniformly — EVERY
+    * benched query now carries a pin (VERDICT r15 #1): previously
+    * unpinned queries adopt their best recorded driver median
+    * (r15's full per-query record, or the r14 driver value where it
+    * was better); q167 adopts this round's isolated quiet-load median
+    * (4.10 s — raw 3.83/3.99/4.10/4.30/5.93 at loadavg 0.0, which
+    * attributes r15's 11.71 to session/co-tenant load, not code).
+    * Pins only apply when the bench dir is the driver's sf0.1. */
   val pinsSf01: Map[String, Double] = Map(
-    // r14 re-pin (VERDICT r13 #5): medians from a local quiet-load run
-    // (loadavg 2.4 at start, this host) where they BEAT the stored
-    // best — q05/q14/q21/q133/q146/q152 tightened; q133's old 3.371
-    // predated the bignum carrier-unwrap + codegen kernels and was ~6×
-    // loose. Pins stay "best recorded", so a loaded run can only
-    // leave them unchanged, never loosen them.
-    "q01_scan_filter_project" -> 0.149, "q03_group_agg" -> 0.218,
+    // the BASELINE-12 + early heavies (pinned since r9, tightened
+    // wherever a later driver run beat the stored best — r15 beat
+    // q01/q03/q23/q35/q39)
+    "q01_scan_filter_project" -> 0.139, "q03_group_agg" -> 0.200,
     "q05_join_agg" -> 0.559, "q06_join_broadcast" -> 0.453,
     "q14_order_limit" -> 0.124, "q17_rank" -> 0.820,
-    "q21_flatten_tokenize" -> 0.270, "q23_top_per_group" -> 0.330,
-    "q35_dedup_minhash" -> 0.522, "q39_cosine_topk" -> 0.411,
+    "q21_flatten_tokenize" -> 0.270, "q23_top_per_group" -> 0.328,
+    "q35_dedup_minhash" -> 0.468, "q39_cosine_topk" -> 0.386,
     "q44_fingerprint" -> 0.109, "q47_window_tumbling" -> 0.186,
     // q146 deliberately NOT tightened (r14 rationale stands): two
     // back-to-back local runs measured 1.05 and 2.53 medians on
     // identical code (bimodal host behavior on the string-heavy span
     // kernel) — a pin from the good mode would flag the bad mode as a
-    // phantom regression. q01/q39/q133/q152 tightened r15.
+    // phantom regression.
     "q133_biginteger_agg" -> 0.529, "q146_verbatim_spans" -> 1.100,
-    "q152_hot_ngrams" -> 1.164)
+    "q152_hot_ngrams" -> 1.164,
+    // round-16 uniform adoption: first/best recorded driver medians
+    "q100_tfidf" -> 0.673, "q101_epoch_shuffle" -> 0.230,
+    "q104_seq_pack" -> 0.130, "q107_bigram_ppl" -> 1.061,
+    "q108_temperature_mix" -> 0.428, "q122_sparse_lookup" -> 0.480,
+    "q125_incremental_dedup" -> 0.732, "q134_gopher_rep" -> 0.110,
+    "q135_semdedup" -> 0.431, "q137_crossdoc_repeats" -> 0.189,
+    "q139_hash_classifier" -> 0.161, "q148_span_removal" -> 0.258,
+    "q149_heavy_hitters" -> 0.883, "q150_token_budget" -> 0.464,
+    "q154_ann_ivfpq" -> 2.256, "q155_hll_distinct" -> 0.305,
+    "q156_importance_weights" -> 0.190, "q165_chunk_dedup" -> 0.148,
+    "q166_incremental_agg" -> 0.421,
+    // isolated quiet-load median this round (see scaladoc); r14's
+    // driver run read 4.28 on the same code family
+    "q167_pagerank" -> 4.100,
+    "q168_kmv_overlap" -> 0.499, "q169_zorder_key" -> 0.198,
+    "q170_upsample_repeat" -> 0.230, "q171_leakage_safe_split" -> 0.160,
+    "q172_curation_funnel" -> 0.713, "q174_pca_whiten" -> 1.485,
+    "q175_merge_upsert" -> 0.366, "q176_scd2_history" -> 0.390,
+    "q177_dq_report" -> 0.724, "q178_pps_sample" -> 0.672,
+    "q181_snapshot_diff" -> 0.405, "q182_distinctive_terms" -> 0.436,
+    "q183_skew_profile" -> 0.183, "q184_equidepth_hist" -> 1.709,
+    "q185_distribution_drift" -> 1.960, "q186_asof_snapshot" -> 0.700,
+    "q187_governed_promotion" -> 2.760, "q188_zorder3_key" -> 0.161,
+    "q190_pit_join" -> 0.450, "q191_ann_index_persist" -> 3.583,
+    "q193_bpe_train_fast" -> 0.654, "q194_multimodal_embed" -> 0.165,
+    "q196_bpe_model_serve" -> 0.460, "q202_pigmix_l01" -> 0.382,
+    "q208_pigmix_l07" -> 0.183, "q217_pigmix_l16" -> 1.680,
+    "q230_pigmix_l12_multistore" -> 1.120)
 
   /** Streaming replay pins (round 11, VERDICT r10 #6): best recorded
     * driver medians at sf0.1 (r10's run beat r8 on every common
@@ -132,7 +164,10 @@ object Bench {
     "q235_table_change_stream" -> 4.822,
     // round 14 first record (stream across a rename, local run) — two
     // full drains + two merges + the rename inside one replay
-    "q253_stream_across_rename" -> 4.546)
+    "q253_stream_across_rename" -> 4.546,
+    // round-16 uniform adoption: best driver median (r14 6.864 / r15
+    // 6.472) — the last benched query without a pin
+    "q197_ann_stream_ingest" -> 6.472)
 
   /** Streaming replays timed as their own section (never in the
     * headline total — see main): watermarked interval-join family,
@@ -520,6 +555,16 @@ object Bench {
       case (k, v) if sPinned.get(k).exists(p => v > 2 * p) => k
     }
     val rjson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // pin-coverage receipt (round 16): a benched query without a pin
+    // is a query `regressed` is BLIND to — r15's q167 slid 2.7× behind
+    // exactly this gap. Non-empty only when a new query was benched
+    // before its first pin landed; the round discipline is to adopt
+    // its first driver median next round.
+    val unpinned =
+      if (!sfDir.contains("sf0.1")) Seq.empty
+      else results.map(_._1).filterNot(pinsSf01.contains) ++
+        streamResults.map(_._1).filterNot(streamPinsSf01.contains)
+    val ujson = unpinned.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadavg =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .trim.split(" ").take(3).mkString(" ")
@@ -532,7 +577,7 @@ object Bench {
     val perReplayOut =
       if (streamingBroken || streamResults.isEmpty) -1.0
       else stotal / streamResults.size
-    val line = f"""{"metric":"total","value":$totalOut%.3f,"unit":"sec","baseline12_sec":$base12Out%.3f,"headline_sec":$totalOut%.3f,"queries":$qjson,"streaming_sec":$stotalOut%.3f,"streaming_per_replay_sec":$perReplayOut%.3f,"streaming_floor_sec":$streamFloor%.3f,"streaming":$sjson,"failed":$fjson,"regressed":$rjson,"loadavg":"$loadavg","sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$totalOut%.3f,"unit":"sec","baseline12_sec":$base12Out%.3f,"headline_sec":$totalOut%.3f,"queries":$qjson,"streaming_sec":$stotalOut%.3f,"streaming_per_replay_sec":$perReplayOut%.3f,"streaming_floor_sec":$streamFloor%.3f,"streaming":$sjson,"failed":$fjson,"regressed":$rjson,"unpinned":$ujson,"loadavg":"$loadavg","sf":"$sfDir"}"""
     // The PRINTED line must survive the driver's bounded tail capture
     // (every BENCH_r{1..14}.json arrived parsed=null: the line carried
     // an sbt "[info] " prefix and/or overflowed the ~2000-char tail
@@ -543,7 +588,7 @@ object Bench {
     // (c) it prints AFTER spark.stop(), so Spark shutdown logging
     // cannot land after it. Full per-query dicts live in
     // bench/results.json, which the record points at.
-    val compact = f"""{"metric":"total","value":$totalOut%.3f,"unit":"sec","baseline12_sec":$base12Out%.3f,"headline_sec":$totalOut%.3f,"streaming_sec":$stotalOut%.3f,"streaming_per_replay_sec":$perReplayOut%.3f,"streaming_floor_sec":$streamFloor%.3f,"failed":$fjson,"regressed":$rjson,"loadavg":"$loadavg","sf":"$sfDir","full":"bench/results.json"}"""
+    val compact = f"""{"metric":"total","value":$totalOut%.3f,"unit":"sec","baseline12_sec":$base12Out%.3f,"headline_sec":$totalOut%.3f,"streaming_sec":$stotalOut%.3f,"streaming_per_replay_sec":$perReplayOut%.3f,"streaming_floor_sec":$streamFloor%.3f,"failed":$fjson,"regressed":$rjson,"unpinned":$ujson,"loadavg":"$loadavg","sf":"$sfDir","full":"bench/results.json"}"""
     // standalone artifact (BASELINE.md): the FULL per-query record —
     // survives any driver-side tail-parsing change
     try {

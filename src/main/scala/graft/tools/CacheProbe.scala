@@ -58,6 +58,49 @@ object CacheProbe {
     println(f"[cacheprobe] $n%d feed-declared merges: cache OFF $a%.1fs, " +
       f"cache ON $b%.1fs (${100.0 * (a - b) / a}%.0f%% faster, " +
       f"order=${if (onFirst) "on_first" else "off_first"})")
+
+    // ── version-LISTING cache leg (round 16, VERDICT r15 #6) ──
+    // The listing cache serves READS of a quiet table (resolution =
+    // one dir stat + one existence probe instead of a listStatus +
+    // name parse per call); during a hot commit loop the grace gate
+    // keeps it off by design. Local listStatus is microseconds, so
+    // the local delta is the MECHANISM receipt only — the lever is an
+    // object store, where LIST is a priced, slower round trip than
+    // HEAD (the in-code rationale at VersionedTable.versions).
+    locally {
+      val dir = java.nio.file.Files
+        .createTempDirectory("cacheprobe_listing").toString + "/t"
+      VersionedTable.commit(spark, dir,
+        spark.range(1000).select($"id".as("k"), ($"id" % 7).as("w")),
+        -1L, "loader")
+      (1 to 19).foreach { i =>
+        VersionedTable.commitDelta(spark, dir,
+          Some(Seq((1000000L + i, 0L)).toDF("k", "w")), Seq.empty,
+          VersionedTable.latestVersion(spark, dir), "probe")
+      }
+      Thread.sleep(2100) // production grace: the table is now "quiet"
+      def listLeg(cache: Boolean, m: Int): Double = {
+        spark.conf.set("graft.listing.cache", cache.toString)
+        var acc = 0L
+        val t0 = System.nanoTime()
+        (1 to m).foreach(_ => acc += VersionedTable.latestVersion(spark, dir))
+        val secs = (System.nanoTime() - t0) / 1e9
+        spark.conf.unset("graft.listing.cache")
+        require(acc == 19L * m, s"listing probe drifted: $acc")
+        secs
+      }
+      val m = 5000
+      listLeg(cache = true, 200); listLeg(cache = false, 200) // JIT warm
+      val (loff, lon) =
+        if (onFirst) { val on = listLeg(true, m); (listLeg(false, m), on) }
+        else (listLeg(false, m), listLeg(true, m))
+      println(f"[cacheprobe] $m%d latestVersion calls on a quiet " +
+        f"20-version table: listing cache OFF $loff%.2fs, ON $lon%.2fs " +
+        f"(${100.0 * (loff - lon) / loff}%.0f%% faster, " +
+        f"order=${if (onFirst) "on_first" else "off_first"})")
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+    }
     spark.stop()
     sys.exit(0)
   }
