@@ -157,7 +157,9 @@ final class GraftSession(val spark: SparkSession) {
     *     declaration grammar verbatim);
     *     `OPTIMIZE t` → [[graft.operators.VersionedTable.compactSmallFiles]];
     *     `VACUUM t [RETAIN n VERSIONS]` → orphan sweep (+ expire);
-    *     `RESTORE t TO VERSION n` → [[graft.operators.VersionedTable.restore]];
+    *     `RESTORE t TO VERSION n | TO TIMESTAMP '<utc>'` →
+    *     [[graft.operators.VersionedTable.restore]] (TIMESTAMP
+    *     resolves through versionAsOf, round 16);
     *     `CREATE BRANCH dev ON t [AS tdev]` / `FAST FORWARD t FROM
     *     dev` / `CHERRY PICK <n> FROM dev ON t` / `EXPIRE BRANCH dev
     *     ON t KEEP <n>` (round 16) / `DROP BRANCH dev ON t` → the
@@ -241,8 +243,27 @@ final class GraftSession(val spark: SparkSession) {
       case "RESTORE" =>
         GraftSession.LcRestore.findFirstMatchIn(query).map { m =>
           lcRestore(m.group(1), m.group(2).toLong)
+        }.orElse {
+          // TO TIMESTAMP resolves through versionAsOf (the authoritative
+          // in-manifest commit instants), then rolls back exactly like
+          // TO VERSION — symmetric with registerVersioned's asOf read.
+          // The literal is UTC (the engine pins the session timezone to
+          // UTC — Timestamp.valueOf would silently parse in the JVM's
+          // default zone); 'Z'-suffixed ISO instants also accepted.
+          GraftSession.LcRestoreTs.findFirstMatchIn(query).map { m =>
+            val b = binding(m.group(1), "RESTORE")
+            val raw = m.group(2).trim
+            val inst = scala.util.Try(java.time.Instant.parse(raw))
+              .getOrElse(java.time.LocalDateTime
+                .parse(raw.replace(' ', 'T'))
+                .toInstant(java.time.ZoneOffset.UTC))
+            lcRestore(m.group(1),
+              graft.operators.VersionedTable.versionAsOf(spark, b.dir,
+                java.sql.Timestamp.from(inst)))
+          }
         }.getOrElse(refuse("RESTORE",
-          "RESTORE <alias> TO VERSION <n>"))
+          "RESTORE <alias> TO VERSION <n> | RESTORE <alias> TO " +
+            "TIMESTAMP '<yyyy-MM-dd HH:mm:ss[.fff]>'"))
       case "CREATE" =>
         // only the versioned-table forms are claimed; every other
         // CREATE (temp views, catalog tables) keeps its Spark meaning
@@ -717,6 +738,9 @@ object GraftSession {
   private val LcRestore =
     ("""(?is)^\s*RESTORE\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+VERSION\s+""" +
       """(\d+)\s*;?\s*$""").r
+  private val LcRestoreTs =
+    ("""(?is)^\s*RESTORE\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+TIMESTAMP\s+""" +
+      """'([^']+)'\s*;?\s*$""").r
 
   // branching (round 15): fork, land, drop — the SQL spelling of the
   // branchRef lifecycle; AS registers the branch as its own alias so

@@ -500,6 +500,35 @@ class Round16Spec extends SparkSpec {
     }
   }
 
+  test("RESTORE TO TIMESTAMP resolves through the in-manifest commit clock (UTC)") {
+    import graft.core.GraftSession
+    val dir = tmp("sql-restore-ts")
+    // pin the commit clock so the as-of resolution is deterministic
+    spark.conf.set("graft.commit.clockMs", "1000000") // 1970-01-01T00:16:40Z
+    VersionedTable.commit(spark, dir, df("a", 4), -1L, "w")
+    spark.conf.set("graft.commit.clockMs", "2000000") // 1970-01-01T00:33:20Z
+    VersionedTable.commitDelta(spark, dir, Some(df("b", 2, 50)), Seq.empty,
+      0L, "w")
+    spark.conf.unset("graft.commit.clockMs")
+    val gs = new GraftSession(spark)
+    gs.registerVersioned("t", dir)
+    // between the two commits → rolls back to v0 (both literal forms)
+    val r = gs.sql("RESTORE t TO TIMESTAMP '1970-01-01 00:25:00'").head()
+    assert(r.getString(0) == "restore" && r.getLong(2) == 2L)
+    assert(gs.sql("SELECT count(*) FROM t").as[Long].head() == 4L)
+    val r2 = gs.sql("RESTORE t TO TIMESTAMP '1970-01-01T00:33:20Z'").head()
+    assert(r2.getLong(2) == 3L)
+    assert(gs.sql("SELECT count(*) FROM t").as[Long].head() == 6L)
+    // a timestamp before the earliest retained commit refuses loudly
+    intercept[IllegalArgumentException] {
+      gs.sql("RESTORE t TO TIMESTAMP '1970-01-01 00:00:01'")
+    }
+    // garbage literals refuse at the parse, not deep in the table layer
+    intercept[java.time.format.DateTimeParseException] {
+      gs.sql("RESTORE t TO TIMESTAMP 'not-a-time'")
+    }
+  }
+
   test("Pig LOAD of a missing branch ref fails with a clear message; names collide safely") {
     val dir = tmp("pig-missing")
     VersionedTable.commit(spark, dir, df("a", 4), -1L, "w")
