@@ -253,10 +253,17 @@ final class GraftSession(val spark: SparkSession) {
           GraftSession.LcRestoreTs.findFirstMatchIn(query).map { m =>
             val b = binding(m.group(1), "RESTORE")
             val raw = m.group(2).trim
+            // an unparseable literal is a GRAMMAR refusal (the
+            // keyword-first contract), not a DateTimeParseException
+            // escaping from deep inside the dispatcher
             val inst = scala.util.Try(java.time.Instant.parse(raw))
-              .getOrElse(java.time.LocalDateTime
+              .orElse(scala.util.Try(java.time.LocalDateTime
                 .parse(raw.replace(' ', 'T'))
-                .toInstant(java.time.ZoneOffset.UTC))
+                .toInstant(java.time.ZoneOffset.UTC)))
+              .getOrElse(refuse("RESTORE … TO TIMESTAMP",
+                "RESTORE <alias> TO TIMESTAMP " +
+                  "'<yyyy-MM-dd HH:mm:ss[.fff]>' (UTC) or an ISO " +
+                  s"instant with 'Z' — could not parse '$raw'"))
             lcRestore(m.group(1),
               graft.operators.VersionedTable.versionAsOf(spark, b.dir,
                 java.sql.Timestamp.from(inst)))
@@ -766,9 +773,12 @@ object GraftSession {
       """([A-Za-z_][A-Za-z0-9_]*)\s+KEEP\s+(\d+)\s*;?\s*$""").r
   // the bare target of an otherwise-unmatched ALTER TABLE — used only
   // to decide refuse-vs-fallthrough (versioned aliases refuse with the
-  // supported grammar; everything else keeps its Spark meaning)
+  // supported grammar; everything else keeps its Spark meaning). The
+  // lookahead rejects QUALIFIED names ('ALTER TABLE db.t …' must fall
+  // through even when an alias 'db' is registered — \b alone would
+  // capture 'db' and wrongly refuse).
   private val AlterTarget =
-    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\b""".r
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)(?![A-Za-z0-9_.])""".r
   private val DdlRename =
     ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+""" +
       """COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r

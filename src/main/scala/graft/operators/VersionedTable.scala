@@ -273,13 +273,15 @@ object VersionedTable {
   // Two refinements (round 16, the r15 advice):
   //   - (mtime, length) cannot distinguish a delete + recreate that
   //     lands inside ONE mtime tick with an equal-length body (stores
-  //     report second-granular mtimes). A cached entry is therefore
-  //     served only once its mtime tick is safely in the past
-  //     ([[manifestCacheGraceMs]]): any later recreation necessarily
-  //     stamps a NEWER tick and misses the (mtime) compare. Freshly
-  //     committed manifests re-read from disk for ~one tick — the
-  //     commit loop's wins are the O(versions) OLD manifests, which
-  //     keep hitting.
+  //     report second-granular mtimes). An entry is therefore CACHED
+  //     only once its mtime tick is safely in the past (the PUT is
+  //     gated, not the serve — a serve-side gate would only delay a
+  //     poisoned entry, never prevent it): a parse taken after the
+  //     tick closed reflects every same-tick mutation, and any LATER
+  //     recreation stamps a newer tick and misses the (mtime) compare.
+  //     Freshly committed manifests re-read from disk for ~one tick —
+  //     the commit loop's wins are the O(versions) OLD manifests,
+  //     which keep hitting.
   //   - eviction is weighted by manifest SIZE (≈ live-file count +
   //     masks), not entry count: a Manifest holds one entry per live
   //     file, so thousands of cached versions of a 10^5-file table
@@ -334,9 +336,10 @@ object VersionedTable {
     if (cacheOn)
       manifestCache.get(key).foreach {
         case (mt, len, m) =>
-          if (mt == st.getModificationTime && len == st.getLen &&
-              mt + cacheGraceMs(spark) <= System.currentTimeMillis())
-            return m
+          // (mtime, length) suffices: the put below only caches parses
+          // taken safely past the mtime tick, so a matching mtime
+          // proves no mutation since the cached parse
+          if (mt == st.getModificationTime && len == st.getLen) return m
       }
     val in = f.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -387,7 +390,9 @@ object VersionedTable {
           case _             => None
         }
       }.toMap)
-    if (cacheOn)
+    if (cacheOn &&
+        st.getModificationTime + cacheGraceMs(spark) <=
+          System.currentTimeMillis())
       manifestCache.put(key, (st.getModificationTime, st.getLen, parsed))
     parsed
   }
@@ -1478,9 +1483,18 @@ object VersionedTable {
       throw new ExpectationViolation(s"$context: ${bad.mkString("; ")}")
   }
 
-  private def requireWriterId(writerId: String): Unit =
+  private def requireWriterId(writerId: String): Unit = {
     require(writerId.nonEmpty && !writerId.exists(c => c == '/' || c == '\n'),
       s"writerId must be a plain token, got '$writerId'")
+    // "b." prefixes the BRANCH tag inside staging-dir names
+    // (v<ver>-b.<branch>.<writer>); a mainline writer id starting with
+    // "b." would make its staging dirs parse as branch-tagged and lose
+    // the future-version shield in [[vacuum]] (an in-flight commit's
+    // staged data could be swept). Refuse the ambiguity at the door.
+    require(!writerId.startsWith("b."),
+      s"writerId must not start with 'b.' (reserved for the branch " +
+        s"staging tag), got '$writerId'")
+  }
 
   private def requireNotStale(spark: SparkSession, dir: String,
       expectedVersion: Long): Unit = {
@@ -4073,10 +4087,17 @@ object VersionedTable {
     // branch is live, and treat the dir as a plain orphan when no live
     // branch matches (the branch was deleted; the grace gate is the
     // in-flight-writer protection, the Delta VACUUM discipline).
-    // Branch names may contain dots, so ownership is tested against
-    // the live-branch list, prefix-longest irrelevant: ANY matching
-    // live branch shields with its tip.
-    val liveBranchTips: Seq[(String, Long)] = branches(spark, dir)
+    // Branch names may contain dots and so can't be parsed back out of
+    // the dir name unambiguously — ownership is tested against the
+    // live-branch list, and a dir matching SEVERAL live branches
+    // ('etl' and 'etl.eu') is sweepable only below EVERY matching tip:
+    // taking the max would let branch etl's higher tip mark etl.eu's
+    // in-flight staging as garbage and delete data out from under its
+    // commit. (requireWriterId bans mainline writer ids starting with
+    // "b.", so a 'b.'-tagged dir is always branch staging and the
+    // owners-empty case always means a deleted branch.) Lazy: a
+    // branch-free table's vacuum never pays the branch-log listings.
+    lazy val liveBranchTips: Seq[(String, Long)] = branches(spark, dir)
       .map(b => b -> latestVersion(spark, branchRef(rootOf(dir), b)))
     val now = System.currentTimeMillis()
     // same sweep for data staging dirs and dv sidecar dirs: both are
@@ -4097,7 +4118,7 @@ object VersionedTable {
               if (rest.startsWith("b.")) {
                 val owners = liveBranchTips.filter { case (b, _) =>
                   rest.startsWith(s"b.$b.") }
-                owners.isEmpty || ver.toLong <= owners.map(_._2).max
+                owners.isEmpty || owners.forall(ver.toLong <= _._2)
               } else ver.toLong <= latest
             verGate && (now - s.getModificationTime) >= graceMs
           }

@@ -400,6 +400,14 @@ class Round16Spec extends SparkSpec {
       // qualified names fall through too (refused only for bare
       // registered aliases)
       gs.sql("ALTER TABLE default.alter_probe SET TBLPROPERTIES ('q'='2')")
+      // a qualified name whose FIRST part collides with a registered
+      // versioned alias must STILL fall through to Spark — the
+      // refusal is for the bare alias only
+      val eq = intercept[Exception] {
+        gs.sql("ALTER TABLE t.sub SET TBLPROPERTIES ('q'='2')")
+      }
+      assert(!eq.getMessage.contains("RENAME COLUMN"),
+        s"qualified 't.sub' must reach Spark, not the alias refusal: $eq")
       // versioned alias: unsupported ALTER form refuses with grammar
       val e = intercept[IllegalArgumentException] {
         gs.sql("ALTER TABLE t SET TBLPROPERTIES ('p'='1')")
@@ -500,6 +508,57 @@ class Round16Spec extends SparkSpec {
     }
   }
 
+  test("vacuum's branch-staging gate: dot-ambiguous owners shield by EVERY matching tip") {
+    val dir = tmp("vac-amb")
+    VersionedTable.commit(spark, dir, df("a", 4), -1L, "w")
+    // live branches 'etl' (driven to a HIGH tip) and 'etl.eu' (tip 1):
+    // a dir named v<mid>-b.etl.eu.w parses ambiguously (branch 'etl',
+    // writer 'eu.w' — or branch 'etl.eu', writer 'w'); sweeping it by
+    // etl's higher tip would delete etl.eu's in-flight staging
+    VersionedTable.createBranch(spark, dir, "etl")
+    val refEtl = VersionedTable.branchRef(dir, "etl")
+    (1 to 6).foreach { i =>
+      VersionedTable.commitDelta(spark, refEtl,
+        Some(df("e", 1, 100 + i).coalesce(1)), Seq.empty,
+        VersionedTable.latestVersion(spark, refEtl), "we")
+    }
+    VersionedTable.createBranch(spark, dir, "etl.eu")
+    // simulate etl.eu's IN-FLIGHT commit: staged data, manifest not
+    // yet CAS'd — version 3 is <= etl's tip (6) but > etl.eu's (0)
+    val inflight = new java.io.File(s"$dir/data/v3-b.etl.eu.w1")
+    assert(inflight.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(inflight, "part-0.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    // and a genuinely superseded orphan of branch 'etl' (v1 <= both
+    // matching tips... only 'etl' matches 'b.etl.w-old.' — none; it
+    // matches only branch 'etl'): version 1 <= etl tip 6 → sweepable
+    val orphan = new java.io.File(s"$dir/data/v1-b.etl.wdead")
+    assert(orphan.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(orphan, "part-0.parquet").toPath,
+      Array[Byte](9))
+    val swept = VersionedTable.vacuum(spark, dir)
+    assert(swept.contains("data/v1-b.etl.wdead"),
+      s"a superseded live-branch orphan must sweep: $swept")
+    assert(!swept.exists(_.contains("b.etl.eu")) && inflight.exists(),
+      s"ambiguous ownership must shield by EVERY matching tip: $swept")
+    // once 'etl.eu' advances past v3, the unreferenced dir is garbage
+    val refEu = VersionedTable.branchRef(dir, "etl.eu")
+    (1 to 3).foreach { i =>
+      VersionedTable.commitDelta(spark, refEu,
+        Some(df("u", 1, 200 + i).coalesce(1)), Seq.empty,
+        VersionedTable.latestVersion(spark, refEu), "wu")
+    }
+    assert(VersionedTable.vacuum(spark, dir)
+      .contains("data/v3-b.etl.eu.w1"))
+    // the reserved mainline writer-id prefix refuses at the door
+    intercept[IllegalArgumentException] {
+      VersionedTable.commitDelta(spark, dir, Some(df("x", 1, 300)),
+        Seq.empty, 0L, "b.sneaky")
+    }
+  }
+
   test("RESTORE TO TIMESTAMP resolves through the in-manifest commit clock (UTC)") {
     import graft.core.GraftSession
     val dir = tmp("sql-restore-ts")
@@ -523,10 +582,12 @@ class Round16Spec extends SparkSpec {
     intercept[IllegalArgumentException] {
       gs.sql("RESTORE t TO TIMESTAMP '1970-01-01 00:00:01'")
     }
-    // garbage literals refuse at the parse, not deep in the table layer
-    intercept[java.time.format.DateTimeParseException] {
+    // garbage literals surface the GRAMMAR refusal (keyword-first
+    // contract), never a raw DateTimeParseException
+    val eg = intercept[IllegalArgumentException] {
       gs.sql("RESTORE t TO TIMESTAMP 'not-a-time'")
     }
+    assert(eg.getMessage.contains("could not parse"))
   }
 
   test("Pig LOAD of a missing branch ref fails with a clear message; names collide safely") {
