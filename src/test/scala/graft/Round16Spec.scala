@@ -85,6 +85,41 @@ class Round16Spec extends SparkSpec {
       .schema.get.fieldNames.length == 3)
   }
 
+  test("quiet-mainline wholesale landing still admits arbitrary branch migrations (rename)") {
+    // the r15 behavior the state-conditioned wholesale check must
+    // preserve: with mainline commit-quiet AND state-identical to the
+    // fork, the branch may land ANY migration — here a colmap RENAME,
+    // which the reconciliation path would refuse
+    val dir = tmp("ff-wholesale")
+    VersionedTable.commit(spark, dir, df("a", 6), -1L, "w")
+    VersionedTable.createBranch(spark, dir, "mig")
+    val ref = VersionedTable.branchRef(dir, "mig")
+    VersionedTable.renameColumns(spark, ref, Map("v" -> "label"), 0L, "wb")
+    VersionedTable.commitDelta(spark, ref,
+      Some(spark.range(1).coalesce(1).select(lit(50L).as("k"),
+        lit("m").as("label"))), Seq.empty, 1L, "wb")
+    val landed = VersionedTable.fastForward(spark, dir, "mig", "w").get
+    val lm = VersionedTable.readManifest(spark, dir, landed)
+    assert(lm.schema.get.fieldNames.toSeq == Seq("k", "label"))
+    assert(lm.colmap.get("label").contains("v"),
+      "the branch's column mapping must land wholesale")
+    assert(VersionedTable.read(spark, dir)
+      .where($"label" === "m").count() == 1L)
+    // but the SAME migration with a MOVED mainline refuses (rename is
+    // never auto-reconciled)
+    val dir2 = tmp("ff-wholesale2")
+    VersionedTable.commit(spark, dir2, df("a", 6), -1L, "w")
+    VersionedTable.createBranch(spark, dir2, "mig")
+    val ref2 = VersionedTable.branchRef(dir2, "mig")
+    VersionedTable.renameColumns(spark, ref2, Map("v" -> "label"), 0L, "wb")
+    VersionedTable.commitDelta(spark, dir2,
+      Some(df("m", 1, 70).coalesce(1)), Seq.empty, 0L, "w")
+    intercept[IllegalArgumentException] {
+      VersionedTable.fastForward(spark, dir2, "mig", "w",
+        readsTable = false)
+    }
+  }
+
   test("fastForward still refuses two-sided divergence (both re-declared / both extended)") {
     val dir = tmp("ff-two")
     VersionedTable.commit(spark, dir, df("a", 10), -1L, "w")
@@ -226,6 +261,12 @@ class Round16Spec extends SparkSpec {
     assert(out.where($"v" === "lo").count() == 3L)
     assert(out.where($"v" === "hi").count() == 3L)
     assert(out.count() == 100L)
+    // the CDF across both commits replays the serial outcome: six
+    // updates (three per merge), no phantom inserts/deletes — a
+    // scope-admitted rebase must not distort the change feed
+    val ch = VersionedTable.changesBetween(spark, dir, 0L, 2L, Seq("k"))
+    assert(ch.where($"op" === "update").count() == 6L)
+    assert(ch.where($"op" =!= "update").isEmpty)
   }
 
   test("two updateWhere writers on disjoint key ranges land without a retry loop; CDF replays") {
