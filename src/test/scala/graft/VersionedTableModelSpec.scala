@@ -267,6 +267,118 @@ class VersionedTableModelSpec extends SparkSpec {
     }
   }
 
+  test("mixed scoped writers race on a STATS-LESS table: all land, scopes recorded, CDF replays") {
+    // round-16 law: merge + updateWhere + deleteWhere race from the
+    // same tip on DISJOINT key bands of a table with NO stats — the
+    // winner-added-files envelope check can prove nothing, so a
+    // mid-flight loser lands only through the recorded-scope
+    // disjointness admit. The law: every writer eventually lands, each
+    // commit carries its op's recorded scope, the final table equals
+    // the order-free serial model, and the CDF folded in COMMIT order
+    // replays the model exactly (a scope-admitted rebase must never
+    // distort the feed).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    (1 to 2).foreach { seed =>
+      val rnd = new scala.util.Random(seed + 2500)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"vt-smodel-$seed").toString + "/t"
+      var model: Map[Long, Long] = (0L until 400L).map(k => k -> k * 3).toMap
+      VersionedTable.commit(spark, dir,
+        model.toSeq.toDF("k", "a").repartitionByRange(8, $"k"),
+        -1L, "loader") // deliberately NO clusterBy/statsCols
+      assert(VersionedTable.readManifest(spark, dir, 0L).stats.isEmpty,
+        "the fixture must be stats-less or the law tests the wrong admit")
+      def tip = VersionedTable.latestVersion(spark, dir)
+      (1 to 2).foreach { round =>
+        val tip0 = tip
+        val preRound = model
+        // band [0,100): merge upserts; band [150,250): update; band
+        // [300,400): delete — per-round rotating moduli keep the
+        // update/delete sets fresh
+        val mergeRows = Seq.fill(5)(rnd.nextInt(100).toLong).distinct
+          .map(k => k -> rnd.nextInt(100000).toLong)
+        val updMod = 1 + round // k % 3 alternates its residue classes
+        val delMod = 1 + round
+        val updPred = s"k >= 150 AND k < 250 AND k % 3 = ${updMod % 3}"
+        val delPred = s"k >= 300 AND k < 400 AND k % 7 = $delMod"
+        val effects: Map[String, Map[Long, Long] => Map[Long, Long]] = Map(
+          s"m-$round" -> (m => m ++ mergeRows),
+          s"u-$round" -> (m => m.map { case (k, a) =>
+            if (k >= 150 && k < 250 && k % 3 == updMod % 3) k -> (a + 1000)
+            else k -> a
+          }),
+          s"d-$round" -> (m => m.filterNot { case (k, _) =>
+            k >= 300 && k < 400 && k % 7 == delMod }))
+        val gate = new java.util.concurrent.CyclicBarrier(3)
+        def retrying(body: => Long): Future[Long] = Future {
+          gate.await()
+          var out = -1L
+          var tries = 0
+          while (out < 0) {
+            tries += 1
+            try out = body
+            catch { case _: VersionedTable.CommitConflict if tries < 6 => () }
+          }
+          out
+        }
+        val futs = Seq(
+          retrying(VersionedTable.merge(spark, dir,
+            mergeRows.toDF("k", "a"), Seq("k"),
+            VersionedTable.latestVersion(spark, dir), s"m-$round",
+            rebaseAttempts = 6).version),
+          retrying(VersionedTable.updateWhere(spark, dir, updPred,
+            Seq("a" -> "a + 1000"),
+            VersionedTable.latestVersion(spark, dir), s"u-$round",
+            rebaseAttempts = 6)
+            .map(_.version).getOrElse(sys.error("update matched nothing"))),
+          retrying(VersionedTable.deleteWhere(spark, dir, delPred,
+            VersionedTable.latestVersion(spark, dir), s"d-$round",
+            rebaseAttempts = 6).version))
+        val vs = Await.result(Future.sequence(futs), 300.seconds)
+        assert(vs.toSet == Set(tip0 + 1, tip0 + 2, tip0 + 3),
+          s"seed=$seed round=$round: all three scoped writers must " +
+            s"land, got $vs")
+        // every commit carries ITS op's recorded scope
+        (tip0 + 1 to tip0 + 3).foreach { v =>
+          val m = VersionedTable.readManifest(spark, dir, v)
+          val want = m.writer.take(1) match {
+            case "m" => "merge"; case "u" => "update"; case "d" => "delete"
+          }
+          assert(m.meta.get(VersionedTable.ScopeOpKey).contains(want),
+            s"seed=$seed round=$round: v$v (${m.writer}) lacks its " +
+              s"recorded scope: ${m.meta}")
+          assert(m.meta.contains(VersionedTable.ScopeBoundsKey))
+        }
+        // disjoint bands → the serial model is order-free
+        model = effects.values.foldLeft(preRound)((m, f) => f(m))
+        val got = VersionedTable.read(spark, dir)
+          .select($"k", $"a").as[(Long, Long)].collect().toMap
+        assert(got == model, s"seed=$seed round=$round: table != model")
+        // CDF folded in COMMIT order replays exactly
+        var fwd = preRound
+        var appliedEffects = Set.empty[String]
+        (tip0 until tip0 + 3).foreach { v =>
+          val wid = VersionedTable.readManifest(spark, dir, v + 1).writer
+          val cdf = VersionedTable
+            .changesBetween(spark, dir, v, v + 1, Seq("k"))
+            .select($"k", $"a", $"op")
+            .as[(Long, Option[Long], String)].collect()
+          fwd = cdf.foldLeft(fwd) { case (m, (k, a, op)) =>
+            if (op == "delete") m - k else m + (k -> a.get)
+          }
+          appliedEffects += wid
+          val expected = appliedEffects.foldLeft(preRound)(
+            (m, w) => effects(w)(m))
+          assert(fwd == expected,
+            s"seed=$seed round=$round: CDF replay diverged at " +
+              s"v${v + 1} ($wid)")
+        }
+      }
+    }
+  }
+
   test("branch model: fastForward lands the exact net effect or refuses with both worlds intact") {
     (1 to 2).foreach { seed =>
       val rnd = new scala.util.Random(seed + 700)
