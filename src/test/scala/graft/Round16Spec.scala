@@ -153,6 +153,56 @@ class Round16Spec extends SparkSpec {
     assert(e2.getMessage.contains("schemas diverged"))
   }
 
+  test("cross-dimension one-sidedness: mainline extends the schema while the branch re-declares") {
+    // the reconciliation treats schema and declarations independently:
+    // each dimension one-sided (on DIFFERENT sides) still lands —
+    // landing takes mainline's extended schema AND the branch's
+    // declaration set, with the branch's new expectation enforced on
+    // mainline's since-fork adds under the landed (extended) schema
+    val dir = tmp("ff-cross")
+    VersionedTable.commit(spark, dir, df("a", 6), -1L, "w")
+    VersionedTable.createBranch(spark, dir, "dev")
+    val ref = VersionedTable.branchRef(dir, "dev")
+    VersionedTable.commitDelta(spark, ref, Some(df("ok", 1, 50).coalesce(1)),
+      Seq.empty, 0L, "wb", expectations = Map("no_bad" -> "v <> 'bad'"))
+    // mainline: metadata-only ADD COLUMNS, then a clean append
+    VersionedTable.addColumns(spark, dir, Seq(
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.LongType, nullable = true)), 0L, "w")
+    VersionedTable.commitDelta(spark, dir,
+      Some(spark.range(1).coalesce(1).select(lit(60L).as("k"),
+        lit("fine").as("v"), lit(7L).as("extra"))), Seq.empty, 1L, "w")
+    val landed = VersionedTable.fastForward(spark, dir, "dev", "w",
+      readsTable = false).get
+    val lm = VersionedTable.readManifest(spark, dir, landed)
+    assert(lm.schema.get.fieldNames.toSeq == Seq("k", "v", "extra"))
+    assert(VersionedTable.tableExpectations(spark, dir, landed)
+      .get("no_bad").contains("v <> 'bad'"))
+    val out = VersionedTable.read(spark, dir)
+    assert(out.count() == 8L) // 6 base + 1 mainline + 1 branch
+    assert(out.where($"extra" === 7L).count() == 1L)
+    // the violating variant refuses: mainline's since-fork append
+    // breaks the branch's new CHECK, enforced under the landed schema
+    val dir2 = tmp("ff-cross2")
+    VersionedTable.commit(spark, dir2, df("a", 6), -1L, "w")
+    VersionedTable.createBranch(spark, dir2, "dev")
+    val ref2 = VersionedTable.branchRef(dir2, "dev")
+    VersionedTable.commitDelta(spark, ref2,
+      Some(df("ok", 1, 50).coalesce(1)),
+      Seq.empty, 0L, "wb", expectations = Map("no_bad" -> "v <> 'bad'"))
+    VersionedTable.addColumns(spark, dir2, Seq(
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.LongType, nullable = true)), 0L, "w")
+    VersionedTable.commitDelta(spark, dir2,
+      Some(spark.range(1).coalesce(1).select(lit(61L).as("k"),
+        lit("bad").as("v"), lit(8L).as("extra"))), Seq.empty, 1L, "w")
+    val e = intercept[ExpectationViolation] {
+      VersionedTable.fastForward(spark, dir2, "dev", "w",
+        readsTable = false)
+    }
+    assert(e.getMessage.contains("no_bad"))
+  }
+
   test("fastForward enforces a re-declared expectation on the other side's since-fork rows") {
     // branch declares `v <> 'bad'`; mainline appended a violating row
     // since the fork → the landing must refuse with the violation
