@@ -511,26 +511,51 @@ object Bench {
       System.err.println(f"[bench] stream floor times=${fs.map(t => f"$t%.2f").mkString(",")}")
       fs(fs.length / 2)
     }
+    // Per-replay PHASE SPLIT (round 17, VERDICT r16 #1/#7): every
+    // timed run's micro-batch progress is accumulated by
+    // graft.streaming.ReplayPhases and diffed around the run; the
+    // median-wall run's split rides into bench/results.json as
+    // streaming_phases so a q138-shaped drift is attributable from
+    // the artifact alone — floor (wall − Σ triggerExecution: session +
+    // fixture + start/stop), commit (offset/commit-log I/O), state
+    // (task-summed store time), sink (Σ addBatch: execution incl. the
+    // sink write), batches.
+    graft.streaming.ReplayPhases.enabled = true
+    graft.streaming.ReplayPhases.attach(spark) // q235/q253 stream on it
     val streamResults = streamQs.flatMap { name =>
       System.err.println(s"[bench] stream warm $name")
       try benchQuery(name)(spark, sfDir).count()
       catch { case e: Throwable => System.err.println(s"[bench] stream warm $name failed: ${e.getMessage}") }
       val raw = (1 to 3).map { _ =>
         System.gc()
+        val before = graft.streaming.ReplayPhases.snapshot()
         val t0 = System.nanoTime()
         val ok =
           try { benchQuery(name)(spark, sfDir).count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] stream $name timed run FAILED: $e"); false }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val wall = (System.nanoTime() - t0) / 1e9
+        (wall, ok, graft.streaming.ReplayPhases.snapshot() - before)
       }
       System.err.println(f"[bench] stream $name raw=${raw.map(t => f"${t._1}%.2f" + (if (t._2) "" else "!")).mkString(",")}")
-      val good = raw.filter(_._2).map(_._1).sorted
+      val good = raw.filter(_._2).sortBy(_._1)
       if (good.isEmpty) { failedQueries += name; None }
-      else Some(name -> good(good.length / 2))
+      else {
+        val (wall, _, ph) = good(good.length / 2)
+        val floor = math.max(0.0, wall - ph.trigger / 1e3)
+        System.err.println(
+          f"[bench] stream $name phases floor=$floor%.2f commit=${ph.commit / 1e3}%.2f " +
+            f"state=${ph.state / 1e3}%.2f sink=${ph.sink / 1e3}%.2f batches=${ph.batches}")
+        Some((name, wall, (floor, ph)))
+      }
     }
-    val sjson = streamResults.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val sjson = streamResults.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val sphjson = streamResults.map { case (k, wall, (floor, ph)) =>
+      "\"" + k + "\":{" +
+        f""""wall":$wall%.3f,"floor":$floor%.3f,"commit":${ph.commit / 1e3}%.3f,""" +
+        f""""state":${ph.state / 1e3}%.3f,"sink":${ph.sink / 1e3}%.3f,"batches":${ph.batches}%d}"""
+    }.mkString("{", ",", "}")
     val stotal = streamResults.map(_._2).sum
     val fjson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     // A failed member query must make its aggregate UNMISTAKABLY
@@ -552,7 +577,7 @@ object Bench {
     val regressed = results.collect {
       case (k, v) if pinned.get(k).exists(p => v > 2 * p) => k
     } ++ streamResults.collect {
-      case (k, v) if sPinned.get(k).exists(p => v > 2 * p) => k
+      case (k, v, _) if sPinned.get(k).exists(p => v > 2 * p) => k
     }
     val rjson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // pin-coverage receipt (round 16): a benched query without a pin
@@ -577,7 +602,7 @@ object Bench {
     val perReplayOut =
       if (streamingBroken || streamResults.isEmpty) -1.0
       else stotal / streamResults.size
-    val line = f"""{"metric":"total","value":$totalOut%.3f,"unit":"sec","baseline12_sec":$base12Out%.3f,"headline_sec":$totalOut%.3f,"queries":$qjson,"streaming_sec":$stotalOut%.3f,"streaming_per_replay_sec":$perReplayOut%.3f,"streaming_floor_sec":$streamFloor%.3f,"streaming":$sjson,"failed":$fjson,"regressed":$rjson,"unpinned":$ujson,"loadavg":"$loadavg","sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$totalOut%.3f,"unit":"sec","baseline12_sec":$base12Out%.3f,"headline_sec":$totalOut%.3f,"queries":$qjson,"streaming_sec":$stotalOut%.3f,"streaming_per_replay_sec":$perReplayOut%.3f,"streaming_floor_sec":$streamFloor%.3f,"streaming":$sjson,"streaming_phases":$sphjson,"failed":$fjson,"regressed":$rjson,"unpinned":$ujson,"loadavg":"$loadavg","sf":"$sfDir"}"""
     // The PRINTED line must survive the driver's bounded tail capture
     // (every BENCH_r{1..14}.json arrived parsed=null: the line carried
     // an sbt "[info] " prefix and/or overflowed the ~2000-char tail

@@ -5177,6 +5177,173 @@ object SparkEntry {
       gs.sql("SELECT k, pr, price FROM t")
     }),
 
+    // --- two-sided DISJOINT divergence reconciliation (round 17,
+    //     VERDICT r16 #2): branch appends `score` + declares a CHECK;
+    //     mainline independently appends `region` + declares its own
+    //     CHECK, names disjoint on both dimensions. fastForward lands
+    //     the union — schema = mainline's fields then the branch tail,
+    //     declarations = both checks, each side's new check enforced
+    //     on the other side's since-fork adds before the CAS. ---
+    "q261_ff_two_sided" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val vt = java.nio.file.Files.createTempDirectory("graft_ff2_q261_")
+        .toString + "/t"
+      val cust = t(s, dir).customer.select(col("c_custkey").as("k"),
+        col("c_name").as("name"), col("c_acctbal").as("bal"))
+      require(VersionedTable.commit(s, vt, cust, -1L, "loader",
+        clusterBy = Seq("k"), clusterFiles = 16) == 0L)
+      require(VersionedTable.createBranch(s, vt, "sch") == 0L)
+      val ref = VersionedTable.branchRef(vt, "sch")
+      // branch: ADD COLUMNS score, rows carrying it, + its own CHECK
+      VersionedTable.addColumns(s, ref, Seq(
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType, nullable = true)),
+        0L, "wb")
+      VersionedTable.commitDelta(s, ref,
+        Some(cust.filter(col("k") % 97 === 0)
+          .select((col("k") + 20000000L).as("k"),
+            concat(lit("s_"), col("k").cast("string")).as("name"),
+            lit(0.0).as("bal"), (col("k") % 13).cast("double").as("score"))
+          .coalesce(1)),
+        Seq.empty, 1L, "wb",
+        expectations = Map("score_ok" -> "score IS NULL OR score >= 0"))
+      // mainline, independently: ADD COLUMNS region, rows, its own CHECK
+      VersionedTable.addColumns(s, vt, Seq(
+        org.apache.spark.sql.types.StructField("region",
+          org.apache.spark.sql.types.StringType, nullable = true)),
+        0L, "wm")
+      VersionedTable.commitDelta(s, vt,
+        Some(cust.filter(col("k") % 89 === 0)
+          .select((col("k") + 30000000L).as("k"),
+            concat(lit("m_"), col("k").cast("string")).as("name"),
+            lit(1.0).as("bal"),
+            concat(lit("r"), (col("k") % 5).cast("string")).as("region"))
+          .coalesce(1)),
+        Seq.empty, 1L, "wm",
+        expectations = Map("bal_ok" -> "bal IS NOT NULL"))
+      // the branch's work is content-local (a migration + blind
+      // appends), so mainline's own appends are admissible
+      val landed = VersionedTable.fastForward(s, vt, "sch", "merger",
+        readsTable = false)
+      require(landed.contains(3L), s"q261: must land as v3: $landed")
+      val lm = VersionedTable.readManifest(s, vt, 3L)
+      require(lm.schema.get.fieldNames.toSeq ==
+        Seq("k", "name", "bal", "region", "score"),
+        s"q261: union order rule: ${lm.schema.get.fieldNames.toSeq}")
+      require(lm.schema.get.fields.drop(3).forall(_.nullable),
+        "q261: both tails must land nullable")
+      val ex = VersionedTable.tableExpectations(s, vt, 3L)
+      require(ex.contains("score_ok") && ex.contains("bal_ok"),
+        s"q261: both disjoint declarations must land: $ex")
+      val out = VersionedTable.read(s, vt)
+      require(out.where(col("score").isNotNull &&
+        col("region").isNotNull).isEmpty,
+        "q261: no row carries BOTH tails (each side null-fills the other)")
+      out.select(col("k"), col("name"), col("bal"), col("region"),
+        col("score"))
+    }),
+
+    // --- cherryPick one-sided additive admit (round 17, VERDICT r16
+    //     #3): the hotfix-branch flow — branch ADD COLUMNS + two
+    //     appends; ONLY the first append is picked. Mainline gets the
+    //     union schema (old files null-fill), the second append stays
+    //     unlanded, and picking the migration commit itself refuses. ---
+    "q262_cherry_pick_additive" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val vt = java.nio.file.Files.createTempDirectory("graft_cpa_q262_")
+        .toString + "/t"
+      val base = t(s, dir).orders.select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("pr"), col("o_totalprice").as("price"))
+      require(VersionedTable.commit(s, vt, base, -1L, "loader",
+        clusterBy = Seq("k"), clusterFiles = 16) == 0L)
+      require(VersionedTable.createBranch(s, vt, "hotfix") == 0L)
+      val ref = VersionedTable.branchRef(vt, "hotfix")
+      VersionedTable.addColumns(s, ref, Seq(
+        org.apache.spark.sql.types.StructField("disc",
+          org.apache.spark.sql.types.DoubleType, nullable = true)),
+        0L, "wb")
+      VersionedTable.commitDelta(s, ref,
+        Some(base.filter(col("k") % 113 === 0)
+          .select((col("k") + 7000000L).as("k"), lit("PX").as("pr"),
+            lit(1.0).as("price"), (col("k") % 7).cast("double").as("disc"))
+          .coalesce(1)), Seq.empty, 1L, "wb")
+      VersionedTable.commitDelta(s, ref,
+        Some(base.filter(col("k") % 127 === 0)
+          .select((col("k") + 7500000L).as("k"), lit("PY").as("pr"),
+            lit(2.0).as("price"), lit(9.0).as("disc"))
+          .coalesce(1)), Seq.empty, 2L, "wb")
+      // the migration commit itself is not a delta — refuses
+      val eMig = try { VersionedTable.cherryPick(s, vt, "hotfix", 1L, "wm")
+        ; false } catch { case _: IllegalArgumentException => true }
+      require(eMig, "q262: picking the ADD COLUMNS commit must refuse")
+      val v = VersionedTable.cherryPick(s, vt, "hotfix", 2L, "wm")
+      require(v == 1L, s"q262: the pick must land as mainline v1, got $v")
+      val lm = VersionedTable.readManifest(s, vt, v)
+      require(lm.schema.get.fieldNames.toSeq == Seq("k", "pr", "price",
+        "disc"), s"q262: union schema: ${lm.schema.get.fieldNames.toSeq}")
+      require(lm.schema.get.fields.last.nullable,
+        "q262: the landed tail must be nullable")
+      val out = VersionedTable.read(s, vt)
+      require(out.where(col("pr") === "PY").isEmpty,
+        "q262: the unpicked second append must stay branch-only")
+      out.select(col("k"), col("pr"), col("price"), col("disc"))
+    }),
+
+    // --- SQL CHERRY PICK n..m range (round 17, VERDICT r16 #5): a
+    //     SQL-only session stages four branch appends and lands the
+    //     MIDDLE TWO with one range statement; the partial-landing
+    //     contract is probed in-entry (a mid-range refusal keeps the
+    //     landed prefix and names the resume point). ---
+    "q263_sql_cherry_pick_range" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val vt = java.nio.file.Files.createTempDirectory("graft_cpr_q263_")
+        .toString + "/t"
+      val base = t(s, dir).orders.select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("pr"), col("o_totalprice").as("price"))
+      require(VersionedTable.commit(s, vt, base, -1L, "loader",
+        clusterBy = Seq("k"), clusterFiles = 16) == 0L)
+      val gs = new graft.core.GraftSession(s)
+      gs.registerVersioned("t", vt)
+      val rs = gs.runScript(
+        """CREATE BRANCH fix.batch ON t AS tdev;
+          |INSERT INTO tdev SELECT k + 7100000, 'P1', 1.0 FROM tdev
+          |  WHERE k % 113 = 0 AND k < 7000000;
+          |INSERT INTO tdev SELECT k + 7200000, 'P2', 2.0 FROM tdev
+          |  WHERE k % 127 = 0 AND k < 7000000;
+          |INSERT INTO tdev SELECT k + 7300000, 'P3', 3.0 FROM tdev
+          |  WHERE k % 131 = 0 AND k < 7000000;
+          |CHERRY PICK 2..3 FROM fix.batch ON t""".stripMargin)
+      val r = rs.last.head()
+      require(r.getString(0) == "cherry_pick" && r.getLong(2) == 2L &&
+        r.getLong(3) == 2L, s"q263: range receipt must land 2 picks: $r")
+      require(gs.sql("SELECT count(*) FROM t WHERE pr = 'P1'")
+        .head().getLong(0) == 0L, "q263: v1 stays unlanded")
+      // partial-landing probe: v4 = a clean append, v5 = a re-declaring
+      // commit (a pick is a delta — refuses); the range lands v4, stops
+      // at v5 naming the resume point, prior pick stays landed
+      gs.sql("INSERT INTO tdev SELECT k + 7400000, 'P4', 4.0 FROM tdev " +
+        "WHERE k % 137 = 0 AND k < 7000000")
+      val bref = VersionedTable.branchRef(vt, "fix.batch")
+      VersionedTable.commitDelta(s, bref,
+        Some(base.filter(col("k") % 139 === 0).limit(1)
+          .select((col("k") + 7600000L).as("k"), lit("P5").as("pr"),
+            lit(5.0).as("price")).coalesce(1)), Seq.empty,
+        VersionedTable.latestVersion(s, bref), "wb",
+        expectations = Map("k_pos" -> "k >= 0"))
+      val msg = try { gs.sql("CHERRY PICK 4..5 FROM fix.batch ON t"); "" }
+        catch { case e: IllegalArgumentException => e.getMessage }
+      require(msg.contains("picks 4..4 landed") &&
+        msg.contains("resume with CHERRY PICK 5..5"),
+        s"q263: partial-landing contract message: $msg")
+      require(gs.sql("SELECT count(*) FROM t WHERE pr = 'P5'")
+        .head().getLong(0) == 0L, "q263: nothing at the refusal lands")
+      // grammar probe: inverted ranges refuse
+      val inv = try { gs.sql("CHERRY PICK 3..1 FROM fix.batch ON t"); "" }
+        catch { case e: IllegalArgumentException => e.getMessage }
+      require(inv.contains("n <= m"), s"q263: inverted range grammar: $inv")
+      gs.sql("SELECT k, pr, price FROM t")
+    }),
+
     // --- piggybank datetime evals (ISOToUnix / UnixToISO /
     //     ISODaysBetween) over orders dates ---
     "q121_datetime_iso" -> ((s, dir) => {
@@ -8311,6 +8478,52 @@ object SparkEntry {
          UNION ALL
          SELECT o_orderkey + 7500000 AS k, 'P2' AS pr, 2.0 AS price
          FROM orders WHERE o_orderkey % 127 = 0""",
+
+    // two-sided disjoint reconciliation: base rows null-fill BOTH
+    // tails, mainline's appends carry region only, the branch's carry
+    // score only — the landed union in one read
+    "q261_ff_two_sided" ->
+      """SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal,
+                CAST(NULL AS VARCHAR) AS region,
+                CAST(NULL AS DOUBLE) AS score
+         FROM customer
+         UNION ALL
+         SELECT c_custkey + 30000000, 'm_' || CAST(c_custkey AS VARCHAR),
+                1.0, 'r' || CAST(c_custkey % 5 AS VARCHAR),
+                CAST(NULL AS DOUBLE)
+         FROM customer WHERE c_custkey % 89 = 0
+         UNION ALL
+         SELECT c_custkey + 20000000, 's_' || CAST(c_custkey AS VARCHAR),
+                0.0, CAST(NULL AS VARCHAR),
+                CAST(c_custkey % 13 AS DOUBLE)
+         FROM customer WHERE c_custkey % 97 = 0""",
+
+    // cherry-pick additive admit: orders + ONLY the picked append, the
+    // appended column null-filled on every pre-extension row
+    "q262_cherry_pick_additive" ->
+      """SELECT o_orderkey AS k, o_orderpriority AS pr,
+                o_totalprice AS price, CAST(NULL AS DOUBLE) AS disc
+         FROM orders
+         UNION ALL
+         SELECT o_orderkey + 7000000, 'PX', 1.0,
+                CAST(o_orderkey % 7 AS DOUBLE)
+         FROM orders WHERE o_orderkey % 113 = 0""",
+
+    // SQL range pick 2..3 then the 4..4 prefix of the refused 4..5:
+    // mainline = orders + P2 + P3 + P4; P1/P5 must leave no trace
+    "q263_sql_cherry_pick_range" ->
+      """SELECT o_orderkey AS k, o_orderpriority AS pr,
+                o_totalprice AS price
+         FROM orders
+         UNION ALL
+         SELECT o_orderkey + 7200000, 'P2', 2.0
+         FROM orders WHERE o_orderkey % 127 = 0
+         UNION ALL
+         SELECT o_orderkey + 7300000, 'P3', 3.0
+         FROM orders WHERE o_orderkey % 131 = 0
+         UNION ALL
+         SELECT o_orderkey + 7400000, 'P4', 4.0
+         FROM orders WHERE o_orderkey % 137 = 0""",
 
     // greedy md5-ordered prefix per lang under hard token budgets
     "q150_token_budget" ->

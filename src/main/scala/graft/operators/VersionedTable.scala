@@ -212,14 +212,45 @@ object VersionedTable {
   //     directory statuses report mtime 0, which the `mt > 0` guard
   //     excludes from caching entirely) surfaces a new commit.
   // Kill-switch: graft.listing.cache=false (reads and puts).
-  private val listingCache =
-    new java.util.LinkedHashMap[String, (Long, Seq[Long])](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (Long, Seq[Long])]): Boolean =
-        size > 1024
+  //
+  // Eviction is WEIGHTED by listing length (round 17, VERDICT r16 #4
+  // — the manifest LRU's discipline at [[manifestCache]]): each entry
+  // holds the table's full version list, so a count-only cap of 1024
+  // entries could pin ~1 GB of driver heap under 1024
+  // retention-disabled tables with 10^5 versions each. Budget =
+  // Σ(version-list length); listings above budget/4 are never cached
+  // at all (one pathological table can't monopolize the budget).
+  // `listingCacheBudget` is a spec hook (private[graft], @volatile):
+  // production never mutates it.
+  private[graft] object listingCache {
+    @volatile private[graft] var budget = 4L * 1024 * 1024 // Σ listed versions
+    private var totalWeight = 0L
+    private val map =
+      new java.util.LinkedHashMap[String, (Long, Seq[Long])](64, 0.75f, true)
+    private def weight(v: (Long, Seq[Long])): Long =
+      math.max(1L, v._2.length.toLong)
+    def get(key: String): Option[(Long, Seq[Long])] =
+      synchronized(Option(map.get(key)))
+    def put(key: String, v: (Long, Seq[Long])): Unit = synchronized {
+      if (weight(v) > budget / 4) return // never pin huge version logs
+      Option(map.remove(key)).foreach(old => totalWeight -= weight(old))
+      map.put(key, v)
+      totalWeight += weight(v)
+      val it = map.entrySet().iterator()
+      while (totalWeight > budget && it.hasNext) {
+        val e = it.next() // eldest-accessed first (accessOrder = true)
+        totalWeight -= weight(e.getValue)
+        it.remove()
+      }
     }
+    def remove(key: String): Unit = synchronized {
+      Option(map.remove(key)).foreach(old => totalWeight -= weight(old))
+    }
+    private[graft] def weightNow: Long = synchronized(totalWeight)
+    private[graft] def entriesNow: Int = synchronized(map.size)
+  }
   private[operators] def invalidateListing(dir: String): Unit =
-    listingCache.synchronized(listingCache.remove(logDir(dir)))
+    listingCache.remove(logDir(dir))
 
   /** Committed versions, ascending. Bounded driver metadata. */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
@@ -232,7 +263,7 @@ object VersionedTable {
       try f.getFileStatus(p)
       catch { case _: java.io.FileNotFoundException => return Seq.empty }
     if (cacheOn) {
-      listingCache.synchronized(Option(listingCache.get(key))).foreach {
+      listingCache.get(key).foreach {
         case (mt, vs) =>
           if (mt == st.getModificationTime &&
               !f.exists(manifestPath(dir, vs.lastOption.getOrElse(-1L) + 1)))
@@ -247,7 +278,7 @@ object VersionedTable {
     val mt = st.getModificationTime
     if (cacheOn && mt > 0 &&
         mt + cacheGraceMs(spark) <= System.currentTimeMillis())
-      listingCache.synchronized(listingCache.put(key, (mt, listed)))
+      listingCache.put(key, (mt, listed))
     listed
   }
 
@@ -1716,7 +1747,8 @@ object VersionedTable {
       readBounds: Seq[ColBound], readsTable: Boolean,
       myScope: Option[String] = None,
       allowAdditiveSchema: Boolean = false,
-      allowDeclChange: Boolean = false): Option[String] = {
+      allowDeclChange: Boolean = false,
+      skipWinner: Manifest => Boolean = _ => false): Option[String] = {
     val vs = versions(spark, dir).toSet
     if (!(fromV to tipV).forall(vs.contains))
       return Some("intervening versions already expired")
@@ -1724,6 +1756,14 @@ object VersionedTable {
     var w = fromV + 1
     while (w <= tipV) {
       val cur = readManifest(spark, dir, w)
+      // caller-attested exempt winner (round 17: [[cherryPick]] skips
+      // winners that are themselves picks of EARLIER commits of the
+      // SAME branch — the branch history already serialized this
+      // commit after them, and the live-file gate still catches real
+      // file dependencies). The walk still advances `prev` so the next
+      // winner's diff is computed against the true predecessor.
+      if (skipWinner(cur)) { prev = cur; w += 1 }
+      else {
       if (prev.legacyDataDir.nonEmpty || cur.legacyDataDir.nonEmpty)
         return Some(s"version $w range includes legacy whole-dir commits")
       // allowAdditiveSchema (round 16, fastForward reconciliation):
@@ -1774,6 +1814,7 @@ object VersionedTable {
       }
       prev = cur
       w += 1
+      }
     }
     None
   }
@@ -4301,8 +4342,19 @@ object VersionedTable {
     * mainline — a pick whose delta was derived over EARLIER unlanded
     * branch work (it rewrote a file a prior branch commit created, or
     * masks a file mainline no longer has) refuses loudly, exactly
-    * git's cherry-pick-conflict shape. Returns the new mainline
-    * version. */
+    * git's cherry-pick-conflict shape.
+    *
+    * Schema admit (round 17, VERDICT r16 #3): a pick whose branch
+    * schema ADDITIVELY extends mainline's (an earlier unlanded
+    * ADD COLUMNS) lands under the union schema — mainline's fields
+    * plus the branch's nullable tail — so the hotfix-branch flow
+    * (branch adds a column and fixes one bad commit; only the fix
+    * should land) works without landing the whole branch. The picked
+    * commit itself must still be migration-free: a pick that IS the
+    * schema change, or that re-declares table state
+    * (expectations/clustering/feed/tombstones), refuses — a pick is a
+    * delta, not a state landing; state lands via [[fastForward]].
+    * Returns the new mainline version. */
   def cherryPick(spark: SparkSession, dir: String, name: String,
       branchVersion: Long, writerId: String,
       readsTable: Boolean = true, rebaseAttempts: Int = 1,
@@ -4323,6 +4375,19 @@ object VersionedTable {
         prevM.colmap == vM.colmap,
       s"cherryPick '$name': v$branchVersion changed the schema/mapping " +
         "— schema migrations land via fastForward of the whole branch")
+    // a pick is a DELTA, not a state landing: the picked commit must
+    // not itself re-declare (expectations/clustering/feed/tombstones)
+    // — declaration changes land via fastForward, which carries the
+    // reconciliation + cross-enforcement a state change needs
+    locally {
+      def decls(m: Manifest) = m.meta.filter { case (k, _) =>
+        k.startsWith(ExpectPrefix) || k.startsWith("cluster.") ||
+          k == FeedKey || k == DroppedPhysKey }
+      require(decls(prevM) == decls(vM),
+        s"cherryPick '$name': v$branchVersion re-declared " +
+          "(expectations/clustering/feed/tombstones) — declaration " +
+          "changes land via fastForward of the whole branch")
+    }
     val prevSet = prevM.files.toSet
     val vSet = vM.files.toSet
     val adds = vM.files.filterNot(prevSet)
@@ -4335,15 +4400,61 @@ object VersionedTable {
     var out = -1L
     while (out < 0) {
       val pm = readManifest(spark, dir, parent)
-      // the picked delta must be schema-compatible with MAINLINE too
-      // (an earlier unlanded branch migration would desync the shapes)
-      require(pm.schema.map(schemaShape) == vM.schema.map(schemaShape) &&
-          pm.colmap == vM.colmap,
+      // the picked delta must be schema-compatible with MAINLINE: equal
+      // shapes land under mainline's schema; a branch schema that
+      // ADDITIVELY extends mainline's (an earlier unlanded ADD COLUMNS
+      // — round 17, VERDICT r16 #3: the hotfix-branch flow where the
+      // branch added a column AND fixed one bad commit, and only the
+      // fix should land) lands under the UNION schema — the picked
+      // files physically carry the appended columns, mainline's files
+      // null-fill them, the same pinned-schema mechanics fastForward's
+      // one-sided admit rides on. Anything else (a rename, drop, type
+      // change, or a mainline-only extension the branch lacks) refuses:
+      // those desync the shapes and land via fastForward.
+      require(pm.colmap == vM.colmap,
         s"cherryPick '$name' v$branchVersion: branch and mainline " +
-          "schemas/mappings diverged — fastForward the whole branch")
+          "column mappings diverged (a rename on one side) — " +
+          "fastForward the whole branch")
+      val landSchema: org.apache.spark.sql.types.StructType =
+        if (pm.schema.map(schemaShape) == vM.schema.map(schemaShape))
+          pm.schema.getOrElse(throw new IllegalStateException(
+            s"cherryPick: no schema receipt on mainline $dir"))
+        else additiveExtension(pm.schema, vM.schema)
+          .filter(_.nonEmpty) match {
+          case Some(newFields) =>
+            val takenPhys = pm.schema.map(_.fieldNames.toSeq)
+              .getOrElse(Seq.empty)
+              .map(n => physName(pm.colmap, n)
+                .toLowerCase(java.util.Locale.ROOT)).toSet ++
+              pm.meta.getOrElse(DroppedPhysKey, "").split(',')
+                .map(_.trim.toLowerCase(java.util.Locale.ROOT))
+                .filter(_.nonEmpty)
+            newFields.foreach(fld => require(
+              !takenPhys(fld.name.toLowerCase(java.util.Locale.ROOT)),
+              s"cherryPick '$name': branch-added column '${fld.name}' " +
+                "collides with a physical name mainline files still " +
+                "carry — rename it on the branch"))
+            extendedSchema(pm.schema, vM.schema).get
+          case None => throw new IllegalArgumentException(
+            s"cherryPick '$name' v$branchVersion: branch and mainline " +
+              "schemas diverged beyond a branch-side nullable append " +
+              "— fastForward the whole branch")
+        }
       if (parent != mainBase)
         rebaseConflict(spark, dir, mainBase, parent, touched,
-          Seq.empty, readsTable).foreach { reason =>
+          Seq.empty, readsTable,
+          // a mainline winner that is itself a pick of an EARLIER
+          // commit of THIS branch is exempt: the branch history
+          // already serialized this commit after it (consecutive
+          // range picks would otherwise refuse on their own landed
+          // prefix); the live-file gate below still refuses any real
+          // dependency on files mainline does not hold
+          skipWinner = m => m.meta.get("branch.cherryPicked").exists {
+            tag =>
+              val at = tag.lastIndexOf('@')
+              at > 0 && tag.substring(0, at) == name &&
+                tag.substring(at + 1).toLongOption.exists(_ < branchVersion)
+          }).foreach { reason =>
           throw new CommitConflict(
             s"cherryPick '$name' v$branchVersion onto $dir: mainline " +
               s"is not logically disjoint ($reason)")
@@ -4369,9 +4480,7 @@ object VersionedTable {
         adds.flatMap(r => vM.dv.get(r).map(r -> _))
       val landMeta = persistentMeta(pm.meta) ++ meta +
         ("branch.cherryPicked" -> s"$name@$branchVersion")
-      val schema = pm.schema.getOrElse(throw new IllegalStateException(
-        s"cherryPick: no schema receipt on mainline $dir"))
-      val body = manifestBody(newV, parent, writerId, schema,
+      val body = manifestBody(newV, parent, writerId, landSchema,
         stagingDir = None, files = newLive, removed = removes,
         stats = stats, meta = landMeta, dv = dv,
         tsMs = commitClock(spark), colmap = pm.colmap)
@@ -4426,9 +4535,17 @@ object VersionedTable {
     *     admit rows a serialized declare-then-write would have
     *     refused; existing pre-declaration rows are grandfathered,
     *     the same contract as declaring on a live table.
-    * Everything two-sided — both sides re-declared, both appended
-    * columns differently, any rename/drop/type change — still refuses
-    * loudly: those have no automatic resolution.
+    * Two-sided DISJOINT changes also land (round 17, VERDICT r16 #2):
+    *   - both sides appended nullable columns with DISJOINT name sets
+    *     → the landing schema is mainline's fields (committed order)
+    *     followed by the branch's tail, both tails nullable — the
+    *     documented order rule;
+    *   - both sides re-declared DISJOINT keys (branch declared
+    *     `expect.a`, mainline `expect.b`) → union, each side's new
+    *     expectations cross-enforced on the other side's since-fork
+    *     adds exactly as in the one-sided case.
+    * Same-name/same-key two-sided changes, and any rename/drop/type
+    * change, still refuse loudly: those have no automatic resolution.
     *
     * Returns None when the branch has no commits past its fork point.
     * The branch itself is left in place (delete it after landing, or
@@ -4496,45 +4613,87 @@ object VersionedTable {
             (tipM.schema.map(schemaShape), pm.schema.map(schemaShape))
           val (sBase, sM0) =
             (baseM.schema.map(schemaShape), mainM0.schema.map(schemaShape))
-          // schema: equal shapes land as-is; one-sided nullable appends
-          // take the extended side; anything else refuses. The
-          // reference for "did this side change?" is each side's OWN
-          // divergence point (the branch's diff anchor / the mainline
-          // version the landing gate walks from), so repeated
-          // stage-land cycles after an admitted extension keep landing.
+          // schema: equal shapes land as-is; everything else runs ONE
+          // general additive rule (round 17, VERDICT r16 #2 —
+          // subsumes r16's two prefix-shaped one-sided cases and adds
+          // the two-sided union): the landing is well-defined iff
+          //   (a) the branch only APPENDED columns since its own diff
+          //       anchor (branchTail below; a branch drop/rename/type
+          //       change refuses), and
+          //   (b) every column of that anchor still exists in
+          //       mainline's CURRENT schema at the same type (so a
+          //       mainline drop or type change refuses; mainline may
+          //       itself have appended any number of columns since
+          //       ITS anchor — including the carryover state after a
+          //       previous two-sided landing, where mainline's extra
+          //       columns sit BETWEEN the branch's fields and no
+          //       prefix relation exists), and
+          //   (c) a branch-appended name either does not exist on
+          //       mainline at all, or exists at the SAME type
+          //       (convergent evolution — both sides declared the
+          //       same column; a same-name type clash has no union).
+          // Landing order rule (documented contract): MAINLINE's
+          // fields first, in their committed order, then the branch's
+          // still-new tail. Every field one side's files lack is
+          // forced NULLABLE — those files null-fill it on read, the
+          // pinned-schema contract addColumns already relies on.
+          // A fresh branch name must also never shadow a PHYSICAL
+          // name mainline files still carry (the addColumns guard —
+          // mainline renames refuse above on colmap, kept as a belt
+          // for the dropped-column bytes case).
+          val lc = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
           val landSchema: Option[org.apache.spark.sql.types.StructType] =
             if (sPm == sTip) pm.schema
-            else if (sTip == sBase &&
-                additiveExtension(tipM.schema, pm.schema).isDefined)
-              extendedSchema(tipM.schema, pm.schema)
-            else if (sPm == sM0 &&
-                additiveExtension(pm.schema, tipM.schema)
-                  .exists(_.nonEmpty)) {
-              // branch appended; mainline shape untouched since the
-              // walk base. New names must not shadow a physical name
-              // mainline files still carry (the addColumns guard —
-              // near-vacuous here because mainline drops/renames
-              // change its shape and refuse above, kept as a belt)
-              val newFields =
-                additiveExtension(pm.schema, tipM.schema).get
-              val takenPhys = pm.schema.map(_.fieldNames.toSeq)
-                .getOrElse(Seq.empty)
-                .map(n => physName(pm.colmap, n)
-                  .toLowerCase(java.util.Locale.ROOT)).toSet ++
-                pm.meta.getOrElse(DroppedPhysKey, "").split(',')
-                  .map(_.trim.toLowerCase(java.util.Locale.ROOT))
-                  .filter(_.nonEmpty)
-              newFields.foreach(fld => require(
-                !takenPhys(fld.name.toLowerCase(java.util.Locale.ROOT)),
-                s"fastForward '$name': branch-added column " +
-                  s"'${fld.name}' collides with a physical name " +
-                  "mainline files still carry — rename it on the branch"))
-              extendedSchema(pm.schema, tipM.schema)
-            } else throw new CommitConflict(
-              s"fastForward '$name' onto $dir: branch and mainline " +
-                "schemas diverged beyond a one-sided nullable append " +
-                "— reconcile by hand (only the addColumns shape merges " +
-                "automatically)")
+            else (baseM.schema, tipM.schema, pm.schema) match {
+              case (Some(baseS), Some(tipS), Some(pmS)) =>
+                val branchTail = additiveExtension(baseM.schema,
+                  tipM.schema).getOrElse(throw new CommitConflict(
+                  s"fastForward '$name' onto $dir: the branch changed " +
+                    "its schema beyond a nullable append (a rename, " +
+                    "drop, type change, or reorder) while mainline " +
+                    "also moved — reconcile by hand"))
+                val pmByName = pmS.fields.map(f => lc(f.name) -> f).toMap
+                baseS.fields.foreach { f =>
+                  val cur = pmByName.get(lc(f.name))
+                  if (!cur.exists(_.dataType == f.dataType))
+                    throw new CommitConflict(
+                      s"fastForward '$name' onto $dir: mainline no " +
+                        s"longer carries column '${f.name}' at the " +
+                        "branch's type — schemas diverged beyond " +
+                        "nullable appends; reconcile by hand")
+                }
+                // branch-appended names: fresh, convergent, or clash
+                val (carried, fresh) = branchTail.partition(f =>
+                  pmByName.contains(lc(f.name)))
+                carried.foreach { f =>
+                  if (pmByName(lc(f.name)).dataType != f.dataType)
+                    throw new CommitConflict(
+                      s"fastForward '$name' onto $dir: both sides " +
+                        s"appended column '${f.name}' at DIFFERENT " +
+                        "types — a same-name type clash has no union; " +
+                        "reconcile by hand")
+                }
+                val takenPhys = pmS.fieldNames.toSeq
+                  .map(n => lc(physName(pm.colmap, n))).toSet ++
+                  pm.meta.getOrElse(DroppedPhysKey, "").split(',')
+                    .map(n => lc(n.trim)).filter(_.nonEmpty)
+                fresh.foreach(fld => require(!takenPhys(lc(fld.name)),
+                  s"fastForward '$name': branch-added column " +
+                    s"'${fld.name}' collides with a physical name " +
+                    "mainline files still carry — rename it on the " +
+                    "branch"))
+                val tipTyped = tipS.fields
+                  .map(f => lc(f.name) -> f.dataType).toMap
+                Some(org.apache.spark.sql.types.StructType(
+                  pmS.fields.map(f =>
+                    if (tipTyped.get(lc(f.name)).contains(f.dataType)) f
+                    else f.copy(nullable = true)) ++
+                    fresh.map(_.copy(nullable = true))))
+              case _ => throw new CommitConflict(
+                s"fastForward '$name' onto $dir: schemas diverged and " +
+                  "a side is missing its schema receipt — reconcile " +
+                  "by hand")
+            }
           // declarations: unchanged-side rule. A side that did not
           // re-declare since its own reference yields to the side that
           // did; both-changed refuses. New/changed EXPECTATIONS are
@@ -4564,11 +4723,53 @@ object VersionedTable {
                 s"fastForward '$name': branch rows violate mainline's " +
                   "re-declared expectations"))
               dPm
-            } else throw new CommitConflict(
-              s"fastForward '$name' onto $dir: branch AND mainline both " +
-                "re-declared (expectations/clustering/feed/tombstones) " +
-                "— two-sided declaration changes have no automatic " +
-                "resolution; re-declare on one side first")
+            } else {
+              // BOTH sides re-declared (round 17, VERDICT r16 #2):
+              // when the CHANGED KEY sets are disjoint — branch
+              // declared `expect.score_ok`, mainline independently
+              // declared `expect.region_ok` — the union is as
+              // well-defined as the one-sided case: each key was
+              // changed by exactly one side, so take that side's
+              // value. The landing starts from MAINLINE's current set
+              // (it carries any previously-landed reconciliation) and
+              // applies the branch's changed keys — adds, updates, and
+              // removals alike. Same-key changes on both sides still
+              // have no automatic resolution and refuse.
+              def changedKeys(now: Map[String, String],
+                  was: Map[String, String]): Set[String] =
+                (now.keySet ++ was.keySet).filter(k =>
+                  now.get(k) != was.get(k))
+              val cTip = changedKeys(dTip, dBase)
+              val cPm = changedKeys(dPm, dM0)
+              val clash = cTip.intersect(cPm)
+              if (clash.nonEmpty) throw new CommitConflict(
+                s"fastForward '$name' onto $dir: branch AND mainline " +
+                  "both re-declared the same keys " +
+                  s"(${clash.toSeq.sorted.take(3).mkString(", ")}) — " +
+                  "same-key declaration changes have no automatic " +
+                  "resolution; re-declare on one side first")
+              // cross-enforcement, both directions: each side's new or
+              // changed EXPECTATIONS must hold on the OTHER side's
+              // since-reference adds — a serialized declare-then-write
+              // on either side would have refused those rows
+              val tipNewExpects = expectsOf(dTip).filter { case (n, sql) =>
+                cTip(ExpectPrefix + n) &&
+                  !expectsOf(dPm).get(n).contains(sql) }
+              val mainAdds = pm.files.filterNot(mainM0.files.toSet)
+              landSchema.foreach(sch => requireExpectationsHold(spark,
+                dir, pm, mainAdds, sch, tipNewExpects,
+                s"fastForward '$name': mainline rows added since the " +
+                  "fork violate the branch's re-declared expectations"))
+              val pmNewExpects = expectsOf(dPm).filter { case (n, sql) =>
+                cPm(ExpectPrefix + n) &&
+                  !expectsOf(dTip).get(n).contains(sql) }
+              landSchema.foreach(sch => requireExpectationsHold(spark,
+                ref, tipM, adds, sch, pmNewExpects,
+                s"fastForward '$name': branch rows violate mainline's " +
+                  "re-declared expectations"))
+              (dPm -- cTip) ++
+                cTip.flatMap(k => dTip.get(k).map(k -> _))
+            }
           if (parent != mainBase)
             rebaseConflict(spark, dir, mainBase, parent, touched,
               Seq.empty, readsTable,

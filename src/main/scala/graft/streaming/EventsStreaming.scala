@@ -49,6 +49,7 @@ object EventsStreaming {
   def replaySession(s: SparkSession, shufflePartitions: Int = 8): SparkSession = {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    ReplayPhases.attach(s2) // no-op unless the bench enabled phase capture
     s2
   }
 

@@ -135,22 +135,25 @@ class Round16Spec extends SparkSpec {
         readsTable = false)
     }
     assert(e.getMessage.contains("both re-declared"))
-    // both sides extend with DIFFERENT columns → schema refusal
+    // both sides extend with the SAME name at DIFFERENT types → schema
+    // refusal (round 17 moved the DISJOINT-names cell from refuse to
+    // land — Round17Spec pins the landing; this pins what survives:
+    // a same-name type clash has no union)
     val dir2 = tmp("ff-two2")
     VersionedTable.commit(spark, dir2, df("a", 10), -1L, "w")
     VersionedTable.createBranch(spark, dir2, "dev")
     val ref2 = VersionedTable.branchRef(dir2, "dev")
     VersionedTable.addColumns(spark, ref2, Seq(
-      org.apache.spark.sql.types.StructField("b1",
+      org.apache.spark.sql.types.StructField("c1",
         org.apache.spark.sql.types.LongType, nullable = true)), 0L, "wb")
     VersionedTable.addColumns(spark, dir2, Seq(
-      org.apache.spark.sql.types.StructField("m1",
-        org.apache.spark.sql.types.LongType, nullable = true)), 0L, "w")
+      org.apache.spark.sql.types.StructField("c1",
+        org.apache.spark.sql.types.DoubleType, nullable = true)), 0L, "w")
     val e2 = intercept[CommitConflict] {
       VersionedTable.fastForward(spark, dir2, "dev", "w",
         readsTable = false)
     }
-    assert(e2.getMessage.contains("schemas diverged"))
+    assert(e2.getMessage.contains("has no union"))
   }
 
   test("cross-dimension one-sidedness: mainline extends the schema while the branch re-declares") {

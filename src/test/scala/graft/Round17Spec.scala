@@ -1,0 +1,393 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.VersionedTable
+import graft.operators.VersionedTable.{CommitConflict, ExpectationViolation}
+
+/** Round-17 surface (VERDICT r16 #2–#5): two-sided DISJOINT additive
+  * reconciliation in fastForward (schema appends with disjoint names;
+  * declaration changes with disjoint keys, cross-enforced both ways),
+  * cherryPick's one-sided additive schema admit (+ the pick-is-a-delta
+  * refusals), the weight-bounded version-listing cache, and the SQL
+  * `CHERRY PICK n..m` range with its partial-landing contract. */
+class Round17Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(tag: String, n: Int, from: Int = 0) =
+    spark.range(from, from + n).select($"id".as("k"), lit(tag).as("v"))
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/t"
+
+  private def rows(d: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    d.select($"k", $"v").as[(Long, String)].collect().toSet
+
+  // ───────── two-sided disjoint additive schema reconciliation ─────────
+
+  test("fastForward lands two-sided DISJOINT column appends: union schema, mainline first") {
+    val dir = tmp("ff2-sch")
+    VersionedTable.commit(spark, dir, df("a", 12), -1L, "w")
+    VersionedTable.createBranch(spark, dir, "dev")
+    val ref = VersionedTable.branchRef(dir, "dev")
+    // branch: ADD COLUMNS score + rows carrying it
+    VersionedTable.addColumns(spark, ref, Seq(
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = true)), 0L, "wb")
+    VersionedTable.commitDelta(spark, ref,
+      Some(spark.range(100, 103).coalesce(1).select($"id".as("k"),
+        lit("dev").as("v"), lit(2.5).as("score"))), Seq.empty, 1L, "wb")
+    // mainline, independently: ADD COLUMNS region + a row carrying it
+    VersionedTable.addColumns(spark, dir, Seq(
+      org.apache.spark.sql.types.StructField("region",
+        org.apache.spark.sql.types.StringType, nullable = true)), 0L, "w")
+    VersionedTable.commitDelta(spark, dir,
+      Some(spark.range(1).coalesce(1).select(lit(200L).as("k"),
+        lit("m").as("v"), lit("eu").as("region"))), Seq.empty, 1L, "w")
+    val landed = VersionedTable.fastForward(spark, dir, "dev", "w",
+      readsTable = false).get
+    val lm = VersionedTable.readManifest(spark, dir, landed)
+    // the order rule: mainline's fields (committed order), branch tail last
+    assert(lm.schema.get.fieldNames.toSeq == Seq("k", "v", "region", "score"),
+      s"union schema order: ${lm.schema.get.fieldNames.toSeq}")
+    assert(lm.schema.get.fields.drop(2).forall(_.nullable),
+      "both tails must be nullable (each side null-fills the other's)")
+    val out = VersionedTable.read(spark, dir)
+    assert(out.count() == 16L) // 12 base + 1 mainline + 3 branch
+    // each side's rows null-fill the OTHER side's column
+    assert(out.where($"score".isNotNull).count() == 3L)
+    assert(out.where($"region".isNotNull).count() == 1L)
+    assert(out.where($"score".isNotNull && $"region".isNotNull).isEmpty)
+    // the NEXT stage-land cycle keeps landing (anchors re-synced)
+    VersionedTable.commitDelta(spark, ref,
+      Some(spark.range(1).coalesce(1).select(lit(300L).as("k"),
+        lit("dev2").as("v"), lit(9.0).as("score"))), Seq.empty,
+      VersionedTable.latestVersion(spark, ref), "wb")
+    val landed2 = VersionedTable.fastForward(spark, dir, "dev", "w",
+      readsTable = false).get
+    assert(VersionedTable.readManifest(spark, dir, landed2)
+      .schema.get.fieldNames.toSeq == Seq("k", "v", "region", "score"))
+    assert(VersionedTable.read(spark, dir).count() == 17L)
+  }
+
+  test("two-sided divergences that are NOT disjoint appends still refuse loudly") {
+    // same name appended on both sides at DIFFERENT types → no union
+    val dir = tmp("ff2-clash")
+    VersionedTable.commit(spark, dir, df("a", 6), -1L, "w")
+    VersionedTable.createBranch(spark, dir, "dev")
+    val ref = VersionedTable.branchRef(dir, "dev")
+    VersionedTable.addColumns(spark, ref, Seq(
+      org.apache.spark.sql.types.StructField("c1",
+        org.apache.spark.sql.types.LongType, nullable = true)), 0L, "wb")
+    VersionedTable.commitDelta(spark, ref,
+      Some(spark.range(1).coalesce(1).select(lit(50L).as("k"),
+        lit("d").as("v"), lit(1L).as("c1"))), Seq.empty, 1L, "wb")
+    VersionedTable.addColumns(spark, dir, Seq(
+      org.apache.spark.sql.types.StructField("c1",
+        org.apache.spark.sql.types.DoubleType, nullable = true)), 0L, "w")
+    val e = intercept[CommitConflict] {
+      VersionedTable.fastForward(spark, dir, "dev", "w", readsTable = false)
+    }
+    assert(e.getMessage.contains("has no union"))
+    // branch DROPPED a column while mainline appended → beyond appends
+    val dir2 = tmp("ff2-drop")
+    VersionedTable.commit(spark, dir2, df("a", 6), -1L, "w")
+    VersionedTable.createBranch(spark, dir2, "dev")
+    val ref2 = VersionedTable.branchRef(dir2, "dev")
+    VersionedTable.dropColumns(spark, ref2, Seq("v"), 0L, "wb")
+    VersionedTable.addColumns(spark, dir2, Seq(
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.LongType, nullable = true)), 0L, "w")
+    val e2 = intercept[CommitConflict] {
+      VersionedTable.fastForward(spark, dir2, "dev", "w", readsTable = false)
+    }
+    assert(e2.getMessage.contains("beyond a nullable append"))
+    // mainline DROPPED a column the branch's anchor still carries,
+    // while the branch appended → the branch's world cannot map into
+    // mainline's current schema
+    val dir3 = tmp("ff2-mdrop")
+    VersionedTable.commit(spark, dir3, df("a", 6), -1L, "w")
+    VersionedTable.createBranch(spark, dir3, "dev")
+    val ref3 = VersionedTable.branchRef(dir3, "dev")
+    VersionedTable.addColumns(spark, ref3, Seq(
+      org.apache.spark.sql.types.StructField("c2",
+        org.apache.spark.sql.types.LongType, nullable = true)), 0L, "wb")
+    VersionedTable.dropColumns(spark, dir3, Seq("v"), 0L, "w")
+    val e3 = intercept[CommitConflict] {
+      VersionedTable.fastForward(spark, dir3, "dev", "w", readsTable = false)
+    }
+    assert(e3.getMessage.contains("no longer carries column 'v'"))
+  }
+
+  // ───────── two-sided disjoint declaration reconciliation ─────────
+
+  test("fastForward lands two-sided DISJOINT declarations: union, cross-enforced both ways") {
+    val dir = tmp("ff2-decl")
+    VersionedTable.commit(spark, dir, df("ok", 8), -1L, "w")
+    VersionedTable.createBranch(spark, dir, "dev")
+    val ref = VersionedTable.branchRef(dir, "dev")
+    // branch declares expect.k_low and writes conforming rows
+    VersionedTable.commitDelta(spark, ref,
+      Some(df("dev", 2, 50).coalesce(1)), Seq.empty, 0L, "wb",
+      expectations = Map("no_bad" -> "v <> 'bad'"))
+    // mainline independently declares expect.k_pos + conforming append
+    VersionedTable.commitDelta(spark, dir,
+      Some(df("m", 2, 70).coalesce(1)), Seq.empty, 0L, "w",
+      expectations = Map("k_pos" -> "k >= 0"))
+    val landed = VersionedTable.fastForward(spark, dir, "dev", "w",
+      readsTable = false).get
+    val ex = VersionedTable.tableExpectations(spark, dir, landed)
+    assert(ex.get("no_bad").contains("v <> 'bad'") &&
+      ex.get("k_pos").contains("k >= 0"),
+      s"landing must carry the UNION of disjoint declarations: $ex")
+    assert(rows(VersionedTable.read(spark, dir)).size == 12)
+    // direction 1: mainline's since-fork adds violate the BRANCH's new
+    // check → the landing refuses
+    val dir2 = tmp("ff2-declv1")
+    VersionedTable.commit(spark, dir2, df("ok", 8), -1L, "w")
+    VersionedTable.createBranch(spark, dir2, "dev")
+    val ref2 = VersionedTable.branchRef(dir2, "dev")
+    VersionedTable.commitDelta(spark, ref2,
+      Some(df("dev", 1, 50).coalesce(1)), Seq.empty, 0L, "wb",
+      expectations = Map("no_bad" -> "v <> 'bad'"))
+    VersionedTable.commitDelta(spark, dir2,
+      Some(df("bad", 1, 70).coalesce(1)), Seq.empty, 0L, "w",
+      expectations = Map("k_pos" -> "k >= 0"))
+    val e1 = intercept[ExpectationViolation] {
+      VersionedTable.fastForward(spark, dir2, "dev", "w", readsTable = false)
+    }
+    assert(e1.getMessage.contains("violate the branch's re-declared"))
+    // direction 2: the branch's adds violate MAINLINE's new check
+    val dir3 = tmp("ff2-declv2")
+    VersionedTable.commit(spark, dir3, df("ok", 8), -1L, "w")
+    VersionedTable.createBranch(spark, dir3, "dev")
+    val ref3 = VersionedTable.branchRef(dir3, "dev")
+    VersionedTable.commitDelta(spark, ref3,
+      Some(spark.range(1).coalesce(1).select(lit(-5L).as("k"),
+        lit("dev").as("v"))), Seq.empty, 0L, "wb",
+      expectations = Map("no_bad" -> "v <> 'bad'"))
+    VersionedTable.commitDelta(spark, dir3,
+      Some(df("m", 1, 70).coalesce(1)), Seq.empty, 0L, "w",
+      expectations = Map("k_pos" -> "k >= 0"))
+    val e2 = intercept[ExpectationViolation] {
+      VersionedTable.fastForward(spark, dir3, "dev", "w", readsTable = false)
+    }
+    assert(e2.getMessage.contains("violate mainline's re-declared"))
+    // same-KEY two-sided change still refuses, naming the key
+    val dir4 = tmp("ff2-declsame")
+    VersionedTable.commit(spark, dir4, df("ok", 8), -1L, "w")
+    VersionedTable.createBranch(spark, dir4, "dev")
+    val ref4 = VersionedTable.branchRef(dir4, "dev")
+    VersionedTable.commitDelta(spark, ref4,
+      Some(df("dev", 1, 50).coalesce(1)), Seq.empty, 0L, "wb",
+      expectations = Map("guard" -> "k < 1000"))
+    VersionedTable.commitDelta(spark, dir4,
+      Some(df("m", 1, 70).coalesce(1)), Seq.empty, 0L, "w",
+      expectations = Map("guard" -> "k < 5000"))
+    val e3 = intercept[CommitConflict] {
+      VersionedTable.fastForward(spark, dir4, "dev", "w", readsTable = false)
+    }
+    assert(e3.getMessage.contains("same keys") &&
+      e3.getMessage.contains("expect.guard"))
+  }
+
+  test("cross-dimension two-sided: branch appends a column while BOTH declare disjoint checks") {
+    // the full r17 cell: schema two-sided is NOT in play (one-sided
+    // branch append), declarations two-sided disjoint — both admits
+    // compose in one landing
+    val dir = tmp("ff2-cross")
+    VersionedTable.commit(spark, dir, df("ok", 6), -1L, "w")
+    VersionedTable.createBranch(spark, dir, "dev")
+    val ref = VersionedTable.branchRef(dir, "dev")
+    VersionedTable.addColumns(spark, ref, Seq(
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = true)), 0L, "wb")
+    VersionedTable.commitDelta(spark, ref,
+      Some(spark.range(1).coalesce(1).select(lit(50L).as("k"),
+        lit("dev").as("v"), lit(1.0).as("score"))), Seq.empty, 1L, "wb",
+      expectations = Map("score_ok" -> "score IS NULL OR score >= 0"))
+    VersionedTable.commitDelta(spark, dir,
+      Some(df("m", 1, 70).coalesce(1)), Seq.empty, 0L, "w",
+      expectations = Map("no_bad" -> "v <> 'bad'"))
+    val landed = VersionedTable.fastForward(spark, dir, "dev", "w",
+      readsTable = false).get
+    val lm = VersionedTable.readManifest(spark, dir, landed)
+    assert(lm.schema.get.fieldNames.toSeq == Seq("k", "v", "score"))
+    val ex = VersionedTable.tableExpectations(spark, dir, landed)
+    assert(ex.contains("score_ok") && ex.contains("no_bad"), s"$ex")
+    assert(VersionedTable.read(spark, dir).count() == 8L)
+  }
+
+  // ───────── cherryPick: one-sided additive schema admit ─────────
+
+  test("cherryPick lands a post-extension append under the UNION schema; migration picks refuse") {
+    val dir = tmp("cp-add")
+    VersionedTable.commit(spark, dir, df("a", 10), -1L, "w")
+    VersionedTable.createBranch(spark, dir, "hotfix")
+    val ref = VersionedTable.branchRef(dir, "hotfix")
+    // branch: v1 = ADD COLUMNS score, v2 = append carrying it, v3 =
+    // another append (stays unlanded)
+    VersionedTable.addColumns(spark, ref, Seq(
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = true)), 0L, "wb")
+    VersionedTable.commitDelta(spark, ref,
+      Some(spark.range(100, 102).coalesce(1).select($"id".as("k"),
+        lit("fix").as("v"), lit(3.5).as("score"))), Seq.empty, 1L, "wb")
+    VersionedTable.commitDelta(spark, ref,
+      Some(spark.range(200, 201).coalesce(1).select($"id".as("k"),
+        lit("later").as("v"), lit(9.9).as("score"))), Seq.empty, 2L, "wb")
+    // picking the MIGRATION commit itself refuses (a pick is a delta)
+    val eMig = intercept[IllegalArgumentException] {
+      VersionedTable.cherryPick(spark, dir, "hotfix", 1L, "w")
+    }
+    assert(eMig.getMessage.contains("schema migrations land via fastForward"))
+    // picking v2 lands under the union schema; mainline files null-fill
+    val v = VersionedTable.cherryPick(spark, dir, "hotfix", 2L, "w")
+    val lm = VersionedTable.readManifest(spark, dir, v)
+    assert(lm.schema.get.fieldNames.toSeq == Seq("k", "v", "score"))
+    assert(lm.schema.get.fields.last.nullable)
+    val out = VersionedTable.read(spark, dir)
+    assert(out.count() == 12L)
+    assert(out.where($"score".isNotNull).count() == 2L)
+    assert(out.where($"v" === "later").isEmpty, "v3 must stay unlanded")
+    // a SECOND pick after the extension landed: shapes now equal, the
+    // plain path carries the column through
+    val v2 = VersionedTable.cherryPick(spark, dir, "hotfix", 3L, "w")
+    assert(VersionedTable.readManifest(spark, dir, v2)
+      .schema.get.fieldNames.toSeq == Seq("k", "v", "score"))
+    assert(VersionedTable.read(spark, dir).where($"v" === "later")
+      .count() == 1L)
+  }
+
+  test("cherryPick refuses a re-declaring commit and a delta built on unlanded branch work") {
+    val dir = tmp("cp-ref")
+    VersionedTable.commit(spark, dir, df("a", 10), -1L, "w",
+      statsCols = Some(Seq("k")))
+    VersionedTable.createBranch(spark, dir, "dev")
+    val ref = VersionedTable.branchRef(dir, "dev")
+    // v1 re-declares an expectation alongside rows → pick refuses
+    VersionedTable.commitDelta(spark, ref,
+      Some(df("d", 1, 50).coalesce(1)), Seq.empty, 0L, "wb",
+      expectations = Map("k_pos" -> "k >= 0"))
+    val eDecl = intercept[IllegalArgumentException] {
+      VersionedTable.cherryPick(spark, dir, "dev", 1L, "w")
+    }
+    assert(eDecl.getMessage.contains("re-declared"))
+    // v2 appends (unlanded), v3 rewrites v2's file via a keyed merge →
+    // picking v3 alone depends on v2's file and must stay loud
+    VersionedTable.commitDelta(spark, ref,
+      Some(df("d2", 2, 60).coalesce(1)), Seq.empty, 1L, "wb")
+    VersionedTable.merge(spark, ref,
+      spark.range(1).coalesce(1).select(lit(60L).as("k"),
+        lit("d2x").as("v")), Seq("k"), 2L, "wb")
+    val eDep = intercept[IllegalArgumentException] {
+      VersionedTable.cherryPick(spark, dir, "dev", 3L, "w")
+    }
+    assert(eDep.getMessage.contains("unlanded branch work"))
+    // a schema DIVERGENCE the admit cannot express: mainline extended,
+    // branch did not → refuses toward fastForward
+    VersionedTable.addColumns(spark, dir, Seq(
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.LongType, nullable = true)), 0L, "w")
+    val eDiv = intercept[IllegalArgumentException] {
+      VersionedTable.cherryPick(spark, dir, "dev", 2L, "w")
+    }
+    assert(eDiv.getMessage.contains("diverged beyond a branch-side"))
+  }
+
+  // ───────── weight-bounded version-listing cache ─────────
+
+  test("listing cache evicts by total WEIGHT and never caches oversized version lists") {
+    spark.conf.set("graft.manifest.cache.graceMs", "0") // cache eagerly
+    val oldBudget = VersionedTable.listingCache.budget
+    try {
+      // three tables, 3 versions each (weight 3 per listing)
+      val dirs = (1 to 3).map { i =>
+        val d = tmp(s"lw-$i")
+        VersionedTable.commit(spark, d, df("a", 2), -1L, s"w$i")
+        VersionedTable.commit(spark, d, df("b", 2), 0L, s"w$i")
+        VersionedTable.commit(spark, d, df("c", 2), 1L, s"w$i")
+        d
+      }
+      VersionedTable.listingCache.budget = 5L // fits ONE 3-version listing
+      dirs.foreach(d =>
+        assert(VersionedTable.versions(spark, d) == Seq(0L, 1L, 2L)))
+      assert(VersionedTable.listingCache.weightNow <= 5L,
+        s"weight ${VersionedTable.listingCache.weightNow} over budget")
+      // evicted listings still answer correctly (re-listed on miss)
+      dirs.foreach(d =>
+        assert(VersionedTable.versions(spark, d) == Seq(0L, 1L, 2L)))
+      // the per-entry cap: with budget 8 the cap is 2, so a 3-version
+      // listing is never cached at all — weight must not grow
+      VersionedTable.listingCache.budget = 8L
+      val w0 = VersionedTable.listingCache.weightNow
+      val d4 = tmp("lw-big")
+      VersionedTable.commit(spark, d4, df("a", 2), -1L, "w")
+      VersionedTable.commit(spark, d4, df("b", 2), 0L, "w")
+      VersionedTable.commit(spark, d4, df("c", 2), 1L, "w")
+      assert(VersionedTable.versions(spark, d4) == Seq(0L, 1L, 2L))
+      assert(VersionedTable.listingCache.weightNow <= math.max(w0, 8L),
+        "an over-cap listing must never be cached")
+      // and a SMALL listing still caches under the same budget
+      val d5 = tmp("lw-small")
+      VersionedTable.commit(spark, d5, df("a", 2), -1L, "w")
+      val before = VersionedTable.listingCache.entriesNow
+      assert(VersionedTable.versions(spark, d5) == Seq(0L))
+      assert(VersionedTable.listingCache.entriesNow >= before,
+        "an in-cap listing should still be cacheable")
+    } finally {
+      VersionedTable.listingCache.budget = oldBudget
+      spark.conf.unset("graft.manifest.cache.graceMs")
+    }
+  }
+
+  // ───────── SQL CHERRY PICK n..m ─────────
+
+  test("SQL CHERRY PICK n..m lands the range in order; mid-range refusal keeps prior picks") {
+    import graft.core.GraftSession
+    val dir = tmp("sql-range")
+    VersionedTable.commit(spark, dir, df("a", 10), -1L, "w")
+    val gs = new GraftSession(spark)
+    gs.registerVersioned("t", dir)
+    gs.runScript(
+      """CREATE BRANCH fixes ON t AS tdev;
+        |INSERT INTO tdev SELECT k + 100, 'p1' FROM tdev WHERE k < 2;
+        |INSERT INTO tdev SELECT k + 200, 'p2' FROM tdev WHERE k < 2;
+        |INSERT INTO tdev SELECT k + 300, 'p3' FROM tdev WHERE k < 2""".stripMargin)
+    val r = gs.sql("CHERRY PICK 1..3 FROM fixes ON t").head()
+    assert(r.getString(0) == "cherry_pick" && r.getLong(2) == 3L &&
+      r.getLong(3) == 3L, s"range receipt: $r")
+    val got = rows(VersionedTable.read(spark, dir))
+    assert(Seq("p1", "p2", "p3").forall(p => got.count(_._2 == p) == 2))
+    // grammar: inverted range refuses without landing anything
+    val e0 = intercept[IllegalArgumentException] {
+      gs.sql("CHERRY PICK 3..1 FROM fixes ON t")
+    }
+    assert(e0.getMessage.contains("n <= m"))
+    // mid-range refusal with the partial-landing contract: v4 = a
+    // clean append, v5 = a RE-DECLARING commit (a pick is a delta —
+    // refuses), v6 = another clean append. The range lands v4, stops
+    // at v5 naming the resume point, and never reaches v6.
+    gs.sql("INSERT INTO tdev SELECT k + 400, 'p4' FROM tdev WHERE k < 2")
+    // v5/v6 go through the table layer directly (a re-declaring commit
+    // has no INSERT spelling); the tdev alias is left stale, unused
+    val ref = VersionedTable.branchRef(dir, "fixes")
+    VersionedTable.commitDelta(spark, ref,
+      Some(df("p5", 2, 500).coalesce(1)), Seq.empty,
+      VersionedTable.latestVersion(spark, ref), "wb",
+      expectations = Map("k_pos" -> "k >= 0"))
+    VersionedTable.commitDelta(spark, ref,
+      Some(df("p6", 2, 600).coalesce(1)), Seq.empty,
+      VersionedTable.latestVersion(spark, ref), "wb")
+    val e1 = intercept[IllegalArgumentException] {
+      gs.sql("CHERRY PICK 4..6 FROM fixes ON t") // v4 lands, v5 refuses
+    }
+    assert(e1.getMessage.contains("picks 4..4 landed") &&
+      e1.getMessage.contains("resume with CHERRY PICK 5..6"),
+      s"partial-landing message: ${e1.getMessage}")
+    // the prior pick stayed landed (the documented contract)
+    val got2 = rows(VersionedTable.read(spark, dir))
+    assert(got2.count(_._2 == "p4") == 2, "the landed prefix must stay")
+    assert(got2.count(_._2 == "p5") == 0 && got2.count(_._2 == "p6") == 0,
+      "nothing at or past the refusal may land")
+  }
+}

@@ -472,12 +472,17 @@ class VersionedTableModelSpec extends SparkSpec {
     // round-16 law (VERDICT r15 #2): with mainline MOVED past the fork,
     // a one-sided nullable column append still lands — the data law is
     // unchanged (landing == net effect applied to main) and the landed
-    // schema is the union — while a TWO-sided append refuses with both
-    // worlds intact. Fresh table per case so each case's fork starts
-    // from a clean 2-column world.
+    // schema is the union. Round-17 extension (VERDICT r16 #2): a
+    // TWO-sided append with DISJOINT names (mode 3) now lands too —
+    // union schema, mainline's fields first then the branch tail —
+    // while a SAME-NAME two-sided append (mode 4) still refuses with
+    // both worlds intact. Fresh table per case so each case's fork
+    // starts from a clean 2-column world.
     (1 to 2).foreach { seed =>
       val rnd = new scala.util.Random(seed + 1600)
-      (1 to 3).foreach { mode => // 1 = branch adds col, 2 = mainline, 3 = both
+      // 1 = branch adds col, 2 = mainline, 3 = both (disjoint names),
+      // 4 = both (same name — the surviving refusal cell)
+      (1 to 4).foreach { mode =>
         val dir = java.nio.file.Files
           .createTempDirectory(s"vt-bdiv-$seed-$mode").toString + "/t"
         var main: Map[Long, Long] = (0L until 400L).map(k => k -> k).toMap
@@ -515,14 +520,22 @@ class VersionedTableModelSpec extends SparkSpec {
           main = main.filterNot { case (k, _) => k >= lo && k <= lo + 5 }
         }
         // the divergence
-        def addCol(d: String, n: String): Unit =
+        def addCol(d: String, n: String,
+            dt: org.apache.spark.sql.types.DataType =
+              org.apache.spark.sql.types.LongType): Unit =
           VersionedTable.addColumns(spark, d, Seq(
-            org.apache.spark.sql.types.StructField(n,
-              org.apache.spark.sql.types.LongType, nullable = true)),
+            org.apache.spark.sql.types.StructField(n, dt, nullable = true)),
             VersionedTable.latestVersion(spark, d),
             if (d == dir) "mw" else "bw")
         if (mode == 1 || mode == 3) addCol(ref, "cb")
         if (mode == 2 || mode == 3) addCol(dir, "cm")
+        // mode 4: the SAME name appended on both sides with DIFFERENT
+        // types — no union exists, the surviving refusal cell (equal
+        // name+type would converge to equal shapes and land trivially)
+        if (mode == 4) {
+          addCol(ref, "cx")
+          addCol(dir, "cx", org.apache.spark.sql.types.DoubleType)
+        }
         val landedModel = {
           val changed = (fork.keySet ++ branch.keySet).filter(k =>
             fork.get(k) != branch.get(k))
@@ -535,25 +548,33 @@ class VersionedTableModelSpec extends SparkSpec {
         }
         try {
           val landed = VersionedTable.fastForward(spark, dir, "div", "merger")
-          assert(mode != 3,
-            s"seed=$seed mode=$mode: two-sided append must refuse")
+          assert(mode != 4,
+            s"seed=$seed mode=$mode: same-name two-sided append must refuse")
           assert(readMap(dir) == landedModel,
             s"seed=$seed mode=$mode: landing != net effect")
           val sch = VersionedTable.readManifest(spark, dir, landed.get)
             .schema.get
-          val want = if (mode == 1) "cb" else "cm"
-          assert(sch.fieldNames.toSeq == Seq("k", "a", want),
+          // the two-sided order rule: mainline's fields first (k, a,
+          // cm), then the branch's tail (cb)
+          val want = mode match {
+            case 1 => Seq("cb"); case 2 => Seq("cm")
+            case _ => Seq("cm", "cb")
+          }
+          assert(sch.fieldNames.toSeq == Seq("k", "a") ++ want,
             s"seed=$seed mode=$mode: landed schema ${sch.fieldNames.toSeq}")
-          assert(sch.fields.last.nullable,
-            "the landed extension must be nullable (old files null-fill)")
-          // every surviving row null-fills the extension
-          assert(VersionedTable.read(spark, dir)
-            .where(org.apache.spark.sql.functions.col(want).isNotNull)
-            .isEmpty)
+          assert(sch.fields.drop(2).forall(_.nullable),
+            "landed extensions must be nullable (other side null-fills)")
+          // every surviving row null-fills every extension
+          want.foreach { c =>
+            assert(VersionedTable.read(spark, dir)
+              .where(org.apache.spark.sql.functions.col(c).isNotNull)
+              .isEmpty,
+              s"seed=$seed mode=$mode: rows must null-fill '$c'")
+          }
         } catch {
           case _: VersionedTable.CommitConflict =>
-            assert(mode == 3,
-              s"seed=$seed mode=$mode: one-sided append must land")
+            assert(mode == 4,
+              s"seed=$seed mode=$mode: a disjoint append must land")
             assert(readMap(dir) == main,
               s"seed=$seed mode=$mode: refused landing touched main")
             assert(readMap(ref) == branch,
