@@ -932,6 +932,114 @@ object Soak {
           "branch-only paths")
         50L
       }
+      // round 17 (VERDICT r16 #6): CONCURRENT branches — real tables
+      // carry several. 4 branches × 15 commits churn in parallel
+      // (disjoint doc_id bands), two cherry-picks interleave before
+      // the landings, then all 4 fastForwards RACE one mainline (the
+      // CAS serializes; rebaseAttempts absorbs the lost races), then
+      // vacuum runs with two branches still LIVE: every landing's net
+      // effect must be exact (the picked commits land exactly once —
+      // by-reference dedup, no double rows), vacuum must not reclaim
+      // anything a live branch references, and the listing/manifest
+      // caches must stay coherent across all the cross-thread races
+      // (every read below goes through them).
+      time("lakehouse_concurrent_branches_2048files") {
+        val vt2 = s"$root/dvsoak"
+        val mv0 = VersionedTable.latestVersion(spark, vt2)
+        val names = (1 to 4).map(i => s"cc$i")
+        val bases = names.map(n =>
+          n -> VersionedTable.createBranch(spark, vt2, n)).toMap
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+        def submit[T](f: => T) = pool.submit(
+          new java.util.concurrent.Callable[T] { def call(): T = f })
+        // phase A: 4 threads commit 15 each to their OWN branch —
+        // 13 appends + 2 keyed merges rewriting earlier branch files
+        val t0 = System.nanoTime()
+        names.zipWithIndex.map { case (n, i) =>
+          submit {
+            val ref = VersionedTable.branchRef(vt2, n)
+            val band = 6000000000L + i * 1000L
+            (0 until 15).foreach { j =>
+              val bv = VersionedTable.latestVersion(spark, ref)
+              if (j == 3 || j == 10)
+                VersionedTable.merge(spark, ref,
+                  spark.range(1).coalesce(1)
+                    .select(lit(band + j - 2).as("doc_id"),
+                      lit(-7L).as("weight")),
+                  Seq("doc_id"), bv, s"w$n")
+              else
+                VersionedTable.commitDelta(spark, ref,
+                  Some(spark.range(1).coalesce(1)
+                    .select(lit(band + j).as("doc_id"),
+                      lit(2L).as("weight"))),
+                  Seq.empty, bv, s"w$n")
+            }
+          }
+        }.foreach(_.get())
+        val commitSec = (System.nanoTime() - t0) / 1e9
+        // interleaved picks: one early blind append from cc2 and cc4
+        // lands BEFORE the branch landings — the later fastForward of
+        // the same branches must converge without double rows
+        // blind appends → readsTable = false (the second pick's rebase
+        // walk sees the first pick's added file; a read-dependent pick
+        // would rightly refuse there)
+        VersionedTable.cherryPick(spark, vt2, "cc2",
+          bases("cc2") + 1, "soak", readsTable = false)
+        VersionedTable.cherryPick(spark, vt2, "cc4",
+          bases("cc4") + 1, "soak", readsTable = false)
+        // phase B: all 4 landings race the mainline CAS
+        val t1 = System.nanoTime()
+        val landedVs = names.map(n => submit {
+          VersionedTable.fastForward(spark, vt2, n, s"m$n",
+            readsTable = false, rebaseAttempts = 16).get
+        }).map(_.get())
+        val ffSec = (System.nanoTime() - t1) / 1e9
+        pool.shutdown()
+        require(landedVs.toSet.size == 4 &&
+          landedVs.forall(_ > mv0),
+          s"all 4 landings must take distinct versions: $landedVs")
+        // net effect: per branch 13 rows in its band (j=1/j=8 rewritten
+        // in place by the merges to -7), landed EXACTLY once each —
+        // the picked commits must not double-land
+        val out = VersionedTable.read(spark, vt2)
+          .filter(col("doc_id") >= 6000000000L)
+          .select(col("doc_id"), col("weight")).collect()
+        require(out.length == 4 * 13,
+          s"every branch row lands exactly once: ${out.length} != 52")
+        require(out.count(_.getLong(1) == -7L) == 8,
+          "the branches' internal rewrites must land at final values")
+        require(out.map(_.getLong(0)).distinct.length == 52,
+          "no doc_id may land twice (picked commits dedup by reference)")
+        // vacuum with cc3/cc4 still LIVE: nothing a live branch
+        // references may be reclaimed; the two deleted branches'
+        // superseded staging is fair game
+        VersionedTable.deleteBranch(spark, vt2, "cc1")
+        VersionedTable.deleteBranch(spark, vt2, "cc2")
+        val liveRefRows = names.drop(2).map { n =>
+          val ref = VersionedTable.branchRef(vt2, n)
+          n -> VersionedTable.read(spark, ref)
+            .filter(col("doc_id") >= 6000000000L).count()
+        }
+        VersionedTable.vacuum(spark, vt2)
+        liveRefRows.foreach { case (n, cnt) =>
+          val ref = VersionedTable.branchRef(vt2, n)
+          require(VersionedTable.read(spark, ref)
+            .filter(col("doc_id") >= 6000000000L).count() == cnt,
+            s"vacuum must not reclaim live branch $n's files")
+        }
+        require(VersionedTable.read(spark, vt2)
+          .filter(col("doc_id") >= 6000000000L).count() == 52L,
+          "mainline must survive the vacuum intact")
+        names.drop(2).foreach(n => VersionedTable.deleteBranch(spark, vt2, n))
+        val swept2 = VersionedTable.vacuum(spark, vt2)
+        println(f"[soak]   concurrent-branch receipt: 4x15 branch " +
+          f"commits (parallel) $commitSec%.1fs, 2 interleaved picks, " +
+          f"4 racing fastForwards $ffSec%.2fs -> versions " +
+          f"${landedVs.sorted.mkString(",")}, vacuum with live " +
+          f"branches reclaimed nothing they reference, final sweep " +
+          f"${swept2.size} paths")
+        52L
+      }
       // round 15 (VERDICT r14 #10): the hybrid MIN/MAX re-scan law at
       // the many-file shape — on a 2048-file group-clustered source,
       // deleting ONE group's max re-scans exactly that group through
