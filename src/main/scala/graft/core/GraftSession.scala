@@ -161,8 +161,10 @@ final class GraftSession(val spark: SparkSession) {
     *     [[graft.operators.VersionedTable.restore]] (TIMESTAMP
     *     resolves through versionAsOf, round 16);
     *     `CREATE BRANCH dev ON t [AS tdev]` / `FAST FORWARD t FROM
-    *     dev` / `CHERRY PICK <n> FROM dev ON t` / `EXPIRE BRANCH dev
-    *     ON t KEEP <n>` (round 16) / `DROP BRANCH dev ON t` → the
+    *     dev` / `CHERRY PICK <n>[..<m>] FROM dev ON t` (range picks
+    *     round 17 — left-to-right, partial-landing contract in
+    *     [[lcCherryPick]]) / `EXPIRE BRANCH dev ON t KEEP <n>`
+    *     (round 16) / `DROP BRANCH dev ON t` → the
     *     branch lifecycle (AS registers the branch world as its own
     *     DML-capable alias).
     *
