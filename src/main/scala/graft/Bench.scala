@@ -180,7 +180,15 @@ object Bench {
     // this rerun.
     "q138_stream_outer_join" -> 6.740,
     "q144_stream_right_outer_join" -> 2.740,
-    "q145_stream_full_outer_join" -> 4.758, "q112_stream_state" -> 1.655,
+    // q145 re-based the same round for the same measured cause: the
+    // FULL outer join carries the family's largest store workload
+    // (both sides' state scanned for the unmatched flush), so the
+    // per-batch commit-I/O floor hits it hardest — r17 in-session
+    // driver-shaped run read 9.88 (2.08x the r10 pin, state task-sum
+    // 49.7 s under loadavg 3.8); isolated quiet-load raw
+    // 7.07/6.24/5.92 with state 23.2 s → pinned at the 6.24 median.
+    "q145_stream_full_outer_join" -> 6.240,
+    "q112_stream_state" -> 1.655,
     "q151_stream_dedup_agg" -> 4.145,
     "q158_stream_near_dup" -> 6.863,
     "q173_stream_export" -> 2.210, "q180_stream_scd2" -> 2.519,

@@ -217,6 +217,68 @@ class Round17Spec extends SparkSpec {
     assert(VersionedTable.read(spark, dir).count() == 8L)
   }
 
+  test("convergent evolution: both sides append the SAME name at the SAME type — lands once") {
+    // the general rule's 'carried' path: after mainline lands `score`
+    // from another source, the branch's own `score` append (same
+    // type) is convergent, not a clash — the landing carries ONE
+    // score column and both sides' values
+    val dir = tmp("ff2-conv")
+    VersionedTable.commit(spark, dir, df("a", 6), -1L, "w")
+    VersionedTable.createBranch(spark, dir, "dev")
+    val ref = VersionedTable.branchRef(dir, "dev")
+    VersionedTable.addColumns(spark, ref, Seq(
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.LongType, nullable = true)), 0L, "wb")
+    VersionedTable.commitDelta(spark, ref,
+      Some(spark.range(1).coalesce(1).select(lit(50L).as("k"),
+        lit("d").as("v"), lit(7L).as("score"))), Seq.empty, 1L, "wb")
+    // mainline appends region THEN the same score (different order —
+    // name-based mapping, not positional)
+    VersionedTable.addColumns(spark, dir, Seq(
+      org.apache.spark.sql.types.StructField("region",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.LongType, nullable = true)), 0L, "w")
+    VersionedTable.commitDelta(spark, dir,
+      Some(spark.range(1).coalesce(1).select(lit(60L).as("k"),
+        lit("m").as("v"), lit("eu").as("region"), lit(9L).as("score"))),
+      Seq.empty, 1L, "w")
+    val landed = VersionedTable.fastForward(spark, dir, "dev", "w",
+      readsTable = false).get
+    val sch = VersionedTable.readManifest(spark, dir, landed).schema.get
+    assert(sch.fieldNames.toSeq == Seq("k", "v", "region", "score"),
+      s"convergent column must land ONCE: ${sch.fieldNames.toSeq}")
+    val out = VersionedTable.read(spark, dir)
+    assert(out.where($"score".isNotNull).count() == 2L,
+      "both sides' score values must survive in the one column")
+    assert(out.where($"k" === 50L).select($"score").as[Long].head() == 7L)
+    assert(out.where($"k" === 60L).select($"score").as[Long].head() == 9L)
+  }
+
+  test("disjoint declaration REMOVAL reconciles: branch clears its key while mainline adds another") {
+    // changed-key semantics include removals: the branch clears an
+    // expectation (empty-sql override) while mainline declares a NEW
+    // one — disjoint keys, both changes land
+    val dir = tmp("ff2-rm")
+    VersionedTable.commit(spark, dir, df("ok", 6), -1L, "w",
+      expectations = Map("old_guard" -> "k < 100000"))
+    VersionedTable.createBranch(spark, dir, "dev")
+    val ref = VersionedTable.branchRef(dir, "dev")
+    VersionedTable.commitDelta(spark, ref,
+      Some(df("d", 1, 50).coalesce(1)), Seq.empty, 0L, "wb",
+      expectations = Map("old_guard" -> "")) // the documented clear
+    VersionedTable.commitDelta(spark, dir,
+      Some(df("m", 1, 70).coalesce(1)), Seq.empty, 0L, "w",
+      expectations = Map("fresh" -> "v <> 'nope'"))
+    val landed = VersionedTable.fastForward(spark, dir, "dev", "w",
+      readsTable = false).get
+    val ex = VersionedTable.tableExpectations(spark, dir, landed)
+    assert(!ex.contains("old_guard"),
+      s"the branch's removal must land: $ex")
+    assert(ex.get("fresh").contains("v <> 'nope'"),
+      s"mainline's new declaration must land: $ex")
+  }
+
   // ───────── cherryPick: one-sided additive schema admit ─────────
 
   test("cherryPick lands a post-extension append under the UNION schema; migration picks refuse") {
