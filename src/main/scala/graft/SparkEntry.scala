@@ -5344,6 +5344,47 @@ object SparkEntry {
       gs.sql("SELECT k, pr, price FROM t")
     }),
 
+    // --- SQL FAST FORWARD … CONTENT LOCAL (round 17): the SQL
+    //     spelling of readsTable=false. A SQL-only session forks,
+    //     migrates the branch (ALTER TABLE on the branch alias) and
+    //     appends rows carrying the new column; mainline appends too
+    //     (moving past the fork). The plain FAST FORWARD refuses
+    //     conservatively (mainline added files the branch's work MAY
+    //     have read); CONTENT LOCAL attests the branch commits were
+    //     blind and the one-sided extension lands — union schema,
+    //     old rows null-filled. ---
+    "q264_sql_ff_content_local" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val vt = java.nio.file.Files.createTempDirectory("graft_ffc_q264_")
+        .toString + "/t"
+      val base = t(s, dir).orders.select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("pr"), col("o_totalprice").as("price"))
+      require(VersionedTable.commit(s, vt, base, -1L, "loader",
+        clusterBy = Seq("k"), clusterFiles = 16) == 0L)
+      val gs = new graft.core.GraftSession(s)
+      gs.registerVersioned("t", vt)
+      gs.runScript(
+        """CREATE BRANCH feat ON t AS tdev;
+          |ALTER TABLE tdev ADD COLUMNS (tag STRING);
+          |INSERT INTO tdev SELECT k + 7800000, 'PF', 6.0, 'new'
+          |  FROM tdev WHERE k % 141 = 0 AND k < 7000000;
+          |INSERT INTO t SELECT k + 7900000, 'PM', 7.0
+          |  FROM t WHERE k % 143 = 0 AND k < 7000000""".stripMargin)
+      // conservative default: mainline appended since the fork →
+      // the un-attested landing refuses loudly
+      val msg = try { gs.sql("FAST FORWARD t FROM feat"); "" }
+        catch { case e: VersionedTable.CommitConflict => e.getMessage }
+      require(msg.contains("not logically disjoint"),
+        s"q264: the plain FAST FORWARD must refuse: $msg")
+      val r = gs.sql("FAST FORWARD t FROM feat CONTENT LOCAL").head()
+      require(r.getString(0) == "fast_forward" && r.getLong(2) == 2L,
+        s"q264: the attested landing must land as v2: $r")
+      val lm = VersionedTable.readManifest(s, vt, 2L)
+      require(lm.schema.get.fieldNames.toSeq == Seq("k", "pr", "price",
+        "tag"), s"q264: union schema: ${lm.schema.get.fieldNames.toSeq}")
+      gs.sql("SELECT k, pr, price, tag FROM t")
+    }),
+
     // --- piggybank datetime evals (ISOToUnix / UnixToISO /
     //     ISODaysBetween) over orders dates ---
     "q121_datetime_iso" -> ((s, dir) => {
@@ -8508,6 +8549,19 @@ object SparkEntry {
          SELECT o_orderkey + 7000000, 'PX', 1.0,
                 CAST(o_orderkey % 7 AS DOUBLE)
          FROM orders WHERE o_orderkey % 113 = 0""",
+
+    // SQL CONTENT LOCAL landing: orders + mainline's append (tag
+    // null) + the branch's append carrying tag; base rows null-fill
+    "q264_sql_ff_content_local" ->
+      """SELECT o_orderkey AS k, o_orderpriority AS pr,
+                o_totalprice AS price, CAST(NULL AS VARCHAR) AS tag
+         FROM orders
+         UNION ALL
+         SELECT o_orderkey + 7900000, 'PM', 7.0, CAST(NULL AS VARCHAR)
+         FROM orders WHERE o_orderkey % 143 = 0
+         UNION ALL
+         SELECT o_orderkey + 7800000, 'PF', 6.0, 'new'
+         FROM orders WHERE o_orderkey % 141 = 0""",
 
     // SQL range pick 2..3 then the 4..4 prefix of the refused 4..5:
     // mainline = orders + P2 + P3 + P4; P1/P5 must leave no trace

@@ -161,7 +161,8 @@ final class GraftSession(val spark: SparkSession) {
     *     [[graft.operators.VersionedTable.restore]] (TIMESTAMP
     *     resolves through versionAsOf, round 16);
     *     `CREATE BRANCH dev ON t [AS tdev]` / `FAST FORWARD t FROM
-    *     dev` / `CHERRY PICK <n>[..<m>] FROM dev ON t` (range picks
+    *     dev [CONTENT LOCAL]` (the readsTable=false attestation,
+    *     round 17) / `CHERRY PICK <n>[..<m>] FROM dev ON t` (range picks
     *     round 17 — left-to-right, partial-landing contract in
     *     [[lcCherryPick]]) / `EXPIRE BRANCH dev ON t KEEP <n>`
     *     (round 16) / `DROP BRANCH dev ON t` → the
@@ -286,9 +287,9 @@ final class GraftSession(val spark: SparkSession) {
         }.getOrElse(rawSql(query))
       case "FAST" =>
         GraftSession.LcFastForward.findFirstMatchIn(query).map { m =>
-          lcFastForward(m.group(1), m.group(2))
+          lcFastForward(m.group(1), m.group(2), m.group(3) != null)
         }.getOrElse(refuse("FAST FORWARD",
-          "FAST FORWARD <alias> FROM <branch>"))
+          "FAST FORWARD <alias> FROM <branch> [CONTENT LOCAL]"))
       case "DROP" =>
         GraftSession.LcDropBranch.findFirstMatchIn(query).map { m =>
           val b = binding(m.group(2), "DROP BRANCH")
@@ -637,12 +638,21 @@ final class GraftSession(val spark: SparkSession) {
     receipt("create_branch", alias, base, -1L)
   }
 
-  /** FAST FORWARD alias FROM branch — land the branch's net effect on
-    * mainline (rows = -1 when the branch had nothing to land). */
-  private def lcFastForward(alias: String, name: String): DataFrame = {
+  /** FAST FORWARD alias FROM branch [CONTENT LOCAL] — land the
+    * branch's net effect on mainline (rows = -1 when the branch had
+    * nothing to land). CONTENT LOCAL (round 17) is the SQL spelling of
+    * `readsTable = false`: the caller attests the branch's commits
+    * never READ the table (blind appends, migrations, compactions),
+    * which admits mainline appends/deletes on untouched files during
+    * the landing gate — without it, a mainline that merely appended
+    * since the fork refuses conservatively (a branch whose work read
+    * the table would have seen those rows under serialization). */
+  private def lcFastForward(alias: String, name: String,
+      contentLocal: Boolean = false): DataFrame = {
     import graft.operators.VersionedTable
     val b = binding(alias, "FAST FORWARD")
-    VersionedTable.fastForward(spark, b.dir, name, s"sql-$alias") match {
+    VersionedTable.fastForward(spark, b.dir, name, s"sql-$alias",
+      readsTable = !contentLocal) match {
       case Some(v) =>
         advance(alias, b, v)
         receipt("fast_forward", alias, v, -1L)
@@ -793,7 +803,7 @@ object GraftSession {
       """\s*;?\s*$""").r
   private val LcFastForward =
     ("""(?is)^\s*FAST\s+FORWARD\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+""" +
-      """([A-Za-z0-9._-]+)\s*;?\s*$""").r
+      """([A-Za-z0-9._-]+)(\s+CONTENT\s+LOCAL)?\s*;?\s*$""").r
   private val LcShowBranches =
     ("""(?is)^\s*SHOW\s+BRANCHES\s+ON\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r

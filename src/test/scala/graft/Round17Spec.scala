@@ -356,6 +356,32 @@ class Round17Spec extends SparkSpec {
     assert(eDiv.getMessage.contains("diverged beyond a branch-side"))
   }
 
+  test("FAST FORWARD … CONTENT LOCAL grammar: exact keyword or refuse; attestation changes the gate") {
+    import graft.core.GraftSession
+    val dir = tmp("sql-ffcl")
+    VersionedTable.commit(spark, dir, df("a", 8), -1L, "w")
+    val gs = new GraftSession(spark)
+    gs.registerVersioned("t", dir)
+    gs.runScript(
+      """CREATE BRANCH dev ON t AS tdev;
+        |INSERT INTO tdev SELECT k + 100, 'b' FROM tdev WHERE k < 2;
+        |INSERT INTO t SELECT k + 200, 'm' FROM t WHERE k < 2""".stripMargin)
+    // partial/typo keywords refuse with the grammar, landing nothing
+    Seq("FAST FORWARD t FROM dev CONTENT",
+        "FAST FORWARD t FROM dev LOCAL",
+        "FAST FORWARD t FROM dev CONTENTLOCAL").foreach { stmt =>
+      val e = intercept[IllegalArgumentException] { gs.sql(stmt) }
+      assert(e.getMessage.contains("[CONTENT LOCAL]"), s"$stmt: $e")
+    }
+    // un-attested: mainline appended → conservative refusal
+    intercept[VersionedTable.CommitConflict] {
+      gs.sql("FAST FORWARD t FROM dev")
+    }
+    // attested: lands; both sides' rows visible
+    gs.sql("FAST FORWARD t FROM dev CONTENT LOCAL")
+    assert(rows(VersionedTable.read(spark, dir)).size == 12)
+  }
+
   // ───────── weight-bounded version-listing cache ─────────
 
   test("listing cache evicts by total WEIGHT and never caches oversized version lists") {
