@@ -583,4 +583,51 @@ class VersionedTableModelSpec extends SparkSpec {
       }
     }
   }
+
+  test("range-pick model: a consecutive pick range lands exactly its rows; the later landing converges") {
+    // round-17 law (VERDICT r16 #5): a branch stages K blind appends;
+    // a random consecutive subrange n..m is cherry-picked in order —
+    // the table must read back base + EXACTLY the picked rows; a
+    // subsequent fastForward of the WHOLE branch must converge to
+    // base + all K rows with no row landed twice (the by-reference
+    // dedup under the same-branch rebase exemption).
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed + 1700)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"vt-rpick-$seed").toString + "/t"
+      val base: Map[Long, Long] = (0L until 200L).map(k => k -> k).toMap
+      VersionedTable.commit(spark, dir, base.toSeq.toDF("k", "a"),
+        -1L, "loader", clusterBy = Seq("k"), clusterFiles = 4)
+      def readMap(d: String): Map[Long, Long] =
+        VersionedTable.read(spark, d)
+          .select($"k", $"a").as[(Long, Long)].collect().toMap
+      VersionedTable.createBranch(spark, dir, "rp")
+      val ref = VersionedTable.branchRef(dir, "rp")
+      val k0 = VersionedTable.latestVersion(spark, ref)
+      val kCommits = 4 + rnd.nextInt(4) // 4..7 blind appends
+      val rows = (1 to kCommits).map { i =>
+        val row = (10000L + seed * 100 + i) -> (1000L + i)
+        VersionedTable.commitDelta(spark, ref,
+          Some(Seq((row._1, row._2)).toDF("k", "a").coalesce(1)),
+          Seq.empty, k0 + i - 1, "bw")
+        row
+      }
+      val n = 1 + rnd.nextInt(kCommits)
+      val m = n + rnd.nextInt(kCommits - n + 1)
+      (n to m).foreach(bv => VersionedTable.cherryPick(spark, dir, "rp",
+        k0 + bv, "picker", readsTable = false))
+      val picked = rows.slice(n - 1, m).toMap
+      assert(readMap(dir) == base ++ picked,
+        s"seed=$seed range $n..$m of $kCommits: table != base + picked")
+      // land the whole branch: converges, nothing lands twice
+      VersionedTable.fastForward(spark, dir, "rp", "merger",
+        readsTable = false)
+      assert(readMap(dir) == base ++ rows.toMap,
+        s"seed=$seed: post-landing table != base + all branch rows")
+      val cnt = VersionedTable.read(spark, dir).groupBy($"k")
+        .count().where($"count" > 1).count()
+      assert(cnt == 0L, s"seed=$seed: a picked row landed twice")
+      VersionedTable.deleteBranch(spark, dir, "rp")
+    }
+  }
 }
