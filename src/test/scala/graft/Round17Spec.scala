@@ -356,6 +356,112 @@ class Round17Spec extends SparkSpec {
     assert(eDiv.getMessage.contains("diverged beyond a branch-side"))
   }
 
+  test("two-sided disjoint append on a PREVIOUSLY-RENAMED table: colmap rides, physical shadowing refuses") {
+    // the rename happened BEFORE the fork, so both sides share the
+    // colmap (label -> physical v) — the reconciliation must carry it
+    // through the union landing, and reads must keep resolving the
+    // renamed column by its physical name on both sides' files
+    val dir = tmp("ff2-ren")
+    VersionedTable.commit(spark, dir, df("a", 6), -1L, "w")
+    VersionedTable.renameColumns(spark, dir, Map("v" -> "label"), 0L, "w")
+    VersionedTable.createBranch(spark, dir, "dev")
+    val ref = VersionedTable.branchRef(dir, "dev")
+    VersionedTable.addColumns(spark, ref, Seq(
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = true)),
+      VersionedTable.latestVersion(spark, ref), "wb")
+    VersionedTable.commitDelta(spark, ref,
+      Some(spark.range(1).coalesce(1).select(lit(50L).as("k"),
+        lit("d").as("label"), lit(1.5).as("score"))), Seq.empty,
+      VersionedTable.latestVersion(spark, ref), "wb")
+    VersionedTable.addColumns(spark, dir, Seq(
+      org.apache.spark.sql.types.StructField("region",
+        org.apache.spark.sql.types.StringType, nullable = true)),
+      VersionedTable.latestVersion(spark, dir), "w")
+    VersionedTable.commitDelta(spark, dir,
+      Some(spark.range(1).coalesce(1).select(lit(60L).as("k"),
+        lit("m").as("label"), lit("eu").as("region"))), Seq.empty,
+      VersionedTable.latestVersion(spark, dir), "w")
+    val landed = VersionedTable.fastForward(spark, dir, "dev", "w",
+      readsTable = false).get
+    val lm = VersionedTable.readManifest(spark, dir, landed)
+    assert(lm.schema.get.fieldNames.toSeq ==
+      Seq("k", "label", "region", "score"))
+    assert(lm.colmap.get("label").contains("v"),
+      s"the pre-fork rename's mapping must ride the landing: ${lm.colmap}")
+    val out = VersionedTable.read(spark, dir)
+    assert(out.where($"label" === "d").select($"score").as[Double]
+      .head() == 1.5, "the branch row must resolve through the colmap")
+    assert(out.where($"label" === "m").select($"region").as[String]
+      .head() == "eu")
+    assert(out.where($"label" === "a").count() == 6L)
+    // a branch-side column named like a DROPPED column's physical
+    // tombstone is refused at EVERY write door — even the
+    // allowSchemaChange commitDelta escape hatch — which is what makes
+    // the landing-side takenPhys guard in fastForward/cherryPick a
+    // pure belt: no public write path can produce the shadowed state.
+    // Pin the door here so a future relaxation of the write guard
+    // would surface as this test failing, not as silent reliance on
+    // the belt.
+    val dir2 = tmp("ff2-ren2")
+    VersionedTable.commit(spark, dir2,
+      spark.range(4).select($"id".as("k"), lit("a").as("v"),
+        lit(1L).as("extra")), -1L, "w")
+    VersionedTable.dropColumns(spark, dir2, Seq("extra"), 0L, "w")
+    VersionedTable.createBranch(spark, dir2, "dev")
+    val ref2 = VersionedTable.branchRef(dir2, "dev")
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.commitDelta(spark, ref2,
+        Some(spark.range(1).coalesce(1).select(lit(50L).as("k"),
+          lit("d").as("v"), lit(9L).as("extra"))), Seq.empty,
+        VersionedTable.latestVersion(spark, ref2), "wb",
+        allowSchemaChange = true)
+    }
+    assert(e.getMessage.contains("DROPPED column's physical name"),
+      s"the write door must refuse tombstone reuse: ${e.getMessage}")
+  }
+
+  test("two-sided disjoint landing on a FEED-declared table: the CDF replays the net effect") {
+    // change-feed x reconciliation: the landing's feed must carry
+    // exactly the branch's net adds under the UNION schema, and a
+    // cursor consumer replaying the whole history must converge to
+    // the landed table
+    val dir = tmp("ff2-feed")
+    VersionedTable.commit(spark, dir, df("a", 8), -1L, "w",
+      meta = Map(VersionedTable.FeedKey -> "k"))
+    VersionedTable.createBranch(spark, dir, "dev")
+    val ref = VersionedTable.branchRef(dir, "dev")
+    VersionedTable.addColumns(spark, ref, Seq(
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = true)), 0L, "wb")
+    VersionedTable.commitDelta(spark, ref,
+      Some(spark.range(2).coalesce(1).select(($"id" + 100L).as("k"),
+        lit("dev").as("v"), lit(0.5).as("score"))), Seq.empty, 1L, "wb")
+    VersionedTable.addColumns(spark, dir, Seq(
+      org.apache.spark.sql.types.StructField("region",
+        org.apache.spark.sql.types.StringType, nullable = true)), 0L, "w")
+    VersionedTable.commitDelta(spark, dir,
+      Some(spark.range(1).coalesce(1).select(lit(200L).as("k"),
+        lit("m").as("v"), lit("eu").as("region"))), Seq.empty, 1L, "w")
+    val landed = VersionedTable.fastForward(spark, dir, "dev", "w",
+      readsTable = false).get
+    // the landing's persisted feed: exactly the branch's adds, as
+    // inserts
+    val feed = spark.read.parquet(s"$dir/_changes/v$landed")
+    assert(feed.select($"op").distinct().as[String].collect().toSeq ==
+      Seq("insert"), "a landing of pure adds must feed only inserts")
+    assert(feed.select($"k").as[Long].collect().toSet == Set(100L, 101L))
+    // the change feed ACROSS the landing (v0 -> landed) carries both
+    // sides' adds — the old side padded across the union migration
+    val replayed = VersionedTable.changesBetween(spark, dir, 0L, landed,
+      Seq("k"))
+    assert(replayed.where($"op" === "insert").count() == 3L &&
+      replayed.where($"op" =!= "insert").isEmpty,
+      "the cross-landing diff must be exactly the 3 added rows")
+    assert(replayed.where($"k" === 100L).select($"score").as[Double]
+      .head() == 0.5, "the branch row's new-column value must ride the diff")
+  }
+
   test("FAST FORWARD … CONTENT LOCAL grammar: exact keyword or refuse; attestation changes the gate") {
     import graft.core.GraftSession
     val dir = tmp("sql-ffcl")
