@@ -5385,6 +5385,52 @@ object SparkEntry {
       gs.sql("SELECT k, pr, price, tag FROM t")
     }),
 
+    // --- additive-schema rebase (round 17): the migration-racing-
+    //     appenders case — an ADD COLUMNS lands first; a blind append
+    //     and a DV delete both PLANNED against the superseded version
+    //     rebase across it WITHOUT re-staging, each landing adopting
+    //     the extended schema (re-landing their plan-time receipts
+    //     would silently regress the migration). The read hashes the
+    //     converged world: appended + surviving rows, new column
+    //     null-filled. ---
+    "q265_additive_rebase" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val vt = java.nio.file.Files.createTempDirectory("graft_arb_q265_")
+        .toString + "/t"
+      val base = t(s, dir).customer.select(col("c_custkey").as("k"),
+        col("c_name").as("name"), col("c_acctbal").as("bal"))
+      require(VersionedTable.commit(s, vt, base, -1L, "loader",
+        clusterBy = Seq("k"), clusterFiles = 16,
+        statsCols = Some(Seq("k"))) == 0L)
+      // the migration wins the race to v1
+      VersionedTable.addColumns(s, vt, Seq(
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType, nullable = true)),
+        0L, "mig")
+      // a blind append planned against v0 rebases in as v2
+      val st = VersionedTable.commitDelta(s, vt,
+        Some(base.filter(col("k") % 101 === 0)
+          .select((col("k") + 40000000L).as("k"),
+            concat(lit("r_"), col("k").cast("string")).as("name"),
+            lit(2.0).as("bal")).coalesce(1)),
+        Seq.empty, 0L, "appender", rebaseAttempts = 1)
+      require(st.version == 2L, s"q265: the append must rebase to v2: $st")
+      // a DV delete planned against v0 rebases in as v3
+      val ds = VersionedTable.deleteWhere(s, vt,
+        "k % 103 = 5 AND k < 40000000", 0L, "gdpr", rebaseAttempts = 2)
+      require(ds.version == 3L && ds.rowsDeleted > 0,
+        s"q265: the delete must rebase to v3: $ds")
+      val lm = VersionedTable.readManifest(s, vt, 3L)
+      require(lm.schema.get.fieldNames.toSeq ==
+        Seq("k", "name", "bal", "score"),
+        s"q265: every landing must adopt the migration: " +
+          s"${lm.schema.get.fieldNames.toSeq}")
+      val out = VersionedTable.read(s, vt)
+      require(out.where(col("score").isNotNull).isEmpty,
+        "q265: the column stays null-filled end to end")
+      out.select(col("k"), col("name"), col("bal"), col("score"))
+    }),
+
     // --- piggybank datetime evals (ISOToUnix / UnixToISO /
     //     ISODaysBetween) over orders dates ---
     "q121_datetime_iso" -> ((s, dir) => {
@@ -8549,6 +8595,19 @@ object SparkEntry {
          SELECT o_orderkey + 7000000, 'PX', 1.0,
                 CAST(o_orderkey % 7 AS DOUBLE)
          FROM orders WHERE o_orderkey % 113 = 0""",
+
+    // additive rebase: customer minus the delete's band, plus the
+    // rebased append, score null everywhere (the migration is
+    // metadata-only and no writer ever set it)
+    "q265_additive_rebase" ->
+      """SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal,
+                CAST(NULL AS DOUBLE) AS score
+         FROM customer
+         WHERE NOT (c_custkey % 103 = 5)
+         UNION ALL
+         SELECT c_custkey + 40000000, 'r_' || CAST(c_custkey AS VARCHAR),
+                2.0, CAST(NULL AS DOUBLE)
+         FROM customer WHERE c_custkey % 101 = 0""",
 
     // SQL CONTENT LOCAL landing: orders + mainline's append (tag
     // null) + the branch's append carrying tag; base rows null-fill

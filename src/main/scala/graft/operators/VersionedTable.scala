@@ -248,6 +248,12 @@ object VersionedTable {
     }
     private[graft] def weightNow: Long = synchronized(totalWeight)
     private[graft] def entriesNow: Int = synchronized(map.size)
+    // spec hook: isolates the eviction probes from whatever earlier
+    // suites left cached (a shared-JVM test run's residue otherwise
+    // races the weight assertions)
+    private[graft] def clear(): Unit = synchronized {
+      map.clear(); totalWeight = 0L
+    }
   }
   private[operators] def invalidateListing(dir: String): Unit =
     listingCache.remove(logDir(dir))
@@ -1834,7 +1840,17 @@ object VersionedTable {
     * `readBounds` / `readsTable`), the already-staged files are
     * re-stamped onto the new parent and the CAS retried, no data
     * rewritten. Conflicting or budget-exhausted commits still throw
-    * [[CommitConflict]] with staging cleaned. */
+    * [[CommitConflict]] with staging cleaned.
+    *
+    * Additive-schema rebase (round 17): a winner that APPENDED
+    * nullable columns (the [[addColumns]] shape) is an admissible
+    * rebase target — the migration is metadata-only and commutes with
+    * any delta that does not reference the new column, so the landing
+    * adopts the winner's EXTENDED schema and the staged files
+    * null-fill it (a landing that kept the staged receipt would
+    * silently regress the migration). At scale this is the
+    * migration-racing-a-thousand-blind-appenders case: none of them
+    * re-stage a byte. Renames, drops, and type changes still refuse. */
   def commitDelta(spark: SparkSession, dir: String,
       adds: Option[DataFrame], removeFiles: Seq[String],
       expectedVersion: Long, writerId: String,
@@ -1863,7 +1879,17 @@ object VersionedTable {
       val why =
         if (attemptsLeft <= 0) Some("rebase budget exhausted")
         else rebaseConflict(spark, dir, parent, cur, footprint, readBounds,
-          readsTable, readScope)
+          readsTable, readScope,
+          // a winner that APPENDED nullable columns (addColumns) is
+          // admissible (round 17): metadata-only, every row's new
+          // column is null until someone writes it, so it COMMUTES
+          // with any racing delta that does not reference it — the
+          // landing below adopts the winner's extended schema
+          // (effSchemaFor) and the staged files null-fill, exactly
+          // the serialized append-then-migrate outcome. A winner that
+          // WROTE the new column is not exempted by this flag: its
+          // file adds/rewrites still run the clash/risky checks.
+          allowAdditiveSchema = true)
       why match {
         case None =>
           attemptsLeft -= 1
@@ -1884,8 +1910,28 @@ object VersionedTable {
         else requireNotStale(spark, dir, parent) // throws with the usual message
       }
     }
-    adds.foreach(df =>
-      guardSchema(spark, dir, parent, df.schema, allowSchemaChange))
+    // the manifest schema this commit lands under, given the (possibly
+    // rebased) parent `p`: staged == parent lands the staged receipt;
+    // an explicit migration (allowSchemaChange) lands the staged
+    // schema; a parent that ADDITIVELY extends the staged shape — an
+    // addColumns winner this commit rebased across — lands the
+    // PARENT's schema (adopting it is what keeps the rebase from
+    // silently regressing the migration: the staged files null-fill
+    // the appended tail, the pinned-schema read contract). Anything
+    // else refuses with the guardSchema message.
+    def effSchemaFor(p: Long): org.apache.spark.sql.types.StructType =
+      adds.map(_.schema) match {
+        case None => schemaOf(spark, dir, p)
+        case Some(s0) =>
+          val ps = schemaOf(spark, dir, p)
+          if (schemaShape(ps) == schemaShape(s0)) s0
+          else if (allowSchemaChange) s0
+          else if (additiveExtension(Some(s0), Some(ps)).isDefined) ps
+          else throw new IllegalArgumentException(
+            s"commit to $dir: schema changed (was ${ps.simpleString}, " +
+              s"committing ${s0.simpleString}) — pass " +
+              "allowSchemaChange = true to evolve the table explicitly")
+      }
     locally {
       val parentLive = liveFiles(spark, dir, parent).toSet
       val stale = removeFiles.filterNot(parentLive)
@@ -1894,7 +1940,7 @@ object VersionedTable {
           s"version $parent (${stale.take(3).mkString(", ")}…) — " +
           "the delta was planned against a superseded version; re-plan")
     }
-    val schema = adds.map(_.schema).getOrElse(schemaOf(spark, dir, parent))
+    val schema = effSchemaFor(parent)
     // column mapping: staged files are written with PHYSICAL names so
     // every file of the table — before or after any rename — matches
     // the manifest's colmap. Stable across rebases: a winner that
@@ -1949,6 +1995,10 @@ object VersionedTable {
       val parentM = readManifest(spark, dir, parent)
       val parentLive = liveFiles(spark, dir, parent)
       val effMeta = expectMeta(spark, dir, parent, meta, expectations)
+      // recompute per iteration: a lost CAS may have rebased across an
+      // admitted addColumns winner, whose extended schema this landing
+      // must adopt (see effSchemaFor)
+      val effSchema = effSchemaFor(parent)
       val newLive = parentLive.filterNot(removeFiles.toSet) ++ staged
       // kept files inherit the parent's stats verbatim (they are the
       // same immutable bytes) — EXCEPT for columns whose type changed
@@ -1962,7 +2012,7 @@ object VersionedTable {
       val typeStable: String => Boolean = {
         val pt = schemaOf(spark, dir, parent).fields
           .map(f => f.name -> f.dataType).toMap
-        val nt = schema.fields.map(f => f.name -> f.dataType).toMap
+        val nt = effSchema.fields.map(f => f.name -> f.dataType).toMap
         c => pt.get(c).exists(t => nt.get(c).contains(t))
       }
       val newLiveSet = newLive.toSet
@@ -1977,7 +2027,7 @@ object VersionedTable {
       // through [[readFilesMasked]], so the rewrite already dropped
       // the masked rows
       val dvKept = parentM.dv.filter { case (rel, _) => newLiveSet(rel) }
-      val body = manifestBody(newV, parent, writerId, schema,
+      val body = manifestBody(newV, parent, writerId, effSchema,
         adds.map(_ => dataRel), newLive, removed = removeFiles,
         stats = stats, meta = effMeta, dv = dvKept,
         tsMs = commitClock(spark), colmap = colmap)
@@ -3233,7 +3283,13 @@ object VersionedTable {
           maskedNow.map(rel =>
             rel -> dvOverride.getOrElse(rel, (dvRel, afterDeleted(rel))))
       val effMeta = expectMeta(spark, dir, parent, scopedMeta, Map.empty)
-      val body = manifestBody(newV, parent, writerId, schema,
+      // the landing schema comes from the CURRENT parent, not the plan
+      // parent: an admitted addColumns winner (allowAdditiveSchema in
+      // the rebase below — a positional mask commutes with a
+      // metadata-only nullable append) extended it, and re-landing the
+      // plan-time receipt would silently regress the migration
+      val landSchema = schemaOf(spark, dir, parent)
+      val body = manifestBody(newV, parent, writerId, landSchema,
         stagingDir = None, files = newLive,
         removed = dropNow.toSeq.sorted, stats = stats, meta = effMeta,
         dv = dvNew, tsMs = commitClock(spark), colmap = pm.colmap)
@@ -3251,7 +3307,8 @@ object VersionedTable {
         val why =
           if (attemptsLeft <= 0) Some("rebase budget exhausted")
           else rebaseConflict(spark, dir, parent, cur, candidateSet,
-            effBounds, readsTable = true, myScope)
+            effBounds, readsTable = true, myScope,
+            allowAdditiveSchema = true)
         why match {
           case None =>
             attemptsLeft -= 1

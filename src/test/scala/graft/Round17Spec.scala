@@ -488,38 +488,120 @@ class Round17Spec extends SparkSpec {
     assert(rows(VersionedTable.read(spark, dir)).size == 12)
   }
 
+  test("additive-schema rebase: blind deltas and deletes race an addColumns migration without re-staging") {
+    // the migration-racing-appenders case: a writer plans against v0,
+    // an addColumns lands first; the writer's rebase ADOPTS the
+    // extended schema instead of refusing (or worse, regressing it) —
+    // its staged files null-fill the new column
+    val dir = tmp("arb")
+    VersionedTable.commit(spark, dir, df("a", 10), -1L, "w",
+      statsCols = Some(Seq("k")))
+    VersionedTable.addColumns(spark, dir, Seq(
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = true)), 0L, "mig")
+    // blind append planned against the SUPERSEDED v0
+    val st = VersionedTable.commitDelta(spark, dir,
+      Some(df("late", 2, 50).coalesce(1)), Seq.empty, 0L, "w2",
+      rebaseAttempts = 1)
+    assert(st.version == 2L)
+    val lm = VersionedTable.readManifest(spark, dir, 2L)
+    assert(lm.schema.get.fieldNames.toSeq == Seq("k", "v", "score"),
+      s"the rebase must ADOPT the winner's extension: " +
+        s"${lm.schema.get.fieldNames.toSeq}")
+    val out = VersionedTable.read(spark, dir)
+    assert(out.count() == 12L)
+    assert(out.where($"score".isNotNull).isEmpty, "null-fill everywhere")
+    // a keyed MERGE with rebaseAttempts re-plans at the ADOPTED tip,
+    // so its changes must carry the current (extended) schema — the
+    // stale-shaped changes refuse with the schema contract, and the
+    // conforming merge lands without regressing the extension
+    intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, dir,
+        spark.range(1).coalesce(1).select(lit(3L).as("k"),
+          lit("upd").as("v")), Seq("k"), 1L, "w3", rebaseAttempts = 2)
+    }
+    VersionedTable.merge(spark, dir,
+      spark.range(1).coalesce(1).select(lit(3L).as("k"),
+        lit("upd").as("v"), lit(1.0).as("score")), Seq("k"),
+      1L, "w3", rebaseAttempts = 2)
+    assert(VersionedTable.read(spark, dir)
+      .where($"v" === "upd").count() == 1L)
+    assert(VersionedTable.readManifest(spark, dir,
+      VersionedTable.latestVersion(spark, dir))
+      .schema.get.fieldNames.length == 3, "merge must not regress it")
+    // a DV delete planned against the superseded version also rides
+    val dir2 = tmp("arb2")
+    VersionedTable.commit(spark, dir2, df("a", 10), -1L, "w",
+      statsCols = Some(Seq("k")))
+    VersionedTable.addColumns(spark, dir2, Seq(
+      org.apache.spark.sql.types.StructField("tag",
+        org.apache.spark.sql.types.StringType, nullable = true)), 0L, "mig")
+    val ds = VersionedTable.deleteWhere(spark, dir2, "k = 4", 0L, "gdpr",
+      rebaseAttempts = 1)
+    assert(ds.version == 2L && ds.rowsDeleted == 1L)
+    assert(VersionedTable.readManifest(spark, dir2, 2L)
+      .schema.get.fieldNames.toSeq == Seq("k", "v", "tag"),
+      "the delete landing must adopt the extension, not regress it")
+    assert(VersionedTable.read(spark, dir2).count() == 9L)
+    // refusals survive: a RENAME winner still refuses the rebase, and
+    // a staged schema WIDER than the parent still needs
+    // allowSchemaChange
+    val dir3 = tmp("arb3")
+    VersionedTable.commit(spark, dir3, df("a", 6), -1L, "w")
+    VersionedTable.renameColumns(spark, dir3, Map("v" -> "label"), 0L, "mig")
+    intercept[VersionedTable.CommitConflict] {
+      VersionedTable.commitDelta(spark, dir3,
+        Some(df("late", 1, 50).coalesce(1)), Seq.empty, 0L, "w2",
+        rebaseAttempts = 1)
+    }
+    val dir4 = tmp("arb4")
+    VersionedTable.commit(spark, dir4, df("a", 6), -1L, "w")
+    intercept[IllegalArgumentException] {
+      VersionedTable.commitDelta(spark, dir4,
+        Some(spark.range(1).coalesce(1).select(lit(50L).as("k"),
+          lit("x").as("v"), lit(1.0).as("extra"))), Seq.empty, 0L, "w2",
+        rebaseAttempts = 1)
+    }
+  }
+
   // ───────── weight-bounded version-listing cache ─────────
 
   test("listing cache evicts by total WEIGHT and never caches oversized version lists") {
     spark.conf.set("graft.manifest.cache.graceMs", "0") // cache eagerly
     val oldBudget = VersionedTable.listingCache.budget
     try {
-      // three tables, 3 versions each (weight 3 per listing)
-      val dirs = (1 to 3).map { i =>
+      // five tables, 3 versions each (weight 3 per listing). The
+      // budget must keep 3 <= budget/4 (the per-entry cap) or the
+      // puts are cap-skipped and nothing ever evicts — the flake the
+      // first draft of this test hit under cross-suite cache residue.
+      VersionedTable.listingCache.clear()
+      VersionedTable.listingCache.budget = 12L
+      val dirs = (1 to 5).map { i =>
         val d = tmp(s"lw-$i")
         VersionedTable.commit(spark, d, df("a", 2), -1L, s"w$i")
         VersionedTable.commit(spark, d, df("b", 2), 0L, s"w$i")
         VersionedTable.commit(spark, d, df("c", 2), 1L, s"w$i")
         d
       }
-      VersionedTable.listingCache.budget = 5L // fits ONE 3-version listing
       dirs.foreach(d =>
         assert(VersionedTable.versions(spark, d) == Seq(0L, 1L, 2L)))
-      assert(VersionedTable.listingCache.weightNow <= 5L,
-        s"weight ${VersionedTable.listingCache.weightNow} over budget")
+      val w = VersionedTable.listingCache.weightNow
+      assert(w > 0L && w <= 12L,
+        s"5x3 = 15 listed versions must evict down to the budget: $w")
       // evicted listings still answer correctly (re-listed on miss)
       dirs.foreach(d =>
         assert(VersionedTable.versions(spark, d) == Seq(0L, 1L, 2L)))
       // the per-entry cap: with budget 8 the cap is 2, so a 3-version
-      // listing is never cached at all — weight must not grow
+      // listing is never cached at all — weight must not grow when
+      // only over-cap listings are offered
+      VersionedTable.listingCache.clear()
       VersionedTable.listingCache.budget = 8L
-      val w0 = VersionedTable.listingCache.weightNow
       val d4 = tmp("lw-big")
       VersionedTable.commit(spark, d4, df("a", 2), -1L, "w")
       VersionedTable.commit(spark, d4, df("b", 2), 0L, "w")
       VersionedTable.commit(spark, d4, df("c", 2), 1L, "w")
       assert(VersionedTable.versions(spark, d4) == Seq(0L, 1L, 2L))
-      assert(VersionedTable.listingCache.weightNow <= math.max(w0, 8L),
+      assert(VersionedTable.listingCache.weightNow <= 2L,
         "an over-cap listing must never be cached")
       // and a SMALL listing still caches under the same budget
       val d5 = tmp("lw-small")
