@@ -4668,8 +4668,7 @@ object VersionedTable {
             else readManifest(spark, dir, mainBase)
           val (sTip, sPm) =
             (tipM.schema.map(schemaShape), pm.schema.map(schemaShape))
-          val (sBase, sM0) =
-            (baseM.schema.map(schemaShape), mainM0.schema.map(schemaShape))
+          val sM0 = mainM0.schema.map(schemaShape)
           // schema: equal shapes land as-is; everything else runs ONE
           // general additive rule (round 17, VERDICT r16 #2 —
           // subsumes r16's two prefix-shaped one-sided cases and adds
