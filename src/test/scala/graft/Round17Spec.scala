@@ -564,6 +564,30 @@ class Round17Spec extends SparkSpec {
     }
   }
 
+  test("additive rebase on a FEED-declared table: the rebased commit's feed and CDF stay exact") {
+    val dir = tmp("arb-feed")
+    VersionedTable.commit(spark, dir, df("a", 8), -1L, "w",
+      meta = Map(VersionedTable.FeedKey -> "k"))
+    VersionedTable.addColumns(spark, dir, Seq(
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = true)), 0L, "mig")
+    val st = VersionedTable.commitDelta(spark, dir,
+      Some(df("late", 2, 100).coalesce(1)), Seq.empty, 0L, "w2",
+      rebaseAttempts = 1)
+    assert(st.version == 2L)
+    // the rebased commit's persisted feed: exactly its own adds
+    val feed = spark.read.parquet(s"$dir/_changes/v2")
+    assert(feed.select($"op").distinct().as[String].collect().toSeq ==
+      Seq("insert"))
+    assert(feed.select($"k").as[Long].collect().toSet == Set(100L, 101L))
+    // the CDF across migration + rebased append: the old side pads,
+    // the diff is exactly the 2 appended rows with score null
+    val d = VersionedTable.changesBetween(spark, dir, 0L, 2L, Seq("k"))
+    assert(d.where($"op" === "insert").count() == 2L &&
+      d.where($"op" =!= "insert").isEmpty)
+    assert(d.where($"score".isNotNull).isEmpty)
+  }
+
   // ───────── weight-bounded version-listing cache ─────────
 
   test("listing cache evicts by total WEIGHT and never caches oversized version lists") {
