@@ -105,8 +105,10 @@ class Round16Spec extends SparkSpec {
       "the branch's column mapping must land wholesale")
     assert(VersionedTable.read(spark, dir)
       .where($"label" === "m").count() == 1L)
-    // but the SAME migration with a MOVED mainline refuses (rename is
-    // never auto-reconciled)
+    // the SAME migration with a MOVED mainline now lands through the
+    // ONE-SIDED rename reconciliation (round 18, VERDICT r17 missing
+    // #3): only the branch renamed, so physical-identity matching
+    // takes the branch's names; mainline's append reads through
     val dir2 = tmp("ff-wholesale2")
     VersionedTable.commit(spark, dir2, df("a", 6), -1L, "w")
     VersionedTable.createBranch(spark, dir2, "mig")
@@ -114,10 +116,12 @@ class Round16Spec extends SparkSpec {
     VersionedTable.renameColumns(spark, ref2, Map("v" -> "label"), 0L, "wb")
     VersionedTable.commitDelta(spark, dir2,
       Some(df("m", 1, 70).coalesce(1)), Seq.empty, 0L, "w")
-    intercept[IllegalArgumentException] {
-      VersionedTable.fastForward(spark, dir2, "mig", "w",
-        readsTable = false)
-    }
+    val landed2 = VersionedTable.fastForward(spark, dir2, "mig", "w",
+      readsTable = false).get
+    val lm2 = VersionedTable.readManifest(spark, dir2, landed2)
+    assert(lm2.schema.get.fieldNames.toSeq == Seq("k", "label"))
+    assert(VersionedTable.read(spark, dir2)
+      .where($"label" === "m").count() == 1L)
   }
 
   test("fastForward still refuses two-sided divergence (both re-declared / both extended)") {
@@ -272,7 +276,9 @@ class Round16Spec extends SparkSpec {
       landed + 1, "w")
     val pmm = VersionedTable.readManifest(spark, dir, picked)
     assert(!pmm.meta.contains(VersionedTable.ScopeOpKey))
-    assert(pmm.meta.get("branch.cherryPicked").contains(s"pick@${landed + 1}"))
+    // the tag is incarnation-qualified (round 18): name@version#inc
+    assert(pmm.meta.get("branch.cherryPicked")
+      .exists(_.startsWith(s"pick@${landed + 1}#")))
   }
 
   // ───────────── recorded scopes widen the rebase admit ─────────────

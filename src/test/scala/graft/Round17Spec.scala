@@ -594,12 +594,13 @@ class Round17Spec extends SparkSpec {
     spark.conf.set("graft.manifest.cache.graceMs", "0") // cache eagerly
     val oldBudget = VersionedTable.listingCache.budget
     try {
-      // five tables, 3 versions each (weight 3 per listing). The
-      // budget must keep 3 <= budget/4 (the per-entry cap) or the
-      // puts are cap-skipped and nothing ever evicts — the flake the
-      // first draft of this test hit under cross-suite cache residue.
+      // five tables, 3 versions each — every listing weighs the
+      // 32-unit constant FLOOR (round 18, the r17 advice: fixed
+      // per-entry overhead is charged even for tiny listings). Budget
+      // 128 holds exactly 4 floor-weight entries, so 5 offered
+      // listings must evict down.
       VersionedTable.listingCache.clear()
-      VersionedTable.listingCache.budget = 12L
+      VersionedTable.listingCache.budget = 128L
       val dirs = (1 to 5).map { i =>
         val d = tmp(s"lw-$i")
         VersionedTable.commit(spark, d, df("a", 2), -1L, s"w$i")
@@ -610,24 +611,26 @@ class Round17Spec extends SparkSpec {
       dirs.foreach(d =>
         assert(VersionedTable.versions(spark, d) == Seq(0L, 1L, 2L)))
       val w = VersionedTable.listingCache.weightNow
-      assert(w > 0L && w <= 12L,
-        s"5x3 = 15 listed versions must evict down to the budget: $w")
+      assert(w > 0L && w <= 128L,
+        s"5 floor-weight listings must evict down to the budget: $w")
+      assert(VersionedTable.listingCache.entriesNow <= 4,
+        "the floor bounds the entry count too")
       // evicted listings still answer correctly (re-listed on miss)
       dirs.foreach(d =>
         assert(VersionedTable.versions(spark, d) == Seq(0L, 1L, 2L)))
-      // the per-entry cap: with budget 8 the cap is 2, so a 3-version
-      // listing is never cached at all — weight must not grow when
-      // only over-cap listings are offered
+      // the per-entry cap: with budget 64 the cap is 16 < the 32
+      // floor, so NO listing is ever cached — weight must stay zero
       VersionedTable.listingCache.clear()
-      VersionedTable.listingCache.budget = 8L
+      VersionedTable.listingCache.budget = 64L
       val d4 = tmp("lw-big")
       VersionedTable.commit(spark, d4, df("a", 2), -1L, "w")
       VersionedTable.commit(spark, d4, df("b", 2), 0L, "w")
       VersionedTable.commit(spark, d4, df("c", 2), 1L, "w")
       assert(VersionedTable.versions(spark, d4) == Seq(0L, 1L, 2L))
-      assert(VersionedTable.listingCache.weightNow <= 2L,
+      assert(VersionedTable.listingCache.weightNow == 0L,
         "an over-cap listing must never be cached")
-      // and a SMALL listing still caches under the same budget
+      // and a SMALL listing still caches once the cap clears the floor
+      VersionedTable.listingCache.budget = 128L
       val d5 = tmp("lw-small")
       VersionedTable.commit(spark, d5, df("a", 2), -1L, "w")
       val before = VersionedTable.listingCache.entriesNow

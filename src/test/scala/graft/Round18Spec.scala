@@ -1,0 +1,364 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.VersionedTable
+import graft.operators.VersionedTable.{CommitConflict, ExpectationViolation}
+
+/** Round-18 surface: the r17 advice fixes (racing migrations refuse;
+  * adopted schema tails forced nullable; incarnation-specific
+  * cherry-pick exemption tags; typed CommitConflict through SQL range
+  * picks; constant-floor listing-cache weights), SQL
+  * `CHERRY PICK … CONTENT LOCAL` (VERDICT r17 missing #1), and
+  * one-sided RENAME reconciliation in fastForward (missing #3:
+  * physical-identity column matching). */
+class Round18Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(tag: String, n: Int, from: Int = 0) =
+    spark.range(from, from + n).select($"id".as("k"), lit(tag).as("v"))
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/t"
+
+  private def rows(d: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    d.select(d.columns.head, d.columns(1)).as[(Long, String)].collect().toSet
+
+  // ───────── racing migrations refuse (r17 advice, medium #1) ─────────
+
+  test("an EXPLICIT migration racing another migration refuses loudly (no last-writer-wins)") {
+    val dir = tmp("race-mig")
+    VersionedTable.commit(spark, dir, df("a", 6), -1L, "w")
+    // winner: a metadata-only ADD COLUMNS lands first
+    VersionedTable.addColumns(spark, dir, Seq(
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.LongType, nullable = true)), 0L, "w")
+    // loser: an explicit allowSchemaChange migration planned against
+    // v0 — landing its staged schema would ERASE the winner's column,
+    // so the rebase walk must refuse schema-changing winners here
+    val e = intercept[CommitConflict] {
+      VersionedTable.commitDelta(spark, dir,
+        Some(df("b", 2, 10).coalesce(1)
+          .withColumn("note", lit("x"))), Seq.empty, 0L, "w2",
+        allowSchemaChange = true, rebaseAttempts = 2)
+    }
+    assert(e.getMessage.contains("changed the table schema"),
+      s"racing migrations must refuse on the walk: ${e.getMessage}")
+    // control: the ORDINARY blind append still rebases across the
+    // migration and adopts it (the q265 behavior is untouched)
+    val s = VersionedTable.commitDelta(spark, dir,
+      Some(df("c", 2, 20).coalesce(1)), Seq.empty, 0L, "w3",
+      rebaseAttempts = 1)
+    assert(VersionedTable.schemaOf(spark, dir, s.version)
+      .fieldNames.toSeq == Seq("k", "v", "w"))
+  }
+
+  // ───────── adopted tails are forced nullable (advice, medium #2) ─────────
+
+  test("a blind append rebasing across a NON-nullable populated append adopts the tail NULLABLE") {
+    val dir = tmp("adopt-null")
+    VersionedTable.commit(spark, dir, df("a", 6), -1L, "w",
+      statsCols = Some(Seq("k")))
+    // winner: an explicit migration that appended a populated column
+    // whose DataFrame receipt is NON-nullable (lit() literals are)
+    VersionedTable.commitDelta(spark, dir,
+      Some(spark.range(100, 103).coalesce(1).select($"id".as("k"),
+        lit("m").as("v"), lit(7L).as("w"))), Seq.empty, 0L, "w",
+      allowSchemaChange = true, statsCols = Some(Seq("k")))
+    assert(!VersionedTable.schemaOf(spark, dir, 1L)("w").nullable,
+      "precondition: the winner's receipt declares w non-nullable")
+    // loser: a blind append (no w column) planned against v0 — the
+    // landing adopts the winner's schema, but OUR files null-fill w,
+    // so the adopted tail must come out NULLABLE (Spark folds
+    // IsNotNull(w) to true otherwise and reads go silently wrong)
+    val s = VersionedTable.commitDelta(spark, dir,
+      Some(df("b", 2, 10).coalesce(1)), Seq.empty, 0L, "w2",
+      rebaseAttempts = 1)
+    val landed = VersionedTable.schemaOf(spark, dir, s.version)
+    assert(landed.fieldNames.toSeq == Seq("k", "v", "w"))
+    assert(landed("w").nullable,
+      "the adopted appended tail must be forced nullable")
+    val out = VersionedTable.read(spark, dir)
+    assert(out.where($"w".isNull).count() == 8L) // 6 base + 2 loser
+    assert(out.where($"w".isNotNull).count() == 3L)
+  }
+
+  // ───────── incarnation-specific pick exemption (advice, low #4) ─────────
+
+  test("cherry-pick exemption tags die with the branch incarnation (DROP + CREATE same name)") {
+    val dir = tmp("inc-tag")
+    VersionedTable.commit(spark, dir, df("a", 4), -1L, "w")
+    // incarnation 1: a pick lands with its tag
+    VersionedTable.createBranch(spark, dir, "p")
+    val ref = VersionedTable.branchRef(dir, "p")
+    VersionedTable.commitDelta(spark, ref,
+      Some(df("p1", 2, 100).coalesce(1)), Seq.empty, 0L, "wb")
+    val landed = VersionedTable.cherryPick(spark, dir, "p", 1L, "w")
+    val tag = VersionedTable.readManifest(spark, dir, landed)
+      .meta("branch.cherryPicked")
+    assert(tag.startsWith("p@1#") && tag.drop(4).toLongOption.nonEmpty,
+      s"tag must carry the incarnation: $tag")
+    // incarnation 2: same NAME, forked before the old pick landed —
+    // its rebase walk crosses the incarnation-1 pick winner, which
+    // must NOT be exempted for this unrelated branch
+    VersionedTable.deleteBranch(spark, dir, "p")
+    VersionedTable.createBranch(spark, dir, "p", fromVersion = 0L)
+    VersionedTable.commitDelta(spark, ref,
+      Some(df("q1", 2, 200).coalesce(1)), Seq.empty, 0L, "wb")
+    VersionedTable.commitDelta(spark, ref,
+      Some(df("q2", 2, 300).coalesce(1)), Seq.empty, 1L, "wb")
+    val e = intercept[CommitConflict] {
+      // readsTable = true (the conservative default): the old pick's
+      // added files are a risky winner unless wrongly exempted
+      VersionedTable.cherryPick(spark, dir, "p", 2L, "w")
+    }
+    assert(e.getMessage.contains("not logically disjoint"),
+      s"a previous incarnation's pick must not exempt: ${e.getMessage}")
+  }
+
+  // ───────── SQL CHERRY PICK … CONTENT LOCAL (VERDICT r17 #1) ─────────
+
+  test("SQL CHERRY PICK CONTENT LOCAL: plain form refuses over an advanced mainline, attested form lands") {
+    import graft.core.GraftSession
+    val dir = tmp("sql-pick-cl")
+    VersionedTable.commit(spark, dir, df("a", 6), -1L, "w")
+    val gs = new GraftSession(spark)
+    gs.registerVersioned("t", dir)
+    gs.runScript(
+      """CREATE BRANCH fix ON t AS tdev;
+        |INSERT INTO tdev SELECT k + 100, 'pick' FROM tdev WHERE k < 2
+        |""".stripMargin)
+    // mainline advances with a blind append since the fork
+    VersionedTable.commitDelta(spark, dir,
+      Some(df("m", 2, 50).coalesce(1)), Seq.empty, 0L, "w")
+    // plain form: conservative readsTable gate refuses (mainline
+    // added files the branch work would have seen under serialization)
+    val e = intercept[CommitConflict] {
+      gs.sql("CHERRY PICK 1 FROM fix ON t")
+    }
+    assert(e.getMessage.contains("not logically disjoint"))
+    // attested form: the picked commit is content-local, lands
+    val r = gs.sql("CHERRY PICK 1 FROM fix ON t CONTENT LOCAL").head()
+    assert(r.getString(0) == "cherry_pick" && r.getLong(3) == 1L)
+    val got = rows(VersionedTable.read(spark, dir))
+    assert(got.count(_._2 == "pick") == 2 && got.count(_._2 == "m") == 2)
+    // the live-file gate is NOT waived by the attestation: a pick
+    // whose delta rewrote an earlier UNLANDED branch file still
+    // refuses (it depends on files mainline does not hold)
+    val ref = VersionedTable.branchRef(dir, "fix")
+    val bTip = VersionedTable.latestVersion(spark, ref)
+    VersionedTable.commitDelta(spark, ref, // b2: stays unlanded
+      Some(df("u", 2, 300).coalesce(1)), Seq.empty, bTip, "wb")
+    val b2 = VersionedTable.latestVersion(spark, ref)
+    val unlanded = VersionedTable.readManifest(spark, ref, b2).files
+      .filterNot(VersionedTable.readManifest(spark, ref, b2 - 1)
+        .files.toSet).head
+    VersionedTable.commitDelta(spark, ref, // b3: rewrites b2's file
+      Some(df("rw", 2, 400).coalesce(1)), Seq(unlanded), b2, "wb")
+    val e2 = intercept[IllegalArgumentException] {
+      gs.sql(s"CHERRY PICK ${b2 + 1} FROM fix ON t CONTENT LOCAL")
+    }
+    assert(e2.getMessage.contains("earlier unlanded branch work"),
+      s"live-file gate must survive the attestation: ${e2.getMessage}")
+  }
+
+  test("SQL range pick rethrows a mid-range CommitConflict TYPED (advice, low #5)") {
+    import graft.core.GraftSession
+    val dir = tmp("sql-pick-cc")
+    val gs = new GraftSession(spark)
+    VersionedTable.commit(spark, dir, df("a", 8), -1L, "w",
+      statsCols = Some(Seq("k")))
+    gs.registerVersioned("t", dir)
+    gs.sql("CREATE BRANCH fix ON t AS tdev")
+    val ref = VersionedTable.branchRef(dir, "fix")
+    // b1: clean blind append; b2: rewrites a BASE file (a real file
+    // dependency a racing mainline delete then invalidates)
+    VersionedTable.commitDelta(spark, ref,
+      Some(df("p1", 2, 100).coalesce(1)), Seq.empty, 0L, "wb")
+    val baseFile = VersionedTable.readManifest(spark, dir, 0L).files.head
+    VersionedTable.commitDelta(spark, ref,
+      Some(df("p2", 2, 200).coalesce(1)), Seq(baseFile), 1L, "wb")
+    // mainline rewrites the SAME base file since the fork
+    VersionedTable.commitDelta(spark, dir,
+      Some(df("mrw", 1, 500).coalesce(1)), Seq(baseFile), 0L, "w")
+    // pick 1 lands (content-local); pick 2 hits the clash — the
+    // resume-point error must stay a TYPED CommitConflict, not an
+    // IllegalArgumentException (a retryable conflict is not a
+    // permanent grammar refusal)
+    val e = intercept[CommitConflict] {
+      gs.sql("CHERRY PICK 1..2 FROM fix ON t CONTENT LOCAL")
+    }
+    assert(e.getMessage.contains("picks 1..1 landed") &&
+      e.getMessage.contains("resume with CHERRY PICK 2..2"),
+      s"typed partial-landing conflict: ${e.getMessage}")
+    assert(rows(VersionedTable.read(spark, dir)).count(_._2 == "p1") == 2)
+  }
+
+  // ───────── listing cache: constant per-entry weight (advice, low #3) ─────────
+
+  test("listing cache charges a constant floor per entry (many tiny tables stay bounded)") {
+    val cache = VersionedTable.listingCache
+    val old = cache.budget
+    try {
+      cache.clear()
+      cache.budget = 32L * 64 // room for exactly 64 floor-weight entries
+      (1 to 500).foreach(i => cache.put(s"/tiny/table-$i", (1L, Seq(0L))))
+      assert(cache.entriesNow <= 64,
+        s"per-entry floor must bound entries: ${cache.entriesNow}")
+      assert(cache.weightNow <= cache.budget)
+    } finally { cache.clear(); cache.budget = old }
+  }
+
+  // ───────── one-sided rename reconciliation (VERDICT r17 missing #3) ─────────
+
+  test("fastForward lands a MAINLINE rename × branch append: renaming side's names win") {
+    val dir = tmp("ren-main")
+    VersionedTable.commit(spark, dir, df("a", 6), -1L, "w")
+    VersionedTable.createBranch(spark, dir, "dev")
+    val ref = VersionedTable.branchRef(dir, "dev")
+    // branch: appends rows AND a column (still under the old names)
+    VersionedTable.addColumns(spark, ref, Seq(
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = true)), 0L, "wb")
+    VersionedTable.commitDelta(spark, ref,
+      Some(spark.range(100, 103).coalesce(1).select($"id".as("k"),
+        lit("dev").as("v"), lit(2.5).as("score"))), Seq.empty, 1L, "wb")
+    // mainline: renames v -> label (metadata-only, sticky physical)
+    VersionedTable.renameColumns(spark, dir, Map("v" -> "label"), 0L, "w")
+    val landed = VersionedTable.fastForward(spark, dir, "dev", "w",
+      readsTable = false).get
+    val lm = VersionedTable.readManifest(spark, dir, landed)
+    assert(lm.schema.get.fieldNames.toSeq == Seq("k", "label", "score"),
+      s"landed names: ${lm.schema.get.fieldNames.toSeq}")
+    assert(lm.colmap.get("label").contains("v"),
+      s"landing colmap must keep the sticky physical name: ${lm.colmap}")
+    val out = VersionedTable.read(spark, dir)
+    // branch files wrote physical 'v' — the landed colmap resolves
+    // 'label' to the same bytes on BOTH sides' files
+    assert(out.where($"label" === "dev").count() == 3L)
+    assert(out.where($"label" === "a").count() == 6L)
+    assert(out.where($"score".isNotNull).count() == 3L)
+  }
+
+  test("fastForward lands a BRANCH rename × mainline append") {
+    val dir = tmp("ren-branch")
+    VersionedTable.commit(spark, dir, df("a", 6), -1L, "w")
+    VersionedTable.createBranch(spark, dir, "dev")
+    val ref = VersionedTable.branchRef(dir, "dev")
+    // branch: renames v -> label, then appends rows under the new name
+    VersionedTable.renameColumns(spark, ref, Map("v" -> "label"), 0L, "wb")
+    VersionedTable.commitDelta(spark, ref,
+      Some(spark.range(100, 102).coalesce(1).select($"id".as("k"),
+        lit("dev").as("label"))), Seq.empty, 1L, "wb")
+    // mainline: appends a column + a row since the fork
+    VersionedTable.addColumns(spark, dir, Seq(
+      org.apache.spark.sql.types.StructField("region",
+        org.apache.spark.sql.types.StringType, nullable = true)), 0L, "w")
+    VersionedTable.commitDelta(spark, dir,
+      Some(spark.range(1).coalesce(1).select(lit(200L).as("k"),
+        lit("m").as("v"), lit("eu").as("region"))), Seq.empty, 1L, "w")
+    val landed = VersionedTable.fastForward(spark, dir, "dev", "w",
+      readsTable = false).get
+    val lm = VersionedTable.readManifest(spark, dir, landed)
+    assert(lm.schema.get.fieldNames.toSeq == Seq("k", "label", "region"),
+      s"landed names: ${lm.schema.get.fieldNames.toSeq}")
+    assert(lm.colmap.get("label").contains("v"))
+    val out = VersionedTable.read(spark, dir)
+    assert(out.where($"label" === "dev").count() == 2L)
+    assert(out.where($"label" === "m").count() == 1L)
+    assert(out.where($"region".isNotNull).count() == 1L)
+    assert(out.where($"region".isNotNull && $"label" =!= "m").isEmpty)
+  }
+
+  test("two-sided renames refuse; rename colliding with the other side's append refuses") {
+    // both sides renamed (different columns) — no automatic resolution
+    val dir = tmp("ren-both")
+    VersionedTable.commit(spark, dir,
+      df("a", 4).withColumn("x", lit(1L)), -1L, "w")
+    VersionedTable.createBranch(spark, dir, "dev")
+    val ref = VersionedTable.branchRef(dir, "dev")
+    VersionedTable.renameColumns(spark, ref, Map("v" -> "label"), 0L, "wb")
+    VersionedTable.renameColumns(spark, dir, Map("x" -> "y"), 0L, "w")
+    val e = intercept[CommitConflict] {
+      VersionedTable.fastForward(spark, dir, "dev", "w", readsTable = false)
+    }
+    assert(e.getMessage.contains("both sides renamed"),
+      s"two-sided rename refusal: ${e.getMessage}")
+    // mainline renamed v -> score; branch independently APPENDED a
+    // column also called score — the landing would collide
+    val dir2 = tmp("ren-clash")
+    VersionedTable.commit(spark, dir2, df("a", 4), -1L, "w")
+    VersionedTable.createBranch(spark, dir2, "dev")
+    val ref2 = VersionedTable.branchRef(dir2, "dev")
+    VersionedTable.addColumns(spark, ref2, Seq(
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = true)), 0L, "wb")
+    VersionedTable.commitDelta(spark, ref2,
+      Some(spark.range(1).coalesce(1).select(lit(9L).as("k"),
+        lit("d").as("v"), lit(1.0).as("score"))), Seq.empty, 1L, "wb")
+    VersionedTable.renameColumns(spark, dir2, Map("v" -> "score"), 0L, "w")
+    val e2 = intercept[CommitConflict] {
+      VersionedTable.fastForward(spark, dir2, "dev", "w", readsTable = false)
+    }
+    assert(e2.getMessage.contains("collides with another landed column"),
+      s"rename × append collision: ${e2.getMessage}")
+  }
+
+  test("rename reconciliation × declarations: token lists rename through, SQL mentions refuse") {
+    // branch re-declares clustering naming the OLD column while
+    // mainline renames it — the landed token list renames through
+    val dir = tmp("ren-decl")
+    VersionedTable.commit(spark, dir, df("a", 6), -1L, "w")
+    VersionedTable.createBranch(spark, dir, "dev")
+    val ref = VersionedTable.branchRef(dir, "dev")
+    VersionedTable.commitDelta(spark, ref,
+      Some(df("d", 2, 100).coalesce(1)), Seq.empty, 0L, "wb",
+      meta = Map(VersionedTable.ClusterKey -> "k,v"))
+    VersionedTable.renameColumns(spark, dir, Map("v" -> "label"), 0L, "w")
+    val landed = VersionedTable.fastForward(spark, dir, "dev", "w",
+      readsTable = false).get
+    val lm = VersionedTable.readManifest(spark, dir, landed)
+    assert(lm.meta.get(VersionedTable.ClusterKey).contains("k,label"),
+      s"cluster tokens must rename through: ${lm.meta.get(VersionedTable.ClusterKey)}")
+    // branch declares an EXPECTATION whose free-form SQL mentions the
+    // old name — cannot be rewritten soundly, refuses loudly
+    val dir2 = tmp("ren-expect")
+    VersionedTable.commit(spark, dir2, df("a", 6), -1L, "w")
+    VersionedTable.createBranch(spark, dir2, "dev")
+    val ref2 = VersionedTable.branchRef(dir2, "dev")
+    VersionedTable.commitDelta(spark, ref2,
+      Some(df("d", 2, 100).coalesce(1)), Seq.empty, 0L, "wb",
+      expectations = Map("v_ok" -> "v IS NOT NULL"))
+    VersionedTable.renameColumns(spark, dir2, Map("v" -> "label"), 0L, "w")
+    val e = intercept[CommitConflict] {
+      VersionedTable.fastForward(spark, dir2, "dev", "w", readsTable = false)
+    }
+    assert(e.getMessage.contains("mentions renamed column 'v'"),
+      s"SQL mention refusal: ${e.getMessage}")
+  }
+
+  test("mainline rename mid-walk: the landing gate admits the metadata-only step") {
+    // mainline: append THEN rename since the fork (two winners: one
+    // additive, one pure-rename) — the walk admits both kinds and the
+    // branch's blind append lands under the renamed world
+    val dir = tmp("ren-walk")
+    VersionedTable.commit(spark, dir, df("a", 6), -1L, "w")
+    VersionedTable.createBranch(spark, dir, "dev")
+    val ref = VersionedTable.branchRef(dir, "dev")
+    VersionedTable.commitDelta(spark, ref,
+      Some(df("dev", 2, 100).coalesce(1)), Seq.empty, 0L, "wb")
+    VersionedTable.commitDelta(spark, dir,
+      Some(df("m", 1, 50).coalesce(1)), Seq.empty, 0L, "w")
+    VersionedTable.renameColumns(spark, dir, Map("v" -> "label"), 1L, "w")
+    val landed = VersionedTable.fastForward(spark, dir, "dev", "w",
+      readsTable = false).get
+    val lm = VersionedTable.readManifest(spark, dir, landed)
+    assert(lm.schema.get.fieldNames.toSeq == Seq("k", "label"))
+    val out = VersionedTable.read(spark, dir)
+    assert(out.count() == 9L)
+    assert(out.where($"label" === "dev").count() == 2L)
+    // stats stayed keyed under the LANDED name (pruning survives)
+    val landedStats = lm.stats.values.flatMap(_.keys).toSet
+    assert(!landedStats.contains("v"),
+      s"no stale stat keys under the old name: $landedStats")
+  }
+}
