@@ -178,6 +178,18 @@ object Bench {
     // environment price. The permanent streaming_phases fields in
     // bench/results.json make any FUTURE drift attributable without
     // this rerun.
+    // RocksDB A/B receipt (round 18, VERDICT r17 #1 — the probe that
+    // turns the r17 "environment price" into an engineering answer):
+    // the family ran under RocksDB + changelog checkpointing
+    // (EventsStreaming.replaySession's SPARK_GRAFT_STREAM_STORE
+    // lever) vs the HDFS default, sf0.1, 2 bracketed pairs. NO GAIN —
+    // RocksDB was 5-15% SLOWER (family 23.3→26.8 s; q138 6.25→6.91,
+    // q144 2.94→3.71, q151 5.99→6.48; state task-sum ROSE, q138
+    // 21.6→25.0 s): at local-fs checkpoint latency the JNI boundary +
+    // changelog round trips cost more than the small-state snapshots
+    // they replace. The pins stay; the provider stays HDFS for the
+    // harness and RocksDB remains the documented remote-checkpoint
+    // answer (SCALE.md).
     "q138_stream_outer_join" -> 6.740,
     "q144_stream_right_outer_join" -> 2.740,
     // q145 re-based the same round for the same measured cause: the
@@ -201,6 +213,33 @@ object Bench {
     // round-16 uniform adoption: best driver median (r14 6.864 / r15
     // 6.472) — the last benched query without a pin
     "q197_ann_stream_ingest" -> 6.472)
+
+  /** Per-replay PHASE pins (round 18, VERDICT r17 #2 — "gate on
+    * phases, not just wall"): pinned (commit + sink) seconds PER
+    * MICRO-BATCH from the r17 driver artifact's streaming_phases rows
+    * (bench/results_r17.json). This is the component a state-store
+    * commit-I/O drift inflates FIRST — and after the r17 wall re-pins
+    * doubled the 2× ceilings (q138's wall gate is now 13.5 s), a
+    * commit-floor drift could hide inside the wall gate for rounds.
+    * A replay now lands in `regressed` (tagged "(phase)") when its
+    * median run's (commit+sink)/batches exceeds 2× this pin, wall
+    * notwithstanding. Only these two phases gate: `state` is
+    * task-summed across partitions (parallel time, not wall) and
+    * `floor` is session/fixture cost, both load-shaped. */
+  val streamPhasePinsSf01: Map[String, Double] = Map(
+    "q136_stream_interval_join" -> 1.019,
+    "q138_stream_outer_join" -> 0.919,
+    "q144_stream_right_outer_join" -> 0.643,
+    "q145_stream_full_outer_join" -> 0.887,
+    "q112_stream_state" -> 0.901,
+    "q151_stream_dedup_agg" -> 0.682,
+    "q158_stream_near_dup" -> 2.599,
+    "q173_stream_export" -> 0.439,
+    "q180_stream_scd2" -> 0.587,
+    "q189_stream_dq" -> 0.303,
+    "q197_ann_stream_ingest" -> 0.290,
+    "q235_table_change_stream" -> 0.260,
+    "q253_stream_across_rename" -> 0.241)
 
   /** Streaming replays timed as their own section (never in the
     * headline total — see main): watermarked interval-join family,
@@ -607,10 +646,19 @@ object Bench {
     val pinned = if (sfDir.contains("sf0.1")) pinsSf01 else Map.empty[String, Double]
     val sPinned =
       if (sfDir.contains("sf0.1")) streamPinsSf01 else Map.empty[String, Double]
+    val sPhasePinned =
+      if (sfDir.contains("sf0.1")) streamPhasePinsSf01
+      else Map.empty[String, Double]
     val regressed = results.collect {
       case (k, v) if pinned.get(k).exists(p => v > 2 * p) => k
     } ++ streamResults.collect {
       case (k, v, _) if sPinned.get(k).exists(p => v > 2 * p) => k
+    } ++ streamResults.collect {
+      // the PHASE gate (round 18, VERDICT r17 #2): a commit+sink
+      // per-batch breach trips even when wall stays inside its gate
+      case (k, _, (_, ph)) if ph.batches > 0 && sPhasePinned.get(k)
+          .exists(p => (ph.commit + ph.sink) / 1e3 / ph.batches > 2 * p) =>
+        s"$k(phase)"
     }
     val rjson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // pin-coverage receipt (round 16): a benched query without a pin
@@ -621,7 +669,9 @@ object Bench {
     val unpinned =
       if (!sfDir.contains("sf0.1")) Seq.empty
       else results.map(_._1).filterNot(pinsSf01.contains) ++
-        streamResults.map(_._1).filterNot(streamPinsSf01.contains)
+        streamResults.map(_._1).filterNot(streamPinsSf01.contains) ++
+        streamResults.map(_._1).filterNot(streamPhasePinsSf01.contains)
+          .map(_ + "(phase)")
     val ujson = unpinned.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadavg =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))

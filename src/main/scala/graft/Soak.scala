@@ -1040,6 +1040,85 @@ object Soak {
           f"${swept2.size} paths")
         52L
       }
+      // round 18 (VERDICT r17 #7): the additive-schema rebase at the
+      // many-file shape — ONE metadata-only ADD COLUMNS racing 8
+      // PARALLEL blind appenders (all planned against the superseded
+      // version) + a DV delete, on the 2048-file feed-declared table.
+      // Every appender must land WITHOUT re-staging a byte, every
+      // landing must ADOPT the migration (nullable), and reads + the
+      // change feed must stay exact through the whole race.
+      time("lakehouse_additive_rebase_2048files") {
+        val vt2 = s"$root/dvsoak"
+        val mv0 = VersionedTable.latestVersion(spark, vt2)
+        val beforeAll = VersionedTable.read(spark, vt2).count()
+        require(VersionedTable.read(spark, vt2)
+          .filter(col("doc_id") >= 7000000000L).isEmpty,
+          "the appenders' band must start empty")
+        // the migration wins the race to mv0+1 (metadata-only)
+        VersionedTable.addColumns(spark, vt2, Seq(
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.DoubleType, nullable = true)),
+          mv0, "mig")
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+        def submit[T](f: => T) = pool.submit(
+          new java.util.concurrent.Callable[T] { def call(): T = f })
+        val t0 = System.nanoTime()
+        val sts = (0 until 8).map { i =>
+          submit {
+            VersionedTable.commitDelta(spark, vt2,
+              Some(spark.range(3).coalesce(1)
+                .select((lit(7000000000L + i * 100L) + col("id"))
+                  .as("doc_id"), lit(5L).as("weight"))),
+              Seq.empty, mv0, s"app$i", rebaseAttempts = 16)
+          }
+        }.map(_.get())
+        val appendSec = (System.nanoTime() - t0) / 1e9
+        pool.shutdown()
+        require(sts.map(_.version).distinct.length == 8 &&
+          sts.forall(_.version > mv0 + 1),
+          s"8 appenders land distinct post-migration versions: " +
+            s"${sts.map(_.version).sorted.mkString(",")}")
+        require(sts.forall(_.filesAdded == 1L),
+          "a rebase landing must never re-stage (1 staged file each)")
+        // a DV delete planned against the superseded version lands
+        // across the migration too, masking one row per appender
+        val ds = VersionedTable.deleteWhere(spark, vt2,
+          "doc_id >= 7000000000 AND doc_id % 100 = 1", mv0, "gdpr",
+          rebaseAttempts = 20)
+        require(ds.rowsDeleted == 8L,
+          s"the delete must mask one row per appender: $ds")
+        val tipV = VersionedTable.latestVersion(spark, vt2)
+        val tipSchema = VersionedTable.schemaOf(spark, vt2, tipV)
+        require(tipSchema.fieldNames.contains("score") &&
+          tipSchema("score").nullable,
+          s"the tip must carry the migration NULLABLE: $tipSchema")
+        (mv0 + 2 to tipV).foreach(v => require(
+          VersionedTable.schemaOf(spark, vt2, v)
+            .fieldNames.contains("score"),
+          s"landing $v must adopt the migration, not regress it"))
+        val out = VersionedTable.read(spark, vt2)
+        require(out.filter(col("doc_id") >= 7000000000L).count() == 16L,
+          "24 appended − 8 masked survive")
+        require(out.filter(col("score").isNotNull).isEmpty,
+          "the migrated column stays null-filled (nobody wrote it)")
+        require(out.count() == beforeAll + 16L,
+          "pre-existing rows survive the race exactly")
+        // change feed across the whole race: exactly the 16 surviving
+        // appended keys as inserts, nothing else (the 8 masked keys
+        // never existed at mv0 and net to nothing)
+        val feed = VersionedTable.changesBetween(spark, vt2, mv0, tipV,
+          Seq("doc_id"))
+        require(feed.count() == 16L &&
+          feed.filter(col("op") === "insert").count() == 16L &&
+          feed.filter(col("doc_id") < 7000000000L).isEmpty,
+          "the feed must carry exactly the surviving appended keys")
+        println(f"[soak]   additive-rebase receipt: ADD COLUMNS + 8 " +
+          f"parallel superseded-plan appenders $appendSec%.1fs " +
+          f"(filesAdded=1 each, zero re-staging) + DV delete -> tip " +
+          f"v$tipV, all landings adopted the migration, feed exact " +
+          f"(16 inserts)")
+        16L
+      }
       // round 15 (VERDICT r14 #10): the hybrid MIN/MAX re-scan law at
       // the many-file shape — on a 2048-file group-clustered source,
       // deleting ONE group's max re-scans exactly that group through

@@ -5431,6 +5431,133 @@ object SparkEntry {
       out.select(col("k"), col("name"), col("bal"), col("score"))
     }),
 
+    // --- SQL CHERRY PICK … CONTENT LOCAL (round 18, VERDICT r17
+    //     missing #1 — pick parity with FAST FORWARD's attestation):
+    //     a blind-append pick over a mainline that appended since the
+    //     fork refuses in the plain form and lands attested; the
+    //     live-file gate survives the attestation (probe). ---
+    "q266_sql_pick_content_local" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val vt = java.nio.file.Files.createTempDirectory("graft_pcl_q266_")
+        .toString + "/t"
+      val base = t(s, dir).orders.select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("pr"), col("o_totalprice").as("price"))
+      require(VersionedTable.commit(s, vt, base, -1L, "loader",
+        clusterBy = Seq("k"), clusterFiles = 16) == 0L)
+      val gs = new graft.core.GraftSession(s)
+      gs.registerVersioned("t", vt)
+      gs.runScript(
+        """CREATE BRANCH fix ON t AS tdev;
+          |INSERT INTO tdev SELECT k + 8100000, 'PK', 8.0
+          |  FROM tdev WHERE k % 139 = 0 AND k < 7000000;
+          |INSERT INTO t SELECT k + 8200000, 'PM2', 9.0
+          |  FROM t WHERE k % 149 = 0 AND k < 7000000""".stripMargin)
+      val msg = try { gs.sql("CHERRY PICK 1 FROM fix ON t"); "" }
+        catch { case e: VersionedTable.CommitConflict => e.getMessage }
+      require(msg.contains("not logically disjoint"),
+        s"q266: the plain pick must refuse: $msg")
+      val r = gs.sql("CHERRY PICK 1 FROM fix ON t CONTENT LOCAL").head()
+      require(r.getString(0) == "cherry_pick" && r.getLong(3) == 1L,
+        s"q266: the attested pick must land: $r")
+      // probe: the live-file gate is NOT waived — a pick whose delta
+      // rewrote an earlier UNLANDED branch file still refuses
+      val ref = VersionedTable.branchRef(vt, "fix")
+      val b1 = VersionedTable.latestVersion(s, ref)
+      VersionedTable.commitDelta(s, ref,
+        Some(base.limit(3).coalesce(1)), Seq.empty, b1, "wb")
+      val b2 = VersionedTable.latestVersion(s, ref)
+      val unlanded = VersionedTable.readManifest(s, ref, b2).files
+        .filterNot(VersionedTable.readManifest(s, ref, b2 - 1)
+          .files.toSet).head
+      VersionedTable.commitDelta(s, ref,
+        Some(base.limit(2).coalesce(1)), Seq(unlanded), b2, "wb")
+      val gate = try {
+        gs.sql(s"CHERRY PICK ${b2 + 1} FROM fix ON t CONTENT LOCAL"); ""
+      } catch { case e: IllegalArgumentException => e.getMessage }
+      require(gate.contains("earlier unlanded branch work"),
+        s"q266: the live-file gate must survive the attestation: $gate")
+      gs.sql("SELECT k, pr, price FROM t")
+    }),
+
+    // --- REBASE BRANCH (round 18, VERDICT r17 missing #2): the
+    //     git-rebase analogue — a conservatively-refused branch
+    //     re-anchors on the mainline tip by replaying its deltas
+    //     (zero data movement), after which the SAME conservative
+    //     fastForward lands; every branch row exactly once. ---
+    "q267_rebase_branch" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val vt = java.nio.file.Files.createTempDirectory("graft_rbb_q267_")
+        .toString + "/t"
+      val base = t(s, dir).customer.select(col("c_custkey").as("k"),
+        col("c_name").as("name"), col("c_acctbal").as("bal"))
+      require(VersionedTable.commit(s, vt, base, -1L, "loader",
+        clusterBy = Seq("k"), clusterFiles = 16,
+        statsCols = Some(Seq("k"))) == 0L)
+      val gs = new graft.core.GraftSession(s)
+      gs.registerVersioned("t", vt)
+      gs.runScript(
+        """CREATE BRANCH dev ON t AS tdev;
+          |INSERT INTO tdev SELECT k + 50000000, 'rb1', 1.0
+          |  FROM tdev WHERE k % 97 = 0;
+          |INSERT INTO tdev SELECT k + 51000000, 'rb2', 2.0
+          |  FROM tdev WHERE k % 89 = 0;
+          |INSERT INTO t SELECT k + 52000000, 'm', 3.0
+          |  FROM t WHERE k % 83 = 0""".stripMargin)
+      // the conservative landing refuses (mainline appended; the
+      // branch work COULD have read the table)
+      val msg = try { gs.sql("FAST FORWARD t FROM dev"); "" }
+        catch { case e: VersionedTable.CommitConflict => e.getMessage }
+      require(msg.contains("not logically disjoint"),
+        s"q267: the pre-rebase landing must refuse: $msg")
+      val r = gs.sql("REBASE BRANCH dev ON t").head()
+      require(r.getString(0) == "rebase_branch" && r.getLong(3) == 2L,
+        s"q267: both deltas must replay: $r")
+      // the walk is now empty — the SAME conservative form lands
+      val ff = gs.sql("FAST FORWARD t FROM dev").head()
+      require(ff.getString(0) == "fast_forward",
+        s"q267: post-rebase landing: $ff")
+      gs.sql("SELECT k, name, bal FROM t")
+    }),
+
+    // --- one-sided rename reconciliation (round 18, VERDICT r17
+    //     missing #3): mainline renames a column (metadata-only,
+    //     sticky physical name) and appends; the branch appended a
+    //     column + rows under the OLD name — the landing matches by
+    //     PHYSICAL identity, takes the renaming side's names, and
+    //     both sides' files read through the landed colmap. ---
+    "q268_rename_reconcile" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val vt = java.nio.file.Files.createTempDirectory("graft_rrc_q268_")
+        .toString + "/t"
+      val base = t(s, dir).part.select(col("p_partkey").as("k"),
+        col("p_name").as("pname"),
+        col("p_retailprice").cast("double").as("price"))
+      require(VersionedTable.commit(s, vt, base, -1L, "loader",
+        clusterBy = Seq("k"), clusterFiles = 8) == 0L)
+      val gs = new graft.core.GraftSession(s)
+      gs.registerVersioned("t", vt)
+      gs.runScript(
+        """CREATE BRANCH dev ON t AS tdev;
+          |ALTER TABLE tdev ADD COLUMNS (grade DOUBLE);
+          |INSERT INTO tdev SELECT k + 9000000, pname, 1.0, 5.5
+          |  FROM tdev WHERE k % 71 = 0;
+          |ALTER TABLE t RENAME COLUMN pname TO title;
+          |INSERT INTO t SELECT k + 9500000, 'M_' || CAST(k AS STRING),
+          |  2.0 FROM t WHERE k % 73 = 0""".stripMargin)
+      val ff = gs.sql("FAST FORWARD t FROM dev CONTENT LOCAL").head()
+      require(ff.getString(0) == "fast_forward",
+        s"q268: the reconciled landing must land: $ff")
+      val lm = VersionedTable.readManifest(s, vt,
+        VersionedTable.latestVersion(s, vt))
+      require(lm.schema.get.fieldNames.toSeq ==
+        Seq("k", "title", "price", "grade"),
+        s"q268: renaming side's names win: " +
+          s"${lm.schema.get.fieldNames.toSeq}")
+      require(lm.colmap.get("title").contains("pname"),
+        s"q268: sticky physical name in the landed colmap: ${lm.colmap}")
+      gs.sql("SELECT k, title, price, grade FROM t")
+    }),
+
     // --- piggybank datetime evals (ISOToUnix / UnixToISO /
     //     ISODaysBetween) over orders dates ---
     "q121_datetime_iso" -> ((s, dir) => {
@@ -8621,6 +8748,50 @@ object SparkEntry {
          UNION ALL
          SELECT o_orderkey + 7800000, 'PF', 6.0, 'new'
          FROM orders WHERE o_orderkey % 141 = 0""",
+
+    // SQL CONTENT LOCAL pick: orders + mainline's own append + the
+    // one picked branch append; the gate-probe commits leave no trace
+    "q266_sql_pick_content_local" ->
+      """SELECT o_orderkey AS k, o_orderpriority AS pr,
+                o_totalprice AS price
+         FROM orders
+         UNION ALL
+         SELECT o_orderkey + 8200000, 'PM2', 9.0
+         FROM orders WHERE o_orderkey % 149 = 0 AND o_orderkey < 7000000
+         UNION ALL
+         SELECT o_orderkey + 8100000, 'PK', 8.0
+         FROM orders WHERE o_orderkey % 139 = 0 AND o_orderkey < 7000000""",
+
+    // rebase-then-land: customer + mainline's append + both replayed
+    // branch deltas, each exactly once
+    "q267_rebase_branch" ->
+      """SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal
+         FROM customer
+         UNION ALL
+         SELECT c_custkey + 52000000, 'm', 3.0
+         FROM customer WHERE c_custkey % 83 = 0
+         UNION ALL
+         SELECT c_custkey + 50000000, 'rb1', 1.0
+         FROM customer WHERE c_custkey % 97 = 0
+         UNION ALL
+         SELECT c_custkey + 51000000, 'rb2', 2.0
+         FROM customer WHERE c_custkey % 89 = 0""",
+
+    // one-sided rename landing: part under the RENAMED name, plus
+    // mainline's post-rename append and the branch's graded rows
+    // (each side null-fills the other's new column)
+    "q268_rename_reconcile" ->
+      """SELECT p_partkey AS k, p_name AS title,
+                CAST(p_retailprice AS DOUBLE) AS price,
+                CAST(NULL AS DOUBLE) AS grade
+         FROM part
+         UNION ALL
+         SELECT p_partkey + 9500000, 'M_' || CAST(p_partkey AS VARCHAR),
+                2.0, CAST(NULL AS DOUBLE)
+         FROM part WHERE p_partkey % 73 = 0
+         UNION ALL
+         SELECT p_partkey + 9000000, p_name, 1.0, 5.5
+         FROM part WHERE p_partkey % 71 = 0""",
 
     // SQL range pick 2..3 then the 4..4 prefix of the refused 4..5:
     // mainline = orders + P2 + P3 + P4; P1/P5 must leave no trace

@@ -343,6 +343,19 @@ final class GraftSession(val spark: SparkSession) {
         }.getOrElse(refuse("CHERRY PICK",
           "CHERRY PICK <branch-version>[..<branch-version>] FROM " +
             "<branch> ON <alias> [CONTENT LOCAL]"))
+      case "REBASE" =>
+        GraftSession.LcRebaseBranch.findFirstMatchIn(query).map { m =>
+          val b = binding(m.group(2), "REBASE BRANCH")
+          val r = graft.operators.VersionedTable.rebaseBranch(
+            spark, b.dir, m.group(1), s"sql-${m.group(2)}")
+          // rows carries the replayed-commit count; version the new
+          // anchor (the mainline tip the branch now forks from)
+          receipt("rebase_branch", m.group(2), r.newBase, r.replayed)
+        }.getOrElse(refuse("REBASE BRANCH",
+          "REBASE BRANCH <branch> ON <alias> — re-anchor the branch " +
+            "on the current mainline tip by replaying its since-fork " +
+            "deltas (all-or-nothing; refusals name the first " +
+            "conflicting branch commit)"))
       case "EXPIRE" =>
         GraftSession.LcExpireBranch.findFirstMatchIn(query).map { m =>
           val b = binding(m.group(2), "EXPIRE BRANCH")
@@ -834,6 +847,9 @@ object GraftSession {
     ("""(?is)^\s*CHERRY\s+PICK\s+(\d+)(?:\s*\.\.\s*(\d+))?\s+FROM\s+""" +
       """([A-Za-z0-9._-]+)\s+ON\s+([A-Za-z_][A-Za-z0-9_]*)""" +
       """(\s+CONTENT\s+LOCAL)?\s*;?\s*$""").r
+  private val LcRebaseBranch =
+    ("""(?is)^\s*REBASE\s+BRANCH\s+([A-Za-z0-9._-]+)\s+ON\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
   private val LcExpireBranch =
     ("""(?is)^\s*EXPIRE\s+BRANCH\s+([A-Za-z0-9._-]+)\s+ON\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s+KEEP\s+(\d+)\s*;?\s*$""").r

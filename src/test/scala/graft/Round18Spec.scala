@@ -361,4 +361,168 @@ class Round18Spec extends SparkSpec {
     assert(!landedStats.contains("v"),
       s"no stale stat keys under the old name: $landedStats")
   }
+
+  // ───────── REBASE BRANCH (VERDICT r17 missing #2) ─────────
+
+  test("rebaseBranch re-anchors a refused branch; the conservative fastForward then lands") {
+    val dir = tmp("rb-basic")
+    VersionedTable.commit(spark, dir, df("a", 6), -1L, "w")
+    VersionedTable.createBranch(spark, dir, "dev")
+    val ref = VersionedTable.branchRef(dir, "dev")
+    VersionedTable.commitDelta(spark, ref,
+      Some(df("d1", 2, 100).coalesce(1)), Seq.empty, 0L, "wb")
+    VersionedTable.commitDelta(spark, ref,
+      Some(df("d2", 2, 200).coalesce(1)), Seq.empty, 1L, "wb")
+    // mainline appends since the fork → the conservative landing
+    // (readsTable = true) refuses
+    VersionedTable.commitDelta(spark, dir,
+      Some(df("m", 2, 50).coalesce(1)), Seq.empty, 0L, "w")
+    val e = intercept[CommitConflict] {
+      VersionedTable.fastForward(spark, dir, "dev", "w")
+    }
+    assert(e.getMessage.contains("not logically disjoint"))
+    // rebase: replay the two deltas onto the tip; the walk is then
+    // empty and the SAME conservative landing goes through
+    val r = VersionedTable.rebaseBranch(spark, dir, "dev", "w")
+    assert(r == VersionedTable.RebaseStats(1L, 2L, 0L), s"receipt: $r")
+    assert(VersionedTable.versions(spark, ref) == Seq(1L, 2L, 3L),
+      "the rebased chain renumbers from the mainline tip")
+    val landed = VersionedTable.fastForward(spark, dir, "dev", "w").get
+    val got = rows(VersionedTable.read(spark, dir))
+    assert(got.size == 12 && got.count(_._2 == "d1") == 2 &&
+      got.count(_._2 == "d2") == 2 && got.count(_._2 == "m") == 2,
+      s"every branch row lands exactly once: $got")
+    assert(landed == 2L)
+  }
+
+  test("rebaseBranch drops commits already cherry-picked from THIS incarnation") {
+    val dir = tmp("rb-picked")
+    VersionedTable.commit(spark, dir, df("a", 4), -1L, "w")
+    VersionedTable.createBranch(spark, dir, "dev")
+    val ref = VersionedTable.branchRef(dir, "dev")
+    VersionedTable.commitDelta(spark, ref,
+      Some(df("d1", 2, 100).coalesce(1)), Seq.empty, 0L, "wb")
+    VersionedTable.commitDelta(spark, ref,
+      Some(df("d2", 2, 200).coalesce(1)), Seq.empty, 1L, "wb")
+    VersionedTable.commitDelta(spark, ref,
+      Some(df("d3", 2, 300).coalesce(1)), Seq.empty, 2L, "wb")
+    // pick the MIDDLE commit onto mainline, then rebase
+    VersionedTable.cherryPick(spark, dir, "dev", 2L, "w",
+      readsTable = false)
+    val r = VersionedTable.rebaseBranch(spark, dir, "dev", "w")
+    assert(r.replayed == 2L && r.skipped == 1L, s"receipt: $r")
+    VersionedTable.fastForward(spark, dir, "dev", "w").get
+    val got = rows(VersionedTable.read(spark, dir))
+    assert(got.size == 10 &&
+      Seq("d1", "d2", "d3").forall(t => got.count(_._2 == t) == 2),
+      s"the picked commit must land exactly once: $got")
+  }
+
+  test("rebaseBranch refuses a REAL file conflict all-or-nothing, naming the replayable prefix") {
+    val dir = tmp("rb-conflict")
+    VersionedTable.commit(spark, dir, df("a", 6), -1L, "w")
+    val baseFile = VersionedTable.readManifest(spark, dir, 0L).files.head
+    VersionedTable.createBranch(spark, dir, "dev")
+    val ref = VersionedTable.branchRef(dir, "dev")
+    VersionedTable.commitDelta(spark, ref, // d1: clean append
+      Some(df("d1", 2, 100).coalesce(1)), Seq.empty, 0L, "wb")
+    VersionedTable.commitDelta(spark, ref, // d2: rewrites a base file
+      Some(df("d2", 2, 200).coalesce(1)), Seq(baseFile), 1L, "wb")
+    // mainline rewrites the SAME file → d2 is a real conflict
+    VersionedTable.commitDelta(spark, dir,
+      Some(df("m", 1, 50).coalesce(1)), Seq(baseFile), 0L, "w")
+    val before = VersionedTable.versions(spark, ref)
+    val e = intercept[CommitConflict] {
+      VersionedTable.rebaseBranch(spark, dir, "dev", "w")
+    }
+    assert(e.getMessage.contains("branch version 2") &&
+      e.getMessage.contains("commits 1..1 are cleanly replayable"),
+      s"first-conflict attribution: ${e.getMessage}")
+    assert(VersionedTable.versions(spark, ref) == before,
+      "all-or-nothing: the branch chain must be untouched")
+  }
+
+  test("rebaseBranch replays additive migrations and enforces mainline's new expectations") {
+    val dir = tmp("rb-schema")
+    VersionedTable.commit(spark, dir, df("a", 4), -1L, "w")
+    VersionedTable.createBranch(spark, dir, "dev")
+    val ref = VersionedTable.branchRef(dir, "dev")
+    VersionedTable.addColumns(spark, ref, Seq(
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = true)), 0L, "wb")
+    VersionedTable.commitDelta(spark, ref,
+      Some(spark.range(100, 102).coalesce(1).select($"id".as("k"),
+        lit("d").as("v"), lit(1.5).as("score"))), Seq.empty, 1L, "wb")
+    VersionedTable.commitDelta(spark, dir,
+      Some(df("m", 1, 50).coalesce(1)), Seq.empty, 0L, "w")
+    val r = VersionedTable.rebaseBranch(spark, dir, "dev", "w")
+    assert(r.replayed == 2L)
+    VersionedTable.fastForward(spark, dir, "dev", "w").get
+    val out = VersionedTable.read(spark, dir)
+    assert(out.columns.toSeq == Seq("k", "v", "score"))
+    assert(out.where($"score".isNotNull).count() == 2L)
+    // mainline expectations declared since the fork bind the replayed
+    // adds: the rebase serializes branch rows AFTER the declaration
+    val dir2 = tmp("rb-expect")
+    VersionedTable.commit(spark, dir2, df("a", 4), -1L, "w")
+    VersionedTable.createBranch(spark, dir2, "dev")
+    val ref2 = VersionedTable.branchRef(dir2, "dev")
+    VersionedTable.commitDelta(spark, ref2,
+      Some(df("big", 2, 5000).coalesce(1)), Seq.empty, 0L, "wb")
+    VersionedTable.commitDelta(spark, dir2,
+      Some(df("m", 1, 50).coalesce(1)), Seq.empty, 0L, "w",
+      expectations = Map("k_small" -> "k < 1000"))
+    val e = intercept[ExpectationViolation] {
+      VersionedTable.rebaseBranch(spark, dir2, "dev", "w")
+    }
+    assert(e.getMessage.contains("re-declared expectations"),
+      s"new expectations bind replayed adds: ${e.getMessage}")
+  }
+
+  test("SQL REBASE BRANCH + seeded model law: rebase-then-fastForward converges exactly once") {
+    import graft.core.GraftSession
+    val rnd = new scala.util.Random(1804)
+    (1 to 4).foreach { seed =>
+      val dir = tmp(s"rb-law-$seed")
+      val gs = new GraftSession(spark)
+      VersionedTable.commit(spark, dir, df("base", 4), -1L, "w")
+      gs.registerVersioned("t", dir)
+      gs.sql("CREATE BRANCH dev ON t AS tdev")
+      val ref = VersionedTable.branchRef(dir, "dev")
+      val nBranch = 1 + rnd.nextInt(3)
+      val nMain = rnd.nextInt(3)
+      val tags = (1 to nBranch).map(i => s"b$seed-$i")
+      tags.zipWithIndex.foreach { case (t, i) =>
+        VersionedTable.commitDelta(spark, ref,
+          Some(df(t, 2, 1000 + 100 * i).coalesce(1)), Seq.empty,
+          i.toLong, "wb")
+      }
+      (1 to nMain).foreach { i =>
+        VersionedTable.commitDelta(spark, dir,
+          Some(df(s"m$seed-$i", 1, 100 * i).coalesce(1)), Seq.empty,
+          (i - 1).toLong, "w")
+      }
+      // maybe land one branch commit as a pick first (content-local)
+      val pickOne = rnd.nextBoolean() && nBranch > 1
+      if (pickOne)
+        VersionedTable.cherryPick(spark, dir, "dev", 1L, "w",
+          readsTable = false)
+      val r = gs.sql("REBASE BRANCH dev ON t").head()
+      // a quiet mainline (no appends, no picks) makes rebase a no-op
+      val expectReplayed =
+        if (nMain == 0 && !pickOne) 0L
+        else (if (pickOne) nBranch - 1 else nBranch).toLong
+      assert(r.getString(0) == "rebase_branch" &&
+        r.getLong(3) == expectReplayed, s"seed $seed receipt: $r")
+      // the conservative landing goes through after the rebase
+      VersionedTable.fastForward(spark, dir, "dev", "w").get
+      val got = rows(VersionedTable.read(spark, dir))
+      tags.foreach(t => assert(got.count(_._2 == t) == 2,
+        s"seed $seed: branch tag $t must land exactly once: $got"))
+      (1 to nMain).foreach(i =>
+        assert(got.count(_._2 == s"m$seed-$i") == 1,
+          s"seed $seed: mainline rows survive"))
+      assert(got.count(_._2 == "base") == 4)
+    }
+  }
 }
