@@ -5558,6 +5558,44 @@ object SparkEntry {
       gs.sql("SELECT k, title, price, grade FROM t")
     }),
 
+    // --- cherry-pick across a one-sided RENAME (round 18 — the
+    //     fastForward parity, physical identity): mainline renames a
+    //     column and appends since the fork; a branch blind-append
+    //     delta planned under the OLD names still picks, landing
+    //     under MAINLINE's current names (a pick is a delta of
+    //     content, never of naming). ---
+    "q269_pick_across_rename" -> ((s, dir) => {
+      import graft.operators.VersionedTable
+      val vt = java.nio.file.Files.createTempDirectory("graft_par_q269_")
+        .toString + "/t"
+      val base = t(s, dir).customer.select(col("c_custkey").as("k"),
+        col("c_name").as("name"), col("c_acctbal").as("bal"))
+      require(VersionedTable.commit(s, vt, base, -1L, "loader",
+        clusterBy = Seq("k"), clusterFiles = 8,
+        statsCols = Some(Seq("k"))) == 0L)
+      val gs = new graft.core.GraftSession(s)
+      gs.registerVersioned("t", vt)
+      gs.runScript(
+        """CREATE BRANCH fix ON t AS tdev;
+          |INSERT INTO tdev SELECT k + 60000000, 'PR', 1.0
+          |  FROM tdev WHERE k % 53 = 0;
+          |ALTER TABLE t RENAME COLUMN name TO customer_name;
+          |INSERT INTO t SELECT k + 61000000, 'M2', 2.0
+          |  FROM t WHERE k % 59 = 0""".stripMargin)
+      val r = gs.sql("CHERRY PICK 1 FROM fix ON t CONTENT LOCAL").head()
+      require(r.getString(0) == "cherry_pick" && r.getLong(3) == 1L,
+        s"q269: the pick must land across the rename: $r")
+      val lm = VersionedTable.readManifest(s, vt,
+        VersionedTable.latestVersion(s, vt))
+      require(lm.schema.get.fieldNames.toSeq ==
+        Seq("k", "customer_name", "bal"),
+        s"q269: mainline's names must win: " +
+          s"${lm.schema.get.fieldNames.toSeq}")
+      require(lm.colmap.get("customer_name").contains("name"),
+        s"q269: sticky physical name: ${lm.colmap}")
+      gs.sql("SELECT k, customer_name, bal FROM t")
+    }),
+
     // --- piggybank datetime evals (ISOToUnix / UnixToISO /
     //     ISODaysBetween) over orders dates ---
     "q121_datetime_iso" -> ((s, dir) => {
@@ -8776,6 +8814,19 @@ object SparkEntry {
          UNION ALL
          SELECT c_custkey + 51000000, 'rb2', 2.0
          FROM customer WHERE c_custkey % 89 = 0""",
+
+    // pick across a rename: customer under the renamed name + the
+    // mainline append + the one picked branch append
+    "q269_pick_across_rename" ->
+      """SELECT c_custkey AS k, c_name AS customer_name,
+                c_acctbal AS bal
+         FROM customer
+         UNION ALL
+         SELECT c_custkey + 61000000, 'M2', 2.0
+         FROM customer WHERE c_custkey % 59 = 0
+         UNION ALL
+         SELECT c_custkey + 60000000, 'PR', 1.0
+         FROM customer WHERE c_custkey % 53 = 0""",
 
     // one-sided rename landing: part under the RENAMED name, plus
     // mainline's post-rename append and the branch's graded rows

@@ -4478,7 +4478,14 @@ object VersionedTable {
     * schema change, or that re-declares table state
     * (expectations/clustering/feed/tombstones), refuses — a pick is a
     * delta, not a state landing; state lands via [[fastForward]].
-    * Returns the new mainline version. */
+    *
+    * Renames (round 18 — the fastForward parity): the admit matches
+    * columns by PHYSICAL identity, so a metadata-only rename on
+    * either side since the fork no longer bricks the pick — the
+    * landing always carries MAINLINE's current names and colmap (a
+    * pick is a delta of content, never of naming), and the picked
+    * files' stats re-key through the physical identity so pruning
+    * survives. Returns the new mainline version. */
   def cherryPick(spark: SparkSession, dir: String, name: String,
       branchVersion: Long, writerId: String,
       readsTable: Boolean = true, rebaseAttempts: Int = 1,
@@ -4524,42 +4531,60 @@ object VersionedTable {
     var out = -1L
     while (out < 0) {
       val pm = readManifest(spark, dir, parent)
-      // the picked delta must be schema-compatible with MAINLINE: equal
-      // shapes land under mainline's schema; a branch schema that
-      // ADDITIVELY extends mainline's (an earlier unlanded ADD COLUMNS
-      // — round 17, VERDICT r16 #3: the hotfix-branch flow where the
-      // branch added a column AND fixed one bad commit, and only the
-      // fix should land) lands under the UNION schema — the picked
-      // files physically carry the appended columns, mainline's files
-      // null-fill them, the same pinned-schema mechanics fastForward's
-      // one-sided admit rides on. Anything else (a rename, drop, type
-      // change, or a mainline-only extension the branch lacks) refuses:
-      // those desync the shapes and land via fastForward.
-      require(pm.colmap == vM.colmap,
-        s"cherryPick '$name' v$branchVersion: branch and mainline " +
-          "column mappings diverged (a rename on one side) — " +
-          "fastForward the whole branch")
-      val landSchema: org.apache.spark.sql.types.StructType =
-        if (pm.schema.map(schemaShape) == vM.schema.map(schemaShape))
-          pm.schema.getOrElse(throw new IllegalStateException(
-            s"cherryPick: no schema receipt on mainline $dir"))
-        else additiveExtension(pm.schema, vM.schema)
-          .filter(_.nonEmpty) match {
-          case Some(newFields) =>
-            val takenPhys = pm.schema.map(_.fieldNames.toSeq)
-              .getOrElse(Seq.empty)
-              .map(n => physName(pm.colmap, n)
-                .toLowerCase(java.util.Locale.ROOT)).toSet ++
+      // the picked delta must be schema-compatible with MAINLINE,
+      // matched by PHYSICAL column identity (round 18 — renames on
+      // either side since the fork are metadata-only with sticky
+      // physical names, so they no longer brick picks; the pick OF
+      // the rename commit itself stays refused above — a pick is a
+      // delta of CONTENT, never of naming, so mainline's CURRENT
+      // names always win the landing): physically-equal shapes land
+      // under mainline's schema/colmap; a branch whose physical
+      // shape ADDITIVELY extends mainline's (an earlier unlanded
+      // ADD COLUMNS — round 17, VERDICT r16 #3: the hotfix-branch
+      // flow) lands under the union — mainline's fields, then the
+      // branch tail nullable, the picked files physically carrying
+      // the appended columns and mainline's files null-filling them.
+      // Anything else (a drop, type change, or a mainline-only
+      // extension the branch lacks) refuses: those desync the shapes
+      // and land via fastForward.
+      val lcp = (x: String) => x.toLowerCase(java.util.Locale.ROOT)
+      val pmPhys = pm.schema.map(physShape(_, pm.colmap))
+      val vPhys = vM.schema.map(physShape(_, vM.colmap))
+      val (landSchema, landColmap) =
+        if (pmPhys == vPhys)
+          (pm.schema.getOrElse(throw new IllegalStateException(
+            s"cherryPick: no schema receipt on mainline $dir")),
+            pm.colmap)
+        else (pm.schema, vM.schema) match {
+          case (Some(pmS), Some(vS))
+              if vS.fields.length > pmS.fields.length &&
+                physShape(vS, vM.colmap).take(pmS.fields.length) ==
+                  physShape(pmS, pm.colmap) =>
+            val tail = vS.fields.drop(pmS.fields.length).toSeq
+            val takenPhys = pmS.fieldNames.toSeq
+              .map(n => lcp(physName(pm.colmap, n))).toSet ++
               pm.meta.getOrElse(DroppedPhysKey, "").split(',')
-                .map(_.trim.toLowerCase(java.util.Locale.ROOT))
-                .filter(_.nonEmpty)
-            newFields.foreach(fld => require(
-              !takenPhys(fld.name.toLowerCase(java.util.Locale.ROOT)),
+                .map(n => lcp(n.trim)).filter(_.nonEmpty)
+            tail.foreach(fld => require(
+              !takenPhys(lcp(physName(vM.colmap, fld.name))),
               s"cherryPick '$name': branch-added column '${fld.name}' " +
                 "collides with a physical name mainline files still " +
                 "carry — rename it on the branch"))
-            extendedSchema(pm.schema, vM.schema).get
-          case None => throw new IllegalArgumentException(
+            locally { // e.g. mainline renamed k→score × branch added score
+              val names =
+                (pmS.fieldNames.toSeq ++ tail.map(_.name)).map(lcp)
+              require(names.distinct.length == names.length,
+                s"cherryPick '$name': a branch-added column's name " +
+                  "collides with a mainline column — rename it on " +
+                  "the branch, or fastForward")
+            }
+            (org.apache.spark.sql.types.StructType(
+              pmS.fields ++ tail.map(_.copy(nullable = true))),
+              pm.colmap ++ tail.flatMap { f =>
+                val ph = physName(vM.colmap, f.name)
+                if (f.name == ph) None else Some(f.name -> ph)
+              })
+          case _ => throw new IllegalArgumentException(
             s"cherryPick '$name' v$branchVersion: branch and mainline " +
               "schemas diverged beyond a branch-side nullable append " +
               "— fastForward the whole branch")
@@ -4567,6 +4592,12 @@ object VersionedTable {
       if (parent != mainBase)
         rebaseConflict(spark, dir, mainBase, parent, touched,
           Seq.empty, readsTable,
+          // a pure-relabel winner (physical shape unchanged — a
+          // metadata-only RENAME) always commutes with a content
+          // delta: the landing above takes mainline's CURRENT names
+          // by physical identity, so naming changes mid-walk are
+          // admissible for any pick (round 18)
+          allowRename = true,
           // a mainline winner that is itself a pick of an EARLIER
           // commit of THIS branch is exempt: the branch history
           // already serialized this commit after it (consecutive
@@ -4605,8 +4636,22 @@ object VersionedTable {
       val newLive = (pLive.filterNot(removes.toSet) ++ adds).distinct
       val newSet = newLive.toSet
       val addSet = adds.toSet
-      val stats = pm.stats.filter { case (rel, _) => newSet(rel) } ++
-        vM.stats.filter { case (rel, _) => addSet(rel) }
+      // the picked files' stats are keyed by the BRANCH's logical
+      // names — re-key through physical identity to the landed names
+      // (a stale key after a one-sided rename would silently stop
+      // pruning on that column); mainline's kept-file stats already
+      // carry the landed names
+      val physToFinal = landSchema.fields
+        .map(f => lcp(physName(landColmap, f.name)) -> f.name).toMap
+      def rekeyPick(cols: Map[String, (String, String)],
+          cm: Map[String, String]): Map[String, (String, String)] =
+        cols.flatMap { case (c, v) =>
+          physToFinal.get(lcp(physName(cm, c))).map(_ -> v) }
+      val stats = (pm.stats.collect {
+        case (rel, cols) if newSet(rel) => rel -> rekeyPick(cols, pm.colmap)
+      } ++ vM.stats.collect {
+        case (rel, cols) if addSet(rel) => rel -> rekeyPick(cols, vM.colmap)
+      }).filter(_._2.nonEmpty)
       val dv = (pm.dv -- removes -- dvChanged) ++
         dvChanged.flatMap(r => vM.dv.get(r).map(r -> _)) ++
         adds.flatMap(r => vM.dv.get(r).map(r -> _))
@@ -4615,7 +4660,7 @@ object VersionedTable {
       val body = manifestBody(newV, parent, writerId, landSchema,
         stagingDir = None, files = newLive, removed = removes,
         stats = stats, meta = landMeta, dv = dv,
-        tsMs = commitClock(spark), colmap = pm.colmap)
+        tsMs = commitClock(spark), colmap = landColmap)
       if (casManifest(spark, dir, newV, writerId, body)) {
         if (landMeta.get(FeedKey).exists(_.trim.nonEmpty))
           ensureFeed(spark, dir, writerId)

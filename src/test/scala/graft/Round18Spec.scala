@@ -362,6 +362,70 @@ class Round18Spec extends SparkSpec {
       s"no stale stat keys under the old name: $landedStats")
   }
 
+  test("cherryPick across a one-sided rename: mainline's names always win the landing") {
+    // mainline renamed since the fork; a branch blind-append delta
+    // (planned under the OLD names) still picks — physical identity
+    val dir = tmp("pick-ren")
+    VersionedTable.commit(spark, dir, df("a", 4), -1L, "w",
+      statsCols = Some(Seq("k")))
+    VersionedTable.createBranch(spark, dir, "fix")
+    val ref = VersionedTable.branchRef(dir, "fix")
+    VersionedTable.commitDelta(spark, ref,
+      Some(df("p1", 2, 100).coalesce(1)), Seq.empty, 0L, "wb",
+      statsCols = Some(Seq("k")))
+    VersionedTable.renameColumns(spark, dir, Map("v" -> "label"), 0L, "w")
+    val landed = VersionedTable.cherryPick(spark, dir, "fix", 1L, "w",
+      readsTable = false)
+    val lm = VersionedTable.readManifest(spark, dir, landed)
+    assert(lm.schema.get.fieldNames.toSeq == Seq("k", "label"))
+    val out = VersionedTable.read(spark, dir)
+    assert(out.where($"label" === "p1").count() == 2L)
+    // the picked file's stats re-keyed under the landed names
+    assert(!lm.stats.values.flatMap(_.keys).toSet.contains("v"))
+    // BRANCH renamed since the fork: picking a later delta lands
+    // under MAINLINE's names (a pick never lands naming)
+    val dir2 = tmp("pick-bren")
+    VersionedTable.commit(spark, dir2, df("a", 4), -1L, "w")
+    VersionedTable.createBranch(spark, dir2, "fix")
+    val ref2 = VersionedTable.branchRef(dir2, "fix")
+    VersionedTable.renameColumns(spark, ref2, Map("v" -> "note"), 0L, "wb")
+    VersionedTable.commitDelta(spark, ref2,
+      Some(spark.range(2).coalesce(1).select(($"id" + 200L).as("k"),
+        lit("p2").as("note"))), Seq.empty, 1L, "wb")
+    val landed2 = VersionedTable.cherryPick(spark, dir2, "fix", 2L, "w",
+      readsTable = false)
+    val lm2 = VersionedTable.readManifest(spark, dir2, landed2)
+    assert(lm2.schema.get.fieldNames.toSeq == Seq("k", "v"),
+      s"mainline's names win: ${lm2.schema.get.fieldNames.toSeq}")
+    assert(VersionedTable.read(spark, dir2)
+      .where($"v" === "p2").count() == 2L)
+    // the pick OF the rename commit itself still refuses
+    val e0 = intercept[IllegalArgumentException] {
+      VersionedTable.cherryPick(spark, dir2, "fix", 1L, "w",
+        readsTable = false)
+    }
+    assert(e0.getMessage.contains("changed the schema/mapping"))
+    // collision: mainline renamed v -> extra while the branch's
+    // unlanded tail ADDS a column called extra — no landing
+    val dir3 = tmp("pick-clash")
+    VersionedTable.commit(spark, dir3, df("a", 4), -1L, "w")
+    VersionedTable.createBranch(spark, dir3, "fix")
+    val ref3 = VersionedTable.branchRef(dir3, "fix")
+    VersionedTable.addColumns(spark, ref3, Seq(
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.StringType, nullable = true)), 0L, "wb")
+    VersionedTable.commitDelta(spark, ref3,
+      Some(spark.range(1).coalesce(1).select(lit(300L).as("k"),
+        lit("d").as("v"), lit("x").as("extra"))), Seq.empty, 1L, "wb")
+    VersionedTable.renameColumns(spark, dir3, Map("v" -> "extra"), 0L, "w")
+    val e1 = intercept[IllegalArgumentException] {
+      VersionedTable.cherryPick(spark, dir3, "fix", 2L, "w",
+        readsTable = false)
+    }
+    assert(e1.getMessage.contains("collides with a mainline column"),
+      s"rename × tail-append collision: ${e1.getMessage}")
+  }
+
   // ───────── REBASE BRANCH (VERDICT r17 missing #2) ─────────
 
   test("rebaseBranch re-anchors a refused branch; the conservative fastForward then lands") {
