@@ -202,7 +202,14 @@ object Bench {
     "q145_stream_full_outer_join" -> 6.240,
     "q112_stream_state" -> 1.655,
     "q151_stream_dedup_agg" -> 4.145,
-    "q158_stream_near_dup" -> 6.863,
+    // q158 RE-BASED round 18 with a SHAPE change: the bench now times
+    // the operator story (fixture + one stream drain) instead of the
+    // correctness harness (which recomputed the batch truth and ran
+    // two equality joins — the floor-dominated 6.863 the r17 verdict
+    // called out). Local quiet-load median 4.59 (raw 5.10/4.59/4.24,
+    // floor 4.89 → 0.66); adopt the first driver median next round if
+    // it reads lower.
+    "q158_stream_near_dup" -> 4.590,
     "q173_stream_export" -> 2.210, "q180_stream_scd2" -> 2.519,
     "q189_stream_dq" -> 1.571,
     // round 13 first record (table change stream, local run)
@@ -233,7 +240,9 @@ object Bench {
     "q145_stream_full_outer_join" -> 0.887,
     "q112_stream_state" -> 0.901,
     "q151_stream_dedup_agg" -> 0.682,
-    "q158_stream_near_dup" -> 2.599,
+    // re-based with the r18 shape change (commit 0.08 + sink 3.58,
+    // one batch — the sink now carries the whole in-stream banding)
+    "q158_stream_near_dup" -> 3.660,
     "q173_stream_export" -> 0.439,
     "q180_stream_scd2" -> 0.587,
     "q189_stream_dq" -> 0.303,
@@ -449,6 +458,31 @@ object Bench {
         graft.operators.AnnIndex.topK(loaded,
           emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
           k = 5, nProbe = 14, refine = 6, exactCorpus = Some(emb))
+      }),
+      // q158's CORRECTNESS entry recomputes the full BATCH near-dup
+      // truth and joins two equality probes (the harness); the
+      // operator story is the STREAM — fixture write + one
+      // AvailableNow drain of the in-stream banding + band-owner
+      // verdict state (round 18, the q196/q197 fixture discipline
+      // applied to the stream family; the r17 verdict already read
+      // q158 as floor-dominated by exactly this harness work).
+      "q158_stream_near_dup" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        import graft.streaming.{CurationStreaming, EventsStreaming}
+        val tmp = java.nio.file.Files
+          .createTempDirectory("bench_q158_").toString
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+          .withColumn("ts",
+            to_timestamp(lit(1700000000L) + col("doc_id")))
+        docs.coalesce(2).write.mode("append").parquet(s"$tmp/src")
+        val name = "b158_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val ss = EventsStreaming.replaySession(s)
+        EventsStreaming.runAvailableNow(
+          CurationStreaming.streamNearDupVerdicts(ss, s"$tmp/src"),
+          name, org.apache.spark.sql.streaming.OutputMode.Update())
+        ss.table(name)
       }),
       // q194's CORRECTNESS entry runs the embed twice (invariance
       // probe); the operator story is one batched-inference pass.

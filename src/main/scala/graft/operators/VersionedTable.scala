@@ -4613,7 +4613,12 @@ object VersionedTable {
               val hash = tag.lastIndexOf('#')
               val at = tag.lastIndexOf('@',
                 if (hash > 0) hash else tag.length - 1)
-              at > 0 && hash > at && tag.substring(0, at) == name &&
+              // inc == 0 marks a pre-round-18 BASE file: with no
+              // incarnation identity, never exempt (conservative —
+              // the gate refuses rather than trusting a tag that a
+              // same-name predecessor branch could have written)
+              inc != 0L &&
+                at > 0 && hash > at && tag.substring(0, at) == name &&
                 tag.substring(hash + 1).toLongOption.contains(inc) &&
                 tag.substring(at + 1, hash).toLongOption
                   .exists(_ < branchVersion)
@@ -5275,7 +5280,11 @@ object VersionedTable {
         .map(k => was(k) -> now(k)).toMap
     }
     // picks of THIS incarnation already on mainline drop from replay
-    val picked: Set[Long] = (mainBase + 1 to mainTip).flatMap { v =>
+    // (inc == 0 = pre-round-18 marker with no incarnation identity:
+    // drop nothing — replaying a picked commit is safe, the landing
+    // dedups file references, while wrongly dropping one loses rows)
+    val picked: Set[Long] = if (inc == 0L) Set.empty else
+      (mainBase + 1 to mainTip).flatMap { v =>
       readManifest(spark, dir, v).meta.get("branch.cherryPicked")
         .flatMap { tag =>
           val hash = tag.lastIndexOf('#')

@@ -543,6 +543,54 @@ class Round18Spec extends SparkSpec {
       s"new expectations bind replayed adds: ${e.getMessage}")
   }
 
+  test("rebaseBranch across a mainline RENAME: replayed decl tokens rename through, SQL mentions refuse") {
+    val dir = tmp("rb-ren")
+    VersionedTable.commit(spark, dir, df("a", 4), -1L, "w")
+    VersionedTable.createBranch(spark, dir, "dev")
+    val ref = VersionedTable.branchRef(dir, "dev")
+    VersionedTable.commitDelta(spark, ref,
+      Some(df("d1", 2, 100).coalesce(1)), Seq.empty, 0L, "wb")
+    VersionedTable.commitDelta(spark, ref, // re-declares with OLD name
+      Some(df("d2", 2, 200).coalesce(1)), Seq.empty, 1L, "wb",
+      meta = Map(VersionedTable.ClusterKey -> "k,v"))
+    VersionedTable.renameColumns(spark, dir, Map("v" -> "label"), 0L, "w")
+    VersionedTable.commitDelta(spark, dir,
+      Some(spark.range(1).coalesce(1).select(lit(50L).as("k"),
+        lit("m").as("label"))), Seq.empty, 1L, "w")
+    val r = VersionedTable.rebaseBranch(spark, dir, "dev", "w")
+    assert(r.replayed == 2L, s"receipt: $r")
+    // the rebased chain carries the RENAMED schema and the branch's
+    // cluster tokens renamed through
+    val bTip = VersionedTable.latestVersion(spark, ref)
+    val bm = VersionedTable.readManifest(spark, ref, bTip)
+    assert(bm.schema.get.fieldNames.toSeq == Seq("k", "label"))
+    assert(bm.meta.get(VersionedTable.ClusterKey).contains("k,label"),
+      s"replayed tokens rename through: ${bm.meta.get(VersionedTable.ClusterKey)}")
+    VersionedTable.fastForward(spark, dir, "dev", "w").get
+    val out = VersionedTable.read(spark, dir)
+    assert(out.where($"label" === "d1").count() == 2L &&
+      out.where($"label" === "d2").count() == 2L &&
+      out.where($"label" === "m").count() == 1L)
+    // a branch expectation whose free-form SQL mentions the renamed
+    // name cannot be rewritten — the rebase refuses loudly
+    val dir2 = tmp("rb-ren-sql")
+    VersionedTable.commit(spark, dir2, df("a", 4), -1L, "w")
+    VersionedTable.createBranch(spark, dir2, "dev")
+    val ref2 = VersionedTable.branchRef(dir2, "dev")
+    VersionedTable.commitDelta(spark, ref2,
+      Some(df("d", 2, 100).coalesce(1)), Seq.empty, 0L, "wb",
+      expectations = Map("v_ok" -> "v IS NOT NULL"))
+    VersionedTable.renameColumns(spark, dir2, Map("v" -> "label"), 0L, "w")
+    VersionedTable.commitDelta(spark, dir2,
+      Some(spark.range(1).coalesce(1).select(lit(60L).as("k"),
+        lit("m").as("label"))), Seq.empty, 1L, "w")
+    val e = intercept[CommitConflict] {
+      VersionedTable.rebaseBranch(spark, dir2, "dev", "w")
+    }
+    assert(e.getMessage.contains("mentioning renamed column 'v'"),
+      s"SQL mention refusal in replay: ${e.getMessage}")
+  }
+
   test("SQL REBASE BRANCH + seeded model law: rebase-then-fastForward converges exactly once") {
     import graft.core.GraftSession
     val rnd = new scala.util.Random(1804)
