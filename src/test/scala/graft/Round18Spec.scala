@@ -591,6 +591,40 @@ class Round18Spec extends SparkSpec {
       s"SQL mention refusal in replay: ${e.getMessage}")
   }
 
+  test("rebase-then-land on a feed-declared table keeps the change feed exact") {
+    val dir = tmp("rb-feed")
+    VersionedTable.commit(spark, dir, df("a", 6), -1L, "w",
+      meta = Map(VersionedTable.FeedKey -> "k"))
+    VersionedTable.createBranch(spark, dir, "dev")
+    val ref = VersionedTable.branchRef(dir, "dev")
+    VersionedTable.commitDelta(spark, ref,
+      Some(df("d1", 2, 100).coalesce(1)), Seq.empty, 0L, "wb")
+    VersionedTable.commitDelta(spark, ref, // rewrites an own file:
+      // k=100 updated to d1b, k=101 carried verbatim
+      Some(df("d1b", 1, 100).union(df("d1", 1, 101)).coalesce(1)),
+      Seq(VersionedTable.readManifest(spark, ref, 1L).files
+        .filterNot(VersionedTable.readManifest(spark, ref, 0L)
+          .files.toSet).head), 1L, "wb")
+    VersionedTable.commitDelta(spark, dir,
+      Some(df("m", 1, 50).coalesce(1)), Seq.empty, 0L, "w")
+    val pre = VersionedTable.latestVersion(spark, dir)
+    VersionedTable.rebaseBranch(spark, dir, "dev", "w")
+    val landed = VersionedTable.fastForward(spark, dir, "dev", "w").get
+    // the landing's feed diff: the branch's NET effect — d1b replaced
+    // one d1 row in place (same key), so the feed carries key 100 as
+    // an update-shaped upsert and 101 as an insert, nothing else
+    val feed = VersionedTable.changesBetween(spark, dir, pre, landed,
+      Seq("k"))
+    val got = feed.select($"k", $"v", $"op")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set((100L, "d1b", "insert"), (101L, "d1", "insert")),
+      s"the landing's feed must be the branch's net effect: $got")
+    // mainline read exact: 6 base + 1 m + d1b(k=100) + d1(k=101)
+    val out = rows(VersionedTable.read(spark, dir))
+    assert(out.size == 9 && out.contains((100L, "d1b")) &&
+      out.contains((101L, "d1")) && out.count(_._2 == "m") == 1)
+  }
+
   test("SQL REBASE BRANCH + seeded model law: rebase-then-fastForward converges exactly once") {
     import graft.core.GraftSession
     val rnd = new scala.util.Random(1804)

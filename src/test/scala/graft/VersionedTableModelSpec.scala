@@ -476,21 +476,30 @@ class VersionedTableModelSpec extends SparkSpec {
     // TWO-sided append with DISJOINT names (mode 3) now lands too —
     // union schema, mainline's fields first then the branch tail —
     // while a SAME-NAME two-sided append (mode 4) still refuses with
-    // both worlds intact. Fresh table per case so each case's fork
-    // starts from a clean 2-column world.
+    // both worlds intact. Round-18 extension (VERDICT r17 missing
+    // #3): one-sided RENAMES land too — mode 5 (branch renames the
+    // value column), mode 6 (mainline renames it while the branch
+    // appends) — the data law unchanged under physical identity and
+    // the landed names the renaming side's; TWO-sided renames
+    // (mode 7) refuse with both worlds intact. Fresh table per case
+    // so each case's fork starts from a clean 2-column world.
     (1 to 2).foreach { seed =>
       val rnd = new scala.util.Random(seed + 1600)
       // 1 = branch adds col, 2 = mainline, 3 = both (disjoint names),
-      // 4 = both (same name — the surviving refusal cell)
-      (1 to 4).foreach { mode =>
+      // 4 = both (same name — the surviving refusal cell),
+      // 5 = branch renames, 6 = mainline renames × branch appends,
+      // 7 = both rename (the surviving rename-refusal cell)
+      (1 to 7).foreach { mode =>
         val dir = java.nio.file.Files
           .createTempDirectory(s"vt-bdiv-$seed-$mode").toString + "/t"
         var main: Map[Long, Long] = (0L until 400L).map(k => k -> k).toMap
         VersionedTable.commit(spark, dir, main.toSeq.toDF("k", "a"),
           -1L, "loader", clusterBy = Seq("k"), clusterFiles = 8)
-        def readMap(d: String): Map[Long, Long] =
+        def readMapAs(d: String, vc: String): Map[Long, Long] =
           VersionedTable.read(spark, d)
-            .select($"k", $"a").as[(Long, Long)].collect().toMap
+            .select($"k", org.apache.spark.sql.functions.col(vc))
+            .as[(Long, Long)].collect().toMap
+        def readMap(d: String): Map[Long, Long] = readMapAs(d, "a")
         VersionedTable.createBranch(spark, dir, "div")
         val ref = VersionedTable.branchRef(dir, "div")
         val fork = main
@@ -527,6 +536,10 @@ class VersionedTableModelSpec extends SparkSpec {
             org.apache.spark.sql.types.StructField(n, dt, nullable = true)),
             VersionedTable.latestVersion(spark, d),
             if (d == dir) "mw" else "bw")
+        def rename(d: String, from: String, to: String): Unit =
+          VersionedTable.renameColumns(spark, d, Map(from -> to),
+            VersionedTable.latestVersion(spark, d),
+            if (d == dir) "mw" else "bw")
         if (mode == 1 || mode == 3) addCol(ref, "cb")
         if (mode == 2 || mode == 3) addCol(dir, "cm")
         // mode 4: the SAME name appended on both sides with DIFFERENT
@@ -536,6 +549,9 @@ class VersionedTableModelSpec extends SparkSpec {
           addCol(ref, "cx")
           addCol(dir, "cx", org.apache.spark.sql.types.DoubleType)
         }
+        if (mode == 5) rename(ref, "a", "a2")
+        if (mode == 6) { rename(dir, "a", "am"); addCol(ref, "cb") }
+        if (mode == 7) { rename(ref, "a", "ab"); rename(dir, "a", "am") }
         val landedModel = {
           val changed = (fork.keySet ++ branch.keySet).filter(k =>
             fork.get(k) != branch.get(k))
@@ -546,38 +562,55 @@ class VersionedTableModelSpec extends SparkSpec {
             }
           }
         }
+        // the landed value-column name: the renaming side's
+        val aName = mode match {
+          case 5 => "a2"; case 6 => "am"; case _ => "a"
+        }
         try {
           val landed = VersionedTable.fastForward(spark, dir, "div", "merger")
-          assert(mode != 4,
-            s"seed=$seed mode=$mode: same-name two-sided append must refuse")
-          assert(readMap(dir) == landedModel,
+          assert(mode != 4 && mode != 7,
+            s"seed=$seed mode=$mode: the refusal cell must refuse")
+          assert(readMapAs(dir, aName) == landedModel,
             s"seed=$seed mode=$mode: landing != net effect")
           val sch = VersionedTable.readManifest(spark, dir, landed.get)
             .schema.get
-          // the two-sided order rule: mainline's fields first (k, a,
-          // cm), then the branch's tail (cb)
+          // the order rule: mainline's fields first (renamed through
+          // the renaming side's map), then the branch's tail
           val want = mode match {
-            case 1 => Seq("cb"); case 2 => Seq("cm")
-            case _ => Seq("cm", "cb")
+            case 1 => Seq("k", "a", "cb"); case 2 => Seq("k", "a", "cm")
+            case 3 => Seq("k", "a", "cm", "cb")
+            case 5 => Seq("k", "a2"); case 6 => Seq("k", "am", "cb")
+            case _ => Seq.empty
           }
-          assert(sch.fieldNames.toSeq == Seq("k", "a") ++ want,
+          assert(sch.fieldNames.toSeq == want,
             s"seed=$seed mode=$mode: landed schema ${sch.fieldNames.toSeq}")
-          assert(sch.fields.drop(2).forall(_.nullable),
-            "landed extensions must be nullable (other side null-fills)")
-          // every surviving row null-fills every extension
-          want.foreach { c =>
+          val exts = mode match {
+            case 1 | 6 => Seq("cb"); case 2 => Seq("cm")
+            case 3 => Seq("cm", "cb"); case _ => Seq.empty
+          }
+          exts.foreach { c =>
+            assert(sch(c).nullable,
+              "landed extensions must be nullable (other side null-fills)")
+            // every surviving row null-fills every extension
             assert(VersionedTable.read(spark, dir)
               .where(org.apache.spark.sql.functions.col(c).isNotNull)
               .isEmpty,
               s"seed=$seed mode=$mode: rows must null-fill '$c'")
           }
+          // renamed landings keep the STICKY physical name mapped
+          if (mode == 5 || mode == 6)
+            assert(VersionedTable.readManifest(spark, dir, landed.get)
+              .colmap.get(aName).contains("a"),
+              s"seed=$seed mode=$mode: landed colmap must map $aName->a")
         } catch {
           case _: VersionedTable.CommitConflict =>
-            assert(mode == 4,
-              s"seed=$seed mode=$mode: a disjoint append must land")
-            assert(readMap(dir) == main,
+            assert(mode == 4 || mode == 7,
+              s"seed=$seed mode=$mode: this divergence must land")
+            val mainA = if (mode == 7) "am" else "a"
+            val branchA = if (mode == 7) "ab" else "a"
+            assert(readMapAs(dir, mainA) == main,
               s"seed=$seed mode=$mode: refused landing touched main")
-            assert(readMap(ref) == branch,
+            assert(readMapAs(ref, branchA) == branch,
               s"seed=$seed mode=$mode: refused landing touched branch")
         }
       }
