@@ -35,6 +35,22 @@ object SparkEntry {
     * sum exactly, surface as DOUBLE. */
   private def dsum2(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
 
+  /** ONE-job multiset equality for in-query law probes: union the two
+    * sides with +1/−1 weights, group by every column, and look for any
+    * nonzero net weight. Row-for-row equivalent to the
+    * `a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty` pair (both are
+    * multiset equality under SQL grouping semantics — NaN and -0.0
+    * normalize identically) at half the jobs and one shuffle instead
+    * of two exceptAll shuffles. Both sides must share column names. */
+  private def sameMultiset(a: DataFrame, b: DataFrame): Boolean = {
+    val cols = a.columns.toSeq.map(col)
+    a.select(cols: _*).withColumn("__w", lit(1L))
+      .unionByName(b.select(cols: _*).withColumn("__w", lit(-1L)))
+      .groupBy(cols: _*).agg(sum(org.apache.spark.sql.functions.col("__w")).as("__d"))
+      .filter(org.apache.spark.sql.functions.col("__d") =!= 0)
+      .isEmpty
+  }
+
   /** l_extendedprice * (1 - l_discount) as an exact DECIMAL(22,4). */
   private def discPrice: Column =
     (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(22, 4))
@@ -3793,8 +3809,7 @@ object SparkEntry {
       val promoted = Incremental.mergeUpsert(base,
         diff.withColumn("del", col("op") === "delete").drop("op"),
         Seq("k"), deleteCol = Some("del")).localCheckpoint()
-      require(promoted.exceptAll(incoming).limit(1).count() == 0L &&
-        incoming.exceptAll(promoted).limit(1).count() == 0L,
+      require(sameMultiset(promoted, incoming),
         "q187: promotion must reconstruct the incoming snapshot")
       // (4) audit: balance-distribution drift, prod boundaries
       Relational.distributionDrift(base, promoted, "bal", 16)
@@ -3822,8 +3837,7 @@ object SparkEntry {
         .localCheckpoint()
       val mid = graft.operators.Incremental.asOfSnapshot(hist1,
         java.sql.Timestamp.valueOf("2020-07-01 00:00:00"))
-      require(mid.exceptAll(cust).limit(1).count() == 0L &&
-        cust.exceptAll(mid).limit(1).count() == 0L,
+      require(sameMultiset(mid, cust),
         "q186: AS OF between t0 and t1 must reconstruct the original table")
       graft.operators.Incremental.asOfSnapshot(hist1,
         java.sql.Timestamp.valueOf("2021-07-01 00:00:00"))
@@ -3897,8 +3911,7 @@ object SparkEntry {
       val applied = graft.operators.Incremental.mergeUpsert(cust,
         diff.withColumn("del", col("op") === "delete").drop("op"),
         Seq("k"), deleteCol = Some("del"))
-      require(applied.exceptAll(target).limit(1).count() == 0L &&
-        target.exceptAll(applied).limit(1).count() == 0L,
+      require(sameMultiset(applied, target),
         "q181: diff-then-apply must reconstruct the target snapshot")
       diff
     }),

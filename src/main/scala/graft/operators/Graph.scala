@@ -93,9 +93,20 @@ object Graph {
     var ranks = nodes.withColumn("rank", lit(sc))
     try {
       for (_ <- 1 to iters) {
-        val contribs = edges.join(ranks, edges("s") === ranks("node"))
-          .join(deg, "s")
-          .select(col("d").as("node"), expr("`rank` div dg").as("c"))
+        // Per-node out-contribution FIRST (ranks ⋈ deg is node-sized,
+        // both sides hash-distributable on the node id), THEN the one
+        // edge-sized join. The previous shape (edges ⋈ ranks ⋈ deg)
+        // pushed the edge-sized intermediate through TWO joins — at
+        // web scale that is a second probe pass over every edge row
+        // per iteration, paid only to attach a per-NODE divisor.
+        // alias both sides: ranks and deg share the edge lineage, and
+        // dataset-reference conditions trip Spark's ambiguous-self-join
+        // check there (the Incremental.pitJoin note)
+        val outContrib = ranks.alias("__pr_r")
+          .join(deg.alias("__pr_d"), col("__pr_r.node") === col("__pr_d.s"))
+          .select(col("__pr_d.s").as("s"), expr("`rank` div dg").as("c"))
+        val contribs = edges.join(outContrib, "s")
+          .select(col("d").as("node"), col("c"))
           .groupBy("node").agg(sum(col("c")).as("in_mass"))
         ranks = nodes.join(contribs, Seq("node"), "left")
           .select(col("node"),

@@ -134,6 +134,22 @@ object Relational {
     * [[graft.operators.Dedup.clusterPairs]].)
     */
   def rankBy(df: DataFrame, keys: Seq[String], ascending: Boolean = true): DataFrame = {
+    val (rankedKeys, _) = rankedKeyCounts(df, keys, ascending)
+    df.join(rankedKeys.drop("__cnt"), keys)
+  }
+
+  /** Steps 1–3 of [[rankBy]], exposed to key-count consumers: the
+    * DISTINCT sorted keys with their row counts (`__cnt`), `rank` and
+    * `dense_rank`, plus the total row count (from the same stats
+    * accumulator — no extra count() job). [[equiDepthHistogram]] and
+    * [[distributionDrift]] aggregate this key-sized table directly:
+    * every row of a key shares its rank, so any per-bucket statistic
+    * (population, min/max envelope) is computable from (key, __cnt)
+    * without rankBy's step-4 join back over the full data — at scale
+    * that join is a second full shuffle of the relation, paid only to
+    * re-derive counts the key table already holds. */
+  private[operators] def rankedKeyCounts(df: DataFrame, keys: Seq[String],
+      ascending: Boolean = true): (DataFrame, Long) = {
     val spark = df.sparkSession
     val keyCols = keys.map(col)
     val sortCols = if (ascending) keyCols.map(_.asc) else keyCols.map(_.desc)
@@ -187,8 +203,7 @@ object Relational {
         Row.fromSeq(r.toSeq :+ rank :+ dense)
       }
     }
-    val rankedKeys = spark.createDataFrame(ranked, schema).drop("__cnt")
-    df.join(rankedKeys, keys)
+    (spark.createDataFrame(ranked, schema), perPart.map(_._3).sum)
   }
 
   /** Pig `R = RANK A;` — 1-based row sequence in encounter order.
@@ -340,21 +355,27 @@ object Relational {
     * Scale shape: the rank comes from [[rankBy]]'s two-pass
     * counter scheme — per-partition key counts + broadcast offsets —
     * NEVER a single-partition global window; the histogram itself is
-    * a B-row aggregate. NULLs are excluded (no rank order exists for
-    * them), like every SQL ordering. */
+    * a B-row aggregate computed straight off the DISTINCT-KEY counts
+    * ([[rankedKeyCounts]]). Every row of a value shares its rank and
+    * therefore its bucket, so per-bucket population = Σ __cnt and the
+    * [lo, hi] envelope = min/max over the bucket's distinct values —
+    * rankBy's join back over the full relation (a second data-sized
+    * shuffle) and the separate count() pass both drop out; the total
+    * row count rides the key materialization's stats accumulator.
+    * NULLs are excluded (no rank order exists for them), like every
+    * SQL ordering. */
   def equiDepthHistogram(df: DataFrame, valueCol: String,
       buckets: Int): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val vals = df.select(col(valueCol)).filter(col(valueCol).isNotNull)
-    val n = vals.count()
+    val (rankedKeys, n) = rankedKeyCounts(vals, Seq(valueCol))
     require(n > 0, "equiDepthHistogram: no non-null values")
-    val ranked = rankBy(vals, Seq(valueCol))
-    ranked
+    rankedKeys
       .withColumn("bucket",
         expr(s"((rank - 1) * ${buckets.toLong}) div ${n}"))
       .groupBy(col("bucket"))
       .agg(min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"),
-        count(lit(1)).as("cnt"))
+        sum(col("__cnt")).as("cnt"))
   }
 
   /** Distribution drift report: bin BOTH corpora by the BASE corpus's
@@ -372,27 +393,45 @@ object Relational {
     * BOTH sides are recounted under the same value rule (the base
     * histogram's own rank-based counts can differ at tie boundaries).
     *
-    * Scale shape: one [[equiDepthHistogram]] pass over the base (its
-    * two-pass rank), boundaries collected as B driver literals, then
-    * ONE union + aggregate pass bins both corpora — assignment is a
-    * codegen'd array HOF over the literal boundary array, no join.
-    * NULLs are excluded on both sides, like the histogram. */
+    * Scale shape: ONE key-count pass over the base ([[rankedKeyCounts]]
+    * — the histogram's own rank source), boundaries collected as B
+    * driver literals, then both corpora are binned under the same
+    * value rule: the TARGET by a scan + aggregate pass (assignment is
+    * a codegen'd array HOF over the literal boundary array, no join),
+    * the BASE from the already-materialized distinct-key counts —
+    * re-binning a key and weighting by its `__cnt` is row-for-row the
+    * same count as re-scanning the data, without the second base scan
+    * the previous formulation paid. NULLs are excluded on both sides,
+    * like the histogram. */
   def distributionDrift(base: DataFrame, target: DataFrame,
       valueCol: String, buckets: Int): DataFrame = {
-    val hist = equiDepthHistogram(base, valueCol, buckets)
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val vals = base.select(col(valueCol)).filter(col(valueCol).isNotNull)
+    val (rankedKeys, n) = rankedKeyCounts(vals, Seq(valueCol))
+    require(n > 0, "equiDepthHistogram: no non-null values")
+    val hist = rankedKeys
+      .withColumn("bucket",
+        expr(s"((rank - 1) * ${buckets.toLong}) div ${n}"))
+      .groupBy(col("bucket"))
+      .agg(max(col(valueCol)).as("hi"))
     val bounds = hist.select(col("bucket"), col("hi").cast("double"))
       .collect().sortBy(_.getLong(0)).map(_.getDouble(1))
     val cap = bounds.length - 1
     val bArr = array(bounds.map(lit): _*)
-    def binned(df: DataFrame, side: String): DataFrame =
-      df.select(col(valueCol).cast("double").as("__x"))
-        .filter(col("__x").isNotNull)
-        .select(least(size(filter(bArr, b => b < col("__x"))), lit(cap))
-          .cast("long").as("bucket"), lit(side).as("__side"))
-    binned(base, "base").unionByName(binned(target, "target"))
+    def bucketOf(x: Column): Column =
+      least(size(filter(bArr, b => b < x)), lit(cap)).cast("long")
+    val baseBinned = rankedKeys
+      .select(bucketOf(col(valueCol).cast("double")).as("bucket"),
+        col("__cnt").as("__w"), lit("base").as("__side"))
+    val targetBinned = target
+      .select(col(valueCol).cast("double").as("__x"))
+      .filter(col("__x").isNotNull)
+      .select(bucketOf(col("__x")).as("bucket"), lit(1L).as("__w"),
+        lit("target").as("__side"))
+    baseBinned.unionByName(targetBinned)
       .groupBy(col("bucket"))
-      .agg(sum(when(col("__side") === "base", 1L).otherwise(0L)).as("base_cnt"),
-        sum(when(col("__side") === "target", 1L).otherwise(0L)).as("target_cnt"))
+      .agg(sum(when(col("__side") === "base", col("__w")).otherwise(0L)).as("base_cnt"),
+        sum(when(col("__side") === "target", col("__w")).otherwise(0L)).as("target_cnt"))
   }
 
   // ------------------------------------------------------------------

@@ -574,8 +574,9 @@ object TextAnalysis {
     * count > N/capacity must exceed Nₚ/capacity in at least one
     * partition (averaging), so the UNION of per-partition keys has
     * perfect recall on every term with count > N/capacity. The sketch
-    * path runs only when `minCount · capacity > N` holds (N read by
-    * one scan-only pre-pass — no shuffle, no explode), so its final
+    * path commits only when `minCount · capacity > N` holds (N rides
+    * the sketch pass itself as per-partition accumulator counts — no
+    * separate pre-pass), so its final
     * `cnt ≥ minCount` filter is EXACT: no false negatives by the MG
     * bound, no false positives because verification recounts
     * candidates exactly. When the premise does NOT hold (or the
@@ -589,12 +590,9 @@ object TextAnalysis {
     * spark's broadcast threshold accordingly); the verify aggregation
     * shuffles candidate tokens only, never the vocabulary. */
   def heavyHitters(docs: DataFrame, textCol: String, minCount: Long,
-      capacity: Int = 4096): DataFrame = {
-    val n = docs.agg(coalesce(sum(size(tokens(col(textCol)))), lit(0L)))
-      .collect()(0).getLong(0)
+      capacity: Int = 4096): DataFrame =
     mgExactCounts(docs.select(explode(tokens(col(textCol))).as("tok")),
-      n, minCount, capacity, "heavyHitters")
-  }
+      minCount, capacity, "heavyHitters")
 
   /** Heavy-hitter word n-grams by TOTAL occurrence count — the
     * boilerplate detector (a license header repeated across a corpus
@@ -609,14 +607,11 @@ object TextAnalysis {
     // native kernel for the window stream: the HOF formulation
     // (transform + slice + array_join per window) measured 2.9 s per
     // corpus pass at sf0.1 vs ~0.3 s for the kernel — and the kernel
-    // runs in all THREE corpus passes (scan-only size pre-pass,
-    // sketch pass, verify pass)
+    // runs in both corpus passes (sketch pass with the count riding
+    // its accumulator, verify pass)
     val allGrams = graft.plans.TextExpressions.ngramStringsAll(col(textCol), n)
-    val total = docs
-      .agg(coalesce(sum(size(allGrams)), lit(0L)))
-      .collect()(0).getLong(0)
     val grams = docs.select(explode(allGrams).as("tok"))
-    mgExactCounts(grams, total, minCount, capacity, "hotNgrams")
+    mgExactCounts(grams, minCount, capacity, "hotNgrams")
       .withColumnRenamed("tok", "gram")
   }
 
@@ -632,7 +627,7 @@ object TextAnalysis {
     * the plain exact aggregation (same answer — one vocabulary-sized
     * shuffle instead of the candidate join) and says so loudly. */
   private[operators] val MaxBroadcastCandidates = 2000000L
-  private def mgExactCounts(toks: DataFrame, n: Long, minCount: Long,
+  private def mgExactCounts(toks: DataFrame, minCount: Long,
       capacity: Int, opName: String): DataFrame = {
     val spark = toks.sparkSession
     import spark.implicits._
@@ -644,25 +639,34 @@ object TextAnalysis {
     // (a servable query must never fail because the sketch's premise
     // doesn't hold; the premise guards the sketch, not the answer).
     val candBound = toks.rdd.getNumPartitions.toLong * capacity
-    val premiseHolds = minCount * capacity > n
-    if (!premiseHolds || candBound > MaxBroadcastCandidates) {
-      val why =
-        if (!premiseHolds)
-          s"minCount=$minCount x capacity=$capacity <= stream count N=$n " +
-            s"(MG recall premise fails; capacity > ${n / minCount} would hold it)"
-        else
-          s"candidate bound partitions x capacity = $candBound exceeds $MaxBroadcastCandidates"
+    def exact(why: String): DataFrame = {
       System.err.println(s"[graft] $opName: $why; using the exact " +
         "one-shuffle aggregation instead of the sketch (same result)")
-      return toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= minCount)
         .withColumn("cnt", col("cnt").as("cnt", pathMeta("exact-fallback", why)))
     }
-    val cands = toks.as[String].mapPartitions { it =>
+    if (candBound > MaxBroadcastCandidates)
+      return exact(s"candidate bound partitions x capacity = $candBound " +
+        s"exceeds $MaxBroadcastCandidates")
+    // ONE sketch pass computes both the MG candidates and the stream
+    // count N (per-partition counts ride a collection accumulator, the
+    // rankBy stats pattern — dedup by partition id since a retried
+    // task reports twice). The recall premise minCount·capacity > N is
+    // checked AFTER this pass: when it holds (the common case) the
+    // operator pays two corpus passes (sketch + exact verify) instead
+    // of three (the previous shape ran a scan-only count pre-pass
+    // first); when it fails, the exact fallback still runs as its own
+    // two passes — same cost as before, same answer either way.
+    val acc = spark.sparkContext
+      .collectionAccumulator[(Int, Long)](s"$opName partition counts")
+    val candsRdd = toks.as[String].rdd.mapPartitionsWithIndex { (i, it) =>
       // Misra-Gries: capacity counters; a miss on a full summary
       // decrements every counter (amortized O(1) per token)
       val c = new java.util.HashMap[String, Long](capacity * 2)
+      var nLocal = 0L
       it.foreach { t =>
+        nLocal += 1
         if (c.containsKey(t)) c.put(t, c.get(t) + 1L)
         else if (c.size < capacity) c.put(t, 1L)
         else {
@@ -675,8 +679,26 @@ object TextAnalysis {
           dead.forEach(k => c.remove(k))
         }
       }
+      acc.add((i, nLocal))
       scala.jdk.CollectionConverters.SetHasAsScala(c.keySet()).asScala.iterator
-    }.toDF("tok").distinct()
+    }
+    // candidate union ≤ partitions × capacity ≤ MaxBroadcastCandidates
+    // (guarded above): driver-side dedup of what broadcast would ship
+    // anyway, collected eagerly so N is known before the path commits
+    val nParts = candsRdd.getNumPartitions
+    val candArr = candsRdd.collect().distinct
+    val perPart = {
+      import scala.jdk.CollectionConverters._
+      acc.value.asScala.toSeq.groupBy(_._1).map(_._2.head).toSeq
+    }
+    require(perPart.map(_._1).sorted == (0 until nParts),
+      s"$opName: incomplete partition counts (${perPart.size} of $nParts)")
+    val nStream = perPart.map(_._2).sum
+    if (!(minCount * capacity > nStream))
+      return exact(s"minCount=$minCount x capacity=$capacity <= stream " +
+        s"count N=$nStream (MG recall premise fails; capacity > " +
+        s"${nStream / minCount} would hold it)")
+    val cands = spark.createDataset(candArr.toSeq).toDF("tok")
     toks.join(broadcast(cands), Seq("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)

@@ -403,9 +403,21 @@ object PigCompiler {
           }, None)
         // anything with ORDER/LIMIT/DISTINCT (or non-algebraic GENERATE)
         // runs over materialized bags via per-row HOFs — no shuffle for
-        // the inner pipeline (Relational.nested building blocks)
+        // the inner pipeline (Relational.nested building blocks). When
+        // the bag comes from a symbolic GROUP and the pipeline only
+        // ORDERs/LIMITs/FILTERs it, the bag is materialized PRUNED to
+        // the referenced fields: collect_list(struct(<all columns>))
+        // defeats Catalyst's column pruning (nothing prunes through an
+        // opaque collect buffer), so without this a nested top-k over
+        // one field shuffles the whole row per element.
         case _ =>
-          new Rel(() => compileNestedBags(rel.df, stmts, items), None)
+          new Rel(() => {
+            val base = rel.group
+              .flatMap(meta => bagPruneFields(meta, stmts, items)
+                .map(fs => materializeGroup(meta, Some(fs))))
+              .getOrElse(rel.df)
+            compileNestedBags(base, stmts, items)
+          }, None)
       }
 
     case PGroup(Seq((in, keys)), all, _, hint) =>
@@ -922,9 +934,97 @@ object PigCompiler {
 
   // ---------------- GROUP materialization (bag path) ----------------
 
-  private[pig] def materializeGroup(meta: GroupMeta): DataFrame = {
+  /** Bag-path column pruning: the child columns a nested
+    * ORDER/LIMIT/FILTER pipeline + GENERATE actually reference, or
+    * None when pruning is unsafe. Only pipelines whose every stage
+    * preserves the child row shape qualify (ORDER/LIMIT/FILTER —
+    * an inner FOREACH re-projects and DISTINCT compares whole
+    * tuples, so both force the full bag); within that shape every
+    * element-scope name is a child field, and an outer GENERATE item
+    * referencing a whole bag (other than length-only COUNT/SIZE)
+    * needs every field. Conservative by construction: any expression
+    * form this walker does not positively understand keeps the full
+    * bag, so pruning can narrow the collect buffer but never change
+    * what a downstream expression can see. */
+  private def bagPruneFields(meta: GroupMeta,
+      stmts: Seq[(String, PNestedOp)], items: Seq[GenItem]): Option[Seq[String]] = {
+    val rowShaped = stmts.forall {
+      case (_, _: NOrder) | (_, _: NLimit) | (_, _: NFilter) => true
+      case _ => false
+    }
+    if (!rowShaped) return None
+    val bagAliases: Set[String] = Set(meta.childAlias) ++ stmts.map(_._1)
+    val names = mutable.LinkedHashSet[String]()
+    var whole = false
+    // element scope: every name resolves against the bag element
+    def elemRef(e: PExpr): Unit = e match {
+      case PCol(n) => names += n
+      case PDot(b, _) => elemRef(b)
+      case PMapGet(b, _) => elemRef(b)
+      case PBin(_, l, r) => elemRef(l); elemRef(r)
+      case PNot(x) => elemRef(x)
+      case PNeg(x) => elemRef(x)
+      case PIsNull(x, _) => elemRef(x)
+      case PMatches(x, _) => elemRef(x)
+      case PIn(x, its) => elemRef(x); its.foreach(elemRef)
+      case PTernary(c, t, f) => elemRef(c); elemRef(t); elemRef(f)
+      case PCaseWhen(op, brs, els) =>
+        op.foreach(elemRef)
+        brs.foreach { case (w, t) => elemRef(w); elemRef(t) }
+        els.foreach(elemRef)
+      case PCast(_, x) => elemRef(x)
+      case PCall(_, as) => as.foreach(elemRef)
+      case PLit(_) | PBigLit(_) => ()
+      case _ => whole = true // positional / range refs: keep the row
+    }
+    // outer scope: bag fields appear only under a bag-alias base
+    def itemRef(e: PExpr): Unit = e match {
+      case PCol("group") | PDot(PCol("group"), _) => ()
+      case PDot(PCol(b), f) if bagAliases(b) => names += f
+      case PCol(b) if bagAliases(b) => whole = true
+      case PCall(fn, Seq(PCol(b))) if bagAliases(b) &&
+          Set("COUNT", "COUNT_STAR", "SIZE")(fn.toUpperCase) =>
+        () // length-only over a bag: any field set has the same size
+      case PDot(b, _) => itemRef(b)
+      case PMapGet(b, _) => itemRef(b)
+      case PBin(_, l, r) => itemRef(l); itemRef(r)
+      case PNot(x) => itemRef(x)
+      case PNeg(x) => itemRef(x)
+      case PIsNull(x, _) => itemRef(x)
+      case PMatches(x, _) => itemRef(x)
+      case PIn(x, its) => itemRef(x); its.foreach(itemRef)
+      case PTernary(c, t, f) => itemRef(c); itemRef(t); itemRef(f)
+      case PCaseWhen(op, brs, els) =>
+        op.foreach(itemRef)
+        brs.foreach { case (w, t) => itemRef(w); itemRef(t) }
+        els.foreach(itemRef)
+      case PCast(_, x) => itemRef(x)
+      case PCall(_, as) => as.foreach(itemRef)
+      case PLit(_) | PBigLit(_) => ()
+      case _ => whole = true
+    }
+    stmts.foreach {
+      case (_, NFilter(_, cond)) => elemRef(cond)
+      case (_, NOrder(_, keys, _)) => names ++= keys.map(_._1)
+      case (_, NLimit(_, _)) => ()
+      case _ => whole = true
+    }
+    items.foreach(it => itemRef(it.expr))
+    if (whole || names.isEmpty) return None
+    // resolve collected names against the child (exact or unique
+    // `a::n` suffix, the fieldIn rule; ambiguity keeps all candidates
+    // — fieldIn refuses later exactly as it would unpruned)
+    val keep = meta.child.columns.filter(c =>
+      names.exists(n => c == n || c.endsWith(s"::$n")))
+    if (keep.isEmpty || keep.length == meta.child.columns.length) None
+    else Some(keep.toSeq)
+  }
+
+  private[pig] def materializeGroup(meta: GroupMeta,
+      bagFields: Option[Seq[String]] = None): DataFrame = {
     val child = meta.child
-    val bag = collect_list(struct(child.columns.map(c => child.col(s"`$c`")): _*))
+    val cols = bagFields.getOrElse(child.columns.toSeq)
+    val bag = collect_list(struct(cols.map(c => child.col(s"`$c`")): _*))
       .as(meta.childAlias)
     if (meta.all)
       child.agg(bag).select(lit("all").as("group"), col(meta.childAlias))

@@ -381,6 +381,53 @@ class PigScriptSpec extends SparkSpec {
       expect.orderBy("l_orderkey").collect().toSeq)
   }
 
+  test("nested ORDER/LIMIT bag is PRUNED to the referenced fields") {
+    // round 18: the bag path used to collect_list(struct(<all 11
+    // lineitem columns>)) — nothing prunes through a collect buffer,
+    // so the nested top-k shuffled whole rows per element. The pruned
+    // materialization must reach the SCAN: ReadSchema carries only the
+    // group key + the one referenced field.
+    val df = PigScript.query(spark,
+      """L = LOAD '$DIR/lineitem.parquet' USING parquet;
+         G = GROUP L BY l_suppkey;
+         A = FOREACH G {
+           s = ORDER L BY l_extendedprice DESC;
+           t = LIMIT s 2;
+           GENERATE group AS l_suppkey, FLATTEN(t.l_extendedprice) AS price;
+         };""",
+      Map("DIR" -> sf))
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains(
+      "ReadSchema: struct<l_suppkey:bigint,l_extendedprice:double>"),
+      s"bag pruning must reach the scan:\n${formatted.take(3000)}")
+    // results unchanged vs the window top-k twin (multiset — ties
+    // among equal prices are value-identical either way)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_suppkey")).orderBy(col("l_extendedprice").desc)
+    val expect = tables.lineitem
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("l_suppkey"), col("l_extendedprice").as("price"))
+    assert(df.orderBy("l_suppkey", "price").collect().toSeq ==
+      expect.orderBy("l_suppkey", "price").collect().toSeq)
+    // a whole-bag GENERATE must refuse pruning: every field survives
+    // to the scan (o_orderpriority is referenced nowhere explicitly)
+    val whole = PigScript.query(spark,
+      """O = LOAD '$DIR/orders.parquet' USING parquet;
+         G = GROUP O BY o_custkey;
+         A = FOREACH G {
+           s = ORDER O BY o_totalprice DESC;
+           t = LIMIT s 1;
+           GENERATE group AS gk, FLATTEN(t);
+         };""",
+      Map("DIR" -> sf))
+    val wholePlan = whole.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(wholePlan.contains("o_orderpriority"),
+      s"whole-tuple FLATTEN must keep every field:\n${wholePlan.take(3000)}")
+  }
+
   test("nested FOREACH with ORDER/LIMIT/DISTINCT runs on bag HOFs") {
     val df = PigScript.query(spark,
       """O = LOAD '$DIR/orders.parquet' USING parquet;

@@ -177,6 +177,23 @@ class RelationalSpec extends SparkSpec {
     assert(nn == 1L)
   }
 
+  test("distributionDrift: base side binned from key counts matches the value rule") {
+    import org.apache.spark.sql.functions._
+    // round 18: the base side is binned from the distinct-key counts
+    // (weighted by __cnt) instead of a second base scan. A tie block
+    // straddling a histogram boundary is where the rank-based
+    // histogram count disagrees with the value rule — self-drift must
+    // still report base_cnt == target_cnt per bin (the target side IS
+    // a scan under the value rule).
+    val tied = ((1 to 10).map(_ => 5.0) ++ (11 to 20).map(_.toDouble))
+      .toDF("x").repartition(3)
+    val self = Relational.distributionDrift(tied, tied, "x", 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(self.forall(r => r._2 == r._3),
+      s"base must bin under the same value rule as target: ${self.toSeq}")
+    assert(self.map(_._2).sum == 20L)
+  }
+
   test("skewProfile: exact top-N with deterministic ties; bounded top-N plan") {
     import org.apache.spark.sql.functions._
     // keys 1..10 with frequency = key; plus ties: 11 and 12 both x5
