@@ -33,3 +33,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+// Dev lever (optimization rounds): extra -D flags for the forked run
+// JVM — e.g. SPARK_GRAFT_JAVA_OPTS="-Dspark.eventLog.enabled=true
+// -Dspark.eventLog.dir=/tmp/sparklogs" to attribute bench time per
+// job/stage — without editing the build. Empty by default: the bench
+// contract is unchanged unless the env var is set.
+javaOptions ++= sys.env.getOrElse("SPARK_GRAFT_JAVA_OPTS", "")
+  .split("\\s+").filter(_.nonEmpty).toSeq

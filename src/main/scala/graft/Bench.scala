@@ -531,11 +531,15 @@ object Bench {
     logLoad("start")
 
     // Warm pass: JIT, codegen caches, OS page cache for the parquet.
+    // Jobs are labeled (guide §1.5) so an event-log/UI profile
+    // attributes every stage to its query without timeline guessing.
     qs.foreach { name =>
       System.err.println(s"[bench] warm $name")
+      spark.sparkContext.setJobDescription(s"bench-warm:$name")
       try benchQuery(name)(spark, sfDir).count()
       catch { case e: Throwable => System.err.println(s"[bench] warm $name failed: ${e.getMessage}") }
     }
+    spark.sparkContext.setJobDescription(null)
 
     // Median of 5 timed runs per query: the sandbox host stalls for
     // 10–25 s at random (round-1 recorded a 19 s median on a 1 s query
@@ -550,6 +554,7 @@ object Bench {
     val failedQueries = scala.collection.mutable.ListBuffer[String]()
     val results = qs.flatMap { name =>
       System.gc()
+      spark.sparkContext.setJobDescription(s"bench:$name")
       val raw = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -558,6 +563,7 @@ object Bench {
             System.err.println(s"[bench] $name timed run FAILED: $e"); false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      spark.sparkContext.setJobDescription(null)
       // raw (temporal) order exposes within-session drift; sorted order
       // is what the median is read from
       System.err.println(f"[bench] $name raw=${raw.map(t => f"${t._1}%.2f" + (if (t._2) "" else "!")).mkString(",")}")
@@ -630,6 +636,7 @@ object Bench {
     graft.streaming.ReplayPhases.attach(spark) // q235/q253 stream on it
     val streamResults = streamQs.flatMap { name =>
       System.err.println(s"[bench] stream warm $name")
+      spark.sparkContext.setJobDescription(s"bench-stream:$name")
       try benchQuery(name)(spark, sfDir).count()
       catch { case e: Throwable => System.err.println(s"[bench] stream warm $name failed: ${e.getMessage}") }
       val raw = (1 to 3).map { _ =>

@@ -856,14 +856,22 @@ object Similarity {
       k: Int, cents: Seq[Seq[Double]], pq: graft.plans.PqCodebooks,
       nProbe: Int, refine: Int, exactCorpus: Option[DataFrame]): DataFrame = {
     import graft.plans.PqExpressions
+    // The probe side carries the QUERY VECTOR, not the per-query ADC
+    // LUT: a row-join copies the matched build-side row into every
+    // joined output row, so a carried LUT costs m·nCodes doubles per
+    // CANDIDATE (64× the query vector's m·subDim at the defaults —
+    // measured ~1 GB of single-task row materialization in the sf0.1
+    // serve). pqAdcQuery recomputes each subspace dot in the LUT's
+    // exact accumulation order, so scores stay bit-identical while
+    // the join moves 512 B/row instead of 32 KB/row.
     val probes = queries
       .select(col(queryId).as("query_id"), unitize(col(vecCol)).as("__nq"))
       .select(col("query_id"),
         explode(PqExpressions.topCosArgMaxToSet(col("__nq"), cents, nProbe)).as("cell"),
-        PqExpressions.pqLut(col("__nq"), pq).as("__lut"))
+        col("__nq"))
     val scored = assigned.join(probes, Seq("cell"))
       .filter(col(corpusId) =!= col("query_id"))
-      .withColumn("score", PqExpressions.pqAdc(col("__codes"), col("__lut"), pq))
+      .withColumn("score", PqExpressions.pqAdcQuery(col("__codes"), col("__nq"), pq))
       .select(col("query_id"), col(corpusId), col("score"))
     if (refine <= 0) boundedTopK(scored, corpusId, k)
     else {

@@ -139,6 +139,36 @@ object PqKernels {
     acc
   }
 
+  /** ADC score straight from the QUERY VECTOR — bit-identical to
+    * `adc(codes, lut(q))`: the per-subspace dot accumulates dims
+    * left-to-right exactly like [[lut]], and subspaces accumulate
+    * left-to-right exactly like [[adc]] (same FP ops, same order).
+    * Exists because a row-join cannot share a LUT by reference: the
+    * cell join copies the build-side row into EVERY joined output
+    * row, so carrying the (m·nCodes)-double LUT costs nCodes/subDim
+    * times the bytes of carrying the (m·subDim)-double query itself
+    * (64× at the m16/c256/d64 defaults — measured as ~1 GB of
+    * single-task row materialization in the q191 serve at sf0.1). */
+  def adcFromQuery(codes: ArrayData, q: ArrayData, cb: PqCodebooks): Double = {
+    val n = q.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < cb.m) {
+      val base = s * cb.subDim
+      val c = cb.codes(s)(codes.getInt(s))
+      var dot = 0.0
+      var i = 0
+      while (i < cb.subDim) {
+        val x = if (base + i < n) q.getDouble(base + i) else 0.0
+        dot += x * c(i)
+        i += 1
+      }
+      acc += dot
+      s += 1
+    }
+    acc
+  }
+
   /** Top-`n` argmax-cosine candidate INDICES (score desc, index asc on
     * ties; NaN cosines sort last) — the multi-probe generalization of
     * [[CandSetKernels.cosArgMax]]: IVF query routing needs the nProbe
@@ -238,6 +268,25 @@ case class PqAdc(left: Expression, right: Expression, cb: PqCodebooks)
     copy(left = newLeft, right = newRight)
 }
 
+/** ADC score of a code array against the query vector itself —
+  * bit-identical to `PqAdc(codes, PqLut(q))` without materializing
+  * the LUT per joined row (see [[PqKernels.adcFromQuery]]). */
+case class PqAdcQuery(left: Expression, right: Expression, cb: PqCodebooks)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_query"
+  override def nullSafeEval(codes: Any, q: Any): Any =
+    PqKernels.adcFromQuery(codes.asInstanceOf[ArrayData], q.asInstanceOf[ArrayData], cb)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cb", cb, classOf[PqCodebooks].getName)
+    nullSafeCodeGen(ctx, ev, (c, q) =>
+      s"${ev.value} = graft.plans.PqKernels.adcFromQuery($c, $q, $ref);")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcQuery =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Training-time per-subspace argmin: (subspace idx, subvector) →
   * code id. */
 case class PqSubspaceArgMin(left: Expression, right: Expression, cb: PqCodebooks)
@@ -287,6 +336,11 @@ object PqExpressions {
     GraftSqlBridge.column(PqAdc(
       GraftSqlBridge.expression(codes),
       GraftSqlBridge.expression(lut), cb))
+
+  def pqAdcQuery(codes: Column, qvec: Column, cb: PqCodebooks): Column =
+    GraftSqlBridge.column(PqAdcQuery(
+      GraftSqlBridge.expression(codes),
+      GraftSqlBridge.expression(qvec.cast("array<double>")), cb))
 
   def pqSubspaceArgMin(sub: Column, subvec: Column, cb: PqCodebooks): Column =
     GraftSqlBridge.column(PqSubspaceArgMin(

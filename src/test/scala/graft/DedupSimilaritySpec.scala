@@ -1114,6 +1114,33 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqAdcQuery is BIT-identical to pqLut+pqAdc at every m") {
+    // round 18: the serve path scores from the query vector directly
+    // (the join must not carry the LUT per candidate row) — the
+    // replacement accumulates each subspace dot and the cross-subspace
+    // sum in the LUT path's exact order, so the scores are the same
+    // doubles, not just close ones.
+    val pts = (0 until 24).map { j =>
+      (j.toLong, Array.tabulate(8)(d => ((j * 7 + d * 3) % 11) - 5f))
+    }.toDF("vec_id", "embedding")
+    for (m <- Seq(1, 2, 4)) {
+      val pq = Similarity.pqTrain(pts, "embedding", m = m, nCodes = 16, iters = 1)
+      val both = pts.select($"vec_id", Similarity.unitize($"embedding").as("nv"))
+        .withColumn("codes", graft.plans.PqExpressions.pqEncode($"nv", pq))
+        .crossJoin(pts.limit(3).select(
+          $"vec_id".as("qid"), Similarity.unitize($"embedding").as("nq")))
+        .withColumn("lut", graft.plans.PqExpressions.pqLut($"nq", pq))
+        .select($"qid", $"vec_id",
+          graft.plans.PqExpressions.pqAdc($"codes", $"lut", pq).as("via_lut"),
+          graft.plans.PqExpressions.pqAdcQuery($"codes", $"nq", pq).as("direct"))
+        .as[(Long, Long, Double, Double)].collect()
+      both.foreach { case (q, v, viaLut, direct) =>
+        assert(viaLut == direct,
+          s"m=$m ($q,$v): direct $direct != via-lut $viaLut (must be bit-identical)")
+      }
+    }
+  }
+
   test("pqTrain/pqEncode are partition-invariant; ragged subspaces warn and stay in range") {
     // raw subspace 1 is constant, so after full-vector unitization its
     // subvectors collapse to one value PER DISTINCT NORM — 5 distinct
