@@ -59,17 +59,17 @@ object Graph {
     require(scale >= 0, s"scale must be positive (or 0 = auto), got $scale")
     // materialize the derived graph ONCE: edges may come from an
     // arbitrary upstream dataflow (a join, a dedup, …) and every
-    // iteration reads them twice — without a persist the whole lineage
+    // iteration reads them — without a persist the whole lineage
     // re-executes per iteration (measured 71 s -> 4 s at sf0.1).
     // Safe to unpersist before returning: the final ranks are an eager
     // materialize, so nothing downstream re-reads these.
     // Pre-SHUFFLE the cached edges onto the iteration join's own key:
-    // the per-iteration `edges ⋈ ranks ⋈ deg` requires hash
+    // the per-iteration `edges ⋈ contributions` requires hash
     // distribution on s, and a cache whose outputPartitioning already
     // satisfies it ships ZERO edge bytes per iteration — only the
-    // (node-sized) ranks side reshuffles. Without this, every one of
-    // the `iters` iterations re-exchanged the FULL edge set (the big
-    // side at web scale: edges >> nodes).
+    // (node-sized) contribution side reshuffles. Without this, every
+    // one of the `iters` iterations re-exchanged the FULL edge set
+    // (the big side at web scale: edges >> nodes).
     val edges = edgesIn
       .select(col(srcCol).cast("string").as("s"), col(dstCol).cast("string").as("d"))
       .filter(col("s").isNotNull && col("d").isNotNull)
@@ -88,35 +88,41 @@ object Graph {
     }
     require(BigInt(nNodes) * sc * dampNum < BigInt(Long.MaxValue),
       s"rank mass may overflow a long: nodes=$nNodes scale=$sc damp=$dampNum")
-    val deg = edges.groupBy(col("s")).agg(count(lit(1)).as("dg")).persist()
+    // The out-degree rides INSIDE the rank state (node, dg, rank):
+    // each iteration then needs exactly ONE edge-sized join (edges ⋈
+    // per-node contributions) and ONE node-sized join (node set ⋈
+    // aggregated in-mass) — the r17 shape pushed the edge-sized
+    // intermediate through a second join just to attach the per-NODE
+    // divisor, and attaching deg per iteration instead of carrying it
+    // re-joined two node-sized tables every round. dg is null for
+    // dangling (in-degree-only) nodes, which contribute no out-mass —
+    // the same rows the old inner join with deg dropped.
+    // alias both sides: nodes and deg share the edge lineage, and
+    // dataset-reference conditions trip Spark's ambiguous-self-join
+    // check there (the Incremental.pitJoin note)
+    val nodesDeg = nodes.alias("__pr_n")
+      .join(edges.groupBy(col("s")).agg(count(lit(1)).as("dg")).alias("__pr_d"),
+        col("__pr_n.node") === col("__pr_d.s"), "left")
+      .select(col("__pr_n.node").as("node"), col("__pr_d.dg").as("dg"))
+      .persist()
     val teleport = (sc * (dampDen - dampNum)) / dampDen
-    var ranks = nodes.withColumn("rank", lit(sc))
+    var ranks = nodesDeg.withColumn("rank", lit(sc))
     try {
       for (_ <- 1 to iters) {
-        // Per-node out-contribution FIRST (ranks ⋈ deg is node-sized,
-        // both sides hash-distributable on the node id), THEN the one
-        // edge-sized join. The previous shape (edges ⋈ ranks ⋈ deg)
-        // pushed the edge-sized intermediate through TWO joins — at
-        // web scale that is a second probe pass over every edge row
-        // per iteration, paid only to attach a per-NODE divisor.
-        // alias both sides: ranks and deg share the edge lineage, and
-        // dataset-reference conditions trip Spark's ambiguous-self-join
-        // check there (the Incremental.pitJoin note)
-        val outContrib = ranks.alias("__pr_r")
-          .join(deg.alias("__pr_d"), col("__pr_r.node") === col("__pr_d.s"))
-          .select(col("__pr_d.s").as("s"), expr("`rank` div dg").as("c"))
+        val outContrib = ranks.filter(col("dg").isNotNull)
+          .select(col("node").as("s"), expr("`rank` div dg").as("c"))
         val contribs = edges.join(outContrib, "s")
           .select(col("d").as("node"), col("c"))
           .groupBy("node").agg(sum(col("c")).as("in_mass"))
-        ranks = nodes.join(contribs, Seq("node"), "left")
-          .select(col("node"),
+        ranks = nodesDeg.join(contribs, Seq("node"), "left")
+          .select(col("node"), col("dg"),
             (lit(teleport) +
               expr(s"($dampNum * coalesce(in_mass, 0L)) div $dampDen")).as("rank"))
           .materialized()
       }
-      ranks
+      ranks.select(col("node"), col("rank"))
     } finally {
-      edges.unpersist(); nodes.unpersist(); deg.unpersist()
+      edges.unpersist(); nodes.unpersist(); nodesDeg.unpersist()
     }
   }
 }
