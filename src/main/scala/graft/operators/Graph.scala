@@ -70,10 +70,16 @@ object Graph {
     // (node-sized) contribution side reshuffles. Without this, every
     // one of the `iters` iterations re-exchanged the FULL edge set
     // (the big side at web scale: edges >> nodes).
+    // ONE exchange builds the cache: repartition by s, then dedupe —
+    // hash(s) satisfies the (s, d) clustering the dedup aggregate
+    // requires (same s ⇒ same partition), so no second shuffle is
+    // inserted and the cached outputPartitioning stays hash(s). The
+    // previous `distinct().repartition(s)` paid a full (s, d) exchange
+    // of the raw edge stream and then re-exchanged it all by s.
     val edges = edgesIn
       .select(col(srcCol).cast("string").as("s"), col(dstCol).cast("string").as("d"))
       .filter(col("s").isNotNull && col("d").isNotNull)
-      .distinct().repartition(col("s")).persist()
+      .repartition(col("s")).dropDuplicates(Seq("s", "d")).persist()
     val nodes = edges.select(col("s").as("node"))
       .union(edges.select(col("d").as("node"))).distinct().persist()
     val nNodes = nodes.count()
