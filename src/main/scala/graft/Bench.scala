@@ -662,6 +662,9 @@ object Bench {
         Some((name, wall, (floor, ph)))
       }
     }
+    // clear the last stream query's label (batch loops clear per-query;
+    // without this every post-stream job inherits the final label)
+    spark.sparkContext.setJobDescription(null)
     val sjson = streamResults.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val sphjson = streamResults.map { case (k, wall, (floor, ph)) =>

@@ -42,14 +42,6 @@ object Linalg {
   def secondMoments(df: DataFrame, vecCol: String, dim: Int):
       (Long, Array[java.math.BigDecimal], Array[Array[java.math.BigDecimal]]) = {
     require(dim >= 1 && dim <= 128, "dim in [1,128]")
-    // dim guard + count in one tiny pre-agg (a wrong-length vector
-    // would silently misalign the kernel's slots — fail loudly)
-    val head = df.agg(count(lit(1)), min(size(col(vecCol))), max(size(col(vecCol))))
-      .collect()(0)
-    val n = head.getLong(0)
-    require(n > 0, "empty input")
-    require(head.getInt(1) == dim && head.getInt(2) == dim,
-      s"vector dim mismatch: sizes in [${head.get(1)}, ${head.get(2)}], expected $dim")
     // a small-file input arrives as one split, serializing the ×2145
     // explode into a single task; spread it first. At corpus scale the
     // scan has plenty of splits and this branch never fires (no extra
@@ -57,12 +49,25 @@ object Linalg {
     val para = df.sparkSession.sparkContext.defaultParallelism
     val src = if (df.rdd.getNumPartitions < math.max(2, para / 2))
       df.repartition(para) else df
-    val slots = src
-      .select(posexplode(graft.plans.VectorExpressions.momentVector(col(vecCol), dim))
+    // ONE corpus pass (r19, guide §1.2): the old count/min/max-size
+    // pre-agg scanned the corpus once just to guard dims and fetch n.
+    // The dim guard now lives in the kernel (fails loudly per row; a
+    // null vector is coalesced to size 0 so it trips the same guard
+    // instead of vanishing from the explode), and n rides the SAME
+    // grouped aggregation as a per-slot count — every slot counts each
+    // row exactly once.
+    val nullTrap = coalesce(col(vecCol).cast("array<double>"),
+      expr("cast(array() as array<double>)"))
+    val agg = src
+      .select(posexplode(graft.plans.VectorExpressions.momentVector(nullTrap, dim))
         .as(Seq("slot", "v")))
       .groupBy(col("slot"))
-      .agg(sum(col("v").cast(DecimalType(38, 18))).as("s"))
-      .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+      .agg(sum(col("v").cast(DecimalType(38, 18))).as("s"),
+        count(lit(1)).as("c"))
+      .collect()
+    require(agg.nonEmpty, "empty input")
+    val n = agg.head.getLong(2)
+    val slots = agg.map(r => r.getInt(0) -> r.getDecimal(1)).toMap
     val sums = Array.tabulate(dim)(slots(_))
     val prods = Array.ofDim[java.math.BigDecimal](dim, dim)
     val pairIdx = for (i <- 0 until dim; j <- i until dim) yield (i, j)

@@ -421,8 +421,11 @@ object Relational {
     def bucketOf(x: Column): Column =
       least(size(filter(bArr, b => b < x)), lit(cap)).cast("long")
     val baseBinned = rankedKeys
-      .select(bucketOf(col(valueCol).cast("double")).as("bucket"),
-        col("__cnt").as("__w"), lit("base").as("__side"))
+      .select(col(valueCol).cast("double").as("__x"), col("__cnt"))
+      .filter(col("__x").isNotNull) // same value rule as the target side:
+      // a non-null value whose double cast is null is excluded from BOTH
+      .select(bucketOf(col("__x")).as("bucket"), col("__cnt").as("__w"),
+        lit("base").as("__side"))
     val targetBinned = target
       .select(col(valueCol).cast("double").as("__x"))
       .filter(col("__x").isNotNull)

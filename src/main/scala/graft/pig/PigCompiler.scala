@@ -983,8 +983,14 @@ object PigCompiler {
       case PDot(PCol(b), f) if bagAliases(b) => names += f
       case PCol(b) if bagAliases(b) => whole = true
       case PCall(fn, Seq(PCol(b))) if bagAliases(b) &&
-          Set("COUNT", "COUNT_STAR", "SIZE")(fn.toUpperCase) =>
+          Set("COUNT_STAR", "SIZE")(fn.toUpperCase) =>
         () // length-only over a bag: any field set has the same size
+      case PCall(fn, Seq(PCol(b))) if bagAliases(b) &&
+          fn.toUpperCase == "COUNT" =>
+        // Pig COUNT skips tuples whose FIRST field is null — the pruned
+        // struct must keep the child's first column, and keep it first
+        // (filter below preserves child column order).
+        names += meta.child.columns.head
       case PDot(b, _) => itemRef(b)
       case PMapGet(b, _) => itemRef(b)
       case PBin(_, l, r) => itemRef(l); itemRef(r)

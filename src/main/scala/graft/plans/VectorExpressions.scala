@@ -281,6 +281,13 @@ object MomentKernels {
     * contribution of a row; the decimal casts and exact sums happen in
     * the (map-side combined) aggregation layer above. */
   def momentVector(v: ArrayData, dim: Int): ArrayData = {
+    // the dim guard lives IN the kernel (not a separate count/min/max
+    // pre-pass over the corpus): a wrong-length vector fails loudly
+    // with row context, and the moments need only ONE corpus pass
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"moment_vector: vector size ${v.numElements()} != dim $dim " +
+          "(null vectors arrive as size 0)")
     val out = new Array[Double](dim + dim * (dim + 1) / 2)
     var i = 0
     while (i < dim) { out(i) = v.getDouble(i); i += 1 }

@@ -28,8 +28,19 @@ class LinalgSpec extends SparkSpec {
   }
 
   test("secondMoments: wrong-length vectors fail loudly, not by null-skipping") {
+    // the guard lives in the kernel now (one corpus pass, r19), so the
+    // failure surfaces wrapped in Spark's task-failure exception — the
+    // kernel's message must survive the wrapping
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     val df = Seq(Seq(1.0, 2.0), Seq(3.0)).toDF("v")
-    intercept[IllegalArgumentException] { Linalg.secondMoments(df, "v", 2) }
+    val e = intercept[Exception] { Linalg.secondMoments(df, "v", 2) }
+    assert(messages(e).exists(_.contains("moment_vector: vector size")), e.toString)
+    // a NULL vector must fail the same way, never silently drop out of
+    // the moment sums (it is coalesced to size 0 before the kernel)
+    val withNull = Seq(Some(Seq(1.0, 2.0)), None).toDF("v")
+    val e2 = intercept[Exception] { Linalg.secondMoments(withNull, "v", 2) }
+    assert(messages(e2).exists(_.contains("moment_vector: vector size 0")), e2.toString)
   }
 
   test("jacobiEigen: known symmetric matrices, descending order, orthonormal vectors") {

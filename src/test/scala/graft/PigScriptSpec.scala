@@ -428,6 +428,39 @@ class PigScriptSpec extends SparkSpec {
       s"whole-tuple FLATTEN must keep every field:\n${wholePlan.take(3000)}")
   }
 
+  test("plain COUNT over a pruned bag keeps Pig's first-field-null rule") {
+    // Pig COUNT(bag) skips tuples whose FIRST field is null. The bag
+    // pruner must therefore keep the child's first column (in first
+    // position) whenever a plain COUNT references the bag — otherwise
+    // pruning would count nulls of some OTHER field. Regression spec
+    // for the round-18 carve-out that treated COUNT as length-only.
+    val dir = java.nio.file.Files.createTempDirectory("graft_count_null_")
+    val data = spark.createDataFrame(Seq(
+      (Option.empty[Long], 1L, 10.0), // first field NULL: COUNT skips it
+      (Some(1L), 1L, 30.0),
+      (Some(2L), 1L, 20.0),
+      (Some(3L), 2L, 5.0),
+      (Option.empty[Long], 2L, 50.0)
+    )).toDF("first_f", "k", "v")
+    data.write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val df = PigScript.query(spark,
+      """T = LOAD '$DIR/t.parquet' USING parquet;
+         G = GROUP T BY k;
+         A = FOREACH G {
+           s = ORDER T BY v DESC;
+           t = LIMIT s 2;
+           GENERATE group AS k, COUNT(t) AS n;
+         };""",
+      Map("DIR" -> dir.toString))
+    // the pruner fires (only first_f + v needed of 3 columns) ...
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("collect_list"), plan.take(2000))
+    // k=1: top-2 by v = (30.0, first=1), (20.0, first=2) -> COUNT 2
+    // k=2: top-2 by v = (50.0, first=NULL), (5.0, first=3) -> COUNT 1
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (2L, 1L)), got)
+  }
+
   test("nested FOREACH with ORDER/LIMIT/DISTINCT runs on bag HOFs") {
     val df = PigScript.query(spark,
       """O = LOAD '$DIR/orders.parquet' USING parquet;

@@ -222,9 +222,12 @@ class PlanSpec extends SparkSpec {
   test("q154: IVF-PQ scores through codegen kernels; refine is a broadcast, not a shuffle") {
     val tree = SparkEntry.queries("q154_ann_ivfpq")(spark, sf)
       .queryExecution.executedPlan.toString
-    // encode/routing/LUT/ADC are all native kernels, never UDFs/HOFs
-    for (k <- Seq("pq_encode", "pq_lut", "pq_adc", "top_cos_arg_max_to_set"))
+    // encode/routing/ADC are all native kernels, never UDFs/HOFs; the serve
+    // path scores from the query vector (pq_adc_query) — no carried LUT column
+    for (k <- Seq("pq_encode", "pq_adc_query", "top_cos_arg_max_to_set"))
       assert(tree.contains(k), s"missing kernel $k:\n${tree.take(2000)}")
+    assert(!tree.contains("pq_lut"),
+      s"serve plan still carries a per-row LUT column:\n${tree.take(2000)}")
     assert(!tree.contains("ScalaUDF"), tree.take(2000))
     // the exact re-rank joins the bounded shortlist BROADCAST into the
     // corpus scan — no second corpus-sized exchange for refinement
