@@ -99,8 +99,15 @@ object Dedup {
   /** Source tables are often few large parquet files -> few input
     * partitions; per-row compute-heavy ops (k×m hashing) must fan out
     * first or one task does all the work. Cheap shuffle vs serial scan. */
-  private def fanOut(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  // spread a SMALL scan (1-2 local splits) before the expensive per-row
+  // kernels; at corpus scale the scan already has plenty of splits and
+  // an unconditional repartition would be a wasted full shuffle of the
+  // text (r19, guide §2.4 — the secondMoments rule applied here)
+  private def fanOut(df: DataFrame): DataFrame = {
+    val para = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, para / 2)) df.repartition(para)
+    else df
+  }
 
   /** Full fuzzy-dedup pipeline: LSH candidates -> exact Jaccard verify.
     *
@@ -241,7 +248,17 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("__df"))
       .filter(col("__df") >= 2 && col("__df") <= maxDocFreq)
       .select(col("h"))
+    // the self-join used to re-execute the window-stream lineage for
+    // BOTH sides — the hash kernel ran over the corpus text 3× per call
+    // (eligible + a-side + b-side) and the join exchanged each side
+    // separately. The eligible-filtered stream is a small fraction of
+    // the corpus (singleton fingerprints — most of the stream — are
+    // gone), so materialize it ONCE, already hash-partitioned on the
+    // join key: one kernel pass per side of the guard, and the
+    // self-join reuses the checkpoint's partitioning instead of two
+    // more data exchanges (r19, guide §2.4/§5).
     val wf = w.join(eligible, Seq("h"))
+      .repartition(col("h")).localCheckpoint()
     val matches = wf.as("a")
       .join(wf.as("b"),
         col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))

@@ -134,22 +134,42 @@ object Relational {
     * [[graft.operators.Dedup.clusterPairs]].)
     */
   def rankBy(df: DataFrame, keys: Seq[String], ascending: Boolean = true): DataFrame = {
-    val (rankedKeys, _) = rankedKeyCounts(df, keys, ascending)
-    df.join(rankedKeys.drop("__cnt"), keys)
+    val (rankedKeys, _, nKeys) = rankedKeyCounts(df, keys, ascending)
+    val ranks = rankedKeys.drop("__cnt")
+    // Step 4's join used to plan as SMJ unconditionally (the rank table
+    // comes off an RDD, so Catalyst has no size estimate): the full
+    // relation — every data column — shuffled AND sorted just to pick
+    // up two longs per key (guide §2.3/§3.1). The key table's exact
+    // cardinality is already measured by the stats accumulator, so the
+    // broadcast decision can be made from REAL numbers: when the
+    // distinct-key table fits the session broadcast threshold, ship IT
+    // and leave the relation un-exchanged. Past the threshold (key
+    // cardinality ≈ row count at 100 TB) the SMJ shape stays — the
+    // plan-asserted worst case (PlanSpec "rankBy: data-sized key
+    // cardinality joins as SMJ").
+    val rowBytes = ranks.schema.fields.map(_.dataType.defaultSize).sum + 16L
+    val threshold = try {
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    } catch { case _: Throwable => 10485760L }
+    if (threshold > 0 && nKeys * rowBytes <= threshold)
+      df.join(broadcast(ranks), keys)
+    else df.join(ranks, keys)
   }
 
   /** Steps 1–3 of [[rankBy]], exposed to key-count consumers: the
     * DISTINCT sorted keys with their row counts (`__cnt`), `rank` and
-    * `dense_rank`, plus the total row count (from the same stats
-    * accumulator — no extra count() job). [[equiDepthHistogram]] and
-    * [[distributionDrift]] aggregate this key-sized table directly:
-    * every row of a key shares its rank, so any per-bucket statistic
-    * (population, min/max envelope) is computable from (key, __cnt)
-    * without rankBy's step-4 join back over the full data — at scale
-    * that join is a second full shuffle of the relation, paid only to
-    * re-derive counts the key table already holds. */
+    * `dense_rank`, plus the total row count AND the distinct-key count
+    * (both from the same stats accumulator — no extra count() job).
+    * [[equiDepthHistogram]] and [[distributionDrift]] aggregate this
+    * key-sized table directly: every row of a key shares its rank, so
+    * any per-bucket statistic (population, min/max envelope) is
+    * computable from (key, __cnt) without rankBy's step-4 join back
+    * over the full data — at scale that join is a second full shuffle
+    * of the relation, paid only to re-derive counts the key table
+    * already holds. */
   private[operators] def rankedKeyCounts(df: DataFrame, keys: Seq[String],
-      ascending: Boolean = true): (DataFrame, Long) = {
+      ascending: Boolean = true): (DataFrame, Long, Long) = {
     val spark = df.sparkSession
     val keyCols = keys.map(col)
     val sortCols = if (ascending) keyCols.map(_.asc) else keyCols.map(_.desc)
@@ -203,7 +223,8 @@ object Relational {
         Row.fromSeq(r.toSeq :+ rank :+ dense)
       }
     }
-    (spark.createDataFrame(ranked, schema), perPart.map(_._3).sum)
+    (spark.createDataFrame(ranked, schema), perPart.map(_._3).sum,
+      perPart.map(_._2).sum)
   }
 
   /** Pig `R = RANK A;` — 1-based row sequence in encounter order.
@@ -368,7 +389,7 @@ object Relational {
       buckets: Int): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val vals = df.select(col(valueCol)).filter(col(valueCol).isNotNull)
-    val (rankedKeys, n) = rankedKeyCounts(vals, Seq(valueCol))
+    val (rankedKeys, n, _) = rankedKeyCounts(vals, Seq(valueCol))
     require(n > 0, "equiDepthHistogram: no non-null values")
     rankedKeys
       .withColumn("bucket",
@@ -407,7 +428,7 @@ object Relational {
       valueCol: String, buckets: Int): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val vals = base.select(col(valueCol)).filter(col(valueCol).isNotNull)
-    val (rankedKeys, n) = rankedKeyCounts(vals, Seq(valueCol))
+    val (rankedKeys, n, _) = rankedKeyCounts(vals, Seq(valueCol))
     require(n > 0, "equiDepthHistogram: no non-null values")
     val hist = rankedKeys
       .withColumn("bucket",

@@ -49,6 +49,16 @@ object Similarity {
     * doc ids etc.) transparently fall back to the id-type-generic
     * window formulation ([[Relational.topPerGroup]]) — same result,
     * shuffles scored rows instead of k-element states. */
+  /** Spread a SMALL scan (1-2 local splits) before expensive per-row
+    * kernel work; at corpus scale the scan already has plenty of splits
+    * and an unconditional repartition is a wasted full shuffle of the
+    * vectors (r19, guide §2.4 — the secondMoments/fanOut rule). */
+  private def fanOutSmall(df: DataFrame): DataFrame = {
+    val para = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, para / 2)) df.repartition(para)
+    else df
+  }
+
   private[operators] def boundedTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
     val integral = scored.schema(idCol).dataType match {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
@@ -87,8 +97,7 @@ object Similarity {
       corpusId: String, queryId: String, vecCol: String,
       k: Int): DataFrame = {
     val q = queries.select(col(queryId).as("query_id"), asDouble(col(vecCol)).as("__qvec"))
-    val scored = corpus
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val scored = fanOutSmall(corpus)
       .select(col(corpusId), asDouble(col(vecCol)).as("__cvec"))
       .join(broadcast(q), col(corpusId) =!= col("query_id")) // exclude self-match
       .withColumn("score", cosineFast(col("__cvec"), col("__qvec")))
@@ -804,9 +813,7 @@ object Similarity {
       k: Int, centroids: DataFrame, pq: graft.plans.PqCodebooks,
       nProbe: Int = 4, refine: Int = 0): DataFrame = {
     val cents = collectCentroids(centroids, "ivfPqTopK")
-    val assigned = ivfPqEncode(
-      corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism),
-      corpusId, vecCol, cents, pq)
+    val assigned = ivfPqEncode(fanOutSmall(corpus), corpusId, vecCol, cents, pq)
     ivfPqServe(assigned, queries, corpusId, queryId, vecCol, k, cents, pq,
       nProbe, refine, exactCorpus = Some(corpus))
   }

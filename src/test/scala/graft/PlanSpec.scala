@@ -179,8 +179,14 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q148_span_removal")
     // the rebuild is expression-level (HOF filter), never a UDF
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p.take(2000))
-    // windows are produced by the native kernel, not slice+concat
-    assert(p.contains("window_hash64"), p.take(2000))
+    // r19: verbatimSpans materializes the eligible-filtered window
+    // stream (local checkpoint), so the kernel no longer shows in the
+    // FINAL plan — assert it on the window-stream path itself
+    // (verbatimHotWindows shares windowStream and is not checkpointed)
+    val wp = graft.operators.Dedup
+      .verbatimHotWindows(tables.documents, "doc_id", "text", minLen = 8)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(wp.contains("window_hash64"), wp.take(2000))
   }
 
   test("q149: heavy-hitter verify join is a broadcast of the bounded candidate set") {
