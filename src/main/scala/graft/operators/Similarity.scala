@@ -894,11 +894,17 @@ object Similarity {
       // degenerate vector would beat every real neighbor. The ADC
       // stage scores such vectors 0.0 (dot of zeros); the refine must
       // agree, so NaN re-scores to 0.0 here.
+      // unitize runs AFTER the broadcast join (r19, guide §2.3): the
+      // shortlist keeps queries × refine·k rows of the corpus, so
+      // normalizing before the join paid the sqrt+divide scan over
+      // EVERY corpus vector to rescore a bounded handful. Projection
+      // order around an equi-join does not change the matched rows or
+      // the per-row arithmetic — scores stay bit-identical.
       val exact = corpus
-        .select(col(corpusId), unitize(col(vecCol)).as("__nv"))
+        .select(col(corpusId), col(vecCol))
         .join(broadcast(shortlist), Seq(corpusId))
         .select(col("query_id"), col(corpusId),
-          nanvl(cosineFast(col("__nq"), col("__nv")), lit(0.0)).as("score"))
+          nanvl(cosineFast(col("__nq"), unitize(col(vecCol))), lit(0.0)).as("score"))
       boundedTopK(exact, corpusId, k)
     }
   }
