@@ -438,9 +438,15 @@ object Relational {
     val bounds = hist.select(col("bucket"), col("hi").cast("double"))
       .collect().sortBy(_.getLong(0)).map(_.getDouble(1))
     val cap = bounds.length - 1
-    val bArr = array(bounds.map(lit): _*)
+    // bucket(x) = min(#{boundaries hi < x}, cap). The boundaries are B
+    // driver literals, so the count is a chain of B codegen'd compares
+    // summed as ints — the previous size(filter(<array HOF>)) built a
+    // filtered array per row through Spark's INTERPRETED higher-order
+    // path (HOFs are outside whole-stage codegen). Same count, same
+    // NaN/tie behavior (both use the strict < on each literal).
     def bucketOf(x: Column): Column =
-      least(size(filter(bArr, b => b < x)), lit(cap)).cast("long")
+      least(bounds.map(b => when(lit(b) < x, 1L).otherwise(0L))
+        .reduce(_ + _), lit(cap.toLong))
     val baseBinned = rankedKeys
       .select(col(valueCol).cast("double").as("__x"), col("__cnt"))
       .filter(col("__x").isNotNull) // same value rule as the target side:
