@@ -790,29 +790,23 @@ object TextAnalysis {
       .select(col(idCol), explode(toks).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // Corpus size N rides the SAME aggregate as the per-term document
-    // frequencies: every doc contributes one sentinel "term" (a lone
-    // space — the whitespace tokenizer can never produce a token
-    // containing whitespace, so it cannot collide), making
-    // df(sentinel) = N — including zero-token docs — with no separate
-    // count() pass over the docs lineage.
-    val sentinel = "\u0000"
-    val dfAll = docs
-      .select(explode(concat(array(lit(sentinel)), array_distinct(toks))).as("term"))
+    // Corpus size N used to ride the df aggregate as a sentinel term —
+    // which made dfAll feed TWO consumers (the sentinel's N row and the
+    // per-term table), and Catalyst re-executed the tokenize+distinct
+    // lineage per consumer: the corpus paid that pass TWICE (scan-stage
+    // receipt: 3 corpus scans). N is a bare row count — on parquet a
+    // footer-metadata aggregate, no column read, no tokenize — so it is
+    // cheaper as its own count() than as a second full df pass (r19; a
+    // localCheckpoint of dfAll was measured SLOWER at sf0.1 than the
+    // duplicated scan it saved — the barrier serializes phases that
+    // previously overlapped — so the sentinel route went, not the
+    // lineage).
+    val n = docs.count()
+    val dfTerm = docs
+      .select(explode(array_distinct(toks)).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      // dfAll feeds TWO consumers (the sentinel's N row and the
-      // per-term df table); un-materialized, Catalyst re-executes the
-      // lineage per consumer and the corpus pays the tokenize+distinct
-      // pass TWICE (scan-stage receipt: 3 → 2 corpus scans). The table
-      // is vocabulary-sized, so the local checkpoint is cheap (r19,
-      // the rankedKeyCounts discipline).
-      .localCheckpoint()
-    val nRow = dfAll.filter(col("term") === sentinel)
-      .select(col("df").cast("double").as("__n"))
-    val dfTerm = dfAll.filter(col("term") =!= sentinel)
     val scored = tf.join(dfTerm, "term")
-      .crossJoin(broadcast(nRow)) // 1 row by construction
-      .withColumn("score", col("tf") * log(col("__n") / col("df")))
+      .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
     Relational.topPerGroup(scored, Seq(idCol), "score", k, tiebreak = "term")
       .select(col(idCol), col("term"), round(col("score"), 6).as("score"))
   }
@@ -899,38 +893,13 @@ object TextAnalysis {
         i => struct(element_at(col("__toks"), i + 1).as("w1"),
           element_at(col("__toks"), i + 2).as("w2")))).as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    // ONE counting pass over the corpus (r19, guide §1.2/§2.4): the
-    // unigram and bigram counts used to be two separate scan+tokenize
-    // lineages (and the scoring join re-executed the bigram lineage, so
-    // the corpus was tokenized three times per query). Both count kinds
-    // now ride ONE tokenize+explode: each doc emits its unigrams as
-    // (w, NULL) entries and its bigrams as (w1, w2), one grouped count
-    // serves both, and the vocab-SIZED result is materialized (local
-    // checkpoint — rankedKeyCounts' discipline) so deriving c1/c12/V
-    // from it re-reads the checkpoint, never the corpus. The scoring
-    // pass over bigram INSTANCES stays a second corpus pass: the
-    // instance stream is data-sized, and materializing it would cost
-    // more than the re-scan (§5 caching rule).
-    val entries = docs.select(toks.as("__toks"))
-      .select(explode(concat(
-        transform(col("__toks"),
-          w => struct(w.as("w1"), lit(null).cast("string").as("w2"))),
-        when(size(col("__toks")) >= 2,
-          transform(sequence(lit(0), size(col("__toks")) - 2),
-            i => struct(element_at(col("__toks"), i + 1).as("w1"),
-              element_at(col("__toks"), i + 2).as("w2"))))
-          .otherwise(expr("cast(array() as array<struct<w1:string,w2:string>>)"))
-      )).as("e"))
-      .select(col("e.w1").as("w1"), col("e.w2").as("w2"))
-    val counts = entries.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c")).localCheckpoint()
-    val uni = counts.filter(col("w2").isNull).select(col("w1"), col("c").as("c1"))
-    val c12 = counts.filter(col("w2").isNotNull)
-      .select(col("w1"), col("w2"), col("c").as("c12"))
+    val c12 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni = docs.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
     val vRow = uni.agg(count(lit(1)).cast("double").as("__v"))
     // vocabulary-level score table: one row per distinct bigram
     val vocab = c12
-      .join(uni, Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
       .crossJoin(broadcast(vRow)) // 1 row by construction
       .select(col("w1"), col("w2"),
         log((col("c12") + lit(alpha)) / (col("c1") + lit(alpha) * col("__v")))
