@@ -237,7 +237,23 @@ object Dedup {
       .orderBy(col("doc_freq").desc, col("h").asc)
 
   def verbatimSpans(df: DataFrame, idCol: String, textCol: String,
-      minLen: Int = 20, maxDocFreq: Int = 50): DataFrame = {
+      minLen: Int = 20, maxDocFreq: Int = 50): DataFrame =
+    verbatimSpansImpl(df, idCol, textCol, minLen, maxDocFreq,
+      materialize = true)
+
+  /** `materialize = true` checkpoints the eligible-filtered window
+    * stream once, pre-partitioned on the join key — the right shape
+    * when the SPANS are the result (q146): the hash kernel runs over
+    * the corpus once instead of once per self-join side, and the join
+    * reuses the checkpoint's partitioning (r19, guide §2.4/§5).
+    * `materialize = false` keeps the whole pipeline visible to the
+    * optimizer — the right shape when a CONSUMER prunes it (q148's
+    * aggregate-only reads collapse the span columns through the plan;
+    * a checkpoint's opaque RDD blocks that pruning — measured 0.30 →
+    * 0.86 s when checkpointed). */
+  private def verbatimSpansImpl(df: DataFrame, idCol: String,
+      textCol: String, minLen: Int, maxDocFreq: Int,
+      materialize: Boolean): DataFrame = {
     require(minLen >= 2, s"minLen=$minLen")
     val w = windowStream(df, idCol, textCol, minLen)
     // doc-frequency guard: only fingerprints shared by 2..maxDocFreq
@@ -248,17 +264,10 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("__df"))
       .filter(col("__df") >= 2 && col("__df") <= maxDocFreq)
       .select(col("h"))
-    // the self-join used to re-execute the window-stream lineage for
-    // BOTH sides — the hash kernel ran over the corpus text 3× per call
-    // (eligible + a-side + b-side) and the join exchanged each side
-    // separately. The eligible-filtered stream is a small fraction of
-    // the corpus (singleton fingerprints — most of the stream — are
-    // gone), so materialize it ONCE, already hash-partitioned on the
-    // join key: one kernel pass per side of the guard, and the
-    // self-join reuses the checkpoint's partitioning instead of two
-    // more data exchanges (r19, guide §2.4/§5).
-    val wf = w.join(eligible, Seq("h"))
-      .repartition(col("h")).localCheckpoint()
+    val wfRaw = w.join(eligible, Seq("h"))
+    val wf =
+      if (materialize) wfRaw.repartition(col("h")).localCheckpoint()
+      else wfRaw
     val matches = wf.as("a")
       .join(wf.as("b"),
         col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
@@ -304,7 +313,11 @@ object Dedup {
   def removeVerbatimSpans(df: DataFrame, idCol: String, textCol: String,
       minLen: Int = 20, maxDocFreq: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spans = verbatimSpans(df, idCol, textCol, minLen, maxDocFreq)
+    // materialize = false: this consumer aggregates the spans away, so
+    // the optimizer must keep the whole pipeline visible to prune it
+    // (see verbatimSpansImpl)
+    val spans = verbatimSpansImpl(df, idCol, textCol, minLen, maxDocFreq,
+      materialize = false)
     // the losing (id2-side) occurrence of every span, as [s, e] token
     // intervals (1-based, inclusive)
     val rm = spans.select(col("id2").as(idCol), col("b_start").as("s"),
